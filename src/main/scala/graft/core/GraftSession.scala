@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the engine.
+  *
+  * Defaults are tuned for correctness-at-scale first:
+  *  - AQE on (runtime re-plan, skew-join splitting, dynamic coalesce) so the
+  *    same declarative plan that passes at sf0.01 survives a 100x scale-up.
+  *  - shuffle partitions sized to the local core count for tests; on a real
+  *    cluster this is expected to be overridden (or left to AQE coalescing).
+  *  - UTC session timezone everywhere — the reference's data model is
+  *    millisecond UTC timestamps (see SURVEY.md §1.3).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import QueryHelpers._
+
+/** Relational operator inventory over the driver testdata, one named query per
+  * operator family from SURVEY.md §2 (T = scalar transform, Q = relational),
+  * plus the standard relational surface the engine exposes beyond the
+  * reference (joins, grouped aggregation, windows, set ops, rollup).
+  *
+  * Each query is paired (in [[oracle]]) with the DuckDB SQL the driver runs
+  * over the same parquet tables; column names match exactly.
+  *
+  * Scale notes are given per query: the plans are declarative so Catalyst
+  * handles pushdown/pruning; the only materialization decisions we make by
+  * hand are broadcast hints for dimension tables.
+  */
+object Relational {
+
+  private val disc1 = lit(1.0).cast(DecimalType(18, 2))
+
+  /** T1 — projection / column pruning, pushed to the parquet scan
+    * (ref: `$project` in dags/includes/user_table.py:26-53).
+    */
+  private def q01Project(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** T2 — predicate filter pushed to the scan
+    * (ref: `$match` in dags/includes/loanapplication_table.py:27-31).
+    */
+  private def q02Filter(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+
+  /** Grouped aggregation (TPC-H Q1 shape): map-side partial agg, one shuffle
+    * on the (low-cardinality) group key. Exact decimal sums — see
+    * [[QueryHelpers]].
+    */
+  private def q03AggGroupBy(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val discPrice = l.col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (disc1 - l.col("l_discount").cast(DecimalType(18, 2)))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Broadcast join fact->dim: customer (1.5k rows/sf0.01, ~15M at 100 TB SF —
+    * still broadcastable at 64 MB threshold per-segment? No: at true scale the
+    * dim exceeds the threshold and AQE falls back to shuffle join; the hint is
+    * advisory). Aggregation by segment after the join.
+    */
+  private def q04JoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+
+  /** Multi-way join (TPC-H Q5 shape): lineitem |><| orders |><| customer
+    * |><| nation |><| region, dims broadcast, fact-fact join shuffles on
+    * orderkey. Filters pushed below the joins by Catalyst.
+    */
+  private def q05MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val revenue = l.col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (disc1 - l.col("l_discount").cast(DecimalType(18, 2)))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"))
+  }
+
+  /** Q2+top-k — global sort + limit. Spark runs TakeOrderedAndProject: no full
+    * global sort materialization, per-partition top-k then merge.
+    */
+  private def q06TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Q5/Q6 — distinct (dedup on full row): hash aggregate, partial then final. */
+  private def q07Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+
+  /** Q8 — partitioned window function (row_number): one shuffle on the
+    * partition key; per-partition sort only, never a global sort.
+    * (The reference's contiguous-PK assignment is the global-window variant —
+    * see graft.keys.SurrogateKeys for the scalable two-pass form.)
+    */
+  private def q08WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+  }
+
+  /** Q1 — unwind/explode (ref: `$unwind` loanapplication_table.py:33-35):
+    * Catalyst Generate node, no shuffle.
+    */
+  private def q09Explode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), explode(col("embedding")).as("val"))
+
+  /** Anti join — "new keys" half of the upsert split (SURVEY §2 Q5):
+    * customers that have no orders. Broadcast anti join at this scale; at
+    * 100 TB, shuffle hash anti join on the key.
+    */
+  private def q10AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** T4 — default-fill / null coalesce (ref: `.get(field, default)`
+    * user_table.py:62-84), materialized here via the nulls a left join
+    * produces: per-customer order stats with zero defaults.
+    */
+  private def q11Coalesce(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("total_spend"))
+  }
+
+  /** Rollup — hierarchical aggregate (engine extension; Spark Expand node,
+    * single shuffle). Goes through SQL because the Dataset `rollup`/`cube`
+    * API trips Spark 4.1's ambiguous-self-join check (the Expand node
+    * duplicates the grouping attributes); `GROUP BY ROLLUP` compiles to the
+    * identical plan without the false positive.
+    */
+  private def q12Rollup(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val nat = broadcast(Tables.nation(s, d))
+    val reg = broadcast(Tables.region(s, d))
+    sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "s_acctbal")
+      .createOrReplaceTempView("graft_q12_base")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM graft_q12_base GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
+  /** Q3 — scalar min/max/count (ref: `SELECT id ORDER BY id DESC LIMIT 1`,
+    * utils.py:13-20, replaced by an agg that needs no sort).
+    */
+  private def q13MinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderkey")).as("min_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** Set operations — EXCEPT: building-segment customers that never placed an
+    * urgent order. Spark plans left-anti after dedup.
+    */
+  private def q14Except(s: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    building.except(urgent)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project" -> q01Project _,
+    "q02_filter" -> q02Filter _,
+    "q03_agg_groupby" -> q03AggGroupBy _,
+    "q04_join_agg" -> q04JoinAgg _,
+    "q05_multi_join" -> q05MultiJoin _,
+    "q06_topk" -> q06TopK _,
+    "q07_distinct" -> q07Distinct _,
+    "q08_window_rank" -> q08WindowRank _,
+    "q09_explode" -> q09Explode _,
+    "q10_anti_join" -> q10AntiJoin _,
+    "q11_coalesce" -> q11Coalesce _,
+    "q12_rollup" -> q12Rollup _,
+    "q13_minmax" -> q13MinMax _,
+    "q14_except" -> q14Except _)
+
+  val oracle: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+    "q02_filter" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_date " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderpriority = '1-URGENT'"),
+    "q03_agg_groupby" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        s"${dsumSql("l_quantity")} AS sum_qty, " +
+        s"${dsumSql("l_extendedprice")} AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
+        s"${davgSql("l_quantity")} AS avg_qty, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q04_join_agg" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+        s"${dsumSql("o_totalprice")} AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "q05_multi_join" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name"),
+    "q06_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+    "q07_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q08_window_rank" ->
+      ("SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (" +
+        "SELECT c_nationkey, c_custkey, c_acctbal, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn " +
+        "FROM customer) WHERE rn <= 3"),
+    "q09_explode" ->
+      "SELECT vec_id, UNNEST(embedding) AS val FROM embeddings WHERE vec_id < 50",
+    "q10_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT')"),
+    "q11_coalesce" ->
+      ("SELECT c_custkey, COALESCE(cnt, 0) AS n_orders, COALESCE(spend, 0.0) AS total_spend " +
+        "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt, " +
+        s"${dsumSql("o_totalprice")} AS spend FROM orders GROUP BY o_custkey) " +
+        "ON c_custkey = o_custkey"),
+    "q12_rollup" ->
+      ("SELECT r_name, n_name, COUNT(*) AS n_suppliers, " +
+        s"${dsumSql("s_acctbal")} AS total_bal " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name)"),
+    "q13_minmax" ->
+      ("SELECT MAX(o_orderkey) AS max_key, MIN(o_orderkey) AS min_key, " +
+        "COUNT(*) AS n_rows FROM orders"),
+    "q14_except" ->
+      ("SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'"))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + targeted assertions for the declared query inventory at sf0.001.
+  * Full value-level verification is the driver's DuckDB oracle (and
+  * tools/check_correctness.py locally); these tests guard plan validity and
+  * a few known invariants so `sbt test` catches regressions fast.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name analyzes and executes") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without query impl: $missing")
+  }
+
+  test("q03 groups by returnflag x linestatus") {
+    val rows = SparkEntry.queries("q03_agg_groupby")(spark, sf).collect()
+    assert(rows.length >= 1 && rows.length <= 6)
+    val cnt = rows.map(_.getAs[Long]("count_order")).sum
+    assert(cnt == TestSpark.spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("q13 minmax returns one row with max >= min") {
+    val r = SparkEntry.queries("q13_minmax")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("max_key") >= r(0).getAs[Long]("min_key"))
+  }
+
+  test("q06 topk is sorted desc and limited") {
+    val r = SparkEntry.queries("q06_topk")(spark, sf).collect()
+    assert(r.length == 10)
+    val prices = r.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+}
