@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is a pure `Column` function composed from built-in
+  * Catalyst expressions — fully codegen'd, no UDFs, so the hot path stays
+  * inside WholeStageCodegen and scales linearly with input splits (no
+  * shuffle is introduced by any op in this object).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split to stay byte-compatible with the
+    * oracle's `string_split(text, ' ')`; see [[tokensWs]] for the
+    * any-whitespace variant.
+    */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Any-whitespace tokenization (the engine-default for real corpora). */
+  def tokensWs(text: Column): Column = split(text, "\\s+", -1)
+
+  /** BPE-ish subword segmentation: splits on whitespace AND at
+    * letter/digit/punctuation boundaries, the usual pre-tokenizer shape.
+    */
+  def tokensBpeish(text: Column): Column =
+    split(text, "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Mean token length — exact int sum / exact int count, one IEEE division. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Fraction of characters that are not alphanumeric or whitespace. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(t, x => array_contains(stops, x))).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Small per-language function-word lists for the language-ID heuristic.
+    * Real deployments plug in larger lists; the operator shape (score per
+    * language, argmax) is what matters at scale.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"))
+
+  /** Stopword-hit ratio for one language. */
+  def langScore(text: Column, lang: String): Column =
+    stopwordRatio(text, langStopwords(lang))
+
+  /** Heuristic language label: argmax of [[langScore]] over the known
+    * languages, 'und' (undetermined) when no language scores above `minHit`.
+    */
+  def langId(text: Column, minHit: Double = 0.01): Column = {
+    val scored = langStopwords.keys.toSeq.sorted
+      .map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") >= minHit, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high
+    * punctuation, low stopword mass — the usual pre-training heuristics
+    * (cf. C4/Gopher-style rules). Exact double arithmetic: every operand
+    * derives from ints, so the result is engine-reproducible bit-for-bit.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = when(nTok >= 10 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
+    val punct = punctRatio(text)
+    val punctOk = when(punct <= 0.2, lit(1.0) - punct).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text, stopwords) >= 0.005, lit(1.0))
+      .otherwise(lit(0.5))
+    (lenOk + punctOk + stopOk) / lit(3.0)
+  }
+
+  /** Canonical-form fingerprint: md5 of (lowercased, punctuation-stripped,
+    * whitespace-collapsed) text. Exact-dup detection robust to formatting —
+    * groupBy this column is a pure hash shuffle on a 32-char key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** 64-bit content fingerprint (xxhash64 of the canonical form) — cheaper
+    * join/shuffle key than the md5 hex string at 100 TB (8 bytes vs 32).
+    * Engine-specific hash → verified by tests, not the SQL oracle.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}
