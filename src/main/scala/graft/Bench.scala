@@ -1,24 +1,68 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark main. Prints exactly ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Methodology (fixes the round-1/2 harness defects):
+  *  - the measured action is a `noop`-format write, which fully evaluates
+  *    every output column; `.count()` would let Catalyst prune all columns
+  *    and benchmark little more than parquet footer reads.
+  *  - one discarded warm-up pass per query (JIT + parquet footer cache),
+  *    then `measuredRuns` timed passes; the reported time is the minimum
+  *    (least-noise estimator for a cold-cache-free steady state).
+  *  - a failing query is NOT recorded as a fast time: it is reported in an
+  *    "errors" object, excluded from the total, and flips the exit code.
+  *  - the session comes from [[graft.core.GraftSession]] so bench and
+  *    verify run under identical configs (UTC timezone, AQE, thresholds).
+  */
 object Bench {
+
+  private val measuredRuns = 2
+
+  private def runOnce(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        runOnce(fn(spark, sfDir)) // warm-up, discarded
+        val best = (1 to measuredRuns).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        timings(name) = best
+      } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          errors(name) = msg
+          System.err.println(s"[bench] FAILED $name — $msg")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -39,9 +39,13 @@ object TextAnalysis {
       size(t).cast("double")
   }
 
-  /** Fraction of characters that are not alphanumeric or whitespace. */
+  /** Fraction of characters that are not letters, digits, or whitespace.
+    * Unicode classes (`\p{L}\p{N}`) so non-ASCII letters don't count as
+    * punctuation; both Java regex (Spark) and RE2 (DuckDB oracle) support
+    * them with identical semantics.
+    */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+    length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
       length(text).cast("double")
 
   /** Fraction of tokens found in `stopwords`. */
@@ -91,9 +95,9 @@ object TextAnalysis {
     (lenOk + punctOk + stopOk) / lit(3.0)
   }
 
-  /** Canonical-form fingerprint: md5 of (lowercased, punctuation-stripped,
-    * whitespace-collapsed) text. Exact-dup detection robust to formatting —
-    * groupBy this column is a pure hash shuffle on a 32-char key.
+  /** Canonical-form fingerprint: md5 of (lowercased, whitespace-collapsed,
+    * trimmed) text. Exact-dup detection robust to case/whitespace formatting
+    * — groupBy this column is a pure hash shuffle on a 32-char key.
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.keys.{GlobalIndex, SurrogateKeys}
+import graft.ops.{Dedup, UpsertSplit}
+
+/** Oracle-checked queries for the key-management operator family
+  * (SURVEY.md §2: T6 surrogate keys, Q2 global sort, Q5 upsert split,
+  * Q6 keyed dedup, Q7 reconciliation join, Q8 contiguous sequences).
+  *
+  * Fixture convention: "existing" table state is derived deterministically
+  * from the testdata (customers holding ≥1 urgent order, with surrogate id
+  * `2 * c_custkey` — a sparse id space, so reconciliation must respect
+  * max(id), not count(*)); "incoming" is the full customer table.
+  */
+object KeyOps {
+
+  /** The deterministic "already in the target" fixture: (c_custkey, id). */
+  private def existing(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), (col("c_custkey") * 2).cast("long").as("id"))
+
+  private val existingSql =
+    """SELECT c_custkey, CAST(2 * c_custkey AS BIGINT) AS id FROM customer
+      | WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin.replace("\n", " ")
+
+  /** T6/Q7/Q8 — surrogate-key reconciliation: known keys keep their id, new
+    * keys get contiguous max(id)+1.. in key order (ref: utils.py:5-39,
+    * rewritten from N+1 lookups into one join + one window).
+    */
+  private def q16PkReconcile(s: SparkSession, d: String): DataFrame = {
+    val incoming = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+    SurrogateKeys.reconcile(existing(s, d), incoming, "c_custkey")
+  }
+
+  /** Q6 — keyed keep-first dedup: one row per l_orderkey, the lowest
+    * (l_linenumber, l_quantity) wins (deterministic dropDuplicates; ref: ON
+    * CONFLICT DO NOTHING keep-first, loanoffers_table.py:69-70). The order
+    * spans all projected columns: the synthetic lineitem has duplicate
+    * (orderkey, linenumber) pairs, so any shorter order would leave the
+    * survivor ambiguous.
+    */
+  private def q17KeyedDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.keepFirst(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey"), Seq(col("l_linenumber").asc, col("l_quantity").asc))
+
+  /** Q5 — upsert insert/update split on the unique key: one join, one flag
+    * (ref: Postgres resolving ON CONFLICT; here the split is in-engine).
+    */
+  private def q18UpsertSplit(s: SparkSession, d: String): DataFrame =
+    UpsertSplit.split(
+      Tables.customer(s, d).select("c_custkey", "c_name"),
+      existing(s, d), "c_custkey")
+
+  /** Q2 — standalone global sort, made hash-verifiable by materializing the
+    * position: range-shuffle + per-partition sort + two-pass zipWithIndex
+    * ([[GlobalIndex]]) — never a single-partition window.
+    */
+  private def q19GlobalSort(s: SparkSession, d: String): DataFrame =
+    GlobalIndex.withGlobalIndex(
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), "pos")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_pk_reconcile" -> q16PkReconcile _,
+    "q17_keyed_dedup" -> q17KeyedDedup _,
+    "q18_upsert_split" -> q18UpsertSplit _,
+    "q19_global_sort" -> q19GlobalSort _)
+
+  val oracle: Map[String, String] = Map(
+    "q16_pk_reconcile" ->
+      (s"WITH existing AS ($existingSql), " +
+        "incoming AS (SELECT c_custkey, c_name, c_mktsegment FROM customer), " +
+        "j AS (SELECT i.c_custkey, i.c_name, i.c_mktsegment, e.id AS eid " +
+        "      FROM incoming i LEFT JOIN existing e ON i.c_custkey = e.c_custkey) " +
+        "SELECT c_custkey, c_name, c_mktsegment, " +
+        "CASE WHEN eid IS NULL THEN (SELECT COALESCE(MAX(id), 0) FROM existing) " +
+        "  + ROW_NUMBER() OVER (PARTITION BY (eid IS NULL) ORDER BY c_custkey) " +
+        "ELSE eid END AS id FROM j"),
+    "q17_keyed_dedup" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM (" +
+        "SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn " +
+        "FROM lineitem) WHERE rn = 1"),
+    "q18_upsert_split" ->
+      (s"WITH existing AS ($existingSql) " +
+        "SELECT c_custkey, c_name, " +
+        "CASE WHEN c_custkey IN (SELECT c_custkey FROM existing) " +
+        "THEN 'update' ELSE 'insert' END AS op FROM customer"),
+    "q19_global_sort" ->
+      ("SELECT o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos " +
+        "FROM orders"))
+}

@@ -58,14 +58,16 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
-  /** Broadcast join fact->dim: customer (1.5k rows/sf0.01, ~15M at 100 TB SF —
-    * still broadcastable at 64 MB threshold per-segment? No: at true scale the
-    * dim exceeds the threshold and AQE falls back to shuffle join; the hint is
-    * advisory). Aggregation by segment after the join.
+  /** Join fact->dim then aggregate by segment. No broadcast hint on
+    * customer: an explicit `broadcast()` is honored regardless of size, and
+    * at ~15M rows (100 TB SF) it would OOM. Below the 64 MB
+    * autoBroadcastJoinThreshold Spark still picks a broadcast hash join on
+    * its own; above it, AQE falls back to shuffle join — the scale-safe
+    * default.
     */
   private def q04JoinAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
@@ -73,8 +75,11 @@ object Relational {
         dsum(col("o_totalprice")).as("revenue"))
 
   /** Multi-way join (TPC-H Q5 shape): lineitem |><| orders |><| customer
-    * |><| nation |><| region, dims broadcast, fact-fact join shuffles on
-    * orderkey. Filters pushed below the joins by Catalyst.
+    * |><| nation |><| region; the fact-fact join shuffles on orderkey.
+    * Only the genuinely tiny dims (nation: 25 rows, region: 5 rows at any
+    * SF) carry a broadcast hint; customer is left unhinted so the planner
+    * (helped by AQE) can pick broadcast below the threshold and shuffle
+    * join at scale. Filters pushed below the joins by Catalyst.
     */
   private def q05MultiJoin(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
@@ -87,7 +92,7 @@ object Relational {
     val revenue = l.col("l_extendedprice").cast(DecimalType(18, 2)) *
       (disc1 - l.col("l_discount").cast(DecimalType(18, 2)))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -168,14 +173,17 @@ object Relational {
     val sup = Tables.supplier(s, d)
     val nat = broadcast(Tables.nation(s, d))
     val reg = broadcast(Tables.region(s, d))
+    // Unique view name per call: a fixed name races when two sessions/threads
+    // build this query concurrently (last registration wins for both).
+    val view = s"graft_q12_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     sup.join(nat, col("s_nationkey") === col("n_nationkey"))
       .join(reg, col("n_regionkey") === col("r_regionkey"))
       .select("r_name", "n_name", "s_acctbal")
-      .createOrReplaceTempView("graft_q12_base")
+      .createOrReplaceTempView(view)
     s.sql(
-      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
-        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM graft_q12_base GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+      s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         |FROM $view GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
   }
 
   /** Q3 — scalar min/max/count (ref: `SELECT id ORDER BY id DESC LIMIT 1`,
