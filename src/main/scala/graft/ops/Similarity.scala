@@ -1,0 +1,144 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over embedding columns (`array<float>`): exact cosine,
+  * brute-force top-k (the correctness baseline), and a random-hyperplane LSH
+  * bucketed variant (the scale path).
+  *
+  * All arithmetic is `zip_with`/`aggregate` column expressions in double
+  * precision — codegen'd, no UDFs, and a deterministic left-to-right fold so
+  * results are reproducible run-to-run and engine-to-engine.
+  */
+object Similarity {
+
+  /** Left-to-right fold sum of an array<double> column. */
+  private def asum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Dot product of two equal-length float/double array columns (double). */
+  def dot(a: Column, b: Column): Column =
+    asum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force exact cosine top-k: every query row scored against every
+    * corpus row (`queries × corpus` — the intentional quadratic baseline),
+    * then a per-query window keeps the k best.
+    *
+    * Scale shape: the crossJoin broadcasts the smaller side when it fits
+    * (queries usually do); the window partitions BY QUERY so ranking never
+    * globally sorts. Use [[lshTopK]] when the corpus×queries product is too
+    * large to scan.
+    *
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k by descending
+    * cosine, ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` unit-free normal vectors
+    * of dimension `dim`, fixed seed — the same planes on every run and every
+    * executor (they're literals in the plan).
+    */
+  private[graft] def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes: bit p is
+    * 1 iff `v · plane_p > 0`. Vectors at small angles share buckets with high
+    * probability (P[bit differs] = angle/π per plane).
+    */
+  private def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate cosine top-k — the 100 TB path.
+    *
+    * Corpus and queries are hashed to `2^numPlanes` sign-buckets; each query
+    * is scored ONLY against corpus rows in the same bucket (join on the
+    * bucket id — a hash shuffle on an 8-byte key), optionally plus all
+    * buckets within Hamming distance 1 (`multiProbe`, raising recall at
+    * `numPlanes`× candidate cost). Recall is tunable via `numPlanes`
+    * (fewer planes → bigger buckets → higher recall, more compute).
+    *
+    * Same output contract as [[bruteForceTopK]]; ranks are per-query over
+    * the probed candidates only.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62, "1 <= numPlanes <= 62")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketId(col(vecCol), planes).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bucketId(col(vecCol), planes).as("b0"))
+    val probes =
+      if (!multiProbe) array(col("b0"))
+      else array(col("b0") +: (0 until numPlanes).map(p =>
+        col("b0").bitwiseXOR(lit(1L << p))): _*)
+    val q = qBase.select(col("query_id"), col("qv"),
+      explode(probes).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs: all (i < j) with cosine >= `minCos`, via the
+    * same sign-bucket blocking (near-identical vectors agree on every sign
+    * bit with probability ≈ 1 - numPlanes·angle/π). Exact-verified, so no
+    * false positives; recall governed by `numPlanes`/`multiProbe` as in
+    * [[lshTopK]].
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val hashed = df.select(col(idCol), col(vecCol),
+      bucketId(col(vecCol), planes).as("b0"))
+    // probe own bucket + Hamming-1 neighbors on one side only (covers all
+    // pairs differing in <= 1 sign bit exactly once after the i<j filter)
+    val left = hashed.select(col(idCol).as("i"), col(vecCol).as("vi"),
+      explode(array(col("b0") +: (0 until numPlanes).map(p =>
+        col("b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val right = hashed.select(col(idCol).as("j"), col(vecCol).as("vj"),
+      col("b0").as("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), cosine(col("vi"), col("vj")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Oracle-checked queries for the text-analysis / dedup operator family over
+  * the `documents` table: exact-dup dedup, per-document statistics,
+  * language-ID + quality scoring (the standard pre-training corpus filters).
+  *
+  * Everything is pure column arithmetic (see [[graft.ops.TextAnalysis]]) —
+  * map-only plans except the dedup's single hash shuffle on the fingerprint.
+  */
+object TextOps {
+
+  /** Exact-dup dedup via canonical md5 fingerprint, keep lowest doc_id per
+    * group (deterministic survivor). Shuffle key = 32-char hash, not text.
+    */
+  private def q20ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactByFingerprint(
+      Tables.documents(s, d).select("doc_id", "lang", "source", "text"),
+      "text", Seq(col("doc_id").asc))
+      .select("doc_id", "lang", "source")
+
+  /** Per-document statistics: token/char counts, mean token length,
+    * punctuation ratio, English-stopword ratio. All exact int-derived
+    * doubles (single IEEE division each) — bit-stable across engines.
+    */
+  private def q21TextStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.charCount(t).as("n_chars"),
+      TextAnalysis.avgTokenLen(t).as("avg_tok_len"),
+      TextAnalysis.punctRatio(t).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(t, TextAnalysis.langStopwords("en"))
+        .as("stop_ratio_en"))
+  }
+
+  /** Language-ID heuristic (argmax of per-language stopword hit ratios) +
+    * composite quality score — the C4/Gopher-style filter columns.
+    */
+  private def q22LangQuality(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang").as("lang_label"),
+      TextAnalysis.langId(t).as("lang_pred"),
+      TextAnalysis.qualityScore(t, TextAnalysis.langStopwords("en"))
+        .as("quality"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_exact_dedup" -> q20ExactDedup _,
+    "q21_text_stats" -> q21TextStats _,
+    "q22_lang_quality" -> q22LangQuality _)
+
+  private val fpSql =
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+  private def stopRatioSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    "CAST(len(list_filter(string_split(text, ' '), t -> list_contains(" +
+      s"$list, t))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+  }
+
+  /** DuckDB spelling of [[TextAnalysis.langId]]: scores per language, argmax
+    * with ties broken toward the lexicographically GREATEST language code
+    * (matches Spark's array_max over (score, label) structs), 'und' below
+    * the 0.01 floor.
+    */
+  private val langIdSql: String = {
+    val langs = TextAnalysis.langStopwords.keys.toSeq.sorted // de, en, es, fr
+    val scores = langs.map(l => s"${stopRatioSql(TextAnalysis.langStopwords(l))} AS s_$l")
+      .mkString(", ")
+    val cases = langs.reverse.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN CASE WHEN s_$l >= 0.01 THEN '$l' ELSE 'und' END"
+    }.mkString(" ")
+    s"SELECT doc_id, lang AS lang_label, CASE $cases END AS lang_pred, " +
+      "quality FROM (SELECT doc_id, lang, text, " + scores + ", " + qualitySql +
+      " FROM documents)"
+  }
+
+  private def qualitySql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val punct = "CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val stop = stopRatioSql(TextAnalysis.langStopwords("en"))
+    s"(CASE WHEN $nTok >= 10 AND $nTok <= 100000 THEN 1.0 ELSE 0.0 END + " +
+      s"CASE WHEN $punct <= 0.2 THEN 1.0 - $punct ELSE 0.0 END + " +
+      s"CASE WHEN $stop >= 0.005 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q20_exact_dedup" ->
+      ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
+        s"ROW_NUMBER() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1"),
+    "q21_text_stats" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "length(text) AS n_chars, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) " +
+        "  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len, " +
+        "CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) " +
+        "  / CAST(length(text) AS DOUBLE) AS punct_ratio, " +
+        s"${stopRatioSql(TextAnalysis.langStopwords("en"))} AS stop_ratio_en " +
+        "FROM documents"),
+    "q22_lang_quality" -> langIdSql)
+}

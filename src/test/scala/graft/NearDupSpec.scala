@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, NearDup, Shingles, TextAnalysis}
+
+/** Unit semantics for shingling, exact/near dedup, MinHash-LSH, SimHash. */
+class NearDupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny")                                         // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("wordShingles emits size-n distinct shingles, empty below n tokens") {
+    val sh = docs.select(col("doc_id"),
+      Shingles.wordShingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).length == 7) // 9 tokens -> 7 trigrams, all distinct
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(5L).isEmpty)
+    assert(sh(3L).forall(_.split(" ").length == 3))
+  }
+
+  test("charNgrams slides over characters") {
+    val out = Seq(("abcd")).toDF("t")
+      .select(Shingles.charNgrams(col("t"), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(out == Seq("abc", "bcd"))
+  }
+
+  test("exact fingerprint dedup collapses case/whitespace variants") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactByFingerprint(df, "text", Seq(col("doc_id").asc))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair with correct jaccard") {
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    // doc1/doc2 share 6 of 8 distinct trigrams; doc4 is identical to doc1
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 == 6.0 / 8.0)
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+  }
+
+  test("maxDf cap drops hot shingles from pairing") {
+    // shingle sets identical across 4 docs -> every shingle has df=4;
+    // cap at 3 removes them all, so no pairs survive
+    val hot = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    assert(NearDup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.1, maxDf = 3).count() == 0)
+    assert(NearDup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.1).count() == 6)
+  }
+
+  test("minhashLshPairs equals exact ngramJaccardPairs on the documents table") {
+    val table = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val exact = NearDup.ngramJaccardPairs(table, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLshPairs(table, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("minhash signature has one entry per permutation, stable across runs") {
+    val sig = docs.filter(col("doc_id") === 1)
+      .select(NearDup.minhashSignature(
+        Shingles.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[Seq[Long]]
+    assert(sig.head().length == 16)
+    assert(sig.head() == sig.head())
+  }
+
+  test("grouped minhashSignatures equals the HOF reference formulation") {
+    val ref = docs.filter(size(Shingles.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id"), NearDup.minhashSignature(
+        Shingles.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fast = NearDup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fast == ref)
+  }
+
+  test("grouped simhashFingerprints equals the HOF reference formulation") {
+    val ref = docs.filter(size(Shingles.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id"), NearDup.simhash(
+        Shingles.wordShingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val fast = NearDup.simhashFingerprints(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+  }
+
+  test("simhash: identical texts distance 0, near-dups closer than unrelated") {
+    val fp = docs.filter(size(Shingles.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id"),
+        NearDup.simhash(Shingles.wordShingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("simhashPairs blocking finds every pair within the hamming budget") {
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", 3, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute-force oracle over collected fingerprints
+    val fp = docs.filter(size(Shingles.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id"),
+        NearDup.simhash(Shingles.wordShingles(col("text"), 3)).as("fp"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (i, fi) <- fp; (j, fj) <- fp if i < j
+      h = java.lang.Long.bitCount(fi ^ fj) if h <= 16
+    } yield (i, j, h)).toSet
+    assert(pairs.toSet == truth)
+  }
+
+  test("fingerprint64 matches fingerprint on canonical-equality") {
+    val df = Seq(("A  b C"), ("a b c"), ("x y")).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("f32"),
+        TextAnalysis.fingerprint64(col("text")).as("f64"))
+      .collect()
+    assert(df(0).getString(0) == df(1).getString(0))
+    assert(df(0).getLong(1) == df(1).getLong(1))
+    assert(df(0).getLong(1) != df(2).getLong(1))
+  }
+}

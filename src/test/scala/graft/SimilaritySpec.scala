@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Unit semantics for cosine similarity, brute-force top-k, and the LSH
+  * bucketed ANN path (recall asserted on CLUSTERED data — the regime LSH is
+  * for; on uniform random vectors no method beats a scan).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: orthogonal -> 0, parallel -> 1, antiparallel -> -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(2f, 0f), 1.0),
+      (Seq(1f, 2f), Seq(-1f, -2f), -1.0)
+    ).toDF("a", "b", "expect")
+    val bad = df.filter(
+      abs(Similarity.cosine(col("a"), col("b")) - col("expect")) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("bruteForceTopK ranks by descending cosine, k rows per query") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(-1f, 0f)), (4L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 4L, 2L))
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
+  }
+
+  /** Clustered fixture: 20 well-separated unit-ish centers, 25 points each
+    * with small noise — true nearest neighbors share the cluster.
+    */
+  private def clustered(dim: Int = 32) = {
+    val rnd = new Random(7)
+    val centers = Seq.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      p <- 0 until 25
+    } yield ((ci * 25 + p).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("lshTopK achieves high recall on clustered data") {
+    val corpus = clustered()
+    val queries = corpus.filter(col("vec_id") % 25 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 5,
+      numPlanes = 8)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("cosineNearDupPairs finds planted near-identical vectors") {
+    val rnd = new Random(11)
+    val base = Seq.tabulate(50)(i => (i.toLong, Array.fill(16)(rnd.nextGaussian()).map(_.toFloat).toSeq))
+    // plant: vec 100 ~ vec 0, vec 101 ~ vec 1 (tiny perturbation)
+    val planted = Seq(
+      (100L, base(0)._2.map(x => x + 1e-4f)),
+      (101L, base(1)._2.map(x => x - 1e-4f)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.999)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L)))
+  }
+
+  test("lshTopK never returns a neighbor equal to the query") {
+    val corpus = clustered()
+    val out = Similarity.lshTopK(corpus.limit(5), corpus, "vec_id", "embedding", 3)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+}
