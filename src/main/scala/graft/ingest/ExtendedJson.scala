@@ -1,0 +1,27 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Mongo extended-JSON document source (SURVEY.md §2 S1, hermetic form).
+  *
+  * Always an EXPLICIT schema — never `inferSchema` (SURVEY §1.4): absent
+  * fields become typed nulls for the T4 default chain, and `$oid`/`$date`
+  * wrappers decode via [[graft.schema.Bson]]. In a deployment with a live
+  * MongoDB this is swapped for `spark.read.format("mongodb")`, which pushes
+  * the spec's projection and filter server-side as `$project`/`$match`; the
+  * transform layer is identical either way.
+  */
+object ExtendedJson {
+
+  /** Read JSONL files (one document per line). */
+  def read(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Parse in-memory lines — fixture/test entry point. */
+  def fromLines(spark: SparkSession, schema: StructType, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[String] = spark.createDataset(lines)
+    spark.read.schema(schema).json(ds)
+  }
+}

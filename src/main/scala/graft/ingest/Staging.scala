@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV staging plane (SURVEY.md §2 S2/S3) + filesystem ops (S6–S8).
+  *
+  * The reference stages every table through pandas CSV with INFERRED dtypes
+  * (`user_table.py:90,97`) — the fidelity risk SURVEY §7.4.1 calls out
+  * (booleans→"True" strings, NaN widening). Here both directions use the
+  * spec's EXPLICIT flat schema, so the round trip is type-stable; dates land
+  * ISO-formatted, nulls stay nulls.
+  *
+  * All paths go through the Hadoop FileSystem API, so the same code serves
+  * `file://` in tests and `s3a://`/`hdfs://` in deployment (S7 — the
+  * reference's download+move step — disappears: Spark reads object stores
+  * in place).
+  */
+object Staging {
+
+  /** S2 — write a staged table (header + explicit schema contract).
+    * RFC-4180 quoting (`""` escapes a quote, not backslash) — the dialect
+    * pandas reads and writes, so engine staging interoperates with the
+    * reference's delta drops.
+    */
+  def write(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(dir)
+
+  /** S3 — read a staged table with the explicit schema (never infer). */
+  def read(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(dir)
+
+  /** S6 — existence probe (ref: `check_file_exists`, `utils.py:42-47`);
+    * guards the daily pipeline's no-op path (Q9).
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S8 — archive a staged file/dir under a date-stamped name and remove
+    * the original (ref: `erase_copy_daily_tables.py:7-30`: copy to
+    * `daily_archieve/<table>_dd_MM_yyyy`, push to S3, delete source —
+    * here a single FileSystem rename, atomic on HDFS/posix).
+    */
+  def archive(spark: SparkSession, src: String, archiveDir: String,
+      stamp: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    if (fs.exists(srcPath)) {
+      val dir = new Path(archiveDir)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val dest = new Path(dir, s"${srcPath.getName}_$stamp")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(srcPath, dest)
+    }
+  }
+}

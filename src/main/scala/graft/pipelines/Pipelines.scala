@@ -1,0 +1,98 @@
+package graft.pipelines
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ingest.{ExtendedJson, Staging}
+import graft.keys.SurrogateKeys
+import graft.schema.TableSpec
+import graft.sink.{Ddl, UpsertDialect, UpsertSink}
+
+/** Target-database wiring shared by the pipeline drivers. */
+final case class TargetDb(
+    url: String,
+    dialect: UpsertDialect,
+    sqlType: DataType => String,
+    supportsIfNotExists: Boolean = true,
+    props: Properties = new Properties) {
+
+  private[pipelines] def readKeys(spark: SparkSession, spec: TableSpec,
+      key: String): DataFrame =
+    spark.read.jdbc(url, "\"" + spec.table + "\"", props)
+      .select(col("id"), col(key))
+}
+
+/** The §3 lifecycles as plain Scala sequencing over the declarative layers:
+  * ExtendedJson (S1) → TableSpec.transform (T1–T12, Q1) → CSV staging
+  * (S2/S3) → surrogate keys (T6/Q7/Q8) → batched upsert (S4).
+  *
+  * One lineage per table; Spark's lazy DAG replaces Airflow's task graph
+  * (SURVEY.md §3.1). The staging hop is kept because it is part of the
+  * reference's contract (tasks exchange data via files); callers that don't
+  * need the file drop can pass `staging = None` and the lineage fuses into
+  * a single job with no disk round trip.
+  */
+object MigrationPipeline {
+
+  /** Full load of one collection. Rerun-safe: ids are reconciled against
+    * the live table (not blindly re-numbered like the reference's pandas
+    * index), and the conflict policy makes the write idempotent.
+    */
+  def run(spark: SparkSession, spec: TableSpec, documentsPath: String,
+      db: TargetDb, staging: Option[String] = None): Unit = {
+    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
+    val raw = ExtendedJson.read(spark, spec.source, documentsPath)
+    load(spark, spec, spec.transform(raw), db, staging)
+  }
+
+  private[pipelines] def reconcileKey(spec: TableSpec): String =
+    if (spec.columns.exists(_.name == "_id")) "_id"
+    else spec.policy.keyOption.getOrElse(spec.columns.head.name)
+
+  private[pipelines] def load(spark: SparkSession, spec: TableSpec,
+      flat: DataFrame, db: TargetDb, staging: Option[String]): Unit = {
+    val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
+    val staged = staging match {
+      case Some(dir) =>
+        val path = s"$dir/${spec.table}"
+        Staging.write(flat, path)
+        Staging.read(spark, flatSchema, path)
+      case None => flat
+    }
+    val key = reconcileKey(spec)
+    val existing = db.readKeys(spark, spec, key)
+    val keyed = SurrogateKeys.reconcile(existing, staged, key)
+      .select(("id" +: flatSchema.fieldNames.toSeq).map(col): _*)
+    UpsertSink.upsert(keyed, db.url, spec.table, spec.policy, db.dialect,
+      connectionProps = db.props)
+  }
+}
+
+/** Daily incremental merge (SURVEY.md §3.2): probe the delta drop (Q9 —
+  * absent file means the whole step no-ops), read with the explicit staging
+  * schema, reconcile surrogate keys against the live table (ONE broadcast
+  * join + window instead of the reference's 1+N round trips —
+  * `utils.py:27-37`), upsert, then archive the delta under a date stamp
+  * (S8). No explicit pre-sort: the reference's `sort_values('_id')` only
+  * exists to stabilize PK assignment, which `SurrogateKeys.reconcile`
+  * already orders internally.
+  */
+object DailyUpdatePipeline {
+
+  /** @return true if a delta was found and applied, false on the no-op path */
+  def run(spark: SparkSession, spec: TableSpec, deltaPath: String,
+      db: TargetDb, archiveDir: String, stamp: String): Boolean = {
+    if (!Staging.exists(spark, deltaPath)) false
+    else {
+      Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
+      val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
+      val delta = Staging.read(spark, flatSchema, deltaPath)
+      MigrationPipeline.load(spark, spec, delta, db, staging = None)
+      Staging.archive(spark, deltaPath, archiveDir, stamp)
+      true
+    }
+  }
+}

@@ -196,6 +196,30 @@ object Relational {
         min(col("o_orderkey")).as("min_key"),
         count(lit(1)).as("n_rows"))
 
+  /** T3/T4/T8/T10 — nested-struct flatten, null-struct defaults, and
+    * head-of-array extraction (the reference's per-document flatten loop,
+    * `user_table.py:56-87` / `trades_table.py:69-74`), demonstrated
+    * hash-checkably by building nested documents from testdata columns and
+    * flattening them back with the [[graft.schema.Xform]] vocabulary.
+    * Map-only plan — flattening never shuffles.
+    */
+  private def q15FlattenDefaults(s: SparkSession, d: String): DataFrame = {
+    val nested = Tables.customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 3 =!= 0,
+        struct(col("c_name").as("name"), col("c_nationkey").as("nk"))).as("info"),
+      when(col("c_custkey") % 4 =!= 0,
+        array(struct(col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))))
+        .otherwise(array().cast("array<struct<bal:double,seg:string>>"))
+        .as("items"))
+    nested.select(
+      col("c_custkey"),
+      coalesce(col("info.name"), lit("unknown")).as("name"),
+      coalesce(col("info.nk"), lit(-1L)).as("nk"),
+      coalesce(try_element_at(col("items"), lit(1)).getField("bal"), lit(0.0)).as("bal0"),
+      coalesce(try_element_at(col("items"), lit(1)).getField("seg"), lit("NONE")).as("seg0"))
+  }
+
   /** Set operations — EXCEPT: building-segment customers that never placed an
     * urgent order. Spark plans left-anti after dedup.
     */
@@ -223,7 +247,8 @@ object Relational {
     "q11_coalesce" -> q11Coalesce _,
     "q12_rollup" -> q12Rollup _,
     "q13_minmax" -> q13MinMax _,
-    "q14_except" -> q14Except _)
+    "q14_except" -> q14Except _,
+    "q15_flatten_defaults" -> q15FlattenDefaults _)
 
   val oracle: Map[String, String] = Map(
     "q01_project" ->
@@ -283,5 +308,14 @@ object Relational {
         "COUNT(*) AS n_rows FROM orders"),
     "q14_except" ->
       ("SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' " +
-        "EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'"))
+        "EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'"),
+    "q15_flatten_defaults" ->
+      ("WITH nested AS (SELECT c_custkey, " +
+        "CASE WHEN c_custkey % 3 <> 0 THEN struct_pack(name := c_name, nk := c_nationkey) END AS info, " +
+        "CASE WHEN c_custkey % 4 <> 0 THEN [struct_pack(bal := c_acctbal, seg := c_mktsegment)] " +
+        "ELSE [] END AS items FROM customer) " +
+        "SELECT c_custkey, COALESCE(info.name, 'unknown') AS name, " +
+        "COALESCE(info.nk, -1) AS nk, " +
+        "COALESCE(items[1].bal, 0.0) AS bal0, " +
+        "COALESCE(items[1].seg, 'NONE') AS seg0 FROM nested"))
 }

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.{DailyUpdatePipeline, MigrationPipeline, TargetDb}
+import graft.schema.{Specs, TableSpec}
+import graft.sink.DerbyUpsertDialect
+
+/** End-to-end §3 lifecycles against embedded Derby: full migration (users +
+  * loanapplications — the SURVEY §7.2 slices), rerun idempotency, daily
+  * incremental merge with PK reconciliation, the Q9 no-op guard, and S8
+  * archive. Golden oracle: the reference's behaviors traced in SURVEY §3.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark.spark
+
+  private val url = "jdbc:derby:memory:graftpipe;create=true"
+  private val db = TargetDb(url, DerbyUpsertDialect, TableSpec.derbyType,
+    supportsIfNotExists = false)
+  private val work = Files.createTempDirectory("graft_pipe").toString
+
+  private def q(ident: String) = "\"" + ident + "\""
+
+  private def queryAll(table: String, cols: String*): Seq[Seq[Any]] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT ${cols.map(q).mkString(", ")} FROM ${q(table)} ORDER BY ${q("id")}")
+      val out = Seq.newBuilder[Seq[Any]]
+      while (rs.next()) out += cols.indices.map(i => rs.getObject(i + 1)).toSeq
+      out.result()
+    } finally conn.close()
+  }
+
+  private def writeJsonl(name: String, lines: Seq[String]): String = {
+    val p = Paths.get(work, name)
+    Files.write(p, String.join("\n", lines: _*).getBytes)
+    p.toString
+  }
+
+  private val usersDocs = Seq(
+    """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8c9"}, "username": "jadoe", "personalInformation": {"firstName": "Jane"}, "roles": ["admin"], "deleted": false, "dateCreated": {"$date": "2022-11-02T08:15:30Z"}}""",
+    """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8ca"}}""",
+    """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8cb", "$extra": null}, "username": "zed", "blocked": true}"""
+      .replace(""", "$extra": null""", ""))
+
+  test("users migration: end-to-end load with staging, contiguous ids in _id order") {
+    MigrationPipeline.run(spark, Specs.users, writeJsonl("users.jsonl", usersDocs),
+      db, staging = Some(s"$work/staging"))
+    val rows = queryAll("users", "id", "_id", "username", "deleted", "date_created")
+    assert(rows.map(_(0)) == Seq(1L, 2L, 3L))
+    assert(rows.map(_(1)) == Seq("63e1f0a1b2c3d4e5f6a7b8c9",
+      "63e1f0a1b2c3d4e5f6a7b8ca", "63e1f0a1b2c3d4e5f6a7b8cb"))
+    assert(rows(0)(2) == "jadoe")
+    assert(rows(1)(2) == null)
+    assert(rows(0)(4).toString == "2022-11-02")
+    assert(rows(1)(4).toString == "1990-01-01") // sentinel
+    // staging file materialized (the inter-task data plane is real)
+    assert(Files.list(Paths.get(s"$work/staging/users")).count() > 0)
+  }
+
+  test("users migration rerun is a no-op diff (idempotency)") {
+    val before = queryAll("users", "id", "_id", "username", "deleted")
+    MigrationPipeline.run(spark, Specs.users, writeJsonl("users.jsonl", usersDocs),
+      db, staging = Some(s"$work/staging"))
+    assert(queryAll("users", "id", "_id", "username", "deleted") == before)
+  }
+
+  test("users daily: known keys keep ids, new keys extend contiguously, delta archived") {
+    // delta: updates ...c9 (deleted flips true), inserts a new user ...cc
+    val deltaDir = s"$work/daily/users.csv"
+    val header = Specs.users.targetSchema.fieldNames.filterNot(_ == "id").mkString(",")
+    val deltaCsv = Seq(header,
+      "63e1f0a1b2c3d4e5f6a7b8c9,jadoe,,,,,,\"[\"\"admin\"\",\"\"ops\"\"]\",true,false,false,false,false,false,false,2022-11-02,2023-02-01",
+      "63e1f0a1b2c3d4e5f6a7b8cc,newbie,,,,,,,false,false,false,false,false,false,false,2023-02-01,2023-02-01")
+    Files.createDirectories(Paths.get(deltaDir))
+    Files.write(Paths.get(deltaDir, "part-0.csv"), String.join("\n", deltaCsv: _*).getBytes)
+
+    val applied = DailyUpdatePipeline.run(spark, Specs.users, deltaDir, db,
+      s"$work/archive", stamp = "07_02_2023")
+    assert(applied)
+    val rows = queryAll("users", "id", "_id", "username", "deleted", "roles")
+    assert(rows.length == 4)
+    // known _id kept id=1 and took the update set (deleted, roles updated;
+    // username NOT in the users update set -> unchanged)
+    assert(rows(0)(0) == 1L && rows(0)(3) == true)
+    assert(rows(0)(4) == """["admin","ops"]""")
+    assert(rows(0)(2) == "jadoe")
+    // new _id got max(id)+1 = 4
+    assert(rows(3)(0) == 4L && rows(3)(1) == "63e1f0a1b2c3d4e5f6a7b8cc")
+    // delta archived away under the date stamp (S8)
+    assert(!Files.exists(Paths.get(deltaDir)))
+    assert(Files.exists(Paths.get(s"$work/archive/users.csv_07_02_2023")))
+  }
+
+  test("daily with absent delta is a guarded no-op (Q9)") {
+    val before = queryAll("users", "id", "_id")
+    val applied = DailyUpdatePipeline.run(spark, Specs.users,
+      s"$work/daily/nonexistent.csv", db, s"$work/archive", "08_02_2023")
+    assert(!applied)
+    assert(queryAll("users", "id", "_id") == before)
+  }
+
+  test("loanapplications migration: filter + unwind land one row per product, keyed on products") {
+    val docs = Seq(
+      """{"_id": {"$oid": "63e1faa10000000000000001"}, "businessDetails": {"name": "GV"}, "dateCreated": {"$date": "2022-12-15T00:00:00Z"}, "status": "review", "products": ["prod-a", "prod-b"]}""",
+      """{"_id": {"$oid": "63e1faa10000000000000002"}, "dateCreated": {"$date": "2022-09-01T00:00:00Z"}, "products": ["p-old"]}""")
+    MigrationPipeline.run(spark, Specs.loanapplications,
+      writeJsonl("loanapplications.jsonl", docs), db)
+    val rows = queryAll("loanapplications", "id", "_id", "products", "status")
+    assert(rows.length == 2) // old doc filtered; 2 products unwound
+    assert(rows.map(_(2)).toSet == Set("prod-a", "prod-b"))
+    assert(rows.forall(_(1) == "63e1faa10000000000000001"))
+
+    // upsert keyed on products: status flips for prod-a only
+    val delta = Seq(
+      """{"_id": {"$oid": "63e1faa10000000000000001"}, "businessDetails": {"name": "GV"}, "dateCreated": {"$date": "2022-12-15T00:00:00Z"}, "status": "approved", "products": ["prod-a"]}""")
+    MigrationPipeline.run(spark, Specs.loanapplications,
+      writeJsonl("loanapplications.jsonl", delta), db)
+    val after = queryAll("loanapplications", "id", "_id", "products", "status")
+    assert(after.find(_(2) == "prod-a").get(3) == "approved")
+    assert(after.find(_(2) == "prod-b").get(3) == "review")
+  }
+
+  test("all 13 specs create tables and load a minimal corpus end-to-end") {
+    val db2url = "jdbc:derby:memory:graftpipe13;create=true"
+    val db2 = TargetDb(db2url, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false)
+    for (spec0 <- Specs.all()) {
+      // Derby cannot express the bare ON CONFLICT DO NOTHING (loandeals);
+      // substitute the keyed ignore for the JDBC round trip — the Postgres
+      // bare form is asserted textually in UpsertSinkSpec
+      val spec = spec0.policy match {
+        case graft.sink.ConflictPolicy.IgnoreAny =>
+          spec0.copy(policy = graft.sink.ConflictPolicy.IgnoreOnConflict("_id"))
+        case _ => spec0
+      }
+      val doc =
+        if (spec.unwind.isDefined)
+          s"""{"_id": {"$$oid": "00000000000000000000000${Specs.all().indexOf(spec)}"}, "dateCreated": {"$$date": "2023-01-01T00:00:00Z"}, "products": ["x-${spec.table}"]}"""
+        else
+          s"""{"_id": {"$$oid": "00000000000000000000000${Specs.all().indexOf(spec)}"}}"""
+      MigrationPipeline.run(spark, spec,
+        writeJsonl(s"${spec.table}.jsonl", Seq(doc)), db2)
+      val conn = DriverManager.getConnection(db2url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT COUNT(*) FROM ${q(spec.table)}")
+        rs.next()
+        assert(rs.getInt(1) == 1, spec.table)
+      } finally conn.close()
+    }
+  }
+}
