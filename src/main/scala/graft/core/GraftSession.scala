@@ -24,6 +24,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // testdata's events.parquet carries TIMESTAMP(NANOS) (pandas-written);
+      // Spark has no nanos timestamp type, so read the raw int64 and let
+      // Tables.events convert (div 1000 → micros). Without this flag the
+      // scan itself throws PARQUET_TYPE_ILLEGAL.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")

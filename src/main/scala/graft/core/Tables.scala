@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 
 /** Loader for the driver-provided deterministic testdata
   * (`/root/testdata/sf*` — see TESTDATA.md). One parquet file per table.
@@ -24,7 +24,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) — read as raw int64 nanos
+    * (legacy.parquet.nanosAsLong in [[GraftSession]]) and truncated here to
+    * micros, the finest precision Spark's TimestampType carries. The cast
+    * happens in the scan projection (still codegen'd, still column-pruned).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Event-stream operators (engine extension — the reference's "daily
+  * update" is scheduled batch, SURVEY §2.3 note; these are the Structured
+  * Streaming upgrades a real deployment of the same pipelines needs).
+  *
+  * Every transform here is defined once over a DataFrame and works in BOTH
+  * batch and streaming mode — the standard Structured Streaming contract —
+  * so the DuckDB oracle validates the batch semantics while StreamingSpec
+  * validates incremental execution, watermarking, and state.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate per event type: one shuffle on (window,
+    * type); in streaming mode the watermark bounds state and admits
+    * late data up to `lateness`.
+    */
+  def tumblingTypeCounts(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes", streaming: Boolean = false): DataFrame = {
+    val base = if (streaming) events.withWatermark("ts", lateness) else events
+    base
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Sliding-window event rate (hour window, 15-minute slide): the Expand
+    * node emits one row per overlapping window, then a single shuffle.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"))
+
+  /** Per-user sessionization via the built-in `session_window` (gap-merged
+    * event-time sessions — state-backed in streaming, plain aggregation in
+    * batch). Output: one row per (user, session).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes", streaming: Boolean = false): DataFrame = {
+    val base = if (streaming) events.withWatermark("ts", lateness) else events
+    base
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** One event row for the typed custom-state path. */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** One closed session. */
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Open-session accumulator (public: the state encoder's generated code
+    * must construct and read it).
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * `KeyValueGroupedDataset` escape hatch for session logic the built-in
+    * `session_window` can't express (here: same gap semantics, so
+    * StreamingSpec can cross-check the two). Event-time timeout closes a
+    * session once the watermark passes last-event + gap.
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long,
+      lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Incremental file-source ingest with `Trigger.AvailableNow` — the
+    * streaming upgrade of the daily-delta pipeline (SURVEY §1.4): each
+    * invocation processes exactly the files that arrived since the last
+    * checkpoint, then stops. Returns the streaming DataFrame; callers
+    * attach the same batch transforms and a sink.
+    */
+  def incrementalFileSource(spark: SparkSession, schema: StructType,
+      dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Incremental execution of the stream operators: windowed aggregation over
+  * a memory stream, custom-state sessionization (flatMapGroupsWithState +
+  * event-time timeout), equivalence with the built-in session_window, and
+  * AvailableNow exactly-once file ingestion.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, ts(t), user, typ, v)
+
+  test("tumbling window aggregates a memory stream incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .tumblingTypeCounts(in.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:45:00", 2, "click", 2.0),
+        ev(3, "2024-01-01 11:05:00", 1, "view", 4.0))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 10:59:00", 3, "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .orderBy("window_start", "event_type")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(rows == Seq(
+        ("2024-01-01 10:00:00", "click", 3L, 11.0),
+        ("2024-01-01 11:00:00", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .sessionizeWithState(in.toDS(), gapMs = 30 * 60 * 1000, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: session A (10:00, 10:10); user 2: session C (10:05)
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 10:05:00", 2, "view", 4.0))
+      q.processAllAvailable()
+      // user 1 again at 11:30 -> gap closes session A inline, opens B
+      in.addData(ev(4, "2024-01-01 11:30:00", 1, "click", 8.0))
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark; next batch fires
+      // the event-time timeouts for B and C
+      in.addData(ev(5, "2024-01-01 20:00:00", 99, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-01 20:00:01", 99, "click", 0.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").as[Session].collect()
+        .filter(_.user_id < 99).sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
+        Seq((1L, 2L, 3.0), (1L, 1L, 8.0), (2L, 1L, 4.0)))
+      assert(sessions.head.session_start == ts("2024-01-01 10:00:00"))
+      assert(sessions.head.session_end == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
+  test("custom-state sessions match built-in session_window on the same data") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 11:30:00", 1, "click", 8.0),
+      ev(4, "2024-01-01 10:05:00", 2, "view", 4.0),
+      ev(5, "2024-01-01 10:20:00", 2, "view", 16.0))
+    val builtin = EventStreams.sessionize(events.toDF())
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .sessionizeWithState(in.toDS(), gapMs = 30 * 60 * 1000, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-02 00:00:00", 99, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(ev(7, "2024-01-02 00:00:01", 99, "click", 0.0))
+      q.processAllAvailable()
+      val custom = spark.table("sessions_eq").as[Session].collect()
+        .filter(_.user_id < 99)
+        .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+      assert(custom == builtin)
+    } finally q.stop()
+  }
+
+  test("AvailableNow file source processes each file exactly once across runs") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val schema = Seq(ev(0, "2024-01-01 00:00:00", 0, "x", 0.0)).toDS().schema
+
+    def runOnce(): Long = {
+      val q = EventStreams.incrementalFileSource(spark, schema, dir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+
+    Seq(ev(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+      ev(2, "2024-01-01 10:01:00", 2, "b", 2.0))
+      .toDS().write.mode("append").parquet(dir)
+    assert(runOnce() == 2)
+
+    Seq(ev(3, "2024-01-01 10:02:00", 3, "c", 3.0))
+      .toDS().write.mode("append").parquet(dir)
+    // second run with the same checkpoint processes ONLY the new file:
+    // cumulative sink row count is 3, not 5
+    assert(runOnce() == 3)
+  }
+}
