@@ -108,4 +108,48 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling polynomial hash (base 31) of every character k-gram — exact
+    * int64, no modulus: codepoints <= 0x10FFFF so the value stays under
+    * 2^63 for k <= 9 (ASCII corpora: k <= 11). Texts shorter than k hash
+    * to an empty array.
+    *
+    * Evaluation-cost note (higher-order functions are interpreted, with no
+    * cross-invocation subexpression reuse): each outer element slices the
+    * text via `substr` on the INPUT column — a per-row attribute, cheap to
+    * re-read — then folds over just that k-char gram, so the whole column
+    * is O(n·k) per document. Building a chars array first and slicing it
+    * per position would re-evaluate the array per gram: O(n²) and a real
+    * wedge on long documents.
+    */
+  def kgramHashes(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)), i =>
+        aggregate(
+          filter(split(text.substr(i, lit(k)), ""), c => length(c) === 1),
+          lit(0L), (a, c) => a * 31L + ascii(c))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    * document-fingerprint sketch) over an ALREADY-MATERIALIZED k-gram hash
+    * array column: min hash of every w-window, deduplicated and sorted.
+    * Any substring of length >= w + k - 1 shared by two documents
+    * contributes a shared fingerprint, so fingerprint overlap is a
+    * near-copy detector costing one map-side projection plus whatever join
+    * the caller builds on the (doc, fp) pairs.
+    *
+    * `hashes` MUST be a projected column (`.select(kgramHashes(...) as
+    * "hs")` first), not the [[kgramHashes]] expression inline: it is read
+    * once per window here, and re-evaluating the O(n·k) subtree per window
+    * would be O(n²·k) per document. Two Projects stay separate exactly
+    * because this expression references `hashes` more than once —
+    * Catalyst's CollapseProject refuses to duplicate non-cheap aliases.
+    * Fewer than w hashes yield an empty fingerprint set.
+    */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    when(size(hashes) >= w,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(hashes) - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w)))))))
+      .otherwise(array().cast("array<long>"))
 }

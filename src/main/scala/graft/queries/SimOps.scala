@@ -70,12 +70,30 @@ object SimOps {
     NearDup.simhashPairs(
       Tables.documents(s, d), "doc_id", "text", nShingle, maxHamming = 10)
 
+  /** Embedding-cosine near-dup pairs, sign-bucket LSH blocked + exact
+    * verified. The corpus is unioned with a ×2-scaled copy of itself
+    * (vec_id + 1e6): power-of-two scaling is EXACT in IEEE float, so every
+    * planted pair is bit-for-bit parallel to its source — identical sign
+    * pattern on every hyperplane — making LSH recall exactly 1 and the
+    * result set equal to the exact all-pairs answer (random uniform
+    * vectors top out near cos 0.6, far below the 0.999 gate). That is what
+    * lets an LSH-blocked pipeline share an exact DuckDB oracle.
+    */
+  private def q30CosineNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    Similarity.cosineNearDupPairs(
+      emb.union(planted), "vec_id", "embedding", minCos = 0.999)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_ann_cosine" -> q23AnnCosine _,
     "q24_ann_lsh" -> q24AnnLsh _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh" -> q26MinhashLsh _,
-    "q27_simhash" -> q27Simhash _)
+    "q27_simhash" -> q27Simhash _,
+    "q30_cosine_neardup" -> q30CosineNearDup _)
 
   /** Cosine in DuckDB with the same left-to-right double fold Spark's
     * `aggregate` performs — bit-exact agreement verified by the gate.
@@ -107,5 +125,14 @@ object SimOps {
         "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM r) " +
         s"WHERE rank <= $topK"),
     "q25_ngram_jaccard" -> jaccardSql,
-    "q26_minhash_lsh" -> jaccardSql)
+    "q26_minhash_lsh" -> jaccardSql,
+    "q30_cosine_neardup" ->
+      ("WITH u AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, " +
+        "list_transform(embedding, x -> x * CAST(2 AS FLOAT)) FROM embeddings), " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM u), " +
+        "p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.v AS qv, b.v AS cv " +
+        "      FROM e a JOIN e b ON a.vec_id < b.vec_id), " +
+        s"r AS (SELECT i, j, $cosSql AS cos FROM p) " +
+        "SELECT i, j, cos FROM r WHERE cos >= 0.999"))
 }

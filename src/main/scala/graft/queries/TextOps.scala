@@ -53,10 +53,27 @@ object TextOps {
         .as("quality"))
   }
 
+  /** Winnowing document fingerprints (rolling-hash k-grams, min-per-window
+    * — [[TextAnalysis.winnowSelect]]), one (doc_id, fp) row per selected
+    * hash. Map-only plan — scan, two stacked projections (hash array
+    * materialized between them, see the winnowSelect scaladoc), explode;
+    * no shuffle until someone joins on fp.
+    */
+  private def q31WinnowFp(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.kgramHashes(col("text"), winnowK).as("hs"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowSelect(col("hs"), winnowW)).as("fp"))
+
+  private val winnowK = 8
+  private val winnowW = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
-    "q22_lang_quality" -> q22LangQuality _)
+    "q22_lang_quality" -> q22LangQuality _,
+    "q31_winnow_fp" -> q31WinnowFp _)
 
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -108,5 +125,17 @@ object TextOps {
         "  / CAST(length(text) AS DOUBLE) AS punct_ratio, " +
         s"${stopRatioSql(TextAnalysis.langStopwords("en"))} AS stop_ratio_en " +
         "FROM documents"),
-    "q22_lang_quality" -> langIdSql)
+    "q22_lang_quality" -> langIdSql,
+    // Same rolling hash in DuckDB list comprehensions. list_reduce seeds
+    // with the FIRST element (no zero init), which equals Spark's 0-init
+    // fold because 0*31 + c1 = c1. Slices are 1-based inclusive on both
+    // engines' semantics here; range(a, b) is exclusive of b.
+    "q31_winnow_fp" ->
+      ("WITH cs AS (SELECT doc_id, list_transform(string_split(text, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT)) AS codes, length(text) AS n FROM documents), " +
+        s"h AS (SELECT doc_id, [list_reduce(codes[i:i+${winnowK - 1}], (a,c) -> a*31+c) " +
+        s"for i in range(1, n - $winnowK + 2)] AS hs FROM cs), " +
+        s"w AS (SELECT doc_id, list_sort(list_distinct([list_min(hs[j:j+${winnowW - 1}]) " +
+        s"for j in range(1, len(hs) - $winnowW + 2)])) AS fps FROM h) " +
+        "SELECT doc_id, unnest(fps) AS fp FROM w"))
 }

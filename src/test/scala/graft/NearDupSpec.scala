@@ -135,4 +135,37 @@ class NearDupSpec extends AnyFunSuite {
     assert(df(0).getLong(1) == df(1).getLong(1))
     assert(df(0).getLong(1) != df(2).getLong(1))
   }
+
+  /** Scala reference of the winnowing sketch for cross-checking the column
+    * implementation: base-31 rolling hash, min per w-window, distinct+sort.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
+    if (text.length < k + w - 1) return Seq.empty
+    val hs = text.sliding(k).map(_.foldLeft(0L)((a, c) => a * 31L + c)).toVector
+    hs.sliding(w).map(_.min).toVector.distinct.sorted
+  }
+
+  private def winnowDf(texts: Seq[String], k: Int, w: Int) =
+    texts.toDF("text")
+      .select(col("text"), TextAnalysis.kgramHashes(col("text"), k).as("hs"))
+      .select(col("text"), TextAnalysis.winnowSelect(col("hs"), w).as("fp"))
+
+  test("winnow fingerprint matches the reference sketch") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "abababababab",   // heavy repetition -> collapses to few fingerprints
+      "zyxwvutsrqponm") // strictly decreasing hashes -> rolling window mins
+    val out = winnowDf(texts, 5, 4)
+      .as[(String, Seq[Long])].collect().toMap
+    for (t <- texts) assert(out(t) == winnowRef(t, 5, 4), s"mismatch on '$t'")
+  }
+
+  test("winnow: shared long substring -> shared fingerprint; short text -> empty") {
+    val a = "completely unrelated prefix THE COMMON SHARED MIDDLE SECTION and a tail"
+    val b = "other document that embeds THE COMMON SHARED MIDDLE SECTION differently"
+    val out = winnowDf(Seq(a, b, "short"), 8, 4)
+      .select("fp").as[Seq[Long]].collect()
+    assert(out(0).toSet.intersect(out(1).toSet).nonEmpty)
+    assert(out(2).isEmpty) // 5 chars < k + w - 1 = 11
+  }
 }
