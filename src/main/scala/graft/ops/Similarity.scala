@@ -47,14 +47,20 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Norms are materialized per INPUT row, below the join: higher-order
+    // array folds evaluate interpreted, so recomputing l2Norm per candidate
+    // pair would triple the pair-scoring cost (dot + two norms). The values
+    // are bit-identical either way — same expression, same input.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -97,21 +103,21 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketId(col(vecCol), planes).as("bucket"))
+      l2Norm(col(vecCol)).as("cn"), bucketId(col(vecCol), planes).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      bucketId(col(vecCol), planes).as("b0"))
+      l2Norm(col(vecCol)).as("qn"), bucketId(col(vecCol), planes).as("b0"))
     val probes =
       if (!multiProbe) array(col("b0"))
       else array(col("b0") +: (0 until numPlanes).map(p =>
         col("b0").bitwiseXOR(lit(1L << p))): _*)
-    val q = qBase.select(col("query_id"), col("qv"),
+    val q = qBase.select(col("query_id"), col("qv"), col("qn"),
       explode(probes).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -127,17 +133,19 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
     val hashed = df.select(col(idCol), col(vecCol),
-      bucketId(col(vecCol), planes).as("b0"))
+      l2Norm(col(vecCol)).as("nrm"), bucketId(col(vecCol), planes).as("b0"))
     // probe own bucket + Hamming-1 neighbors on one side only (covers all
     // pairs differing in <= 1 sign bit exactly once after the i<j filter)
     val left = hashed.select(col(idCol).as("i"), col(vecCol).as("vi"),
+      col("nrm").as("ni"),
       explode(array(col("b0") +: (0 until numPlanes).map(p =>
         col("b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
     val right = hashed.select(col(idCol).as("j"), col(vecCol).as("vj"),
-      col("b0").as("bucket"))
+      col("nrm").as("nj"), col("b0").as("bucket"))
     left.join(right, Seq("bucket"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), cosine(col("vi"), col("vj")).as("cos"))
+      .select(col("i"), col("j"),
+        (dot(col("vi"), col("vj")) / (col("ni") * col("nj"))).as("cos"))
       .distinct()
       .filter(col("cos") >= minCos)
   }
