@@ -122,6 +122,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate cosine top-k — the other canonical ANN
+    * scale path next to [[lshTopK]].
+    *
+    * Index build: `numCentroids` corpus vectors chosen by a DETERMINISTIC
+    * seeded hash order (production systems refine these with a few Lloyd
+    * iterations; the partition/probe shape — the part that matters for the
+    * plan — is identical). The centroids are collected once (an index-build
+    * action over `numCentroids` rows) and embedded as plan literals, so
+    * cell assignment is a map-only projection: no shuffle, no join, every
+    * executor scores against the same in-plan centroid table.
+    *
+    * Query time: each corpus vector belongs to its nearest centroid's cell;
+    * each query probes its `nProbe` nearest cells. Candidates come from a
+    * hash join on the 4-byte cell id — shuffle volume is (cell, id, vec),
+    * `nProbe/numCentroids` of the corpus per query on average. Recall rises
+    * with `nProbe` at proportional candidate cost (`nProbe = numCentroids`
+    * degenerates to exact brute force).
+    *
+    * Same output contract as [[bruteForceTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids, "1 <= nProbe <= numCentroids")
+    val cents: Seq[Seq[Float]] = corpus
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(numCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toSeq)
+      .toSeq
+    // (score to centroid c, c) structs; array_max picks the best cell —
+    // struct ordering compares score first, centroid index as tie-break.
+    // Score is dot/|centroid| — same ranking as cosine for a fixed input
+    // vector (its own norm is a constant positive factor), with the
+    // centroid norms folded to Scala-side literals: 16 interpreted dots
+    // per row instead of 16 dots + 17 norm folds.
+    def cellScores(vec: Column): Column =
+      array(cents.zipWithIndex.map { case (cv, ci) =>
+        val cvCol = array(cv.map(lit): _*)
+        val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
+        struct((dot(vec, cvCol) / lit(cn)).as("score"), lit(ci).as("cell"))
+      }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"),
+      array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"),
+      explode(transform(
+        slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs: all (i < j) with cosine >= `minCos`, via the
     * same sign-bucket blocking (near-identical vectors agree on every sign
     * bit with probability ≈ 1 - numPlanes·angle/π). Exact-verified, so no

@@ -87,13 +87,25 @@ object SimOps {
       emb.union(planted), "vec_id", "embedding", minCos = 0.999)
   }
 
+  /** IVF ANN — the inverted-file scale path (no oracle for the same reason
+    * as q24: recall < 1 by design on this unclustered corpus;
+    * SimilaritySpec asserts recall on clustered data).
+    */
+  private def q32AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", topK,
+      numCentroids = 16, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_ann_cosine" -> q23AnnCosine _,
     "q24_ann_lsh" -> q24AnnLsh _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh" -> q26MinhashLsh _,
     "q27_simhash" -> q27Simhash _,
-    "q30_cosine_neardup" -> q30CosineNearDup _)
+    "q30_cosine_neardup" -> q30CosineNearDup _,
+    "q32_ann_ivf" -> q32AnnIvf _)
 
   /** Cosine in DuckDB with the same left-to-right double fold Spark's
     * `aggregate` performs — bit-exact agreement verified by the gate.

@@ -79,6 +79,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 100L), (1L, 101L)))
   }
 
+  test("ivfTopK achieves high recall on clustered data") {
+    val corpus = clustered()
+    val queries = corpus.filter(col("vec_id") % 25 === 0).limit(10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5,
+      numCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("ivfTopK is deterministic across invocations") {
+    val corpus = clustered()
+    val queries = corpus.filter(col("vec_id") < 3)
+    def run() = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run() == run())
+  }
+
   test("lshTopK never returns a neighbor equal to the query") {
     val corpus = clustered()
     val out = Similarity.lshTopK(corpus.limit(5), corpus, "vec_id", "embedding", 3)
