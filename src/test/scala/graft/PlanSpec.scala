@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the properties that make each query
+  * survive a 100× scale-up, pinned so a refactor can't silently regress
+  * them: shuffle counts, scan-level column pruning and filter pushdown,
+  * broadcast joins where hinted, and no accidental cartesian products.
+  *
+  * All assertions inspect `queryExecution.sparkPlan` (the initial physical
+  * plan, before AQE rewrites): AQE can only IMPROVE these shapes at
+  * runtime, so the static plan is the conservative contract.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def plan(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+
+  /** Shuffle-exchange count in the executed plan (exchanges are inserted
+    * by EnsureRequirements during preparation, so `sparkPlan` — the raw
+    * strategy output — never contains them; under AQE the initial adaptive
+    * plan renders them in the plan string).
+    */
+  private def shuffles(name: String): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(plan(name).executedPlan.toString).size
+
+  /** Map-only operators: flattening, filtering, scalar text analysis, and
+    * the winnowing sketch must introduce ZERO shuffles — they scale as pure
+    * parallel scans.
+    */
+  for (q <- Seq("q01_project", "q02_filter", "q09_explode",
+      "q15_flatten_defaults", "q21_text_stats", "q22_lang_quality",
+      "q31_winnow_fp")) {
+    test(s"$q is map-only (no shuffle exchange)") {
+      assert(shuffles(q) == 0)
+    }
+  }
+
+  /** Single-shuffle operators: one hash aggregation / keyed window means
+    * exactly one exchange on the key — partial aggregation (or keyed
+    * partitioning) must stay map-side.
+    */
+  for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
+      "q20_exact_dedup", "q28_tumbling_window")) {
+    test(s"$q shuffles exactly once") {
+      assert(shuffles(q) == 1)
+    }
+  }
+
+  test("q01 scan reads only the projected columns (pruning reaches parquet)") {
+    val scans = plan("q01_project").sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val read = scans.head.metadata("ReadSchema")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_comment"))
+  }
+
+  test("q02 predicates are pushed to the parquet scan") {
+    val scans = plan("q02_filter").sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("o_orderpriority") && pushed.contains("o_orderdate"),
+      s"expected pushed filters, got: $pushed")
+  }
+
+  test("q05 dimension joins are broadcast hash joins") {
+    val bhj = plan("q05_multi_join").sparkPlan
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty)
+  }
+
+  test("no query plans a cartesian product (q23 brute-force excepted)") {
+    // A BroadcastNestedLoopJoin is allowed only when its build side is a
+    // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
+    // max(id) that way) is not a scale hazard; anything else is.
+    def scalarBuild(b: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+      }
+      build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.isEmpty => a
+      }.nonEmpty
+    }
+    for (name <- SparkEntry.queries.keys if name != "q23_ann_cosine") {
+      val bad = plan(name).sparkPlan.collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec if !scalarBuild(b) => b
+      }
+      assert(bad.isEmpty, s"$name plans ${bad.map(_.nodeName).mkString(",")}")
+    }
+  }
+
+  test("q31 keeps the k-gram hash array materialized (CollapseProject guard)") {
+    // If CollapseProject ever inlines the `hs` alias into the winnowing
+    // window pass, the O(n·k) hash subtree is re-evaluated per window —
+    // the O(n²·k)-per-document wedge this plan shape exists to prevent.
+    val optimized = plan("q31_winnow_fp").optimizedPlan.toString
+    assert(optimized.contains(" AS hs#"), optimized.take(2000))
+  }
+}
