@@ -109,18 +109,40 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Rolling polynomial hash (base 31) of every character k-gram — exact
-    * int64, no modulus: codepoints <= 0x10FFFF so the value stays under
-    * 2^63 for k <= 9 (ASCII corpora: k <= 11). Texts shorter than k hash
-    * to an empty array.
+  /** Per-character codepoint array of a text column (`split` on the empty
+    * pattern yields one element per character; empties from pattern edges
+    * are filtered out). Materialize this as its own projected column and
+    * feed the attribute to [[kgramHashesFromCodes]] — see the evaluation
+    * -cost note there.
+    */
+  def charCodes(text: Column): Column =
+    transform(filter(split(text, ""), c => length(c) === 1),
+      c => ascii(c).cast("long"))
+
+  /** Rolling polynomial hash (base 31) of every k-gram of a MATERIALIZED
+    * codepoint array column ([[charCodes]]) — exact int64, no modulus:
+    * codepoints <= 0x10FFFF keep the value under 2^63 for k <= 9 (ASCII
+    * corpora: k <= 11). Fewer than k codes hash to an empty array.
     *
     * Evaluation-cost note (higher-order functions are interpreted, with no
-    * cross-invocation subexpression reuse): each outer element slices the
-    * text via `substr` on the INPUT column — a per-row attribute, cheap to
-    * re-read — then folds over just that k-char gram, so the whole column
-    * is O(n·k) per document. Building a chars array first and slicing it
-    * per position would re-evaluate the array per gram: O(n²) and a real
-    * wedge on long documents.
+    * cross-invocation subexpression reuse): `codes` MUST be a projected
+    * attribute, not the charCodes expression inline — each gram slices it,
+    * and re-deriving the array per gram would cost O(n²) string work per
+    * document. As an attribute the slice is a cheap 8-element copy and the
+    * whole column is O(n·k) integer folds. The multiple references to
+    * `codes` here are what stop CollapseProject from inlining a non-cheap
+    * alias back in.
+    */
+  def kgramHashesFromCodes(codes: Column, k: Int): Column =
+    when(size(codes) >= k,
+      transform(sequence(lit(1), size(codes) - (k - 1)), i =>
+        aggregate(slice(codes, i, lit(k)), lit(0L), (a, c) => a * 31L + c)))
+      .otherwise(array().cast("array<long>"))
+
+  /** One-shot convenience form over a text column: correct anywhere, but
+    * for large corpora prefer the two-projection shape
+    * `select(charCodes(text) as "codes")` → `kgramHashesFromCodes(col(
+    * "codes"), k)` — this inline form re-derives the char array per gram.
     */
   def kgramHashes(text: Column, k: Int): Column =
     when(length(text) >= k,

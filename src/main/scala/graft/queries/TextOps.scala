@@ -55,14 +55,17 @@ object TextOps {
 
   /** Winnowing document fingerprints (rolling-hash k-grams, min-per-window
     * — [[TextAnalysis.winnowSelect]]), one (doc_id, fp) row per selected
-    * hash. Map-only plan — scan, two stacked projections (hash array
-    * materialized between them, see the winnowSelect scaladoc), explode;
-    * no shuffle until someone joins on fp.
+    * hash. Map-only plan — scan, THREE stacked projections (char codes,
+    * then gram hashes, then window minima; each array materialized so the
+    * next stage slices an attribute instead of re-deriving the expression,
+    * see the TextAnalysis scaladocs), explode; no shuffle until someone
+    * joins on fp.
     */
   private def q31WinnowFp(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.charCodes(col("text")).as("codes"))
       .select(col("doc_id"),
-        TextAnalysis.kgramHashes(col("text"), winnowK).as("hs"))
+        TextAnalysis.kgramHashesFromCodes(col("codes"), winnowK).as("hs"))
       .select(col("doc_id"),
         explode(TextAnalysis.winnowSelect(col("hs"), winnowW)).as("fp"))
 

@@ -147,8 +147,18 @@ class NearDupSpec extends AnyFunSuite {
 
   private def winnowDf(texts: Seq[String], k: Int, w: Int) =
     texts.toDF("text")
-      .select(col("text"), TextAnalysis.kgramHashes(col("text"), k).as("hs"))
+      .select(col("text"), TextAnalysis.charCodes(col("text")).as("codes"))
+      .select(col("text"), TextAnalysis.kgramHashesFromCodes(col("codes"), k).as("hs"))
       .select(col("text"), TextAnalysis.winnowSelect(col("hs"), w).as("fp"))
+
+  test("kgramHashesFromCodes equals the one-shot kgramHashes") {
+    val out = docs
+      .select(TextAnalysis.kgramHashes(col("text"), 4).as("a"),
+        TextAnalysis.kgramHashesFromCodes(
+          TextAnalysis.charCodes(col("text")), 4).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (a, b) => assert(a == b) }
+  }
 
   test("winnow fingerprint matches the reference sketch") {
     val texts = Seq(
