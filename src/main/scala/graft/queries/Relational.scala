@@ -233,6 +233,23 @@ object Relational {
     building.except(urgent)
   }
 
+  /** Skew-immune two-phase salted aggregation ([[graft.ops.Salt]]): groups
+    * lineitem by return flag — a 3-value key whose hot groups each hold a
+    * third of the table, the shape where one reducer gets crushed at
+    * scale — via (key, salt) partials merged per key. Value-identical to
+    * the plain GROUP BY the oracle runs: salting changes the plan, never
+    * the result.
+    */
+  private def q33SaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.Salt.saltedCountSum(
+      Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price")),
+      keys = Seq("l_returnflag"), sumCols = Seq("qty", "price"), factor = 8)
+      .select(col("l_returnflag"), col("n_rows"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_project" -> q01Project _,
     "q02_filter" -> q02Filter _,
@@ -248,7 +265,8 @@ object Relational {
     "q12_rollup" -> q12Rollup _,
     "q13_minmax" -> q13MinMax _,
     "q14_except" -> q14Except _,
-    "q15_flatten_defaults" -> q15FlattenDefaults _)
+    "q15_flatten_defaults" -> q15FlattenDefaults _,
+    "q33_salted_agg" -> q33SaltedAgg _)
 
   val oracle: Map[String, String] = Map(
     "q01_project" ->
@@ -317,5 +335,11 @@ object Relational {
         "SELECT c_custkey, COALESCE(info.name, 'unknown') AS name, " +
         "COALESCE(info.nk, -1) AS nk, " +
         "COALESCE(items[1].bal, 0.0) AS bal0, " +
-        "COALESCE(items[1].seg, 'NONE') AS seg0 FROM nested"))
+        "COALESCE(items[1].seg, 'NONE') AS seg0 FROM nested"),
+    // plain GROUP BY: the salted two-phase plan must be value-identical
+    "q33_salted_agg" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_rows, " +
+        s"${dsumSql("l_quantity")} AS sum_qty, " +
+        s"${dsumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem GROUP BY l_returnflag"))
 }
