@@ -3,6 +3,7 @@ package graft.keys
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Surrogate-key generation and reconciliation (SURVEY.md §2 T6/Q7/Q8).
   *
@@ -11,22 +12,29 @@ import org.apache.spark.sql.functions._
   * business key already has an id keeps that id; rows with new keys receive
   * contiguous ids `max(existing.id) + 1, + 2, …` assigned in business-key
   * order. The reference does this with one Postgres round trip per row
-  * (N+1); here it is ONE left-outer hash join plus a window — the single
-  * biggest algorithmic win of the rebuild.
+  * (N+1); here it is ONE left-outer hash join plus numbering of the new
+  * subset — the single biggest algorithmic win of the rebuild.
   *
-  * Two variants:
-  *  - [[reconcile]] — fully declarative; the new-key subset goes through an
-  *    unpartitioned `row_number` window (one task for the NEW rows only —
-  *    matched rows never enter the window). Right whenever the per-batch
-  *    novelty is bounded (the reference's daily deltas), regardless of how
-  *    large `existing` is.
+  * Both variants filter-split the joined batch into known/new FIRST, so
+  * matched rows never shuffle into any numbering step — they flow straight
+  * through at full parallelism. Only the numbering of the new subset
+  * differs:
+  *  - [[reconcile]] — the new subset goes through an unpartitioned
+  *    `row_number` window: ONE task, but only over the novel keys. Right
+  *    whenever per-batch novelty is bounded (the reference's daily deltas),
+  *    regardless of how large `existing` or the known subset is.
   *  - [[reconcileAtScale]] — same result, but new-key numbering uses
   *    [[GlobalIndex]] (range shuffle + two-pass zipWithIndex), so even a
-  *    first-load batch of billions of new keys never serializes.
+  *    first-load batch of billions of new keys never serializes. This is
+  *    what full loads use.
+  *
+  * Ordering: new keys are numbered by `keyCol` first, then every remaining
+  * orderable column as a deterministic tiebreaker — duplicate business keys
+  * (legal for non-unique reconcile keys) still get reproducible ids, and
+  * both variants assign identical ids on identical input.
   */
 object SurrogateKeys {
 
-  private val isNewCol = "__graft_is_new"
   private val maxIdCol = "__graft_max_id"
 
   /** `existing` projected to (key, id) with the current max id attached as a
@@ -40,29 +48,47 @@ object SurrogateKeys {
     (keyed, maxId)
   }
 
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | BooleanType | DateType | TimestampType | BinaryType => true
+    case _ => false
+  }
+
+  /** Total-order sort key for numbering: the business key first, then every
+    * remaining orderable column as a deterministic tiebreaker. GlobalIndex
+    * requires a total order (ties split across range-partition boundaries
+    * are sample-dependent), and the window variant needs the same order so
+    * the two variants agree run-to-run.
+    */
+  private def totalOrder(df: DataFrame, keyCol: String): Seq[Column] =
+    col(keyCol) +: df.schema.fields.toSeq
+      .filter(f => f.name != keyCol && !f.name.startsWith("__graft") &&
+        orderable(f.dataType))
+      .map(f => col(f.name))
+
   /** Reconcile `incoming` against `existing(keyCol, idCol)`; returns
     * `incoming`'s columns plus `idCol`. See object doc for the id contract.
     */
   def reconcile(existing: DataFrame, incoming: DataFrame, keyCol: String,
       idCol: String = "id"): DataFrame = {
     val (keyed, maxId) = existingKeyed(existing, keyCol, idCol)
-    val joined = incoming
-      .join(keyed, Seq(keyCol), "left_outer")
+    val joined = incoming.join(keyed, Seq(keyCol), "left_outer")
+    val known = joined.filter(col(idCol).isNotNull)
+    val fresh = joined.filter(col(idCol).isNull).drop(idCol)
       .crossJoin(broadcast(maxId))
-      .withColumn(isNewCol, col(idCol).isNull)
-    // Window partitioned by the new/known flag: known rows keep their id and
-    // ignore their partition's numbering; new rows — one partition, ordered
-    // by key — get max+1, max+2, … exactly like the reference's `last_pk+i`.
-    val w = Window.partitionBy(col(isNewCol)).orderBy(col(keyCol))
-    joined
-      .withColumn(idCol,
-        when(col(isNewCol), col(maxIdCol) + row_number().over(w))
-          .otherwise(col(idCol)))
-      .drop(isNewCol, maxIdCol)
+    // Unpartitioned window over the NEW subset only: new keys — one task,
+    // ordered by key — get max+1, max+2, … exactly like the reference's
+    // `last_pk+i`. Known rows are unioned back untouched and never shuffle.
+    val w = Window.orderBy(totalOrder(fresh, keyCol): _*)
+    val numbered = fresh
+      .withColumn(idCol, col(maxIdCol) + row_number().over(w))
+      .drop(maxIdCol)
+    known.unionByName(numbered)
   }
 
   /** [[reconcile]] with [[GlobalIndex]] numbering for the new-key subset —
-    * no single-task window anywhere; safe for unbounded novelty.
+    * no single-task window anywhere; safe for unbounded novelty (full
+    * loads).
     */
   def reconcileAtScale(existing: DataFrame, incoming: DataFrame, keyCol: String,
       idCol: String = "id"): DataFrame = {
@@ -72,7 +98,7 @@ object SurrogateKeys {
     val fresh = joined.filter(col(idCol).isNull).drop(idCol)
       .crossJoin(broadcast(maxId))
     val numbered = GlobalIndex
-      .withGlobalIndex(fresh, Seq(col(keyCol)), "__graft_rn")
+      .withGlobalIndex(fresh, totalOrder(fresh, keyCol), "__graft_rn")
       .withColumn(idCol, col(maxIdCol) + col("__graft_rn"))
       .drop("__graft_rn", maxIdCol)
     known.unionByName(numbered)

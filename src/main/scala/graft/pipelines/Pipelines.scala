@@ -39,21 +39,32 @@ object MigrationPipeline {
 
   /** Full load of one collection. Rerun-safe: ids are reconciled against
     * the live table (not blindly re-numbered like the reference's pandas
-    * index), and the conflict policy makes the write idempotent.
+    * index), and the conflict policy makes the write idempotent. Full loads
+    * have unbounded novelty, so new-key numbering goes through
+    * [[SurrogateKeys.reconcileAtScale]] — no single-task window anywhere.
     */
   def run(spark: SparkSession, spec: TableSpec, documentsPath: String,
       db: TargetDb, staging: Option[String] = None): Unit = {
     Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
     val raw = ExtendedJson.read(spark, spec.source, documentsPath)
-    load(spark, spec, spec.transform(raw), db, staging)
+    load(spark, spec, spec.transform(raw), db, staging, atScale = true)
   }
 
+  /** The key ids are reconciled on: the conflict policy's declared unique
+    * key when present, `_id` otherwise. These differ exactly when the
+    * landed table's unique key is NOT `_id` — loanapplications is unique on
+    * the unwound `products` value
+    * (`loan_applications_to_postgres_migration.py:52`), where `_id` repeats
+    * once per product: reconciling on `_id` would multiply incoming rows
+    * through the left join and hand a NEW product an already-used id.
+    */
   private[pipelines] def reconcileKey(spec: TableSpec): String =
-    if (spec.columns.exists(_.name == "_id")) "_id"
-    else spec.policy.keyOption.getOrElse(spec.columns.head.name)
+    spec.policy.keyOption.getOrElse(
+      if (spec.columns.exists(_.name == "_id")) "_id" else spec.columns.head.name)
 
   private[pipelines] def load(spark: SparkSession, spec: TableSpec,
-      flat: DataFrame, db: TargetDb, staging: Option[String]): Unit = {
+      flat: DataFrame, db: TargetDb, staging: Option[String],
+      atScale: Boolean = false): Unit = {
     val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
     val staged = staging match {
       case Some(dir) =>
@@ -64,7 +75,10 @@ object MigrationPipeline {
     }
     val key = reconcileKey(spec)
     val existing = db.readKeys(spark, spec, key)
-    val keyed = SurrogateKeys.reconcile(existing, staged, key)
+    val reconciled =
+      if (atScale) SurrogateKeys.reconcileAtScale(existing, staged, key)
+      else SurrogateKeys.reconcile(existing, staged, key)
+    val keyed = reconciled
       .select(("id" +: flatSchema.fieldNames.toSeq).map(col): _*)
     UpsertSink.upsert(keyed, db.url, spec.table, spec.policy, db.dialect,
       connectionProps = db.props)

@@ -51,6 +51,21 @@ class KeysSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("reconcile numbers duplicate business keys deterministically and matches reconcileAtScale") {
+    // duplicate NEW keys (legal when reconciling on a non-unique key):
+    // numbering must tiebreak on the remaining columns, so ids are
+    // reproducible and both variants agree
+    val dup = Seq(("a", 2), ("a", 1), ("b", 9), ("c", 5), ("c", 4)).toDF("_id", "v")
+    val a = SurrogateKeys.reconcile(existing, dup, "_id")
+      .select("_id", "v", "id").orderBy("_id", "v").as[(String, Int, Long)].collect().toSeq
+    val b = SurrogateKeys.reconcileAtScale(existing, dup, "_id")
+      .select("_id", "v", "id").orderBy("_id", "v").as[(String, Int, Long)].collect().toSeq
+    val expected = Seq(("a", 1, 11L), ("a", 2, 12L), ("b", 9, 10L),
+      ("c", 4, 13L), ("c", 5, 14L))
+    assert(a == expected)
+    assert(b == expected)
+  }
+
   test("globalIndex assigns 1..n in total order across partitions") {
     val df = spark.range(1000).toDF("v").repartition(8)
     val out = GlobalIndex.withGlobalIndex(df, Seq(col("v").desc), "pos")

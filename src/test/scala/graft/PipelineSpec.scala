@@ -126,6 +126,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.find(_(2) == "prod-b").get(3) == "review")
   }
 
+  test("loanapplications: NEW product under an existing _id gets a fresh id (non-_id conflict key)") {
+    // The landed table is unique on the unwound `products` value, NOT `_id`
+    // (loan_applications_to_postgres_migration.py:52) — reconciling on _id
+    // would join one incoming row to BOTH existing product rows and hand the
+    // new product an already-used id (PK violation). Reconciling on the
+    // conflict key must land prod-c with a fresh id instead.
+    val delta = Seq(
+      """{"_id": {"$oid": "63e1faa10000000000000001"}, "businessDetails": {"name": "GV"}, "dateCreated": {"$date": "2022-12-15T00:00:00Z"}, "status": "funded", "products": ["prod-a", "prod-c"]}""")
+    MigrationPipeline.run(spark, Specs.loanapplications,
+      writeJsonl("loanapplications.jsonl", delta), db)
+    val rows = queryAll("loanapplications", "id", "_id", "products", "status")
+    assert(rows.length == 3)
+    assert(rows.map(_(0)).distinct.length == 3) // all PKs unique
+    val byProduct = rows.map(r => r(2) -> r).toMap
+    assert(byProduct("prod-c")(0) == 3L) // max(1,2) + 1
+    assert(byProduct("prod-a")(3) == "funded") // update set applied
+    assert(byProduct("prod-b")(3) == "review") // untouched
+    // rerun idempotent
+    MigrationPipeline.run(spark, Specs.loanapplications,
+      writeJsonl("loanapplications.jsonl", delta), db)
+    assert(queryAll("loanapplications", "id", "_id", "products", "status") == rows)
+  }
+
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
     val db2url = "jdbc:derby:memory:graftpipe13;create=true"
     val db2 = TargetDb(db2url, DerbyUpsertDialect, TableSpec.derbyType,

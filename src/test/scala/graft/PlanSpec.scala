@@ -100,6 +100,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q16 reconcile: only the new-key subset enters the numbering window") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q16_pk_reconcile")
+    // the old shape funnelled the WHOLE batch through a window partitioned
+    // on a 2-valued is-new flag; that flag (and its exchange) must be gone
+    assert(!p.executedPlan.toString.contains("__graft_is_new"))
+    val windows = p.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // beneath every window sits the isnull(id) filter: the window (and its
+    // single-partition exchange) sees ONLY rows that need a new id — known
+    // rows flow through the union at full parallelism
+    for (w <- windows) {
+      val guarded = w.collectFirst {
+        case f: FilterExec if f.condition.toString.toLowerCase.contains("isnull") => f
+      }
+      assert(guarded.nonEmpty, w.toString.take(500))
+    }
+  }
+
   test("q31 keeps the k-gram hash array materialized (CollapseProject guard)") {
     // If CollapseProject ever inlines the `hs` alias into the winnowing
     // window pass, the O(n·k) hash subtree is re-evaluated per window —
