@@ -17,6 +17,7 @@ final case class TargetDb(
     dialect: UpsertDialect,
     sqlType: DataType => String,
     supportsIfNotExists: Boolean = true,
+    supportsDropSchemaCascade: Boolean = true,
     props: Properties = new Properties) {
 
   private[pipelines] def readKeys(spark: SparkSession, spec: TableSpec,
@@ -81,8 +82,27 @@ object MigrationPipeline {
     val keyed = reconciled
       .select(("id" +: flatSchema.fieldNames.toSeq).map(col): _*)
     UpsertSink.upsert(keyed, db.url, spec.table, spec.policy, db.dialect,
-      connectionProps = db.props)
+      connectionProps = db.props, tolerance = spec.tolerance)
   }
+}
+
+/** Schema reset (SURVEY.md §3's fourth entry point — the reference's
+  * `erase_schema` DAG, `erase_schema.py:24-30`: `DROP SCHEMA <s> CASCADE;
+  * CREATE SCHEMA <s>`). Driver-side plain JDBC, Spark not involved.
+  *
+  * Vendors without `DROP SCHEMA … CASCADE` (embedded Derby) drop the spec
+  * tables individually instead — same observable result: an empty schema
+  * the migration pipelines can rebuild from scratch.
+  */
+object ResetPipeline {
+
+  def run(db: TargetDb, schema: String, specs: Seq[TableSpec]): Unit =
+    if (db.supportsDropSchemaCascade)
+      Ddl.execute(db.url, Seq(
+        s"""DROP SCHEMA "$schema" CASCADE""",
+        s"""CREATE SCHEMA "$schema""""), db.props)
+    else
+      specs.foreach(spec => Ddl.dropTableIfExists(db.url, spec.table, db.props))
 }
 
 /** Daily incremental merge (SURVEY.md §3.2): probe the delta drop (Q9 —

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sink.ConflictPolicy.{IgnoreAny, IgnoreOnConflict, UpdateOnConflict}
+import graft.sink.WriteTolerance
 
 /** The 13 collection→table specs, transcribed from the reference's
   * extraction modules and DDL (SURVEY.md §2.2/§2.4; per-table citations
@@ -60,7 +61,10 @@ object Specs {
       c("last_login", D, date(col("lastLogin")))),
     policy = UpdateOnConflict("_id", Seq("roles", "deleted", "blocked",
       "has_password", "logged_in", "account_reviewed", "validation_email",
-      "validation_phone_number", "last_login")))
+      "validation_phone_number", "last_login")),
+    // skip-bad-rows table: the reference wraps each users row in
+    // `try/except: commit()` (user_table.py:116-121)
+    tolerance = WriteTolerance.Permissive)
 
   /** organizations — `organizations_table.py:27-111`; T11 bug: `type` is
     * populated from `businessName` (`:65`); `businessAddress` projected but
@@ -327,7 +331,9 @@ object Specs {
     policy = UpdateOnConflict("products", Seq("deleted", "status")),
     filter = Some(Bson.ts(col("dateCreated")) >
       to_timestamp(lit("2022-10-05 00:00:00"))),
-    unwind = Some("products"))
+    unwind = Some("products"),
+    // skip-bad-rows table (loanapplication_table.py:95-100)
+    tolerance = WriteTolerance.Permissive)
 
   /** mlscore — `mlscore_table.py:25-75`. */
   def mlscore: TableSpec = TableSpec(

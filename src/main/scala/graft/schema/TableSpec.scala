@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.types._
 
-import graft.sink.ConflictPolicy
+import graft.sink.{ConflictPolicy, WriteTolerance}
 
 /** One target column: name, landed SQL type, and the extraction expression
   * over the (decoded) source document.
@@ -23,7 +23,8 @@ final case class TableSpec(
     columns: Seq[TargetColumn],
     policy: ConflictPolicy,
     filter: Option[Column] = None,
-    unwind: Option[String] = None) {
+    unwind: Option[String] = None,
+    tolerance: WriteTolerance = WriteTolerance.Strict) {
 
   /** Source documents → flat target rows (without the surrogate `id`;
     * key assignment is [[graft.keys.SurrogateKeys]]' job).

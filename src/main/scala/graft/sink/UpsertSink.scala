@@ -45,6 +45,22 @@ object ConflictPolicy {
   }
 }
 
+/** Error tolerance of the write (SURVEY §2.4 "skip bad rows, keep going").
+  *
+  * [[WriteTolerance.Strict]] fails the load on the first bad row — the
+  * reference's default (e.g. `organizations_table.py:118`, unguarded).
+  * [[WriteTolerance.Permissive]] re-runs a failed statement batch
+  * row-by-row, skips the offenders, and keeps loading — the reference's
+  * users/loanapplications form, which wraps each row in
+  * `try/except BaseException: conn.commit()`
+  * (`user_table.py:116-121`, `loanapplication_table.py:95-100`).
+  */
+sealed trait WriteTolerance extends Serializable
+object WriteTolerance {
+  case object Strict extends WriteTolerance
+  case object Permissive extends WriteTolerance
+}
+
 /** Vendor SQL for a single-row parameterized upsert statement.
   *
   * `sql` returns the statement; `paramCols` the column order of its `?`
@@ -136,10 +152,14 @@ object DerbyUpsertDialect extends UpsertDialect {
   */
 object UpsertSink {
 
+  /** @return number of rows skipped (always 0 under [[WriteTolerance.Strict]],
+    *         which throws instead)
+    */
   def upsert(df: DataFrame, url: String, table: String, policy: ConflictPolicy,
       dialect: UpsertDialect = PostgresUpsertDialect,
       batchSize: Int = 1000, maxConnections: Int = 8,
-      connectionProps: Properties = new Properties): Unit = {
+      connectionProps: Properties = new Properties,
+      tolerance: WriteTolerance = WriteTolerance.Strict): Long = {
     val cols = df.schema.fieldNames.toSeq
     policy match {
       case ConflictPolicy.UpdateOnConflict(key, upd) =>
@@ -153,27 +173,65 @@ object UpsertSink {
     }
     val sqlText = dialect.sql(table, cols, policy)
     val paramIdx = dialect.paramCols(cols, policy).map(cols.indexOf)
+    val permissive = tolerance == WriteTolerance.Permissive
+    val skipped = df.sparkSession.sparkContext.longAccumulator("graft_upsert_skipped")
     val writers = math.max(1, math.min(maxConnections, deduped.rdd.getNumPartitions))
-    deduped.coalesce(writers).foreachPartition { rows: Iterator[Row] =>
+    // repartition, NOT coalesce: coalesce's narrow dependency would cap the
+    // whole post-shuffle stage (the keep-first dedup window included) at
+    // `writers` tasks. The extra shuffle moves only the final bound rows;
+    // upstream compute stays at cluster parallelism and only the JDBC
+    // fan-in is bounded.
+    val sized =
+      if (deduped.rdd.getNumPartitions > writers) deduped.repartition(writers)
+      else deduped
+    sized.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, connectionProps)
         try {
           conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sqlText)
-          var pending = 0
+          // `var` + re-prepare: Derby (at least) leaves a PreparedStatement
+          // unusable after a failed execution — the next execute re-throws
+          // the old error — so the permissive path replaces the statement
+          // after every failure.
+          var ps = conn.prepareStatement(sqlText)
+          def reprepare(): Unit = { ps.close(); ps = conn.prepareStatement(sqlText) }
+          val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
+          def flush(): Unit = if (pending.nonEmpty) {
+            try { ps.executeBatch(); conn.commit() }
+            catch {
+              case _: java.sql.SQLException if permissive =>
+                // the reference's skip-bad-rows mode: undo the batch, then
+                // replay it row-wise, committing survivors and counting
+                // offenders (user_table.py:116-121)
+                conn.rollback(); reprepare()
+                pending.foreach { row =>
+                  try { bind(ps, row, paramIdx); ps.executeUpdate(); conn.commit() }
+                  catch {
+                    case _: java.sql.SQLException =>
+                      conn.rollback(); reprepare(); skipped.add(1L)
+                  }
+                }
+            }
+            pending.clear()
+          }
           rows.foreach { row =>
             bind(ps, row, paramIdx)
             ps.addBatch()
-            pending += 1
-            if (pending >= batchSize) {
-              ps.executeBatch(); conn.commit(); pending = 0
-            }
+            pending += row
+            if (pending.length >= batchSize) flush()
           }
-          if (pending > 0) { ps.executeBatch(); conn.commit() }
+          flush()
           ps.close()
+        } catch {
+          case t: Throwable =>
+            // a strict-mode batch failure must not leak an open transaction
+            // (held row locks outlive the task if close() can't end it)
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw t
         } finally conn.close()
       }
     }
+    skipped.value
   }
 
   private def bind(ps: PreparedStatement, row: Row, paramIdx: Seq[Int]): Unit = {
@@ -212,5 +270,16 @@ object Ddl {
     catch {
       case e: java.sql.SQLException
           if e.getSQLState == "X0Y32" /* Derby: object already exists */ => ()
+    }
+
+  /** `DROP TABLE IF EXISTS` portability shim (Derby's DROP has no IF
+    * EXISTS): absent-table errors are swallowed.
+    */
+  def dropTableIfExists(url: String, table: String,
+      props: Properties = new Properties): Unit =
+    try execute(url, Seq("DROP TABLE \"" + table + "\""), props)
+    catch {
+      case e: java.sql.SQLException
+          if e.getSQLState == "42Y55" /* Derby: table does not exist */ => ()
     }
 }

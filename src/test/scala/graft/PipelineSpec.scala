@@ -6,7 +6,7 @@ import java.sql.DriverManager
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipelines.{DailyUpdatePipeline, MigrationPipeline, TargetDb}
+import graft.pipelines.{DailyUpdatePipeline, MigrationPipeline, ResetPipeline, TargetDb}
 import graft.schema.{Specs, TableSpec}
 import graft.sink.DerbyUpsertDialect
 
@@ -147,6 +147,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     MigrationPipeline.run(spark, Specs.loanapplications,
       writeJsonl("loanapplications.jsonl", delta), db)
     assert(queryAll("loanapplications", "id", "_id", "products", "status") == rows)
+  }
+
+  test("schema reset erases landed tables; migration rebuilds from scratch (erase_schema)") {
+    // the reference's fourth DAG (erase_schema.py:24-30): DROP SCHEMA
+    // CASCADE + CREATE SCHEMA; Derby spelling = drop each spec table
+    val url3 = "jdbc:derby:memory:graftreset;create=true"
+    val db3 = TargetDb(url3, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false, supportsDropSchemaCascade = false)
+    def count(): Int = {
+      val conn = DriverManager.getConnection(url3)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM \"users\"")
+        rs.next(); rs.getInt(1)
+      } finally conn.close()
+    }
+    MigrationPipeline.run(spark, Specs.users, writeJsonl("users.jsonl", usersDocs), db3)
+    assert(count() == 3)
+    ResetPipeline.run(db3, "APP", Specs.all())
+    val conn = DriverManager.getConnection(url3)
+    try intercept[java.sql.SQLException](
+      conn.createStatement().executeQuery("SELECT COUNT(*) FROM \"users\""))
+    finally conn.close()
+    // resetting an already-reset schema is a no-op (absent tables swallowed)
+    ResetPipeline.run(db3, "APP", Specs.all())
+    // migration rebuilds from scratch
+    MigrationPipeline.run(spark, Specs.users, writeJsonl("users.jsonl", usersDocs), db3)
+    assert(count() == 3)
   }
 
   test("all 13 specs create tables and load a minimal corpus end-to-end") {

@@ -5,7 +5,7 @@ import java.sql.DriverManager
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sink.{ConflictPolicy, Ddl, DerbyUpsertDialect, PostgresUpsertDialect, UpsertSink}
+import graft.sink.{ConflictPolicy, Ddl, DerbyUpsertDialect, PostgresUpsertDialect, UpsertSink, WriteTolerance}
 
 /** S4 upsert sink semantics against embedded Derby (real JDBC round trip):
   * §2.4 policy matrix behaviors, batching, within-batch dedup, idempotency.
@@ -103,6 +103,29 @@ class UpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = readAll()
     assert(rows.length == n)
     assert(rows.map(_._1).toSet == (1 to n).toSet)
+  }
+
+  test("permissive tolerance skips poison rows and loads the rest; strict fails fast") {
+    clear()
+    val poison = "x" * 100 // overflows "name" VARCHAR(64)
+    val batch = Seq((1, "a", "Alice", false), (2, "b", poison, false), (3, "c", "Cara", true))
+      .toDF("id", "_id", "name", "deleted")
+    // strict (default): one bad row fails the load — the reference's
+    // unguarded tables (organizations_table.py:118)
+    intercept[org.apache.spark.SparkException] {
+      UpsertSink.upsert(batch, url, "users", update, DerbyUpsertDialect)
+    }
+    clear()
+    // permissive: batch replayed row-wise, offender skipped and counted —
+    // the reference's users form (user_table.py:116-121)
+    val skipped = UpsertSink.upsert(batch, url, "users", update, DerbyUpsertDialect,
+      tolerance = WriteTolerance.Permissive)
+    assert(skipped == 1L)
+    assert(readAll() == Seq((1, "a", "Alice", false), (3, "c", "Cara", true)))
+    // rerun over the same batch stays idempotent and still skips only the offender
+    assert(UpsertSink.upsert(batch, url, "users", update, DerbyUpsertDialect,
+      tolerance = WriteTolerance.Permissive) == 1L)
+    assert(readAll() == Seq((1, "a", "Alice", false), (3, "c", "Cara", true)))
   }
 
   test("policy referencing an absent column is rejected eagerly") {
