@@ -33,7 +33,10 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
+        // floor division, not `div` (which truncates toward zero): pre-epoch
+        // nanos must round DOWN to match native nanosecond-floor semantics
+        raw.withColumn("ts", functions.timestamp_micros(
+          functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => raw
     }
   }

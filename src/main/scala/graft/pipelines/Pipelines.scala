@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.ingest.{ExtendedJson, Staging}
+import graft.ingest.{DocSource, ExtendedJsonSource, Staging}
 import graft.keys.SurrogateKeys
 import graft.schema.TableSpec
 import graft.sink.{Ddl, UpsertDialect, UpsertSink}
@@ -45,10 +45,18 @@ object MigrationPipeline {
     * [[SurrogateKeys.reconcileAtScale]] — no single-task window anywhere.
     */
   def run(spark: SparkSession, spec: TableSpec, documentsPath: String,
+      db: TargetDb, staging: Option[String] = None): Unit =
+    runFrom(spark, spec, ExtendedJsonSource(documentsPath), db, staging)
+
+  /** [[run]] against any [[DocSource]] — swapping the hermetic
+    * extended-JSON files for the live Mongo connector
+    * ([[graft.ingest.MongoSource]]) is a config change, not a code change.
+    */
+  def runFrom(spark: SparkSession, spec: TableSpec, source: DocSource,
       db: TargetDb, staging: Option[String] = None): Unit = {
     Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
-    val raw = ExtendedJson.read(spark, spec.source, documentsPath)
-    load(spark, spec, spec.transform(raw), db, staging, atScale = true)
+    load(spark, spec, spec.transform(source.read(spark, spec)), db, staging,
+      atScale = true)
   }
 
   /** The key ids are reconciled on: the conflict policy's declared unique

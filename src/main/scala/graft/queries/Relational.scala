@@ -180,10 +180,13 @@ object Relational {
       .join(reg, col("n_regionkey") === col("r_regionkey"))
       .select("r_name", "n_name", "s_acctbal")
       .createOrReplaceTempView(view)
-    s.sql(
+    // spark.sql analyzes eagerly, so the view can be dropped as soon as the
+    // DataFrame exists — otherwise every invocation leaks a catalog entry
+    try s.sql(
       s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
          |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
          |FROM $view GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   /** Q3 — scalar min/max/count (ref: `SELECT id ORDER BY id DESC LIMIT 1`,

@@ -31,17 +31,45 @@ object SimOps {
       emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", topK)
   }
 
-  /** Random-hyperplane LSH ANN — the bucketed scale path (no oracle: recall
-    * is tunably < 1 by design; SimilaritySpec asserts high recall on
-    * clustered data, the regime LSH exists for — on THIS corpus of uniform
-    * random vectors no locality structure exists and recall is low, which is
-    * the textbook curse-of-dimensionality behavior, not a defect).
+  /** Planted-clustered corpus shared by q24/q32: the base embeddings plus
+    * `topK` power-of-two-scaled copies (×2..×32) of every query vector, at
+    * ids `1e6 + 10·q + m`. Power-of-two scaling is EXACT in IEEE float, so
+    * each copy is bit-for-bit parallel to its source: identical LSH sign
+    * pattern on every hyperplane, identical IVF argmax cell, and a cosine
+    * exactly equal across all copies (numerator and denominator scale by
+    * the same power of two). Approximate recall is therefore provably 1 —
+    * the q30 construction, extended to top-k — and the LSH/IVF result
+    * equals the exact top-k answer a DuckDB oracle can compute (planted
+    * cos ≈ 1 vs ≤ ~0.65 between independent uniform vectors).
+    */
+  private def plantedCorpus(emb: DataFrame): DataFrame =
+    (1 to topK).foldLeft(emb.select(col("vec_id"), col("embedding"))) { (acc, m) =>
+      acc.union(
+        emb.filter(col("vec_id") < 20).select(
+          (col("vec_id") * 10 + lit(1000000L + m)).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(math.pow(2, m).toFloat)).as("embedding")))
+    }
+
+  private val plantedSql: String =
+    "SELECT vec_id, embedding FROM embeddings " +
+      (1 to topK).map { m =>
+        s"UNION ALL SELECT vec_id * 10 + ${1000000 + m}, " +
+          s"list_transform(embedding, x -> x * CAST(${1 << m} AS FLOAT)) " +
+          "FROM embeddings WHERE vec_id < 20"
+      }.mkString(" ")
+
+  /** Random-hyperplane LSH ANN — the bucketed scale path, exact-verified on
+    * the planted corpus (see [[plantedCorpus]]: recall is provably 1 there,
+    * so the bucketed result hash-matches the exact top-k oracle; recall on
+    * clustered vs uniform data generally is characterized in
+    * SimilaritySpec).
     */
   private def q24AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(
-      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", topK,
-      numPlanes = 4)
+      emb.filter(col("vec_id") < 20), plantedCorpus(emb), "vec_id", "embedding",
+      topK, numPlanes = 4)
   }
 
   /** Exact word-3-gram Jaccard near-dup pairs via inverted shingle index —
@@ -50,6 +78,21 @@ object SimOps {
   private def q25NgramJaccard(s: SparkSession, d: String): DataFrame =
     NearDup.ngramJaccardPairs(
       Tables.documents(s, d), "doc_id", "text", nShingle, minJaccard)
+
+  /** The hot-shingle-capped variant of q25 — the 100 TB form of the
+    * inverted-index near-dup. Shingles appearing in more than `maxDf = 16`
+    * documents are dropped from the candidate index (one boilerplate
+    * shingle can never generate O(df²) candidate pairs), and surviving
+    * candidates are verified against the exact Jaccard over the full
+    * shingle sets, so the cap changes candidate generation only — reported
+    * values stay exact. On this corpus every qualifying pair shares a
+    * shingle of df <= 10 (measured at sf0.1), so the pair set is identical
+    * to q25's and the shared oracle proves it per run; a tighter cap (8)
+    * would drop 4 of the 256 sf0.1 pairs — the documented miss condition.
+    */
+  private def q35NgramJaccardCapped(s: SparkSession, d: String): DataFrame =
+    NearDup.ngramJaccardPairs(
+      Tables.documents(s, d), "doc_id", "text", nShingle, minJaccard, maxDf = 16)
 
   /** MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup, exact-verified:
     * must produce the identical pair set to q25 while shuffling signatures
@@ -87,15 +130,16 @@ object SimOps {
       emb.union(planted), "vec_id", "embedding", minCos = 0.999)
   }
 
-  /** IVF ANN — the inverted-file scale path (no oracle for the same reason
-    * as q24: recall < 1 by design on this unclustered corpus;
-    * SimilaritySpec asserts recall on clustered data).
+  /** IVF ANN — the inverted-file scale path, exact-verified the same way as
+    * q24: every planted copy lands in its source's argmax cell, and a query
+    * always probes its own best cell first, so recall is 1 and the result
+    * equals the exact top-k oracle.
     */
   private def q32AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
-      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", topK,
-      numCentroids = 16, nProbe = 4)
+      emb.filter(col("vec_id") < 20), plantedCorpus(emb), "vec_id", "embedding",
+      topK, numCentroids = 16, nProbe = 4)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,7 +149,8 @@ object SimOps {
     "q26_minhash_lsh" -> q26MinhashLsh _,
     "q27_simhash" -> q27Simhash _,
     "q30_cosine_neardup" -> q30CosineNearDup _,
-    "q32_ann_ivf" -> q32AnnIvf _)
+    "q32_ann_ivf" -> q32AnnIvf _,
+    "q35_ngram_jaccard_capped" -> q35NgramJaccardCapped _)
 
   /** Cosine in DuckDB with the same left-to-right double fold Spark's
     * `aggregate` performs — bit-exact agreement verified by the gate.
@@ -125,7 +170,25 @@ object SimOps {
       "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
       s"SELECT i, j, jaccard FROM p WHERE jaccard >= $minJaccard"
 
+  /** Exact top-k over the planted corpus — the shared q24/q32 oracle: with
+    * recall provably 1 (see [[plantedCorpus]]), the approximate pipelines
+    * must hash-match this exact answer.
+    */
+  private val plantedTopKSql: String =
+    s"WITH u AS ($plantedSql), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+      "      FROM u), " +
+      "p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv " +
+      "      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id), " +
+      s"r AS (SELECT query_id, neighbor_id, $cosSql AS cos FROM p) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (" +
+      "  SELECT query_id, neighbor_id, cos, CAST(ROW_NUMBER() OVER (" +
+      "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM r) " +
+      s"WHERE rank <= $topK"
+
   val oracle: Map[String, String] = Map(
+    "q24_ann_lsh" -> plantedTopKSql,
+    "q32_ann_ivf" -> plantedTopKSql,
     "q23_ann_cosine" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "           FROM embeddings), " +
@@ -138,6 +201,7 @@ object SimOps {
         s"WHERE rank <= $topK"),
     "q25_ngram_jaccard" -> jaccardSql,
     "q26_minhash_lsh" -> jaccardSql,
+    "q35_ngram_jaccard_capped" -> jaccardSql,
     "q30_cosine_neardup" ->
       ("WITH u AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id + 1000000, " +

@@ -63,6 +63,32 @@ class NearDupSpec extends AnyFunSuite {
     assert(NearDup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.1).count() == 6)
   }
 
+  test("capped ngramJaccardPairs prunes hot candidates but reports exact jaccard") {
+    // docs 1/2: near-dups over RARE shingles (df=2) — must survive the cap
+    // with their exact jaccard; docs 3..8: identical boilerplate whose every
+    // shingle is hot (df=6) — the documented miss condition for the cap
+    val corpus = (Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")) ++
+      (3L to 8L).map(i => (i, "the quick brown fox jumps"))).toDF("doc_id", "text")
+    val capped = NearDup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(capped == Seq((1L, 2L, 0.5))) // exact value, from full shingle sets
+    val exact = NearDup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(exact.length == 16) // (1,2) plus all 15 boilerplate pairs
+    assert(exact.contains((1L, 2L, 0.5)))
+  }
+
+  test("capped path equals exact path on the documents table") {
+    val table = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val exact = NearDup.ngramJaccardPairs(table, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val capped = NearDup.ngramJaccardPairs(table, "doc_id", "text", 3, 0.8, maxDf = 16)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(capped == exact)
+  }
+
   test("minhashLshPairs equals exact ngramJaccardPairs on the documents table") {
     val table = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val exact = NearDup.ngramJaccardPairs(table, "doc_id", "text", 3, 0.8)

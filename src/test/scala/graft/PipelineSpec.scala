@@ -6,6 +6,7 @@ import java.sql.DriverManager
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.ingest.ExtendedJsonDirSource
 import graft.pipelines.{DailyUpdatePipeline, MigrationPipeline, ResetPipeline, TargetDb}
 import graft.schema.{Specs, TableSpec}
 import graft.sink.DerbyUpsertDialect
@@ -147,6 +148,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     MigrationPipeline.run(spark, Specs.loanapplications,
       writeJsonl("loanapplications.jsonl", delta), db)
     assert(queryAll("loanapplications", "id", "_id", "products", "status") == rows)
+  }
+
+  test("DocSource seam: runFrom with a directory source loads identically") {
+    // S1 production form: the source is a config object; swapping
+    // extended-JSON files for the Mongo connector changes no pipeline code
+    val url4 = "jdbc:derby:memory:graftdocsrc;create=true"
+    val db4 = TargetDb(url4, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false)
+    Files.createDirectories(Paths.get(s"$work/corpus"))
+    Files.write(Paths.get(s"$work/corpus/users.jsonl"),
+      String.join("\n", usersDocs: _*).getBytes)
+    MigrationPipeline.runFrom(spark, Specs.users,
+      ExtendedJsonDirSource(s"$work/corpus"), db4)
+    val conn = DriverManager.getConnection(url4)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM \"users\"")
+      rs.next()
+      assert(rs.getInt(1) == 3)
+    } finally conn.close()
   }
 
   test("schema reset erases landed tables; migration rebuilds from scratch (erase_schema)") {

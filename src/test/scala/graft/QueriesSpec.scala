@@ -34,6 +34,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(cnt == TestSpark.spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("q12 drops its temp view after building the plan (no catalog leak)") {
+    SparkEntry.queries("q12_rollup")(spark, sf).collect()
+    SparkEntry.queries("q12_rollup")(spark, sf).collect()
+    val leftover = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_q12"))
+    assert(leftover == 0)
+  }
+
   test("q13 minmax returns one row with max >= min") {
     val r = SparkEntry.queries("q13_minmax")(spark, sf).collect()
     assert(r.length == 1)
