@@ -18,6 +18,8 @@ object GraftSession {
     SparkSession
       .builder()
       .master(master)
+      // custom codegen'd expressions (graft_dot — see graft.functions)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

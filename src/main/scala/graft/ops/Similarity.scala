@@ -10,21 +10,22 @@ import org.apache.spark.sql.functions._
   * brute-force top-k (the correctness baseline), and a random-hyperplane LSH
   * bucketed variant (the scale path).
   *
-  * All arithmetic is `zip_with`/`aggregate` column expressions in double
-  * precision — codegen'd, no UDFs, and a deterministic left-to-right fold so
-  * results are reproducible run-to-run and engine-to-engine.
+  * All arithmetic runs in double precision with a deterministic
+  * left-to-right fold, so results are reproducible run-to-run and
+  * engine-to-engine. The fold itself is the native codegen'd
+  * [[graft.functions.DotProduct]] expression — Spark evaluates higher-order
+  * `zip_with`/`aggregate` lambdas interpreted, and the dot product sits
+  * inside every pair-scoring join in this module (the measured hot path).
   */
 object Similarity {
 
-  /** Left-to-right fold sum of an array<double> column. */
-  private def asum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
-
-  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
-
-  /** Dot product of two equal-length float/double array columns (double). */
-  def dot(a: Column, b: Column): Column =
-    asum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+  /** Dot product of two equal-length float/double array columns (double).
+    * Same value, bit-for-bit, as the higher-order
+    * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, _ + _)` fold over
+    * double-cast elements — see [[graft.functions.DotProduct]], injected
+    * as `graft_dot` by [[graft.functions.GraftExtensions]].
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

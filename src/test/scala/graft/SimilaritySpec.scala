@@ -26,6 +26,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("native graft_dot is bit-identical to the higher-order fold") {
+    val rnd = new Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    // strict equality (===), not tolerance: the codegen'd loop must fold in
+    // the exact same order and produce the exact same doubles
+    val bad = df.filter(!(Similarity.dot(col("a"), col("b")) === hof))
+    assert(bad.count() == 0)
+  }
+
+  test("graft_dot null semantics: null array, null element, length mismatch") {
+    val df = Seq(
+      (Some(Seq[Option[Float]](Some(1f), Some(2f))), Some(Seq[Option[Float]](Some(3f), Some(4f))), Some(11.0)),
+      (None, Some(Seq[Option[Float]](Some(1f))), None),
+      (Some(Seq[Option[Float]](Some(1f), None)), Some(Seq[Option[Float]](Some(1f), Some(1f))), None),
+      (Some(Seq[Option[Float]](Some(1f))), Some(Seq[Option[Float]](Some(1f), Some(2f))), None)
+    ).toDF("a", "b", "expect")
+    val out = df.select(Similarity.dot(col("a"), col("b")).as("d"), col("expect"))
+      .collect()
+    out.foreach { r =>
+      assert(Option(r.get(0)) == Option(r.get(1)), r.toString)
+    }
+  }
+
+  test("graft_dot is registered for plain SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))").head().getDouble(0)
+    assert(r == 9.0)
+  }
+
   test("bruteForceTopK ranks by descending cosine, k rows per query") {
     val corpus = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)),
