@@ -2,26 +2,46 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Engine extension point, registered via `spark.sql.extensions` (the
   * public `SparkSessionExtensions` API — SURVEY §7.3's prescribed seam for
   * custom expressions). Currently injects:
   *
   *  - `graft_dot(a, b)` → [[DotProduct]]: native codegen'd float/double
-  *    array dot product, the hot scalar of every similarity join.
+  *    array dot product, the hot scalar of every similarity join;
+  *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
+  *    winnowing document fingerprint (k and w must be integer literals —
+  *    they are algorithm parameters, not data).
   *
-  * Being a registered function (not a Column helper) also makes the
-  * expression available to plain SQL users: `SELECT graft_dot(x, y)`.
+  * Being registered functions (not Column helpers) also makes the
+  * expressions available to plain SQL users: `SELECT graft_dot(x, y)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_winnow takes exactly 3 arguments")
+        WinnowFingerprints(children.head,
+          litInt(children(1), "graft_winnow", "k"),
+          litInt(children(2), "graft_winnow", "w"))
       }))
   }
 }

@@ -53,21 +53,21 @@ object TextOps {
         .as("quality"))
   }
 
-  /** Winnowing document fingerprints (rolling-hash k-grams, min-per-window
-    * — [[TextAnalysis.winnowSelect]]), one (doc_id, fp) row per selected
-    * hash. Map-only plan — scan, THREE stacked projections (char codes,
-    * then gram hashes, then window minima; each array materialized so the
-    * next stage slices an attribute instead of re-deriving the expression,
-    * see the TextAnalysis scaladocs), explode; no shuffle until someone
-    * joins on fp.
+  /** Winnowing document fingerprints, one (doc_id, fp) row per selected
+    * hash. Runs the native fused kernel
+    * ([[graft.functions.WinnowFingerprints]], injected as `graft_winnow`):
+    * one O(n) pass per document — rolling k-gram hash + monotonic-deque
+    * window minimum — inside whole-stage codegen, replacing the three
+    * stacked interpreted higher-order projections of the reference
+    * formulation in [[TextAnalysis]] (kept as the tested semantic spec;
+    * the two are asserted value-identical). Map-only plan: scan, project,
+    * explode; no shuffle until someone joins on fp.
     */
   private def q31WinnowFp(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), TextAnalysis.charCodes(col("text")).as("codes"))
       .select(col("doc_id"),
-        TextAnalysis.kgramHashesFromCodes(col("codes"), winnowK).as("hs"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.winnowSelect(col("hs"), winnowW)).as("fp"))
+        explode(call_function("graft_winnow",
+          col("text"), lit(winnowK), lit(winnowW))).as("fp"))
 
   private val winnowK = 8
   private val winnowW = 4

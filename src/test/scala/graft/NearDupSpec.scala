@@ -196,6 +196,27 @@ class NearDupSpec extends AnyFunSuite {
     for (t <- texts) assert(out(t) == winnowRef(t, 5, 4), s"mismatch on '$t'")
   }
 
+  test("native graft_winnow is value-identical to the HOF winnowing chain") {
+    // the three-projection HOF formulation is the semantic reference; the
+    // fused native kernel must reproduce it exactly, including edge cases
+    // (short text, heavy repetition, corpus data)
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "ab", "abababababab", "zyxwvutsrqponm").toDF("text"))
+    for ((k, w) <- Seq((8, 4), (5, 4), (3, 2))) {
+      // HOF chain through stacked projections (mandatory — inlining it
+      // re-evaluates the O(n·k) subtree per window, see TextAnalysis docs)
+      val out = corpus
+        .select(col("text"), TextAnalysis.charCodes(col("text")).as("codes"))
+        .select(col("text"), TextAnalysis.kgramHashesFromCodes(col("codes"), k).as("hs"))
+        .select(
+          TextAnalysis.winnowSelect(col("hs"), w).as("a"),
+          call_function("graft_winnow", col("text"), lit(k), lit(w)).as("b"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      out.foreach { case (a, b) => assert(a == b, s"k=$k w=$w") }
+    }
+  }
+
   test("winnow: shared long substring -> shared fingerprint; short text -> empty") {
     val a = "completely unrelated prefix THE COMMON SHARED MIDDLE SECTION and a tail"
     val b = "other document that embeds THE COMMON SHARED MIDDLE SECTION differently"

@@ -120,11 +120,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q31 keeps the k-gram hash array materialized (CollapseProject guard)") {
-    // If CollapseProject ever inlines the `hs` alias into the winnowing
-    // window pass, the O(n·k) hash subtree is re-evaluated per window —
-    // the O(n²·k)-per-document wedge this plan shape exists to prevent.
+  test("q31 runs the native fused winnowing kernel (single projection)") {
+    // The interpreted three-projection HOF chain is the semantic reference;
+    // the query itself must plan the codegen'd graft_winnow expression —
+    // one O(n) pass per document, no stacked array materializations.
     val optimized = plan("q31_winnow_fp").optimizedPlan.toString
-    assert(optimized.contains(" AS hs#"), optimized.take(2000))
+    assert(optimized.contains("graft_winnow"), optimized.take(2000))
   }
 }
