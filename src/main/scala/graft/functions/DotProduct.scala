@@ -38,6 +38,7 @@ case class DotProduct(left: Expression, right: Expression)
         s"graft_dot requires array<float>/array<double> arguments, got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
+  override def prettyName: String = "graft_dot"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

@@ -104,11 +104,14 @@ object MigrationPipeline {
   */
 object ResetPipeline {
 
+  /** The reference's statement pair (`erase_schema.py:28-29`). */
+  private[graft] def resetStatements(schema: String): Seq[String] = Seq(
+    s"""DROP SCHEMA "$schema" CASCADE""",
+    s"""CREATE SCHEMA "$schema"""")
+
   def run(db: TargetDb, schema: String, specs: Seq[TableSpec]): Unit =
     if (db.supportsDropSchemaCascade)
-      Ddl.execute(db.url, Seq(
-        s"""DROP SCHEMA "$schema" CASCADE""",
-        s"""CREATE SCHEMA "$schema""""), db.props)
+      Ddl.execute(db.url, resetStatements(schema), db.props)
     else
       specs.foreach(spec => Ddl.dropTableIfExists(db.url, spec.table, db.props))
 }

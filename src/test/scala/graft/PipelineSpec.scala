@@ -170,6 +170,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("users pipeline skips a poison row end-to-end (spec-declared Permissive tolerance)") {
+    // users is one of the reference's two skip-bad-rows tables
+    // (user_table.py:116-121): a varchar-overflow row must be dropped while
+    // the rest of the batch lands
+    val url5 = "jdbc:derby:memory:graftpoison;create=true"
+    val db5 = TargetDb(url5, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false)
+    val poison = "x" * 5000 // overflows VARCHAR(4000)
+    val docs = Seq(
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b901"}, "username": "good1"}""",
+      s"""{"_id": {"$$oid": "63e1f0a1b2c3d4e5f6a7b902"}, "username": "$poison"}""",
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b903"}, "username": "good2"}""")
+    MigrationPipeline.run(spark, Specs.users, writeJsonl("users_poison.jsonl", docs), db5)
+    val conn = DriverManager.getConnection(url5)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT \"username\" FROM \"users\" ORDER BY \"id\"")
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toList
+      assert(names == List("good1", "good2"))
+    } finally conn.close()
+  }
+
   test("schema reset erases landed tables; migration rebuilds from scratch (erase_schema)") {
     // the reference's fourth DAG (erase_schema.py:24-30): DROP SCHEMA
     // CASCADE + CREATE SCHEMA; Derby spelling = drop each spec table
@@ -195,6 +217,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // migration rebuilds from scratch
     MigrationPipeline.run(spark, Specs.users, writeJsonl("users.jsonl", usersDocs), db3)
     assert(count() == 3)
+  }
+
+  test("Postgres schema reset emits the reference's statement pair") {
+    assert(ResetPipeline.resetStatements("public") == Seq(
+      """DROP SCHEMA "public" CASCADE""", """CREATE SCHEMA "public""""))
   }
 
   test("all 13 specs create tables and load a minimal corpus end-to-end") {

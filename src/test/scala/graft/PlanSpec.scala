@@ -120,6 +120,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN pair scoring uses the native codegen'd dot product") {
+    for (q <- Seq("q23_ann_cosine", "q24_ann_lsh", "q30_cosine_neardup")) {
+      val optimized = plan(q).optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), s"$q: ${optimized.take(500)}")
+    }
+  }
+
   test("q31 runs the native fused winnowing kernel (single projection)") {
     // The interpreted three-projection HOF chain is the semantic reference;
     // the query itself must plan the codegen'd graft_winnow expression —
