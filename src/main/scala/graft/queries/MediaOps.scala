@@ -48,8 +48,32 @@ object MediaOps {
       k = 5, numPlanes = 4)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_media_features" -> q34MediaFeatures _)
+  /** Video frame sampling through the real multimodal plumbing
+    * ([[Multimodal.sampleFrames]]: explode-shaped mapPartitions over binary
+    * payloads, every `stride`-th fixed-width frame), reduced to a per-asset
+    * frame count. Counts are byte-arithmetic on payload lengths, so a SQL
+    * oracle CAN verify this one exactly — the multimodal family's
+    * hash-checked entry (features/codec output stays engine-side, q34).
+    */
+  private def q38FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleFrames(mediaTable(s, d), frameBytes = 256, stride = 2)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"))
+  }
 
-  val oracle: Map[String, String] = Map.empty
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_media_features" -> q34MediaFeatures _,
+    "q38_frame_sample" -> q38FrameSample _)
+
+  /** q38: media payload = UTF-8 text bytes; videos are doc_id % 3 == 2
+    * (see [[mediaTable]]); nFrames = octet_length / 256, sampled count =
+    * ceil(nFrames / 2); zero-frame assets produce no row (explode of an
+    * empty iterator).
+    */
+  val oracle: Map[String, String] = Map(
+    "q38_frame_sample" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST((octet_length(CAST(text AS BLOB)) // 256 + 1) // 2 AS BIGINT) AS n_frames " +
+        "FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) >= 256"))
 }

@@ -72,11 +72,44 @@ object TextOps {
   private val winnowK = 8
   private val winnowW = 4
 
+  /** Corpus-level reporting rollup: per declared language, document count,
+    * total token mass, and the quality-score envelope. One hash shuffle on
+    * `lang` with full map-side partial aggregation. Doubles enter only
+    * through order-independent MIN/MAX (a SUM of doubles would be
+    * fold-order-dependent and unhashable cross-engine).
+    */
+  private def q36CorpusStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(t).cast("long")).as("total_tokens"),
+        min(TextAnalysis.qualityScore(t, TextAnalysis.langStopwords("en")))
+          .as("min_quality"),
+        max(TextAnalysis.qualityScore(t, TextAnalysis.langStopwords("en")))
+          .as("max_quality"))
+  }
+
+  /** Vocabulary head: the 20 most document-frequent word trigrams (the
+    * BPE-vocabulary/stop-shingle prep view). explode → count → top-k with a
+    * full tiebreak order so the limit is deterministic.
+    */
+  private def q37TopNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(graft.ops.Shingles.wordShingles(col("text"), 3)).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
     "q22_lang_quality" -> q22LangQuality _,
-    "q31_winnow_fp" -> q31WinnowFp _)
+    "q31_winnow_fp" -> q31WinnowFp _,
+    "q36_corpus_stats" -> q36CorpusStats _,
+    "q37_top_ngrams" -> q37TopNgrams _)
 
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -129,6 +162,17 @@ object TextOps {
         s"${stopRatioSql(TextAnalysis.langStopwords("en"))} AS stop_ratio_en " +
         "FROM documents"),
     "q22_lang_quality" -> langIdSql,
+    "q36_corpus_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "MIN(quality) AS min_quality, MAX(quality) AS max_quality " +
+        s"FROM (SELECT lang, text, $qualitySql FROM documents) GROUP BY lang"),
+    "q37_top_ngrams" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "       for i in range(1, len(t) - 1)])) AS shingle FROM toks), " +
+        "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle) " +
+        "SELECT shingle, df FROM df ORDER BY df DESC, shingle LIMIT 20"),
     // Same rolling hash in DuckDB list comprehensions. list_reduce seeds
     // with the FIRST element (no zero init), which equals Spark's 0-init
     // fold because 0*31 + c1 = c1. Slices are 1-based inclusive on both
