@@ -29,10 +29,18 @@ object Staging {
       .option("header", "true").option("escape", "\"")
       .csv(dir)
 
-  /** S3 — read a staged table with the explicit schema (never infer). */
+  /** S3 — read a staged table with the explicit schema (never infer).
+    * `multiLine` so quoted embedded newlines survive the round trip (the
+    * writer quotes them; without this flag the reader splits records at
+    * every raw newline and corrupts the row). Trade-off: multiLine parses
+    * whole files, so read parallelism is per part-file, not per split —
+    * staging writes one part per upstream partition, which keeps the read
+    * as parallel as the write that produced it.
+    */
   def read(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.read.schema(schema)
       .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
       .csv(dir)
 
   /** S6 — existence probe (ref: `check_file_exists`, `utils.py:42-47`);

@@ -170,6 +170,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("CSV staging round-trips embedded newlines, quotes, and commas") {
+    // SURVEY §7.4.1 fidelity risk: the writer quotes these; the reader must
+    // parse them back (multiLine), not split records at raw newlines
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", StringType)))
+    val df = Seq(("a", "line1\nline2"), ("b", "say \"hi\", ok"), ("c", null))
+      .toDF("k", "v")
+    graft.ingest.Staging.write(df, s"$work/tricky")
+    val back = graft.ingest.Staging.read(spark, schema, s"$work/tricky")
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
+  test("canonical-form extended JSON dates decode via Bson.tsCanonical") {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("_id", graft.schema.Bson.oidType),
+      StructField("dateCreated", graft.schema.Bson.dateTypeCanonical)))
+    val doc =
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8c9"}, "dateCreated": {"$date": {"$numberLong": "1667376930000"}}}"""
+    val row = graft.ingest.ExtendedJson.fromLines(spark, schema, Seq(doc))
+      .select(
+        graft.schema.Bson.oid(org.apache.spark.sql.functions.col("_id")).as("id"),
+        graft.schema.Bson.tsCanonical(org.apache.spark.sql.functions.col("dateCreated"))
+          .cast("string").as("ts"))
+      .head()
+    assert(row.getString(0) == "63e1f0a1b2c3d4e5f6a7b8c9")
+    assert(row.getString(1) == "2022-11-02 08:15:30") // UTC session timezone
+  }
+
   test("users pipeline skips a poison row end-to-end (spec-declared Permissive tolerance)") {
     // users is one of the reference's two skip-bad-rows tables
     // (user_table.py:116-121): a varchar-overflow row must be dropped while
