@@ -19,7 +19,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Bench {
 
-  private val measuredRuns = 2
+  private val measuredRuns = 3
 
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -42,6 +42,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.min
         timings(name) = best
+        // each query builds (and pays for) its own persisted state inside
+        // the timed region; drop it afterwards so accumulated cache blocks
+        // from earlier queries can't trigger GC/eviction spikes in later ones
+        spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
