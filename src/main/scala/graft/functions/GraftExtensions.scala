@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.IntegerType
   *
   *  - `graft_dot(a, b)` → [[DotProduct]]: native codegen'd float/double
   *    array dot product, the hot scalar of every similarity join;
+  *  - `graft_shingles(text, n)` → [[WordShingles]]: distinct word n-grams,
+  *    the input of every inverted-index build;
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
-  *    winnowing document fingerprint (k and w must be integer literals —
-  *    they are algorithm parameters, not data).
+  *    winnowing document fingerprint. Algorithm parameters (n, k, w) must
+  *    be integer literals — they are parameters, not data.
   *
   * Being registered functions (not Column helpers) also makes the
   * expressions available to plain SQL users: `SELECT graft_dot(x, y)`.
@@ -33,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingles takes exactly 2 arguments")
+        WordShingles(children.head, litInt(children(1), "graft_shingles", "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),

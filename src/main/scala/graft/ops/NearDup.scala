@@ -23,7 +23,7 @@ object NearDup {
 
   /** Exploded distinct shingles with their 64-bit base hash: (id, h). */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(Shingles.wordShingles(col(textCol), n)).as("s"))
+    docs.select(col(idCol), explode(Shingles.wordShinglesNative(col(textCol), n)).as("s"))
       .select(col(idCol), xxhash64(col("s")).as("h"))
 
   /** The MATERIALIZED inverted index: distinct (id, shingle-hash) postings,

@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
+  /** Native codegen'd shingles ([[graft.functions.WordShingles]], injected
+    * as `graft_shingles` — requires a GraftExtensions session). Identical
+    * values to [[wordShingles]]; this is what the hot paths use.
+    */
+  def wordShinglesNative(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
   /** Distinct word n-gram shingles of a single-space-tokenized text.
     * A document with fewer than `n` tokens yields an empty set (mirrors the
     * `range`-based oracle SQL; such documents simply pair with nothing).
+    * Interpreted HOF reference formulation — see [[wordShinglesNative]] for
+    * the hot-path form.
     */
   def wordShingles(text: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")

@@ -97,7 +97,7 @@ object TextOps {
     */
   private def q37TopNgrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(explode(graft.ops.Shingles.wordShingles(col("text"), 3)).as("shingle"))
+      .select(explode(graft.ops.Shingles.wordShinglesNative(col("text"), 3)).as("shingle"))
       .groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle").asc)

@@ -196,6 +196,21 @@ class NearDupSpec extends AnyFunSuite {
     for (t <- texts) assert(out(t) == winnowRef(t, 5, 4), s"mismatch on '$t'")
   }
 
+  test("native graft_shingles is value-identical to the HOF wordShingles") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "a b", "a b c", "a  b  c d", "x x x x x", "one two three two one two three")
+        .toDF("text"))
+    for (n <- Seq(2, 3, 5)) {
+      val out = corpus.select(
+        Shingles.wordShingles(col("text"), n).as("a"),
+        Shingles.wordShinglesNative(col("text"), n).as("b"))
+        .as[(Seq[String], Seq[String])].collect()
+      // exact equality including the first-occurrence dedup ORDER
+      out.foreach { case (a, b) => assert(a == b, s"n=$n") }
+    }
+  }
+
   test("native graft_winnow is value-identical to the HOF winnowing chain") {
     // the three-projection HOF formulation is the semantic reference; the
     // fused native kernel must reproduce it exactly, including edge cases
