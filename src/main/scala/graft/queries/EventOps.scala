@@ -20,9 +20,16 @@ object EventOps {
   private def q29Sessionize(s: SparkSession, d: String): DataFrame =
     EventStreams.sessionize(Tables.events(s, d))
 
+  /** Sliding 1-hour windows on a 15-minute slide: Spark's Expand node emits
+    * one row per overlapping window (4 here), then one shuffle.
+    */
+  private def q39SlidingWindow(s: SparkSession, d: String): DataFrame =
+    EventStreams.slidingCounts(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling_window" -> q28TumblingWindow _,
-    "q29_sessionize" -> q29Sessionize _)
+    "q29_sessionize" -> q29Sessionize _,
+    "q39_sliding_window" -> q39SlidingWindow _)
 
   val oracle: Map[String, String] = Map(
     "q28_tumbling_window" ->
@@ -42,5 +49,13 @@ object EventOps {
         "SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, " +
         "COUNT(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-        "FROM y GROUP BY user_id, sid"))
+        "FROM y GROUP BY user_id, sid"),
+    // each event belongs to the 4 sliding windows whose 15-min-aligned
+    // starts cover it (Spark's window() origin and time_bucket agree:
+    // both are whole-multiple-of-15-min aligned)
+    "q39_sliding_window" ->
+      ("WITH e AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b FROM events), " +
+        "w AS (SELECT b - k * INTERVAL '15 minutes' AS ws FROM e, range(0, 4) t(k)) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "COUNT(*) AS n_events FROM w GROUP BY 1"))
 }
