@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{ShingleKernel, WinnowHash}
+
+/** ScalaCheck properties for the native expression kernels (SURVEY §5.4):
+  * each kernel is checked against an independent brute-force reference over
+  * randomized inputs — hundreds of cases beyond the example-based specs,
+  * with no Spark session needed (the kernels are pure).
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val text: Gen[String] = for {
+    toks <- Gen.listOf(Gen.oneOf("a", "b", "ab", "xyz", "", "Hello", "42", "été"))
+  } yield toks.mkString(" ")
+
+  /** Independent shingling reference: sliding + first-occurrence distinct. */
+  private def refShingles(s: String, n: Int): Seq[String] = {
+    val t = s.split(" ", -1).toSeq
+    if (t.length < n) Seq.empty
+    else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  property("shingle kernel equals sliding+distinct reference") =
+    forAll(text, Gen.choose(1, 4)) { (s, n) =>
+      val out = ShingleKernel.compute(UTF8String.fromString(s), n)
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString) ==
+        refShingles(s, n)
+    }
+
+  /** Independent winnowing reference: per-gram fold, brute-force window
+    * minima, distinct, sorted.
+    */
+  private def refWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val n = s.length
+    if (n < k) return Seq.empty
+    val hs = (0 to n - k).map(i =>
+      s.substring(i, i + k).foldLeft(0L)((a, c) => a * 31L + c))
+    if (hs.length < w) Seq.empty
+    else hs.sliding(w).map(_.min).toSeq.distinct.sorted
+  }
+
+  property("winnow kernel equals brute-force reference") =
+    forAll(Gen.asciiPrintableStr, Gen.choose(1, 6), Gen.choose(1, 5)) { (s, k, w) =>
+      val out = WinnowHash.compute(UTF8String.fromString(s), k, w)
+      (0 until out.numElements()).map(out.getLong) == refWinnow(s, k, w)
+    }
+
+  property("winnow fingerprints are a subset of all k-gram hashes") =
+    forAll(Gen.asciiPrintableStr.suchThat(_.length >= 8)) { s =>
+      val k = 4; val w = 3
+      val all = (0 to s.length - k).map(i =>
+        s.substring(i, i + k).foldLeft(0L)((a, c) => a * 31L + c)).toSet
+      val out = WinnowHash.compute(UTF8String.fromString(s), k, w)
+      (0 until out.numElements()).map(out.getLong).forall(all.contains)
+    }
+}
