@@ -95,6 +95,20 @@ object TextAnalysis {
     (lenOk + punctOk + stopOk) / lit(3.0)
   }
 
+  /** PII-scrubbing patterns (corpus prep). Deliberately plain regexes — no
+    * lookaround, no backreferences — so Java regex (Spark) and RE2 (the
+    * DuckDB oracle) agree character-for-character.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  /** Redact emails and URLs to typed placeholder tokens — the standard
+    * pre-training scrub. Map-only, codegen'd regexp_replace chain.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      urlPattern, "<URL>")
+
   /** Canonical-form fingerprint: md5 of (lowercased, whitespace-collapsed,
     * trimmed) text. Exact-dup detection robust to case/whitespace formatting
     * — groupBy this column is a pure hash shuffle on a 32-char key.

@@ -103,13 +103,30 @@ object TextOps {
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(20)
 
+  /** PII redaction (emails/URLs → typed placeholders). The corpus carries
+    * no PII, so each document gets one planted email and URL appended —
+    * every row then exercises a real redaction the oracle recomputes;
+    * counts are taken BEFORE scrubbing. Map-only regexp chain.
+    */
+  private def q40Redact(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com via https://ex.com/p/"), col("doc_id").cast("string"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.redact(planted).as("clean"),
+      regexp_count(planted, lit(TextAnalysis.emailPattern)).as("n_emails"),
+      regexp_count(planted, lit(TextAnalysis.urlPattern)).as("n_urls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
     "q22_lang_quality" -> q22LangQuality _,
     "q31_winnow_fp" -> q31WinnowFp _,
     "q36_corpus_stats" -> q36CorpusStats _,
-    "q37_top_ngrams" -> q37TopNgrams _)
+    "q37_top_ngrams" -> q37TopNgrams _,
+    "q40_redact" -> q40Redact _)
 
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -173,6 +190,15 @@ object TextOps {
         "       for i in range(1, len(t) - 1)])) AS shingle FROM toks), " +
         "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle) " +
         "SELECT shingle, df FROM df ORDER BY df DESC, shingle LIMIT 20"),
+    "q40_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) " +
+        "  || '@example.com via https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS t " +
+        "  FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(t, " +
+        "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "  'https?://[^\\s]+', '<URL>', 'g') AS clean, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS INT) AS n_urls FROM p"),
     // Same rolling hash in DuckDB list comprehensions. list_reduce seeds
     // with the FIRST element (no zero init), which equals Spark's 0-init
     // fold because 0*31 + c1 = c1. Slices are 1-based inclusive on both
