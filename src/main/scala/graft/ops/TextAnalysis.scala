@@ -95,6 +95,30 @@ object TextAnalysis {
     (lenOk + punctOk + stopOk) / lit(3.0)
   }
 
+  /** Gopher-style n-gram repetition signal: `1 - distinct/total` n-grams,
+    * 0 for documents shorter than `n` tokens. Exact integer counts, one
+    * IEEE division — engine-reproducible bit-for-bit. High values mean the
+    * document repeats itself (boilerplate, generation loops).
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    val dist = size(Shingles.wordShinglesNative(text, n))
+    when(total > lit(0),
+      lit(1.0) - dist.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** C4-style line filter: keep only lines with at least `minTokens`
+    * whitespace tokens that end in terminal punctuation; rejoin with
+    * newlines. The standard boilerplate-line scrub (nav menus, footers,
+    * list fragments).
+    */
+  def filterLines(text: Column, minTokens: Int): Column =
+    array_join(
+      filter(split(text, "\n", -1), l =>
+        size(split(l, " ", -1)) >= minTokens && l.rlike("[.!?]$")),
+      "\n")
+
   /** PII-scrubbing patterns (corpus prep). Deliberately plain regexes — no
     * lookaround, no backreferences — so Java regex (Spark) and RE2 (the
     * DuckDB oracle) agree character-for-character.

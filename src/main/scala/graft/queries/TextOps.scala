@@ -119,6 +119,21 @@ object TextOps {
       regexp_count(planted, lit(TextAnalysis.urlPattern)).as("n_urls"))
   }
 
+  /** Repetition signal + line-level boilerplate scrub. The corpus is
+    * single-line word soup with no punctuation, so deterministic sentence
+    * boundaries are planted first (every " table " occurrence becomes a
+    * terminated line break; same literal rewrite in the oracle) — most
+    * documents then exercise real multi-line filtering: short lines and
+    * lines without terminal punctuation are dropped.
+    */
+  private def q41LineQuality(s: SparkSession, d: String): DataFrame = {
+    val lined = regexp_replace(col("text"), " table ", ".\ntable ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"),
+      TextAnalysis.filterLines(lined, 4).as("kept_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
@@ -126,7 +141,8 @@ object TextOps {
     "q31_winnow_fp" -> q31WinnowFp _,
     "q36_corpus_stats" -> q36CorpusStats _,
     "q37_top_ngrams" -> q37TopNgrams _,
-    "q40_redact" -> q40Redact _)
+    "q40_redact" -> q40Redact _,
+    "q41_line_quality" -> q41LineQuality _)
 
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -199,6 +215,19 @@ object TextOps {
         "  'https?://[^\\s]+', '<URL>', 'g') AS clean, " +
         "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
         "CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS INT) AS n_urls FROM p"),
+    "q41_line_quality" ->
+      ("WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS t, " +
+        "  replace(text, ' table ', '.' || chr(10) || 'table ') AS lined FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(t) - 2 > 0 THEN 1.0 - " +
+        "  CAST(len(list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "    for i in range(1, len(t) - 1)])) AS DOUBLE) / (len(t) - 2) " +
+        "ELSE 0.0 END AS rep_ratio, " +
+        // DuckDB's array_to_string of an empty list is NULL; Spark's
+        // array_join is '' — coalesce to match
+        "COALESCE(array_to_string(list_filter(string_split(lined, chr(10)), " +
+        "  l -> len(string_split(l, ' ')) >= 4 AND regexp_matches(l, '[.!?]$')), " +
+        "  chr(10)), '') AS kept_text FROM b"),
     // Same rolling hash in DuckDB list comprehensions. list_reduce seeds
     // with the FIRST element (no zero init), which equals Spark's 0-init
     // fold because 0*31 + c1 = c1. Slices are 1-based inclusive on both
