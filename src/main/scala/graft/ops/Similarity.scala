@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector similarity over embedding columns (`array<float>`): exact cosine,
   * brute-force top-k (the correctness baseline), and a random-hyperplane LSH
@@ -123,16 +124,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** K-means centroid refinement for the IVF index build: seeded-hash
+    * initialization, then `iters` Lloyd iterations — assign every corpus
+    * vector to its best cell (map-only, centroids are plan literals), then
+    * recompute per-cell elementwise means with ONE aggregation per
+    * iteration (posexplode → groupBy(cell, dim) → decimal mean).
+    *
+    * Means are computed in DECIMAL, not double: decimal sums are exact and
+    * therefore independent of aggregation order, so the refined centroids —
+    * and everything downstream — are bit-reproducible run-to-run (a double
+    * sum would make the index build nondeterministic). Empty cells keep
+    * their previous centroid. Each iteration is one job over the corpus;
+    * the collected state is only `numCentroids × dim` values.
+    */
+  private[graft] def kmeansCentroids(corpus: DataFrame, vecCol: String,
+      numCentroids: Int, iters: Int, seed: Long, idCol: String): Seq[Seq[Float]] = {
+    var cents: Seq[Seq[Float]] = corpus
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(numCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toSeq)
+      .toSeq
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(vecCol),
+        array_max(cellScoresFor(col(vecCol), cents)).getField("cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast(DecimalType(28, 10))) / count(lit(1)))
+          .cast("float").as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        if (means.contains((ci, 0))) old.indices.map(d => means((ci, d))) else old
+      }
+    }
+    cents
+  }
+
+  /** (score, cell) structs for every centroid; array_max/array_sort over
+    * these pick cells by score with larger-index tie-break. Score is
+    * dot/|centroid| — same ranking as cosine for a fixed input vector, with
+    * centroid norms folded to literals.
+    */
+  private def cellScoresFor(vec: Column, cents: Seq[Seq[Float]]): Column =
+    array(cents.zipWithIndex.map { case (cv, ci) =>
+      val cvCol = array(cv.map(lit): _*)
+      val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      struct((dot(vec, cvCol) / lit(cn)).as("score"), lit(ci).as("cell"))
+    }: _*)
+
   /** IVF (inverted-file) approximate cosine top-k — the other canonical ANN
     * scale path next to [[lshTopK]].
     *
-    * Index build: `numCentroids` corpus vectors chosen by a DETERMINISTIC
-    * seeded hash order (production systems refine these with a few Lloyd
-    * iterations; the partition/probe shape — the part that matters for the
-    * plan — is identical). The centroids are collected once (an index-build
-    * action over `numCentroids` rows) and embedded as plan literals, so
-    * cell assignment is a map-only projection: no shuffle, no join, every
-    * executor scores against the same in-plan centroid table.
+    * Index build: `numCentroids` seeded-hash-initialized centroids refined
+    * with [[kmeansCentroids]] Lloyd iterations. The centroids are collected
+    * once (an index-build action; per-iteration state is numCentroids × dim
+    * values) and embedded as plan literals, so cell assignment is a
+    * map-only projection: no shuffle, no join, every executor scores
+    * against the same in-plan centroid table.
     *
     * Query time: each corpus vector belongs to its nearest centroid's cell;
     * each query probes its `nProbe` nearest cells. Candidates come from a
@@ -145,27 +197,10 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, lloydIters: Int = 1): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids, "1 <= nProbe <= numCentroids")
-    val cents: Seq[Seq[Float]] = corpus
-      .select(col(vecCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-      .limit(numCentroids)
-      .collect()
-      .map(_.getSeq[Float](0).toSeq)
-      .toSeq
-    // (score to centroid c, c) structs; array_max picks the best cell —
-    // struct ordering compares score first, centroid index as tie-break.
-    // Score is dot/|centroid| — same ranking as cosine for a fixed input
-    // vector (its own norm is a constant positive factor), with the
-    // centroid norms folded to Scala-side literals: 16 interpreted dots
-    // per row instead of 16 dots + 17 norm folds.
-    def cellScores(vec: Column): Column =
-      array(cents.zipWithIndex.map { case (cv, ci) =>
-        val cvCol = array(cv.map(lit): _*)
-        val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
-        struct((dot(vec, cvCol) / lit(cn)).as("score"), lit(ci).as("cell"))
-      }: _*)
+    val cents = kmeansCentroids(corpus, vecCol, numCentroids, lloydIters, seed, idCol)
+    def cellScores(vec: Column): Column = cellScoresFor(vec, cents)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"),
       array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
