@@ -150,6 +150,41 @@ object NearDup {
     }
   }
 
+  /** Cross-corpus n-gram containment — benchmark DECONTAMINATION: find
+    * training documents that contain an evaluation document's content.
+    * Returns pairs (i ∈ corpus, j ∈ probe) with
+    * `|shingles(i) ∩ shingles(j)| / |shingles(j)| >= minContainment` —
+    * the one-sided overlap metric (a long training doc fully containing a
+    * short benchmark item scores 1.0 even though their Jaccard is low,
+    * which is exactly why decontamination uses containment, not Jaccard).
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]]: both sides explode
+    * to (id, shingle-hash) postings, join on the 8-byte hash, count shared
+    * shingles per pair — candidate pairs only ever arise from a shared
+    * shingle, never an all-pairs scan. The probe side (benchmark suites) is
+    * typically tiny next to the corpus; the join shuffles postings on the
+    * hash, so corpus scale is bounded by the inverted index, not pairs.
+    *
+    * Output: (i, j, containment).
+    */
+  def containmentPairs(corpus: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int, minContainment: Double): DataFrame = {
+    val ci = shingleHashes(corpus, idCol, textCol, n)
+      .select(col(idCol).as("i"), col("h"))
+    val pj = postings(probe, idCol, textCol, n)
+    val sizes = pj.groupBy(idCol).agg(count(lit(1)).as("n_j"))
+    val inter = ci
+      .join(pj.select(col(idCol).as("j"), col("h")), Seq("h"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("j"), col("n_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("n_common").cast("double") / col("n_j").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** MinHash signature column (array<long>, one entry per permutation) for a
     * shingle-array column. Permutation p is the hash family
     * `xxhash64(xxhash64(shingle), p)`; the signature entry is the minimum

@@ -142,7 +142,19 @@ object SimOps {
       topK, numCentroids = 16, nProbe = 4)
   }
 
+  /** Benchmark decontamination: training split (doc_id >= 50) checked for
+    * containment of evaluation split (doc_id < 50) items at word-3-gram
+    * level — the standard contamination sweep before a training run.
+    */
+  private def q42Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    NearDup.containmentPairs(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", nShingle, minContainment = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_decontaminate" -> q42Decontaminate _,
     "q23_ann_cosine" -> q23AnnCosine _,
     "q24_ann_lsh" -> q24AnnLsh _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
@@ -187,6 +199,18 @@ object SimOps {
       s"WHERE rank <= $topK"
 
   val oracle: Map[String, String] = Map(
+    "q42_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "        for i in range(1, len(t) - 1)]) AS s FROM toks), " +
+        "sh AS (SELECT doc_id, unnest(s) AS s FROM shl), " +
+        "tr AS (SELECT * FROM sh WHERE doc_id >= 50), " +
+        "ev AS (SELECT * FROM sh WHERE doc_id < 50), " +
+        "szj AS (SELECT doc_id AS j, COUNT(*) AS n_j FROM ev GROUP BY 1), " +
+        "p AS (SELECT tr.doc_id AS i, ev.doc_id AS j, COUNT(*) AS c " +
+        "      FROM tr JOIN ev USING (s) GROUP BY 1, 2) " +
+        "SELECT i, j, CAST(c AS DOUBLE) / n_j AS containment " +
+        "FROM p JOIN szj USING (j) WHERE CAST(c AS DOUBLE) / n_j >= 0.5"),
     "q24_ann_lsh" -> plantedTopKSql,
     "q32_ann_ivf" -> plantedTopKSql,
     "q23_ann_cosine" ->
