@@ -119,6 +119,28 @@ object TextAnalysis {
         size(split(l, " ", -1)) >= minTokens && l.rlike("[.!?]$")),
       "\n")
 
+  /** Deterministic sampling bucket in [0, 100) from a numeric id — the
+    * reproducible alternative to `rand()`-based sampling for corpus
+    * mixing: the same row lands in the same bucket on every run, every
+    * engine, every retry (a `rand()` sample is neither rerun-stable nor
+    * task-retry-safe). Knuth-style multiplicative scatter; plain integer
+    * arithmetic so any SQL engine reproduces it.
+    */
+  def sampleBucket(id: Column): Column =
+    pmod(id.cast("long") * lit(1000003L), lit(100L))
+
+  /** Weighted corpus mix: keep a row iff its [[sampleBucket]] falls under
+    * the per-key percentage from `rates` (e.g. lang -> 80 meaning 80%).
+    * Map-only; composes with any downstream op.
+    */
+  def mixFilter(id: Column, key: Column, rates: Map[String, Int],
+      defaultRate: Int): Column = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(key === lit(k), lit(r)).otherwise(acc)
+    }
+    sampleBucket(id) < rate
+  }
+
   /** PII-scrubbing patterns (corpus prep). Deliberately plain regexes — no
     * lookaround, no backreferences — so Java regex (Spark) and RE2 (the
     * DuckDB oracle) agree character-for-character.

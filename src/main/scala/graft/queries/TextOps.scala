@@ -142,7 +142,20 @@ object TextOps {
     "q36_corpus_stats" -> q36CorpusStats _,
     "q37_top_ngrams" -> q37TopNgrams _,
     "q40_redact" -> q40Redact _,
-    "q41_line_quality" -> q41LineQuality _)
+    "q41_line_quality" -> q41LineQuality _,
+    "q43_corpus_mix" -> q43CorpusMix _)
+
+  /** Reproducible weighted corpus mix: deterministic per-language sampling
+    * (en 80%, de 50%, rest 20%) via [[TextAnalysis.sampleBucket]] — a
+    * rerun of the mix selects the IDENTICAL document set, which is what
+    * makes training-data recipes auditable (rand()-based sampling is not
+    * even task-retry-safe). Map-only filter.
+    */
+  private def q43CorpusMix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(TextAnalysis.mixFilter(col("doc_id"), col("lang"),
+        Map("en" -> 80, "de" -> 50), defaultRate = 20))
+      .select("doc_id", "lang", "source")
 
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -228,6 +241,10 @@ object TextOps {
         "COALESCE(array_to_string(list_filter(string_split(lined, chr(10)), " +
         "  l -> len(string_split(l, ' ')) >= 4 AND regexp_matches(l, '[.!?]$')), " +
         "  chr(10)), '') AS kept_text FROM b"),
+    "q43_corpus_mix" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE (doc_id * 1000003) % 100 < " +
+        "  CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 80 ELSE 20 END"),
     // Same rolling hash in DuckDB list comprehensions. list_reduce seeds
     // with the FIRST element (no zero init), which equals Spark's 0-init
     // fold because 0*31 + c1 = c1. Slices are 1-based inclusive on both
