@@ -37,7 +37,7 @@ class PlanSpec extends AnyFunSuite {
     */
   for (q <- Seq("q01_project", "q02_filter", "q09_explode",
       "q15_flatten_defaults", "q21_text_stats", "q22_lang_quality",
-      "q31_winnow_fp")) {
+      "q31_winnow_fp", "q40_redact", "q41_line_quality", "q43_corpus_mix")) {
     test(s"$q is map-only (no shuffle exchange)") {
       assert(shuffles(q) == 0)
     }
@@ -48,7 +48,8 @@ class PlanSpec extends AnyFunSuite {
     * partitioning) must stay map-side.
     */
   for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
-      "q20_exact_dedup", "q28_tumbling_window")) {
+      "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
+      "q37_top_ngrams", "q39_sliding_window")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }
