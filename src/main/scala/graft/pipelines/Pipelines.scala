@@ -94,6 +94,41 @@ object MigrationPipeline {
   }
 }
 
+/** Structured-Streaming upgrade of the daily pipeline (SURVEY §1.4's
+  * declared upgrade path): an incremental file source over the delta drop
+  * directory with `Trigger.AvailableNow` — each invocation processes
+  * exactly the files that arrived since the last checkpoint, then stops —
+  * bridged to the batched upsert sink via `foreachBatch`.
+  *
+  * Exactly-once effect: the checkpoint guarantees each file is offered
+  * once; a crashed batch may be re-offered, and the upsert's conflict
+  * policy makes the replay a no-op diff — the same idempotency contract
+  * the reference leans on (rerun-safe ON CONFLICT). Replaces the
+  * probe/archive choreography of [[DailyUpdatePipeline]]: files stay in
+  * place, the checkpoint IS the processed-set record.
+  */
+object StreamingUpdatePipeline {
+
+  def run(spark: SparkSession, spec: TableSpec, deltaDir: String,
+      db: TargetDb, checkpointDir: String): Unit = {
+    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
+    val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
+    val stream = spark.readStream
+      .schema(flatSchema)
+      .option("header", "true").option("escape", "\"")
+      .csv(deltaDir)
+    val query = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          MigrationPipeline.load(spark, spec, batch, db, staging = None)
+      }
+      .start()
+    query.awaitTermination()
+  }
+}
+
 /** Schema reset (SURVEY.md §3's fourth entry point — the reference's
   * `erase_schema` DAG, `erase_schema.py:24-30`: `DROP SCHEMA <s> CASCADE;
   * CREATE SCHEMA <s>`). Driver-side plain JDBC, Spark not involved.

@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ingest.ExtendedJsonDirSource
-import graft.pipelines.{DailyUpdatePipeline, MigrationPipeline, ResetPipeline, TargetDb}
+import graft.pipelines.{DailyUpdatePipeline, MigrationPipeline, ResetPipeline, StreamingUpdatePipeline, TargetDb}
 import graft.schema.{Specs, TableSpec}
 import graft.sink.DerbyUpsertDialect
 
@@ -252,6 +252,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Postgres schema reset emits the reference's statement pair") {
     assert(ResetPipeline.resetStatements("public") == Seq(
       """DROP SCHEMA "public" CASCADE""", """CREATE SCHEMA "public""""))
+  }
+
+  test("streaming daily update: AvailableNow processes only new deltas, replay-safe") {
+    val url6 = "jdbc:derby:memory:graftstream;create=true"
+    val db6 = TargetDb(url6, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false)
+    val streamDir = s"$work/stream_deltas"
+    val ckpt = s"$work/stream_ckpt"
+    Files.createDirectories(Paths.get(streamDir))
+    val header = Specs.users.targetSchema.fieldNames.filterNot(_ == "id").mkString(",")
+    def writeDelta(name: String, rows: String*): Unit =
+      Files.write(Paths.get(streamDir, name),
+        String.join("\n", (header +: rows): _*).getBytes)
+    def count(): Int = {
+      val conn = DriverManager.getConnection(url6)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM \"users\"")
+        rs.next(); rs.getInt(1)
+      } finally conn.close()
+    }
+
+    writeDelta("d1.csv",
+      "63e1f0a1b2c3d4e5f6a7c001,s1,,,,,,,false,false,false,false,false,false,false,2023-02-01,2023-02-01",
+      "63e1f0a1b2c3d4e5f6a7c002,s2,,,,,,,false,false,false,false,false,false,false,2023-02-01,2023-02-01")
+    StreamingUpdatePipeline.run(spark, Specs.users, streamDir, db6, ckpt)
+    assert(count() == 2)
+
+    // rerun with nothing new: the checkpoint already covers d1 — no change
+    StreamingUpdatePipeline.run(spark, Specs.users, streamDir, db6, ckpt)
+    assert(count() == 2)
+
+    // a second drop arrives: one new user + an update to s1 (deleted flips)
+    writeDelta("d2.csv",
+      "63e1f0a1b2c3d4e5f6a7c001,s1,,,,,,,true,false,false,false,false,false,false,2023-02-01,2023-02-02",
+      "63e1f0a1b2c3d4e5f6a7c003,s3,,,,,,,false,false,false,false,false,false,false,2023-02-02,2023-02-02")
+    StreamingUpdatePipeline.run(spark, Specs.users, streamDir, db6, ckpt)
+    assert(count() == 3)
+    val conn = DriverManager.getConnection(url6)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT \"deleted\" FROM \"users\" WHERE \"_id\" = '63e1f0a1b2c3d4e5f6a7c001'")
+      rs.next()
+      assert(rs.getBoolean(1)) // update set applied through the stream
+    } finally conn.close()
   }
 
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
