@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Value-identical to the three-projection higher-order formulation in
   * [[graft.ops.TextAnalysis]] (`charCodes` → `kgramHashesFromCodes` →
   * `winnowSelect`), which remains the executable semantic reference:
-  *  - the k-gram fold `a*31 + c` over UTF-16 code units and the rolling
-  *    update `(h - c₀·31^(k-1))·31 + c_k` compute the same polynomial in
-  *    exact (mod 2⁶⁴) integer arithmetic, so every hash is bit-identical;
+  *  - the k-gram fold `a*31 + c` over Unicode CODE POINTS (what `split` +
+  *    `ascii` yields — a surrogate pair is one element, not two) and the
+  *    rolling update `(h - c₀·31^(k-1))·31 + c_k` compute the same
+  *    polynomial in exact (mod 2⁶⁴) integer arithmetic, so every hash is
+  *    bit-identical, non-BMP text included;
   *  - window minima, distinct, and ascending sort match `array_min` /
   *    `array_distinct` / `array_sort`.
   *
@@ -58,23 +60,35 @@ object WinnowHash {
 
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
-    val n = s.length
+    // materialize CODE POINTS first (one element per Unicode code point —
+    // the unit charCodes' split+ascii produces; iterating UTF-16 code
+    // units would double-count supplementary characters and diverge from
+    // the HOF reference on non-BMP text)
+    val cps = new Array[Int](s.length) // upper bound: one cp per char
+    var n = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(n) = cp
+      n += 1
+      ci += Character.charCount(cp)
+    }
     if (n < k) return empty
     val m = n - k + 1
     if (m < w) return empty
     // rolling base-31 hash of every k-gram — identical (mod 2^64) to the
-    // left fold a*31 + c over the gram's code units
+    // left fold a*31 + c over the gram's code points
     val hashes = new Array[Long](m)
     var h = 0L
     var i = 0
-    while (i < k) { h = h * 31L + s.charAt(i).toLong; i += 1 }
+    while (i < k) { h = h * 31L + cps(i).toLong; i += 1 }
     hashes(0) = h
     var pow = 1L
     i = 0
     while (i < k - 1) { pow *= 31L; i += 1 }
     var j = 1
     while (j < m) {
-      h = (h - s.charAt(j - 1).toLong * pow) * 31L + s.charAt(j + k - 1).toLong
+      h = (h - cps(j - 1).toLong * pow) * 31L + cps(j + k - 1).toLong
       hashes(j) = h
       j += 1
     }

@@ -19,6 +19,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Staging {
 
+  /** One reader-option set for EVERY consumer of the staging CSV dialect —
+    * batch ([[read]]) and streaming
+    * ([[graft.pipelines.StreamingUpdatePipeline]]) alike. `multiLine` so
+    * quoted embedded newlines survive the round trip (the writer quotes
+    * them; without this flag the reader splits records at every raw newline
+    * and corrupts the row). Trade-off: multiLine parses whole files, so
+    * read parallelism is per part-file, not per split — staging writes one
+    * part per upstream partition, which keeps the read as parallel as the
+    * write that produced it.
+    */
+  val readOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "escape" -> "\"",
+    "multiLine" -> "true")
+
   /** S2 — write a staged table (header + explicit schema contract).
     * RFC-4180 quoting (`""` escapes a quote, not backslash) — the dialect
     * pandas reads and writes, so engine staging interoperates with the
@@ -29,18 +44,12 @@ object Staging {
       .option("header", "true").option("escape", "\"")
       .csv(dir)
 
-  /** S3 — read a staged table with the explicit schema (never infer).
-    * `multiLine` so quoted embedded newlines survive the round trip (the
-    * writer quotes them; without this flag the reader splits records at
-    * every raw newline and corrupts the row). Trade-off: multiLine parses
-    * whole files, so read parallelism is per part-file, not per split —
-    * staging writes one part per upstream partition, which keeps the read
-    * as parallel as the write that produced it.
+  /** S3 — read a staged table with the explicit schema (never infer),
+    * under [[readOptions]].
     */
   def read(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.read.schema(schema)
-      .option("header", "true").option("escape", "\"")
-      .option("multiLine", "true")
+      .options(readOptions)
       .csv(dir)
 
   /** S6 — existence probe (ref: `check_file_exists`, `utils.py:42-47`);
@@ -55,16 +64,32 @@ object Staging {
     * the original (ref: `erase_copy_daily_tables.py:7-30`: copy to
     * `daily_archieve/<table>_dd_MM_yyyy`, push to S3, delete source —
     * here a single FileSystem rename, atomic on HDFS/posix).
+    *
+    * `secondaryDir` reproduces the reference's DUAL destination: it keeps a
+    * local date-stamped copy AND uploads to S3 before deleting the original
+    * (`erase_copy_daily_tables.py:14-27` — `shutil.copy` then
+    * `load_file`). When set, the stamped archive is copied there too (any
+    * Hadoop-visible URI — `s3a://…` in deployment) before the rename.
     */
   def archive(spark: SparkSession, src: String, archiveDir: String,
-      stamp: String): Unit = {
+      stamp: String, secondaryDir: Option[String] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new Path(src)
     val fs = srcPath.getFileSystem(conf)
     if (fs.exists(srcPath)) {
       val dir = new Path(archiveDir)
       if (!fs.exists(dir)) fs.mkdirs(dir)
-      val dest = new Path(dir, s"${srcPath.getName}_$stamp")
+      val stamped = s"${srcPath.getName}_$stamp"
+      secondaryDir.foreach { sec =>
+        val secDir = new Path(sec)
+        val secFs = secDir.getFileSystem(conf)
+        if (!secFs.exists(secDir)) secFs.mkdirs(secDir)
+        val secDest = new Path(secDir, stamped)
+        if (secFs.exists(secDest)) secFs.delete(secDest, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcPath, secFs, secDest,
+          /* deleteSource = */ false, /* overwrite = */ true, conf)
+      }
+      val dest = new Path(dir, stamped)
       if (fs.exists(dest)) fs.delete(dest, true)
       fs.rename(srcPath, dest)
     }

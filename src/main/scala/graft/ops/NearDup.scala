@@ -291,13 +291,11 @@ object NearDup {
     }.reduce(_ + _)
   }
 
-  /** SimHash fingerprints per document, scale-first: explode + hash once,
-    * then one groupBy(doc) with 64 codegen'd conditional-sum aggregates,
-    * packed back into a single long. Returns (idCol, fp).
+  /** [[simhashFingerprints]] over already-exploded (id, shingle-hash) rows —
+    * lets callers holding the persisted [[postings]] index derive
+    * fingerprints without re-shingling the corpus.
     */
-  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val hashed = shingleHashes(docs, idCol, textCol, n)
+  private def simhashFromHashes(hashed: DataFrame, idCol: String): DataFrame = {
     val aggs = (0 until simhashBits).map { k =>
       sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"__sb$k")
     }
@@ -309,8 +307,51 @@ object NearDup {
         }.reduce(_ + _).as("fp"))
   }
 
+  /** SimHash fingerprints per document, scale-first: explode + hash once,
+    * then one groupBy(doc) with 64 codegen'd conditional-sum aggregates,
+    * packed back into a single long. Returns (idCol, fp).
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    simhashFromHashes(shingleHashes(docs, idCol, textCol, n), idCol)
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash-blocked exact-duplicate pairs — the oracle-checkable form of
+    * the SimHash pipeline. Identical shingle sets produce identical
+    * fingerprints (SimHash is a deterministic function of the set), so
+    * every identical-set pair collides in the fingerprint-equality join:
+    * recall for the identical-set contract is structurally 1, no tuning.
+    * Candidates are then verified for EXACT set equality (Jaccard == 1
+    * over the full hash sets), so a coincidental fingerprint collision
+    * between different sets never escapes.
+    *
+    * Result: all pairs (i < j) whose (nonempty) word-`n`-gram sets are
+    * identical — an engine-hash-free contract a SQL oracle can recompute,
+    * unlike raw [[simhashPairs]] Hamming values. Scale shape: one shuffle
+    * of (id, 8-byte fp) for the blocking join; only colliding candidates
+    * ever touch the hash sets.
+    *
+    * Output: (i, j, jaccard) with jaccard identically 1.0 — kept for the
+    * family's common output contract.
+    */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val idx = postings(docs, idCol, textCol, n)
+    val fp = simhashFromHashes(idx, idCol)
+    val cand = fp.select(col(idCol).as("i"), col("fp"))
+      .join(fp.select(col(idCol).as("j"), col("fp")), Seq("fp"))
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+    val sets = hashSets(idx, idCol)
+    cand
+      .join(sets.select(col(idCol).as("i"), col("hs").as("hs_i")), Seq("i"))
+      .join(sets.select(col(idCol).as("j"), col("hs").as("hs_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        hashSetJaccard(col("hs_i"), col("hs_j")).as("jaccard"))
+      .filter(col("jaccard") === 1.0)
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= `maxHamming`.
     *

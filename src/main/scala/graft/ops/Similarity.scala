@@ -199,7 +199,17 @@ object Similarity {
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, lloydIters: Int = 1): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids, "1 <= nProbe <= numCentroids")
-    val cents = kmeansCentroids(corpus, vecCol, numCentroids, lloydIters, seed, idCol)
+    // The index build is EAGER: one seeded-init job plus one
+    // assignment-aggregation job per Lloyd iteration, each a full corpus
+    // pass. Persist the corpus for the duration of the build so every
+    // iteration reads cached blocks instead of re-scanning (and, for
+    // derived corpora like the planted union, re-computing) the source;
+    // release it immediately after — the query-time join below runs one
+    // scan of its own and must not pin executor memory past the build.
+    val mat = corpus.persist()
+    val cents =
+      try kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed, idCol)
+      finally mat.unpersist(blocking = false)
     def cellScores(vec: Column): Column = cellScoresFor(vec, cents)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"),

@@ -18,6 +18,7 @@ final case class TargetDb(
     sqlType: DataType => String,
     supportsIfNotExists: Boolean = true,
     supportsDropSchemaCascade: Boolean = true,
+    supportsForeignKeys: Boolean = true,
     props: Properties = new Properties) {
 
   private[pipelines] def readKeys(spark: SparkSession, spec: TableSpec,
@@ -38,23 +39,29 @@ final case class TargetDb(
   */
 object MigrationPipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Full load of one collection. Rerun-safe: ids are reconciled against
     * the live table (not blindly re-numbered like the reference's pandas
     * index), and the conflict policy makes the write idempotent. Full loads
     * have unbounded novelty, so new-key numbering goes through
     * [[SurrogateKeys.reconcileAtScale]] — no single-task window anywhere.
+    *
+    * @return rows skipped by a Permissive-tolerance write (0 under Strict)
     */
   def run(spark: SparkSession, spec: TableSpec, documentsPath: String,
-      db: TargetDb, staging: Option[String] = None): Unit =
+      db: TargetDb, staging: Option[String] = None): Long =
     runFrom(spark, spec, ExtendedJsonSource(documentsPath), db, staging)
 
   /** [[run]] against any [[DocSource]] — swapping the hermetic
     * extended-JSON files for the live Mongo connector
     * ([[graft.ingest.MongoSource]]) is a config change, not a code change.
+    *
+    * @return rows skipped by a Permissive-tolerance write (0 under Strict)
     */
   def runFrom(spark: SparkSession, spec: TableSpec, source: DocSource,
-      db: TargetDb, staging: Option[String] = None): Unit = {
-    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
+      db: TargetDb, staging: Option[String] = None): Long = {
+    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists, db.supportsForeignKeys), db.props)
     load(spark, spec, spec.transform(source.read(spark, spec)), db, staging,
       atScale = true)
   }
@@ -71,9 +78,13 @@ object MigrationPipeline {
     spec.policy.keyOption.getOrElse(
       if (spec.columns.exists(_.name == "_id")) "_id" else spec.columns.head.name)
 
+  /** @return rows skipped by a Permissive-tolerance write (0 under Strict,
+    *   which throws instead). Logged here so no caller can silently drop
+    *   the count; also returned for programmatic gating.
+    */
   private[pipelines] def load(spark: SparkSession, spec: TableSpec,
       flat: DataFrame, db: TargetDb, staging: Option[String],
-      atScale: Boolean = false): Unit = {
+      atScale: Boolean = false): Long = {
     val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
     val staged = staging match {
       case Some(dir) =>
@@ -89,8 +100,11 @@ object MigrationPipeline {
       else SurrogateKeys.reconcile(existing, staged, key)
     val keyed = reconciled
       .select(("id" +: flatSchema.fieldNames.toSeq).map(col): _*)
-    UpsertSink.upsert(keyed, db.url, spec.table, spec.policy, db.dialect,
-      connectionProps = db.props, tolerance = spec.tolerance)
+    val skipped = UpsertSink.upsert(keyed, db.url, spec.table, spec.policy,
+      db.dialect, connectionProps = db.props, tolerance = spec.tolerance)
+    if (skipped > 0)
+      log.warn(s"${spec.table}: permissive upsert skipped $skipped bad row(s)")
+    skipped
   }
 }
 
@@ -111,18 +125,25 @@ object StreamingUpdatePipeline {
 
   def run(spark: SparkSession, spec: TableSpec, deltaDir: String,
       db: TargetDb, checkpointDir: String): Unit = {
-    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
+    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists, db.supportsForeignKeys), db.props)
     val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
+    // Same option set as the batch staging reader (Staging.readOptions) —
+    // notably multiLine, without which a quoted embedded newline in a delta
+    // row splits the record and silently corrupts it on the streaming path.
     val stream = spark.readStream
       .schema(flatSchema)
-      .option("header", "true").option("escape", "\"")
+      .options(Staging.readOptions)
       .csv(deltaDir)
     val query = stream.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          // load() logs any permissive-skip count; the Long is discarded
+          // here because foreachBatch requires a Unit body
           MigrationPipeline.load(spark, spec, batch, db, staging = None)
+          ()
+        }
       }
       .start()
     query.awaitTermination()
@@ -162,16 +183,22 @@ object ResetPipeline {
   */
 object DailyUpdatePipeline {
 
-  /** @return true if a delta was found and applied, false on the no-op path */
+  /** @param secondaryArchiveDir optional second archive destination — the
+    *   reference keeps a local stamped copy AND uploads to S3 before
+    *   deleting the delta (`erase_copy_daily_tables.py:14-27`); pass the
+    *   remote URI here to reproduce that dual-destination contract.
+    * @return true if a delta was found and applied, false on the no-op path
+    */
   def run(spark: SparkSession, spec: TableSpec, deltaPath: String,
-      db: TargetDb, archiveDir: String, stamp: String): Boolean = {
+      db: TargetDb, archiveDir: String, stamp: String,
+      secondaryArchiveDir: Option[String] = None): Boolean = {
     if (!Staging.exists(spark, deltaPath)) false
     else {
-      Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists), db.props)
+      Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists, db.supportsForeignKeys), db.props)
       val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
       val delta = Staging.read(spark, flatSchema, deltaPath)
       MigrationPipeline.load(spark, spec, delta, db, staging = None)
-      Staging.archive(spark, deltaPath, archiveDir, stamp)
+      Staging.archive(spark, deltaPath, archiveDir, stamp, secondaryArchiveDir)
       true
     }
   }

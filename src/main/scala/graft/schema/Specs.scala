@@ -126,8 +126,10 @@ object Specs {
       c("quantity", Dec, head(col("products"), "quantity")),
       c("total_price", Dec, col("totalPrice")),
       c("number", S, col("number")),
-      c("organization", S, col("organization")),
-      c("created_by", S, col("createdBy")),
+      // FK pair declared by the reference's trades DDL
+      // (mongo_to_postgres_migration.py:61)
+      c("organization", S, col("organization")).refs("organizations"),
+      c("created_by", S, col("createdBy")).refs("users"),
       c("notes", S, col("notes")),
       c("status", S, col("status")),
       c("deleted", B, bool(col("deleted"))),
@@ -156,7 +158,9 @@ object Specs {
       c("referrers", S,
         if (strict) firstCharOfStringified(col("referrers"))
         else try_element_at(col("referrers"), lit(1))),
-      c("created_by", S, col("createdBy")),
+      // FK per the reference's agribusinesses DDL
+      // (mongo_to_postgres_migration.py:70)
+      c("created_by", S, col("createdBy")).refs("users"),
       c("contact_deleted", B, headBool(col("contacts"), "deleted")),
       c("contact_first_name", S, head(col("contacts"), "firstName")),
       c("contact_last_name", S, head(col("contacts"), "lastName")),
@@ -192,7 +196,10 @@ object Specs {
       c("payment_method", S, col("paymentMethod")),
       c("terms_and_conditions", S, col("termsAndConditions")),
       c("tax", Dec, col("taxPercentaje")),
-      c("created_by", S, col("createdBy")),
+      // FK per the reference's invoices DDL (mongo_to_postgres_migration
+      // .py:79 — which cites `public.users`, unqualified here; see
+      // TableSpec.ddl)
+      c("created_by", S, col("createdBy")).refs("users"),
       c("product_id", S, head(col("products"), "productId")),
       c("product_name", S, head(col("products"), "name")),
       c("product_package_size", Dec, head(col("products"), "packageSize")),
@@ -223,7 +230,9 @@ object Specs {
       c("organization", S, col("organization")),
       c("amount", Dec, col("amount")),
       c("type", S, col("type")),
-      c("created_by", S, col("createdBy")),
+      // FK per the reference's cashflow_events DDL
+      // (mongo_to_postgres_migration.py:88)
+      c("created_by", S, col("createdBy")).refs("users"),
       c("products", S, json(col("products"))),
       c("deleted", B, bool(col("deleted"))),
       c("status", S, strFalse(col("status"))),
@@ -248,7 +257,9 @@ object Specs {
       c("goal", S, col("goal")),
       c("way", S, col("way")),
       c("notify", S, json(col("notify"))),
-      c("created_by", S, col("createdBy")),
+      // FK per the reference's cashflow_events_goals DDL
+      // (mongo_to_postgres_migration.py:97)
+      c("created_by", S, col("createdBy")).refs("users"),
       c("deleted", B, bool(col("deleted"))),
       c("status", S, strFalse(col("status"))),
       c("date", D, date(col("date"))),

@@ -8,8 +8,18 @@ import graft.sink.{ConflictPolicy, WriteTolerance}
 
 /** One target column: name, landed SQL type, and the extraction expression
   * over the (decoded) source document.
+  *
+  * `references` declares a foreign-key target `(table, column)` emitted as
+  * an inline `REFERENCES` clause by [[TableSpec.ddl]] — the reference
+  * declares these on five tables (`mongo_to_postgres_migration.py:61-97`).
   */
-final case class TargetColumn(name: String, dataType: DataType, expr: Column)
+final case class TargetColumn(name: String, dataType: DataType, expr: Column,
+    references: Option[(String, String)] = None) {
+
+  /** Mark this column as a foreign key into `table(column)`. */
+  def refs(table: String, column: String = "_id"): TargetColumn =
+    copy(references = Some((table, column)))
+}
 
 /** Declarative description of one collection→table pipeline (SURVEY.md §1.4):
   * explicit nested source schema (never inferred), server-side-pushable
@@ -51,10 +61,28 @@ final case class TableSpec(
     * conflict policy declares. `IF NOT EXISTS` is included only when the
     * vendor supports it (Derby doesn't — [[graft.sink.Ddl.ensureTable]]
     * swallows its already-exists error instead).
+    *
+    * `foreignKeys = true` (the Postgres/reference form) emits the inline
+    * `REFERENCES` clause for every column carrying
+    * [[TargetColumn.references]], matching the reference's
+    * referential-integrity gates (`mongo_to_postgres_migration.py:61-97` —
+    * note its invoices FK cites `public.users` where every other cites
+    * `{schema_name}.users`, an apparent reference bug; this DDL is
+    * unqualified throughout, so both spell the same table here). Callers
+    * whose target can't order table creation to satisfy the constraints
+    * (the embedded Derby test harness creates tables standalone) pass
+    * `foreignKeys = false`.
     */
   def ddl(sqlType: DataType => String = TableSpec.postgresType,
-      ifNotExists: Boolean = true): String = {
-    val cols = columns.map(c => s"  \"${c.name}\" ${sqlType(c.dataType)}")
+      ifNotExists: Boolean = true, foreignKeys: Boolean = true): String = {
+    val cols = columns.map { c =>
+      val fk =
+        if (foreignKeys)
+          c.references.map { case (t, cl) =>
+            s""" REFERENCES "$t" ("$cl")""" }.getOrElse("")
+        else ""
+      s"  \"${c.name}\" ${sqlType(c.dataType)}$fk"
+    }
     val unique = policy.keyOption.map(k => s",\n  UNIQUE (\"$k\")").getOrElse("")
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     s"CREATE TABLE $ine\"$table\" (\n  \"id\" bigint PRIMARY KEY,\n" +

@@ -152,6 +152,20 @@ object DerbyUpsertDialect extends UpsertDialect {
   */
 object UpsertSink {
 
+  /** A failure the Permissive replay may attribute to the ROW (and skip):
+    * SQLSTATE class 22xxx (data exception — bad cast, overflow, truncation)
+    * or 23xxx (integrity-constraint violation — the reference's actual
+    * skip-bad-rows motivation, `user_table.py:116-121`). Everything else —
+    * 08xxx connection failures, 40xxx deadlock/serialization rollbacks,
+    * vendor classes — is transient or environmental: swallowing it would
+    * silently LOSE good rows, so it propagates and fails the task for
+    * Spark's retry machinery instead.
+    */
+  private[graft] def isRowFault(e: java.sql.SQLException): Boolean = {
+    val state = e.getSQLState
+    state != null && (state.startsWith("22") || state.startsWith("23"))
+  }
+
   /** @return number of rows skipped (always 0 under [[WriteTolerance.Strict]],
     *         which throws instead)
     */
@@ -202,12 +216,17 @@ object UpsertSink {
               case _: java.sql.SQLException if permissive =>
                 // the reference's skip-bad-rows mode: undo the batch, then
                 // replay it row-wise, committing survivors and counting
-                // offenders (user_table.py:116-121)
+                // offenders (user_table.py:116-121). Only genuine row
+                // faults (isRowFault: 22xxx/23xxx) are skipped — a
+                // transient failure mid-replay (deadlock, dropped
+                // connection) propagates out of the loop so the task fails
+                // and Spark retries, rather than being miscounted as N
+                // bad rows.
                 conn.rollback(); reprepare()
                 pending.foreach { row =>
                   try { bind(ps, row, paramIdx); ps.executeUpdate(); conn.commit() }
                   catch {
-                    case _: java.sql.SQLException =>
+                    case e: java.sql.SQLException if isRowFault(e) =>
                       conn.rollback(); reprepare(); skipped.add(1L)
                   }
                 }

@@ -31,20 +31,38 @@ object KernelProps extends Properties("graft.kernels") {
         refShingles(s, n)
     }
 
-  /** Independent winnowing reference: per-gram fold, brute-force window
-    * minima, distinct, sorted.
+  /** Independent winnowing reference: per-gram fold over Unicode CODE
+    * POINTS (the unit `split(text, "") → ascii` yields — a surrogate pair
+    * is ONE element), brute-force window minima, distinct, sorted.
     */
   private def refWinnow(s: String, k: Int, w: Int): Seq[Long] = {
-    val n = s.length
+    val cps = s.codePoints().toArray.toSeq
+    val n = cps.length
     if (n < k) return Seq.empty
     val hs = (0 to n - k).map(i =>
-      s.substring(i, i + k).foldLeft(0L)((a, c) => a * 31L + c))
+      cps.slice(i, i + k).foldLeft(0L)((a, c) => a * 31L + c))
     if (hs.length < w) Seq.empty
     else hs.sliding(w).map(_.min).toSeq.distinct.sorted
   }
 
   property("winnow kernel equals brute-force reference") =
     forAll(Gen.asciiPrintableStr, Gen.choose(1, 6), Gen.choose(1, 5)) { (s, k, w) =>
+      val out = WinnowHash.compute(UTF8String.fromString(s), k, w)
+      (0 until out.numElements()).map(out.getLong) == refWinnow(s, k, w)
+    }
+
+  /** Non-BMP coverage: supplementary characters (emoji, rare CJK) occupy
+    * TWO UTF-16 code units but must count as ONE k-gram element — a
+    * code-unit iteration would produce different gram counts and hashes.
+    */
+  private val nonBmpText: Gen[String] = for {
+    toks <- Gen.nonEmptyListOf(Gen.oneOf(
+      "a", "é", "😀" /* 😀 U+1F600 */, "🤖" /* 🤖 */,
+      "𤭢" /* 𤭢 U+24B62 */, "xy", "7"))
+  } yield toks.mkString
+
+  property("winnow kernel is code-point-correct on non-BMP text") =
+    forAll(nonBmpText, Gen.choose(1, 4), Gen.choose(1, 4)) { (s, k, w) =>
       val out = WinnowHash.compute(UTF8String.fromString(s), k, w)
       (0 until out.numElements()).map(out.getLong) == refWinnow(s, k, w)
     }

@@ -152,6 +152,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(pairs.toSet == truth)
   }
 
+  test("simhashDupPairs returns exactly the identical-shingle-set pairs") {
+    val out = NearDup.simhashDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force oracle: pairs with equal (nonempty) shingle SETS
+    val sets = docs
+      .select(col("doc_id"), Shingles.wordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => (id, sh.toSet) }
+      .filter(_._2.nonEmpty)
+    val truth = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j && si == sj
+    } yield (i, j, 1.0)).toSet
+    assert(truth.nonEmpty) // fixture has identical docs 1 and 4
+    assert(out.toSet == truth)
+  }
+
   test("fingerprint64 matches fingerprint on canonical-equality") {
     val df = Seq(("A  b C"), ("a b c"), ("x y")).toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("f32"),
@@ -214,10 +230,14 @@ class NearDupSpec extends AnyFunSuite {
   test("native graft_winnow is value-identical to the HOF winnowing chain") {
     // the three-projection HOF formulation is the semantic reference; the
     // fused native kernel must reproduce it exactly, including edge cases
-    // (short text, heavy repetition, corpus data)
+    // (short text, heavy repetition, corpus data, and non-BMP text — a
+    // supplementary character is TWO UTF-16 code units but ONE code point,
+    // and both paths must count it once)
     val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
       .select(col("text"))
-      .union(Seq("", "ab", "abababababab", "zyxwvutsrqponm").toDF("text"))
+      .union(Seq("", "ab", "abababababab", "zyxwvutsrqponm",
+        "emoji 😀🤖😀🤖 mid 𤭢𤭢𤭢 tail text",
+        "😀abc😀abc😀abc😀").toDF("text"))
     for ((k, w) <- Seq((8, 4), (5, 4), (3, 2))) {
       // HOF chain through stacked projections (mandatory — inlining it
       // re-evaluates the O(n·k) subtree per window, see TextAnalysis docs)

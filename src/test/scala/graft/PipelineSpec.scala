@@ -21,7 +21,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val url = "jdbc:derby:memory:graftpipe;create=true"
   private val db = TargetDb(url, DerbyUpsertDialect, TableSpec.derbyType,
-    supportsIfNotExists = false)
+    supportsIfNotExists = false, supportsForeignKeys = false)
   private val work = Files.createTempDirectory("graft_pipe").toString
 
   private def q(ident: String) = "\"" + ident + "\""
@@ -98,6 +98,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(Paths.get(s"$work/archive/users.csv_07_02_2023")))
   }
 
+  test("archive with a secondary destination lands BOTH copies (dual-destination)") {
+    // the reference's archive step keeps a local stamped copy AND uploads
+    // to S3 before deleting the original (erase_copy_daily_tables.py:14-27)
+    val src = s"$work/dual/users.csv"
+    Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(src, "part-0.csv"), "a,b\n1,2".getBytes)
+    graft.ingest.Staging.archive(spark, src, s"$work/dual_arch", "09_02_2023",
+      secondaryDir = Some(s"$work/dual_s3"))
+    assert(!Files.exists(Paths.get(src)))
+    val primary = Paths.get(s"$work/dual_arch/users.csv_09_02_2023")
+    val secondary = Paths.get(s"$work/dual_s3/users.csv_09_02_2023")
+    assert(Files.exists(primary) && Files.exists(secondary))
+    assert(Files.readAllBytes(secondary.resolve("part-0.csv")).toSeq ==
+      "a,b\n1,2".getBytes.toSeq)
+  }
+
   test("daily with absent delta is a guarded no-op (Q9)") {
     val before = queryAll("users", "id", "_id")
     val applied = DailyUpdatePipeline.run(spark, Specs.users,
@@ -155,7 +171,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // extended-JSON files for the Mongo connector changes no pipeline code
     val url4 = "jdbc:derby:memory:graftdocsrc;create=true"
     val db4 = TargetDb(url4, DerbyUpsertDialect, TableSpec.derbyType,
-      supportsIfNotExists = false)
+      supportsIfNotExists = false, supportsForeignKeys = false)
     Files.createDirectories(Paths.get(s"$work/corpus"))
     Files.write(Paths.get(s"$work/corpus/users.jsonl"),
       String.join("\n", usersDocs: _*).getBytes)
@@ -206,7 +222,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the rest of the batch lands
     val url5 = "jdbc:derby:memory:graftpoison;create=true"
     val db5 = TargetDb(url5, DerbyUpsertDialect, TableSpec.derbyType,
-      supportsIfNotExists = false)
+      supportsIfNotExists = false, supportsForeignKeys = false)
     val poison = "x" * 5000 // overflows VARCHAR(4000)
     val docs = Seq(
       """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b901"}, "username": "good1"}""",
@@ -227,7 +243,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CASCADE + CREATE SCHEMA; Derby spelling = drop each spec table
     val url3 = "jdbc:derby:memory:graftreset;create=true"
     val db3 = TargetDb(url3, DerbyUpsertDialect, TableSpec.derbyType,
-      supportsIfNotExists = false, supportsDropSchemaCascade = false)
+      supportsIfNotExists = false, supportsDropSchemaCascade = false, supportsForeignKeys = false)
     def count(): Int = {
       val conn = DriverManager.getConnection(url3)
       try {
@@ -257,7 +273,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streaming daily update: AvailableNow processes only new deltas, replay-safe") {
     val url6 = "jdbc:derby:memory:graftstream;create=true"
     val db6 = TargetDb(url6, DerbyUpsertDialect, TableSpec.derbyType,
-      supportsIfNotExists = false)
+      supportsIfNotExists = false, supportsForeignKeys = false)
     val streamDir = s"$work/stream_deltas"
     val ckpt = s"$work/stream_ckpt"
     Files.createDirectories(Paths.get(streamDir))
@@ -296,12 +312,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       rs.next()
       assert(rs.getBoolean(1)) // update set applied through the stream
     } finally conn.close()
+
+    // a delta row with a QUOTED EMBEDDED NEWLINE (RFC-4180) must land
+    // intact — the streaming reader shares Staging.readOptions (multiLine),
+    // without which the record is split at the raw newline and corrupted
+    writeDelta("d3.csv",
+      "63e1f0a1b2c3d4e5f6a7c004,s4,\"line one\nline two\",,,,,," +
+        "false,false,false,false,false,false,false,2023-02-03,2023-02-03")
+    StreamingUpdatePipeline.run(spark, Specs.users, streamDir, db6, ckpt)
+    assert(count() == 4)
+    val conn2 = DriverManager.getConnection(url6)
+    try {
+      val rs = conn2.createStatement().executeQuery(
+        "SELECT \"first_name\" FROM \"users\" WHERE \"_id\" = '63e1f0a1b2c3d4e5f6a7c004'")
+      rs.next()
+      assert(rs.getString(1) == "line one\nline two")
+    } finally conn2.close()
   }
 
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
     val db2url = "jdbc:derby:memory:graftpipe13;create=true"
     val db2 = TargetDb(db2url, DerbyUpsertDialect, TableSpec.derbyType,
-      supportsIfNotExists = false)
+      supportsIfNotExists = false, supportsForeignKeys = false)
     for (spec0 <- Specs.all()) {
       // Derby cannot express the bare ON CONFLICT DO NOTHING (loandeals);
       // substitute the keyed ignore for the JDBC round trip — the Postgres

@@ -178,4 +178,24 @@ class TableSpecSpec extends AnyFunSuite {
     assert(!derby.contains("UNIQUE")) // bare IgnoreAny declares no key
     assert(derby.contains("DECIMAL(31,10)"))
   }
+
+  test("ddl emits the reference's foreign-key clauses (Postgres form)") {
+    // mongo_to_postgres_migration.py:61-97 — five tables declare
+    // REFERENCES into users/organizations on (_id)
+    val trades = Specs.trades.ddl()
+    assert(trades.contains(
+      "\"organization\" varchar REFERENCES \"organizations\" (\"_id\")"))
+    assert(trades.contains(
+      "\"created_by\" varchar REFERENCES \"users\" (\"_id\")"))
+    for (spec <- Seq(Specs.agribusinesses(), Specs.invoices,
+        Specs.cashflowEvents, Specs.cashflowEventsGoals))
+      assert(spec.ddl().contains(
+        "\"created_by\" varchar REFERENCES \"users\" (\"_id\")"), spec.table)
+    // tables the reference declares no FKs on stay clean
+    assert(!Specs.users.ddl().contains("REFERENCES"))
+    assert(!Specs.accounts.ddl().contains("REFERENCES"))
+    // and the Derby/test form omits them entirely
+    assert(!Specs.trades.ddl(graft.schema.TableSpec.derbyType,
+      ifNotExists = false, foreignKeys = false).contains("REFERENCES"))
+  }
 }

@@ -128,6 +128,22 @@ class UpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readAll() == Seq((1, "a", "Alice", false), (3, "c", "Cara", true)))
   }
 
+  test("permissive replay skips only data/constraint SQLSTATEs, rethrows transient ones") {
+    import java.sql.SQLException
+    // row faults the replay may attribute to the row and skip:
+    assert(UpsertSink.isRowFault(new SQLException("truncation", "22001")))
+    assert(UpsertSink.isRowFault(new SQLException("overflow", "22003")))
+    assert(UpsertSink.isRowFault(new SQLException("duplicate key", "23505")))
+    assert(UpsertSink.isRowFault(new SQLException("not null", "23502")))
+    // transient/environmental failures that MUST fail the task for Spark's
+    // retry instead of being miscounted as skipped rows:
+    assert(!UpsertSink.isRowFault(new SQLException("conn closed", "08003")))
+    assert(!UpsertSink.isRowFault(new SQLException("conn failure", "08006")))
+    assert(!UpsertSink.isRowFault(new SQLException("deadlock", "40001")))
+    assert(!UpsertSink.isRowFault(new SQLException("lock timeout", "40XL1")))
+    assert(!UpsertSink.isRowFault(new SQLException("no state", null: String)))
+  }
+
   test("policy referencing an absent column is rejected eagerly") {
     val df = Seq((1, "a")).toDF("id", "_id")
     intercept[IllegalArgumentException] {
