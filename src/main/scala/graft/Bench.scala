@@ -31,12 +31,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         runOnce(fn(spark, sfDir)) // warm-up, discarded (JIT + parquet footer cache)
-        val best = (1 to measuredRuns).map { _ =>
+        val runs = (1 to measuredRuns).map { _ =>
           // Queries that persist() intermediate state (inverted shingle
           // indexes, MinHash signatures, IVF corpora) would otherwise reuse
           // the cache blocks left behind by the warm-up / previous pass —
@@ -47,8 +48,12 @@ object Bench {
           val t0 = System.nanoTime()
           runOnce(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }.min
-        timings(name) = best
+        }
+        timings(name) = runs.min
+        // every raw pass is reported too: single-query numbers on this
+        // shared box can swing several-fold run-to-run, and a reader
+        // adjudicating a regression needs the spread, not just the min
+        allRuns(name) = runs
         spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
@@ -66,10 +71,12 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val rs = allRuns.map { case (k, v) =>
+      s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

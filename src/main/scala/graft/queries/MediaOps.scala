@@ -13,12 +13,22 @@ import graft.ops.{Multimodal, Similarity}
   * and similarity search over the resulting embeddings through the bucketed
   * LSH ANN path.
   *
-  * No SQL oracle: the per-partition codec seam (stub decode + float
-  * histogram arithmetic) is not reproducible bit-exactly in SQL — the
-  * family is value-tested in MultimodalSpec; here the driver records
-  * rows+schema. The plan shape is the point: binary payloads stay in
-  * map-only stages (decode/feature extraction never shuffles bytes), and
-  * only the 64-float embeddings enter the ANN join.
+  * q34 is oracle-checked via a planted construction (the same family as
+  * q24/q27/q30/q32): the corpus is extended with five byte-identical copies
+  * of every query asset. Identical payload → identical float embedding →
+  * the copies tie at the maximum cosine a query can achieve (`cos(q, q)`,
+  * whatever double value the shared fold produces) and share the query's
+  * exact LSH sign pattern, so recall is structurally 1 and the top-5 is
+  * exactly the five smallest-id assets carrying the query's payload — a
+  * byte-equality contract DuckDB recomputes WITHOUT reproducing the float
+  * histogram arithmetic. The result therefore reports (query_id,
+  * neighbor_id, rank) and omits the raw cosine (engine-side float; the
+  * per-value feature math is covered by MultimodalSpec). Precondition
+  * (verified on this corpus, same class of argument as q24's planted
+  * cosine gap): no asset whose payload DIFFERS from a query's has an
+  * exactly proportional byte histogram — normalization would make such an
+  * embedding bit-equal and tie into the top-5 without being in the
+  * oracle's byte-equality set.
   */
 object MediaOps {
 
@@ -39,13 +49,23 @@ object MediaOps {
   }
 
   /** Decode → 64-bin byte-histogram embedding per asset → LSH-bucketed
-    * cosine top-5 of the first 10 assets against the whole corpus.
+    * cosine top-5 of the first 10 assets against the planted corpus (the
+    * base assets plus five byte-identical copies of every query asset at
+    * `media_id·10 + 1e6 + m`). See the object Scaladoc for why this makes
+    * the approximate pipeline exactly oracle-checkable.
     */
   private def q34MediaFeatures(s: SparkSession, d: String): DataFrame = {
-    val feats = Multimodal.byteHistogramFeatures(mediaTable(s, d)).toDF()
+    import s.implicits._
+    val base = mediaTable(s, d)
+    val planted = (1 to 5).foldLeft(base.toDF()) { (acc, m) =>
+      acc.union(base.toDF().filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") * 10 + lit(1000000L + m)))
+    }.as[Multimodal.Media]
+    val feats = Multimodal.byteHistogramFeatures(planted).toDF()
     Similarity.lshTopK(
       feats.filter(col("media_id") < 10), feats, "media_id", "embedding",
       k = 5, numPlanes = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /** Video frame sampling through the real multimodal plumbing
@@ -71,7 +91,23 @@ object MediaOps {
     * ceil(nFrames / 2); zero-frame assets produce no row (explode of an
     * empty iterator).
     */
+  /** q34: top-5 per query = the five smallest-id assets sharing the query's
+    * exact payload bytes (see object Scaladoc). Spark breaks the cosine tie
+    * by neighbor_id ascending; with every identical-payload candidate tied
+    * at the maximum, rank order IS neighbor_id order.
+    */
   val oracle: Map[String, String] = Map(
+    "q34_media_features" ->
+      ("WITH u AS (SELECT doc_id AS media_id, text FROM documents " +
+        "UNION ALL SELECT d.doc_id * 10 + 1000000 + g.m, d.text " +
+        "FROM documents d, (SELECT unnest(range(1, 6)) AS m) g WHERE d.doc_id < 10), " +
+        "q AS (SELECT media_id, text FROM u WHERE media_id < 10), " +
+        "p AS (SELECT q.media_id AS query_id, c.media_id AS neighbor_id " +
+        "      FROM q JOIN u c ON c.text = q.text AND c.media_id <> q.media_id) " +
+        "SELECT query_id, neighbor_id, rank FROM (" +
+        "  SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER (" +
+        "    PARTITION BY query_id ORDER BY neighbor_id) AS INT) AS rank FROM p) " +
+        "WHERE rank <= 5"),
     "q38_frame_sample" ->
       ("SELECT doc_id AS media_id, " +
         "CAST((octet_length(CAST(text AS BLOB)) // 256 + 1) // 2 AS BIGINT) AS n_frames " +
