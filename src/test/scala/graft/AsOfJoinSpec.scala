@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOfJoin
+
+/** As-of join semantics against a hand-checked fixture: inclusive time
+  * match, greatest-tiebreak resolution on time ties, inner semantics for
+  * rows with no prior right row, and invariance to input partitioning
+  * (the union+window composition must not depend on physical layout).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // right: per-key versioned state (key, time, version id, value)
+  private val right = Seq(
+    (1L, ts("2024-01-10 00:00:00"), 100L, 10.0),
+    (1L, ts("2024-01-20 00:00:00"), 101L, 20.0),
+    (1L, ts("2024-01-20 00:00:00"), 102L, 21.0), // same time, higher id wins
+    (2L, ts("2024-01-15 00:00:00"), 200L, 50.0)
+  ).toDF("k", "t", "rid", "v")
+
+  // left: lookups (id, key, time)
+  private val left = Seq(
+    (1L, 1L, ts("2024-01-05 00:00:00")), // before any right row -> dropped
+    (2L, 1L, ts("2024-01-10 00:00:00")), // exactly at a right time -> inclusive
+    (3L, 1L, ts("2024-01-15 00:00:00")), // between versions -> 100
+    (4L, 1L, ts("2024-01-25 00:00:00")), // after the tie -> 102 (max rid)
+    (5L, 2L, ts("2024-02-01 00:00:00")), // other key -> 200
+    (6L, 3L, ts("2024-02-01 00:00:00"))  // key with no right rows -> dropped
+  ).toDF("id", "k", "t")
+
+  private val expected = Map(2L -> 100L, 3L -> 100L, 4L -> 102L, 5L -> 200L)
+
+  test("as-of picks the latest right row at or before each left time") {
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid", Seq("rid", "v"))
+      .select($"id", $"asof.rid".as("rid"), $"asof.v".as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == expected)
+  }
+
+  test("as-of result is invariant to input partitioning") {
+    val out = AsOfJoin.asOf(left.repartition(7), right.repartition(5),
+      "k", "k", "t", "t", "rid", Seq("rid"))
+      .select($"id", $"asof.rid".as("rid"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
+  test("as-of carries every requested right column and keeps left schema") {
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid", Seq("rid", "v"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "asof"))
+    val v4 = out.filter($"id" === 4L).select($"asof.v").as[Double].head()
+    assert(v4 == 21.0)
+  }
+}

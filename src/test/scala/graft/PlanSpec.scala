@@ -49,10 +49,22 @@ class PlanSpec extends AnyFunSuite {
     */
   for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
       "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
-      "q37_top_ngrams", "q39_sliding_window")) {
+      "q37_top_ngrams", "q39_sliding_window", "q45_asof_join")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }
+  }
+
+  test("q44 bucketed join is shuffle-free below the join (co-located buckets)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan("q44_bucketed_join")
+    // the only exchange in the whole query is the final low-cardinality
+    // aggregation; the SortMergeJoin reads co-located buckets directly
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p.executedPlan.toString).size
+    assert(exchanges == 1, p.executedPlan.toString.take(2000))
+    val smj = p.sparkPlan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "expected a sort-merge join over bucketed scans")
   }
 
   test("q01 scan reads only the projected columns (pruning reaches parquet)") {
