@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AsOfJoin, Bucketing}
+import graft.ops.{AsOfJoin, Bucketing, RangeJoin, Salt}
 
-/** Oracle-checked queries for the co-location / temporal join operators:
-  * bucketed zero-shuffle equi-join (q44) and the as-of join (q45).
+/** Oracle-checked queries for the co-location / temporal / skew join
+  * operators: bucketed zero-shuffle equi-join (q44), as-of join (q45),
+  * salted skew join (q46), binned range join (q47).
   */
 object JoinOps {
 
@@ -55,9 +56,50 @@ object JoinOps {
         col("asof.o_orderkey").as("asof_orderkey"),
         col("asof.o_totalprice").as("asof_totalprice"))
 
+  /** Salted skew join ([[Salt.saltedJoin]]): events (the skewed fact — one
+    * hot user can dwarf an executor's share at scale) joined to customers
+    * on user id with the key salted 8 ways, then rolled up per nation.
+    * Result is row-identical to the plain join; the oracle IS the plain
+    * join. Three shuffles (salted join's two sides + final agg) instead of
+    * two — the documented price of spreading one hot key over 8 reducers.
+    */
+  private def q46SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    Salt.saltedJoin(ev, cust, Seq("user_id"), factor = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+  }
+
+  /** Binned range join ([[RangeJoin.pointInInterval]]): per order, the
+    * shipping load in the 7 days from order placement. The dense side
+    * (lineitem) is pre-aggregated to per-day partials BELOW the join — the
+    * join moves ~2.4k day rows, not 600k line rows — then binning turns the
+    * range predicate into an equi-join on an 8-byte bin id (no
+    * BroadcastNestedLoopJoin, no cartesian; PlanSpec pins this). Partial
+    * sums stay decimal across the re-aggregation so the double conversion
+    * happens exactly once.
+    */
+  private def q47RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val shipDays = Tables.lineitem(s, d)
+      .groupBy("l_shipdate")
+      .agg(count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("qty_part"))
+    RangeJoin.pointInInterval(
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate"), shipDays,
+      startCol = "o_orderdate", widthSec = 7L * 86400L, pointCol = "l_shipdate")
+      .groupBy("o_orderkey")
+      .agg(sum(col("n_ship")).as("n_shipped"),
+        sum(col("qty_part")).cast("double").as("qty_shipped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_bucketed_join" -> q44BucketedJoin _,
-    "q45_asof_join" -> q45AsofJoin _)
+    "q45_asof_join" -> q45AsofJoin _,
+    "q46_salted_join" -> q46SaltedJoin _,
+    "q47_range_join" -> q47RangeJoin _)
 
   val oracle: Map[String, String] = Map(
     "q44_bucketed_join" ->
@@ -73,5 +115,21 @@ object JoinOps {
         "FROM events e JOIN orders o " +
         "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id " +
-        "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1"))
+        "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1"),
+    // the salted join must be row-identical to the plain join
+    "q46_salted_join" ->
+      (s"SELECT c_nationkey, COUNT(*) AS n_events, " +
+        s"${dsumSql("value")} AS total_value " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY c_nationkey"),
+    "q47_range_join" ->
+      ("WITH ship AS (SELECT l_shipdate, COUNT(*) AS n_ship, " +
+        "  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_part " +
+        "  FROM lineitem GROUP BY l_shipdate) " +
+        "SELECT o_orderkey, CAST(SUM(n_ship) AS BIGINT) AS n_shipped, " +
+        "  CAST(SUM(qty_part) AS DOUBLE) AS qty_shipped " +
+        "FROM orders o JOIN ship s " +
+        "ON s.l_shipdate >= o.o_orderdate " +
+        "AND s.l_shipdate < o.o_orderdate + INTERVAL 7 DAY " +
+        "GROUP BY o_orderkey"))
 }

@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.core.Tables
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, Quantiles, TextAnalysis}
 
 /** Oracle-checked queries for the text-analysis / dedup operator family over
   * the `documents` table: exact-dup dedup, per-document statistics,
@@ -134,6 +136,42 @@ object TextOps {
       TextAnalysis.filterLines(lined, 4).as("kept_text"))
   }
 
+  /** Token-length distribution per language ([[Quantiles.exactQuantiles]]):
+    * exact p25/p50/p75 of the per-document token count. Dyadic percentiles
+    * over integer counts interpolate to exact doubles, so the result is
+    * bit-identical to DuckDB's `quantile_cont` (see [[Quantiles]] for why —
+    * and why the 100 TB path for unbounded groups is `approxQuantiles`,
+    * which this corpus-reporting shape does not need).
+    */
+  private def q48TokenQuantiles(s: SparkSession, d: String): DataFrame =
+    Quantiles.exactQuantiles(
+      Tables.documents(s, d).select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      keys = Seq("lang"), valueCol = "n_tokens", ps = Seq(0.25, 0.5, 0.75))
+
+  /** Per-document top-3 terms by term frequency, with corpus document
+    * frequency attached — the document-term-matrix / tf-idf prep view.
+    * The tf table (one shuffle on (doc_id, term)) is persisted and feeds
+    * BOTH the df aggregation and the per-document ranking, so the explode
+    * over the corpus happens once; the final df join moves only 3 rows per
+    * document. Integer-only outputs keep the oracle hash exact (an idf
+    * float would be libm-dependent cross-engine).
+    */
+  private def q49TopTerms(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rnk", row_number().over(byDoc))
+      .where(col("rnk") <= 3)
+      .join(docFreq, "term")
+      .select("doc_id", "term", "tf", "df", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
@@ -143,7 +181,9 @@ object TextOps {
     "q37_top_ngrams" -> q37TopNgrams _,
     "q40_redact" -> q40Redact _,
     "q41_line_quality" -> q41LineQuality _,
-    "q43_corpus_mix" -> q43CorpusMix _)
+    "q43_corpus_mix" -> q43CorpusMix _,
+    "q48_token_quantiles" -> q48TokenQuantiles _,
+    "q49_top_terms" -> q49TopTerms _)
 
   /** Reproducible weighted corpus mix: deterministic per-language sampling
     * (en 80%, de 50%, rest 20%) via [[TextAnalysis.sampleBucket]] — a
@@ -256,5 +296,22 @@ object TextOps {
         s"for i in range(1, n - $winnowK + 2)] AS hs FROM cs), " +
         s"w AS (SELECT doc_id, list_sort(list_distinct([list_min(hs[j:j+${winnowW - 1}]) " +
         s"for j in range(1, len(hs) - $winnowW + 2)])) AS fps FROM h) " +
-        "SELECT doc_id, unnest(fps) AS fp FROM w"))
+        "SELECT doc_id, unnest(fps) AS fp FROM w"),
+    // quantile_cont interpolates at rank p*(n-1) exactly like Spark's
+    // percentile; integer inputs + dyadic p keep every step bit-exact
+    "q48_token_quantiles" ->
+      ("SELECT lang, " +
+        "quantile_cont(len(string_split(text, ' ')), 0.25) AS p25, " +
+        "quantile_cont(len(string_split(text, ' ')), 0.5) AS p50, " +
+        "quantile_cont(len(string_split(text, ' ')), 0.75) AS p75, " +
+        "COUNT(*) AS n_rows FROM documents GROUP BY lang"),
+    "q49_top_terms" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "  FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "r AS (SELECT doc_id, term, tf, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "  ORDER BY tf DESC, term ASC) AS rnk FROM tf) " +
+        "SELECT r.doc_id, r.term, r.tf, d.df, r.rnk FROM r " +
+        "JOIN df d ON r.term = d.term WHERE r.rnk <= 3"))
 }

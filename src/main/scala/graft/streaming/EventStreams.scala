@@ -119,6 +119,26 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on the given columns with state bounded by the
+    * watermark: a duplicate arriving within `lateness` of the original's
+    * event time is dropped; state for older keys is evicted, so the
+    * operator runs forever on bounded memory (an unbounded
+    * `dropDuplicates` would grow state monotonically — the classic
+    * streaming-dedup leak). Exactly-once file/replay duplicates land well
+    * inside any sane watermark, which is the case this exists for.
+    *
+    * Keep-FIRST-ARRIVAL semantics (processing order, not event order) —
+    * inherently nondeterministic under reordering, so there is no DuckDB
+    * oracle entry; the deterministic batch equivalent is the keyed
+    * keep-first dedup (q17, [[graft.ops.Dedup.keepFirst]]).
+    * StreamingSpec drives duplicates across microbatches and past the
+    * watermark to pin both the dropping and the state eviction.
+    */
+  def dedupStream(events: DataFrame, cols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+
   /** Incremental file-source ingest with `Trigger.AvailableNow` — the
     * streaming upgrade of the daily-delta pipeline (SURVEY §1.4): each
     * invocation processes exactly the files that arrived since the last

@@ -49,7 +49,8 @@ class PlanSpec extends AnyFunSuite {
     */
   for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
       "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
-      "q37_top_ngrams", "q39_sliding_window", "q45_asof_join")) {
+      "q37_top_ngrams", "q39_sliding_window", "q45_asof_join",
+      "q48_token_quantiles")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }
@@ -65,6 +66,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, p.executedPlan.toString.take(2000))
     val smj = p.sparkPlan.collect { case j: SortMergeJoinExec => j }
     assert(smj.nonEmpty, "expected a sort-merge join over bucketed scans")
+  }
+
+  test("q47 range join plans as an equi-join on the bin key, dense side pre-aggregated") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q47_range_join")
+    val joins = p.sparkPlan.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    // binning manufactures real equi-keys — a range predicate alone would
+    // plan a nested-loop join (empty keys) and die at scale
+    assert(joins.forall(_.leftKeys.nonEmpty),
+      joins.map(_.nodeName).mkString(","))
+    assert(joins.exists(_.toString.contains("__bin")))
+    // the per-day aggregation of lineitem must sit BELOW the join: the join
+    // moves ~2.4k day partials, not 600k raw line rows
+    val aggBelowJoin = joins.exists(j => j.children.exists(_.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.exists(
+        _.toString.contains("l_shipdate")) => a
+    }.nonEmpty))
+    assert(aggBelowJoin, p.sparkPlan.toString.take(2000))
   }
 
   test("q01 scan reads only the projected columns (pruning reaches parquet)") {

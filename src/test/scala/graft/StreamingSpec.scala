@@ -113,6 +113,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops watermark-window duplicates, evicts expired state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .dedupStream(in.toDF(), Seq("event_id"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:00:30", 1, "click", 1.0), // same-batch dup
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      // cross-batch dup within the watermark window: dropped
+      in.addData(
+        ev(1, "2024-01-01 10:02:00", 1, "click", 1.0),
+        ev(3, "2024-01-01 11:00:00", 3, "click", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past id 1's expiry (10:10) so its state
+      // is evicted — bounded state is the point of the operator
+      in.addData(ev(4, "2024-01-01 12:00:00", 4, "click", 8.0))
+      q.processAllAvailable()
+      // id 1 reappears AFTER eviction with a live timestamp: re-emitted
+      // (dedup is guaranteed within the watermark, not across all time)
+      in.addData(ev(1, "2024-01-01 11:59:00", 1, "click", 1.0))
+      q.processAllAvailable()
+
+      val ids = spark.table("dedup").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("AvailableNow file source processes each file exactly once across runs") {
     val dir = Files.createTempDirectory("graft_stream_in").toString
     val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
