@@ -134,12 +134,30 @@ object Similarity {
     * therefore independent of aggregation order, so the refined centroids —
     * and everything downstream — are bit-reproducible run-to-run (a double
     * sum would make the index build nondeterministic). Empty cells keep
-    * their previous centroid. Each iteration is one job over the corpus;
-    * the collected state is only `numCentroids × dim` values.
+    * their previous centroid. Each iteration is one job over the TRAINING
+    * SAMPLE; the collected state is only `numCentroids × dim` values.
+    *
+    * Training runs on a deterministic hash-sample of ~`trainPerCentroid ×
+    * numCentroids` vectors, not the full corpus — the standard IVF build
+    * (quantizer quality saturates at a few hundred points per centroid,
+    * while a full-corpus Lloyd pass at 100 TB costs a corpus scan PER
+    * ITERATION). The sample is hash-of-id modular, so it is the same set
+    * on every run and every retry; when the corpus is at most the target
+    * size the modulus is 1 and training sees everything (small-SF behavior
+    * is unchanged). Downstream cell ASSIGNMENT always covers the full
+    * corpus — sampling affects only where the centroids land.
     */
   private[graft] def kmeansCentroids(corpus: DataFrame, vecCol: String,
-      numCentroids: Int, iters: Int, seed: Long, idCol: String): Seq[Seq[Float]] = {
-    var cents: Seq[Seq[Float]] = corpus
+      numCentroids: Int, iters: Int, seed: Long, idCol: String,
+      trainPerCentroid: Int = 256): Seq[Seq[Float]] = {
+    val target = numCentroids.toLong * trainPerCentroid
+    val n = corpus.count() // cheap: corpus is persisted by the caller
+    val sampleMod = math.max(1L, n / target)
+    val train =
+      if (sampleMod == 1L) corpus
+      else corpus.filter(
+        pmod(xxhash64(col(idCol), lit(seed + 1)), lit(sampleMod)) === 0)
+    var cents: Seq[Seq[Float]] = train
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(numCentroids)
@@ -147,7 +165,7 @@ object Similarity {
       .map(_.getSeq[Float](0).toSeq)
       .toSeq
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col(vecCol),
+      val assigned = train.select(col(vecCol),
         array_max(cellScoresFor(col(vecCol), cents)).getField("cell").as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -197,18 +215,21 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, lloydIters: Int = 1): DataFrame = {
+      seed: Long = 42L, lloydIters: Int = 1,
+      trainPerCentroid: Int = 256): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids, "1 <= nProbe <= numCentroids")
-    // The index build is EAGER: one seeded-init job plus one
-    // assignment-aggregation job per Lloyd iteration, each a full corpus
-    // pass. Persist the corpus for the duration of the build so every
-    // iteration reads cached blocks instead of re-scanning (and, for
-    // derived corpora like the planted union, re-computing) the source;
-    // release it immediately after — the query-time join below runs one
-    // scan of its own and must not pin executor memory past the build.
+    // The index build is EAGER: one count + one seeded-init job plus one
+    // assignment-aggregation job per Lloyd iteration, each over the
+    // bounded training sample (see kmeansCentroids). Persist the corpus
+    // for the duration of the build so the count/init/iterations read
+    // cached blocks instead of re-scanning (and, for derived corpora like
+    // the planted union, re-computing) the source; release it immediately
+    // after — the query-time join below runs one scan of its own and must
+    // not pin executor memory past the build.
     val mat = corpus.persist()
     val cents =
-      try kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed, idCol)
+      try kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed, idCol,
+        trainPerCentroid)
       finally mat.unpersist(blocking = false)
     def cellScores(vec: Column): Column = cellScoresFor(vec, cents)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

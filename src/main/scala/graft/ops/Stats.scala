@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact distributed statistics over clean fixed-point measure columns —
+  * the feature-profiling pass of a training-data pipeline (drift checks,
+  * feature/label correlation screens, distribution reports).
+  *
+  * Spark's built-in `covar_pop`/`corr` accumulate running doubles, so their
+  * low bits depend on partition count and merge order — fine for analytics,
+  * unusable for a bit-exact cross-engine gate or reproducible data-quality
+  * signatures. Here every moment (Σx, Σy, Σx², Σy², Σxy) is an EXACT
+  * decimal sum (the inputs are 2-decimal money/measure columns, products
+  * are 4-decimal — both exact in DECIMAL(38,·) at any aggregation order),
+  * and the float arithmetic happens once, deterministically, on the final
+  * scalars. One shuffle, full map-side partial aggregation, O(groups)
+  * state: the moments pattern scales exactly like a plain groupBy-sum.
+  */
+object Stats {
+
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Per-group exact second moments of (x, y), finalized as population
+    * covariance and Pearson correlation. Output: keys, `n_rows`,
+    * `covar_pop`, `corr`.
+    *
+    * Finalization order is pinned — `(sxy - sx*sy/n)/n` and its analogues —
+    * and must be mirrored verbatim by any oracle: IEEE addition is
+    * deterministic given identical operands and operation order.
+    */
+  def covarCorr(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val x = d2(col(xCol))
+    val y = d2(col(yCol))
+    val moments = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"))
+    val n = col("n_rows").cast("double")
+    val cov = (col("sxy") - col("sx") * col("sy") / n) / n
+    val varX = (col("sxx") - col("sx") * col("sx") / n) / n
+    val varY = (col("syy") - col("sy") * col("sy") / n) / n
+    moments.select(
+      keys.map(col) ++ Seq(
+        col("n_rows"),
+        cov.as("covar_pop"),
+        (cov / sqrt(varX * varY)).as("corr")): _*)
+  }
+
+  /** Fixed-width histogram of a 2-decimal measure column: exact integer
+    * binning (values → cents → floor-division), one shuffle on the bin id.
+    * Output: `bin` (index), `bin_lo` (inclusive lower edge), `n_rows`.
+    *
+    * Binning happens in INTEGER cents, never by dividing doubles — a
+    * double division puts boundary values (`x == k·width`) in an
+    * engine-dependent bin; integer floor-division is exact everywhere.
+    * Empty bins are absent (at 100 TB a dense bin range is the caller's
+    * join-with-`sequence` to add).
+    */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    val widthCents = math.round(binWidth * 100)
+    require(widthCents > 0, "binWidth must be a positive multiple of 0.01")
+    val cents = (d2(col(valueCol)) * 100).cast("long")
+    val bin = ((cents - pmod(cents, lit(widthCents))) / lit(widthCents)).cast("long")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"),
+        (col("bin") * widthCents / lit(100.0)).as("bin_lo"),
+        col("n_rows"))
+  }
+}

@@ -50,7 +50,7 @@ class PlanSpec extends AnyFunSuite {
   for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
       "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
       "q37_top_ngrams", "q39_sliding_window", "q45_asof_join",
-      "q48_token_quantiles")) {
+      "q48_token_quantiles", "q50_covar_corr", "q51_histogram")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }

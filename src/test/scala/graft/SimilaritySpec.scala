@@ -130,6 +130,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("kmeans sampled training keeps IVF recall on clustered data") {
+    // 500 rows with trainPerCentroid = 2 -> sampleMod = 500/32 = 15: the
+    // sampled path (mod > 1) is exercised, and the quantizer must still
+    // separate 20 well-spread clusters well enough for nProbe=8 recall
+    val corpus = clustered().persist()
+    try {
+      val cents = Similarity.kmeansCentroids(corpus, "embedding",
+        numCentroids = 16, iters = 1, seed = 42L, idCol = "vec_id",
+        trainPerCentroid = 2)
+      assert(cents.size == 16 && cents.forall(_.size == 32))
+      val queries = corpus.filter(col("vec_id") % 25 === 0).limit(10)
+      val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val approx = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5,
+        numCentroids = 16, nProbe = 8, trainPerCentroid = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall below 0.9")
+    } finally corpus.unpersist(blocking = false)
+  }
+
   test("ivfTopK is deterministic across invocations") {
     val corpus = clustered()
     val queries = corpus.filter(col("vec_id") < 3)
