@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{NearDup, Similarity}
+import graft.ops.{Components, NearDup, Similarity}
 
 /** Oracle-checked queries for the similarity-search / near-dup operator
   * family: ANN over the `embeddings` table, n-gram Jaccard and MinHash-LSH
@@ -170,8 +170,37 @@ object SimOps {
       "doc_id", "text", nShingle, minContainment = 0.5)
   }
 
+  /** Near-dup clusters: the q25 pair set closed under transitivity via
+    * [[Components.connectedComponents]] (min-label propagation; dup
+    * clusters have tiny diameter, so the loop converges in 2-3 rounds).
+    * Output: one row per paired document with its cluster id (= least
+    * member).
+    */
+  private def q52DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = NearDup.ngramJaccardPairs(
+      Tables.documents(s, d), "doc_id", "text", nShingle, minJaccard)
+    Components.connectedComponents(pairs, "i", "j")
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** Cluster-level dedup: keep every unpaired document plus the least
+    * member of each near-dup cluster ([[Components.keepClusterRepresentatives]]
+    * — the standard "collapse transitive dup groups to one survivor" pass
+    * that pairwise keep-first cannot express when dups chain A~B, B~C,
+    * A!~C).
+    */
+  private def q53ClusterDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      nShingle, minJaccard)
+    Components.keepClusterRepresentatives(
+      docs.select("doc_id", "lang", "source"), "doc_id", pairs, "i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_decontaminate" -> q42Decontaminate _,
+    "q52_dedup_clusters" -> q52DedupClusters _,
+    "q53_cluster_dedup" -> q53ClusterDedup _,
     "q23_ann_cosine" -> q23AnnCosine _,
     "q24_ann_lsh" -> q24AnnLsh _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
@@ -189,15 +218,32 @@ object SimOps {
       "(sqrt(list_sum(list_transform(qv, x -> x * x))) * " +
       "sqrt(list_sum(list_transform(cv, x -> x * x))))"
 
-  private val jaccardSql =
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+  /** Shared CTE body: exact word-3-gram Jaccard over all doc pairs. */
+  private val jaccardCtes =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
       "        for i in range(1, len(t) - 1)]) AS s FROM toks), " +
       "p AS (SELECT a.doc_id AS i, b.doc_id AS j, " +
       "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
       "  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard " +
-      "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
-      s"SELECT i, j, jaccard FROM p WHERE jaccard >= $minJaccard"
+      "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+
+  private val jaccardSql =
+    s"WITH $jaccardCtes SELECT i, j, jaccard FROM p WHERE jaccard >= $minJaccard"
+
+  /** CTEs extending [[jaccardCtes]] to per-node connected components of the
+    * near-dup pair graph: symmetric edges, then transitive reachability via
+    * a recursive CTE (UNION dedup guarantees termination), then the least
+    * reachable id per node — exactly [[graft.ops.Components]]' fixpoint.
+    */
+  private val componentCtes =
+    s"$jaccardCtes, " +
+      s"pr AS (SELECT i, j FROM p WHERE jaccard >= $minJaccard), " +
+      "e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr), " +
+      "n AS (SELECT DISTINCT a AS v FROM e), " +
+      "reach(v, r) AS (SELECT v, v FROM n " +
+      "  UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v), " +
+      "comp AS (SELECT v, MIN(r) AS c FROM reach GROUP BY v)"
 
   /** Exact top-k over the planted corpus — the shared q24/q32 oracle: with
     * recall provably 1 (see [[plantedCorpus]]), the approximate pipelines
@@ -243,6 +289,13 @@ object SimOps {
     "q25_ngram_jaccard" -> jaccardSql,
     "q26_minhash_lsh" -> jaccardSql,
     "q35_ngram_jaccard_capped" -> jaccardSql,
+    "q52_dedup_clusters" ->
+      (s"WITH RECURSIVE $componentCtes " +
+        "SELECT v AS doc_id, c AS component FROM comp"),
+    "q53_cluster_dedup" ->
+      (s"WITH RECURSIVE $componentCtes " +
+        "SELECT doc_id, lang, source FROM documents " +
+        "WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> c)"),
     "q27_simhash" ->
       ("WITH u AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, text FROM documents), " +
