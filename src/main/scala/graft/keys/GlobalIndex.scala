@@ -43,4 +43,52 @@ object GlobalIndex {
     val schema = sorted.schema.add(StructField(idxName, LongType, nullable = false))
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Append column `sumName` = running (inclusive) sum of LongType column
+    * `valueCol` in the total order given by `sortCols` — the distributed
+    * prefix sum, by the same two-pass shape as [[withGlobalIndex]]:
+    *
+    *   1. range-repartition + per-partition sort (one shuffle),
+    *   2. a tiny first pass collecting ONE partial sum per partition
+    *     (driver state = numPartitions longs, never row data),
+    *   3. a second pass stamping `partitionPrefix + runningWithinPartition`.
+    *
+    * This replaces `sum().over(Window.orderBy(...))`, whose unpartitioned
+    * frame funnels the whole dataset through one task. Values must be
+    * integral (token counts, cents) — long addition is exact and
+    * order-independent within the fixed sorted order, so the result is
+    * deterministic and cross-engine reproducible. Same total-order caveat
+    * as [[withGlobalIndex]]: include a unique tiebreaker in `sortCols`.
+    */
+  def withRunningSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      sumName: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    require(sorted.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType (cast upstream); exact long addition is the contract")
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator.single((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val prefixes = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = prefixes(pid)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    val schema = sorted.schema.add(StructField(sumName, LongType, nullable = false))
+    spark.createDataFrame(stamped, schema)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.keys.{GlobalIndex, SurrogateKeys}
-import graft.ops.{Dedup, UpsertSplit}
+import graft.ops.{Dedup, Packing, TextAnalysis, UpsertSplit}
 
 /** Oracle-checked queries for the key-management operator family
   * (SURVEY.md §2: T6 surrogate keys, Q2 global sort, Q5 upsert split,
@@ -71,11 +71,35 @@ object KeyOps {
       Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), "pos")
 
+  /** Distributed prefix sum ([[GlobalIndex.withRunningSum]]): running
+    * order-value total (in exact integer cents) over the o_orderkey order —
+    * the scale-safe replacement for `sum().over(Window.orderBy(...))`,
+    * whose unpartitioned frame funnels everything through one task.
+    */
+  private def q54RunningTotal(s: SparkSession, d: String): DataFrame =
+    GlobalIndex.withRunningSum(
+      Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents")),
+      Seq(col("o_orderkey").asc), "cents", "cum_cents")
+
+  /** Sequence packing ([[Packing.packSequences]]): documents in doc_id
+    * order, concatenated token streams cut every 2048 tokens; each document
+    * reports the chunk and in-chunk offset where it starts.
+    */
+  private def q55PackSequences(s: SparkSession, d: String): DataFrame =
+    Packing.packSequences(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col("doc_id").asc), "n_tokens", maxTokens = 2048L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_pk_reconcile" -> q16PkReconcile _,
     "q17_keyed_dedup" -> q17KeyedDedup _,
     "q18_upsert_split" -> q18UpsertSplit _,
-    "q19_global_sort" -> q19GlobalSort _)
+    "q19_global_sort" -> q19GlobalSort _,
+    "q54_running_total" -> q54RunningTotal _,
+    "q55_pack_sequences" -> q55PackSequences _)
 
   val oracle: Map[String, String] = Map(
     "q16_pk_reconcile" ->
@@ -100,5 +124,18 @@ object KeyOps {
     "q19_global_sort" ->
       ("SELECT o_orderkey, o_totalprice, " +
         "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos " +
-        "FROM orders"))
+        "FROM orders"),
+    "q54_running_total" ->
+      ("SELECT o_orderkey, cents, " +
+        "CAST(SUM(cents) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum_cents " +
+        "FROM (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+        "  * 100 AS BIGINT) AS cents FROM orders)"),
+    "q55_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "  AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (" +
+        "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "  AS BIGINT) AS strt FROM t) " +
+        "SELECT doc_id, n_tokens, (strt - (strt % 2048)) // 2048 AS seq_id, " +
+        "  strt % 2048 AS seq_offset FROM c"))
 }

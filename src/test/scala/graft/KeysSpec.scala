@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.keys.{GlobalIndex, SurrogateKeys}
-import graft.ops.{Dedup, UpsertSplit}
+import graft.ops.{Dedup, Packing, UpsertSplit}
 
 /** Unit semantics for the key-management operators (SURVEY §2 T6/Q7/Q8 +
   * Q5/Q6), oracle: /root/reference/dags/includes/utils.py:5-39 behavior.
@@ -79,6 +79,39 @@ class KeysSpec extends AnyFunSuite {
   test("globalIndex honors the offset") {
     val out = GlobalIndex.withGlobalIndex(spark.range(3).toDF("v"), Seq(col("v")), "pos", offset = 100L)
     assert(out.select(min("pos"), max("pos")).as[(Long, Long)].head() == ((101L, 103L)))
+  }
+
+  test("withRunningSum equals the single-partition window prefix sum") {
+    val rows = (1 to 500).map(i => ((i * 13) % 997L, ((i * 7) % 50).toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = GlobalIndex
+      .withRunningSum(df, Seq(col("k").asc), "v", "cum")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (k, v)) => (k, v, acc + v) }
+      .drop(1)
+    assert(got.toSeq == expected)
+  }
+
+  test("withRunningSum rejects non-long value columns") {
+    val df = Seq((1L, 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      GlobalIndex.withRunningSum(df, Seq(col("k")), "v", "cum")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
+  test("packSequences: documents span cuts, offsets are in-chunk exact") {
+    // tokens 1000,1500,600,2048,4 in id order; maxTokens 2048:
+    //   starts 0,1000,2500,3100,5148 -> seq 0,0,1,1,2 offsets 0,1000,452,1052,1052
+    val docs = Seq((1L, 1000L), (2L, 1500L), (3L, 600L), (4L, 2048L), (5L, 4L))
+      .toDF("doc_id", "n_tokens").repartition(4)
+    val got = Packing
+      .packSequences(docs, Seq(col("doc_id").asc), "n_tokens", 2048L)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 1000L), (3L, 1L, 452L),
+      (4L, 1L, 1052L), (5L, 2L, 1052L)))
   }
 
   test("keepFirst keeps exactly the first row per key under the order") {
