@@ -40,35 +40,42 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
+    // The edge list feeds EVERY round's join: persist it or each round
+    // re-executes the whole upstream pipeline that produced the pairs
+    // (for near-dup input that is the full inverted-index + verify pass,
+    // multiplied by the round count).
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-
-    // eager localCheckpoint: materializes the round AND truncates the
-    // logical plan (blocks are released by the ContextCleaner once the
-    // superseded round's RDD is unreachable)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxIter) {
-      // each node's best neighbor label this round
-      val nbr = sym
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("component")).as("nbr_min"))
-      val next = labels
-        .join(nbr, Seq("node"), "left")
-        .select(col("node"), col("component").as("prev"),
-          least(col("component"),
-            coalesce(col("nbr_min"), col("component"))).as("component"))
+      .persist()
+    try {
+      // eager localCheckpoint: materializes the round AND truncates the
+      // logical plan (blocks are released by the ContextCleaner once the
+      // superseded round's RDD is unreachable)
+      var labels = sym.select(col("a").as("node")).distinct()
+        .withColumn("component", col("node"))
         .localCheckpoint()
-      changed = next.filter(col("component") < col("prev")).count()
-      labels = next.select("node", "component")
-      round += 1
-    }
-    require(changed == 0, s"did not converge within $maxIter rounds")
-    labels
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxIter) {
+        // each node's best neighbor label this round
+        val nbr = sym
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node"))
+          .agg(min(col("component")).as("nbr_min"))
+        val next = labels
+          .join(nbr, Seq("node"), "left")
+          .select(col("node"), col("component").as("prev"),
+            least(col("component"),
+              coalesce(col("nbr_min"), col("component"))).as("component"))
+          .localCheckpoint()
+        changed = next.filter(col("component") < col("prev")).count()
+        labels = next.select("node", "component")
+        round += 1
+      }
+      require(changed == 0, s"did not converge within $maxIter rounds")
+      // the returned labels are checkpointed — independent of sym's cache
+      labels
+    } finally sym.unpersist(blocking = false)
   }
 
   /** Dedup-by-cluster: every document whose id is NOT the least member of
