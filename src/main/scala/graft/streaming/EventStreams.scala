@@ -139,6 +139,41 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
 
+  /** Stream-static enrichment: join a stream against a (small, slowly
+    * changing) dimension frame. The static side plans a broadcast hash
+    * join per microbatch — no stream state, no watermark needed, late
+    * data irrelevant (the static side is re-resolvable at any time).
+    * This is the streaming form of the reference's key-reconciliation
+    * lookup (SURVEY §2 Q7) for continuously arriving deltas.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Stream-stream interval join: pair each left event with right events
+    * of the same key whose time lies within `[leftTime - within,
+    * leftTime + within]`. BOTH sides are watermarked — that is what lets
+    * Spark bound the buffered state: a right row can be evicted once the
+    * left watermark passes `rightTime + within`, and vice versa; without
+    * the time-range predicate the state would grow forever. The range
+    * condition also serves as the pruning predicate inside the
+    * symmetric-hash join, so per-key buffers stay small.
+    *
+    * Column names: pass disambiguated frames (e.g. suffix the right side)
+    * — the join condition references both sides' time columns by name.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      within: String, lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, lateness)
+    val r = right.withWatermark(rightTime, lateness)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+        s"$rightTime BETWEEN $leftTime - INTERVAL $within " +
+        s"AND $leftTime + INTERVAL $within"))
+  }
+
   /** Incremental file-source ingest with `Trigger.AvailableNow` — the
     * streaming upgrade of the daily-delta pipeline (SURVEY §1.4): each
     * invocation processes exactly the files that arrived since the last

@@ -146,6 +146,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStream broadcast-joins a dimension onto a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrichStream(in.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0),
+        ev(3, "2024-01-01 10:02:00", 9, "view", 4.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("enriched").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreams pairs same-key events within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val v = views.toDF().select(col("event_id").as("v_id"),
+      col("ts").as("v_ts"), col("user_id").as("v_user"))
+    val q = EventStreams.intervalJoinStreams(
+      clicks.toDF(), v, "user_id", "v_user", "ts", "v_ts",
+      within = "5 MINUTES", lateness = "1 minute")
+      .select("event_id", "v_id")
+      .writeStream.format("memory").queryName("paired")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      views.addData(
+        ev(100, "2024-01-01 10:03:00", 1, "view", 0.0), // within 5 min: pair
+        ev(101, "2024-01-01 10:30:00", 1, "view", 0.0), // outside: no pair
+        ev(102, "2024-01-01 10:04:00", 2, "view", 0.0)) // other key: no pair
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      clicks.addData(ev(5, "2024-01-01 12:00:00", 99, "click", 0.0))
+      views.addData(ev(105, "2024-01-01 12:00:00", 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("paired").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L)))
+      assert(!got.exists(p => p._2 == 101L || p._2 == 102L))
+    } finally q.stop()
+  }
+
   test("AvailableNow file source processes each file exactly once across runs") {
     val dir = Files.createTempDirectory("graft_stream_in").toString
     val checkpoint = Files.createTempDirectory("graft_stream_cp").toString
