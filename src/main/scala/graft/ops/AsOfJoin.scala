@@ -41,10 +41,19 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       tiebreak: String, rightCols: Seq[String]): DataFrame = {
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__side"), col(tiebreak).as("__tb"),
-      struct(rightCols.map(col): _*).as("__rp"))
+    // Null right keys/times can never satisfy the SQL contract
+    // (`rightKey = leftKey AND rightTime <= leftTime` is UNKNOWN on null),
+    // but the asc-nulls-first window order would treat a null-time right
+    // row as "older than everything" and carry it into every left row of
+    // its key — drop them before the union. (Null LEFT keys/times already
+    // fall out: their partitions hold no surviving right rows, so the
+    // inner filter below removes them, same as the equi-join would.)
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__side"), col(tiebreak).as("__tb"),
+        struct(rightCols.map(col): _*).as("__rp"))
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"),

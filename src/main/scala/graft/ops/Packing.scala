@@ -33,9 +33,8 @@ object Packing {
     // exclusive prefix = first-token position of this document
     val start = col("__cum") - col(tokenCol)
     withCum
-      .withColumn("seq_id",
-        ((start - pmod(start, lit(maxTokens))) / lit(maxTokens)).cast("long"))
-      .withColumn("seq_offset", pmod(start, lit(maxTokens)))
+      .withColumn("seq_id", Num.floorDiv(start, maxTokens))
+      .withColumn("seq_offset", Num.floorMod(start, maxTokens))
       .drop("__cum")
   }
 }

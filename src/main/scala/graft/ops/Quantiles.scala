@@ -46,6 +46,12 @@ object Quantiles {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Column name for percentile p: "p25", "p12_5", "p6_25" — full decimal
+    * precision (rounding to an integer percent would both mislabel the
+    * dyadic percentiles this module recommends and collide 0.125/0.13 into
+    * one duplicate column name).
+    */
   private def pName(p: Double): String =
-    "p" + math.round(p * 100).toString
+    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_").replace("-", "m")
 }

@@ -28,12 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor division for (possibly pre-epoch) microsecond timestamps —
-    * `div` alone truncates toward zero, which rounds pre-epoch values the
-    * wrong way.
-    */
-  private def floorDiv(x: Column, d: Long): Column =
-    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+  import Num.floorDiv
 
   /** Epoch micros for TIMESTAMP or TIMESTAMP_NTZ columns — `unix_micros`
     * only accepts the former; the engine session is pinned UTC

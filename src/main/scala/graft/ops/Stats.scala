@@ -66,7 +66,7 @@ object Stats {
     val widthCents = math.round(binWidth * 100)
     require(widthCents > 0, "binWidth must be a positive multiple of 0.01")
     val cents = (d2(col(valueCol)) * 100).cast("long")
-    val bin = ((cents - pmod(cents, lit(widthCents))) / lit(widthCents)).cast("long")
+    val bin = Num.floorDiv(cents, widthCents)
     df.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n_rows"))
       .select(col("bin"),

@@ -66,6 +66,27 @@ object MigrationPipeline {
       atScale = true)
   }
 
+  /** Migrate a set of collections IN THE GIVEN ORDER — which must be
+    * FK-topological when the target enforces foreign keys
+    * (`db.supportsForeignKeys`): a spec citing `REFERENCES users(_id)`
+    * needs `users` created AND loaded first, or its CREATE TABLE fails on
+    * the missing relation and, worse, a Permissive-tolerance load would
+    * count each dangling-FK row (SQLSTATE 23503) as a skipped bad row even
+    * though it becomes valid once the referenced table lands.
+    * [[graft.schema.Specs.all]] is already in the reference DAG's
+    * dependency order (users/organizations before their dependents —
+    * reference: mongo_to_postgres_migration.py task chain), so
+    * `runAll(spark, Specs.all(), dir, db)` is the safe whole-database
+    * migration.
+    *
+    * @return per-table skipped-row counts (Permissive tolerance only;
+    *   always 0 under Strict)
+    */
+  def runAll(spark: SparkSession, specs: Seq[TableSpec], documentsPath: String,
+      db: TargetDb, staging: Option[String] = None): Map[String, Long] =
+    specs.map(spec =>
+      spec.table -> run(spark, spec, documentsPath, db, staging)).toMap
+
   /** The key ids are reconciled on: the conflict policy's declared unique
     * key when present, `_id` otherwise. These differ exactly when the
     * landed table's unique key is NOT `_id` — loanapplications is unique on

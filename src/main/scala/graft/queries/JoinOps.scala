@@ -24,7 +24,11 @@ object JoinOps {
     * the key is shuffle-free.
     */
   private def q44BucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = (d.hashCode.toLong & 0x7fffffffL).toString
+    // tag = sfDir hash + THIS application's id: two concurrent JVMs (bench
+    // alongside verify, parallel CI) must never overwrite each other's
+    // bucket layout mid-read, and hashCode alone can collide across dirs
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
     val o = Bucketing.saveBucketed(
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),

@@ -54,10 +54,15 @@ object StatOps {
         "  ((sxy - sx * sy / n) / n) / " +
         "  sqrt(((sxx - sx * sx / n) / n) * ((syy - sy * sy / n) / n)) AS corr " +
         "FROM f"),
+    // DuckDB's % / '//' truncate toward zero while Stats.histogram floors
+    // (pmod); the explicit floor-mod ((x % d) + d) % d keeps negative
+    // measures in the same bin on both engines — the subsequent division
+    // is exact, so truncation == floor there
     "q51_histogram" ->
       ("WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
         "  AS BIGINT) AS cents FROM orders), " +
-        "b AS (SELECT (cents - (cents % 2000000)) // 2000000 AS bin FROM c) " +
+        "b AS (SELECT (cents - (((cents % 2000000) + 2000000) % 2000000)) " +
+        "  // 2000000 AS bin FROM c) " +
         "SELECT bin, CAST(bin * 2000000 / 100.0 AS DOUBLE) AS bin_lo, " +
         "COUNT(*) AS n_rows FROM b GROUP BY bin"))
 }

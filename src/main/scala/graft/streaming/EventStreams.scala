@@ -135,8 +135,8 @@ object EventStreams {
     * watermark to pin both the dropping and the state eviction.
     */
   def dedupStream(events: DataFrame, cols: Seq[String],
-      lateness: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", lateness)
+      lateness: String = "10 minutes", tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
 
   /** Stream-static enrichment: join a stream against a (small, slowly

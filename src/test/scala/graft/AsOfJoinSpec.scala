@@ -44,6 +44,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("null right keys/times never match (SQL comparison semantics)") {
+    // a null-time right row would sort nulls-first ("older than all") and
+    // a null-key right row would meet null-key left rows via partitionBy —
+    // both must be invisible, exactly as in the equi-join formulation
+    val nullishRight = right.union(Seq(
+      (Option(1L), Option.empty[Timestamp], 999L, 99.0), // null time
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:00")), 998L, 98.0)
+    ).toDF("k", "t", "rid", "v"))
+    val nullKeyLeft = left.union(
+      Seq((7L, Option.empty[Long], Option(ts("2024-02-01 00:00:00"))))
+        .toDF("id", "k", "t"))
+    val out = AsOfJoin
+      .asOf(nullKeyLeft, nullishRight, "k", "k", "t", "t", "rid", Seq("rid", "v"))
+      .select($"id", $"asof.rid".as("rid"))
+      .as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == expected) // ids 1, 6, 7 dropped; no 999/998 carries
+  }
+
   test("as-of result is invariant to input partitioning") {
     val out = AsOfJoin.asOf(left.repartition(7), right.repartition(5),
       "k", "k", "t", "t", "rid", Seq("rid"))

@@ -64,6 +64,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.list(Paths.get(s"$work/staging/users")).count() > 0)
   }
 
+  test("runAll migrates specs in order and reports per-table skip counts") {
+    val url6 = "jdbc:derby:memory:graftrunall;create=true"
+    val db6 = TargetDb(url6, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false, supportsForeignKeys = false)
+    val orgDocs = Seq(
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b900"}, "businessName": "Acme"}""")
+    val dir = writeJsonl("users_ra.jsonl", usersDocs)
+    val orgDir = writeJsonl("orgs_ra.jsonl", orgDocs)
+    // per-spec source paths: run users then organizations, reference order
+    val counts = Map(
+      "users" -> MigrationPipeline.runAll(spark, Seq(Specs.users), dir, db6),
+      "orgs" -> MigrationPipeline.runAll(
+        spark, Seq(Specs.organizations()), orgDir, db6))
+    assert(counts("users") == Map("users" -> 0L))
+    assert(counts("orgs").values.sum == 0L)
+    val conn = DriverManager.getConnection(url6)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM \"users\"")
+      rs.next()
+      assert(rs.getLong(1) == 3L)
+    } finally conn.close()
+  }
+
   test("users migration rerun is a no-op diff (idempotency)") {
     val before = queryAll("users", "id", "_id", "username", "deleted")
     MigrationPipeline.run(spark, Specs.users, writeJsonl("users.jsonl", usersDocs),

@@ -64,6 +64,16 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0.0, 2L), (1L, 10.0, 3L), (2L, 20.0, 2L)))
   }
 
+  test("histogram floors negative values into the lower bin") {
+    // floor semantics: -0.01 belongs to [-10, 0), -10.00 to [-10, 0),
+    // -10.01 to [-20, -10) — truncation-toward-zero would misplace all
+    val df = Seq(-0.01, -9.99, -10.00, -10.01, 5.00)
+      .map(("r", _)).toDF("r", "v")
+    val got = Stats.histogram(df, "v", binWidth = 10.0)
+      .orderBy("bin").as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((-2L, -20.0, 1L), (-1L, -10.0, 3L), (0L, 0.0, 1L)))
+  }
+
   test("histogram counts partition the input") {
     val df = TestSpark.spark.read
       .parquet(s"${TestSpark.sf}/orders.parquet")
