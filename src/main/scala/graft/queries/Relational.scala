@@ -253,7 +253,61 @@ object Relational {
         col("sum_qty").cast("double").as("sum_qty"),
         col("sum_price").cast("double").as("sum_price"))
 
+  /** Pivot (cross-tab): order counts per status × priority. The pivot
+    * VALUES ARE DECLARED, not discovered — an undeclared pivot runs an
+    * extra distinct-collect job over the pivot column and makes the output
+    * schema data-dependent, both wrong at scale. With declared values this
+    * is one ordinary hash aggregation (single shuffle), each pivot cell a
+    * conditional count.
+    */
+  private def q56Pivot(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      // pivot emits the raw value as the column name; normalize to
+      // identifier-safe names shared with the oracle, and fill the
+      // empty-cell nulls to 0 (SQL conditional counts yield 0, not null)
+      .withColumnsRenamed(prios.map(p => p -> ("n_" + p.substring(0, 1))).toMap)
+      .na.fill(0L, prios.map(p => "n_" + p.substring(0, 1)))
+  }
+
+  /** Share-of-total: each nation's revenue as a fraction of the grand
+    * total — the scalar-broadcast pattern: the grand total is a no-key
+    * aggregate broadcast to every row (PlanSpec's cartesian guard
+    * explicitly allows scalar builds), never a one-partition window.
+    * Numerator and denominator are exact decimal sums; ONE double
+    * division at the end is engine-identical.
+    */
+  private def q57ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("nrev"))
+    val total = rev.agg(sum(col("nrev")).as("trev"))
+    rev.crossJoin(total)
+      .select(col("c_nationkey"),
+        col("nrev").cast("double").as("nation_rev"),
+        (col("nrev").cast("double") / col("trev").cast("double")).as("share"))
+  }
+
+  /** Intersect: customers holding BOTH an urgent and a low-priority order
+    * (the set-op dual of q14's except; plans as a left-semi aggregate
+    * join, one shuffle per side).
+    */
+  private def q58Intersect(s: SparkSession, d: String): DataFrame = {
+    def byPrio(p: String) = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === p)
+      .select(col("o_custkey").as("k"))
+    byPrio("1-URGENT").intersect(byPrio("5-LOW"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_pivot" -> q56Pivot _,
+    "q57_share_of_total" -> q57ShareOfTotal _,
+    "q58_intersect" -> q58Intersect _,
     "q01_project" -> q01Project _,
     "q02_filter" -> q02Filter _,
     "q03_agg_groupby" -> q03AggGroupBy _,
@@ -272,6 +326,26 @@ object Relational {
     "q33_salted_agg" -> q33SaltedAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q56_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1, " +
+        "COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2, " +
+        "COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3, " +
+        "COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4, " +
+        "COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5 " +
+        "FROM orders GROUP BY o_orderstatus"),
+    "q57_share_of_total" ->
+      ("WITH rev AS (SELECT c_nationkey, " +
+        "  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nrev " +
+        "  FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "  GROUP BY c_nationkey), " +
+        "t AS (SELECT SUM(nrev) AS trev FROM rev) " +
+        "SELECT c_nationkey, CAST(nrev AS DOUBLE) AS nation_rev, " +
+        "CAST(nrev AS DOUBLE) / CAST(trev AS DOUBLE) AS share FROM rev, t"),
+    "q58_intersect" ->
+      ("SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "INTERSECT " +
+        "SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'"),
     "q01_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
     "q02_filter" ->
