@@ -35,6 +35,19 @@ object Shingles {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** ALL word n-gram occurrences, duplicates preserved — the language-model
+    * counting form ([[wordShingles]] deduplicates because similarity
+    * operators consume SETS; frequency estimation must not).
+    */
+  def wordNgramOccurrences(text: Column, n: Int): Column = {
+    require(n >= 1, "ngram size must be >= 1")
+    val t = split(text, " ", -1)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct character n-grams (for short strings / fuzzy keys). */
   def charNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "ngram size must be >= 1")

@@ -172,7 +172,31 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "rnk")
   }
 
+  /** Bigram language-model counts: every adjacent token pair's occurrence
+    * count plus its left-context total — the n-gram-LM / tokenizer-prep
+    * statistics (P(w2|w1) = n_pair/n_ctx, left as integers so the oracle
+    * hash is exact). Occurrence n-grams, NOT the distinct shingle sets the
+    * similarity family uses. Two hash aggregations + one equi-join on w1;
+    * the `n_pair >= 5` floor is the standard count-threshold prune and
+    * keeps the emitted table to the statistically meaningful head.
+    */
+  private def q59BigramCounts(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(explode(
+        graft.ops.Shingles.wordNgramOccurrences(col("text"), 2)).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("n_pair"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("n_pair"))
+      .persist() // feeds BOTH the context agg and the final join: one explode
+    val ctx = pairs.groupBy("w1").agg(sum(col("n_pair")).as("n_ctx"))
+    pairs.join(ctx, "w1")
+      .where(col("n_pair") >= 5)
+      .select("w1", "w2", "n_pair", "n_ctx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_bigram_counts" -> q59BigramCounts _,
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
     "q22_lang_quality" -> q22LangQuality _,
@@ -305,6 +329,17 @@ object TextOps {
         "quantile_cont(len(string_split(text, ' ')), 0.5) AS p50, " +
         "quantile_cont(len(string_split(text, ' ')), 0.75) AS p75, " +
         "COUNT(*) AS n_rows FROM documents GROUP BY lang"),
+    "q59_bigram_counts" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+        "bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ') " +
+        "  for i in range(1, len(t))]) AS bg FROM toks), " +
+        "pc AS (SELECT bg, COUNT(*) AS n_pair FROM bg GROUP BY bg), " +
+        "sp AS (SELECT split_part(bg, ' ', 1) AS w1, " +
+        "  split_part(bg, ' ', 2) AS w2, n_pair FROM pc), " +
+        "cx AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx " +
+        "  FROM sp GROUP BY w1) " +
+        "SELECT s.w1, s.w2, s.n_pair, c.n_ctx FROM sp s " +
+        "JOIN cx c ON s.w1 = c.w1 WHERE s.n_pair >= 5"),
     "q49_top_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
         "  FROM documents), " +

@@ -47,6 +47,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("components match a union-find reference on random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // root-min normalization: component = least id in the set
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }
+    }
+
+    // 15 seeded random graphs: varied density (sparse forests through
+    // near-complete), self-loops included; deterministic across runs
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 15) {
+      val n = 2 + rnd.nextInt(39)
+      val m = 1 + rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(cc(edges) == unionFind(edges), s"trial $trial: $edges")
+    }
+  }
+
   test("keepClusterRepresentatives keeps unpaired docs and least members") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"d$i")).toDF("id", "payload")
     // clusters {1,2,3} (transitive chain) and {5,6}; 4 unpaired
