@@ -195,8 +195,23 @@ object TextOps {
       .select("w1", "w2", "n_pair", "n_ctx")
   }
 
+  /** BPE pair statistics ([[graft.ops.Bpe]]): the weighted adjacent
+    * character-pair counts of the initial merge round — the counting core
+    * of the tokenizer trainer, oracle-checked (the iterative merge loop is
+    * driver-sequential by nature and pinned against the textbook corpus in
+    * BpeSpec instead). The corpus is touched once (token-frequency agg);
+    * the pair counting runs over the bounded vocabulary.
+    */
+  private def q60BpePairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Bpe.pairCounts(
+      graft.ops.Bpe.tokenFreqs(Tables.documents(s, d), "text")
+        .select(split(col("tok"), "").as("syms"), col("freq")))
+      .select(concat(col("l"), col("r")).as("pair"), col("freq"))
+      .where(col("freq") >= 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_bigram_counts" -> q59BigramCounts _,
+    "q60_bpe_pairs" -> q60BpePairs _,
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
     "q22_lang_quality" -> q22LangQuality _,
@@ -329,6 +344,15 @@ object TextOps {
         "quantile_cont(len(string_split(text, ' ')), 0.5) AS p50, " +
         "quantile_cont(len(string_split(text, ' ')), 0.75) AS p75, " +
         "COUNT(*) AS n_rows FROM documents GROUP BY lang"),
+    "q60_bpe_pairs" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT tok, COUNT(*) AS freq FROM toks " +
+        "  WHERE length(tok) > 0 GROUP BY tok), " +
+        "sy AS (SELECT string_split(tok, '') AS s, freq FROM tf), " +
+        "pr AS (SELECT unnest([s[i] || s[i+1] for i in range(1, len(s))]) AS pair, " +
+        "  freq FROM sy WHERE len(s) >= 2) " +
+        "SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq FROM pr " +
+        "GROUP BY pair HAVING SUM(freq) >= 50"),
     "q59_bigram_counts" ->
       ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
         "bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ') " +
