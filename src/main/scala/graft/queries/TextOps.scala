@@ -209,9 +209,28 @@ object TextOps {
       .select(concat(col("l"), col("r")).as("pair"), col("freq"))
       .where(col("freq") >= 50)
 
+  /** Corpus-relative outlier filter: documents whose token count exceeds
+    * their language's p75 — the Gopher-style "threshold derived FROM the
+    * corpus, not hardcoded" quality-gating pattern, composed from
+    * [[Quantiles.exactQuantiles]] + a broadcast-size threshold join (one
+    * row per language).
+    */
+  private def q61LengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val thresholds = Quantiles
+      .exactQuantiles(stats.select("lang", "n_tokens"),
+        Seq("lang"), "n_tokens", Seq(0.75))
+      .select(col("lang"), col("p75"))
+    stats.join(thresholds, "lang")
+      .where(col("n_tokens") > col("p75"))
+      .select("doc_id", "lang", "n_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_bigram_counts" -> q59BigramCounts _,
     "q60_bpe_pairs" -> q60BpePairs _,
+    "q61_length_outliers" -> q61LengthOutliers _,
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
     "q22_lang_quality" -> q22LangQuality _,
@@ -344,6 +363,13 @@ object TextOps {
         "quantile_cont(len(string_split(text, ' ')), 0.5) AS p50, " +
         "quantile_cont(len(string_split(text, ' ')), 0.75) AS p75, " +
         "COUNT(*) AS n_rows FROM documents GROUP BY lang"),
+    "q61_length_outliers" ->
+      ("WITH st AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens " +
+        "  FROM documents), " +
+        "th AS (SELECT lang, quantile_cont(n_tokens, 0.75) AS p75 " +
+        "  FROM st GROUP BY lang) " +
+        "SELECT s.doc_id, s.lang, s.n_tokens FROM st s " +
+        "JOIN th t ON s.lang = t.lang WHERE s.n_tokens > t.p75"),
     "q60_bpe_pairs" ->
       ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "tf AS (SELECT tok, COUNT(*) AS freq FROM toks " +
