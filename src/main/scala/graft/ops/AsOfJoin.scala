@@ -67,8 +67,12 @@ object AsOfJoin {
     // Running frame, not the default range frame: with a row frame the
     // carry at a left row can only see rows sorted before it, which the
     // (time, side, tiebreak) order makes exactly the <= right rows.
+    // tiebreak NULLS FIRST: the LAST right row in the frame wins, so a
+    // null-tiebreak right row must sort before its non-null time-twins —
+    // mirroring `ORDER BY time DESC, tiebreak DESC NULLS LAST LIMIT 1`
+    // (a null tiebreak wins only when it is the sole candidate)
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("__asof").isNotNull)

@@ -52,6 +52,9 @@ object Quantiles {
     * one duplicate column name).
     */
   private def pName(p: Double): String =
-    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    // BigDecimal(p) uses the double's shortest decimal representation, so
+    // multiplying by 100 afterward is exact ("p29"); p * 100 in DOUBLE
+    // first would bake in binary error ("p28_999999999999996")
+    "p" + (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
       .replace(".", "_").replace("-", "m")
 }

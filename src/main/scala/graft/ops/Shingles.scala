@@ -25,15 +25,8 @@ object Shingles {
     * Interpreted HOF reference formulation — see [[wordShinglesNative]] for
     * the hot-path form.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    require(n >= 1, "shingle size must be >= 1")
-    val t = split(text, " ", -1)
-    when(size(t) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgramOccurrences(text, n))
 
   /** ALL word n-gram occurrences, duplicates preserved — the language-model
     * counting form ([[wordShingles]] deduplicates because similarity

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.ingest.{DocSource, ExtendedJsonSource, Staging}
+import graft.ingest.{DocSource, ExtendedJsonDirSource, ExtendedJsonSource, Staging}
 import graft.keys.SurrogateKeys
 import graft.schema.TableSpec
 import graft.sink.{Ddl, UpsertDialect, UpsertSink}
@@ -76,16 +76,23 @@ object MigrationPipeline {
     * [[graft.schema.Specs.all]] is already in the reference DAG's
     * dependency order (users/organizations before their dependents —
     * reference: mongo_to_postgres_migration.py task chain), so
-    * `runAll(spark, Specs.all(), dir, db)` is the safe whole-database
+    * `runAll(spark, Specs.all(), rootDir, db)` is the safe whole-database
     * migration.
+    *
+    * Each collection reads its OWN file, `<rootDir>/<collection>.jsonl`
+    * ([[graft.ingest.ExtendedJsonDirSource]]) — a single shared path
+    * would parse every collection's documents against every other spec's
+    * schema and upsert typed-null garbage rows into 12 wrong tables.
     *
     * @return per-table skipped-row counts (Permissive tolerance only;
     *   always 0 under Strict)
     */
-  def runAll(spark: SparkSession, specs: Seq[TableSpec], documentsPath: String,
-      db: TargetDb, staging: Option[String] = None): Map[String, Long] =
+  def runAll(spark: SparkSession, specs: Seq[TableSpec], rootDir: String,
+      db: TargetDb, staging: Option[String] = None): Map[String, Long] = {
+    val source = ExtendedJsonDirSource(rootDir)
     specs.map(spec =>
-      spec.table -> run(spark, spec, documentsPath, db, staging)).toMap
+      spec.table -> runFrom(spark, spec, source, db, staging)).toMap
+  }
 
   /** The key ids are reconciled on: the conflict policy's declared unique
     * key when present, `_id` otherwise. These differ exactly when the

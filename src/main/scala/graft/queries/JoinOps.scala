@@ -23,6 +23,22 @@ object JoinOps {
     * deployment pays at load time, after which every subsequent join on
     * the key is shuffle-free.
     */
+  /** Per-application layout dirs are deleted at JVM exit — without this,
+    * every bench/CI run would leave a dataset-sized directory in tmpdir.
+    */
+  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def deleteOnExit(dir: String): Unit =
+    if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Paths}
+        val p = Paths.get(dir)
+        if (Files.exists(p)) {
+          val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator()
+          while (it.hasNext) Files.deleteIfExists(it.next())
+        }
+      }))
+
   private def q44BucketedJoin(s: SparkSession, d: String): DataFrame = {
     // tag = sfDir hash + THIS application's id: two concurrent JVMs (bench
     // alongside verify, parallel CI) must never overwrite each other's
@@ -30,6 +46,7 @@ object JoinOps {
     val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
       .replaceAll("[^A-Za-z0-9_]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    deleteOnExit(base)
     val o = Bucketing.saveBucketed(
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
       s"graft_orders_b$tag", s"$base/orders", 8, "o_orderkey")

@@ -218,6 +218,7 @@ object TextOps {
   private def q61LengthOutliers(s: SparkSession, d: String): DataFrame = {
     val stats = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .persist() // feeds BOTH the quantile agg and the filter: one scan
     val thresholds = Quantiles
       .exactQuantiles(stats.select("lang", "n_tokens"),
         Seq("lang"), "n_tokens", Seq(0.75))

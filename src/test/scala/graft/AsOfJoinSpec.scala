@@ -44,6 +44,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("a null tiebreak loses time ties to any non-null tiebreak") {
+    // SQL contract: ORDER BY time DESC, tiebreak DESC NULLS LAST LIMIT 1 —
+    // the null-tb row wins only when it is the sole candidate
+    val r = Seq(
+      (1L, ts("2024-01-10 00:00:00"), Option.empty[Long], 1.0), // null tb
+      (1L, ts("2024-01-10 00:00:00"), Option(7L), 2.0),
+      (2L, ts("2024-01-10 00:00:00"), Option.empty[Long], 3.0)  // sole: wins
+    ).toDF("k", "t", "rid", "v")
+    val l = Seq((1L, 1L, ts("2024-01-15 00:00:00")),
+      (2L, 2L, ts("2024-01-15 00:00:00"))).toDF("id", "k", "t")
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "t", "rid", Seq("v"))
+      .select($"id", $"asof.v".as("v"))
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 2.0, 2L -> 3.0))
+  }
+
   test("null right keys/times never match (SQL comparison semantics)") {
     // a null-time right row would sort nulls-first ("older than all") and
     // a null-key right row would meet null-key left rows via partitionBy —

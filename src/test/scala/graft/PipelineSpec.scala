@@ -64,27 +64,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.list(Paths.get(s"$work/staging/users")).count() > 0)
   }
 
-  test("runAll migrates specs in order and reports per-table skip counts") {
+  test("runAll migrates specs in order, one file per collection") {
     val url6 = "jdbc:derby:memory:graftrunall;create=true"
     val db6 = TargetDb(url6, DerbyUpsertDialect, TableSpec.derbyType,
       supportsIfNotExists = false, supportsForeignKeys = false)
-    val orgDocs = Seq(
-      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b900"}, "businessName": "Acme"}""")
-    val dir = writeJsonl("users_ra.jsonl", usersDocs)
-    val orgDir = writeJsonl("orgs_ra.jsonl", orgDocs)
-    // per-spec source paths: run users then organizations, reference order
-    val counts = Map(
-      "users" -> MigrationPipeline.runAll(spark, Seq(Specs.users), dir, db6),
-      "orgs" -> MigrationPipeline.runAll(
-        spark, Seq(Specs.organizations()), orgDir, db6))
-    assert(counts("users") == Map("users" -> 0L))
-    assert(counts("orgs").values.sum == 0L)
+    // whole-corpus layout: <root>/<collection>.jsonl per spec
+    val root = Files.createTempDirectory("graft_runall").toString
+    Files.write(Paths.get(root, "users.jsonl"),
+      String.join("\n", usersDocs: _*).getBytes)
+    Files.write(Paths.get(root, "organizations.jsonl"),
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b900"}, "businessName": "Acme"}"""
+        .getBytes)
+    val counts = MigrationPipeline.runAll(
+      spark, Seq(Specs.users, Specs.organizations()), root, db6)
+    assert(counts == Map("users" -> 0L, "organizations" -> 0L))
     val conn = DriverManager.getConnection(url6)
     try {
-      val rs = conn.createStatement()
-        .executeQuery("SELECT COUNT(*) FROM \"users\"")
-      rs.next()
-      assert(rs.getLong(1) == 3L)
+      val st = conn.createStatement()
+      val rsU = st.executeQuery("SELECT COUNT(*) FROM \"users\"")
+      rsU.next()
+      assert(rsU.getLong(1) == 3L) // users rows only — no cross-table bleed
+      val rsO = st.executeQuery("SELECT COUNT(*) FROM \"organizations\"")
+      rsO.next()
+      assert(rsO.getLong(1) == 1L)
     } finally conn.close()
   }
 
