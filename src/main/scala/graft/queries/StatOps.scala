@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
+
 import graft.core.Tables
-import graft.ops.Stats
+import graft.ops.{Checks, Diff, Stats}
 
 /** Oracle-checked queries for the exact-statistics operators
   * ([[graft.ops.Stats]]): per-group covariance/correlation (q50) and
@@ -27,9 +29,46 @@ object StatOps {
   private def q51Histogram(s: SparkSession, d: String): DataFrame =
     Stats.histogram(Tables.orders(s, d), "o_totalprice", binWidth = 20000.0)
 
+  /** Data-quality null profile ([[Checks.nullProfile]]) over a frame with
+    * deterministic planted nulls (the testdata is dense, so sparsity is
+    * manufactured q15-style): per-column null/total counts from ONE grand
+    * aggregate.
+    */
+  private def q62NullProfile(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.customer(s, d).select(col("c_custkey"),
+      when(col("c_custkey") % 3 =!= 0, col("c_name")).as("name"),
+      when(col("c_custkey") % 7 =!= 0, col("c_acctbal")).as("bal"))
+    Checks.nullProfile(df, Seq("c_custkey", "name", "bal"))
+  }
+
+  /** Snapshot CDC ([[Diff.snapshotDiff]]): a deterministic "next day"
+    * snapshot is derived from orders (every 10th key deleted, every 7th
+    * status rewritten, every 13th re-keyed as an insert) and diffed
+    * against the original — one full-outer join on the key, null-safe
+    * column comparison. The upstream of every incremental pipeline when
+    * the source only provides full snapshots.
+    */
+  private def q63SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val next = Tables.orders(s, d)
+      .where(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+      .union(Tables.orders(s, d)
+        .where(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    Diff.snapshotDiff(old, next, Seq("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_covar_corr" -> q50CovarCorr _,
-    "q51_histogram" -> q51Histogram _)
+    "q51_histogram" -> q51Histogram _,
+    "q62_null_profile" -> q62NullProfile _,
+    "q63_snapshot_diff" -> q63SnapshotDiff _)
 
   // the oracle mirrors the exact finalization ORDER of Stats.covarCorr —
   // IEEE arithmetic is deterministic given identical operands and op order
@@ -64,5 +103,33 @@ object StatOps {
         "b AS (SELECT (cents - (((cents % 2000000) + 2000000) % 2000000)) " +
         "  // 2000000 AS bin FROM c) " +
         "SELECT bin, CAST(bin * 2000000 / 100.0 AS DOUBLE) AS bin_lo, " +
-        "COUNT(*) AS n_rows FROM b GROUP BY bin"))
+        "COUNT(*) AS n_rows FROM b GROUP BY bin"),
+    "q62_null_profile" ->
+      ("WITH d AS (SELECT c_custkey, " +
+        "  CASE WHEN c_custkey % 3 <> 0 THEN c_name END AS name, " +
+        "  CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS bal " +
+        "  FROM customer) " +
+        "SELECT 'c_custkey' AS col_name, " +
+        "  CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) AS n_null, " +
+        "  COUNT(*) AS n_total FROM d " +
+        "UNION ALL SELECT 'name', " +
+        "  CAST(COUNT(*) FILTER (WHERE name IS NULL) AS BIGINT), COUNT(*) FROM d " +
+        "UNION ALL SELECT 'bal', " +
+        "  CAST(COUNT(*) FILTER (WHERE bal IS NULL) AS BIGINT), COUNT(*) FROM d"),
+    "q63_snapshot_diff" ->
+      ("WITH olds AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "news AS (SELECT o_orderkey, " +
+        "  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus, " +
+        "  o_totalprice FROM orders WHERE o_orderkey % 10 <> 0 " +
+        "  UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
+        "  FROM orders WHERE o_orderkey % 13 = 0) " +
+        "SELECT o_orderkey, op FROM (" +
+        "  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey, " +
+        "  CASE WHEN o.o_orderkey IS NULL THEN 'insert' " +
+        "    WHEN n.o_orderkey IS NULL THEN 'delete' " +
+        "    WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) " +
+        "      OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) " +
+        "    THEN 'update' END AS op " +
+        "  FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey) " +
+        "WHERE op IS NOT NULL"))
 }
