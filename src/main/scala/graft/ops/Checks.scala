@@ -16,8 +16,11 @@ object Checks {
     * (col_name, n_null, n_total).
     */
   def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // coalesce: sum() over an EMPTY frame is null, and an acceptance gate
+    // comparing null counts must see 0 for an empty load, not null
     val aggs = cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c")) :+
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__n_$c")) :+
       count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // pivot the single wide row to (col_name, n_null, n_total) via a

@@ -14,6 +14,32 @@ object JoinOps {
 
   import QueryHelpers._
 
+  /** Per-application layout dirs are deleted at JVM exit — without this,
+    * every bench/CI run would leave a dataset-sized directory in tmpdir.
+    * The hook swallows traversal/deletion errors (a file vanishing or
+    * locked mid-walk must not kill the hook and abandon the rest) and
+    * closes the walk stream.
+    */
+  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def deleteOnExit(dir: String): Unit =
+    if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Paths}
+        try {
+          val p = Paths.get(dir)
+          if (Files.exists(p)) {
+            val walk = Files.walk(p)
+            try {
+              val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+              while (it.hasNext) {
+                try Files.deleteIfExists(it.next())
+                catch { case _: java.io.IOException => /* best-effort */ }
+              }
+            } finally walk.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => /* best-effort */ }
+      }))
+
   /** Bucketed fact⋈fact join: orders and lineitem are materialized
     * bucketed by their join key (8 buckets, sorted), then joined and
     * aggregated. The join itself plans ZERO Exchange — the only shuffle
@@ -23,22 +49,6 @@ object JoinOps {
     * deployment pays at load time, after which every subsequent join on
     * the key is shuffle-free.
     */
-  /** Per-application layout dirs are deleted at JVM exit — without this,
-    * every bench/CI run would leave a dataset-sized directory in tmpdir.
-    */
-  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def deleteOnExit(dir: String): Unit =
-    if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Paths}
-        val p = Paths.get(dir)
-        if (Files.exists(p)) {
-          val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator()
-          while (it.hasNext) Files.deleteIfExists(it.next())
-        }
-      }))
-
   private def q44BucketedJoin(s: SparkSession, d: String): DataFrame = {
     // tag = sfDir hash + THIS application's id: two concurrent JVMs (bench
     // alongside verify, parallel CI) must never overwrite each other's

@@ -59,7 +59,10 @@ object StatOps {
         col("o_totalprice"))
       .union(Tables.orders(s, d)
         .where(col("o_orderkey") % 13 === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        // NEGATED keys for the planted inserts: order keys are positive at
+        // every scale factor, so negation can never collide with a real
+        // key (a fixed additive offset would, once SF grows the keyspace)
+        .select((-col("o_orderkey")).as("o_orderkey"),
           col("o_orderstatus"), col("o_totalprice")))
     Diff.snapshotDiff(old, next, Seq("o_orderkey"))
   }
@@ -121,7 +124,7 @@ object StatOps {
         "news AS (SELECT o_orderkey, " +
         "  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus, " +
         "  o_totalprice FROM orders WHERE o_orderkey % 10 <> 0 " +
-        "  UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice " +
+        "  UNION ALL SELECT -o_orderkey, o_orderstatus, o_totalprice " +
         "  FROM orders WHERE o_orderkey % 13 = 0) " +
         "SELECT o_orderkey, op FROM (" +
         "  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey, " +

@@ -35,6 +35,32 @@ class DiffSpec extends AnyFunSuite {
     assert(got == Seq((1L, "update")))
   }
 
+  test("null-KEYED rows classify by presence, not key-null tests") {
+    // a null-keyed old row matches nothing -> delete (the key-null
+    // formulation would misreport it as an insert); present in both
+    // snapshots -> one delete + one insert, as any keyed MERGE would
+    val old = Seq((Option(1L), "a"), (Option.empty[Long], "ghost"))
+      .toDF("k", "s")
+    val next = Seq((Option(1L), "a"), (Option.empty[Long], "ghost"))
+      .toDF("k", "s")
+    val got = Diff.snapshotDiff(old, next, Seq("k"))
+      .as[(Option[Long], String)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq((None, "delete"), (None, "insert")))
+
+    val delOnly = Diff.snapshotDiff(
+      Seq((Option.empty[Long], "x")).toDF("k", "s"),
+      Seq.empty[(Option[Long], String)].toDF("k", "s"), Seq("k"))
+      .as[(Option[Long], String)].collect().toSeq
+    assert(delOnly == Seq((None, "delete")))
+  }
+
+  test("nullProfile reports 0 (not null) on an empty frame") {
+    val empty = Seq.empty[(Long, Option[String])].toDF("k", "s")
+    val got = Checks.nullProfile(empty, Seq("k", "s"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("k", 0L, 0L), ("s", 0L, 0L)))
+  }
+
   test("nullProfile counts per-column nulls in one pass") {
     val df = Seq((1L, Option("a"), Option(1.0)), (2L, Option.empty[String],
       Option.empty[Double]), (3L, Option("c"), Option.empty[Double]))
