@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Multimodal, Similarity}
+import graft.ops.{Dedup, Multimodal, Similarity}
 
 /** Driver-visible query for the multimodal operator family: a deterministic
   * synthetic media table (binary payloads + typed metadata, built from the
@@ -82,9 +82,27 @@ object MediaOps {
       .agg(count(lit(1)).as("n_frames"))
   }
 
+  /** Exact asset dedup by payload digest: byte-identical media (planted
+    * copies of the first 50 assets) collapse to the smallest-id survivor.
+    * The shuffle key is the 32-char md5 of the payload, never the payload
+    * itself — binary columns stay in the map stage, which is the entire
+    * point of digest-based media dedup at 100 TB.
+    */
+  private def q64MediaDedup(s: SparkSession, d: String): DataFrame = {
+    val base = mediaTable(s, d).toDF()
+    val planted = base.union(
+      base.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + lit(1000000L)))
+    Dedup.keepFirst(
+      planted.withColumn("__digest", md5(col("bytes"))),
+      Seq("__digest"), Seq(col("media_id").asc))
+      .select("media_id", "media_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_media_features" -> q34MediaFeatures _,
-    "q38_frame_sample" -> q38FrameSample _)
+    "q38_frame_sample" -> q38FrameSample _,
+    "q64_media_dedup" -> q64MediaDedup _)
 
   /** q38: media payload = UTF-8 text bytes; videos are doc_id % 3 == 2
     * (see [[mediaTable]]); nFrames = octet_length / 256, sampled count =
@@ -111,5 +129,14 @@ object MediaOps {
     "q38_frame_sample" ->
       ("SELECT doc_id AS media_id, " +
         "CAST((octet_length(CAST(text AS BLOB)) // 256 + 1) // 2 AS BIGINT) AS n_frames " +
-        "FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) >= 256"))
+        "FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) >= 256"),
+    // payload = UTF-8 of text, so byte equality == text equality; keep-first
+    // = least media_id per payload group
+    "q64_media_dedup" ->
+      ("WITH u AS (SELECT doc_id AS media_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50) " +
+        "SELECT media_id, ['image','audio','video'][(media_id % 3 + 1)::INT] " +
+        "  AS media_type FROM (" +
+        "  SELECT media_id, ROW_NUMBER() OVER (PARTITION BY text " +
+        "    ORDER BY media_id) AS rn FROM u) WHERE rn = 1"))
 }
