@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-based corpus mixing — sample each language/source group
+  * proportional to size^α (α = 0.5), the standard rebalancing between
+  * proportional sampling (α=1, big groups dominate) and uniform (α=0,
+  * tiny groups overfit). Deterministic end to end:
+  *
+  *  - selection is hash-mod on the document id (rerun-identical and
+  *    task-retry-safe; `rand()` is neither),
+  *  - per-group rates are computed IN THE PLAN from the group counts (a
+  *    5-row aggregate broadcast back; no driver round-trip, no collect),
+  *  - α is fixed at 0.5 because `sqrt` is an IEEE-754 correctly-rounded
+  *    operation — bit-identical in every engine — while `pow(x, α)` is
+  *    libm-dependent and would break cross-engine reproducibility. The
+  *    weights are floored to integer millionths so the only cross-group
+  *    arithmetic (their sum) is exact integer addition, immune to
+  *    aggregation order.
+  *
+  * `targetFraction` is the desired share of the TOTAL corpus; per-group
+  * rates `min(1, targetFraction·N·w_g / (Σw·n_g))` are floored to
+  * per-million thresholds.
+  */
+object Mix {
+
+  /** The kept subset. Output columns: `idCol`, `groupCol`. */
+  def temperatureMix(docs: DataFrame, groupCol: String, idCol: String,
+      targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1, "0 < targetFraction <= 1")
+    val counts = docs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double")) * 1000000.0).cast("long"))
+    // "__sumw"/"__total", not "S"/"N": Spark resolves case-insensitively,
+    // so a totals column "N" would collide with the per-group count "n"
+    val totals = counts.agg(sum(col("w")).as("__sumw"),
+      sum(col("n")).as("__total"))
+    // identical operation ORDER to the oracle SQL — IEEE scalar arithmetic
+    // is deterministic given identical operands and op order
+    val rate = least(lit(1000000.0),
+      lit(targetFraction) * col("__total").cast("double") * col("w").cast("double") *
+        lit(1000000.0) / (col("__sumw").cast("double") * col("n").cast("double")))
+    val thresholds = counts.crossJoin(totals)
+      .select(col(groupCol), floor(rate).cast("long").as("__thr"))
+    // Knuth multiplicative hash into [0, 1e6): the multiplier is odd and
+    // coprime to 1e6, so consecutive ids cycle through the FULL range —
+    // a small multiplier (q43's 1000003 ≡ 3 mod 1e6) would map small ids
+    // to tiny values and select everything below any realistic threshold
+    docs.select(idCol, groupCol)
+      .join(thresholds, groupCol)
+      .where(pmod(col(idCol) * 2654435761L, lit(1000000L)) < col("__thr"))
+      .select(idCol, groupCol)
+  }
+}

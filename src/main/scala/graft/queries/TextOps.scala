@@ -228,10 +228,22 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens")
   }
 
+  /** Temperature-sampled corpus mixture ([[graft.ops.Mix]]): keep ~40% of
+    * the corpus with per-language rates proportional to sqrt(group size) —
+    * the UniMax/alpha-sampling rebalance between proportional and uniform.
+    * Fully deterministic (hash-mod selection, in-plan thresholds), so the
+    * oracle recomputes the identical document set.
+    */
+  private def q65TemperatureMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Mix.temperatureMix(
+      Tables.documents(s, d), groupCol = "lang", idCol = "doc_id",
+      targetFraction = 0.4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_bigram_counts" -> q59BigramCounts _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q61_length_outliers" -> q61LengthOutliers _,
+    "q65_temperature_mix" -> q65TemperatureMix _,
     "q20_exact_dedup" -> q20ExactDedup _,
     "q21_text_stats" -> q21TextStats _,
     "q22_lang_quality" -> q22LangQuality _,
@@ -364,6 +376,21 @@ object TextOps {
         "quantile_cont(len(string_split(text, ' ')), 0.5) AS p50, " +
         "quantile_cont(len(string_split(text, ' ')), 0.75) AS p75, " +
         "COUNT(*) AS n_rows FROM documents GROUP BY lang"),
+    // mirror Mix.temperatureMix's exact op order: sqrt is correctly-rounded
+    // IEEE (engine-identical); weights floor to integer millionths so the
+    // cross-group sum is exact integer addition
+    "q65_temperature_mix" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n, " +
+        "  CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w " +
+        "  FROM documents GROUP BY lang), " +
+        "t AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw, " +
+        "  CAST(SUM(n) AS BIGINT) AS total FROM c), " +
+        "th AS (SELECT lang, CAST(FLOOR(LEAST(1000000.0, " +
+        "  0.4 * CAST(total AS DOUBLE) * CAST(w AS DOUBLE) * 1000000.0 / " +
+        "  (CAST(sumw AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS thr " +
+        "  FROM c, t) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang " +
+        "WHERE (d.doc_id * 2654435761) % 1000000 < th.thr"),
     "q61_length_outliers" ->
       ("WITH st AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens " +
         "  FROM documents), " +
