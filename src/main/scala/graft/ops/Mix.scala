@@ -25,32 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object Mix {
 
-  /** The kept subset. Output columns: `idCol`, `groupCol`. */
+  /** The kept subset. Output columns: `idCol`, `groupCol`. Rows with a
+    * NULL group are excluded entirely — from the counts AND the output
+    * (counting them while the equi-join made them unselectable would
+    * silently depress every real group's rate).
+    */
   def temperatureMix(docs: DataFrame, groupCol: String, idCol: String,
       targetFraction: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1, "0 < targetFraction <= 1")
-    val counts = docs.groupBy(groupCol)
-      .agg(count(lit(1)).as("n"))
-      .withColumn("w",
-        floor(sqrt(col("n").cast("double")) * 1000000.0).cast("long"))
-    // "__sumw"/"__total", not "S"/"N": Spark resolves case-insensitively,
-    // so a totals column "N" would collide with the per-group count "n"
-    val totals = counts.agg(sum(col("w")).as("__sumw"),
-      sum(col("n")).as("__total"))
+    // internal columns are double-underscore-prefixed: a caller's groupCol
+    // named "n"/"w" (Spark resolves case-insensitively) must not collide
+    val selectable = docs.where(col(groupCol).isNotNull)
+    val counts = selectable.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        floor(sqrt(col("__n").cast("double")) * 1000000.0).cast("long"))
+    val totals = counts.agg(sum(col("__w")).as("__sumw"),
+      sum(col("__n")).as("__total"))
     // identical operation ORDER to the oracle SQL — IEEE scalar arithmetic
     // is deterministic given identical operands and op order
     val rate = least(lit(1000000.0),
-      lit(targetFraction) * col("__total").cast("double") * col("w").cast("double") *
-        lit(1000000.0) / (col("__sumw").cast("double") * col("n").cast("double")))
+      lit(targetFraction) * col("__total").cast("double") * col("__w").cast("double") *
+        lit(1000000.0) / (col("__sumw").cast("double") * col("__n").cast("double")))
     val thresholds = counts.crossJoin(totals)
       .select(col(groupCol), floor(rate).cast("long").as("__thr"))
-    // Knuth multiplicative hash into [0, 1e6): the multiplier is odd and
-    // coprime to 1e6, so consecutive ids cycle through the FULL range —
-    // a small multiplier (q43's 1000003 ≡ 3 mod 1e6) would map small ids
-    // to tiny values and select everything below any realistic threshold
-    docs.select(idCol, groupCol)
+    // Knuth multiplicative hash into [0, 1e6). The id is reduced mod 1e6
+    // BEFORE multiplying: (id·m) mod 1e6 == ((id mod 1e6)·(m mod 1e6))
+    // mod 1e6, and the reduced product maxes at ~4.4e11 — a direct
+    // id·2654435761 overflows long for ids above ~3.5e9 (ANSI mode would
+    // throw exactly at the corpus sizes this operator targets). The
+    // multiplier is coprime to 1e6, so consecutive ids cycle the FULL
+    // range — a small one (q43's 1000003 ≡ 3 mod 1e6) maps small ids to
+    // tiny values and selects everything below any realistic threshold.
+    selectable.select(idCol, groupCol)
       .join(thresholds, groupCol)
-      .where(pmod(col(idCol) * 2654435761L, lit(1000000L)) < col("__thr"))
+      .where(pmod(pmod(col(idCol), lit(1000000L)) * 435761L, lit(1000000L))
+        < col("__thr"))
       .select(idCol, groupCol)
   }
 }

@@ -24,20 +24,25 @@ object JoinOps {
   private def deleteOnExit(dir: String): Unit =
     if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Paths}
-        try {
-          val p = Paths.get(dir)
-          if (Files.exists(p)) {
-            val walk = Files.walk(p)
-            try {
-              val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
-              while (it.hasNext) {
-                try Files.deleteIfExists(it.next())
-                catch { case _: java.io.IOException => /* best-effort */ }
-              }
-            } finally walk.close()
+        import java.io.IOException
+        import java.nio.file._
+        import java.nio.file.attribute.BasicFileAttributes
+        // walkFileTree with continue-on-failure, NOT Files.walk: the
+        // stream iterator throws UncheckedIOException on an unreadable or
+        // vanished entry and would abandon every remaining deletion
+        try Files.walkFileTree(Paths.get(dir), new SimpleFileVisitor[Path] {
+          override def visitFile(f: Path, a: BasicFileAttributes) = {
+            try Files.deleteIfExists(f) catch { case _: IOException => }
+            FileVisitResult.CONTINUE
           }
-        } catch { case scala.util.control.NonFatal(_) => /* best-effort */ }
+          override def visitFileFailed(f: Path, e: IOException) =
+            FileVisitResult.CONTINUE
+          override def postVisitDirectory(d: Path, e: IOException) = {
+            try Files.deleteIfExists(d) catch { case _: IOException => }
+            FileVisitResult.CONTINUE
+          }
+        })
+        catch { case scala.util.control.NonFatal(_) => /* dir absent */ }
       }))
 
   /** Bucketed fact⋈fact join: orders and lineitem are materialized

@@ -390,7 +390,7 @@ object TextOps {
         "  (CAST(sumw AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS thr " +
         "  FROM c, t) " +
         "SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang " +
-        "WHERE (d.doc_id * 2654435761) % 1000000 < th.thr"),
+        "WHERE ((d.doc_id % 1000000) * 435761) % 1000000 < th.thr"),
     "q61_length_outliers" ->
       ("WITH st AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens " +
         "  FROM documents), " +

@@ -24,6 +24,27 @@ class MixSpec extends AnyFunSuite {
     assert(byGrp("a") > 250 && byGrp("a") < 350, s"got ${byGrp("a")}")
   }
 
+  test("null-group rows are excluded from counts and output") {
+    val withNulls = docs.union(
+      (2001L to 2500L).map((_, Option.empty[String])).toDF("doc_id", "grp"))
+    val kept = Mix.temperatureMix(withNulls, "grp", "doc_id", 0.4)
+      .as[(Long, String)].collect()
+    // identical result to the null-free corpus: null rows neither appear
+    // nor depress the real groups' rates
+    val base = Mix.temperatureMix(docs, "grp", "doc_id", 0.4)
+      .as[(Long, String)].collect()
+    assert(kept.toSet == base.toSet)
+  }
+
+  test("hash is safe for ids beyond the long-multiplication overflow point") {
+    val huge = ((1L to 200L).map(i => (4000000000L + i, "a")) ++
+      (1L to 50L).map(i => (8000000000L + i, "b"))).toDF("doc_id", "grp")
+    // must not throw (ANSI overflow) and must stay deterministic
+    val kept = Mix.temperatureMix(huge, "grp", "doc_id", 0.5)
+      .as[(Long, String)].collect()
+    assert(kept.nonEmpty && kept.forall(_._1 > 4000000000L))
+  }
+
   test("selection is identical across runs and partitionings") {
     def run(parts: Int) = Mix
       .temperatureMix(docs.repartition(parts), "grp", "doc_id", 0.4)
