@@ -66,6 +66,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("pre-epoch timestamps bin correctly (floor, not truncate-toward-zero)") {
+    // 1965: negative epoch micros. Truncating division would round the bin
+    // UP for negatives, shifting the interval's bin range off by one and
+    // silently losing matches at bin boundaries.
+    val intervals = Seq((1L, ts("1965-06-01 23:30:00"))).toDF("iv_id", "start")
+    val points = Seq(
+      (10L, ts("1965-06-01 23:30:00")), // == start: in
+      (11L, ts("1965-06-02 00:15:00")), // next day, inside window: in
+      (12L, ts("1965-06-02 00:30:00")), // == end: out
+      (13L, ts("1965-06-01 23:29:59"))) // before: out
+      .toDF("p_id", "at")
+    val got = RangeJoin
+      .pointInInterval(intervals, points, "start", widthSec = 3600, pointCol = "at")
+      .select("p_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(10L, 11L))
+  }
+
   test("a sub-width bin explodes intervals wider but finds the same pairs") {
     val intervals = Seq((1L, ts("2024-01-01 00:30:00"))).toDF("iv_id", "start")
     val points = Seq(
