@@ -44,6 +44,29 @@ class BpeSpec extends AnyFunSuite {
     assert(counts("er") == 2L)
   }
 
+  test("applyMerge matches a driver-side greedy reference on random inputs") {
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val rnd = new scala.util.Random(77)
+    val alphabet = Vector("a", "b", "c", "ab", "bc")
+    val cases = Seq.fill(60) {
+      val syms = Seq.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size)))
+      val a = alphabet(rnd.nextInt(alphabet.size))
+      val b = alphabet(rnd.nextInt(alphabet.size))
+      (syms, a, b)
+    }
+    for (((syms, a, b), i) <- cases.zipWithIndex) {
+      val got = Seq(syms).toDF("syms")
+        .select(Bpe.applyMerge(col("syms"), a, b).as("m"))
+        .as[Seq[String]].head()
+      assert(got == ref(syms, a, b), s"case $i: syms=$syms merge=($a,$b)")
+    }
+  }
+
   test("trainMerges stops early when no pairs remain") {
     val tiny = Seq("ab ab").toDF("text")
     val merges = Bpe.trainMerges(tiny, "text", numMerges = 10)
