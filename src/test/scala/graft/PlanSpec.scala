@@ -50,10 +50,18 @@ class PlanSpec extends AnyFunSuite {
   for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
       "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
       "q37_top_ngrams", "q39_sliding_window", "q45_asof_join",
-      "q48_token_quantiles", "q50_covar_corr", "q51_histogram")) {
+      "q48_token_quantiles", "q50_covar_corr", "q51_histogram",
+      "q64_media_dedup")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }
+  }
+
+  test("q56 pivot plans the two-stage pivot aggregation (no value-discovery job)") {
+    // declared pivot values plan as groupBy(status, priority) partials +
+    // the PivotFirst aggregate: exactly two exchanges, and critically NO
+    // separate distinct-collect job to discover the pivot column's values
+    assert(shuffles("q56_pivot") == 2)
   }
 
   test("q44 bucketed join is shuffle-free below the join (co-located buckets)") {
