@@ -44,6 +44,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("as-of matches the SQL argmax reference on random keyed time series") {
+    // seeded random fixtures with deliberate time ties and shared keys;
+    // reference = per left row, the right row maximizing (time, tiebreak)
+    // among same-key rows with time <= left time
+    val rnd = new scala.util.Random(424242)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val right = Seq.fill(30)((rnd.nextInt(nKeys).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(20) * 3600000L),
+        rnd.nextLong().abs % 1000, rnd.nextDouble()))
+      val left = Seq.tabulate(40)(i => (i.toLong, rnd.nextInt(nKeys + 1).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(22) * 3600000L)))
+      val expected = left.flatMap { case (id, k, t) =>
+        val q = right.filter(r => r._1 == k && !r._2.after(t))
+        if (q.isEmpty) None
+        else {
+          val best = q.maxBy(r => (r._2.getTime, r._3))
+          Some(id -> best._3)
+        }
+      }.toMap
+      val got = AsOfJoin.asOf(
+        left.toDF("id", "k", "t"), right.toDF("k", "t", "rid", "v"),
+        "k", "k", "t", "t", "rid", Seq("rid"))
+        .select($"id", $"asof.rid".as("rid"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("a null tiebreak loses time ties to any non-null tiebreak") {
     // SQL contract: ORDER BY time DESC, tiebreak DESC NULLS LAST LIMIT 1 —
     // the null-tb row wins only when it is the sole candidate
