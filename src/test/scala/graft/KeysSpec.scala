@@ -114,6 +114,26 @@ class KeysSpec extends AnyFunSuite {
       (4L, 1L, 1052L), (5L, 2L, 1052L)))
   }
 
+  test("packSequences invariants hold on random token streams") {
+    val rnd = new scala.util.Random(99)
+    val docs = (1L to 300L).map(i => (i, 1L + rnd.nextInt(4000)))
+    val max = 2048L
+    val got = Packing
+      .packSequences(docs.toDF("doc_id", "n_tokens").repartition(8),
+        Seq(col("doc_id").asc), "n_tokens", max)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offsets bounded; seq_id nondecreasing in layout order; each doc's
+    // start position reconstructs the exclusive prefix sum exactly
+    var prefix = 0L
+    for ((docId, n, seqId, off) <- got) {
+      assert(off >= 0 && off < max, s"doc $docId offset $off")
+      assert(seqId == prefix / max, s"doc $docId seq $seqId")
+      assert(off == prefix % max, s"doc $docId off $off")
+      prefix += n
+    }
+    assert(prefix == docs.map(_._2).sum) // token mass preserved
+  }
+
   test("keepFirst keeps exactly the first row per key under the order") {
     val df = Seq(("k1", 2, "b"), ("k1", 1, "a"), ("k2", 5, "z")).toDF("k", "ord", "v")
     val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord").asc))
