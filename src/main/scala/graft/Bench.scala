@@ -70,13 +70,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // median per query alongside the min: the min is the steady-state
+    // estimator, but a regression gate wants the run-to-run center — on a
+    // shared box single runs can swing several-fold, and a future verdict
+    // comparing medians is robust to one lucky/unlucky pass
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = allRuns.map { case (k, v) => k -> median(v) }
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val ms = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val rs = allRuns.map { case (k, v) =>
       s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val medianTotal = medians.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -2,6 +2,7 @@ package graft.keys
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.storage.StorageLevel
 
 /** Scalable global ordering index: assigns a contiguous 1-based position to
   * every row of a DataFrame under a total order, without ever funnelling the
@@ -36,13 +37,27 @@ object GlobalIndex {
       idxName: String,
       offset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+    val sorted = persistSorted(df, sortCols)
+    val indexed = sorted.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (offset + i + 1L))
     }
-    val schema = sorted.schema.add(StructField(idxName, LongType, nullable = false))
+    val schema = df.schema.add(StructField(idxName, LongType, nullable = false))
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Range-shuffle + per-partition sort, PERSISTED: both callers run two
+    * passes over the sorted rows (a counting/partial-sum pass, then the
+    * stamping pass). Without the persist the shuffle files are reused but
+    * the per-partition sort and the row decode re-execute for each pass —
+    * ~2× the sort CPU on the full corpus. Memory-and-disk with lineage
+    * retained: a lost block is recomputed, oversized partitions spill. No
+    * explicit unpersist — the stamped result is lazy, so the cache must
+    * outlive this call; the ContextCleaner frees the blocks once the
+    * returned frame (whose plan holds the only reference) is unreachable.
+    */
+  private def persistSorted(df: DataFrame, sortCols: Seq[Column]) =
+    df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Append column `sumName` = running (inclusive) sum of LongType column
     * `valueCol` in the total order given by `sortCols` — the distributed
@@ -66,15 +81,27 @@ object GlobalIndex {
       valueCol: String,
       sumName: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    require(sorted.schema(valueCol).dataType == LongType,
+    require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (cast upstream); exact long addition is the contract")
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
+    val vIdx = df.schema.fieldIndex(valueCol)
+    // nulls fail FAST with the contract spelled out: getLong on a null slot
+    // would return an opaque 0/NPE depending on the row backing, silently
+    // corrupting every downstream prefix. SUM-style null skipping is NOT
+    // offered — a running sum that silently drops rows would desynchronize
+    // from the row positions callers pair it with; filter or coalesce
+    // upstream to state the intent.
+    def valueAt(r: Row): Long = {
+      if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+        s"withRunningSum: null in '$valueCol' — the running sum is " +
+          "position-paired with its rows, so nulls cannot be skipped; " +
+          "coalesce or filter them upstream")
+      r.getLong(vIdx)
+    }
+    val rdd = persistSorted(df, sortCols)
     val partSums = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
+        it.foreach(r => s += valueAt(r))
         Iterator.single((pid, s))
       }
       .collect()
@@ -84,11 +111,11 @@ object GlobalIndex {
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = prefixes(pid)
       it.map { r =>
-        acc += r.getLong(vIdx)
+        acc += valueAt(r)
         Row.fromSeq(r.toSeq :+ acc)
       }
     }
-    val schema = sorted.schema.add(StructField(sumName, LongType, nullable = false))
+    val schema = df.schema.add(StructField(sumName, LongType, nullable = false))
     spark.createDataFrame(stamped, schema)
   }
 }

@@ -95,9 +95,14 @@ object NearDup {
     if (maxDf <= 0) {
       val withSize = idx.join(sizes, Seq(idCol))
       val left = withSize.select(col(idCol).as("i"), col("h"), col("n_sh").as("n_i"))
-      val right = withSize.select(col(idCol).as("j"), col("h"), col("n_sh").as("n_j"))
+      // the probe side's hash is RENAMED, not just re-selected: both sides
+      // descend from the same persisted index, so a bare col("h") on each
+      // would carry the same expression id and Spark would log a
+      // trivially-true 'h = h' warning while auto-disambiguating — a log
+      // line that trains readers to ignore warnings
+      val right = withSize.select(col(idCol).as("j"), col("h").as("hj"), col("n_sh").as("n_j"))
       val inter = left.join(right,
-          left("h") === right("h") && col("i") < col("j") &&
+          col("h") === col("hj") && col("i") < col("j") &&
             col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
             col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
         .groupBy("i", "j", "n_i", "n_j")
@@ -118,9 +123,11 @@ object NearDup {
       // dropped WITHOUT ever touching shingle sets — that is almost all of
       // them. Phase 2 (refine): the few survivors are verified against the
       // exact hash-set Jaccard.
+      // "hh" alias: hot descends from idx, so an unaliased h-on-h anti-join
+      // would be a same-expression-id self-join (see the "hj" note above)
       val hot = idx.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("h")
-      val capped = idx.join(hot, Seq("h"), "left_anti")
+        .filter(col("df") > maxDf).select(col("h").as("hh"))
+      val capped = idx.join(hot, col("h") === col("hh"), "left_anti")
       val cappedSizes = capped.groupBy(idCol).agg(count(lit(1)).as("n_cap"))
       val stats = sizes.join(cappedSizes, Seq(idCol), "left_outer")
         .select(col(idCol), col("n_sh"),
@@ -128,10 +135,10 @@ object NearDup {
       val withSize = capped.join(stats, Seq(idCol))
       val left = withSize.select(col(idCol).as("i"), col("h"),
         col("n_sh").as("n_i"), col("n_hot").as("hot_i"))
-      val right = withSize.select(col(idCol).as("j"), col("h"),
+      val right = withSize.select(col(idCol).as("j"), col("h").as("hj"),
         col("n_sh").as("n_j"), col("n_hot").as("hot_j"))
       val cand = left.join(right,
-          left("h") === right("h") && col("i") < col("j") &&
+          col("h") === col("hj") && col("i") < col("j") &&
             col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
             col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
         .groupBy("i", "j", "n_i", "n_j", "hot_i", "hot_j")
@@ -255,7 +262,8 @@ object NearDup {
     val banded = sigs.select(col(idCol),
       explode(lshBandBuckets(col("sig"), bands, rowsPerBand)).as("bucket"))
     val cand = banded.select(col(idCol).as("i"), col("bucket"))
-      .join(banded.select(col(idCol).as("j"), col("bucket")), Seq("bucket"))
+      .join(banded.select(col(idCol).as("j"), col("bucket").as("bucketj")),
+        col("bucket") === col("bucketj")) // renamed: see ngramJaccardPairs
       .filter(col("i") < col("j"))
       .select("i", "j")
       .distinct()
@@ -341,7 +349,8 @@ object NearDup {
     val idx = postings(docs, idCol, textCol, n)
     val fp = simhashFromHashes(idx, idCol)
     val cand = fp.select(col(idCol).as("i"), col("fp"))
-      .join(fp.select(col(idCol).as("j"), col("fp")), Seq("fp"))
+      .join(fp.select(col(idCol).as("j"), col("fp").as("fpj")),
+        col("fp") === col("fpj")) // renamed: see ngramJaccardPairs
       .filter(col("i") < col("j"))
       .select("i", "j")
     val sets = hashSets(idx, idCol)
@@ -385,8 +394,9 @@ object NearDup {
           shiftright(col("fp"), offsets(c)).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("chunk"))
     chunked.select(col(idCol).as("i"), col("fp").as("fp_i"), col("chunk"))
-      .join(chunked.select(col(idCol).as("j"), col("fp").as("fp_j"), col("chunk")),
-        Seq("chunk"))
+      .join(chunked.select(col(idCol).as("j"), col("fp").as("fp_j"),
+        col("chunk").as("chunkj")),
+        col("chunk") === col("chunkj")) // renamed: see ngramJaccardPairs
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), hamming(col("fp_i"), col("fp_j")).as("hamming"))
       .distinct()

@@ -62,9 +62,14 @@ object RangeJoin {
     val p = micros(col(pointCol))
     val pt = points.withColumn("__bin", floorDiv(p, bUs))
 
-    iv.join(pt, Seq("__bin"))
-      .where(micros(col(pointCol)) >= micros(col(startCol)) &&
-        micros(col(pointCol)) < micros(col(startCol)) + lit(wUs))
-      .drop("__bin")
+    // the range predicate resolves each time column against ITS OWN side
+    // (iv(startCol) / pt(pointCol), captured pre-join): resolving by bare
+    // name after the join would throw an ambiguous-reference error whenever
+    // the two inputs share a column name — including startCol == pointCol
+    val start = micros(iv(startCol))
+    val point = micros(pt(pointCol))
+    iv.join(pt, iv("__bin") === pt("__bin"))
+      .where(point >= start && point < start + lit(wUs))
+      .drop(iv("__bin")).drop(pt("__bin"))
   }
 }

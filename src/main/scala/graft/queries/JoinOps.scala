@@ -14,37 +14,6 @@ object JoinOps {
 
   import QueryHelpers._
 
-  /** Per-application layout dirs are deleted at JVM exit — without this,
-    * every bench/CI run would leave a dataset-sized directory in tmpdir.
-    * The hook swallows traversal/deletion errors (a file vanishing or
-    * locked mid-walk must not kill the hook and abandon the rest) and
-    * closes the walk stream.
-    */
-  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def deleteOnExit(dir: String): Unit =
-    if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.io.IOException
-        import java.nio.file._
-        import java.nio.file.attribute.BasicFileAttributes
-        // walkFileTree with continue-on-failure, NOT Files.walk: the
-        // stream iterator throws UncheckedIOException on an unreadable or
-        // vanished entry and would abandon every remaining deletion
-        try Files.walkFileTree(Paths.get(dir), new SimpleFileVisitor[Path] {
-          override def visitFile(f: Path, a: BasicFileAttributes) = {
-            try Files.deleteIfExists(f) catch { case _: IOException => }
-            FileVisitResult.CONTINUE
-          }
-          override def visitFileFailed(f: Path, e: IOException) =
-            FileVisitResult.CONTINUE
-          override def postVisitDirectory(d: Path, e: IOException) = {
-            try Files.deleteIfExists(d) catch { case _: IOException => }
-            FileVisitResult.CONTINUE
-          }
-        })
-        catch { case scala.util.control.NonFatal(_) => /* dir absent */ }
-      }))
-
   /** Bucketed fact⋈fact join: orders and lineitem are materialized
     * bucketed by their join key (8 buckets, sorted), then joined and
     * aggregated. The join itself plans ZERO Exchange — the only shuffle
@@ -60,8 +29,10 @@ object JoinOps {
     // bucket layout mid-read, and hashCode alone can collide across dirs
     val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
       .replaceAll("[^A-Za-z0-9_]", "_")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
-    deleteOnExit(base)
+    // layout lifetime is HARNESS-owned ([[graft.core.Scratch]] removes the
+    // dir at JVM exit); a real deployment passes saveBucketed a warehouse
+    // path it owns instead
+    val base = graft.core.Scratch.ephemeralDir(s"graft_bucketed_$tag")
     val o = Bucketing.saveBucketed(
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
       s"graft_orders_b$tag", s"$base/orders", 8, "o_orderkey")

@@ -378,11 +378,14 @@ object TextOps {
         "COUNT(*) AS n_rows FROM documents GROUP BY lang"),
     // mirror Mix.temperatureMix's exact op order: sqrt is correctly-rounded
     // IEEE (engine-identical); weights floor to integer millionths so the
-    // cross-group sum is exact integer addition
+    // cross-group sum is exact integer addition. NULL-group rows are
+    // excluded from the counts exactly as temperatureMix excludes them —
+    // counting them here would inflate sumw/total and depress every real
+    // group's threshold the moment the corpus gains a null lang
     "q65_temperature_mix" ->
       ("WITH c AS (SELECT lang, COUNT(*) AS n, " +
         "  CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w " +
-        "  FROM documents GROUP BY lang), " +
+        "  FROM documents WHERE lang IS NOT NULL GROUP BY lang), " +
         "t AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw, " +
         "  CAST(SUM(n) AS BIGINT) AS total FROM c), " +
         "th AS (SELECT lang, CAST(FLOOR(LEAST(1000000.0, " +
