@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension point, registered via `spark.sql.extensions` (the
   * public `SparkSessionExtensions` API — SURVEY §7.3's prescribed seam for
@@ -16,6 +17,11 @@ import org.apache.spark.sql.types.IntegerType
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
   *    winnowing document fingerprint. Algorithm parameters (n, k, w) must
   *    be integer literals — they are parameters, not data.
+  *  - `graft_bpe(token, merges)` → [[BpeEncode]]: BPE subword segmentation
+  *    with a trained merge table. `merges` must be a string LITERAL in
+  *    merges.txt layout (one `left right` pair per line, rank order) — it
+  *    is parsed ONCE at plan time into the expression's constant rank
+  *    table, not evaluated per row.
   *
   * Being registered functions (not Column helpers) also makes the
   * expressions available to plain SQL users: `SELECT graft_dot(x, y)`.
@@ -42,6 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_shingles takes exactly 2 arguments")
         WordShingles(children.head, litInt(children(1), "graft_shingles", "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_bpe takes exactly 2 arguments")
+        val spec = children(1) match {
+          case Literal(v: UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe: merges must be a string literal, got $other")
+        }
+        BpeEncode(children.head, BpeTable.parse(spec))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),

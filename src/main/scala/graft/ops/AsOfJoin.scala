@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** As-of join — attach to every left row the single most recent right row
   * at or before the left row's time, per key. The canonical time-series /
@@ -31,16 +32,59 @@ import org.apache.spark.sql.functions._
   * `rightTime` within a key resolve to the greatest `tiebreak`
   * (deterministic output; mirrors `ORDER BY time DESC, tiebreak DESC
   * LIMIT 1` semantics).
+  *
+  * ==Hot-key skew: the two-level carry (`bucketSec > 0`)==
+  *
+  * A window partitioned by the key alone funnels a hot key's FULL history
+  * through one task — and AQE cannot split a window partition the way it
+  * splits a skewed sort-merge join. With `bucketSec > 0` the carry runs in
+  * two levels, bounding any single task's share by the bucket width:
+  *
+  *   1. within-bucket: the same running carry, partitioned by
+  *      (key, floor(time / bucketSec)) — a hot key's rows spread over its
+  *      time buckets;
+  *   2. per (key, bucket), the bucket's FINAL right payload (the argmax
+  *      right row by (time, tiebreak) — one row per non-empty bucket);
+  *   3. the bucket-boundary carry: per key, the latest final payload of any
+  *      STRICTLY earlier bucket, via a window over the (key, bucket) spine
+  *      — rows per partition = buckets per key, not rows per key;
+  *   4. each row's answer = coalesce(within-bucket carry, boundary carry),
+  *      joined back on (key, bucket) — the big side is already hash-
+  *      partitioned on exactly those columns by step 1's window, so the
+  *      join re-shuffles only the tiny spine.
+  *
+  * Any right row in the row's own bucket is strictly newer than every
+  * right row of an earlier bucket, so the coalesce preference order IS the
+  * time order and the semantics are identical to the single-level carry
+  * (property-tested across bucket widths).
   */
 object AsOfJoin {
 
+  /** Numeric bucket id `floor(time / bucketSec)` for timestamp, date, or
+    * numeric time columns. Timestamps quantize on epoch seconds (the
+    * engine session is pinned UTC, where the NTZ→TZ cast is the identity
+    * on the wall-clock value); numeric time is taken in its own units.
+    */
+  private def bucketOf(c: Column, dt: org.apache.spark.sql.types.DataType,
+      bucketSec: Long): Column = dt match {
+    case TimestampType | TimestampNTZType | DateType =>
+      Num.floorDiv(unix_micros(c.cast("timestamp")), bucketSec * 1000000L)
+    case _: NumericType => Num.floorDiv(c.cast("long"), bucketSec)
+    case other => throw new IllegalArgumentException(
+      s"asOf bucketing needs a timestamp/date/numeric time column, got $other")
+  }
+
   /** @param rightCols right columns to carry onto the left row; returned as
     *   fields of a single `asof` struct column appended to the left schema.
+    * @param bucketSec 0 = single-level carry (one window per key); > 0 =
+    *   two-level carry with the per-task share of a hot key bounded by the
+    *   bucket width (see class doc). Identical results either way.
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tiebreak: String, rightCols: Seq[String]): DataFrame = {
+      tiebreak: String, rightCols: Seq[String],
+      bucketSec: Long = 0L): DataFrame = {
     // Null right keys/times can never satisfy the SQL contract
     // (`rightKey = leftKey AND rightTime <= leftTime` is UNKNOWN on null),
     // but the asc-nulls-first window order would treat a null-time right
@@ -71,10 +115,50 @@ object AsOfJoin {
     // null-tiebreak right row must sort before its non-null time-twins —
     // mirroring `ORDER BY time DESC, tiebreak DESC NULLS LAST LIMIT 1`
     // (a null tiebreak wins only when it is the sole candidate)
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))
+    val carried =
+      if (bucketSec <= 0L) {
+        val w = Window.partitionBy("__k")
+          .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))
+      } else {
+        val ub = u.withColumn("__b",
+          bucketOf(col("__t"), u.schema("__t").dataType, bucketSec))
+        // level 1: the same running carry, but the partition adds the time
+        // bucket — a hot key's history spreads over its buckets
+        val wIn = Window.partitionBy("__k", "__b")
+          .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = ub.withColumn("__w", last(col("__rp"), ignoreNulls = true).over(wIn))
+        // level 2a: each non-empty bucket's final right payload — the argmax
+        // right row by (time, tiebreak DESC NULLS LAST), one row per bucket
+        val wFin = Window.partitionBy("__k", "__b")
+          .orderBy(col("__t").desc, col("__tb").desc_nulls_last)
+        val finals = ub.filter(col("__side") === 0)
+          .withColumn("__rn", row_number().over(wFin))
+          .filter(col("__rn") === 1)
+          // renamed key/bucket: finals and the spine both descend from u, so
+          // bare-name equi-joins would be same-expression-id self-joins
+          .select(col("__k").as("__fk"), col("__b").as("__fb"), col("__rp").as("__bf"))
+        // level 2b: boundary carry over the (key, bucket) SPINE — every
+        // bucket either side touches, so a left-only bucket still sees the
+        // latest earlier final. Partition rows = buckets per key, bounded by
+        // the key's time span / bucketSec, never by its row count.
+        val spine = ub.select("__k", "__b").distinct()
+          .join(finals, col("__k") === col("__fk") && col("__b") === col("__fb"),
+            "left_outer")
+        val wB = Window.partitionBy("__k").orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val incoming = spine
+          .withColumn("__in", last(col("__bf"), ignoreNulls = true).over(wB))
+          .select(col("__k").as("__ik"), col("__b").as("__ib"), col("__in"))
+        // the big side arrives hash-partitioned on (__k, __b) from wIn, so
+        // this join only shuffles the tiny spine
+        within
+          .join(incoming, col("__k") === col("__ik") && col("__b") === col("__ib"))
+          .withColumn("__asof", coalesce(col("__w"), col("__in")))
+      }
+    carried
       .filter(col("__side") === 1 && col("__asof").isNotNull)
       .select((leftCols.map(c => col(s"__lp.$c").as(c)) :+
         col("__asof").as("asof")): _*)

@@ -28,6 +28,16 @@ object Bpe {
       .groupBy("tok")
       .agg(count(lit(1)).as("freq"))
 
+  /** A token's initial symbol array: one element per Unicode CODE POINT —
+    * `(?s).` matches exactly one code point, where `split(tok, "")` cuts
+    * between UTF-16 units and would hand surrogate HALVES to the merge
+    * loop on non-BMP text. Identical on BMP text, and the same unit
+    * [[graft.functions.BpeCodec]] encodes with, so trained merges and the
+    * encoder always agree on what a symbol is.
+    */
+  def symbols(tok: Column): Column =
+    regexp_extract_all(tok, lit("(?s)."), lit(0))
+
   /** Adjacent symbol-pair counts over (syms: array<string>, freq: long),
     * weighted by token frequency. Output: (l, r, freq).
     */
@@ -63,7 +73,7 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(Int, String, String, Long)] = {
     var vocab = tokenFreqs(docs, textCol)
-      .select(split(col("tok"), "").as("syms"), col("freq"))
+      .select(symbols(col("tok")).as("syms"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
@@ -84,5 +94,43 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Segment a token column into BPE pieces with a trained merge table —
+    * the ENCODING half of the tokenizer: [[trainMerges]] runs once, this
+    * runs over every token of the corpus. Delegates to the native
+    * codegen'd kernel ([[graft.functions.BpeEncode]], injected as
+    * `graft_bpe`): the ranked merges ride the plan as the expression's
+    * constant table (one parse at plan time, a hash probe per adjacent
+    * pair at run time — per-token cost independent of table size), and
+    * the per-row work stays inside whole-stage codegen. Map-only.
+    */
+  def encodePieces(tok: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe", tok,
+      lit(graft.functions.BpeTable.format(merges)))
+
+  /** Tokenize a corpus at scale: (idCol, pos, tok, pieces), one row per
+    * token occurrence, `pos` its 0-based position in the document.
+    *
+    * The encode itself runs over the DISTINCT-token vocabulary, not the
+    * corpus — the vocabulary is bounded (Heaps' law: sublinear in corpus
+    * size) while occurrences are not, so at 100 TB the expensive merge
+    * loop executes once per distinct token and the full-corpus work is an
+    * equi-join of occurrences to their encoding on the token string.
+    * Spark broadcasts the vocabulary side while it fits (AQE decides from
+    * its measured size); past that it degrades to a hash join shuffling
+    * (token, pieces) pairs — never document text.
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val occurrences = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ", -1)))
+      .where(length(col("col")) > 0)
+      .select(col(idCol), col("pos"), col("col").as("tok"))
+    val vocab = occurrences.select("tok").distinct()
+      .select(col("tok").as("__vtok"), // renamed: vocab descends from occurrences
+        encodePieces(col("tok"), merges).as("pieces"))
+    occurrences.join(vocab, col("tok") === col("__vtok"))
+      .select(idCol, "pos", "tok", "pieces")
   }
 }

@@ -51,6 +51,10 @@ object JoinOps {
   /** As-of join: every user event picks up the user's most recent order at
     * or before the event time ([[AsOfJoin]] — one shuffle on the key, no
     * pair blowup). Ties on order date resolve to the greatest order key.
+    * Runs the TWO-LEVEL carry (90-day buckets): the carry windows partition
+    * by (user, quarter), so one hot user's multi-year history can never
+    * funnel through a single task — the skew posture q46 takes for its
+    * join, applied to the as-of window.
     */
   private def q45AsofJoin(s: SparkSession, d: String): DataFrame =
     AsOfJoin.asOf(
@@ -58,7 +62,8 @@ object JoinOps {
       Tables.orders(s, d),
       leftKey = "user_id", rightKey = "o_custkey",
       leftTime = "ts", rightTime = "o_orderdate",
-      tiebreak = "o_orderkey", rightCols = Seq("o_orderkey", "o_totalprice"))
+      tiebreak = "o_orderkey", rightCols = Seq("o_orderkey", "o_totalprice"),
+      bucketSec = 90L * 86400L)
       .select(col("event_id"), col("user_id"),
         col("asof.o_orderkey").as("asof_orderkey"),
         col("asof.o_totalprice").as("asof_totalprice"))

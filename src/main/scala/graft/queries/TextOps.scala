@@ -205,9 +205,40 @@ object TextOps {
   private def q60BpePairs(s: SparkSession, d: String): DataFrame =
     graft.ops.Bpe.pairCounts(
       graft.ops.Bpe.tokenFreqs(Tables.documents(s, d), "text")
-        .select(split(col("tok"), "").as("syms"), col("freq")))
+        .select(graft.ops.Bpe.symbols(col("tok")).as("syms"), col("freq")))
       .select(concat(col("l"), col("r")).as("pair"), col("freq"))
       .where(col("freq") >= 50)
+
+  /** BPE ENCODING with a fixed merge table ([[graft.ops.Bpe.encodePieces]]
+    * — the native `graft_bpe` kernel): segment every distinct corpus token
+    * into subword pieces, applying the ranked merges to their
+    * leftmost-greedy fixpoint in rank order. The table is a pinned
+    * constant here (training's output is covered by q60 + BpeSpec) so the
+    * oracle can replay the exact merge sequence — as a DuckDB RECURSIVE
+    * CTE doing one leftmost replacement per step over a
+    * boundary-delimited symbol string, which is step-for-step the
+    * kernel's contract. Letter-only tokens keep the oracle's '/'
+    * delimiter unambiguous. Vocabulary-sized output: the corpus is
+    * touched once (the token-frequency agg feeding the distinct-token
+    * list); see [[graft.ops.Bpe.encodeCorpus]] for the occurrence-level
+    * join-back.
+    */
+  private def q66BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val p = graft.ops.Bpe.encodePieces(col("tok"), q66Merges)
+    graft.ops.Bpe.tokenFreqs(Tables.documents(s, d), "text")
+      .where(col("tok").rlike("^[A-Za-z]+$"))
+      .select(col("tok"), p.as("__p"))
+      .select(col("tok"), array_join(col("__p"), " ").as("pieces"),
+        size(col("__p")).as("n_pieces"))
+  }
+
+  /** A realistic English-bigram head, deliberately including CHAINED merges
+    * (es→est, th→the, an→and) so the oracle exercises rank ordering, not
+    * just independent pair replacement.
+    */
+  private val q66Merges = Seq(
+    "e" -> "s", "es" -> "t", "t" -> "h", "th" -> "e", "i" -> "n",
+    "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
 
   /** Corpus-relative outlier filter: documents whose token count exceeds
     * their language's p75 — the Gopher-style "threshold derived FROM the
@@ -242,6 +273,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_bigram_counts" -> q59BigramCounts _,
     "q60_bpe_pairs" -> q60BpePairs _,
+    "q66_bpe_encode" -> q66BpeEncode _,
     "q61_length_outliers" -> q61LengthOutliers _,
     "q65_temperature_mix" -> q65TemperatureMix _,
     "q20_exact_dedup" -> q20ExactDedup _,
@@ -304,7 +336,40 @@ object TextOps {
       s"CASE WHEN $stop >= 0.005 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality"
   }
 
+  /** q66's oracle replays the kernel's contract mechanically: symbols as a
+    * '/'-delimited string ('/l/o/w/'), merges in rank order, each applied
+    * by replacing the FIRST occurrence of '/l/r/' until none remains
+    * (leftmost single replacement iterated = the leftmost-greedy pass: a
+    * merge's output can never recreate its own pair to the left). The
+    * recursion carries (token, state, current rank); a row advances to
+    * rank+1 when its state has no occurrence at the current rank, and
+    * finishes past the last rank. Generated FROM `q66Merges`, so query and
+    * oracle cannot drift.
+    */
+  private def q66OracleSql: String = {
+    val values = q66Merges.zipWithIndex.map { case ((l, r), i) =>
+      s"(${i + 1}, '/$l/$r/', '/$l$r/')"
+    }.mkString(", ")
+    "WITH RECURSIVE m(r, find, repl) AS (VALUES " + values + "), " +
+      "toks AS (SELECT DISTINCT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok " +
+      "  FROM documents) WHERE regexp_matches(tok, '^[A-Za-z]+$')), " +
+      "init AS (SELECT tok, '/' || array_to_string(string_split(tok, ''), '/') || '/' AS s " +
+      "  FROM toks), " +
+      "enc(tok, s, r) AS (SELECT tok, s, 1 AS r FROM init " +
+      "  UNION ALL SELECT e.tok, " +
+      "  CASE WHEN strpos(e.s, m.find) > 0 " +
+      "    THEN substr(e.s, 1, strpos(e.s, m.find) - 1) || m.repl || " +
+      "      substr(e.s, strpos(e.s, m.find) + length(m.find)) " +
+      "    ELSE e.s END, " +
+      "  CASE WHEN strpos(e.s, m.find) > 0 THEN e.r ELSE e.r + 1 END " +
+      "  FROM enc e JOIN m ON m.r = e.r), " +
+      s"fin AS (SELECT tok, trim(s, '/') AS t FROM enc WHERE r = ${q66Merges.size + 1}) " +
+      "SELECT tok, replace(t, '/', ' ') AS pieces, " +
+      "CAST(len(string_split(t, '/')) AS INT) AS n_pieces FROM fin"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q66_bpe_encode" -> q66OracleSql,
     "q20_exact_dedup" ->
       ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
         s"ROW_NUMBER() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn " +

@@ -115,6 +115,63 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("two-level carry matches single-level across bucket widths") {
+    // the fixture exercises boundary cases (ties, inclusive match, empty
+    // buckets between versions); widths from 1 hour (every row its own
+    // bucket) to 10 years (everything in one bucket) must all agree
+    for (bucketSec <- Seq(3600L, 86400L, 7L * 86400L, 365L * 86400L, 3650L * 86400L)) {
+      val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid",
+        Seq("rid", "v"), bucketSec = bucketSec)
+        .select($"id", $"asof.rid".as("rid"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected, s"bucketSec=$bucketSec")
+    }
+  }
+
+  test("two-level carry matches the argmax reference on random hot-key series") {
+    // one hot key holds ~all rows — the skew case the bucketing exists for;
+    // correctness must be unchanged and ties must resolve identically
+    val rnd = new scala.util.Random(99173)
+    for (trial <- 1 to 4) {
+      val right = Seq.fill(400)((if (rnd.nextInt(10) == 0) 2L else 1L,
+        new Timestamp(1700000000000L + rnd.nextInt(200) * 3600000L),
+        rnd.nextLong().abs % 1000, rnd.nextDouble()))
+      val left = Seq.tabulate(300)(i => (i.toLong,
+        if (rnd.nextInt(10) == 0) 2L else 1L,
+        new Timestamp(1700000000000L + rnd.nextInt(220) * 3600000L)))
+      val expected = left.flatMap { case (id, k, t) =>
+        val q = right.filter(r => r._1 == k && !r._2.after(t))
+        if (q.isEmpty) None else Some(id -> q.maxBy(r => (r._2.getTime, r._3))._3)
+      }.toMap
+      val got = AsOfJoin.asOf(
+        left.toDF("id", "k", "t"), right.toDF("k", "t", "rid", "v"),
+        "k", "k", "t", "t", "rid", Seq("rid"), bucketSec = 6L * 3600L)
+        .select($"id", $"asof.rid".as("rid"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("two-level carry windows partition by (key, bucket), never key alone") {
+    // the skew guarantee is a PLAN property: every window over the unioned
+    // rows must include the bucket in its partition spec, so no task can be
+    // handed a hot key's full history (the boundary-carry window partitions
+    // by key alone, but its rows are one per (key, bucket) — bounded by the
+    // time span, not the row count)
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid",
+      Seq("rid"), bucketSec = 86400L)
+    val plan = out.queryExecution.optimizedPlan.toString
+    val windowSpecs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowSpecs.nonEmpty)
+    val rowCarries = windowSpecs.filter(l => l.contains("__t#") && l.contains("last("))
+    assert(rowCarries.nonEmpty, s"no running-carry window found in:\n$plan")
+    rowCarries.foreach { l =>
+      assert(l.contains("__b#"),
+        s"row-level carry window not bucket-partitioned:\n$l")
+    }
+  }
+
   test("as-of carries every requested right column and keeps left schema") {
     val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid", Seq("rid", "v"))
     assert(out.columns.toSeq == Seq("id", "k", "t", "asof"))

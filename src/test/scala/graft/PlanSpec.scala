@@ -49,12 +49,24 @@ class PlanSpec extends AnyFunSuite {
     */
   for (q <- Seq("q03_agg_groupby", "q07_distinct", "q17_keyed_dedup",
       "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
-      "q37_top_ngrams", "q39_sliding_window", "q45_asof_join",
+      "q37_top_ngrams", "q39_sliding_window",
       "q48_token_quantiles", "q50_covar_corr", "q51_histogram",
       "q64_media_dedup")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }
+  }
+
+  test("q45 as-of carry is partitioned by (key, bucket) — hot keys split across tasks") {
+    val p = plan("q45_asof_join").executedPlan.toString
+    // the full unioned row stream exchanges on (key, bucket), never on the
+    // key alone: a hot user's multi-year history spreads over its quarters
+    assert("hashpartitioning\\(__k#\\d+L?, __b#\\d+L?".r.findFirstIn(p).nonEmpty,
+      p.take(2000))
+    // the remaining exchanges carry bucket-level metadata only (the spine
+    // distinct + boundary carry, one row per (key, bucket)); the pinned
+    // total keeps a future edit from quietly re-shuffling the row stream
+    assert(shuffles("q45_asof_join") == 4, p.take(3000))
   }
 
   test("q56 pivot plans the two-stage pivot aggregation (no value-discovery job)") {
