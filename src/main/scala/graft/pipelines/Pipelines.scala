@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.ingest.{DocSource, ExtendedJsonDirSource, ExtendedJsonSource, Staging}
 import graft.keys.SurrogateKeys
+import graft.ops.Diff
 import graft.schema.TableSpec
 import graft.sink.{Ddl, UpsertDialect, UpsertSink}
 
@@ -175,6 +176,68 @@ object StreamingUpdatePipeline {
       }
       .start()
     query.awaitTermination()
+  }
+}
+
+/** Incremental update from FULL SNAPSHOTS — the reference's daily flow
+  * ([[DailyUpdatePipeline]], `dags/includes/user_table.py:127-167`) assumes
+  * the source drops a pre-computed delta CSV; many sources can only export
+  * everything. This variant computes the delta itself: read the snapshot,
+  * diff it against the LIVE table ([[graft.ops.Diff.snapshotDiff]] — one
+  * full-outer join on the business key, null-safe column compare), then
+  * apply each leg:
+  *
+  *  - insert/update keys: the snapshot rows for exactly those keys go
+  *    through the same reconcile-and-upsert path as a delta
+  *    ([[MigrationPipeline.load]]) — known keys keep their surrogate ids,
+  *    new keys extend contiguously;
+  *  - delete keys: batched keyed DELETE ([[graft.sink.UpsertSink
+  *    .deleteByKey]]) when `deleteVanished` — or retained for append-only
+  *    targets, the policy choice a delta source never has to make because
+  *    deltas simply omit deletions.
+  *
+  * Unchanged rows (the overwhelming majority of any daily snapshot) never
+  * reach the database: the diff compares exactly the columns the upsert
+  * could change (the policy's update set when declared), so the write cost
+  * scales with churn, not corpus — the entire point of diffing instead of
+  * re-upserting the snapshot wholesale.
+  */
+object SnapshotUpdatePipeline {
+
+  /** @param snapshotPath CSV directory in staging layout (same schema as
+    *   the daily delta drop)
+    * @param deleteVanished physically delete live rows whose key is absent
+    *   from the snapshot; false retains them
+    * @return (permissive-skipped row count, deleted row count)
+    */
+  def run(spark: SparkSession, spec: TableSpec, snapshotPath: String,
+      db: TargetDb, deleteVanished: Boolean = true): (Long, Long) = {
+    Ddl.ensureTable(db.url, spec.ddl(db.sqlType, db.supportsIfNotExists, db.supportsForeignKeys), db.props)
+    val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
+    val snapshot = Staging.read(spark, flatSchema, snapshotPath)
+    val key = MigrationPipeline.reconcileKey(spec)
+    val live = spark.read.jdbc(db.url, "\"" + spec.table + "\"", db.props)
+      .select(flatSchema.fieldNames.toSeq.map(col): _*)
+    // compare ONLY what the write could change: with an update-set policy a
+    // drifted non-updatable column would re-upsert forever (diff 'update'
+    // every day, write changes nothing); without one, every shared non-key
+    // column counts (snapshotDiff's default)
+    val cmp = spec.policy match {
+      case graft.sink.ConflictPolicy.UpdateOnConflict(_, upd) =>
+        upd.filter(flatSchema.fieldNames.contains)
+      case _ => Nil
+    }
+    val diff = Diff.snapshotDiff(live, snapshot, Seq(key), cmp)
+    val changedKeys = diff
+      .where(col("op").isin("insert", "update")).select(key)
+    val changed = snapshot.join(changedKeys, Seq(key), "left_semi")
+    val skipped = MigrationPipeline.load(spark, spec, changed, db, staging = None)
+    val deleted =
+      if (deleteVanished)
+        UpsertSink.deleteByKey(diff.where(col("op") === "delete").select(key),
+          db.url, spec.table, key, connectionProps = db.props)
+      else 0L
+    (skipped, deleted)
   }
 }
 

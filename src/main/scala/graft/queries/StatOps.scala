@@ -67,11 +67,33 @@ object StatOps {
     Diff.snapshotDiff(old, next, Seq("o_orderkey"))
   }
 
+  /** HLL++ approx-distinct with an exact-twin gate: per order priority,
+    * the exact distinct-customer count alongside a BOOLEAN asserting the
+    * approximate count (rsd 0.05) landed within 3·rsd of it. The oracle
+    * plants `within_bound = true` — if Spark's sketch ever drifts out of
+    * bound the hash check trips, making the error bound itself the
+    * oracle-checked contract (the approximate VALUE has no cross-engine
+    * twin; DuckDB's approx_count_distinct is a different sketch).
+    *
+    * At 100 TB the production call is the approx ALONE: one shuffle of
+    * fixed-size sketch partials with map-side merge, no distinct-expand of
+    * the key space. The exact twin here is the measurement harness, same
+    * pattern as q23's brute-force ANN baseline.
+    */
+  private def q67ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("__approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= 0.15).as("within_bound"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_covar_corr" -> q50CovarCorr _,
     "q51_histogram" -> q51Histogram _,
     "q62_null_profile" -> q62NullProfile _,
-    "q63_snapshot_diff" -> q63SnapshotDiff _)
+    "q63_snapshot_diff" -> q63SnapshotDiff _,
+    "q67_approx_distinct" -> q67ApproxDistinct _)
 
   // the oracle mirrors the exact finalization ORDER of Stats.covarCorr —
   // IEEE arithmetic is deterministic given identical operands and op order
@@ -86,6 +108,9 @@ object StatOps {
       "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q67_approx_distinct" ->
+      ("SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact, " +
+        "true AS within_bound FROM orders GROUP BY o_orderpriority"),
     "q50_covar_corr" ->
       ("WITH m AS (SELECT l_returnflag, COUNT(*) AS n_rows, " + momentsSql +
         " FROM lineitem GROUP BY l_returnflag), " +

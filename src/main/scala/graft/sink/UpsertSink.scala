@@ -253,6 +253,56 @@ object UpsertSink {
     skipped.value
   }
 
+  /** Batched keyed DELETE — the `delete` leg of a snapshot-diff apply
+    * ([[graft.pipelines.SnapshotUpdatePipeline]]). Same distribution shape
+    * as [[upsert]]: executors hold one connection each, `maxConnections`
+    * bounds the database's fan-in, one commit per statement batch. Input
+    * is a single-column frame of keys; duplicates are removed first (a
+    * second DELETE of the same key would be a harmless no-op, but its
+    * round trip is not free).
+    *
+    * @return number of rows the database reports deleted
+    */
+  def deleteByKey(keys: DataFrame, url: String, table: String, keyCol: String,
+      batchSize: Int = 1000, maxConnections: Int = 8,
+      connectionProps: Properties = new Properties): Long = {
+    val sqlText = "DELETE FROM \"" + table + "\" WHERE \"" + keyCol + "\" = ?"
+    val deleted = keys.sparkSession.sparkContext.longAccumulator("graft_upsert_deleted")
+    val distinct = keys.select(keyCol).distinct()
+    val writers = math.max(1, math.min(maxConnections, distinct.rdd.getNumPartitions))
+    val sized =
+      if (distinct.rdd.getNumPartitions > writers) distinct.repartition(writers)
+      else distinct
+    sized.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, connectionProps)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sqlText)
+          var pending = 0
+          def flush(): Unit = if (pending > 0) {
+            deleted.add(ps.executeBatch().map(math.max(0, _).toLong).sum)
+            conn.commit()
+            pending = 0
+          }
+          rows.foreach { row =>
+            ps.setObject(1, row.get(0))
+            ps.addBatch()
+            pending += 1
+            if (pending >= batchSize) flush()
+          }
+          flush()
+          ps.close()
+        } catch {
+          case t: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw t
+        } finally conn.close()
+      }
+    }
+    deleted.value
+  }
+
   private def bind(ps: PreparedStatement, row: Row, paramIdx: Seq[Int]): Unit = {
     var i = 0
     while (i < paramIdx.length) {

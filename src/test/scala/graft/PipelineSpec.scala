@@ -192,6 +192,65 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(queryAll("loanapplications", "id", "_id", "products", "status") == rows)
   }
 
+  test("snapshot pipeline: full snapshots diff into insert/update/delete legs") {
+    import graft.pipelines.SnapshotUpdatePipeline
+    val url7 = "jdbc:derby:memory:graftsnap;create=true"
+    val db7 = TargetDb(url7, DerbyUpsertDialect, TableSpec.derbyType,
+      supportsIfNotExists = false, supportsForeignKeys = false)
+    def queryAll7(cols: String*): Seq[Seq[Any]] = {
+      val conn = DriverManager.getConnection(url7)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT ${cols.map(q).mkString(", ")} FROM ${q("users")} ORDER BY ${q("id")}")
+        val out = Seq.newBuilder[Seq[Any]]
+        while (rs.next()) out += cols.indices.map(i => rs.getObject(i + 1)).toSeq
+        out.result()
+      } finally conn.close()
+    }
+    val header = Specs.users.targetSchema.fieldNames.filterNot(_ == "id").mkString(",")
+    def row(id: String, user: String, deleted: String, roles: String = "admin") =
+      s"63e1f0a1b2c3d4e5f6a7b8$id,$user,,,,,," +
+        s"""\"[\"\"$roles\"\"]\",$deleted,false,false,false,false,false,false,2022-11-02,2023-01-01"""
+    def drop(name: String, rows: Seq[String]): String = {
+      val dir = Paths.get(work, "snap", name)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("part-0.csv"),
+        String.join("\n", (header +: rows): _*).getBytes)
+      dir.toString
+    }
+
+    // day 1: cold start — every row is an insert against the empty table
+    val day1 = drop("day1", Seq(
+      row("c9", "jadoe", "false"), row("ca", "beth", "false"), row("cb", "zed", "false")))
+    assert(SnapshotUpdatePipeline.run(spark, Specs.users, day1, db7) == (0L, 0L))
+    assert(queryAll7("id", "_id").map(r => (r(0), r(1))) == Seq(
+      (1L, "63e1f0a1b2c3d4e5f6a7b8c9"), (2L, "63e1f0a1b2c3d4e5f6a7b8ca"),
+      (3L, "63e1f0a1b2c3d4e5f6a7b8cb")))
+
+    // day 2: c9 flips deleted (update), ca vanishes (delete), cb unchanged,
+    // cc appears (insert)
+    val day2 = drop("day2", Seq(
+      row("c9", "jadoe", "true"), row("cb", "zed", "false"),
+      row("cc", "newbie", "false")))
+    assert(SnapshotUpdatePipeline.run(spark, Specs.users, day2, db7) == (0L, 1L))
+    val rows2 = queryAll7("id", "_id", "username", "deleted")
+    assert(rows2.map(_(0)) == Seq(1L, 3L, 4L)) // ca's id 2 deleted, ids stable
+    assert(rows2(0)(3) == true) // c9 took the update
+    assert(rows2(1) == Seq(3L, "63e1f0a1b2c3d4e5f6a7b8cb", "zed", false)) // untouched
+    assert(rows2(2)(1) == "63e1f0a1b2c3d4e5f6a7b8cc") // insert got max+1
+
+    // replaying the same snapshot is a full no-op (idempotency)
+    assert(SnapshotUpdatePipeline.run(spark, Specs.users, day2, db7) == (0L, 0L))
+    assert(queryAll7("id", "_id", "username", "deleted") == rows2)
+
+    // day 3: cb vanishes but deleteVanished=false retains it (append-only)
+    val day3 = drop("day3", Seq(
+      row("c9", "jadoe", "true"), row("cc", "newbie", "false")))
+    assert(SnapshotUpdatePipeline.run(spark, Specs.users, day3, db7,
+      deleteVanished = false) == (0L, 0L))
+    assert(queryAll7("id", "_id", "username", "deleted") == rows2)
+  }
+
   test("DocSource seam: runFrom with a directory source loads identically") {
     // S1 production form: the source is a config object; swapping
     // extended-JSON files for the Mongo connector changes no pipeline code

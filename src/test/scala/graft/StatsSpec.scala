@@ -83,4 +83,36 @@ class StatsSpec extends AnyFunSuite {
     val bad = h.where(col("bin_lo") =!= col("bin") * lit(20000.0)).count()
     assert(bad == 0)
   }
+
+  test("approx_count_distinct stays within 3·rsd of the exact count (q67's gate)") {
+    // high-cardinality synthetic column across several group sizes and rsd
+    // settings — the bound q67 plants as its oracle-checked boolean. HLL++
+    // is deterministic on a fixed input set, so these are regression pins,
+    // not flaky statistical tests.
+    val df = (1 to 60000).map(i => (s"g${i % 3}", s"user_${i % 20011}"))
+      .toDF("g", "u")
+    for (rsd <- Seq(0.01, 0.05, 0.10)) {
+      val rows = df.groupBy("g")
+        .agg(countDistinct(col("u")).as("exact"),
+          approx_count_distinct(col("u"), rsd).as("approx"))
+        .as[(String, Long, Long)].collect()
+      for ((g, exact, approx) <- rows) {
+        val rel = math.abs(approx - exact).toDouble / exact
+        assert(rel <= 3 * rsd, s"group $g rsd $rsd: approx $approx vs $exact (rel $rel)")
+      }
+    }
+  }
+
+  test("approx-distinct partial merge is partition-order invariant") {
+    // the sketch merge (register-wise max) must give the same answer no
+    // matter how rows are split across partitions — the property that makes
+    // the one-shuffle plan safe at any parallelism
+    val df = (1 to 30000).map(i => s"k${i % 7919}").toDF("u")
+    val base = df.agg(approx_count_distinct(col("u"), 0.05)).as[Long].head()
+    for (parts <- Seq(1, 5, 32)) {
+      val got = df.repartition(parts)
+        .agg(approx_count_distinct(col("u"), 0.05)).as[Long].head()
+      assert(got == base, s"parts=$parts")
+    }
+  }
 }
