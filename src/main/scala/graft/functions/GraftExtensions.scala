@@ -17,6 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
   *    winnowing document fingerprint. Algorithm parameters (n, k, w) must
   *    be integer literals — they are parameters, not data.
+  *  - `graft_normtext(text)` → [[NormalizeText]]: fused Unicode NFC +
+  *    diacritic strip + root-locale lowercase + whitespace collapse;
   *  - `graft_bpe(token, merges)` → [[BpeEncode]]: BPE subword segmentation
   *    with a trained merge table. `merges` must be a string LITERAL in
   *    merges.txt layout (one `left right` pair per line, rank order) — it
@@ -48,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_shingles takes exactly 2 arguments")
         WordShingles(children.head, litInt(children(1), "graft_shingles", "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normtext"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normtext"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_normtext takes exactly 1 argument")
+        NormalizeText(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bpe"),

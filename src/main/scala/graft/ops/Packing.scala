@@ -37,4 +37,43 @@ object Packing {
       .withColumn("seq_offset", Num.floorMod(start, maxTokens))
       .drop("__cum")
   }
+
+  /** Sliding-window context chunks — the PER-DOCUMENT sequence prep
+    * ([[packSequences]] packs ACROSS documents; this windows WITHIN one):
+    * the token stream is cut into windows of `chunkSize` tokens advancing
+    * by `stride` (overlap = chunkSize − stride, the lookback context each
+    * training example keeps). Every token lands in at least one chunk; the
+    * final chunk may be short (no padding). Output: `idCol`, `chunk_idx`
+    * (0-based), `chunk_text`, `n_chunk_tokens`.
+    *
+    * Map-only plan (split → bounded explode): chunk count per document is
+    * ⌈(n−chunkSize)/stride⌉+1, so output size is the input's token mass ×
+    * chunkSize/stride — a constant factor, never quadratic. No shuffle
+    * until a consumer groups or joins.
+    */
+  /** Window k's token slice (1-based start k·stride+1, length chunkSize). */
+  private def chunkAt(toks: Column, k: Column, chunkSize: Int, stride: Int): Column =
+    slice(toks, (k.cast("int") * stride + 1), lit(chunkSize))
+
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize (a stride past the window would drop tokens)")
+    val toks = split(col(textCol), " ", -1)
+    val n = size(toks)
+    // number of windows: 1 when the doc fits; else first window + one per
+    // stride advance, integer-ceil((n - chunkSize) / stride) of them
+    val m = when(n <= chunkSize, lit(1L)).otherwise(
+      floor((n - lit(chunkSize) + lit(stride) - 1).cast("double") / lit(stride))
+        .cast("long") + 1L)
+    docs
+      .select(col(idCol), toks.as("__toks"), m.as("__m"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), col("__m") - 1L)).as("__k"))
+      .select(col(idCol), col("__k").as("chunk_idx"),
+        array_join(chunkAt(col("__toks"), col("__k"), chunkSize, stride), " ")
+          .as("chunk_text"),
+        size(chunkAt(col("__toks"), col("__k"), chunkSize, stride))
+          .as("n_chunk_tokens"))
+  }
 }

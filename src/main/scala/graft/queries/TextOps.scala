@@ -240,6 +240,32 @@ object TextOps {
     "e" -> "s", "es" -> "t", "t" -> "h", "th" -> "e", "i" -> "n",
     "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
 
+  /** Unicode canonicalization (native `graft_normtext` — NFC, diacritic
+    * strip, root-locale lowercase, whitespace collapse). The corpus is
+    * ASCII, so q40-style planting appends accented, mixed-case,
+    * tab-ridden text to every row — each row then exercises the real
+    * normalization path and the oracle recomputes it with DuckDB's
+    * nfc_normalize/strip_accents/lower. Map-only.
+    */
+  private def q68Normalize(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit("  Café NAÏVE\trésumé  Über  "))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      call_function("graft_normtext", planted).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).as("n_chars"))
+  }
+
+  /** Sliding-window context chunks ([[graft.ops.Packing.slidingChunks]]):
+    * 64-token windows advancing by 48 (16 tokens of overlap kept as
+    * lookback context) — the per-document half of sequence prep, next to
+    * q55's cross-document packing. Map-only bounded explode.
+    */
+  private def q69Chunks(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.slidingChunks(
+      Tables.documents(s, d), "doc_id", "text", chunkSize = 64, stride = 48)
+
   /** Corpus-relative outlier filter: documents whose token count exceeds
     * their language's p75 — the Gopher-style "threshold derived FROM the
     * corpus, not hardcoded" quality-gating pattern, composed from
@@ -274,6 +300,8 @@ object TextOps {
     "q59_bigram_counts" -> q59BigramCounts _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
+    "q68_normalize" -> q68Normalize _,
+    "q69_chunks" -> q69Chunks _,
     "q61_length_outliers" -> q61LengthOutliers _,
     "q65_temperature_mix" -> q65TemperatureMix _,
     "q20_exact_dedup" -> q20ExactDedup _,
@@ -370,6 +398,25 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q66_bpe_encode" -> q66OracleSql,
+    // the whitespace class is spelled out because regex \s differs between
+    // engines (Java includes vertical tab, RE2 does not) — the kernel and
+    // this oracle both collapse exactly { space \t \n \r \f }
+    "q68_normalize" ->
+      ("WITH p AS (SELECT doc_id, text || '  Café NAÏVE' || chr(9) || " +
+        "'résumé  Über  ' AS t FROM documents), " +
+        "n AS (SELECT doc_id, trim(regexp_replace(" +
+        "lower(strip_accents(nfc_normalize(t))), '[\\t\\n\\f\\r ]+', ' ', 'g')) " +
+        "AS norm_text FROM p) " +
+        "SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS n_chars FROM n"),
+    "q69_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
+        "m AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 1 " +
+        "  ELSE (n - 64 + 47) // 48 + 1 END AS m FROM p), " +
+        "k AS (SELECT doc_id, toks, unnest(range(0, m)) AS k FROM m) " +
+        "SELECT doc_id, k AS chunk_idx, " +
+        "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
+        "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens FROM k"),
     "q20_exact_dedup" ->
       ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
         s"ROW_NUMBER() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn " +

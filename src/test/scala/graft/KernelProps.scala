@@ -75,4 +75,30 @@ object KernelProps extends Properties("graft.kernels") {
       val out = WinnowHash.compute(UTF8String.fromString(s), k, w)
       (0 until out.numElements()).map(out.getLong).forall(all.contains)
     }
+
+  private def norm(s: String): String =
+    graft.functions.TextNorm.normalize(UTF8String.fromString(s)).toString
+
+  property("normalize kernel is idempotent") =
+    forAll(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("Café", "NAÏVE", "über", " ", "\t", "\n", "a", "É"))
+        .map(_.mkString))) { s =>
+      norm(norm(s)) == norm(s)
+    }
+
+  property("normalize kernel output has no runs, no edge spaces, no uppercase") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val out = norm(s)
+      !out.contains("  ") && out == out.trim && out == out.toLowerCase &&
+        Seq('\t', '\n', '\r', '\f').forall(c => !out.contains(c))
+    }
+
+  property("normalize kernel strips Latin diacritics to their base letters") =
+    forAll(Gen.listOf(Gen.oneOf(
+      "Café" -> "cafe", "NAÏVE" -> "naive", "résumé" -> "resume",
+      "Über" -> "uber", "piñata" -> "pinata", "Åbo" -> "abo",
+      "plain" -> "plain"))) { pairs =>
+      norm(pairs.map(_._1).mkString(" ")) == pairs.map(_._2).mkString(" ")
+    }
 }

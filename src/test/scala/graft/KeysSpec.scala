@@ -134,6 +134,44 @@ class KeysSpec extends AnyFunSuite {
     assert(prefix == docs.map(_._2).sum) // token mass preserved
   }
 
+  test("slidingChunks: windows cover every token with exact overlap") {
+    // 10 tokens, chunk 4, stride 3 -> starts 0,3,6 plus final partial at 9?
+    // m = ceil((10-4)/3)+1 = 3 -> starts 0,3,6: [t0..t3],[t3..t6],[t6..t9]
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = Packing.slidingChunks(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .as[(Long, Long, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "t0 t1 t2 t3", 4), (1L, 1L, "t3 t4 t5 t6", 4),
+      (1L, 2L, "t6 t7 t8 t9", 4),
+      (2L, 0L, "a b", 2), (3L, 0L, "solo", 1)))
+  }
+
+  test("slidingChunks invariants hold on random documents") {
+    val rnd = new scala.util.Random(2024)
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until (1 + rnd.nextInt(200))).map(j => s"w$j").mkString(" ")))
+    val (c, s) = (16, 11)
+    val got = Packing.slidingChunks(docs.toDF("doc_id", "text"), "doc_id", "text", c, s)
+      .as[(Long, Long, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((id, text) <- docs) {
+      val toks = text.split(" ").toSeq
+      val chunks = got(id)
+      // indexes contiguous from 0; every chunk is the exact token slice;
+      // union of chunks covers all tokens; only the last may be short
+      assert(chunks.map(_._2).toSeq == (0L until chunks.length.toLong).toSeq)
+      for ((_, k, chunkText, n) <- chunks) {
+        val expect = toks.slice(k.toInt * s, k.toInt * s + c)
+        assert(chunkText == expect.mkString(" "), s"doc $id chunk $k")
+        assert(n == expect.length)
+      }
+      assert(chunks.init.forall(_._4 == c))
+      assert(chunks.last._2 * s + chunks.last._4 == toks.length,
+        s"doc $id tail coverage")
+    }
+  }
+
   test("keepFirst keeps exactly the first row per key under the order") {
     val df = Seq(("k1", 2, "b"), ("k1", 1, "a"), ("k2", 5, "z")).toDF("k", "ord", "v")
     val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord").asc))

@@ -37,7 +37,8 @@ class PlanSpec extends AnyFunSuite {
     */
   for (q <- Seq("q01_project", "q02_filter", "q09_explode",
       "q15_flatten_defaults", "q21_text_stats", "q22_lang_quality",
-      "q31_winnow_fp", "q40_redact", "q41_line_quality", "q43_corpus_mix")) {
+      "q31_winnow_fp", "q40_redact", "q41_line_quality", "q43_corpus_mix",
+      "q68_normalize", "q69_chunks")) {
     test(s"$q is map-only (no shuffle exchange)") {
       assert(shuffles(q) == 0)
     }
