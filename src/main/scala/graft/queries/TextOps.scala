@@ -257,6 +257,17 @@ object TextOps {
         length(col("norm_text")).as("n_chars"))
   }
 
+  /** Deterministic stratified sample ([[graft.ops.Sampling.stratifiedTopK]]):
+    * exactly 50 documents per language, the hash-smallest ids — the
+    * eval-set carve-out, rerun- and engine-reproducible. The engine runs
+    * the filter-and-refine shape (loose hash filter + small-window refine,
+    * exactness fallback for short groups); the oracle is the naive
+    * full-window argsort it must equal row-for-row.
+    */
+  private def q70StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.stratifiedTopK(Tables.documents(s, d), "lang", "doc_id", k = 50)
+      .select(col("doc_id"), col("lang"), col("rank").as("smp_rank"))
+
   /** Sliding-window context chunks ([[graft.ops.Packing.slidingChunks]]):
     * 64-token windows advancing by 48 (16 tokens of overlap kept as
     * lookback context) — the per-document half of sequence prep, next to
@@ -302,6 +313,7 @@ object TextOps {
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
     "q69_chunks" -> q69Chunks _,
+    "q70_stratified_sample" -> q70StratifiedSample _,
     "q61_length_outliers" -> q61LengthOutliers _,
     "q65_temperature_mix" -> q65TemperatureMix _,
     "q20_exact_dedup" -> q20ExactDedup _,
@@ -408,6 +420,15 @@ object TextOps {
         "lower(strip_accents(nfc_normalize(t))), '[\\t\\n\\f\\r ]+', ' ', 'g')) " +
         "AS norm_text FROM p) " +
         "SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS n_chars FROM n"),
+    // the oracle is the NAIVE per-group argsort — the engine's
+    // filter-and-refine must equal it row-for-row
+    "q70_stratified_sample" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "  ((doc_id % 1000000) * 435761) % 1000000 AS h " +
+        "  FROM documents WHERE lang IS NOT NULL), " +
+        "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER " +
+        "  (PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM d) " +
+        "SELECT doc_id, lang, CAST(rnk AS INT) AS smp_rank FROM r WHERE rnk <= 50"),
     "q69_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "p AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
