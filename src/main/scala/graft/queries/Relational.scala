@@ -304,7 +304,44 @@ object Relational {
     byPrio("1-URGENT").intersect(byPrio("5-LOW"))
   }
 
+  /** Full CUBE over (status, priority): all four grouping combinations in
+    * one pass — the Expand-node dual of q12's ROLLUP. SQL form for the
+    * same reason as q12 (the Dataset cube API false-positives Spark
+    * 4.1.2's ambiguous-self-join check via the Expand node).
+    */
+  private def q71Cube(s: SparkSession, d: String): DataFrame = {
+    val view = s"graft_q71_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM $view GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
+  /** LAG: per customer, whole days since their previous order — the
+    * keyed-window navigation function (inter-arrival analysis). The window
+    * partitions by customer, so tasks scale with the keyspace; ties on
+    * order date break by order key for a deterministic previous row.
+    * Integer day gaps keep the oracle hash exact (raw dates never emitted
+    * — engine timestamp affinities differ).
+    */
+  private def q72Lag(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("__prev"))
+      .where(col("__prev").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), col("__prev")).as("days_since_prev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_cube" -> q71Cube _,
+    "q72_lag" -> q72Lag _,
     "q56_pivot" -> q56Pivot _,
     "q57_share_of_total" -> q57ShareOfTotal _,
     "q58_intersect" -> q58Intersect _,
@@ -326,6 +363,17 @@ object Relational {
     "q33_salted_agg" -> q33SaltedAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q71_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "q72_lag" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(datediff('day', prev_date, o_orderdate) AS INT) AS days_since_prev " +
+        "FROM (SELECT o_orderkey, o_custkey, o_orderdate, " +
+        "  LAG(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "  ORDER BY o_orderdate, o_orderkey) AS prev_date FROM orders) " +
+        "WHERE prev_date IS NOT NULL"),
     "q56_pivot" ->
       ("SELECT o_orderstatus, " +
         "COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1, " +
