@@ -22,13 +22,33 @@ object Stats {
 
   private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Decimal moment → double through an exact integer: scale to an
+    * integer-valued decimal, cast to BIGINT (exact), let the single
+    * long→double IEEE rounding happen, divide by the (exactly
+    * representable) scale. A direct decimal→double cast is NOT
+    * engine-portable: Spark rounds the decimal correctly in one step,
+    * while engines that convert the unscaled int128 and divide (DuckDB)
+    * can land 1 ULP away — observed on real sums. This two-step form
+    * forces every engine through the identical operation sequence, so the
+    * operands of the finalization arithmetic are bit-identical by
+    * construction. Domain: |moment| ·10^scale must fit a long — ~9·10¹⁴
+    * for 4-decimal second moments, beyond any 2-decimal measure column
+    * this operator is for; past that, split the aggregation by group
+    * first.
+    */
+  private def exactDouble(c: Column, scale: Int): Column = {
+    val s = math.pow(10, scale) // exact for scale <= 22
+    (c * s.toLong).cast("long").cast("double") / lit(s)
+  }
+
   /** Per-group exact second moments of (x, y), finalized as population
     * covariance and Pearson correlation. Output: keys, `n_rows`,
     * `covar_pop`, `corr`.
     *
     * Finalization order is pinned — `(sxy - sx*sy/n)/n` and its analogues —
     * and must be mirrored verbatim by any oracle: IEEE addition is
-    * deterministic given identical operands and operation order.
+    * deterministic given identical operands and operation order (moments
+    * enter as doubles via [[exactDouble]], which pins the operands too).
     */
   def covarCorr(df: DataFrame, keys: Seq[String], xCol: String,
       yCol: String): DataFrame = {
@@ -36,11 +56,11 @@ object Stats {
     val y = d2(col(yCol))
     val moments = df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_rows"),
-      sum(x).cast("double").as("sx"),
-      sum(y).cast("double").as("sy"),
-      sum(x * x).cast("double").as("sxx"),
-      sum(y * y).cast("double").as("syy"),
-      sum(x * y).cast("double").as("sxy"))
+      exactDouble(sum(x), 2).as("sx"),
+      exactDouble(sum(y), 2).as("sy"),
+      exactDouble(sum(x * x), 4).as("sxx"),
+      exactDouble(sum(y * y), 4).as("syy"),
+      exactDouble(sum(x * y), 4).as("sxy"))
     val n = col("n_rows").cast("double")
     val cov = (col("sxy") - col("sx") * col("sy") / n) / n
     val varX = (col("sxx") - col("sx") * col("sx") / n) / n

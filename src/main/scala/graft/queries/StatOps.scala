@@ -96,16 +96,22 @@ object StatOps {
     "q67_approx_distinct" -> q67ApproxDistinct _)
 
   // the oracle mirrors the exact finalization ORDER of Stats.covarCorr —
-  // IEEE arithmetic is deterministic given identical operands and op order
+  // IEEE arithmetic is deterministic given identical operands and op
+  // order. Moments go decimal → scaled BIGINT → double → /scale, matching
+  // Stats.exactDouble: a direct decimal→double CAST is 1-ULP
+  // engine-dependent (DuckDB divides the unscaled integer; Spark rounds
+  // the decimal in one step — observed divergent on sf0.001 group A).
+  private def m2d(expr: String, scale: Long): String =
+    s"CAST(CAST($expr * $scale AS BIGINT) AS DOUBLE) / $scale.0"
   private val momentsSql = Seq(
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx",
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy",
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-      "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx",
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * " +
-      "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy",
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-      "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy").mkString(", ")
+    m2d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))", 100) + " AS sx",
+    m2d("SUM(CAST(l_quantity AS DECIMAL(18,2)))", 100) + " AS sy",
+    m2d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "CAST(l_extendedprice AS DECIMAL(18,2)))", 10000) + " AS sxx",
+    m2d("SUM(CAST(l_quantity AS DECIMAL(18,2)) * " +
+      "CAST(l_quantity AS DECIMAL(18,2)))", 10000) + " AS syy",
+    m2d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "CAST(l_quantity AS DECIMAL(18,2)))", 10000) + " AS sxy").mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "q67_approx_distinct" ->
