@@ -194,44 +194,76 @@ object Similarity {
       struct((dot(vec, cvCol) / lit(cn)).as("score"), lit(ci).as("cell"))
     }: _*)
 
-  /** IVF (inverted-file) approximate cosine top-k — the other canonical ANN
-    * scale path next to [[lshTopK]].
-    *
-    * Index build: `numCentroids` seeded-hash-initialized centroids refined
-    * with [[kmeansCentroids]] Lloyd iterations. The centroids are collected
-    * once (an index-build action; per-iteration state is numCentroids × dim
-    * values) and embedded as plan literals, so cell assignment is a
-    * map-only projection: no shuffle, no join, every executor scores
-    * against the same in-plan centroid table.
-    *
-    * Query time: each corpus vector belongs to its nearest centroid's cell;
-    * each query probes its `nProbe` nearest cells. Candidates come from a
-    * hash join on the 4-byte cell id — shuffle volume is (cell, id, vec),
-    * `nProbe/numCentroids` of the corpus per query on average. Recall rises
-    * with `nProbe` at proportional candidate cost (`nProbe = numCentroids`
-    * degenerates to exact brute force).
-    *
-    * Same output contract as [[bruteForceTopK]].
+  /** A trained IVF quantizer: the centroid table. Small by construction
+    * (numCentroids × dim floats) — it travels as plan literals, never as
+    * data.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, lloydIters: Int = 1,
-      trainPerCentroid: Int = 256): DataFrame = {
-    require(nProbe >= 1 && nProbe <= numCentroids, "1 <= nProbe <= numCentroids")
-    // The index build is EAGER: one count + one seeded-init job plus one
-    // assignment-aggregation job per Lloyd iteration, each over the
-    // bounded training sample (see kmeansCentroids). Persist the corpus
-    // for the duration of the build so the count/init/iterations read
-    // cached blocks instead of re-scanning (and, for derived corpora like
-    // the planted union, re-computing) the source; release it immediately
-    // after — the query-time join below runs one scan of its own and must
-    // not pin executor memory past the build.
+  final case class IvfIndex(centroids: Seq[Seq[Float]]) {
+    require(centroids.nonEmpty, "empty centroid table")
+    def numCentroids: Int = centroids.size
+  }
+
+  /** Train an IVF index: `numCentroids` seeded-hash-initialized centroids
+    * refined with [[kmeansCentroids]] Lloyd iterations over a bounded
+    * deterministic training sample. Eager (one count + init job, one
+    * assignment-aggregation job per iteration); per-iteration driver state
+    * is numCentroids × dim values. The corpus is persisted for the build's
+    * duration so the iterations read cached blocks, and released after.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16, seed: Long = 42L, lloydIters: Int = 1,
+      trainPerCentroid: Int = 256): IvfIndex = {
     val mat = corpus.persist()
     val cents =
       try kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed, idCol,
         trainPerCentroid)
       finally mat.unpersist(blocking = false)
-    def cellScores(vec: Column): Column = cellScoresFor(vec, cents)
+    IvfIndex(cents)
+  }
+
+  /** Persist a trained index as parquet rows (cell, dim, value) — build
+    * ONCE per corpus version, then every query session [[loadIvfIndex]]s
+    * in O(index size) instead of re-running Lloyd over the corpus. Plain
+    * rows, not a serialized blob: any engine (or the DuckDB oracle) can
+    * inspect the centroids.
+    */
+  def saveIvfIndex(index: IvfIndex, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .flatMap { case (cv, ci) => cv.zipWithIndex.map { case (v, d) => (ci, d, v) } }
+      .toDF("cell", "dim", "value")
+      .repartition(1) // the table is numCentroids × dim rows — one file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "dim", "value")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+    val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cvs) =>
+      cvs.sortBy(_._2).map(_._3).toSeq
+    }
+    IvfIndex(cents)
+  }
+
+  /** Query-time IVF search with a pre-trained index: each corpus vector
+    * belongs to its nearest centroid's cell; each query probes its
+    * `nProbe` nearest cells. Candidates come from a hash join on the
+    * 4-byte cell id — shuffle volume is (cell, id, vec),
+    * `nProbe/numCentroids` of the corpus per query on average. Recall
+    * rises with `nProbe` at proportional candidate cost
+    * (`nProbe = numCentroids` degenerates to exact brute force).
+    *
+    * Same output contract as [[bruteForceTopK]].
+    */
+  def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.numCentroids,
+      "1 <= nProbe <= numCentroids")
+    def cellScores(vec: Column): Column = cellScoresFor(vec, index.centroids)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"),
       array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
@@ -248,6 +280,21 @@ object Similarity {
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate cosine top-k — the other canonical ANN
+    * scale path next to [[lshTopK]]: [[buildIvfIndex]] + [[ivfTopKWithIndex]]
+    * in one call. Long-lived deployments build/save the index once and run
+    * the query side alone.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, lloydIters: Int = 1,
+      trainPerCentroid: Int = 256): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids, "1 <= nProbe <= numCentroids")
+    val index = buildIvfIndex(corpus, idCol, vecCol, numCentroids, seed,
+      lloydIters, trainPerCentroid)
+    ivfTopKWithIndex(index, queries, corpus, idCol, vecCol, k, nProbe)
   }
 
   /** Embedding near-dup pairs: all (i < j) with cosine >= `minCos`, via the

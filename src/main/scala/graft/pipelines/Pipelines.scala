@@ -20,12 +20,45 @@ final case class TargetDb(
     supportsIfNotExists: Boolean = true,
     supportsDropSchemaCascade: Boolean = true,
     supportsForeignKeys: Boolean = true,
-    props: Properties = new Properties) {
+    props: Properties = new Properties,
+    readPartitions: Int = 1) {
+
+  /** Full-table read, split into `readPartitions` parallel range scans on
+    * the surrogate id when > 1. A bare `spark.read.jdbc` pulls the WHOLE
+    * table through ONE task — irrelevant for the reference-sized tables
+    * the tests use, but the scale bottleneck the moment a snapshot diff or
+    * key reconcile reads a billion-row live table. Bounds come from one
+    * driver-side MIN/MAX round trip; an empty table falls back to the
+    * single-stream read. The id column is passed pre-quoted so the
+    * generated range predicates survive case-folding databases (Derby
+    * upper-cases bare identifiers).
+    */
+  private[pipelines] def readTable(spark: SparkSession, table: String): DataFrame = {
+    val quoted = "\"" + table + "\""
+    val bounds =
+      if (readPartitions <= 1) None
+      else {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val rs = conn.createStatement()
+            .executeQuery(s"""SELECT MIN("id"), MAX("id") FROM $quoted""")
+          rs.next()
+          val lo = rs.getLong(1)
+          val loNull = rs.wasNull()
+          val hi = rs.getLong(2)
+          if (loNull) None else Some((lo, hi))
+        } finally conn.close()
+      }
+    bounds match {
+      case Some((lo, hi)) =>
+        spark.read.jdbc(url, quoted, "\"id\"", lo, hi, readPartitions, props)
+      case None => spark.read.jdbc(url, quoted, props)
+    }
+  }
 
   private[pipelines] def readKeys(spark: SparkSession, spec: TableSpec,
       key: String): DataFrame =
-    spark.read.jdbc(url, "\"" + spec.table + "\"", props)
-      .select(col("id"), col(key))
+    readTable(spark, spec.table).select(col("id"), col(key))
 }
 
 /** The §3 lifecycles as plain Scala sequencing over the declarative layers:
@@ -216,7 +249,7 @@ object SnapshotUpdatePipeline {
     val flatSchema = StructType(spec.targetSchema.filterNot(_.name == "id"))
     val snapshot = Staging.read(spark, flatSchema, snapshotPath)
     val key = MigrationPipeline.reconcileKey(spec)
-    val live = spark.read.jdbc(db.url, "\"" + spec.table + "\"", db.props)
+    val live = db.readTable(spark, spec.table)
       .select(flatSchema.fieldNames.toSeq.map(col): _*)
     // compare ONLY what the write could change: with an update-set policy a
     // drifted non-updatable column would re-upsert forever (diff 'update'

@@ -195,8 +195,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("snapshot pipeline: full snapshots diff into insert/update/delete legs") {
     import graft.pipelines.SnapshotUpdatePipeline
     val url7 = "jdbc:derby:memory:graftsnap;create=true"
+    // readPartitions = 3: the live-table reads run as parallel id-range
+    // scans (day 1 additionally exercises the empty-table fallback)
     val db7 = TargetDb(url7, DerbyUpsertDialect, TableSpec.derbyType,
-      supportsIfNotExists = false, supportsForeignKeys = false)
+      supportsIfNotExists = false, supportsForeignKeys = false,
+      readPartitions = 3)
     def queryAll7(cols: String*): Seq[Seq[Any]] = {
       val conn = DriverManager.getConnection(url7)
       try {

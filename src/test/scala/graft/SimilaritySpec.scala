@@ -165,4 +165,29 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.lshTopK(corpus.limit(5), corpus, "vec_id", "embedding", 3)
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
+
+  test("IVF index save/load round-trips and queries identically") {
+    // the build-once/query-many lifecycle: a loaded index must reproduce
+    // both the centroid table and the query results bit-for-bit
+    val corpus = clustered()
+    val queries = corpus.filter(col("vec_id") % 25 === 0).limit(10)
+    val built = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 16, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(built, spark, s"$dir/index")
+    val loaded = Similarity.loadIvfIndex(spark, s"$dir/index")
+    assert(loaded.centroids == built.centroids) // exact floats, not approx
+    def results(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKWithIndex(ix, queries, corpus, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(results(loaded) == results(built))
+    // and the one-call form equals build+query with the same parameters
+    val oneCall = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5,
+      numCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(oneCall == results(built))
+  }
 }
