@@ -195,6 +195,20 @@ object TextOps {
       .select("w1", "w2", "n_pair", "n_ctx")
   }
 
+  /** Bigram-LM document scoring ([[graft.ops.Lm]]): train a
+    * count-thresholded bigram LM over the corpus, then score every
+    * document's fluency against it — OOV rate plus integer-exact
+    * conditional-probability mass (the CC-Net-style corpus filter).
+    * Deliberately TWO corpus scans (train + score): occurrence-level
+    * persist would pin corpus-sized state at scale, while the extra scan
+    * is a map-only explode.
+    */
+  private def q73LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    graft.ops.Lm.scoreDocuments(docs, "doc_id", "text",
+      graft.ops.Lm.bigramLm(docs, "text", minCount = 5L))
+  }
+
   /** BPE pair statistics ([[graft.ops.Bpe]]): the weighted adjacent
     * character-pair counts of the initial merge round — the counting core
     * of the tokenizer trainer, oracle-checked (the iterative merge loop is
@@ -309,6 +323,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_bigram_counts" -> q59BigramCounts _,
+    "q73_lm_score" -> q73LmScore _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -543,6 +558,28 @@ object TextOps {
         "  freq FROM sy WHERE len(s) >= 2) " +
         "SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq FROM pr " +
         "GROUP BY pair HAVING SUM(freq) >= 50"),
+    // integer-domain scoring: (1000000 * n_pair) // n_ctx matches Spark's
+    // `div` exactly for the non-negative counts (the truncate-vs-floor
+    // divergence only exists for negative operands); the lone double op is
+    // the final n_oov / n_bigrams division, identical IEEE in both engines
+    "q73_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "occ AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+        "  for i in range(1, len(t))]) AS bg FROM toks), " +
+        "pc AS (SELECT bg, COUNT(*) AS n_pair FROM occ GROUP BY bg), " +
+        "cx AS (SELECT split_part(bg, ' ', 1) AS w1, " +
+        "  CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY w1), " +
+        "lm AS (SELECT pc.bg, pc.n_pair, cx.n_ctx FROM pc " +
+        "  JOIN cx ON split_part(pc.bg, ' ', 1) = cx.w1 WHERE pc.n_pair >= 5), " +
+        "sc AS (SELECT o.doc_id, lm.n_pair, lm.n_ctx FROM occ o " +
+        "  LEFT JOIN lm ON o.bg = lm.bg) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN n_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(COALESCE(SUM(CASE WHEN n_pair IS NOT NULL " +
+        "  THEN (1000000 * n_pair) // n_ctx END), 0) AS BIGINT) AS prob_mass, " +
+        "CAST(SUM(CASE WHEN n_pair IS NULL THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "  / CAST(COUNT(*) AS DOUBLE) AS oov_rate " +
+        "FROM sc GROUP BY doc_id"),
     "q59_bigram_counts" ->
       ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
         "bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ') " +

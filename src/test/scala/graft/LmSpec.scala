@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Lm
+
+/** Bigram-LM training + scoring on a corpus small enough to count by hand:
+  * the count threshold, context totals, OOV accounting, and the
+  * integer-millionths probability mass are all pinned to exact values.
+  */
+class LmSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // d1 bigrams: "a b","b a","a b","b c"; d2 bigrams: "a b","b x"
+  // pair counts: ab=3 ba=1 bc=1 bx=1; contexts: a->3, b->3
+  private val docs = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "solo"))
+    .toDF("doc_id", "text")
+
+  test("bigramLm thresholds pairs and carries exact context totals") {
+    val lm = Lm.bigramLm(docs, "text", minCount = 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(lm == Set(("a b", 3L, 3L)))
+  }
+
+  test("scoreDocuments: OOV counts, prob mass, and the <2-token contract") {
+    val lm = Lm.bigramLm(docs, "text", minCount = 2L)
+    val scored = Lm.scoreDocuments(docs, "doc_id", "text", lm)
+      .select("doc_id", "n_bigrams", "n_oov", "prob_mass", "oov_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // d1: 2 of 4 bigrams in-LM, each (1e6*3) div 3 = 1e6; d2: 1 of 2;
+    // d3 has one token -> no bigrams -> absent
+    assert(scored == Set(
+      (1L, 4L, 2L, 2000000L, 0.5),
+      (2L, 2L, 1L, 1000000L, 0.5)))
+  }
+
+  test("a document of pure OOV text scores zero mass, rate 1.0") {
+    val lm = Lm.bigramLm(docs, "text", minCount = 2L)
+    val alien = Seq((9L, "z z z")).toDF("doc_id", "text")
+    val out = Lm.scoreDocuments(alien, "doc_id", "text", lm)
+      .select("doc_id", "n_bigrams", "n_oov", "prob_mass", "oov_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((9L, 2L, 2L, 0L, 1.0)))
+  }
+}
