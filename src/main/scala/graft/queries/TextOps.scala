@@ -209,6 +209,15 @@ object TextOps {
       graft.ops.Lm.bigramLm(docs, "text", minCount = 5L))
   }
 
+  /** Gopher-style repetition profile ([[graft.ops.Repetition]]): the
+    * character-mass concentration metrics (duplicate-word char fraction,
+    * top-word char fraction) plus the composite gate. One explode, one
+    * combine-collapsed (doc, word) count, one per-doc agg.
+    */
+  private def q74Repetition(s: SparkSession, d: String): DataFrame =
+    graft.ops.Repetition.wordRepetitionProfile(
+      Tables.documents(s, d), "doc_id", "text")
+
   /** BPE pair statistics ([[graft.ops.Bpe]]): the weighted adjacent
     * character-pair counts of the initial merge round — the counting core
     * of the tokenizer trainer, oracle-checked (the iterative merge loop is
@@ -324,6 +333,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_bigram_counts" -> q59BigramCounts _,
     "q73_lm_score" -> q73LmScore _,
+    "q74_repetition" -> q74Repetition _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -558,6 +568,32 @@ object TextOps {
         "  freq FROM sy WHERE len(s) >= 2) " +
         "SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq FROM pr " +
         "GROUP BY pair HAVING SUM(freq) >= 50"),
+    // every metric is int/int with one final division; zero-char-mass docs
+    // report 0.0 via the same guard the operator applies
+    "q74_repetition" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "  FROM documents), " +
+        "wc AS (SELECT doc_id, w, COUNT(*) AS c, " +
+        "  COUNT(*) * length(w) AS cm FROM w GROUP BY doc_id, w), " +
+        "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, " +
+        "  CAST(COUNT(*) AS BIGINT) AS nd, " +
+        "  CAST(SUM(cm) AS BIGINT) AS tcm, " +
+        "  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN cm END), 0) AS BIGINT) AS dcm, " +
+        "  CAST(MAX(cm) AS BIGINT) AS topcm FROM wc GROUP BY doc_id) " +
+        "SELECT doc_id, n_words, " +
+        "CASE WHEN n_words > 0 THEN CAST(n_words - nd AS DOUBLE) " +
+        "  / CAST(n_words AS DOUBLE) ELSE 0.0 END AS dup_word_frac, " +
+        "CASE WHEN tcm > 0 THEN CAST(dcm AS DOUBLE) / CAST(tcm AS DOUBLE) " +
+        "  ELSE 0.0 END AS dup_char_frac, " +
+        "CASE WHEN tcm > 0 THEN CAST(topcm AS DOUBLE) / CAST(tcm AS DOUBLE) " +
+        "  ELSE 0.0 END AS top_char_frac, " +
+        "(CASE WHEN n_words > 0 THEN CAST(n_words - nd AS DOUBLE) " +
+        "   / CAST(n_words AS DOUBLE) ELSE 0.0 END > 0.5 " +
+        " OR CASE WHEN tcm > 0 THEN CAST(dcm AS DOUBLE) / CAST(tcm AS DOUBLE) " +
+        "   ELSE 0.0 END > 0.5 " +
+        " OR CASE WHEN tcm > 0 THEN CAST(topcm AS DOUBLE) / CAST(tcm AS DOUBLE) " +
+        "   ELSE 0.0 END > 0.2) AS flagged " +
+        "FROM a"),
     // integer-domain scoring: (1000000 * n_pair) // n_ctx matches Spark's
     // `div` exactly for the non-negative counts (the truncate-vs-floor
     // divergence only exists for negative operands); the lone double op is
