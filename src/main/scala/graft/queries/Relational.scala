@@ -339,9 +339,43 @@ object Relational {
         datediff(col("o_orderdate"), col("__prev")).as("days_since_prev"))
   }
 
+  /** UNPIVOT/melt: the four lineitem measures to long (metric, value) form,
+    * re-aggregated per metric. The Expand node emits one row per measure,
+    * map-only; the lone shuffle is the 4-group final agg. The wide→long
+    * reshape is the inverse of q56's pivot.
+    */
+  private def q76Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
+
+  /** The distribution-rank window family: quartile (NTILE), PERCENT_RANK,
+    * CUME_DIST of every customer's balance within their nation. The
+    * compound order (balance, custkey) is a total order, so every rank —
+    * including NTILE's positional split — is deterministic, and both
+    * fractions are single IEEE divisions of exact integer ranks.
+    */
+  private def q77RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_cube" -> q71Cube _,
     "q72_lag" -> q72Lag _,
+    "q76_unpivot" -> q76Unpivot _,
+    "q77_rank_family" -> q77RankFamily _,
     "q56_pivot" -> q56Pivot _,
     "q57_share_of_total" -> q57ShareOfTotal _,
     "q58_intersect" -> q58Intersect _,
@@ -363,6 +397,21 @@ object Relational {
     "q33_salted_agg" -> q33SaltedAgg _)
 
   val oracle: Map[String, String] = Map(
+    // UNION ALL spelling (portable; DuckDB's UNPIVOT clause would also work)
+    "q76_unpivot" ->
+      ("SELECT metric, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (" +
+        "SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem " +
+        "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT 'l_tax', l_tax FROM lineitem) GROUP BY metric"),
+    "q77_rank_family" ->
+      ("SELECT c_custkey, c_nationkey, c_acctbal, " +
+        "CAST(NTILE(4) OVER w AS INT) AS quartile, " +
+        "PERCENT_RANK() OVER w AS pr, " +
+        "CUME_DIST() OVER w AS cd " +
+        "FROM customer WINDOW w AS (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal, c_custkey)"),
     "q71_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price " +
