@@ -297,6 +297,43 @@ object Similarity {
     ivfTopKWithIndex(index, queries, corpus, idCol, vecCol, k, nProbe)
   }
 
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest-centroid cell (map-only — the [[IvfIndex]] centroids are plan
+    * literals), exact-verify cosine within each cell, and drop every vector
+    * that has an in-cell neighbor with cosine >= `minCos` and a SMALLER id
+    * (deterministic survivor = the lowest id of any near-dup group).
+    * Returns the surviving ids.
+    *
+    * The cluster scoping is the paper's scale lever: candidate pairs are
+    * quadratic only within a cell (~n/numCentroids rows), never across the
+    * corpus, and the join key is the 4-byte cell id. The trained index
+    * comes from [[buildIvfIndex]]/[[loadIvfIndex]], so long-lived corpora
+    * pay Lloyd once. Semantics caveat shared with every clustered dedup:
+    * a near-dup pair that straddles a cell boundary is not examined —
+    * raise numCentroids' training quality or lower minCos conservatively
+    * when that matters; exactly-parallel duplicates always share a cell.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, minCos: Double): DataFrame = {
+    // persisted: the self-join's two branches would otherwise both
+    // re-evaluate the numCentroids-dot cell assignment per row
+    val assigned = df.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("nrm"),
+      array_max(cellScoresFor(col(vecCol), index.centroids))
+        .getField("cell").as("cell"))
+      .persist()
+    val lhs = assigned.select(col("cell"), col(idCol).as("i"),
+      col(vecCol).as("vi"), col("nrm").as("ni"))
+    val rhs = assigned.select(col("cell").as("__cell_r"), col(idCol).as("j"),
+      col(vecCol).as("vj"), col("nrm").as("nj"))
+    val dropped = lhs
+      .join(rhs, col("cell") === col("__cell_r") && col("i") < col("j"))
+      .filter(dot(col("vi"), col("vj")) / (col("ni") * col("nj")) >= minCos)
+      .select(col("j")).distinct()
+    assigned.join(dropped, col(idCol) === col("j"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Embedding near-dup pairs: all (i < j) with cosine >= `minCos`, via the
     * same sign-bucket blocking (near-identical vectors agree on every sign
     * bit with probability ≈ 1 - numPlanes·angle/π). Exact-verified, so no

@@ -197,7 +197,27 @@ object SimOps {
       docs.select("doc_id", "lang", "source"), "doc_id", pairs, "i", "j")
   }
 
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]): cluster
+    * with the trained IVF index, exact-verify cosine within cells, keep the
+    * lowest id of each near-dup group. Planted construction as q30: ×2
+    * copies are exactly parallel, so they provably share their source's
+    * argmax cell and score cosine ~1 — the cell-scoped engine result
+    * equals the all-pairs oracle (independent uniform vectors stay below
+    * ~0.65, far under the 0.999 gate).
+    */
+  private def q75SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = emb.union(planted)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 16, lloydIters = 1)
+    Similarity.semanticDedup(corpus, "vec_id", "embedding", index,
+      minCos = 0.999)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_semantic_dedup" -> q75SemanticDedup _,
     "q42_decontaminate" -> q42Decontaminate _,
     "q52_dedup_clusters" -> q52DedupClusters _,
     "q53_cluster_dedup" -> q53ClusterDedup _,
@@ -312,5 +332,17 @@ object SimOps {
         "p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.v AS qv, b.v AS cv " +
         "      FROM e a JOIN e b ON a.vec_id < b.vec_id), " +
         s"r AS (SELECT i, j, $cosSql AS cos FROM p) " +
-        "SELECT i, j, cos FROM r WHERE cos >= 0.999"))
+        "SELECT i, j, cos FROM r WHERE cos >= 0.999"),
+    // the all-pairs truth the cell-scoped engine must reproduce (recall is
+    // provably 1 on the planted corpus; see q75SemanticDedup)
+    "q75_semantic_dedup" ->
+      ("WITH u AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, " +
+        "list_transform(embedding, x -> x * CAST(2 AS FLOAT)) FROM embeddings), " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM u), " +
+        "p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.v AS qv, b.v AS cv " +
+        "      FROM e a JOIN e b ON a.vec_id < b.vec_id), " +
+        s"r AS (SELECT i, j, $cosSql AS cos FROM p), " +
+        "d AS (SELECT DISTINCT j FROM r WHERE cos >= 0.999) " +
+        "SELECT vec_id FROM u WHERE vec_id NOT IN (SELECT j FROM d)"))
 }

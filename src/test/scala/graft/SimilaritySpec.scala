@@ -166,6 +166,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("semanticDedup keeps the lowest id of each planted group, all others") {
+    val corpus = clustered()
+    // ×2 and ×4 copies of vectors 0..9: groups of three exact parallels
+    val copies = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .union(corpus.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 6000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("embedding")))
+    val all = corpus.union(copies)
+    val index = Similarity.buildIvfIndex(all, "vec_id", "embedding",
+      numCentroids = 8, lloydIters = 1)
+    // 0.99999: tight enough that only the exactly-parallel plants qualify
+    // (cluster mates sit near 0.9975 — at 0.999 some genuinely cross over,
+    // and semanticDedup correctly drops them too)
+    val kept = Similarity.semanticDedup(all, "vec_id", "embedding", index,
+      minCos = 0.99999)
+      .as[Long].collect().toSet
+    val base = corpus.select("vec_id").as[Long].collect().toSet
+    // every copy dropped (its source has the smaller id), every base kept
+    assert(kept == base)
+  }
+
   test("IVF index save/load round-trips and queries identically") {
     // the build-once/query-many lifecycle: a loaded index must reproduce
     // both the centroid table and the query results bit-for-bit
