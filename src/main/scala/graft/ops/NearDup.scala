@@ -402,4 +402,45 @@ object NearDup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** MOSS-style fingerprint-overlap pairs: document pairs sharing at least
+    * `minShared` winnowing fingerprints ([[graft.functions.WinnowFingerprints]]
+    * — the `graft_winnow` kernel), with the overlap fraction
+    * `n_shared / min(|fp_i|, |fp_j|)` (containment of the smaller set).
+    * The winnowing guarantee makes this a substring-match detector: any
+    * shared run of >= k+w-1 characters shares at least one fingerprint.
+    *
+    * Scale posture mirrors [[ngramJaccardPairs]]: candidates come from a
+    * blocked self-join on the 8-byte fingerprint — never all pairs — and
+    * fingerprints occurring in more than `maxDf` documents are dropped
+    * first (boilerplate 8-grams otherwise make one hot fingerprint a
+    * quasi-cartesian; MOSS's "ignore matches in many documents" rule).
+    * The exchange moves (id, fp) longs only; the pruned posting list is
+    * persisted because the document-frequency agg, both join sides, and
+    * the per-doc size agg all re-read it.
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Long, minShared: Long): DataFrame = {
+    val f = docs.select(col(idCol).as("i"),
+      explode(call_function("graft_winnow", col(textCol), lit(k), lit(w)))
+        .as("fp"))
+      .persist()
+    val docFreq = f.groupBy("fp").agg(count(lit(1)).as("df"))
+    val rare = f.join(docFreq.where(col("df") <= maxDf), "fp")
+      .select(col("i"), col("fp"))
+      .persist()
+    val shared = rare
+      .join(rare.select(col("i").as("j"), col("fp").as("__fp")),
+        col("fp") === col("__fp") && col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val sizes = rare.groupBy("i").agg(count(lit(1)).as("nf"))
+    shared
+      .join(sizes.select(col("i"), col("nf").as("__ni")), "i")
+      .join(sizes.select(col("i").as("j"), col("nf").as("__nj")), "j")
+      .select(col("i"), col("j"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("__ni"), col("__nj")).cast("double")).as("overlap"))
+  }
 }

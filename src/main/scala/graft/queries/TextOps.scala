@@ -74,6 +74,22 @@ object TextOps {
   private val winnowK = 8
   private val winnowW = 4
 
+  /** MOSS-style fingerprint-overlap pairs
+    * ([[graft.ops.NearDup.winnowOverlapPairs]]): document pairs sharing
+    * winnowing fingerprints, hot fingerprints pruned, overlap fraction on
+    * the smaller set. Planted byte-identical copies (ids +1e6) guarantee
+    * deterministic full-overlap pairs; the oracle replays the identical
+    * winnow + prune + pair pipeline in SQL, so any genuine boilerplate
+    * pairs in the corpus are checked too.
+    */
+  private def q78WinnowPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    graft.ops.NearDup.winnowOverlapPairs(docs.union(planted), "doc_id",
+      "text", winnowK, winnowW, maxDf = 10L, minShared = 2L)
+  }
+
   /** Corpus-level reporting rollup: per declared language, document count,
     * total token mass, and the quality-score envelope. One hash shuffle on
     * `lang` with full map-side partial aggregation. Doubles enter only
@@ -334,6 +350,7 @@ object TextOps {
     "q59_bigram_counts" -> q59BigramCounts _,
     "q73_lm_score" -> q73LmScore _,
     "q74_repetition" -> q74Repetition _,
+    "q78_winnow_pairs" -> q78WinnowPairs _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -526,6 +543,29 @@ object TextOps {
         s"w AS (SELECT doc_id, list_sort(list_distinct([list_min(hs[j:j+${winnowW - 1}]) " +
         s"for j in range(1, len(hs) - $winnowW + 2)])) AS fps FROM h) " +
         "SELECT doc_id, unnest(fps) AS fp FROM w"),
+    // q31's winnow CTEs over the planted union, then the same
+    // df-prune / pair-count / overlap pipeline the operator runs
+    "q78_winnow_pairs" ->
+      ("WITH ud AS (SELECT doc_id, text FROM documents " +
+        "  UNION ALL SELECT doc_id + 1000000, text FROM documents), " +
+        "cs AS (SELECT doc_id, list_transform(string_split(text, ''), " +
+        "  c -> CAST(ascii(c) AS BIGINT)) AS codes, length(text) AS n FROM ud), " +
+        s"h AS (SELECT doc_id, [list_reduce(codes[i:i+${winnowK - 1}], (a,c) -> a*31+c) " +
+        s"  for i in range(1, n - $winnowK + 2)] AS hs FROM cs), " +
+        s"w AS (SELECT doc_id, list_distinct([list_min(hs[j:j+${winnowW - 1}]) " +
+        s"  for j in range(1, len(hs) - $winnowW + 2)]) AS fps FROM h), " +
+        "f AS (SELECT doc_id, unnest(fps) AS fp FROM w), " +
+        "dfq AS (SELECT fp, COUNT(*) AS df FROM f GROUP BY fp), " +
+        "fr AS (SELECT f.doc_id, f.fp FROM f JOIN dfq ON f.fp = dfq.fp " +
+        "  WHERE dfq.df <= 10), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared " +
+        "  FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "  GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT p.i, p.j, p.n_shared, CAST(p.n_shared AS DOUBLE) " +
+        "  / CAST(LEAST(ci.nf, cj.nf) AS DOUBLE) AS overlap " +
+        "FROM p JOIN cnt ci ON p.i = ci.doc_id JOIN cnt cj ON p.j = cj.doc_id " +
+        "WHERE p.n_shared >= 2"),
     // quantile_cont interpolates at rank p*(n-1) exactly like Spark's
     // percentile; integer inputs + dyadic p keep every step bit-exact
     "q48_token_quantiles" ->
