@@ -119,6 +119,57 @@ object EventStreams {
       }
   }
 
+  /** Live running totals for one user — emitted every time the user's
+    * state changes (update mode), plus one final flush when the idle
+    * timeout evicts the state.
+    */
+  final case class UserTotals(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: Timestamp)
+
+  /** Per-user running accumulator (public for the state encoder). */
+  final case class TotalsState(n: Long, total: Double, last: Long)
+
+  /** Live per-key running counters via `mapGroupsWithState` — the
+    * dashboard-counter workload (`flatMapGroupsWithState`'s append-mode
+    * sibling [[sessionizeWithState]] emits CLOSED units; this emits the
+    * CURRENT total on every update). Each microbatch folds its events
+    * into the key's state and emits one refreshed row per touched key.
+    *
+    * State is bounded by an EVENT-time idle timeout: once the watermark
+    * passes a key's last event + `idleMs`, the key is flushed once more
+    * and evicted, so the operator runs forever on working-set-sized
+    * state. Event time (not processing time) keeps eviction
+    * replay-deterministic — and a processing-time timeout would make the
+    * engine schedule timeout-check microbatches continuously even with no
+    * data. Arrival-order semantics (no deterministic SQL twin); the
+    * deterministic batch equivalent is a plain groupBy-agg (q03/q33).
+    */
+  def runningUserTotals(events: Dataset[Event], idleMs: Long,
+      lateness: String = "10 minutes"): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TotalsState, UserTotals](
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[TotalsState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserTotals(user, s.n, s.total, new Timestamp(s.last))
+          } else {
+            val s = rows.foldLeft(
+              state.getOption.getOrElse(TotalsState(0L, 0.0, 0L))) { (acc, e) =>
+              TotalsState(acc.n + 1, acc.total + e.value,
+                math.max(acc.last, e.ts.getTime))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + idleMs)
+            UserTotals(user, s.n, s.total, new Timestamp(s.last))
+          }
+      }
+  }
+
   /** Streaming exact dedup on the given columns with state bounded by the
     * watermark: a duplicate arriving within `lateness` of the original's
     * event time is dropped; state for older keys is evicted, so the

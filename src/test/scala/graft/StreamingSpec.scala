@@ -49,6 +49,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running totals refresh per batch and accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .runningUserTotals(in.toDS(), idleMs = 60 * 60 * 1000,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 10:05:00", 2, "view", 4.0))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 11:30:00", 1, "click", 8.0))
+      q.processAllAvailable()
+      // update-mode memory sink keeps each batch's refreshed rows: user 1
+      // appears once per batch with its cumulative totals at that point
+      val rows = spark.table("totals")
+        .as[EventStreams.UserTotals].collect()
+        .map(t => (t.user_id, t.n_events, t.total_value)).toSet
+      assert(rows == Set((1L, 2L, 3.0), (2L, 1L, 4.0), (1L, 3L, 11.0)))
+      // sentinel advances the watermark past every idle deadline; the next
+      // batch flushes-and-evicts both keys (the flush rows repeat the
+      // latest totals, so the distinct set is unchanged except user 99)
+      in.addData(ev(5, "2024-01-02 20:00:00", 99, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-02 20:00:01", 99, "click", 0.0))
+      q.processAllAvailable()
+      val afterFlush = spark.table("totals")
+        .as[EventStreams.UserTotals].collect()
+        .filter(_.user_id < 99)
+        .map(t => (t.user_id, t.n_events, t.total_value))
+      // eviction flush re-emits each key's final totals exactly once
+      assert(afterFlush.count(_ == ((1L, 3L, 11.0))) == 2) // update + flush
+      assert(afterFlush.count(_ == ((2L, 1L, 4.0))) == 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
