@@ -371,11 +371,54 @@ object Relational {
         cume_dist().over(w).as("cd"))
   }
 
+  /** GROUPING SETS with explicit grouping markers: the non-hierarchical
+    * member of the q12/q71 family — an arbitrary set list (both-dims, each
+    * dim alone) that neither ROLLUP nor CUBE expresses, with `GROUPING()`
+    * bits distinguishing "grouped-out" from a genuine NULL key. SQL form
+    * for the same Spark 4.1.2 Expand-node reason as q12/q71.
+    */
+  private def q79GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val view = s"graft_q79_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM $view GROUP BY GROUPING SETS (
+         |  (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
+  /** Trailing-3 moving window frame (`ROWS BETWEEN 2 PRECEDING AND CURRENT
+    * ROW`): per customer in (date, key) order, the rolling order-value sum
+    * and mean. The frame sum stays decimal (exact at any frame alignment);
+    * the mean divides by the frame's own row count, so heads of groups
+    * average over 1 and 2 rows — the standard warm-up semantics.
+    */
+  private def q82Rolling(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec.cast("double").as("mov3_sum"),
+        (dec.cast("double") / count(lit(1)).over(w).cast("double"))
+          .as("mov3_avg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_cube" -> q71Cube _,
     "q72_lag" -> q72Lag _,
     "q76_unpivot" -> q76Unpivot _,
     "q77_rank_family" -> q77RankFamily _,
+    "q79_grouping_sets" -> q79GroupingSets _,
+    "q82_rolling" -> q82Rolling _,
     "q56_pivot" -> q56Pivot _,
     "q57_share_of_total" -> q57ShareOfTotal _,
     "q58_intersect" -> q58Intersect _,
@@ -397,6 +440,21 @@ object Relational {
     "q33_salted_agg" -> q33SaltedAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q79_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g_prio, " +
+        "COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price " +
+        "FROM orders GROUP BY GROUPING SETS (" +
+        "(o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))"),
+    "q82_rolling" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov3_sum, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) " +
+        "  / CAST(COUNT(*) OVER w AS DOUBLE) AS mov3_avg " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
     // UNION ALL spelling (portable; DuckDB's UNPIVOT clause would also work)
     "q76_unpivot" ->
       ("SELECT metric, COUNT(*) AS n, " +
