@@ -52,10 +52,54 @@ class PlanSpec extends AnyFunSuite {
       "q20_exact_dedup", "q28_tumbling_window", "q36_corpus_stats",
       "q37_top_ngrams", "q39_sliding_window",
       "q48_token_quantiles", "q50_covar_corr", "q51_histogram",
-      "q64_media_dedup")) {
+      "q64_media_dedup",
+      // q76/q79: Expand (unpivot / grouping sets) is map-side, only the
+      // final agg exchanges; q77/q82: one keyed window partitioning;
+      // q81: the per-user stage agg (the grand rollup merges on a single
+      // partition, not a hash exchange)
+      "q76_unpivot", "q77_rank_family", "q79_grouping_sets", "q81_funnel",
+      "q82_rolling")) {
     test(s"$q shuffles exactly once") {
       assert(shuffles(q) == 1)
     }
+  }
+
+  test("q74 repetition profile is the two-stage agg (combine collapses occurrences)") {
+    // explode -> (doc, word) count [exchange 1, map-side combine] ->
+    // per-doc profile [exchange 2]; anything more means a join or an
+    // occurrence-level shuffle crept in
+    assert(shuffles("q74_repetition") == 2)
+  }
+
+  test("q73 LM scoring joins stay equi-keyed on the bigram") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val joins = plan("q73_lm_score").sparkPlan
+      .collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.leftKeys.nonEmpty),
+      joins.map(_.nodeName).mkString(","))
+  }
+
+  test("q75 semantic dedup candidates join on the cell id, never all pairs") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q75_semantic_dedup")
+    val joins = p.sparkPlan.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.leftKeys.nonEmpty),
+      joins.map(_.nodeName).mkString(","))
+    // the pair join's equi-key is the IVF cell
+    assert(joins.exists(_.leftKeys.exists(_.toString.contains("cell"))),
+      p.sparkPlan.toString.take(2000))
+  }
+
+  test("q78 winnow pairs block on the fingerprint with the native kernel") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q78_winnow_pairs")
+    assert(p.optimizedPlan.toString.contains("graft_winnow"))
+    val joins = p.sparkPlan.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.leftKeys.nonEmpty),
+      joins.map(_.nodeName).mkString(","))
   }
 
   test("q45 as-of carry is partitioned by (key, bucket) — hot keys split across tasks") {
