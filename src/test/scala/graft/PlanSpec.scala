@@ -17,10 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
-  private def plan(name: String) =
+  private def plan(name: String) = {
+    // residual persist() state from other suites substitutes
+    // InMemoryRelations (printing THEIR internal exchanges) into these
+    // plans; the pins measure the engine's plan, not cache pollution
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution
+  }
 
   /** Shuffle-exchange count in the executed plan (exchanges are inserted
     * by EnsureRequirements during preparation, so `sparkPlan` — the raw
