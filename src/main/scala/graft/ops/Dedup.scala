@@ -44,4 +44,30 @@ object Dedup {
       df.withColumn(fp, TextAnalysis.fingerprint(col(textCol))),
       Seq(fp), order).drop(fp)
   }
+
+  /** The historical side of [[incrementalByFingerprint]]: the corpus
+    * reduced to its distinct canonical fingerprints. Persist this as the
+    * corpus's dedup index — it is what future batches join against, so the
+    * full historical text is never re-read, re-hashed, or re-shuffled.
+    */
+  def fingerprintIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Incremental exact dedup — the production shape for a corpus that
+    * grows by batches: admit only new-batch rows whose fingerprint is
+    * absent from the existing index ([[fingerprintIndex]] schema: fp),
+    * after within-batch keep-first. Cost scales with the BATCH (hashed
+    * map-only) plus one anti-join against the index on the 32-char hash;
+    * re-running whole-corpus dedup (q20) per batch would re-shuffle the
+    * entire history every day.
+    */
+  def incrementalByFingerprint(newBatch: DataFrame, textCol: String,
+      existingFps: DataFrame, order: Seq[Column]): DataFrame = {
+    val fp = "__graft_fp"
+    keepFirst(
+      newBatch.withColumn(fp, TextAnalysis.fingerprint(col(textCol))),
+      Seq(fp), order)
+      .join(existingFps.select(col("fp").as(fp)), Seq(fp), "left_anti")
+      .drop(fp)
+  }
 }

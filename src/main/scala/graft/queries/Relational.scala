@@ -147,6 +147,19 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
+  /** EXISTS / IN — the left-semi complement of q10: customers WITH at
+    * least one urgent order, emitted once regardless of how many match.
+    * A semi join shuffles only keys from the probe side's perspective and
+    * never duplicates rows — the scale-safe spelling of `IN (subquery)`
+    * (an inner join + distinct would multiply then re-shuffle to dedup).
+    */
+  private def q84SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
   /** T4 — default-fill / null coalesce (ref: `.get(field, default)`
     * user_table.py:62-84), materialized here via the nulls a left join
     * produces: per-customer order stats with zero defaults.
@@ -419,6 +432,7 @@ object Relational {
     "q77_rank_family" -> q77RankFamily _,
     "q79_grouping_sets" -> q79GroupingSets _,
     "q82_rolling" -> q82Rolling _,
+    "q84_semi_join" -> q84SemiJoin _,
     "q56_pivot" -> q56Pivot _,
     "q57_share_of_total" -> q57ShareOfTotal _,
     "q58_intersect" -> q58Intersect _,
@@ -541,6 +555,10 @@ object Relational {
     "q10_anti_join" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT')"),
+    "q84_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderpriority = '1-URGENT')"),
     "q11_coalesce" ->
       ("SELECT c_custkey, COALESCE(cnt, 0) AS n_orders, COALESCE(spend, 0.0) AS total_spend " +

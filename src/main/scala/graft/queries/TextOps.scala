@@ -225,6 +225,24 @@ object TextOps {
       graft.ops.Lm.bigramLm(docs, "text", minCount = 5L))
   }
 
+  /** Incremental exact dedup ([[Dedup.incrementalByFingerprint]]): the
+    * corpus-that-grows-by-batches shape. Documents with id % 5 != 0 play
+    * the existing corpus (reduced to its fingerprint index); the new batch
+    * is the id % 5 == 0 slice plus planted re-crawls (copies of existing
+    * docs at ids +1e6) that the index join must reject.
+    */
+  private def q83IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val existing = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fresh = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .union(existing.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+    Dedup.incrementalByFingerprint(fresh, "text",
+      Dedup.fingerprintIndex(existing, "text"), Seq(col("doc_id").asc))
+      .select("doc_id", "lang")
+  }
+
   /** Gopher-style repetition profile ([[graft.ops.Repetition]]): the
     * character-mass concentration metrics (duplicate-word char fraction,
     * top-word char fraction) plus the composite gate. One explode, one
@@ -351,6 +369,7 @@ object TextOps {
     "q73_lm_score" -> q73LmScore _,
     "q74_repetition" -> q74Repetition _,
     "q78_winnow_pairs" -> q78WinnowPairs _,
+    "q83_incremental_dedup" -> q83IncrementalDedup _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -480,6 +499,17 @@ object TextOps {
         "SELECT doc_id, k AS chunk_idx, " +
         "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
         "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens FROM k"),
+    "q83_incremental_dedup" ->
+      ("WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+        "nb AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0 " +
+        "  UNION ALL SELECT doc_id + 1000000, lang, text FROM documents " +
+        "  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0), " +
+        s"k AS (SELECT doc_id, lang, $fpSql AS fp FROM nb), " +
+        "r AS (SELECT doc_id, lang, fp, ROW_NUMBER() OVER " +
+        "  (PARTITION BY fp ORDER BY doc_id) AS rn FROM k), " +
+        s"ex AS (SELECT DISTINCT $fpSql AS fp FROM old) " +
+        "SELECT doc_id, lang FROM r WHERE rn = 1 " +
+        "AND fp NOT IN (SELECT fp FROM ex)"),
     "q20_exact_dedup" ->
       ("SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, " +
         s"ROW_NUMBER() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn " +
