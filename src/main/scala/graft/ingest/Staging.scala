@@ -52,6 +52,30 @@ object Staging {
       .options(readOptions)
       .csv(dir)
 
+  /** Columnar staging variant (engine extension beyond the reference's
+    * pandas-CSV contract; same explicit-schema discipline): ORC by
+    * default, parquet accepted. Columnar staging is what the CSV plane
+    * can't be at scale — type-exact without a dialect (no quoting /
+    * multiLine hazards, embedded newlines are just bytes), splittable
+    * (CSV multiLine reads whole files; ORC stripes parallelize within a
+    * part-file), and scan-prunable (a downstream reader of 2 of 40
+    * staged columns reads 2 column streams, with predicates pushed to
+    * stripe statistics).
+    */
+  def writeColumnar(df: DataFrame, dir: String, format: String = "orc"): Unit = {
+    require(format == "orc" || format == "parquet", s"unsupported: $format")
+    df.write.mode("overwrite").format(format).save(dir)
+  }
+
+  /** Columnar twin of [[read]]: explicit schema, never inferred — a
+    * missing column fails the read instead of silently widening types.
+    */
+  def readColumnar(spark: SparkSession, schema: StructType, dir: String,
+      format: String = "orc"): DataFrame = {
+    require(format == "orc" || format == "parquet", s"unsupported: $format")
+    spark.read.schema(schema).format(format).load(dir)
+  }
+
   /** S6 — existence probe (ref: `check_file_exists`, `utils.py:42-47`);
     * guards the daily pipeline's no-op path (Q9).
     */

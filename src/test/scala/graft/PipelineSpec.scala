@@ -287,6 +287,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
 
+  test("ORC columnar staging round-trips types exactly, no dialect in play") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType),
+      StructField("n", LongType), StructField("ok", BooleanType)))
+    // the same hostile strings the CSV dialect needs quoting for are just
+    // bytes here; null/bool/long come back type-identical, not re-inferred
+    val df = Seq(
+      ("a", "line1\nline2", 1L, true),
+      ("b", "say \"hi\", ok", 2L, false),
+      ("c", null, 3L, true))
+      .toDF("k", "v", "n", "ok")
+    graft.ingest.Staging.writeColumnar(df, s"$work/tricky_orc")
+    val back = graft.ingest.Staging.readColumnar(spark, schema, s"$work/tricky_orc")
+    assert(back.schema == schema)
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
   test("canonical-form extended JSON dates decode via Bson.tsCanonical") {
     import org.apache.spark.sql.types.{StructField, StructType}
     val schema = StructType(Seq(
