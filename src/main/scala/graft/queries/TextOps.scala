@@ -353,6 +353,23 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens")
   }
 
+  /** Quality-weighted importance sampling: each document keeps with
+    * probability equal to its own quality score — the soft alternative to
+    * a hard quality cutoff (q61/q36's metric, q43/q65's deterministic
+    * hash-bucket selection, composed). Map-only; rerun-identical (the
+    * Knuth-scatter hash, not rand()), and the keep test is one multiply +
+    * one compare of engine-exact doubles.
+    */
+  private def q85QualitySample(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"),
+      TextAnalysis.langStopwords("en"))
+    val h = pmod(pmod(col("doc_id"), lit(1000000L)) * 435761L, lit(1000000L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), q.as("quality"), h.as("__h"))
+      .where(col("__h").cast("double") < col("quality") * 1000000.0)
+      .drop("__h")
+  }
+
   /** Temperature-sampled corpus mixture ([[graft.ops.Mix]]): keep ~40% of
     * the corpus with per-language rates proportional to sqrt(group size) —
     * the UniMax/alpha-sampling rebalance between proportional and uniform.
@@ -370,6 +387,7 @@ object TextOps {
     "q74_repetition" -> q74Repetition _,
     "q78_winnow_pairs" -> q78WinnowPairs _,
     "q83_incremental_dedup" -> q83IncrementalDedup _,
+    "q85_quality_sample" -> q85QualitySample _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -499,6 +517,11 @@ object TextOps {
         "SELECT doc_id, k AS chunk_idx, " +
         "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
         "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens FROM k"),
+    "q85_quality_sample" ->
+      ("SELECT doc_id, lang, quality FROM " +
+        s"(SELECT doc_id, lang, $qualitySql FROM documents) " +
+        "WHERE CAST(((doc_id % 1000000) * 435761) % 1000000 AS DOUBLE) " +
+        "< quality * 1000000.0"),
     "q83_incremental_dedup" ->
       ("WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
         "nb AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0 " +

@@ -35,6 +35,28 @@ class LmSpec extends AnyFunSuite {
       (2L, 2L, 1L, 1000000L, 0.5)))
   }
 
+  test("randomized invariants: self-trained LM at minCount=1 has zero OOV; " +
+      "mass and rate stay in bounds") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val lm1 = Lm.bigramLm(corpus, "text", minCount = 1L)
+    val scored = Lm.scoreDocuments(corpus, "doc_id", "text", lm1)
+      .select("n_bigrams", "n_oov", "prob_mass", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(scored.length == 200)
+    // every corpus bigram is in its own minCount=1 LM
+    assert(scored.forall(_._2 == 0L))
+    // each in-LM occurrence contributes at most 1e6 (P <= 1), at least 1
+    assert(scored.forall { case (nb, _, mass, _) =>
+      mass >= nb && mass <= 1000000L * nb })
+    assert(scored.forall { case (nb, oov, _, rate) =>
+      oov <= nb && rate == oov.toDouble / nb.toDouble })
+  }
+
   test("a document of pure OOV text scores zero mass, rate 1.0") {
     val lm = Lm.bigramLm(docs, "text", minCount = 2L)
     val alien = Seq((9L, "z z z")).toDF("doc_id", "text")

@@ -30,4 +30,21 @@ class RepetitionSpec extends AnyFunSuite {
       .select("flagged").as[Boolean].collect().toSeq
     assert(ok == Seq(false))
   }
+
+  test("randomized invariants: every fraction in [0,1], dup implies repeats") {
+    val rnd = new scala.util.Random(13)
+    val words = Vector("x", "yy", "zzz", "wwww", "v")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(25))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Repetition.wordRepetitionProfile(docs, "doc_id", "text")
+      .select("n_words", "dup_word_frac", "dup_char_frac", "top_char_frac")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.length == 200)
+    assert(out.forall { case (_, a, b, c) =>
+      a >= 0.0 && a < 1.0 && b >= 0.0 && b <= 1.0 && c > 0.0 && c <= 1.0 })
+    // char mass in duplicated words can only exist when tokens repeat
+    assert(out.forall { case (_, dupW, dupC, _) => dupC == 0.0 || dupW > 0.0 })
+  }
 }
