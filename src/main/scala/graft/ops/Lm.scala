@@ -33,10 +33,15 @@ object Lm {
     * over the already-reduced pair table, not the corpus.
     */
   def bigramLm(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    // persisted: the pair table feeds BOTH the context agg and the join's
+    // probe side — without it the corpus explode + count (the expensive
+    // stage) re-executes for each. Vocabulary-sized, so pinning it is
+    // bounded regardless of corpus size.
     val pc = docs
       .select(explode(Shingles.wordNgramOccurrences(col(textCol), 2)).as("bg"))
       .groupBy("bg")
       .agg(count(lit(1)).as("n_pair"))
+      .persist()
     val cx = pc
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("n_pair")).as("n_ctx"))

@@ -43,10 +43,23 @@ class PlanSpec extends AnyFunSuite {
   for (q <- Seq("q01_project", "q02_filter", "q09_explode",
       "q15_flatten_defaults", "q21_text_stats", "q22_lang_quality",
       "q31_winnow_fp", "q40_redact", "q41_line_quality", "q43_corpus_mix",
-      "q68_normalize", "q69_chunks")) {
+      "q68_normalize", "q69_chunks",
+      // q85: the quality keep-test is pure column arithmetic
+      "q85_quality_sample")) {
     test(s"$q is map-only (no shuffle exchange)") {
       assert(shuffles(q) == 0)
     }
+  }
+
+  test("q83 incremental dedup shuffles the batch, not the history") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q83_incremental_dedup")
+    // within-batch keep-first window + the index distinct: two exchanges,
+    // both over fingerprints — the anti-join against the history is
+    // equi-keyed on the hash (broadcast here; hash join at scale)
+    assert(shuffles("q83_incremental_dedup") == 2)
+    val joins = p.sparkPlan.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
   }
 
   /** Single-shuffle operators: one hash aggregation / keyed window means
