@@ -353,6 +353,26 @@ object TextOps {
       .select("doc_id", "lang", "n_tokens")
   }
 
+  /** The composed one-pass cleaning report: every gate of a C4/Gopher-style
+    * corpus filter evaluated together — length window, punctuation ratio,
+    * language-ID confidence, bigram repetition — with per-rule verdicts
+    * (so dropped mass is attributable per rule, the thing a corpus recipe
+    * audit needs) and the composite keep. Pure column arithmetic over the
+    * existing kernels: one map-only pass, no shuffle, whole-stage codegen.
+    */
+  private def q86FilterReport(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nTok = TextAnalysis.tokenCount(t)
+    val lenOk = nTok >= 10 && nTok <= 100000
+    val punctOk = TextAnalysis.punctRatio(t) <= 0.2
+    val langKnown = TextAnalysis.langId(t) =!= "und"
+    val repOk = TextAnalysis.repetitionRatio(t, 2) <= 0.2
+    Tables.documents(s, d).select(col("doc_id"),
+      lenOk.as("len_ok"), punctOk.as("punct_ok"),
+      langKnown.as("lang_known"), repOk.as("rep_ok"),
+      (lenOk && punctOk && langKnown && repOk).as("keep"))
+  }
+
   /** Quality-weighted importance sampling: each document keeps with
     * probability equal to its own quality score — the soft alternative to
     * a hard quality cutoff (q61/q36's metric, q43/q65's deterministic
@@ -388,6 +408,7 @@ object TextOps {
     "q78_winnow_pairs" -> q78WinnowPairs _,
     "q83_incremental_dedup" -> q83IncrementalDedup _,
     "q85_quality_sample" -> q85QualitySample _,
+    "q86_filter_report" -> q86FilterReport _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -444,6 +465,33 @@ object TextOps {
     s"SELECT doc_id, lang AS lang_label, CASE $cases END AS lang_pred, " +
       "quality FROM (SELECT doc_id, lang, text, " + scores + ", " + qualitySql +
       " FROM documents)"
+  }
+
+  /** q86's oracle: the same gates from the same SQL macros the q21/q22/q41
+    * oracles already validate bit-for-bit, AND-composed.
+    */
+  private def q86OracleSql: String = {
+    val langs = TextAnalysis.langStopwords.keys.toSeq.sorted
+    val scores = langs
+      .map(l => s"${stopRatioSql(TextAnalysis.langStopwords(l))} AS s_$l")
+      .mkString(", ")
+    val cases = langs.reverse.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN CASE WHEN s_$l >= 0.01 THEN '$l' ELSE 'und' END"
+    }.mkString(" ")
+    val lenOk = "(len(tk) >= 10 AND len(tk) <= 100000)"
+    val punctOk = "(CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) " +
+      "AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.2)"
+    val langOk = s"((CASE $cases END) <> 'und')"
+    val repOk = "(CASE WHEN len(tk) - 1 > 0 THEN 1.0 - " +
+      "CAST(len(list_distinct([array_to_string(tk[i:i+1], ' ') " +
+      "for i in range(1, len(tk))])) AS DOUBLE) / (len(tk) - 1) " +
+      "ELSE 0.0 END <= 0.2)"
+    s"WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS tk, $scores " +
+      "FROM documents) " +
+      s"SELECT doc_id, $lenOk AS len_ok, $punctOk AS punct_ok, " +
+      s"$langOk AS lang_known, $repOk AS rep_ok, " +
+      s"($lenOk AND $punctOk AND $langOk AND $repOk) AS keep FROM b"
   }
 
   private def qualitySql: String = {
@@ -517,6 +565,7 @@ object TextOps {
         "SELECT doc_id, k AS chunk_idx, " +
         "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
         "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens FROM k"),
+    "q86_filter_report" -> q86OracleSql,
     "q85_quality_sample" ->
       ("SELECT doc_id, lang, quality FROM " +
         s"(SELECT doc_id, lang, $qualitySql FROM documents) " +

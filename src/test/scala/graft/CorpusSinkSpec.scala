@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.CorpusSink
+
+/** The sharded-writer determinism contract: same input → same shard files,
+  * byte-stable per file across independent runs.
+  */
+class CorpusSinkSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(seed: Int) = {
+    // built through a shuffle+repartition so the two runs' INPUT partition
+    // layouts differ — determinism must come from the writer, not luck
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 500).toList).map(i => (i.toLong, s"doc $i"))
+    rows.toDF("doc_id", "text").repartition(3 + seed % 2)
+  }
+
+  private def fileContents(dir: String): Map[String, Seq[Long]] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    files.map { f =>
+      // key by shard ordinal (the part index prefix), not the full name
+      // (it embeds a per-job UUID)
+      val ord = f.getName.split("-")(1)
+      ord -> spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").as[Long].collect().toSeq
+    }.toMap
+  }
+
+  test("writeSharded: shard count, within-shard order, rerun-identical layout") {
+    val d1 = Files.createTempDirectory("graft_shards1").toString
+    val d2 = Files.createTempDirectory("graft_shards2").toString
+    CorpusSink.writeSharded(corpus(0), "doc_id", d1, numShards = 4)
+    CorpusSink.writeSharded(corpus(1), "doc_id", d2, numShards = 4)
+    val c1 = fileContents(d1)
+    val c2 = fileContents(d2)
+    assert(c1.size == 4)
+    // every shard file is sorted by id
+    assert(c1.values.forall(ids => ids == ids.sorted))
+    // shard-by-shard identical across the two independent runs
+    assert(c1 == c2)
+    // nothing lost or duplicated
+    assert(c1.values.flatten.toSeq.sorted == (1L to 500L))
+  }
+
+  test("writeSharded: maxRecordsPerFile rolls a shard deterministically") {
+    val d = Files.createTempDirectory("graft_shards3").toString
+    CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 2,
+      maxRecordsPerFile = 100L)
+    val files = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    // 2 shards of ~250 rows roll into ceil(250/100)=3 files each
+    assert(files.length == 6, files.map(_.getName).mkString(","))
+    val all = spark.read.parquet(d).select("doc_id").as[Long].collect()
+    assert(all.sorted.toSeq == (1L to 500L))
+  }
+}
