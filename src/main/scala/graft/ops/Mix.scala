@@ -63,4 +63,42 @@ object Mix {
         < col("__thr"))
       .select(idCol, groupCol)
   }
+
+  /** Epoch-weighted replication — the UPSAMPLING half of corpus mixing
+    * ([[temperatureMix]] only downsamples): a group with weight 2.3 emits
+    * every document twice plus a deterministic 30% of documents a third
+    * time, each copy tagged with its `epoch` ordinal (0-based) so
+    * downstream shuffling/packing can interleave epochs.
+    *
+    * Fractional weights resolve per DOCUMENT (hash-mod, rerun-identical),
+    * not per batch, so every run — and every engine — replicates the
+    * identical document set. The weight is split into (whole copies,
+    * fractional millionths) at PLAN time; the fractional test reuses the
+    * same Knuth-scatter hash as [[temperatureMix]]. Map-only: the
+    * replication is a bounded `explode(sequence)`, no shuffle, no join.
+    */
+  def epochMix(docs: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    def split(w: Double): (Int, Long) = {
+      require(w >= 0 && w <= 100, s"weight out of range: $w")
+      val base = math.floor(w).toInt
+      // the oracle SQL is GENERATED from the same longs, so binary-double
+      // representation error (0.3 -> 299999) cancels by construction
+      ((base, ((BigDecimal(w) - base) * 1000000).toLong))
+    }
+    val (defBase, defFrac) = split(defaultWeight)
+    val (baseCol, fracCol) = weights.foldLeft(
+      (lit(defBase), lit(defFrac))) { case ((b, f), (k, w)) =>
+      val (kb, kf) = split(w)
+      (when(col(groupCol) === k, lit(kb)).otherwise(b),
+        when(col(groupCol) === k, lit(kf)).otherwise(f))
+    }
+    val h = pmod(pmod(col(idCol), lit(1000000L)) * 435761L, lit(1000000L))
+    val n = baseCol + when(h < fracCol, 1).otherwise(0)
+    docs.where(col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol), n.as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0), col("__n") - 1)).as("epoch"))
+  }
 }

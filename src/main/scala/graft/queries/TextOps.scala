@@ -390,6 +390,16 @@ object TextOps {
       .drop("__h")
   }
 
+  /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
+    * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
+    * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
+    * half of corpus mixing (q65 downsamples). Deterministic per document;
+    * map-only explode.
+    */
+  private def q87EpochMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Mix.epochMix(Tables.documents(s, d), "lang", "doc_id",
+      Map("en" -> 1.3, "de" -> 2.5), defaultWeight = 0.4)
+
   /** Temperature-sampled corpus mixture ([[graft.ops.Mix]]): keep ~40% of
     * the corpus with per-language rates proportional to sqrt(group size) —
     * the UniMax/alpha-sampling rebalance between proportional and uniform.
@@ -409,6 +419,7 @@ object TextOps {
     "q83_incremental_dedup" -> q83IncrementalDedup _,
     "q85_quality_sample" -> q85QualitySample _,
     "q86_filter_report" -> q86FilterReport _,
+    "q87_epoch_mix" -> q87EpochMix _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -566,6 +577,20 @@ object TextOps {
         "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
         "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens FROM k"),
     "q86_filter_report" -> q86OracleSql,
+    // weight split (whole, frac-millionths): en=(1,300000) de=(2,500000)
+    // default=(0,400000) — the same longs Mix.epochMix derives at plan time
+    "q87_epoch_mix" ->
+      ("WITH b AS (SELECT doc_id, lang, " +
+        "  ((doc_id % 1000000) * 435761) % 1000000 AS h " +
+        "  FROM documents WHERE lang IS NOT NULL), " +
+        "n AS (SELECT doc_id, lang, " +
+        "  (CASE WHEN lang = 'en' THEN 1 WHEN lang = 'de' THEN 2 ELSE 0 END) + " +
+        "  (CASE WHEN h < (CASE WHEN lang = 'en' THEN 300000 " +
+        "     WHEN lang = 'de' THEN 500000 ELSE 400000 END) " +
+        "   THEN 1 ELSE 0 END) AS n FROM b), " +
+        "k AS (SELECT doc_id, lang, unnest(range(0, n)) AS e " +
+        "  FROM n WHERE n > 0) " +
+        "SELECT doc_id, lang, CAST(e AS INT) AS epoch FROM k"),
     "q85_quality_sample" ->
       ("SELECT doc_id, lang, quality FROM " +
         s"(SELECT doc_id, lang, $qualitySql FROM documents) " +

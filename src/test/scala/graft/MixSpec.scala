@@ -51,4 +51,28 @@ class MixSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(run(2) == run(16))
   }
+
+  test("epochMix: whole weights replicate exactly, fractional by hash, zero drops") {
+    val df = ((1L to 100L).map((_, "two")) ++ (101L to 200L).map((_, "half")) ++
+      (201L to 300L).map((_, "zero")) ++ Seq((301L, null.asInstanceOf[String])))
+      .toDF("doc_id", "grp")
+    val out = Mix.epochMix(df, "grp", "doc_id",
+      Map("two" -> 2.0, "half" -> 0.5, "zero" -> 0.0), defaultWeight = 1.0)
+      .as[(Long, String, Int)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // weight 2.0: every doc exactly epochs [0, 1]
+    assert((1L to 100L).forall(id => byDoc(id) == Seq(0, 1)))
+    // weight 0.5: a doc appears iff its hash falls under 500000, epoch [0]
+    val halfDocs = (101L to 200L).filter(byDoc.contains)
+    assert(halfDocs.nonEmpty && halfDocs.size < 100)
+    assert(halfDocs.forall(id => byDoc(id) == Seq(0)))
+    assert(halfDocs.forall(id => ((id % 1000000L) * 435761L) % 1000000L < 500000L))
+    // weight 0.0 and null groups never emit
+    assert((201L to 301L).forall(id => !byDoc.contains(id)))
+    // partition-layout invariance
+    val out2 = Mix.epochMix(df.repartition(13), "grp", "doc_id",
+      Map("two" -> 2.0, "half" -> 0.5, "zero" -> 0.0), defaultWeight = 1.0)
+      .as[(Long, String, Int)].collect()
+    assert(out.toSet == out2.toSet)
+  }
 }
