@@ -93,4 +93,36 @@ object Stats {
         (col("bin") * widthCents / lit(100.0)).as("bin_lo"),
         col("n_rows"))
   }
+
+  /** Robust outlier profile via median absolute deviation: per key group,
+    * the median, the MAD (median of |x - median|), and how many rows sit
+    * beyond `k` MADs — the outlier gate that, unlike mean/stddev z-scores,
+    * is not itself dragged by the outliers it is hunting.
+    *
+    * Three passes by nature (median → deviations → deviation median +
+    * count); each is one keyed shuffle with the group-median broadcast
+    * back. Exactness: `percentile` at the dyadic 0.5 over integral inputs
+    * interpolates exactly (see [[Quantiles]]); deviations are then exact
+    * doubles, so the MAD and the `> k·mad` comparisons are engine-exact.
+    * Memory bound is the largest GROUP (ObjectHashAggregate buffering, as
+    * with [[Quantiles.exactQuantiles]]).
+    */
+  def madProfile(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Double): DataFrame = {
+    val kc = keys.map(col)
+    val med = df.groupBy(kc: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withDev = df.join(med, keys)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = withDev.groupBy(kc: _*)
+      .agg(min(col("__med")).as("med"),
+        percentile(col("__dev"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n_rows"))
+    withDev.join(mad, keys)
+      .groupBy(kc: _*)
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        min(col("n_rows")).as("n_rows"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -88,7 +88,19 @@ object StatOps {
         (abs(col("__approx") - col("n_exact")).cast("double") /
           col("n_exact").cast("double") <= 0.15).as("within_bound"))
 
+  /** Robust outliers ([[Stats.madProfile]]): per-language token-count
+    * median, MAD, and the count beyond 3 MADs — the quantile-based outlier
+    * gate whose thresholds the outliers themselves can't drag (q61's
+    * p75 cut and mean/stddev z-scores both can be).
+    */
+  private def q88MadOutliers(s: SparkSession, d: String): DataFrame =
+    Stats.madProfile(
+      Tables.documents(s, d).select(col("lang"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      Seq("lang"), "n_tokens", k = 3.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_mad_outliers" -> q88MadOutliers _,
     "q50_covar_corr" -> q50CovarCorr _,
     "q51_histogram" -> q51Histogram _,
     "q62_null_profile" -> q62NullProfile _,
@@ -114,6 +126,22 @@ object StatOps {
       "CAST(l_quantity AS DECIMAL(18,2)))", 10000) + " AS sxy").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont == Spark percentile at the dyadic 0.5 (see q48);
+    // MIN() carries the per-group constants through the final agg exactly
+    "q88_mad_outliers" ->
+      ("WITH st AS (SELECT lang, len(string_split(text, ' ')) AS v " +
+        "  FROM documents), " +
+        "m AS (SELECT lang, quantile_cont(v, 0.5) AS med " +
+        "  FROM st GROUP BY lang), " +
+        "dv AS (SELECT st.lang, abs(CAST(v AS DOUBLE) - m.med) AS dev, m.med " +
+        "  FROM st JOIN m ON st.lang = m.lang), " +
+        "a AS (SELECT lang, MIN(med) AS med, quantile_cont(dev, 0.5) AS mad, " +
+        "  COUNT(*) AS n_rows FROM dv GROUP BY lang) " +
+        "SELECT dv.lang, MIN(a.med) AS med, MIN(a.mad) AS mad, " +
+        "MIN(a.n_rows) AS n_rows, " +
+        "CAST(SUM(CASE WHEN dv.dev > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) " +
+        "  AS n_outliers " +
+        "FROM dv JOIN a ON dv.lang = a.lang GROUP BY dv.lang"),
     "q67_approx_distinct" ->
       ("SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact, " +
         "true AS within_bound FROM orders GROUP BY o_orderpriority"),

@@ -26,6 +26,18 @@ class StatsSpec extends AnyFunSuite {
     (cov, cov / math.sqrt(vx * vy))
   }
 
+  test("madProfile: hand-computed median, MAD, and outlier count") {
+    // values 1..9 plus a wild 1000: median 5.5, deviations
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> MAD 2.5;
+    // 3*MAD = 7.5, only 994.5 exceeds it
+    val df = ((1 to 9).map(v => ("g", v)) :+ (("g", 1000)))
+      .toDF("g", "v")
+    val out = graft.ops.Stats.madProfile(df, Seq("g"), "v", k = 3.0)
+      .select("g", "med", "mad", "n_rows", "n_outliers")
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(("g", 5.5, 2.5, 10L, 1L)))
+  }
+
   test("covarCorr matches the textbook population definitions") {
     val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
     val got = Stats.covarCorr(df, Seq("g"), "x", "y")
