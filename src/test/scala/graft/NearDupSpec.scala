@@ -260,4 +260,25 @@ class NearDupSpec extends AnyFunSuite {
     assert(out(0).toSet.intersect(out(1).toSet).nonEmpty)
     assert(out(2).isEmpty) // 5 chars < k + w - 1 = 11
   }
+
+  test("winnowOverlapPairs finds embedded-substring pairs, full overlap on copies") {
+    val shared = "THE COMMON SHARED MIDDLE SECTION OF MEANINGFUL LENGTH HERE"
+    val docs = Seq(
+      (1L, s"completely unrelated prefix $shared and a tail ending"),
+      (2L, s"other document wrapping $shared in different context"),
+      (3L, s"completely unrelated prefix $shared and a tail ending"), // copy of 1
+      (4L, "nothing in common with anyone else at all in this row"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, maxDf = 10L, minShared = 2L)
+      .select("i", "j", "overlap")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the byte-identical pair shares its whole fingerprint set
+    assert(pairs((1L, 3L)) == 1.0)
+    // the embedded-substring pairs are found in both directions
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    // the unrelated doc pairs with nobody
+    assert(!pairs.keys.exists { case (i, j) => i == 4L || j == 4L })
+  }
 }

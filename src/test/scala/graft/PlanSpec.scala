@@ -44,11 +44,23 @@ class PlanSpec extends AnyFunSuite {
       "q15_flatten_defaults", "q21_text_stats", "q22_lang_quality",
       "q31_winnow_fp", "q40_redact", "q41_line_quality", "q43_corpus_mix",
       "q68_normalize", "q69_chunks",
-      // q85: the quality keep-test is pure column arithmetic
-      "q85_quality_sample")) {
+      // q85/q86: pure column arithmetic; q87: bounded explode, no join —
+      // the whole composed cleaning/mixing pass stays a parallel scan
+      "q85_quality_sample", "q86_filter_report", "q87_epoch_mix")) {
     test(s"$q is map-only (no shuffle exchange)") {
       assert(shuffles(q) == 0)
     }
+  }
+
+  test("q88 MAD profile: three keyed aggs, group stats broadcast back") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // two exchanges (the median agg feeds both later anchors via reuse;
+    // deviations re-join broadcast) — a third would mean a group-stat
+    // frame got shuffled instead of broadcast
+    assert(shuffles("q88_mad_outliers") == 2)
+    val joins = plan("q88_mad_outliers").sparkPlan
+      .collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
   }
 
   test("q83 incremental dedup shuffles the batch, not the history") {
