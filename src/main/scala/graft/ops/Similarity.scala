@@ -308,7 +308,9 @@ object Similarity {
     * quadratic only within a cell (~n/numCentroids rows), never across the
     * corpus, and the join key is the 4-byte cell id. The trained index
     * comes from [[buildIvfIndex]]/[[loadIvfIndex]], so long-lived corpora
-    * pay Lloyd once. Semantics caveat shared with every clustered dedup:
+    * pay Lloyd once. Naming precondition: `idCol`/`vecCol` must not be
+    * named `nrm`, `cell`, `i`, or `j` (internal working columns).
+    * Semantics caveat shared with every clustered dedup:
     * a near-dup pair that straddles a cell boundary is not examined —
     * raise numCentroids' training quality or lower minCos conservatively
     * when that matters; exactly-parallel duplicates always share a cell.
@@ -326,11 +328,13 @@ object Similarity {
       col(vecCol).as("vi"), col("nrm").as("ni"))
     val rhs = assigned.select(col("cell").as("__cell_r"), col(idCol).as("j"),
       col(vecCol).as("vj"), col("nrm").as("nj"))
+    // reserved name: a caller whose idCol is literally "j" must not hit an
+    // ambiguous-reference error in the anti-join below
     val dropped = lhs
       .join(rhs, col("cell") === col("__cell_r") && col("i") < col("j"))
       .filter(dot(col("vi"), col("vj")) / (col("ni") * col("nj")) >= minCos)
-      .select(col("j")).distinct()
-    assigned.join(dropped, col(idCol) === col("j"), "left_anti")
+      .select(col("j").as("__dropped_id")).distinct()
+    assigned.join(dropped, col(idCol) === col("__dropped_id"), "left_anti")
       .select(col(idCol))
   }
 

@@ -105,7 +105,8 @@ object Stats {
     * interpolates exactly (see [[Quantiles]]); deviations are then exact
     * doubles, so the MAD and the `> k·mad` comparisons are engine-exact.
     * Memory bound is the largest GROUP (ObjectHashAggregate buffering, as
-    * with [[Quantiles.exactQuantiles]]).
+    * with [[Quantiles.exactQuantiles]]). Naming precondition: key columns
+    * must not be named `med`, `mad`, or `n_rows` (the output stat columns).
     */
   def madProfile(df: DataFrame, keys: Seq[String], valueCol: String,
       k: Double): DataFrame = {
