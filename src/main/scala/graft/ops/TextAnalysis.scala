@@ -119,6 +119,26 @@ object TextAnalysis {
         size(split(l, " ", -1)) >= minTokens && l.rlike("[.!?]$")),
       "\n")
 
+  /** Web-corpus markup scrub: drop HTML/XML tags, decode the five basic
+    * entities, collapse whitespace — the first pass of any web-scrape
+    * cleaning recipe (full HTML parsing is a DOM library's job upstream;
+    * at corpus scale the regex scrub is the map-only engine-side form).
+    *
+    * Order matters and is part of the contract: tags are stripped BEFORE
+    * entity decoding (so `&lt;p&gt;` decodes to a literal "<p>" and is
+    * kept as text, not re-interpreted as a tag), and `&amp;` decodes LAST
+    * (so `&amp;lt;` yields "&lt;", the standard double-escape rule).
+    * Whitespace collapses over the explicit { space \t \n \f \r } class —
+    * Java's `\s` and RE2's disagree on vertical tab.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[\\t\\n\\f\\r ]+", " "))
+  }
+
   /** Deterministic sampling bucket in [0, 100) from a numeric id — the
     * reproducible alternative to `rand()`-based sampling for corpus
     * mixing: the same row lands in the same bucket on every run, every

@@ -390,6 +390,19 @@ object TextOps {
       .drop("__h")
   }
 
+  /** Markup scrub ([[TextAnalysis.stripMarkup]]): the q40-style planted
+    * construction — every row gains a deterministic tag/entity payload so
+    * the scrub path actually executes — with the tag count emitted
+    * alongside the cleaned text. Map-only.
+    */
+  private def q89StripMarkup(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" <div class=\"x\">Tail &amp; <b>tags</b> &lt;escaped&gt;</div>"))
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.stripMarkup(planted).as("clean"),
+      regexp_count(planted, lit("<[^>]*>")).cast("int").as("n_tags"))
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -420,6 +433,7 @@ object TextOps {
     "q85_quality_sample" -> q85QualitySample _,
     "q86_filter_report" -> q86FilterReport _,
     "q87_epoch_mix" -> q87EpochMix _,
+    "q89_strip_markup" -> q89StripMarkup _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -577,6 +591,19 @@ object TextOps {
         "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text, " +
         "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens FROM k"),
     "q86_filter_report" -> q86OracleSql,
+    // same op ORDER as stripMarkup: tags out first, &amp; decoded last,
+    // explicit whitespace class (Java \s vs RE2 disagree on \v)
+    "q89_strip_markup" ->
+      ("WITH p AS (SELECT doc_id, text || " +
+        "' <div class=\"x\">Tail &amp; <b>tags</b> &lt;escaped&gt;</div>' AS t " +
+        "FROM documents) " +
+        "SELECT doc_id, trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(" +
+        "regexp_replace(t, '<[^>]*>', ' ', 'g'), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&amp;', '&'), " +
+        "'[\\t\\n\\f\\r ]+', ' ', 'g')) AS clean, " +
+        "CAST(len(regexp_extract_all(t, '<[^>]*>')) AS INT) AS n_tags FROM p"),
     // weight split (whole, frac-millionths): en=(1,300000) de=(2,500000)
     // default=(0,400000) — the same longs Mix.epochMix derives at plan time
     "q87_epoch_mix" ->

@@ -46,7 +46,8 @@ class PlanSpec extends AnyFunSuite {
       "q68_normalize", "q69_chunks",
       // q85/q86: pure column arithmetic; q87: bounded explode, no join —
       // the whole composed cleaning/mixing pass stays a parallel scan
-      "q85_quality_sample", "q86_filter_report", "q87_epoch_mix")) {
+      "q85_quality_sample", "q86_filter_report", "q87_epoch_mix",
+      "q89_strip_markup")) {
     test(s"$q is map-only (no shuffle exchange)") {
       assert(shuffles(q) == 0)
     }
