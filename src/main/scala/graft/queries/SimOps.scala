@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Components, NearDup, Similarity}
+import graft.ops.{Components, EmbedProfile, NearDup, Similarity}
 
 /** Oracle-checked queries for the similarity-search / near-dup operator
   * family: ANN over the `embeddings` table, n-gram Jaccard and MinHash-LSH
@@ -216,7 +216,41 @@ object SimOps {
       minCos = 0.999)
   }
 
+  /** Leakage-proof train/validation split: a hash split on the DOCUMENT id
+    * leaks — near-duplicate pairs land on opposite sides and the
+    * validation set scores memorization. Here the split key is the
+    * near-dup CLUSTER label ([[Components.connectedComponents]] over the
+    * q25 pair graph; singletons label themselves), so an entire dup
+    * cluster rides on one side by construction. Deterministic
+    * (Knuth-scatter hash on the label, ~80/20).
+    */
+  private def q90LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text", nShingle,
+      minJaccard)
+    val comps = Components.connectedComponents(pairs, "i", "j")
+    docs.select("doc_id")
+      .join(comps.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_label"))
+      .withColumn("side",
+        when(pmod(pmod(col("split_label"), lit(1000000L)) * 435761L,
+          lit(1000000L)) < 800000L, "train").otherwise("val"))
+  }
+
+  /** Embedding cohesion outliers ([[EmbedProfile.groupOutliers]]): the 3
+    * least-cohesive vectors of every label group by cosine to the group
+    * centroid — mislabel/junk triage. Floor-scaled integer sums make the
+    * centroid partitioning-independent; cosines fold in dimension order.
+    */
+  private def q93EmbedOutliers(s: SparkSession, d: String): DataFrame =
+    EmbedProfile.groupOutliers(Tables.embeddings(s, d), "vec_id", "label",
+      "embedding", k = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_leakage_split" -> q90LeakageSplit _,
+    "q93_embed_outliers" -> q93EmbedOutliers _,
     "q75_semantic_dedup" -> q75SemanticDedup _,
     "q42_decontaminate" -> q42Decontaminate _,
     "q52_dedup_clusters" -> q52DedupClusters _,
@@ -282,6 +316,30 @@ object SimOps {
       s"WHERE rank <= $topK"
 
   val oracle: Map[String, String] = Map(
+    // floor-scaled (2^20) integer component sums → centroid; cosine folds
+    // left-to-right in dim order — mirrors EmbedProfile.groupOutliers
+    // bit-for-bit (floor, not cast: cast rounds in DuckDB, truncates in
+    // Spark)
+    "q93_embed_outliers" ->
+      ("WITH s AS (SELECT vec_id, label, " +
+        "  [floor(CAST(x AS DOUBLE) * 1048576.0) for x in embedding] AS v " +
+        "  FROM embeddings), " +
+        "e AS (SELECT label, unnest([{'dim': i, 'x': CAST(v[i] AS BIGINT)} " +
+        "  for i in range(1, len(v)+1)], recursive := true) FROM s), " +
+        "g AS (SELECT label, dim, SUM(x) AS sm, COUNT(*) AS n " +
+        "  FROM e GROUP BY label, dim), " +
+        "c AS (SELECT label, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "  ORDER BY dim) AS c FROM g GROUP BY label), " +
+        "d AS (SELECT s.vec_id, s.label, " +
+        "  list_sum([s.v[i] * c.c[i] for i in range(1, len(s.v)+1)]) / " +
+        "  (sqrt(list_sum([x * x for x in s.v])) * " +
+        "   sqrt(list_sum([x * x for x in c.c]))) AS cos_centroid " +
+        "  FROM s JOIN c ON s.label = c.label), " +
+        "r AS (SELECT vec_id, label, cos_centroid, ROW_NUMBER() OVER " +
+        "  (PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rnk " +
+        "  FROM d) " +
+        "SELECT vec_id, label, cos_centroid, CAST(rnk AS INT) AS rnk " +
+        "FROM r WHERE rnk <= 3"),
     "q42_decontaminate" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
@@ -312,6 +370,13 @@ object SimOps {
     "q52_dedup_clusters" ->
       (s"WITH RECURSIVE $componentCtes " +
         "SELECT v AS doc_id, c AS component FROM comp"),
+    "q90_leakage_split" ->
+      (s"WITH RECURSIVE $componentCtes, " +
+        "l AS (SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS split_label " +
+        "  FROM documents d LEFT JOIN comp ON d.doc_id = comp.v) " +
+        "SELECT doc_id, split_label, " +
+        "CASE WHEN ((split_label % 1000000) * 435761) % 1000000 < 800000 " +
+        "THEN 'train' ELSE 'val' END AS side FROM l"),
     "q53_cluster_dedup" ->
       (s"WITH RECURSIVE $componentCtes " +
         "SELECT doc_id, lang, source FROM documents " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
-import graft.ops.{Dedup, Quantiles, TextAnalysis}
+import graft.ops.{Dedup, Quantiles, Retrieval, SpanDedup, TextAnalysis}
 
 /** Oracle-checked queries for the text-analysis / dedup operator family over
   * the `documents` table: exact-dup dedup, per-document statistics,
@@ -403,6 +403,26 @@ object TextOps {
       regexp_count(planted, lit("<[^>]*>")).cast("int").as("n_tags"))
   }
 
+  /** Exact-substring span dedup ([[SpanDedup.removeDuplicateSpans]]):
+    * duplicated 15-token spans are cut from every document but the
+    * canonical first occurrence — Lee et al.'s ExactSubstr re-expressed as
+    * window hashing + interval merge (the suffix-array build is the one
+    * piece of that paper a single machine must own; the window-hash form
+    * is the distributed equivalent and detects every shared run >= w).
+    */
+  private def q91SpanDedup(s: SparkSession, d: String): DataFrame =
+    SpanDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      w = 15)
+
+  /** BM25 keyword retrieval ([[Retrieval.bm25TopK]]): top-10 documents for
+    * a three-term probe query — the corpus-audit / decontamination-triage
+    * lexical search. Rational-idf variant (no libm in the score), term
+    * filter pushed map-side so text never shuffles, TakeOrdered top-k.
+    */
+  private def q92Bm25(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      queryTerms = Seq("spark", "window", "merge"), k = 10)
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -434,6 +454,8 @@ object TextOps {
     "q86_filter_report" -> q86FilterReport _,
     "q87_epoch_mix" -> q87EpochMix _,
     "q89_strip_markup" -> q89StripMarkup _,
+    "q91_span_dedup" -> q91SpanDedup _,
+    "q92_bm25" -> q92Bm25 _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -604,6 +626,58 @@ object TextOps {
         "'&amp;', '&'), " +
         "'[\\t\\n\\f\\r ]+', ' ', 'g')) AS clean, " +
         "CAST(len(regexp_extract_all(t, '<[^>]*>')) AS INT) AS n_tags FROM p"),
+    // engine keys window groups on xxhash64(window string); the oracle keys
+    // on the string itself — identical grouping absent 64-bit collisions
+    // (same contract as the NearDup shingle index)
+    "q91_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "wd AS (SELECT doc_id, unnest([{'pos': i, " +
+        "  'h': array_to_string(t[i:i+14], ' ')} " +
+        "  for i in range(1, len(t)-13)], recursive := true) FROM t), " +
+        "fl AS (SELECT doc_id, pos, pos + 15 AS e FROM " +
+        "  (SELECT doc_id, pos, ROW_NUMBER() OVER " +
+        "   (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM wd) WHERE rn > 1), " +
+        "st AS (SELECT doc_id, pos, e, MAX(e) OVER (PARTITION BY doc_id " +
+        "  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "  AS mx FROM fl), " +
+        "il AS (SELECT doc_id, pos, e, SUM(CASE WHEN mx IS NULL OR pos > mx " +
+        "  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM st), " +
+        "iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(e) AS e " +
+        "  FROM il GROUP BY doc_id, isl), " +
+        "dp AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM iv), " +
+        "tk AS (SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} " +
+        "  for i in range(1, len(t)+1)], recursive := true) FROM t), " +
+        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk " +
+        "  ANTI JOIN dp ON tk.doc_id = dp.doc_id AND tk.pos = dp.pos), " +
+        "rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, " +
+        "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, COALESCE(rb.text, '') AS text, " +
+        "  COALESCE(rb.n_kept, 0) AS n_kept, " +
+        "  len(t.t) - COALESCE(rb.n_kept, 0) AS n_dropped " +
+        "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id"),
+    // arithmetic tree mirrors Retrieval.bm25TopK term-for-term (every
+    // +,*,/ exactly rounded; constant folds happen in-engine on both
+    // sides) and the per-doc sum folds in sorted-term order — bit-exact
+    "q92_bm25" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, " +
+        "  CAST(SUM(len(t)) AS DOUBLE) AS n_toks FROM t), " +
+        "e AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, " +
+        "  unnest(t) AS term FROM t), " +
+        "g AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf " +
+        "  FROM e WHERE term IN ('spark', 'window', 'merge') " +
+        "  GROUP BY doc_id, dl, term), " +
+        "f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM g GROUP BY term), " +
+        "sc AS (SELECT g.doc_id, g.term, " +
+        "  ((2.0 * c.n_docs - 2.0 * f.df + 1.0) / (2.0 * f.df + 1.0)) * " +
+        "  (((1.2 + 1.0) * g.tf) / (g.tf + 1.2 * ((1.0 - 0.75) + " +
+        "    0.75 * (g.dl * c.n_docs / c.n_toks)))) AS contrib " +
+        "  FROM g JOIN f ON g.term = f.term, c), " +
+        "a AS (SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score, " +
+        "  COUNT(*) AS n_terms FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, score, n_terms FROM a " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
     // weight split (whole, frac-millionths): en=(1,300000) de=(2,500000)
     // default=(0,400000) — the same longs Mix.epochMix derives at plan time
     "q87_epoch_mix" ->

@@ -207,6 +207,33 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj.nonEmpty)
   }
 
+  test("q92 bm25: term stats broadcast back, top-k is TakeOrdered") {
+    val p = plan("q92_bm25")
+    // df join must broadcast (≤ |query terms| rows) — shuffling the tf
+    // table a second time for it would be the scale bug
+    val bhj = p.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty)
+    // top-k plans as per-partition heaps + k-row merge, never a global sort
+    assert(p.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // explode output is filtered to the literal term set before any
+    // aggregation: the filter sits in the same stage as the generate
+    assert(p.sparkPlan.toString.contains("Filter"))
+  }
+
+  test("q91 span dedup: window/interval stages shuffle fixed-width rows only") {
+    // 1 occurrence window (by h) + 1 island window (by doc_id; the
+    // interval groupBy reuses that partitioning) + anti-join (2: both
+    // sides re-cluster on (doc_id, pos)) + reassembly regroup + final
+    // outer join back to all docs — each moves ids/positions/hashes or
+    // kept tokens, never whole documents twice
+    assert(shuffles("q91_span_dedup") <= 7)
+    // the flagged-position side must join the token stream on equi-keys
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val joins = plan("q91_span_dedup").sparkPlan
+      .collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches

@@ -48,6 +48,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("max_key") >= r(0).getAs[Long]("min_key"))
   }
 
+  test("q90 leakage split keeps every near-dup pair on one side") {
+    import org.apache.spark.sql.functions.col
+    val split = SparkEntry.queries("q90_leakage_split")(spark, sf)
+    val sides = split.select("doc_id", "side")
+    // same pair graph q90 derives its cluster labels from
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = ops.NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.8)
+    val straddling = pairs
+      .join(sides.select(col("doc_id").as("i"), col("side").as("si")), "i")
+      .join(sides.select(col("doc_id").as("j"), col("side").as("sj")), "j")
+      .filter(col("si") =!= col("sj"))
+    assert(straddling.count() == 0)
+    val bySide = split.groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.getOrElse("train", 0L) > 0L)
+    assert(bySide.getOrElse("val", 0L) > 0L)
+  }
+
+  test("q92 bm25 scores are positive, sorted desc, tiebroken by id") {
+    val r = SparkEntry.queries("q92_bm25")(spark, sf).collect()
+    assert(r.length == 10)
+    val pairs = r.map(x => (x.getAs[Double]("score"), x.getAs[Long]("doc_id")))
+    assert(pairs.forall(_._1 > 0.0))
+    assert(pairs.zip(pairs.tail).forall { case ((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+    assert(r.forall(x => (1L to 3L).contains(x.getAs[Long]("n_terms"))))
+  }
+
   test("q06 topk is sorted desc and limited") {
     val r = SparkEntry.queries("q06_topk")(spark, sf).collect()
     assert(r.length == 10)
