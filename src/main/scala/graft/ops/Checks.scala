@@ -38,4 +38,35 @@ object Checks {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 1)
+
+  /** Key-skew profile for a prospective join/groupBy key: the `topK`
+    * heaviest key values with row count, share of total, and the key
+    * cardinality alongside — the numbers that decide whether a key needs
+    * [[Salt]]ing, an AQE skew split, or is safe to shuffle on, measured
+    * BEFORE the expensive job rather than discovered as a straggler task.
+    *
+    * Plan: one hash aggregation (map-side partials), totals broadcast
+    * back as a scalar row, TakeOrdered top-k — never a global sort. The
+    * final rank window runs over the already-limited k rows (bounded,
+    * single task on k rows by construction). Null keys are excluded: they
+    * never match in an equi-join, so they are a different problem (see
+    * [[nullProfile]]) than skew.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows").cast("double"))
+          .as("share"),
+        col("n_keys"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+    top.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col(keyCol).asc)).cast("int"))
+  }
 }

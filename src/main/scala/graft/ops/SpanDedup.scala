@@ -42,28 +42,73 @@ object SpanDedup {
     * Tokenization is single-space split ([[TextAnalysis.tokens]]'s
     * convention), positions are 1-based.
     */
-  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+  /** Every `w`-token window position of every document: (doc_id, pos, h)
+    * with `h` = xxhash64 of the space-joined window and 1-based `pos`.
+    * Map-only; the shared candidate table for span removal
+    * ([[removeDuplicateSpans]]) and duplication-mass profiling
+    * ([[duplicationProfile]]). Documents shorter than `w` emit no rows.
+    */
+  def windowOccurrences(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"span width must be >= 2, got $w")
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
       s"missing $idCol/$textCol in [${docs.columns.mkString(",")}]")
-
+    val base = tokenized(docs, idCol, textCol)
+    val winT = "array<struct<pos:int,h:bigint>>"
     // each HOF stage is its own projection: nesting the interpreted
     // higher-order chains inline re-evaluates the subtree per element
-    // (see TestAnalysis scaladocs / verify-skill gotcha)
-    val base = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ", -1).as("t"))
-
-    val winT = "array<struct<pos:int,h:bigint>>"
+    // (see TextAnalysis scaladocs / verify-skill gotcha)
     val wins = base.select(col("doc_id"),
       when(size(col("t")) >= w,
         transform(sequence(lit(1), size(col("t")) - (w - 1)),
           i => struct(i.as("pos"),
             xxhash64(concat_ws(" ", slice(col("t"), i, lit(w)))).as("h"))))
         .otherwise(lit(null).cast(winT)).as("wins"))
-
-    val occ = wins.select(col("doc_id"), explode(col("wins")).as("o"))
+    wins.select(col("doc_id"), explode(col("wins")).as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+  }
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ", -1).as("t"))
+
+  /** Per-document duplication-mass profile: how much of each document is
+    * made of `w`-token windows that occur elsewhere in the corpus — the
+    * cheap diagnostic run BEFORE committing to a full
+    * [[removeDuplicateSpans]] pass (its answer sizes that job: a corpus at
+    * 0.1% dup mass doesn't need one). Output per document: `n_windows`,
+    * `n_dup_windows` (corpus occurrence count ≥ 2, the document's own
+    * repeats included), `max_mult` (highest multiplicity any of its
+    * windows reaches), `dup_fraction`.
+    *
+    * One shuffle: multiplicities come from a count window over the hash
+    * partition of the occurrence table (24-byte rows), then a per-doc
+    * re-aggregation. Short documents (< w tokens) report zeros.
+    */
+  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val occ = windowOccurrences(docs, idCol, textCol, w)
+    val withC = occ.withColumn("c",
+      count(lit(1)).over(Window.partitionBy("h")))
+    val perDoc = withC.groupBy("doc_id").agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+      max(col("c")).as("max_mult"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("max_mult"), lit(0L)).as("max_mult"),
+        when(col("n_windows").isNull, lit(0.0))
+          .otherwise(col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double")).as("dup_fraction"))
+  }
+
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val base = tokenized(docs, idCol, textCol)
+    val occ = windowOccurrences(docs, idCol, textCol, w)
 
     // all-but-first occurrence of every window value; shuffle carries
     // (h, doc_id, pos) only

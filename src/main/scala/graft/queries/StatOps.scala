@@ -99,8 +99,18 @@ object StatOps {
         graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
       Seq("lang"), "n_tokens", k = 3.0)
 
+  /** Join-key skew profile ([[Checks.keySkewProfile]]): the 20 heaviest
+    * event user_ids with share-of-total and key cardinality — the
+    * pre-shuffle diagnostic that decides between a plain shuffle, salting
+    * (q46), or an AQE skew split, run before the expensive job instead of
+    * discovered as its straggler task.
+    */
+  private def q95KeySkew(s: SparkSession, d: String): DataFrame =
+    Checks.keySkewProfile(Tables.events(s, d), "user_id", topK = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_mad_outliers" -> q88MadOutliers _,
+    "q95_key_skew" -> q95KeySkew _,
     "q50_covar_corr" -> q50CovarCorr _,
     "q51_histogram" -> q51Histogram _,
     "q62_null_profile" -> q62NullProfile _,
@@ -126,6 +136,17 @@ object StatOps {
       "CAST(l_quantity AS DECIMAL(18,2)))", 10000) + " AS sxy").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // share is one exact integer-ratio division; rank ties break by key
+    "q95_key_skew" ->
+      ("WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events " +
+        "  WHERE user_id IS NOT NULL GROUP BY user_id), " +
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+        "  COUNT(*) AS n_keys FROM c), " +
+        "r AS (SELECT user_id, cnt, " +
+        "  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share, n_keys, " +
+        "  ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk FROM c, t) " +
+        "SELECT user_id, cnt, share, n_keys, CAST(rnk AS INT) AS rnk " +
+        "FROM r WHERE rnk <= 20"),
     // quantile_cont == Spark percentile at the dyadic 0.5 (see q48);
     // MIN() carries the per-group constants through the final agg exactly
     "q88_mad_outliers" ->

@@ -414,6 +414,15 @@ object TextOps {
     SpanDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
       w = 15)
 
+  /** Corpus duplication-mass profile ([[SpanDedup.duplicationProfile]]):
+    * per-document fraction of 15-token windows that occur elsewhere in the
+    * corpus, with max multiplicity — the diagnostic that sizes (or
+    * waives) a q91 span-dedup pass before paying for it.
+    */
+  private def q94DupProfile(s: SparkSession, d: String): DataFrame =
+    SpanDedup.duplicationProfile(Tables.documents(s, d), "doc_id", "text",
+      w = 15)
+
   /** BM25 keyword retrieval ([[Retrieval.bm25TopK]]): top-10 documents for
     * a three-term probe query — the corpus-audit / decontamination-triage
     * lexical search. Rational-idf variant (no libm in the score), term
@@ -456,6 +465,7 @@ object TextOps {
     "q89_strip_markup" -> q89StripMarkup _,
     "q91_span_dedup" -> q91SpanDedup _,
     "q92_bm25" -> q92Bm25 _,
+    "q94_dup_profile" -> q94DupProfile _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -656,6 +666,25 @@ object TextOps {
         "  COALESCE(rb.n_kept, 0) AS n_kept, " +
         "  len(t.t) - COALESCE(rb.n_kept, 0) AS n_dropped " +
         "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id"),
+    // multiplicity = COUNT() over the window-hash partition, as in the
+    // engine; dup_fraction is one exact integer-ratio division
+    "q94_dup_profile" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "wd AS (SELECT doc_id, unnest([{'pos': i, " +
+        "  'h': array_to_string(t[i:i+14], ' ')} " +
+        "  for i in range(1, len(t)-13)], recursive := true) FROM t), " +
+        "wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS c FROM wd), " +
+        "pd AS (SELECT doc_id, COUNT(*) AS n_windows, " +
+        "  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "    AS n_dup_windows, " +
+        "  MAX(c) AS max_mult FROM wc GROUP BY doc_id) " +
+        "SELECT t.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, " +
+        "  COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, " +
+        "  COALESCE(pd.max_mult, 0) AS max_mult, " +
+        "  CASE WHEN pd.n_windows IS NULL THEN 0.0 " +
+        "    ELSE CAST(pd.n_dup_windows AS DOUBLE) / " +
+        "      CAST(pd.n_windows AS DOUBLE) END AS dup_fraction " +
+        "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"),
     // arithmetic tree mirrors Retrieval.bm25TopK term-for-term (every
     // +,*,/ exactly rounded; constant folds happen in-engine on both
     // sides) and the per-doc sum folds in sorted-term order — bit-exact

@@ -234,6 +234,29 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
   }
 
+  test("q93 embed outliers: centroids broadcast back, bounded shuffles") {
+    val p = plan("q93_embed_outliers")
+    // groups × dims doubles must broadcast — shuffling the full vector
+    // table to meet a tiny centroid frame would be the scale bug
+    val bhj = p.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty)
+    // component-sum agg + centroid regroup + outlier rank window
+    assert(shuffles("q93_embed_outliers") <= 3)
+  }
+
+  test("q94 dup profile: one hash-partition multiplicity pass") {
+    // window count over h + per-doc regroup + docs join back — the
+    // occurrence table (24-byte rows) is the only h-keyed shuffle
+    assert(shuffles("q94_dup_profile") <= 4)
+  }
+
+  test("q95 key skew: top-k is TakeOrdered, totals ride as a scalar row") {
+    val p = plan("q95_key_skew")
+    assert(p.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // one hash agg on the key; no global sort exchange
+    assert(shuffles("q95_key_skew") <= 2)
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches

@@ -62,6 +62,24 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(2L) == (("u1 u2", 2L, 10L)))
   }
 
+  test("duplicationProfile counts shared and repeated windows") {
+    val rows = Seq(
+      1L -> "s1 s2 s3 s4 s5 a1", // shares its first window with doc 2
+      2L -> "b1 s1 s2 s3 s4 s5",
+      3L -> "u1 u2 u3 u4 u5",    // unique single window
+      4L -> "x y")               // shorter than w: zero windows
+    val out = SpanDedup.duplicationProfile(rows.toDF("doc_id", "text"),
+      "doc_id", "text", w)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 2L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 2L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 1L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("result is independent of input partitioning") {
     val rows = Seq(
       1L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9",

@@ -127,4 +127,17 @@ class StatsSpec extends AnyFunSuite {
       assert(got == base, s"parts=$parts")
     }
   }
+
+  test("keySkewProfile: exact shares, null keys excluded, rank tiebreak") {
+    import graft.ops.Checks
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
+      Seq(null, null).map(_.asInstanceOf[String]))
+      .toDF("k")
+    val out = Checks.keySkewProfile(df, "k", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    // total non-null rows = 9, distinct keys = 3
+    assert(out.toSeq == Seq(("a", 5L, 5.0 / 9.0, 3L, 1),
+      ("b", 3L, 3.0 / 9.0, 3L, 2)))
+  }
 }
