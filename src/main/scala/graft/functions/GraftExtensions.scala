@@ -17,6 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
   *    winnowing document fingerprint. Algorithm parameters (n, k, w) must
   *    be integer literals — they are parameters, not data.
+  *  - `graft_winhash(text, w)` → [[TokenWindowHashes]]: per-position
+  *    xxhash64 of every w-token window, hashed in place over the text's
+  *    byte ranges — the span-dedup candidate generator;
   *  - `graft_normtext(text)` → [[NormalizeText]]: fused Unicode NFC +
   *    diacritic strip + root-locale lowercase + whitespace collapse;
   *  - `graft_bpe(token, merges)` → [[BpeEncode]]: BPE subword segmentation
@@ -78,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprints(children.head,
           litInt(children(1), "graft_winnow", "k"),
           litInt(children(2), "graft_winnow", "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winhash"),
+      new ExpressionInfo(classOf[TokenWindowHashes].getName, "graft_winhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_winhash takes exactly 2 arguments")
+        TokenWindowHashes(children.head,
+          litInt(children(1), "graft_winhash", "w"))
       }))
   }
 }

@@ -93,7 +93,28 @@ object KeyOps {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
       Seq(col("doc_id").asc), "n_tokens", maxTokens = 2048L)
 
+  /** Reproducible multi-epoch training order: each epoch is an independent
+    * deterministic permutation of the corpus (Knuth-scatter hash of
+    * (doc_id, epoch) as the sort key — rand() is not even retry-stable),
+    * with the global position materialized by [[GlobalIndex]]'s
+    * range-shuffle (never a single-partition window). Byte-stable order is
+    * what lets a crashed training run resume mid-epoch on the exact row it
+    * stopped at; hash collisions are broken by doc_id, so the order is a
+    * total one.
+    */
+  private def q96EpochOrder(s: SparkSession, d: String): DataFrame = {
+    val byEpoch = Tables.documents(s, d).select("doc_id")
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("k",
+        pmod(pmod(col("doc_id"), lit(1000000L)) * 435761L +
+          col("epoch") * 97003L, lit(1000000L)))
+    GlobalIndex.withGlobalIndex(byEpoch,
+      Seq(col("epoch").asc, col("k").asc, col("doc_id").asc), "position")
+      .select("doc_id", "epoch", "position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_epoch_order" -> q96EpochOrder _,
     "q16_pk_reconcile" -> q16PkReconcile _,
     "q17_keyed_dedup" -> q17KeyedDedup _,
     "q18_upsert_split" -> q18UpsertSplit _,
@@ -102,6 +123,15 @@ object KeyOps {
     "q55_pack_sequences" -> q55PackSequences _)
 
   val oracle: Map[String, String] = Map(
+    // doc_id and epoch are non-negative, so DuckDB's truncating % agrees
+    // with Spark's pmod (negative operands would not — verify gotcha)
+    "q96_epoch_order" ->
+      ("WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents), " +
+        "h AS (SELECT doc_id, epoch, " +
+        "  ((doc_id % 1000000) * 435761 + epoch * 97003) % 1000000 AS k " +
+        "  FROM e) " +
+        "SELECT doc_id, epoch, CAST(ROW_NUMBER() OVER " +
+        "  (ORDER BY epoch, k, doc_id) AS BIGINT) AS position FROM h"),
     "q16_pk_reconcile" ->
       (s"WITH existing AS ($existingSql), " +
         "incoming AS (SELECT c_custkey, c_name, c_mktsegment FROM customer), " +

@@ -101,4 +101,28 @@ object KernelProps extends Properties("graft.kernels") {
       "plain" -> "plain"))) { pairs =>
       norm(pairs.map(_._1).mkString(" ")) == pairs.map(_._2).mkString(" ")
     }
+
+  /** Independent window-hash reference: split on every space, join each
+    * w-token slide with single spaces, hash the RESULTING STRING's bytes
+    * with Spark's xxhash64 seed. The kernel instead hashes byte ranges of
+    * the original text in place — equality here proves the
+    * window-is-a-substring identity the kernel rests on, empty tokens and
+    * non-ASCII included.
+    */
+  private def refWindowHashes(s: String, w: Int): Seq[Long] = {
+    val t = s.split(" ", -1).toSeq
+    if (t.length < w) Seq.empty
+    else t.sliding(w).map { win =>
+      val u = UTF8String.fromString(win.mkString(" "))
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    }.toSeq
+  }
+
+  property("window-hash kernel equals split+join+xxhash64 reference") =
+    forAll(text, Gen.choose(2, 5)) { (s, w) =>
+      val out = graft.functions.TokenWindowHash
+        .compute(UTF8String.fromString(s), w)
+      (0 until out.numElements()).map(out.getLong) == refWindowHashes(s, w)
+    }
 }

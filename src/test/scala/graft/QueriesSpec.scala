@@ -77,6 +77,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.forall(x => (1L to 3L).contains(x.getAs[Long]("n_terms"))))
   }
 
+  test("q96 epoch order: dense 1..2N positions, full permutation per epoch") {
+    val r = SparkEntry.queries("q96_epoch_order")(spark, sf).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("epoch"),
+        x.getAs[Long]("position")))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.length == 2 * n)
+    assert(r.map(_._3).sorted.toSeq == (1L to 2 * n))
+    val byEpoch = r.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    // each epoch covers every document exactly once
+    assert(byEpoch(0L).map(_._1).toSet == byEpoch(1L).map(_._1).toSet)
+    assert(byEpoch(0L).length == n)
+    // epochs are contiguous blocks in the order
+    assert(byEpoch(0L).map(_._3).max < byEpoch(1L).map(_._3).min)
+    // and the two epoch permutations differ (the seed actually reshuffles)
+    val perm0 = byEpoch(0L).sortBy(_._3).map(_._1).toSeq
+    val perm1 = byEpoch(1L).sortBy(_._3).map(_._1).toSeq
+    assert(perm0 != perm1)
+  }
+
   test("q06 topk is sorted desc and limited") {
     val r = SparkEntry.queries("q06_topk")(spark, sf).collect()
     assert(r.length == 10)
