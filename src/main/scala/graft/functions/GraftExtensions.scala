@@ -17,6 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
   *    winnowing document fingerprint. Algorithm parameters (n, k, w) must
   *    be integer literals — they are parameters, not data.
+  *  - `graft_ngrams(text, n)` → [[TokenNgrams]]: every word n-gram
+  *    occurrence as a zero-copy byte slice — the LM counting form;
   *  - `graft_winhash(text, w)` → [[TokenWindowHashes]]: per-position
   *    xxhash64 of every w-token window, hashed in place over the text's
   *    byte ranges — the span-dedup candidate generator;
@@ -81,6 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprints(children.head,
           litInt(children(1), "graft_winnow", "k"),
           litInt(children(2), "graft_winnow", "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ngrams takes exactly 2 arguments")
+        TokenNgrams(children.head, litInt(children(1), "graft_ngrams", "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winhash"),

@@ -38,7 +38,7 @@ object Lm {
     // stage) re-executes for each. Vocabulary-sized, so pinning it is
     // bounded regardless of corpus size.
     val pc = docs
-      .select(explode(Shingles.wordNgramOccurrences(col(textCol), 2)).as("bg"))
+      .select(explode(Shingles.wordNgramOccurrencesNative(col(textCol), 2)).as("bg"))
       .groupBy("bg")
       .agg(count(lit(1)).as("n_pair"))
       .persist()
@@ -67,7 +67,7 @@ object Lm {
   def scoreDocuments(docs: DataFrame, idCol: String, textCol: String,
       lm: DataFrame): DataFrame = {
     val occ = docs.select(col(idCol),
-      explode(Shingles.wordNgramOccurrences(col(textCol), 2)).as("bg"))
+      explode(Shingles.wordNgramOccurrencesNative(col(textCol), 2)).as("bg"))
     val oov: Column = sum(when(col("n_pair").isNull, 1L).otherwise(0L))
     occ.join(lm, Seq("bg"), "left")
       .groupBy(idCol)

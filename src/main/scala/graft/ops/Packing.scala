@@ -76,4 +76,49 @@ object Packing {
         size(chunkAt(col("__toks"), col("__k"), chunkSize, stride))
           .as("n_chunk_tokens"))
   }
+
+  /** Content-defined chunking at token granularity — the rsync/LBFS/
+    * storage-dedup boundary rule re-expressed for text: a chunk ends after
+    * any token whose content hash lands in a 1-in-16 bucket (md5 hex
+    * prefix '0'), so boundaries derive from CONTENT, not position, and a
+    * single insertion only perturbs its own chunk — the chunking
+    * re-synchronizes at the next boundary, unlike fixed windows
+    * ([[slidingChunks]]) where one shift invalidates every later chunk.
+    * Returns the cross-corpus duplicate-chunk table: one row per chunk
+    * digest occurring ≥ 2 times, with occurrence and distinct-document
+    * counts — the candidate table chunk-level dedup or delta-storage
+    * consumes.
+    *
+    * Scale shape: boundary flags and chunk assembly are windows/aggs
+    * partitioned by document (chunk text never crosses a document
+    * boundary before being reduced to its 32-char digest map-side); the
+    * only corpus-wide shuffle moves (digest, doc_id). The md5-hex-prefix
+    * boundary rule is engine-portable — the DuckDB oracle recomputes the
+    * identical chunking with string functions only.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ", -1)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val flagged = toks.withColumn("b",
+      when(substring(md5(col("tok")), 1, 1) === "0", 1L).otherwise(0L))
+    val assigned = flagged.withColumn("chunk_idx",
+      coalesce(sum(col("b"))
+        .over(byDoc.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = assigned.groupBy("doc_id", "chunk_idx")
+      .agg(
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("digest"),
+        count(lit(1)).as("n_tokens"))
+    chunks.groupBy("digest")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_tokens")).as("n_tokens"))
+      .where(col("n_occ") >= 2)
+  }
 }

@@ -28,9 +28,19 @@ object Shingles {
   def wordShingles(text: Column, n: Int): Column =
     array_distinct(wordNgramOccurrences(text, n))
 
+  /** Native codegen'd occurrence n-grams ([[graft.functions.TokenNgrams]],
+    * injected as `graft_ngrams` — requires a GraftExtensions session).
+    * Identical values to [[wordNgramOccurrences]]; this is what the hot
+    * paths (LM counting/scoring) use.
+    */
+  def wordNgramOccurrencesNative(text: Column, n: Int): Column =
+    call_function("graft_ngrams", text, lit(n))
+
   /** ALL word n-gram occurrences, duplicates preserved — the language-model
     * counting form ([[wordShingles]] deduplicates because similarity
     * operators consume SETS; frequency estimation must not).
+    * Interpreted HOF reference formulation — see
+    * [[wordNgramOccurrencesNative]] for the hot-path form.
     */
   def wordNgramOccurrences(text: Column, n: Int): Column = {
     require(n >= 1, "ngram size must be >= 1")

@@ -199,7 +199,7 @@ object TextOps {
   private def q59BigramCounts(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.documents(s, d)
       .select(explode(
-        graft.ops.Shingles.wordNgramOccurrences(col("text"), 2)).as("bg"))
+        graft.ops.Shingles.wordNgramOccurrencesNative(col("text"), 2)).as("bg"))
       .groupBy("bg")
       .agg(count(lit(1)).as("n_pair"))
       .select(split(col("bg"), " ").getItem(0).as("w1"),
@@ -432,6 +432,17 @@ object TextOps {
     Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
       queryTerms = Seq("spark", "window", "merge"), k = 10)
 
+  /** Content-defined chunk dedup ([[graft.ops.Packing
+    * .contentDefinedChunks]]): rsync/LBFS-style boundaries (md5-prefix
+    * 1-in-16 rule) make chunking insertion-robust, then byte-identical
+    * chunks across the corpus surface as the duplicate-chunk candidate
+    * table — chunk-granular storage dedup beside the document-granular
+    * q20 and span-granular q91.
+    */
+  private def q97CdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.contentDefinedChunks(Tables.documents(s, d),
+      "doc_id", "text")
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -466,6 +477,7 @@ object TextOps {
     "q91_span_dedup" -> q91SpanDedup _,
     "q92_bm25" -> q92Bm25 _,
     "q94_dup_profile" -> q94DupProfile _,
+    "q97_cdc_chunks" -> q97CdcChunks _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -685,6 +697,25 @@ object TextOps {
         "    ELSE CAST(pd.n_dup_windows AS DOUBLE) / " +
         "      CAST(pd.n_windows AS DOUBLE) END AS dup_fraction " +
         "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"),
+    // identical chunking recomputed with string functions only: md5-hex
+    // boundary rule, per-doc prefix-sum chunk ids, ordered string_agg
+    "q97_cdc_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tk AS (SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} " +
+        "  for i in range(1, len(t)+1)], recursive := true) FROM t), " +
+        "fb AS (SELECT doc_id, pos, tok, CASE WHEN substr(md5(tok), 1, 1) " +
+        "  = '0' THEN 1 ELSE 0 END AS b FROM tk), " +
+        "a AS (SELECT doc_id, pos, tok, COALESCE(SUM(b) OVER " +
+        "  (PARTITION BY doc_id ORDER BY pos " +
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "  AS chunk_idx FROM fb), " +
+        "c AS (SELECT doc_id, chunk_idx, " +
+        "  md5(string_agg(tok, ' ' ORDER BY pos)) AS digest, " +
+        "  COUNT(*) AS n_tokens FROM a GROUP BY doc_id, chunk_idx), " +
+        "d AS (SELECT digest, COUNT(*) AS n_occ, " +
+        "  COUNT(DISTINCT doc_id) AS n_docs, MIN(n_tokens) AS n_tokens " +
+        "  FROM c GROUP BY digest) " +
+        "SELECT digest, n_occ, n_docs, n_tokens FROM d WHERE n_occ >= 2"),
     // arithmetic tree mirrors Retrieval.bm25TopK term-for-term (every
     // +,*,/ exactly rounded; constant folds happen in-engine on both
     // sides) and the per-doc sum folds in sorted-term order — bit-exact

@@ -119,6 +119,23 @@ object KernelProps extends Properties("graft.kernels") {
     }.toSeq
   }
 
+  /** Independent occurrence-ngram reference: split on every space, emit
+    * each n-token slide joined with single spaces, duplicates preserved in
+    * position order.
+    */
+  private def refNgrams(s: String, n: Int): Seq[String] = {
+    val t = s.split(" ", -1).toSeq
+    if (t.length < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  property("ngram kernel equals sliding occurrence reference") =
+    forAll(text, Gen.choose(1, 4)) { (s, n) =>
+      val out = graft.functions.NgramKernel
+        .compute(UTF8String.fromString(s), n)
+      (0 until out.numElements()).map(i =>
+        out.getUTF8String(i).toString) == refNgrams(s, n)
+    }
+
   property("window-hash kernel equals split+join+xxhash64 reference") =
     forAll(text, Gen.choose(2, 5)) { (s, w) =>
       val out = graft.functions.TokenWindowHash

@@ -188,4 +188,18 @@ class KeysSpec extends AnyFunSuite {
     assert(UpsertSplit.inserts(incoming, keys, "_id").count() == 3)
     assert(UpsertSplit.updates(incoming, keys, "_id").count() == 2)
   }
+
+  test("content-defined chunking re-synchronizes after an insertion") {
+    // doc 2 = doc 1 with one token PREPENDED: fixed-window chunking would
+    // shift every chunk; CDC boundaries derive from token content, so all
+    // chunks after the first boundary stay byte-identical and surface as
+    // duplicate digests spanning both docs
+    val words = (1 to 400).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> words, 2L -> s"inserted $words").toDF("doc_id", "text")
+    val dups = Packing.contentDefinedChunks(docs, "doc_id", "text").collect()
+    assert(dups.nonEmpty)
+    // every duplicate digest here must span both documents exactly once
+    assert(dups.forall(r =>
+      r.getAs[Long]("n_occ") == 2L && r.getAs[Long]("n_docs") == 2L))
+  }
 }
