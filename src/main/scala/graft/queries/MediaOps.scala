@@ -99,10 +99,36 @@ object MediaOps {
       .select("media_id", "media_type")
   }
 
+  /** Cross-asset shared-frame detection: sampled frame digests joined
+    * across assets — the frame-granular near-dup view (q64 is
+    * whole-payload; two videos sharing a scene surface here even when the
+    * full payloads differ). Planted byte-identical copies (ids +1e6) make
+    * the shared-frame pairs deterministic. The join is BLOCKED on the
+    * 32-char frame digest: payload bytes never leave the map stage, and a
+    * frame repeated across n assets costs n² pairs only within its own
+    * digest group — the same hot-block caveat as every blocked self-join
+    * in [[graft.ops.NearDup]].
+    */
+  private def q98SharedFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = mediaTable(s, d)
+    val corpus = base.union(
+      base.filter(col("media_id") < 50)
+        .map(m => m.copy(media_id = m.media_id + 1000000L)))
+    val dg = Multimodal.sampleFrames(corpus, frameBytes = 256, stride = 2)
+      .select(col("media_id"), md5(col("bytes")).as("digest"))
+    dg.select(col("media_id").as("i"), col("digest"))
+      .join(dg.select(col("media_id").as("j"), col("digest")), "digest")
+      .where(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(countDistinct(col("digest")).as("n_shared"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_media_features" -> q34MediaFeatures _,
     "q38_frame_sample" -> q38FrameSample _,
-    "q64_media_dedup" -> q64MediaDedup _)
+    "q64_media_dedup" -> q64MediaDedup _,
+    "q98_shared_frames" -> q98SharedFrames _)
 
   /** q38: media payload = UTF-8 text bytes; videos are doc_id % 3 == 2
     * (see [[mediaTable]]); nFrames = octet_length / 256, sampled count =
@@ -130,6 +156,21 @@ object MediaOps {
       ("SELECT doc_id AS media_id, " +
         "CAST((octet_length(CAST(text AS BLOB)) // 256 + 1) // 2 AS BIGINT) AS n_frames " +
         "FROM documents WHERE doc_id % 3 = 2 AND octet_length(CAST(text AS BLOB)) >= 256"),
+    // frame slices of the ASCII payload are char slices (verified: no doc
+    // has octet_length <> length); sampled indices 0,2,.. < len//256
+    "q98_shared_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, text FROM documents " +
+        "  WHERE doc_id % 3 = 2 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents " +
+        "  WHERE doc_id < 50 AND doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, unnest([md5(substr(text, k*256 + 1, 256)) " +
+        "  for k in range(0, length(text) // 256) if k % 2 = 0]) AS digest " +
+        "  FROM m), " +
+        "p AS (SELECT a.media_id AS i, b.media_id AS j, " +
+        "  COUNT(DISTINCT a.digest) AS n_shared " +
+        "  FROM f a JOIN f b ON a.digest = b.digest AND a.media_id < b.media_id " +
+        "  GROUP BY a.media_id, b.media_id) " +
+        "SELECT i, j, n_shared FROM p"),
     // payload = UTF-8 of text, so byte equality == text equality; keep-first
     // = least media_id per payload group
     "q64_media_dedup" ->
