@@ -443,6 +443,40 @@ object TextOps {
     graft.ops.Packing.contentDefinedChunks(Tables.documents(s, d),
       "doc_id", "text")
 
+  /** Source-overlap contamination matrix: distinct trigram-shingle overlap
+    * between every source pair (shared count, per-source vocabulary sizes,
+    * Jaccard) — the corpus-governance view that catches one feed
+    * mirroring another BEFORE both are ingested as "independent" data.
+    * Distinct (source, shingle-hash) rows block the self-join; a shingle
+    * present in S sources costs S² pair rows within its own hash group
+    * (bounded by the source count squared, not the corpus — at thousands
+    * of sources, prune universal shingles first the way NearDup's df cap
+    * does).
+    */
+  private def q99SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.ops.Shingles.wordShinglesNative(col("text"), 3)).as("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("h"))
+      .distinct()
+      .persist() // feeds the size agg and both sides of the pair join
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("source").as("src_i"), col("h"))
+      .join(sh.select(col("source").as("src_j"), col("h")), "h")
+      .where(col("src_i") < col("src_j"))
+      .groupBy("src_i", "src_j").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_i"),
+        col("n").as("n_i"))), "src_i")
+      .join(broadcast(sizes.select(col("source").as("src_j"),
+        col("n").as("n_j"))), "src_j")
+      .select(col("src_i"), col("src_j"), col("n_shared"), col("n_i"),
+        col("n_j"),
+        (col("n_shared").cast("double") /
+          (col("n_i") + col("n_j") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -478,6 +512,7 @@ object TextOps {
     "q92_bm25" -> q92Bm25 _,
     "q94_dup_profile" -> q94DupProfile _,
     "q97_cdc_chunks" -> q97CdcChunks _,
+    "q99_source_overlap" -> q99SourceOverlap _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -697,6 +732,22 @@ object TextOps {
         "    ELSE CAST(pd.n_dup_windows AS DOUBLE) / " +
         "      CAST(pd.n_windows AS DOUBLE) END AS dup_fraction " +
         "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"),
+    // engine groups on xxhash64(shingle), oracle on the shingle string —
+    // identical grouping absent 64-bit collisions (NearDup contract)
+    "q99_source_overlap" ->
+      ("WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+        "sl AS (SELECT source, unnest(list_distinct([array_to_string(" +
+        "  t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS s FROM t), " +
+        "sh AS (SELECT DISTINCT source, s FROM sl), " +
+        "sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), " +
+        "p AS (SELECT a.source AS src_i, b.source AS src_j, " +
+        "  COUNT(*) AS n_shared FROM sh a " +
+        "  JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT p.src_i, p.src_j, p.n_shared, i.n AS n_i, j.n AS n_j, " +
+        "  CAST(p.n_shared AS DOUBLE) / " +
+        "  CAST(i.n + j.n - p.n_shared AS DOUBLE) AS jaccard " +
+        "FROM p JOIN sz i ON p.src_i = i.source " +
+        "JOIN sz j ON p.src_j = j.source"),
     // identical chunking recomputed with string functions only: md5-hex
     // boundary rule, per-doc prefix-sum chunk ids, ordered string_agg
     "q97_cdc_chunks" ->
