@@ -477,6 +477,25 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** The composed curation recipe, end-to-end as ONE oracle-checked query:
+    * token-length gate → canonical exact dedup (keep-first) →
+    * exact-substring span removal — the minimal version of the pass a
+    * training-data pipeline runs over a raw crawl, with every stage an
+    * already-verified operator ([[TextAnalysis.tokenCount]],
+    * [[Dedup.exactByFingerprint]], [[SpanDedup.removeDuplicateSpans]]).
+    * Checking the COMPOSITION catches stage-contract drift (column
+    * renames, null handling, ordering assumptions) that per-stage oracles
+    * cannot.
+    */
+  private def q100CurationRecipe(s: SparkSession, d: String): DataFrame = {
+    val filtered = Tables.documents(s, d)
+      .where(TextAnalysis.tokenCount(col("text")).between(20, 1000))
+      .select("doc_id", "text")
+    val ded = Dedup.exactByFingerprint(filtered, "text",
+      Seq(col("doc_id").asc))
+    SpanDedup.removeDuplicateSpans(ded, "doc_id", "text", w = 15)
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -513,6 +532,7 @@ object TextOps {
     "q94_dup_profile" -> q94DupProfile _,
     "q97_cdc_chunks" -> q97CdcChunks _,
     "q99_source_overlap" -> q99SourceOverlap _,
+    "q100_curation_recipe" -> q100CurationRecipe _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -546,6 +566,38 @@ object TextOps {
 
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+  /** The q91 exact-substring span-dedup chain over an arbitrary source
+    * relation `src(doc_id, text)` — shared by q91 (whole corpus) and q100
+    * (the composed curation recipe). Standalone WITH query.
+    */
+  private def spanDedupSql(src: String): String =
+    s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src), " +
+      "wd AS (SELECT doc_id, unnest([{'pos': i, " +
+      "  'h': array_to_string(t[i:i+14], ' ')} " +
+      "  for i in range(1, len(t)-13)], recursive := true) FROM t), " +
+      "fl AS (SELECT doc_id, pos, pos + 15 AS e FROM " +
+      "  (SELECT doc_id, pos, ROW_NUMBER() OVER " +
+      "   (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM wd) WHERE rn > 1), " +
+      "st AS (SELECT doc_id, pos, e, MAX(e) OVER (PARTITION BY doc_id " +
+      "  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+      "  AS mx FROM fl), " +
+      "il AS (SELECT doc_id, pos, e, SUM(CASE WHEN mx IS NULL OR pos > mx " +
+      "  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM st), " +
+      "iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(e) AS e " +
+      "  FROM il GROUP BY doc_id, isl), " +
+      "dp AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM iv), " +
+      "tk AS (SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} " +
+      "  for i in range(1, len(t)+1)], recursive := true) FROM t), " +
+      "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk " +
+      "  ANTI JOIN dp ON tk.doc_id = dp.doc_id AND tk.pos = dp.pos), " +
+      "rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, " +
+      "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id) " +
+      "SELECT t.doc_id, COALESCE(rb.text, '') AS text, " +
+      "  COALESCE(rb.n_kept, 0) AS n_kept, " +
+      "  len(t.t) - COALESCE(rb.n_kept, 0) AS n_dropped " +
+      "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id"
 
   private def stopRatioSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -686,33 +738,16 @@ object TextOps {
     // engine keys window groups on xxhash64(window string); the oracle keys
     // on the string itself — identical grouping absent 64-bit collisions
     // (same contract as the NearDup shingle index)
-    "q91_span_dedup" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "wd AS (SELECT doc_id, unnest([{'pos': i, " +
-        "  'h': array_to_string(t[i:i+14], ' ')} " +
-        "  for i in range(1, len(t)-13)], recursive := true) FROM t), " +
-        "fl AS (SELECT doc_id, pos, pos + 15 AS e FROM " +
-        "  (SELECT doc_id, pos, ROW_NUMBER() OVER " +
-        "   (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM wd) WHERE rn > 1), " +
-        "st AS (SELECT doc_id, pos, e, MAX(e) OVER (PARTITION BY doc_id " +
-        "  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
-        "  AS mx FROM fl), " +
-        "il AS (SELECT doc_id, pos, e, SUM(CASE WHEN mx IS NULL OR pos > mx " +
-        "  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos " +
-        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM st), " +
-        "iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(e) AS e " +
-        "  FROM il GROUP BY doc_id, isl), " +
-        "dp AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM iv), " +
-        "tk AS (SELECT doc_id, unnest([{'pos': i, 'tok': t[i]} " +
-        "  for i in range(1, len(t)+1)], recursive := true) FROM t), " +
-        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk " +
-        "  ANTI JOIN dp ON tk.doc_id = dp.doc_id AND tk.pos = dp.pos), " +
-        "rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, " +
-        "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id) " +
-        "SELECT t.doc_id, COALESCE(rb.text, '') AS text, " +
-        "  COALESCE(rb.n_kept, 0) AS n_kept, " +
-        "  len(t.t) - COALESCE(rb.n_kept, 0) AS n_dropped " +
-        "FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id"),
+    "q91_span_dedup" -> spanDedupSql("documents"),
+    // same stages, same order: length gate, canonical keep-first dedup,
+    // then the shared span-dedup chain reading the deduped relation
+    "q100_curation_recipe" ->
+      ("WITH flt AS (SELECT doc_id, text FROM documents " +
+        "  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000), " +
+        "ded AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        s"  ROW_NUMBER() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn " +
+        "  FROM flt) WHERE rn = 1), " +
+        spanDedupSql("ded").stripPrefix("WITH ")),
     // multiplicity = COUNT() over the window-hash partition, as in the
     // engine; dup_fraction is one exact integer-ratio division
     "q94_dup_profile" ->
