@@ -201,6 +201,26 @@ object EventStreams {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Streaming ingest dedup against the corpus's historical fingerprint
+    * index ([[graft.ops.Dedup.fingerprintIndex]] schema: fp): admit only
+    * batch rows whose canonical fingerprint is absent from the index —
+    * the streaming form of the incremental batch dedup (q83), for a
+    * corpus that grows continuously instead of by daily files. The
+    * anti-join is stream-static: re-planned per microbatch against the
+    * (re-resolvable) index, no stream state, no watermark. Within-batch
+    * duplicates are NOT collapsed here — compose with [[dedupStream]]
+    * upstream when arrival duplicates matter; this operator's contract is
+    * exactly "new versus history".
+    */
+  def dedupAgainstIndex(stream: DataFrame, index: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = "__graft_fp"
+    stream
+      .withColumn(fp, graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .join(index.select(col("fp").as(fp)), Seq(fp), "left_anti")
+      .drop(fp)
+  }
+
   /** Stream-stream interval join: pair each left event with right events
     * of the same key whose time lies within `[leftTime - within,
     * leftTime + within]`. BOTH sides are watermarked — that is what lets

@@ -205,6 +205,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupAgainstIndex admits only fingerprints absent from history") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq("seen before", "also   SEEN Before").toDF("text")
+    val index = graft.ops.Dedup.fingerprintIndex(history, "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = EventStreams.dedupAgainstIndex(stream, index, "text")
+      .writeStream.format("memory").queryName("fresh_docs")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        1L -> "seen before",        // exact historical dup
+        2L -> "Seen    BEFORE",     // canonical-form dup (case/whitespace)
+        3L -> "genuinely new text")
+      q.processAllAvailable()
+      // second microbatch: history is consulted again, within-batch
+      // novelty is per the index only
+      in.addData(4L -> "also seen before", 5L -> "another new one")
+      q.processAllAvailable()
+      val got = spark.table("fresh_docs").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(3L, 5L))
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams pairs same-key events within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
