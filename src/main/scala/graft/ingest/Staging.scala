@@ -76,6 +76,42 @@ object Staging {
     spark.read.schema(schema).format(format).load(dir)
   }
 
+  /** JSON-lines ingest with a quarantine lane (engine extension — the
+    * robustness mode a web-scale crawl feed needs): PERMISSIVE parse with
+    * the explicit schema, malformed lines captured whole in
+    * `_corrupt_record` instead of killing the job (one bad line in a
+    * billion otherwise fails the daily load) or being silently DROPPED
+    * (mode=DROPMALFORMED loses data with no audit trail). Returns
+    * (good, quarantined): good rows carry the schema columns; quarantined
+    * rows carry the raw offending line for replay after the producer is
+    * fixed — the file twin of the upsert sink's Permissive row-replay
+    * (SURVEY §2.4).
+    *
+    * Spark only populates `_corrupt_record` when it is IN the read schema;
+    * callers pass the clean business schema and this method wires the
+    * quarantine column. Also `.cache`-free: the docs warn a bare
+    * count()/filter on a corrupt-column frame can be optimized into
+    * dropping the very rows being counted, so the split happens on one
+    * materialized projection.
+    */
+  def readJsonl(spark: SparkSession, schema: StructType, dir: String)
+      : (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not already contain $corrupt")
+    val withQuarantine = schema.add(corrupt, "string")
+    val raw = spark.read.schema(withQuarantine)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(dir)
+      .persist() // split from ONE materialization (see scaladoc)
+    val good = raw.filter(raw(corrupt).isNull)
+      .select(schema.fieldNames.map(raw(_)): _*)
+    val bad = raw.filter(raw(corrupt).isNotNull)
+      .select(raw(corrupt).as("raw_line"))
+    (good, bad)
+  }
+
   /** S6 — existence probe (ref: `check_file_exists`, `utils.py:42-47`);
     * guards the daily pipeline's no-op path (Q9).
     */

@@ -287,6 +287,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
 
+  test("JSONL ingest quarantines malformed lines, admits the rest") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = s"$work/jsonl_in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-000.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "good row"}""",
+        """{"doc_id": 2 "text": "missing comma"}""", // malformed
+        """not json at all""",                       // malformed
+        """{"doc_id": 3, "text": null}"""            // valid, null field
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (good, bad) = graft.ingest.Staging.readJsonl(spark, schema, dir)
+    assert(good.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(good.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("missing comma")))
+    assert(quarantined.contains("not json at all"))
+  }
+
   test("ORC columnar staging round-trips types exactly, no dialect in play") {
     import spark.implicits._
     import org.apache.spark.sql.types._
