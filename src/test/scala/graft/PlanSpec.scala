@@ -257,6 +257,37 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q95_key_skew") <= 2)
   }
 
+  test("q96 epoch order: range shuffle, never a one-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q96_epoch_order")
+    // the position comes from GlobalIndex's range shuffle + zipWithIndex
+    // (inside the ExistingRDD lineage — not visible as a SQL exchange);
+    // a WindowExec here would mean someone reintroduced the
+    // row_number-over-everything shape that funnels the corpus into one task
+    assert(p.executedPlan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q99 source overlap: pair join blocked on the shingle hash, sizes broadcast") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val p = plan("q99_source_overlap").sparkPlan
+    val joins = p.collect { case j: BaseJoinExec => j }
+    assert(joins.forall(_.leftKeys.nonEmpty))
+    // the two size joins must broadcast (20 rows); only the pair self-join
+    // may shuffle
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2)
+  }
+
+  test("q100 recipe composes without extra scans of the corpus text") {
+    // the filter feeds the dedup feeds the span chain: the plan may scan
+    // documents for each branch of the span-dedup self-composition, but
+    // every join must stay equi-key (no cartesian re-verification pass)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val joins = plan("q100_curation_recipe").sparkPlan
+      .collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
