@@ -113,8 +113,30 @@ object KeyOps {
       .select("doc_id", "epoch", "position")
   }
 
+  /** Fair round-robin source interleave: position documents so the
+    * training stream cycles through sources (one from each, repeat) —
+    * the fairness ordering that keeps any window of the stream
+    * source-balanced even when source sizes differ wildly (a size-skewed
+    * concatenation front-loads the big feed; a q96-style global shuffle
+    * is only balanced in expectation). Rank within source is a per-source
+    * window (bounded partitions); the global position over (round,
+    * source) comes from [[GlobalIndex]]'s range shuffle, never a
+    * one-partition window.
+    */
+  private def q101Interleave(s: SparkSession, d: String): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val ranked = Tables.documents(s, d).select("doc_id", "source")
+      .withColumn("round", row_number().over(bySource).cast("long"))
+    GlobalIndex.withGlobalIndex(ranked,
+      Seq(col("round").asc, col("source").asc, col("doc_id").asc),
+      "position")
+      .select("doc_id", "source", "round", "position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_epoch_order" -> q96EpochOrder _,
+    "q101_interleave" -> q101Interleave _,
     "q16_pk_reconcile" -> q16PkReconcile _,
     "q17_keyed_dedup" -> q17KeyedDedup _,
     "q18_upsert_split" -> q18UpsertSplit _,
@@ -132,6 +154,12 @@ object KeyOps {
         "  FROM e) " +
         "SELECT doc_id, epoch, CAST(ROW_NUMBER() OVER " +
         "  (ORDER BY epoch, k, doc_id) AS BIGINT) AS position FROM h"),
+    "q101_interleave" ->
+      ("WITH r AS (SELECT doc_id, source, CAST(ROW_NUMBER() OVER " +
+        "  (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS round " +
+        "  FROM documents) " +
+        "SELECT doc_id, source, round, CAST(ROW_NUMBER() OVER " +
+        "  (ORDER BY round, source, doc_id) AS BIGINT) AS position FROM r"),
     "q16_pk_reconcile" ->
       (s"WITH existing AS ($existingSql), " +
         "incoming AS (SELECT c_custkey, c_name, c_mktsegment FROM customer), " +

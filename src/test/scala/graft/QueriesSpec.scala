@@ -97,6 +97,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(perm0 != perm1)
   }
 
+  test("q101 interleave: any prefix of the stream is source-balanced") {
+    val r = SparkEntry.queries("q101_interleave")(spark, sf).collect()
+      .map(x => (x.getAs[Long]("position"), x.getAs[String]("source")))
+      .sortBy(_._1)
+    val nSources = r.map(_._2).distinct.length
+    assert(r.map(_._1).toSeq == (1L to r.length))
+    // within every full round (one doc from each source while all sources
+    // still have docs), each source appears exactly once
+    val fullRounds = r.length / nSources
+    for (k <- 0 until math.min(fullRounds, 5)) {
+      val window = r.slice(k * nSources, (k + 1) * nSources).map(_._2)
+      assert(window.distinct.length == nSources, s"round $k: $window")
+    }
+  }
+
   test("q06 topk is sorted desc and limited") {
     val r = SparkEntry.queries("q06_topk")(spark, sf).collect()
     assert(r.length == 10)
