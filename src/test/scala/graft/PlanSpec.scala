@@ -288,6 +288,23 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
   }
 
+  test("q97 cdc chunks: exactly two shuffles — per-doc assembly + digest agg") {
+    // posexplode is map-only; the boundary window shuffles by doc_id; the
+    // (doc_id, chunk_idx) groupBy REUSES that partitioning (subset
+    // clustering), so chunk text never crosses a document boundary before
+    // being reduced to its digest; the only corpus-wide shuffle is the
+    // final digest aggregation
+    assert(shuffles("q97_cdc_chunks") == 2)
+  }
+
+  test("q98 shared frames: digest-blocked join, payloads stay map-side") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q98_shared_frames").sparkPlan
+    val joins = p.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.leftKeys.nonEmpty))
+    assert(shuffles("q98_shared_frames") <= 4)
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
