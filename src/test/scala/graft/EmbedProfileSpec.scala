@@ -33,6 +33,17 @@ class EmbedProfileSpec extends AnyFunSuite {
     assert(out.find(_.getInt(1) == 1).get.getDouble(2) > 0.8)
   }
 
+  test("a singleton group's member IS its centroid (cosine ~ 1)") {
+    val solo = Seq((9L, 7, Array(0.3f, -0.2f, 0.9f))).toDF(
+      "vec_id", "label", "embedding")
+    val out = EmbedProfile.groupOutliers(solo, "vec_id", "label",
+      "embedding", k = 1).collect()
+    assert(out.length == 1)
+    // sqrt(s)*sqrt(s) re-rounds, so exactly-1.0 is not guaranteed — but
+    // the self-cosine must be 1 to the last few ulps
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("outlier ranks are independent of input partitioning") {
     val a = EmbedProfile.groupOutliers(rows, "vec_id", "label",
       "embedding", k = 3).collect().map(_.toSeq).toSet

@@ -230,6 +230,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation chain: length gate + index dedup compose on a stream") {
+    // the batch curation recipe's streaming form: per-microbatch map-only
+    // quality gate, then the stream-static anti-join against history —
+    // chained streaming-safe operators, one query
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val history = Seq("previously ingested document text here ok")
+      .toDF("text")
+    val index = graft.ops.Dedup.fingerprintIndex(history, "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .where(graft.ops.TextAnalysis.tokenCount(col("text")).between(3, 50))
+    val q = EventStreams.dedupAgainstIndex(stream, index, "text")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        1L -> "previously ingested DOCUMENT text here ok", // dup of history
+        2L -> "too short",                                 // fails gate
+        3L -> "a genuinely new document that passes the gate")
+      q.processAllAvailable()
+      val got = spark.table("curated").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(3L))
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams pairs same-key events within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
