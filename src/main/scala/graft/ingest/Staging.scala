@@ -89,10 +89,14 @@ object Staging {
     *
     * Spark only populates `_corrupt_record` when it is IN the read schema;
     * callers pass the clean business schema and this method wires the
-    * quarantine column. Also `.cache`-free: the docs warn a bare
-    * count()/filter on a corrupt-column frame can be optimized into
-    * dropping the very rows being counted, so the split happens on one
-    * materialized projection.
+    * quarantine column. The parsed frame is persist()ed before the split:
+    * Spark DISALLOWS queries referencing only the corrupt column on the
+    * raw parse (the quarantine lane would throw), and caching is the
+    * documented escape hatch. Lifetime: the blocks are reclaimed by the
+    * ContextCleaner once both returned frames become unreachable (the
+    * GlobalIndex.persistSorted pattern) — callers holding a long-lived
+    * reference to corpus-sized loads should write the lanes out and drop
+    * the frames rather than keep them across further loads.
     */
   def readJsonl(spark: SparkSession, schema: StructType, dir: String)
       : (DataFrame, DataFrame) = {

@@ -43,10 +43,13 @@ object SpanDedup {
     * convention), positions are 1-based.
     */
   /** Every `w`-token window position of every document: (doc_id, pos, h)
-    * with `h` = xxhash64 of the space-joined window and 1-based `pos`.
-    * Map-only; the shared candidate table for span removal
-    * ([[removeDuplicateSpans]]) and duplication-mass profiling
-    * ([[duplicationProfile]]). Documents shorter than `w` emit no rows.
+    * with `h` = xxhash64 of the space-joined window and 1-based `pos` —
+    * the output id column is ALWAYS named `doc_id` (this is an internal
+    * candidate-table schema, unlike the public operators which preserve
+    * the caller's column names). Map-only; the shared candidate table for
+    * span removal ([[removeDuplicateSpans]]) and duplication-mass
+    * profiling ([[duplicationProfile]]). Documents shorter than `w` emit
+    * no rows.
     */
   def windowOccurrences(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
@@ -64,10 +67,6 @@ object SpanDedup {
         .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
   }
-
-  private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
-    docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ", -1).as("t"))
 
   /** Per-document duplication-mass profile: how much of each document is
     * made of `w`-token windows that occur elsewhere in the corpus — the
@@ -93,7 +92,7 @@ object SpanDedup {
       max(col("c")).as("max_mult"))
     docs.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id").as(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("max_mult"), lit(0L)).as("max_mult"),
@@ -104,8 +103,21 @@ object SpanDedup {
 
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
-    val base = tokenized(docs, idCol, textCol)
-    val occ = windowOccurrences(docs, idCol, textCol, w)
+    require(w >= 2, s"span width must be >= 2, got $w")
+    require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
+      s"missing $idCol/$textCol in [${docs.columns.mkString(",")}]")
+    // persisted: three branches re-derive from the input (the occurrence
+    // stream, the token explode, and the final length join) — without the
+    // pin, everything UPSTREAM of this operator (e.g. q100's whole dedup
+    // chain) re-executes once per branch. Blocks are reclaimed by the
+    // ContextCleaner when the returned frame's plan becomes unreachable
+    // (the GlobalIndex.persistSorted lifetime pattern).
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"),
+      split(col(textCol), " ", -1).as("t")).persist()
+    val occ = base.select(col("doc_id"),
+      posexplode(call_function("graft_winhash", col("__txt"), lit(w)))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
 
     // all-but-first occurrence of every window value; shuffle carries
     // (h, doc_id, pos) only
@@ -147,8 +159,8 @@ object SpanDedup {
 
     base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
+      .select(col("doc_id").as(idCol),
+        coalesce(col("text"), lit("")).as(textCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }

@@ -94,8 +94,8 @@ object KeyOps {
       Seq(col("doc_id").asc), "n_tokens", maxTokens = 2048L)
 
   /** Reproducible multi-epoch training order: each epoch is an independent
-    * deterministic permutation of the corpus (Knuth-scatter hash of
-    * (doc_id, epoch) as the sort key — rand() is not even retry-stable),
+    * deterministic permutation of the corpus (per-epoch multiplicative
+    * scatter of doc_id as the sort key — rand() is not even retry-stable),
     * with the global position materialized by [[GlobalIndex]]'s
     * range-shuffle (never a single-partition window). Byte-stable order is
     * what lets a crashed training run resume mid-epoch on the exact row it
@@ -105,9 +105,15 @@ object KeyOps {
   private def q96EpochOrder(s: SparkSession, d: String): DataFrame = {
     val byEpoch = Tables.documents(s, d).select("doc_id")
       .select(col("doc_id"), explode(sequence(lit(0L), lit(1L))).as("epoch"))
+      // the epoch picks a DIFFERENT multiplier, not an additive term: any
+      // affine mix of epoch (k0 + c·e, or (d + c·e)·M — the multiply
+      // distributes) makes every epoch a cyclic ROTATION of epoch 0's
+      // order; distinct multipliers scramble the relative order itself.
+      // Step 193810 keeps every multiplier odd and ≡1 (mod 5), i.e.
+      // coprime to 10^6, for ANY epoch count.
       .withColumn("k",
-        pmod(pmod(col("doc_id"), lit(1000000L)) * 435761L +
-          col("epoch") * 97003L, lit(1000000L)))
+        pmod(pmod(col("doc_id"), lit(1000000L)) *
+          (lit(435761L) + col("epoch") * 193810L), lit(1000000L)))
     GlobalIndex.withGlobalIndex(byEpoch,
       Seq(col("epoch").asc, col("k").asc, col("doc_id").asc), "position")
       .select("doc_id", "epoch", "position")
@@ -150,7 +156,7 @@ object KeyOps {
     "q96_epoch_order" ->
       ("WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents), " +
         "h AS (SELECT doc_id, epoch, " +
-        "  ((doc_id % 1000000) * 435761 + epoch * 97003) % 1000000 AS k " +
+        "  ((doc_id % 1000000) * (435761 + epoch * 193810)) % 1000000 AS k " +
         "  FROM e) " +
         "SELECT doc_id, epoch, CAST(ROW_NUMBER() OVER " +
         "  (ORDER BY epoch, k, doc_id) AS BIGINT) AS position FROM h"),

@@ -112,9 +112,12 @@ object MediaOps {
   private def q98SharedFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = mediaTable(s, d)
+    // planted copies stay columnar (q64's withColumn shape) — a typed
+    // .map(_.copy(...)) would round-trip every payload through the encoder
     val corpus = base.union(
-      base.filter(col("media_id") < 50)
-        .map(m => m.copy(media_id = m.media_id + 1000000L)))
+      base.toDF().filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + lit(1000000L))
+        .as[Multimodal.Media])
     val dg = Multimodal.sampleFrames(corpus, frameBytes = 256, stride = 2)
       .select(col("media_id"), md5(col("bytes")).as("digest"))
     dg.select(col("media_id").as("i"), col("digest"))

@@ -91,10 +91,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(byEpoch(0L).length == n)
     // epochs are contiguous blocks in the order
     assert(byEpoch(0L).map(_._3).max < byEpoch(1L).map(_._3).min)
-    // and the two epoch permutations differ (the seed actually reshuffles)
+    // the epochs genuinely reshuffle: epoch 1 must not be epoch 0, nor any
+    // cyclic ROTATION of it (an additive epoch offset mod 1e6 — the bug
+    // class — shifts the order without reshuffling it)
     val perm0 = byEpoch(0L).sortBy(_._3).map(_._1).toSeq
     val perm1 = byEpoch(1L).sortBy(_._3).map(_._1).toSeq
     assert(perm0 != perm1)
+    val start = perm0.indexOf(perm1.head)
+    assert(start >= 0 && (perm0.drop(start) ++ perm0.take(start)) != perm1,
+      "epoch 1 is a cyclic rotation of epoch 0 — not an independent shuffle")
   }
 
   test("q101 interleave: any prefix of the stream is source-balanced") {
@@ -104,8 +109,10 @@ class QueriesSpec extends AnyFunSuite {
     val nSources = r.map(_._2).distinct.length
     assert(r.map(_._1).toSeq == (1L to r.length))
     // within every full round (one doc from each source while all sources
-    // still have docs), each source appears exactly once
-    val fullRounds = r.length / nSources
+    // still have docs), each source appears exactly once; rounds are only
+    // "full" while the SMALLEST source still has documents — total/nSources
+    // would overcount under size skew
+    val fullRounds = r.groupBy(_._2).values.map(_.size).min
     for (k <- 0 until math.min(fullRounds, 5)) {
       val window = r.slice(k * nSources, (k + 1) * nSources).map(_._2)
       assert(window.distinct.length == nSources, s"round $k: $window")
