@@ -496,6 +496,33 @@ object TextOps {
     SpanDedup.removeDuplicateSpans(ded, "doc_id", "text", w = 15)
   }
 
+  /** CC-Net-style per-language quality buckets: documents bucketed
+    * head/middle/tail by their bigram-LM quality relative to THEIR OWN
+    * language's quartiles — the thresholds are corpus-derived per group,
+    * never global constants (a global cut systematically starves
+    * low-resource languages). Composes two verified operators:
+    * [[graft.ops.Lm.scoreDocuments]] for the per-doc quality (integer
+    * millionths per bigram, exact) and [[Quantiles.exactQuantiles]] at the
+    * dyadic 0.25/0.75 (bit-exact vs quantile_cont — q48's contract);
+    * thresholds broadcast back, bucketing is map-side.
+    */
+  private def q102QualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val scored = graft.ops.Lm.scoreDocuments(docs, "doc_id", "text",
+      graft.ops.Lm.bigramLm(docs, "text", minCount = 5L))
+    val q = scored
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("prob_mass div n_bigrams").as("q"))
+    val thr = Quantiles.exactQuantiles(q, Seq("lang"), "q", Seq(0.25, 0.75))
+      .select(col("lang"), col("p25"), col("p75"))
+    q.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("q"),
+        when(col("q") >= col("p75"), "head")
+          .when(col("q") <= col("p25"), "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -533,6 +560,7 @@ object TextOps {
     "q97_cdc_chunks" -> q97CdcChunks _,
     "q99_source_overlap" -> q99SourceOverlap _,
     "q100_curation_recipe" -> q100CurationRecipe _,
+    "q102_quality_buckets" -> q102QualityBuckets _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -767,6 +795,31 @@ object TextOps {
         "    ELSE CAST(pd.n_dup_windows AS DOUBLE) / " +
         "      CAST(pd.n_windows AS DOUBLE) END AS dup_fraction " +
         "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"),
+    // q73's scoring chain, reduced per-doc, then per-language dyadic
+    // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
+    "q102_quality_buckets" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "occ AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+        "  for i in range(1, len(t))]) AS bg FROM toks), " +
+        "pc AS (SELECT bg, COUNT(*) AS n_pair FROM occ GROUP BY bg), " +
+        "cx AS (SELECT split_part(bg, ' ', 1) AS w1, " +
+        "  CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY w1), " +
+        "lm AS (SELECT pc.bg, pc.n_pair, cx.n_ctx FROM pc " +
+        "  JOIN cx ON split_part(pc.bg, ' ', 1) = cx.w1 WHERE pc.n_pair >= 5), " +
+        "sc AS (SELECT o.doc_id, lm.n_pair, lm.n_ctx FROM occ o " +
+        "  LEFT JOIN lm ON o.bg = lm.bg), " +
+        "ds AS (SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        "  CAST(COALESCE(SUM(CASE WHEN n_pair IS NOT NULL " +
+        "    THEN (1000000 * n_pair) // n_ctx END), 0) AS BIGINT) AS prob_mass " +
+        "  FROM sc GROUP BY doc_id), " +
+        "ql AS (SELECT ds.doc_id, d.lang, ds.prob_mass // ds.n_bigrams AS q " +
+        "  FROM ds JOIN documents d ON ds.doc_id = d.doc_id), " +
+        "th AS (SELECT lang, quantile_cont(q, 0.25) AS p25, " +
+        "  quantile_cont(q, 0.75) AS p75 FROM ql GROUP BY lang) " +
+        "SELECT ql.doc_id, ql.lang, CAST(ql.q AS BIGINT) AS q, " +
+        "  CASE WHEN ql.q >= th.p75 THEN 'head' " +
+        "  WHEN ql.q <= th.p25 THEN 'tail' ELSE 'middle' END AS bucket " +
+        "FROM ql JOIN th ON ql.lang = th.lang"),
     // engine groups on xxhash64(shingle), oracle on the shingle string —
     // identical grouping absent 64-bit collisions (NearDup contract)
     "q99_source_overlap" ->
