@@ -289,6 +289,31 @@ object TextOps {
         size(col("__p")).as("n_pieces"))
   }
 
+  /** Tokenizer fertility by language: occurrence-weighted average
+    * subword-pieces-per-word under the q66 merge table — THE number a
+    * tokenizer is judged by per language (fertility ≫ 1 for a language
+    * means its text costs proportionally more context window, the standard
+    * multilingual-tokenizer equity metric). Pieces are computed once per
+    * DISTINCT vocabulary token and broadcast back onto the per-language
+    * occurrence counts — the corpus is never re-encoded per occurrence.
+    */
+  private def q103Fertility(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").rlike("^[A-Za-z]+$"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n_occ"))
+    val pieces = occ.select("tok").distinct()
+      .select(col("tok"),
+        size(graft.ops.Bpe.encodePieces(col("tok"), q66Merges))
+          .cast("long").as("n_pieces"))
+    occ.join(broadcast(pieces), "tok")
+      .groupBy("lang")
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_pieces")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+  }
+
   /** A realistic English-bigram head, deliberately including CHAINED merges
     * (es→est, th→the, an→and) so the oracle exercises rank ordering, not
     * just independent pair replacement.
@@ -561,6 +586,7 @@ object TextOps {
     "q99_source_overlap" -> q99SourceOverlap _,
     "q100_curation_recipe" -> q100CurationRecipe _,
     "q102_quality_buckets" -> q102QualityBuckets _,
+    "q103_fertility" -> q103Fertility _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -697,11 +723,16 @@ object TextOps {
     * finishes past the last rank. Generated FROM `q66Merges`, so query and
     * oracle cannot drift.
     */
-  private def q66OracleSql: String = {
+  /** The q66 merge-replay CTE chain (recursive, generated FROM `q66Merges`
+    * so query and oracle cannot drift), ending at `fin(tok, t)` with `t`
+    * the '/'-separated piece string — shared by q66 (per-token pieces) and
+    * q103 (per-language fertility).
+    */
+  private def bpePiecesCtes: String = {
     val values = q66Merges.zipWithIndex.map { case ((l, r), i) =>
       s"(${i + 1}, '/$l/$r/', '/$l$r/')"
     }.mkString(", ")
-    "WITH RECURSIVE m(r, find, repl) AS (VALUES " + values + "), " +
+    "m(r, find, repl) AS (VALUES " + values + "), " +
       "toks AS (SELECT DISTINCT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok " +
       "  FROM documents) WHERE regexp_matches(tok, '^[A-Za-z]+$')), " +
       "init AS (SELECT tok, '/' || array_to_string(string_split(tok, ''), '/') || '/' AS s " +
@@ -714,13 +745,30 @@ object TextOps {
       "    ELSE e.s END, " +
       "  CASE WHEN strpos(e.s, m.find) > 0 THEN e.r ELSE e.r + 1 END " +
       "  FROM enc e JOIN m ON m.r = e.r), " +
-      s"fin AS (SELECT tok, trim(s, '/') AS t FROM enc WHERE r = ${q66Merges.size + 1}) " +
+      s"fin AS (SELECT tok, trim(s, '/') AS t FROM enc WHERE r = ${q66Merges.size + 1})"
+
+  }
+
+  private def q66OracleSql: String =
+    s"WITH RECURSIVE $bpePiecesCtes " +
       "SELECT tok, replace(t, '/', ' ') AS pieces, " +
       "CAST(len(string_split(t, '/')) AS INT) AS n_pieces FROM fin"
-  }
 
   val oracle: Map[String, String] = Map(
     "q66_bpe_encode" -> q66OracleSql,
+    // same merge-replay chain as q66, weighted by per-language occurrences
+    "q103_fertility" ->
+      (s"WITH RECURSIVE $bpePiecesCtes, " +
+        "np AS (SELECT tok, CAST(len(string_split(t, '/')) AS BIGINT) " +
+        "  AS n_pieces FROM fin), " +
+        "oc AS (SELECT lang, tok, COUNT(*) AS n_occ FROM " +
+        "  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "  WHERE regexp_matches(tok, '^[A-Za-z]+$') GROUP BY lang, tok) " +
+        "SELECT oc.lang, CAST(SUM(oc.n_occ) AS BIGINT) AS n_words, " +
+        "  CAST(SUM(oc.n_occ * np.n_pieces) AS BIGINT) AS n_subwords, " +
+        "  CAST(SUM(oc.n_occ * np.n_pieces) AS DOUBLE) / " +
+        "  CAST(SUM(oc.n_occ) AS DOUBLE) AS fertility " +
+        "FROM oc JOIN np ON oc.tok = np.tok GROUP BY oc.lang"),
     // the whitespace class is spelled out because regex \s differs between
     // engines (Java includes vertical tab, RE2 does not) — the kernel and
     // this oracle both collapse exactly { space \t \n \r \f }
