@@ -305,6 +305,16 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q98_shared_frames") <= 4)
   }
 
+  for ((q, what) <- Seq(
+      "q102_quality_buckets" -> "per-language quartile thresholds",
+      "q103_fertility" -> "distinct-vocab piece counts")) {
+    test(s"$q broadcasts its $what back (no second corpus shuffle)") {
+      val bhj = plan(q).sparkPlan
+        .collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty)
+    }
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
