@@ -34,14 +34,6 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Remove every non-canonical occurrence of any duplicated `w`-token
-    * span. Output: one row per input document — `idCol`, rewritten
-    * `textCol` (tokens joined by single spaces; empty string if everything
-    * was cut), `n_kept`/`n_dropped` token counts.
-    *
-    * Tokenization is single-space split ([[TextAnalysis.tokens]]'s
-    * convention), positions are 1-based.
-    */
   /** Every `w`-token window position of every document: (doc_id, pos, h)
     * with `h` = xxhash64 of the space-joined window and 1-based `pos` —
     * the output id column is ALWAYS named `doc_id` (this is an internal
@@ -101,6 +93,14 @@ object SpanDedup {
             col("n_windows").cast("double")).as("dup_fraction"))
   }
 
+  /** Remove every non-canonical occurrence of any duplicated `w`-token
+    * span. Output: one row per input document — `idCol`, rewritten
+    * `textCol` (tokens joined by single spaces; empty string if everything
+    * was cut), `n_kept`/`n_dropped` token counts.
+    *
+    * Tokenization is single-space split ([[TextAnalysis.tokens]]'s
+    * convention), positions are 1-based.
+    */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"span width must be >= 2, got $w")
@@ -114,10 +114,9 @@ object SpanDedup {
     // (the GlobalIndex.persistSorted lifetime pattern).
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"),
       split(col(textCol), " ", -1).as("t")).persist()
-    val occ = base.select(col("doc_id"),
-      posexplode(call_function("graft_winhash", col("__txt"), lit(w)))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    // derives from the PERSISTED base, through the one shared candidate
+    // generator
+    val occ = windowOccurrences(base, "doc_id", "__txt", w)
 
     // all-but-first occurrence of every window value; shuffle carries
     // (h, doc_id, pos) only

@@ -713,20 +713,19 @@ object TextOps {
       s"CASE WHEN $stop >= 0.005 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality"
   }
 
-  /** q66's oracle replays the kernel's contract mechanically: symbols as a
-    * '/'-delimited string ('/l/o/w/'), merges in rank order, each applied
-    * by replacing the FIRST occurrence of '/l/r/' until none remains
-    * (leftmost single replacement iterated = the leftmost-greedy pass: a
-    * merge's output can never recreate its own pair to the left). The
-    * recursion carries (token, state, current rank); a row advances to
-    * rank+1 when its state has no occurrence at the current rank, and
-    * finishes past the last rank. Generated FROM `q66Merges`, so query and
-    * oracle cannot drift.
-    */
-  /** The q66 merge-replay CTE chain (recursive, generated FROM `q66Merges`
-    * so query and oracle cannot drift), ending at `fin(tok, t)` with `t`
-    * the '/'-separated piece string — shared by q66 (per-token pieces) and
-    * q103 (per-language fertility).
+  /** The merge-replay CTE chain shared by the q66 oracle (per-token
+    * pieces) and q103 (per-language fertility): it replays the BPE
+    * kernel's contract mechanically — symbols as a '/'-delimited string
+    * ('/l/o/w/'), merges in rank order, each applied by replacing the
+    * FIRST occurrence of '/l/r/' until none remains (leftmost single
+    * replacement iterated = the leftmost-greedy pass: a merge's output can
+    * never recreate its own pair to the left). The recursion carries
+    * (token, state, current rank); a row advances to rank+1 when its state
+    * has no occurrence at the current rank, and finishes past the last
+    * rank. Produces the CTE LIST only (no WITH RECURSIVE prefix, no final
+    * SELECT), ending at `fin(tok, t)` with `t` the '/'-separated piece
+    * string. Generated FROM `q66Merges`, so queries and oracles cannot
+    * drift.
     */
   private def bpePiecesCtes: String = {
     val values = q66Merges.zipWithIndex.map { case ((l, r), i) =>
@@ -746,8 +745,25 @@ object TextOps {
       "  CASE WHEN strpos(e.s, m.find) > 0 THEN e.r ELSE e.r + 1 END " +
       "  FROM enc e JOIN m ON m.r = e.r), " +
       s"fin AS (SELECT tok, trim(s, '/') AS t FROM enc WHERE r = ${q66Merges.size + 1})"
-
   }
+
+  /** The bigram-LM scoring CTE chain shared by the q73 and q102 oracles
+    * (train the count-thresholded LM from the corpus, then left-join every
+    * bigram occurrence against it): ends at `sc(doc_id, n_pair, n_ctx)`,
+    * one row per occurrence, nulls marking OOV. CTE list only — callers
+    * supply the WITH prefix and their own reduction.
+    */
+  private val lmScoreCtes =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "occ AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
+      "  for i in range(1, len(t))]) AS bg FROM toks), " +
+      "pc AS (SELECT bg, COUNT(*) AS n_pair FROM occ GROUP BY bg), " +
+      "cx AS (SELECT split_part(bg, ' ', 1) AS w1, " +
+      "  CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY w1), " +
+      "lm AS (SELECT pc.bg, pc.n_pair, cx.n_ctx FROM pc " +
+      "  JOIN cx ON split_part(pc.bg, ' ', 1) = cx.w1 WHERE pc.n_pair >= 5), " +
+      "sc AS (SELECT o.doc_id, lm.n_pair, lm.n_ctx FROM occ o " +
+      "  LEFT JOIN lm ON o.bg = lm.bg)"
 
   private def q66OracleSql: String =
     s"WITH RECURSIVE $bpePiecesCtes " +
@@ -846,16 +862,7 @@ object TextOps {
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "occ AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
-        "  for i in range(1, len(t))]) AS bg FROM toks), " +
-        "pc AS (SELECT bg, COUNT(*) AS n_pair FROM occ GROUP BY bg), " +
-        "cx AS (SELECT split_part(bg, ' ', 1) AS w1, " +
-        "  CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY w1), " +
-        "lm AS (SELECT pc.bg, pc.n_pair, cx.n_ctx FROM pc " +
-        "  JOIN cx ON split_part(pc.bg, ' ', 1) = cx.w1 WHERE pc.n_pair >= 5), " +
-        "sc AS (SELECT o.doc_id, lm.n_pair, lm.n_ctx FROM occ o " +
-        "  LEFT JOIN lm ON o.bg = lm.bg), " +
+      (s"WITH $lmScoreCtes, " +
         "ds AS (SELECT doc_id, COUNT(*) AS n_bigrams, " +
         "  CAST(COALESCE(SUM(CASE WHEN n_pair IS NOT NULL " +
         "    THEN (1000000 * n_pair) // n_ctx END), 0) AS BIGINT) AS prob_mass " +
@@ -1114,16 +1121,7 @@ object TextOps {
     // divergence only exists for negative operands); the lone double op is
     // the final n_oov / n_bigrams division, identical IEEE in both engines
     "q73_lm_score" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "occ AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') " +
-        "  for i in range(1, len(t))]) AS bg FROM toks), " +
-        "pc AS (SELECT bg, COUNT(*) AS n_pair FROM occ GROUP BY bg), " +
-        "cx AS (SELECT split_part(bg, ' ', 1) AS w1, " +
-        "  CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY w1), " +
-        "lm AS (SELECT pc.bg, pc.n_pair, cx.n_ctx FROM pc " +
-        "  JOIN cx ON split_part(pc.bg, ' ', 1) = cx.w1 WHERE pc.n_pair >= 5), " +
-        "sc AS (SELECT o.doc_id, lm.n_pair, lm.n_ctx FROM occ o " +
-        "  LEFT JOIN lm ON o.bg = lm.bg) " +
+      (s"WITH $lmScoreCtes " +
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
         "CAST(SUM(CASE WHEN n_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
         "CAST(COALESCE(SUM(CASE WHEN n_pair IS NOT NULL " +

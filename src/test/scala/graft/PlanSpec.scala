@@ -305,13 +305,15 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q98_shared_frames") <= 4)
   }
 
-  for ((q, what) <- Seq(
-      "q102_quality_buckets" -> "per-language quartile thresholds",
-      "q103_fertility" -> "distinct-vocab piece counts")) {
-    test(s"$q broadcasts its $what back (no second corpus shuffle)") {
+  for ((q, key, what) <- Seq(
+      ("q102_quality_buckets", "lang", "per-language quartile thresholds"),
+      ("q103_fertility", "tok", "distinct-vocab piece counts"))) {
+    test(s"$q broadcasts its $what back (the $key join is broadcast)") {
+      // anchored to the join KEY: another incidental broadcast join in the
+      // plan must not satisfy the pin for THIS derived table
       val bhj = plan(q).sparkPlan
         .collect { case j: BroadcastHashJoinExec => j }
-      assert(bhj.nonEmpty)
+      assert(bhj.exists(_.leftKeys.exists(_.toString.contains(key))))
     }
   }
 

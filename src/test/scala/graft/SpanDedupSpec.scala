@@ -80,6 +80,16 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("caller's column names survive into the output") {
+    val df = Seq((1L, "k1 z1 z2 z3 z4 z5 k2"), (2L, "z1 z2 z3 z4 z5"))
+      .toDF("asset_id", "body")
+    val out = SpanDedup.removeDuplicateSpans(df, "asset_id", "body", w)
+    assert(out.columns.toSeq ==
+      Seq("asset_id", "body", "n_kept", "n_dropped"))
+    val prof = SpanDedup.duplicationProfile(df, "asset_id", "body", w)
+    assert(prof.columns.head == "asset_id")
+  }
+
   test("result is independent of input partitioning") {
     val rows = Seq(
       1L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9",
