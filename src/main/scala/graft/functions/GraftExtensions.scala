@@ -17,6 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
   *    winnowing document fingerprint. Algorithm parameters (n, k, w) must
   *    be integer literals — they are parameters, not data.
+  * and one optimizer rule ([[TokenCountRewrite]], via
+  * `injectOptimizerRule`): `size(split(s, " ", -1))` → [[TokenCount]],
+  * the allocation-free token count, substituted plan-wide.
+  *
   *  - `graft_ngrams(text, n)` → [[TokenNgrams]]: every word n-gram
   *    occurrence as a zero-copy byte slice — the LM counting form;
   *  - `graft_winhash(text, w)` → [[TokenWindowHashes]]: per-position
@@ -42,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the Rule[LogicalPlan] rung: size(split(s," ",-1)) → TokenCount —
+    // every token-count call site gets the allocation-free native form
+    // without being edited (see TokenCountRewrite)
+    ext.injectOptimizerRule(_ => new TokenCountRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

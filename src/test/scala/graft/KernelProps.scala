@@ -136,6 +136,13 @@ object KernelProps extends Properties("graft.kernels") {
         out.getUTF8String(i).toString) == refNgrams(s, n)
     }
 
+  property("token-count kernel equals split-size reference") =
+    forAll(Gen.oneOf(text, Gen.const(""), Gen.const(" "),
+      Gen.const("  a  b "))) { s =>
+      graft.functions.TokenCountKernel.compute(UTF8String.fromString(s)) ==
+        s.split(" ", -1).length
+    }
+
   property("window-hash kernel equals split+join+xxhash64 reference") =
     forAll(text, Gen.choose(2, 5)) { (s, w) =>
       val out = graft.functions.TokenWindowHash

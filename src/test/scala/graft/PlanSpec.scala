@@ -317,6 +317,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("the optimizer rewrites size(split) token counts to the native form") {
+    // q21's n_tokens is written as size(split(text, " ", -1)); the
+    // injected TokenCountRewrite must substitute the allocation-free
+    // native expression plan-wide
+    val s = plan("q21_text_stats").executedPlan.toString
+    assert(s.contains("graft_tokcount"))
+    assert(!s.contains("size(split("))
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
