@@ -50,6 +50,54 @@ object Lm {
       .select(pc("bg"), col("n_pair"), col("n_ctx"))
   }
 
+  /** Kneser-Ney smoothed bigram table (absolute discounting, D = 3/4):
+    * for every observed bigram,
+    *
+    *   P_kn(w2|w1) = (c - D)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * predecessors of w2 (the "how many contexts has w2 completed" novelty
+    * count that makes KN the standard n-gram smoother), N1+(··) = total
+    * distinct bigram types. Emitted as exact integer MILLIONTHS via one
+    * common-denominator division:
+    *
+    *   p_mill = (10^6 · ((4c-3)·T + 3·N1w1·N2w2)) div (4·c(w1)·T)
+    *
+    * — all-integer, engine-portable (operands non-negative), no libm.
+    * Smoothing statistics are computed over ALL observed bigrams; only the
+    * OUTPUT is pruned to `minCount` (pruning before the stats would bias
+    * every continuation count).
+    *
+    * Scale shape: one corpus explode + count (the only corpus-sized
+    * shuffle); every other aggregate runs on the vocabulary-sized pair
+    * table, and the three stat tables broadcast back. Overflow bound:
+    * c(w1)·T must stay below ~2.3e12 for the 64-bit millionths product —
+    * beyond that, promote the formula's operands to DECIMAL(38,0) on both
+    * engine and oracle sides.
+    */
+  def kneserNeyTable(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val pairs = docs
+      .select(explode(Shingles.wordNgramOccurrencesNative(col(textCol), 2))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c"))
+      .persist() // feeds all three stat aggs and the final join
+    val w1Stats = pairs.groupBy("w1")
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+    val w2Stats = pairs.groupBy("w2").agg(count(lit(1)).as("n2w2"))
+    val types = pairs.agg(count(lit(1)).as("t"))
+    pairs
+      .join(broadcast(w1Stats), "w1")
+      .join(broadcast(w2Stats), "w2")
+      .crossJoin(broadcast(types))
+      .where(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c"),
+        expr("(1000000 * ((4 * c - 3) * t + 3 * n1w1 * n2w2)) div " +
+          "(4 * cw1 * t)").as("p_kn_mill"))
+  }
+
   /** Score documents against a trained bigram LM ([[bigramLm]] schema:
     * bg, n_pair, n_ctx). Per document:
     *

@@ -548,6 +548,15 @@ object TextOps {
           .otherwise("middle").as("bucket"))
   }
 
+  /** Kneser-Ney smoothed bigram table ([[graft.ops.Lm.kneserNeyTable]]):
+    * the standard n-gram smoother — continuation-novelty counts, absolute
+    * discount 3/4, exact integer millionths via one common-denominator
+    * division. Complements q59's raw counts and q73's MLE scoring.
+    */
+  private def q104KneserNey(s: SparkSession, d: String): DataFrame =
+    graft.ops.Lm.kneserNeyTable(Tables.documents(s, d), "text",
+      minCount = 5L)
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -587,6 +596,7 @@ object TextOps {
     "q100_curation_recipe" -> q100CurationRecipe _,
     "q102_quality_buckets" -> q102QualityBuckets _,
     "q103_fertility" -> q103Fertility _,
+    "q104_kneser_ney" -> q104KneserNey _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -859,6 +869,24 @@ object TextOps {
         "    ELSE CAST(pd.n_dup_windows AS DOUBLE) / " +
         "      CAST(pd.n_windows AS DOUBLE) END AS dup_fraction " +
         "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"),
+    // stats over ALL observed bigrams, output pruned at the end; the
+    // millionths division is one all-integer common-denominator floor-div
+    "q104_kneser_ney" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+        "occ AS (SELECT unnest([array_to_string(t[i:i+1], ' ') " +
+        "  for i in range(1, len(t))]) AS bg FROM toks), " +
+        "pc AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg), " +
+        "sp AS (SELECT split_part(bg, ' ', 1) AS w1, " +
+        "  split_part(bg, ' ', 2) AS w2, c FROM pc), " +
+        "s1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, " +
+        "  COUNT(*) AS n1w1 FROM sp GROUP BY w1), " +
+        "s2 AS (SELECT w2, COUNT(*) AS n2w2 FROM sp GROUP BY w2), " +
+        "ty AS (SELECT COUNT(*) AS t FROM sp) " +
+        "SELECT sp.w1, sp.w2, sp.c, " +
+        "  CAST((1000000 * ((4 * sp.c - 3) * ty.t + 3 * s1.n1w1 * s2.n2w2)) // " +
+        "    (4 * s1.cw1 * ty.t) AS BIGINT) AS p_kn_mill " +
+        "FROM sp JOIN s1 ON sp.w1 = s1.w1 JOIN s2 ON sp.w2 = s2.w2, ty " +
+        "WHERE sp.c >= 5"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

@@ -57,6 +57,27 @@ class LmSpec extends AnyFunSuite {
       oov <= nb && rate == oov.toDouble / nb.toDouble })
   }
 
+  test("kneserNeyTable matches the hand-computed textbook case") {
+    // "a b a b a c": ab:2 ba:2 ac:1; T=3 types
+    // P(b|a) = 1.25/3 + .75*(2/3)*(1/3) = 583333 millionths (floored)
+    // P(a|b) = 1.25/2 + .75*(1/2)*(1/3) = 750000
+    // P(c|a) = 0.25/3 + .75*(2/3)*(1/3) = 250000
+    val tiny = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = Lm.kneserNeyTable(tiny, "text", minCount = 1L)
+      .select("w1", "w2", "c", "p_kn_mill")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(("a", "b", 2L, 583333L), ("b", "a", 2L, 750000L),
+      ("a", "c", 1L, 250000L)))
+  }
+
+  test("kneserNey per-context mass never exceeds one (back-off reserve)") {
+    val out = Lm.kneserNeyTable(docs, "text", minCount = 1L)
+    val sums = out.groupBy("w1")
+      .agg(org.apache.spark.sql.functions.sum("p_kn_mill").as("s"))
+      .as[(String, Long)].collect()
+    assert(sums.nonEmpty && sums.forall(_._2 <= 1000000L))
+  }
+
   test("a document of pure OOV text scores zero mass, rate 1.0") {
     val lm = Lm.bigramLm(docs, "text", minCount = 2L)
     val alien = Seq((9L, "z z z")).toDF("doc_id", "text")
