@@ -34,7 +34,22 @@ object Bench {
     val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // SPARK_GRAFT_BENCH_ONLY=q45_asof_join,q52_dedup_clusters runs just the
+    // named queries — a single-query re-run takes seconds instead of the
+    // ~7-minute full registry, which is what adjudicating a noise-vs-
+    // regression question actually needs (run the suspect 2-3 times).
+    // Unknown names fail loudly rather than silently benching nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    for ((name, fn) <- selected) {
       try {
         runOnce(fn(spark, sfDir)) // warm-up, discarded (JIT + parquet footer cache)
         val runs = (1 to measuredRuns).map { _ =>

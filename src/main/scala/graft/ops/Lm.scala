@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Lm {
 
+  /** Persist `df` only when its plan is not already pinned.
+    * `Dataset.storageLevel` resolves through the shared CacheManager by
+    * PLAN, not object identity — so when a composed query (e.g. scoring
+    * over a just-trained table, q102) re-derives the same frame, this
+    * skips the second `.persist()` instead of logging the
+    * "Asked to cache already cached data" warning that trains readers to
+    * ignore warnings.
+    */
+  private def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+
   /** Train a count-thresholded bigram LM from a corpus: one row per bigram
     * with `n_pair` (its occurrence count) and `n_ctx` (its first word's
     * total continuation count), keeping bigrams seen at least `minCount`
@@ -37,11 +50,10 @@ object Lm {
     // probe side — without it the corpus explode + count (the expensive
     // stage) re-executes for each. Vocabulary-sized, so pinning it is
     // bounded regardless of corpus size.
-    val pc = docs
+    val pc = persistOnce(docs
       .select(explode(Shingles.wordNgramOccurrencesNative(col(textCol), 2)).as("bg"))
       .groupBy("bg")
-      .agg(count(lit(1)).as("n_pair"))
-      .persist()
+      .agg(count(lit(1)).as("n_pair")))
     val cx = pc
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("n_pair")).as("n_ctx"))
@@ -77,13 +89,13 @@ object Lm {
     */
   def kneserNeyTable(docs: DataFrame, textCol: String,
       minCount: Long): DataFrame = {
-    val pairs = docs
+    // persisted: feeds all three stat aggs and the final join
+    val pairs = persistOnce(docs
       .select(explode(Shingles.wordNgramOccurrencesNative(col(textCol), 2))
         .as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c"))
       .select(split(col("bg"), " ").getItem(0).as("w1"),
-        split(col("bg"), " ").getItem(1).as("w2"), col("c"))
-      .persist() // feeds all three stat aggs and the final join
+        split(col("bg"), " ").getItem(1).as("w2"), col("c")))
     val w1Stats = pairs.groupBy("w1")
       .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
     val w2Stats = pairs.groupBy("w2").agg(count(lit(1)).as("n2w2"))

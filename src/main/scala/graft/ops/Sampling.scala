@@ -46,8 +46,12 @@ object Sampling {
     val rows = df.where(col(groupCol).isNotNull)
       .select(col(idCol), col(groupCol), h.as("__h"))
     val counts = rows.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    // integer threshold: ceil(4k·1e6 / n) + 1 of the 1e6 hash space, capped
-    // at full space — renamed group key, counts descends from rows
+    // loose threshold: 4k·1e6/n + 1 of the 1e6 hash space, capped at full
+    // space. `/` is IEEE double division in both Spark and DuckDB, so the
+    // fractional threshold (and hence the candidate set) agrees across
+    // engines — but only the final top-k output is the cross-engine
+    // contract; the superset+fallback below makes it exact regardless.
+    // Renamed group key: counts descends from rows.
     val thr = counts.select(col(groupCol).as("__tg"),
       least(lit(1000000L), lit(4000000L * k) / col("__n") + 1L).as("__thr"))
     val withThr = rows.join(thr, col(groupCol) === col("__tg"))

@@ -120,8 +120,13 @@ object MediaOps {
         .as[Multimodal.Media])
     val dg = Multimodal.sampleFrames(corpus, frameBytes = 256, stride = 2)
       .select(col("media_id"), md5(col("bytes")).as("digest"))
+    // probe side digest aliased so the equality compares distinct
+    // expression ids — the bare using-column form on two frames descending
+    // from one plan logs a trivially-true-condition warning (same shape
+    // NearDup aliased away)
     dg.select(col("media_id").as("i"), col("digest"))
-      .join(dg.select(col("media_id").as("j"), col("digest")), "digest")
+      .join(dg.select(col("media_id").as("j"), col("digest").as("digestj")),
+        col("digest") === col("digestj"))
       .where(col("i") < col("j"))
       .groupBy("i", "j")
       .agg(countDistinct(col("digest")).as("n_shared"))
