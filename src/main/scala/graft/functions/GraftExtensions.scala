@@ -21,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `injectOptimizerRule`): `size(split(s, " ", -1))` → [[TokenCount]],
   * the allocation-free token count, substituted plan-wide.
   *
+  * One native AGGREGATE (the `TypedImperativeAggregate` rung):
+  *
+  *  - `graft_topk(item, k, capacity)` → [[TopKAgg]]: space-saving
+  *    heavy-hitters top-k with a bounded serialized sketch buffer —
+  *    the one-aggregation replacement for the agg→window→filter
+  *    top-n-per-group pattern. k and capacity must be integer literals.
+  *
   *  - `graft_ngrams(text, n)` → [[TokenNgrams]]: every word n-gram
   *    occurrence as a zero-copy byte slice — the LM counting form;
   *  - `graft_winhash(text, w)` → [[TokenWindowHashes]]: per-position
@@ -82,6 +89,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_bpe: merges must be a string literal, got $other")
         }
         BpeEncode(children.head, BpeTable.parse(spec))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_topk takes exactly 3 arguments")
+        TopKAgg(children.head,
+          litInt(children(1), "graft_topk", "k"),
+          litInt(children(2), "graft_topk", "capacity"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),

@@ -1,0 +1,240 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-saving heavy-hitters summary (Metwally et al., the overestimate
+  * dual of Misra-Gries): at most `capacity` tracked items, each with an
+  * over-count `count` and an error bound `err` such that for every tracked
+  * item x
+  *
+  *   count(x) - err(x)  <=  trueCount(x)  <=  count(x)
+  *
+  * and every UNtracked item's true count is at most [[floorCount]] (the
+  * minimum tracked count once the summary is full, 0 before) — which is
+  * itself at most N/capacity after N insertions. Hence every item with
+  * true count > N/capacity is guaranteed tracked: the sketch never misses
+  * a heavy hitter, it can only over-report light ones.
+  *
+  * ==Exactness contract (what the oracle check relies on)==
+  *
+  * While the distinct-item count stays within `capacity` — in every
+  * partial AND across merges — no eviction ever happens, every `err` is 0,
+  * and the summary IS the exact count table: update and merge degenerate
+  * to dictionary addition, which is commutative and associative, so the
+  * final result is independent of Spark's partial-merge order
+  * (property-tested in KernelProps). This is the regime a per-group top-k
+  * query should size `capacity` for: per-group distinct counts are
+  * vocabulary-bounded, not corpus-bounded, so a modest capacity buys exact
+  * deterministic output. Past capacity the sketch stays within the bounds
+  * above (also property-tested), but counts become overestimates and the
+  * merge truncation makes the exact byte result merge-order-dependent —
+  * fine for monitoring/candidate generation, not for a hash-compared
+  * result.
+  *
+  * Eviction picks the minimum count (ties: lexicographically greatest item
+  * goes, so the item the (count desc, item asc) output order prefers
+  * survives) with an O(capacity) scan — heavy-hitter capacities are small
+  * by construction (the point of the sketch is m << distinct), so a heap
+  * would add allocation without moving the profile.
+  *
+  * Merge (mergeable-summaries form, overestimate-preserving): an item
+  * absent from the other summary may still have occurred up to the other's
+  * [[floorCount]] times, so matched entries add counts and errors, while
+  * one-sided entries add the other side's floor to BOTH count and err;
+  * then the union is truncated back to the top `capacity` by
+  * (count desc, item asc). Both invariants survive (property-tested).
+  */
+final class TopKSketch(val capacity: Int) extends Serializable {
+  require(capacity >= 1, s"topk capacity must be >= 1, got $capacity")
+
+  /** count = overestimate of the item's true count; err = how much of it
+    * may be inherited from evicted predecessors (0 = exact).
+    */
+  final class Cell(var count: Long, var err: Long) extends Serializable
+
+  val entries: mutable.HashMap[UTF8String, Cell] = mutable.HashMap.empty
+
+  /** Upper bound on the true count of any item NOT in the summary. */
+  def floorCount: Long =
+    if (entries.size < capacity) 0L else entries.valuesIterator.map(_.count).min
+
+  /** Record `w` occurrences of `item`. The caller owns `item`'s bytes
+    * (Spark may reuse the underlying buffer — [[TopKAgg]] clones).
+    */
+  def add(item: UTF8String, w: Long = 1L): Unit = entries.get(item) match {
+    case Some(cell) => cell.count += w
+    case None if entries.size < capacity => entries.update(item, new Cell(w, 0L))
+    case None =>
+      var evictKey: UTF8String = null
+      var evictCell: Cell = null
+      for ((k, c) <- entries) {
+        if (evictCell == null || c.count < evictCell.count ||
+          (c.count == evictCell.count && k.compareTo(evictKey) > 0)) {
+          evictKey = k; evictCell = c
+        }
+      }
+      val floor = evictCell.count
+      entries.remove(evictKey)
+      entries.update(item, new Cell(floor + w, floor))
+  }
+
+  /** Fold `other` into this summary (other is left untouched). */
+  def mergeIn(other: TopKSketch): Unit = {
+    if (other.entries.isEmpty) return
+    val fSelf = floorCount
+    val fOther = other.floorCount
+    for ((k, oc) <- other.entries) entries.get(k) match {
+      case Some(c) => c.count += oc.count; c.err += oc.err
+      case None => entries.update(k, new Cell(oc.count + fSelf, oc.err + fSelf))
+    }
+    if (fOther > 0) for ((k, c) <- entries) {
+      if (!other.entries.contains(k)) { c.count += fOther; c.err += fOther }
+    }
+    if (entries.size > capacity) {
+      val keep = entries.toSeq
+        .sortBy { case (k, c) => (-c.count, k) }
+        .take(capacity)
+      entries.clear()
+      entries ++= keep
+    }
+  }
+
+  /** The `k` heaviest tracked items by (count desc, item asc). */
+  def topK(k: Int): Seq[(UTF8String, Long)] =
+    entries.toSeq.sortBy { case (key, c) => (-c.count, key) }
+      .take(k)
+      .map { case (key, c) => (key, c.count) }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(entries.size)
+    for ((k, c) <- entries) {
+      val bytes = k.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c.count)
+      out.writeLong(c.err)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TopKSketch {
+  def deserialize(capacity: Int, bytes: Array[Byte]): TopKSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new TopKSketch(capacity)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val key = UTF8String.fromBytes(buf)
+      sk.entries.update(key, new sk.Cell(in.readLong(), in.readLong()))
+      i += 1
+    }
+    sk
+  }
+}
+
+/** `graft_topk(item, k, capacity)` — native heavy-hitters aggregate (the
+  * `TypedImperativeAggregate` rung of the extension ladder, next to the
+  * native expressions and the injected optimizer rule): the top `k` items
+  * of a string column by occurrence count, as
+  * `array<struct<item: string, cnt: bigint>>` ordered by
+  * (cnt desc, item asc), aggregated in ONE pass with a bounded
+  * [[TopKSketch]] buffer per group.
+  *
+  * This collapses the top-n-per-group pattern — aggregate to a count
+  * table, window-rank it, filter — into a single aggregation: no second
+  * shuffle of the count table, no sort, no Window operator (PlanSpec pins
+  * the single-ObjectHashAggregate plan). At 100 TB the buffer a group
+  * ships between partial and final aggregation is `capacity` entries —
+  * constant — instead of the group's full term-frequency table.
+  *
+  * Exactness follows [[TopKSketch]]'s contract: size `capacity` at or
+  * above the per-group distinct count (vocabulary-bounded for token
+  * workloads) and the result is the exact deterministic top-k; beyond
+  * that the space-saving ε = N/capacity bounds apply and the output is an
+  * estimate — fine for candidate generation, not hash comparison.
+  *
+  * The reference has no aggregate beyond a max (SURVEY §2 Q3,
+  * `utils.py:13-20`); this operator belongs to the engine-extension
+  * family (SURVEY §2.3 status note), sized for corpus-statistics use.
+  */
+case class TopKAgg(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_topk: k must be >= 1, got $k")
+  require(capacity >= k,
+    s"graft_topk: capacity ($capacity) must be >= k ($k) — the sketch " +
+      "cannot report more items than it tracks")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk requires a string item column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKSketch = new TopKSketch(capacity)
+
+  override def update(buffer: TopKSketch, input: InternalRow): TopKSketch = {
+    val v = child.eval(input)
+    // clone: the UTF8String may point into a row buffer Spark reuses for
+    // the next input row, while the sketch key must outlive it
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].clone())
+    buffer
+  }
+
+  override def merge(buffer: TopKSketch, input: TopKSketch): TopKSketch = {
+    buffer.mergeIn(input)
+    buffer
+  }
+
+  override def eval(buffer: TopKSketch): Any =
+    new GenericArrayData(buffer.topK(k).map { case (item, cnt) =>
+      InternalRow(item, cnt)
+    }.toArray[Any])
+
+  override def serialize(buffer: TopKSketch): Array[Byte] = buffer.serialize()
+
+  override def deserialize(storageFormat: Array[Byte]): TopKSketch =
+    TopKSketch.deserialize(capacity, storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_topk"
+}

@@ -110,6 +110,74 @@ object Lm {
           "(4 * cw1 * t)").as("p_kn_mill"))
   }
 
+  /** Interpolated trigram Kneser-Ney table (absolute discounting, D = 3/4,
+    * backoff through the continuation-count bigram distribution) — the
+    * standard corpus-fluency scorer, extending [[kneserNeyTable]] by one
+    * order. For every observed trigram (w1,w2,w3):
+    *
+    *   P(w3|w1,w2) = (c - D)/c12 + D·n3/c12 · P2(w3|w2)
+    *   P2(w3|w2)   = (m - D)/M  + D·nb/M  · p/T
+    *
+    * with every statistic derived from the TRIGRAM type/count tables (the
+    * self-consistent convention that keeps engine and oracle identical):
+    * c12 = Σ_w3 c (context mass), n3 = N1+(w1w2·) (distinct
+    * continuations), m = N1+(·w2w3) (distinct predecessors of the bigram —
+    * the continuation-novelty count), M = N1+(·w2·) (distinct (w1,w3)
+    * around w2), nb = distinct w3 after w2 over trigram-derived bigram
+    * TYPES, p = distinct w2 before w3 over the same, T = total such types.
+    * Emitted as exact integer MILLIONTHS via one common-denominator
+    * integral division:
+    *
+    *   p_mill = (10^6·(4·(4c-3)·M·T + 3·n3·((4m-3)·T + 3·nb·p)))
+    *              div (16·c12·M·T)
+    *
+    * Intermediates are DECIMAL(38,0) (the widened-overflow promotion the
+    * bigram table's scaladoc prescribes: the 64-bit bound c·M·T < ~5.7e11
+    * that q104 lives under would not survive trigram-order statistics at
+    * corpus scale; the oracle mirrors with HUGEINT). Operands are
+    * non-negative, so integral division is floor division in both engines
+    * and the only floating-point anywhere is none at all.
+    *
+    * Scale shape: one corpus explode + count (the only corpus-sized
+    * shuffle); every statistic aggregates the vocabulary-bounded trigram
+    * table and broadcasts back. Smoothing statistics run over ALL observed
+    * trigrams; only the OUTPUT is pruned to `minCount` (pruning first
+    * would bias every continuation count).
+    */
+  def kneserNeyTrigramTable(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    // persisted: feeds the context/novelty aggs and the final join
+    val tri = persistOnce(docs
+      .select(explode(Shingles.wordNgramOccurrencesNative(col(textCol), 3))
+        .as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c"))
+      .select(split(col("tg"), " ").getItem(0).as("w1"),
+        split(col("tg"), " ").getItem(1).as("w2"),
+        split(col("tg"), " ").getItem(2).as("w3"), col("c")))
+    val ctx = tri.groupBy("w1", "w2")
+      .agg(sum(col("c")).as("c12"), count(lit(1)).as("n3"))
+    val mTbl = tri.groupBy("w2", "w3").agg(count(lit(1)).as("m"))
+    val mid = tri.groupBy("w2").agg(count(lit(1)).as("mm"))
+    // trigram-derived bigram TYPES (w2,w3) — the lower-order event space
+    val pairTypes = persistOnce(tri.select("w2", "w3").distinct())
+    val nbTbl = pairTypes.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val pTbl = pairTypes.groupBy("w3").agg(count(lit(1)).as("p"))
+    val types = pairTypes.agg(count(lit(1)).as("t"))
+    tri
+      .join(broadcast(ctx), Seq("w1", "w2"))
+      .join(broadcast(mTbl), Seq("w2", "w3"))
+      .join(broadcast(mid), Seq("w2"))
+      .join(broadcast(nbTbl), Seq("w2"))
+      .join(broadcast(pTbl), Seq("w3"))
+      .crossJoin(broadcast(types))
+      .where(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("w3"), col("c"),
+        expr("(1000000 * (4 * (4 * cast(c as decimal(38,0)) - 3) * mm * t" +
+          " + 3 * n3 * ((4 * cast(m as decimal(38,0)) - 3) * t" +
+          " + 3 * nb * p))) div (16 * cast(c12 as decimal(38,0)) * mm * t)")
+          .as("p_kn3_mill"))
+  }
+
   /** Score documents against a trained bigram LM ([[bigramLm]] schema:
     * bg, n_pair, n_ctx). Per document:
     *

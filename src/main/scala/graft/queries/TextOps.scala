@@ -557,6 +557,46 @@ object TextOps {
     graft.ops.Lm.kneserNeyTable(Tables.documents(s, d), "text",
       minCount = 5L)
 
+  /** Per-language top-5 terms via the NATIVE heavy-hitters aggregate
+    * ([[graft.functions.TopKAgg]], injected as `graft_topk`) — the q49
+    * top-n-per-group family re-planned as ONE aggregation: explode →
+    * groupBy(lang) → graft_topk, then a map-only posexplode of the k-row
+    * result. No second shuffle of the term-frequency table, no sort, no
+    * Window (PlanSpec pins the single-ObjectHashAggregate plan); between
+    * partial and final aggregation each group ships a capacity-bounded
+    * sketch, not its term table.
+    *
+    * Skew is PLANTED — three `hot_<lang>` tokens per document, making the
+    * planted term each language's unambiguous rank-1 — and `capacity` (64)
+    * exceeds the per-language distinct-token count, so by the
+    * [[graft.functions.TopKSketch]] exactness contract the sketch never
+    * evicts and the output is the exact deterministic top-5 the DuckDB
+    * window-rank oracle computes. At 100 TB, capacity stays
+    * vocabulary-sized while N grows — the regime the sketch exists for.
+    */
+  private def q105TopkTerms(s: SparkSession, d: String): DataFrame = {
+    val hot = concat(lit("hot_"), col("lang"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(concat(
+        TextAnalysis.tokens(col("text")), array(hot, hot, hot))).as("term"))
+      .groupBy("lang")
+      .agg(call_function("graft_topk", col("term"), lit(5), lit(64)).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), col("col.item").as("term"), col("col.cnt").as("tf"),
+        (col("pos") + 1).as("rnk"))
+  }
+
+  /** Interpolated trigram Kneser-Ney table
+    * ([[graft.ops.Lm.kneserNeyTrigramTable]]): the standard corpus-fluency
+    * scorer — trigram absolute discounting backed off through the
+    * continuation-count bigram distribution, one interpolation, exact
+    * integer millionths with DECIMAL(38,0) intermediates. Extends q104's
+    * bigram table to the order real quality filters use.
+    */
+  private def q106KneserNeyTrigram(s: SparkSession, d: String): DataFrame =
+    graft.ops.Lm.kneserNeyTrigramTable(Tables.documents(s, d), "text",
+      minCount = 3L)
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -597,6 +637,8 @@ object TextOps {
     "q102_quality_buckets" -> q102QualityBuckets _,
     "q103_fertility" -> q103Fertility _,
     "q104_kneser_ney" -> q104KneserNey _,
+    "q105_topk_terms" -> q105TopkTerms _,
+    "q106_kneser_ney_trigram" -> q106KneserNeyTrigram _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -887,6 +929,48 @@ object TextOps {
         "    (4 * s1.cw1 * ty.t) AS BIGINT) AS p_kn_mill " +
         "FROM sp JOIN s1 ON sp.w1 = s1.w1 JOIN s2 ON sp.w2 = s2.w2, ty " +
         "WHERE sp.c >= 5"),
+    // the engine runs ONE sketch aggregation; the oracle is the classic
+    // agg + window-rank formulation of the same exact top-5 (capacity
+    // exceeds the per-language vocabulary, so the sketch is exact)
+    "q105_topk_terms" ->
+      ("WITH toks AS (SELECT lang, unnest(string_split(text, ' ') || " +
+        "  ['hot_' || lang, 'hot_' || lang, 'hot_' || lang]) AS term " +
+        "  FROM documents), " +
+        "tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks " +
+        "  GROUP BY lang, term), " +
+        "r AS (SELECT lang, term, tf, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "  ORDER BY tf DESC, term ASC) AS rnk FROM tf) " +
+        "SELECT lang, term, tf, rnk FROM r WHERE rnk <= 5"),
+    // all statistics from the trigram type/count tables; HUGEINT keeps the
+    // common-denominator product exact (mirrors the engine's DECIMAL(38,0))
+    "q106_kneser_ney_trigram" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+        "occ AS (SELECT unnest([array_to_string(t[i:i+2], ' ') " +
+        "  for i in range(1, len(t) - 1)]) AS tg FROM toks), " +
+        "tri AS (SELECT split_part(tg, ' ', 1) AS w1, " +
+        "  split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3, " +
+        "  COUNT(*) AS c FROM occ GROUP BY 1, 2, 3), " +
+        "ctx AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12, " +
+        "  COUNT(*) AS n3 FROM tri GROUP BY w1, w2), " +
+        "mt AS (SELECT w2, w3, COUNT(*) AS m FROM tri GROUP BY w2, w3), " +
+        "mid AS (SELECT w2, COUNT(*) AS mm FROM tri GROUP BY w2), " +
+        "pt AS (SELECT DISTINCT w2, w3 FROM tri), " +
+        "nbt AS (SELECT w2, COUNT(*) AS nb FROM pt GROUP BY w2), " +
+        "pw AS (SELECT w3, COUNT(*) AS p FROM pt GROUP BY w3), " +
+        "ty AS (SELECT COUNT(*) AS t FROM pt) " +
+        "SELECT tri.w1, tri.w2, tri.w3, tri.c, " +
+        "  CAST((1000000 * (4 * (4 * CAST(tri.c AS HUGEINT) - 3) " +
+        "      * mid.mm * ty.t " +
+        "    + 3 * ctx.n3 * ((4 * CAST(mt.m AS HUGEINT) - 3) * ty.t " +
+        "      + 3 * nbt.nb * pw.p))) // " +
+        "    (16 * CAST(ctx.c12 AS HUGEINT) * mid.mm * ty.t) AS BIGINT) " +
+        "    AS p_kn3_mill " +
+        "FROM tri JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2 " +
+        "JOIN mt ON tri.w2 = mt.w2 AND tri.w3 = mt.w3 " +
+        "JOIN mid ON tri.w2 = mid.w2 " +
+        "JOIN nbt ON tri.w2 = nbt.w2 " +
+        "JOIN pw ON tri.w3 = pw.w3, ty " +
+        "WHERE tri.c >= 3"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

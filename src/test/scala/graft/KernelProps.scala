@@ -149,4 +149,80 @@ object KernelProps extends Properties("graft.kernels") {
         .compute(UTF8String.fromString(s), w)
       (0 until out.numElements()).map(out.getLong) == refWindowHashes(s, w)
     }
+
+  // --- TopKSketch (the TypedImperativeAggregate buffer) -----------------
+
+  private val item: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e", "f",
+    "g", "h", "été", "😀", "")
+  private val stream: Gen[List[String]] = Gen.listOf(item)
+
+  private def sketchOf(cap: Int, xs: Seq[String]): graft.functions.TopKSketch = {
+    val sk = new graft.functions.TopKSketch(cap)
+    xs.foreach(x => sk.add(UTF8String.fromString(x)))
+    sk
+  }
+
+  private def exact(xs: Seq[String]): Map[String, Long] =
+    xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  /** The exactness contract the q105 oracle hash relies on: while distinct
+    * items stay within capacity across every partial AND merge, the
+    * summary IS the exact count table and the result is independent of how
+    * Spark splits the stream into partials and in which order it merges
+    * them.
+    */
+  property("topk sketch is the exact count table under capacity, any merge split") =
+    forAll(stream, Gen.choose(1, 5)) { (xs, pieces) =>
+      val cap = 16 // >= the 11-item alphabet: no eviction anywhere
+      val parts = (0 until pieces).map(i => xs.zipWithIndex.collect {
+        case (x, j) if j % pieces == i => x
+      })
+      val merged = parts.map(p => sketchOf(cap, p)).reduceLeft { (a, b) =>
+        a.mergeIn(b); a
+      }
+      val ex = exact(xs)
+      merged.entries.map { case (k, c) => k.toString -> c.count }.toMap == ex &&
+        merged.entries.valuesIterator.forall(_.err == 0L)
+    }
+
+  /** Space-saving bounds past capacity, update path: for every tracked
+    * item, count - err <= true <= count; every UNtracked item's true count
+    * is <= floorCount; floorCount <= N/capacity.
+    */
+  property("topk sketch keeps space-saving bounds past capacity") =
+    forAll(stream, Gen.choose(1, 4)) { (xs, cap) =>
+      val sk = sketchOf(cap, xs)
+      val ex = exact(xs).withDefaultValue(0L)
+      val tracked = sk.entries.map { case (k, c) => k.toString -> c }.toMap
+      tracked.forall { case (k, c) =>
+        c.count - c.err <= ex(k) && ex(k) <= c.count
+      } &&
+        ex.keysIterator.filterNot(tracked.contains)
+          .forall(k => ex(k) <= sk.floorCount) &&
+        (xs.isEmpty || sk.floorCount <= xs.size.toLong / cap + 1)
+    }
+
+  /** The same bounds survive a merge of independently-built summaries —
+    * the invariant Spark's partial/final aggregation actually exercises.
+    */
+  property("topk sketch merge preserves bounds over the concatenated stream") =
+    forAll(stream, stream, Gen.choose(1, 4)) { (xs, ys, cap) =>
+      val a = sketchOf(cap, xs)
+      a.mergeIn(sketchOf(cap, ys))
+      val ex = exact(xs ++ ys).withDefaultValue(0L)
+      val tracked = a.entries.map { case (k, c) => k.toString -> c }.toMap
+      tracked.forall { case (k, c) =>
+        c.count - c.err <= ex(k) && ex(k) <= c.count
+      } &&
+        ex.keysIterator.filterNot(tracked.contains)
+          .forall(k => ex(k) <= a.floorCount)
+    }
+
+  property("topk sketch serialize round-trips") =
+    forAll(stream, Gen.choose(1, 6)) { (xs, cap) =>
+      val sk = sketchOf(cap, xs)
+      val rt = graft.functions.TopKSketch.deserialize(cap, sk.serialize())
+      rt.entries.map { case (k, c) => (k.toString, c.count, c.err) }.toSet ==
+        sk.entries.map { case (k, c) => (k.toString, c.count, c.err) }.toSet
+    }
 }

@@ -78,6 +78,40 @@ class LmSpec extends AnyFunSuite {
     assert(sums.nonEmpty && sums.forall(_._2 <= 1000000L))
   }
 
+  test("kneserNeyTrigramTable matches the hand-computed textbook case") {
+    // "a b a b a b c" trigrams: (a,b,a):2 (b,a,b):2 (a,b,c):1
+    // ctx: (a,b) c12=3 n3=2; (b,a) c12=2 n3=1
+    // m: (b,a)=1 (a,b)=1 (b,c)=1; M: b=2 a=1
+    // pair types {(b,a),(a,b),(b,c)} -> T=3; nb: b=2 a=1; p: a=b=c=1
+    // (a,b,a): P2=(1-.75)/2+.75*(2/2)*(1/3)=.375, P=1.25/3+.75*(2/3)*.375
+    //          = .604166..  -> 604166
+    // (b,a,b): P2=.25/1+.75*(1/1)*(1/3)=.5,  P=1.25/2+.75*(1/2)*.5 = .8125
+    // (a,b,c): P2=.25/2+.75*(2/2)*(1/3)=.375, P=.25/3+.75*(2/3)*.375
+    //          = .270833.. -> 270833
+    val tiny = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val out = Lm.kneserNeyTrigramTable(tiny, "text", minCount = 1L)
+      .select("w1", "w2", "w3", "c", "p_kn3_mill")
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", "b", "a", 2L, 604166L),
+      ("b", "a", "b", 2L, 812500L),
+      ("a", "b", "c", 1L, 270833L)))
+  }
+
+  test("trigram KN per-context mass never exceeds one (back-off reserve)") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("aa", "bb", "cc", "dd")
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(15))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val sums = Lm.kneserNeyTrigramTable(corpus, "text", minCount = 1L)
+      .groupBy("w1", "w2")
+      .agg(org.apache.spark.sql.functions.sum("p_kn3_mill").as("s"))
+      .as[(String, String, Long)].collect()
+    assert(sums.nonEmpty && sums.forall(_._3 <= 1000000L))
+  }
+
   test("a document of pure OOV text scores zero mass, rate 1.0") {
     val lm = Lm.bigramLm(docs, "text", minCount = 2L)
     val alien = Seq((9L, "z z z")).toDF("doc_id", "text")

@@ -369,6 +369,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 top-k terms is ONE sketch aggregation — no window, no second shuffle") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q105_topk_terms")
+    // the TypedImperativeAggregate plans as ObjectHashAggregate (partial +
+    // final of the SAME aggregation — sketches merge, the term table never
+    // ships); the classic formulation's count-table re-shuffle + Window
+    // must not appear anywhere
+    val aggs = p.sparkPlan.collect { case a: ObjectHashAggregateExec => a }
+    assert(aggs.nonEmpty, p.sparkPlan.toString.take(800))
+    assert(aggs.forall(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[graft.functions.TopKAgg])))
+    assert(p.sparkPlan.collect { case w: WindowExec => w }.isEmpty)
+    // exactly ONE exchange: the groupBy(lang) hash partitioning — each
+    // group ships a capacity-bounded sketch between partial and final
+    assert(shuffles("q105_topk_terms") == 1)
+  }
+
+  test("q106 trigram KN: every statistic joins back broadcast, no sort-merge join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // the corpus-sized work is the one trigram count; ctx/m/mid/nb/p/types
+    // aggregate the vocabulary-bounded trigram table and must re-join the
+    // trigram spine as broadcasts — a sort-merge join here would mean a
+    // vocabulary-bounded statistic got shuffled with the corpus at scale
+    val p = plan("q106_kneser_ney_trigram")
+    assert(p.sparkPlan.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      p.sparkPlan.toString.take(800))
+    assert(p.sparkPlan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
   test("ANN pair scoring uses the native codegen'd dot product") {
     for (q <- Seq("q23_ann_cosine", "q24_ann_lsh", "q30_cosine_neardup")) {
       val optimized = plan(q).optimizedPlan.toString

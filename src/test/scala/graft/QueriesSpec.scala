@@ -22,6 +22,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("graft_topk never misses the heavy hitter, even past capacity") {
+    // estimation regime (capacity 2 << 101 distinct), exercised through
+    // Spark's full partial/serialize/merge path across 32 partitions: the
+    // planted majority item (60% of the stream) must surface at rank 1
+    // with its count an overestimate bounded by err — the space-saving
+    // guarantee the sketch exists for, beyond q105's exact regime
+    import spark.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(3)
+    val stream = (1 to n).map(i =>
+      if (rnd.nextDouble() < 0.6) "hot" else s"cold_${rnd.nextInt(100)}")
+    val trueHot = stream.count(_ == "hot").toLong
+    val r = stream.toDF("term").repartition(32)
+      .selectExpr("graft_topk(term, 1, 2) AS tk")
+      .selectExpr("tk[0].item AS item", "tk[0].cnt AS cnt")
+      .as[(String, Long)].collect()
+    assert(r.length == 1)
+    assert(r.head._1 == "hot")
+    assert(r.head._2 >= trueHot && r.head._2 <= n.toLong)
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without query impl: $missing")
