@@ -21,6 +21,24 @@ object Bench {
 
   private val measuredRuns = 3
 
+  /** The heavy tier: queries whose measured cost is dominated by a
+    * deliberate in-query index/layout BUILD — persisted inverted shingle /
+    * MinHash / SimHash indexes (q25/q26/q27/q35), IVF Lloyd training
+    * (q32/q75), bucketed table writes (q44), connected-components rounds
+    * (q52/q53), and the pair-graph split (q90). These are the honest
+    * once-per-layout costs, stable round-over-round precisely because
+    * they are build-bound, and together ~1/4 of the registry's wall
+    * clock (~14.5 of ~54 s at sf0.1). The default `core` tier skips them
+    * so the 2× regression gate stays cheap to run per-edit;
+    * `SPARK_GRAFT_BENCH_TIER=full` is the per-round/per-judge setting
+    * that benches everything.
+    */
+  private val heavyTier: Set[String] = Set(
+    "q25_ngram_jaccard", "q26_minhash_lsh", "q27_simhash",
+    "q35_ngram_jaccard_capped", "q32_ann_ivf", "q44_bucketed_join",
+    "q52_dedup_clusters", "q53_cluster_dedup", "q75_semantic_dedup",
+    "q90_leakage_split")
+
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -46,8 +64,23 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
+    // SPARK_GRAFT_BENCH_TIER: core (default) = all but the heavy
+    // index-builders; full = everything; heavy = only the builders.
+    // BENCH_ONLY bypasses tiering — an explicitly named query always runs.
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "core")
+    require(Set("core", "full", "heavy")(tier),
+      s"SPARK_GRAFT_BENCH_TIER must be core|full|heavy, got $tier")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only match {
+          case Some(sel) => sel.contains(name)
+          case None => tier match {
+            case "full" => true
+            case "heavy" => heavyTier(name)
+            case _ => !heavyTier(name)
+          }
+        }
+      }
 
     for ((name, fn) <- selected) {
       try {
@@ -102,7 +135,7 @@ object Bench {
     val total = timings.values.sum
     val medianTotal = medians.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -74,11 +74,66 @@ object AsOfJoin {
       s"asOf bucketing needs a timestamp/date/numeric time column, got $other")
   }
 
+  /** Derive a `bucketSec` from a TARGET ROWS-PER-(KEY, BUCKET) — the
+    * statistic that actually bounds a carry task's share — instead of
+    * calendar intuition ("90 days") which says nothing about density.
+    *
+    * The hottest key is the reason the two-level carry exists, so the
+    * width is sized to it: `ceil(span × target / maxRowsPerKey)` splits
+    * the hottest key's history into ≈ `maxRowsPerKey / target` buckets of
+    * ≈ `target` rows each (under roughly uniform-in-time arrivals; a key
+    * whose rows additionally cluster in time keeps a worst-case bucket of
+    * its densest burst — lower `target` if bursts dominate).
+    *
+    * Returns 0 when even the hottest key fits `target` — the two-level
+    * carry's two extra stages (a second window over the bucket spine and a
+    * spine join; ~2-2.5× the single-level wall time at sf0.1) buy nothing
+    * if no key's history overfills one task, and `asOf(bucketSec = 0)`
+    * runs the cheap single-level form. That is the crossover rule:
+    * pay two-level ONLY when `maxRowsPerKey > target`.
+    *
+    * `target` defaults to 1 << 20 rows — a (key, time, payload) slice of
+    * order tens of MB, comfortably one task's work; the right number moves
+    * with payload width, not cluster size. Cost of the derivation: one
+    * count-per-key aggregation + global min/max over `df` (the carried,
+    * usually-right side) — a planning-time statistics pass, run it once
+    * per layout, not per query.
+    */
+  def bucketWidthFor(df: DataFrame, keyCol: String, timeCol: String,
+      targetRowsPerBucket: Long = 1L << 20): Long = {
+    require(targetRowsPerBucket >= 1, "targetRowsPerBucket >= 1")
+    val tSec = df.schema(timeCol).dataType match {
+      case TimestampType | TimestampNTZType | DateType =>
+        // floor-div, not `/`: Column division is IEEE double
+        Num.floorDiv(unix_micros(col(timeCol).cast("timestamp")), 1000000L)
+      case _: NumericType => col(timeCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"bucketWidthFor needs a timestamp/date/numeric time column, got $other")
+    }
+    val stats = df
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+        min(tSec).as("__lo"), max(tSec).as("__hi"))
+      .agg(max(col("__n")).as("hot"), min(col("__lo")).as("lo"),
+        max(col("__hi")).as("hi"))
+      .first()
+    if (stats.isNullAt(0)) return 0L // empty input: nothing to bucket
+    val hot = stats.getLong(0)
+    if (hot <= targetRowsPerBucket) return 0L
+    val span = math.max(1L, stats.getLong(2) - stats.getLong(1))
+    // ceil division; never below 1 second/unit
+    math.max(1L, (span * targetRowsPerBucket + hot - 1) / hot)
+  }
+
   /** @param rightCols right columns to carry onto the left row; returned as
     *   fields of a single `asof` struct column appended to the left schema.
     * @param bucketSec 0 = single-level carry (one window per key); > 0 =
     *   two-level carry with the per-task share of a hot key bounded by the
-    *   bucket width (see class doc). Identical results either way.
+    *   bucket width (see class doc). Identical results either way. Size it
+    *   from a rows-per-(key, bucket) target with [[bucketWidthFor]], not
+    *   from calendar intuition — and take its 0 answer seriously: the
+    *   two-level form costs ~2-2.5× single-level and buys nothing without
+    *   a hot key.
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -147,16 +147,25 @@ object Similarity {
     * is unchanged). Downstream cell ASSIGNMENT always covers the full
     * corpus — sampling affects only where the centroids land.
     */
+  /** The deterministic hash-modular training sample shared by the Lloyd
+    * refinement and the build-time drift baseline: same set on every run,
+    * every retry, and both call sites (the baseline must be measured on
+    * exactly the population the centroids were fit to).
+    */
+  private def trainSample(corpus: DataFrame, idCol: String, seed: Long,
+      target: Long): DataFrame = {
+    val n = corpus.count() // cheap: corpus is persisted by the caller
+    val sampleMod = math.max(1L, n / target)
+    if (sampleMod == 1L) corpus
+    else corpus.filter(
+      pmod(xxhash64(col(idCol), lit(seed + 1)), lit(sampleMod)) === 0)
+  }
+
   private[graft] def kmeansCentroids(corpus: DataFrame, vecCol: String,
       numCentroids: Int, iters: Int, seed: Long, idCol: String,
       trainPerCentroid: Int = 256): Seq[Seq[Float]] = {
-    val target = numCentroids.toLong * trainPerCentroid
-    val n = corpus.count() // cheap: corpus is persisted by the caller
-    val sampleMod = math.max(1L, n / target)
-    val train =
-      if (sampleMod == 1L) corpus
-      else corpus.filter(
-        pmod(xxhash64(col(idCol), lit(seed + 1)), lit(sampleMod)) === 0)
+    val train = trainSample(corpus, idCol, seed,
+      numCentroids.toLong * trainPerCentroid)
     var cents: Seq[Seq[Float]] = train
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
@@ -194,11 +203,19 @@ object Similarity {
       struct((dot(vec, cvCol) / lit(cn)).as("score"), lit(ci).as("cell"))
     }: _*)
 
-  /** A trained IVF quantizer: the centroid table. Small by construction
-    * (numCentroids × dim floats) — it travels as plan literals, never as
-    * data.
+  /** A trained IVF quantizer: the centroid table, plus the build-time
+    * assignment-quality statistic the incremental-add drift gate compares
+    * against. Small by construction (numCentroids × dim floats) — it
+    * travels as plan literals, never as data.
+    *
+    * `buildScoreMill` is the mean best-cell assignment score of the
+    * training sample in integer MILLIONTHS (decimal-summed, so the value
+    * is deterministic and engine-portable). `None` on indexes saved before
+    * the statistic existed — drift gating then reports `needsRebuild =
+    * false` with no baseline rather than inventing one.
     */
-  final case class IvfIndex(centroids: Seq[Seq[Float]]) {
+  final case class IvfIndex(centroids: Seq[Seq[Float]],
+      buildScoreMill: Option[Long] = None) {
     require(centroids.nonEmpty, "empty centroid table")
     def numCentroids: Int = centroids.size
   }
@@ -214,11 +231,38 @@ object Similarity {
       numCentroids: Int = 16, seed: Long = 42L, lloydIters: Int = 1,
       trainPerCentroid: Int = 256): IvfIndex = {
     val mat = corpus.persist()
-    val cents =
-      try kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed, idCol,
-        trainPerCentroid)
-      finally mat.unpersist(blocking = false)
-    IvfIndex(cents)
+    try {
+      val cents = kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed,
+        idCol, trainPerCentroid)
+      // drift baseline on the SAME sample the centroids were fit to — one
+      // extra bounded agg job at build time buys every future appendBatch
+      // its rebuild gate
+      val score = meanAssignScoreMill(
+        trainSample(mat, idCol, seed, numCentroids.toLong * trainPerCentroid),
+        vecCol, cents)
+      IvfIndex(cents, Some(score))
+    } finally mat.unpersist(blocking = false)
+  }
+
+  /** Mean COSINE to the nearest centroid over `df`, in integer millionths:
+    * floor(1e6 · Σ bestCos / n) with a DECIMAL sum, so the statistic is
+    * exact, aggregation-order-independent, and comparable across sessions.
+    * Cosine — not the raw dot/|centroid| cell-ranking score — because the
+    * drift gate must be scale-invariant: a batch of larger-magnitude
+    * vectors is not "closer" to the quantizer. Zero-norm vectors (cosine
+    * undefined) are excluded. One map + one grand agg; driver state is one
+    * row.
+    */
+  private def meanAssignScoreMill(df: DataFrame, vecCol: String,
+      cents: Seq[Seq[Float]]): Long = {
+    val r = df
+      .select((array_max(cellScoresFor(col(vecCol), cents)).getField("score")
+        / l2Norm(col(vecCol))).cast(DecimalType(28, 10)).as("s"))
+      .where(col("s").isNotNull)
+      .agg((sum(col("s")) * lit(1000000L) / count(lit(1)))
+        .cast("long").as("m"))
+      .first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Persist a trained index as parquet rows (cell, dim, value) — build
@@ -235,6 +279,13 @@ object Similarity {
       .toDF("cell", "dim", "value")
       .repartition(1) // the table is numCentroids × dim rows — one file
       .write.mode("overwrite").parquet(path)
+    // drift baseline rides in an underscore-prefixed child dir: parquet
+    // readers treat _-names as hidden, so `read.parquet(path)` (and the
+    // DuckDB oracle) still see exactly the (cell, dim, value) table
+    index.buildScoreMill.foreach { s =>
+      Seq(s).toDF("build_score_mill").repartition(1)
+        .write.mode("overwrite").parquet(s"$path/_drift")
+    }
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
@@ -246,7 +297,11 @@ object Similarity {
     val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cvs) =>
       cvs.sortBy(_._2).map(_._3).toSeq
     }
-    IvfIndex(cents)
+    val score =
+      try Some(spark.read.parquet(s"$path/_drift")
+        .select("build_score_mill").first().getLong(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    IvfIndex(cents, score)
   }
 
   /** Query-time IVF search with a pre-trained index: each corpus vector
@@ -260,13 +315,36 @@ object Similarity {
     * Same output contract as [[bruteForceTopK]].
     */
   def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame =
+    ivfTopKWithAssigned(index, queries,
+      assignCells(corpus, idCol, vecCol, index), idCol, vecCol, k, nProbe)
+
+  /** Map-only nearest-centroid assignment: (idCol, vecCol, nrm, cell) —
+    * the inverted-file row format every IVF consumer shares. Centroids are
+    * plan literals, so this is a pure parallel scan: the shape that lets a
+    * 100 TB corpus be assigned once, persisted partitioned by cell, and
+    * appended to batch-by-batch instead of re-assigned per session.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex): DataFrame =
+    df.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"),
+      array_max(cellScoresFor(col(vecCol), index.centroids))
+        .getField("cell").as("cell"))
+
+  /** Query-time IVF search over a PRE-ASSIGNED inverted file
+    * ([[assignCells]] rows — e.g. [[loadAssignedCorpus]]): only the query
+    * side computes cell scores; the corpus side is read as-is, which is
+    * the point of persisting the assignment. Same output contract as
+    * [[bruteForceTopK]].
+    */
+  def ivfTopKWithAssigned(index: IvfIndex, queries: DataFrame,
+      assigned: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= index.numCentroids,
       "1 <= nProbe <= numCentroids")
     def cellScores(vec: Column): Column = cellScoresFor(vec, index.centroids)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2Norm(col(vecCol)).as("cn"),
-      array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
+    val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("nrm").as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"),
       explode(transform(
@@ -280,6 +358,53 @@ object Similarity {
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Materialize an assigned corpus as the on-disk inverted file:
+    * parquet partitioned BY CELL, so a query session (or compaction) that
+    * touches `nProbe` cells reads `nProbe` directories, not the corpus.
+    */
+  def saveAssignedCorpus(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def loadAssignedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Outcome of an incremental add: the batch's mean assignment score vs
+    * the index's build-time baseline. `needsRebuild` fires when the batch
+    * scores below `(1 - relTolerance) ×` baseline — the new data sits
+    * materially farther from every centroid than the training data did,
+    * i.e. the corpus distribution has drifted out from under the
+    * quantizer and recall is degrading. Absent a baseline (legacy index),
+    * the gate reports false rather than guessing.
+    */
+  final case class IvfDrift(buildScoreMill: Option[Long],
+      batchScoreMill: Long, needsRebuild: Boolean)
+
+  /** Incremental IVF add — the streaming-corpus path that pairs with
+    * [[graft.ops.Dedup.incrementalByFingerprint]]: assign ONLY the new
+    * batch to the nearest existing centroids (map-only over the batch),
+    * append the rows to the persisted inverted file at `path`, and return
+    * the drift gate. The index itself is untouched — centroids stay valid
+    * until the gate says otherwise, at which point the caller re-runs
+    * [[buildIvfIndex]] + [[saveAssignedCorpus]] over the full corpus.
+    *
+    * Scale shape: cost is one scan of the BATCH (scored twice: the drift
+    * agg and the write — persisted in between), zero scans of the
+    * existing corpus, zero shuffles (partitioned append is map-side).
+    */
+  def appendBatch(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String, path: String, relTolerance: Double = 0.05): IvfDrift = {
+    require(relTolerance >= 0 && relTolerance < 1, "0 <= relTolerance < 1")
+    val assigned = assignCells(batch, idCol, vecCol, index).persist()
+    try {
+      val batchScore = meanAssignScoreMill(
+        assigned.select(col(vecCol)), vecCol, index.centroids)
+      assigned.write.mode("append").partitionBy("cell").parquet(path)
+      val rebuild = index.buildScoreMill.exists(b =>
+        batchScore.toDouble < (1.0 - relTolerance) * b.toDouble)
+      IvfDrift(index.buildScoreMill, batchScore, rebuild)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** IVF (inverted-file) approximate cosine top-k — the other canonical ANN
@@ -319,11 +444,7 @@ object Similarity {
       index: IvfIndex, minCos: Double): DataFrame = {
     // persisted: the self-join's two branches would otherwise both
     // re-evaluate the numCentroids-dot cell assignment per row
-    val assigned = df.select(col(idCol), col(vecCol),
-      l2Norm(col(vecCol)).as("nrm"),
-      array_max(cellScoresFor(col(vecCol), index.centroids))
-        .getField("cell").as("cell"))
-      .persist()
+    val assigned = assignCells(df, idCol, vecCol, index).persist()
     val lhs = assigned.select(col("cell"), col(idCol).as("i"),
       col(vecCol).as("vi"), col("nrm").as("ni"))
     val rhs = assigned.select(col("cell").as("__cell_r"), col(idCol).as("j"),

@@ -55,6 +55,14 @@ object JoinOps {
     * by (user, quarter), so one hot user's multi-year history can never
     * funnel through a single task — the skew posture q46 takes for its
     * join, applied to the as-of window.
+    *
+    * Crossover note: the two-level form costs ~2-2.5× the single-level
+    * carry at sf0.1 (two windows + a spine join vs one window) — pay it
+    * only when some key's history overfills one task. The principled
+    * width comes from [[AsOfJoin.bucketWidthFor]] (rows-per-(key, bucket)
+    * target, 0 = "stay single-level"); the constant here deliberately
+    * keeps the skew-proof plan in the benched registry so PlanSpec can
+    * pin its shape at every scale factor.
     */
   private def q45AsofJoin(s: SparkSession, d: String): DataFrame =
     AsOfJoin.asOf(

@@ -128,6 +128,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketWidthFor sizes the width to the hottest key, 0 when unskewed") {
+    // hot key 1: 200 hourly rows over ~200h; key 2: 5 rows. target 50 →
+    // the hot key should land in ≈ 4 buckets of ≈ 50 rows
+    val rows = Seq.tabulate(200)(i =>
+      (1L, new Timestamp(1700000000000L + i * 3600000L), i.toLong, 0.0)) ++
+      Seq.tabulate(5)(i =>
+        (2L, new Timestamp(1700000000000L + i * 3600000L), 900L + i, 0.0))
+    val df = rows.toDF("k", "t", "rid", "v")
+    // no key exceeds the target → single-level is the right plan
+    assert(AsOfJoin.bucketWidthFor(df, "k", "t", targetRowsPerBucket = 200L) == 0L)
+    val w = AsOfJoin.bucketWidthFor(df, "k", "t", targetRowsPerBucket = 50L)
+    assert(w > 0L)
+    // span = 199h; hot = 200 rows → width ≈ span/4: the hot key's history
+    // splits into ~4 target-sized buckets (ceil'd, so 4 or 5)
+    val span = 199L * 3600L
+    val bucketsOfHot = (span + w - 1) / w
+    assert(bucketsOfHot >= 3 && bucketsOfHot <= 5, s"width $w -> $bucketsOfHot buckets")
+    // and the derived width preserves semantics like any other width
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid",
+      Seq("rid"), bucketSec = AsOfJoin.bucketWidthFor(right, "k", "t", 2L))
+      .select($"id", $"asof.rid".as("rid"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+    // degenerate inputs: empty frame → 0 (nothing to bucket)
+    assert(AsOfJoin.bucketWidthFor(df.limit(0), "k", "t") == 0L)
+  }
+
   test("two-level carry matches the argmax reference on random hot-key series") {
     // one hot key holds ~all rows — the skew case the bucketing exists for;
     // correctness must be unchanged and ties must resolve identically

@@ -200,6 +200,7 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.saveIvfIndex(built, spark, s"$dir/index")
     val loaded = Similarity.loadIvfIndex(spark, s"$dir/index")
     assert(loaded.centroids == built.centroids) // exact floats, not approx
+    assert(loaded.buildScoreMill == built.buildScoreMill) // drift baseline rides along
     def results(ix: Similarity.IvfIndex) =
       Similarity.ivfTopKWithIndex(ix, queries, corpus, "vec_id", "embedding",
         k = 5, nProbe = 4)
@@ -212,5 +213,64 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(oneCall == results(built))
+  }
+
+  test("incremental IVF add: appended batch searchable at full recall, gate quiet") {
+    // the streaming-corpus lifecycle: build + persist the inverted file
+    // once, then append an in-distribution batch WITHOUT touching the
+    // index or the existing corpus — the planted copies must come back at
+    // rank 1 through the assigned-file query path, and the drift gate must
+    // not demand a rebuild
+    val corpus = clustered()
+    val built = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 16, lloydIters = 1)
+    assert(built.buildScoreMill.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Similarity.saveAssignedCorpus(
+      Similarity.assignCells(corpus, "vec_id", "embedding", built), s"$dir/inv")
+    // batch: ×2-scaled copies of one vector PER CLUSTER (ids ≡ 0 mod 25)
+    // at ids 10000+ — power-of-two scaling is IEEE-exact, so each copy is
+    // bit-parallel to its source: same argmax cell, cosine exactly 1 to it
+    // (the q32 construction). Spanning every cluster keeps the batch's
+    // cluster composition equal to the build sample's, so its mean
+    // assignment cosine sits at the baseline.
+    val batch = corpus.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val drift = Similarity.appendBatch(built, batch, "vec_id", "embedding",
+      s"$dir/inv")
+    assert(!drift.needsRebuild,
+      s"in-distribution batch tripped the gate: $drift")
+    // scale-invariance of the statistic: the ×2 batch scores what its
+    // sources score, not double it
+    assert(drift.batchScoreMill <= 1000000L)
+    val assigned = Similarity.loadAssignedCorpus(spark, s"$dir/inv")
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+    val res = Similarity.ivfTopKWithAssigned(built, queries, assigned,
+      "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(res == (0L until 20L).map(i => (i * 25L, i * 25L + 10000L)).toSet,
+      s"planted copies not all at rank 1: $res")
+  }
+
+  test("incremental IVF add: out-of-distribution batch trips the rebuild gate") {
+    val corpus = clustered()
+    val built = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 16, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    Similarity.saveAssignedCorpus(
+      Similarity.assignCells(corpus, "vec_id", "embedding", built), s"$dir/inv")
+    // fresh isotropic gaussians share no structure with the 20 training
+    // clusters: mean cosine to the nearest centroid collapses (~0.3-0.5
+    // in dim 32) vs the tight in-cluster build baseline (~0.99)
+    val rnd = new Random(23)
+    val alien = Seq.tabulate(100)(i =>
+      ((20000 + i).toLong, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val drift = Similarity.appendBatch(built, alien, "vec_id", "embedding",
+      s"$dir/inv")
+    assert(drift.needsRebuild, s"drifted batch passed the gate: $drift")
+    assert(drift.batchScoreMill < drift.buildScoreMill.get)
   }
 }
