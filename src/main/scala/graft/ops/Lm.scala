@@ -178,6 +178,43 @@ object Lm {
           .as("p_kn3_mill"))
   }
 
+  /** Score documents against a trained trigram Kneser-Ney table
+    * ([[kneserNeyTrigramTable]] schema: w1, w2, w3, c, p_kn3_mill) — the
+    * corpus-fluency scorer at the order real quality filters use. Per
+    * document, mirroring [[scoreDocuments]]'s contract one order up:
+    *
+    *   - `n_trigrams`: total trigram occurrences;
+    *   - `n_oov`: occurrences absent from the table (unseen OR pruned by
+    *     the table's `minCount` — pruning and scoring see the same
+    *     vocabulary by construction);
+    *   - `kn_mass`: Σ over in-table occurrences of `p_kn3_mill` — an
+    *     exact long sum of integer millionths;
+    *   - `oov_rate`: n_oov / n_trigrams, the one floating-point op.
+    *
+    * Documents with fewer than three tokens produce no trigrams and are
+    * absent. Scale shape: the corpus-sized side is the one trigram
+    * explode; the table side is vocabulary-bounded and joins on the
+    * trigram string (AQE broadcasts it at runtime when it fits).
+    */
+  def scoreDocumentsTrigram(docs: DataFrame, idCol: String, textCol: String,
+      table: DataFrame): DataFrame = {
+    // single-space tokenization makes "w1 w2 w3" the exact occurrence
+    // string, so the join key is one column, not three
+    val kn = table.select(
+      concat_ws(" ", col("w1"), col("w2"), col("w3")).as("tg"),
+      col("p_kn3_mill"))
+    val occ = docs.select(col(idCol),
+      explode(Shingles.wordNgramOccurrencesNative(col(textCol), 3)).as("tg"))
+    val oov: Column = sum(when(col("p_kn3_mill").isNull, 1L).otherwise(0L))
+    occ.join(kn, Seq("tg"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        oov.as("n_oov"),
+        coalesce(sum(col("p_kn3_mill")), lit(0L)).as("kn_mass"),
+        (oov.cast("double") / count(lit(1)).cast("double")).as("oov_rate"))
+  }
+
   /** Score documents against a trained bigram LM ([[bigramLm]] schema:
     * bg, n_pair, n_ctx). Per document:
     *

@@ -597,6 +597,19 @@ object TextOps {
     graft.ops.Lm.kneserNeyTrigramTable(Tables.documents(s, d), "text",
       minCount = 3L)
 
+  /** Trigram-KN corpus-fluency scoring
+    * ([[graft.ops.Lm.scoreDocumentsTrigram]] over the q106 table): per
+    * document, total trigrams, OOV count against the count-thresholded
+    * table, exact integer-millionths probability mass, OOV rate — the
+    * composition (train the smoother, score the corpus with it) a quality
+    * pipeline actually runs, as ONE oracle row.
+    */
+  private def q107KnScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    graft.ops.Lm.scoreDocumentsTrigram(docs, "doc_id", "text",
+      graft.ops.Lm.kneserNeyTrigramTable(docs, "text", minCount = 3L))
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -639,6 +652,7 @@ object TextOps {
     "q104_kneser_ney" -> q104KneserNey _,
     "q105_topk_terms" -> q105TopkTerms _,
     "q106_kneser_ney_trigram" -> q106KneserNeyTrigram _,
+    "q107_kn_score" -> q107KnScore _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -817,6 +831,49 @@ object TextOps {
       "sc AS (SELECT o.doc_id, lm.n_pair, lm.n_ctx FROM occ o " +
       "  LEFT JOIN lm ON o.bg = lm.bg)"
 
+  /** Shared trigram-KN oracle chain (q106 table / q107 scoring): ends at
+    * `kn(tg, w1, w2, w3, c, p)` — the count-thresholded interpolated
+    * trigram table keyed by both the split words and the raw trigram
+    * string — with `occ(doc_id, tg)` available for scoring reductions.
+    * Every smoothing statistic derives from the trigram type/count
+    * tables; HUGEINT keeps the common-denominator product exact
+    * (mirrors the engine's DECIMAL(38,0) intermediates).
+    *
+    * The multi-referenced CTEs are `AS MATERIALIZED`: DuckDB otherwise
+    * INLINES a CTE at every reference — tri feeds six statistics, so the
+    * whole explode+count chain re-expands per reference and the optimizer
+    * loses the cardinalities, picking a join order that runs for minutes
+    * at sf0.001 (measured: >300 s inlined, 0.1 s materialized).
+    */
+  private val knTrigramCtes =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "occ AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') " +
+      "  for i in range(1, len(t) - 1)]) AS tg FROM toks), " +
+      "tri0 AS MATERIALIZED (SELECT tg, COUNT(*) AS c FROM occ GROUP BY tg), " +
+      "tri AS MATERIALIZED (SELECT split_part(tg, ' ', 1) AS w1, " +
+      "  split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3, " +
+      "  tg, c FROM tri0), " +
+      "ctx AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12, " +
+      "  COUNT(*) AS n3 FROM tri GROUP BY w1, w2), " +
+      "mt AS (SELECT w2, w3, COUNT(*) AS m FROM tri GROUP BY w2, w3), " +
+      "mid AS (SELECT w2, COUNT(*) AS mm FROM tri GROUP BY w2), " +
+      "pt AS MATERIALIZED (SELECT DISTINCT w2, w3 FROM tri), " +
+      "nbt AS (SELECT w2, COUNT(*) AS nb FROM pt GROUP BY w2), " +
+      "pw AS (SELECT w3, COUNT(*) AS p FROM pt GROUP BY w3), " +
+      "ty AS (SELECT COUNT(*) AS t FROM pt), " +
+      "kn AS MATERIALIZED (SELECT tri.tg, tri.w1, tri.w2, tri.w3, tri.c, " +
+      "  CAST((1000000 * (4 * (4 * CAST(tri.c AS HUGEINT) - 3) " +
+      "      * mid.mm * ty.t " +
+      "    + 3 * ctx.n3 * ((4 * CAST(mt.m AS HUGEINT) - 3) * ty.t " +
+      "      + 3 * nbt.nb * pw.p))) // " +
+      "    (16 * CAST(ctx.c12 AS HUGEINT) * mid.mm * ty.t) AS BIGINT) AS p " +
+      "  FROM tri JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2 " +
+      "  JOIN mt ON tri.w2 = mt.w2 AND tri.w3 = mt.w3 " +
+      "  JOIN mid ON tri.w2 = mid.w2 " +
+      "  JOIN nbt ON tri.w2 = nbt.w2 " +
+      "  JOIN pw ON tri.w3 = pw.w3, ty " +
+      "  WHERE tri.c >= 3)"
+
   private def q66OracleSql: String =
     s"WITH RECURSIVE $bpePiecesCtes " +
       "SELECT tok, replace(t, '/', ' ') AS pieces, " +
@@ -944,33 +1001,20 @@ object TextOps {
     // all statistics from the trigram type/count tables; HUGEINT keeps the
     // common-denominator product exact (mirrors the engine's DECIMAL(38,0))
     "q106_kneser_ney_trigram" ->
-      ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
-        "occ AS (SELECT unnest([array_to_string(t[i:i+2], ' ') " +
-        "  for i in range(1, len(t) - 1)]) AS tg FROM toks), " +
-        "tri AS (SELECT split_part(tg, ' ', 1) AS w1, " +
-        "  split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3, " +
-        "  COUNT(*) AS c FROM occ GROUP BY 1, 2, 3), " +
-        "ctx AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12, " +
-        "  COUNT(*) AS n3 FROM tri GROUP BY w1, w2), " +
-        "mt AS (SELECT w2, w3, COUNT(*) AS m FROM tri GROUP BY w2, w3), " +
-        "mid AS (SELECT w2, COUNT(*) AS mm FROM tri GROUP BY w2), " +
-        "pt AS (SELECT DISTINCT w2, w3 FROM tri), " +
-        "nbt AS (SELECT w2, COUNT(*) AS nb FROM pt GROUP BY w2), " +
-        "pw AS (SELECT w3, COUNT(*) AS p FROM pt GROUP BY w3), " +
-        "ty AS (SELECT COUNT(*) AS t FROM pt) " +
-        "SELECT tri.w1, tri.w2, tri.w3, tri.c, " +
-        "  CAST((1000000 * (4 * (4 * CAST(tri.c AS HUGEINT) - 3) " +
-        "      * mid.mm * ty.t " +
-        "    + 3 * ctx.n3 * ((4 * CAST(mt.m AS HUGEINT) - 3) * ty.t " +
-        "      + 3 * nbt.nb * pw.p))) // " +
-        "    (16 * CAST(ctx.c12 AS HUGEINT) * mid.mm * ty.t) AS BIGINT) " +
-        "    AS p_kn3_mill " +
-        "FROM tri JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2 " +
-        "JOIN mt ON tri.w2 = mt.w2 AND tri.w3 = mt.w3 " +
-        "JOIN mid ON tri.w2 = mid.w2 " +
-        "JOIN nbt ON tri.w2 = nbt.w2 " +
-        "JOIN pw ON tri.w3 = pw.w3, ty " +
-        "WHERE tri.c >= 3"),
+      s"WITH $knTrigramCtes SELECT w1, w2, w3, c, p AS p_kn3_mill FROM kn",
+    // q106's table, left-joined back onto every trigram occurrence and
+    // reduced per document (the q73 reduction one order up); the lone
+    // double op is the final rate division, identical IEEE in both engines
+    "q107_kn_score" ->
+      (s"WITH $knTrigramCtes, " +
+        "sc AS (SELECT o.doc_id, kn.p FROM occ o " +
+        "  LEFT JOIN kn ON o.tg = kn.tg) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, " +
+        "CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(COALESCE(SUM(p), 0) AS BIGINT) AS kn_mass, " +
+        "CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "  / CAST(COUNT(*) AS DOUBLE) AS oov_rate " +
+        "FROM sc GROUP BY doc_id"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

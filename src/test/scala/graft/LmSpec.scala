@@ -98,6 +98,23 @@ class LmSpec extends AnyFunSuite {
       ("a", "b", "c", 1L, 270833L)))
   }
 
+  test("scoreDocumentsTrigram: OOV counts and mass against the hand-computed table") {
+    // table from "a b a b a b c" (see the table golden): aba=604166,
+    // bab=812500, abc=270833
+    val train = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val table = Lm.kneserNeyTrigramTable(train, "text", minCount = 1L)
+    // d1 = the training doc: aba, bab, aba, bab, abc -> mass 2*604166 +
+    // 2*812500 + 270833; d2 has one OOV trigram (abx); d3 too short
+    val score = Seq((1L, "a b a b a b c"), (2L, "a b a b x"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Lm.scoreDocumentsTrigram(score, "doc_id", "text", table)
+      .select("doc_id", "n_trigrams", "n_oov", "kn_mass", "oov_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 5L, 0L, 3104165L, 0.0),
+      (2L, 3L, 1L, 1416666L, 1.0 / 3.0)))
+  }
+
   test("trigram KN per-context mass never exceeds one (back-off reserve)") {
     val rnd = new scala.util.Random(7)
     val words = Vector("aa", "bb", "cc", "dd")
