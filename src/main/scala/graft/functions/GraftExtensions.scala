@@ -23,10 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One native AGGREGATE (the `TypedImperativeAggregate` rung):
   *
-  *  - `graft_topk(item, k, capacity)` → [[TopKAgg]]: space-saving
-  *    heavy-hitters top-k with a bounded serialized sketch buffer —
-  *    the one-aggregation replacement for the agg→window→filter
-  *    top-n-per-group pattern. k and capacity must be integer literals.
+  *  - `graft_topk(item, k, capacity)` / `graft_topk(item, weight, k,
+  *    capacity)` → [[TopKAgg]]: space-saving heavy-hitters top-k with a
+  *    bounded serialized sketch buffer — the one-aggregation replacement
+  *    for the agg→window→filter top-n-per-group pattern (the weighted
+  *    form ranks a pre-aggregated count table). k and capacity must be
+  *    integer literals.
   *
   *  - `graft_ngrams(text, n)` → [[TokenNgrams]]: every word n-gram
   *    occurrence as a zero-copy byte slice — the LM counting form;
@@ -93,11 +95,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
-      (children: Seq[Expression]) => {
-        require(children.length == 3, "graft_topk takes exactly 3 arguments")
-        TopKAgg(children.head,
+      (children: Seq[Expression]) => children.length match {
+        case 3 => TopKAgg(children.head, None,
           litInt(children(1), "graft_topk", "k"),
           litInt(children(2), "graft_topk", "capacity"))
+        case 4 => TopKAgg(children.head, Some(children(1)),
+          litInt(children(2), "graft_topk", "k"),
+          litInt(children(3), "graft_topk", "capacity"))
+        case n => throw new IllegalArgumentException(
+          s"graft_topk takes (item, k, capacity) or (item, weight, k, capacity), got $n args")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),

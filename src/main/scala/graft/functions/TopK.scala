@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -150,13 +149,17 @@ object TopKSketch {
   }
 }
 
-/** `graft_topk(item, k, capacity)` — native heavy-hitters aggregate (the
+/** `graft_topk(item, k, capacity)` / `graft_topk(item, weight, k,
+  * capacity)` — native heavy-hitters aggregate (the
   * `TypedImperativeAggregate` rung of the extension ladder, next to the
   * native expressions and the injected optimizer rule): the top `k` items
-  * of a string column by occurrence count, as
+  * of a string column by occurrence count — or by summed non-negative
+  * long `weight`, the form that ranks a pre-aggregated count table — as
   * `array<struct<item: string, cnt: bigint>>` ordered by
   * (cnt desc, item asc), aggregated in ONE pass with a bounded
-  * [[TopKSketch]] buffer per group.
+  * [[TopKSketch]] buffer per group. Rows with a null item, or a null or
+  * non-positive weight, contribute nothing (SQL aggregate null
+  * semantics; space-saving's bounds assume non-negative increments).
   *
   * This collapses the top-n-per-group pattern — aggregate to a count
   * table, window-rank it, filter — into a single aggregation: no second
@@ -169,30 +172,52 @@ object TopKSketch {
   * above the per-group distinct count (vocabulary-bounded for token
   * workloads) and the result is the exact deterministic top-k; beyond
   * that the space-saving ε = N/capacity bounds apply and the output is an
-  * estimate — fine for candidate generation, not hash comparison.
+  * estimate — fine for candidate generation, not hash comparison. A
+  * GENEROUS capacity is free while groups stay under it: the buffer is a
+  * hash map that grows with the group's actual distinct count, and the
+  * O(capacity) eviction scan never runs before the map fills — so exact
+  * use sizes capacity to the worst-case group (e.g. 1 << 16) at zero cost
+  * to the typical one.
+  *
+  * Shape guidance, measured: the sketch wins when groups are FEW and
+  * HEAVY — a group's true term table dwarfs the capacity-bounded buffer
+  * the partials ship (q105: per-language over the whole corpus). For
+  * MANY SMALL groups, exactness forces capacity ≥ per-group distinct, a
+  * partial sketch IS the group's term table, and the sorted window is
+  * the better plan (tried on q49's per-doc ranking: oracle-green but
+  * 1.4× slower at sf0.1 — kept on the window).
   *
   * The reference has no aggregate beyond a max (SURVEY §2 Q3,
   * `utils.py:13-20`); this operator belongs to the engine-extension
   * family (SURVEY §2.3 status note), sized for corpus-statistics use.
   */
 case class TopKAgg(
-    child: Expression,
+    item: Expression,
+    weight: Option[Expression],
     k: Int,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKSketch]
-  with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKSketch] {
 
   require(k >= 1, s"graft_topk: k must be >= 1, got $k")
   require(capacity >= k,
     s"graft_topk: capacity ($capacity) must be >= k ($k) — the sketch " +
       "cannot report more items than it tracks")
 
+  override def children: Seq[Expression] = item +: weight.toSeq
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(item = newChildren.head,
+      weight = if (weight.isDefined) Some(newChildren(1)) else None)
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_topk requires a string item column, got ${child.dataType.catalogString}")
+    if (item.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"graft_topk requires a string item column, got ${item.dataType.catalogString}")
+    else if (weight.exists(_.dataType != LongType)) TypeCheckResult.TypeCheckFailure(
+      s"graft_topk requires a bigint weight column, got ${weight.get.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -205,10 +230,19 @@ case class TopKAgg(
   override def createAggregationBuffer(): TopKSketch = new TopKSketch(capacity)
 
   override def update(buffer: TopKSketch, input: InternalRow): TopKSketch = {
-    val v = child.eval(input)
-    // clone: the UTF8String may point into a row buffer Spark reuses for
-    // the next input row, while the sketch key must outlive it
-    if (v != null) buffer.add(v.asInstanceOf[UTF8String].clone())
+    val v = item.eval(input)
+    if (v != null) {
+      val w = weight match {
+        case None => 1L
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case x => x.asInstanceOf[Long]
+        }
+      }
+      // clone: the UTF8String may point into a row buffer Spark reuses for
+      // the next input row, while the sketch key must outlive it
+      if (w > 0L) buffer.add(v.asInstanceOf[UTF8String].clone(), w)
+    }
     buffer
   }
 
@@ -232,9 +266,6 @@ case class TopKAgg(
 
   override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
     copy(inputAggBufferOffset = newOffset)
-
-  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
-    copy(child = newChild)
 
   override def prettyName: String = "graft_topk"
 }

@@ -172,6 +172,17 @@ object TextOps {
     * over the corpus happens once; the final df join moves only 3 rows per
     * document. Integer-only outputs keep the oracle hash exact (an idf
     * float would be libm-dependent cross-engine).
+    *
+    * Stays on the WINDOW formulation deliberately, with the measurement
+    * that decided it: the weighted sketch re-plan
+    * (`graft_topk(term, tf, 3, 65536)`, tried and oracle-green) ran 1.4×
+    * slower at sf0.1 and offers no asymptotic win HERE — with capacity ≥
+    * per-doc distinct terms (required for exactness) each group's partial
+    * sketch IS its term table, so the shuffle ships the same bytes plus
+    * sketch overhead. The sketch aggregate earns its keep when groups are
+    * few and heavy (q105: per-language over the whole corpus, term table
+    * >> capacity); for many small groups the sorted window is the right
+    * plan at every scale.
     */
   private def q49TopTerms(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)

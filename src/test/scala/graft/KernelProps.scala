@@ -218,6 +218,26 @@ object KernelProps extends Properties("graft.kernels") {
           .forall(k => ex(k) <= a.floorCount)
     }
 
+  /** The weighted form (q49's count-table ranking) under capacity: the
+    * sketch is the exact weighted-sum table, independent of merge split.
+    */
+  property("topk sketch weighted adds are the exact sum table under capacity") =
+    forAll(Gen.listOf(Gen.zip(item, Gen.choose(1L, 50L))), Gen.choose(1, 4)) {
+      (xs, pieces) =>
+        val cap = 16
+        val parts = (0 until pieces).map(i => xs.zipWithIndex.collect {
+          case (x, j) if j % pieces == i => x
+        })
+        val merged = parts.map { p =>
+          val sk = new graft.functions.TopKSketch(cap)
+          p.foreach { case (x, w) => sk.add(UTF8String.fromString(x), w) }
+          sk
+        }.reduceLeft { (a, b) => a.mergeIn(b); a }
+        val ex = xs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+        merged.entries.map { case (k, c) => k.toString -> c.count }.toMap == ex &&
+          merged.entries.valuesIterator.forall(_.err == 0L)
+    }
+
   property("topk sketch serialize round-trips") =
     forAll(stream, Gen.choose(1, 6)) { (xs, cap) =>
       val sk = sketchOf(cap, xs)

@@ -22,6 +22,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("weighted graft_topk ranks a count table exactly under capacity") {
+    // the 4-arg form over a pre-aggregated (item, weight) table, through
+    // Spark's full partial/merge path: exact (weight-sum desc, item asc)
+    // top-2 per group; null and non-positive weights contribute nothing
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", "a", Some(5L)), ("g1", "b", Some(7L)), ("g1", "a", Some(4L)),
+      ("g1", "c", Some(9L)), ("g1", "d", None), ("g1", "e", Some(0L)),
+      ("g2", "x", Some(2L)), ("g2", "y", Some(2L))).toDF("g", "term", "w")
+    rows.repartition(8).createOrReplaceTempView("wtopk_in")
+    val r = spark.sql(
+      "SELECT g, graft_topk(term, w, 2, 16) AS tk FROM wtopk_in GROUP BY g")
+      .selectExpr("g", "tk[0].item", "tk[0].cnt",
+        "tk[1].item", "tk[1].cnt")
+      .as[(String, String, Long, String, Long)].collect().toSet
+    assert(r == Set(
+      ("g1", "a", 9L, "c", 9L), // a=5+4 ties c=9; item asc puts a first
+      ("g2", "x", 2L, "y", 2L)))
+  }
+
   test("graft_topk never misses the heavy hitter, even past capacity") {
     // estimation regime (capacity 2 << 101 distinct), exercised through
     // Spark's full partial/serialize/merge path across 32 partitions: the
