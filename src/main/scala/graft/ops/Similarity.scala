@@ -395,16 +395,28 @@ object Similarity {
     */
   def appendBatch(index: IvfIndex, batch: DataFrame, idCol: String,
       vecCol: String, path: String, relTolerance: Double = 0.05): IvfDrift = {
-    require(relTolerance >= 0 && relTolerance < 1, "0 <= relTolerance < 1")
     val assigned = assignCells(batch, idCol, vecCol, index).persist()
     try {
-      val batchScore = meanAssignScoreMill(
-        assigned.select(col(vecCol)), vecCol, index.centroids)
+      val drift = driftCheck(index, assigned, vecCol, relTolerance)
       assigned.write.mode("append").partitionBy("cell").parquet(path)
-      val rebuild = index.buildScoreMill.exists(b =>
-        batchScore.toDouble < (1.0 - relTolerance) * b.toDouble)
-      IvfDrift(index.buildScoreMill, batchScore, rebuild)
+      drift
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** The drift gate alone: the batch's mean assignment cosine vs the
+    * index's build baseline (see [[IvfDrift]]). Public so callers that
+    * own their write path — e.g. [[graft.pipelines.StreamingIvfIngest]],
+    * whose per-batch overwrite is replay-idempotent where a bare append
+    * is not — can still gate on the same statistic.
+    */
+  def driftCheck(index: IvfIndex, batch: DataFrame, vecCol: String,
+      relTolerance: Double = 0.05): IvfDrift = {
+    require(relTolerance >= 0 && relTolerance < 1, "0 <= relTolerance < 1")
+    val batchScore = meanAssignScoreMill(
+      batch.select(col(vecCol)), vecCol, index.centroids)
+    val rebuild = index.buildScoreMill.exists(b =>
+      batchScore.toDouble < (1.0 - relTolerance) * b.toDouble)
+    IvfDrift(index.buildScoreMill, batchScore, rebuild)
   }
 
   /** IVF (inverted-file) approximate cosine top-k — the other canonical ANN

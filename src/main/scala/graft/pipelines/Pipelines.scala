@@ -327,3 +327,72 @@ object DailyUpdatePipeline {
     }
   }
 }
+
+/** Streaming-corpus ANN ingest: the incremental-IVF lifecycle
+  * ([[graft.ops.Similarity.appendBatch]]) as a checkpointed
+  * `Trigger.AvailableNow` pipeline — each invocation picks up exactly the
+  * embedding-batch files that arrived since the last checkpoint, assigns
+  * them to the existing centroids (map-only), lands them in the inverted
+  * file, and evaluates the drift gate; the caller rebuilds the quantizer
+  * only when the gate says the corpus has drifted out from under it.
+  *
+  * Exactly-once effect: the checkpoint offers each source file once, and
+  * a crashed/replayed micro-batch rewrites the SAME deterministic
+  * `batch=<id>` subdirectory (overwrite, not append) — so replays
+  * converge instead of duplicating rows, the property a bare
+  * append-mode write cannot give. Readers take
+  * `spark.read.parquet(invertedDir)` (partition discovery yields
+  * `batch`/`cell` columns) and query it with
+  * [[graft.ops.Similarity.ivfTopKWithAssigned]].
+  *
+  * The gate is evaluated per micro-batch and REPORTED, not enforced:
+  * ingest never blocks on it (a drifted batch is still corpus), and the
+  * summary carries the worst drift seen so the operator owns the
+  * rebuild decision — mirroring how [[SnapshotUpdatePipeline]] reports
+  * skipped rows rather than aborting.
+  */
+object StreamingIvfIngest {
+
+  /** @param batches micro-batches processed this invocation
+    * @param rebuildFlagged true if ANY batch tripped the drift gate
+    * @param worstDrift the lowest-scoring batch's gate result
+    */
+  final case class Summary(batches: Long, rebuildFlagged: Boolean,
+      worstDrift: Option[graft.ops.Similarity.IvfDrift])
+
+  def run(spark: SparkSession, index: graft.ops.Similarity.IvfIndex,
+      batchDir: String, schema: StructType, idCol: String, vecCol: String,
+      invertedDir: String, checkpointDir: String,
+      relTolerance: Double = 0.05): Summary = {
+    var batches = 0L
+    var worst: Option[graft.ops.Similarity.IvfDrift] = None
+    val query = spark.readStream
+      .schema(schema)
+      // producers commonly land each batch as its own parquet DIRECTORY
+      // (df.write.parquet(dir/bN)); the flat file listing would miss those
+      .option("recursiveFileLookup", "true")
+      .parquet(batchDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val assigned = graft.ops.Similarity
+            .assignCells(batch, idCol, vecCol, index).persist()
+          try {
+            val drift = graft.ops.Similarity
+              .driftCheck(index, assigned, vecCol, relTolerance)
+            // deterministic per-batch dir + overwrite = replay-idempotent
+            assigned.write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$invertedDir/batch=$batchId")
+            batches += 1
+            if (worst.forall(_.batchScoreMill > drift.batchScoreMill))
+              worst = Some(drift)
+          } finally { assigned.unpersist(blocking = false); () }
+        }
+      }
+      .start()
+    query.awaitTermination()
+    Summary(batches, worst.exists(_.needsRebuild), worst)
+  }
+}

@@ -461,6 +461,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn2.close()
   }
 
+  test("streaming IVF ingest: checkpointed batches, drift gate, replay-idempotent layout") {
+    import org.apache.spark.sql.functions.{col, transform, lit}
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.pipelines.StreamingIvfIngest
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(10)(Array.fill(16)(rnd.nextGaussian()))
+    val corpus = (for {
+      (c, ci) <- centers.zipWithIndex; p <- 0 until 20
+    } yield ((ci * 20 + p).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 8, lloydIters = 1)
+    val batchDir = s"$work/ivf_batches"
+    val invDir = s"$work/ivf_inverted"
+    val ckpt = s"$work/ivf_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = corpus.schema
+
+    // batch 1: in-distribution ×2 copies (one per cluster) — gate quiet
+    corpus.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .coalesce(1).write.parquet(s"$batchDir/b1")
+    val s1 = StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    assert(s1.batches == 1L && !s1.rebuildFlagged, s1.toString)
+    assert(spark.read.parquet(invDir).count() == 10)
+
+    // rerun with nothing new: checkpoint covers b1 — no batch, no rows
+    val s2 = StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    assert(s2.batches == 0L && spark.read.parquet(invDir).count() == 10)
+
+    // the landed inverted file is queryable: each source vector's ×2 copy
+    // is its exact-cosine-1 nearest neighbor in its own cell
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val res = Similarity.ivfTopKWithAssigned(index, queries,
+      spark.read.parquet(invDir), "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(res == (0 until 10).map(i => (i * 20L, i * 20L + 5000L)).toSet)
+
+    // batch 2: alien isotropic vectors — processed incrementally, gate trips
+    Seq.tabulate(50)(i => ((9000 + i).toLong,
+      Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$batchDir/b2")
+    val s3 = StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    assert(s3.batches == 1L && s3.rebuildFlagged, s3.toString)
+    assert(s3.worstDrift.exists(d =>
+      d.batchScoreMill < d.buildScoreMill.get))
+    assert(spark.read.parquet(invDir).count() == 60)
+  }
+
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
     val db2url = "jdbc:derby:memory:graftpipe13;create=true"
     val db2 = TargetDb(db2url, DerbyUpsertDialect, TableSpec.derbyType,
