@@ -70,6 +70,10 @@ object Bench {
     val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "core")
     require(Set("core", "full", "heavy")(tier),
       s"SPARK_GRAFT_BENCH_TIER must be core|full|heavy, got $tier")
+    // a registry rename must not silently shrink the tier to nothing
+    val stale = heavyTier -- SparkEntry.queries.keySet
+    require(stale.isEmpty,
+      s"Bench.heavyTier names queries not in the registry: ${stale.mkString(",")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only match {

@@ -151,6 +151,11 @@ object SimOps {
     * q24: every planted copy lands in its source's argmax cell, and a query
     * always probes its own best cell first, so recall is 1 and the result
     * equals the exact top-k oracle.
+    *
+    * Measured cost note: the build now also computes the incremental-add
+    * drift BASELINE (one bounded agg over the training sample,
+    * `Similarity.buildIvfIndex`) — ~10% on this query's wall time, paid
+    * once per build so every future `appendBatch` has its rebuild gate.
     */
   private def q32AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
