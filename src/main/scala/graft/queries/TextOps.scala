@@ -621,6 +621,45 @@ object TextOps {
       graft.ops.Lm.kneserNeyTrigramTable(docs, "text", minCount = 3L))
   }
 
+  /** Token-budget-constrained corpus mix: per source, documents are taken
+    * in deterministic hash order until the source's token budget (40% of
+    * its own token mass — scale-free) is crossed; the crossing document is
+    * included, so every budget is met exactly once. This is how a training
+    * mixture hits per-source token targets — the mix dimension the doc-
+    * count mixes (q65/q87) cannot control, because documents have wildly
+    * different lengths.
+    *
+    * Scale shape: the running total is [[graft.keys.GlobalIndex
+    * .withRunningSum]]'s two-pass range-shuffle prefix sum over
+    * (source, hash, id) — NOT a per-source window, whose partition would
+    * funnel a hot source's full history through one task (PlanSpec pins
+    * the window-free plan). Each source's in-stream offset (`base`) and
+    * budget come from ONE small per-source aggregation broadcast back;
+    * within-source cumulative = global cumulative − base, exactly the
+    * per-source window sum the DuckDB oracle computes.
+    */
+  private def q108BudgetMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .where(col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        // written declaratively; the injected TokenCountRewrite substitutes
+        // the allocation-free native token count (PlanSpec pins this on q21)
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        pmod(col("doc_id") * lit(435761L), lit(1000000L)).as("h"))
+    val cum = graft.keys.GlobalIndex.withRunningSum(docs,
+      Seq(col("source"), col("h"), col("doc_id")), "n_tokens", "cum")
+    // base = global cumulative just before the source's first row; budget =
+    // 40% of the source's token mass, integer floor-div (exact cross-engine)
+    val stats = cum.groupBy(col("source").as("src"))
+      .agg(min(col("cum") - col("n_tokens")).as("base"),
+        sum(col("n_tokens")).as("tot"))
+      .select(col("src"), col("base"), expr("(4 * tot) div 10").as("budget"))
+    cum.join(broadcast(stats), col("source") === col("src"))
+      .where(col("cum") - col("n_tokens") - col("base") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum") - col("base")).as("cum_tokens"))
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -664,6 +703,7 @@ object TextOps {
     "q105_topk_terms" -> q105TopkTerms _,
     "q106_kneser_ney_trigram" -> q106KneserNeyTrigram _,
     "q107_kn_score" -> q107KnScore _,
+    "q108_budget_mix" -> q108BudgetMix _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -1026,6 +1066,24 @@ object TextOps {
         "CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS DOUBLE) " +
         "  / CAST(COUNT(*) AS DOUBLE) AS oov_rate " +
         "FROM sc GROUP BY doc_id"),
+    // the oracle states the semantics directly as a per-source window sum;
+    // the engine's global prefix sum minus the source base is the same
+    // value in the same (h, doc_id) order. % == pmod and // == div on the
+    // non-negative ids/counts here
+    "q108_budget_mix" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "  (doc_id * 435761) % 1000000 AS h FROM documents " +
+        "  WHERE source IS NOT NULL), " +
+        "c AS (SELECT doc_id, source, n_tokens, h, " +
+        "  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id " +
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d), " +
+        "t AS (SELECT source AS src, " +
+        "  CAST((4 * SUM(n_tokens)) // 10 AS BIGINT) AS budget " +
+        "  FROM d GROUP BY source) " +
+        "SELECT c.doc_id, c.source, c.n_tokens, c.cum AS cum_tokens " +
+        "FROM c JOIN t ON c.source = t.src " +
+        "WHERE c.cum - c.n_tokens < t.budget"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

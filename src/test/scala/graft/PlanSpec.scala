@@ -387,6 +387,17 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q105_topk_terms") == 1)
   }
 
+  test("q108 budget mix: prefix-sum form, never a per-source window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the running total must be the two-pass range-shuffle prefix sum
+    // (GlobalIndex.withRunningSum) — a WindowExec here would mean a hot
+    // source's full history funnels through one task; the per-source
+    // base/budget stats must come back as a broadcast join
+    val p = plan("q108_budget_mix")
+    assert(p.sparkPlan.collect { case w: WindowExec => w }.isEmpty)
+    assert(p.sparkPlan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
   test("q106 trigram KN: every statistic joins back broadcast, no sort-merge join") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     // the corpus-sized work is the one trigram count; ctx/m/mid/nb/p/types
