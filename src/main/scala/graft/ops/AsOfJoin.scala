@@ -121,8 +121,11 @@ object AsOfJoin {
     val hot = stats.getLong(0)
     if (hot <= targetRowsPerBucket) return 0L
     val span = math.max(1L, stats.getLong(2) - stats.getLong(1))
-    // ceil division; never below 1 second/unit
-    math.max(1L, (span * targetRowsPerBucket + hot - 1) / hot)
+    // ceil division via BigInt: a NUMERIC time column's units are caller-
+    // defined (nanos are plausible), so span × target can overflow a long
+    val w = (BigInt(span) * targetRowsPerBucket + hot - 1) / hot
+    // never below 1 unit; a width beyond the span means one bucket anyway
+    w.min(BigInt(span)).max(BigInt(1)).toLong
   }
 
   /** @param rightCols right columns to carry onto the left row; returned as

@@ -142,7 +142,11 @@ object Lm {
     * shuffle); every statistic aggregates the vocabulary-bounded trigram
     * table and broadcasts back. Smoothing statistics run over ALL observed
     * trigrams; only the OUTPUT is pruned to `minCount` (pruning first
-    * would bias every continuation count).
+    * would bias every continuation count). The broadcast hints assume the
+    * trigram TYPE table fits the broadcast budget — true for the bounded
+    * vocabularies LM quality filters train on (the KenLM deployment
+    * model); for an open-vocabulary web corpus drop the hints and AQE
+    * plans the same joins as shuffles.
     */
   def kneserNeyTrigramTable(docs: DataFrame, textCol: String,
       minCount: Long): DataFrame = {

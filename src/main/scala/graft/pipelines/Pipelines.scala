@@ -364,8 +364,11 @@ object StreamingIvfIngest {
       batchDir: String, schema: StructType, idCol: String, vecCol: String,
       invertedDir: String, checkpointDir: String,
       relTolerance: Double = 0.05): Summary = {
-    var batches = 0L
-    var worst: Option[graft.ops.Similarity.IvfDrift] = None
+    // foreachBatch runs on the streaming execution thread, not the caller's
+    // — atomics make the summary safely visible after awaitTermination
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val worst = new java.util.concurrent.atomic
+      .AtomicReference[Option[graft.ops.Similarity.IvfDrift]](None)
     val query = spark.readStream
       .schema(schema)
       // producers commonly land each batch as its own parquet DIRECTORY
@@ -385,14 +388,17 @@ object StreamingIvfIngest {
             // deterministic per-batch dir + overwrite = replay-idempotent
             assigned.write.mode("overwrite").partitionBy("cell")
               .parquet(s"$invertedDir/batch=$batchId")
-            batches += 1
-            if (worst.forall(_.batchScoreMill > drift.batchScoreMill))
-              worst = Some(drift)
+            batches.incrementAndGet()
+            worst.updateAndGet(w =>
+              if (w.forall(_.batchScoreMill > drift.batchScoreMill)) Some(drift)
+              else w)
+            ()
           } finally { assigned.unpersist(blocking = false); () }
         }
       }
       .start()
     query.awaitTermination()
-    Summary(batches, worst.exists(_.needsRebuild), worst)
+    val w = worst.get()
+    Summary(batches.get(), w.exists(_.needsRebuild), w)
   }
 }
