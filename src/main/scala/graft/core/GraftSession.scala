@@ -26,14 +26,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // TypedImperativeAggregates (graft_topk) plan as ObjectHashAggregate,
-      // which silently falls back to SORT-based aggregation once a
-      // partition sees more than this many groups (default 128!) — re-
-      // introducing the per-partition sort the sketch aggregate exists to
-      // remove. 8192 keeps realistic group counts hash-based at bounded
-      // memory (buffers are capacity-bounded sketches); past that the
-      // sort fallback is the correct memory-safety valve.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold stays at
+      // its 128 default DELIBERATELY, measured: raising it to 8192 changed
+      // graft_topk timings by nothing at our group counts (sketch buffers
+      // are capacity-bounded), while the same knob governs every
+      // collect_list/collect_set aggregation — whose per-group buffers are
+      // UNBOUNDED — so a session-wide raise trades a real OOM hazard for
+      // no measured win. Revisit per-query if a many-group sketch workload
+      // ever shows the sort fallback in its profile.
       // testdata's events.parquet carries TIMESTAMP(NANOS) (pandas-written);
       // Spark has no nanos timestamp type, so read the raw int64 and let
       // Tables.events convert (div 1000 → micros). Without this flag the

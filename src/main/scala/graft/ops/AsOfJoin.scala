@@ -78,26 +78,30 @@ object AsOfJoin {
     * statistic that actually bounds a carry task's share — instead of
     * calendar intuition ("90 days") which says nothing about density.
     *
-    * The hottest key is the reason the two-level carry exists, so the
-    * width is sized to it: `ceil(span × target / maxRowsPerKey)` splits
-    * the hottest key's history into ≈ `maxRowsPerKey / target` buckets of
-    * ≈ `target` rows each (under roughly uniform-in-time arrivals; a key
-    * whose rows additionally cluster in time keeps a worst-case bucket of
-    * its densest burst — lower `target` if bursts dominate).
+    * Every key whose row count exceeds `target` states a width
+    * requirement from ITS OWN time span: `ceil(span_k × target / n_k)`
+    * splits key k's history into ≈ `n_k / target` buckets of ≈ `target`
+    * rows each. The answer is the MINIMUM over those requirements — the
+    * widest width that still satisfies the densest key (a global-span
+    * derivation would let a hot key with a short history hide inside one
+    * bucket of a long-lived corpus). Under roughly uniform-in-time
+    * arrivals per key; a key whose rows additionally cluster in time
+    * keeps a worst-case bucket of its densest burst — lower `target` if
+    * bursts dominate.
     *
-    * Returns 0 when even the hottest key fits `target` — the two-level
-    * carry's two extra stages (a second window over the bucket spine and a
-    * spine join; ~2-2.5× the single-level wall time at sf0.1) buy nothing
-    * if no key's history overfills one task, and `asOf(bucketSec = 0)`
-    * runs the cheap single-level form. That is the crossover rule:
-    * pay two-level ONLY when `maxRowsPerKey > target`.
+    * Returns 0 when every key fits `target` — the two-level carry's two
+    * extra stages (a second window over the bucket spine and a spine
+    * join; ~2-2.5× the single-level wall time at sf0.1) buy nothing if no
+    * key's history overfills one task, and `asOf(bucketSec = 0)` runs the
+    * cheap single-level form. That is the crossover rule: pay two-level
+    * ONLY when some key's rows exceed `target`.
     *
     * `target` defaults to 1 << 20 rows — a (key, time, payload) slice of
     * order tens of MB, comfortably one task's work; the right number moves
     * with payload width, not cluster size. Cost of the derivation: one
-    * count-per-key aggregation + global min/max over `df` (the carried,
-    * usually-right side) — a planning-time statistics pass, run it once
-    * per layout, not per query.
+    * count-per-key aggregation over `df` (the carried, usually-right
+    * side) — a planning-time statistics pass, run it once per layout, not
+    * per query.
     */
   def bucketWidthFor(df: DataFrame, keyCol: String, timeCol: String,
       targetRowsPerBucket: Long = 1L << 20): Long = {
@@ -110,22 +114,21 @@ object AsOfJoin {
       case other => throw new IllegalArgumentException(
         s"bucketWidthFor needs a timestamp/date/numeric time column, got $other")
     }
+    // DECIMAL(38,0) product: a NUMERIC time column's units are caller-
+    // defined (nanos are plausible), so span × target can overflow a long
+    import org.apache.spark.sql.types.DecimalType
     val stats = df
       .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
         min(tSec).as("__lo"), max(tSec).as("__hi"))
-      .agg(max(col("__n")).as("hot"), min(col("__lo")).as("lo"),
-        max(col("__hi")).as("hi"))
+      .where(col("__n") > targetRowsPerBucket)
+      .select(greatest(lit(1L),
+        ceil((greatest(col("__hi") - col("__lo"), lit(1L))
+            .cast(DecimalType(38, 0)) * targetRowsPerBucket)
+          / col("__n")).cast("long")).as("__w"))
+      .agg(min(col("__w")).as("w"))
       .first()
-    if (stats.isNullAt(0)) return 0L // empty input: nothing to bucket
-    val hot = stats.getLong(0)
-    if (hot <= targetRowsPerBucket) return 0L
-    val span = math.max(1L, stats.getLong(2) - stats.getLong(1))
-    // ceil division via BigInt: a NUMERIC time column's units are caller-
-    // defined (nanos are plausible), so span × target can overflow a long
-    val w = (BigInt(span) * targetRowsPerBucket + hot - 1) / hot
-    // never below 1 unit; a width beyond the span means one bucket anyway
-    w.min(BigInt(span)).max(BigInt(1)).toLong
+    if (stats.isNullAt(0)) 0L else stats.getLong(0)
   }
 
   /** @param rightCols right columns to carry onto the left row; returned as

@@ -163,9 +163,17 @@ object Similarity {
 
   private[graft] def kmeansCentroids(corpus: DataFrame, vecCol: String,
       numCentroids: Int, iters: Int, seed: Long, idCol: String,
-      trainPerCentroid: Int = 256): Seq[Seq[Float]] = {
-    val train = trainSample(corpus, idCol, seed,
-      numCentroids.toLong * trainPerCentroid)
+      trainPerCentroid: Int = 256): Seq[Seq[Float]] =
+    kmeansFromTrain(trainSample(corpus, idCol, seed,
+      numCentroids.toLong * trainPerCentroid),
+      vecCol, numCentroids, iters, seed, idCol)
+
+  /** Lloyd refinement over an ALREADY-SAMPLED training frame — split out
+    * so [[buildIvfIndex]] samples once and feeds both the refinement and
+    * the drift baseline (sampling twice costs a redundant count() job).
+    */
+  private def kmeansFromTrain(train: DataFrame, vecCol: String,
+      numCentroids: Int, iters: Int, seed: Long, idCol: String): Seq[Seq[Float]] = {
     var cents: Seq[Seq[Float]] = train
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
@@ -232,15 +240,14 @@ object Similarity {
       trainPerCentroid: Int = 256): IvfIndex = {
     val mat = corpus.persist()
     try {
-      val cents = kmeansCentroids(mat, vecCol, numCentroids, lloydIters, seed,
-        idCol, trainPerCentroid)
+      val train = trainSample(mat, idCol, seed,
+        numCentroids.toLong * trainPerCentroid)
+      val cents = kmeansFromTrain(train, vecCol, numCentroids, lloydIters,
+        seed, idCol)
       // drift baseline on the SAME sample the centroids were fit to — one
       // extra bounded agg job at build time buys every future appendBatch
       // its rebuild gate
-      val score = meanAssignScoreMill(
-        trainSample(mat, idCol, seed, numCentroids.toLong * trainPerCentroid),
-        vecCol, cents)
-      IvfIndex(cents, Some(score))
+      IvfIndex(cents, meanAssignScoreMill(train, vecCol, cents))
     } finally mat.unpersist(blocking = false)
   }
 
@@ -250,11 +257,13 @@ object Similarity {
     * Cosine — not the raw dot/|centroid| cell-ranking score — because the
     * drift gate must be scale-invariant: a batch of larger-magnitude
     * vectors is not "closer" to the quantizer. Zero-norm vectors (cosine
-    * undefined) are excluded. One map + one grand agg; driver state is one
-    * row.
+    * undefined) are excluded. `None` when no row survives (empty batch /
+    * all zero-norm) — "no data" must stay distinguishable from "mean
+    * score 0", or the drift gate would read an empty batch as maximal
+    * drift. One map + one grand agg; driver state is one row.
     */
   private def meanAssignScoreMill(df: DataFrame, vecCol: String,
-      cents: Seq[Seq[Float]]): Long = {
+      cents: Seq[Seq[Float]]): Option[Long] = {
     val r = df
       .select((array_max(cellScoresFor(col(vecCol), cents)).getField("score")
         / l2Norm(col(vecCol))).cast(DecimalType(28, 10)).as("s"))
@@ -262,7 +271,7 @@ object Similarity {
       .agg((sum(col("s")) * lit(1000000L) / count(lit(1)))
         .cast("long").as("m"))
       .first()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
   /** Persist a trained index as parquet rows (cell, dim, value) — build
@@ -375,11 +384,12 @@ object Similarity {
     * scores below `(1 - relTolerance) ×` baseline — the new data sits
     * materially farther from every centroid than the training data did,
     * i.e. the corpus distribution has drifted out from under the
-    * quantizer and recall is degrading. Absent a baseline (legacy index),
-    * the gate reports false rather than guessing.
+    * quantizer and recall is degrading. Absent a baseline (legacy index)
+    * OR a batch score (empty / all-zero-norm batch carries no drift
+    * evidence), the gate reports false rather than guessing.
     */
   final case class IvfDrift(buildScoreMill: Option[Long],
-      batchScoreMill: Long, needsRebuild: Boolean)
+      batchScoreMill: Option[Long], needsRebuild: Boolean)
 
   /** Incremental IVF add — the streaming-corpus path that pairs with
     * [[graft.ops.Dedup.incrementalByFingerprint]]: assign ONLY the new
@@ -414,8 +424,8 @@ object Similarity {
     require(relTolerance >= 0 && relTolerance < 1, "0 <= relTolerance < 1")
     val batchScore = meanAssignScoreMill(
       batch.select(col(vecCol)), vecCol, index.centroids)
-    val rebuild = index.buildScoreMill.exists(b =>
-      batchScore.toDouble < (1.0 - relTolerance) * b.toDouble)
+    val rebuild = (for (b <- index.buildScoreMill; s <- batchScore)
+      yield s.toDouble < (1.0 - relTolerance) * b.toDouble).getOrElse(false)
     IvfDrift(index.buildScoreMill, batchScore, rebuild)
   }
 

@@ -338,11 +338,16 @@ object DailyUpdatePipeline {
   *
   * Exactly-once effect: the checkpoint offers each source file once, and
   * a crashed/replayed micro-batch rewrites the SAME deterministic
-  * `batch=<id>` subdirectory (overwrite, not append) — so replays
-  * converge instead of duplicating rows, the property a bare
-  * append-mode write cannot give. Readers take
+  * `run=<id>/batch=<id>` subdirectory (overwrite, not append) — so
+  * replays converge instead of duplicating rows, the property a bare
+  * append-mode write cannot give. The run id is minted once per
+  * CHECKPOINT (a marker file stored inside `checkpointDir`, so it lives
+  * and dies with the batch numbering): if the checkpoint is lost or a
+  * second pipeline points a fresh checkpoint at the same `invertedDir`,
+  * batch ids restart at 0 under a NEW run namespace instead of silently
+  * overwriting earlier runs' data. Readers take
   * `spark.read.parquet(invertedDir)` (partition discovery yields
-  * `batch`/`cell` columns) and query it with
+  * `run`/`batch`/`cell` columns) and query it with
   * [[graft.ops.Similarity.ivfTopKWithAssigned]].
   *
   * The gate is evaluated per micro-batch and REPORTED, not enforced:
@@ -353,12 +358,34 @@ object DailyUpdatePipeline {
   */
 object StreamingIvfIngest {
 
-  /** @param batches micro-batches processed this invocation
+  /** @param batches NON-EMPTY micro-batches landed this invocation (an
+    *   empty micro-batch advances the checkpoint but writes nothing and
+    *   is not counted)
     * @param rebuildFlagged true if ANY batch tripped the drift gate
     * @param worstDrift the lowest-scoring batch's gate result
     */
   final case class Summary(batches: Long, rebuildFlagged: Boolean,
       worstDrift: Option[graft.ops.Similarity.IvfDrift])
+
+  /** The run id lives with the checkpoint: same checkpoint → same id
+    * (replay overwrites converge); fresh checkpoint → fresh id (batch
+    * numbering restarts under a new namespace, never over old data).
+    */
+  private def runIdFor(spark: SparkSession, checkpointDir: String): String = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath)) {
+      val in = fs.open(hadoopPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      val out = fs.create(hadoopPath, false)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
+  }
 
   def run(spark: SparkSession, index: graft.ops.Similarity.IvfIndex,
       batchDir: String, schema: StructType, idCol: String, vecCol: String,
@@ -369,6 +396,7 @@ object StreamingIvfIngest {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val worst = new java.util.concurrent.atomic
       .AtomicReference[Option[graft.ops.Similarity.IvfDrift]](None)
+    val runId = runIdFor(spark, checkpointDir)
     val query = spark.readStream
       .schema(schema)
       // producers commonly land each batch as its own parquet DIRECTORY
@@ -385,12 +413,18 @@ object StreamingIvfIngest {
           try {
             val drift = graft.ops.Similarity
               .driftCheck(index, assigned, vecCol, relTolerance)
-            // deterministic per-batch dir + overwrite = replay-idempotent
+            // deterministic per-(run, batch) dir + overwrite =
+            // replay-idempotent within a checkpoint, collision-proof
+            // across checkpoints
             assigned.write.mode("overwrite").partitionBy("cell")
-              .parquet(s"$invertedDir/batch=$batchId")
+              .parquet(s"$invertedDir/run=$runId/batch=$batchId")
             batches.incrementAndGet()
+            // non-empty batches always carry a score; None can never
+            // rank as "worst"
+            def score(d: graft.ops.Similarity.IvfDrift): Long =
+              d.batchScoreMill.getOrElse(Long.MaxValue)
             worst.updateAndGet(w =>
-              if (w.forall(_.batchScoreMill > drift.batchScoreMill)) Some(drift)
+              if (w.forall(d => score(d) > score(drift))) Some(drift)
               else w)
             ()
           } finally { assigned.unpersist(blocking = false); () }

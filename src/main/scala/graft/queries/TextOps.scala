@@ -645,7 +645,11 @@ object TextOps {
         // written declaratively; the injected TokenCountRewrite substitutes
         // the allocation-free native token count (PlanSpec pins this on q21)
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
-        pmod(col("doc_id") * lit(435761L), lit(1000000L)).as("h"))
+        // mod-1e6 BEFORE the multiply (the Mix.scala:52 convention): the
+        // reduced product stays < 2^40, so no engine hits 64-bit overflow
+        // however large the ids grow
+        pmod(pmod(col("doc_id"), lit(1000000L)) * lit(435761L),
+          lit(1000000L)).as("h"))
     val cum = graft.keys.GlobalIndex.withRunningSum(docs,
       Seq(col("source"), col("h"), col("doc_id")), "n_tokens", "cum")
     // base = global cumulative just before the source's first row; budget =
@@ -1073,7 +1077,7 @@ object TextOps {
     "q108_budget_mix" ->
       ("WITH d AS (SELECT doc_id, source, " +
         "  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "  (doc_id * 435761) % 1000000 AS h FROM documents " +
+        "  ((doc_id % 1000000) * 435761) % 1000000 AS h FROM documents " +
         "  WHERE source IS NOT NULL), " +
         "c AS (SELECT doc_id, source, n_tokens, h, " +
         "  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id " +

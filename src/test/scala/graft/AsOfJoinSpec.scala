@@ -155,6 +155,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(AsOfJoin.bucketWidthFor(df.limit(0), "k", "t") == 0L)
   }
 
+  test("bucketWidthFor sizes to the hot key's OWN span, not the global one") {
+    // hot key 1: 100 rows packed into 1 hour; cold key 2: 2 rows 10 years
+    // apart. A global-span derivation would hand back ~years-wide buckets
+    // and the hot key's whole history would still funnel through one task;
+    // the per-key form must split the hot hour into ~10 target-10 buckets.
+    val rows = Seq.tabulate(100)(i =>
+      (1L, new Timestamp(1700000000000L + i * 36000L), i.toLong, 0.0)) ++
+      Seq((2L, new Timestamp(1400000000000L), 900L, 0.0),
+        (2L, new Timestamp(1700000000000L), 901L, 0.0))
+    val w = AsOfJoin.bucketWidthFor(rows.toDF("k", "t", "rid", "v"), "k", "t",
+      targetRowsPerBucket = 10L)
+    val hotSpanSec = 99L * 36L // 99 gaps x 36s
+    assert(w > 0L && w <= hotSpanSec / 5,
+      s"width $w not sized to the hot key's ${hotSpanSec}s span")
+    val bucketsOfHot = (hotSpanSec + w - 1) / w
+    assert(bucketsOfHot >= 8 && bucketsOfHot <= 12,
+      s"width $w -> $bucketsOfHot buckets of the hot hour")
+  }
+
   test("two-level carry matches the argmax reference on random hot-key series") {
     // one hot key holds ~all rows — the skew case the bucketing exists for;
     // correctness must be unchanged and ties must resolve identically

@@ -513,8 +513,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id", "embedding", invDir, ckpt)
     assert(s3.batches == 1L && s3.rebuildFlagged, s3.toString)
     assert(s3.worstDrift.exists(d =>
-      d.batchScoreMill < d.buildScoreMill.get))
+      d.batchScoreMill.get < d.buildScoreMill.get))
     assert(spark.read.parquet(invDir).count() == 60)
+
+    // checkpoint loss: a fresh checkpoint re-offers every file with batch
+    // ids restarting at 0 — the run-id namespace must land them beside,
+    // never over, the first run's data
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val s4 = StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    assert(s4.batches >= 1L)
+    assert(spark.read.parquet(invDir).count() == 120,
+      "fresh-checkpoint run overwrote the previous run's batches")
   }
 
   test("all 13 specs create tables and load a minimal corpus end-to-end") {

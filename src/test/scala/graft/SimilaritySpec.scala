@@ -243,7 +243,7 @@ class SimilaritySpec extends AnyFunSuite {
       s"in-distribution batch tripped the gate: $drift")
     // scale-invariance of the statistic: the ×2 batch scores what its
     // sources score, not double it
-    assert(drift.batchScoreMill <= 1000000L)
+    assert(drift.batchScoreMill.exists(_ <= 1000000L))
     val assigned = Similarity.loadAssignedCorpus(spark, s"$dir/inv")
     val queries = corpus.filter(col("vec_id") % 25 === 0)
     val res = Similarity.ivfTopKWithAssigned(built, queries, assigned,
@@ -271,6 +271,10 @@ class SimilaritySpec extends AnyFunSuite {
     val drift = Similarity.appendBatch(built, alien, "vec_id", "embedding",
       s"$dir/inv")
     assert(drift.needsRebuild, s"drifted batch passed the gate: $drift")
-    assert(drift.batchScoreMill < drift.buildScoreMill.get)
+    assert(drift.batchScoreMill.get < drift.buildScoreMill.get)
+    // an EMPTY batch carries no drift evidence: the gate must stay quiet
+    // rather than read "no rows" as maximal drift
+    val empty = Similarity.driftCheck(built, alien.limit(0), "embedding")
+    assert(!empty.needsRebuild && empty.batchScoreMill.isEmpty)
   }
 }
