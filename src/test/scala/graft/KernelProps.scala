@@ -238,6 +238,25 @@ object KernelProps extends Properties("graft.kernels") {
           merged.entries.valuesIterator.forall(_.err == 0L)
     }
 
+  /** Past capacity, weighted adds keep the same space-saving bounds as
+    * unit adds — eviction inherits the floor regardless of increment
+    * size, so count-err <= true <= count and untracked <= floor survive.
+    */
+  property("topk sketch weighted adds keep space-saving bounds past capacity") =
+    forAll(Gen.listOf(Gen.zip(item, Gen.choose(1L, 50L))), Gen.choose(1, 4)) {
+      (xs, cap) =>
+        val sk = new graft.functions.TopKSketch(cap)
+        xs.foreach { case (x, w) => sk.add(UTF8String.fromString(x), w) }
+        val ex = xs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+          .withDefaultValue(0L)
+        val tracked = sk.entries.map { case (k, c) => k.toString -> c }.toMap
+        tracked.forall { case (k, c) =>
+          c.count - c.err <= ex(k) && ex(k) <= c.count
+        } &&
+          ex.keysIterator.filterNot(tracked.contains)
+            .forall(k => ex(k) <= sk.floorCount)
+    }
+
   property("topk sketch serialize round-trips") =
     forAll(stream, Gen.choose(1, 6)) { (xs, cap) =>
       val sk = sketchOf(cap, xs)
