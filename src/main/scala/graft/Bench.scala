@@ -28,10 +28,10 @@ object Bench {
     * (q52/q53), and the pair-graph split (q90). These are the honest
     * once-per-layout costs, stable round-over-round precisely because
     * they are build-bound, and together ~1/4 of the registry's wall
-    * clock (~14.5 of ~54 s at sf0.1). The default `core` tier skips them
-    * so the 2× regression gate stays cheap to run per-edit;
-    * `SPARK_GRAFT_BENCH_TIER=full` is the per-round/per-judge setting
-    * that benches everything.
+    * clock (~14.5 of ~54 s at sf0.1). The `core` tier skips them so
+    * per-edit iteration stays cheap (`SPARK_GRAFT_BENCH_TIER=core`);
+    * the DEFAULT is `full` so the unattended per-round record benches
+    * everything and the 2× gate keeps covering the builders.
     */
   private val heavyTier: Set[String] = Set(
     "q25_ngram_jaccard", "q26_minhash_lsh", "q27_simhash",
@@ -64,10 +64,13 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
-    // SPARK_GRAFT_BENCH_TIER: core (default) = all but the heavy
-    // index-builders; full = everything; heavy = only the builders.
+    // SPARK_GRAFT_BENCH_TIER: full (default) = everything, so the
+    // unattended per-round record covers the heavy index-builders and the
+    // 2× gate sees them; core = all but the builders (the cheap per-edit
+    // iteration setting — set it EXPLICITLY when iterating locally);
+    // heavy = only the builders.
     // BENCH_ONLY bypasses tiering — an explicitly named query always runs.
-    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "core")
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "full")
     require(Set("core", "full", "heavy")(tier),
       s"SPARK_GRAFT_BENCH_TIER must be core|full|heavy, got $tier")
     // a registry rename must not silently shrink the tier to nothing

@@ -178,7 +178,8 @@ object Lm {
       .select(col("w1"), col("w2"), col("w3"), col("c"),
         expr("(1000000 * (4 * (4 * cast(c as decimal(38,0)) - 3) * mm * t" +
           " + 3 * n3 * ((4 * cast(m as decimal(38,0)) - 3) * t" +
-          " + 3 * nb * p))) div (16 * cast(c12 as decimal(38,0)) * mm * t)")
+          " + 3 * cast(nb as decimal(38,0)) * p)))" +
+          " div (16 * cast(c12 as decimal(38,0)) * mm * t)")
           .as("p_kn3_mill"))
   }
 

@@ -47,7 +47,7 @@ object Mix {
     val rate = least(lit(1000000.0),
       lit(targetFraction) * col("__total").cast("double") * col("__w").cast("double") *
         lit(1000000.0) / (col("__sumw").cast("double") * col("__n").cast("double")))
-    val thresholds = counts.crossJoin(totals)
+    val thresholds = counts.crossJoin(broadcast(totals))
       .select(col(groupCol), floor(rate).cast("long").as("__thr"))
     // Knuth multiplicative hash into [0, 1e6). The id is reduced mod 1e6
     // BEFORE multiplying: (id·m) mod 1e6 == ((id mod 1e6)·(m mod 1e6))

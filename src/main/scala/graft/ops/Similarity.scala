@@ -306,10 +306,13 @@ object Similarity {
     val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cvs) =>
       cvs.sortBy(_._2).map(_._3).toSeq
     }
+    // the baseline is OPTIONAL: a missing, empty, or partially-written
+    // `_drift` dir (e.g. save interrupted between the two writes) must
+    // degrade to None, never fail the index load
     val score =
-      try Some(spark.read.parquet(s"$path/_drift")
-        .select("build_score_mill").first().getLong(0))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      try spark.read.parquet(s"$path/_drift")
+        .select("build_score_mill").collect().headOption.map(_.getLong(0))
+      catch { case scala.util.control.NonFatal(_) => None }
     IvfIndex(cents, score)
   }
 

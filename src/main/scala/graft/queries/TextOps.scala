@@ -920,7 +920,7 @@ object TextOps {
       "  CAST((1000000 * (4 * (4 * CAST(tri.c AS HUGEINT) - 3) " +
       "      * mid.mm * ty.t " +
       "    + 3 * ctx.n3 * ((4 * CAST(mt.m AS HUGEINT) - 3) * ty.t " +
-      "      + 3 * nbt.nb * pw.p))) // " +
+      "      + 3 * CAST(nbt.nb AS HUGEINT) * pw.p))) // " +
       "    (16 * CAST(ctx.c12 AS HUGEINT) * mid.mm * ty.t) AS BIGINT) AS p " +
       "  FROM tri JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2 " +
       "  JOIN mt ON tri.w2 = mt.w2 AND tri.w3 = mt.w3 " +

@@ -22,6 +22,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q105 exactness invariant: per-language distinct tokens < capacity") {
+    // q105's oracle hash-exactness relies on the sketch's never-evict
+    // regime: every language's distinct-token count (generator vocabulary
+    // + the planted hot_<lang> term) must stay under the hard-coded
+    // capacity 64. If the test-data generator's vocabulary ever grows past
+    // it, fail HERE at the named invariant — not at the oracle hash with a
+    // confusing count diff far from the cause.
+    import org.apache.spark.sql.functions._
+    val maxDistinct = graft.core.Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("lang").agg(countDistinct(col("term")).as("nd"))
+      .agg(max(col("nd"))).head().getLong(0)
+    assert(maxDistinct + 1 < 64, // +1 for the planted hot_<lang> token
+      s"per-language vocabulary ($maxDistinct distinct tokens + 1 planted) " +
+        "no longer fits q105's capacity-64 exact regime — raise the " +
+        "capacity in q105TopkTerms or shrink the generator vocabulary")
+  }
+
   test("weighted graft_topk ranks a count table exactly under capacity") {
     // the 4-arg form over a pre-aggregated (item, weight) table, through
     // Spark's full partial/merge path: exact (weight-sum desc, item asc)
