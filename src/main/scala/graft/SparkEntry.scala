@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventOps, JoinOps, KeyOps, MediaOps, Relational, SimOps, StatOps, TextOps}
+import graft.queries.{DocOps, EventOps, JoinOps, KeyOps, MediaOps, Relational, SimOps, StatOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ KeyOps.queries ++ TextOps.queries ++ SimOps.queries ++
-      EventOps.queries ++ MediaOps.queries ++ JoinOps.queries ++ StatOps.queries
+      EventOps.queries ++ MediaOps.queries ++ JoinOps.queries ++
+      StatOps.queries ++ DocOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ KeyOps.oracle ++ TextOps.oracle ++ SimOps.oracle ++
-      EventOps.oracle ++ MediaOps.oracle ++ JoinOps.oracle ++ StatOps.oracle
+      EventOps.oracle ++ MediaOps.oracle ++ JoinOps.oracle ++
+      StatOps.oracle ++ DocOps.oracle
 }

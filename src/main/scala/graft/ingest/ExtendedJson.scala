@@ -14,8 +14,20 @@ import org.apache.spark.sql.types.StructType
   */
 object ExtendedJson {
 
-  /** Read JSONL files (one document per line). */
+  /** Read JSONL files (one document per line) through the engine's own
+    * DataSourceV2 source ([[graft.ingest.v2.ExtJsonDataSource]]): column
+    * pruning and supported filters reach the DOCUMENT scan itself — the
+    * reference's server-side `$project`/`$match`, as engine code. Every
+    * [[DocSource]]-backed pipeline reads through this.
+    */
   def read(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.format("graft-extjson").schema(schema).load(path)
+
+  /** The builtin JSON reader over the same files — kept as the
+    * cross-validation twin for tests (both readers must agree on every
+    * fixture; the V2 source is the engine path).
+    */
+  def readBuiltin(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
   /** Parse in-memory lines — fixture/test entry point. */

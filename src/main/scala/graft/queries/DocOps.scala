@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.ingest.ExtendedJson
+
+/** Oracle-checked queries through the DataSourceV2 extended-JSON document
+  * source ([[graft.ingest.v2.ExtJsonDataSource]]) — SURVEY.md §2 S1/T1/T2
+  * run against the DOCUMENT files themselves, proving the reference's
+  * server-side `$project` (`user_table.py:26-53`) and `$match`
+  * (`loanapplication_table.py:27-31`) as engine pushdown, not a seam.
+  *
+  * Each query first materializes the `orders` table as Mongo extended
+  * JSON (`$oid`-wrapped synthetic ObjectId, relaxed `$date` order date) —
+  * once per (JVM, scale factor), the honest document-drop setup cost, like
+  * q44's in-query bucketed layout — then reads it back through the V2
+  * source with a DECODED schema, so the oracle can verify every decoded
+  * value against the parquet ground truth.
+  */
+object DocOps {
+
+  /** One extended-JSON materialization per (JVM, sfDir). */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ordersJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_extjson_" +
+        s"${new java.io.File(d).getName}/orders"
+      Tables.orders(s, d).select(to_json(struct(
+        struct(lower(lpad(hex(col("o_orderkey")), 24, "0")).as("$oid")).as("_id"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        struct(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("$date")).as("o_orderdate"),
+        col("o_orderpriority"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      dir
+    })
+
+  /** Decoded read schema: wrappers unwrap in the source ($oid → STRING,
+    * $date → TIMESTAMP), exactly how the Mongo connector presents BSON
+    * under a user schema.
+    */
+  private val decodedOrders = StructType(Seq(
+    StructField("_id", StringType),
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  private def readOrders(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrders, ordersJsonl(s, d))
+
+  /** T1 through the document source: a three-column projection whose
+    * pruning lands ON the V2 scan (PlanSpec-pinned ReadSchema) — the four
+    * pruned fields are `skipChildren()`-ed, never materialized.
+    */
+  private def q109Project(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d).select("_id", "o_orderkey", "o_totalprice")
+
+  /** T2 through the document source: a timestamp range + status equality,
+    * both accepted by the scan (PlanSpec-pinned PushedFilters, zero
+    * residual FilterExec) — rejected documents never leave the reader,
+    * the `$match` contract.
+    */
+  private def q110Filter(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d)
+      .filter(col("o_orderdate") >
+        lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")) &&
+        col("o_orderstatus") === "O")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_docsource_project" -> q109Project,
+    "q110_docsource_filter" -> q110Filter)
+
+  def oracle: Map[String, String] = Map(
+    "q109_docsource_project" ->
+      ("SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS _id, o_orderkey, " +
+        "o_totalprice FROM orders"),
+    "q110_docsource_filter" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, " +
+        "o_totalprice FROM orders " +
+        "WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00' " +
+        "AND o_orderstatus = 'O'"))
+}

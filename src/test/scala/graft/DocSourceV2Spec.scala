@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.ExtendedJson
+import graft.ingest.v2.ExtJsonScan
+import graft.schema.Bson
+
+/** The DataSourceV2 extended-JSON document source: decode fidelity against
+  * the builtin reader (raw wrapper mode), schema-driven wrapper decode
+  * (decoded mode), REAL scan-level column pruning and filter pushdown, and
+  * the byte-range split contract.
+  */
+class DocSourceV2Spec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def writeLines(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft_v2src").toString
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def v2Scan(df: DataFrame): ExtJsonScan = {
+    val scans = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }
+    assert(scans.length == 1, s"expected one V2 scan, got $scans")
+    scans.head.asInstanceOf[ExtJsonScan]
+  }
+
+  private val userDocs = Seq(
+    """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8c1"}, "username": "ada", """ +
+      """"personalInformation": {"firstName": "Ada", "lastName": "L"}, """ +
+      """"roles": ["admin", "user"], "deleted": false, """ +
+      """"dateCreated": {"$date": "2022-11-02T08:15:30Z"}}""",
+    """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8c2"}, "username": "bob", """ +
+      """"unknownField": {"nested": [1, 2, {"x": true}]}, "deleted": true}""",
+    """{"username": "carol", "roles": []}""")
+
+  private val rawSchema = StructType(Seq(
+    StructField("_id", Bson.oidType),
+    StructField("username", StringType),
+    StructField("personalInformation", StructType(Seq(
+      StructField("firstName", StringType), StructField("lastName", StringType)))),
+    StructField("roles", ArrayType(StringType)),
+    StructField("deleted", BooleanType),
+    StructField("dateCreated", Bson.dateType)))
+
+  test("raw wrapper mode agrees with the builtin JSON reader on every field") {
+    val dir = writeLines("users.jsonl", userDocs)
+    val v2 = ExtendedJson.read(spark, rawSchema, s"$dir/users.jsonl")
+    val builtin = ExtendedJson.readBuiltin(spark, rawSchema, s"$dir/users.jsonl")
+    assert(v2.orderBy("username").collect().toSeq ==
+      builtin.orderBy("username").collect().toSeq)
+  }
+
+  test("decoded mode unwraps $oid and relaxed/canonical $date schema-driven") {
+    val docs = Seq(
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8c9"}, """ +
+        """"ts": {"$date": "2022-11-02T08:15:30Z"}, "n": {"$numberLong": "9007199254740993"}}""",
+      """{"_id": {"$oid": "63e1f0a1b2c3d4e5f6a7b8ca"}, """ +
+        """"ts": {"$date": {"$numberLong": "1667376930000"}}, "n": 7}""")
+    val dir = writeLines("d.jsonl", docs)
+    val decoded = StructType(Seq(
+      StructField("_id", StringType), StructField("ts", TimestampType),
+      StructField("n", LongType)))
+    val rows = ExtendedJson.read(spark, decoded, s"$dir/d.jsonl")
+      .select(col("_id"), col("ts").cast("string").as("ts"), col("n"))
+      .orderBy("_id").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("63e1f0a1b2c3d4e5f6a7b8c9", "63e1f0a1b2c3d4e5f6a7b8ca"))
+    // both forms decode to the same instant (UTC session timezone)
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("2022-11-02 08:15:30", "2022-11-02 08:15:30"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(9007199254740993L, 7L))
+  }
+
+  test("column pruning reaches the V2 scan; pruned fields are not parsed") {
+    val dir = writeLines("users.jsonl", userDocs)
+    val df = ExtendedJson.read(spark, rawSchema, s"$dir/users.jsonl")
+      .select("username", "deleted")
+    assert(v2Scan(df).readSchema().fieldNames.toSeq == Seq("username", "deleted"))
+    assert(df.orderBy("username").collect().map(r => (r.getString(0), r.get(1)))
+      .toSeq == Seq(("ada", false), ("bob", true), ("carol", null)))
+  }
+
+  test("supported filters push to the scan and drop rows reader-side") {
+    val docs = Seq(
+      """{"k": 1, "status": "open", "when": {"$date": "2022-10-01T00:00:00Z"}}""",
+      """{"k": 2, "status": "open", "when": {"$date": "2022-10-09T00:00:00Z"}}""",
+      """{"k": 3, "status": "closed", "when": {"$date": "2022-10-10T00:00:00Z"}}""",
+      """{"k": 4, "status": "open"}""")
+    val dir = writeLines("t.jsonl", docs)
+    val decoded = StructType(Seq(
+      StructField("k", LongType), StructField("status", StringType),
+      StructField("when", TimestampType)))
+    val df = ExtendedJson.read(spark, decoded, s"$dir/t.jsonl")
+      .filter(col("when") > lit(java.sql.Timestamp.valueOf("2022-10-05 00:00:00")) &&
+        col("status") === "open")
+      .select("k")
+    val scan = v2Scan(df)
+    // both predicates accepted: they appear as pushed filters AND the
+    // filtered column is pruned OUT of the read schema (no residual needs it)
+    assert(scan.pushed.map(_.toString).exists(_.contains("when")), scan.description())
+    assert(scan.pushed.map(_.toString).exists(_.contains("status")), scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // null `when` (k=4) fails the comparison under three-valued logic
+  }
+
+  test("unsupported predicates stay residual; results still correct") {
+    val docs = Seq("""{"a": "xy", "b": 2}""", """{"a": "zz", "b": 3}""")
+    val dir = writeLines("r.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType)))
+    val df = ExtendedJson.read(spark, schema, s"$dir/r.jsonl")
+      .filter(length(col("a")) + col("b") === lit(4)) // not a v1-translatable leaf
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("xy"))
+  }
+
+  test("byte-range splits reassemble every line exactly once") {
+    val docs = (1 to 500).map(i => s"""{"i": $i, "s": "row_$i"}""")
+    val dir = writeLines("big.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("s", StringType)))
+    // force many tiny splits so lines straddle split boundaries constantly
+    val split = spark.read.format("graft-extjson").schema(schema)
+      .option("maxSplitBytes", "64").load(s"$dir/big.jsonl")
+    assert(split.rdd.getNumPartitions > 10)
+    val got = split.select("i").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 500L))
+  }
+
+  test("malformed lines become all-null rows (PERMISSIVE twin)") {
+    val docs = Seq("""{"a": "ok", "b": 1}""", """{"a": "broken""",
+      """{"a": "bad_b", "b": "not_a_number"}""")
+    val dir = writeLines("m.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType)))
+    val rows = ExtendedJson.read(spark, schema, s"$dir/m.jsonl").collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => r.isNullAt(0) && r.isNullAt(1)) == 2)
+    assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "ok" && r.getLong(1) == 1L))
+  }
+
+  test("explicit schema is required — inference refuses loudly") {
+    val dir = writeLines("x.jsonl", Seq("""{"a": 1}"""))
+    val e = intercept[Exception] {
+      spark.read.format("graft-extjson").load(s"$dir/x.jsonl").collect()
+    }
+    assert(e.getMessage.contains("explicit schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("explicit schema")))
+  }
+}

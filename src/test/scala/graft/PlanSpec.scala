@@ -387,6 +387,41 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q105_topk_terms") == 1)
   }
 
+  test("q109 document-source projection prunes at the V2 scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = plan("q109_docsource_project").executedPlan
+      .collect { case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan] }
+    assert(scans.length == 1)
+    // the full document schema is 7 fields; the scan reads exactly the 3
+    // projected ones — $project pruning is ON the document source
+    assert(scans.head.readSchema().fieldNames.toSet ==
+      Set("_id", "o_orderkey", "o_totalprice"))
+  }
+
+  test("q110 document-source filter pushes to the V2 scan, zero residual") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q110_docsource_filter").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val pushed = scans.head.pushed.map(_.toString)
+    // both $match predicates accepted by the scan...
+    assert(pushed.exists(f => f.contains("o_orderdate") && f.contains("GreaterThan")),
+      pushed.mkString(", "))
+    assert(pushed.exists(f => f.contains("o_orderstatus") && f.contains("EqualTo")),
+      pushed.mkString(", "))
+    // ...and NOTHING re-filters them Spark-side: rejected documents never
+    // leave the reader (the status/date columns are even pruned from the
+    // read schema — only fully-pushed filters reference them)
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    // o_orderdate survives pruning (the output projects it); o_orderstatus
+    // does not — only its fully-pushed filter referenced it
+    assert(scans.head.readSchema().fieldNames.toSet ==
+      Set("o_orderkey", "o_orderdate", "o_totalprice"))
+  }
+
   test("q108 budget mix: prefix-sum form, never a per-source window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the running total must be the two-pass range-shuffle prefix sum
