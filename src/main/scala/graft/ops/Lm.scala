@@ -220,6 +220,28 @@ object Lm {
         (oov.cast("double") / count(lit(1)).cast("double")).as("oov_rate"))
   }
 
+  /** Persist a trained LM table (any of [[bigramLm]] / [[kneserNeyTable]] /
+    * [[kneserNeyTrigramTable]]) as plain parquet — the train-once /
+    * score-many lifecycle real corpus pipelines run (the KenLM deployment
+    * model: estimation is a batch job, scoring consumes the artifact).
+    * Mirrors [[Similarity.saveIvfIndex]]: engine-neutral columnar rows any
+    * reader (or the DuckDB oracle) can inspect, no serialized blobs.
+    *
+    * The table is vocabulary-bounded (not corpus-sized), so it lands as a
+    * handful of files; scoring-side joins re-shuffle or broadcast it per
+    * AQE, so no particular write layout is pinned.
+    */
+  def saveTable(table: DataFrame, path: String): Unit =
+    table.write.mode("overwrite").parquet(path)
+
+  /** Load a persisted LM table for scoring ([[scoreDocuments]] /
+    * [[scoreDocumentsTrigram]]). Exactness survives the round-trip by
+    * construction: every column is a string or an exact integer
+    * (millionths), never a float.
+    */
+  def loadTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Score documents against a trained bigram LM ([[bigramLm]] schema:
     * bg, n_pair, n_ctx). Per document:
     *

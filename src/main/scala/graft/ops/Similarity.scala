@@ -163,10 +163,21 @@ object Similarity {
 
   private[graft] def kmeansCentroids(corpus: DataFrame, vecCol: String,
       numCentroids: Int, iters: Int, seed: Long, idCol: String,
-      trainPerCentroid: Int = 256): Seq[Seq[Float]] =
-    kmeansFromTrain(trainSample(corpus, idCol, seed,
-      numCentroids.toLong * trainPerCentroid),
-      vecCol, numCentroids, iters, seed, idCol)
+      trainPerCentroid: Int = 256): Seq[Seq[Float]] = {
+    val (train, pinned) = pinIfUnpinned(trainSample(corpus, idCol, seed,
+      numCentroids.toLong * trainPerCentroid))
+    try kmeansFromTrain(train, vecCol, numCentroids, iters, seed, idCol)
+    finally if (pinned) { train.unpersist(blocking = false); () }
+  }
+
+  /** Pin a frame unless its plan is already cached (the CacheManager
+    * resolves by plan — re-persisting logs a warning and does nothing);
+    * returns whether THIS call pinned it and so owns the unpersist.
+    */
+  private def pinIfUnpinned(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      (df.persist(), true)
+    else (df, false)
 
   /** Lloyd refinement over an ALREADY-SAMPLED training frame — split out
     * so [[buildIvfIndex]] samples once and feeds both the refinement and
@@ -240,14 +251,23 @@ object Similarity {
       trainPerCentroid: Int = 256): IvfIndex = {
     val mat = corpus.persist()
     try {
-      val train = trainSample(mat, idCol, seed,
-        numCentroids.toLong * trainPerCentroid)
-      val cents = kmeansFromTrain(train, vecCol, numCentroids, lloydIters,
-        seed, idCol)
-      // drift baseline on the SAME sample the centroids were fit to — one
-      // extra bounded agg job at build time buys every future appendBatch
-      // its rebuild gate
-      IvfIndex(cents, meanAssignScoreMill(train, vecCol, cents))
+      // the train sample is PINNED too: it is centroid-bounded (~4k rows),
+      // and init, every Lloyd assignment agg, and the drift baseline each
+      // re-execute it — cached, those are scans of a few thousand rows
+      // instead of repeated filter passes over the whole corpus cache
+      val (train, pinned) = pinIfUnpinned(trainSample(mat, idCol, seed,
+        numCentroids.toLong * trainPerCentroid))
+      try {
+        val cents = kmeansFromTrain(train, vecCol, numCentroids, lloydIters,
+          seed, idCol)
+        // drift baseline on the SAME sample the centroids were fit to —
+        // one agg over the CACHED sample at build time buys every future
+        // appendBatch its rebuild gate. Deliberately NOT folded into the
+        // final Lloyd aggregation: that agg scores the PREVIOUS iterate's
+        // centroids (its output IS the final set), so folding would
+        // baseline the wrong quantizer (see q32's cost note)
+        IvfIndex(cents, meanAssignScoreMill(train, vecCol, cents))
+      } finally if (pinned) { train.unpersist(blocking = false); () }
     } finally mat.unpersist(blocking = false)
   }
 

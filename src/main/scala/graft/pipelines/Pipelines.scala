@@ -435,4 +435,111 @@ object StreamingIvfIngest {
     val w = worst.get()
     Summary(batches.get(), w.exists(_.needsRebuild), w)
   }
+
+  /** One successful compaction: `foldedBatches` batch directories folded
+    * into the canonical cell-partitioned layout at `path` (generation =
+    * the highest micro-batch id it covers).
+    */
+  final case class Compaction(foldedBatches: Long, generation: Long,
+      path: String)
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generation directories under `compactedDir` that finished writing
+    * (Spark's `_SUCCESS` marker — a crashed write without it is invisible
+    * to readers and simply overwritten by the retry).
+    */
+  private def generations(spark: SparkSession,
+      compactedDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(compactedDir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+        st.getPath.getName.stripPrefix("gen=").toLong -> st.getPath
+    }.sortBy(_._1)
+  }
+
+  /** Latest compacted generation as a queryable assigned corpus
+    * ([[graft.ops.Similarity.ivfTopKWithAssigned]] input). */
+  def loadCompacted(spark: SparkSession, compactedDir: String): DataFrame = {
+    val gens = generations(spark, compactedDir)
+    require(gens.nonEmpty, s"no completed compaction under $compactedDir")
+    spark.read.parquet(gens.last._2.toString)
+  }
+
+  /** Fold the streaming inverted file's `run=<id>/batch=<n>` directories
+    * into the canonical cell-partitioned corpus layout
+    * ([[graft.ops.Similarity.saveAssignedCorpus]] format) — the LSM-style
+    * maintenance step a long-lived ingest needs: without it every
+    * micro-batch leaves its own small per-cell files forever.
+    *
+    * Replay-idempotency is preserved by folding ONLY micro-batches the
+    * checkpoint has COMMITTED (the `commits/` log): a batch that landed
+    * but crashed before its commit is left in place for the stream's own
+    * replay to overwrite — compacting it early would race that replay.
+    * Batches from OTHER run namespaces (lost-checkpoint re-ingests) are
+    * never touched: only the current checkpoint carries commit evidence,
+    * and whether a stale run's rows are duplicates is an operator call.
+    *
+    * The fold itself is crash-idempotent: the output generation is named
+    * by the highest batch id it covers, written with overwrite semantics,
+    * and inputs (folded batch dirs + superseded generations) are deleted
+    * only AFTER the `_SUCCESS`-marked write — a rerun after any crash
+    * point converges to the same state. Each compaction shuffles once on
+    * `cell`, so every cell lands as a bounded file count regardless of how
+    * many micro-batches fed it.
+    *
+    * @return the covering compaction, or None when nothing is committed
+    *   yet (no marker, no commits, or no landed batch directories)
+    */
+  def compact(spark: SparkSession, invertedDir: String, compactedDir: String,
+      checkpointDir: String): Option[Compaction] = {
+    val marker = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+    val f = fs(spark, marker)
+    if (!f.exists(marker)) return None
+    val runId = {
+      val in = f.open(marker)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    val commitsDir = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val committed: Set[Long] =
+      if (!f.exists(commitsDir)) Set.empty
+      else f.listStatus(commitsDir).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
+    val runDir = new org.apache.hadoop.fs.Path(s"$invertedDir/run=$runId")
+    val pending: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!f.exists(runDir)) Seq.empty
+      else f.listStatus(runDir).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+          st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath
+      }.filter { case (id, _) => committed(id) }.sortBy(_._1)
+    val gens = generations(spark, compactedDir)
+    if (pending.isEmpty) return gens.lastOption.map { case (g, p) =>
+      Compaction(0L, g, p.toString)
+    }
+    val newGen = pending.map(_._1).max
+    val target = s"$compactedDir/gen=$newGen"
+    // crash-rerun between write and cleanup: the covering generation
+    // already exists — finish the deletes, don't re-fold (re-reading the
+    // pending dirs into an existing fold would duplicate their rows)
+    val alreadyCovered = gens.exists(_._1 >= newGen)
+    if (!alreadyCovered) {
+      val inputs = gens.lastOption.map(_._2.toString).toSeq ++
+        pending.map(_._2.toString)
+      // per-root reads + unionByName: each root is its own cell-partitioned
+      // tree, so discovery recovers `cell` per root (a multi-root single
+      // read would need a common basePath these layouts don't share)
+      inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(target)
+    }
+    pending.foreach { case (_, p) => f.delete(p, true) }
+    generations(spark, compactedDir).filter(_._1 < newGen)
+      .foreach { case (_, p) => f.delete(p, true) }
+    Some(Compaction(pending.size.toLong, newGen, target))
+  }
 }

@@ -152,10 +152,19 @@ object SimOps {
     * always probes its own best cell first, so recall is 1 and the result
     * equals the exact top-k oracle.
     *
-    * Measured cost note: the build now also computes the incremental-add
-    * drift BASELINE (one bounded agg over the training sample,
-    * `Similarity.buildIvfIndex`) — ~10% on this query's wall time, paid
-    * once per build so every future `appendBatch` has its rebuild gate.
+    * Measured cost note: the build also computes the incremental-add
+    * drift BASELINE (`Similarity.buildIvfIndex`), one extra bounded agg
+    * job. Stage-timed at sf0.1 (2k embedding rows): the query's ~2.5 s is
+    * fixed per-job orchestration across the ~6 bounded build/search jobs,
+    * not data — the baseline job's marginal cost is one of those fixed
+    * slices (~0.2-0.3 s), and run-to-run variance at this size is the
+    * same magnitude. It is NOT folded into the final Lloyd aggregation on
+    * purpose: that agg runs against the PREVIOUS iterate's centroids (the
+    * final centroids are its OUTPUT), so a folded baseline would measure
+    * the wrong quantizer — understating assignment quality exactly when
+    * the last iteration moved centroids most. The training sample is
+    * pinned (`buildIvfIndex`), so at real corpus sizes the baseline reads
+    * a few thousand cached rows, never the corpus.
     */
   private def q32AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

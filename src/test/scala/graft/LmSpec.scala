@@ -129,6 +129,31 @@ class LmSpec extends AnyFunSuite {
     assert(sums.nonEmpty && sums.forall(_._3 <= 1000000L))
   }
 
+  test("saveTable/loadTable round-trip scores identically to inline training") {
+    // the train-once/score-many lifecycle: a persisted table must be
+    // value-identical to the in-memory one (strings + integer millionths,
+    // no floats to drift), so scoring against the LOADED artifact equals
+    // scoring against inline training, row for row
+    val train = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b a b a b c"), (2L, "a b a b x")).toDF("doc_id", "text")
+    val table = Lm.kneserNeyTrigramTable(train, "text", minCount = 1L)
+    val path = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/kn3"
+    Lm.saveTable(table, path)
+    val loaded = Lm.loadTable(spark, path)
+    assert(loaded.orderBy("w1", "w2", "w3").collect().toSeq ==
+      table.orderBy("w1", "w2", "w3").collect().toSeq)
+    def scored(t: org.apache.spark.sql.DataFrame) =
+      Lm.scoreDocumentsTrigram(score, "doc_id", "text", t)
+        .select("doc_id", "n_trigrams", "n_oov", "kn_mass", "oov_rate")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(scored(loaded) == scored(table))
+    // bigram table takes the same lifecycle
+    val bg = Lm.bigramLm(docs, "text", minCount = 2L)
+    Lm.saveTable(bg, path + "_bg")
+    assert(Lm.loadTable(spark, path + "_bg").orderBy("bg").collect().toSeq ==
+      bg.orderBy("bg").collect().toSeq)
+  }
+
   test("a document of pure OOV text scores zero mass, rate 1.0") {
     val lm = Lm.bigramLm(docs, "text", minCount = 2L)
     val alien = Seq((9L, "z z z")).toDF("doc_id", "text")

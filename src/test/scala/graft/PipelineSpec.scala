@@ -525,6 +525,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s4.batches >= 1L)
     assert(spark.read.parquet(invDir).count() == 120,
       "fresh-checkpoint run overwrote the previous run's batches")
+
+    // --- compaction: fold the CURRENT checkpoint's committed batches into
+    // the canonical cell-partitioned layout ---
+    val compDir = s"$work/ivf_compacted"
+    val c1 = StreamingIvfIngest.compact(spark, invDir, compDir, ckpt).get
+    // only the current run folds (60 rows); the stale first run's batches
+    // carry no commit evidence and stay untouched on disk
+    val compacted = StreamingIvfIngest.loadCompacted(spark, compDir)
+    assert(compacted.count() == 60)
+    assert(spark.read.parquet(invDir).count() == 60,
+      "the stale run's 60 rows must remain after the current run folds out")
+    // the compacted corpus answers queries identically: every source
+    // vector's ×2 copy is still its exact nearest neighbor
+    val resC = Similarity.ivfTopKWithAssigned(index, queries, compacted,
+      "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(resC == (0 until 10).map(i => (i * 20L, i * 20L + 5000L)).toSet)
+    // bounded file count: one shuffle on cell → each cell is ONE file,
+    // however many micro-batches fed it
+    val genDir = new java.io.File(c1.path)
+    val perCell = genDir.listFiles().filter(_.getName.startsWith("cell="))
+    assert(perCell.nonEmpty)
+    assert(perCell.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // re-compacting with nothing new is a no-op on the same generation
+    val c2 = StreamingIvfIngest.compact(spark, invDir, compDir, ckpt).get
+    assert(c2.foldedBatches == 0L && c2.generation == c1.generation)
+
+    // a further ingest + compact folds the NEW batch INTO the previous
+    // generation: gen advances, superseded gen is deleted, rows accrete
+    corpus.filter(col("vec_id") % 20 === 1)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"))
+      .coalesce(1).write.parquet(s"$batchDir/b3")
+    val s5 = StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    assert(s5.batches == 1L)
+    val c3 = StreamingIvfIngest.compact(spark, invDir, compDir, ckpt).get
+    assert(c3.generation > c1.generation)
+    assert(StreamingIvfIngest.loadCompacted(spark, compDir).count() == 70)
+    assert(!new java.io.File(c1.path).exists(),
+      "superseded generation must be removed")
   }
 
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
