@@ -12,6 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - `graft_dot(a, b)` → [[DotProduct]]: native codegen'd float/double
   *    array dot product, the hot scalar of every similarity join;
+  *  - `graft_cosine(a, b)` → [[CosineSim]]: fused one-pass cosine
+  *    (dot + both norms in one loop), bit-equal to the composed
+  *    `graft_dot` form — ALSO the planner marker: comparing it against a
+  *    literal threshold inside a join condition is the declarative
+  *    similarity join [[graft.plans.SimilarityJoinStrategy]] plans into
+  *    the LSH physical shape (opt-in by conf);
   *  - `graft_shingles(text, n)` → [[WordShingles]]: distinct word n-grams,
   *    the input of every inverted-index build;
   *  - `graft_winnow(text, k, w)` → [[WinnowFingerprints]]: fused one-pass
@@ -59,12 +65,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // every token-count call site gets the allocation-free native form
     // without being edited (see TokenCountRewrite)
     ext.injectOptimizerRule(_ => new TokenCountRewrite)
+    // the SparkStrategy rung: joins on `graft_cosine(a,b) >= t` plan as
+    // the sign-bucket LSH physical shape instead of a nested-loop scan —
+    // opt-in via spark.graft.similarityJoin.enabled (approximation must
+    // never be silent); see graft.plans.SimilarityJoinStrategy
+    ext.injectPlannerStrategy(session =>
+      new graft.plans.SimilarityJoinStrategy(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

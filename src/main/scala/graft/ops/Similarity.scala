@@ -31,9 +31,28 @@ object Similarity {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
+  /** Cosine similarity in [-1, 1], composed from [[dot]]/[[l2Norm]].
+    * Prefer this form when norms can be precomputed BELOW a candidate
+    * join (see [[bruteForceTopK]]); prefer [[cosineSim]] when each pair
+    * is scored exactly once.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Fused one-pass cosine ([[graft.functions.CosineSim]], injected as
+    * `graft_cosine`): dot product and both norms in a single loop,
+    * bit-for-bit equal to [[cosine]] on every defined input (zero-norm
+    * vectors yield null instead of an ANSI divide-by-zero error).
+    *
+    * This is also the DECLARATIVE SIMILARITY-JOIN marker: with
+    * `spark.graft.similarityJoin.enabled=true`, an inner join whose
+    * condition compares this expression against a literal threshold —
+    * `l.join(r, cosineSim($"a", $"b") >= lit(0.999) && ...)` — is planned
+    * by [[graft.plans.SimilarityJoinStrategy]] into the sign-bucket LSH
+    * physical operator instead of a nested-loop scan.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Brute-force exact cosine top-k: every query row scored against every
     * corpus row (`queries × corpus` — the intentional quadratic baseline),

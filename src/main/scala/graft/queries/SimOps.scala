@@ -262,7 +262,36 @@ object SimOps {
     EmbedProfile.groupOutliers(Tables.embeddings(s, d), "vec_id", "label",
       "embedding", k = 3)
 
+  /** The DECLARATIVE similarity join — the same pair set as q30, but
+    * written as a plain inner join on
+    * `cosineSim(vi, vj) >= 0.999 && i < j` and planned by
+    * [[graft.plans.SimilarityJoinStrategy]] into the sign-bucket LSH
+    * physical operator ([[graft.plans.CosineJoinExec]]) instead of the
+    * BroadcastNestedLoopJoin Spark would otherwise emit for a non-equi
+    * condition. Same planted ×2 construction as q30, so LSH recall is
+    * provably 1 and the oracle is the exact all-pairs answer; `i < j`
+    * rides along as the exec's residual conjunct. The conf enable is the
+    * strategy's explicit approximate-join opt-in (it only changes plans
+    * for joins that use the `cosineSim` marker in their condition — no
+    * other registered query does).
+    */
+  private def q111SimJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set(graft.plans.SimilarityJoinStrategy.EnabledKey, "true")
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val u = emb.union(planted)
+    val l = u.select(col("vec_id").as("i"), col("embedding").as("vi"))
+    val r = u.select(col("vec_id").as("j"), col("embedding").as("vj"))
+    l.join(r,
+        Similarity.cosineSim(col("vi"), col("vj")) >= lit(0.999) &&
+          col("i") < col("j"))
+      .select(col("i"), col("j"),
+        Similarity.cosineSim(col("vi"), col("vj")).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_sim_join" -> q111SimJoin _,
     "q90_leakage_split" -> q90LeakageSplit _,
     "q93_embed_outliers" -> q93EmbedOutliers _,
     "q75_semantic_dedup" -> q75SemanticDedup _,
@@ -403,6 +432,18 @@ object SimOps {
         "        for i in range(1, len(t) - 1)])) AS s FROM toks) " +
         "SELECT a.doc_id AS i, b.doc_id AS j, CAST(1.0 AS DOUBLE) AS jaccard " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.s = b.s AND len(a.s) > 0"),
+    // q111 shares q30's exact all-pairs truth: the declarative LSH join
+    // must reproduce precisely what the explicit cosineNearDupPairs
+    // pipeline does (recall provably 1 on the planted corpus)
+    "q111_sim_join" ->
+      ("WITH u AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, " +
+        "list_transform(embedding, x -> x * CAST(2 AS FLOAT)) FROM embeddings), " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM u), " +
+        "p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.v AS qv, b.v AS cv " +
+        "      FROM e a JOIN e b ON a.vec_id < b.vec_id), " +
+        s"r AS (SELECT i, j, $cosSql AS cos FROM p) " +
+        "SELECT i, j, cos FROM r WHERE cos >= 0.999"),
     "q30_cosine_neardup" ->
       ("WITH u AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id + 1000000, " +

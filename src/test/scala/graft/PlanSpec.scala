@@ -326,10 +326,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("size(split("))
   }
 
+  test("q111 declarative similarity join plans the strategy's LSH operator") {
+    // the SparkStrategy rung: a non-equi cosine-threshold join condition
+    // must NOT fall back to a nested-loop scan — the injected
+    // SimilarityJoinStrategy plans CosineJoinExec (conf-gated; q111's
+    // builder enables it)
+    val p = plan("q111_sim_join").sparkPlan
+    assert(p.exists(_.isInstanceOf[graft.plans.CosineJoinExec]))
+    assert(!p.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]))
+  }
+
   test("no query plans a cartesian product (q23 brute-force excepted)") {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
     // max(id) that way) is not a scale hazard; anything else is.
+    val declaredScans = Set("q23_ann_cosine")
     def scalarBuild(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
@@ -340,7 +352,7 @@ class PlanSpec extends AnyFunSuite {
             if a.groupingExpressions.isEmpty => a
       }.nonEmpty
     }
-    for (name <- SparkEntry.queries.keys if name != "q23_ann_cosine") {
+    for (name <- SparkEntry.queries.keys if !declaredScans.contains(name)) {
       val bad = plan(name).sparkPlan.collect {
         case c: CartesianProductExec => c
         case b: BroadcastNestedLoopJoinExec if !scalarBuild(b) => b
