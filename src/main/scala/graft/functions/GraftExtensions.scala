@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension point, registered via `spark.sql.extensions` (the
@@ -43,6 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    byte ranges — the span-dedup candidate generator;
   *  - `graft_normtext(text)` → [[NormalizeText]]: fused Unicode NFC +
   *    diacritic strip + root-locale lowercase + whitespace collapse;
+  *  - `graft_bloom_contains(h, bloomBytes)` → [[BloomContains]]:
+  *    Bloom-filter membership over a 64-bit hash — the broadcast-set
+  *    map-side prefilter for semi/anti-joins against a small keyset.
+  *    `bloomBytes` must be a binary LITERAL (a driver-built serialized
+  *    filter), parsed once at plan time;
   *  - `graft_bpe(token, merges)` → [[BpeEncode]]: BPE subword segmentation
   *    with a trained merge table. `merges` must be a string LITERAL in
   *    merges.txt layout (one `left right` pair per line, rank order) — it
@@ -147,6 +152,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_winhash takes exactly 2 arguments")
         TokenWindowHashes(children.head,
           litInt(children(1), "graft_winhash", "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_contains takes exactly 2 arguments")
+        val bytes = children(1) match {
+          case Literal(v: Array[Byte], BinaryType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_contains: filter must be a binary literal, got $other")
+        }
+        BloomContains(children.head, new BloomRef(bytes))
       }))
   }
 }

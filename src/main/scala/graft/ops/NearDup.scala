@@ -43,8 +43,13 @@ object NearDup {
     * the ContextCleaner unpersists automatically once the index is
     * unreachable.
     */
-  private def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleHashes(docs, idCol, textCol, n).persist()
+  private def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // persist-once guard (the Lm.scala convention): two sweeps over the
+    // same probe in one session share the cached plan instead of warning
+    val df = shingleHashes(docs, idCol, textCol, n)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    else df
+  }
 
   /** Exact Jaccard over two distinct-hash sets — the same value as the
     * string-set Jaccard unless two distinct shingles of the pair collide in
@@ -179,6 +184,44 @@ object NearDup {
     val ci = shingleHashes(corpus, idCol, textCol, n)
       .select(col(idCol).as("i"), col("h"))
     val pj = postings(probe, idCol, textCol, n)
+    containmentFrom(ci, pj, idCol, minContainment)
+  }
+
+  /** [[containmentPairs]] with a broadcast Bloom prefilter on the CORPUS
+    * side — the 100 TB form of the decontamination sweep. The probe
+    * (benchmark) shingle set is tiny next to the corpus, so a driver-built
+    * Bloom filter over its distinct shingle hashes
+    * ([[graft.functions.BloomContains]], `fpp` default 1%) is probed
+    * map-side at the corpus scan: only postings that MIGHT match a probe
+    * shingle enter the intersection join's shuffle. No false negatives
+    * means no lost pair; false positives join to nothing and vanish in
+    * the exact intersection count — the output is IDENTICAL to
+    * [[containmentPairs]] (q112 shares q42's oracle to prove it) while
+    * the corpus-side shuffle drops from "every posting" to "postings
+    * colliding with the benchmark suite" (~contamination rate + fpp).
+    *
+    * The filter is sized to the probe's POSTING count (≥ its distinct
+    * hash count, so realized fpp ≤ `fpp`); the build is one aggregation
+    * over the already-persisted probe postings.
+    */
+  def bloomContainmentPairs(corpus: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int, minContainment: Double,
+      fpp: Double = 0.01): DataFrame = {
+    val pj = postings(probe, idCol, textCol, n)
+    val bloom = pj.stat.bloomFilter("h", math.max(pj.count(), 1L), fpp)
+    val bytes = graft.functions.BloomRef.serialize(bloom)
+    val ci = shingleHashes(corpus, idCol, textCol, n)
+      .filter(call_function("graft_bloom_contains", col("h"), lit(bytes)))
+      .select(col(idCol).as("i"), col("h"))
+    containmentFrom(ci, pj, idCol, minContainment)
+  }
+
+  /** Shared tail of the containment sweeps: exact per-pair shared-shingle
+    * count over (i, h) corpus postings × (probe-id, h) probe postings,
+    * normalized by the probe side's set size.
+    */
+  private def containmentFrom(ci: DataFrame, pj: DataFrame, idCol: String,
+      minContainment: Double): DataFrame = {
     val sizes = pj.groupBy(idCol).agg(count(lit(1)).as("n_j"))
     val inter = ci
       .join(pj.select(col(idCol).as("j"), col("h")), Seq("h"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
-import graft.ops.{Dedup, Quantiles, Retrieval, SpanDedup, TextAnalysis}
+import graft.ops.{Dedup, Dsir, Quantiles, Retrieval, SpanDedup, TextAnalysis}
 
 /** Oracle-checked queries for the text-analysis / dedup operator family over
   * the `documents` table: exact-dup dedup, per-document statistics,
@@ -684,6 +684,21 @@ object TextOps {
         (col("cum") - col("base")).as("cum_tokens"))
   }
 
+  /** DSIR-style hashed-ngram importance weights ([[graft.ops.Dsir]]):
+    * every document scored for how target-domain-like (here: the English
+    * sub-corpus) its unigram+bigram bucket profile is versus the raw
+    * corpus average, with `keep = weight_mill > 0` as the map-only
+    * selection gate. 512 buckets — the model both engines agree on
+    * bit-for-bit (portable rolling-hash bucketing, integer-millionths
+    * Laplace probabilities, exact long sums; see the op's scaladoc for
+    * why no log / no libm).
+    */
+  private def q113DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", buckets = 512)
+  }
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -728,6 +743,7 @@ object TextOps {
     "q106_kneser_ney_trigram" -> q106KneserNeyTrigram _,
     "q107_kn_score" -> q107KnScore _,
     "q108_budget_mix" -> q108BudgetMix _,
+    "q113_dsir_weights" -> q113DsirWeights _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -1108,6 +1124,33 @@ object TextOps {
         "SELECT c.doc_id, c.source, c.n_tokens, c.cum AS cum_tokens " +
         "FROM c JOIN t ON c.source = t.src " +
         "WHERE c.cum - c.n_tokens < t.budget"),
+    // the same hashed-ngram model stated relationally: q31's rolling hash
+    // (list_reduce == Spark's 0-init fold, mod 2^40 in the loop so BIGINT
+    // never overflows where DuckDB would raise), Laplace millionths by
+    // floor division (// == div on these non-negative counts), and the
+    // full-join delta so unobserved buckets fall back to the smoothing
+    // floor on either side
+    "q113_dsir_weights" ->
+      ("WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), " +
+        "feats AS (SELECT doc_id, lang, list_concat(t, " +
+        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
+        "f AS (SELECT doc_id, lang, unnest(fs) AS s FROM feats), " +
+        "h AS (SELECT doc_id, lang, " +
+        "  (list_reduce(list_transform(string_split(s, ''), " +
+        "    c -> CAST(ascii(c) AS BIGINT)), " +
+        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
+        "tc AS (SELECT b, COUNT(*) AS cnt FROM h WHERE lang = 'en' GROUP BY b), " +
+        "tt AS (SELECT SUM(cnt) + 512 AS dn FROM tc), " +
+        "rc AS (SELECT b, COUNT(*) AS cnt FROM h GROUP BY b), " +
+        "rt AS (SELECT SUM(cnt) + 512 AS dn FROM rc), " +
+        "delta AS (SELECT COALESCE(tc.b, rc.b) AS b, " +
+        "  CAST(COALESCE((1000000 * (tc.cnt + 1)) // tt.dn, 1000000 // tt.dn) " +
+        "  - COALESCE((1000000 * (rc.cnt + 1)) // rt.dn, 1000000 // rt.dn) " +
+        "  AS BIGINT) AS delta_mill FROM tc FULL JOIN rc ON tc.b = rc.b, tt, rt) " +
+        "SELECT h.doc_id, COUNT(*) AS n_feats, " +
+        "  CAST(SUM(delta_mill) AS BIGINT) AS weight_mill, " +
+        "  SUM(delta_mill) > 0 AS keep " +
+        "FROM h JOIN delta USING (b) GROUP BY h.doc_id"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

@@ -281,4 +281,45 @@ class NearDupSpec extends AnyFunSuite {
     // the unrelated doc pairs with nobody
     assert(!pairs.keys.exists { case (i, j) => i == 4L || j == 4L })
   }
+
+  test("graft_bloom_contains: no false negatives, null-safe, binary-literal only") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 50L).foreach(bloom.putLong)
+    val bytes = graft.functions.BloomRef.serialize(bloom)
+    val probe = Seq[java.lang.Long](3L, 49L, 1000L, null).toDF("h")
+      .select(col("h"),
+        call_function("graft_bloom_contains", col("h"), lit(bytes)).as("m"))
+      .as[(Option[Long], Option[Boolean])].collect().toMap
+    // inserted values MUST hit (no false negatives); null propagates
+    assert(probe(Some(3L)).contains(true) && probe(Some(49L)).contains(true))
+    assert(probe(None).isEmpty)
+    // a non-literal filter argument is a plan-time error, not a per-row one
+    val err = intercept[Exception] {
+      Seq(1L).toDF("h").select(
+        call_function("graft_bloom_contains", col("h"), col("h"))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    assert(msgs(err).contains("binary literal"))
+  }
+
+  test("bloom-prefiltered containment equals the exact sweep, at any fpp") {
+    val docs = graft.core.Tables.documents(TestSpark.spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val probe = docs.filter(col("doc_id") < 50)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = collect(
+      NearDup.containmentPairs(corpus, probe, "doc_id", "text", 3, 0.5))
+    assert(exact.nonEmpty) // the comparison must not pass vacuously
+    // tight filter: the production setting
+    assert(collect(NearDup.bloomContainmentPairs(
+      corpus, probe, "doc_id", "text", 3, 0.5)) == exact)
+    // absurdly loose filter (50% fpp): false positives flood the prefilter
+    // and the exact intersection count must still erase every one
+    assert(collect(NearDup.bloomContainmentPairs(
+      corpus, probe, "doc_id", "text", 3, 0.5, fpp = 0.5)) == exact)
+  }
 }
