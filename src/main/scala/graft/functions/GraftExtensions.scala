@@ -154,6 +154,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(children(1), "graft_winhash", "w"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dsir_buckets"),
+      new ExpressionInfo(classOf[DsirBuckets].getName, "graft_dsir_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_dsir_buckets takes exactly 2 arguments")
+        DsirBuckets(children.head,
+          litInt(children(1), "graft_dsir_buckets", "buckets"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => {

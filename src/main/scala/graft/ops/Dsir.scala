@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * Both distributions are estimated as Laplace-smoothed frequencies over a
   * FIXED-SIZE bucket table (`buckets` hashed unigram+bigram features), so
   * the model state is bounded regardless of corpus size — the property
-  * that lets the same program run at 100 TB: two corpus-sized map stages
-  * (feature explode for the bucket histogram, feature explode for
-  * scoring), one B-row broadcast join, one per-document sum. No
-  * vocabulary-sized state, no global sort.
+  * that lets the same program run at 100 TB: ONE persisted raw-corpus
+  * feature pass shared by the histogram aggregation and the scoring join,
+  * one target-corpus feature pass, one B-row broadcast join, one
+  * per-document sum. No vocabulary-sized state, no global sort.
   *
   * Engine-portable arithmetic throughout (the repo's oracle discipline):
   * bucket ids come from the winnowing rolling hash (`a*31+c` over char
@@ -52,12 +52,28 @@ object Dsir {
 
   /** Hashed unigram+bigram feature OCCURRENCES of a document (duplicates
     * preserved — frequency estimation, like the LM counting form).
+    * Interpreted HOF reference formulation; [[featureBucketsNative]] is
+    * the hot-path form (DsirSpec pins value-identity).
     */
   def featureBuckets(text: Column, buckets: Int): Column =
     transform(
       concat(Shingles.wordNgramOccurrencesNative(text, 1),
         Shingles.wordNgramOccurrencesNative(text, 2)),
       s => featureBucket(s, buckets))
+
+  /** Fused one-pass form of [[featureBuckets]]
+    * ([[graft.functions.DsirBuckets]], injected as `graft_dsir_buckets` —
+    * requires a GraftExtensions session): no n-gram strings are ever
+    * materialized, the unigram and bigram hash states advance together
+    * over one scan of the text.
+    */
+  def featureBucketsNative(text: Column, buckets: Int): Column =
+    call_function("graft_dsir_buckets", text, lit(buckets))
+
+  private def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
 
   /** Laplace-smoothed bucket histogram of a corpus, in exact integer
     * millionths: one row per OBSERVED bucket with
@@ -66,9 +82,17 @@ object Dsir {
     * the second element. One corpus-sized explode + one B-bounded agg.
     */
   def bucketHistogram(docs: DataFrame, textCol: String,
-      buckets: Int): (DataFrame, Long) = {
-    val counts = docs
-      .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+      buckets: Int): (DataFrame, Long) =
+    histogramOf(docs
+      .select(explode(featureBucketsNative(col(textCol), buckets)).as("b")),
+      buckets)
+
+  /** [[bucketHistogram]] over an already-exploded single-column `b` frame
+    * (lets the raw corpus share ONE exploded pass between its histogram
+    * and the scoring join).
+    */
+  private def histogramOf(feats: DataFrame, buckets: Int): (DataFrame, Long) = {
+    val counts = feats
       .groupBy("b").agg(count(lit(1)).as("cnt"))
       .persist()
     val total = counts.agg(sum(col("cnt"))).first().getLong(0)
@@ -90,16 +114,19 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
+    // ONE raw-corpus explode, persisted: its histogram agg AND the scoring
+    // join both read the cached (id, b) frame — without it the corpus'
+    // bucketing pass (the expensive map stage) runs twice
+    val rawFeats = persistOnce(raw.select(col(idCol),
+      explode(featureBucketsNative(col(textCol), buckets)).as("b")))
     val (tgtHist, tgtP0) = bucketHistogram(target, textCol, buckets)
-    val (rawHist, rawP0) = bucketHistogram(raw, textCol, buckets)
+    val (rawHist, rawP0) = histogramOf(rawFeats.select("b"), buckets)
     val deltas = tgtHist.select(col("b"), col("p_mill").as("tp"))
       .join(rawHist.select(col("b"), col("p_mill").as("rp")), Seq("b"), "full")
       .select(col("b"),
         (coalesce(col("tp"), lit(tgtP0)) -
           coalesce(col("rp"), lit(rawP0))).as("delta_mill"))
-    raw
-      .select(col(idCol),
-        explode(featureBuckets(col(textCol), buckets)).as("b"))
+    rawFeats
       .join(broadcast(deltas), Seq("b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),

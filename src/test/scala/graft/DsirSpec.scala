@@ -24,6 +24,15 @@ class DsirSpec extends AnyFunSuite {
     strs.foreach(s => assert(out(s) == ref(s, 512), s))
   }
 
+  test("native graft_dsir_buckets is value-identical to the HOF reference") {
+    val texts = Seq("apple banana apple", "single", "a b c d e f g",
+      "the quick brown fox jumps over the lazy dog", "x", "ab ab ab")
+    val bad = texts.toDF("text").filter(
+      !(Dsir.featureBucketsNative(col("text"), 512) ===
+        Dsir.featureBuckets(col("text"), 512)))
+    assert(bad.count() == 0)
+  }
+
   test("featureBuckets counts every unigram and bigram occurrence") {
     val n = Seq("a b c a b").toDF("text")
       .select(size(Dsir.featureBuckets(col("text"), 64)).as("n"))
