@@ -43,6 +43,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    byte ranges — the span-dedup candidate generator;
   *  - `graft_normtext(text)` → [[NormalizeText]]: fused Unicode NFC +
   *    diacritic strip + root-locale lowercase + whitespace collapse;
+  *  - `graft_rproject(vec, outDim, seed)` → [[RandomProject]]: sign
+  *    random projection (JL) of an embedding to `outDim` integer-
+  *    millionth components — the pre-ANN dimensionality reduction;
   *  - `graft_bloom_contains(h, bloomBytes)` → [[BloomContains]]:
   *    Bloom-filter membership over a 64-bit hash — the broadcast-set
   *    map-side prefilter for semi/anti-joins against a small keyset.
@@ -161,6 +164,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_dsir_buckets takes exactly 2 arguments")
         DsirBuckets(children.head,
           litInt(children(1), "graft_dsir_buckets", "buckets"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rproject"),
+      new ExpressionInfo(classOf[RandomProject].getName, "graft_rproject"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_rproject takes exactly 3 arguments")
+        RandomProject(children.head,
+          litInt(children(1), "graft_rproject", "outDim"),
+          litInt(children(2), "graft_rproject", "seed").toLong)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

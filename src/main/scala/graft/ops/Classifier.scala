@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: inference of a hashed linear text
+  * classifier (the fastText architecture of Joulin et al. 2016, "Bag of
+  * Tricks for Efficient Text Classification" — public paper: bag of
+  * hashed unigram+bigram features → linear layer → decision), the
+  * classifier-filter stage every large pretraining corpus runs (GPT-3 /
+  * CCNet-style quality models).
+  *
+  * The feature space is [[Dsir]]'s hashed unigram+bigram buckets (same
+  * portable rolling hash, same fused native kernel), the model is a
+  * bucket→weight table, and the decision is `Σ_occurrences w[bucket] > 0`
+  * — the sigmoid is monotone, so the linear score IS the decision rule,
+  * and keeping it in exact integer millionths keeps engine and oracle
+  * bit-identical (libm-free, the repo's oracle discipline).
+  *
+  * Scale story: inference is MAP-ONLY — the weight table is a closed-form
+  * function of the bucket id ([[weightMill]]), so scoring 100 TB is one
+  * scan with zero shuffle, zero broadcast, zero driver state: each
+  * document's score folds inside its own row. A trained table swaps in as
+  * a `buckets`-row broadcast join without changing the shape (see
+  * [[scoreWithTable]]).
+  */
+object Classifier {
+
+  /** Deterministic pseudo-weight of a feature bucket, in integer
+    * millionths, range [−1000, 1000]: `((b · 2654435761 + seed) mod 2^40)
+    * mod 2001 − 1000`. `b < buckets ≤ 2^20` keeps the product < 2^52 —
+    * inside 63 bits in both engines (DuckDB raises on overflow).
+    */
+  def weightMill(b: Column, seed: Long): Column =
+    (b * lit(2654435761L) + lit(seed)) % lit(1L << 40) % lit(2001L) - lit(1000L)
+
+  /** Per-document classifier scores of `df`: (idCol, n_feats, score_mill,
+    * keep). `keep = score_mill > 0`. Entirely within-row: the native
+    * bucket kernel emits the feature occurrences, the weight fold runs
+    * over that array — no shuffle anywhere in the plan (PlanSpec-pinnable:
+    * zero Exchange).
+    */
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, seed: Long): DataFrame =
+    df.select(col(idCol),
+        Dsir.featureBucketsNative(col(textCol), buckets).as("__fb"))
+      .select(col(idCol),
+        size(col("__fb")).cast("long").as("n_feats"),
+        aggregate(col("__fb"), lit(0L),
+          (acc, b) => acc + weightMill(b, seed)).as("score_mill"))
+      .withColumn("keep", col("score_mill") > 0)
+
+  /** The same decision with an EXPLICIT weight table `(b, w_mill)` — the
+    * seam a trained model loads through: one corpus explode, one
+    * `buckets`-row broadcast join, one per-document sum with map-side
+    * partials (the [[Dsir.importanceWeights]] scoring shape).
+    */
+  def scoreWithTable(df: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    df.select(col(idCol),
+        explode(Dsir.featureBucketsNative(col(textCol), buckets)).as("b"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("w_mill")).as("score_mill"))
+      .withColumn("keep", col("score_mill") > 0)
+
+  /** The closed-form model as a table (for [[scoreWithTable]] round-trip
+    * tests and as the save/load artifact shape).
+    */
+  def weightTable(spark: org.apache.spark.sql.SparkSession, buckets: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    (0 until buckets).map(_.toLong).toDF("b")
+      .select(col("b"), weightMill(col("b"), seed).as("w_mill"))
+  }
+}

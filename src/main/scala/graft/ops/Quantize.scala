@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) embedding quantization — the index-compression step that
+  * makes a 100 TB float corpus ANN-searchable: per-dimension affine codes
+  * `c_i = clamp(round((x_i − mn_i) · 255 / (mx_i − mn_i)))` shrink a 64-d
+  * float32 vector 4× (and the pair-scoring join's shuffled bytes with it),
+  * while integer code dot products preserve neighbor ranking to within
+  * quantization error (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the scalar-quantization baseline of §II).
+  *
+  * Engine-portable by construction (the repo's oracle discipline): the
+  * only float arithmetic is the 3-op affine map `(x − mn) · 255 / (mx −
+  * mn) + 0.5` evaluated in double with a fixed association — identical
+  * IEEE results in any engine — then `floor` (floor is floor everywhere;
+  * CAST rounds in DuckDB but truncates in Spark, so never CAST a
+  * fraction). Codes are exact small integers, code dot products are exact
+  * integer sums (≤ dim · 255² « 2^53), so the quantized top-k is
+  * hash-comparable across engines with no tolerance band.
+  *
+  * Scale shape: the stats pass is one corpus scan aggregated to `dim`
+  * rows (map-side partial min/max, a tree-reduce — the collect is dim
+  * rows, never data); quantization is a map pass; scoring joins shuffle
+  * 1-byte-per-dim codes instead of 4-byte floats.
+  */
+object Quantize {
+
+  /** Per-dimension (mn, mx) over the corpus, as driver-side arrays
+    * (`dim` rows — bounded by the embedding width, not the corpus).
+    */
+  def dimStats(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i")
+      .collect()
+    // float min/max are exact element selections; toDouble is exact —
+    // the oracle's CAST(MIN(x) AS DOUBLE) sees identical values
+    (rows.map(_.getFloat(1).toDouble).toSeq,
+      rows.map(_.getFloat(2).toDouble).toSeq)
+  }
+
+  /** The quantized-code column: `array<float>` of integer values 0..255
+    * (float-typed so the native codegen'd [[Similarity.dot]] kernel scores
+    * code pairs — every value ≤ 255 is exact in float, every pair dot
+    * ≤ dim·255² is an exact integer in double).
+    */
+  def codes(vec: Column, mn: Seq[Double], mx: Seq[Double]): Column = {
+    val mnA = array(mn.map(lit): _*)
+    val mxA = array(mx.map(lit): _*)
+    transform(vec, (x, i) => {
+      val lo = element_at(mnA, i + 1)
+      val hi = element_at(mxA, i + 1)
+      when(hi > lo,
+        greatest(lit(0L), least(lit(255L),
+          floor((x.cast("double") - lo) * lit(255.0) / (hi - lo) + lit(0.5)))))
+        .otherwise(lit(0L))
+        .cast("float")
+    })
+  }
+
+  /** Quantized-domain exact top-k: every query scored against every corpus
+    * row by integer code dot product (the intentional quadratic baseline in
+    * the compressed domain — compose with [[Similarity.lshTopK]]-style
+    * bucketing for the sub-quadratic path). Output (query_id, neighbor_id,
+    * qdot BIGINT, rank), rank 1..k by descending dot, ties by neighbor id.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val (mn, mx) = dimStats(corpus, vecCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      codes(col(vecCol), mn, mx).as("qc"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      codes(col(vecCol), mn, mx).as("cc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("qc"), col("cc")).cast("long").as("qdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

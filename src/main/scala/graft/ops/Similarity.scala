@@ -54,6 +54,16 @@ object Similarity {
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Sign random projection to `outDim` integer-millionth components
+    * ([[graft.functions.RandomProject]], injected as `graft_rproject`):
+    * the JL dimensionality-reduction map pass that shrinks every
+    * downstream pair-scoring join's bytes before ANN. Exact integer
+    * output — reproducible engine-to-engine with no float-sum-order
+    * caveat.
+    */
+  def randomProject(vec: Column, outDim: Int, seed: Int): Column =
+    call_function("graft_rproject", vec, lit(outDim), lit(seed))
+
   /** Brute-force exact cosine top-k: every query row scored against every
     * corpus row (`queries × corpus` — the intentional quadratic baseline),
     * then a per-query window keeps the k best.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Components, EmbedProfile, NearDup, Similarity}
+import graft.ops.{Components, EmbedProfile, NearDup, Quantize, Similarity}
 
 /** Oracle-checked queries for the similarity-search / near-dup operator
   * family: ANN over the `embeddings` table, n-gram Jaccard and MinHash-LSH
@@ -305,7 +305,29 @@ object SimOps {
         Similarity.cosineSim(col("vi"), col("vj")).as("cos"))
   }
 
+  /** Sign random projection (JL) of the whole embeddings table to 8
+    * integer-millionth components — the pre-ANN compression map pass,
+    * exact in both engines (one row per (vec_id, output dim)).
+    */
+  private def q114RandomProject(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      posexplode(Similarity.randomProject(col("embedding"), 8, 42))
+        .as(Seq("j", "out_mill")))
+
+  /** Quantized-domain exact ANN: int8 scalar codes (corpus min/max per
+    * dimension), integer code dot products, per-query top-k — the
+    * compressed-index search path, bit-reproducible because every score
+    * is an exact integer.
+    */
+  private def q116QuantizedAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Quantize.quantizedTopK(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_random_projection" -> q114RandomProject _,
+    "q116_quantized_ann" -> q116QuantizedAnn _,
     "q111_sim_join" -> q111SimJoin _,
     "q112_bloom_decontaminate" -> q112BloomDecontaminate _,
     "q90_leakage_split" -> q90LeakageSplit _,
@@ -392,6 +414,42 @@ object SimOps {
       s"WHERE rank <= $topK"
 
   val oracle: Map[String, String] = Map(
+    // the exact integer replay of RandomProjectKernel: same millionths
+    // rounding (floor, never CAST — CAST rounds in DuckDB, truncates in
+    // Spark), same nonlinear (i, j, seed) sign mix mod 2^40, so the sum
+    // is an order-free integer both engines agree on bit-for-bit
+    "q114_random_projection" ->
+      ("WITH sg AS (SELECT i, j, CASE WHEN " +
+        "  ((((h2 % 1048576) * (h2 % 1048576) + h2) % 1099511627776) // 1048576) % 2 = 0 " +
+        "  THEN 1 ELSE -1 END AS sgn FROM (" +
+        "  SELECT i, j, ((h0 % 1048576) * (h0 % 1048576) + h0) % 1099511627776 AS h2 FROM (" +
+        "  SELECT i, j, (i * 1048573 + j * 8191 + 42) % 1099511627776 AS h0 " +
+        "  FROM (SELECT unnest(range(64)) AS i), (SELECT unnest(range(8)) AS j)))), " +
+        "e AS (SELECT vec_id, unnest([{'i': CAST(i - 1 AS BIGINT), " +
+        "  'xm': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)} " +
+        "  for i in range(1, len(embedding) + 1)], recursive := true) FROM embeddings) " +
+        "SELECT e.vec_id, CAST(sg.j AS INT) AS j, " +
+        "  CAST(SUM(sg.sgn * e.xm) AS BIGINT) AS out_mill " +
+        "FROM e JOIN sg ON sg.i = e.i GROUP BY e.vec_id, sg.j"),
+    // full replay of the scalar-quantization pipeline: per-dim float
+    // min/max (exact element selections), the 3-op affine map in double
+    // with the same association, floor + clamp, integer code dot
+    "q116_quantized_ann" ->
+      ("WITH x AS (SELECT vec_id, unnest([{'i': i, 'x': embedding[i]} " +
+        "  for i in range(1, len(embedding) + 1)], recursive := true) FROM embeddings), " +
+        "st AS (SELECT i, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
+        "  FROM x GROUP BY i), " +
+        "c AS (SELECT vec_id, x.i, CASE WHEN mx > mn THEN " +
+        "  GREATEST(0, LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) " +
+        "  ELSE 0 END AS code FROM x JOIN st ON x.i = st.i), " +
+        "p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+        "  CAST(SUM(q.code * n.code) AS BIGINT) AS qdot " +
+        "  FROM c q JOIN c n ON q.vec_id < 20 AND n.vec_id <> q.vec_id AND q.i = n.i " +
+        "  GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdot, rank FROM (" +
+        "  SELECT query_id, neighbor_id, qdot, CAST(ROW_NUMBER() OVER (" +
+        "    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM p) " +
+        s"WHERE rank <= $topK"),
     // floor-scaled (2^20) integer component sums → centroid; cosine folds
     // left-to-right in dim order — mirrors EmbedProfile.groupOutliers
     // bit-for-bit (floor, not cast: cast rounds in DuckDB, truncates in

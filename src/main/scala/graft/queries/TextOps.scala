@@ -699,6 +699,15 @@ object TextOps {
       "doc_id", "text", buckets = 512)
   }
 
+  /** Model-based quality filter ([[graft.ops.Classifier]]): hashed
+    * linear classifier inference over the DSIR feature space — the
+    * fastText-shaped quality gate, MAP-ONLY (the score folds inside each
+    * document's row; PlanSpec pins zero Exchange).
+    */
+  private def q115ClassifierFilter(s: SparkSession, d: String): DataFrame =
+    graft.ops.Classifier.scoreDocs(
+      Tables.documents(s, d), "doc_id", "text", buckets = 512, seed = 7L)
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -744,6 +753,7 @@ object TextOps {
     "q107_kn_score" -> q107KnScore _,
     "q108_budget_mix" -> q108BudgetMix _,
     "q113_dsir_weights" -> q113DsirWeights _,
+    "q115_classifier_filter" -> q115ClassifierFilter _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -1151,6 +1161,23 @@ object TextOps {
         "  CAST(SUM(delta_mill) AS BIGINT) AS weight_mill, " +
         "  SUM(delta_mill) > 0 AS keep " +
         "FROM h JOIN delta USING (b) GROUP BY h.doc_id"),
+    // q113's hashed uni+bigram feature space, scored by the closed-form
+    // weight table: w_mill(b) = ((b·2654435761 + 7) mod 2^40) mod 2001
+    // − 1000 — all-integer, so the per-document sum is engine-exact
+    "q115_classifier_filter" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "feats AS (SELECT doc_id, list_concat(t, " +
+        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
+        "f AS (SELECT doc_id, unnest(fs) AS s FROM feats), " +
+        "h AS (SELECT doc_id, " +
+        "  (list_reduce(list_transform(string_split(s, ''), " +
+        "    c -> CAST(ascii(c) AS BIGINT)), " +
+        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
+        "w AS (SELECT doc_id, " +
+        "  ((b * 2654435761 + 7) % 1099511627776) % 2001 - 1000 AS w_mill FROM h) " +
+        "SELECT doc_id, COUNT(*) AS n_feats, " +
+        "  CAST(SUM(w_mill) AS BIGINT) AS score_mill, " +
+        "  SUM(w_mill) > 0 AS keep FROM w GROUP BY doc_id"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RandomProjectKernel
+import graft.ops.{Classifier, Quantize, Similarity}
+
+/** Unit semantics for the embedding-compression trio: sign random
+  * projection (JL), int8 scalar quantization, and the hashed linear
+  * classifier filter.
+  */
+class ProjectQuantizeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextFloat() - 0.5f)
+  }
+
+  // ---- random projection -------------------------------------------------
+
+  test("sign mix is balanced and not rank-1 (no s_i XOR s_j structure)") {
+    val dim = 64; val out = 16
+    val signs = Array.tabulate(dim, out)((i, j) => RandomProjectKernel.sign(i, j, 42L))
+    val total = signs.flatten.sum
+    assert(math.abs(total) < dim * out / 4, s"unbalanced: $total")
+    // a rank-1 sign matrix has |column dot| = dim for every column pair;
+    // require every pair decorrelated well below that
+    for (a <- 0 until out; b <- (a + 1) until out) {
+      val d = (0 until dim).map(i => signs(i)(a) * signs(i)(b)).sum
+      assert(math.abs(d) < dim / 2, s"columns $a,$b correlated: $d")
+    }
+  }
+
+  test("projection preserves planted-duplicate nearest neighbors") {
+    val dim = 64
+    val base = (0 until 40).map(i => (i.toLong, randVec(i, dim)))
+    // plant an exact duplicate of vec 0 at id 100: after ANY linear map
+    // its image is identical, so it must be the projected top-1 of vec 0
+    val df = (base :+ (100L, base.head._2)).toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"),
+      Similarity.randomProject(col("embedding"), 8, 42).as("p"))
+    val rows = proj.as[(Long, Array[Long])].collect().toMap
+    assert(rows(0L).sameElements(rows(100L)))
+    // and distinct vectors project to distinct images (no collapse)
+    assert(rows.values.map(_.toSeq).toSet.size == 41 - 1)
+  }
+
+  test("projected distances separate near pairs from far pairs (JL)") {
+    val dim = 64
+    // pairs at well-separated original distances: ε-perturbed copies vs
+    // independent vectors. JL guarantees approximate preservation only
+    // up to (1 ± ε) distortion, so the testable contract is separation
+    // of SCALES, not total rank order among concentrated random pairs.
+    val base = (0 until 10).map(i => randVec(1000 + i, dim))
+    def perturb(v: Array[Float], eps: Float, s: Int): Array[Float] = {
+      val r = new scala.util.Random(s)
+      v.map(x => x + (r.nextFloat() - 0.5f) * eps)
+    }
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 10L, v), (i * 10L + 1, perturb(v, 0.02f, i)))
+    }
+    val proj = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 16, 42).as("p"))
+      .as[(Long, Array[Long])].collect().toMap
+    def pd2(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val nearMax = base.indices.map(i =>
+      pd2(proj(i * 10L), proj(i * 10L + 1))).max
+    val farMin = (for (i <- base.indices; j <- base.indices if i != j)
+      yield pd2(proj(i * 10L), proj(j * 10L))).min
+    assert(nearMax < farMin,
+      s"every ε-pair ($nearMax) must project closer than every independent pair ($farMin)")
+  }
+
+  // ---- scalar quantization ----------------------------------------------
+
+  test("codes are integral, clamped to [0, 255], and exact duplicates tie") {
+    val dim = 16
+    val base = (0 until 25).map(i => (i.toLong, randVec(i, dim)))
+    val df = base.toDF("vec_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(df, "embedding")
+    val codes = df.select(col("vec_id"),
+        Quantize.codes(col("embedding"), mn, mx).as("c"))
+      .as[(Long, Array[Float])].collect()
+    codes.foreach { case (_, c) =>
+      assert(c.length == dim)
+      c.foreach(v => assert(v == math.rint(v) && v >= 0f && v <= 255f))
+    }
+    // a vector OUTSIDE the corpus range clamps, never wraps
+    val hot = Seq((999L, Array.fill(dim)(10f))).toDF("vec_id", "embedding")
+    val hc = hot.select(Quantize.codes(col("embedding"), mn, mx))
+      .as[Array[Float]].head()
+    assert(hc.forall(_ == 255f))
+  }
+
+  test("quantized top-1 finds a planted exact duplicate") {
+    val dim = 32
+    val base = (0 until 40).map(i => (i.toLong, randVec(50 + i, dim)))
+    val corpus = (base :+ (100L, base.head._2)).toDF("vec_id", "embedding")
+    val top = Quantize.quantizedTopK(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 100L, "identical codes maximize the integer dot")
+  }
+
+  test("constant dimension quantizes to 0, not NaN/divide-by-zero") {
+    val df = Seq((1L, Array(1f, 0.5f)), (2L, Array(1f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(df, "embedding")
+    val c = df.orderBy("vec_id")
+      .select(Quantize.codes(col("embedding"), mn, mx))
+      .as[Array[Float]].collect()
+    assert(c(0)(0) == 0f && c(1)(0) == 0f) // mx == mn → code 0
+    assert(c(0)(1) == 255f && c(1)(1) == 0f)
+  }
+
+  // ---- classifier filter -------------------------------------------------
+
+  test("closed-form scoring equals the explicit weight-table join") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "spark scan agg"),
+      (3L, "a"), (4L, "x y x y x y")).toDF("doc_id", "text")
+    val a = Classifier.scoreDocs(docs, "doc_id", "text", 64, 7L)
+      .orderBy("doc_id").collect().toSeq
+    val b = Classifier.scoreWithTable(docs,
+        Classifier.weightTable(spark, 64, 7L), "doc_id", "text", 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("classifier inference is map-only: zero Exchange in the plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Classifier.scoreDocs(docs, "doc_id", "text", 64, 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("weights span [-1000, 1000] with both signs present") {
+    val w = Classifier.weightTable(spark, 512, 7L)
+      .agg(min("w_mill"), max("w_mill")).as[(Long, Long)].head()
+    assert(w._1 >= -1000L && w._2 <= 1000L && w._1 < 0 && w._2 > 0)
+  }
+}
