@@ -46,6 +46,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_rproject(vec, outDim, seed)` → [[RandomProject]]: sign
   *    random projection (JL) of an embedding to `outDim` integer-
   *    millionth components — the pre-ANN dimensionality reduction;
+  *  - `graft_hash_embed(text, buckets, outDim, seed)` → [[HashEmbed]]:
+  *    model-free document embedding — the hashing trick over the DSIR
+  *    uni+bigram feature space composed with the sign projection, fused
+  *    into one pass over the text;
   *  - `graft_bloom_contains(h, bloomBytes)` → [[BloomContains]]:
   *    Bloom-filter membership over a 64-bit hash — the broadcast-set
   *    map-side prefilter for semi/anti-joins against a small keyset.
@@ -174,6 +178,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RandomProject(children.head,
           litInt(children(1), "graft_rproject", "outDim"),
           litInt(children(2), "graft_rproject", "seed").toLong)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_hash_embed takes exactly 4 arguments")
+        HashEmbed(children.head,
+          litInt(children(1), "graft_hash_embed", "buckets"),
+          litInt(children(2), "graft_hash_embed", "outDim"),
+          litInt(children(3), "graft_hash_embed", "seed").toLong)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

@@ -51,6 +51,58 @@ object NearDup {
     else df
   }
 
+  /** Persist the inverted shingle index as the near-dup family's
+    * build-once/query-many artifact (the [[graft.ops.Similarity]] IVF /
+    * [[Lm]] table lifecycle, for text): one row per distinct (doc,
+    * shingle-hash) with the doc's distinct-shingle count denormalized on —
+    * `(idCol, h, n_sh)` — so a query session joins the loaded index
+    * directly, no second aggregation over history. 16-byte-a-row parquet,
+    * far smaller than the corpus text it replaces.
+    */
+  def saveShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, path: String): Unit = {
+    val idx = postings(docs, idCol, textCol, n)
+    val sizes = idx.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    idx.join(sizes, Seq(idCol)).write.mode("overwrite").parquet(path)
+  }
+
+  /** The saved index back as a frame ([[saveShingleIndex]] layout). */
+  def loadShingleIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Near-dup pairs of a NEW batch against a saved history index — the
+    * incremental twin of [[ngramJaccardPairs]] (and the near-dup analogue
+    * of [[Dedup.incrementalByFingerprint]]): shingle ONLY the batch, join
+    * its postings against the loaded index on the 8-byte shingle hash with
+    * the same size-compatibility prune, count shared shingles per
+    * candidate pair, and keep exact Jaccard >= `minJaccard`. Per-batch
+    * cost scales with the batch and its shared-shingle candidates, never
+    * with the history corpus — history text is never read, only its
+    * 16-byte postings.
+    *
+    * Output: (i = batch id, j = history id, jaccard). Batch and history
+    * id spaces are assumed disjoint (the incremental-ingest contract).
+    */
+  def incrementalNearDupPairs(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int, minJaccard: Double): DataFrame = {
+    val bIdx = postings(batch, idCol, textCol, n)
+    val bSizes = bIdx.groupBy(idCol).agg(count(lit(1)).as("n_i"))
+    val left = bIdx.join(bSizes, Seq(idCol))
+      .select(col(idCol).as("i"), col("h"), col("n_i"))
+    val right = index.select(col(idCol).as("j"), col("h").as("hj"),
+      col("n_sh").as("n_j"))
+    val inter = left.join(right,
+        col("h") === col("hj") &&
+          col("n_i").cast("double") >= lit(minJaccard) * col("n_j") &&
+          col("n_j").cast("double") >= lit(minJaccard) * col("n_i"))
+      .groupBy("i", "j", "n_i", "n_j")
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("n_i") + col("n_j") - col("n_common")).cast("double")
+    inter.select(col("i"), col("j"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact Jaccard over two distinct-hash sets — the same value as the
     * string-set Jaccard unless two distinct shingles of the pair collide in
     * 64 bits (~2⁻⁶⁴ per pair; the DuckDB oracle recomputes from strings and

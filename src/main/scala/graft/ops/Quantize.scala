@@ -63,6 +63,53 @@ object Quantize {
     })
   }
 
+  /** The quantized inverted file (FAISS's IVF-SQ8 layout): nearest-centroid
+    * cell from the RAW vector (assignment quality untouched by
+    * quantization), int8 codes in place of the floats, and the code's
+    * self-dot (`cn2`) precomputed so query-time L2 needs ONE pair dot.
+    * Rows: (idCol, cell, code, cn2) — the 4×-smaller corpus a 100 TB
+    * deployment persists partitioned by cell.
+    */
+  def assignCellsSq8(df: DataFrame, idCol: String, vecCol: String,
+      index: Similarity.IvfIndex, mn: Seq[Double], mx: Seq[Double]): DataFrame =
+    Similarity.assignCells(df, idCol, vecCol, index)
+      .select(col(idCol), col("cell"), codes(col(vecCol), mn, mx).as("code"))
+      .withColumn("cn2",
+        Similarity.dot(col("code"), col("code")).cast("long"))
+
+  /** IVF search over the quantized inverted file: probe the query's
+    * `nProbe` best cells, score candidates by EXACT INTEGER squared-L2 in
+    * code space — `qdist = q·q − 2·q·c + c·c`, every term an exact
+    * integer ≤ dim·255² so the expansion is error-free and
+    * hash-comparable. Output (query_id, neighbor_id, qdist, rank), rank
+    * 1..k by ASCENDING distance, ties by neighbor id.
+    *
+    * An exact duplicate of a query quantizes to identical codes (distance
+    * 0, the provable minimum) and assigns to the query's own argmax cell,
+    * so planted-copy recall is structurally 1 — the q117 oracle contract.
+    */
+  def ivfSq8TopK(index: Similarity.IvfIndex, queries: DataFrame,
+      assignedSq8: DataFrame, idCol: String, vecCol: String,
+      mn: Seq[Double], mx: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.numCentroids,
+      "1 <= nProbe <= numCentroids")
+    val q = queries.select(col(idCol).as("query_id"),
+        codes(col(vecCol), mn, mx).as("qc"),
+        explode(Similarity.probeCells(col(vecCol), index, nProbe)).as("cell"))
+      .withColumn("qn2", Similarity.dot(col("qc"), col("qc")).cast("long"))
+    val c = assignedSq8.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("code").as("cc"), col("cn2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdist").asc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qn2") - lit(2L) * Similarity.dot(col("qc"), col("cc")).cast("long")
+          + col("cn2")).as("qdist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Quantized-domain exact top-k: every query scored against every corpus
     * row by integer code dot product (the intentional quadratic baseline in
     * the compressed domain — compose with [[Similarity.lshTopK]]-style

@@ -278,7 +278,10 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int = 16, seed: Long = 42L, lloydIters: Int = 1,
       trainPerCentroid: Int = 256): IvfIndex = {
-    val mat = corpus.persist()
+    // pinIfUnpinned, not persist(): a caller that pinned the corpus for
+    // its own downstream stages (q117 shares it with the quantization
+    // passes) must not have its cache dropped by the build's cleanup
+    val (mat, pinnedCorpus) = pinIfUnpinned(corpus)
     try {
       // the train sample is PINNED too: it is centroid-bounded (~4k rows),
       // and init, every Lloyd assignment agg, and the drift baseline each
@@ -297,7 +300,7 @@ object Similarity {
         // baseline the wrong quantizer (see q32's cost note)
         IvfIndex(cents, meanAssignScoreMill(train, vecCol, cents))
       } finally if (pinned) { train.unpersist(blocking = false); () }
-    } finally mat.unpersist(blocking = false)
+    } finally if (pinnedCorpus) { mat.unpersist(blocking = false); () }
   }
 
   /** Mean COSINE to the nearest centroid over `df`, in integer millionths:
@@ -392,6 +395,16 @@ object Similarity {
       array_max(cellScoresFor(col(vecCol), index.centroids))
         .getField("cell").as("cell"))
 
+  /** The query-side probe list: the `nProbe` best cells for a vector, best
+    * first — shared by the float inverted file ([[ivfTopKWithAssigned]])
+    * and the quantized one ([[Quantize.ivfSq8TopK]]).
+    */
+  private[graft] def probeCells(vec: Column, index: IvfIndex,
+      nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(cellScoresFor(vec, index.centroids))), 1, nProbe),
+      s => s.getField("cell"))
+
   /** Query-time IVF search over a PRE-ASSIGNED inverted file
     * ([[assignCells]] rows — e.g. [[loadAssignedCorpus]]): only the query
     * side computes cell scores; the corpus side is read as-is, which is
@@ -403,14 +416,11 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= index.numCentroids,
       "1 <= nProbe <= numCentroids")
-    def cellScores(vec: Column): Column = cellScoresFor(vec, index.centroids)
     val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col("nrm").as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"),
-      explode(transform(
-        slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe),
-        s => s.getField("cell"))).as("cell"))
+      explode(probeCells(col(vecCol), index, nProbe)).as("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("cell"))

@@ -30,6 +30,16 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Model-free dense document embedding ([[graft.functions.HashEmbed]],
+    * injected as `graft_hash_embed`): the hashing trick over the DSIR
+    * uni+bigram feature space composed with the sign random projection —
+    * one fused pass over the text, exact integer output. Gives raw text a
+    * vector column the ANN / cosine-dedup stack can run on with no
+    * trained model anywhere in the pipeline.
+    */
+  def hashEmbed(text: Column, buckets: Int, outDim: Int, seed: Int): Column =
+    call_function("graft_hash_embed", text, lit(buckets), lit(outDim), lit(seed))
+
   def charCount(text: Column): Column = length(text)
 
   /** Mean token length — exact int sum / exact int count, one IEEE division. */

@@ -325,9 +325,78 @@ object SimOps {
       emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", topK)
   }
 
+  /** EXACT copies of every query vector at known ids — the planted
+    * construction for quantized-domain recall: identical vectors get
+    * identical codes (squared-L2 distance 0, the provable minimum) and
+    * identical argmax cells, so an IVF probe that covers the query's own
+    * cell finds every copy. (q24/q32's power-of-two scaling preserves
+    * cosine but NOT affine int8 codes — quantized planting must copy.)
+    */
+  private def exactPlantedCorpus(emb: DataFrame): DataFrame =
+    (1 to topK).foldLeft(emb.select(col("vec_id"), col("embedding"))) { (acc, m) =>
+      acc.union(
+        emb.filter(col("vec_id") < 20).select(
+          (col("vec_id") * 10 + lit(1000000L + m)).as("vec_id"),
+          col("embedding")))
+    }
+
+  private val exactPlantedSql: String =
+    "SELECT vec_id, embedding FROM embeddings " +
+      (1 to topK).map { m =>
+        s"UNION ALL SELECT vec_id * 10 + ${1000000 + m}, embedding " +
+          "FROM embeddings WHERE vec_id < 20"
+      }.mkString(" ")
+
+  /** IVF over the int8-quantized inverted file (the FAISS IVF-SQ8 shape):
+    * honest in-query index build + corpus quantization, then probed
+    * integer-L2 search. Exact-verified on the planted corpus — each
+    * query's [[topK]] exact copies sit at distance 0 in its own cell, so
+    * the probed result equals the exhaustive quantized top-k the oracle
+    * computes.
+    */
+  private def q117IvfSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // persisted ONCE: the index build, the dim-stats pass, and the
+    // inverted-file quantization all scan the planted union — uncached
+    // each stage re-executes it (measured 3.3 s → 1.9 s at sf0.1; needs
+    // buildIvfIndex's pinIfUnpinned so the build doesn't drop this pin)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(corpus, "embedding")
+    val assigned = Quantize.assignCellsSq8(
+      corpus, "vec_id", "embedding", index, mn, mx)
+    Quantize.ivfSq8TopK(index, queries, assigned, "vec_id", "embedding",
+      mn, mx, topK)
+  }
+
+  /** Incremental near-dup through the SAVED inverted shingle index — the
+    * near-dup family's build-once/query-many lifecycle ([[graft.ops
+    * .NearDup.saveShingleIndex]]/[[graft.ops.NearDup
+    * .incrementalNearDupPairs]]): a batch of 30 exact history copies at
+    * fresh ids is checked against the loaded history index; history TEXT
+    * is never re-read. The oracle recomputes the cross-corpus Jaccard
+    * from the strings, so both the index round-trip and the incremental
+    * join are hash-graded.
+    */
+  private def q119IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") >= 50)
+    val batch = docs.filter(col("doc_id").between(50, 79))
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val path = graft.core.Scratch.ephemeralDir(s"graft_shingle_idx_$tag")
+    NearDup.saveShingleIndex(history, "doc_id", "text", nShingle, path)
+    NearDup.incrementalNearDupPairs(batch,
+      NearDup.loadShingleIndex(s, path), "doc_id", "text", nShingle, minJaccard)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_incremental_neardup" -> q119IncrementalNeardup _,
     "q114_random_projection" -> q114RandomProject _,
     "q116_quantized_ann" -> q116QuantizedAnn _,
+    "q117_ivf_sq8" -> q117IvfSq8 _,
     "q111_sim_join" -> q111SimJoin _,
     "q112_bloom_decontaminate" -> q112BloomDecontaminate _,
     "q90_leakage_split" -> q90LeakageSplit _,
@@ -450,6 +519,27 @@ object SimOps {
         "  SELECT query_id, neighbor_id, qdot, CAST(ROW_NUMBER() OVER (" +
         "    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM p) " +
         s"WHERE rank <= $topK"),
+    // exhaustive quantized squared-L2 over the exact-copy planted corpus:
+    // recall of the probed IVF result is structurally 1 there (copies at
+    // distance 0 in the query's own cell), so the approximate engine
+    // answer equals this exact replay
+    "q117_ivf_sq8" ->
+      (s"WITH u AS ($exactPlantedSql), " +
+        "x AS (SELECT vec_id, unnest([{'i': i, 'x': embedding[i]} " +
+        "  for i in range(1, len(embedding) + 1)], recursive := true) FROM u), " +
+        "st AS (SELECT i, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
+        "  FROM x GROUP BY i), " +
+        "c AS (SELECT vec_id, x.i, CASE WHEN mx > mn THEN " +
+        "  GREATEST(0, LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) " +
+        "  ELSE 0 END AS code FROM x JOIN st ON x.i = st.i), " +
+        "p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+        "  CAST(SUM((q.code - n.code) * (q.code - n.code)) AS BIGINT) AS qdist " +
+        "  FROM c q JOIN c n ON q.vec_id < 20 AND n.vec_id <> q.vec_id AND q.i = n.i " +
+        "  GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist, rank FROM (" +
+        "  SELECT query_id, neighbor_id, qdist, CAST(ROW_NUMBER() OVER (" +
+        "    PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS INT) AS rank FROM p) " +
+        s"WHERE rank <= $topK"),
     // floor-scaled (2^20) integer component sums → centroid; cosine folds
     // left-to-right in dim order — mirrors EmbedProfile.groupOutliers
     // bit-for-bit (floor, not cast: cast rounds in DuckDB, truncates in
@@ -493,6 +583,23 @@ object SimOps {
     "q25_ngram_jaccard" -> jaccardSql,
     "q26_minhash_lsh" -> jaccardSql,
     "q35_ngram_jaccard_capped" -> jaccardSql,
+    // cross-corpus truth for the incremental index path: the batch is 30
+    // exact history copies at +2e6 ids; Jaccard recomputed from strings
+    "q119_incremental_neardup" ->
+      ("WITH h AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50), " +
+        "bt AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents " +
+        "  WHERE doc_id BETWEEN 50 AND 79), " +
+        "hs AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "  for i in range(1, len(t) - 1)]) AS s FROM " +
+        "  (SELECT doc_id, string_split(text, ' ') AS t FROM h)), " +
+        "bs AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') " +
+        "  for i in range(1, len(t) - 1)]) AS s FROM " +
+        "  (SELECT doc_id, string_split(text, ' ') AS t FROM bt)), " +
+        "p AS (SELECT b.doc_id AS i, a.doc_id AS j, " +
+        "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard " +
+        "  FROM bs b JOIN hs a ON true) " +
+        s"SELECT i, j, jaccard FROM p WHERE jaccard >= $minJaccard"),
     "q52_dedup_clusters" ->
       (s"WITH RECURSIVE $componentCtes " +
         "SELECT v AS doc_id, c AS component FROM comp"),

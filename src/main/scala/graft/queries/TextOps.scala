@@ -708,6 +708,16 @@ object TextOps {
     graft.ops.Classifier.scoreDocs(
       Tables.documents(s, d), "doc_id", "text", buckets = 512, seed = 7L)
 
+  /** Model-free hashed document embeddings ([[TextAnalysis.hashEmbed]]):
+    * the hashing trick + sign projection as one fused native pass — raw
+    * text gains a dense integer vector for the ANN/dedup stack. One row
+    * per (doc_id, output dim); map-only.
+    */
+  private def q118HashEmbed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      posexplode(TextAnalysis.hashEmbed(col("text"), 512, 8, 42))
+        .as(Seq("j", "emb_val")))
+
   /** Epoch-weighted replication ([[graft.ops.Mix.epochMix]]): upsample
     * high-value languages by fractional epoch counts (en ×1.3, de ×2.5,
     * rest ×0.4) with each copy tagged by epoch ordinal — the upsampling
@@ -754,6 +764,7 @@ object TextOps {
     "q108_budget_mix" -> q108BudgetMix _,
     "q113_dsir_weights" -> q113DsirWeights _,
     "q115_classifier_filter" -> q115ClassifierFilter _,
+    "q118_hash_embed" -> q118HashEmbed _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -1178,6 +1189,27 @@ object TextOps {
         "SELECT doc_id, COUNT(*) AS n_feats, " +
         "  CAST(SUM(w_mill) AS BIGINT) AS score_mill, " +
         "  SUM(w_mill) > 0 AS keep FROM w GROUP BY doc_id"),
+    // q113's per-occurrence bucket CTE joined against q114's two-round
+    // sign mix evaluated on the (bucket, j) grid — the signed occurrence
+    // count per output dim is an exact integer both engines agree on
+    "q118_hash_embed" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "feats AS (SELECT doc_id, list_concat(t, " +
+        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
+        "f AS (SELECT doc_id, unnest(fs) AS s FROM feats), " +
+        "h AS (SELECT doc_id, " +
+        "  (list_reduce(list_transform(string_split(s, ''), " +
+        "    c -> CAST(ascii(c) AS BIGINT)), " +
+        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
+        "sg AS (SELECT b, j, CASE WHEN " +
+        "  ((((h2 % 1048576) * (h2 % 1048576) + h2) % 1099511627776) // 1048576) % 2 = 0 " +
+        "  THEN 1 ELSE -1 END AS sgn FROM (" +
+        "  SELECT b, j, ((h0 % 1048576) * (h0 % 1048576) + h0) % 1099511627776 AS h2 FROM (" +
+        "  SELECT b, j, (b * 1048573 + j * 8191 + 42) % 1099511627776 AS h0 " +
+        "  FROM (SELECT unnest(range(512)) AS b), (SELECT unnest(range(8)) AS j)))) " +
+        "SELECT h.doc_id, CAST(sg.j AS INT) AS j, " +
+        "  CAST(SUM(sg.sgn) AS BIGINT) AS emb_val " +
+        "FROM h JOIN sg ON sg.b = h.b GROUP BY h.doc_id, sg.j"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

@@ -98,6 +98,26 @@ class NearDupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("saved shingle index round-trips and incremental pairs match inline") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    val history = docs.filter(col("doc_id") =!= 5L)
+    NearDup.saveShingleIndex(history, "doc_id", "text", 3, s"$dir/idx")
+    val idx = NearDup.loadShingleIndex(spark, s"$dir/idx")
+    // batch: an exact copy of 1 and a fresh unrelated doc
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "nothing in common with anything stored before now")
+    ).toDF("doc_id", "text")
+    val got = NearDup.incrementalNearDupPairs(
+        batch, idx, "doc_id", "text", 3, 0.8)
+      .orderBy("i", "j")
+      .as[(Long, Long, Double)].collect().toSeq
+    // 100 duplicates history docs 1 and 4 exactly; 2 is below 0.8 at n=3
+    assert(got == Seq((100L, 1L, 1.0), (100L, 4L, 1.0)))
+    // history text must not be needed: the loaded index alone suffices
+    assert(idx.columns.toSet == Set("doc_id", "h", "n_sh"))
+  }
+
   test("minhash signature has one entry per permutation, stable across runs") {
     val sig = docs.filter(col("doc_id") === 1)
       .select(NearDup.minhashSignature(

@@ -341,7 +341,10 @@ class PlanSpec extends AnyFunSuite {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
     // max(id) that way) is not a scale hazard; anything else is.
-    val declaredScans = Set("q23_ann_cosine")
+    // q116 is q23's twin in the compressed domain: the DELIBERATE
+    // quadratic exact baseline the probed IVF-SQ8 path (q117) is graded
+    // against — its crossJoin is the declared contract, not an accident
+    val declaredScans = Set("q23_ann_cosine", "q116_quantized_ann")
     def scalarBuild(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left

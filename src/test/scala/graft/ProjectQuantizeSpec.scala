@@ -76,6 +76,48 @@ class ProjectQuantizeSpec extends AnyFunSuite {
       s"every ε-pair ($nearMax) must project closer than every independent pair ($farMin)")
   }
 
+  // ---- hashed document embeddings ---------------------------------------
+
+  test("graft_hash_embed equals the composed buckets→sign reference") {
+    import graft.ops.{Dsir, TextAnalysis}
+    val texts = Seq("apple banana apple", "single",
+      "the quick brown fox jumps over the lazy dog", "a b c a b", "zz")
+    val (buckets, outDim, seed) = (64, 8, 42)
+    val got = texts.toDF("text")
+      .select(col("text"), TextAnalysis.hashEmbed(col("text"), buckets, outDim, seed).as("e"))
+      .as[(String, Array[Long])].collect().toMap
+    // reference: explicit bucket occurrences, signs summed on the driver
+    val bucketRows = texts.toDF("text")
+      .select(col("text"), graft.ops.Dsir.featureBucketsNative(col("text"), buckets).as("bs"))
+      .as[(String, Array[Long])].collect().toMap
+    texts.foreach { t =>
+      val expect = (0 until outDim).map(j =>
+        bucketRows(t).map(b =>
+          graft.functions.RandomProjectKernel.sign(b.toInt, j, seed)).sum)
+      assert(got(t).toSeq == expect, t)
+    }
+  }
+
+  test("hashed embeddings: identical texts tie, shared features pull closer") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "data quality filters for corpus curation pipelines"),
+      (2L, "data quality filters for corpus curation pipelines"), // exact dup
+      (3L, "data quality filters for large corpus curation work"), // near
+      (4L, "zebra xylophone quark umbrella nebula wombat"))        // unrelated
+      .toDF("doc_id", "text")
+    val e = df.select(col("doc_id"),
+        TextAnalysis.hashEmbed(col("text"), 512, 16, 42).as("e"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(e(1L).sameElements(e(2L)))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    assert(cos(e(1L), e(3L)) > cos(e(1L), e(4L)),
+      "near-duplicate must sit closer than the unrelated text")
+  }
+
   // ---- scalar quantization ----------------------------------------------
 
   test("codes are integral, clamped to [0, 255], and exact duplicates tie") {
@@ -116,6 +158,46 @@ class ProjectQuantizeSpec extends AnyFunSuite {
       .as[Array[Float]].collect()
     assert(c(0)(0) == 0f && c(1)(0) == 0f) // mx == mn → code 0
     assert(c(0)(1) == 255f && c(1)(1) == 0f)
+  }
+
+  test("IVF-SQ8 finds planted exact duplicates at distance 0 in one probe") {
+    val dim = 32
+    val base = (0 until 60).map(i => (i.toLong, randVec(200 + i, dim)))
+    val corpus = (base ++ Seq((500L, base(3)._2), (501L, base(3)._2)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 4)
+    val (mn, mx) = Quantize.dimStats(corpus, "embedding")
+    val assigned = Quantize.assignCellsSq8(
+      corpus, "vec_id", "embedding", index, mn, mx)
+    val top = Quantize.ivfSq8TopK(index,
+        corpus.filter(col("vec_id") === 3), assigned, "vec_id", "embedding",
+        mn, mx, k = 2, nProbe = 1)
+      .orderBy("rank").select("neighbor_id", "qdist")
+      .as[(Long, Long)].collect().toSeq
+    assert(top == Seq((500L, 0L), (501L, 0L)),
+      "identical codes in the query's own cell, distance exactly 0")
+  }
+
+  test("SQ8 squared-L2 expansion equals the direct code difference sum") {
+    val dim = 16
+    val rows = (0 until 12).map(i => (i.toLong, randVec(300 + i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(df, "embedding")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding",
+      numCentroids = 2)
+    val assigned = Quantize.assignCellsSq8(df, "vec_id", "embedding", index, mn, mx)
+    val got = Quantize.ivfSq8TopK(index, df, assigned, "vec_id", "embedding",
+        mn, mx, k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "qdist")
+      .as[(Long, Long, Long)].collect()
+    val codes = df.select(col("vec_id"), Quantize.codes(col("embedding"), mn, mx))
+      .as[(Long, Array[Float])].collect().toMap
+    got.foreach { case (q, n, dist) =>
+      val direct = codes(q).zip(codes(n))
+        .map { case (a, b) => ((a - b) * (a - b)).toLong }.sum
+      assert(dist == direct, s"($q,$n)")
+    }
   }
 
   // ---- classifier filter -------------------------------------------------

@@ -257,6 +257,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifier quality gate scores a stream identically to batch") {
+    // model-based filtering is MAP-ONLY (the score folds inside each row),
+    // so it passes through Structured Streaming stateless — per-microbatch
+    // inference with zero stream state, and the streamed verdicts must be
+    // bit-identical to the batch operator on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "spark scan agg join shuffle",
+      3L -> "a b a b a b a b")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Classifier.scoreDocs(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", 64, 7L)
+      .writeStream.format("memory").queryName("clf")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      val batch = graft.ops.Classifier.scoreDocs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 64, 7L)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch && streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams pairs same-key events within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
