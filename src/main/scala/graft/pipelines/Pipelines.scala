@@ -543,3 +543,138 @@ object StreamingIvfIngest {
     Some(Compaction(pending.size.toLong, newGen, target))
   }
 }
+
+/** Streaming corpus ingestion with ONLINE NEAR-DUP REJECTION — the
+  * text-side twin of [[StreamingIvfIngest]]: a checkpointed
+  * `Trigger.AvailableNow` stream lands document micro-batches, each batch
+  * is checked for word-n-gram near-duplicates BOTH within itself
+  * (keep-lowest-id survivor) and against the accumulated shingle index of
+  * everything accepted before it
+  * ([[graft.ops.NearDup.incrementalNearDupPairs]] — history TEXT is never
+  * re-read, only its 16-byte postings), survivors land in the accepted
+  * corpus, and their postings append to the index for the NEXT batch to
+  * check against.
+  *
+  * Replay-idempotency follows the [[StreamingIvfIngest]] contract: a
+  * checkpoint-scoped run id namespaces per-batch output directories
+  * (`run=<id>/batch=<n>`, overwrite mode), so a replayed micro-batch
+  * converges instead of duplicating — and the history read for batch `n`
+  * EXCLUDES the current run's directories with batch id >= `n`, so a
+  * replay never rejects a batch against its own first attempt's postings.
+  * A lost checkpoint restarts batch numbering under a fresh run id; the
+  * old run's index rows remain HISTORY, so re-offered files deduplicate
+  * against their previous acceptance — exactly the semantics an
+  * incremental ingest wants.
+  *
+  * Scale shape per batch: shingle the batch (map), one hash join against
+  * the loaded postings index on the 8-byte shingle hash, one intra-batch
+  * blocked self-join — never the accepted corpus' text, never an
+  * all-pairs product.
+  */
+object StreamingNearDupIngest {
+
+  /** @param batches non-empty micro-batches landed this invocation
+    * @param accepted documents written to the accepted corpus
+    * @param rejected documents dropped as near-dups (intra-batch or
+    *   against history)
+    */
+  final case class Summary(batches: Long, accepted: Long, rejected: Long)
+
+  private def runIdFor(spark: SparkSession, checkpointDir: String): String = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath)) {
+      val in = fs.open(hadoopPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      val out = fs.create(hadoopPath, false)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
+  }
+
+  /** Index batch directories readable as history for micro-batch
+    * `batchId` of run `runId`: every completed batch dir EXCEPT the
+    * current run's `batch >= batchId` (a replay must not see its own
+    * first attempt).
+    */
+  private def historyDirs(spark: SparkSession, indexDir: String,
+      runId: String, batchId: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return Seq.empty
+    for {
+      runSt <- f.listStatus(root).toSeq
+      if runSt.isDirectory && runSt.getPath.getName.startsWith("run=")
+      run = runSt.getPath.getName.stripPrefix("run=")
+      bSt <- f.listStatus(runSt.getPath).toSeq
+      if bSt.isDirectory && bSt.getPath.getName.startsWith("batch=")
+      b = bSt.getPath.getName.stripPrefix("batch=").toLong
+      if run != runId || b < batchId
+    } yield bSt.getPath.toString
+  }
+
+  def run(spark: SparkSession, batchDir: String, schema: StructType,
+      idCol: String, textCol: String, n: Int, minJaccard: Double,
+      indexDir: String, acceptedDir: String, checkpointDir: String): Summary = {
+    import graft.ops.NearDup
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
+    val runId = runIdFor(spark, checkpointDir)
+    val query = spark.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(batchDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try {
+            // intra-batch: reject the LARGER id of every near-dup pair
+            // (keep-lowest-id survivor, the Dedup convention)
+            val intraRejects = NearDup
+              .ngramJaccardPairs(b, idCol, textCol, n, minJaccard)
+              .select(col("j").as(idCol))
+            // vs history: any doc near-dupping an already-accepted one
+            val dirs = historyDirs(spark, indexDir, runId, batchId)
+            val histRejects =
+              if (dirs.isEmpty) spark.emptyDataFrame.select()
+                .withColumn(idCol, org.apache.spark.sql.functions.lit(0L))
+                .limit(0)
+              else NearDup.incrementalNearDupPairs(b,
+                  spark.read.parquet(dirs: _*), idCol, textCol, n, minJaccard)
+                .select(col("i").as(idCol))
+            val rejects = intraRejects.union(histRejects).distinct().persist()
+            val keep = b.join(rejects, Seq(idCol), "left_anti").persist()
+            try {
+              val nKeep = keep.count()
+              accepted.addAndGet(nKeep)
+              rejected.addAndGet(b.count() - nKeep)
+              keep.write.mode("overwrite")
+                .parquet(s"$acceptedDir/run=$runId/batch=$batchId")
+              NearDup.saveShingleIndex(keep, idCol, textCol, n,
+                s"$indexDir/run=$runId/batch=$batchId")
+              batches.incrementAndGet()
+              ()
+            } finally {
+              keep.unpersist(blocking = false)
+              rejects.unpersist(blocking = false); ()
+            }
+          } finally { b.unpersist(blocking = false); () }
+        }
+      }
+      .start()
+    query.awaitTermination()
+    Summary(batches.get(), accepted.get(), rejected.get())
+  }
+
+  /** Everything accepted so far, across all runs. */
+  def loadAccepted(spark: SparkSession, acceptedDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(acceptedDir)
+}

@@ -264,4 +264,40 @@ object KernelProps extends Properties("graft.kernels") {
       rt.entries.map { case (k, c) => (k.toString, c.count, c.err) }.toSet ==
         sk.entries.map { case (k, c) => (k.toString, c.count, c.err) }.toSet
     }
+
+  /** Independent projection reference: round each component to millionths,
+    * then the signed sum per output dim using the kernel's own sign (the
+    * sign recipe itself is pinned against the DuckDB oracle by q114).
+    */
+  property("rproject kernel equals round-then-signed-sum reference") =
+    forAll(Gen.listOf(Gen.chooseNum(-1.0f, 1.0f)), Gen.choose(1, 12),
+      Gen.choose(0L, 10000L)) { (xs, outDim, seed) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.toArray[Any])
+      val out = graft.functions.RandomProjectKernel
+        .compute(arr, elemIsFloat = true, outDim, seed)
+      val mill = xs.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+      (0 until outDim).forall { j =>
+        out.getLong(j) == mill.zipWithIndex.map { case (m, i) =>
+          graft.functions.RandomProjectKernel.sign(i, j, seed) * m
+        }.sum
+      }
+    }
+
+  /** Independent embedding reference: the DSIR bucket kernel's occurrence
+    * list (itself property-pinned against the HOF form in DsirSpec),
+    * signs summed per output dim — the fused kernel must never diverge
+    * from the compose-then-sum path.
+    */
+  property("hash-embed kernel equals buckets→signed-sum reference") =
+    forAll(text, Gen.choose(1, 64), Gen.choose(1, 8)) { (s, buckets, outDim) =>
+      val u = UTF8String.fromString(s)
+      val out = graft.functions.HashEmbedKernel.compute(u, buckets, outDim, 42L)
+      val bs = graft.functions.DsirBucketsKernel.compute(u, buckets)
+      (0 until outDim).forall { j =>
+        out.getLong(j) == (0 until bs.numElements()).map(i =>
+          graft.functions.RandomProjectKernel.sign(bs.getLong(i).toInt, j, 42L)
+        ).sum
+      }
+    }
 }

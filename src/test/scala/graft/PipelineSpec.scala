@@ -568,6 +568,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "superseded generation must be removed")
   }
 
+  test("streaming near-dup ingest: intra-batch + vs-history rejection, incremental index") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.pipelines.StreamingNearDupIngest
+    val batchDir = s"$work/nd_batches"
+    val idxDir = s"$work/nd_index"
+    val accDir = s"$work/nd_accepted"
+    val ckpt = s"$work/nd_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+
+    // batch 1: two distinct docs + an intra-batch near-dup of the first
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "spark plans scans joins aggregates and shuffles data well"),
+      (3L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b1")
+    val s1 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s1 == StreamingNearDupIngest.Summary(1L, 2L, 1L), s1.toString)
+    assert(StreamingNearDupIngest.loadAccepted(spark, accDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // rerun with nothing new: checkpoint covers b1 — no batch, no change
+    val s2 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s2.batches == 0L)
+
+    // batch 2: a history near-dup of doc 2 (rejected WITHOUT re-reading
+    // history text — only the saved postings index) + one genuinely new
+    Seq(
+      (10L, "spark plans scans joins aggregates and shuffles data well"),
+      (11L, "an entirely different subject matter appears in this line"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b2")
+    val s3 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s3 == StreamingNearDupIngest.Summary(1L, 1L, 1L), s3.toString)
+    assert(StreamingNearDupIngest.loadAccepted(spark, accDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+
+    // lost checkpoint: every file re-offers under a fresh run id — the
+    // old run's index rows are HISTORY, so every re-offered doc is a
+    // near-dup of its own previous acceptance and the accepted corpus
+    // gains nothing (the incremental-dedup semantics a re-ingest wants)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val s4 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s4.accepted == 0L && s4.rejected == 5L, s4.toString)
+    assert(StreamingNearDupIngest.loadAccepted(spark, accDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
     val db2url = "jdbc:derby:memory:graftpipe13;create=true"
     val db2 = TargetDb(db2url, DerbyUpsertDialect, TableSpec.derbyType,

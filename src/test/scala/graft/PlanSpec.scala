@@ -47,7 +47,12 @@ class PlanSpec extends AnyFunSuite {
       // q85/q86: pure column arithmetic; q87: bounded explode, no join —
       // the whole composed cleaning/mixing pass stays a parallel scan
       "q85_quality_sample", "q86_filter_report", "q87_epoch_mix",
-      "q89_strip_markup")) {
+      "q89_strip_markup",
+      // q114/q118: native kernel + posexplode — the compression /
+      // embedding map passes; q115: the classifier score folds inside
+      // each row (model-based filtering at 100 TB is one scan)
+      "q114_random_projection", "q115_classifier_filter",
+      "q118_hash_embed")) {
     test(s"$q is map-only (no shuffle exchange)") {
       assert(shuffles(q) == 0)
     }
