@@ -36,7 +36,15 @@ import org.apache.spark.sql.types._
   * For a similarity predicate, `null >= t` → filtered is the semantics
   * every caller wants.
   */
-case class CosineSim(left: Expression, right: Expression)
+/** @param approxHint plan-embedded per-join opt-in: `true` (the
+  *   `graft_cosine_approx` form) tells [[graft.plans
+  *   .SimilarityJoinStrategy]] to plan a threshold join over THIS
+  *   expression approximately, with no session conf — the opt-in travels
+  *   with the query text and cannot leak onto other joins. Evaluation is
+  *   identical either way.
+  */
+case class CosineSim(left: Expression, right: Expression,
+    approxHint: Boolean = false)
     extends BinaryExpression {
 
   private def isNumericArray(dt: DataType): Boolean = dt match {

@@ -98,6 +98,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cosine_approx"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_approx"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_cosine_approx takes exactly 2 arguments")
+        // same evaluation as graft_cosine; the flag is the PER-JOIN
+        // opt-in SimilarityJoinStrategy honors without any session conf
+        CosineSim(children.head, children(1), approxHint = true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => {

@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Fused one pass: the rolling bucket hash ([[DsirBucketsKernel]]'s
   * recipe) and the sign accumulation advance together over the text — no
   * n-gram string, no bucket array, no feature vector is ever
-  * materialized; the only allocation is the output. All-integer output
+  * materialized; the allocations are the output and (for small bucket
+  * tables only) a lazily-filled sign-row memo. All-integer output
   * (counts of +1s minus −1s), so both engines agree bit-for-bit.
   *
   * The sign is [[RandomProjectKernel.sign]]'s two-round portable mix with
@@ -63,13 +64,29 @@ object HashEmbedKernel {
 
   private val Mask = (1L << 40) - 1
 
+  /** Memoize sign rows only while the table stays small: above this the
+    * per-row cache array would cost more to allocate and zero than the
+    * sign mix it saves (a document touches far fewer buckets than a
+    * 2^20-bucket table has — an 8 MB zeroed array per row for a handful
+    * of hits).
+    */
+  private val MemoMaxBuckets = 1 << 13
+
   /** Accumulate one feature bucket's sign row into the output. Sign rows
     * for a bounded bucket table repeat heavily across a document, so they
-    * are memoized per (bucket) in `cache` (buckets × outDim longs — for
-    * the 512-bucket query shape that's 4 KB, filled on demand).
+    * are memoized per (bucket) in `cache` when the table is small (for
+    * the 512-bucket query shape that's a 4 KB lazily-filled array); a
+    * null cache means "compute the mix directly".
     */
   private def addBucket(b: Int, out: Array[Long], cache: Array[Array[Long]],
       outDim: Int, seed: Long): Unit = {
+    if (cache == null) {
+      var j = 0
+      while (j < outDim) {
+        out(j) += RandomProjectKernel.sign(b, j, seed); j += 1
+      }
+      return
+    }
     var row = cache(b)
     if (row == null) {
       row = new Array[Long](outDim)
@@ -87,7 +104,8 @@ object HashEmbedKernel {
       seed: Long): ArrayData = {
     val s = text.toString
     val out = new Array[Long](outDim)
-    val cache = new Array[Array[Long]](buckets)
+    val cache =
+      if (buckets <= MemoMaxBuckets) new Array[Array[Long]](buckets) else null
     // DsirBucketsKernel's fused walk: the current token's hash and the
     // previous-token-start hash advance together; every token boundary
     // lands one unigram bucket and (after the first token) one bigram

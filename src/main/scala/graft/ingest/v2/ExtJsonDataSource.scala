@@ -189,6 +189,10 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
 
   private val parser = new ExtJsonParser(parseSchema)
   private val fullWidth = parseSchema.length
+  // compiled ONCE per reader: field indices, literal conversions, and
+  // pattern objects all hoisted out of the per-line loop
+  private val keepRow: InternalRow => Boolean =
+    if (pushed.isEmpty) _ => true else FilterEval.compile(pushed, parseSchema)
   private val end = split.start + split.length
   private val text = new Text()
   private var pos = split.start
@@ -210,7 +214,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       pos += n
       if (text.getLength > 0) {
         val row = parser.parse(text.getBytes, 0, text.getLength)
-        if (pushed.isEmpty || FilterEval.keep(pushed, parseSchema, row)) {
+        if (keepRow(row)) {
           current = project(row)
           return true
         }

@@ -44,6 +44,10 @@ object FilterEval {
 
   /** Definite-true filter pass over an internal row laid out as `schema`.
     * Call only with filters [[supported]] against this schema.
+    *
+    * Per-call convenience form of [[compile]] — a READER must compile
+    * once instead (this form re-resolves indices and re-converts literals
+    * per row, exactly the invariant work pushdown exists to avoid).
     */
   def keep(filters: Array[Filter], schema: StructType, row: InternalRow): Boolean = {
     var i = 0
@@ -52,6 +56,93 @@ object FilterEval {
       i += 1
     }
     true
+  }
+
+  /** Three-valued predicate result: 1 = true, 0 = false, -1 = unknown. */
+  private type Pred = InternalRow => Byte
+
+  /** Compile [[supported]] filters ONCE per reader into a closure tree:
+    * field indices resolved, every literal converted to its internal
+    * form, string patterns materialized as [[UTF8String]] — the per-row
+    * hot path then does zero conversion and zero allocation (three-valued
+    * logic runs on bytes, not Options). Value-identical to [[keep]]
+    * (FilterEvalSpec pins it on the full predicate matrix).
+    */
+  def compile(filters: Array[Filter], schema: StructType): InternalRow => Boolean = {
+    val preds: Array[Pred] = filters.map(compileOne(_, schema))
+    row => {
+      var ok = true
+      var i = 0
+      while (ok && i < preds.length) {
+        if (preds(i)(row) != 1) ok = false
+        i += 1
+      }
+      ok
+    }
+  }
+
+  private def compileOne(f: Filter, schema: StructType): Pred = f match {
+    case And(l, r) =>
+      val cl = compileOne(l, schema); val cr = compileOne(r, schema)
+      row => {
+        val a = cl(row)
+        if (a == 0) 0
+        else { val b = cr(row); if (b == 0) 0 else if (a == 1 && b == 1) 1 else -1 }
+      }
+    case Or(l, r) =>
+      val cl = compileOne(l, schema); val cr = compileOne(r, schema)
+      row => {
+        val a = cl(row)
+        if (a == 1) 1
+        else { val b = cr(row); if (b == 1) 1 else if (a == 0 && b == 0) 0 else -1 }
+      }
+    case IsNull(a) =>
+      val idx = schema.fieldIndex(a)
+      row => if (row.isNullAt(idx)) 1 else 0
+    case IsNotNull(a) =>
+      val idx = schema.fieldIndex(a)
+      row => if (row.isNullAt(idx)) 0 else 1
+    case EqualTo(a, v) => cmpPred(a, v, schema)(_ == 0)
+    case GreaterThan(a, v) => cmpPred(a, v, schema)(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmpPred(a, v, schema)(_ >= 0)
+    case LessThan(a, v) => cmpPred(a, v, schema)(_ < 0)
+    case LessThanOrEqual(a, v) => cmpPred(a, v, schema)(_ <= 0)
+    case In(a, vs) =>
+      val idx = schema.fieldIndex(a)
+      val dt = schema.fields(idx).dataType
+      val internals = vs.map(v => toInternal(v, dt).get)
+      row =>
+        if (row.isNullAt(idx)) -1
+        else {
+          val x = row.get(idx, dt)
+          if (internals.exists(y => compareInternal(dt, x, y) == 0)) 1 else 0
+        }
+    case StringStartsWith(a, pre) =>
+      strPred(a, schema, UTF8String.fromString(pre))(_.startsWith(_))
+    case StringEndsWith(a, suf) =>
+      strPred(a, schema, UTF8String.fromString(suf))(_.endsWith(_))
+    case StringContains(a, sub) =>
+      strPred(a, schema, UTF8String.fromString(sub))(_.contains(_))
+    case other =>
+      throw new IllegalStateException(s"unsupported pushed filter $other")
+  }
+
+  private def cmpPred(attr: String, value: Any, schema: StructType)(
+      test: Int => Boolean): Pred = {
+    val idx = schema.fieldIndex(attr)
+    val dt = schema.fields(idx).dataType
+    val y = toInternal(value, dt).get
+    row =>
+      if (row.isNullAt(idx)) -1
+      else if (test(compareInternal(dt, row.get(idx, dt), y))) 1 else 0
+  }
+
+  private def strPred(attr: String, schema: StructType, pat: UTF8String)(
+      test: (UTF8String, UTF8String) => Boolean): Pred = {
+    val idx = schema.fieldIndex(attr)
+    row =>
+      if (row.isNullAt(idx)) -1
+      else if (test(row.getUTF8String(idx), pat)) 1 else 0
   }
 
   private def eval(f: Filter, schema: StructType, row: InternalRow): Option[Boolean] = f match {

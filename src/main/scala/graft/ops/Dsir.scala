@@ -71,9 +71,7 @@ object Dsir {
     call_function("graft_dsir_buckets", text, lit(buckets))
 
   private def persistOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    else df
+    graft.core.CacheOnce.persistOnce(df)
 
   /** Laplace-smoothed bucket histogram of a corpus, in exact integer
     * millionths: one row per OBSERVED bucket with

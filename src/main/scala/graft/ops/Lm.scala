@@ -33,9 +33,7 @@ object Lm {
     * ignore warnings.
     */
   private def persistOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    else df
+    graft.core.CacheOnce.persistOnce(df)
 
   /** Train a count-thresholded bigram LM from a corpus: one row per bigram
     * with `n_pair` (its occurrence count) and `n_ctx` (its first word's

@@ -44,11 +44,9 @@ object NearDup {
     * unreachable.
     */
   private def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // persist-once guard (the Lm.scala convention): two sweeps over the
+    // persist-once guard ([[graft.core.CacheOnce]]): two sweeps over the
     // same probe in one session share the cached plan instead of warning
-    val df = shingleHashes(docs, idCol, textCol, n)
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    else df
+    graft.core.CacheOnce.persistOnce(shingleHashes(docs, idCol, textCol, n))
   }
 
   /** Persist the inverted shingle index as the near-dup family's

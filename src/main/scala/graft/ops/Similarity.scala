@@ -54,6 +54,16 @@ object Similarity {
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** [[cosineSim]] with the PER-JOIN approximation opt-in embedded in the
+    * plan (`graft_cosine_approx`): a threshold join over this expression
+    * is planned into the LSH physical shape with no session conf — the
+    * opt-in travels with the query and cannot leak approximation onto any
+    * other join in the session. Scalar evaluation is identical to
+    * [[cosineSim]].
+    */
+  def cosineSimApprox(a: Column, b: Column): Column =
+    call_function("graft_cosine_approx", a, b)
+
   /** Sign random projection to `outDim` integer-millionth components
     * ([[graft.functions.RandomProject]], injected as `graft_rproject`):
     * the JL dimensionality-reduction map pass that shrinks every
@@ -199,14 +209,9 @@ object Similarity {
     finally if (pinned) { train.unpersist(blocking = false); () }
   }
 
-  /** Pin a frame unless its plan is already cached (the CacheManager
-    * resolves by plan — re-persisting logs a warning and does nothing);
-    * returns whether THIS call pinned it and so owns the unpersist.
-    */
+  /** See [[graft.core.CacheOnce.pinIfUnpinned]]. */
   private def pinIfUnpinned(df: DataFrame): (DataFrame, Boolean) =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      (df.persist(), true)
-    else (df, false)
+    graft.core.CacheOnce.pinIfUnpinned(df)
 
   /** Lloyd refinement over an ALREADY-SAMPLED training frame — split out
     * so [[buildIvfIndex]] samples once and feeds both the refinement and

@@ -356,6 +356,45 @@ object DailyUpdatePipeline {
   * rebuild decision — mirroring how [[SnapshotUpdatePipeline]] reports
   * skipped rows rather than aborting.
   */
+/** The checkpoint-scoped ingest run id, shared by every streaming ingest
+  * pipeline and its compaction: same checkpoint → same id (replay
+  * overwrites converge); fresh checkpoint → fresh id (batch numbering
+  * restarts under a new namespace, never over old data).
+  */
+private[pipelines] object CheckpointRunId {
+
+  private def markerPath(checkpointDir: String) =
+    new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  /** Read the checkpoint's run id, creating it on first use. */
+  def getOrCreate(spark: SparkSession, checkpointDir: String): String = {
+    val p = markerPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readMarker(fs, p)
+    else {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      val out = fs.create(p, false)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
+  }
+
+  /** Read-only lookup — None when the checkpoint has never run. */
+  def get(spark: SparkSession, checkpointDir: String): Option[String] = {
+    val p = markerPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(readMarker(fs, p)) else None
+  }
+}
+
 object StreamingIvfIngest {
 
   /** @param batches NON-EMPTY micro-batches landed this invocation (an
@@ -367,26 +406,6 @@ object StreamingIvfIngest {
   final case class Summary(batches: Long, rebuildFlagged: Boolean,
       worstDrift: Option[graft.ops.Similarity.IvfDrift])
 
-  /** The run id lives with the checkpoint: same checkpoint → same id
-    * (replay overwrites converge); fresh checkpoint → fresh id (batch
-    * numbering restarts under a new namespace, never over old data).
-    */
-  private def runIdFor(spark: SparkSession, checkpointDir: String): String = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hadoopPath)) {
-      val in = fs.open(hadoopPath)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    } else {
-      val id = java.util.UUID.randomUUID().toString.replace("-", "")
-      val out = fs.create(hadoopPath, false)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      id
-    }
-  }
-
   def run(spark: SparkSession, index: graft.ops.Similarity.IvfIndex,
       batchDir: String, schema: StructType, idCol: String, vecCol: String,
       invertedDir: String, checkpointDir: String,
@@ -396,7 +415,7 @@ object StreamingIvfIngest {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val worst = new java.util.concurrent.atomic
       .AtomicReference[Option[graft.ops.Similarity.IvfDrift]](None)
-    val runId = runIdFor(spark, checkpointDir)
+    val runId = CheckpointRunId.getOrCreate(spark, checkpointDir)
     val query = spark.readStream
       .schema(schema)
       // producers commonly land each batch as its own parquet DIRECTORY
@@ -497,46 +516,46 @@ object StreamingIvfIngest {
     */
   def compact(spark: SparkSession, invertedDir: String, compactedDir: String,
       checkpointDir: String): Option[Compaction] = {
-    val marker = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
-    val f = fs(spark, marker)
-    if (!f.exists(marker)) return None
-    val runId = {
-      val in = f.open(marker)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
+    val runId = CheckpointRunId.get(spark, checkpointDir) match {
+      case Some(id) => id
+      case None => return None
     }
+    val f = fs(spark, new org.apache.hadoop.fs.Path(checkpointDir))
     val commitsDir = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
     val committed: Set[Long] =
       if (!f.exists(commitsDir)) Set.empty
       else f.listStatus(commitsDir).map(_.getPath.getName)
         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
     val runDir = new org.apache.hadoop.fs.Path(s"$invertedDir/run=$runId")
-    val pending: Seq[(Long, org.apache.hadoop.fs.Path)] =
+    val landed: Seq[(Long, org.apache.hadoop.fs.Path)] =
       if (!f.exists(runDir)) Seq.empty
       else f.listStatus(runDir).toSeq.collect {
         case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
           st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath
       }.filter { case (id, _) => committed(id) }.sortBy(_._1)
     val gens = generations(spark, compactedDir)
+    val lastGen = gens.lastOption.map(_._1)
+    // batch dirs at or below the last generation are ALREADY INSIDE it —
+    // a crash between the generation write and the dir cleanup left them
+    // behind. Finish the interrupted cleanup; NEVER re-fold them (reading
+    // them into a later fold beside the generation that contains them
+    // would duplicate their rows in every generation after).
+    val (covered, pending) =
+      landed.partition { case (id, _) => lastGen.exists(id <= _) }
+    covered.foreach { case (_, p) => f.delete(p, true) }
     if (pending.isEmpty) return gens.lastOption.map { case (g, p) =>
       Compaction(0L, g, p.toString)
     }
     val newGen = pending.map(_._1).max
     val target = s"$compactedDir/gen=$newGen"
-    // crash-rerun between write and cleanup: the covering generation
-    // already exists — finish the deletes, don't re-fold (re-reading the
-    // pending dirs into an existing fold would duplicate their rows)
-    val alreadyCovered = gens.exists(_._1 >= newGen)
-    if (!alreadyCovered) {
-      val inputs = gens.lastOption.map(_._2.toString).toSeq ++
-        pending.map(_._2.toString)
-      // per-root reads + unionByName: each root is its own cell-partitioned
-      // tree, so discovery recovers `cell` per root (a multi-root single
-      // read would need a common basePath these layouts don't share)
-      inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(target)
-    }
+    val inputs = gens.lastOption.map(_._2.toString).toSeq ++
+      pending.map(_._2.toString)
+    // per-root reads + unionByName: each root is its own cell-partitioned
+    // tree, so discovery recovers `cell` per root (a multi-root single
+    // read would need a common basePath these layouts don't share)
+    inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(target)
     pending.foreach { case (_, p) => f.delete(p, true) }
     generations(spark, compactedDir).filter(_._1 < newGen)
       .foreach { case (_, p) => f.delete(p, true) }
@@ -580,22 +599,6 @@ object StreamingNearDupIngest {
     */
   final case class Summary(batches: Long, accepted: Long, rejected: Long)
 
-  private def runIdFor(spark: SparkSession, checkpointDir: String): String = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hadoopPath)) {
-      val in = fs.open(hadoopPath)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    } else {
-      val id = java.util.UUID.randomUUID().toString.replace("-", "")
-      val out = fs.create(hadoopPath, false)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      id
-    }
-  }
-
   /** Index batch directories readable as history for micro-batch
     * `batchId` of run `runId`: every completed batch dir EXCEPT the
     * current run's `batch >= batchId` (a replay must not see its own
@@ -624,7 +627,7 @@ object StreamingNearDupIngest {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
     val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
-    val runId = runIdFor(spark, checkpointDir)
+    val runId = CheckpointRunId.getOrCreate(spark, checkpointDir)
     val query = spark.readStream
       .schema(schema)
       .option("recursiveFileLookup", "true")
@@ -643,10 +646,11 @@ object StreamingNearDupIngest {
               .select(col("j").as(idCol))
             // vs history: any doc near-dupping an already-accepted one
             val dirs = historyDirs(spark, indexDir, runId, batchId)
+            // empty-history placeholder derives from the batch itself so
+            // the id column keeps the CALLER's type (a lit(0L) frame
+            // would break the union for any non-long id schema)
             val histRejects =
-              if (dirs.isEmpty) spark.emptyDataFrame.select()
-                .withColumn(idCol, org.apache.spark.sql.functions.lit(0L))
-                .limit(0)
+              if (dirs.isEmpty) b.select(col(idCol)).limit(0)
               else NearDup.incrementalNearDupPairs(b,
                   spark.read.parquet(dirs: _*), idCol, textCol, n, minJaccard)
                 .select(col("i").as(idCol))

@@ -27,27 +27,37 @@ import graft.functions.CosineSim
   * the left, `<=`/`<` with it on the right) is recognized; swapped vector
   * sides work because the fused cosine is bit-symmetric.
   *
-  * OPT-IN BY CONF, OFF BY DEFAULT: the LSH shape trades recall for scale
+  * OPT-IN ONLY, OFF BY DEFAULT: the LSH shape trades recall for scale
   * (pairs whose sign patterns differ in ≥ 2 bits are missed — negligible
   * at near-dup thresholds, not at moderate ones), so silently rewriting a
-  * user's exact join would be wrong. Enabling
-  * `spark.graft.similarityJoin.enabled` is the explicit statement
-  * "approximate this join"; `spark.graft.similarityJoin.planes` (default
-  * 8) and `.seed` (default 42) are the same recall/cost levers as
+  * user's exact join would be wrong. Two explicit opt-ins, either
+  * suffices:
+  *
+  *  - PER JOIN (preferred): write the predicate with
+  *    `graft_cosine_approx` / [[graft.ops.Similarity.cosineSimApprox]] —
+  *    the approximation request is embedded in that join's own plan and
+  *    cannot leak onto any other join in the session;
+  *  - PER SESSION: `spark.graft.similarityJoin.enabled=true` approximates
+  *    every marker-form join planned while set (read at planning time,
+  *    so per-query `spark.conf.set` + restore works for driver code that
+  *    controls execution).
+  *
+  * `spark.graft.similarityJoin.planes` (default 8) and `.seed` (default
+  * 42) are the same recall/cost levers as
   * [[graft.ops.Similarity.cosineNearDupPairs]], whose shared oracle pins
-  * the two shapes to identical results on provable-recall corpora. The
-  * confs are read at planning time, so per-query `spark.conf.set` works.
+  * the two shapes to identical results on provable-recall corpora.
   */
 class SimilarityJoinStrategy(session: SparkSession) extends SparkStrategy
     with PredicateHelper {
   import SimilarityJoinStrategy._
 
   /** One recognized similarity conjunct: vec exprs in left/right child
-    * order, the threshold, and whether the comparison is strict.
+    * order, the threshold, whether the comparison is strict, and the
+    * marker expression itself (for the per-join opt-in check).
     */
   private case class SimPredicate(
       leftVec: Expression, rightVec: Expression, threshold: Double,
-      strict: Boolean)
+      strict: Boolean, marker: Expression)
 
   private def recognize(conjunct: Expression, l: LogicalPlan,
       r: LogicalPlan): Option[SimPredicate] = {
@@ -65,22 +75,30 @@ class SimilarityJoinStrategy(session: SparkSession) extends SparkStrategy
     parsed.flatMap { case (c, t, strict) =>
       if (c.left.references.subsetOf(l.outputSet) &&
           c.right.references.subsetOf(r.outputSet))
-        Some(SimPredicate(c.left, c.right, t, strict))
+        Some(SimPredicate(c.left, c.right, t, strict, c))
       else if (c.left.references.subsetOf(r.outputSet) &&
           c.right.references.subsetOf(l.outputSet))
         // cosine is bit-symmetric, so the swapped orientation just trades
         // which child feeds which argument
-        Some(SimPredicate(c.right, c.left, t, strict))
+        Some(SimPredicate(c.right, c.left, t, strict, c))
       else None
     }
   }
 
+  /** The strategy fires per join: either the SESSION opted in
+    * (`spark.graft.similarityJoin.enabled`) or THIS predicate carries
+    * the plan-embedded `graft_cosine_approx` hint — the per-join form
+    * that cannot leak approximation onto any other join in the session.
+    */
+  private def optedIn(sim: Expression): Boolean =
+    SQLConf.get.getConfString(EnabledKey, "false").toBoolean ||
+      (sim match { case c: CosineSim => c.approxHint; case _ => false })
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(l, r, _: InnerLike, Some(cond), _)
-        if SQLConf.get.getConfString(EnabledKey, "false").toBoolean =>
+    case Join(l, r, _: InnerLike, Some(cond), _) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = conjuncts.iterator
-        .map(c => recognize(c, l, r).map(c -> _))
+        .map(c => recognize(c, l, r).filter(s => optedIn(s.marker)).map(c -> _))
         .collectFirst { case Some(found) => found }
       hit match {
         case Some((matched, sim)) =>

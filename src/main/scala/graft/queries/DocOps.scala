@@ -27,8 +27,14 @@ object DocOps {
 
   private def ordersJsonl(s: SparkSession, d: String): String =
     built.computeIfAbsent(d, _ => {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_extjson_" +
-        s"${new java.io.File(d).getName}/orders"
+      // the q44 tag convention: sfDir hash (basenames can repeat across
+      // dirs) + applicationId (concurrent Verify/Bench JVMs must never
+      // overwrite a directory the other is mid-scan), Scratch-owned so
+      // the drop is removed at JVM exit
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_$tag")}/orders"
       Tables.orders(s, d).select(to_json(struct(
         struct(lower(lpad(hex(col("o_orderkey")), 24, "0")).as("$oid")).as("_id"),
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -70,8 +76,12 @@ object DocOps {
     */
   private def q110Filter(s: SparkSession, d: String): DataFrame =
     readOrders(s, d)
+      // to_timestamp parses in the SESSION timezone (pinned UTC) —
+      // java.sql.Timestamp.valueOf would read the wall-clock string in
+      // the JVM default zone and shift the cutoff on any non-UTC host,
+      // silently diverging from the oracle's naive TIMESTAMP literal
       .filter(col("o_orderdate") >
-        lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")) &&
+        to_timestamp(lit("1997-06-01 00:00:00")) &&
         col("o_orderstatus") === "O")
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),

@@ -285,21 +285,22 @@ object SimOps {
     * BroadcastNestedLoopJoin Spark would otherwise emit for a non-equi
     * condition. Same planted ×2 construction as q30, so LSH recall is
     * provably 1 and the oracle is the exact all-pairs answer; `i < j`
-    * rides along as the exec's residual conjunct. The conf enable is the
-    * strategy's explicit approximate-join opt-in (it only changes plans
-    * for joins that use the `cosineSim` marker in their condition — no
-    * other registered query does).
+    * rides along as the exec's residual conjunct. The opt-in is the
+    * PER-JOIN `cosineSimApprox` marker — embedded in this query's own
+    * plan, so no session state changes and no other join in the shared
+    * Verify/Bench session can be approximated by side effect.
     */
   private def q111SimJoin(s: SparkSession, d: String): DataFrame = {
-    s.conf.set(graft.plans.SimilarityJoinStrategy.EnabledKey, "true")
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     val u = emb.union(planted)
     val l = u.select(col("vec_id").as("i"), col("embedding").as("vi"))
     val r = u.select(col("vec_id").as("j"), col("embedding").as("vj"))
+    // the PER-JOIN approx marker, not the session conf: approximation
+    // must never leak onto other joins built in this shared session
     l.join(r,
-        Similarity.cosineSim(col("vi"), col("vj")) >= lit(0.999) &&
+        Similarity.cosineSimApprox(col("vi"), col("vj")) >= lit(0.999) &&
           col("i") < col("j"))
       .select(col("i"), col("j"),
         Similarity.cosineSim(col("vi"), col("vj")).as("cos"))

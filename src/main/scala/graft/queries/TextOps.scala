@@ -632,8 +632,12 @@ object TextOps {
   private val knTableBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def knTablePath(s: SparkSession, d: String): String =
     knTableBuilt.computeIfAbsent(d, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_kn3_" +
-        s"${new java.io.File(d).getName}"
+      // sfDir-hash + applicationId tag (the q44 convention), Scratch-owned:
+      // concurrent JVMs must not overwrite each other's table mid-read,
+      // and the artifact must not outlive the JVM
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val path = graft.core.Scratch.ephemeralDir(s"graft_kn3_$tag")
       graft.ops.Lm.saveTable(
         graft.ops.Lm.kneserNeyTrigramTable(
           Tables.documents(s, d).select("doc_id", "text"), "text",

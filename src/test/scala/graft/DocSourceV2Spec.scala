@@ -113,6 +113,37 @@ class DocSourceV2Spec extends AnyFunSuite {
     // null `when` (k=4) fails the comparison under three-valued logic
   }
 
+  test("compiled filter closures are value-identical to per-row keep") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ingest.v2.FilterEval
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType),
+      StructField("t", TimestampType)))
+    def row(s: String, n: java.lang.Long, t: java.lang.Long): InternalRow =
+      InternalRow(if (s == null) null else UTF8String.fromString(s), n, t)
+    val rows = Seq(
+      row("open", 1L, 1000000L), row("closed", 2L, null),
+      row(null, 3L, 2000000L), row("op", null, 0L))
+    // the full supported predicate matrix, incl. three-valued and/or
+    val cases: Seq[Array[Filter]] = Seq(
+      Array(EqualTo("s", "open")),
+      Array(GreaterThan("n", 1L), LessThanOrEqual("n", 3L)),
+      Array(Or(IsNull("t"), GreaterThanOrEqual("t", new java.sql.Timestamp(1L)))),
+      Array(And(StringStartsWith("s", "op"), LessThan("n", 2L))),
+      Array(In("n", Array(1L, 3L))),
+      Array(StringContains("s", "lo"), IsNotNull("t")),
+      Array(StringEndsWith("s", "en"), Or(EqualTo("n", 1L), EqualTo("n", 2L))))
+    for (fs <- cases) {
+      assert(fs.forall(FilterEval.supported(_, schema)))
+      val compiled = FilterEval.compile(fs, schema)
+      rows.foreach(r =>
+        assert(compiled(r) == FilterEval.keep(fs, schema, r),
+          s"${fs.mkString(",")} on $r"))
+    }
+  }
+
   test("unsupported predicates stay residual; results still correct") {
     val docs = Seq("""{"a": "xy", "b": 2}""", """{"a": "zz", "b": 3}""")
     val dir = writeLines("r.jsonl", docs)

@@ -568,6 +568,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "superseded generation must be removed")
   }
 
+  test("compaction never re-folds a batch already inside a generation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.pipelines.StreamingIvfIngest
+    val rnd = new scala.util.Random(77)
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 2)
+    val batchDir = s"$work/cmp_batches"
+    val invDir = s"$work/cmp_inverted"
+    val compDir = s"$work/cmp_compacted"
+    val ckpt = s"$work/cmp_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = corpus.schema
+    corpus.limit(10).coalesce(1).write.parquet(s"$batchDir/b1")
+    StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    // stash batch 0's dir, compact, then RESTORE it — simulating a crash
+    // between the generation write and the pending-dir cleanup
+    val runDir = new java.io.File(invDir).listFiles()
+      .find(_.getName.startsWith("run=")).get
+    val b0 = new java.io.File(runDir, "batch=0")
+    val stash = new java.io.File(s"$work/cmp_stash")
+    org.apache.commons.io.FileUtils.copyDirectory(b0, stash)
+    StreamingIvfIngest.compact(spark, invDir, compDir, ckpt)
+    org.apache.commons.io.FileUtils.copyDirectory(stash, b0)
+    // a new committed batch arrives; the next compact must fold ONLY it
+    corpus.filter(col("vec_id") >= 10).limit(5)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+      .coalesce(1).write.parquet(s"$batchDir/b2")
+    StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    StreamingIvfIngest.compact(spark, invDir, compDir, ckpt)
+    val rows = StreamingIvfIngest.loadCompacted(spark, compDir)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rows.size == 15, s"re-folded a covered batch: ${rows.size} rows")
+    assert(rows.distinct.size == 15)
+    assert(!b0.exists(), "the leftover covered batch dir must be cleaned up")
+  }
+
   test("streaming near-dup ingest: intra-batch + vs-history rejection, incremental index") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -108,6 +108,25 @@ class SimilarityJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("per-join approx marker fires with NO session conf and leaks nowhere") {
+    val df = plantedVectors(20, 16, seed = 3)
+    val l = df.select(col("vec_id").as("i"), col("embedding").as("vi"))
+    val r = df.select(col("vec_id").as("j"), col("embedding").as("vj"))
+    withSimJoin(enabled = false) {
+      // the marker form plans approximately with the conf OFF...
+      val hinted = l.join(r,
+        Similarity.cosineSimApprox(col("vi"), col("vj")) >= lit(0.999) &&
+          col("i") < col("j"))
+      assert(hinted.queryExecution.sparkPlan.exists(_.isInstanceOf[CosineJoinExec]))
+      // ...while the plain form in the SAME session stays exact — the
+      // opt-in lives in the predicate, not in session state
+      val plain = l.join(r,
+        Similarity.cosineSim(col("vi"), col("vj")) >= lit(0.999) &&
+          col("i") < col("j"))
+      assert(!plain.queryExecution.sparkPlan.exists(_.isInstanceOf[CosineJoinExec]))
+    }
+  }
+
   test("declarative join equals the exact nested-loop answer and the explicit LSH pipeline") {
     val df = plantedVectors(40, 24, seed = 5)
     val l = df.select(col("vec_id").as("i"), col("embedding").as("vi"))
