@@ -393,7 +393,32 @@ object SimOps {
       NearDup.loadShingleIndex(s, path), "doc_id", "text", nShingle, minJaccard)
   }
 
+  /** End-to-end MODEL-FREE document ANN — the full compression funnel as
+    * one query: raw text → hashed dense embedding (q118's fused kernel)
+    * → int8 scalar quantization (q116's affine codes) → exact
+    * integer-dot top-k. No trained model anywhere and no float
+    * arithmetic outside the 3-op engine-exact affine map, so every stage
+    * AND their composition is hash-reproducible by the oracle — the
+    * composition-drift coverage q100 gives the curation chain, for the
+    * similarity stack.
+    *
+    * Scale shape: embed is one fused map pass; quantization stats are a
+    * 16-row aggregate; scoring shuffles 16-byte code rows. The
+    * exhaustive pair scan is the deliberate q23/q116 baseline — swap in
+    * [[Quantize.ivfSq8TopK]] (q117) for the probed path.
+    */
+  private def q120DocAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.documents(s, d).select(col("doc_id"),
+      // hashed components are « 2^24, so the float cast is exact and
+      // Quantize's float-typed stats/codes path applies unchanged
+      transform(graft.ops.TextAnalysis.hashEmbed(col("text"), 512, 16, 42),
+        v => v.cast("float")).as("embedding"))
+    Quantize.quantizedTopK(
+      emb.filter(col("doc_id") < 20), emb, "doc_id", "embedding", topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_doc_ann" -> q120DocAnn _,
     "q119_incremental_neardup" -> q119IncrementalNeardup _,
     "q114_random_projection" -> q114RandomProject _,
     "q116_quantized_ann" -> q116QuantizedAnn _,
@@ -515,6 +540,42 @@ object SimOps {
         "p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
         "  CAST(SUM(q.code * n.code) AS BIGINT) AS qdot " +
         "  FROM c q JOIN c n ON q.vec_id < 20 AND n.vec_id <> q.vec_id AND q.i = n.i " +
+        "  GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdot, rank FROM (" +
+        "  SELECT query_id, neighbor_id, qdot, CAST(ROW_NUMBER() OVER (" +
+        "    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT) AS rank FROM p) " +
+        s"WHERE rank <= $topK"),
+    // the full funnel replayed stage by stage: q118's hashed-embedding
+    // CTEs (512 buckets, 16 dims) → q116's quantization CTEs over the
+    // (doc_id, j, x) rows → integer-dot ranking. Multiply-referenced
+    // CTEs are MATERIALIZED (the trigram-KN precedent: DuckDB inlines
+    // non-materialized CTEs per reference and re-expands the chain)
+    "q120_doc_ann" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "feats AS (SELECT doc_id, list_concat(t, " +
+        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
+        "f AS (SELECT doc_id, unnest(fs) AS s FROM feats), " +
+        "h AS (SELECT doc_id, " +
+        "  (list_reduce(list_transform(string_split(s, ''), " +
+        "    c -> CAST(ascii(c) AS BIGINT)), " +
+        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
+        "sg AS (SELECT b, j, CASE WHEN " +
+        "  ((((h2 % 1048576) * (h2 % 1048576) + h2) % 1099511627776) // 1048576) % 2 = 0 " +
+        "  THEN 1 ELSE -1 END AS sgn FROM (" +
+        "  SELECT b, j, ((h0 % 1048576) * (h0 % 1048576) + h0) % 1099511627776 AS h2 FROM (" +
+        "  SELECT b, j, (b * 1048573 + j * 8191 + 42) % 1099511627776 AS h0 " +
+        "  FROM (SELECT unnest(range(512)) AS b), (SELECT unnest(range(16)) AS j)))), " +
+        "e AS MATERIALIZED (SELECT h.doc_id, sg.j, " +
+        "  CAST(SUM(sg.sgn) AS BIGINT) AS x " +
+        "  FROM h JOIN sg ON sg.b = h.b GROUP BY h.doc_id, sg.j), " +
+        "st AS (SELECT j, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
+        "  FROM e GROUP BY j), " +
+        "c AS MATERIALIZED (SELECT doc_id, e.j, CASE WHEN mx > mn THEN " +
+        "  GREATEST(0, LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) " +
+        "  ELSE 0 END AS code FROM e JOIN st ON e.j = st.j), " +
+        "p AS (SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id, " +
+        "  CAST(SUM(q.code * n.code) AS BIGINT) AS qdot " +
+        "  FROM c q JOIN c n ON q.doc_id < 20 AND n.doc_id <> q.doc_id AND q.j = n.j " +
         "  GROUP BY 1, 2) " +
         "SELECT query_id, neighbor_id, qdot, rank FROM (" +
         "  SELECT query_id, neighbor_id, qdot, CAST(ROW_NUMBER() OVER (" +

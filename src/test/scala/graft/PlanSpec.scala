@@ -346,10 +346,11 @@ class PlanSpec extends AnyFunSuite {
     // A BroadcastNestedLoopJoin is allowed only when its build side is a
     // grand (no-key) aggregate — broadcasting one scalar row (q16 attaches
     // max(id) that way) is not a scale hazard; anything else is.
-    // q116 is q23's twin in the compressed domain: the DELIBERATE
-    // quadratic exact baseline the probed IVF-SQ8 path (q117) is graded
-    // against — its crossJoin is the declared contract, not an accident
-    val declaredScans = Set("q23_ann_cosine", "q116_quantized_ann")
+    // q116/q120 are q23's twins in the compressed domain: DELIBERATE
+    // quadratic exact baselines (the probed IVF-SQ8 path q117 is the
+    // scale form) — their crossJoin is the declared contract
+    val declaredScans =
+      Set("q23_ann_cosine", "q116_quantized_ann", "q120_doc_ann")
     def scalarBuild(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
