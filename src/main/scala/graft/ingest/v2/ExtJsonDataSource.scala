@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -81,10 +82,30 @@ final class ExtJsonTable(path: String, tableSchema: StructType)
 final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var countOnly: Boolean = false
+
+  /** Only the global `COUNT(*)` pushes (PARTIAL: each split returns one
+    * count row, Spark's final aggregation sums them). With no pushed
+    * filter the reader never even parses — a count over a 100 TB
+    * document drop is a newline skim; with filters it parses and counts
+    * kept rows, still shipping one row per split instead of millions.
+    * Refused when a limit is pushed (mixing the two has no sane partial
+    * semantics) — Spark then falls back to the ordinary scan + agg.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = limit < 0 &&
+      aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countOnly = true
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -98,20 +119,52 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** `LIMIT n` reaches the reader as a PARTIAL limit (each split stops
+    * parsing after its first `n` kept rows — [[isPartiallyPushed]] stays
+    * true, so Spark's own global Limit still runs on top): a
+    * `.limit(100)` probe over a 100 TB document drop parses ~100 lines
+    * per split instead of every line, the `$limit`-stage analogue of the
+    * reference's aggregate pipeline.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
   override def build(): Scan =
     new ExtJsonScan(path, fullSchema, required, pushed,
-      Option(options.get("maxSplitBytes")).map(_.toLong))
+      Option(options.get("maxSplitBytes")).map(_.toLong), limit, countOnly)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
     required: StructType, val pushed: Array[Filter],
-    maxSplitOverride: Option[Long]) extends Scan with Batch {
+    maxSplitOverride: Option[Long], val pushedLimit: Int = -1,
+    val countOnly: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countOnly)
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    else required
 
   override def description(): String =
     s"ExtJson $path, ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (pushedLimit >= 0) s", PushedLimit: $pushedLimit" else "") +
+      (if (countOnly) ", PushedAggregation: [COUNT(*)]" else "")
+
+  /** Planner statistics from the file listing ([[SupportsReportStatistics]]):
+    * total byte size, honestly unknown row count. Gives the optimizer a
+    * real size for broadcast decisions instead of the
+    * default-to-spark.sql.defaultSizeInBytes guess a statless V2 relation
+    * gets.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = listFiles(new Path(path),
+      SparkSession.active.sparkContext.hadoopConfiguration).map(_.getLen).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def toBatch: Batch = this
 
@@ -156,7 +209,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableWritable(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    ExtJsonReaderFactory(conf, parseSchema.json, required.length, pushed)
+    ExtJsonReaderFactory(conf, parseSchema.json, required.length, pushed,
+      pushedLimit, countOnly)
   }
 }
 
@@ -167,12 +221,16 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long)
   * the parse schema as its JSON form (self-contained, version-stable).
   */
 final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
-    parseSchemaJson: String, requiredLen: Int, pushed: Array[Filter])
+    parseSchemaJson: String, requiredLen: Int, pushed: Array[Filter],
+    limit: Int = -1, countOnly: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExtJsonInputPartition]
-    new ExtJsonPartitionReader(p, conf.value,
-      DataTypeJson.structFromJson(parseSchemaJson), requiredLen, pushed)
+    if (countOnly)
+      new ExtJsonCountReader(p, conf.value,
+        DataTypeJson.structFromJson(parseSchemaJson), pushed)
+    else new ExtJsonPartitionReader(p, conf.value,
+      DataTypeJson.structFromJson(parseSchemaJson), requiredLen, pushed, limit)
   }
 }
 
@@ -185,7 +243,12 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
   */
 final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
     conf: Configuration, parseSchema: StructType, requiredLen: Int,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Int = -1)
+    extends PartitionReader[InternalRow] {
+
+  // pushed PARTIAL limit: this split stops parsing after its first
+  // `limit` kept rows (Spark's global Limit still runs above)
+  private var emitted = 0L
 
   private val parser = new ExtJsonParser(parseSchema)
   private val fullWidth = parseSchema.length
@@ -208,6 +271,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   if (split.start != 0) pos += lines.readLine(text)
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (pos <= end) {
       val n = lines.readLine(text)
       if (n == 0) return false
@@ -216,6 +280,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
         val row = parser.parse(text.getBytes, 0, text.getLength)
         if (keepRow(row)) {
           current = project(row)
+          emitted += 1
           return true
         }
       }
@@ -249,4 +314,56 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
 private[v2] object DataTypeJson {
   def structFromJson(json: String): StructType =
     org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+}
+
+/** The COUNT(*)-pushdown reader: emits exactly ONE row — the number of
+  * this split's rows passing the pushed filters. With no filters the
+  * lines are never parsed (a newline skim over the byte range, the fast
+  * path a global count deserves); with filters each line parses against
+  * the filter schema and kept rows count. Same split line-ownership
+  * contract as [[ExtJsonPartitionReader]], and blank lines are SKIPPED
+  * exactly as the row reader skips them, so the count matches the
+  * unpushed plan bit-for-bit.
+  */
+final class ExtJsonCountReader(split: ExtJsonInputPartition,
+    conf: Configuration, parseSchema: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val keepRow: InternalRow => Boolean =
+    if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
+  private val parser =
+    if (pushed.isEmpty) null else new ExtJsonParser(parseSchema)
+  private val end = split.start + split.length
+  private val text = new Text()
+  private var pos = split.start
+  private var done = false
+  private var count = 0L
+
+  private val stream = {
+    val p = new Path(split.file)
+    val in = p.getFileSystem(conf).open(p)
+    in.seek(split.start)
+    in
+  }
+  private val lines = new LineReader(stream)
+  if (split.start != 0) pos += lines.readLine(text)
+
+  override def next(): Boolean = {
+    if (done) return false
+    while (pos <= end) {
+      val n = lines.readLine(text)
+      if (n == 0) { done = true; return true }
+      pos += n
+      if (text.getLength > 0) {
+        if (keepRow == null) count += 1
+        else if (keepRow(parser.parse(text.getBytes, 0, text.getLength)))
+          count += 1
+      }
+    }
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = { lines.close(); stream.close() }
 }

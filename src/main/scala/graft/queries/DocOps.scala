@@ -87,9 +87,17 @@ object DocOps {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
         col("o_totalprice"))
 
+  /** The pushed global COUNT(*) — `$count` through the document source:
+    * per-split counts from the parse-free skim reader (PushedAggregation
+    * on the scan), summed by Spark's final aggregation. One row out.
+    */
+  private def q121Count(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d).agg(count(lit(1)).as("n_orders"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_docsource_project" -> q109Project,
-    "q110_docsource_filter" -> q110Filter)
+    "q110_docsource_filter" -> q110Filter,
+    "q121_docsource_count" -> q121Count)
 
   def oracle: Map[String, String] = Map(
     "q109_docsource_project" ->
@@ -99,5 +107,7 @@ object DocOps {
       ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, " +
         "o_totalprice FROM orders " +
         "WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00' " +
-        "AND o_orderstatus = 'O'"))
+        "AND o_orderstatus = 'O'"),
+    "q121_docsource_count" ->
+      "SELECT COUNT(*) AS n_orders FROM orders")
 }

@@ -37,4 +37,88 @@ object CorpusSink {
     else w)
       .format(format).save(dir)
   }
+
+  /** One shard file's attestation: row count and an ORDER-FREE content
+    * hash (sum of per-row `xxhash64(to_json(all columns))` — addition
+    * commutes, so the digest is independent of read parallelism and row
+    * order, while any changed/added/dropped row moves it).
+    */
+  final case class ShardDigest(file: String, rows: Long, contentHash: Long)
+
+  /** Compute the per-file attestation of a materialized corpus directory —
+    * the provenance record a training run pins so a later re-read (or a
+    * re-materialization from the same inputs) can be PROVEN identical:
+    * trainers resume against data whose silent change would otherwise be
+    * undetectable. One distributed scan; per-file digests come from one
+    * groupBy on the 8-byte (file, hash) pairs, rows never collect.
+    */
+  def computeDigests(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String = "parquet"): Seq[ShardDigest] = {
+    val df = spark.read.format(format).load(dir)
+    // the sum runs in DECIMAL(38,0) (a long sum overflows under ANSI the
+    // moment two large hashes add) and wraps back to a 64-bit digest —
+    // still commutative, so still order- and parallelism-free
+    df.select(input_file_name().as("__file"),
+        xxhash64(to_json(struct(df.columns.map(col): _*))).as("__h"))
+      .groupBy("__file")
+      .agg(count(lit(1)).as("rows"),
+        sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("hash"))
+      .collect()
+      .map(r => ShardDigest(
+        r.getString(0).replaceFirst(".*/", ""), r.getLong(1),
+        r.getDecimal(2).toBigInteger.longValue()))
+      .sortBy(_.file).toSeq
+  }
+
+  /** Write the corpus manifest beside the data (`_graft_manifest.json` —
+    * leading underscore: invisible to Spark's file listing, so readers of
+    * the corpus never see it as a shard).
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String = "parquet"): Seq[ShardDigest] = {
+    val digests = computeDigests(spark, dir, format)
+    val json = digests.map(d =>
+      s"""{"file":"${d.file}","rows":${d.rows},"hash":${d.contentHash}}""")
+      .mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    digests
+  }
+
+  /** Recompute digests and compare against the saved manifest: Right(n
+    * files verified) or Left(human-readable mismatches — files whose
+    * count/hash moved, files added, files missing). The audit a resumed
+    * training run performs before trusting a corpus it did not just
+    * write.
+    */
+  def verifyManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String = "parquet"): Either[Seq[String], Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no manifest under $dir")
+    val saved = {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      """\{"file":"([^"]+)","rows":(-?\d+),"hash":(-?\d+)\}""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> ShardDigest(m.group(1), m.group(2).toLong,
+          m.group(3).toLong))
+        .toMap
+    }
+    val current = computeDigests(spark, dir, format).map(d => d.file -> d).toMap
+    val problems =
+      current.collect {
+        case (f, d) if !saved.contains(f) => s"unexpected file $f"
+        case (f, d) if saved(f) != d =>
+          s"$f changed: rows ${saved(f).rows}->${d.rows}, " +
+            s"hash ${saved(f).contentHash}->${d.contentHash}"
+      }.toSeq ++
+        saved.keys.filterNot(current.contains).map(f => s"missing file $f")
+    if (problems.isEmpty) Right(current.size) else Left(problems.sorted)
+  }
 }

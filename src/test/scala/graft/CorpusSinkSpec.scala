@@ -50,6 +50,31 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(c1.values.flatten.toSeq.sorted == (1L to 500L))
   }
 
+  test("manifest round-trips, is order-free, and catches tampering") {
+    val d = Files.createTempDirectory("graft_manifest").toString
+    CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)
+    val digests = CorpusSink.writeManifest(spark, d)
+    assert(digests.size == 4 && digests.map(_.rows).sum == 500)
+    // fresh verification passes, and the manifest file is invisible to
+    // corpus readers (leading underscore)
+    assert(CorpusSink.verifyManifest(spark, d) == Right(4))
+    assert(spark.read.parquet(d).count() == 500)
+    // the digest is row-order-free: recomputing under different
+    // parallelism gives identical hashes
+    val again = CorpusSink.computeDigests(
+      spark.newSession(), d).map(dg => dg.file -> dg).toMap
+    digests.foreach(dg => assert(again(dg.file) == dg))
+    // tamper: drop one shard file -> named as missing
+    val victim = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    assert(victim.delete())
+    CorpusSink.verifyManifest(spark, d) match {
+      case Left(problems) =>
+        assert(problems.exists(_.contains(victim.getName)), problems)
+      case Right(_) => fail("deleted shard must fail verification")
+    }
+  }
+
   test("writeSharded: maxRecordsPerFile rolls a shard deterministically") {
     val d = Files.createTempDirectory("graft_shards3").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 2,

@@ -113,6 +113,72 @@ class DocSourceV2Spec extends AnyFunSuite {
     // null `when` (k=4) fails the comparison under three-valued logic
   }
 
+  test("LIMIT pushes to the scan as a per-split partial limit") {
+    val docs = (1 to 50).map(i => s"""{"k": $i}""")
+    val dir = writeLines("lim.jsonl", docs)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = ExtendedJson.read(spark, schema, s"$dir/lim.jsonl").limit(3)
+    val scan = v2Scan(df)
+    assert(scan.pushedLimit == 3, scan.description())
+    assert(scan.description().contains("PushedLimit: 3"))
+    // global semantics intact: exactly 3 rows, from the file's prefix
+    assert(df.collect().length == 3)
+    // and a limit larger than the data is harmless
+    assert(ExtendedJson.read(spark, schema, s"$dir/lim.jsonl")
+      .limit(500).collect().length == 50)
+  }
+
+  test("scan reports file-listing statistics to the planner") {
+    val docs = Seq("""{"k": 1}""", """{"k": 2}""")
+    val dir = writeLines("st.jsonl", docs)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = ExtendedJson.read(spark, schema, s"$dir/st.jsonl")
+    val stats = v2Scan(df).estimateStatistics()
+    val fileLen = new java.io.File(s"$dir/st.jsonl").length()
+    assert(stats.sizeInBytes().getAsLong == fileLen)
+    assert(!stats.numRows().isPresent, "row count must stay honestly unknown")
+    // the optimizer sees the real size, not the default guess
+    val planned = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(planned <= fileLen * 16,
+      s"V2 relation stats should derive from the scan listing, got $planned")
+  }
+
+  test("COUNT(*) pushes to the scan: parse-free skim, filtered counts exact") {
+    val docs = (1 to 40).map(i => s"""{"k": $i, "s": "v$i"}""") ++ Seq("")
+    val dir = writeLines("cnt.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    def src = ExtendedJson.read(spark, schema, s"$dir/cnt.jsonl")
+    // aggregate plans carry an Exchange, so AQE wraps them and hides the
+    // scan from executedPlan.collect — inspect the pre-AQE physical plan
+    def aggScan(df: org.apache.spark.sql.DataFrame) = {
+      val scans = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.sparkPlan
+        .collect { case b: BatchScanExec => b.scan }
+      assert(scans.length == 1, s"expected one V2 scan, got $scans")
+      scans.head.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    // plain global count: pushed, blank line skipped like the row reader
+    val plain = src.agg(count(lit(1)))
+    val scan = aggScan(plain)
+    assert(scan.countOnly, scan.description())
+    assert(scan.description().contains("PushedAggregation: [COUNT(*)]"))
+    assert(plain.collect().head.getLong(0) == 40L)
+    // filtered count: parses only the filter schema, same answer as the
+    // unpushed plan
+    val filtered = src.filter(col("k") > 30).agg(count(lit(1)))
+    assert(aggScan(filtered).countOnly)
+    assert(filtered.collect().head.getLong(0) == 10L)
+    // grouped / non-count aggs refuse the pushdown and stay correct
+    val grouped = src.groupBy(col("s")).agg(count(lit(1)))
+    assert(!aggScan(grouped).countOnly)
+    assert(grouped.count() == 40L)
+    val summed = src.agg(sum(col("k")))
+    assert(!aggScan(summed).countOnly)
+    assert(summed.collect().head.getLong(0) == (1 to 40).sum.toLong)
+  }
+
   test("compiled filter closures are value-identical to per-row keep") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.sources._
