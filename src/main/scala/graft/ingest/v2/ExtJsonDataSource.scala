@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 Mongo-extended-JSON document source (SURVEY.md §2 S1) —
@@ -146,7 +146,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     else required
 
   override def description(): String =
-    s"ExtJson $path, ReadSchema: ${required.catalogString}, " +
+    s"ExtJson $path, ReadSchema: ${readSchema().catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (pushedLimit >= 0) s", PushedLimit: $pushedLimit" else "") +
       (if (countOnly) ", PushedAggregation: [COUNT(*)]" else "")
@@ -158,8 +158,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * gets.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = listFiles(new Path(path),
-      SparkSession.active.sparkContext.hadoopConfiguration).map(_.getLen).sum
+    private val bytes = listing.map(_.getLen).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -174,18 +173,32 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * emits the required prefix.
     */
   private def parseSchema: StructType = {
-    val needed = pushed.flatMap(_.references).toSet -- required.fieldNames
-    StructType(required.fields ++ fullSchema.fields.filter(f => needed(f.name)))
+    // count pushdown: Spark builds the scan BEFORE its prune step runs,
+    // so `required` still carries the full schema — but a count only
+    // needs the filter-referenced fields parsed (none at all for the
+    // unfiltered skim)
+    val base = if (countOnly) Array.empty[StructField] else required.fields
+    val baseNames = base.map(_.name).toSet
+    val needed = pushed.flatMap(_.references).toSet -- baseNames
+    StructType(base ++ fullSchema.fields.filter(f => needed(f.name)))
   }
+
+  /** One filesystem listing per Scan, shared by partition planning and
+    * [[estimateStatistics]] — stats are re-read per planning round (and
+    * per AQE re-optimization), and a fresh glob + listStatus each time
+    * is remote-RPC latency paid for nothing.
+    */
+  private lazy val listing: Seq[FileStatus] =
+    listFiles(new Path(path),
+      SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
     val maxSplit = maxSplitOverride.getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
       .max(1L)
-    listFiles(new Path(path), conf).flatMap { f =>
+    listing.flatMap { f =>
       (0L until f.getLen by maxSplit).map { off =>
         ExtJsonInputPartition(f.getPath.toString, off,
           math.min(maxSplit, f.getLen - off))

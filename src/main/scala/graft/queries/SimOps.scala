@@ -551,23 +551,7 @@ object SimOps {
     // CTEs are MATERIALIZED (the trigram-KN precedent: DuckDB inlines
     // non-materialized CTEs per reference and re-expands the chain)
     "q120_doc_ann" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "feats AS (SELECT doc_id, list_concat(t, " +
-        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
-        "f AS (SELECT doc_id, unnest(fs) AS s FROM feats), " +
-        "h AS (SELECT doc_id, " +
-        "  (list_reduce(list_transform(string_split(s, ''), " +
-        "    c -> CAST(ascii(c) AS BIGINT)), " +
-        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
-        "sg AS (SELECT b, j, CASE WHEN " +
-        "  ((((h2 % 1048576) * (h2 % 1048576) + h2) % 1099511627776) // 1048576) % 2 = 0 " +
-        "  THEN 1 ELSE -1 END AS sgn FROM (" +
-        "  SELECT b, j, ((h0 % 1048576) * (h0 % 1048576) + h0) % 1099511627776 AS h2 FROM (" +
-        "  SELECT b, j, (b * 1048573 + j * 8191 + 42) % 1099511627776 AS h0 " +
-        "  FROM (SELECT unnest(range(512)) AS b), (SELECT unnest(range(16)) AS j)))), " +
-        "e AS MATERIALIZED (SELECT h.doc_id, sg.j, " +
-        "  CAST(SUM(sg.sgn) AS BIGINT) AS x " +
-        "  FROM h JOIN sg ON sg.b = h.b GROUP BY h.doc_id, sg.j), " +
+      (s"WITH ${QueryHelpers.hashEmbedCtes(512, 16, 42)}, " +
         "st AS (SELECT j, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
         "  FROM e GROUP BY j), " +
         "c AS MATERIALIZED (SELECT doc_id, e.j, CASE WHEN mx > mn THEN " +

@@ -1197,23 +1197,8 @@ object TextOps {
     // sign mix evaluated on the (bucket, j) grid — the signed occurrence
     // count per output dim is an exact integer both engines agree on
     "q118_hash_embed" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "feats AS (SELECT doc_id, list_concat(t, " +
-        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
-        "f AS (SELECT doc_id, unnest(fs) AS s FROM feats), " +
-        "h AS (SELECT doc_id, " +
-        "  (list_reduce(list_transform(string_split(s, ''), " +
-        "    c -> CAST(ascii(c) AS BIGINT)), " +
-        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
-        "sg AS (SELECT b, j, CASE WHEN " +
-        "  ((((h2 % 1048576) * (h2 % 1048576) + h2) % 1099511627776) // 1048576) % 2 = 0 " +
-        "  THEN 1 ELSE -1 END AS sgn FROM (" +
-        "  SELECT b, j, ((h0 % 1048576) * (h0 % 1048576) + h0) % 1099511627776 AS h2 FROM (" +
-        "  SELECT b, j, (b * 1048573 + j * 8191 + 42) % 1099511627776 AS h0 " +
-        "  FROM (SELECT unnest(range(512)) AS b), (SELECT unnest(range(8)) AS j)))) " +
-        "SELECT h.doc_id, CAST(sg.j AS INT) AS j, " +
-        "  CAST(SUM(sg.sgn) AS BIGINT) AS emb_val " +
-        "FROM h JOIN sg ON sg.b = h.b GROUP BY h.doc_id, sg.j"),
+      (s"WITH ${QueryHelpers.hashEmbedCtes(512, 8, 42)} " +
+        "SELECT doc_id, CAST(j AS INT) AS j, x AS emb_val FROM e"),
     // q73's scoring chain, reduced per-doc, then per-language dyadic
     // quartiles (quantile_cont == Spark percentile at dyadic p — q48)
     "q102_quality_buckets" ->

@@ -39,9 +39,12 @@ object CorpusSink {
   }
 
   /** One shard file's attestation: row count and an ORDER-FREE content
-    * hash (sum of per-row `xxhash64(to_json(all columns))` — addition
-    * commutes, so the digest is independent of read parallelism and row
-    * order, while any changed/added/dropped row moves it).
+    * hash (sum of per-row `xxhash64(all columns)` — addition commutes, so
+    * the digest is independent of read parallelism and row order, while
+    * any changed/added/dropped row moves it). `file` is the path
+    * RELATIVE to the corpus root — a partitioned layout
+    * (`lang=en/part-0…`, `lang=de/part-0…`) repeats basenames, and a
+    * basename key would silently shadow entries in the verify maps.
     */
   final case class ShardDigest(file: String, rows: Long, contentHash: Long)
 
@@ -55,19 +58,35 @@ object CorpusSink {
   def computeDigests(spark: org.apache.spark.sql.SparkSession, dir: String,
       format: String = "parquet"): Seq[ShardDigest] = {
     val df = spark.read.format(format).load(dir)
-    // the sum runs in DECIMAL(38,0) (a long sum overflows under ANSI the
+    // the per-row hash runs DIRECTLY over the internal column values —
+    // never through to_json, whose rendering depends on session config
+    // (timezone, ignoreNullFields): a verifying session configured
+    // differently from the writing one must not see phantom tampering.
+    // The sum runs in DECIMAL(38,0) (a long sum overflows under ANSI the
     // moment two large hashes add) and wraps back to a 64-bit digest —
-    // still commutative, so still order- and parallelism-free
+    // still commutative, so still order- and parallelism-free.
+    val rootPath = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath
+    }
     df.select(input_file_name().as("__file"),
-        xxhash64(to_json(struct(df.columns.map(col): _*))).as("__h"))
+        xxhash64(df.columns.map(col): _*).as("__h"))
       .groupBy("__file")
       .agg(count(lit(1)).as("rows"),
         sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("hash"))
       .collect()
-      .map(r => ShardDigest(
-        r.getString(0).replaceFirst(".*/", ""), r.getLong(1),
-        r.getDecimal(2).toBigInteger.longValue()))
+      .map { r =>
+        // scheme-free path comparison (input_file_name renders file:///…
+        // while makeQualified renders file:/…) → root-relative key
+        val full = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+        val rel =
+          if (full.startsWith(rootPath))
+            full.stripPrefix(rootPath).stripPrefix("/")
+          else full.replaceFirst(".*/", "")
+        ShardDigest(rel, r.getLong(1), r.getDecimal(2).toBigInteger.longValue())
+      }
       .sortBy(_.file).toSeq
   }
 

@@ -75,6 +75,30 @@ class CorpusSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest keys by root-relative path: partitioned layouts don't collide") {
+    val d = Files.createTempDirectory("graft_manifest_part").toString
+    // partitionBy repeats part-file BASENAMES across partition dirs —
+    // the exact layout a basename-keyed manifest would silently shadow
+    corpus(0).withColumn("lang",
+        org.apache.spark.sql.functions.col("doc_id") % 2)
+      .write.mode("overwrite").partitionBy("lang").parquet(d)
+    val digests = CorpusSink.writeManifest(spark, d)
+    assert(digests.map(_.file).distinct.size == digests.size,
+      s"relative keys must be unique: ${digests.map(_.file)}")
+    assert(digests.exists(_.file.startsWith("lang=0/")) &&
+      digests.exists(_.file.startsWith("lang=1/")), digests.map(_.file))
+    assert(CorpusSink.verifyManifest(spark, d) == Right(digests.size))
+    // tampering inside ONE partition dir is detected and named in full
+    val victim = new java.io.File(d, "lang=1").listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    assert(victim.delete())
+    CorpusSink.verifyManifest(spark, d) match {
+      case Left(problems) =>
+        assert(problems.exists(_.contains(s"lang=1/${victim.getName}")), problems)
+      case Right(_) => fail("deleted nested shard must fail verification")
+    }
+  }
+
   test("writeSharded: maxRecordsPerFile rolls a shard deterministically") {
     val d = Files.createTempDirectory("graft_shards3").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 2,
