@@ -37,7 +37,8 @@ object Bench {
     "q25_ngram_jaccard", "q26_minhash_lsh", "q27_simhash",
     "q35_ngram_jaccard_capped", "q32_ann_ivf", "q44_bucketed_join",
     "q52_dedup_clusters", "q53_cluster_dedup", "q75_semantic_dedup",
-    "q90_leakage_split", "q117_ivf_sq8", "q119_incremental_neardup")
+    "q90_leakage_split", "q117_ivf_sq8", "q119_incremental_neardup",
+    "q122_doc_ann_ivf")
 
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -42,8 +42,9 @@ object QueryHelpers {
     * MATERIALIZED: multiply-referenced CTEs re-inline per reference in
     * DuckDB (the trigram-KN precedent).
     */
-  def hashEmbedCtes(buckets: Int, outDim: Int, seed: Int): String =
-    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+  def hashEmbedCtes(buckets: Int, outDim: Int, seed: Int,
+      source: String = "documents"): String =
+    s"toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $source), " +
       "feats AS (SELECT doc_id, list_concat(t, " +
       "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
       "f AS (SELECT doc_id, unnest(fs) AS s FROM feats), " +

@@ -417,7 +417,36 @@ object SimOps {
       emb.filter(col("doc_id") < 20), emb, "doc_id", "embedding", topK)
   }
 
+  /** The PROBED form of q120 — documents through the full IVF-SQ8 scale
+    * path: plant [[topK]] EXACT text copies of each query document
+    * (identical text → identical hashed embedding → identical codes AND
+    * identical argmax cell), build the IVF index over the planted
+    * hashed-embedding corpus, quantize the inverted file, probe. The
+    * copies sit at squared-L2 distance 0 in the query's own cell, so the
+    * probed answer equals the exhaustive quantized top-k the oracle
+    * replays — q117's construction, driven from raw text.
+    */
+  private def q122DocAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = (1 to topK).foldLeft(docs) { (acc, m) =>
+      acc.union(docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") * 10 + lit(3000000L + m)).as("doc_id"), col("text")))
+    }
+    def embed(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      transform(graft.ops.TextAnalysis.hashEmbed(col("text"), 512, 16, 42),
+        v => v.cast("float")).as("embedding"))
+    val corpus = embed(planted).persist() // index build + stats + quantize
+    val queries = embed(docs.filter(col("doc_id") < 20))
+    val index = Similarity.buildIvfIndex(corpus, "doc_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(corpus, "embedding")
+    val assigned = Quantize.assignCellsSq8(
+      corpus, "doc_id", "embedding", index, mn, mx)
+    Quantize.ivfSq8TopK(index, queries, assigned, "doc_id", "embedding",
+      mn, mx, topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_doc_ann_ivf" -> q122DocAnnIvf _,
     "q120_doc_ann" -> q120DocAnn _,
     "q119_incremental_neardup" -> q119IncrementalNeardup _,
     "q114_random_projection" -> q114RandomProject _,
@@ -550,6 +579,28 @@ object SimOps {
     // (doc_id, j, x) rows → integer-dot ranking. Multiply-referenced
     // CTEs are MATERIALIZED (the trigram-KN precedent: DuckDB inlines
     // non-materialized CTEs per reference and re-expands the chain)
+    // exhaustive quantized squared-L2 over the text-planted corpus: the
+    // probed IVF-SQ8 answer must equal it (copies at distance 0 in the
+    // query's own cell — q117's recall argument, from raw text)
+    "q122_doc_ann_ivf" ->
+      ("WITH dpl AS (SELECT doc_id, text FROM documents " +
+        (1 to topK).map(m =>
+          s"UNION ALL SELECT doc_id * 10 + ${3000000 + m}, text " +
+            "FROM documents WHERE doc_id < 20").mkString(" ") + "), " +
+        s"${QueryHelpers.hashEmbedCtes(512, 16, 42, "dpl")}, " +
+        "st AS (SELECT j, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
+        "  FROM e GROUP BY j), " +
+        "c AS MATERIALIZED (SELECT doc_id, e.j, CASE WHEN mx > mn THEN " +
+        "  GREATEST(0, LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) " +
+        "  ELSE 0 END AS code FROM e JOIN st ON e.j = st.j), " +
+        "p AS (SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id, " +
+        "  CAST(SUM((q.code - n.code) * (q.code - n.code)) AS BIGINT) AS qdist " +
+        "  FROM c q JOIN c n ON q.doc_id < 20 AND n.doc_id <> q.doc_id AND q.j = n.j " +
+        "  GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, qdist, rank FROM (" +
+        "  SELECT query_id, neighbor_id, qdist, CAST(ROW_NUMBER() OVER (" +
+        "    PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS INT) AS rank FROM p) " +
+        s"WHERE rank <= $topK"),
     "q120_doc_ann" ->
       (s"WITH ${QueryHelpers.hashEmbedCtes(512, 16, 42)}, " +
         "st AS (SELECT j, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +

@@ -149,6 +149,26 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     assert(top == 100L, "identical codes maximize the integer dot")
   }
 
+  test("dequantization error is bounded by half a step per dimension") {
+    val dim = 24
+    val df = (0 until 50).map(i => (i.toLong, randVec(400 + i, dim)))
+      .toDF("vec_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(df, "embedding")
+    val rows = df.select(col("vec_id"), col("embedding"),
+        Quantize.codes(col("embedding"), mn, mx).as("c"))
+      .as[(Long, Array[Float], Array[Float])].collect()
+    rows.foreach { case (_, x, c) =>
+      for (i <- 0 until dim) {
+        val step = (mx(i) - mn(i)) / 255.0
+        val dequant = mn(i) + c(i) * step
+        // in-range values round to the nearest code: error <= step/2
+        // (plus an ulp of slack for the double arithmetic)
+        assert(math.abs(dequant - x(i)) <= step / 2 + 1e-9,
+          s"dim $i: x=${x(i)} code=${c(i)} dequant=$dequant step=$step")
+      }
+    }
+  }
+
   test("constant dimension quantizes to 0, not NaN/divide-by-zero") {
     val df = Seq((1L, Array(1f, 0.5f)), (2L, Array(1f, -0.5f)))
       .toDF("vec_id", "embedding")
