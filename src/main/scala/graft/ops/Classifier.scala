@@ -74,4 +74,14 @@ object Classifier {
     (0 until buckets).map(_.toLong).toDF("b")
       .select(col("b"), weightMill(col("b"), seed).as("w_mill"))
   }
+
+  /** Persist a weight table as plain engine-neutral parquet rows —
+    * train-once/score-many, the [[Lm.saveTable]] lifecycle for the
+    * classifier (a REAL trained model drops in through the same seam).
+    */
+  def saveModel(weights: DataFrame, path: String): Unit =
+    weights.select("b", "w_mill").write.mode("overwrite").parquet(path)
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
 }

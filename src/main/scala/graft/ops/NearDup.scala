@@ -256,12 +256,51 @@ object NearDup {
     */
   def bloomContainmentPairs(corpus: DataFrame, probe: DataFrame, idCol: String,
       textCol: String, n: Int, minContainment: Double,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    bloomContainmentPairsWith(corpus, probe, idCol, textCol, n,
+      minContainment, buildShingleBloom(probe, idCol, textCol, n, fpp))
+
+  /** The decontamination prefilter as a build-once artifact: the
+    * benchmark suite's shingle-hash Bloom filter, serialized. Real
+    * pipelines build this ONCE per benchmark release and reuse it across
+    * every corpus sweep ([[saveShingleBloom]]/[[loadShingleBloom]] — the
+    * filter lifecycle beside the IVF / KN-table / shingle-index ones).
+    */
+  def buildShingleBloom(probe: DataFrame, idCol: String, textCol: String,
+      n: Int, fpp: Double = 0.01): Array[Byte] = {
     val pj = postings(probe, idCol, textCol, n)
-    val bloom = pj.stat.bloomFilter("h", math.max(pj.count(), 1L), fpp)
-    val bytes = graft.functions.BloomRef.serialize(bloom)
+    graft.functions.BloomRef.serialize(
+      pj.stat.bloomFilter("h", math.max(pj.count(), 1L), fpp))
+  }
+
+  /** Persist the serialized prefilter (single small file). */
+  def saveShingleBloom(spark: org.apache.spark.sql.SparkSession,
+      bytes: Array[Byte], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def loadShingleBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** [[bloomContainmentPairs]] against an ALREADY-BUILT filter (e.g. a
+    * [[loadShingleBloom]] artifact): the corpus-side map prefilter costs
+    * nothing to set up, and the probe side is only re-shingled for the
+    * exact verification join — the shape of a recurring contamination
+    * sweep against a fixed benchmark suite.
+    */
+  def bloomContainmentPairsWith(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, n: Int, minContainment: Double,
+      bloomBytes: Array[Byte]): DataFrame = {
+    val pj = postings(probe, idCol, textCol, n)
     val ci = shingleHashes(corpus, idCol, textCol, n)
-      .filter(call_function("graft_bloom_contains", col("h"), lit(bytes)))
+      .filter(call_function("graft_bloom_contains", col("h"), lit(bloomBytes)))
       .select(col(idCol).as("i"), col("h"))
     containmentFrom(ci, pj, idCol, minContainment)
   }

@@ -118,6 +118,26 @@ class NearDupSpec extends AnyFunSuite {
     assert(idx.columns.toSet == Set("doc_id", "h", "n_sh"))
   }
 
+  test("saved decontamination Bloom filter reproduces the inline sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    val corpus = docs.filter(col("doc_id") =!= 5L)
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val bytes = NearDup.buildShingleBloom(probe, "doc_id", "text", 3)
+    NearDup.saveShingleBloom(spark, bytes, s"$dir/bloom.bin")
+    val loaded = NearDup.loadShingleBloom(spark, s"$dir/bloom.bin")
+    assert(java.util.Arrays.equals(loaded, bytes))
+    val viaLoaded = NearDup.bloomContainmentPairsWith(
+        corpus, probe, "doc_id", "text", 3, 0.5, loaded)
+      .orderBy("i").as[(Long, Long, Double)].collect().toSeq
+    val inline = NearDup.bloomContainmentPairs(
+        corpus, probe, "doc_id", "text", 3, 0.5)
+      .orderBy("i").as[(Long, Long, Double)].collect().toSeq
+    assert(viaLoaded == inline)
+    // exact dups of 100 at containment 1.0, the near-dup at 6/7
+    assert(viaLoaded.map(_._1).toSet == Set(1L, 2L, 4L), viaLoaded)
+  }
+
   test("minhash signature has one entry per permutation, stable across runs") {
     val sig = docs.filter(col("doc_id") === 1)
       .select(NearDup.minhashSignature(

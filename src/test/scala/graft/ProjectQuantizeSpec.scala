@@ -240,6 +240,19 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("saved classifier model round-trips and scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("clfmodel").toString
+    val docs = Seq((1L, "the quick brown fox"), (2L, "spark scan agg"))
+      .toDF("doc_id", "text")
+    Classifier.saveModel(Classifier.weightTable(spark, 64, 7L), s"$dir/m")
+    val viaLoaded = Classifier.scoreWithTable(docs,
+        Classifier.loadModel(spark, s"$dir/m"), "doc_id", "text", 64)
+      .orderBy("doc_id").collect().toSeq
+    val closed = Classifier.scoreDocs(docs, "doc_id", "text", 64, 7L)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaLoaded == closed)
+  }
+
   test("weights span [-1000, 1000] with both signs present") {
     val w = Classifier.weightTable(spark, 512, 7L)
       .agg(min("w_mill"), max("w_mill")).as[(Long, Long)].head()
