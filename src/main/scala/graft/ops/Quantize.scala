@@ -38,10 +38,13 @@ object Quantize {
       .agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("i")
       .collect()
-    // float min/max are exact element selections; toDouble is exact —
-    // the oracle's CAST(MIN(x) AS DOUBLE) sees identical values
-    (rows.map(_.getFloat(1).toDouble).toSeq,
-      rows.map(_.getFloat(2).toDouble).toSeq)
+    // min/max are exact element selections; read through Number so both
+    // array<float> and array<double> corpora work (the sibling vector
+    // APIs — RandomProject, CosineSim, DotProduct — accept both element
+    // types). float→double widening is exact, so the oracle's
+    // CAST(MIN(x) AS DOUBLE) sees identical values either way.
+    (rows.map(_.getAs[Number]("mn").doubleValue()).toSeq,
+      rows.map(_.getAs[Number]("mx").doubleValue()).toSeq)
   }
 
   /** The quantized-code column: `array<float>` of integer values 0..255

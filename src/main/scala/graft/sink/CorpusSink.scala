@@ -90,6 +90,35 @@ object CorpusSink {
       .sortBy(_.file).toSeq
   }
 
+  /** JSON string escaping for the manifest's `file` field — caller-provided
+    * layouts can contain characters (`"`, `\`) that would otherwise corrupt
+    * the hand-built entry and make [[verifyManifest]] silently mis-key a
+    * valid shard as "unexpected file".
+    */
+  private[graft] def jesc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private[graft] def junesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => b.append(e); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Write the corpus manifest beside the data (`_graft_manifest.json` —
     * leading underscore: invisible to Spark's file listing, so readers of
     * the corpus never see it as a shard).
@@ -98,7 +127,7 @@ object CorpusSink {
       format: String = "parquet"): Seq[ShardDigest] = {
     val digests = computeDigests(spark, dir, format)
     val json = digests.map(d =>
-      s"""{"file":"${d.file}","rows":${d.rows},"hash":${d.contentHash}}""")
+      s"""{"file":"${jesc(d.file)}","rows":${d.rows},"hash":${d.contentHash}}""")
       .mkString("[", ",", "]")
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,10 +152,14 @@ object CorpusSink {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      """\{"file":"([^"]+)","rows":(-?\d+),"hash":(-?\d+)\}""".r
+      // escape-aware: the file group matches escaped pairs as units, then
+      // unescapes — the exact inverse of [[jesc]] at write time
+      """\{"file":"((?:[^"\\]|\\.)*)","rows":(-?\d+),"hash":(-?\d+)\}""".r
         .findAllMatchIn(txt)
-        .map(m => m.group(1) -> ShardDigest(m.group(1), m.group(2).toLong,
-          m.group(3).toLong))
+        .map { m =>
+          val f = junesc(m.group(1))
+          f -> ShardDigest(f, m.group(2).toLong, m.group(3).toLong)
+        }
         .toMap
     }
     val current = computeDigests(spark, dir, format).map(d => d.file -> d).toMap

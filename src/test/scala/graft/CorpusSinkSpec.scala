@@ -110,4 +110,20 @@ class CorpusSinkSpec extends AnyFunSuite {
     val all = spark.read.parquet(d).select("doc_id").as[Long].collect()
     assert(all.sorted.toSeq == (1L to 500L))
   }
+
+  test("manifest escaping: quote/backslash/control paths survive the round trip") {
+    // caller-provided layouts can contain characters the hand-built JSON
+    // would otherwise corrupt; the regex parse must recover them exactly
+    val paths = Seq("""lang=we"ird/part-0.parquet""", """a\b/part-1.parquet""",
+      "tab\there/p.parquet", "plain/part-2.parquet", """both\"mixed""")
+    paths.foreach { p =>
+      val rt = CorpusSink.junesc(CorpusSink.jesc(p))
+      assert(rt == p, s"round-trip broke: $p -> $rt")
+      // the escaped form parses as ONE entry under the verify regex
+      val entry = s"""{"file":"${CorpusSink.jesc(p)}","rows":1,"hash":-2}"""
+      val m = """\{"file":"((?:[^"\\]|\\.)*)","rows":(-?\d+),"hash":(-?\d+)\}""".r
+        .findAllMatchIn(entry).toSeq
+      assert(m.size == 1 && CorpusSink.junesc(m.head.group(1)) == p, entry)
+    }
+  }
 }

@@ -139,6 +139,16 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     assert(hc.forall(_ == 255f))
   }
 
+  test("dimStats accepts array<double> corpora like the sibling vector APIs") {
+    val f = (0 until 10).map(i => (i.toLong, randVec(i, 4))).toDF("vec_id", "embedding")
+    val d = f.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+    val (fm, fx) = Quantize.dimStats(f, "embedding")
+    val (dm, dx) = Quantize.dimStats(d, "embedding")
+    // float→double widening is exact, so the stats agree bit-for-bit
+    assert(dm == fm && dx == fx)
+  }
+
   test("quantized top-1 finds a planted exact duplicate") {
     val dim = 32
     val base = (0 until 40).map(i => (i.toLong, randVec(50 + i, dim)))
@@ -251,6 +261,39 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     val closed = Classifier.scoreDocs(docs, "doc_id", "text", 64, 7L)
       .orderBy("doc_id").collect().toSeq
     assert(viaLoaded == closed)
+  }
+
+  test("trained diagonal-ridge filter separates planted classes, incl. held-out docs") {
+    // planted separable corpus: positives speak one vocabulary, negatives
+    // another; some shared stopwords so the fit has noise to shrug off
+    val pos = Seq("clear structured prose with citations and depth",
+      "thorough careful analysis with citations included here",
+      "structured depth and careful clear analysis prose")
+    val neg = Seq("buy cheap now click win free prize",
+      "click free spam win cheap prize now",
+      "win now spam click free cheap offers")
+    val train = (pos.zipWithIndex.map { case (t, i) => (i.toLong, s"the $t", true) } ++
+      neg.zipWithIndex.map { case (t, i) => ((10 + i).toLong, s"the $t", false) })
+      .toDF("doc_id", "text", "y")
+    val w = Classifier.trainDiagRidge(train, "doc_id", "text", "y",
+      buckets = 256, lambda = 1L)
+    // the fitted table separates the TRAINING docs perfectly...
+    val scored = Classifier.scoreWithTable(train.drop("y"), w,
+        "doc_id", "text", 256)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    pos.indices.foreach(i => assert(scored(i.toLong), s"pos $i rejected"))
+    neg.indices.foreach(i => assert(!scored((10 + i).toLong), s"neg $i kept"))
+    // ...and generalizes to held-out recombinations of the vocabulary
+    val held = Seq((100L, "careful structured citations and clear depth"),
+      (101L, "cheap spam prize click now")).toDF("doc_id", "text")
+    val heldScores = Classifier.scoreWithTable(held, w, "doc_id", "text", 256)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(heldScores(100L) && !heldScores(101L), heldScores.toString)
+    // the trained table round-trips the saveModel seam bit-identically
+    val dir = java.nio.file.Files.createTempDirectory("clftrain").toString
+    Classifier.saveModel(w, s"$dir/m")
+    assert(Classifier.loadModel(spark, s"$dir/m").orderBy("b").collect().toSeq ==
+      w.orderBy("b").collect().toSeq)
   }
 
   test("weights span [-1000, 1000] with both signs present") {
