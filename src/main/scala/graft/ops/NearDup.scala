@@ -49,6 +49,22 @@ object NearDup {
     graft.core.CacheOnce.persistOnce(shingleHashes(docs, idCol, textCol, n))
   }
 
+  /** Release the CacheOnce pin [[postings]] placed for this exact
+    * (frame, idCol, textCol, n) — for callers that build postings over
+    * FRESH per-invocation frames (the streaming ingest's micro-batches):
+    * every batch has a distinct canonical plan, so the ContextCleaner
+    * never collects the entries and executor storage would grow without
+    * bound. Safe only when the caller owns the frame's lifecycle; registry
+    * queries leave cleanup to the ContextCleaner instead.
+    */
+  private[graft] def unpersistPostings(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): Unit = {
+    val df = shingleHashes(docs, idCol, textCol, n)
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      df.unpersist(blocking = false); ()
+    }
+  }
+
   /** Persist the inverted shingle index as the near-dup family's
     * build-once/query-many artifact (the [[graft.ops.Similarity]] IVF /
     * [[Lm]] table lifecycle, for text): one row per distinct (doc,

@@ -462,31 +462,51 @@ object StreamingIvfIngest {
   final case class Compaction(foldedBatches: Long, generation: Long,
       path: String)
 
-  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+  private[pipelines] def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Generation directories under `compactedDir` that finished writing
-    * (Spark's `_SUCCESS` marker — a crashed write without it is invisible
-    * to readers and simply overwritten by the retry).
+  /** Generation directories under one run's compaction root that finished
+    * writing (Spark's `_SUCCESS` marker — a crashed write without it is
+    * invisible to readers and simply overwritten by the retry).
     */
-  private def generations(spark: SparkSession,
-      compactedDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val root = new org.apache.hadoop.fs.Path(compactedDir)
-    val f = fs(spark, root)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq.collect {
+  private[pipelines] def generations(spark: SparkSession,
+      runCompactDir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val f = fs(spark, runCompactDir)
+    if (!f.exists(runCompactDir)) Seq.empty
+    else f.listStatus(runCompactDir).toSeq.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("gen=") &&
           f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
         st.getPath.getName.stripPrefix("gen=").toLong -> st.getPath
     }.sortBy(_._1)
   }
 
-  /** Latest compacted generation as a queryable assigned corpus
-    * ([[graft.ops.Similarity.ivfTopKWithAssigned]] input). */
+  /** Every run's LAST completed generation under `compactedDir`
+    * (`run=<id>/gen=<n>` layout; a legacy top-level `gen=<n>` from the
+    * pre-run-scoped layout is read as its own pseudo-run so old data stays
+    * queryable — [[compact]] refuses to extend such a layout).
+    */
+  private[pipelines] def lastGenerations(spark: SparkSession,
+      compactedDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(compactedDir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Seq.empty
+    val runRoots = f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("run="))
+      .map(_.getPath)
+    val perRun = runRoots.flatMap(r => generations(spark, r).lastOption.map(_._2))
+    perRun ++ generations(spark, root).lastOption.map(_._2)
+  }
+
+  /** Latest compacted state as a queryable assigned corpus
+    * ([[graft.ops.Similarity.ivfTopKWithAssigned]] input): the union of
+    * every run namespace's last generation — runs never fold each other's
+    * data (a foreign run may still be live), so "everything compacted" is
+    * this union by construction.
+    */
   def loadCompacted(spark: SparkSession, compactedDir: String): DataFrame = {
-    val gens = generations(spark, compactedDir)
+    val gens = lastGenerations(spark, compactedDir)
     require(gens.nonEmpty, s"no completed compaction under $compactedDir")
-    spark.read.parquet(gens.last._2.toString)
+    gens.map(p => spark.read.parquet(p.toString)).reduce(_.unionByName(_))
   }
 
   /** Fold the streaming inverted file's `run=<id>/batch=<n>` directories
@@ -521,25 +541,29 @@ object StreamingIvfIngest {
       case None => return None
     }
     val f = fs(spark, new org.apache.hadoop.fs.Path(checkpointDir))
-    val commitsDir = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
-    val committed: Set[Long] =
-      if (!f.exists(commitsDir)) Set.empty
-      else f.listStatus(commitsDir).map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
-    val runDir = new org.apache.hadoop.fs.Path(s"$invertedDir/run=$runId")
-    val landed: Seq[(Long, org.apache.hadoop.fs.Path)] =
-      if (!f.exists(runDir)) Seq.empty
-      else f.listStatus(runDir).toSeq.collect {
-        case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
-          st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath
-      }.filter { case (id, _) => committed(id) }.sortBy(_._1)
-    val gens = generations(spark, compactedDir)
+    // generations are SCOPED PER RUN: "batch id <= last generation" is only
+    // a coverage statement within one run's monotone batch numbering. A
+    // shared top-level generation would, after a checkpoint loss restarts
+    // batch ids at 0 under a new run id, classify the new run's batches
+    // 0..N as already-folded and delete them unfolded — silent data loss.
+    val legacy = generations(spark,
+      new org.apache.hadoop.fs.Path(compactedDir))
+    require(legacy.isEmpty,
+      s"$compactedDir holds pre-run-scoped generations " +
+        s"(${legacy.map(_._2.getName).mkString(", ")}) whose covered-batch " +
+        "provenance is ambiguous across runs; compact into a fresh " +
+        "compactedDir (the old generations stay readable via loadCompacted)")
+    val landed = committedBatchDirs(spark, s"$invertedDir/run=$runId",
+      checkpointDir)
+    val runCompactRoot =
+      new org.apache.hadoop.fs.Path(s"$compactedDir/run=$runId")
+    val gens = generations(spark, runCompactRoot)
     val lastGen = gens.lastOption.map(_._1)
-    // batch dirs at or below the last generation are ALREADY INSIDE it —
-    // a crash between the generation write and the dir cleanup left them
-    // behind. Finish the interrupted cleanup; NEVER re-fold them (reading
-    // them into a later fold beside the generation that contains them
-    // would duplicate their rows in every generation after).
+    // batch dirs at or below this RUN's last generation are ALREADY INSIDE
+    // it — a crash between the generation write and the dir cleanup left
+    // them behind. Finish the interrupted cleanup; NEVER re-fold them
+    // (reading them into a later fold beside the generation that contains
+    // them would duplicate their rows in every generation after).
     val (covered, pending) =
       landed.partition { case (id, _) => lastGen.exists(id <= _) }
     covered.foreach { case (_, p) => f.delete(p, true) }
@@ -547,7 +571,7 @@ object StreamingIvfIngest {
       Compaction(0L, g, p.toString)
     }
     val newGen = pending.map(_._1).max
-    val target = s"$compactedDir/gen=$newGen"
+    val target = s"$runCompactRoot/gen=$newGen"
     val inputs = gens.lastOption.map(_._2.toString).toSeq ++
       pending.map(_._2.toString)
     // per-root reads + unionByName: each root is its own cell-partitioned
@@ -557,9 +581,30 @@ object StreamingIvfIngest {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(target)
     pending.foreach { case (_, p) => f.delete(p, true) }
-    generations(spark, compactedDir).filter(_._1 < newGen)
+    generations(spark, runCompactRoot).filter(_._1 < newGen)
       .foreach { case (_, p) => f.delete(p, true) }
     Some(Compaction(pending.size.toLong, newGen, target))
+  }
+
+  /** This run's landed micro-batch directories that the checkpoint has
+    * COMMITTED (the `commits/` log), ascending by batch id — the only
+    * directories a compaction may fold (an uncommitted landing is the
+    * stream's to replay/overwrite).
+    */
+  private[pipelines] def committedBatchDirs(spark: SparkSession,
+      runDir: String, checkpointDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val f = fs(spark, new org.apache.hadoop.fs.Path(checkpointDir))
+    val commitsDir = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val committed: Set[Long] =
+      if (!f.exists(commitsDir)) Set.empty
+      else f.listStatus(commitsDir).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
+    val rd = new org.apache.hadoop.fs.Path(runDir)
+    if (!f.exists(rd)) Seq.empty
+    else f.listStatus(rd).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+        st.getPath.getName.stripPrefix("batch=").toLong -> st.getPath
+    }.filter { case (id, _) => committed(id) }.sortBy(_._1)
   }
 }
 
@@ -588,7 +633,9 @@ object StreamingIvfIngest {
   * Scale shape per batch: shingle the batch (map), one hash join against
   * the loaded postings index on the 8-byte shingle hash, one intra-batch
   * blocked self-join — never the accepted corpus' text, never an
-  * all-pairs product.
+  * all-pairs product. Periodic [[compact]] folds the per-batch index
+  * dirs into a generation so the history read stays bounded by
+  * (runs + batches-since-last-compact), not lifetime batch count.
   */
 object StreamingNearDupIngest {
 
@@ -599,30 +646,116 @@ object StreamingNearDupIngest {
     */
   final case class Summary(batches: Long, accepted: Long, rejected: Long)
 
-  /** Index batch directories readable as history for micro-batch
-    * `batchId` of run `runId`: every completed batch dir EXCEPT the
-    * current run's `batch >= batchId` (a replay must not see its own
-    * first attempt).
+  /** Where [[compact]] folds this index's batch directories. Inside
+    * `indexDir` so the ingest stays a one-directory artifact; the
+    * underscore prefix keeps Spark's own file listings from ever seeing
+    * the folded tree as batch data.
+    */
+  def compactedDir(indexDir: String): String = s"$indexDir/_compacted"
+
+  /** Per-run covered-batch watermark of the compacted tree: run id → the
+    * highest batch id inside that run's last completed generation
+    * (generation number = watermark, the [[StreamingIvfIngest.compact]]
+    * convention — sound per run because batch numbering is monotone
+    * WITHIN a run, the exact scoping that makes "id <= gen" safe).
+    */
+  private def genWatermarks(spark: SparkSession,
+      indexDir: String): Map[String, (Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(compactedDir(indexDir))
+    val f = StreamingIvfIngest.fs(spark, root)
+    if (!f.exists(root)) return Map.empty
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("run="))
+      .flatMap { st =>
+        StreamingIvfIngest.generations(spark, st.getPath).lastOption
+          .map { case (g, p) => st.getPath.getName.stripPrefix("run=") -> (g, p) }
+      }.toMap
+  }
+
+  /** Index directories readable as history for micro-batch `batchId` of
+    * run `runId`: every run's last compacted generation, plus every batch
+    * dir NOT yet folded into its run's generation — EXCEPT the current
+    * run's `batch >= batchId` (a replay must not see its own first
+    * attempt; a generation can never contain it, because folds take only
+    * COMMITTED batches and a replaying batch is by definition
+    * uncommitted). Post-compaction the listing is bounded by
+    * (runs + batches-since-last-compact), not total batch count.
     */
   private def historyDirs(spark: SparkSession, indexDir: String,
       runId: String, batchId: Long): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) return Seq.empty
-    for {
+    val marks = genWatermarks(spark, indexDir)
+    val gens = marks.values.map(_._2.toString).toSeq
+    val batches = for {
       runSt <- f.listStatus(root).toSeq
       if runSt.isDirectory && runSt.getPath.getName.startsWith("run=")
       run = runSt.getPath.getName.stripPrefix("run=")
       bSt <- f.listStatus(runSt.getPath).toSeq
       if bSt.isDirectory && bSt.getPath.getName.startsWith("batch=")
       b = bSt.getPath.getName.stripPrefix("batch=").toLong
+      if marks.get(run).forall { case (g, _) => b > g }
       if run != runId || b < batchId
     } yield bSt.getPath.toString
+    gens ++ batches
   }
 
+  /** LSM fold of the shingle-index batch directories — the
+    * [[StreamingIvfIngest.compact]] twin for the near-dup ingest: without
+    * it [[historyDirs]] re-lists and re-unions EVERY `run=/batch=` dir on
+    * every micro-batch, a per-batch cost growing linearly in batch count
+    * over a long-lived ingest. Folds the current checkpoint's COMMITTED
+    * batch dirs (plus the run's previous generation) into
+    * `_compacted/run=<id>/gen=<maxBatch>`; crash-idempotent by the same
+    * contract (overwrite write, inputs deleted only after `_SUCCESS`,
+    * covered leftovers finished-cleaned, never re-folded). Foreign runs'
+    * directories are never touched — only the current checkpoint carries
+    * commit evidence.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      checkpointDir: String): Option[StreamingIvfIngest.Compaction] = {
+    val runId = CheckpointRunId.get(spark, checkpointDir) match {
+      case Some(id) => id
+      case None => return None
+    }
+    val f = StreamingIvfIngest.fs(spark, new org.apache.hadoop.fs.Path(indexDir))
+    val landed = StreamingIvfIngest.committedBatchDirs(spark,
+      s"$indexDir/run=$runId", checkpointDir)
+    val runCompactRoot =
+      new org.apache.hadoop.fs.Path(s"${compactedDir(indexDir)}/run=$runId")
+    val gens = StreamingIvfIngest.generations(spark, runCompactRoot)
+    val lastGen = gens.lastOption.map(_._1)
+    val (covered, pending) =
+      landed.partition { case (id, _) => lastGen.exists(id <= _) }
+    covered.foreach { case (_, p) => f.delete(p, true) }
+    if (pending.isEmpty) return gens.lastOption.map { case (g, p) =>
+      StreamingIvfIngest.Compaction(0L, g, p.toString)
+    }
+    val newGen = pending.map(_._1).max
+    val target = s"$runCompactRoot/gen=$newGen"
+    val inputs = gens.lastOption.map(_._2.toString).toSeq ++
+      pending.map(_._2.toString)
+    // plain union write, no shuffle: the scan packs the many small batch
+    // files into size-bounded partitions, so the generation's file count
+    // is bounded by bytes/maxPartitionBytes regardless of batch count
+    inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(target)
+    pending.foreach { case (_, p) => f.delete(p, true) }
+    StreamingIvfIngest.generations(spark, runCompactRoot)
+      .filter(_._1 < newGen).foreach { case (_, p) => f.delete(p, true) }
+    Some(StreamingIvfIngest.Compaction(pending.size.toLong, newGen, target))
+  }
+
+  /** @param writeManifests attest each landed accepted-batch directory
+    *   with a [[graft.sink.CorpusSink.writeManifest]] shard manifest, so
+    *   the streaming path carries the same tamper-evidence lifecycle as a
+    *   batch-materialized corpus (verify before trusting a resume)
+    */
   def run(spark: SparkSession, batchDir: String, schema: StructType,
       idCol: String, textCol: String, n: Int, minJaccard: Double,
-      indexDir: String, acceptedDir: String, checkpointDir: String): Summary = {
+      indexDir: String, acceptedDir: String, checkpointDir: String,
+      writeManifests: Boolean = true): Summary = {
     import graft.ops.NearDup
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -660,15 +793,26 @@ object StreamingNearDupIngest {
               val nKeep = keep.count()
               accepted.addAndGet(nKeep)
               rejected.addAndGet(b.count() - nKeep)
-              keep.write.mode("overwrite")
-                .parquet(s"$acceptedDir/run=$runId/batch=$batchId")
+              val batchAccepted = s"$acceptedDir/run=$runId/batch=$batchId"
+              keep.write.mode("overwrite").parquet(batchAccepted)
+              if (writeManifests)
+                graft.sink.CorpusSink.writeManifest(spark, batchAccepted)
               NearDup.saveShingleIndex(keep, idCol, textCol, n,
                 s"$indexDir/run=$runId/batch=$batchId")
               batches.incrementAndGet()
               ()
             } finally {
               keep.unpersist(blocking = false)
-              rejects.unpersist(blocking = false); ()
+              rejects.unpersist(blocking = false)
+              // the shingle postings of BOTH per-batch frames were
+              // CacheOnce-pinned inside NearDup (ngramJaccardPairs /
+              // incrementalNearDupPairs / saveShingleIndex share one
+              // cached plan per frame); each micro-batch's plan is
+              // distinct and the CacheManager holds entries until
+              // explicit unpersist, so skipping this would grow executor
+              // storage memory without bound over a long-lived ingest
+              NearDup.unpersistPostings(b, idCol, textCol, n)
+              NearDup.unpersistPostings(keep, idCol, textCol, n); ()
             }
           } finally { b.unpersist(blocking = false); () }
         }

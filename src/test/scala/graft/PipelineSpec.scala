@@ -663,6 +663,133 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
   }
 
+  test("near-dup index compaction: bounded history dirs, decisions unchanged, manifested corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.pipelines.StreamingNearDupIngest
+    val batchDir = s"$work/ndc_batches"
+    val idxDir = s"$work/ndc_index"
+    val accDir = s"$work/ndc_accepted"
+    val ckpt = s"$work/ndc_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def batchDirsIn(runRoot: java.io.File): Seq[String] =
+      Option(runRoot.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("batch=")).map(_.getName)
+
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "spark plans scans joins aggregates and shuffles data well"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b1")
+    val s1 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s1.accepted == 2L)
+    // fold batch 0 into a generation: the run namespace holds NO batch
+    // dirs afterwards, the compacted tree ONE generation
+    val c1 = StreamingNearDupIngest.compact(spark, idxDir, ckpt).get
+    assert(c1.foldedBatches == 1L)
+    val runRoot = new java.io.File(idxDir).listFiles()
+      .find(_.getName.startsWith("run=")).get
+    assert(batchDirsIn(runRoot).isEmpty, "folded batch dir must be removed")
+
+    // post-compaction decisions are IDENTICAL to the uncompacted flow:
+    // doc 10 near-dups history doc 2 (now only inside the generation) and
+    // is rejected; doc 11 is new and accepted
+    Seq(
+      (10L, "spark plans scans joins aggregates and shuffles data well"),
+      (11L, "an entirely different subject matter appears in this line"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b2")
+    val s2 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s2 == StreamingNearDupIngest.Summary(1L, 1L, 1L), s2.toString)
+    assert(StreamingNearDupIngest.loadAccepted(spark, accDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+
+    // second fold accretes batch 1 into a later generation; re-compacting
+    // with nothing new is a no-op on that generation
+    val c2 = StreamingNearDupIngest.compact(spark, idxDir, ckpt).get
+    assert(c2.foldedBatches == 1L && c2.generation > c1.generation)
+    assert(batchDirsIn(runRoot).isEmpty)
+    assert(StreamingNearDupIngest.compact(spark, idxDir, ckpt)
+      .exists(c => c.foldedBatches == 0L && c.generation == c2.generation))
+
+    // a doc near-dupping 11 (folded in c2) is still rejected — history
+    // survives any number of folds
+    Seq((20L, "an entirely different subject matter appears in this line"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b3")
+    val s3 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt)
+    assert(s3 == StreamingNearDupIngest.Summary(1L, 0L, 1L), s3.toString)
+
+    // every landed accepted-batch dir carries a verifying manifest; a
+    // tampered shard fails its batch's verification
+    val batchAccDirs = for {
+      r <- new java.io.File(accDir).listFiles().toSeq
+      if r.getName.startsWith("run=")
+      b <- r.listFiles().toSeq if b.getName.startsWith("batch=")
+    } yield b
+    assert(batchAccDirs.nonEmpty)
+    batchAccDirs.foreach { d =>
+      assert(new java.io.File(d, "_graft_manifest.json").exists(), d.toString)
+      assert(graft.sink.CorpusSink.verifyManifest(spark, d.toString).isRight,
+        d.toString)
+    }
+    val victim = batchAccDirs.flatMap(_.listFiles())
+      .find(f => f.getName.endsWith(".parquet") && f.getName.startsWith("part-")).get
+    val tampered = victim.getParentFile
+    spark.read.parquet(victim.getAbsolutePath)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/ndc_tamper")
+    val replacement = new java.io.File(s"$work/ndc_tamper").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(replacement.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar: the tamper must surface as a
+    // manifest mismatch, not a Hadoop ChecksumException
+    new java.io.File(tampered, s".${victim.getName}.crc").delete()
+    assert(graft.sink.CorpusSink.verifyManifest(spark, tampered.toString).isLeft,
+      "tampered shard must fail manifest verification")
+  }
+
+  test("IVF compaction survives checkpoint loss: a new run's batches are never deleted unfolded") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.pipelines.StreamingIvfIngest
+    val rnd = new scala.util.Random(99)
+    val corpus = Seq.tabulate(30)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 2)
+    val batchDir = s"$work/xr_batches"
+    val invDir = s"$work/xr_inverted"
+    val compDir = s"$work/xr_compacted"
+    val ckpt = s"$work/xr_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = corpus.schema
+    corpus.limit(10).coalesce(1).write.parquet(s"$batchDir/b1")
+    StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    StreamingIvfIngest.compact(spark, invDir, compDir, ckpt)
+    assert(StreamingIvfIngest.loadCompacted(spark, compDir).count() == 10)
+
+    // checkpoint loss: batch numbering restarts at 0 under a NEW run id.
+    // The old layout's shared top-level generation would classify the new
+    // run's batches 0..N as "already folded" and delete them unfolded —
+    // the run-scoped layout must fold them instead
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    StreamingIvfIngest.run(spark, index, batchDir, schema,
+      "vec_id", "embedding", invDir, ckpt)
+    val c = StreamingIvfIngest.compact(spark, invDir, compDir, ckpt).get
+    assert(c.foldedBatches == 1L,
+      "the new run's committed batch must be folded, not discarded")
+    val all = StreamingIvfIngest.loadCompacted(spark, compDir)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all.size == 20 && all.toSet == (0L until 10L).toSet,
+      s"cross-run compaction lost rows: ${all.size}")
+  }
+
   test("all 13 specs create tables and load a minimal corpus end-to-end") {
     val db2url = "jdbc:derby:memory:graftpipe13;create=true"
     val db2 = TargetDb(db2url, DerbyUpsertDialect, TableSpec.derbyType,
