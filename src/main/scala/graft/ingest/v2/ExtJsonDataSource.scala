@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -79,15 +79,25 @@ final class ExtJsonTable(path: String, tableSchema: StructType)
     new ExtJsonScanBuilder(path, tableSchema, options)
 }
 
+/** One pushed `ORDER BY` key in the reader's serializable form: a
+  * top-level field name plus direction/null placement. Nested or computed
+  * sort keys are refused at [[ExtJsonScanBuilder.pushTopN]] — Spark then
+  * keeps its ordinary global sort.
+  */
+final case class PushedSort(field: String, descending: Boolean,
+    nullsFirst: Boolean)
+
 final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topSorts: Array[PushedSort] = Array.empty
+  private var topLimit: Int = -1
   private var countOnly: Boolean = false
 
   /** Only the global `COUNT(*)` pushes (PARTIAL: each split returns one
@@ -95,11 +105,12 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * filter the reader never even parses — a count over a 100 TB
     * document drop is a newline skim; with filters it parses and counts
     * kept rows, still shipping one row per split instead of millions.
-    * Refused when a limit is pushed (mixing the two has no sane partial
-    * semantics) — Spark then falls back to the ordinary scan + agg.
+    * Refused when a limit or top-N is pushed (mixing them has no sane
+    * partial semantics) — Spark then falls back to the ordinary scan +
+    * agg.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = limit < 0 &&
+    val ok = limit < 0 && topLimit < 0 &&
       aggregation.groupByExpressions().isEmpty &&
       aggregation.aggregateExpressions().length == 1 &&
       aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
@@ -128,15 +139,60 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
+  /** `ORDER BY … LIMIT n` reaches each split as a PARTIAL top-N (the
+    * `$sort + $limit` probe): the reader keeps a bounded n-row heap of
+    * its kept rows instead of shipping every parsed row into Spark's
+    * global sort — the global top-N is a subset of the per-split top-Ns,
+    * so [[isPartiallyPushed]]'s outer TakeOrdered stays correct while a
+    * 100 TB probe ships n rows per split instead of the corpus. Accepted
+    * only for top-level fields of comparable atomic types; anything else
+    * falls back to the full scan + sort.
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (countOnly || n < 0) return false
+    val parsed: Seq[Option[PushedSort]] = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          fullSchema.fields.find(_.name == nr.fieldNames()(0)).collect {
+            case f if comparableAtomic(f.dataType) =>
+              PushedSort(f.name,
+                so.direction() == SortDirection.DESCENDING,
+                so.nullOrdering() == NullOrdering.NULLS_FIRST)
+          }
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) false
+    else {
+      topSorts = parsed.flatten.toArray
+      topLimit = n
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  private def comparableAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
   override def build(): Scan =
     new ExtJsonScan(path, fullSchema, required, pushed,
-      Option(options.get("maxSplitBytes")).map(_.toLong), limit, countOnly)
+      Option(options.get("maxSplitBytes")).map(_.toLong), limit, countOnly,
+      topSorts, topLimit)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
     required: StructType, val pushed: Array[Filter],
     maxSplitOverride: Option[Long], val pushedLimit: Int = -1,
-    val countOnly: Boolean = false)
+    val countOnly: Boolean = false,
+    val pushedSorts: Array[PushedSort] = Array.empty,
+    val pushedTopN: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -149,6 +205,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     s"ExtJson $path, ReadSchema: ${readSchema().catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (pushedLimit >= 0) s", PushedLimit: $pushedLimit" else "") +
+      (if (pushedTopN >= 0)
+        s", PushedTopN: ORDER BY [${pushedSorts.mkString(", ")}] LIMIT $pushedTopN"
+      else "") +
       (if (countOnly) ", PushedAggregation: [COUNT(*)]" else "")
 
   /** Planner statistics from the file listing ([[SupportsReportStatistics]]):
@@ -167,10 +226,13 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
 
   override def toBatch: Batch = this
 
-  /** Filter-referenced top-level fields the pruned schema dropped (Spark
-    * prunes a column out of the required schema precisely when only fully
-    * pushed filters touch it) — the reader parses required ++ extras and
-    * emits the required prefix.
+  /** Filter-referenced fields the pruned schema dropped (Spark prunes a
+    * column out of the required schema precisely when only fully pushed
+    * filters touch it) — the reader parses the DEEP MERGE of required and
+    * the filter-referenced paths and emits the required projection. The
+    * merge is prefix-preserving at every nesting level (required fields
+    * first, in order; filter-only fields/subfields appended), so the
+    * reader's projection is a recursive prefix copy.
     */
   private def parseSchema: StructType = {
     // count pushdown: Spark builds the scan BEFORE its prune step runs,
@@ -178,9 +240,10 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // needs the filter-referenced fields parsed (none at all for the
     // unfiltered skim)
     val base = if (countOnly) Array.empty[StructField] else required.fields
-    val baseNames = base.map(_.name).toSet
-    val needed = pushed.flatMap(_.references).toSet -- baseNames
-    StructType(base ++ fullSchema.fields.filter(f => needed(f.name)))
+    val paths = pushed.flatMap(_.references).distinct.toSeq
+      .filterNot(_.contains("`"))
+      .map(_.split("\\.", -1).toSeq)
+    SchemaMerge.merge(base, paths, fullSchema)
   }
 
   /** One filesystem listing per Scan, shared by partition planning and
@@ -206,24 +269,35 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     }.toArray
   }
 
+  /** Expand the glob and RECURSE into matched directories: a nested
+    * document drop (`orders/date=…/part-….jsonl`) reads completely — the
+    * one-level listing this replaces silently dropped subdirectory trees,
+    * the worst kind of wrong (partial results with no error). Hidden
+    * entries (`_`/`.` prefixes) are skipped at every level, matching the
+    * builtin file sources.
+    */
   private def listFiles(p: Path, conf: Configuration): Seq[FileStatus] = {
     val fs = p.getFileSystem(conf)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(matches.nonEmpty, s"extjson path matches no files: $path")
-    matches.flatMap {
-      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq
-      case f => Seq(f)
-    }.filter { f =>
-      val n = f.getPath.getName
-      f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+    def visible(st: FileStatus): Boolean = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
     }
+    def expand(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(expand)
+      else Seq(st)
+    // explicitly glob-matched roots expand even when hidden-named (the
+    // caller asked for them); only DESCENDANTS get the hidden filter
+    matches.flatMap(expand).filter(f => f.isFile && f.getLen > 0)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableWritable(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    ExtJsonReaderFactory(conf, parseSchema.json, required.length, pushed,
-      pushedLimit, countOnly)
+    ExtJsonReaderFactory(conf, parseSchema.json, required.json, pushed,
+      pushedLimit, countOnly, pushedSorts, pushedTopN)
   }
 }
 
@@ -231,11 +305,13 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 /** Ships to executors: Hadoop conf via the public [[SerializableWritable]],
-  * the parse schema as its JSON form (self-contained, version-stable).
+  * the parse and required schemas as their JSON forms (self-contained,
+  * version-stable).
   */
 final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
-    parseSchemaJson: String, requiredLen: Int, pushed: Array[Filter],
-    limit: Int = -1, countOnly: Boolean = false)
+    parseSchemaJson: String, requiredSchemaJson: String, pushed: Array[Filter],
+    limit: Int = -1, countOnly: Boolean = false,
+    sorts: Array[PushedSort] = Array.empty, topN: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExtJsonInputPartition]
@@ -243,7 +319,9 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
       new ExtJsonCountReader(p, conf.value,
         DataTypeJson.structFromJson(parseSchemaJson), pushed)
     else new ExtJsonPartitionReader(p, conf.value,
-      DataTypeJson.structFromJson(parseSchemaJson), requiredLen, pushed, limit)
+      DataTypeJson.structFromJson(parseSchemaJson),
+      DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
+      sorts, topN)
   }
 }
 
@@ -253,10 +331,16 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
   * lines are consumed while they START at a position `<= end`, so the
   * line straddling `end` is read in full here and skipped by the next
   * split's discard.
+  *
+  * With a pushed top-N the split is consumed into a BOUNDED `topN`-row
+  * heap (worst row at the head, evicted on overflow) and the survivors
+  * are emitted afterwards — per-split memory is `topN` projected rows, so
+  * an `ORDER BY … LIMIT 10` probe holds 10 rows however large the split.
   */
 final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
-    conf: Configuration, parseSchema: StructType, requiredLen: Int,
-    pushed: Array[Filter], limit: Int = -1)
+    conf: Configuration, parseSchema: StructType, requiredSchema: StructType,
+    pushed: Array[Filter], limit: Int = -1,
+    sorts: Array[PushedSort] = Array.empty, topN: Int = -1)
     extends PartitionReader[InternalRow] {
 
   // pushed PARTIAL limit: this split stops parsing after its first
@@ -264,11 +348,12 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   private var emitted = 0L
 
   private val parser = new ExtJsonParser(parseSchema)
-  private val fullWidth = parseSchema.length
   // compiled ONCE per reader: field indices, literal conversions, and
   // pattern objects all hoisted out of the per-line loop
   private val keepRow: InternalRow => Boolean =
     if (pushed.isEmpty) _ => true else FilterEval.compile(pushed, parseSchema)
+  private val project: InternalRow => InternalRow =
+    RowProject.projector(parseSchema, requiredSchema)
   private val end = split.start + split.length
   private val text = new Text()
   private var pos = split.start
@@ -283,7 +368,16 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   private val lines = new LineReader(stream)
   if (split.start != 0) pos += lines.readLine(text)
 
+  // pushed partial top-N state: built on first next(), drained after
+  private var heapIter: Iterator[InternalRow] = _
+
   override def next(): Boolean = {
+    if (topN >= 0) {
+      if (heapIter == null) heapIter = buildTopN()
+      if (!heapIter.hasNext) return false
+      current = heapIter.next()
+      return true
+    }
     if (limit >= 0 && emitted >= limit) return false
     while (pos <= end) {
       val n = lines.readLine(text)
@@ -301,32 +395,174 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
     false
   }
 
-  /** Drop the filter-only suffix fields the pruned output doesn't carry. */
-  private def project(row: InternalRow): InternalRow =
-    if (requiredLen == fullWidth) row
-    else {
-      val out = new Array[Any](requiredLen)
-      var i = 0
-      while (i < requiredLen) {
-        out(i) =
-          if (row.isNullAt(i)) null
-          else row.get(i, parseSchema.fields(i).dataType)
-        i += 1
+  /** Consume the whole split into the bounded heap of its `topN` best
+    * kept rows under the pushed order. Emission order is arbitrary —
+    * Spark's outer TakeOrdered re-sorts globally (partial pushdown).
+    */
+  private def buildTopN(): Iterator[InternalRow] = {
+    val ord = RowProject.sortOrdering(requiredSchema, sorts)
+    // max-heap of the WORST row under ord: evict it when over capacity
+    val heap = new java.util.PriorityQueue[InternalRow](
+      math.max(1, topN), ord.reverse)
+    while (pos <= end) {
+      val n = lines.readLine(text)
+      if (n == 0) return drain(heap)
+      pos += n
+      if (text.getLength > 0) {
+        val row = parser.parse(text.getBytes, 0, text.getLength)
+        if (keepRow(row)) {
+          heap.offer(project(row))
+          if (heap.size() > topN) heap.poll()
+          ()
+        }
       }
-      new GenericInternalRow(out)
     }
+    drain(heap)
+  }
+
+  private def drain(heap: java.util.PriorityQueue[InternalRow]): Iterator[InternalRow] = {
+    val out = new Array[InternalRow](heap.size())
+    var i = 0
+    while (i < out.length) { out(i) = heap.poll(); i += 1 }
+    out.iterator
+  }
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = {
-    lines.close()
-  }
+  // LineReader.close() already closes the wrapped stream; the explicit
+  // stream.close() keeps this uniform with ExtJsonCountReader so neither
+  // invites a wrong-direction "fix" (Hadoop stream close is idempotent)
+  override def close(): Unit = { lines.close(); stream.close() }
 }
 
 /** `StructType.fromJson` shim kept in one place. */
 private[v2] object DataTypeJson {
   def structFromJson(json: String): StructType =
     org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+}
+
+/** Parse-schema construction: deep-merge filter-referenced paths into the
+  * required schema. The merge is PREFIX-PRESERVING at every level — the
+  * required fields stay first, in order, and filter-only additions append
+  * (new top-level fields pruned to exactly the referenced subpaths; new
+  * subfields appended after a struct's required subfields) — which is
+  * what lets [[RowProject.projector]] emit the required shape as a
+  * recursive prefix copy.
+  */
+private[v2] object SchemaMerge {
+
+  def merge(base: Array[StructField], paths: Seq[Seq[String]],
+      full: StructType): StructType =
+    StructType(paths.foldLeft(base.toVector)(addPath(_, _, full)))
+
+  private def addPath(fields: Vector[StructField], path: Seq[String],
+      full: StructType): Vector[StructField] = {
+    val name = path.head
+    // a path that doesn't resolve against the declared schema can't have
+    // been accepted by FilterEval.supported; tolerate it as a no-op
+    val fullField = full.fields.find(_.name == name) match {
+      case Some(f) => f
+      case None => return fields
+    }
+    val idx = fields.indexWhere(_.name == name)
+    if (idx < 0) fields :+ prune(fullField, path.tail)
+    else if (path.tail.isEmpty) fields
+    else (fields(idx).dataType, fullField.dataType) match {
+      case (cur: StructType, fs: StructType) =>
+        val sub = addPath(cur.fields.toVector, path.tail, fs)
+        fields.updated(idx, fields(idx).copy(dataType = StructType(sub)))
+      case _ => fields
+    }
+  }
+
+  /** `f` narrowed to just the `rest` subpath (the minimal parse for a
+    * filter-only nested reference — sibling subfields stay skipped).
+    */
+  private def prune(f: StructField, rest: Seq[String]): StructField =
+    if (rest.isEmpty) f
+    else f.dataType match {
+      case s: StructType =>
+        s.fields.find(_.name == rest.head) match {
+          case Some(child) =>
+            f.copy(dataType = StructType(Array(prune(child, rest.tail))))
+          case None => f
+        }
+      case _ => f
+    }
+}
+
+/** Reader-side row shaping shared by the partition readers. */
+private[v2] object RowProject {
+
+  /** parse→required projector. Identity when the schemas already agree;
+    * otherwise a recursive PREFIX copy — [[SchemaMerge]] guarantees the
+    * required schema is, at every nesting level, the leading fields of
+    * the parse schema (struct fields possibly widened deeper).
+    */
+  def projector(parse: StructType, required: StructType): InternalRow => InternalRow =
+    if (parse == required) identity
+    else {
+      val copiers: Array[InternalRow => Any] =
+        required.fields.zipWithIndex.map { case (rf, i) =>
+          val pf = parse.fields(i)
+          require(pf.name == rf.name,
+            s"parse/required misalignment at $i: ${pf.name} vs ${rf.name}")
+          fieldCopier(pf.dataType, rf.dataType, i)
+        }
+      row => {
+        val out = new Array[Any](copiers.length)
+        var i = 0
+        while (i < copiers.length) { out(i) = copiers(i)(row); i += 1 }
+        new GenericInternalRow(out)
+      }
+    }
+
+  private def fieldCopier(pdt: org.apache.spark.sql.types.DataType,
+      rdt: org.apache.spark.sql.types.DataType, i: Int): InternalRow => Any =
+    (pdt, rdt) match {
+      case (p, r) if p == r =>
+        row => if (row.isNullAt(i)) null else row.get(i, r)
+      case (ps: StructType, rs: StructType) =>
+        val inner = projector(ps, rs)
+        row => if (row.isNullAt(i)) null else inner(row.getStruct(i, ps.length))
+      case (p, r) =>
+        throw new IllegalStateException(s"unprojectable parse field $p -> $r")
+    }
+
+  /** Comparator of OUTPUT rows under the pushed sort keys — the per-split
+    * heap order for partial top-N. Keys must be top-level required
+    * fields ([[ExtJsonScanBuilder.pushTopN]] only accepts those; the
+    * outer partial Sort keeps them in the required schema).
+    */
+  def sortOrdering(required: StructType,
+      sorts: Array[PushedSort]): Ordering[InternalRow] = {
+    val keys = sorts.map { s =>
+      val i = required.fieldNames.indexOf(s.field)
+      require(i >= 0, s"pushed sort field ${s.field} missing from ${required.catalogString}")
+      (i, required.fields(i).dataType, s)
+    }
+    new Ordering[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var k = 0
+        while (k < keys.length) {
+          val (i, dt, s) = keys(k)
+          val an = a.isNullAt(i)
+          val bn = b.isNullAt(i)
+          val c =
+            if (an && bn) 0
+            else if (an) { if (s.nullsFirst) -1 else 1 }
+            else if (bn) { if (s.nullsFirst) 1 else -1 }
+            else {
+              val raw = FilterEval.compareInternal(dt, a.get(i, dt), b.get(i, dt))
+              if (s.descending) -raw else raw
+            }
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+  }
 }
 
 /** The COUNT(*)-pushdown reader: emits exactly ONE row — the number of

@@ -11,15 +11,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * `/root/reference/dags/includes/loanapplication_table.py:27-31`).
   *
   * A filter is ACCEPTED (fully evaluated here, nothing residual) only when
-  * every referenced column is a top-level field of a supported atomic type
-  * and every literal converts to that type's internal form; everything
-  * else stays a Spark-side residual. Accepted predicates run per parsed
-  * row BEFORE the row ships — rows failing the predicate never leave the
-  * scan, exactly like documents `$match` drops server-side.
+  * every referenced column resolves — through any depth of structs — to a
+  * field of a supported atomic type and every literal converts to that
+  * type's internal form; everything else stays a Spark-side residual.
+  * Nested references arrive as DOTTED attribute names (Spark's v1
+  * translation under nested-predicate pushdown, `a.b.c`); the reference's
+  * own documents are nested (`user_table.py:31-34`
+  * `personalInformation.firstName`) and a `$match` on a dotted path is
+  * idiomatic MQL, so nested paths are first-class here, not residual.
+  * None of this engine's document schemas contain literal dots or
+  * backticks in field names, so a plain dot split IS the path (an
+  * attribute carrying a backtick is left residual rather than guessed
+  * at). Accepted predicates run per parsed row BEFORE the row ships —
+  * rows failing the predicate never leave the scan, exactly like
+  * documents `$match` drops server-side.
   *
   * SQL three-valued logic: each comparison with a NULL operand is UNKNOWN
-  * (`None`), `And`/`Or` follow Kleene semantics, and a row is kept only on
-  * a definite `true` — matching what the equivalent post-scan `FilterExec`
+  * (`None`) — and a null ANYWHERE along a nested path makes the leaf
+  * NULL, exactly as Catalyst's `GetStructField` null-propagates —
+  * `And`/`Or` follow Kleene semantics, and a row is kept only on a
+  * definite `true`, matching what the equivalent post-scan `FilterExec`
   * would do.
   */
 object FilterEval {
@@ -34,8 +45,8 @@ object FilterEval {
     case LessThan(a, v) => comparable(a, v, schema)
     case LessThanOrEqual(a, v) => comparable(a, v, schema)
     case In(a, vs) => vs.nonEmpty && vs.forall(v => comparable(a, v, schema))
-    case IsNull(a) => topLevel(a, schema).isDefined
-    case IsNotNull(a) => topLevel(a, schema).isDefined
+    case IsNull(a) => resolve(a, schema).isDefined
+    case IsNotNull(a) => resolve(a, schema).isDefined
     case StringStartsWith(a, _) => stringCol(a, schema)
     case StringEndsWith(a, _) => stringCol(a, schema)
     case StringContains(a, _) => stringCol(a, schema)
@@ -97,26 +108,25 @@ object FilterEval {
         else { val b = cr(row); if (b == 1) 1 else if (a == 0 && b == 0) 0 else -1 }
       }
     case IsNull(a) =>
-      val idx = schema.fieldIndex(a)
-      row => if (row.isNullAt(idx)) 1 else 0
+      val g = getter(a, schema)
+      row => if (g(row) == null) 1 else 0
     case IsNotNull(a) =>
-      val idx = schema.fieldIndex(a)
-      row => if (row.isNullAt(idx)) 0 else 1
+      val g = getter(a, schema)
+      row => if (g(row) == null) 0 else 1
     case EqualTo(a, v) => cmpPred(a, v, schema)(_ == 0)
     case GreaterThan(a, v) => cmpPred(a, v, schema)(_ > 0)
     case GreaterThanOrEqual(a, v) => cmpPred(a, v, schema)(_ >= 0)
     case LessThan(a, v) => cmpPred(a, v, schema)(_ < 0)
     case LessThanOrEqual(a, v) => cmpPred(a, v, schema)(_ <= 0)
     case In(a, vs) =>
-      val idx = schema.fieldIndex(a)
-      val dt = schema.fields(idx).dataType
+      val g = getter(a, schema)
+      val dt = resolve(a, schema).get.leaf.dataType
       val internals = vs.map(v => toInternal(v, dt).get)
-      row =>
-        if (row.isNullAt(idx)) -1
-        else {
-          val x = row.get(idx, dt)
-          if (internals.exists(y => compareInternal(dt, x, y) == 0)) 1 else 0
-        }
+      row => {
+        val x = g(row)
+        if (x == null) -1
+        else if (internals.exists(y => compareInternal(dt, x, y) == 0)) 1 else 0
+      }
     case StringStartsWith(a, pre) =>
       strPred(a, schema, UTF8String.fromString(pre))(_.startsWith(_))
     case StringEndsWith(a, suf) =>
@@ -129,20 +139,24 @@ object FilterEval {
 
   private def cmpPred(attr: String, value: Any, schema: StructType)(
       test: Int => Boolean): Pred = {
-    val idx = schema.fieldIndex(attr)
-    val dt = schema.fields(idx).dataType
+    val g = getter(attr, schema)
+    val dt = resolve(attr, schema).get.leaf.dataType
     val y = toInternal(value, dt).get
-    row =>
-      if (row.isNullAt(idx)) -1
-      else if (test(compareInternal(dt, row.get(idx, dt), y))) 1 else 0
+    row => {
+      val x = g(row)
+      if (x == null) -1
+      else if (test(compareInternal(dt, x, y))) 1 else 0
+    }
   }
 
   private def strPred(attr: String, schema: StructType, pat: UTF8String)(
       test: (UTF8String, UTF8String) => Boolean): Pred = {
-    val idx = schema.fieldIndex(attr)
-    row =>
-      if (row.isNullAt(idx)) -1
-      else if (test(row.getUTF8String(idx), pat)) 1 else 0
+    val g = getter(attr, schema)
+    row => {
+      val x = g(row)
+      if (x == null) -1
+      else if (test(x.asInstanceOf[UTF8String], pat)) 1 else 0
+    }
   }
 
   private def eval(f: Filter, schema: StructType, row: InternalRow): Option[Boolean] = f match {
@@ -180,28 +194,81 @@ object FilterEval {
       throw new IllegalStateException(s"unsupported pushed filter $other")
   }
 
-  /** v1 attribute → top-level field; dotted names are nested references
-    * (none of this engine's spec schemas contain literal dots) and stay
-    * residual.
+  /** One resolved (possibly dotted) attribute: the field index at each
+    * struct level, each fetched child struct's width (`getStruct` needs
+    * it), and the leaf field. Dotted segments are struct steps — Spark's
+    * v1 rendering of a nested reference under nested-predicate pushdown.
     */
-  private def topLevel(attr: String, schema: StructType): Option[StructField] =
-    if (attr.contains(".")) None
-    else schema.fields.find(_.name == attr)
+  private[v2] final case class FieldPath(idxs: Array[Int],
+      childWidths: Array[Int], leaf: StructField)
+
+  /** Resolve a v1 attribute against `schema`, walking structs along the
+    * dot path; None when any segment is missing, a non-leaf segment is
+    * not a struct, or the name carries a backtick (a quoted segment —
+    * this engine's schemas never need one, so it stays residual rather
+    * than risking a mis-split).
+    */
+  private[v2] def resolve(attr: String, schema: StructType): Option[FieldPath] = {
+    if (attr.contains("`")) return None
+    val parts = attr.split("\\.", -1)
+    if (parts.exists(_.isEmpty)) return None
+    val idxs = new Array[Int](parts.length)
+    val childWidths = new Array[Int](parts.length - 1)
+    var st = schema
+    var i = 0
+    while (i < parts.length) {
+      val j = st.fieldNames.indexOf(parts(i))
+      if (j < 0) return None
+      idxs(i) = j
+      val f = st.fields(j)
+      if (i == parts.length - 1) return Some(FieldPath(idxs, childWidths, f))
+      f.dataType match {
+        case s: StructType => childWidths(i) = s.length; st = s
+        case _ => return None
+      }
+      i += 1
+    }
+    None // unreachable: the loop returns at the leaf
+  }
+
+  /** Compiled leaf accessor: navigates nested structs by index, null as
+    * soon as any level is null (Catalyst `GetStructField` semantics). The
+    * per-row path does zero allocation and zero name lookup.
+    */
+  private def getter(attr: String, schema: StructType): InternalRow => Any = {
+    val p = resolve(attr, schema).get
+    val depth = p.idxs.length
+    val leafIdx = p.idxs(depth - 1)
+    val leafType = p.leaf.dataType
+    if (depth == 1) { row =>
+      if (row.isNullAt(leafIdx)) null else row.get(leafIdx, leafType)
+    } else { row =>
+      var r = row
+      var i = 0
+      var out: Any = null
+      var live = true
+      while (live && i < depth - 1) {
+        if (r.isNullAt(p.idxs(i))) live = false
+        else r = r.getStruct(p.idxs(i), p.childWidths(i))
+        i += 1
+      }
+      if (live && !r.isNullAt(leafIdx)) out = r.get(leafIdx, leafType)
+      out
+    }
+  }
 
   private def dtype(attr: String, schema: StructType): DataType =
-    topLevel(attr, schema).get.dataType
+    resolve(attr, schema).get.leaf.dataType
 
   private def comparable(attr: String, value: Any, schema: StructType): Boolean =
-    topLevel(attr, schema).exists(f =>
-      value != null && toInternal(value, f.dataType).isDefined)
+    resolve(attr, schema).exists(p =>
+      value != null && toInternal(value, p.leaf.dataType).isDefined)
 
   private def stringCol(attr: String, schema: StructType): Boolean =
-    topLevel(attr, schema).exists(_.dataType == StringType)
+    resolve(attr, schema).exists(_.leaf.dataType == StringType)
 
-  private def get(attr: String, schema: StructType, row: InternalRow): Any = {
-    val idx = schema.fieldIndex(attr)
-    if (row.isNullAt(idx)) null else row.get(idx, schema.fields(idx).dataType)
-  }
+  private def get(attr: String, schema: StructType, row: InternalRow): Any =
+    getter(attr, schema)(row)
 
   private def str(attr: String, schema: StructType, row: InternalRow): Option[UTF8String] =
     Option(get(attr, schema, row).asInstanceOf[UTF8String])
@@ -250,7 +317,7 @@ object FilterEval {
     case _ => false
   }
 
-  private def compareInternal(dt: DataType, x: Any, y: Any): Int = dt match {
+  private[v2] def compareInternal(dt: DataType, x: Any, y: Any): Int = dt match {
     case StringType => x.asInstanceOf[UTF8String].compareTo(y.asInstanceOf[UTF8String])
     case BooleanType => java.lang.Boolean.compare(
       x.asInstanceOf[Boolean], y.asInstanceOf[Boolean])

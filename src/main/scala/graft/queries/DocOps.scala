@@ -94,10 +94,71 @@ object DocOps {
   private def q121Count(s: SparkSession, d: String): DataFrame =
     readOrders(s, d).agg(count(lit(1)).as("n_orders"))
 
+  /** NESTED customer documents (the reference's documents are nested —
+    * `user_table.py:31-34` `personalInformation.firstName`): name/balance/
+    * segment under a `profile` subdocument, so dotted `$match` paths have
+    * something real to push against.
+    */
+  private def customersJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#customer", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_$tag")}/customer"
+      Tables.customer(s, d).select(to_json(struct(
+        struct(lower(lpad(hex(col("c_custkey")), 24, "0")).as("$oid")).as("_id"),
+        col("c_custkey"), col("c_name"),
+        struct(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("mktsegment")).as("profile"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      dir
+    })
+
+  private val decodedCustomers = StructType(Seq(
+    StructField("_id", StringType),
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("profile", StructType(Seq(
+      StructField("nationkey", LongType),
+      StructField("acctbal", DoubleType),
+      StructField("mktsegment", StringType))))))
+
+  private def readCustomers(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedCustomers, customersJsonl(s, d))
+
+  /** Dotted `$match` through the document source: both nested predicates
+    * accepted by the scan (PlanSpec-pinned PushedFilters with dotted
+    * paths, zero residual FilterExec) — the filter-only `mktsegment`
+    * subfield is parsed for the predicate but never shipped, and the
+    * output keeps the nested-pruned shape.
+    */
+  private def q123NestedFilter(s: SparkSession, d: String): DataFrame =
+    readCustomers(s, d)
+      .filter(col("profile.acctbal") > 5000.0 &&
+        col("profile.mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"),
+        col("profile.nationkey").as("nationkey"),
+        col("profile.acctbal").as("acctbal"))
+
+  /** `$sort + $limit` through the document source: partial top-N pushed
+    * to every split (PlanSpec-pinned PushedTopN — each split ships 10
+    * rows, not its row count), Spark's TakeOrdered assembles the exact
+    * global answer. Tiebreak on the unique key keeps the row set
+    * deterministic for the oracle.
+    */
+  private def q125TopN(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_docsource_project" -> q109Project,
     "q110_docsource_filter" -> q110Filter,
-    "q121_docsource_count" -> q121Count)
+    "q121_docsource_count" -> q121Count,
+    "q123_docsource_nested" -> q123NestedFilter,
+    "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
     "q109_docsource_project" ->
@@ -109,5 +170,12 @@ object DocOps {
         "WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00' " +
         "AND o_orderstatus = 'O'"),
     "q121_docsource_count" ->
-      "SELECT COUNT(*) AS n_orders FROM orders")
+      "SELECT COUNT(*) AS n_orders FROM orders",
+    "q123_docsource_nested" ->
+      ("SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nationkey, " +
+        "c_acctbal AS acctbal FROM customer " +
+        "WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'"),
+    "q125_docsource_topn" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"))
 }

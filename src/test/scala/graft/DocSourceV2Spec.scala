@@ -208,6 +208,38 @@ class DocSourceV2Spec extends AnyFunSuite {
         assert(compiled(r) == FilterEval.keep(fs, schema, r),
           s"${fs.mkString(",")} on $r"))
     }
+
+    // the same identity over NESTED paths, incl. null structs mid-path
+    val nested = StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("s", StringType),
+        StructField("b", StructType(Seq(StructField("n", LongType)))))))))
+    def nrow(k: java.lang.Long, s: String, n: java.lang.Long): InternalRow =
+      InternalRow(k, InternalRow(
+        if (s == null) null else UTF8String.fromString(s),
+        if (n == null) null else InternalRow(n)))
+    val nrows = Seq(
+      nrow(1L, "open", 5L), nrow(2L, null, 9L), nrow(3L, "op", null),
+      InternalRow(4L, null))
+    val nestedCases: Seq[Array[Filter]] = Seq(
+      Array(EqualTo("a.s", "open")),
+      Array(GreaterThan("a.b.n", 4L)),
+      Array(Or(IsNull("a.b.n"), LessThan("a.b.n", 6L))),
+      Array(StringStartsWith("a.s", "op"), IsNotNull("a.b")),
+      Array(In("a.b.n", Array(5L, 9L))),
+      Array(And(IsNull("a"), EqualTo("k", 4L))))
+    for (fs <- nestedCases) {
+      assert(fs.forall(FilterEval.supported(_, nested)), fs.mkString(","))
+      val compiled = FilterEval.compile(fs, nested)
+      nrows.foreach(r =>
+        assert(compiled(r) == FilterEval.keep(fs, nested, r),
+          s"${fs.mkString(",")} on $r"))
+    }
+    // unresolvable / non-struct-step / quoted paths stay residual
+    assert(!FilterEval.supported(EqualTo("a.missing", "x"), nested))
+    assert(!FilterEval.supported(EqualTo("k.n", 1L), nested))
+    assert(!FilterEval.supported(EqualTo("`a.s`", "x"), nested))
   }
 
   test("unsupported predicates stay residual; results still correct") {
@@ -243,6 +275,117 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.count(r => r.isNullAt(0) && r.isNullAt(1)) == 2)
     assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "ok" && r.getLong(1) == 1L))
+  }
+
+  test("nested-field filters push to the scan: dotted $match, minimal parse, null-propagating") {
+    val docs = Seq(
+      """{"k": 1, "profile": {"age": 41, "city": "berlin", "score": 9}}""",
+      """{"k": 2, "profile": {"age": 25, "city": "lagos", "score": 5}}""",
+      """{"k": 3, "profile": {"city": "quito", "score": 7}}""",
+      """{"k": 4}""",
+      """{"k": 5, "profile": {"age": 66, "city": "berlin", "score": 1}}""")
+    val dir = writeLines("n.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("profile", StructType(Seq(
+        StructField("age", LongType), StructField("city", StringType),
+        StructField("score", LongType))))))
+    def src = ExtendedJson.read(spark, schema, s"$dir/n.jsonl")
+
+    // a dotted predicate lands ON the scan with zero residual FilterExec;
+    // a missing nested field (k=3) and a missing struct (k=4) both fail
+    // the comparison under null propagation, like GetStructField would
+    val df = src.filter(col("profile.age") > 30).select("k")
+    val scan = v2Scan(df)
+    assert(scan.pushed.map(_.toString).exists(f =>
+      f.contains("profile.age") && f.contains("GreaterThan")), scan.description())
+    val residual = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(residual.isEmpty, "nested pushed filter must leave no residual")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+
+    // mixing a nested push with nested-column output: the filter-only
+    // subfield (age) is parsed for the predicate but the OUTPUT keeps the
+    // nested-pruned shape (city only)
+    val mixed = src.filter(col("profile.age") > 30 && col("profile.city") === "berlin")
+      .select(col("k"), col("profile.city").as("city"))
+    assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "berlin"), (5L, "berlin")))
+
+    // string ops and IsNull work on nested paths too
+    assert(src.filter(col("profile.city").startsWith("b")).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    val isNullDf = src.filter(col("profile.age").isNull).select("k")
+    assert(v2Scan(isNullDf).pushed.map(_.toString)
+      .exists(_.contains("profile.age")), v2Scan(isNullDf).description())
+    assert(isNullDf.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+
+    // filtered COUNT(*) on a nested path parses just that subtree
+    val cnt = src.filter(col("profile.score") >= 5).agg(count(lit(1)))
+    assert(cnt.collect().head.getLong(0) == 3L)
+  }
+
+  test("nested directory trees read completely (recursive listing)") {
+    val root = Files.createTempDirectory("graft_v2tree").toString
+    Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))
+    Files.createDirectories(Paths.get(root, "drop", "date=2024-01-02", "deep"))
+    Files.write(Paths.get(root, "drop", "top.jsonl"),
+      """{"k": 1}""".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "drop", "date=2024-01-01", "p.jsonl"),
+      "{\"k\": 2}\n{\"k\": 3}".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "drop", "date=2024-01-02", "deep", "q.jsonl"),
+      """{"k": 4}""".getBytes("UTF-8"))
+    // hidden entries skipped at every level, like the builtin sources
+    Files.write(Paths.get(root, "drop", "_SUCCESS"), "".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "drop", "date=2024-01-01", ".hidden.jsonl"),
+      """{"k": 99}""".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val got = ExtendedJson.read(spark, schema, s"$root/drop")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L),
+      s"nested layout must read completely, got $got")
+  }
+
+  test("ORDER BY … LIMIT pushes as partial top-N: bounded per-split, globally exact") {
+    val rnd = new scala.util.Random(5)
+    val docs = rnd.shuffle((1 to 300).toList).map(i =>
+      s"""{"k": $i, "v": ${i * 7 % 100}, "s": "r$i"}""") ++
+      Seq("""{"k": 1000, "s": "nullv"}""")
+    val dir = writeLines("top.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType),
+      StructField("s", StringType)))
+    def src(maxSplit: String = "") = {
+      val r = spark.read.format("graft-extjson").schema(schema)
+      (if (maxSplit.nonEmpty) r.option("maxSplitBytes", maxSplit) else r)
+        .load(s"$dir/top.jsonl")
+    }
+    // two sort keys (desc + tiebreak asc), many tiny splits — each split
+    // ships at most 5 rows, the global TakeOrdered assembles the answer
+    val df = src("256").orderBy(col("v").desc, col("k").asc).limit(5)
+    val scan = v2Scan(df)
+    assert(scan.pushedTopN == 5, scan.description())
+    assert(scan.description().contains("PushedTopN"), scan.description())
+    val expect = (1 to 300).map(i => (i.toLong, (i * 7 % 100).toLong))
+      .sortBy { case (k, v) => (-v, k) }.take(5)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
+    // ascending with NULLS FIRST: the null-v row must surface
+    val asc = src("256").orderBy(col("v").asc_nulls_first, col("k").asc).limit(3)
+    assert(v2Scan(asc).pushedTopN == 3)
+    val ascRows = asc.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    assert(ascRows.head == ((1000L, null)), ascRows.toString)
+    // with a pushed filter: top-N of the KEPT rows only
+    val filtered = src("256").filter(col("v") < 50)
+      .orderBy(col("v").desc, col("k").asc).limit(4)
+    val expectF = (1 to 300).map(i => (i.toLong, (i * 7 % 100).toLong))
+      .filter(_._2 < 50).sortBy { case (k, v) => (-v, k) }.take(4)
+    assert(filtered.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expectF)
+    // a non-field sort key refuses the pushdown and stays correct
+    val computed = src().orderBy((col("v") + col("k")).asc).limit(2)
+    assert(v2Scan(computed).pushedTopN == -1)
+    assert(computed.collect().length == 2)
   }
 
   test("explicit schema is required — inference refuses loudly") {

@@ -443,6 +443,39 @@ class PlanSpec extends AnyFunSuite {
       Set("o_orderkey", "o_orderdate", "o_totalprice"))
   }
 
+  test("q123 nested document filter pushes dotted paths, zero residual") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q123_docsource_nested").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val pushed = scans.head.pushed.map(_.toString)
+    // both dotted $match predicates accepted by the scan...
+    assert(pushed.exists(f => f.contains("profile.acctbal") && f.contains("GreaterThan")),
+      pushed.mkString(", "))
+    assert(pushed.exists(f => f.contains("profile.mktsegment") && f.contains("EqualTo")),
+      pushed.mkString(", "))
+    // ...with no Spark-side re-filter: rejected documents never leave the
+    // reader even when the predicate lives two struct levels down
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+  }
+
+  test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q125_docsource_topn").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    // each split ships its 10 best rows, not its row count; Spark's
+    // global TakeOrdered assembles the exact answer above it
+    assert(scans.head.pushedTopN == 10, scans.head.description())
+    assert(scans.head.pushedSorts.map(_.field).toSeq ==
+      Seq("o_totalprice", "o_orderkey"), scans.head.description())
+  }
+
   test("q108 budget mix: prefix-sum form, never a per-source window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the running total must be the two-pass range-shuffle prefix sum
