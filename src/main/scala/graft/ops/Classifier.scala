@@ -65,6 +65,51 @@ object Classifier {
         sum(col("w_mill")).as("score_mill"))
       .withColumn("keep", col("score_mill") > 0)
 
+  /** IN-ENGINE TRAINING: fit the hashed linear model's weight table from
+    * LABELED documents by closed-form per-bucket ridge regression — the
+    * diagonal approximation of the least-squares normal equations on the
+    * hashed feature counts (features treated as uncorrelated, the
+    * standard closed form when the design matrix's off-diagonal Gram
+    * terms are dropped):
+    *
+    *   w[b] = Σ_d c_{b,d} · y_d  /  (λ + Σ_d c²_{b,d})
+    *
+    * with y ∈ {+1, −1} from `labelCol` (true = positive class) and
+    * c_{b,d} the document's occurrence count of bucket b. A bucket seen
+    * mostly in positive documents gets a positive weight, so
+    * `Σ_occurrences w[b] > 0` is the fastText-style decision
+    * [[scoreWithTable]] already implements — the trained table drops into
+    * the existing inference/save/load seam unchanged.
+    *
+    * Exact integer millionths (the oracle discipline): the floor division
+    * runs on the NON-NEGATIVE magnitude and re-applies the sign — Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, and they
+    * agree only for non-negative operands.
+    *
+    * Scale shape: one corpus explode, one groupBy on (doc, bucket) for
+    * the counts (map-side partials), one `buckets`-bounded reduction —
+    * model state is B rows regardless of corpus size, the same bounded-
+    * state property as [[Dsir]]. No driver-side math, no iteration.
+    *
+    * @return (b, w_mill) — the [[scoreWithTable]]/[[saveModel]] shape
+    */
+  def trainDiagRidge(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int, lambda: Long = 1L): DataFrame = {
+    require(lambda >= 0L, "lambda >= 0")
+    labeled
+      .select(col(idCol),
+        when(col(labelCol), lit(1L)).otherwise(lit(-1L)).as("y"),
+        explode(Dsir.featureBucketsNative(col(textCol), buckets)).as("b"))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("b")
+      .agg(sum(col("c") * col("y")).as("num"),
+        (sum(col("c") * col("c")) + lit(lambda)).as("den"))
+      .select(col("b"),
+        expr("CASE WHEN num >= 0 THEN (1000000 * num) div den " +
+          "ELSE -((1000000 * -num) div den) END").as("w_mill"))
+  }
+
   /** The closed-form model as a table (for [[scoreWithTable]] round-trip
     * tests and as the save/load artifact shape).
     */

@@ -712,6 +712,28 @@ object TextOps {
     graft.ops.Classifier.scoreDocs(
       Tables.documents(s, d), "doc_id", "text", buckets = 512, seed = 7L)
 
+  /** TRAIN-then-score through the full model lifecycle
+    * ([[graft.ops.Classifier.trainDiagRidge]] → `saveModel` → `loadModel`
+    * → `scoreWithTable`): the quality classifier is FIT in-engine by
+    * closed-form per-bucket ridge on the hashed features (labels: is the
+    * document English — the q113 target pairing), persisted, reloaded,
+    * and applied — so the trained-model path is hash-graded end to end,
+    * not just the pseudo-weight inference (q115). All-integer weights
+    * and scores; the oracle recomputes the identical closed form.
+    */
+  private def q124ClassifierTrain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val weights = graft.ops.Classifier.trainDiagRidge(
+      docs.withColumn("__y", col("lang") === "en"),
+      "doc_id", "text", "__y", buckets = 512, lambda = 1L)
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val path = s"${graft.core.Scratch.ephemeralDir(s"graft_clf_$tag")}/model"
+    graft.ops.Classifier.saveModel(weights, path)
+    graft.ops.Classifier.scoreWithTable(docs,
+      graft.ops.Classifier.loadModel(s, path), "doc_id", "text", buckets = 512)
+  }
+
   /** Model-free hashed document embeddings ([[TextAnalysis.hashEmbed]]):
     * the hashing trick + sign projection as one fused native pass — raw
     * text gains a dense integer vector for the ANN/dedup stack. One row
@@ -769,6 +791,7 @@ object TextOps {
     "q113_dsir_weights" -> q113DsirWeights _,
     "q115_classifier_filter" -> q115ClassifierFilter _,
     "q118_hash_embed" -> q118HashEmbed _,
+    "q124_classifier_train" -> q124ClassifierTrain _,
     "q60_bpe_pairs" -> q60BpePairs _,
     "q66_bpe_encode" -> q66BpeEncode _,
     "q68_normalize" -> q68Normalize _,
@@ -1193,6 +1216,31 @@ object TextOps {
         "SELECT doc_id, COUNT(*) AS n_feats, " +
         "  CAST(SUM(w_mill) AS BIGINT) AS score_mill, " +
         "  SUM(w_mill) > 0 AS keep FROM w GROUP BY doc_id"),
+    // the trainer's closed form stated relationally: per-(doc, bucket)
+    // occurrence counts, per-bucket Σc·y and λ+Σc², the sign-split floor
+    // division (// floors in DuckDB but Spark's div truncates — identical
+    // only on non-negative operands, hence the CASE), then q115's scoring
+    // join against the FITTED table instead of the closed-form one.
+    // h is MATERIALIZED: it feeds both the trainer and the scorer
+    "q124_classifier_train" ->
+      ("WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), " +
+        "feats AS (SELECT doc_id, lang, list_concat(t, " +
+        "  [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS fs FROM toks), " +
+        "f AS (SELECT doc_id, lang, unnest(fs) AS s FROM feats), " +
+        "h AS MATERIALIZED (SELECT doc_id, lang, " +
+        "  (list_reduce(list_transform(string_split(s, ''), " +
+        "    c -> CAST(ascii(c) AS BIGINT)), " +
+        "    (a, c) -> (a * 31 + c) % 1099511627776)) % 512 AS b FROM f), " +
+        "cb AS (SELECT doc_id, b, " +
+        "  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+        "  COUNT(*) AS c FROM h GROUP BY doc_id, b, lang), " +
+        "wt AS (SELECT b, CAST(SUM(c * y) AS BIGINT) AS num, " +
+        "  CAST(SUM(c * c) + 1 AS BIGINT) AS den FROM cb GROUP BY b), " +
+        "w AS (SELECT b, CASE WHEN num >= 0 THEN (1000000 * num) // den " +
+        "  ELSE -((1000000 * (-num)) // den) END AS w_mill FROM wt) " +
+        "SELECT h.doc_id, COUNT(*) AS n_feats, " +
+        "  CAST(SUM(w_mill) AS BIGINT) AS score_mill, " +
+        "  SUM(w_mill) > 0 AS keep FROM h JOIN w USING (b) GROUP BY h.doc_id"),
     // q113's per-occurrence bucket CTE joined against q114's two-round
     // sign mix evaluated on the (bucket, j) grid — the signed occurrence
     // count per output dim is an exact integer both engines agree on
