@@ -40,6 +40,18 @@ object Bench {
     "q90_leakage_split", "q117_ivf_sq8", "q119_incremental_neardup",
     "q122_doc_ann_ivf")
 
+  /** The machine-contention CONTROL set: cheap, code-stable queries
+    * re-benched at the END of every full-tier run as a second pass. A
+    * reader divides a round's control mins by the previous round's to get
+    * the box-speed factor FROM THE RECORD ALONE — no judge re-run needed
+    * to tell "the box was 2× slower today" from a real regression (the r9
+    * adjudication burned a session proving exactly that). Edit these only
+    * with a matching note in the round's commit: their value is being
+    * UNCHANGED across rounds.
+    */
+  private val controlSet: Seq[String] = Seq(
+    "q68_normalize", "q69_chunks", "q80_cohort_retention", "q84_semi_join")
+
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -119,6 +131,31 @@ object Bench {
       }
     }
 
+    // second-pass control block (full tier only — the unattended record is
+    // what needs the self-defense; BENCH_ONLY/core iterations stay cheap).
+    // Runs AFTER the registry sweep so it samples the same late-run machine
+    // state the tail queries saw.
+    val stale2 = controlSet.filterNot(SparkEntry.queries.keySet)
+    require(stale2.isEmpty,
+      s"Bench.controlSet names queries not in the registry: ${stale2.mkString(",")}")
+    val controls = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    if (only.isEmpty && tier == "full") {
+      for (name <- controlSet; fn <- SparkEntry.queries.get(name)) {
+        try {
+          runOnce(fn(spark, sfDir))
+          controls(name) = (1 to measuredRuns).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            runOnce(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }
+          spark.catalog.clearCache()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] control FAILED $name — ${e.getMessage}")
+        }
+      }
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -140,10 +177,13 @@ object Bench {
     val rs = allRuns.map { case (k, v) =>
       s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val cs = controls.map { case (k, v) => s"${jstr(k)}:${v.min}" }.mkString("{", ",", "}")
+    val crs = controls.map { case (k, v) =>
+      s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val medianTotal = medians.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"control":$cs,"control_runs":$crs,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
