@@ -193,7 +193,39 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val countOnly: Boolean = false,
     val pushedSorts: Array[PushedSort] = Array.empty,
     val pushedTopN: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** RUNTIME filters (dynamic pruning): Spark derives them from a join's
+    * build side after it materializes — e.g. `k IN (join keys actually
+    * present)` — and hands them here mid-execution, BEFORE partitions are
+    * re-planned and readers are created. Evaluated per row at the scan
+    * exactly like statically pushed filters, so a selective dimension
+    * join drops fact-side documents in the reader instead of shipping
+    * them to the join. Correctness-neutral by the same argument as
+    * static pushdown: the join above would drop those rows anyway.
+    */
+  private var runtime: Array[Filter] = Array.empty
+
+  /** Only the scan's OUTPUT columns are declared filterable: the pruning
+    * rule resolves these names against the relation's output, so a
+    * pruned-away field here is an AnalysisException in any query that
+    * joins this scan (count pushdown exposes no columns at all).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (countOnly) Array.empty
+    else readSchema().fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters.filter(FilterEval.supported(_, fullSchema))
+  }
+
+  /** Static + runtime predicates, the set the readers actually apply. */
+  private def allFilters: Array[Filter] = pushed ++ runtime
+
+  /** Test hook: the runtime filters this scan actually received. */
+  private[graft] def runtimeFilters: Array[Filter] = runtime
 
   override def readSchema(): StructType =
     if (countOnly)
@@ -240,7 +272,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // needs the filter-referenced fields parsed (none at all for the
     // unfiltered skim)
     val base = if (countOnly) Array.empty[StructField] else required.fields
-    val paths = pushed.flatMap(_.references).distinct.toSeq
+    val paths = allFilters.flatMap(_.references).distinct.toSeq
       .filterNot(_.contains("`"))
       .map(_.split("\\.", -1).toSeq)
     SchemaMerge.merge(base, paths, fullSchema)
@@ -257,12 +289,21 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
     val maxSplit = maxSplitOverride.getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
       .max(1L)
     listing.flatMap { f =>
-      (0L until f.getLen by maxSplit).map { off =>
+      // a COMPRESSED file is never byte-split: a gzip stream has no
+      // mid-file entry points, so a range split would decode garbage —
+      // silent wrong results, the worst kind. One whole-file partition
+      // instead; the reader decompresses through the codec.
+      if (codecs.getCodec(f.getPath) != null)
+        Seq(ExtJsonInputPartition(f.getPath.toString, 0L, f.getLen,
+          wholeFile = true))
+      else (0L until f.getLen by maxSplit).map { off =>
         ExtJsonInputPartition(f.getPath.toString, off,
           math.min(maxSplit, f.getLen - off))
       }
@@ -296,12 +337,17 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableWritable(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    ExtJsonReaderFactory(conf, parseSchema.json, required.json, pushed,
+    ExtJsonReaderFactory(conf, parseSchema.json, required.json, allFilters,
       pushedLimit, countOnly, pushedSorts, pushedTopN)
   }
 }
 
-final case class ExtJsonInputPartition(file: String, start: Long, length: Long)
+/** @param wholeFile the file is compressed (no mid-file entry points):
+  *   the reader opens through the codec at offset 0 and consumes to EOF
+  *   instead of honoring a byte range
+  */
+final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
+    wholeFile: Boolean = false)
     extends InputPartition
 
 /** Ships to executors: Hadoop conf via the public [[SerializableWritable]],
@@ -354,17 +400,12 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
     if (pushed.isEmpty) _ => true else FilterEval.compile(pushed, parseSchema)
   private val project: InternalRow => InternalRow =
     RowProject.projector(parseSchema, requiredSchema)
-  private val end = split.start + split.length
+  private val end = SplitIO.endBound(split)
   private val text = new Text()
   private var pos = split.start
   private var current: InternalRow = _
 
-  private val stream = {
-    val p = new Path(split.file)
-    val in = p.getFileSystem(conf).open(p)
-    in.seek(split.start)
-    in
-  }
+  private val stream = SplitIO.open(split, conf)
   private val lines = new LineReader(stream)
   if (split.start != 0) pos += lines.readLine(text)
 
@@ -433,6 +474,39 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   // stream.close() keeps this uniform with ExtJsonCountReader so neither
   // invites a wrong-direction "fix" (Hadoop stream close is idempotent)
   override def close(): Unit = { lines.close(); stream.close() }
+}
+
+/** Split stream setup shared by the partition readers. */
+private[v2] object SplitIO {
+
+  /** Open the split's line stream: a plain byte-range split seeks to its
+    * start; a compressed whole-file split decodes through the codec from
+    * offset 0 (gzip has no mid-file entry points — byte-splitting it
+    * would decode garbage silently).
+    */
+  def open(split: ExtJsonInputPartition,
+      conf: Configuration): java.io.InputStream = {
+    val p = new Path(split.file)
+    val raw = p.getFileSystem(conf).open(p)
+    if (split.wholeFile) {
+      val codec =
+        new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+          .getCodec(p)
+      require(codec != null, s"no codec for whole-file split ${split.file}")
+      codec.createInputStream(raw)
+    } else {
+      raw.seek(split.start)
+      raw
+    }
+  }
+
+  /** Line-ownership bound: byte-range splits own lines starting in
+    * `[start, start+length)` plus one line past `end`; a whole-file split
+    * owns everything (positions count DECOMPRESSED bytes, which the
+    * on-disk length says nothing about).
+    */
+  def endBound(split: ExtJsonInputPartition): Long =
+    if (split.wholeFile) Long.MaxValue else split.start + split.length
 }
 
 /** `StructType.fromJson` shim kept in one place. */
@@ -582,18 +656,13 @@ final class ExtJsonCountReader(split: ExtJsonInputPartition,
     if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
   private val parser =
     if (pushed.isEmpty) null else new ExtJsonParser(parseSchema)
-  private val end = split.start + split.length
+  private val end = SplitIO.endBound(split)
   private val text = new Text()
   private var pos = split.start
   private var done = false
   private var count = 0L
 
-  private val stream = {
-    val p = new Path(split.file)
-    val in = p.getFileSystem(conf).open(p)
-    in.seek(split.start)
-    in
-  }
+  private val stream = SplitIO.open(split, conf)
   private val lines = new LineReader(stream)
   if (split.start != 0) pos += lines.readLine(text)
 

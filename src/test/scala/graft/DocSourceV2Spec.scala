@@ -388,6 +388,79 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(computed.collect().length == 2)
   }
 
+  test("gzip files read whole-file through the codec, never byte-split") {
+    val dir = Files.createTempDirectory("graft_v2gz").toString
+    val lines = (1 to 200).map(i => s"""{"k": $i, "s": "row_$i"}""")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/data.jsonl.gz"))
+    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    // a tiny maxSplitBytes MUST NOT byte-split the gzip stream: exactly
+    // one partition per compressed file, all rows decoded
+    val df = spark.read.format("graft-extjson").schema(schema)
+      .option("maxSplitBytes", "64").load(s"$dir/data.jsonl.gz")
+    assert(df.rdd.getNumPartitions == 1,
+      "compressed files must be whole-file partitions")
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1L to 200L))
+    // pushdown still applies through the codec: filter, count skim, top-N
+    assert(df.filter(col("k") > 190).collect().length == 10)
+    assert(df.agg(count(lit(1))).collect().head.getLong(0) == 200L)
+    val top = df.orderBy(col("k").desc).limit(3).select("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(200L, 199L, 198L))
+    // mixed directory: plain + gz files combine completely
+    Files.write(Paths.get(dir, "extra.jsonl"),
+      """{"k": 1000, "s": "plain"}""".getBytes("UTF-8"))
+    val mixed = ExtendedJson.read(spark, schema, dir)
+    assert(mixed.count() == 201L)
+  }
+
+  test("runtime join filters reach the scan and drop rows reader-side") {
+    import spark.implicits._
+    val docs = (1 to 400).map(i => s"""{"k": ${i % 20}, "v": $i}""")
+    val dir = writeLines("rf.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    // the dim side must be a FILE relation: a filtered LocalRelation
+    // constant-folds away and leaves no selective Filter for the dynamic
+    // pruning rule to key on
+    (1 to 20).map(i => (i.toLong, if (i == 3 || i == 7) "hot" else s"c$i"))
+      .toDF("k", "tag").write.parquet(s"$dir/dim.parquet")
+    val dim = spark.read.parquet(s"$dir/dim.parquet").filter(col("tag") === "hot")
+    val fact = ExtendedJson.read(spark, schema, s"$dir/rf.jsonl")
+    val joined = fact.join(dim, Seq("k"))
+    val rows = joined.collect()
+    assert(rows.length == 40, s"${rows.length}")
+    // the scan instance in the executed plan is the one Spark hands
+    // runtime filters to; after execution it must have received the join
+    // keys as an In filter. AQE wraps the join and query stages hold
+    // their plans as inner children, so recurse through them explicitly.
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ExtJsonScan] =
+      (p match {
+        case b: BatchScanExec => Seq(b.scan.asInstanceOf[ExtJsonScan])
+        case _ => Nil
+      }) ++ p.children.flatMap(findScans) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScans(q.plan)
+        case _ => Nil
+      })
+    val ep = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+    val finalPlan = ep match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = findScans(finalPlan)
+    assert(scans.length == 1, finalPlan.toString.take(500))
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "join build-side keys should arrive as runtime filters at the scan")
+    assert(scans.head.runtimeFilters.map(_.toString)
+      .exists(f => f.contains("In(k") && f.contains("3") && f.contains("7")),
+      scans.head.runtimeFilters.mkString(", "))
+  }
+
   test("explicit schema is required — inference refuses loudly") {
     val dir = writeLines("x.jsonl", Seq("""{"a": 1}"""))
     val e = intercept[Exception] {
