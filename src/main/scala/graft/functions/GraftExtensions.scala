@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension point, registered via `spark.sql.extensions` (the
@@ -212,6 +212,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_bloom_contains: filter must be a binary literal, got $other")
         }
         BloomContains(children.head, new BloomRef(bytes))
+      }))
+    // PQ kernels: the codebook (array<double> literal) folds into ONE
+    // constant PqRef at plan time — the naive m·k-subexpression literal
+    // tree costs ~10 s of planning+Janino per query (measured), which is
+    // the entire reason these are native
+    def pqRefOf(fn: String, children: Seq[Expression]): PqRef = {
+      require(children.length == 4, s"$fn takes exactly 4 arguments")
+      val flat = children(1) match {
+        case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(DoubleType, _)) => v.toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"$fn: books must be an array<double> literal, got $other")
+      }
+      new PqRef(litInt(children(2), fn, "m"), litInt(children(3), fn, "k"), flat)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children.head, pqRefOf("graft_pq_encode", children))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_dtab"),
+      new ExpressionInfo(classOf[PqDistTable].getName, "graft_pq_dtab"),
+      (children: Seq[Expression]) =>
+        PqDistTable(children.head, pqRefOf("graft_pq_dtab", children))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "graft_pq_adc takes exactly 4 arguments")
+        PqAdc(children(0), children(1),
+          litInt(children(2), "graft_pq_adc", "m"),
+          litInt(children(3), "graft_pq_adc", "k"))
       }))
   }
 }

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Constant product-quantization codebook state shared by the PQ kernels:
+  * `m` subspaces × `k` centroids × `subDim` dims, flattened as
+  * `((s·k + j)·subDim + d)`, with the per-centroid squared norms
+  * precomputed once at plan time. Rides the plan as a codegen reference
+  * object (the [[BloomRef]]/[[BpeEncode]] pattern) — the naive
+  * literal-tree formulation of the same math (m·k separate dot
+  * subexpressions) costs ~10 s of planning+Janino per query, which is
+  * why these are native kernels and not column compositions.
+  */
+final class PqRef(val m: Int, val k: Int, val flat: Array[Double])
+    extends Serializable {
+  require(m > 0 && k > 0 && flat.length % (m * k) == 0,
+    s"codebook length ${flat.length} not divisible by m*k=${m * k}")
+  val subDim: Int = flat.length / (m * k)
+  val dim: Int = m * subDim
+
+  /** Σ c² per flattened centroid (s·k + j). */
+  val cc: Array[Double] = {
+    val out = new Array[Double](m * k)
+    var c = 0
+    while (c < out.length) {
+      var acc = 0.0
+      var d = 0
+      while (d < subDim) { acc += flat(c * subDim + d) * flat(c * subDim + d); d += 1 }
+      out(c) = acc
+      c += 1
+    }
+    out
+  }
+
+  private def dotSub(vec: ArrayData, isFloat: Boolean, s: Int, c: Int): Double = {
+    var acc = 0.0
+    var d = 0
+    val base = c * subDim
+    val off = s * subDim
+    while (d < subDim) {
+      val x = if (isFloat) vec.getFloat(off + d).toDouble else vec.getDouble(off + d)
+      acc += x * flat(base + d)
+      d += 1
+    }
+    acc
+  }
+
+  private def anyNull(vec: ArrayData): Boolean = {
+    var i = 0
+    while (i < vec.numElements()) {
+      if (vec.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Per-subspace L2-nearest centroid indices (tie → larger index, the
+    * `array_max`-over-structs convention), or null on length mismatch /
+    * null element.
+    */
+  def encode(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    if (vec.numElements() != dim || anyNull(vec)) return null
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        val c = s * k + j
+        val score = dotSub(vec, isFloat, s, c) - cc(c) / 2.0
+        if (score >= bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The SHIFTED ADC distance table for a query vector: entry `s·k + j`
+    * is `c·c − 2·q_s·c` (true per-subspace squared distance minus the
+    * candidate-independent `q_s·q_s` — identical candidate order and
+    * ties at `k` fewer multiplies per entry). Null on mismatch.
+    */
+  def dtab(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    if (vec.numElements() != dim || anyNull(vec)) return null
+    val out = new Array[Any](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        val c = s * k + j
+        out(c) = cc(c) - 2.0 * dotSub(vec, isFloat, s, c)
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+}
+
+private[functions] object PqKernels {
+  def vectorOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** `graft_pq_encode(vec, books, m, k)` → array<int>: the m-nibble PQ code
+  * (books/m/k must be literals — folded into the constant [[PqRef]]).
+  */
+case class PqEncode(child: Expression, ref: PqRef)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqKernels.vectorOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode requires array<float>/array<double>, got ${child.dataType.catalogString}")
+
+  private def flt: Boolean = PqKernels.isFloat(child)
+
+  override def nullSafeEval(input: Any): Any =
+    ref.encode(input.asInstanceOf[ArrayData], flt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("pqRef", ref, classOf[PqRef].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $r.encode($c, $flt);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `graft_pq_dtab(vec, books, m, k)` → array<double>: the query's shifted
+  * ADC distance table (m·k entries), computed once per query row.
+  */
+case class PqDistTable(child: Expression, ref: PqRef)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_pq_dtab"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqKernels.vectorOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_dtab requires array<float>/array<double>, got ${child.dataType.catalogString}")
+
+  private def flt: Boolean = PqKernels.isFloat(child)
+
+  override def nullSafeEval(input: Any): Any =
+    ref.dtab(input.asInstanceOf[ArrayData], flt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("pqRef", ref, classOf[PqRef].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $r.dtab($c, $flt);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTable =
+    copy(child = newChild)
+}
+
+/** `graft_pq_adc(dtab, code, m, k)` → double: the candidate's shifted ADC
+  * distance — m table lookups inside whole-stage codegen, the hot path of
+  * the IVF-PQ candidate scoring join.
+  */
+case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc requires (array<double>, array<int>), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val dtab = a.asInstanceOf[ArrayData]
+    val code = b.asInstanceOf[ArrayData]
+    if (code.numElements() != m || dtab.numElements() != m * k) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (code.isNullAt(s)) return null
+      val j = code.getInt(s)
+      if (j < 0 || j >= k) return null
+      acc += dtab.getDouble(s * k + j)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |double $acc = 0.0;
+         |boolean $bad = $b.numElements() != $m || $a.numElements() != ${m * k};
+         |if (!$bad) {
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    if ($b.isNullAt($s)) { $bad = true; break; }
+         |    final int $j = $b.getInt($s);
+         |    if ($j < 0 || $j >= $k) { $bad = true; break; }
+         |    $acc += $a.getDouble($s * $k + $j);
+         |  }
+         |}
+         |if ($bad) ${ev.isNull} = true; else ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — public paper): the vector is cut into `m`
+  * subspaces, each subspace gets its own small L2-k-means codebook, and a
+  * vector's code is the per-subspace nearest-centroid index — `m` nibbles
+  * at the default `k = 16` (the 4-bit "fast-scan" PQ operating point), a
+  * 16× compression of a float32 embedding where [[Quantize]]'s SQ8 gives
+  * 4×. Query scoring is ADC (asymmetric distance computation): ONE
+  * `m × k` distance table per query, then each candidate costs `m` table
+  * lookups instead of a `dim`-length dot product.
+  *
+  * This is the IVF-PQ composition FAISS deploys at billion scale: the
+  * coarse [[Similarity.IvfIndex]] routes the search to `nProbe` cells,
+  * the PQ codes make each cell's candidate list 16× smaller on the wire.
+  * (Raw vectors are encoded, not coarse-cell residuals — FAISS's
+  * `by_residual=false` variant — keeping encode strictly map-only.)
+  *
+  * Determinism/oracle posture: distances are doubles, so raw ADC values
+  * are NOT oracle-portable — the search therefore RANKS but never emits
+  * them, and the q-registry oracle is the planted-copy construction: an
+  * exact duplicate encodes to the identical code, its ADC is the
+  * per-subspace minimum summed (provably ≤ every other candidate), so
+  * the top-k per query IS the planted copy set ranked by id — a contract
+  * a SQL oracle can state without re-deriving the codebooks.
+  *
+  * Scale shape: codebooks are `m·k·(dim/m)` floats — plan literals, never
+  * data. Training is Lloyd over a bounded deterministic sample with ONE
+  * fused assignment-aggregation job per iteration covering ALL subspaces.
+  * Encoding is map-only. The search shuffles (cell, id, m-byte code)
+  * — not vectors — and builds the per-query distance table once in the
+  * query projection.
+  */
+object ProductQuantize {
+
+  /** Trained PQ codebooks: `books(s)(j)` is subspace `s`'s centroid `j`
+    * (length `subDim`). Small by construction — travels as ONE flattened
+    * array<double> literal folded into the kernels' constant
+    * [[graft.functions.PqRef]] at plan time.
+    */
+  final case class PqCodebooks(subDim: Int, books: Seq[Seq[Seq[Float]]]) {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+    def m: Int = books.size
+    def k: Int = books.head.size
+
+    /** `((s·k + j)·subDim + d)` layout, the [[graft.functions.PqRef]]
+      * contract. Centroid components widen float→double exactly.
+      */
+    def flat: Array[Double] =
+      books.flatMap(_.flatMap(_.map(_.toDouble))).toArray
+  }
+
+  /** Map-only code column: array<int> of the `m` per-subspace L2-nearest
+    * centroid indices (`graft_pq_encode` — requires a GraftExtensions
+    * session; ties break toward the larger index, deterministically).
+    */
+  def encodeExpr(vec: Column, cb: PqCodebooks): Column =
+    call_function("graft_pq_encode", vec, lit(cb.flat), lit(cb.m), lit(cb.k))
+
+  /** Train per-subspace L2 codebooks by Lloyd refinement over a bounded
+    * deterministic sample (`trainPerCentroid · k` rows, hash-selected —
+    * the [[Similarity.buildIvfIndex]] discipline). One seeded collect
+    * initializes every subspace from the same `k` sample rows; each
+    * iteration is ONE fused assignment-aggregation job covering all `m`
+    * subspaces (cells resolved per subspace in the projection, means
+    * grouped on the global dimension index). Driver state per iteration
+    * is `m·k·subDim` values.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, k: Int = 16, iters: Int = 2, seed: Long = 42L,
+      trainPerCentroid: Int = 64): PqCodebooks = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val (mat, pinned) = graft.core.CacheOnce.pinIfUnpinned(corpus)
+    try {
+      val n = mat.count()
+      val sampleMod = math.max(1L, n / (k.toLong * trainPerCentroid))
+      val (train0, pinnedTrain) = graft.core.CacheOnce.pinIfUnpinned(
+        if (sampleMod == 1L) mat
+        else mat.filter(
+          pmod(xxhash64(col(idCol), lit(seed + 1)), lit(sampleMod)) === 0))
+      try {
+        val init = train0.select(col(vecCol))
+          .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+          .limit(k)
+          .collect()
+          .map(_.getSeq[Float](0).toIndexedSeq)
+        require(init.length == k,
+          s"training sample has ${init.length} rows < k=$k")
+        var books: Seq[Seq[Seq[Float]]] = (0 until m).map(s =>
+          init.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim).toSeq))
+        for (_ <- 1 to iters) {
+          val cb = PqCodebooks(subDim, books)
+          val cells = encodeExpr(col(vecCol), cb)
+          val means = train0
+            .select(cells.as("cells"), posexplode(col(vecCol)).as(Seq("d", "x")))
+            .select(element_at(col("cells"), (col("d") / subDim).cast("int") + 1)
+              .as("j"), col("d"), col("x"))
+            .groupBy("j", "d")
+            .agg((sum(col("x").cast(DecimalType(28, 10))) / count(lit(1)))
+              .cast("float").as("mean"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2))
+            .toMap
+          books = books.zipWithIndex.map { case (book, s) =>
+            book.zipWithIndex.map { case (old, j) =>
+              // a centroid that captured no sample rows keeps its position
+              if (means.contains((j, s * subDim)))
+                (0 until subDim).map(dd => means((j, s * subDim + dd)))
+              else old
+            }
+          }
+        }
+        PqCodebooks(subDim, books)
+      } finally if (pinnedTrain) { train0.unpersist(blocking = false); () }
+    } finally if (pinned) { mat.unpersist(blocking = false); () }
+  }
+
+  /** The IVF-PQ inverted file: coarse cell from the raw vector
+    * ([[Similarity.assignCells]] routing, untouched by quantization) with
+    * the m-nibble PQ code in place of the floats. Rows: (idCol, cell,
+    * code) — the 16×-smaller corpus a billion-scale deployment persists
+    * partitioned by cell.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      index: Similarity.IvfIndex, cb: PqCodebooks): DataFrame =
+    Similarity.assignCells(df, idCol, vecCol, index)
+      .select(col(idCol), col("cell"),
+        encodeExpr(col(vecCol), cb).as("code"))
+
+  /** The per-query ADC distance table, SHIFTED: entry `s·k + j` is
+    * `c_j·c_j − 2·q_s·c_j` — the true per-subspace squared distance minus
+    * the candidate-independent `q_s·q_s`, so candidate ORDER (and every
+    * tie) is identical to true ADC at `k` fewer multiplies per entry.
+    * Computed once per query row by the native `graft_pq_dtab` kernel.
+    */
+  private def distTable(vec: Column, cb: PqCodebooks): Column =
+    call_function("graft_pq_dtab", vec, lit(cb.flat), lit(cb.m), lit(cb.k))
+
+  /** IVF-PQ search: probe the query's `nProbe` best coarse cells, score
+    * every candidate code by ADC table lookup (`m` lookups, left-to-right
+    * fold — deterministic doubles), rank ascending with ties by neighbor
+    * id. Output (query_id, neighbor_id, rank) — distances deliberately
+    * not emitted (double-valued, not engine-portable; the rank contract
+    * is, via the planted-copy construction).
+    *
+    * An exact duplicate of a query shares its code, so its shifted ADC is
+    * `Σ_s min_j dtab[s][j]` — the provable minimum over all codes —
+    * and it lives in the query's own argmax cell (probe rank 1): planted
+    * copies occupy the top ranks in id order, structurally.
+    */
+  def ivfPqTopK(index: Similarity.IvfIndex, cb: PqCodebooks,
+      queries: DataFrame, encoded: DataFrame, idCol: String, vecCol: String,
+      topK: Int, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.numCentroids,
+      "1 <= nProbe <= numCentroids")
+    val q = queries.select(col(idCol).as("query_id"),
+        distTable(col(vecCol), cb).as("dtab"),
+        explode(Similarity.probeCells(col(vecCol), index, nProbe)).as("cell"))
+    val c = encoded.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("code"))
+    val adc = call_function("graft_pq_adc", col("dtab"), col("code"),
+      lit(cb.m), lit(cb.k))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("__adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .drop("__adc")
+  }
+
+  /** Persist codebooks as engine-neutral parquet rows (s, j, c) — the
+    * build-once/query-many artifact lifecycle the IVF index has.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      cb: PqCodebooks, path: String): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cv, j) => (s, j, cv) }
+    }.toDF("s", "j", "c").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toSeq)
+      .toMap
+    require(rows.nonEmpty, s"empty codebooks at $path")
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    val books = (0 until m).map(s => (0 until k).map(j => rows((s, j))).toSeq)
+    PqCodebooks(books.head.head.length, books)
+  }
+}

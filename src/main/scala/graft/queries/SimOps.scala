@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Components, EmbedProfile, NearDup, Quantize, Similarity}
+import graft.ops.{Components, EmbedProfile, NearDup, ProductQuantize, Quantize, Similarity}
 
 /** Oracle-checked queries for the similarity-search / near-dup operator
   * family: ANN over the `embeddings` table, n-gram Jaccard and MinHash-LSH
@@ -355,6 +355,31 @@ object SimOps {
     * the probed result equals the exhaustive quantized top-k the oracle
     * computes.
     */
+  /** IVF-PQ ([[graft.ops.ProductQuantize]]): coarse IVF routing + 4-bit
+    * product-quantized codes + ADC table-lookup scoring — the 16×
+    * compression point beyond q117's SQ8. Honest in-query build of BOTH
+    * quantizers (coarse Lloyd + per-subspace Lloyd), then a 2-probe
+    * search. ADC distances are doubles and never emitted; the oracle is
+    * the planted-copy rank contract: each query's 5 exact copies share
+    * its code, their ADC is the per-subspace-minimum sum (provably the
+    * global minimum), and they sit in the query's own probe-rank-1 cell
+    * — so ranks 1..5 are exactly the copies in id order, a statement SQL
+    * can make without re-deriving any codebook.
+    */
+  private def q126IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // persisted once: the coarse build, the PQ training, and the encode
+    // pass all scan the planted union (the q117 sharing pattern)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64)
+    val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
+      index, cb)
+    ProductQuantize.ivfPqTopK(index, cb, queries, encoded,
+      "vec_id", "embedding", topK, nProbe = 2)
+  }
+
   private def q117IvfSq8(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // persisted ONCE: the index build, the dim-stats pass, and the
@@ -452,6 +477,7 @@ object SimOps {
     "q114_random_projection" -> q114RandomProject _,
     "q116_quantized_ann" -> q116QuantizedAnn _,
     "q117_ivf_sq8" -> q117IvfSq8 _,
+    "q126_ivf_pq" -> q126IvfPq _,
     "q111_sim_join" -> q111SimJoin _,
     "q112_bloom_decontaminate" -> q112BloomDecontaminate _,
     "q90_leakage_split" -> q90LeakageSplit _,
@@ -620,6 +646,18 @@ object SimOps {
     // recall of the probed IVF result is structurally 1 there (copies at
     // distance 0 in the query's own cell), so the approximate engine
     // answer equals this exact replay
+    // the planted-copy rank contract stated directly: no codebook, no
+    // distance — each query's 5 exact copies provably occupy ranks 1..5
+    // in id order (identical code → per-subspace-minimum ADC, same
+    // argmax coarse cell), and the hash gate fails if the engine's
+    // probed ADC ranking ever lets any other candidate displace them
+    "q126_ivf_pq" ->
+      ("SELECT e.vec_id AS query_id, " +
+        "e.vec_id * 10 + 1000000 + g.m AS neighbor_id, " +
+        "CAST(g.m AS INT) AS rank " +
+        "FROM embeddings e CROSS JOIN " +
+        s"(SELECT unnest(range(1, ${topK + 1})) AS m) g " +
+        "WHERE e.vec_id < 20"),
     "q117_ivf_sq8" ->
       (s"WITH u AS ($exactPlantedSql), " +
         "x AS (SELECT vec_id, unnest([{'i': i, 'x': embedding[i]} " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.RandomProjectKernel
-import graft.ops.{Classifier, Quantize, Similarity}
+import graft.ops.{Classifier, ProductQuantize, Quantize, Similarity}
 
 /** Unit semantics for the embedding-compression trio: sign random
   * projection (JL), int8 scalar quantization, and the hashed linear
@@ -228,6 +228,65 @@ class ProjectQuantizeSpec extends AnyFunSuite {
         .map { case (a, b) => ((a - b) * (a - b)).toLong }.sum
       assert(dist == direct, s"($q,$n)")
     }
+  }
+
+  // ---- product quantization ----------------------------------------------
+
+  test("PQ codes are per-subspace indices in [0, k); exact duplicates share codes") {
+    val dim = 32
+    val base = (0 until 60).map(i => (i.toLong, randVec(200 + i, dim)))
+    val corpus = (base ++ base.take(5).map { case (id, v) => (id + 500, v) })
+      .toDF("vec_id", "embedding")
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim,
+      m = 4, k = 8, iters = 2)
+    assert(cb.m == 4 && cb.k == 8 && cb.subDim == 8)
+    val codes = corpus.select(col("vec_id"),
+        ProductQuantize.encodeExpr(col("embedding"), cb).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    codes.values.foreach { c =>
+      assert(c.length == 4 && c.forall(j => j >= 0 && j < 8), c.toString)
+    }
+    (0 until 5).foreach(i =>
+      assert(codes(i.toLong) == codes(i + 500L), s"dup $i code drifted"))
+    // codes are not degenerate: more than one distinct code in use
+    assert(codes.values.toSet.size > 1)
+  }
+
+  test("IVF-PQ finds planted exact duplicates at the top ranks in one probe") {
+    val dim = 32
+    val base = (0 until 50).map(i => (i.toLong, randVec(300 + i, dim)))
+    // 3 exact copies of each of the first 10 vectors, at high ids
+    val corpus = (base ++ (for {
+      (id, v) <- base.take(10); c <- 1 to 3
+    } yield (1000 + id * 10 + c, v))).toDF("vec_id", "embedding")
+    val queries = base.take(10).toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 4)
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim,
+      m = 4, k = 16, iters = 2)
+    val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding", index, cb)
+    val got = ProductQuantize.ivfPqTopK(index, cb, queries, encoded,
+        "vec_id", "embedding", topK = 3, nProbe = 1)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toSeq }
+    (0 until 10).foreach { i =>
+      assert(got(i.toLong) == Seq(1001L + i * 10, 1002L + i * 10, 1003L + i * 10),
+        s"query $i: ${got(i.toLong)}")
+    }
+  }
+
+  test("PQ codebooks round-trip the save/load lifecycle") {
+    val dim = 16
+    val corpus = (0 until 40).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim,
+      m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqcb").toString
+    ProductQuantize.saveCodebooks(spark, cb, s"$dir/cb")
+    val back = ProductQuantize.loadCodebooks(spark, s"$dir/cb")
+    assert(back == cb)
   }
 
   // ---- classifier filter -------------------------------------------------
