@@ -94,6 +94,40 @@ object Quantize {
   def ivfSq8TopK(index: Similarity.IvfIndex, queries: DataFrame,
       assignedSq8: DataFrame, idCol: String, vecCol: String,
       mn: Seq[Double], mx: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdist").asc, col("neighbor_id").asc)
+    sq8Candidates(index, queries, assignedSq8, idCol, vecCol, mn, mx, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[ivfSq8TopK]] ranked by the EXACT bounded-heap aggregate
+    * (`graft_topk_rows`) instead of a window — the billion-query shape:
+    * the window formulation sorts every candidate of a query through one
+    * task and ships them all into the Exchange, while the aggregation
+    * ships a k-entry buffer per query with map-side partials pruning
+    * candidates before the shuffle. Row-identical to [[ivfSq8TopK]]
+    * (min-k is exact and breaks ties by neighbor id exactly like the
+    * window's ORDER BY — q127 is graded against q117's oracle to prove
+    * it); requires a GraftExtensions session.
+    */
+  def ivfSq8TopKAgg(index: Similarity.IvfIndex, queries: DataFrame,
+      assignedSq8: DataFrame, idCol: String, vecCol: String,
+      mn: Seq[Double], mx: Seq[Double], k: Int, nProbe: Int = 4): DataFrame =
+    sq8Candidates(index, queries, assignedSq8, idCol, vecCol, mn, mx, nProbe)
+      .groupBy("query_id")
+      .agg(call_function("graft_topk_rows",
+        col("qdist"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.key").as("qdist"), (col("pos") + 1).cast("int").as("rank"))
+
+  /** Shared candidate generation of the SQ8 probed search:
+    * (query_id, neighbor_id, qdist) over the `nProbe` probed cells.
+    */
+  private def sq8Candidates(index: Similarity.IvfIndex, queries: DataFrame,
+      assignedSq8: DataFrame, idCol: String, vecCol: String,
+      mn: Seq[Double], mx: Seq[Double], nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= index.numCentroids,
       "1 <= nProbe <= numCentroids")
     val q = queries.select(col(idCol).as("query_id"),
@@ -102,15 +136,11 @@ object Quantize {
       .withColumn("qn2", Similarity.dot(col("qc"), col("qc")).cast("long"))
     val c = assignedSq8.select(col("cell"), col(idCol).as("neighbor_id"),
       col("code").as("cc"), col("cn2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qdist").asc, col("neighbor_id").asc)
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("qn2") - lit(2L) * Similarity.dot(col("qc"), col("cc")).cast("long")
           + col("cn2")).as("qdist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** Quantized-domain exact top-k: every query scored against every corpus

@@ -300,4 +300,57 @@ object KernelProps extends Properties("graft.kernels") {
         ).sum
       }
     }
+
+  // --- TopKRowsBuffer (exact bounded min-k heap) ------------------------
+
+  private val pairGen = org.scalacheck.Gen.zip(
+    org.scalacheck.Gen.choose(-1000L, 1000L), org.scalacheck.Gen.choose(0L, 100L))
+
+  /** Exactness: the buffer's sorted output is the true min-k of the
+    * stream under (key asc, id asc) — no approximation regime at all.
+    */
+  property("topk_rows equals the exact sorted min-k") =
+    forAll(org.scalacheck.Gen.listOf(pairGen), org.scalacheck.Gen.choose(1, 12)) { (xs, k) =>
+      val b = new graft.functions.TopKRowsBuffer(k)
+      xs.foreach { case (key, id) => b.add(key.toDouble, id) }
+      val expect = xs.map { case (key, id) => (key.toDouble, id) }
+        .sortBy { case (key, id) => (key, id) }.take(k)
+      b.sorted.toSeq == expect
+    }
+
+  /** Merge-order independence: any partition of the stream, merged in
+    * any grouping order, yields the same min-k — the property that makes
+    * the aggregate deterministic under Spark's partial/final scheduling.
+    */
+  property("topk_rows merge is order-independent and exact") =
+    forAll(org.scalacheck.Gen.listOf(pairGen), org.scalacheck.Gen.choose(1, 8),
+        org.scalacheck.Gen.choose(1, 5)) { (xs, k, pieces) =>
+      val parts = (0 until pieces).map(i => xs.zipWithIndex.collect {
+        case (x, j) if j % pieces == i => x
+      })
+      val buffers = parts.map { p =>
+        val b = new graft.functions.TopKRowsBuffer(k)
+        p.foreach { case (key, id) => b.add(key.toDouble, id) }
+        b
+      }
+      val fwd = {
+        val b = new graft.functions.TopKRowsBuffer(k)
+        buffers.foreach(b.mergeIn); b.sorted.toSeq
+      }
+      val rev = {
+        val b = new graft.functions.TopKRowsBuffer(k)
+        buffers.reverse.foreach(b.mergeIn); b.sorted.toSeq
+      }
+      val expect = xs.map { case (key, id) => (key.toDouble, id) }
+        .sortBy { case (key, id) => (key, id) }.take(k)
+      fwd == expect && rev == expect
+    }
+
+  property("topk_rows serialize round-trips") =
+    forAll(org.scalacheck.Gen.listOf(pairGen), org.scalacheck.Gen.choose(1, 8)) { (xs, k) =>
+      val b = new graft.functions.TopKRowsBuffer(k)
+      xs.foreach { case (key, id) => b.add(key.toDouble, id) }
+      graft.functions.TopKRowsBuffer.deserialize(k, b.serialize())
+        .sorted.toSeq == b.sorted.toSeq
+    }
 }

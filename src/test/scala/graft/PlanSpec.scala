@@ -443,6 +443,20 @@ class PlanSpec extends AnyFunSuite {
       Set("o_orderkey", "o_orderdate", "o_totalprice"))
   }
 
+  test("q127 ranks per query with the bounded-heap aggregate, no Window") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q127_ivf_sq8_agg")
+    // the per-query ranking is ONE TypedImperativeAggregate: candidates
+    // prune to k-entry buffers map-side, nothing sorts a query's full
+    // candidate list through a window task
+    val aggs = p.sparkPlan.collect { case a: ObjectHashAggregateExec => a }
+    assert(aggs.nonEmpty, p.sparkPlan.toString.take(800))
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[graft.functions.TopKRowsAgg])))
+    assert(p.sparkPlan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q123 nested document filter pushes dotted paths, zero residual") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
