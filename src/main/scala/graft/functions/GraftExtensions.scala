@@ -35,6 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    for the agg→window→filter top-n-per-group pattern (the weighted
   *    form ranks a pre-aggregated count table). k and capacity must be
   *    integer literals.
+  *  - `graft_topk_rows(key, id, k)` → [[TopKRowsAgg]]: EXACT bounded-heap
+  *    top-k rows per group by (key asc, id asc) — the billion-group
+  *    replacement for window-rank-filter with no approximation regime
+  *    (min-k composes exactly under any merge order); k must be an
+  *    integer literal.
   *
   *  - `graft_ngrams(text, n)` → [[TokenNgrams]]: every word n-gram
   *    occurrence as a zero-copy byte slice — the LM counting form;
@@ -147,6 +152,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_topk takes (item, k, capacity) or (item, weight, k, capacity), got $n args")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_topk_rows"),
+      new ExpressionInfo(classOf[TopKRowsAgg].getName, "graft_topk_rows"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_topk_rows takes exactly (key, id, k)")
+        TopKRowsAgg(children(0), children(1),
+          litInt(children(2), "graft_topk_rows", "k"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       (children: Seq[Expression]) => {
@@ -237,6 +251,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqDistTable].getName, "graft_pq_dtab"),
       (children: Seq[Expression]) =>
         PqDistTable(children.head, pqRefOf("graft_pq_dtab", children))))
+    // residual-mode kernels carry the coarse centroid table as a second
+    // array<double> literal folded into the same PqRef
+    def pqResRefOf(fn: String, children: Seq[Expression]): PqRef = {
+      require(children.length == 6, s"$fn takes exactly 6 arguments")
+      def arr(e: Expression, what: String): Array[Double] = e match {
+        case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(DoubleType, _)) => v.toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"$fn: $what must be an array<double> literal, got $other")
+      }
+      new PqRef(litInt(children(4), fn, "m"), litInt(children(5), fn, "k"),
+        arr(children(3), "books"), arr(children(2), "coarse"))
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode_res"),
+      new ExpressionInfo(classOf[PqEncodeRes].getName, "graft_pq_encode_res"),
+      (children: Seq[Expression]) =>
+        PqEncodeRes(children(0), children(1),
+          pqResRefOf("graft_pq_encode_res", children))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_dtab_res"),
+      new ExpressionInfo(classOf[PqDistTableRes].getName, "graft_pq_dtab_res"),
+      (children: Seq[Expression]) =>
+        PqDistTableRes(children(0), children(1),
+          pqResRefOf("graft_pq_dtab_res", children))))
     ext.injectFunction((
       new FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),

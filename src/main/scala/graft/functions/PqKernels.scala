@@ -15,12 +15,18 @@ import org.apache.spark.sql.types._
   * subexpressions) costs ~10 s of planning+Janino per query, which is
   * why these are native kernels and not column compositions.
   */
-final class PqRef(val m: Int, val k: Int, val flat: Array[Double])
+final class PqRef(val m: Int, val k: Int, val flat: Array[Double],
+    val coarse: Array[Double] = Array.empty)
     extends Serializable {
   require(m > 0 && k > 0 && flat.length % (m * k) == 0,
     s"codebook length ${flat.length} not divisible by m*k=${m * k}")
   val subDim: Int = flat.length / (m * k)
   val dim: Int = m * subDim
+  require(coarse.isEmpty || coarse.length % dim == 0,
+    s"coarse centroid table length ${coarse.length} not divisible by dim=$dim")
+
+  /** Number of coarse cells when residual-mode state is present. */
+  val cells: Int = if (coarse.isEmpty) 0 else coarse.length / dim
 
   /** Σ c² per flattened centroid (s·k + j). */
   val cc: Array[Double] = {
@@ -36,18 +42,28 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double])
     out
   }
 
-  private def dotSub(vec: ArrayData, isFloat: Boolean, s: Int, c: Int): Double = {
+  /** Subspace dot of the (possibly RESIDUALIZED) vector with centroid
+    * `c`: `cell < 0` reads the raw component, `cell >= 0` subtracts the
+    * coarse centroid first — FAISS's `by_residual` encoding, fused so the
+    * residual vector is never materialized.
+    */
+  private def dotSub(vec: ArrayData, isFloat: Boolean, s: Int, c: Int,
+      cell: Int): Double = {
     var acc = 0.0
     var d = 0
     val base = c * subDim
     val off = s * subDim
+    val cBase = if (cell < 0) 0 else cell * dim + off
     while (d < subDim) {
-      val x = if (isFloat) vec.getFloat(off + d).toDouble else vec.getDouble(off + d)
+      var x = if (isFloat) vec.getFloat(off + d).toDouble else vec.getDouble(off + d)
+      if (cell >= 0) x -= coarse(cBase + d)
       acc += x * flat(base + d)
       d += 1
     }
     acc
   }
+
+  private def validCell(cell: Int): Boolean = cell >= 0 && cell < cells
 
   private def anyNull(vec: ArrayData): Boolean = {
     var i = 0
@@ -60,10 +76,14 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double])
 
   /** Per-subspace L2-nearest centroid indices (tie → larger index, the
     * `array_max`-over-structs convention), or null on length mismatch /
-    * null element.
+    * null element / out-of-range cell. `cell >= 0` encodes the RESIDUAL
+    * against that coarse centroid (FAISS's `by_residual` mode, fused —
+    * the residual vector is never materialized); `cell < 0` encodes the
+    * raw vector.
     */
-  def encode(vec: ArrayData, isFloat: Boolean): ArrayData = {
+  def encode(vec: ArrayData, isFloat: Boolean, cell: Int = -1): ArrayData = {
     if (vec.numElements() != dim || anyNull(vec)) return null
+    if (cell >= 0 && !validCell(cell)) return null
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -72,7 +92,7 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double])
       var j = 0
       while (j < k) {
         val c = s * k + j
-        val score = dotSub(vec, isFloat, s, c) - cc(c) / 2.0
+        val score = dotSub(vec, isFloat, s, c, cell) - cc(c) / 2.0
         if (score >= bestScore) { bestScore = score; best = j }
         j += 1
       }
@@ -83,19 +103,22 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double])
   }
 
   /** The SHIFTED ADC distance table for a query vector: entry `s·k + j`
-    * is `c·c − 2·q_s·c` (true per-subspace squared distance minus the
-    * candidate-independent `q_s·q_s` — identical candidate order and
-    * ties at `k` fewer multiplies per entry). Null on mismatch.
+    * is `c·c − 2·r_s·c` where `r` is the raw vector (`cell < 0`) or its
+    * residual against `coarse[cell]` — the true per-subspace squared
+    * distance minus the candidate-independent `r_s·r_s`, so candidate
+    * order and ties match true ADC at `k` fewer multiplies per entry.
+    * Null on mismatch / out-of-range cell.
     */
-  def dtab(vec: ArrayData, isFloat: Boolean): ArrayData = {
+  def dtab(vec: ArrayData, isFloat: Boolean, cell: Int = -1): ArrayData = {
     if (vec.numElements() != dim || anyNull(vec)) return null
+    if (cell >= 0 && !validCell(cell)) return null
     val out = new Array[Any](m * k)
     var s = 0
     while (s < m) {
       var j = 0
       while (j < k) {
         val c = s * k + j
-        out(c) = cc(c) - 2.0 * dotSub(vec, isFloat, s, c)
+        out(c) = cc(c) - 2.0 * dotSub(vec, isFloat, s, c, cell)
         j += 1
       }
       s += 1
@@ -180,6 +203,86 @@ case class PqDistTable(child: Expression, ref: PqRef)
 
   override protected def withNewChildInternal(newChild: Expression): PqDistTable =
     copy(child = newChild)
+}
+
+/** `graft_pq_encode_res(vec, cell, coarse, books, m, k)` → array<int>:
+  * the RESIDUAL PQ code — the vector minus its coarse cell's centroid,
+  * encoded (FAISS `by_residual=true`, the default IVFPQ fidelity mode:
+  * residuals are smaller and better centered than raw vectors, so the
+  * same codebook budget quantizes them tighter). The residual is fused
+  * into the kernel's dot loop, never materialized.
+  */
+case class PqEncodeRes(left: Expression, right: Expression, ref: PqRef)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_encode_res"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqKernels.vectorOk(left.dataType) && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode_res requires (array<float>/array<double>, int), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  private def flt: Boolean = PqKernels.isFloat(left)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ref.encode(a.asInstanceOf[ArrayData], flt, b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("pqRef", ref, classOf[PqRef].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = $r.encode($a, $flt, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeRes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_pq_dtab_res(vec, cell, coarse, books, m, k)` → array<double>:
+  * the query's shifted ADC table against ONE probed cell's residual frame
+  * — computed per (query, probed cell) pair, the residual-mode query cost
+  * (nProbe tables per query instead of one).
+  */
+case class PqDistTableRes(left: Expression, right: Expression, ref: PqRef)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_dtab_res"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqKernels.vectorOk(left.dataType) && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_dtab_res requires (array<float>/array<double>, int), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  private def flt: Boolean = PqKernels.isFloat(left)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ref.dtab(a.asInstanceOf[ArrayData], flt, b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("pqRef", ref, classOf[PqRef].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = $r.dtab($a, $flt, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqDistTableRes =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_pq_adc(dtab, code, m, k)` → double: the candidate's shifted ADC

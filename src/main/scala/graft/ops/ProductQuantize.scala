@@ -89,7 +89,9 @@ object ProductQuantize {
           .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
           .limit(k)
           .collect()
-          .map(_.getSeq[Float](0).toIndexedSeq)
+          // Number-tolerant: residual training columns arrive as
+          // array<float> after the cast, but keep this robust to double
+          .map(_.getSeq[Number](0).map(_.floatValue()).toIndexedSeq)
         require(init.length == k,
           s"training sample has ${init.length} rows < k=$k")
         var books: Seq[Seq[Seq[Float]]] = (0 until m).map(s =>
@@ -133,6 +135,45 @@ object ProductQuantize {
       .select(col(idCol), col("cell"),
         encodeExpr(col(vecCol), cb).as("code"))
 
+  /** The coarse centroid table flattened for the residual kernels
+    * (`cell·dim + d` layout).
+    */
+  private def coarseFlat(index: Similarity.IvfIndex): Array[Double] =
+    index.centroids.flatMap(_.map(_.toDouble)).toArray
+
+  /** Train codebooks on coarse-cell RESIDUALS (FAISS `by_residual=true`,
+    * the default IVFPQ fidelity mode: residuals are smaller and better
+    * centered than raw vectors, so the same codebook budget quantizes
+    * them tighter). The residual column is materialized only over the
+    * BOUNDED training sample inside [[train]]'s own sampling — corpus
+    * encode/search always fuse the subtraction into the native kernels.
+    */
+  def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      index: Similarity.IvfIndex, dim: Int, m: Int = 8, k: Int = 16,
+      iters: Int = 2, seed: Long = 42L,
+      trainPerCentroid: Int = 64): PqCodebooks = {
+    val cf = coarseFlat(index)
+    val cfCol = lit(cf)
+    val residual = Similarity.assignCells(corpus, idCol, vecCol, index)
+      .select(col(idCol),
+        transform(col(vecCol), (x, i) =>
+          x.cast("double") - element_at(cfCol, col("cell") * dim + i + 1))
+          .cast("array<float>").as("__res"))
+    train(residual, idCol, "__res", dim, m, k, iters, seed, trainPerCentroid)
+  }
+
+  /** Residual-mode inverted file: (idCol, cell, code) where the code
+    * quantizes `vec − coarse[cell]`, fused in `graft_pq_encode_res` — the
+    * residual vector is never materialized, so this stays map-only.
+    */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+      index: Similarity.IvfIndex, cb: PqCodebooks): DataFrame =
+    Similarity.assignCells(df, idCol, vecCol, index)
+      .select(col(idCol), col("cell"),
+        call_function("graft_pq_encode_res", col(vecCol), col("cell"),
+          lit(coarseFlat(index)), lit(cb.flat), lit(cb.m), lit(cb.k))
+          .as("code"))
+
   /** The per-query ADC distance table, SHIFTED: entry `s·k + j` is
     * `c_j·c_j − 2·q_s·c_j` — the true per-subspace squared distance minus
     * the candidate-independent `q_s·q_s`, so candidate ORDER (and every
@@ -162,6 +203,41 @@ object ProductQuantize {
     val q = queries.select(col(idCol).as("query_id"),
         distTable(col(vecCol), cb).as("dtab"),
         explode(Similarity.probeCells(col(vecCol), index, nProbe)).as("cell"))
+    val c = encoded.select(col("cell"), col(idCol).as("neighbor_id"),
+      col("code"))
+    val adc = call_function("graft_pq_adc", col("dtab"), col("code"),
+      lit(cb.m), lit(cb.k))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("__adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .drop("__adc")
+  }
+
+  /** Residual-mode IVF-PQ search: each probed cell gets its OWN query
+    * distance table (the residual frame differs per cell —
+    * `graft_pq_dtab_res` computes it per (query, probed cell) pair,
+    * nProbe tables per query instead of one), candidates score by the
+    * same m-lookup ADC fold. Same rank-only output contract as
+    * [[ivfPqTopK]]; the planted-copy guarantee is airtight at
+    * `nProbe = 1` (every candidate shares the query's cell, so all score
+    * against one residual frame and the copy's code attains the
+    * per-subspace minimum — q128's oracle setting).
+    */
+  def ivfPqResTopK(index: Similarity.IvfIndex, cb: PqCodebooks,
+      queries: DataFrame, encoded: DataFrame, idCol: String, vecCol: String,
+      topK: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.numCentroids,
+      "1 <= nProbe <= numCentroids")
+    val cf = lit(coarseFlat(index))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol),
+        explode(Similarity.probeCells(col(vecCol), index, nProbe)).as("cell"))
+      .select(col("query_id"), col("cell"),
+        call_function("graft_pq_dtab_res", col(vecCol), col("cell"),
+          cf, lit(cb.flat), lit(cb.m), lit(cb.k)).as("dtab"))
     val c = encoded.select(col("cell"), col(idCol).as("neighbor_id"),
       col("code"))
     val adc = call_function("graft_pq_adc", col("dtab"), col("code"),

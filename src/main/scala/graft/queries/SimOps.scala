@@ -348,6 +348,41 @@ object SimOps {
           "FROM embeddings WHERE vec_id < 20"
       }.mkString(" ")
 
+  /** The planted-copy rank contract of the PQ searches, stated directly:
+    * each query's `topK` exact copies occupy ranks 1..topK in id order —
+    * no codebook, no distance (shared by q126 raw-mode and q128
+    * residual-mode).
+    */
+  private val pqPlantedOracleSql: String =
+    "SELECT e.vec_id AS query_id, " +
+      "e.vec_id * 10 + 1000000 + g.m AS neighbor_id, " +
+      "CAST(g.m AS INT) AS rank " +
+      "FROM embeddings e CROSS JOIN " +
+      s"(SELECT unnest(range(1, ${topK + 1})) AS m) g " +
+      "WHERE e.vec_id < 20"
+
+  /** The SQ8 probed search restated exhaustively (the planted corpus
+    * makes probed == exhaustive) — shared by q117 (window rank) and q127
+    * (bounded-heap aggregate rank), which must be row-identical.
+    */
+  private val ivfSq8OracleSql: String =
+    s"WITH u AS ($exactPlantedSql), " +
+      "x AS (SELECT vec_id, unnest([{'i': i, 'x': embedding[i]} " +
+      "  for i in range(1, len(embedding) + 1)], recursive := true) FROM u), " +
+      "st AS (SELECT i, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
+      "  FROM x GROUP BY i), " +
+      "c AS (SELECT vec_id, x.i, CASE WHEN mx > mn THEN " +
+      "  GREATEST(0, LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) " +
+      "  ELSE 0 END AS code FROM x JOIN st ON x.i = st.i), " +
+      "p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+      "  CAST(SUM((q.code - n.code) * (q.code - n.code)) AS BIGINT) AS qdist " +
+      "  FROM c q JOIN c n ON q.vec_id < 20 AND n.vec_id <> q.vec_id AND q.i = n.i " +
+      "  GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, qdist, rank FROM (" +
+      "  SELECT query_id, neighbor_id, qdist, CAST(ROW_NUMBER() OVER (" +
+      "    PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS INT) AS rank FROM p) " +
+      s"WHERE rank <= $topK"
+
   /** IVF over the int8-quantized inverted file (the FAISS IVF-SQ8 shape):
     * honest in-query index build + corpus quantization, then probed
     * integer-L2 search. Exact-verified on the planted corpus — each
@@ -378,6 +413,46 @@ object SimOps {
       index, cb)
     ProductQuantize.ivfPqTopK(index, cb, queries, encoded,
       "vec_id", "embedding", topK, nProbe = 2)
+  }
+
+  /** q117's probed SQ8 search ranked by the EXACT bounded-heap aggregate
+    * (`graft_topk_rows`) instead of the per-query window — the
+    * billion-query shape (map-side partials prune candidates to k-entry
+    * buffers before the shuffle; no per-query sort task). Row-identical
+    * by the min-k exactness argument, so it shares q117's oracle — the
+    * hash gate itself proves the aggregate equals the window ranking.
+    */
+  private def q127IvfSq8Agg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val (mn, mx) = Quantize.dimStats(corpus, "embedding")
+    val assigned = Quantize.assignCellsSq8(
+      corpus, "vec_id", "embedding", index, mn, mx)
+    Quantize.ivfSq8TopKAgg(index, queries, assigned, "vec_id", "embedding",
+      mn, mx, topK)
+  }
+
+  /** q126's IVF-PQ in RESIDUAL mode (FAISS `by_residual=true`, the
+    * default fidelity setting): codebooks trained on coarse-cell
+    * residuals, codes and query tables residualized inside the fused
+    * kernels, one-probe search. Same planted-copy rank oracle — at
+    * nProbe=1 every candidate scores against the query's own residual
+    * frame, so the exact copies' codes attain the per-subspace minimum
+    * and ranks 1..5 are the copies in id order.
+    */
+  private def q128IvfPqRes(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val cb = ProductQuantize.trainResidual(corpus, "vec_id", "embedding",
+      index, dim = 64)
+    val encoded = ProductQuantize.encodeResidual(corpus, "vec_id",
+      "embedding", index, cb)
+    ProductQuantize.ivfPqResTopK(index, cb, queries, encoded,
+      "vec_id", "embedding", topK, nProbe = 1)
   }
 
   private def q117IvfSq8(s: SparkSession, d: String): DataFrame = {
@@ -478,6 +553,8 @@ object SimOps {
     "q116_quantized_ann" -> q116QuantizedAnn _,
     "q117_ivf_sq8" -> q117IvfSq8 _,
     "q126_ivf_pq" -> q126IvfPq _,
+    "q127_ivf_sq8_agg" -> q127IvfSq8Agg _,
+    "q128_ivf_pq_res" -> q128IvfPqRes _,
     "q111_sim_join" -> q111SimJoin _,
     "q112_bloom_decontaminate" -> q112BloomDecontaminate _,
     "q90_leakage_split" -> q90LeakageSplit _,
@@ -651,30 +728,15 @@ object SimOps {
     // in id order (identical code → per-subspace-minimum ADC, same
     // argmax coarse cell), and the hash gate fails if the engine's
     // probed ADC ranking ever lets any other candidate displace them
-    "q126_ivf_pq" ->
-      ("SELECT e.vec_id AS query_id, " +
-        "e.vec_id * 10 + 1000000 + g.m AS neighbor_id, " +
-        "CAST(g.m AS INT) AS rank " +
-        "FROM embeddings e CROSS JOIN " +
-        s"(SELECT unnest(range(1, ${topK + 1})) AS m) g " +
-        "WHERE e.vec_id < 20"),
-    "q117_ivf_sq8" ->
-      (s"WITH u AS ($exactPlantedSql), " +
-        "x AS (SELECT vec_id, unnest([{'i': i, 'x': embedding[i]} " +
-        "  for i in range(1, len(embedding) + 1)], recursive := true) FROM u), " +
-        "st AS (SELECT i, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx " +
-        "  FROM x GROUP BY i), " +
-        "c AS (SELECT vec_id, x.i, CASE WHEN mx > mn THEN " +
-        "  GREATEST(0, LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))) " +
-        "  ELSE 0 END AS code FROM x JOIN st ON x.i = st.i), " +
-        "p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
-        "  CAST(SUM((q.code - n.code) * (q.code - n.code)) AS BIGINT) AS qdist " +
-        "  FROM c q JOIN c n ON q.vec_id < 20 AND n.vec_id <> q.vec_id AND q.i = n.i " +
-        "  GROUP BY 1, 2) " +
-        "SELECT query_id, neighbor_id, qdist, rank FROM (" +
-        "  SELECT query_id, neighbor_id, qdist, CAST(ROW_NUMBER() OVER (" +
-        "    PARTITION BY query_id ORDER BY qdist ASC, neighbor_id) AS INT) AS rank FROM p) " +
-        s"WHERE rank <= $topK"),
+    "q126_ivf_pq" -> pqPlantedOracleSql,
+    // same contract in residual mode: the copies' residual codes attain
+    // the per-subspace minimum against the query's own residual frame
+    "q128_ivf_pq_res" -> pqPlantedOracleSql,
+    "q117_ivf_sq8" -> ivfSq8OracleSql,
+    // row-identical by construction (exact min-k == window rank), and
+    // PROVEN so by grading the aggregate formulation against the same
+    // oracle — the q25/q26 shared-oracle pattern for ranking machinery
+    "q127_ivf_sq8_agg" -> ivfSq8OracleSql,
     // floor-scaled (2^20) integer component sums → centroid; cosine folds
     // left-to-right in dim order — mirrors EmbedProfile.groupOutliers
     // bit-for-bit (floor, not cast: cast rounds in DuckDB, truncates in

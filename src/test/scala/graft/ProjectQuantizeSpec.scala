@@ -277,6 +277,64 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("residual PQ reconstructs clustered data tighter than raw PQ, and keeps planted recall") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // clustered corpus: points tight around 3 well-separated centers —
+    // the regime where residuals are small and by_residual=true pays
+    val centers = Seq.fill(3)(Array.fill(dim)(rnd.nextGaussian().toFloat * 4f))
+    val base = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    val corpus = (base ++ base.take(6).map { case (id, v) => (id + 500, v) })
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 3)
+    val raw = ProductQuantize.train(corpus, "vec_id", "embedding", dim,
+      m = 4, k = 4, iters = 2)
+    val res = ProductQuantize.trainResidual(corpus, "vec_id", "embedding",
+      index, dim, m = 4, k = 4, iters = 2)
+    // mean squared reconstruction error, decoded test-side:
+    // raw: x ≈ cb[code(x)]; residual: x ≈ coarse[cell] + cb[code(x − coarse)]
+    val cents = index.centroids
+    val rawCodes = ProductQuantize.encode(corpus, "vec_id", "embedding", index, raw)
+      .select("vec_id", "code").as[(Long, Seq[Int])].collect().toMap
+    val resCodes = ProductQuantize.encodeResidual(corpus, "vec_id", "embedding", index, res)
+      .select("vec_id", "cell", "code").as[(Long, Int, Seq[Int])].collect()
+      .map { case (id, cell, code) => id -> (cell, code) }.toMap
+    val vecs = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def recon(cb: ProductQuantize.PqCodebooks, code: Seq[Int],
+        baseVec: Array[Double]): Array[Double] =
+      baseVec.indices.map { d =>
+        baseVec(d) + cb.books(d / cb.subDim)(code(d / cb.subDim))(d % cb.subDim)
+      }.toArray
+    def mse(pairs: Iterable[(Array[Float], Array[Double])]): Double =
+      pairs.map { case (x, y) =>
+        x.indices.map(d => (x(d) - y(d)) * (x(d) - y(d))).sum
+      }.sum / pairs.size
+    val rawErr = mse(vecs.map { case (id, x) =>
+      (x, recon(raw, rawCodes(id), Array.fill(dim)(0.0))) })
+    val resErr = mse(vecs.map { case (id, x) =>
+      val (cell, code) = resCodes(id)
+      (x, recon(res, code, cents(cell).map(_.toDouble).toArray)) })
+    assert(resErr < rawErr,
+      f"residual mode should reconstruct tighter: res=$resErr%.4f raw=$rawErr%.4f")
+    // planted recall holds in residual mode at one probe — at a codebook
+    // resolution where tight-cluster neighbors don't collide in code
+    // space (k=4 above is deliberately coarse to expose reconstruction
+    // error; a full-code collision there ties a neighbor with the copy)
+    val fine = ProductQuantize.trainResidual(corpus, "vec_id", "embedding",
+      index, dim, m = 4, k = 16, iters = 2)
+    val queries = base.take(6).toDF("vec_id", "embedding")
+    val encoded = ProductQuantize.encodeResidual(corpus, "vec_id", "embedding", index, fine)
+    val got = ProductQuantize.ivfPqResTopK(index, fine, queries, encoded,
+        "vec_id", "embedding", topK = 1, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 6).foreach(i => assert(got(i.toLong) == i + 500L, s"query $i: ${got.get(i.toLong)}"))
+  }
+
   test("PQ codebooks round-trip the save/load lifecycle") {
     val dim = 16
     val corpus = (0 until 40).map(i => (i.toLong, randVec(i, dim)))
