@@ -321,6 +321,24 @@ object NearDup {
     containmentFrom(ci, pj, idCol, minContainment)
   }
 
+  /** Containment of a SAVED probe index's documents inside a corpus
+    * frame — [[containmentPairs]] with the probe side pre-shingled (a
+    * [[saveShingleIndex]] artifact: its denormalized `n_sh` IS the probe
+    * set size, so no aggregation over the index): the shape of a
+    * recurring decontamination sweep against a fixed benchmark release,
+    * and the batch-side gate of a streaming ingest. Output (i ∈ corpus,
+    * j ∈ index, containment).
+    */
+  def containmentVsIndex(corpus: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, n: Int, minContainment: Double): DataFrame = {
+    val ci = shingleHashes(corpus, idCol, textCol, n)
+      .select(col(idCol).as("i"), col("h"))
+    // the index is one row per distinct (id, h), so the per-id posting
+    // count containmentFrom derives equals the denormalized n_sh
+    containmentFrom(ci, index.select(col(idCol), col("h")), idCol,
+      minContainment)
+  }
+
   /** Shared tail of the containment sweeps: exact per-pair shared-shingle
     * count over (i, h) corpus postings × (probe-id, h) probe postings,
     * normalized by the probe side's set size.

@@ -636,6 +636,12 @@ object StreamingIvfIngest {
   * all-pairs product. Periodic [[compact]] folds the per-batch index
   * dirs into a generation so the history read stays bounded by
   * (runs + batches-since-last-compact), not lifetime batch count.
+  *
+  * [[RejectGate]]s extend the per-batch policy beyond near-dup: built-in
+  * [[decontaminationGate]] (containment vs a saved benchmark shingle
+  * index) and [[classifierGate]] (saved quality model) compose into the
+  * same rejection union — the streaming form of a full curation recipe
+  * (dedup + decontaminate + quality-filter) in one checkpointed pass.
   */
 object StreamingNearDupIngest {
 
@@ -747,15 +753,58 @@ object StreamingNearDupIngest {
     Some(StreamingIvfIngest.Compaction(pending.size.toLong, newGen, target))
   }
 
+  /** Extra per-batch rejection gates, composed with the near-dup checks:
+    * each maps the landed micro-batch frame to the id values it rejects
+    * (one `idCol`-typed column). Gates see the batch AFTER landing and
+    * BEFORE acceptance, so their cost is per-batch; rejected ids from all
+    * gates and both near-dup checks union before the anti-join. Built-in
+    * factories: [[decontaminationGate]], [[classifierGate]].
+    */
+  type RejectGate = DataFrame => DataFrame
+
+  /** Gate: reject batch documents CONTAINING any document of a saved
+    * benchmark shingle index ([[graft.ops.NearDup.saveShingleIndex]]
+    * artifact — built once per benchmark release) above
+    * `minContainment` — streaming decontamination, the q112 sweep as an
+    * ingest-time policy. Per-batch cost: shingle the batch, one hash
+    * join against the loaded postings.
+    */
+  def decontaminationGate(spark: SparkSession, probeIndexPath: String,
+      idCol: String, textCol: String, n: Int,
+      minContainment: Double): RejectGate = {
+    val index = graft.ops.NearDup.loadShingleIndex(spark, probeIndexPath)
+    batch => graft.ops.NearDup
+      .containmentVsIndex(batch, index, idCol, textCol, n, minContainment)
+      .select(col("i").as(idCol))
+  }
+
+  /** Gate: reject batch documents a saved hashed linear classifier
+    * ([[graft.ops.Classifier.saveModel]] artifact) scores at or below
+    * `minScoreMill` — the model-based quality filter as an ingest-time
+    * policy. Map-only scoring + one broadcast of the B-row table.
+    */
+  def classifierGate(spark: SparkSession, modelPath: String, idCol: String,
+      textCol: String, buckets: Int, minScoreMill: Long = 0L): RejectGate = {
+    val weights = graft.ops.Classifier.loadModel(spark, modelPath)
+    batch => graft.ops.Classifier
+      .scoreWithTable(batch, weights, idCol, textCol, buckets)
+      .filter(col("score_mill") <= minScoreMill)
+      .select(col(idCol))
+  }
+
   /** @param writeManifests attest each landed accepted-batch directory
     *   with a [[graft.sink.CorpusSink.writeManifest]] shard manifest, so
     *   the streaming path carries the same tamper-evidence lifecycle as a
     *   batch-materialized corpus (verify before trusting a resume)
+    * @param rejectGates additional per-batch rejection policies
+    *   ([[RejectGate]]) — decontamination, quality models, any
+    *   caller-supplied rule — composed with the near-dup rejection
     */
   def run(spark: SparkSession, batchDir: String, schema: StructType,
       idCol: String, textCol: String, n: Int, minJaccard: Double,
       indexDir: String, acceptedDir: String, checkpointDir: String,
-      writeManifests: Boolean = true): Summary = {
+      writeManifests: Boolean = true,
+      rejectGates: Seq[RejectGate] = Nil): Summary = {
     import graft.ops.NearDup
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -787,7 +836,10 @@ object StreamingNearDupIngest {
               else NearDup.incrementalNearDupPairs(b,
                   spark.read.parquet(dirs: _*), idCol, textCol, n, minJaccard)
                 .select(col("i").as(idCol))
-            val rejects = intraRejects.union(histRejects).distinct().persist()
+            val gateRejects = rejectGates.map(g =>
+              g(b).select(col(idCol)))
+            val rejects = (intraRejects.union(histRejects) +: gateRejects)
+              .reduce(_.union(_)).distinct().persist()
             val keep = b.join(rejects, Seq(idCol), "left_anti").persist()
             try {
               val nKeep = keep.count()

@@ -751,6 +751,67 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tampered shard must fail manifest verification")
   }
 
+  test("streaming curation: near-dup + decontamination + classifier gates compose") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.ops.{Classifier, NearDup}
+    import graft.pipelines.StreamingNearDupIngest
+    val batchDir = s"$work/cur_batches"
+    val idxDir = s"$work/cur_index"
+    val accDir = s"$work/cur_accepted"
+    val ckpt = s"$work/cur_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+
+    // benchmark release: one eval doc, indexed once
+    val probeIdx = s"$work/cur_probe_idx"
+    NearDup.saveShingleIndex(
+      Seq((9000L, "the secret benchmark answer is forty two exactly"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, probeIdx)
+    // quality model: trained on planted separable classes, saved
+    val modelPath = s"$work/cur_model"
+    val labeled = Seq(
+      (1L, "the clear structured prose with citations and depth", true),
+      (2L, "the thorough careful analysis with citations included", true),
+      (3L, "the buy cheap now click win free prize", false),
+      (4L, "the click free spam win cheap prize now", false))
+      .toDF("doc_id", "text", "y")
+    Classifier.saveModel(
+      Classifier.trainDiagRidge(labeled, "doc_id", "text", "y", 256, 1L),
+      modelPath)
+
+    // one batch: a good doc, its near-dup, a contaminated doc, a spam doc
+    Seq(
+      (10L, "careful structured citations and clear depth in prose"),
+      (11L, "careful structured citations and clear depth in prose"),
+      (12L, "copied text the secret benchmark answer is forty two exactly here"),
+      (13L, "cheap spam prize click now win free offers cheap"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b1")
+    val gates = Seq(
+      StreamingNearDupIngest.decontaminationGate(spark, probeIdx,
+        "doc_id", "text", 3, minContainment = 0.5),
+      StreamingNearDupIngest.classifierGate(spark, modelPath,
+        "doc_id", "text", 256))
+    val s1 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt,
+      rejectGates = gates)
+    // 11 near-dups 10; 12 contains the benchmark; 13 fails the model —
+    // only the good doc survives the composed gates
+    assert(s1 == StreamingNearDupIngest.Summary(1L, 1L, 3L), s1.toString)
+    assert(StreamingNearDupIngest.loadAccepted(spark, accDir)
+      .select("doc_id").as[Long].collect().toSeq == Seq(10L))
+
+    // a later batch near-dupping the REJECTED contaminated doc is NOT
+    // history-rejected (rejects never enter the index) — it is judged on
+    // its own merits: decontamination rejects it again
+    Seq((20L, "copied text the secret benchmark answer is forty two exactly here"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b2")
+    val s2 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt,
+      rejectGates = gates)
+    assert(s2 == StreamingNearDupIngest.Summary(1L, 0L, 1L), s2.toString)
+  }
+
   test("IVF compaction survives checkpoint loss: a new run's batches are never deleted unfolded") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
