@@ -18,21 +18,28 @@ import org.apache.spark.sql.types._
   * commutatively with no estimation regime at all (the contrast with
   * [[TopKSketch]], whose exactness is conditional on capacity).
   *
-  * Keys are doubles internally; long keys convert exactly up to 2^53
-  * (the ANN distance ranges this serves), and the heap's total order is
-  * (key, id) so equal keys — the planted-duplicate case — break ties by
-  * id deterministically.
+  * Keys are stored SORTABLE-ENCODED as longs: a bigint key is the value
+  * itself (exact at ANY magnitude — xxhash64-derived keys included, no
+  * 2^53 double funnel), a double key is its IEEE bits with the sign-fold
+  * transform `bits ^ ((bits >> 63) & Long.MaxValue)` after
+  * `doubleToLongBits` NaN canonicalization — signed-long order on the
+  * encoding IS `java.lang.Double.compare` order (-0.0 < +0.0, every NaN
+  * equal and greater than +Inf), exactly Spark's double ordering, so the
+  * aggregate stays row-identical to the window formulation even on NaN
+  * keys. The total order is (key, id), so equal keys — the
+  * planted-duplicate case — break ties by id deterministically.
   */
 final class TopKRowsBuffer(val k: Int) extends Serializable {
   require(k >= 1, s"k must be >= 1, got $k")
 
   // parallel arrays, heap-ordered by (key desc, id desc) from the root —
-  // the WORST retained pair sits at index 0 for O(log k) eviction
-  val keys = new Array[Double](k)
+  // the WORST retained pair sits at index 0 for O(log k) eviction.
+  // keys hold the sortable encoding (see class doc).
+  val keys = new Array[Long](k)
   val ids = new Array[Long](k)
   var size: Int = 0
 
-  private def worse(k1: Double, i1: Long, k2: Double, i2: Long): Boolean =
+  private def worse(k1: Long, i1: Long, k2: Long, i2: Long): Boolean =
     k1 > k2 || (k1 == k2 && i1 > i2)
 
   private def swap(a: Int, b: Int): Unit = {
@@ -63,7 +70,7 @@ final class TopKRowsBuffer(val k: Int) extends Serializable {
     }
   }
 
-  def add(key: Double, id: Long): Unit =
+  def add(key: Long, id: Long): Unit =
     if (size < k) {
       keys(size) = key; ids(size) = id; size += 1
       siftUp(size - 1)
@@ -77,8 +84,8 @@ final class TopKRowsBuffer(val k: Int) extends Serializable {
     while (i < other.size) { add(other.keys(i), other.ids(i)); i += 1 }
   }
 
-  /** The retained pairs sorted ascending by (key, id). */
-  def sorted: Array[(Double, Long)] =
+  /** The retained pairs sorted ascending by (encoded key, id). */
+  def sorted: Array[(Long, Long)] =
     (0 until size).map(i => (keys(i), ids(i))).toArray
       .sortBy { case (key, id) => (key, id) }
 
@@ -87,7 +94,7 @@ final class TopKRowsBuffer(val k: Int) extends Serializable {
     val out = new DataOutputStream(bos)
     out.writeInt(size)
     var i = 0
-    while (i < size) { out.writeDouble(keys(i)); out.writeLong(ids(i)); i += 1 }
+    while (i < size) { out.writeLong(keys(i)); out.writeLong(ids(i)); i += 1 }
     out.flush()
     bos.toByteArray
   }
@@ -99,9 +106,21 @@ object TopKRowsBuffer {
     val b = new TopKRowsBuffer(k)
     val n = in.readInt()
     var i = 0
-    while (i < n) { b.add(in.readDouble(), in.readLong()); i += 1 }
+    while (i < n) { b.add(in.readLong(), in.readLong()); i += 1 }
     b
   }
+
+  /** Double → sortable long: signed-long order on the result equals
+    * `java.lang.Double.compare` order (sign fold; NaN canonicalized
+    * greatest). Involution together with [[sortableToDouble]].
+    */
+  def doubleToSortable(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    bits ^ ((bits >> 63) & Long.MaxValue)
+  }
+
+  def sortableToDouble(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
 }
 
 /** `graft_topk_rows(key, id, k)` — exact bounded-heap top-k-rows-per-group
@@ -116,8 +135,10 @@ object TopKRowsBuffer {
   * min-k composes exactly under any merge order, so the output is always
   * the same rows the window would rank 1..k (ties broken by id — the
   * ANN family's planted-duplicate contract). Descending rankings negate
-  * the key. `key` may be bigint (exact to 2^53 — every ANN distance
-  * here) or double; null key or id contributes nothing.
+  * the key. `key` may be bigint (exact at any magnitude — the buffer
+  * stores longs, never a double funnel) or double (NaN orders greatest,
+  * like Spark's own double ordering); null key or id contributes
+  * nothing.
   */
 case class TopKRowsAgg(
     key: Expression,
@@ -160,9 +181,9 @@ case class TopKRowsAgg(
     val kv = key.eval(input)
     val iv = id.eval(input)
     if (kv != null && iv != null) {
-      val kd = if (longKey) kv.asInstanceOf[Long].toDouble
-        else kv.asInstanceOf[Double]
-      buffer.add(kd, iv.asInstanceOf[Long])
+      val enc = if (longKey) kv.asInstanceOf[Long]
+        else TopKRowsBuffer.doubleToSortable(kv.asInstanceOf[Double])
+      buffer.add(enc, iv.asInstanceOf[Long])
     }
     buffer
   }
@@ -173,8 +194,8 @@ case class TopKRowsAgg(
   }
 
   override def eval(buffer: TopKRowsBuffer): Any =
-    new GenericArrayData(buffer.sorted.map { case (kd, id) =>
-      InternalRow(if (longKey) kd.toLong else kd, id)
+    new GenericArrayData(buffer.sorted.map { case (enc, id) =>
+      InternalRow(if (longKey) enc else TopKRowsBuffer.sortableToDouble(enc), id)
     }.toArray[Any])
 
   override def serialize(buffer: TopKRowsBuffer): Array[Byte] = buffer.serialize()

@@ -329,9 +329,14 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(expand)
       else Seq(st)
-    // explicitly glob-matched roots expand even when hidden-named (the
-    // caller asked for them); only DESCENDANTS get the hidden filter
-    matches.flatMap(expand).filter(f => f.isFile && f.getLen > 0)
+    // a WILDCARD match on a hidden name is dropped like the builtin file
+    // sources drop it — otherwise `dir/*` would recurse into another
+    // job's in-flight `_temporary` tree and read orphaned task output as
+    // data. Only an EXPLICIT literal path (no glob metacharacters) may
+    // name a hidden root: the caller asked for that exact directory.
+    val isGlob = path.exists("*?[{".contains(_))
+    val roots = if (isGlob) matches.filter(visible) else matches
+    roots.flatMap(expand).filter(f => f.isFile && f.getLen > 0)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

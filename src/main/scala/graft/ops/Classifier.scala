@@ -54,6 +54,13 @@ object Classifier {
     * seam a trained model loads through: one corpus explode, one
     * `buckets`-row broadcast join, one per-document sum with map-side
     * partials (the [[Dsir.importanceWeights]] scoring shape).
+    *
+    * NOTE the inner-join semantics: a document with zero features, or
+    * whose buckets are ALL absent from the table, emits no output row at
+    * all (it has no evidence to score). Callers gating on the score must
+    * treat a missing row as score 0 — see
+    * [[graft.pipelines.StreamingNearDupIngest.classifierGate]]'s
+    * anti-join formulation.
     */
   def scoreWithTable(df: DataFrame, weights: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame =

@@ -203,6 +203,16 @@ object ProductQuantize {
     val q = queries.select(col(idCol).as("query_id"),
         distTable(col(vecCol), cb).as("dtab"),
         explode(Similarity.probeCells(col(vecCol), index, nProbe)).as("cell"))
+    adcRankTail(q, encoded, idCol, cb, topK)
+  }
+
+  /** Shared ranking tail of both PQ search modes: join the (query_id,
+    * cell, dtab) probe frame to the encoded candidates, ADC-score, rank
+    * ascending with ties by neighbor id, keep rank <= topK — one place
+    * owns the self-match filter and the tie-break contract.
+    */
+  private def adcRankTail(q: DataFrame, encoded: DataFrame, idCol: String,
+      cb: PqCodebooks, topK: Int): DataFrame = {
     val c = encoded.select(col("cell"), col(idCol).as("neighbor_id"),
       col("code"))
     val adc = call_function("graft_pq_adc", col("dtab"), col("code"),
@@ -238,18 +248,7 @@ object ProductQuantize {
       .select(col("query_id"), col("cell"),
         call_function("graft_pq_dtab_res", col(vecCol), col("cell"),
           cf, lit(cb.flat), lit(cb.m), lit(cb.k)).as("dtab"))
-    val c = encoded.select(col("cell"), col(idCol).as("neighbor_id"),
-      col("code"))
-    val adc = call_function("graft_pq_adc", col("dtab"), col("code"),
-      lit(cb.m), lit(cb.k))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__adc").asc, col("neighbor_id").asc)
-    q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("__adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .drop("__adc")
+    adcRankTail(q, encoded, idCol, cb, topK)
   }
 
   /** Persist codebooks as engine-neutral parquet rows (s, j, c) — the

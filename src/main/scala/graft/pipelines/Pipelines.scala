@@ -782,14 +782,25 @@ object StreamingNearDupIngest {
     * ([[graft.ops.Classifier.saveModel]] artifact) scores at or below
     * `minScoreMill` — the model-based quality filter as an ingest-time
     * policy. Map-only scoring + one broadcast of the B-row table.
+    *
+    * Stated as "keep only documents PROVEN above the threshold":
+    * `scoreWithTable`'s inner join emits NO row for a document with zero
+    * features or whose buckets are all absent from the model — exactly
+    * the degenerate docs (empty text, out-of-vocabulary spam) a quality
+    * gate exists to catch — so a filter on the scored frame alone would
+    * pass them vacuously. The anti-join treats a missing score as score
+    * 0, i.e. rejected at the default threshold.
     */
   def classifierGate(spark: SparkSession, modelPath: String, idCol: String,
       textCol: String, buckets: Int, minScoreMill: Long = 0L): RejectGate = {
     val weights = graft.ops.Classifier.loadModel(spark, modelPath)
-    batch => graft.ops.Classifier
-      .scoreWithTable(batch, weights, idCol, textCol, buckets)
-      .filter(col("score_mill") <= minScoreMill)
-      .select(col(idCol))
+    batch => {
+      val kept = graft.ops.Classifier
+        .scoreWithTable(batch, weights, idCol, textCol, buckets)
+        .filter(col("score_mill") > minScoreMill)
+        .select(col(idCol))
+      batch.select(col(idCol)).join(kept, Seq(idCol), "left_anti")
+    }
   }
 
   /** @param writeManifests attest each landed accepted-batch directory

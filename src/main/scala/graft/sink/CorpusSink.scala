@@ -102,6 +102,12 @@ object CorpusSink {
     case c => c.toString
   }
 
+  /** Inverse of [[jesc]], CONSERVATIVE: only the three escape forms the
+    * writer produces (`\"`, `\\`, `\uXXXX`) are decoded; any other
+    * backslash stays literal — so a manifest written by the pre-escaping
+    * writer for a path containing a raw backslash still parses to the
+    * original name instead of spuriously failing verification.
+    */
   private[graft] def junesc(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
@@ -112,7 +118,8 @@ object CorpusSink {
           case 'u' if i + 5 < s.length =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
-          case e => b.append(e); i += 2
+          case e @ ('"' | '\\') => b.append(e); i += 2
+          case _ => b.append(c); i += 1
         }
       } else { b.append(c); i += 1 }
     }

@@ -125,5 +125,13 @@ class CorpusSinkSpec extends AnyFunSuite {
         .findAllMatchIn(entry).toSeq
       assert(m.size == 1 && CorpusSink.junesc(m.head.group(1)) == p, entry)
     }
+    // conservative decode: a LEGACY manifest (pre-escaping writer) whose
+    // file field carries a raw backslash must parse back unchanged — only
+    // the writer's own three escape forms decode
+    assert(CorpusSink.junesc("""lang=a\b/part-0.parquet""") ==
+      """lang=a\b/part-0.parquet""")
+    assert(CorpusSink.junesc("""a\\b""") == """a\b""")
+    assert(CorpusSink.junesc("""a\"b""") == """a"b""")
+    assert(CorpusSink.junesc("""t	b""") == "t\tb")
   }
 }

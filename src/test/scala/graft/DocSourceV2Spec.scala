@@ -347,6 +347,27 @@ class DocSourceV2Spec extends AnyFunSuite {
       s"nested layout must read completely, got $got")
   }
 
+  test("wildcard matches skip hidden roots; explicit hidden paths still read") {
+    val root = Files.createTempDirectory("graft_v2hid").toString
+    Files.createDirectories(Paths.get(root, "d", "_temporary", "0"))
+    Files.write(Paths.get(root, "d", "data.jsonl"), """{"k": 1}""".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "d", "_temporary", "0", "part.jsonl"),
+      """{"k": 99}""".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // a glob must NOT recurse into another job's in-flight _temporary
+    // tree — orphaned task output read as data is silent duplication
+    val globbed = ExtendedJson.read(spark, schema, s"$root/d/*")
+      .collect().map(_.getLong(0)).toSeq
+    assert(globbed == Seq(1L), s"glob read hidden tree: $globbed")
+    // the directory read skips it too (hidden child filter)
+    assert(ExtendedJson.read(spark, schema, s"$root/d")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // but an EXPLICIT literal path into the hidden tree reads it — the
+    // caller asked for that exact directory
+    assert(ExtendedJson.read(spark, schema, s"$root/d/_temporary")
+      .collect().map(_.getLong(0)).toSeq == Seq(99L))
+  }
+
   test("ORDER BY … LIMIT pushes as partial top-N: bounded per-split, globally exact") {
     val rnd = new scala.util.Random(5)
     val docs = rnd.shuffle((1 to 300).toList).map(i =>

@@ -308,15 +308,41 @@ object KernelProps extends Properties("graft.kernels") {
 
   /** Exactness: the buffer's sorted output is the true min-k of the
     * stream under (key asc, id asc) — no approximation regime at all.
+    * Long keys are stored as themselves, so this is exact at ANY
+    * magnitude (the Long.MaxValue-adjacent cases included).
     */
   property("topk_rows equals the exact sorted min-k") =
-    forAll(org.scalacheck.Gen.listOf(pairGen), org.scalacheck.Gen.choose(1, 12)) { (xs, k) =>
+    forAll(org.scalacheck.Gen.listOf(pairGen), org.scalacheck.Gen.choose(1, 12),
+        org.scalacheck.Gen.listOf(org.scalacheck.Gen.zip(
+          org.scalacheck.Gen.choose(Long.MinValue, Long.MaxValue),
+          org.scalacheck.Gen.choose(0L, 100L)))) { (xs, k, extremes) =>
+      val all = xs ++ extremes
       val b = new graft.functions.TopKRowsBuffer(k)
-      xs.foreach { case (key, id) => b.add(key.toDouble, id) }
-      val expect = xs.map { case (key, id) => (key.toDouble, id) }
-        .sortBy { case (key, id) => (key, id) }.take(k)
+      all.foreach { case (key, id) => b.add(key, id) }
+      val expect = all.sortBy { case (key, id) => (key, id) }.take(k)
       b.sorted.toSeq == expect
     }
+
+  /** The double encoding is an order isomorphism onto signed longs under
+    * java.lang.Double.compare (NaN greatest, -0.0 < +0.0) and an exact
+    * round trip — the property that makes double-keyed rankings
+    * row-identical to the window formulation.
+    */
+  property("topk_rows double encoding preserves Double.compare order exactly") = {
+    val special = org.scalacheck.Gen.oneOf(Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0,
+      Double.MinPositiveValue, Double.MaxValue, -Double.MaxValue)
+    val anyD = org.scalacheck.Gen.frequency(
+      3 -> org.scalacheck.Gen.choose(-1e12, 1e12), 1 -> special)
+    forAll(anyD, anyD) { (a, b) =>
+      val ea = graft.functions.TopKRowsBuffer.doubleToSortable(a)
+      val eb = graft.functions.TopKRowsBuffer.doubleToSortable(b)
+      java.lang.Long.compare(ea, eb).signum ==
+        java.lang.Double.compare(a, b).signum &&
+        java.lang.Double.compare(
+          graft.functions.TopKRowsBuffer.sortableToDouble(ea), a) == 0
+    }
+  }
 
   /** Merge-order independence: any partition of the stream, merged in
     * any grouping order, yields the same min-k — the property that makes
@@ -330,7 +356,7 @@ object KernelProps extends Properties("graft.kernels") {
       })
       val buffers = parts.map { p =>
         val b = new graft.functions.TopKRowsBuffer(k)
-        p.foreach { case (key, id) => b.add(key.toDouble, id) }
+        p.foreach { case (key, id) => b.add(key, id) }
         b
       }
       val fwd = {
@@ -341,15 +367,14 @@ object KernelProps extends Properties("graft.kernels") {
         val b = new graft.functions.TopKRowsBuffer(k)
         buffers.reverse.foreach(b.mergeIn); b.sorted.toSeq
       }
-      val expect = xs.map { case (key, id) => (key.toDouble, id) }
-        .sortBy { case (key, id) => (key, id) }.take(k)
+      val expect = xs.sortBy { case (key, id) => (key, id) }.take(k)
       fwd == expect && rev == expect
     }
 
   property("topk_rows serialize round-trips") =
     forAll(org.scalacheck.Gen.listOf(pairGen), org.scalacheck.Gen.choose(1, 8)) { (xs, k) =>
       val b = new graft.functions.TopKRowsBuffer(k)
-      xs.foreach { case (key, id) => b.add(key.toDouble, id) }
+      xs.foreach { case (key, id) => b.add(key, id) }
       graft.functions.TopKRowsBuffer.deserialize(k, b.serialize())
         .sorted.toSeq == b.sorted.toSeq
     }

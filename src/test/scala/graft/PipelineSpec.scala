@@ -780,12 +780,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Classifier.trainDiagRidge(labeled, "doc_id", "text", "y", 256, 1L),
       modelPath)
 
-    // one batch: a good doc, its near-dup, a contaminated doc, a spam doc
+    // one batch: a good doc, its near-dup, a contaminated doc, a spam
+    // doc, an empty doc, and an out-of-vocabulary doc (no feature bucket
+    // in the model — scoreWithTable emits NO row for the last two, and
+    // the gate must reject them rather than pass them vacuously)
     Seq(
       (10L, "careful structured citations and clear depth in prose"),
       (11L, "careful structured citations and clear depth in prose"),
       (12L, "copied text the secret benchmark answer is forty two exactly here"),
-      (13L, "cheap spam prize click now win free offers cheap"))
+      (13L, "cheap spam prize click now win free offers cheap"),
+      (14L, ""),
+      (15L, "zxqv"))
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b1")
     val gates = Seq(
       StreamingNearDupIngest.decontaminationGate(spark, probeIdx,
@@ -795,9 +800,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s1 = StreamingNearDupIngest.run(spark, batchDir, schema,
       "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt,
       rejectGates = gates)
-    // 11 near-dups 10; 12 contains the benchmark; 13 fails the model —
-    // only the good doc survives the composed gates
-    assert(s1 == StreamingNearDupIngest.Summary(1L, 1L, 3L), s1.toString)
+    // 11 near-dups 10; 12 contains the benchmark; 13 fails the model;
+    // 14/15 have no score row (degenerate) — only the good doc survives
+    assert(s1 == StreamingNearDupIngest.Summary(1L, 1L, 5L), s1.toString)
     assert(StreamingNearDupIngest.loadAccepted(spark, accDir)
       .select("doc_id").as[Long].collect().toSeq == Seq(10L))
 
