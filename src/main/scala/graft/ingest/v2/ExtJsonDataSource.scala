@@ -258,6 +258,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
 
   override def toBatch: Batch = this
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ScanMetrics.supported
+
   /** Filter-referenced fields the pruned schema dropped (Spark prunes a
     * column out of the required schema precisely when only fully pushed
     * filters touch it) — the reader parses the DEEP MERGE of required and
@@ -397,6 +400,13 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   // pushed PARTIAL limit: this split stops parsing after its first
   // `limit` kept rows (Spark's global Limit still runs above)
   private var emitted = 0L
+  private var parsedDocs = 0L
+  private var filteredDocs = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskValue(ScanMetrics.ParsedDocs, parsedDocs),
+      ScanMetrics.TaskValue(ScanMetrics.FilteredDocs, filteredDocs),
+      ScanMetrics.TaskValue(ScanMetrics.SkimmedLines, 0L))
 
   private val parser = new ExtJsonParser(parseSchema)
   // compiled ONCE per reader: field indices, literal conversions, and
@@ -431,11 +441,12 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       pos += n
       if (text.getLength > 0) {
         val row = parser.parse(text.getBytes, 0, text.getLength)
+        parsedDocs += 1
         if (keepRow(row)) {
           current = project(row)
           emitted += 1
           return true
-        }
+        } else filteredDocs += 1
       }
     }
     false
@@ -456,11 +467,12 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       pos += n
       if (text.getLength > 0) {
         val row = parser.parse(text.getBytes, 0, text.getLength)
+        parsedDocs += 1
         if (keepRow(row)) {
           heap.offer(project(row))
           if (heap.size() > topN) heap.poll()
           ()
-        }
+        } else filteredDocs += 1
       }
     }
     drain(heap)
@@ -479,6 +491,32 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   // stream.close() keeps this uniform with ExtJsonCountReader so neither
   // invites a wrong-direction "fix" (Hadoop stream close is idempotent)
   override def close(): Unit = { lines.close(); stream.close() }
+}
+
+/** The document scan's task metrics — the observability a pushdown-heavy
+  * source owes its operators: rows a plan never sees are otherwise
+  * invisible (a scan that "returns 10 rows" could have parsed 10 or ten
+  * billion). Surfaced per-node in the Spark SQL UI as sums over tasks.
+  */
+private[graft] object ScanMetrics {
+  final val ParsedDocs = "parsedDocs"
+  final val FilteredDocs = "filteredDocs"
+  final val SkimmedLines = "skimmedLines"
+
+  final class Sum(override val name: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def description(): String = desc
+  }
+
+  def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new Sum(ParsedDocs, "documents parsed"),
+      new Sum(FilteredDocs, "documents dropped by pushed filters"),
+      new Sum(SkimmedLines, "lines counted without parsing"))
+
+  final case class TaskValue(override val name: String,
+      override val value: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 }
 
 /** Split stream setup shared by the partition readers. */
@@ -666,6 +704,14 @@ final class ExtJsonCountReader(split: ExtJsonInputPartition,
   private var pos = split.start
   private var done = false
   private var count = 0L
+  private var parsedDocs = 0L
+  private var filteredDocs = 0L
+  private var skimmedLines = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskValue(ScanMetrics.ParsedDocs, parsedDocs),
+      ScanMetrics.TaskValue(ScanMetrics.FilteredDocs, filteredDocs),
+      ScanMetrics.TaskValue(ScanMetrics.SkimmedLines, skimmedLines))
 
   private val stream = SplitIO.open(split, conf)
   private val lines = new LineReader(stream)
@@ -678,9 +724,13 @@ final class ExtJsonCountReader(split: ExtJsonInputPartition,
       if (n == 0) { done = true; return true }
       pos += n
       if (text.getLength > 0) {
-        if (keepRow == null) count += 1
-        else if (keepRow(parser.parse(text.getBytes, 0, text.getLength)))
-          count += 1
+        if (keepRow == null) { count += 1; skimmedLines += 1 }
+        else {
+          parsedDocs += 1
+          if (keepRow(parser.parse(text.getBytes, 0, text.getLength)))
+            count += 1
+          else filteredDocs += 1
+        }
       }
     }
     done = true

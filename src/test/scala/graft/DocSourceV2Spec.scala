@@ -482,6 +482,27 @@ class DocSourceV2Spec extends AnyFunSuite {
       scans.head.runtimeFilters.mkString(", "))
   }
 
+  test("scan task metrics report parsed/filtered/skimmed counts") {
+    val docs = (1 to 50).map(i => s"""{"k": $i}""")
+    val dir = writeLines("mx.jsonl", docs)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def scanExec(df: DataFrame) = {
+      val plans = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(plans.length == 1)
+      plans.head
+    }
+    // filtered read: 50 parsed, 40 dropped reader-side — the rows a plan
+    // never sees, now visible per scan node
+    val df = ExtendedJson.read(spark, schema, s"$dir/mx.jsonl")
+      .filter(col("k") > 40)
+    val exec = scanExec(df)
+    assert(df.collect().length == 10)
+    assert(exec.metrics(graft.ingest.v2.ScanMetrics.ParsedDocs).value == 50)
+    assert(exec.metrics(graft.ingest.v2.ScanMetrics.FilteredDocs).value == 40)
+    assert(exec.metrics(graft.ingest.v2.ScanMetrics.SkimmedLines).value == 0)
+  }
+
   test("explicit schema is required — inference refuses loudly") {
     val dir = writeLines("x.jsonl", Seq("""{"a": 1}"""))
     val e = intercept[Exception] {
