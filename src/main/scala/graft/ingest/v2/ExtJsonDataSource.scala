@@ -87,6 +87,17 @@ final class ExtJsonTable(path: String, tableSchema: StructType)
 final case class PushedSort(field: String, descending: Boolean,
     nullsFirst: Boolean)
 
+/** One pushed aggregate in the reader's serializable form. `kind` is
+  * `count*` (rows), `count` (non-null values), `min`, or `max`; `field`
+  * is empty for `count*`.
+  */
+final case class PushedAgg(kind: String, field: String) {
+  def render: String = kind match {
+    case "count*" => "COUNT(*)"
+    case k => s"${k.toUpperCase(java.util.Locale.ROOT)}($field)"
+  }
+}
+
 final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -98,24 +109,42 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   private var limit: Int = -1
   private var topSorts: Array[PushedSort] = Array.empty
   private var topLimit: Int = -1
-  private var countOnly: Boolean = false
+  private var aggs: Array[PushedAgg] = Array.empty
 
-  /** Only the global `COUNT(*)` pushes (PARTIAL: each split returns one
-    * count row, Spark's final aggregation sums them). With no pushed
-    * filter the reader never even parses — a count over a 100 TB
-    * document drop is a newline skim; with filters it parses and counts
-    * kept rows, still shipping one row per split instead of millions.
-    * Refused when a limit or top-N is pushed (mixing them has no sane
-    * partial semantics) — Spark then falls back to the ordinary scan +
-    * agg.
+  /** Ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col) combinations
+    * push (PARTIAL: each split returns ONE row of its local aggregates,
+    * Spark's final aggregation merges them — sum of counts, min of mins)
+    * — the `$group: {_id: null, …}` analogue of the reference's
+    * aggregation pipeline. An all-COUNT(*) push with no filters never
+    * even parses (the newline skim); anything referencing a column
+    * parses just that column. Refused under a pushed limit/top-N or any
+    * grouping — Spark then falls back to the ordinary scan + agg.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = limit < 0 && topLimit < 0 &&
-      aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (ok) countOnly = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min}
+    if (limit >= 0 || topLimit >= 0 ||
+      aggregation.groupByExpressions().nonEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression,
+        needComparable: Boolean): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        fullSchema.fields.find(_.name == nr.fieldNames()(0))
+          .filter(f => !needComparable || comparableAtomic(f.dataType))
+          .map(_.name)
+      case _ => None
+    }
+    val parsed: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg("count*", ""))
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column(), needComparable = false).map(PushedAgg("count", _))
+        case m: Min =>
+          fieldOf(m.column(), needComparable = true).map(PushedAgg("min", _))
+        case m: Max =>
+          fieldOf(m.column(), needComparable = true).map(PushedAgg("max", _))
+        case _ => None
+      }
+    if (parsed.isEmpty || parsed.exists(_.isEmpty)) false
+    else { aggs = parsed.flatten.toArray; true }
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -149,7 +178,7 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * falls back to the full scan + sort.
     */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
-    if (countOnly || n < 0) return false
+    if (aggs.nonEmpty || n < 0) return false
     val parsed: Seq[Option[PushedSort]] = orders.toSeq.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -183,14 +212,14 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
 
   override def build(): Scan =
     new ExtJsonScan(path, fullSchema, required, pushed,
-      Option(options.get("maxSplitBytes")).map(_.toLong), limit, countOnly,
+      Option(options.get("maxSplitBytes")).map(_.toLong), limit, aggs,
       topSorts, topLimit)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
     required: StructType, val pushed: Array[Filter],
     maxSplitOverride: Option[Long], val pushedLimit: Int = -1,
-    val countOnly: Boolean = false,
+    val pushedAggs: Array[PushedAgg] = Array.empty,
     val pushedSorts: Array[PushedSort] = Array.empty,
     val pushedTopN: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
@@ -213,13 +242,16 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * joins this scan (count pushdown exposes no columns at all).
     */
   override def filterAttributes(): Array[NamedReference] =
-    if (countOnly) Array.empty
+    if (aggPushed) Array.empty
     else readSchema().fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(FilterEval.supported(_, fullSchema))
   }
+
+  /** Whether an aggregation (of any shape) is pushed to this scan. */
+  def aggPushed: Boolean = pushedAggs.nonEmpty
 
   /** Static + runtime predicates, the set the readers actually apply. */
   private def allFilters: Array[Filter] = pushed ++ runtime
@@ -228,9 +260,18 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   private[graft] def runtimeFilters: Array[Filter] = runtime
 
   override def readSchema(): StructType =
-    if (countOnly)
-      StructType(Seq(org.apache.spark.sql.types.StructField(
-        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    if (aggPushed)
+      StructType(pushedAggs.map { a =>
+        a.kind match {
+          case "count*" | "count" => org.apache.spark.sql.types.StructField(
+            a.render.toLowerCase(java.util.Locale.ROOT),
+            org.apache.spark.sql.types.LongType, nullable = false)
+          case _ => org.apache.spark.sql.types.StructField(
+            a.render.toLowerCase(java.util.Locale.ROOT),
+            fullSchema.fields.find(_.name == a.field).get.dataType,
+            nullable = true)
+        }
+      })
     else required
 
   override def description(): String =
@@ -240,7 +281,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       (if (pushedTopN >= 0)
         s", PushedTopN: ORDER BY [${pushedSorts.mkString(", ")}] LIMIT $pushedTopN"
       else "") +
-      (if (countOnly) ", PushedAggregation: [COUNT(*)]" else "")
+      (if (aggPushed)
+        s", PushedAggregation: [${pushedAggs.map(_.render).mkString(", ")}]"
+      else "")
 
   /** Planner statistics from the file listing ([[SupportsReportStatistics]]):
     * total byte size, honestly unknown row count. Gives the optimizer a
@@ -274,11 +317,12 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // so `required` still carries the full schema — but a count only
     // needs the filter-referenced fields parsed (none at all for the
     // unfiltered skim)
-    val base = if (countOnly) Array.empty[StructField] else required.fields
+    val base = if (aggPushed) Array.empty[StructField] else required.fields
+    val aggPaths = pushedAggs.filter(_.field.nonEmpty).map(a => Seq(a.field)).toSeq
     val paths = allFilters.flatMap(_.references).distinct.toSeq
       .filterNot(_.contains("`"))
       .map(_.split("\\.", -1).toSeq)
-    SchemaMerge.merge(base, paths, fullSchema)
+    SchemaMerge.merge(base, paths ++ aggPaths, fullSchema)
   }
 
   /** One filesystem listing per Scan, shared by partition planning and
@@ -346,7 +390,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val conf = new SerializableWritable(
       SparkSession.active.sparkContext.hadoopConfiguration)
     ExtJsonReaderFactory(conf, parseSchema.json, required.json, allFilters,
-      pushedLimit, countOnly, pushedSorts, pushedTopN)
+      pushedLimit, pushedAggs, pushedSorts, pushedTopN)
   }
 }
 
@@ -364,14 +408,14 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
   */
 final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     parseSchemaJson: String, requiredSchemaJson: String, pushed: Array[Filter],
-    limit: Int = -1, countOnly: Boolean = false,
+    limit: Int = -1, aggs: Array[PushedAgg] = Array.empty,
     sorts: Array[PushedSort] = Array.empty, topN: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExtJsonInputPartition]
-    if (countOnly)
-      new ExtJsonCountReader(p, conf.value,
-        DataTypeJson.structFromJson(parseSchemaJson), pushed)
+    if (aggs.nonEmpty)
+      new ExtJsonAggReader(p, conf.value,
+        DataTypeJson.structFromJson(parseSchemaJson), pushed, aggs)
     else new ExtJsonPartitionReader(p, conf.value,
       DataTypeJson.structFromJson(parseSchemaJson),
       DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
@@ -682,28 +726,40 @@ private[v2] object RowProject {
   }
 }
 
-/** The COUNT(*)-pushdown reader: emits exactly ONE row — the number of
-  * this split's rows passing the pushed filters. With no filters the
-  * lines are never parsed (a newline skim over the byte range, the fast
-  * path a global count deserves); with filters each line parses against
-  * the filter schema and kept rows count. Same split line-ownership
-  * contract as [[ExtJsonPartitionReader]], and blank lines are SKIPPED
-  * exactly as the row reader skips them, so the count matches the
-  * unpushed plan bit-for-bit.
+/** The aggregate-pushdown reader: emits exactly ONE row — this split's
+  * local COUNT(*)/COUNT(col)/MIN(col)/MAX(col) values in pushed order
+  * (Spark's final aggregation merges the per-split partials). With only
+  * COUNT(*) aggregates and no filters the lines are never parsed (a
+  * newline skim over the byte range, the fast path a global count
+  * deserves); otherwise each line parses against the minimal field
+  * schema. Same split line-ownership contract as
+  * [[ExtJsonPartitionReader]]; blank lines are skipped exactly as the
+  * row reader skips them, so every count matches the unpushed plan
+  * bit-for-bit. An empty split reports MIN/MAX as null — ignored by the
+  * final merge, matching SQL aggregate semantics.
   */
-final class ExtJsonCountReader(split: ExtJsonInputPartition,
-    conf: Configuration, parseSchema: StructType, pushed: Array[Filter])
+final class ExtJsonAggReader(split: ExtJsonInputPartition,
+    conf: Configuration, parseSchema: StructType, pushed: Array[Filter],
+    aggs: Array[PushedAgg])
     extends PartitionReader[InternalRow] {
 
+  private val needsParse =
+    pushed.nonEmpty || aggs.exists(_.kind != "count*")
   private val keepRow: InternalRow => Boolean =
     if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
   private val parser =
-    if (pushed.isEmpty) null else new ExtJsonParser(parseSchema)
+    if (needsParse) new ExtJsonParser(parseSchema) else null
+  // per-agg plan compiled once: field index + type in the parse schema
+  private val fieldIdx: Array[Int] = aggs.map(a =>
+    if (a.field.isEmpty) -1 else parseSchema.fieldIndex(a.field))
+  private val fieldType = aggs.map(a =>
+    if (a.field.isEmpty) null else parseSchema(a.field).dataType)
+  private val counts = new Array[Long](aggs.length)
+  private val extremes = new Array[Any](aggs.length)
   private val end = SplitIO.endBound(split)
   private val text = new Text()
   private var pos = split.start
   private var done = false
-  private var count = 0L
   private var parsedDocs = 0L
   private var filteredDocs = 0L
   private var skimmedLines = 0L
@@ -717,6 +773,27 @@ final class ExtJsonCountReader(split: ExtJsonInputPartition,
   private val lines = new LineReader(stream)
   if (split.start != 0) pos += lines.readLine(text)
 
+  private def accumulate(row: InternalRow): Unit = {
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i).kind match {
+        case "count*" => counts(i) += 1
+        case "count" => if (!row.isNullAt(fieldIdx(i))) counts(i) += 1
+        case kind =>
+          if (!row.isNullAt(fieldIdx(i))) {
+            val v = row.get(fieldIdx(i), fieldType(i))
+            val cur = extremes(i)
+            val takeIt = cur == null || {
+              val c = FilterEval.compareInternal(fieldType(i), v, cur)
+              if (kind == "min") c < 0 else c > 0
+            }
+            if (takeIt) extremes(i) = v
+          }
+      }
+      i += 1
+    }
+  }
+
   override def next(): Boolean = {
     if (done) return false
     while (pos <= end) {
@@ -724,11 +801,14 @@ final class ExtJsonCountReader(split: ExtJsonInputPartition,
       if (n == 0) { done = true; return true }
       pos += n
       if (text.getLength > 0) {
-        if (keepRow == null) { count += 1; skimmedLines += 1 }
-        else {
+        if (!needsParse) {
+          skimmedLines += 1
+          var i = 0
+          while (i < counts.length) { counts(i) += 1; i += 1 }
+        } else {
+          val row = parser.parse(text.getBytes, 0, text.getLength)
           parsedDocs += 1
-          if (keepRow(parser.parse(text.getBytes, 0, text.getLength)))
-            count += 1
+          if (keepRow == null || keepRow(row)) accumulate(row)
           else filteredDocs += 1
         }
       }
@@ -737,6 +817,13 @@ final class ExtJsonCountReader(split: ExtJsonInputPartition,
     true
   }
 
-  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def get(): InternalRow =
+    new GenericInternalRow(aggs.indices.map { i =>
+      aggs(i).kind match {
+        case "count*" | "count" => counts(i): Any
+        case _ => extremes(i)
+      }
+    }.toArray)
+
   override def close(): Unit = { lines.close(); stream.close() }
 }

@@ -39,7 +39,14 @@ object FilterEval {
   def supported(f: Filter, schema: StructType): Boolean = f match {
     case And(l, r) => supported(l, schema) && supported(r, schema)
     case Or(l, r) => supported(l, schema) && supported(r, schema)
+    case Not(c) => supported(c, schema)
+    case AlwaysTrue() | AlwaysFalse() => true
     case EqualTo(a, v) => comparable(a, v, schema)
+    case EqualNullSafe(a, v) =>
+      // `a <=> null` is IsNull — resolvable column suffices; otherwise
+      // the literal must convert like EqualTo's
+      if (v == null) resolve(a, schema).isDefined
+      else comparable(a, v, schema)
     case GreaterThan(a, v) => comparable(a, v, schema)
     case GreaterThanOrEqual(a, v) => comparable(a, v, schema)
     case LessThan(a, v) => comparable(a, v, schema)
@@ -107,12 +114,31 @@ object FilterEval {
         if (a == 1) 1
         else { val b = cr(row); if (b == 1) 1 else if (a == 0 && b == 0) 0 else -1 }
       }
+    case Not(c) =>
+      // Kleene negation: UNKNOWN stays UNKNOWN
+      val cc = compileOne(c, schema)
+      row => { val t = cc(row); if (t == -1) -1 else (1 - t).toByte }
+    case AlwaysTrue() => _ => 1
+    case AlwaysFalse() => _ => 0
     case IsNull(a) =>
       val g = getter(a, schema)
       row => if (g(row) == null) 1 else 0
     case IsNotNull(a) =>
       val g = getter(a, schema)
       row => if (g(row) == null) 0 else 1
+    case EqualNullSafe(a, v) =>
+      // never UNKNOWN: null <=> null is TRUE, null <=> value is FALSE
+      val g = getter(a, schema)
+      if (v == null) { row => if (g(row) == null) 1 else 0 }
+      else {
+        val dt = resolve(a, schema).get.leaf.dataType
+        val y = toInternal(v, dt).get
+        row => {
+          val x = g(row)
+          if (x == null) 0
+          else if (compareInternal(dt, x, y) == 0) 1 else 0
+        }
+      }
     case EqualTo(a, v) => cmpPred(a, v, schema)(_ == 0)
     case GreaterThan(a, v) => cmpPred(a, v, schema)(_ > 0)
     case GreaterThanOrEqual(a, v) => cmpPred(a, v, schema)(_ >= 0)
@@ -170,8 +196,19 @@ object FilterEval {
       case (Some(false), Some(false)) => Some(false)
       case _ => None
     }
+    case Not(c) => eval(c, schema, row).map(!_)
+    case AlwaysTrue() => Some(true)
+    case AlwaysFalse() => Some(false)
     case IsNull(a) => Some(get(a, schema, row) == null)
     case IsNotNull(a) => Some(get(a, schema, row) != null)
+    case EqualNullSafe(a, v) =>
+      val x = get(a, schema, row)
+      if (v == null) Some(x == null)
+      else if (x == null) Some(false)
+      else {
+        val dt = dtype(a, schema)
+        Some(compareInternal(dt, x, toInternal(v, dt).get) == 0)
+      }
     case EqualTo(a, v) => cmp(a, v, schema, row).map(_ == 0)
     case GreaterThan(a, v) => cmp(a, v, schema, row).map(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(a, v, schema, row).map(_ >= 0)

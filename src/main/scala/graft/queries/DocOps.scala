@@ -153,7 +153,26 @@ object DocOps {
       .limit(10)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** `$group: {_id: null, …}` through the document source: a pushed
+    * MIN/MAX/COUNT(col)/COUNT(*) combination — each split ships ONE row
+    * of its local aggregates (PlanSpec-pinned PushedAggregation), Spark's
+    * final aggregation merges them. The timestamp min is formatted ABOVE
+    * the aggregate so the pushdown survives and the oracle output stays
+    * string-typed (the raw-timestamp hashing rule).
+    */
+  private def q129AggPush(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d)
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("__first"),
+        count(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_all"))
+      .select(col("min_price"), col("max_price"),
+        date_format(col("__first"), "yyyy-MM-dd").as("first_date"),
+        col("n_prio"), col("n_all"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_docsource_agg" -> q129AggPush,
     "q109_docsource_project" -> q109Project,
     "q110_docsource_filter" -> q110Filter,
     "q121_docsource_count" -> q121Count,
@@ -177,5 +196,9 @@ object DocOps {
         "WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'"),
     "q125_docsource_topn" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
-        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"))
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q129_docsource_agg" ->
+      ("SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
+        "strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date, " +
+        "COUNT(o_orderpriority) AS n_prio, COUNT(*) AS n_all FROM orders"))
 }

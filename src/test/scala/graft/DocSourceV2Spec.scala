@@ -111,6 +111,15 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(scan.pushed.map(_.toString).exists(_.contains("status")), scan.description())
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
     // null `when` (k=4) fails the comparison under three-valued logic
+
+    // a negated equality pushes too (Not in the v1 matrix): k=3 closed
+    // drops, null-status rows drop under Kleene NOT
+    val neg = ExtendedJson.read(spark, decoded, s"$dir/t.jsonl")
+      .filter(col("status") =!= "closed").select("k")
+    val negScan = v2Scan(neg)
+    assert(negScan.pushed.map(_.toString).exists(_.contains("Not")),
+      negScan.description())
+    assert(neg.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
   test("LIMIT pushes to the scan as a per-split partial limit") {
@@ -162,20 +171,35 @@ class DocSourceV2Spec extends AnyFunSuite {
     // plain global count: pushed, blank line skipped like the row reader
     val plain = src.agg(count(lit(1)))
     val scan = aggScan(plain)
-    assert(scan.countOnly, scan.description())
+    assert(scan.aggPushed, scan.description())
     assert(scan.description().contains("PushedAggregation: [COUNT(*)]"))
     assert(plain.collect().head.getLong(0) == 40L)
     // filtered count: parses only the filter schema, same answer as the
     // unpushed plan
     val filtered = src.filter(col("k") > 30).agg(count(lit(1)))
-    assert(aggScan(filtered).countOnly)
+    assert(aggScan(filtered).aggPushed)
     assert(filtered.collect().head.getLong(0) == 10L)
     // grouped / non-count aggs refuse the pushdown and stay correct
     val grouped = src.groupBy(col("s")).agg(count(lit(1)))
-    assert(!aggScan(grouped).countOnly)
+    assert(!aggScan(grouped).aggPushed)
     assert(grouped.count() == 40L)
     val summed = src.agg(sum(col("k")))
-    assert(!aggScan(summed).countOnly)
+    assert(!aggScan(summed).aggPushed)
+    // MIN/MAX/COUNT(col) combinations push as per-split partials
+    val mm = src.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+      count(col("s")).as("ns"), count(lit(1)).as("n"))
+    val mmScan = aggScan(mm)
+    assert(mmScan.aggPushed, mmScan.description())
+    assert(mmScan.description().contains("MIN(k)") &&
+      mmScan.description().contains("MAX(k)") &&
+      mmScan.description().contains("COUNT(s)"), mmScan.description())
+    val mmRow = mm.collect().head
+    assert((mmRow.getLong(0), mmRow.getLong(1), mmRow.getLong(2), mmRow.getLong(3)) ==
+      ((1L, 40L, 40L, 40L)), mmRow.toString)
+    // filtered min/max: only kept rows feed the partials
+    val fm = src.filter(col("k") > 10).agg(min(col("k")), max(col("k")))
+    assert(aggScan(fm).aggPushed)
+    assert(fm.collect().head.toSeq == Seq(11L, 40L))
     assert(summed.collect().head.getLong(0) == (1 to 40).sum.toLong)
   }
 
@@ -240,6 +264,34 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(!FilterEval.supported(EqualTo("a.missing", "x"), nested))
     assert(!FilterEval.supported(EqualTo("k.n", 1L), nested))
     assert(!FilterEval.supported(EqualTo("`a.s`", "x"), nested))
+
+    // Not / EqualNullSafe / Always* complete the v1 matrix — compile ≡
+    // keep on the same rows, incl. the never-UNKNOWN <=> semantics and
+    // Kleene negation (NOT unknown = unknown)
+    val extraCases: Seq[Array[Filter]] = Seq(
+      Array(Not(EqualTo("a.s", "open"))),
+      Array(Not(Or(IsNull("a.b.n"), LessThan("a.b.n", 6L)))),
+      Array(EqualNullSafe("a.s", "open")),
+      Array(EqualNullSafe("a.b.n", null)),
+      Array(Not(EqualNullSafe("a.s", null))),
+      Array(AlwaysTrue(), GreaterThan("k", 1L)),
+      Array(AlwaysFalse()))
+    for (fs <- extraCases) {
+      assert(fs.forall(FilterEval.supported(_, nested)), fs.mkString(","))
+      val compiled = FilterEval.compile(fs, nested)
+      nrows.foreach(r =>
+        assert(compiled(r) == FilterEval.keep(fs, nested, r),
+          s"${fs.mkString(",")} on $r"))
+    }
+    // semantics spot-checks: <=> is never UNKNOWN; NOT propagates UNKNOWN
+    val neq = FilterEval.compile(Array(EqualNullSafe("a.s", "open")), nested)
+    assert(!neq(nrow(2L, null, 9L)), "null <=> 'open' must be definite false")
+    val nns = FilterEval.compile(Array(EqualNullSafe("a.s", null)), nested)
+    assert(nns(nrow(2L, null, 9L)) && !nns(nrow(1L, "open", 5L)))
+    // NOT(s = 'open') on a null s is UNKNOWN -> row dropped, same as the
+    // un-negated comparison
+    val notEq = FilterEval.compile(Array(Not(EqualTo("a.s", "open"))), nested)
+    assert(!notEq(nrow(2L, null, 9L)))
   }
 
   test("unsupported predicates stay residual; results still correct") {

@@ -443,6 +443,21 @@ class PlanSpec extends AnyFunSuite {
       Set("o_orderkey", "o_orderdate", "o_totalprice"))
   }
 
+  test("q129 pushes the MIN/MAX/COUNT combination onto the document scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // aggregate plans AQE-wrap: inspect the pre-AQE physical plan
+    val p = plan("q129_docsource_agg").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val d = scans.head.description()
+    assert(scans.head.aggPushed, d)
+    // each split ships one partial row: min/max/count locals, never docs
+    assert(d.contains("MIN(o_totalprice)") && d.contains("MAX(o_totalprice)") &&
+      d.contains("COUNT(o_orderpriority)") && d.contains("COUNT(*)"), d)
+  }
+
   test("q127 ranks per query with the bounded-heap aggregate, no Window") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
