@@ -383,6 +383,12 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // name a hidden root: the caller asked for that exact directory.
     val isGlob = path.exists("*?[{".contains(_))
     val roots = if (isGlob) matches.filter(visible) else matches
+    // a glob whose every match is hidden-named must fail LOUDLY like an
+    // unmatched path — a silent zero-partition scan is partial results
+    // with no error, the failure mode this listing exists to prevent
+    require(roots.nonEmpty,
+      s"extjson glob matches only hidden (_/. prefixed) entries: $path — " +
+        "name the hidden directory explicitly (no wildcards) to read it")
     roots.flatMap(expand).filter(f => f.isFile && f.getLen > 0)
   }
 
@@ -532,7 +538,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
   override def get(): InternalRow = current
 
   // LineReader.close() already closes the wrapped stream; the explicit
-  // stream.close() keeps this uniform with ExtJsonCountReader so neither
+  // stream.close() keeps this uniform with ExtJsonAggReader so neither
   // invites a wrong-direction "fix" (Hadoop stream close is idempotent)
   override def close(): Unit = { lines.close(); stream.close() }
 }
@@ -547,16 +553,29 @@ private[graft] object ScanMetrics {
   final val FilteredDocs = "filteredDocs"
   final val SkimmedLines = "skimmedLines"
 
-  final class Sum(override val name: String, desc: String)
+  // each metric is its own CONCRETE NO-ARG class: the SQL UI re-creates
+  // the aggregator reflectively from the class name (Utils.loadExtensions
+  // needs a 0-arg or SparkConf constructor) — a parameterized class makes
+  // every value render as "N/A" in the UI while driver-side SQLMetrics
+  // still look fine, the silent half-failure mode
+  final class ParsedDocsMetric
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-    override def description(): String = desc
+    override def name(): String = ParsedDocs
+    override def description(): String = "documents parsed"
+  }
+  final class FilteredDocsMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = FilteredDocs
+    override def description(): String = "documents dropped by pushed filters"
+  }
+  final class SkimmedLinesMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = SkimmedLines
+    override def description(): String = "lines counted without parsing"
   }
 
   def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(
-      new Sum(ParsedDocs, "documents parsed"),
-      new Sum(FilteredDocs, "documents dropped by pushed filters"),
-      new Sum(SkimmedLines, "lines counted without parsing"))
+    Array(new ParsedDocsMetric, new FilteredDocsMetric, new SkimmedLinesMetric)
 
   final case class TaskValue(override val name: String,
       override val value: Long)
@@ -749,7 +768,18 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
     if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
   private val parser =
     if (needsParse) new ExtJsonParser(parseSchema) else null
-  // per-agg plan compiled once: field index + type in the parse schema
+  // per-agg plan compiled once: kind tag + field index + type — the
+  // per-row loop does integer dispatch, never a String match
+  private val KindCountStar = 0
+  private val KindCount = 1
+  private val KindMin = 2
+  private val KindMax = 3
+  private val kindTag: Array[Int] = aggs.map(_.kind match {
+    case "count*" => KindCountStar
+    case "count" => KindCount
+    case "min" => KindMin
+    case "max" => KindMax
+  })
   private val fieldIdx: Array[Int] = aggs.map(a =>
     if (a.field.isEmpty) -1 else parseSchema.fieldIndex(a.field))
   private val fieldType = aggs.map(a =>
@@ -776,19 +806,19 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
   private def accumulate(row: InternalRow): Unit = {
     var i = 0
     while (i < aggs.length) {
-      aggs(i).kind match {
-        case "count*" => counts(i) += 1
-        case "count" => if (!row.isNullAt(fieldIdx(i))) counts(i) += 1
-        case kind =>
-          if (!row.isNullAt(fieldIdx(i))) {
-            val v = row.get(fieldIdx(i), fieldType(i))
-            val cur = extremes(i)
-            val takeIt = cur == null || {
-              val c = FilterEval.compareInternal(fieldType(i), v, cur)
-              if (kind == "min") c < 0 else c > 0
-            }
-            if (takeIt) extremes(i) = v
+      val tag = kindTag(i)
+      if (tag == KindCountStar) counts(i) += 1
+      else if (!row.isNullAt(fieldIdx(i))) {
+        if (tag == KindCount) counts(i) += 1
+        else {
+          val v = row.get(fieldIdx(i), fieldType(i))
+          val cur = extremes(i)
+          val takeIt = cur == null || {
+            val c = FilterEval.compareInternal(fieldType(i), v, cur)
+            if (tag == KindMin) c < 0 else c > 0
           }
+          if (takeIt) extremes(i) = v
+        }
       }
       i += 1
     }
@@ -819,10 +849,7 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
 
   override def get(): InternalRow =
     new GenericInternalRow(aggs.indices.map { i =>
-      aggs(i).kind match {
-        case "count*" | "count" => counts(i): Any
-        case _ => extremes(i)
-      }
+      if (kindTag(i) <= KindCount) counts(i): Any else extremes(i)
     }.toArray)
 
   override def close(): Unit = { lines.close(); stream.close() }

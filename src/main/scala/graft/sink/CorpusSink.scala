@@ -115,7 +115,8 @@ object CorpusSink {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              (2 to 5).forall(d => Character.digit(s.charAt(i + d), 16) >= 0) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case e @ ('"' | '\\') => b.append(e); i += 2

@@ -130,6 +130,13 @@ class CorpusSinkSpec extends AnyFunSuite {
     // the writer's own three escape forms decode
     assert(CorpusSink.junesc("""lang=a\b/part-0.parquet""") ==
       """lang=a\b/part-0.parquet""")
+    // a legacy raw backslash-u NOT followed by four hex digits stays
+    // literal (no NumberFormatException); four-hex legacy paths are
+    // ambiguous by construction and decode — the documented residual
+    // risk. (Built by concatenation: Scala's lexer would otherwise eat
+    // the \-u sequence in the source literal itself.)
+    val legacyU = "shard" + "\\" + "universe/p.parquet"
+    assert(CorpusSink.junesc(legacyU) == legacyU)
     assert(CorpusSink.junesc("""a\\b""") == """a\b""")
     assert(CorpusSink.junesc("""a\"b""") == """a"b""")
     assert(CorpusSink.junesc("""t	b""") == "t\tb")

@@ -418,6 +418,14 @@ class DocSourceV2Spec extends AnyFunSuite {
     // caller asked for that exact directory
     assert(ExtendedJson.read(spark, schema, s"$root/d/_temporary")
       .collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // a glob matching ONLY hidden entries fails loudly — never a silent
+    // zero-row scan
+    val e = intercept[Exception] {
+      ExtendedJson.read(spark, schema, s"$root/d/_tem*").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("hidden")), e.toString)
   }
 
   test("ORDER BY … LIMIT pushes as partial top-N: bounded per-split, globally exact") {
@@ -553,6 +561,18 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(exec.metrics(graft.ingest.v2.ScanMetrics.ParsedDocs).value == 50)
     assert(exec.metrics(graft.ingest.v2.ScanMetrics.FilteredDocs).value == 40)
     assert(exec.metrics(graft.ingest.v2.ScanMetrics.SkimmedLines).value == 0)
+    // the UI path re-creates each CustomMetric REFLECTIVELY from its
+    // class name (0-arg constructor required) — a parameterized metric
+    // class silently renders "N/A" in the SQL UI while this driver-side
+    // assertion still passes, so pin instantiability directly
+    exec.scan.supportedCustomMetrics().foreach { m =>
+      val re = Class.forName(m.getClass.getName)
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.connector.metric.CustomMetric]
+      assert(re.name() == m.name(), m.getClass.getName)
+      assert(re.aggregateTaskMetrics(Array(2L, 3L)).contains("5"),
+        s"${m.name()} must sum task values")
+    }
   }
 
   test("explicit schema is required — inference refuses loudly") {
