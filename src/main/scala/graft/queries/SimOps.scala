@@ -184,6 +184,26 @@ object SimOps {
       "doc_id", "text", nShingle, minContainment = 0.5)
   }
 
+  /** q42's sweep through the SAVED-INDEX lifecycle
+    * ([[NearDup.saveShingleIndex]] → [[NearDup.containmentVsIndex]]): the
+    * benchmark suite is indexed ONCE per release and every corpus sweep
+    * joins the loaded 16-byte postings — the probe is never re-shingled.
+    * This is the batch twin of the streaming ingest's decontamination
+    * gate, and it shares q42's oracle: the lifecycle must change nothing
+    * about the answer.
+    */
+  private def q130ContainmentIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val path = graft.core.Scratch.ephemeralDir(s"graft_probe_idx_$tag")
+    NearDup.saveShingleIndex(docs.filter(col("doc_id") < 50),
+      "doc_id", "text", nShingle, path)
+    NearDup.containmentVsIndex(docs.filter(col("doc_id") >= 50),
+      NearDup.loadShingleIndex(s, path), "doc_id", "text", nShingle,
+      minContainment = 0.5)
+  }
+
   /** q42's sweep through the Bloom-prefiltered corpus path
     * ([[NearDup.bloomContainmentPairs]]): the benchmark shingle set is
     * compiled into a broadcast Bloom filter probed map-side at the corpus
@@ -561,6 +581,7 @@ object SimOps {
     "q93_embed_outliers" -> q93EmbedOutliers _,
     "q75_semantic_dedup" -> q75SemanticDedup _,
     "q42_decontaminate" -> q42Decontaminate _,
+    "q130_containment_index" -> q130ContainmentIndex _,
     "q52_dedup_clusters" -> q52DedupClusters _,
     "q53_cluster_dedup" -> q53ClusterDedup _,
     "q23_ann_cosine" -> q23AnnCosine _,
@@ -762,6 +783,8 @@ object SimOps {
         "SELECT vec_id, label, cos_centroid, CAST(rnk AS INT) AS rnk " +
         "FROM r WHERE rnk <= 3"),
     "q42_decontaminate" -> containmentSql,
+    // the saved-index lifecycle must not change the answer — same truth
+    "q130_containment_index" -> containmentSql,
     // the Bloom prefilter must be invisible in the answer: q112 is graded
     // against the same exact-containment truth as q42
     "q112_bloom_decontaminate" -> containmentSql,
