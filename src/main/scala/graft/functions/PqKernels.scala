@@ -102,11 +102,19 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double],
     new GenericArrayData(out)
   }
 
-  /** The SHIFTED ADC distance table for a query vector: entry `s·k + j`
-    * is `c·c − 2·r_s·c` where `r` is the raw vector (`cell < 0`) or its
-    * residual against `coarse[cell]` — the true per-subspace squared
-    * distance minus the candidate-independent `r_s·r_s`, so candidate
-    * order and ties match true ADC at `k` fewer multiplies per entry.
+  /** The ADC distance table for a query vector. Raw mode (`cell < 0`):
+    * SHIFTED entries `c·c − 2·q_s·c` — the true per-subspace squared
+    * distance minus the candidate-independent `q_s·q_s`; every candidate
+    * of a query scores against this ONE table, so the per-query constant
+    * shift preserves order and ties at `k` fewer multiplies per entry.
+    * Residual mode (`cell >= 0`): UNSHIFTED entries
+    * `r_s·r_s + c·c − 2·r_s·c` = the true per-subspace squared distance of
+    * the residual `r = q − coarse[cell]` — the `r_s·r_s` term is
+    * CELL-DEPENDENT (Σ_s r_s·r_s = ‖q − coarse[cell]‖², FAISS
+    * `by_residual`'s coarse-distance term), so dropping it would bias
+    * cross-cell ranking at `nProbe > 1` toward candidates in farther
+    * cells; including it makes scores from different probed cells
+    * directly comparable (each totals to the true ADC distance).
     * Null on mismatch / out-of-range cell.
     */
   def dtab(vec: ArrayData, isFloat: Boolean, cell: Int = -1): ArrayData = {
@@ -115,10 +123,23 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double],
     val out = new Array[Any](m * k)
     var s = 0
     while (s < m) {
+      // residual mode: the per-subspace residual self-term r_s·r_s
+      var rr = 0.0
+      if (cell >= 0) {
+        val off = s * subDim
+        val cBase = cell * dim + off
+        var d = 0
+        while (d < subDim) {
+          val x = (if (isFloat) vec.getFloat(off + d).toDouble
+                   else vec.getDouble(off + d)) - coarse(cBase + d)
+          rr += x * x
+          d += 1
+        }
+      }
       var j = 0
       while (j < k) {
         val c = s * k + j
-        out(c) = cc(c) - 2.0 * dotSub(vec, isFloat, s, c, cell)
+        out(c) = rr + cc(c) - 2.0 * dotSub(vec, isFloat, s, c, cell)
         j += 1
       }
       s += 1
@@ -161,7 +182,7 @@ case class PqEncode(child: Expression, ref: PqRef)
     val r = ctx.addReferenceObj("pqRef", ref, classOf[PqRef].getName)
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = $r.encode($c, $flt);
+         |${ev.value} = $r.encode($c, $flt, -1);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -195,7 +216,7 @@ case class PqDistTable(child: Expression, ref: PqRef)
     val r = ctx.addReferenceObj("pqRef", ref, classOf[PqRef].getName)
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = $r.dtab($c, $flt);
+         |${ev.value} = $r.dtab($c, $flt, -1);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })

@@ -101,6 +101,10 @@ object ProductQuantize {
           val cells = encodeExpr(col(vecCol), cb)
           val means = train0
             .select(cells.as("cells"), posexplode(col(vecCol)).as(Seq("d", "x")))
+            // graft_pq_encode nulls out malformed vectors (wrong length /
+            // null element) — drop them here rather than let a null
+            // assignment group crash the mean collection
+            .filter(col("cells").isNotNull)
             .select(element_at(col("cells"), (col("d") / subDim).cast("int") + 1)
               .as("j"), col("d"), col("x"))
             .groupBy("j", "d")
@@ -231,11 +235,15 @@ object ProductQuantize {
     * distance table (the residual frame differs per cell —
     * `graft_pq_dtab_res` computes it per (query, probed cell) pair,
     * nProbe tables per query instead of one), candidates score by the
-    * same m-lookup ADC fold. Same rank-only output contract as
-    * [[ivfPqTopK]]; the planted-copy guarantee is airtight at
-    * `nProbe = 1` (every candidate shares the query's cell, so all score
-    * against one residual frame and the copy's code attains the
-    * per-subspace minimum — q128's oracle setting).
+    * same m-lookup ADC fold. Residual tables are UNSHIFTED — each carries
+    * its cell's `r_s·r_s` self-terms (Σ = ‖q − coarse[cell]‖², FAISS
+    * `by_residual`'s coarse-distance term), so totals are true ADC
+    * distances and ranks from DIFFERENT probed cells compare correctly at
+    * `nProbe > 1` (a shifted table would bias toward farther cells).
+    * Same rank-only output contract as [[ivfPqTopK]]; the planted-copy
+    * guarantee is airtight at `nProbe = 1` (every candidate shares the
+    * query's cell, so all score against one residual frame and the copy's
+    * code attains the per-subspace minimum — q128's oracle setting).
     */
   def ivfPqResTopK(index: Similarity.IvfIndex, cb: PqCodebooks,
       queries: DataFrame, encoded: DataFrame, idCol: String, vecCol: String,
