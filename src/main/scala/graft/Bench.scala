@@ -102,7 +102,39 @@ object Bench {
         }
       }
 
-    for ((name, fn) <- selected) {
+    // INTERLEAVED controls (r10 verdict #6): the end-of-sweep control block
+    // only samples LATE-run machine state, so mid-sweep contention (the r10
+    // q79/q90/q74 spikes) was only diagnosable by a judge re-run. One
+    // control query runs after every ~10 sweep queries, cycling the control
+    // set, with its sweep position and wall-clock offset recorded — a
+    // reader localizes the contention window from the record alone (a
+    // clean round traces a flat control line; a contended one spikes
+    // exactly where the affected queries ran). Entries at the same
+    // position run the same query in the same order every round, so they
+    // are round-over-round comparable even though (deliberately) cold.
+    val benchStart = System.nanoTime()
+    val timeline =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Double)]
+    var controlCursor = 0
+    def interleaveControl(afterIdx: Int): Unit =
+      if (only.isEmpty && tier == "full" && controlSet.nonEmpty) {
+        val name = controlSet(controlCursor % controlSet.size)
+        controlCursor += 1
+        for (fn <- SparkEntry.queries.get(name)) {
+          try {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            runOnce(fn(spark, sfDir))
+            val sec = (System.nanoTime() - t0) / 1e9
+            timeline += ((name, afterIdx, (t0 - benchStart) / 1e9, sec))
+            spark.catalog.clearCache()
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] interleaved control FAILED $name — ${e.getMessage}")
+          }
+        }
+      }
+
+    for (((name, fn), idx) <- selected.zipWithIndex) {
       try {
         runOnce(fn(spark, sfDir)) // warm-up, discarded (JIT + parquet footer cache)
         val runs = (1 to measuredRuns).map { _ =>
@@ -129,6 +161,7 @@ object Bench {
           errors(name) = msg
           System.err.println(s"[bench] FAILED $name — $msg")
       }
+      if ((idx + 1) % 10 == 0) interleaveControl(idx + 1)
     }
 
     // second-pass control block (full tier only — the unattended record is
@@ -180,10 +213,13 @@ object Bench {
     val cs = controls.map { case (k, v) => s"${jstr(k)}:${v.min}" }.mkString("{", ",", "}")
     val crs = controls.map { case (k, v) =>
       s"${jstr(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
+    val tl = timeline.map { case (q, after, at, sec) =>
+      s"""{"q":${jstr(q)},"after":$after,"at_sec":$at,"sec":$sec}"""
+    }.mkString("[", ",", "]")
     val total = timings.values.sum
     val medianTotal = medians.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"control":$cs,"control_runs":$crs,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -110,41 +110,70 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   private var topSorts: Array[PushedSort] = Array.empty
   private var topLimit: Int = -1
   private var aggs: Array[PushedAgg] = Array.empty
+  private var groups: Array[String] = Array.empty
 
-  /** Ungrouped COUNT(*) / COUNT(col) / MIN(col) / MAX(col) combinations
-    * push (PARTIAL: each split returns ONE row of its local aggregates,
-    * Spark's final aggregation merges them — sum of counts, min of mins)
-    * — the `$group: {_id: null, …}` analogue of the reference's
-    * aggregation pipeline. An all-COUNT(*) push with no filters never
-    * even parses (the newline skim); anything referencing a column
-    * parses just that column. Refused under a pushed limit/top-N or any
-    * grouping — Spark then falls back to the ordinary scan + agg.
+  /** A pushable column reference — any depth of struct nesting, resolved
+    * through the declared schema ([[FilterEval.resolve]], the same dotted
+    * machinery the filter pushdown uses). A reference whose SEGMENTS
+    * contain dots or backticks is refused rather than risked: the dotted
+    * rendering would be ambiguous, and none of this engine's document
+    * schemas need such names.
+    */
+  private def pathOf(e: org.apache.spark.sql.connector.expressions.Expression,
+      needComparable: Boolean): Option[String] = e match {
+    case nr: NamedReference
+        if !nr.fieldNames().exists(s => s.contains(".") || s.contains("`")) =>
+      val dotted = nr.fieldNames().mkString(".")
+      FilterEval.resolve(dotted, fullSchema)
+        .filter(p => !needComparable || comparableAtomic(p.leaf.dataType))
+        .map(_ => dotted)
+    case _ => None
+  }
+
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) combinations push,
+    * grouped or not (PARTIAL: each split returns one row PER OBSERVED
+    * GROUP of its local aggregates — one row total when ungrouped —
+    * and Spark's final aggregation merges them: sum of counts, min of
+    * mins) — the `$group: {_id: "$field", …}` analogue of the
+    * reference's aggregation pipeline (`$group: {_id: null}` being the
+    * ungrouped special case). Group keys and aggregate columns may be
+    * NESTED (dotted paths), resolved like pushed filter references. An
+    * all-COUNT(*) push with no filters and no grouping never even parses
+    * (the newline skim); anything referencing a column parses just that
+    * column. Reader memory is bounded: a split observing more than
+    * `maxPushedGroups` distinct keys flushes its partial map and starts
+    * over — duplicate partial rows per key are exactly what the final
+    * merge already handles. Refused under a pushed limit/top-N — Spark
+    * then falls back to the ordinary scan + agg.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min}
-    if (limit >= 0 || topLimit >= 0 ||
-      aggregation.groupByExpressions().nonEmpty) return false
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression,
-        needComparable: Boolean): Option[String] = e match {
-      case nr: NamedReference if nr.fieldNames().length == 1 =>
-        fullSchema.fields.find(_.name == nr.fieldNames()(0))
-          .filter(f => !needComparable || comparableAtomic(f.dataType))
-          .map(_.name)
-      case _ => None
-    }
+    if (limit >= 0 || topLimit >= 0) return false
+    // group keys must be comparable atomics: they ride the partial rows
+    // and re-group Spark-side (hash + equality on the internal values)
+    val g: Seq[Option[String]] = aggregation.groupByExpressions().toSeq
+      .map(pathOf(_, needComparable = true))
+    if (g.exists(_.isEmpty)) return false
     val parsed: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg("count*", ""))
         case c: Count if !c.isDistinct =>
-          fieldOf(c.column(), needComparable = false).map(PushedAgg("count", _))
+          pathOf(c.column(), needComparable = false).map(PushedAgg("count", _))
         case m: Min =>
-          fieldOf(m.column(), needComparable = true).map(PushedAgg("min", _))
+          pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
         case m: Max =>
-          fieldOf(m.column(), needComparable = true).map(PushedAgg("max", _))
+          pathOf(m.column(), needComparable = true).map(PushedAgg("max", _))
         case _ => None
       }
-    if (parsed.isEmpty || parsed.exists(_.isEmpty)) false
-    else { aggs = parsed.flatten.toArray; true }
+    // a grouped query with no aggregate functions is a pushed DISTINCT —
+    // each split ships its observed keys; ungrouped still needs at least
+    // one aggregate to mean anything
+    if ((parsed.isEmpty && g.isEmpty) || parsed.exists(_.isEmpty)) false
+    else {
+      groups = g.flatten.toArray
+      aggs = parsed.flatten.toArray
+      true
+    }
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -174,22 +203,17 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * global sort — the global top-N is a subset of the per-split top-Ns,
     * so [[isPartiallyPushed]]'s outer TakeOrdered stays correct while a
     * 100 TB probe ships n rows per split instead of the corpus. Accepted
-    * only for top-level fields of comparable atomic types; anything else
-    * falls back to the full scan + sort.
+    * for comparable atomic fields at ANY struct depth (dotted paths —
+    * `ORDER BY profile.acctbal` is idiomatic over nested documents);
+    * anything else falls back to the full scan + sort.
     */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
-    if (aggs.nonEmpty || n < 0) return false
+    if (aggs.nonEmpty || groups.nonEmpty || n < 0) return false
     val parsed: Seq[Option[PushedSort]] = orders.toSeq.map { so =>
-      so.expression() match {
-        case nr: NamedReference if nr.fieldNames().length == 1 =>
-          fullSchema.fields.find(_.name == nr.fieldNames()(0)).collect {
-            case f if comparableAtomic(f.dataType) =>
-              PushedSort(f.name,
-                so.direction() == SortDirection.DESCENDING,
-                so.nullOrdering() == NullOrdering.NULLS_FIRST)
-          }
-        case _ => None
-      }
+      pathOf(so.expression(), needComparable = true).map(dotted =>
+        PushedSort(dotted,
+          so.direction() == SortDirection.DESCENDING,
+          so.nullOrdering() == NullOrdering.NULLS_FIRST))
     }
     if (parsed.exists(_.isEmpty)) false
     else {
@@ -213,7 +237,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   override def build(): Scan =
     new ExtJsonScan(path, fullSchema, required, pushed,
       Option(options.get("maxSplitBytes")).map(_.toLong), limit, aggs,
-      topSorts, topLimit)
+      topSorts, topLimit, groups,
+      Option(options.get("maxPushedGroups")).map(_.toInt).getOrElse(16384))
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -221,7 +246,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     maxSplitOverride: Option[Long], val pushedLimit: Int = -1,
     val pushedAggs: Array[PushedAgg] = Array.empty,
     val pushedSorts: Array[PushedSort] = Array.empty,
-    val pushedTopN: Int = -1)
+    val pushedTopN: Int = -1,
+    val pushedGroups: Array[String] = Array.empty,
+    maxPushedGroups: Int = 16384)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -251,7 +278,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   }
 
   /** Whether an aggregation (of any shape) is pushed to this scan. */
-  def aggPushed: Boolean = pushedAggs.nonEmpty
+  def aggPushed: Boolean = pushedAggs.nonEmpty || pushedGroups.nonEmpty
 
   /** Static + runtime predicates, the set the readers actually apply. */
   private def allFilters: Array[Filter] = pushed ++ runtime
@@ -259,19 +286,29 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   /** Test hook: the runtime filters this scan actually received. */
   private[graft] def runtimeFilters: Array[Filter] = runtime
 
+  /** Leaf type of a (possibly dotted) pushed path. */
+  private def leafType(field: String): org.apache.spark.sql.types.DataType =
+    FilterEval.resolve(field, fullSchema).get.leaf.dataType
+
+  /** With a pushed aggregation: group columns FIRST (in pushed order),
+    * then aggregate columns — the layout `V2ScanRelationPushDown` splits
+    * the scan output on (`splitAt(groupingExpressions.length)`). Group
+    * keys are nullable (SQL groups null keys into one group).
+    */
   override def readSchema(): StructType =
     if (aggPushed)
-      StructType(pushedAggs.map { a =>
-        a.kind match {
-          case "count*" | "count" => org.apache.spark.sql.types.StructField(
-            a.render.toLowerCase(java.util.Locale.ROOT),
-            org.apache.spark.sql.types.LongType, nullable = false)
-          case _ => org.apache.spark.sql.types.StructField(
-            a.render.toLowerCase(java.util.Locale.ROOT),
-            fullSchema.fields.find(_.name == a.field).get.dataType,
-            nullable = true)
-        }
-      })
+      StructType(pushedGroups.map(g => org.apache.spark.sql.types.StructField(
+        g, leafType(g), nullable = true)) ++
+        pushedAggs.map { a =>
+          a.kind match {
+            case "count*" | "count" => org.apache.spark.sql.types.StructField(
+              a.render.toLowerCase(java.util.Locale.ROOT),
+              org.apache.spark.sql.types.LongType, nullable = false)
+            case _ => org.apache.spark.sql.types.StructField(
+              a.render.toLowerCase(java.util.Locale.ROOT),
+              leafType(a.field), nullable = true)
+          }
+        })
     else required
 
   override def description(): String =
@@ -282,7 +319,10 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         s", PushedTopN: ORDER BY [${pushedSorts.mkString(", ")}] LIMIT $pushedTopN"
       else "") +
       (if (aggPushed)
-        s", PushedAggregation: [${pushedAggs.map(_.render).mkString(", ")}]"
+        s", PushedAggregation: [${pushedAggs.map(_.render).mkString(", ")}]" +
+          (if (pushedGroups.nonEmpty)
+            s", PushedGroupBy: [${pushedGroups.mkString(", ")}]"
+          else "")
       else "")
 
   /** Planner statistics from the file listing ([[SupportsReportStatistics]]):
@@ -318,7 +358,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // needs the filter-referenced fields parsed (none at all for the
     // unfiltered skim)
     val base = if (aggPushed) Array.empty[StructField] else required.fields
-    val aggPaths = pushedAggs.filter(_.field.nonEmpty).map(a => Seq(a.field)).toSeq
+    val aggPaths = (pushedGroups.toSeq ++
+      pushedAggs.filter(_.field.nonEmpty).map(_.field))
+      .map(_.split("\\.", -1).toSeq)
     val paths = allFilters.flatMap(_.references).distinct.toSeq
       .filterNot(_.contains("`"))
       .map(_.split("\\.", -1).toSeq)
@@ -396,7 +438,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val conf = new SerializableWritable(
       SparkSession.active.sparkContext.hadoopConfiguration)
     ExtJsonReaderFactory(conf, parseSchema.json, required.json, allFilters,
-      pushedLimit, pushedAggs, pushedSorts, pushedTopN)
+      pushedLimit, pushedAggs, pushedSorts, pushedTopN, pushedGroups,
+      maxPushedGroups)
   }
 }
 
@@ -415,13 +458,15 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
 final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     parseSchemaJson: String, requiredSchemaJson: String, pushed: Array[Filter],
     limit: Int = -1, aggs: Array[PushedAgg] = Array.empty,
-    sorts: Array[PushedSort] = Array.empty, topN: Int = -1)
+    sorts: Array[PushedSort] = Array.empty, topN: Int = -1,
+    groups: Array[String] = Array.empty, maxGroups: Int = 16384)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExtJsonInputPartition]
-    if (aggs.nonEmpty)
+    if (aggs.nonEmpty || groups.nonEmpty)
       new ExtJsonAggReader(p, conf.value,
-        DataTypeJson.structFromJson(parseSchemaJson), pushed, aggs)
+        DataTypeJson.structFromJson(parseSchemaJson), pushed, aggs, groups,
+        maxGroups)
     else new ExtJsonPartitionReader(p, conf.value,
       DataTypeJson.structFromJson(parseSchemaJson),
       DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
@@ -710,30 +755,34 @@ private[v2] object RowProject {
     }
 
   /** Comparator of OUTPUT rows under the pushed sort keys — the per-split
-    * heap order for partial top-N. Keys must be top-level required
-    * fields ([[ExtJsonScanBuilder.pushTopN]] only accepts those; the
-    * outer partial Sort keeps them in the required schema).
+    * heap order for partial top-N. Keys are (possibly dotted) required
+    * fields: a sort key is always referenced by the Sort node itself, so
+    * column pruning keeps its full path in the required schema; dotted
+    * keys resolve through the same compiled-getter machinery as pushed
+    * filters (null anywhere along the path sorts as a null leaf, matching
+    * `GetStructField`-based ordering above).
     */
   def sortOrdering(required: StructType,
       sorts: Array[PushedSort]): Ordering[InternalRow] = {
     val keys = sorts.map { s =>
-      val i = required.fieldNames.indexOf(s.field)
-      require(i >= 0, s"pushed sort field ${s.field} missing from ${required.catalogString}")
-      (i, required.fields(i).dataType, s)
+      val p = FilterEval.resolve(s.field, required).getOrElse(throw
+        new IllegalStateException(
+          s"pushed sort field ${s.field} missing from ${required.catalogString}"))
+      (FilterEval.compiledGetter(s.field, required), p.leaf.dataType, s)
     }
     new Ordering[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int = {
         var k = 0
         while (k < keys.length) {
-          val (i, dt, s) = keys(k)
-          val an = a.isNullAt(i)
-          val bn = b.isNullAt(i)
+          val (g, dt, s) = keys(k)
+          val av = g(a)
+          val bv = g(b)
           val c =
-            if (an && bn) 0
-            else if (an) { if (s.nullsFirst) -1 else 1 }
-            else if (bn) { if (s.nullsFirst) 1 else -1 }
+            if (av == null && bv == null) 0
+            else if (av == null) { if (s.nullsFirst) -1 else 1 }
+            else if (bv == null) { if (s.nullsFirst) 1 else -1 }
             else {
-              val raw = FilterEval.compareInternal(dt, a.get(i, dt), b.get(i, dt))
+              val raw = FilterEval.compareInternal(dt, av, bv)
               if (s.descending) -raw else raw
             }
           if (c != 0) return c
@@ -745,31 +794,45 @@ private[v2] object RowProject {
   }
 }
 
-/** The aggregate-pushdown reader: emits exactly ONE row — this split's
-  * local COUNT(*)/COUNT(col)/MIN(col)/MAX(col) values in pushed order
-  * (Spark's final aggregation merges the per-split partials). With only
-  * COUNT(*) aggregates and no filters the lines are never parsed (a
-  * newline skim over the byte range, the fast path a global count
+/** The aggregate-pushdown reader: emits this split's local
+  * COUNT(*)/COUNT(col)/MIN(col)/MAX(col) partials in pushed order —
+  * ONE row when ungrouped, one row PER OBSERVED GROUP KEY (group values
+  * first, then aggregates) when a `GROUP BY` is pushed; Spark's final
+  * aggregation merges the per-split partials either way. Aggregate and
+  * group columns may be nested (dotted paths — compiled leaf getters,
+  * null-propagating like `GetStructField`). With only COUNT(*)
+  * aggregates, no filters, and no grouping the lines are never parsed
+  * (a newline skim over the byte range, the fast path a global count
   * deserves); otherwise each line parses against the minimal field
   * schema. Same split line-ownership contract as
   * [[ExtJsonPartitionReader]]; blank lines are skipped exactly as the
   * row reader skips them, so every count matches the unpushed plan
   * bit-for-bit. An empty split reports MIN/MAX as null — ignored by the
   * final merge, matching SQL aggregate semantics.
+  *
+  * Grouped memory is BOUNDED: the per-split hash map holds at most
+  * `maxGroups` keys; observing a new key past that flushes the map as
+  * partial rows and starts a fresh one. Duplicate partial rows per key
+  * are exactly what the final merge already handles (they're
+  * indistinguishable from two splits of the same file), so the cap
+  * trades output rows for memory, never correctness — a split over a
+  * high-cardinality key degrades toward the unpushed row count instead
+  * of OOMing the executor.
   */
 final class ExtJsonAggReader(split: ExtJsonInputPartition,
     conf: Configuration, parseSchema: StructType, pushed: Array[Filter],
-    aggs: Array[PushedAgg])
+    aggs: Array[PushedAgg], groups: Array[String] = Array.empty,
+    maxGroups: Int = 16384)
     extends PartitionReader[InternalRow] {
 
   private val needsParse =
-    pushed.nonEmpty || aggs.exists(_.kind != "count*")
+    pushed.nonEmpty || groups.nonEmpty || aggs.exists(_.kind != "count*")
   private val keepRow: InternalRow => Boolean =
     if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
   private val parser =
     if (needsParse) new ExtJsonParser(parseSchema) else null
-  // per-agg plan compiled once: kind tag + field index + type — the
-  // per-row loop does integer dispatch, never a String match
+  // per-agg plan compiled once: kind tag + leaf getter + leaf type — the
+  // per-row loop does integer dispatch, never a String match or name walk
   private val KindCountStar = 0
   private val KindCount = 1
   private val KindMin = 2
@@ -780,16 +843,32 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
     case "min" => KindMin
     case "max" => KindMax
   })
-  private val fieldIdx: Array[Int] = aggs.map(a =>
-    if (a.field.isEmpty) -1 else parseSchema.fieldIndex(a.field))
-  private val fieldType = aggs.map(a =>
-    if (a.field.isEmpty) null else parseSchema(a.field).dataType)
-  private val counts = new Array[Long](aggs.length)
-  private val extremes = new Array[Any](aggs.length)
+  private val aggGetter: Array[InternalRow => Any] = aggs.map(a =>
+    if (a.field.isEmpty) null else FilterEval.compiledGetter(a.field, parseSchema))
+  private val aggType = aggs.map(a =>
+    if (a.field.isEmpty) null
+    else FilterEval.resolve(a.field, parseSchema).get.leaf.dataType)
+  private val groupGetter: Array[InternalRow => Any] =
+    groups.map(FilterEval.compiledGetter(_, parseSchema))
+
+  /** One partial-aggregate state: counts and current extremes. */
+  private final class Accum {
+    val counts = new Array[Long](aggs.length)
+    val extremes = new Array[Any](aggs.length)
+  }
+
+  private val single: Accum = if (groups.isEmpty) new Accum else null
+  // grouped state: internal values (UTF8String/boxed primitives/Decimal)
+  // have value equality, so a List key hashes and compares correctly
+  private val groupMap: java.util.LinkedHashMap[List[Any], Accum] =
+    if (groups.isEmpty) null else new java.util.LinkedHashMap
+  private val outQueue = new java.util.ArrayDeque[InternalRow]()
+  private var current: InternalRow = _
+
   private val end = SplitIO.endBound(split)
   private val text = new Text()
   private var pos = split.start
-  private var done = false
+  private var exhausted = false
   private var parsedDocs = 0L
   private var filteredDocs = 0L
   private var skimmedLines = 0L
@@ -803,54 +882,106 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
   private val lines = new LineReader(stream)
   if (split.start != 0) pos += lines.readLine(text)
 
-  private def accumulate(row: InternalRow): Unit = {
+  private def accumulate(acc: Accum, row: InternalRow): Unit = {
     var i = 0
     while (i < aggs.length) {
       val tag = kindTag(i)
-      if (tag == KindCountStar) counts(i) += 1
-      else if (!row.isNullAt(fieldIdx(i))) {
-        if (tag == KindCount) counts(i) += 1
-        else {
-          val v = row.get(fieldIdx(i), fieldType(i))
-          val cur = extremes(i)
-          val takeIt = cur == null || {
-            val c = FilterEval.compareInternal(fieldType(i), v, cur)
-            if (tag == KindMin) c < 0 else c > 0
+      if (tag == KindCountStar) acc.counts(i) += 1
+      else {
+        val v = aggGetter(i)(row)
+        if (v != null) {
+          if (tag == KindCount) acc.counts(i) += 1
+          else {
+            val cur = acc.extremes(i)
+            val takeIt = cur == null || {
+              val c = FilterEval.compareInternal(aggType(i), v, cur)
+              if (tag == KindMin) c < 0 else c > 0
+            }
+            if (takeIt) acc.extremes(i) = v
           }
-          if (takeIt) extremes(i) = v
         }
       }
       i += 1
     }
   }
 
-  override def next(): Boolean = {
-    if (done) return false
+  private def partialRow(key: List[Any], acc: Accum): InternalRow = {
+    val out = new Array[Any](groups.length + aggs.length)
+    var i = 0
+    key.foreach { v => out(i) = v; i += 1 }
+    var j = 0
+    while (j < aggs.length) {
+      out(groups.length + j) =
+        if (kindTag(j) <= KindCount) acc.counts(j): Any else acc.extremes(j)
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Drain the group map into the output queue (cap flush or EOF). */
+  private def flushGroups(): Unit = {
+    val it = groupMap.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      outQueue.add(partialRow(e.getKey, e.getValue))
+    }
+    groupMap.clear()
+  }
+
+  private def groupKey(row: InternalRow): List[Any] = {
+    var out: List[Any] = Nil
+    var i = groupGetter.length - 1
+    while (i >= 0) { out = groupGetter(i)(row) :: out; i -= 1 }
+    out
+  }
+
+  /** Consume lines until EOF or a cap flush fills the queue. */
+  private def readSome(): Unit = {
     while (pos <= end) {
       val n = lines.readLine(text)
-      if (n == 0) { done = true; return true }
+      if (n == 0) { exhausted = true; onEof(); return }
       pos += n
       if (text.getLength > 0) {
         if (!needsParse) {
           skimmedLines += 1
           var i = 0
-          while (i < counts.length) { counts(i) += 1; i += 1 }
+          while (i < single.counts.length) { single.counts(i) += 1; i += 1 }
         } else {
           val row = parser.parse(text.getBytes, 0, text.getLength)
           parsedDocs += 1
-          if (keepRow == null || keepRow(row)) accumulate(row)
-          else filteredDocs += 1
+          if (keepRow == null || keepRow(row)) {
+            if (groups.isEmpty) accumulate(single, row)
+            else {
+              val key = groupKey(row)
+              var acc = groupMap.get(key)
+              if (acc == null) {
+                val flushed = groupMap.size() >= maxGroups
+                if (flushed) flushGroups()
+                acc = new Accum
+                groupMap.put(key, acc)
+                accumulate(acc, row)
+                if (flushed) return // queue is non-empty — let it drain
+              } else accumulate(acc, row)
+            }
+          } else filteredDocs += 1
         }
       }
     }
-    done = true
-    true
+    exhausted = true
+    onEof()
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(aggs.indices.map { i =>
-      if (kindTag(i) <= KindCount) counts(i): Any else extremes(i)
-    }.toArray)
+  private def onEof(): Unit =
+    if (groups.isEmpty) outQueue.add(partialRow(Nil, single))
+    else flushGroups()
+
+  override def next(): Boolean = {
+    while (outQueue.isEmpty && !exhausted) readSome()
+    if (outQueue.isEmpty) false
+    else { current = outQueue.poll(); true }
+  }
+
+  override def get(): InternalRow = current
 
   override def close(): Unit = { lines.close(); stream.close() }
 }

@@ -268,6 +268,13 @@ object FilterEval {
     None // unreachable: the loop returns at the leaf
   }
 
+  /** Public-to-the-readers form of [[getter]]: the aggregate reader and
+    * the top-N heap ordering compile their (possibly dotted) pushed
+    * column references through the same machinery as the filters.
+    */
+  private[v2] def compiledGetter(attr: String,
+      schema: StructType): InternalRow => Any = getter(attr, schema)
+
   /** Compiled leaf accessor: navigates nested structs by index, null as
     * soon as any level is null (Catalyst `GetStructField` semantics). The
     * per-row path does zero allocation and zero name lookup.

@@ -548,6 +548,75 @@ object Similarity {
       .select(col(idCol))
   }
 
+  /** An [[IvfIndex]] whose centroids are DESIGNATED corpus vectors (the
+    * rows with the given ids, in ascending id order → cell 0..n-1) rather
+    * than Lloyd-trained means. Two uses: a zero-training-cost coarse
+    * quantizer for quick profiling, and — because the centroid table is
+    * then a pure function of named corpus rows — an index an EXTERNAL
+    * engine can reproduce exactly (the recall-profile oracle re-derives
+    * the same cells in SQL; a Lloyd-trained table is not portable).
+    */
+  def indexFromVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): IvfIndex = {
+    require(ids.nonEmpty, "indexFromVectors needs at least one id")
+    val rows = corpus
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .collect()
+    require(rows.length == ids.distinct.length,
+      s"centroid ids resolved ${rows.length} of ${ids.distinct.length} rows")
+    IvfIndex(rows.map(_.getSeq[Float](1).toSeq).toSeq)
+  }
+
+  /** The recall@k operating curve of the float IVF search against the
+    * exact answer on the SAME (non-planted) corpus — the tuning table a
+    * deployment reads before committing an index config: one row per
+    * probed-cell count, `total_hits` = Σ over queries of
+    * |IVF top-k ∩ exact top-k|, `recall_millionths` the floor-divided
+    * integer recall. Per-query hit counts are provably monotone
+    * nondecreasing in nProbe (probing more cells grows the candidate
+    * SUPERSET, and only true-top-k members can outrank a true-top-k
+    * member under the shared (cos desc, id asc) order), so the curve
+    * rises to exactly 1.0 at nProbe = numCentroids.
+    *
+    * Scale shape: the corpus is assigned ONCE (cached inverted file — at
+    * deployment scale the [[saveAssignedCorpus]] artifact) and each probe
+    * level reuses it; the exact side is one bounded
+    * queries×corpus scoring pass shared by every level. Everything after
+    * is integer counting.
+    */
+  def recallProfile(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(np =>
+      np >= 1 && np <= index.numCentroids), "1 <= nProbe <= numCentroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // both frames feed every probe level: pin them (ContextCleaner-owned)
+    val q = graft.core.CacheOnce.persistOnce(queries)
+    val assigned = graft.core.CacheOnce.persistOnce(
+      assignCells(corpus, idCol, vecCol, index))
+    val exact = graft.core.CacheOnce.persistOnce(
+      bruteForceTopK(q, corpus, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id")))
+    val nq = q.select(col(idCol)).distinct().count()
+    val ann = nProbes.map(np =>
+      ivfTopKWithAssigned(index, q, assigned, idCol, vecCol, k, np)
+        .select(lit(np).as("n_probe"), col("query_id"), col("neighbor_id")))
+      .reduce(_ union _)
+    val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("__hits"))
+    // a probe level with ZERO hits must still report its row
+    nProbes.toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .select(col("n_probe"), lit(nq.toInt).as("n_queries"),
+        lit(k).as("k"),
+        coalesce(col("__hits"), lit(0L)).as("total_hits"))
+      .withColumn("recall_millionths",
+        expr(s"total_hits * 1000000 div ${k.toLong * nq}"))
+  }
+
   /** Embedding near-dup pairs: all (i < j) with cosine >= `minCos`, via the
     * same sign-bucket blocking (near-identical vectors agree on every sign
     * bit with probability ≈ 1 - numPlanes·angle/π). Exact-verified, so no

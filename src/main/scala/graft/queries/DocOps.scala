@@ -171,7 +171,51 @@ object DocOps {
         date_format(col("__first"), "yyyy-MM-dd").as("first_date"),
         col("n_prio"), col("n_all"))
 
+  /** `$group: {_id: "$o_orderstatus", …}` through the document source:
+    * the GROUPED aggregate pushes to the scan — each split ships one
+    * partial row per observed status (three here; bounded by the
+    * `maxPushedGroups` flush cap in general), Spark's final aggregation
+    * merges them (sum of counts, min of mins). The idiomatic MQL
+    * group-by-field shape the reference's aggregation pipeline runs
+    * server-side.
+    */
+  private def q131GroupAgg(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(col("o_orderpriority")).as("n_prio"))
+
+  /** `$sort + $limit` on a NESTED key through the document source: the
+    * dotted `profile.acctbal` sort pushes as partial top-N (each split's
+    * heap orders by the compiled nested getter), Spark's TakeOrdered
+    * assembles the exact global answer above it.
+    */
+  private def q132NestedTopN(s: SparkSession, d: String): DataFrame =
+    readCustomers(s, d)
+      .orderBy(col("profile.acctbal").desc, col("c_custkey").asc)
+      .limit(10)
+      .select(col("c_custkey"),
+        col("profile.acctbal").as("acctbal"),
+        col("profile.mktsegment").as("mktsegment"))
+
+  /** Grouped aggregate on NESTED paths through the document source: both
+    * the group key (`profile.mktsegment`) and the extremes
+    * (`profile.acctbal`) live a struct level down — pushed as dotted
+    * paths, resolved by the same machinery as nested `$match`.
+    */
+  private def q133NestedGroupAgg(s: SparkSession, d: String): DataFrame =
+    readCustomers(s, d)
+      .groupBy(col("profile.mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("profile.acctbal")).as("min_bal"),
+        max(col("profile.acctbal")).as("max_bal"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_docsource_group_agg" -> q131GroupAgg,
+    "q132_docsource_nested_topn" -> q132NestedTopN,
+    "q133_docsource_nested_group_agg" -> q133NestedGroupAgg,
     "q129_docsource_agg" -> q129AggPush,
     "q109_docsource_project" -> q109Project,
     "q110_docsource_filter" -> q110Filter,
@@ -180,6 +224,17 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q131_docsource_group_agg" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+        "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
+        "COUNT(o_orderpriority) AS n_prio FROM orders GROUP BY o_orderstatus"),
+    "q132_docsource_nested_topn" ->
+      ("SELECT c_custkey, c_acctbal AS acctbal, c_mktsegment AS mktsegment " +
+        "FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10"),
+    "q133_docsource_nested_group_agg" ->
+      ("SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_cust, " +
+        "MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal " +
+        "FROM customer GROUP BY c_mktsegment"),
     "q109_docsource_project" ->
       ("SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS _id, o_orderkey, " +
         "o_totalprice FROM orders"),

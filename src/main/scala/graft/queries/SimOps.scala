@@ -72,6 +72,32 @@ object SimOps {
       topK, numPlanes = 4)
   }
 
+  /** The eight designated corpus vectors that ARE q134's coarse centroids
+    * (cell = rank of the id): a [[Similarity.indexFromVectors]] index is a
+    * pure function of named corpus rows, which is exactly what lets the
+    * DuckDB oracle re-derive the same cells, probes, and candidate sets
+    * in SQL — a Lloyd-trained centroid table is not portable, so the
+    * learned-index recall curves live in SimilaritySpec instead.
+    */
+  private val q134CentroidIds = Seq(23L, 37L, 51L, 65L, 79L, 93L, 107L, 121L)
+  private val q134Probes = Seq(1, 2, 4, 8)
+
+  /** The ANN recall-profile table (the operating-point tool): recall@k of
+    * the IVF search vs the exact top-k on the STANDARD non-planted
+    * embeddings, one row per nProbe — integer hits and floor-divided
+    * millionths, so the whole curve is oracle-exact. Monotone
+    * nondecreasing in nProbe by the candidate-superset argument
+    * ([[Similarity.recallProfile]]), reaching exactly 1.0 at
+    * nProbe = numCentroids (all cells probed ⇒ ANN ≡ exact).
+    */
+  private def q134RecallProfile(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = Similarity.indexFromVectors(emb, "vec_id", "embedding",
+      q134CentroidIds)
+    Similarity.recallProfile(index, emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", topK, q134Probes)
+  }
+
   /** Exact word-3-gram Jaccard near-dup pairs via inverted shingle index —
     * never an all-pairs crossJoin.
     */
@@ -585,6 +611,7 @@ object SimOps {
     "q52_dedup_clusters" -> q52DedupClusters _,
     "q53_cluster_dedup" -> q53ClusterDedup _,
     "q23_ann_cosine" -> q23AnnCosine _,
+    "q134_ann_recall_profile" -> q134RecallProfile _,
     "q24_ann_lsh" -> q24AnnLsh _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh" -> q26MinhashLsh _,
@@ -790,6 +817,55 @@ object SimOps {
     "q112_bloom_decontaminate" -> containmentSql,
     "q24_ann_lsh" -> plantedTopKSql,
     "q32_ann_ivf" -> plantedTopKSql,
+    // the full IVF pipeline replayed in SQL: designated-vector centroids
+    // (a pure function of named corpus rows), argmax cells with the
+    // (score desc, cell desc) tie order of array_max-over-structs, probe
+    // ranks, per-level candidate sets, and the same (cos desc, id) top-k
+    // — recall is then integer counting both engines agree on exactly
+    "q134_ann_recall_profile" ->
+      ("WITH e AS MATERIALIZED (SELECT vec_id, " +
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "en AS MATERIALIZED (SELECT vec_id, v, " +
+        "  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "cents AS MATERIALIZED (SELECT " +
+        "  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv, " +
+        "  sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm " +
+        s"  FROM e WHERE vec_id IN (${q134CentroidIds.mkString(", ")})), " +
+        "scores AS MATERIALIZED (SELECT en.vec_id, c.cell, " +
+        "  list_sum(list_transform(range(1, len(en.v) + 1), k -> en.v[k] * c.cv[k])) / c.cnrm AS score " +
+        "  FROM en CROSS JOIN cents c), " +
+        "assign AS MATERIALIZED (SELECT vec_id, cell FROM (" +
+        "  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id " +
+        "    ORDER BY score DESC, cell DESC) AS rn FROM scores) WHERE rn = 1), " +
+        "probes AS MATERIALIZED (SELECT vec_id AS query_id, cell, " +
+        "  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS prnk " +
+        "  FROM scores WHERE vec_id < 20), " +
+        "exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM (" +
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "      list_sum(list_transform(range(1, len(q.v) + 1), k -> q.v[k] * c.v[k])) / (q.nrm * c.nrm) DESC, " +
+        "      c.vec_id) AS rnk " +
+        s"  FROM en q JOIN en c ON q.vec_id < 20 AND c.vec_id <> q.vec_id) WHERE rnk <= $topK), " +
+        "cand AS MATERIALIZED (SELECT np.n_probe, p.query_id, a.vec_id AS neighbor_id, " +
+        "  list_sum(list_transform(range(1, len(q.v) + 1), k -> q.v[k] * c.v[k])) / (q.nrm * c.nrm) AS cos " +
+        s"  FROM (VALUES ${q134Probes.map(p => s"($p)").mkString(", ")}) np(n_probe) " +
+        "  JOIN probes p ON p.prnk <= np.n_probe " +
+        "  JOIN assign a ON a.cell = p.cell " +
+        "  JOIN en q ON q.vec_id = p.query_id " +
+        "  JOIN en c ON c.vec_id = a.vec_id " +
+        "  WHERE a.vec_id <> p.query_id), " +
+        "ann AS MATERIALIZED (SELECT n_probe, query_id, neighbor_id FROM (" +
+        "  SELECT n_probe, query_id, neighbor_id, row_number() OVER (" +
+        "    PARTITION BY n_probe, query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        s"  FROM cand) WHERE rnk <= $topK), " +
+        "hits AS (SELECT ann.n_probe, COUNT(*) AS h FROM ann " +
+        "  JOIN exact ON ann.query_id = exact.query_id " +
+        "    AND ann.neighbor_id = exact.neighbor_id GROUP BY ann.n_probe) " +
+        s"SELECT np.n_probe, 20 AS n_queries, $topK AS k, " +
+        "  COALESCE(h.h, 0) AS total_hits, " +
+        s"  COALESCE(h.h, 0) * 1000000 // ${topK * 20} AS recall_millionths " +
+        s"FROM (VALUES ${q134Probes.map(p => s"($p)").mkString(", ")}) np(n_probe) " +
+        "LEFT JOIN hits h ON h.n_probe = np.n_probe"),
     "q23_ann_cosine" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
         "           FROM embeddings), " +

@@ -39,12 +39,44 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(1) == run(8))
   }
 
-  test("throws when maxIter is below the graph diameter") {
-    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("s", "t")
+  test("throws when even star contraction is budgeted below convergence") {
+    // 200-node path: one large/small alternation cannot collapse it
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("s", "t")
     val e = intercept[IllegalArgumentException] {
-      Components.connectedComponents(chain, "s", "t", maxIter = 3).collect()
+      Components.connectedComponents(chain, "s", "t", maxIter = 1,
+        switchAfter = 1).collect()
     }
     assert(e.getMessage.contains("converge"))
+  }
+
+  test("adversarial long path auto-switches to star contraction and converges") {
+    // 400-node path (diameter 399): min-label alone would need 399 rounds
+    // and the old propagation-only loop threw at the default budget; the
+    // auto-switch hands it to the O(log n) algorithm inside 20 rounds
+    val chain = (1L until 400L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size == 400 && got.values.forall(_ == 1L))
+  }
+
+  test("star contraction converges in O(log n) alternations on a long path") {
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("s", "t")
+    val (labels, rounds) = Components.starComponents(chain, "s", "t")
+    assert(rounds <= 12, s"300-path took $rounds alternations")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 300 && got.values.forall(_ == 1L))
+  }
+
+  test("star contraction agrees with min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(30)
+      val m = 1 + rnd.nextInt(45)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val viaStar = Components
+        .starComponents(edges.toDF("s", "t"), "s", "t")._1
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == cc(edges), s"trial $trial: $edges")
+    }
   }
 
   test("components match a union-find reference on random graphs") {

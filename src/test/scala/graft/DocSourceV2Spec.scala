@@ -179,9 +179,12 @@ class DocSourceV2Spec extends AnyFunSuite {
     val filtered = src.filter(col("k") > 30).agg(count(lit(1)))
     assert(aggScan(filtered).aggPushed)
     assert(filtered.collect().head.getLong(0) == 10L)
-    // grouped / non-count aggs refuse the pushdown and stay correct
+    // grouped counts now PUSH (one partial row per observed key per
+    // split); unsupported agg functions still refuse and stay correct
     val grouped = src.groupBy(col("s")).agg(count(lit(1)))
-    assert(!aggScan(grouped).aggPushed)
+    val gScan = aggScan(grouped)
+    assert(gScan.aggPushed && gScan.pushedGroups.toSeq == Seq("s"),
+      gScan.description())
     assert(grouped.count() == 40L)
     val summed = src.agg(sum(col("k")))
     assert(!aggScan(summed).aggPushed)
@@ -201,6 +204,46 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(aggScan(fm).aggPushed)
     assert(fm.collect().head.toSeq == Seq(11L, 40L))
     assert(summed.collect().head.getLong(0) == (1 to 40).sum.toLong)
+  }
+
+  test("grouped aggregate pushdown: null keys, flush cap, builtin parity") {
+    // 60 docs over 7 group keys incl. an ABSENT field (null group) and a
+    // null mid-path struct; g cardinality exceeds the tiny cap below
+    val docs = (1 to 60).map { i =>
+      val g = i % 7
+      if (g == 0) s"""{"k": $i, "p": {"v": ${i * 2}}}""" // s absent → null key
+      else if (g == 1) s"""{"k": $i, "s": "g$g"}""" // p absent → null min/max
+      else s"""{"k": $i, "s": "g$g", "p": {"v": ${i * 2}}}"""
+    }
+    val dir = writeLines("grp.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("p", StructType(Seq(StructField("v", LongType))))))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("s")).agg(count(lit(1)).as("n"),
+        min(col("p.v")).as("mn"), max(col("p.v")).as("mx"),
+        count(col("p.v")).as("nv"))
+    val expected = agg(spark.read.schema(schema).json(s"$dir/grp.jsonl"))
+      .collect().map(_.toSeq).toSet
+    // normal cap: one partial row per key per split
+    val pushed = agg(ExtendedJson.read(spark, schema, s"$dir/grp.jsonl"))
+    assert(expected == pushed.collect().map(_.toSeq).toSet)
+    // cap of 2: the reader flushes repeatedly — duplicate partials per
+    // key merge upstream to the SAME answer (memory-bounded degradation,
+    // never wrong results)
+    val capped = agg(spark.read.format("graft-extjson").schema(schema)
+      .option("maxPushedGroups", "2").load(s"$dir/grp.jsonl"))
+    val cappedScan = capped.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .head.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    assert(cappedScan.aggPushed, cappedScan.description())
+    assert(expected == capped.collect().map(_.toSeq).toSet)
+    // pushed DISTINCT: grouped with no aggregate functions
+    val distinct = ExtendedJson.read(spark, schema, s"$dir/grp.jsonl")
+      .select("s").distinct()
+    assert(distinct.collect().map(_.toSeq).toSet ==
+      ((1 to 6).map(g => Seq(s"g$g")) :+ Seq(null)).toSet)
   }
 
   test("compiled filter closures are value-identical to per-row keep") {

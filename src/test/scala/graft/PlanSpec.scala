@@ -505,6 +505,52 @@ class PlanSpec extends AnyFunSuite {
       Seq("o_totalprice", "o_orderkey"), scans.head.description())
   }
 
+  test("q131 grouped aggregate pushes onto the document scan with its group key") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q131_docsource_group_agg").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    assert(s.aggPushed, s.description())
+    // each split ships one partial row per observed status — the
+    // $group: {_id: "$o_orderstatus"} shape, never the parsed corpus
+    assert(s.pushedGroups.toSeq == Seq("o_orderstatus"), s.description())
+    val d = s.description()
+    assert(d.contains("PushedGroupBy: [o_orderstatus]"), d)
+    assert(d.contains("COUNT(*)") && d.contains("MIN(o_totalprice)") &&
+      d.contains("MAX(o_totalprice)") && d.contains("COUNT(o_orderpriority)"), d)
+    // the scan's output is group key + partials: 1 + 4 columns
+    assert(s.readSchema().length == 5, s.readSchema().catalogString)
+  }
+
+  test("q132 nested ORDER BY + LIMIT pushes dotted top-N onto the document scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q132_docsource_nested_topn").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    // each split ships its 10 best rows ordered by the DOTTED key — the
+    // nested-sort heap runs on the compiled struct-walking getter
+    assert(scans.head.pushedTopN == 10, scans.head.description())
+    assert(scans.head.pushedSorts.map(_.field).toSeq ==
+      Seq("profile.acctbal", "c_custkey"), scans.head.description())
+  }
+
+  test("q133 grouped aggregate pushes NESTED group key and extremes") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q133_docsource_nested_group_agg").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val d = scans.head.description()
+    assert(d.contains("PushedGroupBy: [profile.mktsegment]"), d)
+    assert(d.contains("MIN(profile.acctbal)") && d.contains("MAX(profile.acctbal)"), d)
+  }
+
   test("q108 budget mix: prefix-sum form, never a per-source window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the running total must be the two-pass range-shuffle prefix sum
