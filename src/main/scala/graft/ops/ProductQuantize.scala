@@ -259,6 +259,50 @@ object ProductQuantize {
     adcRankTail(q, encoded, idCol, cb, topK)
   }
 
+  /** Two-stage IVF-PQ search with EXACT re-ranking — FAISS's refine stage
+    * (`IndexRefineFlat`): ADC ranks a `shortlist`-deep candidate list per
+    * query over the 16×-compressed codes (cheap m-lookup scoring, the
+    * corpus-scale pass), then ONLY the shortlist rows join back to the
+    * float corpus for exact cosine re-ranking to `topK`. This is the
+    * standard fix for ADC rank error: the recall profile shows 4-bit PQ
+    * keeping <50% of exact neighbors on uniform embeddings, while a
+    * 4·k shortlist re-ranked exactly recovers most of the gap for
+    * `shortlist/corpus` of the full-precision read cost. Refined hits
+    * PROVABLY contain the plain ADC hits: the ADC top-k is a subset of
+    * the shortlist, and a true top-k member in the shortlist can only be
+    * outranked under exact (cos desc, id) order by other true top-k
+    * members.
+    *
+    * Scale shape: the corpus-wide work stays code-space (nothing new);
+    * the refine join touches |queries|·shortlist float rows — the small
+    * side broadcasts against the corpus scan, which at deployment scale
+    * is a point-lookup pattern into the cell-partitioned float corpus.
+    * Same rank-only output contract as [[ivfPqTopK]] (exact copies score
+    * cos ≈ 1 with every non-copy ≪ 1, so the planted-copy oracle holds
+    * unchanged through the re-rank).
+    */
+  def ivfPqRefineTopK(index: Similarity.IvfIndex, cb: PqCodebooks,
+      queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int, shortlist: Int,
+      nProbe: Int = 2): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must be >= topK=$topK")
+    val short = ivfPqTopK(index, cb, queries, encoded, idCol, vecCol,
+      shortlist, nProbe).select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Similarity.l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Similarity.l2Norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .drop("cos")
+  }
+
   /** Persist codebooks as engine-neutral parquet rows (s, j, c) — the
     * build-once/query-many artifact lifecycle the IVF index has.
     */

@@ -461,6 +461,26 @@ object SimOps {
       "vec_id", "embedding", topK, nProbe = 2)
   }
 
+  /** q126's search with the EXACT re-ranking stage (FAISS refine): ADC
+    * ranks a 4·topK shortlist over the compressed codes, then only those
+    * rows join back to the float corpus for exact cosine re-ranking —
+    * the standard recovery of ADC rank error at a bounded full-precision
+    * read cost. Planted copies share the query's code (ADC minimum → in
+    * the shortlist) and re-rank to cos ≈ 1 with every non-copy ≪ 1, so
+    * the q126 planted oracle holds unchanged through the second stage.
+    */
+  private def q135IvfPqRefine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64)
+    val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
+      index, cb)
+    ProductQuantize.ivfPqRefineTopK(index, cb, queries, encoded, corpus,
+      "vec_id", "embedding", topK, shortlist = 4 * topK, nProbe = 2)
+  }
+
   /** q117's probed SQ8 search ranked by the EXACT bounded-heap aggregate
     * (`graft_topk_rows`) instead of the per-query window — the
     * billion-query shape (map-side partials prune candidates to k-entry
@@ -599,6 +619,7 @@ object SimOps {
     "q116_quantized_ann" -> q116QuantizedAnn _,
     "q117_ivf_sq8" -> q117IvfSq8 _,
     "q126_ivf_pq" -> q126IvfPq _,
+    "q135_ivf_pq_refine" -> q135IvfPqRefine _,
     "q127_ivf_sq8_agg" -> q127IvfSq8Agg _,
     "q128_ivf_pq_res" -> q128IvfPqRes _,
     "q111_sim_join" -> q111SimJoin _,
@@ -777,6 +798,8 @@ object SimOps {
     // argmax coarse cell), and the hash gate fails if the engine's
     // probed ADC ranking ever lets any other candidate displace them
     "q126_ivf_pq" -> pqPlantedOracleSql,
+    // the exact re-rank must not disturb the planted answer — same truth
+    "q135_ivf_pq_refine" -> pqPlantedOracleSql,
     // same contract in residual mode: the copies' residual codes attain
     // the per-subspace minimum against the query's own residual frame
     "q128_ivf_pq_res" -> pqPlantedOracleSql,

@@ -464,7 +464,21 @@ class ProjectQuantizeSpec extends AnyFunSuite {
         emb, "vec_id", "embedding", index, cb).persist()
       val pqCurve = probes.map(np => hits(ProductQuantize.ivfPqTopK(
         index, cb, queries, encoded, "vec_id", "embedding", k, np)))
-      info(s"sq8 curve: $sq8Curve, pq curve: $pqCurve")
+      // FAISS-style refine: exact re-rank of a 4·k ADC shortlist —
+      // refined hits provably CONTAIN the plain ADC hits (the ADC top-k
+      // is inside the shortlist, and under exact (cos desc, id) order
+      // only true top-k members outrank a true member)
+      val refineCurve = probes.map(np => hits(ProductQuantize.ivfPqRefineTopK(
+        index, cb, queries, encoded, emb, "vec_id", "embedding", k,
+        shortlist = 4 * k, nProbe = np)))
+      info(s"sq8 curve: $sq8Curve, pq curve: $pqCurve, refine curve: $refineCurve")
+      pqCurve.zip(refineCurve).foreach { case (p, r) =>
+        assert(r >= p, s"refine must dominate plain ADC: pq=$pqCurve refine=$refineCurve")
+      }
+      // the refine stage recovers most of the 4-bit rank error: at full
+      // probe it must clear the SQ8-grade floor the plain codes miss
+      assert(refineCurve.last >= (10 * k) / 2,
+        s"refined recall at full probe below 50%: $refineCurve")
 
       for ((name, curve, floor) <- Seq(
           // SQ8's int8 grid keeps ~80% of the exact neighbors here; 4-bit
