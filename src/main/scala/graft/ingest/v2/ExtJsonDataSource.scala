@@ -266,12 +266,39 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   /** Only the scan's OUTPUT columns are declared filterable: the pruning
     * rule resolves these names against the relation's output, so a
     * pruned-away field here is an AnalysisException in any query that
-    * joins this scan (count pushdown exposes no columns at all).
+    * joins this scan (count pushdown exposes no columns at all). NESTED
+    * leaves are exposed as dotted paths alongside their parent structs —
+    * a join keyed on `profile.custkey` then gets dynamic pruning too
+    * (Spark's runtime-filter translation goes through
+    * `PushableColumnAndNestedColumn`, and the resulting dotted v1 `In`
+    * evaluates through the same compiled struct-walking getters as
+    * statically pushed nested predicates). Segments containing dots or
+    * backticks stay unexposed — their dotted rendering would be
+    * ambiguous.
     */
   override def filterAttributes(): Array[NamedReference] =
     if (aggPushed) Array.empty
-    else readSchema().fields.map(f =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    else {
+      def paths(prefix: Seq[String],
+          st: StructType): Seq[Seq[String]] =
+        st.fields.toSeq
+          .filter(f => !f.name.contains(".") && !f.name.contains("`"))
+          .flatMap { f =>
+            f.dataType match {
+              case s: StructType =>
+                (prefix :+ f.name) +: paths(prefix :+ f.name, s)
+              case _ => Seq(prefix :+ f.name)
+            }
+          }
+      // Expressions.column PARSES its argument as a multipart SQL
+      // identifier — a raw `$oid` segment is a parse error — so every
+      // segment is backtick-quoted (backtick-carrying names are already
+      // filtered out above)
+      paths(Nil, readSchema())
+        .map(p => org.apache.spark.sql.connector.expressions.Expressions
+          .column(p.map(s => s"`$s`").mkString(".")))
+        .toArray
+    }
 
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(FilterEval.supported(_, fullSchema))

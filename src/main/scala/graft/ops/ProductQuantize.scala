@@ -303,6 +303,24 @@ object ProductQuantize {
       .drop("cos")
   }
 
+  /** Persist the PQ-encoded inverted file as parquet PARTITIONED BY CELL
+    * — the [[Similarity.saveAssignedCorpus]] twin for code space, and THE
+    * artifact a billion-scale deployment queries: 16×-smaller rows, and a
+    * probe of `nProbe` cells reads `nProbe` directories, not the corpus.
+    */
+  def saveEncoded(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read a [[saveEncoded]] inverted file. Partition discovery types the
+    * `cell` directory column — cast back to the int the searches join on.
+    */
+  def loadEncoded(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select((df.columns.filterNot(_ == "cell").map(col) :+
+      col("cell").cast("int").as("cell")).toIndexedSeq: _*)
+  }
+
   /** Persist codebooks as engine-neutral parquet rows (s, j, c) — the
     * build-once/query-many artifact lifecycle the IVF index has.
     */

@@ -212,7 +212,16 @@ object DocOps {
         min(col("profile.acctbal")).as("min_bal"),
         max(col("profile.acctbal")).as("max_bal"))
 
+  /** Pushed DISTINCT through the document source: a grouped aggregation
+    * with NO aggregate functions — each split ships only its observed
+    * keys (three status values here), never the parsed corpus. The
+    * `$group: {_id: "$field"}` shape with an empty accumulator map.
+    */
+  private def q136Distinct(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d).select(col("o_orderstatus")).distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_docsource_distinct" -> q136Distinct,
     "q131_docsource_group_agg" -> q131GroupAgg,
     "q132_docsource_nested_topn" -> q132NestedTopN,
     "q133_docsource_nested_group_agg" -> q133NestedGroupAgg,
@@ -224,6 +233,8 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q136_docsource_distinct" ->
+      "SELECT DISTINCT o_orderstatus FROM orders",
     "q131_docsource_group_agg" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_orders, " +
         "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +

@@ -481,6 +481,35 @@ object SimOps {
       "vec_id", "embedding", topK, shortlist = 4 * topK, nProbe = 2)
   }
 
+  /** q126's search through the FULL saved-artifact lifecycle: coarse
+    * index ([[Similarity.saveIvfIndex]]), PQ codebooks
+    * ([[ProductQuantize.saveCodebooks]]), and the ENCODED inverted file
+    * ([[ProductQuantize.saveEncoded]] — parquet partitioned by cell, the
+    * 16×-smaller artifact a deployment actually queries) are all written
+    * once and read back before searching. Graded against q126's own
+    * oracle: the persistence round-trip must change nothing about the
+    * answer (float and int32 columns round-trip parquet bit-exactly).
+    */
+  private def q137IvfPqSaved(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val root = graft.core.Scratch.ephemeralDir(s"graft_pq_life_$tag")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    Similarity.saveIvfIndex(index, s, s"$root/ivf")
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64)
+    ProductQuantize.saveCodebooks(s, cb, s"$root/books")
+    val loadedIndex = Similarity.loadIvfIndex(s, s"$root/ivf")
+    val loadedCb = ProductQuantize.loadCodebooks(s, s"$root/books")
+    ProductQuantize.saveEncoded(ProductQuantize.encode(
+      corpus, "vec_id", "embedding", loadedIndex, loadedCb), s"$root/codes")
+    ProductQuantize.ivfPqTopK(loadedIndex, loadedCb, queries,
+      ProductQuantize.loadEncoded(s, s"$root/codes"),
+      "vec_id", "embedding", topK, nProbe = 2)
+  }
+
   /** q117's probed SQ8 search ranked by the EXACT bounded-heap aggregate
     * (`graft_topk_rows`) instead of the per-query window — the
     * billion-query shape (map-side partials prune candidates to k-entry
@@ -620,6 +649,7 @@ object SimOps {
     "q117_ivf_sq8" -> q117IvfSq8 _,
     "q126_ivf_pq" -> q126IvfPq _,
     "q135_ivf_pq_refine" -> q135IvfPqRefine _,
+    "q137_ivf_pq_saved" -> q137IvfPqSaved _,
     "q127_ivf_sq8_agg" -> q127IvfSq8Agg _,
     "q128_ivf_pq_res" -> q128IvfPqRes _,
     "q111_sim_join" -> q111SimJoin _,
@@ -800,6 +830,8 @@ object SimOps {
     "q126_ivf_pq" -> pqPlantedOracleSql,
     // the exact re-rank must not disturb the planted answer — same truth
     "q135_ivf_pq_refine" -> pqPlantedOracleSql,
+    // the saved-artifact lifecycle must not disturb it either
+    "q137_ivf_pq_saved" -> pqPlantedOracleSql,
     // same contract in residual mode: the copies' residual codes attain
     // the per-subspace minimum against the query's own residual frame
     "q128_ivf_pq_res" -> pqPlantedOracleSql,

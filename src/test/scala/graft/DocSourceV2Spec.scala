@@ -585,6 +585,48 @@ class DocSourceV2Spec extends AnyFunSuite {
       scans.head.runtimeFilters.mkString(", "))
   }
 
+  test("runtime join filters prune on NESTED (dotted) join keys too") {
+    import spark.implicits._
+    val docs = (1 to 400).map(i => s"""{"p": {"k": ${i % 20}, "s": "x"}, "v": $i}""")
+    val dir = writeLines("rfn.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("p", StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType)))),
+      StructField("v", LongType)))
+    // file-backed dim with a selective filter (a filtered LocalRelation
+    // constant-folds away and the pruning rule sees nothing)
+    (1 to 20).map(i => (i.toLong, if (i == 4 || i == 9) "hot" else s"c$i"))
+      .toDF("dk", "tag").write.parquet(s"$dir/dimn.parquet")
+    val dim = spark.read.parquet(s"$dir/dimn.parquet").filter(col("tag") === "hot")
+    val fact = ExtendedJson.read(spark, schema, s"$dir/rfn.jsonl")
+    val joined = fact.join(dim, fact.col("p.k") === dim.col("dk"))
+    assert(joined.collect().length == 40)
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ExtJsonScan] =
+      (p match {
+        case b: BatchScanExec => Seq(b.scan.asInstanceOf[ExtJsonScan])
+        case _ => Nil
+      }) ++ p.children.flatMap(findScans) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScans(q.plan)
+        case _ => Nil
+      })
+    val ep = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+    val finalPlan = ep match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = findScans(finalPlan)
+    assert(scans.length == 1, finalPlan.toString.take(500))
+    // the dotted key arrives as a runtime In filter and evaluates through
+    // the nested getter machinery — fact documents outside the dim's two
+    // hot keys never leave the reader
+    assert(scans.head.runtimeFilters.map(_.toString)
+      .exists(f => f.contains("In(p.k") && f.contains("4") && f.contains("9")),
+      scans.head.runtimeFilters.mkString(", "))
+  }
+
   test("scan task metrics report parsed/filtered/skimmed counts") {
     val docs = (1 to 50).map(i => s"""{"k": $i}""")
     val dir = writeLines("mx.jsonl", docs)
