@@ -38,7 +38,8 @@ object Bench {
     "q35_ngram_jaccard_capped", "q32_ann_ivf", "q44_bucketed_join",
     "q52_dedup_clusters", "q53_cluster_dedup", "q75_semantic_dedup",
     "q90_leakage_split", "q117_ivf_sq8", "q119_incremental_neardup",
-    "q122_doc_ann_ivf", "q126_ivf_pq", "q127_ivf_sq8_agg", "q128_ivf_pq_res")
+    "q122_doc_ann_ivf", "q126_ivf_pq", "q127_ivf_sq8_agg", "q128_ivf_pq_res",
+    "q135_ivf_pq_refine", "q137_ivf_pq_saved")
 
   /** The machine-contention CONTROL set: cheap, code-stable queries
     * re-benched at the END of every full-tier run as a second pass. A

@@ -474,7 +474,11 @@ object SimOps {
     val corpus = exactPlantedCorpus(emb).persist()
     val queries = emb.filter(col("vec_id") < 20)
     val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64)
+    // one Lloyd iteration: the refine stage is the subject here, and the
+    // planted-copy contract is codebook-independent (identical vectors
+    // share codes under ANY codebook) — don't re-pay q126's full train
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
+      iters = 1)
     val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
       index, cb)
     ProductQuantize.ivfPqRefineTopK(index, cb, queries, encoded, corpus,
@@ -499,7 +503,10 @@ object SimOps {
     val root = graft.core.Scratch.ephemeralDir(s"graft_pq_life_$tag")
     val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
     Similarity.saveIvfIndex(index, s, s"$root/ivf")
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64)
+    // one Lloyd iteration: the artifact ROUND-TRIP is the subject, and
+    // the planted-copy contract is codebook-independent
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
+      iters = 1)
     ProductQuantize.saveCodebooks(s, cb, s"$root/books")
     val loadedIndex = Similarity.loadIvfIndex(s, s"$root/ivf")
     val loadedCb = ProductQuantize.loadCodebooks(s, s"$root/books")

@@ -551,6 +551,20 @@ class PlanSpec extends AnyFunSuite {
     assert(d.contains("MIN(profile.acctbal)") && d.contains("MAX(profile.acctbal)"), d)
   }
 
+  test("q136 DISTINCT pushes as a grouped aggregation with no accumulators") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q136_docsource_distinct").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // splits ship observed keys only — no aggregate columns at all
+    assert(s.aggPushed && s.pushedAggs.isEmpty &&
+      s.pushedGroups.toSeq == Seq("o_orderstatus"), s.description())
+    assert(s.readSchema().length == 1, s.readSchema().catalogString)
+  }
+
   test("q108 budget mix: prefix-sum form, never a per-source window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the running total must be the two-pass range-shuffle prefix sum
