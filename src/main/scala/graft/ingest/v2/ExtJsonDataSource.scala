@@ -195,7 +195,14 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * per split instead of every line, the `$limit`-stage analogue of the
     * reference's aggregate pipeline.
     */
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def pushLimit(n: Int): Boolean = {
+    // defensive: Spark never pushes a limit below an Aggregate today, but
+    // a partial limit applied under a pushed aggregation would change the
+    // aggregates — refuse rather than rely on the reader ignoring it
+    if (aggs.nonEmpty || groups.nonEmpty) return false
+    limit = n
+    true
+  }
 
   /** `ORDER BY … LIMIT n` reaches each split as a PARTIAL top-N (the
     * `$sort + $limit` probe): the reader keeps a bounded n-row heap of
@@ -238,7 +245,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     new ExtJsonScan(path, fullSchema, required, pushed,
       Option(options.get("maxSplitBytes")).map(_.toLong), limit, aggs,
       topSorts, topLimit, groups,
-      Option(options.get("maxPushedGroups")).map(_.toInt).getOrElse(16384))
+      Option(options.get("maxPushedGroups")).map(_.toInt).getOrElse(16384)
+        .max(1))
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
