@@ -480,6 +480,21 @@ class ProjectQuantizeSpec extends AnyFunSuite {
       assert(refineCurve.last >= (10 * k) / 2,
         s"refined recall at full probe below 50%: $refineCurve")
 
+      // the (m, k) axis of the operating surface: at full probe (no
+      // routing loss left, pure quantization rank error) a bigger
+      // codebook budget must not rank WORSE — 8×256 (8-bit, 64 bits/vec)
+      // vs 16×16 (4-bit, 64 bits/vec at twice the subspaces): same code
+      // size, the k-heavy split wins on this corpus (23 vs 15 of 50)
+      val cb16 = ProductQuantize.train(emb, "vec_id", "embedding", dim,
+        m = 16, k = 16)
+      val enc16 = ProductQuantize.encode(
+        emb, "vec_id", "embedding", index, cb16).persist()
+      val pq16Full = hits(ProductQuantize.ivfPqTopK(
+        index, cb16, queries, enc16, "vec_id", "embedding", k, 8))
+      info(s"m=16/k=16 full-probe hits: $pq16Full vs m=8/k=256: ${pqCurve.last}")
+      assert(pqCurve.last >= pq16Full,
+        s"8-bit codebooks under-ranked the 4-bit split: ${pqCurve.last} < $pq16Full")
+
       for ((name, curve, floor) <- Seq(
           // SQ8's int8 grid keeps ~80% of the exact neighbors here; 4-bit
           // ADC keeps ~46% even at k=256 codebooks — uniform random
@@ -493,7 +508,7 @@ class ProjectQuantizeSpec extends AnyFunSuite {
         assert(curve.last >= floor,
           s"$name recall at full probe under $floor of ${10 * k}: $curve")
       }
-      sq8.unpersist(); encoded.unpersist(); exact.unpersist(); ()
+      sq8.unpersist(); encoded.unpersist(); enc16.unpersist(); exact.unpersist(); ()
     } finally { emb.unpersist(); () }
   }
 }
