@@ -220,7 +220,22 @@ object DocOps {
   private def q136Distinct(s: SparkSession, d: String): DataFrame =
     readOrders(s, d).select(col("o_orderstatus")).distinct()
 
+  /** The composed `$match + $group` pipeline on ONE scan: a nested
+    * predicate (accepted → the aggregation may push at all: Spark only
+    * pushes aggregates over a fully-consumed filter) feeding a nested
+    * grouped aggregate — rejected documents never reach the accumulators,
+    * and the scan ships per-split per-segment partials of just the
+    * filtered survivors.
+    */
+  private def q138FilteredGroup(s: SparkSession, d: String): DataFrame =
+    readCustomers(s, d)
+      .filter(col("profile.acctbal") > 0.0)
+      .groupBy(col("profile.mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        max(col("profile.acctbal")).as("max_bal"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_docsource_filtered_group" -> q138FilteredGroup,
     "q136_docsource_distinct" -> q136Distinct,
     "q131_docsource_group_agg" -> q131GroupAgg,
     "q132_docsource_nested_topn" -> q132NestedTopN,
@@ -233,6 +248,10 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q138_docsource_filtered_group" ->
+      ("SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_cust, " +
+        "MAX(c_acctbal) AS max_bal FROM customer " +
+        "WHERE c_acctbal > 0.0 GROUP BY c_mktsegment"),
     "q136_docsource_distinct" ->
       "SELECT DISTINCT o_orderstatus FROM orders",
     "q131_docsource_group_agg" ->

@@ -565,6 +565,27 @@ class PlanSpec extends AnyFunSuite {
     assert(s.readSchema().length == 1, s.readSchema().catalogString)
   }
 
+  test("q138 composes pushed nested filter AND grouped aggregation on one scan") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q138_docsource_filtered_group")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // the $match half: dotted predicate accepted, nothing re-filters
+    assert(s.pushed.map(_.toString)
+      .exists(f => f.contains("profile.acctbal") && f.contains("GreaterThan")),
+      s.description())
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    // the $group half on the same scan: rejected documents never reach
+    // the accumulators, survivors ship as per-split per-segment partials
+    assert(s.pushedGroups.toSeq == Seq("profile.mktsegment"), s.description())
+    assert(s.description().contains("MAX(profile.acctbal)"), s.description())
+  }
+
   test("q108 budget mix: prefix-sum form, never a per-source window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the running total must be the two-pass range-shuffle prefix sum
