@@ -533,6 +533,11 @@ class DocSourceV2Spec extends AnyFunSuite {
     val top = df.orderBy(col("k").desc).limit(3).select("k")
       .collect().map(_.getLong(0)).toSeq
     assert(top == Seq(200L, 199L, 198L))
+    // grouped aggregate pushdown composes with the codec too: per-file
+    // partials of the decompressed stream, merged upstream
+    val byKey = df.groupBy(col("s")).agg(min(col("k")).as("mn")).collect()
+    assert(byKey.length == 200 && byKey.forall(r =>
+      r.getString(0) == s"row_${r.getLong(1)}"), byKey.take(3).mkString(","))
     // mixed directory: plain + gz files combine completely
     Files.write(Paths.get(dir, "extra.jsonl"),
       """{"k": 1000, "s": "plain"}""".getBytes("UTF-8"))

@@ -480,6 +480,16 @@ class ProjectQuantizeSpec extends AnyFunSuite {
       assert(refineCurve.last >= (10 * k) / 2,
         s"refined recall at full probe below 50%: $refineCurve")
 
+      // the third ANN family's knob: LSH recall falls as planes rise
+      // (2^planes buckets → finer partitions → fewer candidates per
+      // probe) — the numPlanes twin of the nProbe curve, pinned at the
+      // deterministic observed direction
+      val lshCurve = Seq(2, 4, 6).map(pl => hits(Similarity.lshTopK(
+        queries, emb, "vec_id", "embedding", k, numPlanes = pl)))
+      info(s"lsh curve (planes 2,4,6): $lshCurve")
+      assert(lshCurve.zip(lshCurve.tail).forall { case (a, b) => a >= b },
+        s"lsh recall must not rise with finer buckets: $lshCurve")
+
       // the (m, k) axis of the operating surface: at full probe (no
       // routing loss left, pure quantization rank error) a bigger
       // codebook budget must not rank WORSE — 8×256 (8-bit, 64 bits/vec)
