@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.DataFrame
 
 /** Benchmark main. Prints exactly ONE JSON line:
@@ -129,7 +131,10 @@ object Bench {
             val sec = (System.nanoTime() - t0) / 1e9
             timeline += ((name, afterIdx, (t0 - benchStart) / 1e9, sec))
             spark.catalog.clearCache()
-          } catch { case e: Throwable =>
+          } catch { case NonFatal(e) =>
+            // NonFatal only: an OOM/VM error must abort the sweep — a
+            // fatally wounded JVM would otherwise keep recording garbage
+            // timings for every subsequent query
             System.err.println(s"[bench] interleaved control FAILED $name — ${e.getMessage}")
           }
         }
@@ -157,7 +162,7 @@ object Bench {
         allRuns(name) = runs
         spark.catalog.clearCache()
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
           errors(name) = msg
           System.err.println(s"[bench] FAILED $name — $msg")
@@ -184,7 +189,7 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           spark.catalog.clearCache()
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
           System.err.println(s"[bench] control FAILED $name — ${e.getMessage}")
         }
       }
@@ -219,8 +224,30 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = timings.values.sum
     val medianTotal = medians.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}""")
+    val record =
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}"""
+    println(record)
+    // the driver's BENCH_r*.json keeps only a 2,000-char stdout tail, which
+    // truncates the per-query numbers for most of the registry — persist
+    // the COMPLETE record in the repo (committed by the round's wrap-up) so
+    // round-over-round diffs read from the record, not from judge re-runs.
+    // Full-registry runs only: BENCH_ONLY/core iteration must not litter.
+    if (only.isEmpty && tier == "full") {
+      try {
+        val dir = java.nio.file.Paths.get("bench_records")
+        java.nio.file.Files.createDirectories(dir)
+        val stamp = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        val out = dir.resolve(s"bench_$stamp.json")
+        java.nio.file.Files.write(out,
+          (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] full record persisted to $out")
+      } catch { case NonFatal(e) =>
+        // persistence is best-effort: the stdout record is the contract
+        System.err.println(s"[bench] record persistence failed — ${e.getMessage}")
+      }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

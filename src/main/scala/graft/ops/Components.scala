@@ -84,7 +84,14 @@ object Components {
       if (changed == 0) labels
       else {
         // diameter exceeds the propagation budget (an adversarial chain,
-        // not a dup cluster): hand the raw edges to the O(log n) algorithm
+        // not a dup cluster): hand the raw edges to the O(log n) algorithm.
+        // The restart from RAW edges is deliberate: seeding contraction
+        // with only the partially-converged (node, label) edges is UNSOUND
+        // (two adjacent nodes can hold labels whose own label-chains never
+        // meet — an increasing-id chain with the global min attached at the
+        // far end splits), and the sound form (label edges ∪ raw edges)
+        // doubles the edge frame for at most a constant-alternation head
+        // start against an O(log n) bound — not worth the extra shuffle.
         starComponents(sym, "a", "b", maxIter)._1
       }
     } finally sym.unpersist(blocking = false)

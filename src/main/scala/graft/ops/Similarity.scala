@@ -600,6 +600,9 @@ object Similarity {
       bruteForceTopK(q, corpus, idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id")))
     val nq = q.select(col(idCol)).distinct().count()
+    // fail fast instead of a silent divide-by-zero NULL recall downstream
+    // (an empty queries frame is a misconfigured filter, not a profile)
+    require(nq > 0, "recallProfile needs at least one query row")
     val ann = nProbes.map(np =>
       ivfTopKWithAssigned(index, q, assigned, idCol, vecCol, k, np)
         .select(lit(np).as("n_probe"), col("query_id"), col("neighbor_id")))
