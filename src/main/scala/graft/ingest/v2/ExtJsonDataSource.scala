@@ -88,13 +88,44 @@ final case class PushedSort(field: String, descending: Boolean,
     nullsFirst: Boolean)
 
 /** One pushed aggregate in the reader's serializable form. `kind` is
-  * `count*` (rows), `count` (non-null values), `min`, or `max`; `field`
-  * is empty for `count*`.
+  * `count*` (rows), `count` (non-null values), `min`, `max`, or `sum`;
+  * `field` is empty for `count*`.
   */
 final case class PushedAgg(kind: String, field: String) {
   def render: String = kind match {
     case "count*" => "COUNT(*)"
     case k => s"${k.toUpperCase(java.util.Locale.ROOT)}($field)"
+  }
+}
+
+/** The partial-sum column type contract with `V2ScanRelationPushDown`'s
+  * final-merge rewrite (verified against the Spark 4.1.2 bytecode):
+  *
+  *  - NON-decimal sums reuse the scan's partial column AS-IS as the new
+  *    `Sum` child — so integral children declare LONG partials (the
+  *    original `SUM(int)` result type is Long, and `Sum(long)` is Long:
+  *    schema-exact, and per-split accumulation can't wrap at int range)
+  *    and float/double children declare DOUBLE (`SUM(float)` is Double).
+  *  - DECIMAL sums get the partial column CAST BACK to the CHILD's
+  *    decimal(p,s) before the final `Sum` — so the reader must declare
+  *    (p,s) itself AND keep every emitted partial inside (p,s), flushing
+  *    a group's partial row BEFORE an accumulation would overflow (the
+  *    cast of an over-precision partial would silently null under
+  *    non-ANSI semantics — wrong results, the worst kind). Flushed
+  *    duplicates per key are exactly what the final merge already
+  *    handles (the maxPushedGroups argument).
+  */
+private[v2] object SumTypes {
+  import org.apache.spark.sql.types._
+  def summable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  def partialType(child: DataType): DataType = child match {
+    case IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case d: DecimalType => d
+    case other => throw new IllegalStateException(s"unsummable type $other")
   }
 }
 
@@ -130,24 +161,29 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     case _ => None
   }
 
-  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) combinations push,
-    * grouped or not (PARTIAL: each split returns one row PER OBSERVED
-    * GROUP of its local aggregates — one row total when ungrouped —
-    * and Spark's final aggregation merges them: sum of counts, min of
-    * mins) — the `$group: {_id: "$field", …}` analogue of the
-    * reference's aggregation pipeline (`$group: {_id: null}` being the
-    * ungrouped special case). Group keys and aggregate columns may be
-    * NESTED (dotted paths), resolved like pushed filter references. An
-    * all-COUNT(*) push with no filters and no grouping never even parses
-    * (the newline skim); anything referencing a column parses just that
-    * column. Reader memory is bounded: a split observing more than
-    * `maxPushedGroups` distinct keys flushes its partial map and starts
-    * over — duplicate partial rows per key are exactly what the final
-    * merge already handles. Refused under a pushed limit/top-N — Spark
-    * then falls back to the ordinary scan + agg.
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) / SUM(col) combinations
+    * push, grouped or not (PARTIAL: each split returns one row PER
+    * OBSERVED GROUP of its local aggregates — one row total when
+    * ungrouped — and Spark's final aggregation merges them: sum of
+    * counts/sums, min of mins) — the `$group: {_id: "$field", …}`
+    * analogue of the reference's aggregation pipeline (`$group: {_id:
+    * null}` being the ungrouped special case; `$sum` is MQL's single
+    * most idiomatic accumulator, `user_table.py:25-53` being the S1
+    * pipeline surface). AVG also lands here: Spark rewrites it to
+    * SUM + COUNT before pushing when only partial pushdown is supported.
+    * Group keys and aggregate columns may be NESTED (dotted paths),
+    * resolved like pushed filter references. An all-COUNT(*) push with
+    * no filters and no grouping never even parses (the newline skim);
+    * anything referencing a column parses just that column. Reader
+    * memory is bounded: a split observing more than `maxPushedGroups`
+    * distinct keys flushes its partial map and starts over — duplicate
+    * partial rows per key are exactly what the final merge already
+    * handles (decimal sums also flush pre-overflow, see [[SumTypes]]).
+    * Refused under a pushed limit/top-N — Spark then falls back to the
+    * ordinary scan + agg.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min, Sum}
     if (limit >= 0 || topLimit >= 0) return false
     // group keys must be comparable atomics: they ride the partial rows
     // and re-group Spark-side (hash + equality on the internal values)
@@ -163,6 +199,11 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
           pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
         case m: Max =>
           pathOf(m.column(), needComparable = true).map(PushedAgg("max", _))
+        case s: Sum if !s.isDistinct =>
+          pathOf(s.column(), needComparable = false)
+            .filter(dotted => SumTypes.summable(
+              FilterEval.resolve(dotted, fullSchema).get.leaf.dataType))
+            .map(PushedAgg("sum", _))
         case _ => None
       }
     // a grouped query with no aggregate functions is a pushed DISTINCT —
@@ -241,12 +282,24 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     }
   }
 
+  /** Parse a numeric option, naming the option in the error — a bare
+    * NumberFormatException at scan build time says nothing about WHICH
+    * option carried the malformed value.
+    */
+  private def numericOption[T](name: String, parse: String => T): Option[T] =
+    Option(options.get(name)).map { raw =>
+      try parse(raw)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-extjson option $name must be numeric, got '$raw'", e)
+      }
+    }
+
   override def build(): Scan =
     new ExtJsonScan(path, fullSchema, required, pushed,
-      Option(options.get("maxSplitBytes")).map(_.toLong), limit, aggs,
+      numericOption("maxSplitBytes", _.toLong), limit, aggs,
       topSorts, topLimit, groups,
-      Option(options.get("maxPushedGroups")).map(_.toInt).getOrElse(16384)
-        .max(1))
+      numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1))
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -339,6 +392,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
             case "count*" | "count" => org.apache.spark.sql.types.StructField(
               a.render.toLowerCase(java.util.Locale.ROOT),
               org.apache.spark.sql.types.LongType, nullable = false)
+            case "sum" => org.apache.spark.sql.types.StructField(
+              a.render.toLowerCase(java.util.Locale.ROOT),
+              SumTypes.partialType(leafType(a.field)), nullable = true)
             case _ => org.apache.spark.sql.types.StructField(
               a.render.toLowerCase(java.util.Locale.ROOT),
               leafType(a.field), nullable = true)
@@ -872,27 +928,50 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
   private val KindCount = 1
   private val KindMin = 2
   private val KindMax = 3
-  private val kindTag: Array[Int] = aggs.map(_.kind match {
-    case "count*" => KindCountStar
-    case "count" => KindCount
-    case "min" => KindMin
-    case "max" => KindMax
-  })
+  private val KindSumLong = 4
+  private val KindSumDouble = 5
+  private val KindSumDecimal = 6
   private val aggGetter: Array[InternalRow => Any] = aggs.map(a =>
     if (a.field.isEmpty) null else FilterEval.compiledGetter(a.field, parseSchema))
   private val aggType = aggs.map(a =>
     if (a.field.isEmpty) null
     else FilterEval.resolve(a.field, parseSchema).get.leaf.dataType)
+  private val kindTag: Array[Int] = aggs.zipWithIndex.map {
+    case (a, i) => a.kind match {
+      case "count*" => KindCountStar
+      case "count" => KindCount
+      case "min" => KindMin
+      case "max" => KindMax
+      case "sum" =>
+        import org.apache.spark.sql.types._
+        aggType(i) match {
+          case IntegerType | LongType => KindSumLong
+          case FloatType | DoubleType => KindSumDouble
+          case _: DecimalType => KindSumDecimal
+        }
+    }
+  }
+  private val hasDecSum = kindTag.contains(KindSumDecimal)
   private val groupGetter: Array[InternalRow => Any] =
     groups.map(FilterEval.compiledGetter(_, parseSchema))
 
-  /** One partial-aggregate state: counts and current extremes. */
+  /** One partial-aggregate state: counts, current extremes, and running
+    * sums (long for integral children — wrap-exact under any merge order;
+    * double for float/double; java BigDecimal for decimal children, held
+    * unbounded here and kept emittable by the pre-overflow flush). `seen`
+    * distinguishes a zero sum from no non-null input (SUM over nothing is
+    * NULL, and an all-splits-emit-zero would merge to 0 — wrong).
+    */
   private final class Accum {
     val counts = new Array[Long](aggs.length)
     val extremes = new Array[Any](aggs.length)
+    val lsums = new Array[Long](aggs.length)
+    val dsums = new Array[Double](aggs.length)
+    val decs = new Array[java.math.BigDecimal](aggs.length)
+    val seen = new Array[Boolean](aggs.length)
   }
 
-  private val single: Accum = if (groups.isEmpty) new Accum else null
+  private var single: Accum = if (groups.isEmpty) new Accum else null
   // grouped state: internal values (UTF8String/boxed primitives/Decimal)
   // have value equality, so a List key hashes and compares correctly
   private val groupMap: java.util.LinkedHashMap[List[Any], Accum] =
@@ -926,7 +1005,18 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
         val v = aggGetter(i)(row)
         if (v != null) {
           if (tag == KindCount) acc.counts(i) += 1
-          else {
+          else if (tag == KindSumLong) {
+            acc.lsums(i) += v.asInstanceOf[Number].longValue()
+            acc.seen(i) = true
+          } else if (tag == KindSumDouble) {
+            acc.dsums(i) += v.asInstanceOf[Number].doubleValue()
+            acc.seen(i) = true
+          } else if (tag == KindSumDecimal) {
+            val bd = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+              .toJavaBigDecimal
+            acc.decs(i) = if (acc.decs(i) == null) bd else acc.decs(i).add(bd)
+            acc.seen(i) = true
+          } else {
             val cur = acc.extremes(i)
             val takeIt = cur == null || {
               val c = FilterEval.compareInternal(aggType(i), v, cur)
@@ -940,14 +1030,49 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
     }
   }
 
+  /** Would accumulating this row push any decimal running sum past its
+    * child's (precision, scale) — i.e. past what [[SumTypes]]' contract
+    * lets a partial row declare? Checked BEFORE accumulating so the
+    * current state can flush as a valid partial first (the row's own
+    * value always fits: it parsed at that type). Called only when a
+    * decimal sum is pushed.
+    */
+  private def decWouldOverflow(acc: Accum, row: InternalRow): Boolean = {
+    var i = 0
+    while (i < aggs.length) {
+      if (kindTag(i) == KindSumDecimal && acc.decs(i) != null) {
+        val v = aggGetter(i)(row)
+        if (v != null) {
+          val cand = acc.decs(i).add(
+            v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+          val d = aggType(i).asInstanceOf[org.apache.spark.sql.types.DecimalType]
+          // both operands carry scale s, so only precision can move
+          if (cand.precision - cand.scale > d.precision - d.scale) return true
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
   private def partialRow(key: List[Any], acc: Accum): InternalRow = {
     val out = new Array[Any](groups.length + aggs.length)
     var i = 0
     key.foreach { v => out(i) = v; i += 1 }
     var j = 0
     while (j < aggs.length) {
-      out(groups.length + j) =
-        if (kindTag(j) <= KindCount) acc.counts(j): Any else acc.extremes(j)
+      out(groups.length + j) = kindTag(j) match {
+        case KindCountStar | KindCount => acc.counts(j): Any
+        case KindSumLong => if (acc.seen(j)) acc.lsums(j): Any else null
+        case KindSumDouble => if (acc.seen(j)) acc.dsums(j): Any else null
+        case KindSumDecimal =>
+          if (acc.seen(j)) {
+            val d = aggType(j).asInstanceOf[org.apache.spark.sql.types.DecimalType]
+            org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(acc.decs(j)), d.precision, d.scale)
+          } else null
+        case _ => acc.extremes(j)
+      }
       j += 1
     }
     new GenericInternalRow(out)
@@ -985,8 +1110,19 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
           val row = parser.parse(text.getBytes, 0, text.getLength)
           parsedDocs += 1
           if (keepRow == null || keepRow(row)) {
-            if (groups.isEmpty) accumulate(single, row)
-            else {
+            if (groups.isEmpty) {
+              if (hasDecSum && decWouldOverflow(single, row)) {
+                // flush the WHOLE accumulator as one valid partial (its
+                // counts/extremes reset with it — duplicate partials per
+                // key are exactly what the final merge handles), then
+                // restart from this row
+                outQueue.add(partialRow(Nil, single))
+                single = new Accum
+                accumulate(single, row)
+                return // queue is non-empty — let it drain
+              }
+              accumulate(single, row)
+            } else {
               val key = groupKey(row)
               var acc = groupMap.get(key)
               if (acc == null) {
@@ -996,6 +1132,12 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
                 groupMap.put(key, acc)
                 accumulate(acc, row)
                 if (flushed) return // queue is non-empty — let it drain
+              } else if (hasDecSum && decWouldOverflow(acc, row)) {
+                outQueue.add(partialRow(key, acc))
+                acc = new Accum
+                groupMap.put(key, acc)
+                accumulate(acc, row)
+                return // queue is non-empty — let it drain
               } else accumulate(acc, row)
             }
           } else filteredDocs += 1

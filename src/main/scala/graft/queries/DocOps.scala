@@ -62,6 +62,24 @@ object DocOps {
   private def readOrders(s: SparkSession, d: String): DataFrame =
     ExtendedJson.read(s, decodedOrders, ordersJsonl(s, d))
 
+  /** The SAME document drop read with a DECIMAL money column — the user
+    * schema decides the decode (Mongo `$numberDecimal` discipline), and a
+    * decimal-typed `o_totalprice` is what makes its pushed `$sum` partials
+    * exactly mergeable (the [[graft.ingest.v2.SumTypes]] contract) where
+    * double partials would be order-dependent.
+    */
+  private val decodedOrdersDec = StructType(Seq(
+    StructField("_id", StringType),
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DecimalType(12, 2)),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  private def readOrdersDec(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDec, ordersJsonl(s, d))
+
   /** T1 through the document source: a three-column projection whose
     * pruning lands ON the V2 scan (PlanSpec-pinned ReadSchema) — the four
     * pruned fields are `skipChildren()`-ed, never materialized.
@@ -234,7 +252,41 @@ object DocOps {
       .agg(count(lit(1)).as("n_cust"),
         max(col("profile.acctbal")).as("max_bal"))
 
+  /** `$group: {_id: "$o_orderstatus", total: {$sum: "$o_totalprice"}}`
+    * through the document source — MQL's most idiomatic accumulator as a
+    * PUSHED grouped SUM: each split ships per-status decimal partials
+    * (exactly mergeable; flushed pre-overflow per the SumTypes contract)
+    * next to its counts, Spark's final aggregation sums the sums. Output
+    * follows the dsum discipline: the decimal total casts to double (and
+    * to exact integer cents) ABOVE the aggregate, so the pushdown
+    * survives and the oracle hash is engine-portable.
+    */
+  private def q139GroupSum(s: SparkSession, d: String): DataFrame =
+    readOrdersDec(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice")).as("__t"), count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        col("__t").cast("double").as("sum_price"),
+        (col("__t") * 100).cast("long").as("sum_cents"),
+        col("n_orders"))
+
+  /** `$match + $group: {avg: {$avg: …}}` on ONE document scan: Spark
+    * rewrites the AVG to SUM + COUNT before pushing (partial sources
+    * can't merge averages), so the scan ships per-priority (long-sum,
+    * count) partials of just the filter survivors and the final plan
+    * divides once — a single rounding, bit-identical to the oracle's
+    * `CAST(SUM AS DOUBLE) / CAST(COUNT AS DOUBLE)`.
+    */
+  private def q140FilteredAvg(s: SparkSession, d: String): DataFrame =
+    readOrders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_custkey")).as("avg_cust"),
+        count(lit(1)).as("n_orders"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_docsource_group_sum" -> q139GroupSum,
+    "q140_docsource_filtered_avg" -> q140FilteredAvg,
     "q138_docsource_filtered_group" -> q138FilteredGroup,
     "q136_docsource_distinct" -> q136Distinct,
     "q131_docsource_group_agg" -> q131GroupAgg,
@@ -248,6 +300,16 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q139_docsource_group_sum" ->
+      ("SELECT o_orderstatus, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents, " +
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus"),
+    "q140_docsource_filtered_avg" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(SUM(o_custkey) AS DOUBLE) / CAST(COUNT(o_custkey) AS DOUBLE) AS avg_cust, " +
+        "COUNT(*) AS n_orders FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"),
     "q138_docsource_filtered_group" ->
       ("SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_cust, " +
         "MAX(c_acctbal) AS max_bal FROM customer " +

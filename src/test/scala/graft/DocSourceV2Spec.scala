@@ -186,8 +186,13 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(gScan.aggPushed && gScan.pushedGroups.toSeq == Seq("s"),
       gScan.description())
     assert(grouped.count() == 40L)
+    // SUM pushes since round 12; DISTINCT aggregates still refuse (a
+    // per-split distinct partial is not mergeable) and stay correct
     val summed = src.agg(sum(col("k")))
-    assert(!aggScan(summed).aggPushed)
+    assert(aggScan(summed).aggPushed)
+    val distinctSum = src.agg(sum_distinct(col("k")))
+    assert(!aggScan(distinctSum).aggPushed)
+    assert(distinctSum.collect().head.getLong(0) == (1 to 40).sum.toLong)
     // MIN/MAX/COUNT(col) combinations push as per-split partials
     val mm = src.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
       count(col("s")).as("ns"), count(lit(1)).as("n"))
@@ -244,6 +249,57 @@ class DocSourceV2Spec extends AnyFunSuite {
       .select("s").distinct()
     assert(distinct.collect().map(_.toSeq).toSet ==
       ((1 to 6).map(g => Seq(s"g$g")) :+ Seq(null)).toSet)
+  }
+
+  test("SUM pushdown: long/double/decimal partials, null sums, pre-overflow flush") {
+    // group g0 carries NO value fields — its sums must merge to NULL (an
+    // all-splits-emit-zero bug would merge to 0); decimal column m is
+    // typed (3,2), so a split's local sum overflows the child type after
+    // two rows and the reader must flush partials repeatedly
+    val docs = (1 to 40).map { i =>
+      val g = i % 3
+      if (g == 0) s"""{"k": $i, "s": "g$g"}"""
+      else s"""{"k": $i, "s": "g$g", "l": ${i * 1000}, "d": $i.5, """ +
+        s""""m": 9.${i % 10}${i % 10}, "p": {"v": $i}}"""
+    }
+    val dir = writeLines("sum.jsonl", docs)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("l", LongType), StructField("d", DoubleType),
+      StructField("m", DecimalType(3, 2)),
+      StructField("p", StructType(Seq(StructField("v", IntegerType))))))
+    // d values are i.5 (exact in binary, sums exact) so builtin-vs-pushed
+    // double totals compare EQUAL regardless of accumulation order
+    def agg(df: DataFrame) = df
+      .groupBy(col("s")).agg(sum(col("l")).as("sl"), sum(col("d")).as("sd"),
+        sum(col("m")).as("sm"), sum(col("p.v")).as("sv"),
+        avg(col("l")).as("al"), count(lit(1)).as("n"))
+    val expected = agg(spark.read.schema(schema).json(s"$dir/sum.jsonl"))
+      .collect().map(_.toSeq).toSet
+    val pushedDf = agg(ExtendedJson.read(spark, schema, s"$dir/sum.jsonl"))
+    val scan = pushedDf.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .head.asInstanceOf[ExtJsonScan]
+    assert(scan.aggPushed, scan.description())
+    val desc = scan.description()
+    // the AVG pushes as Spark's SUM + COUNT rewrite; nested SUM(p.v) rides
+    // the same dotted-path machinery as nested min/max
+    assert(desc.contains("SUM(l)") && desc.contains("SUM(m)") &&
+      desc.contains("SUM(p.v)") && desc.contains("COUNT(l)"), desc)
+    assert(expected == pushedDf.collect().map(_.toSeq).toSet)
+    // ungrouped: one row of corpus totals through the same partial path
+    def tot(df: DataFrame) = df.agg(sum(col("l")).as("sl"),
+      sum(col("m")).as("sm"), avg(col("l")).as("al"),
+      count(lit(1)).as("n"))
+    assert(tot(spark.read.schema(schema).json(s"$dir/sum.jsonl")).collect().toSeq
+      == tot(ExtendedJson.read(spark, schema, s"$dir/sum.jsonl")).collect().toSeq)
+    // an all-null slice (filter keeps only g0): SUMs are NULL, count 0
+    def nul(df: DataFrame) = df.filter(col("s") === "g0")
+      .agg(sum(col("l")).as("sl"), sum(col("m")).as("sm"),
+        count(col("l")).as("nl"))
+    assert(nul(spark.read.schema(schema).json(s"$dir/sum.jsonl")).collect().toSeq
+      == nul(ExtendedJson.read(spark, schema, s"$dir/sum.jsonl")).collect().toSeq)
   }
 
   test("compiled filter closures are value-identical to per-row keep") {

@@ -525,6 +525,44 @@ class PlanSpec extends AnyFunSuite {
     assert(s.readSchema().length == 5, s.readSchema().catalogString)
   }
 
+  test("q139 grouped SUM pushes onto the document scan with decimal partials") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q139_docsource_group_sum").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    val d = s.description()
+    // the $sum accumulator runs AT the scan: each split ships per-status
+    // (decimal-sum, count) partials, never the parsed rows
+    assert(d.contains("PushedAggregation: [SUM(o_totalprice), COUNT(*)]"), d)
+    assert(d.contains("PushedGroupBy: [o_orderstatus]"), d)
+    // the partial column declares the CHILD's decimal type — the contract
+    // that makes Spark's cast-back in the final merge lossless
+    assert(s.readSchema().fields(1).dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2), s.readSchema().catalogString)
+  }
+
+  test("q140 AVG pushes as SUM+COUNT onto the filtered document scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q140_docsource_filtered_avg").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    val d = s.description()
+    // Spark's partial-pushdown rewrite of AVG: SUM + COUNT land at the
+    // scan, composed with the pushed $match on one scan (filter survivors
+    // only reach the accumulators)
+    assert(d.contains("SUM(o_custkey)") && d.contains("COUNT(o_custkey)"), d)
+    assert(s.pushed.map(_.toString).exists(_.contains("EqualTo(o_orderstatus,F)")), d)
+    // long-sum partials for a long child (schema-exact under Sum-as-is)
+    assert(s.readSchema().fields(1).dataType ==
+      org.apache.spark.sql.types.LongType, s.readSchema().catalogString)
+  }
+
   test("q132 nested ORDER BY + LIMIT pushes dotted top-N onto the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q132_docsource_nested_topn").executedPlan
