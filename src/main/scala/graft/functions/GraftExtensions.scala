@@ -285,5 +285,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(children(2), "graft_pq_adc", "m"),
           litInt(children(3), "graft_pq_adc", "k"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_opq_rotate"),
+      new ExpressionInfo(classOf[OpqRotate].getName, "graft_opq_rotate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_opq_rotate takes exactly 3 arguments")
+        val mat = children(1) match {
+          case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(DoubleType, _)) => v.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_opq_rotate: mat must be an array<double> literal, got $other")
+        }
+        OpqRotate(children.head,
+          new RotRef(litInt(children(2), "graft_opq_rotate", "dim"), mat))
+      }))
   }
 }

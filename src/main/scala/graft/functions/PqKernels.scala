@@ -367,3 +367,80 @@ case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
+
+/** Constant orthogonal-rotation state for OPQ (Ge et al., "Optimized
+  * Product Quantization", CVPR 2013): `mat` is R, dim×dim row-major,
+  * trained to minimize PQ reconstruction error in the ROTATED space.
+  * Rides the plan as one codegen reference object like [[PqRef]] — the
+  * literal-tree formulation (dim² multiply subexpressions) would pay
+  * seconds of planning+Janino per query.
+  */
+final class RotRef(val dim: Int, val mat: Array[Double]) extends Serializable {
+  require(dim > 0 && mat.length == dim * dim,
+    s"rotation length ${mat.length} != dim²=${dim * dim}")
+
+  /** y = R·x, emitted at the INPUT's element type (float stays float, so
+    * a rotated embedding column drops into every downstream vector
+    * operator unchanged). Null on length mismatch / null element.
+    */
+  def rotate(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    if (vec.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Any](dim)
+    i = 0
+    while (i < dim) {
+      var acc = 0.0
+      val base = i * dim
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        acc += mat(base + j) * x
+        j += 1
+      }
+      out(i) = if (isFloat) acc.toFloat else acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_opq_rotate(vec, mat, dim)` → array of the input's element type:
+  * the OPQ-rotated vector (mat/dim must be literals — folded into the
+  * constant [[RotRef]]). Orthogonality makes every distance downstream
+  * invariant, so the rotation composes in FRONT of the coarse index and
+  * the PQ codebooks (the FAISS `OPQ` VectorTransform position).
+  */
+case class OpqRotate(child: Expression, ref: RotRef)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_opq_rotate"
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqKernels.vectorOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_opq_rotate requires array<float>/array<double>, got ${child.dataType.catalogString}")
+
+  private def flt: Boolean = PqKernels.isFloat(child)
+
+  override def nullSafeEval(input: Any): Any =
+    ref.rotate(input.asInstanceOf[ArrayData], flt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("rotRef", ref, classOf[RotRef].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $r.rotate($c, $flt);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OpqRotate =
+    copy(child = newChild)
+}

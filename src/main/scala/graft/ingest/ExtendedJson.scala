@@ -23,6 +23,15 @@ object ExtendedJson {
   def read(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.format("graft-extjson").schema(schema).load(path)
 
+  /** Same, with scan options — e.g. `partitionColumns` for a hive-layout
+    * (`k=v` directories) document drop whose partition values come from
+    * the PATH and prune directories at listing time.
+    */
+  def read(spark: SparkSession, schema: StructType, path: String,
+      options: Map[String, String]): DataFrame =
+    spark.read.format("graft-extjson").schema(schema).options(options)
+      .load(path)
+
   /** The builtin JSON reader over the same files — kept as the
     * cross-validation twin for tests (both readers must agree on every
     * fixture; the V2 source is the engine path).

@@ -129,6 +129,127 @@ private[v2] object SumTypes {
   }
 }
 
+/** Hive-style `k=v` partition-directory columns for the document source
+  * (the `partitionColumns` scan option). A 100 TB document drop is laid
+  * out date-keyed (the reference's daily-delta S3 layout,
+  * `dags/includes/utils.py:42-47`), and a date predicate must prune
+  * DIRECTORIES at listing time — never list-then-filter 100 TB of rows.
+  * Values come from the PATH, typed by the user schema; the parser never
+  * sees these fields (a same-named JSON field is ignored — the layout is
+  * the source of truth, matching the builtin file sources).
+  */
+private[v2] object PartitionValues {
+  import org.apache.spark.sql.types._
+
+  val HiveDefault = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Types a path string can round-trip losslessly. Timestamps are
+    * deliberately absent: their path rendering is zone-dependent — a
+    * date-partitioned drop should declare DateType.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | DoubleType | BooleanType |
+        DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Split a directory name into its `k=v` halves, unescaping Hive's
+    * `%xx` encoding in the value. Not `URLDecoder`: that decodes '+' to
+    * space, which Hive's escapePathName never emits — a literal '+' in a
+    * partition value would be silently mangled.
+    */
+  def segment(name: String): Option[(String, String)] = {
+    val eq = name.indexOf('=')
+    if (eq <= 0) None
+    else Some((name.substring(0, eq), unescape(name.substring(eq + 1))))
+  }
+
+  private def unescape(v: String): String =
+    if (!v.contains('%')) v
+    else {
+      val sb = new java.lang.StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '%' && i + 2 < v.length) {
+          val hi = Character.digit(v.charAt(i + 1), 16)
+          val lo = Character.digit(v.charAt(i + 2), 16)
+          if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Path string → internal value under the DECLARED type. Malformed is
+    * LOUD: a directory that doesn't parse at its declared type is a
+    * layout bug, and a silent null would group/filter wrong rows.
+    */
+  def toInternal(raw: String, dt: DataType, where: String): Any =
+    if (raw == null || raw == HiveDefault) null
+    else try dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case IntegerType => raw.trim.toInt
+      case LongType => raw.trim.toLong
+      case DoubleType => raw.trim.toDouble
+      case BooleanType => raw.trim.toBoolean
+      case DateType => java.time.LocalDate.parse(raw.trim).toEpochDay.toInt
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(raw.trim), d.precision, d.scale)
+      case other =>
+        throw new IllegalStateException(s"unsupported partition type $other")
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"partition value '$raw' does not parse as ${dt.simpleString} ($where)", e)
+    }
+
+  /** Split the reader's row schema into the PARSED part (partition fields
+    * removed) and a per-row inserter that splices this split's constant
+    * partition values back in at their row-schema ordinals. Identity when
+    * the row schema references no partition field (the common case pays
+    * nothing).
+    */
+  def inserter(rowSchema: StructType, partCols: Array[String],
+      partValues: Array[String],
+      where: String): (StructType, InternalRow => InternalRow) = {
+    val isPart: Array[Boolean] = rowSchema.fields.map(f =>
+      partCols.exists(_.equalsIgnoreCase(f.name)))
+    if (!isPart.exists(identity)) (rowSchema, identity)
+    else {
+      val dataFields = rowSchema.fields.zip(isPart).collect {
+        case (f, false) => f
+      }
+      val dataSchema = StructType(dataFields)
+      val consts: Array[Any] = rowSchema.fields.zip(isPart).map {
+        case (f, true) =>
+          val j = partCols.indexWhere(_.equalsIgnoreCase(f.name))
+          toInternal(if (j >= 0 && j < partValues.length) partValues(j)
+            else null, f.dataType, where)
+        case _ => null
+      }
+      val dataTypes = dataFields.map(_.dataType)
+      val n = rowSchema.length
+      val f = (row: InternalRow) => {
+        val out = new Array[Any](n)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (isPart(i)) out(i) = consts(i)
+          else {
+            out(i) = if (row.isNullAt(j)) null else row.get(j, dataTypes(j))
+            j += 1
+          }
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      (dataSchema, f)
+    }
+  }
+}
+
 final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
@@ -142,6 +263,27 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   private var topLimit: Int = -1
   private var aggs: Array[PushedAgg] = Array.empty
   private var groups: Array[String] = Array.empty
+
+  /** Hive-style partition columns (the `partitionColumns` option, comma
+    * separated): each must be a declared TOP-LEVEL field of a path-
+    * expressible atomic type — its value comes from `k=v` directory
+    * segments, never the JSON ([[PartitionValues]]). Stored under the
+    * schema's declared spelling so filter references (which Spark
+    * resolves against the relation output) match exactly.
+    */
+  private val partCols: Array[String] =
+    Option(options.get("partitionColumns")).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).map { raw =>
+        val f = fullSchema.fields.find(_.name.equalsIgnoreCase(raw))
+          .getOrElse(throw new IllegalArgumentException(
+            s"partitionColumns names '$raw', not a top-level field of the " +
+              s"declared schema ${fullSchema.catalogString}"))
+        require(PartitionValues.supported(f.dataType),
+          s"partition column '${f.name}' has unsupported type " +
+            s"${f.dataType.simpleString} — path values round-trip only " +
+            "string/int/long/double/boolean/date/decimal")
+        f.name
+      }).getOrElse(Array.empty)
 
   /** A pushable column reference — any depth of struct nesting, resolved
     * through the declared schema ([[FilterEval.resolve]], the same dotted
@@ -299,7 +441,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     new ExtJsonScan(path, fullSchema, required, pushed,
       numericOption("maxSplitBytes", _.toLong), limit, aggs,
       topSorts, topLimit, groups,
-      numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1))
+      numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1),
+      partCols)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -309,9 +452,39 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val pushedSorts: Array[PushedSort] = Array.empty,
     val pushedTopN: Int = -1,
     val pushedGroups: Array[String] = Array.empty,
-    maxPushedGroups: Int = 16384)
+    maxPushedGroups: Int = 16384,
+    val partCols: Array[String] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Declared types of the partition columns, in `partCols` order. */
+  private val partTypes: Array[org.apache.spark.sql.types.DataType] =
+    partCols.map(c => fullSchema.fields.find(_.name.equalsIgnoreCase(c)).get
+      .dataType)
+
+  /** A filter whose every reference is a partition column: fully decided
+    * by the file's path, so it prunes directories/files at planning and
+    * never reaches a reader. A filter mixing partition and data columns
+    * (one `Or`, say) can't prune — it evaluates per row against the
+    * spliced-in constants instead.
+    */
+  private def partitionOnly(f: Filter): Boolean = {
+    val refs = f.references
+    refs.nonEmpty && refs.forall(r => partCols.exists(_.equalsIgnoreCase(r)))
+  }
+
+  /** The one-row evaluation frame for partition-only filters: the filter
+    * machinery is exactly [[FilterEval]], over a schema of just the
+    * partition columns.
+    */
+  private val partSchema = StructType(partCols.zip(partTypes).map {
+    case (c, t) => StructField(c, t, nullable = true)
+  })
+
+  private def partRow(vals: Array[String], where: String): InternalRow =
+    new GenericInternalRow(partCols.indices.map(i =>
+      PartitionValues.toInternal(
+        if (i < vals.length) vals(i) else null, partTypes(i), where)).toArray)
 
   /** RUNTIME filters (dynamic pruning): Spark derives them from a join's
     * build side after it materializes — e.g. `k IN (join keys actually
@@ -414,6 +587,15 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           (if (pushedGroups.nonEmpty)
             s", PushedGroupBy: [${pushedGroups.mkString(", ")}]"
           else "")
+      else "") +
+      (if (partCols.nonEmpty)
+        s", PartitionColumns: [${partCols.zip(partTypes)
+          .map { case (c, t) => s"$c ${t.simpleString}" }.mkString(", ")}]" +
+          // counts only once the walk has happened — description must
+          // never FORCE a listing just to explain a plan
+          (if (listed)
+            s", PartitionPruning: $prunedDirs dirs, $prunedFiles files"
+          else "")
       else "")
 
   /** Planner statistics from the file listing ([[SupportsReportStatistics]]):
@@ -423,7 +605,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * gets.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = listing.map(_.getLen).sum
+    private val bytes = listing.map(_._1.getLen).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -452,20 +634,44 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val aggPaths = (pushedGroups.toSeq ++
       pushedAggs.filter(_.field.nonEmpty).map(_.field))
       .map(_.split("\\.", -1).toSeq)
-    val paths = allFilters.flatMap(_.references).distinct.toSeq
+    // partition-only filters never reach a reader (enforced at listing /
+    // plan time), so their references don't belong in the row schema
+    val paths = readerFilters.flatMap(_.references).distinct.toSeq
       .filterNot(_.contains("`"))
       .map(_.split("\\.", -1).toSeq)
     SchemaMerge.merge(base, paths ++ aggPaths, fullSchema)
   }
 
+  /** The filters the READERS evaluate per row: everything pushed or
+    * runtime, minus partition-only predicates — those are fully decided
+    * by the file's path and already enforced by directory/file pruning
+    * (every row of a surviving file satisfies them; a file outside the
+    * matching layout was dropped at plan time).
+    */
+  private def readerFilters: Array[Filter] =
+    if (partCols.isEmpty) allFilters else allFilters.filterNot(partitionOnly)
+
   /** One filesystem listing per Scan, shared by partition planning and
     * [[estimateStatistics]] — stats are re-read per planning round (and
     * per AQE re-optimization), and a fresh glob + listStatus each time
-    * is remote-RPC latency paid for nothing.
+    * is remote-RPC latency paid for nothing. Each file carries the raw
+    * `k=v` values collected on its directory path (aligned to
+    * `partCols`); statically-pushed partition-only filters have already
+    * pruned non-matching DIRECTORIES during the walk.
     */
-  private lazy val listing: Seq[FileStatus] =
+  private lazy val listing: Seq[(FileStatus, Array[String])] =
     listFiles(new Path(path),
       SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Directories the static partition filters pruned during the listing
+    * walk (subtrees never listed), and files the full partition-filter
+    * set (static + runtime) dropped at plan time. Exposed through
+    * [[description]] once known — the observability a pruning scan owes:
+    * "read 3 files" must be distinguishable from "there were only 3".
+    */
+  @volatile private var prunedDirs = 0
+  @volatile private var prunedFiles = 0
+  @volatile private var listed = false
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -475,17 +681,33 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
       .max(1L)
-    listing.flatMap { f =>
+    // file-level partition pruning over the FULL filter set: runtime
+    // filters (dynamic partition pruning — a dimension join's observed
+    // keys) arrive after the listing may already be cached, and files
+    // outside every `k=v` directory carry null partition values, which a
+    // partition equality correctly drops here
+    val partFilters = allFilters.filter(partitionOnly)
+    val files =
+      if (partFilters.isEmpty) listing
+      else {
+        val kept = listing.filter { case (f, vals) =>
+          FilterEval.keep(partFilters, partSchema,
+            partRow(vals, f.getPath.toString))
+        }
+        prunedFiles = listing.size - kept.size
+        kept
+      }
+    files.flatMap { case (f, vals) =>
       // a COMPRESSED file is never byte-split: a gzip stream has no
       // mid-file entry points, so a range split would decode garbage —
       // silent wrong results, the worst kind. One whole-file partition
       // instead; the reader decompresses through the codec.
       if (codecs.getCodec(f.getPath) != null)
         Seq(ExtJsonInputPartition(f.getPath.toString, 0L, f.getLen,
-          wholeFile = true))
+          wholeFile = true, partValues = vals))
       else (0L until f.getLen by maxSplit).map { off =>
         ExtJsonInputPartition(f.getPath.toString, off,
-          math.min(maxSplit, f.getLen - off))
+          math.min(maxSplit, f.getLen - off), partValues = vals)
       }
     }.toArray
   }
@@ -497,7 +719,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * entries (`_`/`.` prefixes) are skipped at every level, matching the
     * builtin file sources.
     */
-  private def listFiles(p: Path, conf: Configuration): Seq[FileStatus] = {
+  private def listFiles(p: Path,
+      conf: Configuration): Seq[(FileStatus, Array[String])] = {
     val fs = p.getFileSystem(conf)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(matches.nonEmpty, s"extjson path matches no files: $path")
@@ -505,10 +728,39 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    def expand(st: FileStatus): Seq[FileStatus] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(expand)
-      else Seq(st)
+    // directory-level pruning: statically pushed filters referencing ONLY
+    // partition columns, evaluated as soon as every referenced column is
+    // bound on the path — a definitively-false subtree is never even
+    // LISTED (at 100 TB the listing RPCs are themselves the cost)
+    val staticPart = pushed.filter(partitionOnly)
+    def pruned(vals: Array[String], bound: Array[Boolean],
+        where: String): Boolean = {
+      val decided = staticPart.filter(_.references.forall(r =>
+        partCols.indices.exists(i =>
+          partCols(i).equalsIgnoreCase(r) && bound(i))))
+      decided.nonEmpty &&
+        !FilterEval.keep(decided, partSchema, partRow(vals, where))
+    }
+    def expand(st: FileStatus, vals: Array[String],
+        bound: Array[Boolean]): Seq[(FileStatus, Array[String])] =
+      if (st.isDirectory) {
+        val (vals2, bound2) = PartitionValues.segment(st.getPath.getName) match {
+          case Some((k, v)) =>
+            val i = partCols.indexWhere(_.equalsIgnoreCase(k))
+            if (i < 0) (vals, bound)
+            else {
+              val nv = vals.clone(); nv(i) = v
+              val nb = bound.clone(); nb(i) = true
+              (nv, nb)
+            }
+          case None => (vals, bound)
+        }
+        if ((bound2 ne bound) && pruned(vals2, bound2, st.getPath.toString)) {
+          prunedDirs += 1
+          Seq.empty
+        } else fs.listStatus(st.getPath).toSeq.filter(visible)
+          .flatMap(expand(_, vals2, bound2))
+      } else Seq((st, vals))
     // a WILDCARD match on a hidden name is dropped like the builtin file
     // sources drop it — otherwise `dir/*` would recurse into another
     // job's in-flight `_temporary` tree and read orphaned task output as
@@ -522,24 +774,34 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     require(roots.nonEmpty,
       s"extjson glob matches only hidden (_/. prefixed) entries: $path — " +
         "name the hidden directory explicitly (no wildcards) to read it")
-    roots.flatMap(expand).filter(f => f.isFile && f.getLen > 0)
+    val out = roots
+      .flatMap(expand(_, new Array[String](partCols.length),
+        new Array[Boolean](partCols.length)))
+      .filter { case (f, _) => f.isFile && f.getLen > 0 }
+    listed = true
+    out
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableWritable(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    ExtJsonReaderFactory(conf, parseSchema.json, required.json, allFilters,
+    ExtJsonReaderFactory(conf, parseSchema.json, required.json, readerFilters,
       pushedLimit, pushedAggs, pushedSorts, pushedTopN, pushedGroups,
-      maxPushedGroups)
+      maxPushedGroups, partCols)
   }
 }
 
 /** @param wholeFile the file is compressed (no mid-file entry points):
   *   the reader opens through the codec at offset 0 and consumes to EOF
   *   instead of honoring a byte range
+  * @param partValues raw `k=v` path values aligned to the scan's
+  *   partition columns (null entry: no such directory on this file's
+  *   path). Shipped as STRINGS — the deterministic wire form — and
+  *   converted to internal values reader-side by the shared
+  *   [[PartitionValues]] rules.
   */
 final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
-    wholeFile: Boolean = false)
+    wholeFile: Boolean = false, partValues: Array[String] = Array.empty)
     extends InputPartition
 
 /** Ships to executors: Hadoop conf via the public [[SerializableWritable]],
@@ -550,18 +812,23 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     parseSchemaJson: String, requiredSchemaJson: String, pushed: Array[Filter],
     limit: Int = -1, aggs: Array[PushedAgg] = Array.empty,
     sorts: Array[PushedSort] = Array.empty, topN: Int = -1,
-    groups: Array[String] = Array.empty, maxGroups: Int = 16384)
+    groups: Array[String] = Array.empty, maxGroups: Int = 16384,
+    partCols: Array[String] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExtJsonInputPartition]
+    // the ROW schema is what filters/getters/projection see; the parser
+    // gets it with partition fields removed, and `insert` splices this
+    // split's constant path values back in per row
+    val rowSchema = DataTypeJson.structFromJson(parseSchemaJson)
+    val (dataSchema, insert) =
+      PartitionValues.inserter(rowSchema, partCols, p.partValues, p.file)
     if (aggs.nonEmpty || groups.nonEmpty)
-      new ExtJsonAggReader(p, conf.value,
-        DataTypeJson.structFromJson(parseSchemaJson), pushed, aggs, groups,
-        maxGroups)
-    else new ExtJsonPartitionReader(p, conf.value,
-      DataTypeJson.structFromJson(parseSchemaJson),
+      new ExtJsonAggReader(p, conf.value, rowSchema, pushed, aggs, groups,
+        maxGroups, dataSchema, insert)
+    else new ExtJsonPartitionReader(p, conf.value, rowSchema,
       DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
-      sorts, topN)
+      sorts, topN, dataSchema, insert)
   }
 }
 
@@ -580,8 +847,16 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
 final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
     conf: Configuration, parseSchema: StructType, requiredSchema: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    sorts: Array[PushedSort] = Array.empty, topN: Int = -1)
+    sorts: Array[PushedSort] = Array.empty, topN: Int = -1,
+    dataSchema: StructType = null, insert: InternalRow => InternalRow = null)
     extends PartitionReader[InternalRow] {
+
+  // partition-column support: parse the DATA fields only, splice the
+  // split's constant path values in per row (identity when the scan has
+  // no partition columns — the defaults keep direct construction simple)
+  private val parsedSchema = if (dataSchema == null) parseSchema else dataSchema
+  private val toRow: InternalRow => InternalRow =
+    if (insert == null) identity else insert
 
   // pushed PARTIAL limit: this split stops parsing after its first
   // `limit` kept rows (Spark's global Limit still runs above)
@@ -594,7 +869,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       ScanMetrics.TaskValue(ScanMetrics.FilteredDocs, filteredDocs),
       ScanMetrics.TaskValue(ScanMetrics.SkimmedLines, 0L))
 
-  private val parser = new ExtJsonParser(parseSchema)
+  private val parser = new ExtJsonParser(parsedSchema)
   // compiled ONCE per reader: field indices, literal conversions, and
   // pattern objects all hoisted out of the per-line loop
   private val keepRow: InternalRow => Boolean =
@@ -626,7 +901,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       if (n == 0) return false
       pos += n
       if (text.getLength > 0) {
-        val row = parser.parse(text.getBytes, 0, text.getLength)
+        val row = toRow(parser.parse(text.getBytes, 0, text.getLength))
         parsedDocs += 1
         if (keepRow(row)) {
           current = project(row)
@@ -652,7 +927,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       if (n == 0) return drain(heap)
       pos += n
       if (text.getLength > 0) {
-        val row = parser.parse(text.getBytes, 0, text.getLength)
+        val row = toRow(parser.parse(text.getBytes, 0, text.getLength))
         parsedDocs += 1
         if (keepRow(row)) {
           heap.offer(project(row))
@@ -913,15 +1188,31 @@ private[v2] object RowProject {
 final class ExtJsonAggReader(split: ExtJsonInputPartition,
     conf: Configuration, parseSchema: StructType, pushed: Array[Filter],
     aggs: Array[PushedAgg], groups: Array[String] = Array.empty,
-    maxGroups: Int = 16384)
+    maxGroups: Int = 16384,
+    dataSchema: StructType = null, insert: InternalRow => InternalRow = null)
     extends PartitionReader[InternalRow] {
 
+  // partition-column support, same contract as the row reader: getters
+  // and group keys resolve against the ROW schema; the parser sees only
+  // the data fields, `toRow` splices the split's constants in
+  private val parsedSchema = if (dataSchema == null) parseSchema else dataSchema
+  private val toRow: InternalRow => InternalRow =
+    if (insert == null) identity else insert
+
+  /** The newline skim stays available when every REMAINING per-row input
+    * is path-constant: no reader filters, no parsed field, and only
+    * COUNT(*) accumulators (group keys that are all partition columns
+    * are one constant key per split — `GROUP BY dt` over a partitioned
+    * drop counts lines without parsing a byte). A non-count aggregate
+    * over a partition column still takes the parse path — with an EMPTY
+    * parse schema, so "parse" is token-skipping only.
+    */
   private val needsParse =
-    pushed.nonEmpty || groups.nonEmpty || aggs.exists(_.kind != "count*")
+    pushed.nonEmpty || parsedSchema.nonEmpty || aggs.exists(_.kind != "count*")
   private val keepRow: InternalRow => Boolean =
     if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
   private val parser =
-    if (needsParse) new ExtJsonParser(parseSchema) else null
+    if (needsParse) new ExtJsonParser(parsedSchema) else null
   // per-agg plan compiled once: kind tag + leaf getter + leaf type — the
   // per-row loop does integer dispatch, never a String match or name walk
   private val KindCountStar = 0
@@ -971,7 +1262,16 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
     val seen = new Array[Boolean](aggs.length)
   }
 
-  private var single: Accum = if (groups.isEmpty) new Accum else null
+  // `single` also backs the skim-with-constant-groups path: the one
+  // group key is path-determined, so one accumulator suffices
+  private var single: Accum =
+    if (groups.isEmpty || !needsParse) new Accum else null
+  // phantom-group guard: a grouped skim over a file of only blank lines
+  // must emit NOTHING — SQL produces no row for an empty group, and an
+  // unconditional (key, 0) partial would invent one
+  private var skimSeen = false
+  private lazy val constRow: InternalRow =
+    toRow(new GenericInternalRow(parsedSchema.length))
   // grouped state: internal values (UTF8String/boxed primitives/Decimal)
   // have value equality, so a List key hashes and compares correctly
   private val groupMap: java.util.LinkedHashMap[List[Any], Accum] =
@@ -1104,10 +1404,11 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
       if (text.getLength > 0) {
         if (!needsParse) {
           skimmedLines += 1
+          skimSeen = true
           var i = 0
           while (i < single.counts.length) { single.counts(i) += 1; i += 1 }
         } else {
-          val row = parser.parse(text.getBytes, 0, text.getLength)
+          val row = toRow(parser.parse(text.getBytes, 0, text.getLength))
           parsedDocs += 1
           if (keepRow == null || keepRow(row)) {
             if (groups.isEmpty) {
@@ -1150,7 +1451,9 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
 
   private def onEof(): Unit =
     if (groups.isEmpty) outQueue.add(partialRow(Nil, single))
-    else flushGroups()
+    else if (!needsParse) {
+      if (skimSeen) outQueue.add(partialRow(groupKey(constRow), single))
+    } else flushGroups()
 
   override def next(): Boolean = {
     while (outQueue.isEmpty && !exhausted) readSome()

@@ -127,6 +127,149 @@ object ProductQuantize {
     } finally if (pinned) { mat.unpersist(blocking = false); () }
   }
 
+  /** `R·vec` through the native [[graft.functions.OpqRotate]] kernel —
+    * the rotation rides the plan as ONE constant reference object, and
+    * the output keeps the input's element type, so a rotated embedding
+    * column drops into [[Similarity.buildIvfIndex]] / [[train]] /
+    * [[encode]] unchanged.
+    */
+  def rotateExpr(vec: Column, rot: Array[Double], dim: Int): Column =
+    call_function("graft_opq_rotate", vec, lit(rot), lit(dim))
+
+  /** OPQ rotation training (Ge et al. 2013, "Optimized Product
+    * Quantization" — public paper; the non-parametric alternation): an
+    * orthogonal `R` minimizing PQ reconstruction error IN THE ROTATED
+    * SPACE, alternating (1) per-subspace Lloyd on `R·x` with (2) the
+    * orthogonal-Procrustes update `R = V·Uᵀ` from the SVD of
+    * `Σ xᵢ·yᵢᵀ` (yᵢ = the rotated sample's PQ reconstruction). Plain PQ
+    * wastes code budget when variance is spread unevenly ACROSS
+    * subspaces (correlated/anisotropic embeddings — the common case for
+    * learned encoders); the trained rotation re-balances it, lifting ADC
+    * recall at identical code size with zero float reads at query time.
+    *
+    * Runs on the SAME bounded deterministic sample as [[train]] — OPQ
+    * matrix training is sample-bound by design (FAISS trains its OPQ
+    * transform on the training sample, never the corpus), so driver
+    * state is O(sample·dim + dim²) and the cluster never sees a dim²
+    * shuffle. Returned row-major; orthogonality makes every downstream
+    * distance invariant, so the matrix composes in FRONT of the coarse
+    * index, the codebooks, and the queries (the FAISS `OPQnxM`
+    * VectorTransform position) with all search machinery reused as-is.
+    */
+  def trainOpqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, k: Int = 16, opqIters: Int = 8,
+      seed: Long = 42L, trainPerCentroid: Int = 64,
+      lloydIters: Int = 4): Array[Double] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val (mat, pinned) = graft.core.CacheOnce.pinIfUnpinned(corpus)
+    val sample: Array[Array[Double]] =
+      try {
+        val n = mat.count()
+        val sampleMod = math.max(1L, n / (k.toLong * trainPerCentroid))
+        val train0 =
+          if (sampleMod == 1L) mat
+          else mat.filter(
+            pmod(xxhash64(col(idCol), lit(seed + 1)), lit(sampleMod)) === 0)
+        // ONE deterministic hash-ordered collect: the first k rows seed
+        // every subspace's Lloyd (the [[train]] init convention), and the
+        // fixed order makes all local double accumulation reproducible
+        train0.select(col(vecCol))
+          .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+          .collect()
+          .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+          .filter(v => v.length == dim)
+      } finally if (pinned) { mat.unpersist(blocking = false); () }
+    require(sample.length >= k,
+      s"OPQ training sample has ${sample.length} rows < k=$k")
+    import breeze.linalg.{svd, DenseMatrix => BDM}
+    var r = BDM.eye[Double](dim)
+    for (_ <- 1 to opqIters) {
+      // z = R·x for the whole sample
+      val z = sample.map { x =>
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += r(i, j) * x(j); j += 1 }
+          out(i) = acc
+          i += 1
+        }
+        out
+      }
+      // per-subspace local Lloyd (k is small; the sample is bounded):
+      // init from the first k hash-ordered rows, ties and empty clusters
+      // resolved exactly like the distributed [[train]]/kernel path
+      val recon = Array.fill(z.length)(new Array[Double](dim))
+      for (s <- 0 until m) {
+        val off = s * subDim
+        var cents = Array.tabulate(k)(j => z(j).slice(off, off + subDim))
+        var assign = new Array[Int](z.length)
+        for (_ <- 1 to lloydIters) {
+          var i = 0
+          while (i < z.length) {
+            var best = 0
+            var bestScore = Double.NegativeInfinity
+            var j = 0
+            while (j < k) {
+              var dot = 0.0
+              var cc = 0.0
+              var d = 0
+              while (d < subDim) {
+                dot += z(i)(off + d) * cents(j)(d)
+                cc += cents(j)(d) * cents(j)(d)
+                d += 1
+              }
+              val score = dot - cc / 2.0
+              if (score >= bestScore) { bestScore = score; best = j }
+              j += 1
+            }
+            assign(i) = best
+            i += 1
+          }
+          val sums = Array.fill(k)(new Array[Double](subDim))
+          val cnt = new Array[Long](k)
+          var i2 = 0
+          while (i2 < z.length) {
+            val j = assign(i2)
+            cnt(j) += 1
+            var d = 0
+            while (d < subDim) { sums(j)(d) += z(i2)(off + d); d += 1 }
+            i2 += 1
+          }
+          cents = Array.tabulate(k)(j =>
+            if (cnt(j) == 0) cents(j)
+            else sums(j).map(_ / cnt(j)))
+        }
+        var i3 = 0
+        while (i3 < z.length) {
+          System.arraycopy(cents(assign(i3)), 0, recon(i3), off, subDim)
+          i3 += 1
+        }
+      }
+      // orthogonal Procrustes: maximize tr(R·A), A = Σ xᵢ·yᵢᵀ → R = V·Uᵀ
+      val a = BDM.zeros[Double](dim, dim)
+      var i4 = 0
+      while (i4 < sample.length) {
+        val x = sample(i4)
+        val y = recon(i4)
+        var p = 0
+        while (p < dim) {
+          var q = 0
+          while (q < dim) { a(p, q) += x(p) * y(q); q += 1 }
+          p += 1
+        }
+        i4 += 1
+      }
+      val svd.SVD(u, _, vt) = svd(a)
+      r = vt.t * u.t
+    }
+    val flat = new Array[Double](dim * dim)
+    for (i <- 0 until dim; j <- 0 until dim) flat(i * dim + j) = r(i, j)
+    flat
+  }
+
   /** The IVF-PQ inverted file: coarse cell from the raw vector
     * ([[Similarity.assignCells]] routing, untouched by quantization) with
     * the m-nibble PQ code in place of the floats. Rows: (idCol, cell,
@@ -308,6 +451,32 @@ object ProductQuantize {
     * artifact a billion-scale deployment queries: 16×-smaller rows, and a
     * probe of `nProbe` cells reads `nProbe` directories, not the corpus.
     */
+  /** Incremental encode-append for the PQ inverted file — FAISS's
+    * add-with-existing-codebooks semantic, pairing with the float index's
+    * [[Similarity.appendBatch]]: the NEW batch alone is coarse-assigned
+    * and PQ-encoded under the SAVED quantizers (both map-only; centroids
+    * and codebooks are plan literals), its rows append to the
+    * cell-partitioned parquet at `path`, and the same drift gate reports
+    * whether the batch's assignment score says the quantizers need a
+    * rebuild. Cost is one scan of the batch, zero scans of the existing
+    * corpus, zero shuffles; determinism of [[encodeExpr]] makes
+    * search-after-append row-identical to a from-scratch encode of the
+    * union corpus (ProjectQuantizeSpec pins the equality).
+    */
+  def appendEncodedBatch(index: Similarity.IvfIndex, cb: PqCodebooks,
+      batch: DataFrame, idCol: String, vecCol: String, path: String,
+      relTolerance: Double = 0.05): Similarity.IvfDrift = {
+    val assigned = Similarity.assignCells(batch, idCol, vecCol, index)
+      .persist()
+    try {
+      val drift = Similarity.driftCheck(index, assigned, vecCol, relTolerance)
+      assigned.select(col(idCol), col("cell"),
+        encodeExpr(col(vecCol), cb).as("code"))
+        .write.mode("append").partitionBy("cell").parquet(path)
+      drift
+    } finally { assigned.unpersist(blocking = false); () }
+  }
+
   def saveEncoded(encoded: DataFrame, path: String): Unit =
     encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
 

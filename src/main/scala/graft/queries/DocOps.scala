@@ -80,6 +80,46 @@ object DocOps {
   private def readOrdersDec(s: SparkSession, d: String): DataFrame =
     ExtendedJson.read(s, decodedOrdersDec, ordersJsonl(s, d))
 
+  /** One hive-layout materialization per (JVM, sfDir): the same orders
+    * drop written DATE-PARTITIONED — `status=F/py=1995/part-….txt` —
+    * the reference's daily-delta S3 layout shape
+    * (`dags/includes/utils.py:42-47`: date-keyed files). The partition
+    * values live ONLY in the path; the JSON lines carry just the data
+    * fields.
+    */
+  private val builtPart = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ordersPartJsonl(s: SparkSession, d: String): String =
+    builtPart.computeIfAbsent(d, _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_part_$tag")}/orders"
+      Tables.orders(s, d)
+        .withColumn("py", year(col("o_orderdate")))
+        .select(col("o_orderstatus").as("status"), col("py"),
+          to_json(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"))).as("value"))
+        .repartition(col("status"), col("py"))
+        .write.mode("overwrite").partitionBy("status", "py").text(dir)
+      dir
+    })
+
+  /** Decoded schema of the partitioned drop: `status`/`py` are declared
+    * like any column but marked as partition columns at read time — their
+    * values decode from the `k=v` directories, typed by this schema.
+    */
+  private val decodedOrdersPart = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderpriority", StringType),
+    StructField("status", StringType),
+    StructField("py", IntegerType)))
+
+  private def readOrdersPart(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersPart, ordersPartJsonl(s, d),
+      Map("partitionColumns" -> "status,py"))
+
   /** T1 through the document source: a three-column projection whose
     * pruning lands ON the V2 scan (PlanSpec-pinned ReadSchema) — the four
     * pruned fields are `skipChildren()`-ed, never materialized.
@@ -284,7 +324,23 @@ object DocOps {
       .agg(avg(col("o_custkey")).as("avg_cust"),
         count(lit(1)).as("n_orders"))
 
+  /** A date predicate over a hive-partitioned document drop: the status
+    * and year filters prune DIRECTORIES at listing time (non-matching
+    * subtrees are never listed, let alone parsed — the scan description
+    * records the pruned counts), the surviving files group by their
+    * path-constant `py` with a pushed SUM partial per split. At 100 TB
+    * this is the difference between reading one year and reading the
+    * archive.
+    */
+  private def q141PartitionPrune(s: SparkSession, d: String): DataFrame =
+    readOrdersPart(s, d)
+      .filter(col("status") === "F" && col("py") >= 1995)
+      .groupBy(col("py"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_custkey")).as("__s"))
+      .select(col("py"), col("n_orders"), col("__s").cast("long").as("sum_cust"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_docsource_partition_prune" -> q141PartitionPrune,
     "q139_docsource_group_sum" -> q139GroupSum,
     "q140_docsource_filtered_avg" -> q140FilteredAvg,
     "q138_docsource_filtered_group" -> q138FilteredGroup,
@@ -300,6 +356,11 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q141_docsource_partition_prune" ->
+      ("SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS py, " +
+        "COUNT(*) AS n_orders, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust " +
+        "FROM orders WHERE o_orderstatus = 'F' " +
+        "AND EXTRACT(year FROM o_orderdate) >= 1995 GROUP BY 1"),
     "q139_docsource_group_sum" ->
       ("SELECT o_orderstatus, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, " +

@@ -517,6 +517,71 @@ object SimOps {
       "vec_id", "embedding", topK, nProbe = 2)
   }
 
+  /** q126's IVF-PQ with a trained OPQ rotation in front (Ge et al. 2013;
+    * the FAISS `OPQnxM` VectorTransform position): the rotation is
+    * learned from the bounded sample
+    * ([[ProductQuantize.trainOpqRotation]]), then EVERYTHING — coarse
+    * index build, PQ training, corpus encode, and the queries — runs in
+    * the rotated space through the one native `graft_opq_rotate` kernel,
+    * so every downstream search operator is reused verbatim.
+    * Orthogonality preserves distances exactly, which is also why the
+    * planted-copy oracle holds unchanged: rotated copies still share
+    * their query's rotated vector bit-for-bit (same input ⇒ same kernel
+    * output), share its code, and rank 1..topK in id order.
+    */
+  private def q142OpqIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val raw = exactPlantedCorpus(emb).persist()
+    val rot = ProductQuantize.trainOpqRotation(raw, "vec_id", "embedding",
+      dim = 64, opqIters = 2, lloydIters = 2)
+    val corpus = raw.select(col("vec_id"),
+      ProductQuantize.rotateExpr(col("embedding"), rot, 64).as("embedding"))
+      .persist()
+    val queries = corpus.filter(col("vec_id") < 20)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
+      iters = 1)
+    val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
+      index, cb)
+    ProductQuantize.ivfPqTopK(index, cb, queries, encoded,
+      "vec_id", "embedding", topK, nProbe = 2)
+  }
+
+  /** q137's saved inverted file grown INCREMENTALLY
+    * ([[ProductQuantize.appendEncodedBatch]] — FAISS's
+    * add-with-existing-codebooks): the initial encode persists WITHOUT
+    * each query's two highest-id planted copies, then those arrive as
+    * the streaming batch — coarse-assigned and encoded under the saved
+    * quantizers, appended to the cell directories, never retraining.
+    * Graded against the full planted oracle: ranks 1..5 must include the
+    * APPENDED copies (m ∈ {4,5}), which fails unless appended rows are
+    * searched exactly like originally-encoded ones.
+    */
+  private def q143PqAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = exactPlantedCorpus(emb).persist()
+    // planted ids are orig·10 + 1000000 + m (m ∈ 1..topK): copies m ≥ 4
+    // form the late-arriving batch
+    val isLate = col("vec_id") > 1000000L &&
+      pmod(col("vec_id") - 1000000L, lit(10L)) >= 4
+    val base = corpus.filter(!isLate)
+    val batch = corpus.filter(isLate)
+    val queries = emb.filter(col("vec_id") < 20)
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val root = graft.core.Scratch.ephemeralDir(s"graft_pq_append_$tag")
+    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding")
+    val cb = ProductQuantize.train(base, "vec_id", "embedding", dim = 64,
+      iters = 1)
+    ProductQuantize.saveEncoded(ProductQuantize.encode(
+      base, "vec_id", "embedding", index, cb), s"$root/codes")
+    ProductQuantize.appendEncodedBatch(index, cb, batch, "vec_id",
+      "embedding", s"$root/codes")
+    ProductQuantize.ivfPqTopK(index, cb, queries,
+      ProductQuantize.loadEncoded(s, s"$root/codes"),
+      "vec_id", "embedding", topK, nProbe = 2)
+  }
+
   /** q117's probed SQ8 search ranked by the EXACT bounded-heap aggregate
     * (`graft_topk_rows`) instead of the per-query window — the
     * billion-query shape (map-side partials prune candidates to k-entry
@@ -657,6 +722,8 @@ object SimOps {
     "q126_ivf_pq" -> q126IvfPq _,
     "q135_ivf_pq_refine" -> q135IvfPqRefine _,
     "q137_ivf_pq_saved" -> q137IvfPqSaved _,
+    "q142_opq_ivf_pq" -> q142OpqIvfPq _,
+    "q143_pq_append" -> q143PqAppend _,
     "q127_ivf_sq8_agg" -> q127IvfSq8Agg _,
     "q128_ivf_pq_res" -> q128IvfPqRes _,
     "q111_sim_join" -> q111SimJoin _,
@@ -839,6 +906,13 @@ object SimOps {
     "q135_ivf_pq_refine" -> pqPlantedOracleSql,
     // the saved-artifact lifecycle must not disturb it either
     "q137_ivf_pq_saved" -> pqPlantedOracleSql,
+    // an ORTHOGONAL rotation in front preserves the contract exactly:
+    // rotated copies still share the query's vector, code, and cell
+    "q142_opq_ivf_pq" -> pqPlantedOracleSql,
+    // encode-append must leave appended rows indistinguishable from
+    // originally-encoded ones — the m ∈ {4,5} copies arrive by append
+    // and must still claim their ranks
+    "q143_pq_append" -> pqPlantedOracleSql,
     // same contract in residual mode: the copies' residual codes attain
     // the per-subspace minimum against the query's own residual frame
     "q128_ivf_pq_res" -> pqPlantedOracleSql,

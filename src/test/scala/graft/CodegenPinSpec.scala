@@ -108,6 +108,7 @@ class CodegenPinSpec extends AnyFunSuite {
     withForcedCodegen {
       val rows = base.select(
         col("i"),
+        col("vf"),
         call_function("graft_pq_encode", col("vf"), lit(books),
           lit(2), lit(2)).as("code"),
         call_function("graft_pq_dtab", col("vd"), lit(books),
@@ -115,7 +116,11 @@ class CodegenPinSpec extends AnyFunSuite {
         call_function("graft_pq_encode_res", col("vf"), pmod(col("i"), lit(2)),
           lit(coarse), lit(books), lit(2), lit(2)).as("code_res"),
         call_function("graft_pq_dtab_res", col("vd"), pmod(col("i"), lit(2)),
-          lit(coarse), lit(books), lit(2), lit(2)).as("dtab_res"))
+          lit(coarse), lit(books), lit(2), lit(2)).as("dtab_res"),
+        call_function("graft_opq_rotate", col("vf"),
+          // a 4×4 permutation matrix: reverses the vector, exactly
+          lit(Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0,
+            0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)), lit(4)).as("rot"))
         .withColumn("adc", call_function("graft_pq_adc",
           col("dtab"), col("code"), lit(2), lit(2)))
         .collect()
@@ -126,6 +131,9 @@ class CodegenPinSpec extends AnyFunSuite {
         assert(r.getSeq[Int](r.fieldIndex("code_res")).length == 2)
         assert(r.getSeq[Double](r.fieldIndex("dtab_res")).length == 4)
         assert(!r.isNullAt(r.fieldIndex("adc")))
+        // the permutation rotation reverses vf, at FLOAT element type
+        assert(r.getSeq[Float](r.fieldIndex("rot")) ==
+          r.getSeq[Float](r.fieldIndex("vf")).reverse)
       }
       // vector (0,1,0,3): subspace 0 → (0,0) over (2,2); subspace 1 → (0,3)
       // nearer (0,0) at raw scale but codebook (5,5) wins for larger ids —

@@ -302,6 +302,124 @@ class DocSourceV2Spec extends AnyFunSuite {
       == nul(ExtendedJson.read(spark, schema, s"$dir/sum.jsonl")).collect().toSeq)
   }
 
+  private def writePart(root: String, rel: String, lines: Seq[String]): Unit = {
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  test("partition columns: typed path values, directory pruning, null layout holes") {
+    val root = Files.createTempDirectory("graft_v2part").toString
+    // two-level hive layout; dt is a DATE, region a STRING with an
+    // escaped '=' in one value; one file sits OUTSIDE any dt dir (its
+    // partition values are null); one dir uses the hive null marker
+    writePart(root, "dt=2024-01-01/region=eu/a.jsonl",
+      Seq("""{"k": 1}""", """{"k": 2}"""))
+    writePart(root, "dt=2024-01-01/region=a%3Db/b.jsonl", Seq("""{"k": 3}"""))
+    writePart(root, "dt=2024-02-01/region=us/c.jsonl",
+      Seq("""{"k": 4}""", """{"k": 5}"""))
+    writePart(root, "dt=__HIVE_DEFAULT_PARTITION__/region=eu/d.jsonl",
+      Seq("""{"k": 6}"""))
+    writePart(root, "loose.jsonl", Seq("""{"k": 7}"""))
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("dt", DateType),
+      StructField("region", StringType)))
+    def src = ExtendedJson.read(spark, schema, root,
+      Map("partitionColumns" -> "dt,region"))
+    // values decode typed from the path: the escaped region round-trips,
+    // the hive default marker and the loose file read as null
+    val all = src.select(col("k"), date_format(col("dt"), "yyyy-MM-dd")
+      .as("d"), col("region")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(all == Set((1L, "2024-01-01", "eu"), (2L, "2024-01-01", "eu"),
+      (3L, "2024-01-01", "a=b"), (4L, "2024-02-01", "us"),
+      (5L, "2024-02-01", "us"), (6L, null, "eu"), (7L, null, null)))
+    // a date range predicate prunes the non-matching dt SUBTREE at
+    // listing time: the 2024-01-01 tree is never listed into splits
+    val pruned = src.filter(col("dt") >= java.sql.Date.valueOf("2024-02-01"))
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    val scan = v2Scan(pruned)
+    val files = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition].file)
+    assert(files.nonEmpty && files.forall(_.contains("dt=2024-02-01")), files.toSeq)
+    assert(scan.description().contains("PartitionColumns: [dt date, region string]"),
+      scan.description())
+    assert(scan.description().matches(".*PartitionPruning: [1-9]\\d* dirs.*"),
+      scan.description())
+    // a filter MIXING partition and data columns can't prune dirs but
+    // evaluates correctly per row against the spliced-in constants
+    val mixed = src.filter(col("region") === "us" || col("k") === 1L)
+    assert(mixed.collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+    // IsNull on a partition column keeps exactly the layout holes
+    assert(src.filter(col("dt").isNull).collect().map(_.getLong(0)).toSet ==
+      Set(6L, 7L))
+  }
+
+  test("partition columns: skim-grouped counts, pushed SUM over data, runtime pruning") {
+    val root = Files.createTempDirectory("graft_v2part2").toString
+    writePart(root, "py=1995/a.jsonl", Seq("""{"v": 10}""", """{"v": 20}"""))
+    writePart(root, "py=1996/b.jsonl", Seq("""{"v": 30}"""))
+    // blank-lines-only file: its group must NOT appear (phantom-group
+    // guard — SQL emits no row for an empty group)
+    writePart(root, "py=1997/c.jsonl", Seq("", "", ""))
+    val schema = StructType(Seq(
+      StructField("v", LongType), StructField("py", IntegerType)))
+    def src = ExtendedJson.read(spark, schema, root,
+      Map("partitionColumns" -> "py"))
+    // agg plans sit under AQE in executedPlan — pull the scan from the
+    // pre-adaptive sparkPlan (same Scan instance)
+    def aggScan(df: DataFrame) = {
+      val scans = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.sparkPlan
+        .collect { case b: BatchScanExec => b.scan }
+      assert(scans.length == 1, s"expected one V2 scan, got $scans")
+      scans.head.asInstanceOf[ExtJsonScan]
+    }
+    // GROUP BY partition col + COUNT(*): the skim path — constant group
+    // key per split, zero bytes parsed
+    val counted = src.groupBy(col("py")).agg(count(lit(1)).as("n"))
+    val scan = aggScan(counted)
+    assert(scan.aggPushed && scan.pushedGroups.toSeq == Seq("py"),
+      scan.description())
+    assert(counted.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1995, 2L), (1996, 1L)))
+    // grouped SUM over a data column keyed by the partition col: parse
+    // path with constants spliced in
+    val summed = src.groupBy(col("py")).agg(sum(col("v")).as("sv"))
+    assert(summed.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1995, 30L), (1996, 30L)))
+    // MIN over the partition column itself: empty parse schema, value
+    // from the path constant
+    assert(src.agg(min(col("py"))).collect().head.getInt(0) == 1995)
+    // runtime partition filters (dynamic pruning) drop FILES at plan
+    // time even though the listing is already cached
+    val scan2 = v2Scan(src.filter(col("v") > 0))
+    val before = scan2.planInputPartitions().length
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("py", 1996)))
+    val after = scan2.planInputPartitions()
+    assert(after.length < before, s"$before -> ${after.length}")
+    assert(after.forall(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition]
+      .file.contains("py=1996")))
+    // a malformed directory value for the declared type fails LOUDLY
+    writePart(root, "py=notayear/z.jsonl", Seq("""{"v": 1}"""))
+    val e = intercept[Exception] {
+      ExtendedJson.read(spark, schema, root, Map("partitionColumns" -> "py"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("notayear")), e.toString)
+    // a partitionColumns entry that is not in the schema fails at build
+    val e2 = intercept[Exception] {
+      ExtendedJson.read(spark, schema, root, Map("partitionColumns" -> "nope"))
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("nope")), e2.toString)
+  }
+
   test("compiled filter closures are value-identical to per-row keep") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.sources._

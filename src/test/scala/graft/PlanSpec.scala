@@ -563,6 +563,33 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType, s.readSchema().catalogString)
   }
 
+  test("q141 partition filters prune directories; pruned dirs never reach splits") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q141_docsource_partition_prune").sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // the split list proves the pruning: every planned file sits under
+    // status=F and a year >= 1995 — the non-matching subtrees (O/P
+    // status, earlier years) were never listed into splits
+    val files = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition].file)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("status=F")), files.take(5).toSeq)
+    val yr = "py=(\\d+)".r
+    assert(files.forall(f => yr.findFirstMatchIn(f).exists(_.group(1).toInt >= 1995)),
+      files.take(5).toSeq)
+    val d = s.description()
+    assert(d.contains("PartitionColumns: [status string, py int]"), d)
+    assert(d.matches(".*PartitionPruning: [1-9]\\d* dirs.*"), d)
+    // the surviving files still push the grouped SUM: partition pruning
+    // and aggregate pushdown compose on one scan
+    assert(d.contains("PushedAggregation: [COUNT(*), SUM(o_custkey)]"), d)
+    assert(d.contains("PushedGroupBy: [py]"), d)
+  }
+
   test("q132 nested ORDER BY + LIMIT pushes dotted top-N onto the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q132_docsource_nested_topn").executedPlan

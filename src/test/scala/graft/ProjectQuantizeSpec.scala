@@ -419,6 +419,116 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     assert(w._1 >= -1000L && w._2 <= 1000L && w._1 < 0 && w._2 > 0)
   }
 
+  // ---- OPQ rotation (Ge et al. 2013) -------------------------------------
+
+  /** A deterministic orthogonal matrix: Gram-Schmidt over a seeded
+    * pseudo-random square matrix (scala.util.Random is a fixed LCG, so
+    * this is bit-stable across JVMs).
+    */
+  private def scrambler(dim: Int, seed: Int): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    val m = Array.fill(dim, dim)(r.nextGaussian())
+    for (i <- 0 until dim) {
+      for (p <- 0 until i) {
+        val d = (0 until dim).map(j => m(i)(j) * m(p)(j)).sum
+        for (j <- 0 until dim) m(i)(j) -= d * m(p)(j)
+      }
+      val nrm = math.sqrt((0 until dim).map(j => m(i)(j) * m(i)(j)).sum)
+      for (j <- 0 until dim) m(i)(j) /= nrm
+    }
+    m
+  }
+
+  test("trainOpqRotation returns an orthogonal matrix; rotation kernel applies it") {
+    val dim = 8
+    val df = (0 until 80).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val rot = ProductQuantize.trainOpqRotation(df, "vec_id", "embedding",
+      dim, m = 2, k = 4, opqIters = 3, lloydIters = 2)
+    assert(rot.length == dim * dim)
+    // R·Rᵀ = I: the Procrustes update can only ever produce orthogonal
+    // matrices, whatever the data
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(t => rot(i * dim + t) * rot(j * dim + t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRᵀ($i,$j)=$d")
+    }
+    // the kernel computes R·x exactly (float in, float out) and nulls a
+    // wrong-length vector instead of guessing
+    val x = randVec(99, dim)
+    val got = df.limit(1).select(
+      ProductQuantize.rotateExpr(typedLit(x), rot, dim).as("y"),
+      ProductQuantize.rotateExpr(typedLit(Array(1.0f, 2.0f)), rot, dim).as("bad"))
+      .head()
+    val want = (0 until dim).map(i =>
+      (0 until dim).map(j => rot(i * dim + j) * x(j)).sum.toFloat)
+    assert(got.getSeq[Float](0) == want)
+    assert(got.isNullAt(1))
+  }
+
+  /** The Ge et al. motivation, measured: embeddings whose variance
+    * concentrates in a few latent directions SCRAMBLED across every
+    * coordinate (a fixed orthogonal mix — the shape learned encoders
+    * produce) defeat axis-aligned subspace splitting, and the trained
+    * rotation recovers the lost ADC recall at identical code size with
+    * zero float reads. Exhaustive ADC on a one-cell index isolates the
+    * quantizer (no probe effects); all randomness is seed-pinned, so the
+    * measured recalls are deterministic and the floors are real.
+    */
+  test("OPQ rotation lifts ADC recall on anisotropic embeddings") {
+    val dim = 16
+    val n = 240
+    val q = scrambler(dim, 11)
+    val rnd = new scala.util.Random(23)
+    def mk(): Array[Float] = {
+      // latent: 4 dominant directions, 12 near-noise
+      val z = Array.tabulate(dim)(j =>
+        rnd.nextGaussian() * (if (j < 4) 4.0 else 0.25))
+      Array.tabulate(dim)(i =>
+        (0 until dim).map(j => q(i)(j) * z(j)).sum.toFloat)
+    }
+    val corpus = (0 until n).map(i => (i.toLong, mk()))
+      .toDF("vec_id", "embedding").persist()
+    try {
+      val k = 5
+      val queries = corpus.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(queries, corpus, "vec_id", "embedding", k)
+        .select("query_id", "neighbor_id").persist()
+      // one designated cell → nProbe=1 is EXHAUSTIVE ADC
+      val index = Similarity.indexFromVectors(corpus, "vec_id", "embedding",
+        Seq(0L))
+      def adcHits(df: org.apache.spark.sql.DataFrame): Long = {
+        val cb = ProductQuantize.train(df, "vec_id", "embedding", dim,
+          m = 4, k = 16, iters = 2)
+        val enc = ProductQuantize.encode(df, "vec_id", "embedding", index, cb)
+        ProductQuantize.ivfPqTopK(index, cb, df.filter(col("vec_id") < 20),
+          enc, "vec_id", "embedding", k, nProbe = 1)
+          .select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id")).count()
+      }
+      val plain = adcHits(corpus)
+      val rot = ProductQuantize.trainOpqRotation(corpus, "vec_id",
+        "embedding", dim, m = 4, k = 16, opqIters = 8, lloydIters = 3)
+      val rotated = corpus.select(col("vec_id"),
+        ProductQuantize.rotateExpr(col("embedding"), rot, dim)
+          .as("embedding")).persist()
+      try {
+        // exact neighbors are rotation-invariant (orthogonality), so the
+        // same `exact` frame grades both quantizers
+        val opq = adcHits(rotated)
+        val total = 20.0 * k
+        info(f"ADC recall@5: plain=${plain / total}%.3f opq=${opq / total}%.3f")
+        assert(opq > plain,
+          s"OPQ recall did not lift: plain=$plain opq=$opq of ${total.toLong}")
+        // observed deterministic operating points (seed-pinned): plain
+        // 39/100, OPQ 48/100 — floors leave headroom for benign
+        // reduction-order drift while keeping the lift claim real
+        assert(opq >= 44, s"OPQ recall floor: $opq")
+        assert(plain >= 30, s"plain-PQ sanity floor: $plain")
+      } finally { rotated.unpersist(blocking = false); () }
+    } finally { corpus.unpersist(blocking = false); () }
+  }
+
   // ---- recall profiling of the LEARNED indexes ---------------------------
 
   /** q134 profiles the SQL-portable designated-vector index; the LLOYD-
