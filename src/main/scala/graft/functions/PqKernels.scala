@@ -28,6 +28,18 @@ final class PqRef(val m: Int, val k: Int, val flat: Array[Double],
   /** Number of coarse cells when residual-mode state is present. */
   val cells: Int = if (coarse.isEmpty) 0 else coarse.length / dim
 
+  // content equality (the [[BloomRef]] convention) so plan-level
+  // dedup/canonicalization sees two same-codebook kernels as equal
+  override def equals(other: Any): Boolean = other match {
+    case o: PqRef => m == o.m && k == o.k &&
+      java.util.Arrays.equals(flat, o.flat) &&
+      java.util.Arrays.equals(coarse, o.coarse)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((31 * m + k) * 31 + java.util.Arrays.hashCode(flat)) * 31 +
+      java.util.Arrays.hashCode(coarse)
+
   /** Σ c² per flattened centroid (s·k + j). */
   val cc: Array[Double] = {
     val out = new Array[Double](m * k)
@@ -378,6 +390,17 @@ case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
 final class RotRef(val dim: Int, val mat: Array[Double]) extends Serializable {
   require(dim > 0 && mat.length == dim * dim,
     s"rotation length ${mat.length} != dim²=${dim * dim}")
+
+  // content equality (the [[BloomRef]] convention): two occurrences of
+  // the same rotation must compare equal or Catalyst's subexpression
+  // elimination / canonicalization treats them as distinct expressions
+  // and pays the dim² kernel once per occurrence
+  override def equals(other: Any): Boolean = other match {
+    case o: RotRef => dim == o.dim && java.util.Arrays.equals(mat, o.mat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * dim + java.util.Arrays.hashCode(mat)
 
   /** y = R·x, emitted at the INPUT's element type (float stays float, so
     * a rotated embedding column drops into every downstream vector

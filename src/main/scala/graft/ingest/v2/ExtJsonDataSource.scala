@@ -320,7 +320,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * memory is bounded: a split observing more than `maxPushedGroups`
     * distinct keys flushes its partial map and starts over — duplicate
     * partial rows per key are exactly what the final merge already
-    * handles (decimal sums also flush pre-overflow, see [[SumTypes]]).
+    * handles (decimal and long sums also flush pre-overflow, see
+    * [[SumTypes]]).
     * Refused under a pushed limit/top-N — Spark then falls back to the
     * ordinary scan + agg.
     */
@@ -594,7 +595,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           // counts only once the walk has happened — description must
           // never FORCE a listing just to explain a plan
           (if (listed)
-            s", PartitionPruning: $prunedDirs dirs, $prunedFiles files"
+            s", PartitionPruning: ${prunedDirs.get} dirs, ${prunedFiles.get} files"
           else "")
       else "")
 
@@ -665,12 +666,16 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
 
   /** Directories the static partition filters pruned during the listing
     * walk (subtrees never listed), and files the full partition-filter
-    * set (static + runtime) dropped at plan time. Exposed through
-    * [[description]] once known — the observability a pruning scan owes:
-    * "read 3 files" must be distinguishable from "there were only 3".
+    * set (static + runtime) dropped at the LATEST planning round (AQE /
+    * runtime-filter re-planning re-plans; the newest count is the one a
+    * plan description should show). Exposed through [[description]] once
+    * known — the observability a pruning scan owes: "read 3 files" must
+    * be distinguishable from "there were only 3". Atomics, not volatile
+    * `+=`: planning can in principle run concurrently (observability
+    * only — results never depend on these).
     */
-  @volatile private var prunedDirs = 0
-  @volatile private var prunedFiles = 0
+  private val prunedDirs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val prunedFiles = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var listed = false
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -694,7 +699,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           FilterEval.keep(partFilters, partSchema,
             partRow(vals, f.getPath.toString))
         }
-        prunedFiles = listing.size - kept.size
+        prunedFiles.set(listing.size - kept.size)
         kept
       }
     files.flatMap { case (f, vals) =>
@@ -756,7 +761,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           case None => (vals, bound)
         }
         if ((bound2 ne bound) && pruned(vals2, bound2, st.getPath.toString)) {
-          prunedDirs += 1
+          prunedDirs.incrementAndGet()
           Seq.empty
         } else fs.listStatus(st.getPath).toSeq.filter(visible)
           .flatMap(expand(_, vals2, bound2))
@@ -1242,14 +1247,23 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
         }
     }
   }
-  private val hasDecSum = kindTag.contains(KindSumDecimal)
+  // sums whose partials must stay in-range: decimals can't exceed the
+  // child's (p,s) (the SumTypes cast-back contract) and LONG partials
+  // must never wrap — an unpushed ANSI SUM(BIGINT) would throw on
+  // overflow, so a silently wrapped partial would diverge from the plan
+  // this pushdown replaces. Both flush pre-overflow instead (mode-
+  // agnostic: Spark's final merge then detects a true total overflow
+  // under whatever eval mode the session runs).
+  private val hasBoundedSum =
+    kindTag.contains(KindSumDecimal) || kindTag.contains(KindSumLong)
   private val groupGetter: Array[InternalRow => Any] =
     groups.map(FilterEval.compiledGetter(_, parseSchema))
 
   /** One partial-aggregate state: counts, current extremes, and running
-    * sums (long for integral children — wrap-exact under any merge order;
-    * double for float/double; java BigDecimal for decimal children, held
-    * unbounded here and kept emittable by the pre-overflow flush). `seen`
+    * sums (long for integral children, kept in Long range by the
+    * pre-overflow flush — never silently wrapped; double for
+    * float/double; java BigDecimal for decimal children, held unbounded
+    * here and kept emittable by the pre-overflow flush). `seen`
     * distinguishes a zero sum from no non-null input (SUM over nothing is
     * NULL, and an all-splits-emit-zero would merge to 0 — wrong).
     */
@@ -1330,14 +1344,16 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
     }
   }
 
-  /** Would accumulating this row push any decimal running sum past its
-    * child's (precision, scale) — i.e. past what [[SumTypes]]' contract
-    * lets a partial row declare? Checked BEFORE accumulating so the
+  /** Would accumulating this row push any bounded running sum out of its
+    * partial-row range — a decimal past its child's (precision, scale)
+    * (past what [[SumTypes]]' contract lets a partial row declare) or a
+    * long past Long range (a wrap the unpushed ANSI plan would have
+    * raised as an overflow error)? Checked BEFORE accumulating so the
     * current state can flush as a valid partial first (the row's own
     * value always fits: it parsed at that type). Called only when a
-    * decimal sum is pushed.
+    * decimal or integral sum is pushed.
     */
-  private def decWouldOverflow(acc: Accum, row: InternalRow): Boolean = {
+  private def sumWouldOverflow(acc: Accum, row: InternalRow): Boolean = {
     var i = 0
     while (i < aggs.length) {
       if (kindTag(i) == KindSumDecimal && acc.decs(i) != null) {
@@ -1348,6 +1364,14 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
           val d = aggType(i).asInstanceOf[org.apache.spark.sql.types.DecimalType]
           // both operands carry scale s, so only precision can move
           if (cand.precision - cand.scale > d.precision - d.scale) return true
+        }
+      } else if (kindTag(i) == KindSumLong && acc.seen(i)) {
+        val v = aggGetter(i)(row)
+        if (v != null) {
+          val x = v.asInstanceOf[Number].longValue()
+          val s = acc.lsums(i)
+          if ((x > 0 && s > Long.MaxValue - x) ||
+            (x < 0 && s < Long.MinValue - x)) return true
         }
       }
       i += 1
@@ -1412,7 +1436,7 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
           parsedDocs += 1
           if (keepRow == null || keepRow(row)) {
             if (groups.isEmpty) {
-              if (hasDecSum && decWouldOverflow(single, row)) {
+              if (hasBoundedSum && sumWouldOverflow(single, row)) {
                 // flush the WHOLE accumulator as one valid partial (its
                 // counts/extremes reset with it — duplicate partials per
                 // key are exactly what the final merge handles), then
@@ -1433,7 +1457,7 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
                 groupMap.put(key, acc)
                 accumulate(acc, row)
                 if (flushed) return // queue is non-empty — let it drain
-              } else if (hasDecSum && decWouldOverflow(acc, row)) {
+              } else if (hasBoundedSum && sumWouldOverflow(acc, row)) {
                 outQueue.add(partialRow(key, acc))
                 acc = new Accum
                 groupMap.put(key, acc)
