@@ -446,64 +446,226 @@ object ProductQuantize {
       .drop("cos")
   }
 
-  /** Persist the PQ-encoded inverted file as parquet PARTITIONED BY CELL
-    * — the [[Similarity.saveAssignedCorpus]] twin for code space, and THE
-    * artifact a billion-scale deployment queries: 16×-smaller rows, and a
-    * probe of `nProbe` cells reads `nProbe` directories, not the corpus.
+  // ---- encoded-artifact lifecycle ------------------------------------
+
+  /** The appendable encoded-artifact layout under one root:
+    *
+    *   `path/gen=<n>/cell=<c>/…`      compacted generations
+    *   `path/batch=<tag>/cell=<c>/…`  incremental appends, one dir per tag
+    *
+    * A generation is COMPLETE only once its `_folded` manifest exists
+    * (written after the parquet `_SUCCESS`; the manifest is the
+    * cumulative set of batch tags the generation covers). Readers see
+    * the LAST complete generation plus every batch directory the
+    * manifest doesn't cover — so a crash anywhere in [[compactEncoded]]
+    * leaves the artifact readable and a rerun converges
+    * (the [[graft.pipelines.StreamingIvfIngest]] discipline, adapted to
+    * caller-supplied string tags). Single writer assumed, like every
+    * parquet artifact here.
     */
+  private val FoldedManifest = "_folded"
+
+  private def artifactFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** COMPLETE (manifest-carrying) generation directories, ascending. */
+  private def generations(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, FoldedManifest)) =>
+        st.getPath.getName.stripPrefix("gen=").toLong -> st.getPath
+    }.sortBy(_._1)
+
+  private def batchDirs(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, org.apache.hadoop.fs.Path)] =
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+        st.getPath.getName.stripPrefix("batch=") -> st.getPath
+    }
+
+  /** Cumulative folded-tag manifest of one complete generation. */
+  private def foldedTags(f: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = f.open(new org.apache.hadoop.fs.Path(gen, FoldedManifest))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  private def writeManifest(f: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path, tags: Set[String]): Unit = {
+    val out = f.create(new org.apache.hadoop.fs.Path(gen, FoldedManifest), true)
+    try out.write(tags.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Incremental encode-append for the PQ inverted file — FAISS's
     * add-with-existing-codebooks semantic, pairing with the float index's
     * [[Similarity.appendBatch]]: the NEW batch alone is coarse-assigned
     * and PQ-encoded under the SAVED quantizers (both map-only; centroids
-    * and codebooks are plan literals), its rows append to the
-    * cell-partitioned parquet at `path`, and the same drift gate reports
-    * whether the batch's assignment score says the quantizers need a
-    * rebuild. Cost is one scan of the batch, zero scans of the existing
-    * corpus, zero shuffles; determinism of [[encodeExpr]] makes
-    * search-after-append row-identical to a from-scratch encode of the
-    * union corpus (ProjectQuantizeSpec pins the equality).
+    * and codebooks are plan literals), its rows land as the
+    * cell-partitioned directory `path/batch=<batchTag>`, and the drift
+    * gate reports whether the batch's assignment score says the
+    * quantizers need a rebuild. The DETERMINISTIC tag + overwrite write
+    * make a replayed append converge instead of duplicating
+    * (append-twice ≡ append-once — ProjectQuantizeSpec pins it), the
+    * failure mode a raw `mode("append")` can't survive. Cost is one scan
+    * of the batch, zero scans of the existing corpus, zero shuffles;
+    * determinism of [[encodeExpr]] makes search-after-append
+    * row-identical to a from-scratch encode of the union corpus
+    * (ProjectQuantizeSpec pins that equality too).
+    *
+    * The gate is CHECK-FIRST: with `skipOnDrift` set, a batch that trips
+    * it is NOT written (nothing encoded under stale quantizers reaches
+    * the artifact — the caller rebuilds, then re-offers the batch). The
+    * default keeps writing, matching [[Similarity.appendBatch]]: drift
+    * marks degrading recall, not wrong rows, and dropping data silently
+    * is the worse default — but callers that act on the verdict must
+    * rebuild/overwrite the artifact either way.
     */
   def appendEncodedBatch(index: Similarity.IvfIndex, cb: PqCodebooks,
       batch: DataFrame, idCol: String, vecCol: String, path: String,
-      relTolerance: Double = 0.05): Similarity.IvfDrift = {
+      batchTag: String, relTolerance: Double = 0.05,
+      skipOnDrift: Boolean = false): Similarity.IvfDrift = {
+    require(batchTag.nonEmpty && !batchTag.exists(c =>
+      c == '/' || c == '=' || c.isWhitespace),
+      s"batchTag '$batchTag' must be a plain directory-safe token")
     val assigned = Similarity.assignCells(batch, idCol, vecCol, index)
       .persist()
     try {
       val drift = Similarity.driftCheck(index, assigned, vecCol, relTolerance)
-      assigned.select(col(idCol), col("cell"),
-        encodeExpr(col(vecCol), cb).as("code"))
-        .write.mode("append").partitionBy("cell").parquet(path)
+      if (!(skipOnDrift && drift.needsRebuild))
+        assigned.select(col(idCol), col("cell"),
+          encodeExpr(col(vecCol), cb).as("code"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/batch=$batchTag")
       drift
     } finally { assigned.unpersist(blocking = false); () }
   }
 
-  def saveEncoded(encoded: DataFrame, path: String): Unit =
-    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+  /** Persist the PQ-encoded inverted file as generation 0 of the
+    * appendable layout (parquet PARTITIONED BY CELL) — the
+    * [[Similarity.saveAssignedCorpus]] twin for code space, and THE
+    * artifact a billion-scale deployment queries: 16×-smaller rows, and a
+    * probe of `nProbe` cells reads `nProbe` directories, not the corpus.
+    */
+  def saveEncoded(encoded: DataFrame, path: String): Unit = {
+    encoded.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/gen=0")
+    val (f, root) = artifactFs(encoded.sparkSession, path)
+    writeManifest(f, new org.apache.hadoop.fs.Path(root, "gen=0"), Set.empty)
+  }
 
-  /** Read a [[saveEncoded]] inverted file. Partition discovery types the
-    * `cell` directory column — cast back to the int the searches join on.
+  /** Fold the appended `batch=` directories (plus the previous
+    * generation) into the next generation — the LSM maintenance step a
+    * long-lived appendable artifact needs (without it every append
+    * leaves its own small per-cell files forever; one shuffle on `cell`
+    * re-bounds the file count). Crash-idempotent: the new generation is
+    * complete only once its cumulative `_folded` manifest lands (written
+    * after the parquet `_SUCCESS`), inputs are deleted only after that,
+    * and a batch directory re-created by a late replay of an
+    * already-folded tag is finish-cleaned on the next call, never
+    * re-folded. Returns the covering generation id, or None when the
+    * artifact holds nothing.
+    */
+  def compactEncoded(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = {
+    val (f, root) = artifactFs(spark, path)
+    val gens = generations(f, root)
+    val last = gens.lastOption
+    val folded = last.map { case (_, p) => foldedTags(f, p) }
+      .getOrElse(Set.empty[String])
+    val (covered, pending) = batchDirs(f, root)
+      .partition { case (tag, _) => folded(tag) }
+    // covered leftovers are a replay of an already-folded tag (or an
+    // interrupted cleanup): their rows are inside the generation already
+    covered.foreach { case (_, p) => f.delete(p, true) }
+    if (pending.isEmpty) return last.map(_._1)
+    val newGen = last.map(_._1 + 1L).getOrElse(1L)
+    val target = new org.apache.hadoop.fs.Path(root, s"gen=$newGen")
+    val inputs = last.map(_._2.toString).toSeq ++ pending.map(_._2.toString)
+    inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+    writeManifest(f, target, folded ++ pending.map(_._1))
+    pending.foreach { case (_, p) => f.delete(p, true) }
+    gens.foreach { case (_, p) => f.delete(p, true) }
+    Some(newGen)
+  }
+
+  /** Read a [[saveEncoded]]/[[appendEncodedBatch]] artifact: the last
+    * complete generation plus every batch directory its manifest doesn't
+    * cover, each read as its own cell-partitioned tree (partition
+    * discovery recovers `cell` per root; a multi-root single read would
+    * need a common basePath these layouts don't share). The discovered
+    * `cell` column casts back to the int the searches join on.
     */
   def loadEncoded(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val df = spark.read.parquet(path)
+    val (f, root) = artifactFs(spark, path)
+    val last = generations(f, root).lastOption
+    val folded = last.map { case (_, p) => foldedTags(f, p) }
+      .getOrElse(Set.empty[String])
+    val roots = last.map(_._2.toString).toSeq ++
+      batchDirs(f, root).collect { case (tag, p) if !folded(tag) =>
+        p.toString
+      }
+    require(roots.nonEmpty, s"no encoded inverted file under $path")
+    val df = roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     df.select((df.columns.filterNot(_ == "cell").map(col) :+
       col("cell").cast("int").as("cell")).toIndexedSeq: _*)
   }
 
-  /** Persist codebooks as engine-neutral parquet rows (s, j, c) — the
-    * build-once/query-many artifact lifecycle the IVF index has.
+  // ---- quantizer artifacts --------------------------------------------
+
+  /** Persist codebooks as engine-neutral parquet rows (s, j, c) at
+    * `path/books` — the build-once/query-many artifact lifecycle the IVF
+    * index has. Plain-PQ form: no rotation is stored, and
+    * [[loadCodebooks]] refuses an artifact that carries one.
     */
   def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
       cb: PqCodebooks, path: String): Unit = {
     import spark.implicits._
     cb.books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cv, j) => (s, j, cv) }
-    }.toDF("s", "j", "c").coalesce(1).write.mode("overwrite").parquet(path)
+    }.toDF("s", "j", "c").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/books")
   }
 
-  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+  /** Persist an OPQ-rotated quantizer: the codebooks AND the trained
+    * rotation `R` in one artifact (`path/books` + `path/rotation`) — the
+    * FAISS posture, which persists the OPQ matrix inside the index,
+    * because the two are meaningless apart: codes encode ROTATED
+    * vectors, so a reader without `R` would score un-rotated queries
+    * against rotated codes and silently lose recall. Rows of `R` persist
+    * as (i, array<double>) — doubles round-trip parquet bit-exactly, so
+    * the reloaded rotation reproduces training-time outputs bit-for-bit.
+    */
+  def saveOpqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      cb: PqCodebooks, rot: Array[Double], dim: Int, path: String): Unit = {
+    require(rot.length == dim * dim,
+      s"rotation length ${rot.length} != dim²=${dim * dim}")
+    saveCodebooks(spark, cb, path)
+    import spark.implicits._
+    (0 until dim).map(i =>
+        (i, rot.slice(i * dim, (i + 1) * dim).toSeq))
+      .toDF("i", "row").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/rotation")
+  }
+
+  private def rotationPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/rotation")
+
+  private def readBooks(spark: org.apache.spark.sql.SparkSession,
       path: String): PqCodebooks = {
-    val rows = spark.read.parquet(path)
+    val rows = spark.read.parquet(s"$path/books")
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toSeq)
       .toMap
     require(rows.nonEmpty, s"empty codebooks at $path")
@@ -511,5 +673,40 @@ object ProductQuantize {
     val k = rows.keys.map(_._2).max + 1
     val books = (0 until m).map(s => (0 until k).map(j => rows((s, j))).toSeq)
     PqCodebooks(books.head.head.length, books)
+  }
+
+  /** Load a plain-PQ [[saveCodebooks]] artifact. FAILS LOUDLY on an OPQ
+    * artifact: searching its codes without the rotation is the silent
+    * composition hole this lifecycle exists to close — use
+    * [[loadOpqCodebooks]].
+    */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebooks = {
+    val (f, _) = artifactFs(spark, path)
+    require(!f.exists(rotationPath(path)),
+      s"$path holds an OPQ-rotated quantizer (rotation present) — load " +
+        "it with loadOpqCodebooks and rotate queries with the returned R")
+    readBooks(spark, path)
+  }
+
+  /** Load an OPQ [[saveOpqCodebooks]] artifact: (codebooks, R row-major,
+    * dim). Every vector entering this quantizer's space — queries
+    * included — must pass through [[rotateExpr]] with the returned
+    * matrix first.
+    */
+  def loadOpqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): (PqCodebooks, Array[Double], Int) = {
+    val (f, _) = artifactFs(spark, path)
+    require(f.exists(rotationPath(path)),
+      s"$path holds no rotation — a plain PQ artifact loads with " +
+        "loadCodebooks")
+    val rows = spark.read.parquet(s"$path/rotation").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val dim = rows.length
+    require(rows.map(_._1).sameElements(0 until dim) &&
+      rows.forall(_._2.length == dim),
+      s"malformed rotation at $path: need rows 0..${dim - 1} of width $dim")
+    (readBooks(spark, path), rows.flatMap(_._2), dim)
   }
 }

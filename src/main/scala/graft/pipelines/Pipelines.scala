@@ -608,6 +608,83 @@ object StreamingIvfIngest {
   }
 }
 
+/** Streaming encode-append ingestion for the PQ inverted file — the
+  * code-space twin of [[StreamingIvfIngest]]: a checkpointed
+  * `Trigger.AvailableNow` stream lands embedding micro-batches, each
+  * batch is coarse-assigned AND PQ-encoded under the SAVED quantizers
+  * ([[graft.ops.ProductQuantize]] — both map-only; centroids and
+  * codebooks ride the plan as literals), and the 16×-compressed rows
+  * land replay-idempotently at `codesDir/run=<id>/batch=<n>` (the
+  * deterministic-dir + overwrite contract). The per-batch drift gate is
+  * the same [[graft.ops.Similarity.driftCheck]] statistic — a batch
+  * scoring materially below the index's build baseline flags the
+  * quantizers for a rebuild.
+  *
+  * Layout identical to the float ingest's, so the maintenance half IS
+  * [[StreamingIvfIngest]]: fold with `StreamingIvfIngest.compact` (one
+  * shuffle on `cell`, commit-evidence-scoped, crash-idempotent) and read
+  * with `StreamingIvfIngest.loadCompacted` — the loaded frame drops
+  * straight into [[graft.ops.ProductQuantize.ivfPqTopK]] as (or unioned
+  * onto) its `encoded` side.
+  *
+  * Scale shape per batch: one scan of the batch, zero scans of the
+  * existing corpus, zero shuffles — the streaming form of FAISS's
+  * add-with-existing-codebooks, sized so a 100 TB corpus grows by
+  * micro-batch without ever re-reading itself.
+  */
+object StreamingPqIngest {
+
+  /** @param batches NON-EMPTY micro-batches landed this invocation
+    * @param rebuildFlagged true if ANY batch tripped the drift gate
+    * @param worstDrift the lowest-scoring batch's gate result
+    */
+  final case class Summary(batches: Long, rebuildFlagged: Boolean,
+      worstDrift: Option[graft.ops.Similarity.IvfDrift])
+
+  def run(spark: SparkSession, index: graft.ops.Similarity.IvfIndex,
+      cb: graft.ops.ProductQuantize.PqCodebooks, batchDir: String,
+      schema: StructType, idCol: String, vecCol: String, codesDir: String,
+      checkpointDir: String, relTolerance: Double = 0.05): Summary = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val worst = new java.util.concurrent.atomic
+      .AtomicReference[Option[graft.ops.Similarity.IvfDrift]](None)
+    val runId = CheckpointRunId.getOrCreate(spark, checkpointDir)
+    val query = spark.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(batchDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val assigned = graft.ops.Similarity
+            .assignCells(batch, idCol, vecCol, index).persist()
+          try {
+            val drift = graft.ops.Similarity
+              .driftCheck(index, assigned, vecCol, relTolerance)
+            assigned.select(col(idCol), col("cell"),
+              graft.ops.ProductQuantize.encodeExpr(col(vecCol), cb)
+                .as("code"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$codesDir/run=$runId/batch=$batchId")
+            batches.incrementAndGet()
+            def score(d: graft.ops.Similarity.IvfDrift): Long =
+              d.batchScoreMill.getOrElse(Long.MaxValue)
+            worst.updateAndGet(w =>
+              if (w.forall(d => score(d) > score(drift))) Some(drift)
+              else w)
+            ()
+          } finally { assigned.unpersist(blocking = false); () }
+        }
+      }
+      .start()
+    query.awaitTermination()
+    val w = worst.get()
+    Summary(batches.get(), w.exists(_.needsRebuild), w)
+  }
+}
+
 /** Streaming corpus ingestion with ONLINE NEAR-DUP REJECTION — the
   * text-side twin of [[StreamingIvfIngest]]: a checkpointed
   * `Trigger.AvailableNow` stream lands document micro-batches, each batch

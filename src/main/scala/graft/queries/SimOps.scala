@@ -576,11 +576,110 @@ object SimOps {
     ProductQuantize.saveEncoded(ProductQuantize.encode(
       base, "vec_id", "embedding", index, cb), s"$root/codes")
     ProductQuantize.appendEncodedBatch(index, cb, batch, "vec_id",
-      "embedding", s"$root/codes")
+      "embedding", s"$root/codes", batchTag = "late")
     ProductQuantize.ivfPqTopK(index, cb, queries,
       ProductQuantize.loadEncoded(s, s"$root/codes"),
       "vec_id", "embedding", topK, nProbe = 2)
   }
+
+  /** q142's OPQ-rotated index through the FULL saved-artifact lifecycle —
+    * the composition q142 alone can't prove: the trained rotation
+    * persists INSIDE the quantizer artifact
+    * ([[ProductQuantize.saveOpqCodebooks]], the FAISS posture of
+    * storing the OPQ matrix in the index), and the search session
+    * reloads coarse index + codebooks + rotation + encoded corpus from
+    * disk, rotating the RAW queries with the LOADED matrix. A rotation
+    * that failed to round-trip (or wasn't applied to queries) would
+    * score un-rotated queries against rotated codes and break the
+    * planted ranks by construction; doubles round-trip parquet
+    * bit-exactly, so loaded-rotation outputs equal training-time ones
+    * bit-for-bit and the q126 planted oracle holds unchanged.
+    */
+  private def q144OpqPqSaved(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val raw = exactPlantedCorpus(emb).persist()
+    val rot = ProductQuantize.trainOpqRotation(raw, "vec_id", "embedding",
+      dim = 64, opqIters = 2, lloydIters = 2)
+    val corpus = raw.select(col("vec_id"),
+      ProductQuantize.rotateExpr(col("embedding"), rot, 64).as("embedding"))
+      .persist()
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val root = graft.core.Scratch.ephemeralDir(s"graft_opq_life_$tag")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    Similarity.saveIvfIndex(index, s, s"$root/ivf")
+    // one Lloyd iteration: the artifact round-trip is the subject, and
+    // the planted-copy contract is codebook-independent
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
+      iters = 1)
+    ProductQuantize.saveOpqCodebooks(s, cb, rot, 64, s"$root/pq")
+    val loadedIndex = Similarity.loadIvfIndex(s, s"$root/ivf")
+    val (loadedCb, loadedRot, loadedDim) =
+      ProductQuantize.loadOpqCodebooks(s, s"$root/pq")
+    ProductQuantize.saveEncoded(ProductQuantize.encode(
+      corpus, "vec_id", "embedding", loadedIndex, loadedCb), s"$root/codes")
+    // queries enter RAW and pass through the LOADED rotation — the
+    // deployment shape this lifecycle exists for
+    val queries = emb.filter(col("vec_id") < 20).select(col("vec_id"),
+      ProductQuantize.rotateExpr(col("embedding"), loadedRot, loadedDim)
+        .as("embedding"))
+    ProductQuantize.ivfPqTopK(loadedIndex, loadedCb, queries,
+      ProductQuantize.loadEncoded(s, s"$root/codes"),
+      "vec_id", "embedding", topK, nProbe = 2)
+  }
+
+  /** q143's incremental growth driven by the CHECKPOINTED STREAM
+    * ([[graft.pipelines.StreamingPqIngest]] — the code-space twin of the
+    * near-dup ingest's replay-idempotent landing): the late planted
+    * copies arrive as a parquet micro-batch drop, the stream
+    * coarse-assigns + PQ-encodes them under the saved quantizers into
+    * `run=/batch=` directories, compaction folds them into a
+    * cell-partitioned generation, and the search unions the loaded base
+    * artifact with the compacted stream output. Graded against the full
+    * planted oracle — ranks 1..5 must include the STREAMED copies, which
+    * fails unless streamed rows search identically to base ones; a
+    * replayed micro-batch (same checkpoint) lands on the same directory,
+    * so repeated runs in one JVM converge instead of duplicating ranks.
+    */
+  private def q145PqStreamingAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = exactPlantedCorpus(emb).persist()
+    val isLate = col("vec_id") > 1000000L &&
+      pmod(col("vec_id") - 1000000L, lit(10L)) >= 4
+    val base = corpus.filter(!isLate)
+    val batch = corpus.filter(isLate)
+    val queries = emb.filter(col("vec_id") < 20)
+    val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val root = graft.core.Scratch.ephemeralDir(s"graft_pq_stream_$tag")
+    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding")
+    val cb = ProductQuantize.train(base, "vec_id", "embedding", dim = 64,
+      iters = 1)
+    ProductQuantize.saveEncoded(ProductQuantize.encode(
+      base, "vec_id", "embedding", index, cb), s"$root/codes")
+    // land the micro-batch drop ONCE per (JVM, sfDir): a second write
+    // would create new part files the checkpoint hasn't seen and
+    // re-ingest the same rows as a new batch id
+    streamDropped.computeIfAbsent(s"$d#$root", _ => {
+      batch.write.mode("overwrite").parquet(s"$root/incoming/b0")
+      "done"
+    })
+    graft.pipelines.StreamingPqIngest.run(s, index, cb, s"$root/incoming",
+      batch.schema, "vec_id", "embedding", s"$root/stream", s"$root/ckpt")
+    graft.pipelines.StreamingIvfIngest.compact(s, s"$root/stream",
+      s"$root/stream_compacted", s"$root/ckpt")
+    val streamed = graft.pipelines.StreamingIvfIngest.loadCompacted(
+      s, s"$root/stream_compacted")
+    ProductQuantize.ivfPqTopK(index, cb, queries,
+      ProductQuantize.loadEncoded(s, s"$root/codes").unionByName(streamed),
+      "vec_id", "embedding", topK, nProbe = 2)
+  }
+
+  /** One micro-batch landing per (JVM, sfDir) for q145 (Bench re-runs
+    * each query; the checkpoint must keep seeing the same files).
+    */
+  private val streamDropped =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q117's probed SQ8 search ranked by the EXACT bounded-heap aggregate
     * (`graft_topk_rows`) instead of the per-query window — the
@@ -724,6 +823,8 @@ object SimOps {
     "q137_ivf_pq_saved" -> q137IvfPqSaved _,
     "q142_opq_ivf_pq" -> q142OpqIvfPq _,
     "q143_pq_append" -> q143PqAppend _,
+    "q144_opq_pq_saved" -> q144OpqPqSaved _,
+    "q145_pq_streaming_append" -> q145PqStreamingAppend _,
     "q127_ivf_sq8_agg" -> q127IvfSq8Agg _,
     "q128_ivf_pq_res" -> q128IvfPqRes _,
     "q111_sim_join" -> q111SimJoin _,
@@ -913,6 +1014,8 @@ object SimOps {
     // originally-encoded ones — the m ∈ {4,5} copies arrive by append
     // and must still claim their ranks
     "q143_pq_append" -> pqPlantedOracleSql,
+    "q144_opq_pq_saved" -> pqPlantedOracleSql,
+    "q145_pq_streaming_append" -> pqPlantedOracleSql,
     // same contract in residual mode: the copies' residual codes attain
     // the per-subspace minimum against the query's own residual frame
     "q128_ivf_pq_res" -> pqPlantedOracleSql,

@@ -568,6 +568,79 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "superseded generation must be removed")
   }
 
+  test("streaming PQ encode-append: checkpointed, replay-idempotent, folds into searchable codes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.ops.{ProductQuantize, Similarity}
+    import graft.pipelines.{StreamingIvfIngest, StreamingPqIngest}
+    val rnd = new scala.util.Random(41)
+    val centers = Seq.fill(6)(Array.fill(16)(rnd.nextGaussian()))
+    val corpus = (for {
+      (c, ci) <- centers.zipWithIndex; p <- 0 until 20
+    } yield ((ci * 20 + p).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      numCentroids = 6, lloydIters = 1)
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", 16,
+      m = 4, k = 4, iters = 1)
+    val batchDir = s"$work/pq_batches"
+    val codesDir = s"$work/pq_codes"
+    val ckpt = s"$work/pq_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    def codeRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Seq[Int])] =
+      df.select(col("vec_id"), col("cell").cast("int"), col("code"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+
+    // batch 1: exact copies of one vector per cluster at fresh ids —
+    // in-distribution, gate quiet
+    val late = corpus.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    late.coalesce(1).write.parquet(s"$batchDir/b1")
+    val s1 = StreamingPqIngest.run(spark, index, cb, batchDir, corpus.schema,
+      "vec_id", "embedding", codesDir, ckpt)
+    assert(s1.batches == 1L && !s1.rebuildFlagged, s1.toString)
+    // streamed rows are ROW-IDENTICAL to a direct encode of the batch —
+    // search over them is therefore identical by construction
+    val direct = codeRows(ProductQuantize.encode(
+      late, "vec_id", "embedding", index, cb))
+    assert(codeRows(spark.read.parquet(codesDir)) == direct)
+
+    // rerun with nothing new: the checkpoint covers b1
+    val s2 = StreamingPqIngest.run(spark, index, cb, batchDir, corpus.schema,
+      "vec_id", "embedding", codesDir, ckpt)
+    assert(s2.batches == 0L)
+    assert(codeRows(spark.read.parquet(codesDir)) == direct)
+
+    // the float ingest's compaction machinery folds the identical layout
+    val compDir = s"$work/pq_compacted"
+    val c1 = StreamingIvfIngest.compact(spark, codesDir, compDir, ckpt).get
+    assert(c1.foldedBatches == 1L)
+    val folded = StreamingIvfIngest.loadCompacted(spark, compDir)
+    assert(codeRows(folded) == direct)
+    // and the folded codes drop into the search as an encoded side:
+    // unioned with the base encode, every planted copy is findable
+    val baseEnc = ProductQuantize.encode(
+      corpus, "vec_id", "embedding", index, cb)
+    val res = ProductQuantize.ivfPqTopK(index, cb,
+        corpus.filter(col("vec_id") % 20 === 0),
+        baseEnc.unionByName(folded.select(col("vec_id"),
+          col("cell").cast("int").as("cell"), col("code"))),
+        "vec_id", "embedding", topK = 20, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((0 until 6).forall(i => res.contains((i * 20L, i * 20L + 5000L))),
+      s"streamed copies missing from the probed top-k: $res")
+
+    // batch 2: alien isotropic vectors — lands incrementally, gate trips
+    Seq.tabulate(40)(i => ((9000 + i).toLong,
+      Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$batchDir/b2")
+    val s3 = StreamingPqIngest.run(spark, index, cb, batchDir, corpus.schema,
+      "vec_id", "embedding", codesDir, ckpt)
+    assert(s3.batches == 1L && s3.rebuildFlagged, s3.toString)
+  }
+
   test("compaction never re-folds a batch already inside a generation") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

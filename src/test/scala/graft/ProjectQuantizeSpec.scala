@@ -347,6 +347,122 @@ class ProjectQuantizeSpec extends AnyFunSuite {
     assert(back == cb)
   }
 
+  test("OPQ quantizer artifact persists the rotation; mismatched loaders refuse") {
+    val dim = 16
+    val corpus = (0 until 50).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val rot = ProductQuantize.trainOpqRotation(corpus, "vec_id", "embedding",
+      dim, m = 4, k = 4, opqIters = 1, lloydIters = 1)
+    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim,
+      m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("opqcb").toString
+    ProductQuantize.saveOpqCodebooks(spark, cb, rot, dim, s"$dir/pq")
+    val (cb2, rot2, dim2) = ProductQuantize.loadOpqCodebooks(spark, s"$dir/pq")
+    // doubles round-trip parquet BIT-EXACTLY — loaded-rotation outputs
+    // must equal training-time outputs bit-for-bit
+    assert(cb2 == cb && dim2 == dim && rot2.sameElements(rot))
+    // the rotation-less loader must refuse an OPQ artifact: its codes
+    // encode rotated vectors, and searching them without R silently
+    // loses recall — the composition hole the lifecycle closes
+    val e = intercept[IllegalArgumentException](
+      ProductQuantize.loadCodebooks(spark, s"$dir/pq"))
+    assert(e.getMessage.contains("loadOpqCodebooks"))
+    ProductQuantize.saveCodebooks(spark, cb, s"$dir/plain")
+    val e2 = intercept[IllegalArgumentException](
+      ProductQuantize.loadOpqCodebooks(spark, s"$dir/plain"))
+    assert(e2.getMessage.contains("no rotation"))
+  }
+
+  test("encoded append is replay-idempotent and searches like a from-scratch union encode") {
+    val dim = 16
+    val base = (0 until 60).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    // the batch: exact copies of vecs 0..5 at fresh ids
+    val batch = (0 until 6).map(i => ((500 + i).toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      numCentroids = 4, lloydIters = 1)
+    val cb = ProductQuantize.train(base, "vec_id", "embedding", dim,
+      m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqapp").toString
+    ProductQuantize.saveEncoded(ProductQuantize.encode(
+      base, "vec_id", "embedding", index, cb), s"$dir/codes")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Seq[Int])] =
+      df.select("vec_id", "cell", "code").as[(Long, Int, Seq[Int])]
+        .collect().toSet
+    val scratch = rows(ProductQuantize.encode(
+      base.unionByName(batch), "vec_id", "embedding", index, cb))
+
+    ProductQuantize.appendEncodedBatch(index, cb, batch, "vec_id",
+      "embedding", s"$dir/codes", batchTag = "b1")
+    // REPLAY of the same tag: deterministic dir + overwrite must
+    // converge — append-twice ≡ append-once
+    ProductQuantize.appendEncodedBatch(index, cb, batch, "vec_id",
+      "embedding", s"$dir/codes", batchTag = "b1")
+    val loaded = ProductQuantize.loadEncoded(spark, s"$dir/codes")
+    assert(rows(loaded) == scratch, "appended artifact != union encode")
+
+    // search-after-append row-identical to searching the union encode
+    val queries = base.filter(col("vec_id") < 6)
+    def search(enc: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      ProductQuantize.ivfPqTopK(index, cb, queries, enc, "vec_id",
+          "embedding", topK = 3, nProbe = 2)
+        .as[(Long, Long, Int)].collect().toSet
+    assert(search(loaded) == search(ProductQuantize.encode(
+      base.unionByName(batch), "vec_id", "embedding", index, cb)))
+
+    // compaction folds the batch dir into the next generation; the row
+    // set is invariant and the folded dir is gone
+    assert(ProductQuantize.compactEncoded(spark, s"$dir/codes")
+      .contains(1L))
+    assert(rows(ProductQuantize.loadEncoded(spark, s"$dir/codes")) == scratch)
+    assert(!new java.io.File(s"$dir/codes/batch=b1").exists())
+
+    // a LATE replay of the already-folded tag re-creates the dir; the
+    // manifest keeps readers from double-counting it and the next
+    // compaction finish-cleans it instead of re-folding
+    ProductQuantize.appendEncodedBatch(index, cb, batch, "vec_id",
+      "embedding", s"$dir/codes", batchTag = "b1")
+    assert(rows(ProductQuantize.loadEncoded(spark, s"$dir/codes")) == scratch)
+    assert(ProductQuantize.compactEncoded(spark, s"$dir/codes")
+      .contains(1L))
+    assert(!new java.io.File(s"$dir/codes/batch=b1").exists())
+    assert(rows(ProductQuantize.loadEncoded(spark, s"$dir/codes")) == scratch)
+  }
+
+  test("appendEncodedBatch check-first mode skips the write when the gate trips") {
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    val base = (for {
+      (c, ci) <- centers.zipWithIndex; p <- 0 until 15
+    } yield ((ci * 15 + p).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      numCentroids = 4, lloydIters = 1)
+    val cb = ProductQuantize.train(base, "vec_id", "embedding", dim,
+      m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqdrift").toString
+    ProductQuantize.saveEncoded(ProductQuantize.encode(
+      base, "vec_id", "embedding", index, cb), s"$dir/codes")
+    val alien = Seq.tabulate(30)(i => ((900 + i).toLong,
+      Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // check-first: the drifting batch is reported AND kept out — nothing
+    // encoded under stale quantizers reaches the artifact
+    val d1 = ProductQuantize.appendEncodedBatch(index, cb, alien, "vec_id",
+      "embedding", s"$dir/codes", batchTag = "alien", skipOnDrift = true)
+    assert(d1.needsRebuild, d1.toString)
+    assert(!new java.io.File(s"$dir/codes/batch=alien").exists())
+    assert(ProductQuantize.loadEncoded(spark, s"$dir/codes").count() == 60)
+    // default mode matches Similarity.appendBatch: write AND report
+    val d2 = ProductQuantize.appendEncodedBatch(index, cb, alien, "vec_id",
+      "embedding", s"$dir/codes", batchTag = "alien")
+    assert(d2.needsRebuild)
+    assert(ProductQuantize.loadEncoded(spark, s"$dir/codes").count() == 90)
+  }
+
   // ---- classifier filter -------------------------------------------------
 
   test("closed-form scoring equals the explicit weight-table join") {
