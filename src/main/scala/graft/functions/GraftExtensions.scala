@@ -82,6 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // every token-count call site gets the allocation-free native form
     // without being edited (see TokenCountRewrite)
     ext.injectOptimizerRule(_ => new TokenCountRewrite)
+    // the document source's array-element `$match` pushdown: predicates
+    // on fixed array elements (items[0].qty) translate to bracket-path
+    // v1 filters and bake into the scan — Spark's own translation can't
+    // hand GetArrayItem to pushFilters (see ArrayMatchPushdown)
+    ext.injectOptimizerRule(_ => new graft.ingest.v2.ArrayMatchPushdown)
     // the SparkStrategy rung: joins on `graft_cosine(a,b) >= t` plan as
     // the sign-bucket LSH physical shape instead of a nested-loop scan —
     // opt-in via spark.graft.similarityJoin.enabled (approximation must

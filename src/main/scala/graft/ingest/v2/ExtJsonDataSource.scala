@@ -69,14 +69,30 @@ final class ExtJsonDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-final class ExtJsonTable(path: String, tableSchema: StructType)
+/** @param preFilters v1 filters PRE-PUSHED by the logical rewrite
+  *   ([[ArrayMatchPushdown]] — predicates on fixed array elements, which
+  *   Spark's own filter translation can't hand to `pushFilters`): baked
+  *   into every scan this table builds, exactly as if `pushFilters` had
+  *   accepted them. Always [[FilterEval.supported]] by construction (the
+  *   rewrite checks before it removes anything from the plan).
+  */
+final class ExtJsonTable(path: String, tableSchema: StructType,
+    private[v2] val preFilters: Array[Filter] = Array.empty)
     extends Table with SupportsRead {
-  override def name(): String = s"extjson:$path"
+  override def name(): String =
+    s"extjson:$path" + (if (preFilters.isEmpty) ""
+    else s" [${preFilters.mkString(", ")}]")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExtJsonScanBuilder(path, tableSchema, options)
+    new ExtJsonScanBuilder(path, tableSchema, options, preFilters)
+
+  /** This table with `extra` also pre-pushed (the rewrite's accumulator —
+    * stacked Filter nodes each contribute their array conjuncts).
+    */
+  private[graft] def withPreFilters(extra: Seq[Filter]): ExtJsonTable =
+    new ExtJsonTable(path, tableSchema, (preFilters ++ extra).distinct)
 }
 
 /** One pushed `ORDER BY` key in the reader's serializable form: a
@@ -251,13 +267,17 @@ private[v2] object PartitionValues {
 }
 
 final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    preFilters: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
-  private var pushed: Array[Filter] = Array.empty
+  // pre-pushed array-element predicates are part of the pushed set from
+  // the start — pushFilters may never run (the rewrite can consume the
+  // plan's only Filter node)
+  private var pushed: Array[Filter] = preFilters
   private var limit: Int = -1
   private var topSorts: Array[PushedSort] = Array.empty
   private var topLimit: Int = -1
@@ -295,7 +315,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   private def pathOf(e: org.apache.spark.sql.connector.expressions.Expression,
       needComparable: Boolean): Option[String] = e match {
     case nr: NamedReference
-        if !nr.fieldNames().exists(s => s.contains(".") || s.contains("`")) =>
+        if !nr.fieldNames().exists(s =>
+          s.contains(".") || s.contains("`") || s.contains("[")) =>
       val dotted = nr.fieldNames().mkString(".")
       FilterEval.resolve(dotted, fullSchema)
         .filter(p => !needComparable || comparableAtomic(p.leaf.dataType))
@@ -366,7 +387,7 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) =
       filters.partition(FilterEval.supported(_, fullSchema))
-    pushed = accepted
+    pushed = (preFilters ++ accepted).distinct
     residual
   }
 
@@ -517,7 +538,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       def paths(prefix: Seq[String],
           st: StructType): Seq[Seq[String]] =
         st.fields.toSeq
-          .filter(f => !f.name.contains(".") && !f.name.contains("`"))
+          .filter(f => !f.name.contains(".") && !f.name.contains("`") &&
+            !f.name.contains("["))
           .flatMap { f =>
             f.dataType match {
               case s: StructType =>
@@ -1043,47 +1065,81 @@ private[v2] object DataTypeJson {
   * (new top-level fields pruned to exactly the referenced subpaths; new
   * subfields appended after a struct's required subfields) — which is
   * what lets [[RowProject.projector]] emit the required shape as a
-  * recursive prefix copy.
+  * recursive prefix copy. A segment's fixed array ordinals
+  * (`items[0].qty`) descend through the ARRAY ELEMENT type: the parse
+  * schema keeps the array (every element parses — the reader can't know
+  * which index a later row's filter will hit until the array is built)
+  * with its element struct pruned to exactly the referenced subfields.
   */
 private[v2] object SchemaMerge {
+  import org.apache.spark.sql.types.{ArrayType, DataType}
 
   def merge(base: Array[StructField], paths: Seq[Seq[String]],
       full: StructType): StructType =
-    StructType(paths.foldLeft(base.toVector)(addPath(_, _, full)))
+    StructType(paths.foldLeft(base.toVector)(addFields(_, _, full)))
 
-  private def addPath(fields: Vector[StructField], path: Seq[String],
+  private def addFields(fields: Vector[StructField], path: Seq[String],
       full: StructType): Vector[StructField] = {
-    val name = path.head
     // a path that doesn't resolve against the declared schema can't have
     // been accepted by FilterEval.supported; tolerate it as a no-op
+    val (name, ords) = FilterEval.parseSegment(path.head) match {
+      case Some(p) => p
+      case None => return fields
+    }
     val fullField = full.fields.find(_.name == name) match {
       case Some(f) => f
       case None => return fields
     }
     val idx = fields.indexWhere(_.name == name)
-    if (idx < 0) fields :+ prune(fullField, path.tail)
-    else if (path.tail.isEmpty) fields
-    else (fields(idx).dataType, fullField.dataType) match {
-      case (cur: StructType, fs: StructType) =>
-        val sub = addPath(cur.fields.toVector, path.tail, fs)
-        fields.updated(idx, fields(idx).copy(dataType = StructType(sub)))
-      case _ => fields
-    }
+    if (idx < 0)
+      fields :+ fullField.copy(dataType =
+        pruneType(fullField.dataType, ords.length, path.tail))
+    else
+      fields.updated(idx, fields(idx).copy(dataType = addType(
+        fields(idx).dataType, fullField.dataType, ords.length, path.tail)))
   }
 
-  /** `f` narrowed to just the `rest` subpath (the minimal parse for a
-    * filter-only nested reference — sibling subfields stay skipped).
+  /** The full type narrowed to just this path's needs: descend `ords`
+    * array levels, then prune the struct chain to the `rest` subpath
+    * (sibling subfields stay skipped).
     */
-  private def prune(f: StructField, rest: Seq[String]): StructField =
-    if (rest.isEmpty) f
-    else f.dataType match {
+  private def pruneType(full: DataType, ords: Int,
+      rest: Seq[String]): DataType =
+    if (ords > 0) full match {
+      case ArrayType(et, n) => ArrayType(pruneType(et, ords - 1, rest), n)
+      case other => other
+    }
+    else if (rest.isEmpty) full
+    else full match {
       case s: StructType =>
-        s.fields.find(_.name == rest.head) match {
-          case Some(child) =>
-            f.copy(dataType = StructType(Array(prune(child, rest.tail))))
-          case None => f
+        val (name, subOrds) = FilterEval.parseSegment(rest.head) match {
+          case Some(p) => p
+          case None => return full
         }
-      case _ => f
+        s.fields.find(_.name == name) match {
+          case Some(child) => StructType(Array(child.copy(dataType =
+            pruneType(child.dataType, subOrds.length, rest.tail))))
+          case None => full
+        }
+      case other => other
+    }
+
+  /** An existing (possibly already-narrowed) type widened to ALSO cover
+    * this path — appended subfields land after the existing ones at
+    * every level, preserving the prefix-copy invariant.
+    */
+  private def addType(cur: DataType, full: DataType, ords: Int,
+      rest: Seq[String]): DataType =
+    if (ords > 0) (cur, full) match {
+      case (ArrayType(cet, n), ArrayType(fet, _)) =>
+        ArrayType(addType(cet, fet, ords - 1, rest), n)
+      case _ => cur
+    }
+    else if (rest.isEmpty) cur
+    else (cur, full) match {
+      case (cs: StructType, fs: StructType) =>
+        StructType(addFields(cs.fields.toVector, rest, fs))
+      case _ => cur
     }
 }
 
@@ -1114,13 +1170,37 @@ private[v2] object RowProject {
     }
 
   private def fieldCopier(pdt: org.apache.spark.sql.types.DataType,
-      rdt: org.apache.spark.sql.types.DataType, i: Int): InternalRow => Any =
+      rdt: org.apache.spark.sql.types.DataType, i: Int): InternalRow => Any = {
+    val copy = valueCopier(pdt, rdt)
+    row => if (row.isNullAt(i)) null else copy(row.get(i, pdt))
+  }
+
+  /** Non-null value narrowing parse type → required type: identity when
+    * equal, recursive prefix copy for structs, and PER-ELEMENT narrowing
+    * for arrays (a filter-only element subfield widens the parse
+    * element struct; the required array keeps its own element shape).
+    */
+  private def valueCopier(pdt: org.apache.spark.sql.types.DataType,
+      rdt: org.apache.spark.sql.types.DataType): Any => Any =
     (pdt, rdt) match {
-      case (p, r) if p == r =>
-        row => if (row.isNullAt(i)) null else row.get(i, r)
+      case (p, r) if p == r => identity
       case (ps: StructType, rs: StructType) =>
         val inner = projector(ps, rs)
-        row => if (row.isNullAt(i)) null else inner(row.getStruct(i, ps.length))
+        v => inner(v.asInstanceOf[InternalRow])
+      case (org.apache.spark.sql.types.ArrayType(pe, _),
+          org.apache.spark.sql.types.ArrayType(re, _)) =>
+        val elem = valueCopier(pe, re)
+        v => {
+          val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val n = a.numElements()
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            out(j) = if (a.isNullAt(j)) null else elem(a.get(j, pe))
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        }
       case (p, r) =>
         throw new IllegalStateException(s"unprojectable parse field $p -> $r")
     }

@@ -231,41 +231,105 @@ object FilterEval {
       throw new IllegalStateException(s"unsupported pushed filter $other")
   }
 
-  /** One resolved (possibly dotted) attribute: the field index at each
-    * struct level, each fetched child struct's width (`getStruct` needs
-    * it), and the leaf field. Dotted segments are struct steps — Spark's
-    * v1 rendering of a nested reference under nested-predicate pushdown.
+  /** One resolved attribute path: the compiled per-step accessors and
+    * the leaf field (name = the last segment's field name, type = the
+    * type the full path lands on). Dotted segments are struct steps —
+    * Spark's v1 rendering of a nested reference under nested-predicate
+    * pushdown; a segment may additionally carry FIXED ORDINAL array
+    * steps (`items[0].qty` — the engine's rendering of array-element
+    * access, produced by [[ArrayMatchPushdown]], never by Spark's own
+    * translation). Each ordinal step has `GetArrayItem(failOnError =
+    * false)` semantics: null array, out-of-bounds index, or null element
+    * all yield null, which the surrounding three-valued logic treats as
+    * UNKNOWN exactly like a null struct level.
     */
-  private[v2] final case class FieldPath(idxs: Array[Int],
-      childWidths: Array[Int], leaf: StructField)
+  private[v2] final case class FieldPath(ops: Array[Any => Any],
+      leaf: StructField)
+
+  /** Split one path segment into its field name and trailing fixed
+    * ordinals: `items[0][2]` → ("items", [0, 2]). None when malformed
+    * (empty name, unclosed/empty/non-numeric bracket, or trailing
+    * garbage). A name-only segment has no brackets by construction —
+    * this engine's document schemas never contain '[' in field names
+    * (like dots and backticks, such a name stays residual).
+    */
+  private[v2] def parseSegment(seg: String): Option[(String, Array[Int])] = {
+    val b = seg.indexOf('[')
+    if (b < 0) return Some((seg, Array.empty))
+    if (b == 0) return None
+    val name = seg.substring(0, b)
+    var rest = seg.substring(b)
+    val ords = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (rest.nonEmpty) {
+      if (rest.charAt(0) != '[') return None
+      val e = rest.indexOf(']')
+      if (e <= 1) return None
+      val digits = rest.substring(1, e)
+      if (digits.length > 9 || !digits.forall(_.isDigit)) return None
+      ords += digits.toInt
+      rest = rest.substring(e + 1)
+    }
+    Some((name, ords.toArray))
+  }
 
   /** Resolve a v1 attribute against `schema`, walking structs along the
-    * dot path; None when any segment is missing, a non-leaf segment is
-    * not a struct, or the name carries a backtick (a quoted segment —
-    * this engine's schemas never need one, so it stays residual rather
-    * than risking a mis-split).
+    * dot path and array element types along ordinal steps; None when any
+    * segment is missing or malformed, a struct step lands on a
+    * non-struct, an ordinal step lands on a non-array, or the name
+    * carries a backtick (a quoted segment — this engine's schemas never
+    * need one, so it stays residual rather than risking a mis-split).
     */
   private[v2] def resolve(attr: String, schema: StructType): Option[FieldPath] = {
     if (attr.contains("`")) return None
     val parts = attr.split("\\.", -1)
     if (parts.exists(_.isEmpty)) return None
-    val idxs = new Array[Int](parts.length)
-    val childWidths = new Array[Int](parts.length - 1)
-    var st = schema
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Any => Any]
+    var dt: DataType = schema
+    var leafName: String = null
     var i = 0
     while (i < parts.length) {
-      val j = st.fieldNames.indexOf(parts(i))
-      if (j < 0) return None
-      idxs(i) = j
-      val f = st.fields(j)
-      if (i == parts.length - 1) return Some(FieldPath(idxs, childWidths, f))
-      f.dataType match {
-        case s: StructType => childWidths(i) = s.length; st = s
+      val (name, ords) = parseSegment(parts(i)) match {
+        case Some(p) => p
+        case None => return None
+      }
+      leafName = name
+      val st = dt match {
+        case s: StructType => s
         case _ => return None
       }
+      val j = st.fieldNames.indexOf(name)
+      if (j < 0) return None
+      var cur: DataType = st.fields(j).dataType
+      ops += fieldOp(j, cur)
+      var o = 0
+      while (o < ords.length) {
+        cur match {
+          case ArrayType(et, _) =>
+            ops += elementOp(ords(o), et)
+            cur = et
+          case _ => return None
+        }
+        o += 1
+      }
+      dt = cur
       i += 1
     }
-    None // unreachable: the loop returns at the leaf
+    Some(FieldPath(ops.toArray, StructField(leafName, dt, nullable = true)))
+  }
+
+  /** Fetch field `idx` of the current struct, null-propagating. */
+  private def fieldOp(idx: Int, dt: DataType): Any => Any = { c =>
+    val r = c.asInstanceOf[InternalRow]
+    if (r.isNullAt(idx)) null else r.get(idx, dt)
+  }
+
+  /** Fixed array element: `GetArrayItem(failOnError = false)` semantics —
+    * null on out-of-bounds or a null element (negative ordinals can't
+    * parse, so only the upper bound needs checking).
+    */
+  private def elementOp(ord: Int, et: DataType): Any => Any = { c =>
+    val a = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (ord >= a.numElements() || a.isNullAt(ord)) null else a.get(ord, et)
   }
 
   /** Public-to-the-readers form of [[getter]]: the aggregate reader and
@@ -275,29 +339,20 @@ object FilterEval {
   private[v2] def compiledGetter(attr: String,
       schema: StructType): InternalRow => Any = getter(attr, schema)
 
-  /** Compiled leaf accessor: navigates nested structs by index, null as
-    * soon as any level is null (Catalyst `GetStructField` semantics). The
-    * per-row path does zero allocation and zero name lookup.
+  /** Compiled leaf accessor: runs the resolved step chain, null as soon
+    * as any step yields null (Catalyst `GetStructField`/`GetArrayItem`
+    * null-propagation). The per-row path does zero allocation and zero
+    * name lookup — indices, widths, and element types are all baked into
+    * the compiled ops.
     */
   private def getter(attr: String, schema: StructType): InternalRow => Any = {
-    val p = resolve(attr, schema).get
-    val depth = p.idxs.length
-    val leafIdx = p.idxs(depth - 1)
-    val leafType = p.leaf.dataType
-    if (depth == 1) { row =>
-      if (row.isNullAt(leafIdx)) null else row.get(leafIdx, leafType)
-    } else { row =>
-      var r = row
+    val ops = resolve(attr, schema).get.ops
+    if (ops.length == 1) { val op = ops(0); row => op(row) }
+    else { row =>
+      var cur: Any = row
       var i = 0
-      var out: Any = null
-      var live = true
-      while (live && i < depth - 1) {
-        if (r.isNullAt(p.idxs(i))) live = false
-        else r = r.getStruct(p.idxs(i), p.childWidths(i))
-        i += 1
-      }
-      if (live && !r.isNullAt(leafIdx)) out = r.get(leafIdx, leafType)
-      out
+      while (cur != null && i < ops.length) { cur = ops(i)(cur); i += 1 }
+      cur
     }
   }
 

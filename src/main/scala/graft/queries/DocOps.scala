@@ -339,7 +339,65 @@ object DocOps {
       .agg(count(lit(1)).as("n_orders"), sum(col("o_custkey")).as("__s"))
       .select(col("py"), col("n_orders"), col("__s").cast("long").as("sum_cust"))
 
+  /** Orders with their LINE ITEMS embedded as an array-of-structs sorted
+    * by line number — the reference's trades/invoices document shape,
+    * where the business value lives at the HEAD of an embedded array
+    * (T8: `trades_table.py:17-21`, `invoices_table.py:83-96`).
+    */
+  private def ordersItemsJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#items", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_items_$tag")}/orders"
+      // sort_array orders structs by field order — `line` first, unique
+      // per order, so items[0] is deterministically line number 1
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), struct(
+          col("l_linenumber").as("line"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price")).as("item"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      Tables.orders(s, d)
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("items"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      dir
+    })
+
+  private val decodedOrdersItems = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("line", IntegerType),
+      StructField("qty", DoubleType),
+      StructField("price", DoubleType)))))))
+
+  private def readOrdersItems(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersItems, ordersItemsJsonl(s, d))
+
+  /** `$match` on an ARRAY-HEAD field through the document source — the
+    * reference's T8 access shape as scan pushdown: `items[0].qty` can't
+    * ride Spark's own filter translation (GetArrayItem never reaches
+    * `pushFilters`), so [[graft.ingest.v2.ArrayMatchPushdown]] rewrites
+    * the conjunct into a bracket-path filter baked into the scan — zero
+    * residual FilterExec (PlanSpec-pinned), documents failing the head
+    * predicate never leave the reader, and the parse schema carries only
+    * the referenced element subfields. The projection also lands on the
+    * scan: only `qty`/`price` of each element parse; `line` is skipped.
+    */
+  private def q146ArrayHeadFilter(s: SparkSession, d: String): DataFrame =
+    readOrdersItems(s, d)
+      .filter(get(col("items"), lit(0)).getField("qty") >= 45.0 &&
+        col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        get(col("items"), lit(0)).getField("qty").as("head_qty"),
+        get(col("items"), lit(0)).getField("price").as("head_price"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_docsource_array_head" -> q146ArrayHeadFilter,
     "q141_docsource_partition_prune" -> q141PartitionPrune,
     "q139_docsource_group_sum" -> q139GroupSum,
     "q140_docsource_filtered_avg" -> q140FilteredAvg,
@@ -356,6 +414,17 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    // the head element is sort_array's min struct — lexicographic by
+    // (line, qty, price); the testdata's linenumbers are NOT unique per
+    // order, so the oracle must state the same full tiebreak
+    "q146_docsource_array_head" ->
+      ("WITH h AS (SELECT l_orderkey, l_quantity, l_extendedprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY " +
+        "l_linenumber, l_quantity, l_extendedprice) AS rn FROM lineitem) " +
+        "SELECT o.o_orderkey, h.l_quantity AS head_qty, " +
+        "h.l_extendedprice AS head_price FROM orders o " +
+        "JOIN h ON h.l_orderkey = o.o_orderkey AND h.rn = 1 " +
+        "WHERE h.l_quantity >= 45.0 AND o.o_orderstatus = 'F'"),
     "q141_docsource_partition_prune" ->
       ("SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS py, " +
         "COUNT(*) AS n_orders, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust " +

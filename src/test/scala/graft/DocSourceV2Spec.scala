@@ -595,6 +595,110 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(cnt.collect().head.getLong(0) == 3L)
   }
 
+  test("array-element filters push as bracket paths: builtin parity, minimal parse") {
+    // every null shape an ordinal step must null-propagate through:
+    // passing head, failing head, null qty, short/empty array, absent
+    // array, null element, plus a second-element reference
+    val docs = Seq(
+      """{"id": 1, "status": "A", "items": [{"line": 1, "qty": 50.0, "price": 9.0}, {"line": 2, "qty": 1.0, "price": 1.0}]}""",
+      """{"id": 2, "status": "A", "items": [{"line": 1, "qty": 10.0, "price": 2.0}]}""",
+      """{"id": 3, "status": "A", "items": [{"line": 1, "qty": null, "price": 3.0}]}""",
+      """{"id": 4, "status": "A", "items": []}""",
+      """{"id": 5, "status": "A"}""",
+      """{"id": 6, "status": "A", "items": [null, {"line": 2, "qty": 99.0, "price": 4.0}]}""",
+      """{"id": 7, "status": "B", "items": [{"line": 1, "qty": 77.0, "price": 5.0}]}""")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("status", StringType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("line", IntegerType),
+        StructField("qty", DoubleType),
+        StructField("price", DoubleType)))))))
+    val dir = writeLines("arr.jsonl", docs)
+    def headQty(df: DataFrame) =
+      get(col("items"), lit(0)).getField("qty")
+    def q(df: DataFrame): DataFrame = df
+      .filter(headQty(df) >= 45.0 && col("status") === "A")
+      .select(col("id"))
+
+    val v2 = q(ExtendedJson.read(spark, schema, s"$dir/arr.jsonl"))
+    // PARITY with vanilla Catalyst evaluation of the same expression:
+    // the rewrite must keep exactly the rows an unpushed
+    // GetArrayItem(failOnError = false) filter keeps
+    val builtin = q(ExtendedJson.readBuiltin(spark, schema, s"$dir/arr.jsonl"))
+    assert(v2.collect().map(_.getLong(0)).toSet ==
+      builtin.collect().map(_.getLong(0)).toSet)
+    assert(v2.collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // the conjunct reached the scan as a bracket path, zero residual
+    val scan = v2Scan(v2)
+    val pushed = scan.pushed.map(_.toString)
+    assert(pushed.exists(f => f.contains("items[0].qty")),
+      pushed.mkString(", "))
+    assert(v2.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+      .isEmpty)
+    // filter-only array reference: the output ships just `id`; the
+    // array parses only for the predicate (and only its qty subfield)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id"))
+
+    // a SECOND-element reference and an IsNull on a beyond-bounds index
+    // follow the same GetArrayItem(failOnError=false) semantics
+    def q2(df: DataFrame): DataFrame = df
+      .filter(get(col("items"), lit(1)).getField("qty") > 50.0)
+      .select(col("id"))
+    val v2b = q2(ExtendedJson.read(spark, schema, s"$dir/arr.jsonl"))
+    val builtinB = q2(ExtendedJson.readBuiltin(spark, schema, s"$dir/arr.jsonl"))
+    assert(v2b.collect().map(_.getLong(0)).toSet ==
+      builtinB.collect().map(_.getLong(0)).toSet)
+    assert(v2b.collect().map(_.getLong(0)).toSet == Set(6L))
+    assert(v2Scan(v2b).pushed.map(_.toString)
+      .exists(_.contains("items[1].qty")))
+
+    def q3(df: DataFrame): DataFrame = df
+      .filter(get(col("items"), lit(3)).isNull && col("id") <= 2)
+      .select(col("id"))
+    val v2c = q3(ExtendedJson.read(spark, schema, s"$dir/arr.jsonl"))
+    val builtinC = q3(ExtendedJson.readBuiltin(spark, schema, s"$dir/arr.jsonl"))
+    assert(v2c.collect().map(_.getLong(0)).toSet ==
+      builtinC.collect().map(_.getLong(0)).toSet)
+    assert(v2c.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("array-of-array ordinals and element_at both push; ANSI getItem stays residual") {
+    val docs = Seq(
+      """{"id": 1, "mat": [[1, 2], [5, 6]]}""",
+      """{"id": 2, "mat": [[1]]}""",
+      """{"id": 3, "mat": [[9, 9], [5]]}""")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("mat", ArrayType(ArrayType(LongType)))))
+    val dir = writeLines("mat.jsonl", docs)
+    val df = ExtendedJson.read(spark, schema, s"$dir/mat.jsonl")
+    // stacked ordinals render as consecutive bracket steps
+    val v2 = df.filter(get(get(col("mat"), lit(1)), lit(0)) === 5L)
+      .select(col("id"))
+    assert(v2.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(v2Scan(v2).pushed.map(_.toString)
+      .exists(_.contains("mat[1][0]")), v2Scan(v2).pushed.mkString(", "))
+    // 1-based try-style element_at translates to the 0-based bracket
+    val v2b = df.filter(try_element_at(col("mat"), lit(1)).isNotNull)
+      .select(col("id"))
+    assert(v2b.collect().length == 3)
+    assert(v2Scan(v2b).pushed.map(_.toString).exists(_.contains("mat[0]")),
+      v2Scan(v2b).pushed.mkString(", "))
+    // ANSI-mode getItem THROWS on out-of-bounds — its conjunct must stay
+    // Spark-side so the error surfaces instead of becoming a silent drop
+    if (spark.conf.get("spark.sql.ansi.enabled") == "true") {
+      val ansi = df.filter(col("mat").getItem(5).isNotNull).select(col("id"))
+      // the inferred IsNotNull(mat) still pushes; the ordinal access must
+      // not (no bracket path anywhere in the pushed set)
+      assert(!v2Scan(ansi).pushed.map(_.toString).exists(_.contains("[")),
+        v2Scan(ansi).pushed.mkString(", "))
+    }
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))

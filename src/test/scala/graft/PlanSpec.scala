@@ -491,6 +491,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
   }
 
+  test("q146 array-head filter pushes as a bracket path, zero residual") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q146_docsource_array_head").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val pushed = scans.head.pushed.map(_.toString)
+    // the array-element predicate reached the scan via ArrayMatchPushdown
+    // (Spark's own translation can't hand GetArrayItem to pushFilters)...
+    assert(pushed.exists(f =>
+      f.contains("items[0].qty") && f.contains("GreaterThanOrEqual")),
+      pushed.mkString(", "))
+    // ...alongside the vanilla-pushed status equality...
+    assert(pushed.exists(f =>
+      f.contains("o_orderstatus") && f.contains("EqualTo")),
+      pushed.mkString(", "))
+    // ...and NOTHING re-filters Spark-side: documents failing the head
+    // predicate never leave the reader
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    // the PROJECTION also lands on the scan: Spark's nested pruning
+    // reaches through GetArrayItem, so each element parses only its
+    // qty/price subfields (`line` is never materialized) and the
+    // filter-only o_orderstatus parses but doesn't ship
+    assert(scans.head.readSchema().catalogString ==
+      "struct<o_orderkey:bigint,items:array<struct<qty:double,price:double>>>",
+      scans.head.readSchema().catalogString)
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
