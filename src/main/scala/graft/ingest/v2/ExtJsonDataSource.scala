@@ -381,6 +381,67 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     }
   }
 
+  /** COMPLETE pushdown — Spark plans NO final-merge aggregate, taking the
+    * scan's rows as the answer — is offered ONLY for the unfiltered,
+    * ungrouped, all-COUNT(*) skim over an input that planInputPartitions
+    * will plan as ONE split anyway (one nonempty visible file, within
+    * `maxSplitBytes` or compressed): the single split's partial row IS
+    * the merged row, so the merge node above it buys nothing. Beyond one
+    * split the offer is REFUSED deliberately: complete pushdown would
+    * force a single sequential reader over the whole drop, while the
+    * partial path skims splits in parallel and ships one LONG each — at
+    * 100 TB that final merge costs nothing and the parallelism is
+    * everything. (JSONL has no row-count metadata; a parquet-style
+    * metadata count does not exist to be had.)
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    completeOffered =
+      limit < 0 && topLimit < 0 && pushed.isEmpty && partCols.isEmpty &&
+        aggregation.groupByExpressions().isEmpty &&
+        aggregation.aggregateExpressions().nonEmpty &&
+        aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
+        singleSplitInput
+    completeOffered
+  }
+
+  /** Whether the last [[supportCompletePushDown]] probe said yes — Spark
+    * then calls `pushAggregation` and, on acceptance, plans WITHOUT the
+    * final merge, so the scan must hold the single-partition invariant.
+    */
+  private var completeOffered = false
+
+  /** Would the listing plan as exactly one split? Walks the glob with an
+    * EARLY EXIT on the second nonempty file — a 100 TB drop answers this
+    * probe after two listStatus results, never a full listing.
+    */
+  private lazy val singleSplitInput: Boolean = try {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val maxSplit = numericOption("maxSplitBytes", _.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        SparkSession.active.conf
+          .get("spark.sql.files.maxPartitionBytes", "134217728"))).max(1L)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    def visible(st: FileStatus): Boolean = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val isGlob = path.exists("*?[{".contains(_))
+    val roots = if (isGlob) matches.filter(visible) else matches
+    var found: FileStatus = null
+    def walk(st: FileStatus): Boolean = // false = bail out (second file)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(visible).forall(walk)
+      else if (!st.isFile || st.getLen == 0) true
+      else if (found == null) { found = st; true }
+      else false
+    val single = roots.forall(walk) && found != null
+    single && (found.getLen <= maxSplit ||
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(found.getPath) != null)
+  } catch { case scala.util.control.NonFatal(_) => false }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -464,7 +525,7 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       numericOption("maxSplitBytes", _.toLong), limit, aggs,
       topSorts, topLimit, groups,
       numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1),
-      partCols)
+      partCols, completeCount = completeOffered && aggs.nonEmpty)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -475,7 +536,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val pushedTopN: Int = -1,
     val pushedGroups: Array[String] = Array.empty,
     maxPushedGroups: Int = 16384,
-    val partCols: Array[String] = Array.empty)
+    val partCols: Array[String] = Array.empty,
+    val completeCount: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -607,6 +669,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       else "") +
       (if (aggPushed)
         s", PushedAggregation: [${pushedAggs.map(_.render).mkString(", ")}]" +
+          (if (completeCount) " (complete)" else "") +
           (if (pushedGroups.nonEmpty)
             s", PushedGroupBy: [${pushedGroups.mkString(", ")}]"
           else "")
@@ -724,7 +787,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         prunedFiles.set(listing.size - kept.size)
         kept
       }
-    files.flatMap { case (f, vals) =>
+    val parts = files.flatMap { case (f, vals) =>
       // a COMPRESSED file is never byte-split: a gzip stream has no
       // mid-file entry points, so a range split would decode garbage —
       // silent wrong results, the worst kind. One whole-file partition
@@ -737,6 +800,14 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           math.min(maxSplit, f.getLen - off), partValues = vals)
       }
     }.toArray
+    // COMPLETE-pushdown invariant, held loudly: Spark plans no final
+    // merge, so two partitions would each surface as an answer row —
+    // wrong results. The builder only offers complete for a
+    // single-split input; a listing that changed (or a conf that shrank
+    // maxPartitionBytes) between planning rounds must fail, not split.
+    require(!completeCount || parts.length == 1,
+      s"complete COUNT pushdown planned ${parts.length} partitions ($path)")
+    parts.toArray[InputPartition]
   }
 
   /** Expand the glob and RECURSE into matched directories: a nested
@@ -853,6 +924,17 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     if (aggs.nonEmpty || groups.nonEmpty)
       new ExtJsonAggReader(p, conf.value, rowSchema, pushed, aggs, groups,
         maxGroups, dataSchema, insert)
+    else if (topN >= 0 && sorts.nonEmpty && sorts.forall(s =>
+      partCols.exists(_.equalsIgnoreCase(s.field))))
+      // every pushed sort key is a PARTITION column — constant across
+      // this split (one `k=v` directory tuple per file), so all its kept
+      // rows tie and ANY topN of them is a valid per-split top-N: the
+      // heap degenerates to a partial LIMIT, which parses nothing past
+      // the first topN kept rows instead of consuming the split
+      // (Spark's outer TakeOrdered still picks the global answer)
+      new ExtJsonPartitionReader(p, conf.value, rowSchema,
+        DataTypeJson.structFromJson(requiredSchemaJson), pushed, topN,
+        dataSchema = dataSchema, insert = insert)
     else new ExtJsonPartitionReader(p, conf.value, rowSchema,
       DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
       sorts, topN, dataSchema, insert)

@@ -396,7 +396,23 @@ object DocOps {
         get(col("items"), lit(0)).getField("qty").as("head_qty"),
         get(col("items"), lit(0)).getField("price").as("head_price"))
 
+  /** `$sort + $limit` ordered on PARTITION columns over the hive-layout
+    * drop: the pushed sort keys `py`/`status` are path-constants — they
+    * feed each split's heap from the spliced directory values, never the
+    * parse — with the data-column tiebreak keeping the global answer
+    * deterministic for the oracle. (When EVERY pushed key is a partition
+    * column the heap degenerates further, to a per-split early-exit
+    * limit — DocSourceV2Spec pins that path; an oracle query can't,
+    * because an all-constant sort leaves the row CHOICE arbitrary.)
+    */
+  private def q147PartitionTopN(s: SparkSession, d: String): DataFrame =
+    readOrdersPart(s, d)
+      .orderBy(col("py").desc, col("status").asc, col("o_orderkey").asc)
+      .limit(15)
+      .select(col("o_orderkey"), col("py"), col("status"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_docsource_partition_topn" -> q147PartitionTopN,
     "q146_docsource_array_head" -> q146ArrayHeadFilter,
     "q141_docsource_partition_prune" -> q141PartitionPrune,
     "q139_docsource_group_sum" -> q139GroupSum,
@@ -414,6 +430,10 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q147_docsource_partition_topn" ->
+      ("SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS py, " +
+        "o_orderstatus AS status FROM orders " +
+        "ORDER BY py DESC, status ASC, o_orderkey ASC LIMIT 15"),
     // the head element is sort_array's min struct — lexicographic by
     // (line, qty, price); the testdata's linenumbers are NOT unique per
     // order, so the oracle must state the same full tiebreak

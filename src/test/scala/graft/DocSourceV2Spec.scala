@@ -910,6 +910,88 @@ class DocSourceV2Spec extends AnyFunSuite {
       scans.head.runtimeFilters.mkString(", "))
   }
 
+  test("complete COUNT(*) pushdown: single-split merges in the scan, multi-split stays partial") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def scanOf(df: DataFrame) = {
+      // aggregate plans AQE-wrap; the pre-AQE plan carries the shape
+      val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.sparkPlan
+      (p, p.collect { case b: BatchScanExec => b.scan }
+        .head.asInstanceOf[ExtJsonScan])
+    }
+    // ONE small file → one split → the scan's row IS the answer: no
+    // aggregate node anywhere in the plan
+    val dir = writeLines("c.jsonl", (1 to 37).map(i => s"""{"k": $i}"""))
+    val one = ExtendedJson.read(spark, schema, s"$dir/c.jsonl")
+      .agg(count(lit(1)).as("n"))
+    assert(one.collect().head.getLong(0) == 37L)
+    val (p1, s1) = scanOf(one)
+    assert(s1.completeCount && s1.description().contains("(complete)"),
+      s1.description())
+    assert(p1.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p1.toString.take(600))
+
+    // TWO files → the offer is refused: parallel partial skim + final
+    // merge (the 100 TB shape — complete would serialize the read)
+    val dir2 = Files.createTempDirectory("graft_v2cc").toString
+    Files.write(Paths.get(dir2, "a.jsonl"),
+      (1 to 20).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir2, "b.jsonl"),
+      (21 to 37).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    val two = ExtendedJson.read(spark, schema, dir2)
+      .agg(count(lit(1)).as("n"))
+    assert(two.collect().head.getLong(0) == 37L)
+    val (p2, s2) = scanOf(two)
+    assert(!s2.completeCount)
+    assert(p2.collect { case a: BaseAggregateExec => a }.nonEmpty)
+
+    // one file that SPLITS (tiny maxSplitBytes) refuses too — each range
+    // ships its own partial and the merge must stay
+    val split = ExtendedJson.read(spark, schema, s"$dir/c.jsonl",
+      Map("maxSplitBytes" -> "64")).agg(count(lit(1)).as("n"))
+    assert(split.collect().head.getLong(0) == 37L)
+    val (p3, s3) = scanOf(split)
+    assert(!s3.completeCount)
+    assert(p3.collect { case a: BaseAggregateExec => a }.nonEmpty)
+
+    // a filtered count refuses complete (rows must evaluate per row)
+    val filtered = ExtendedJson.read(spark, schema, s"$dir/c.jsonl")
+      .filter(col("k") > 30).agg(count(lit(1)).as("n"))
+    assert(filtered.collect().head.getLong(0) == 7L)
+    assert(!scanOf(filtered)._2.completeCount)
+  }
+
+  test("ORDER BY partition columns + LIMIT degenerates to per-split early exit") {
+    val root = Files.createTempDirectory("graft_v2ptopn").toString
+    writePart(root, "py=1996/a.jsonl", (1 to 40).map(i => s"""{"k": $i}"""))
+    writePart(root, "py=1997/b.jsonl", (41 to 80).map(i => s"""{"k": $i}"""))
+    writePart(root, "py=1998/c.jsonl",
+      Seq("""{"k": 100}""", """{"k": 101}""", """{"k": 102}"""))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("py", IntegerType)))
+    val src = ExtendedJson.read(spark, schema, root,
+      Map("partitionColumns" -> "py"))
+    // the top partition value holds exactly 3 rows, so the answer is
+    // deterministic even though all sort keys are path-constants
+    val df = src.orderBy(col("py").desc).limit(3)
+      .select(col("k"), col("py"))
+    val execs = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(execs.length == 1)
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((100L, 1998), (101L, 1998), (102L, 1998)))
+    val scan = execs.head.scan.asInstanceOf[ExtJsonScan]
+    assert(scan.pushedTopN == 3 && scan.pushedSorts.head.field == "py",
+      scan.description())
+    // all sort keys are partition columns → per-split rows TIE, so the
+    // bounded heap degenerates to an early-exit limit: each of the 3
+    // splits parses its first 3 kept rows (9 total), never the 83-row
+    // corpus
+    assert(execs.head.metrics(graft.ingest.v2.ScanMetrics.ParsedDocs)
+      .value <= 9L, execs.head.metrics.toString)
+  }
+
   test("scan task metrics report parsed/filtered/skimmed counts") {
     val docs = (1 to 50).map(i => s"""{"k": $i}""")
     val dir = writeLines("mx.jsonl", docs)

@@ -521,6 +521,22 @@ class PlanSpec extends AnyFunSuite {
       scans.head.readSchema().catalogString)
   }
 
+  test("q147 partition-ordered top-N pushes with path-constant sort keys") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q147_docsource_partition_topn").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    // the pushed sort leads with the PARTITION columns — their heap keys
+    // come from the spliced directory values, never the parse
+    assert(s.pushedTopN == 15, s.description())
+    assert(s.pushedSorts.map(_.field).toSeq ==
+      Seq("py", "status", "o_orderkey"), s.description())
+    assert(s.description().contains("PushedTopN"), s.description())
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
