@@ -87,6 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // v1 filters and bake into the scan — Spark's own translation can't
     // hand GetArrayItem to pushFilters (see ArrayMatchPushdown)
     ext.injectOptimizerRule(_ => new graft.ingest.v2.ArrayMatchPushdown)
+    // ...and the projection half: when every use of an array column is a
+    // fixed ordinal (or null check), the parser stops materializing the
+    // array past the highest referenced element (see ArrayHeadProjection)
+    ext.injectOptimizerRule(_ => new graft.ingest.v2.ArrayHeadProjection)
     // the SparkStrategy rung: joins on `graft_cosine(a,b) >= t` plan as
     // the sign-bucket LSH physical shape instead of a nested-loop scan —
     // opt-in via spark.graft.similarityJoin.enabled (approximation must

@@ -2,7 +2,7 @@ package graft.ingest.v2
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructType}
@@ -164,4 +164,120 @@ class ArrayMatchPushdown extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
   }
+}
+
+/** Pushes array-head PROJECTION into the document scan: when every use
+  * of a top-level array column above the scan is a FIXED ordinal access
+  * (`items[0].qty` — reference T8's array-head extraction,
+  * `trades_table.py:17-21`) or a null check, the scan may stop
+  * MATERIALIZING the array after its highest referenced ordinal — the
+  * parser token-skips the tail, and the rows crossing the scan boundary
+  * carry 1 element instead of 50. Nested schema pruning already narrows
+  * each ELEMENT to the referenced subfields; this rule prunes the
+  * ELEMENT COUNT, the other axis of an array-heavy document's width.
+  *
+  * Soundness: the rule inspects the node that DEFINES everything
+  * downstream (the Project/Aggregate directly over the relation, plus
+  * an intervening Filter's condition) — if the column appears anywhere
+  * outside a `GetArrayItem(col, lit, failOnError=false)` step or a bare
+  * `IsNull`/`IsNotNull` (whose value truncation never changes: presence
+  * vs JSON null is decided before any element parses), NO truncation
+  * applies. Pre-pushed bracket filters ([[ArrayMatchPushdown]]) raise
+  * the bound to cover their own ordinals. Element validation past the
+  * bound is skipped — the same documented permissive-mode property
+  * column pruning already has (a pruned field's malformedness is
+  * invisible either way).
+  */
+class ArrayHeadProjection extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, r: DataSourceV2Relation)
+        if r.table.isInstanceOf[ExtJsonTable] =>
+      rewrite(projList, None, r).map(nr => p.copy(child = nr)).getOrElse(p)
+    case p @ Project(projList,
+        f @ Filter(cond, r: DataSourceV2Relation))
+        if r.table.isInstanceOf[ExtJsonTable] =>
+      rewrite(projList, Some(cond), r)
+        .map(nr => p.copy(child = f.copy(child = nr))).getOrElse(p)
+    case a @ Aggregate(ge, ae, r: DataSourceV2Relation, _)
+        if r.table.isInstanceOf[ExtJsonTable] =>
+      rewrite(ge ++ ae, None, r).map(nr => a.copy(child = nr)).getOrElse(a)
+    case a @ Aggregate(ge, ae,
+        f @ Filter(cond, r: DataSourceV2Relation), _)
+        if r.table.isInstanceOf[ExtJsonTable] =>
+      rewrite(ge ++ ae, Some(cond), r)
+        .map(nr => a.copy(child = f.copy(child = nr))).getOrElse(a)
+  }
+
+  /** The relation with truncation registered for every qualifying array
+    * column, or None when nothing CHANGES (fixed-point discipline: a
+    * re-run computing the same bounds must be a no-op).
+    */
+  private def rewrite(exprs: Seq[Expression], cond: Option[Expression],
+      r: DataSourceV2Relation): Option[DataSourceV2Relation] = {
+    val table = r.table.asInstanceOf[ExtJsonTable]
+    val uses = exprs ++ cond.toSeq
+    var t = table
+    var changed = false
+    r.output.foreach { attr =>
+      attr.dataType match {
+        case _: ArrayType if !attr.name.contains(".") &&
+            !attr.name.contains("`") && !attr.name.contains("[") =>
+          boundOf(attr, uses).foreach { planBound =>
+            // planBound == -1 means "safe because UNUSED in the plan" —
+            // truncate then only if a pre-pushed bracket filter still
+            // needs head elements (the filter-only projection case);
+            // a fully-unused column is pruned by Spark anyway
+            val pre = preFilterBound(table, attr.name)
+            val k = math.max(planBound, pre)
+            if (k >= 0 && (planBound >= 0 || pre > 0 ||
+                table.preFilters.exists(_.references.exists(
+                  _.split("\\.", -1).head == attr.name))) &&
+              t.arrayTrunc.getOrElse(attr.name, -1) != k) {
+              t = t.withArrayTrunc(attr.name, k)
+              changed = true
+            }
+          }
+        case _ =>
+      }
+    }
+    if (changed) Some(r.copy(table = t)) else None
+  }
+
+  /** Some(k >= 0) when every use of `attr` across `exprs` is a fixed
+    * ordinal (< k) or a null check (k = 0 suffices: presence vs JSON
+    * null is decided before any element parses); Some(-1) when the
+    * column is UNUSED (vacuously safe); None on any other use.
+    */
+  private def boundOf(attr: Attribute, exprs: Seq[Expression]): Option[Int] = {
+    def walk(e: Expression): Option[Int] = e match {
+      case GetArrayItem(a: Attribute, Literal(i: Int, IntegerType), false)
+          if a.exprId == attr.exprId && i >= 0 => Some(i + 1)
+      case ElementAt(a: Attribute, Literal(i: Int, IntegerType), None, false)
+          if a.exprId == attr.exprId && i >= 1 => Some(i)
+      case IsNull(a: Attribute) if a.exprId == attr.exprId => Some(0)
+      case IsNotNull(a: Attribute) if a.exprId == attr.exprId => Some(0)
+      case a: Attribute if a.exprId == attr.exprId => None // bare use
+      case other => other.children.foldLeft(Option(-1)) { (acc, c) =>
+        for (x <- acc; y <- walk(c)) yield math.max(x, y)
+      }
+    }
+    exprs.foldLeft(Option(-1)) { (acc, e) =>
+      for (x <- acc; y <- walk(e)) yield math.max(x, y)
+    }
+  }
+
+  /** Ordinals the table's pre-pushed bracket filters hit on `field`:
+    * their FIRST array step must stay materialized too. A bracketless
+    * reference (IsNull) needs nothing.
+    */
+  private def preFilterBound(table: ExtJsonTable, field: String): Int =
+    table.preFilters.flatMap(_.references).foldLeft(0) { (k, ref) =>
+      val head = ref.split("\\.", -1).head
+      FilterEval.parseSegment(head) match {
+        case Some((n, ords)) if n == field && ords.nonEmpty =>
+          math.max(k, ords(0) + 1)
+        case _ => k
+      }
+    }
 }

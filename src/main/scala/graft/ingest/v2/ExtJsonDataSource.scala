@@ -75,24 +75,41 @@ final class ExtJsonDataSource extends TableProvider with DataSourceRegister {
   *   into every scan this table builds, exactly as if `pushFilters` had
   *   accepted them. Always [[FilterEval.supported]] by construction (the
   *   rewrite checks before it removes anything from the plan).
+  * @param arrayTrunc per-top-level-field array-head truncation
+  *   ([[ArrayHeadProjection]]'s contract): the parser materializes only
+  *   the first k elements of the named array field and token-skips the
+  *   rest — sound because the rewrite proved every plan-side use is a
+  *   fixed ordinal below k or a null check.
   */
 final class ExtJsonTable(path: String, tableSchema: StructType,
-    private[v2] val preFilters: Array[Filter] = Array.empty)
+    private[v2] val preFilters: Array[Filter] = Array.empty,
+    private[v2] val arrayTrunc: Map[String, Int] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String =
     s"extjson:$path" + (if (preFilters.isEmpty) ""
-    else s" [${preFilters.mkString(", ")}]")
+    else s" [${preFilters.mkString(", ")}]") +
+      (if (arrayTrunc.isEmpty) ""
+      else s" [${arrayTrunc.toSeq.sorted.map { case (f, k) => s"$f<=$k" }
+        .mkString(", ")}]")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExtJsonScanBuilder(path, tableSchema, options, preFilters)
+    new ExtJsonScanBuilder(path, tableSchema, options, preFilters, arrayTrunc)
 
   /** This table with `extra` also pre-pushed (the rewrite's accumulator —
     * stacked Filter nodes each contribute their array conjuncts).
     */
   private[graft] def withPreFilters(extra: Seq[Filter]): ExtJsonTable =
-    new ExtJsonTable(path, tableSchema, (preFilters ++ extra).distinct)
+    new ExtJsonTable(path, tableSchema, (preFilters ++ extra).distinct,
+      arrayTrunc)
+
+  /** This table with head truncation for `field` at `k` elements; a
+    * second registration keeps the LOOSER (larger) bound.
+    */
+  private[graft] def withArrayTrunc(field: String, k: Int): ExtJsonTable =
+    new ExtJsonTable(path, tableSchema, preFilters,
+      arrayTrunc + (field -> math.max(k, arrayTrunc.getOrElse(field, 0))))
 }
 
 /** One pushed `ORDER BY` key in the reader's serializable form: a
@@ -268,7 +285,8 @@ private[v2] object PartitionValues {
 
 final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     options: CaseInsensitiveStringMap,
-    preFilters: Array[Filter] = Array.empty)
+    preFilters: Array[Filter] = Array.empty,
+    arrayTrunc: Map[String, Int] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -525,7 +543,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       numericOption("maxSplitBytes", _.toLong), limit, aggs,
       topSorts, topLimit, groups,
       numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1),
-      partCols, completeCount = completeOffered && aggs.nonEmpty)
+      partCols, completeCount = completeOffered && aggs.nonEmpty,
+      arrayTrunc = arrayTrunc)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -537,7 +556,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val pushedGroups: Array[String] = Array.empty,
     maxPushedGroups: Int = 16384,
     val partCols: Array[String] = Array.empty,
-    val completeCount: Boolean = false)
+    val completeCount: Boolean = false,
+    val arrayTrunc: Map[String, Int] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -673,6 +693,10 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           (if (pushedGroups.nonEmpty)
             s", PushedGroupBy: [${pushedGroups.mkString(", ")}]"
           else "")
+      else "") +
+      (if (arrayTrunc.nonEmpty)
+        s", ArrayHead: [${arrayTrunc.toSeq.sorted
+          .map { case (f, k) => s"$f<=$k" }.mkString(", ")}]"
       else "") +
       (if (partCols.nonEmpty)
         s", PartitionColumns: [${partCols.zip(partTypes)
@@ -885,7 +909,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       SparkSession.active.sparkContext.hadoopConfiguration)
     ExtJsonReaderFactory(conf, parseSchema.json, required.json, readerFilters,
       pushedLimit, pushedAggs, pushedSorts, pushedTopN, pushedGroups,
-      maxPushedGroups, partCols)
+      maxPushedGroups, partCols, arrayTrunc)
   }
 }
 
@@ -911,7 +935,8 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     limit: Int = -1, aggs: Array[PushedAgg] = Array.empty,
     sorts: Array[PushedSort] = Array.empty, topN: Int = -1,
     groups: Array[String] = Array.empty, maxGroups: Int = 16384,
-    partCols: Array[String] = Array.empty)
+    partCols: Array[String] = Array.empty,
+    arrayTrunc: Map[String, Int] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExtJsonInputPartition]
@@ -923,7 +948,7 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
       PartitionValues.inserter(rowSchema, partCols, p.partValues, p.file)
     if (aggs.nonEmpty || groups.nonEmpty)
       new ExtJsonAggReader(p, conf.value, rowSchema, pushed, aggs, groups,
-        maxGroups, dataSchema, insert)
+        maxGroups, dataSchema, insert, arrayTrunc)
     else if (topN >= 0 && sorts.nonEmpty && sorts.forall(s =>
       partCols.exists(_.equalsIgnoreCase(s.field))))
       // every pushed sort key is a PARTITION column — constant across
@@ -934,10 +959,10 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
       // (Spark's outer TakeOrdered still picks the global answer)
       new ExtJsonPartitionReader(p, conf.value, rowSchema,
         DataTypeJson.structFromJson(requiredSchemaJson), pushed, topN,
-        dataSchema = dataSchema, insert = insert)
+        dataSchema = dataSchema, insert = insert, arrayTrunc = arrayTrunc)
     else new ExtJsonPartitionReader(p, conf.value, rowSchema,
       DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
-      sorts, topN, dataSchema, insert)
+      sorts, topN, dataSchema, insert, arrayTrunc)
   }
 }
 
@@ -957,7 +982,8 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
     conf: Configuration, parseSchema: StructType, requiredSchema: StructType,
     pushed: Array[Filter], limit: Int = -1,
     sorts: Array[PushedSort] = Array.empty, topN: Int = -1,
-    dataSchema: StructType = null, insert: InternalRow => InternalRow = null)
+    dataSchema: StructType = null, insert: InternalRow => InternalRow = null,
+    arrayTrunc: Map[String, Int] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // partition-column support: parse the DATA fields only, splice the
@@ -978,7 +1004,7 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       ScanMetrics.TaskValue(ScanMetrics.FilteredDocs, filteredDocs),
       ScanMetrics.TaskValue(ScanMetrics.SkimmedLines, 0L))
 
-  private val parser = new ExtJsonParser(parsedSchema)
+  private val parser = new ExtJsonParser(parsedSchema, arrayTrunc)
   // compiled ONCE per reader: field indices, literal conversions, and
   // pattern objects all hoisted out of the per-line loop
   private val keepRow: InternalRow => Boolean =
@@ -1356,7 +1382,8 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
     conf: Configuration, parseSchema: StructType, pushed: Array[Filter],
     aggs: Array[PushedAgg], groups: Array[String] = Array.empty,
     maxGroups: Int = 16384,
-    dataSchema: StructType = null, insert: InternalRow => InternalRow = null)
+    dataSchema: StructType = null, insert: InternalRow => InternalRow = null,
+    arrayTrunc: Map[String, Int] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // partition-column support, same contract as the row reader: getters
@@ -1379,7 +1406,7 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
   private val keepRow: InternalRow => Boolean =
     if (pushed.isEmpty) null else FilterEval.compile(pushed, parseSchema)
   private val parser =
-    if (needsParse) new ExtJsonParser(parsedSchema) else null
+    if (needsParse) new ExtJsonParser(parsedSchema, arrayTrunc) else null
   // per-agg plan compiled once: kind tag + leaf getter + leaf type — the
   // per-row loop does integer dispatch, never a String match or name walk
   private val KindCountStar = 0

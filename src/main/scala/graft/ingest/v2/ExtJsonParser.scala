@@ -39,7 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (absent fields alone are fine — they become typed nulls for the T4
   * default chain).
   */
-final class ExtJsonParser(schema: StructType) extends Serializable {
+/** @param headLimits per-ROOT-field array truncation (`items -> 1`):
+  *   the first k elements materialize, the rest are token-skipped — the
+  *   [[ArrayHeadProjection]] contract, sound only because the rewrite
+  *   proved every plan-side use of the field is a fixed ordinal below k
+  *   (or a null check, which truncation never changes). Like pruned
+  *   columns, skipped elements are NOT validated — the same documented
+  *   permissive-mode property column pruning already has.
+  */
+final class ExtJsonParser(schema: StructType,
+    headLimits: Map[String, Int] = Map.empty) extends Serializable {
 
   @transient private lazy val factory = new JsonFactory()
   private val width = schema.length
@@ -65,7 +74,7 @@ final class ExtJsonParser(schema: StructType) extends Serializable {
     try {
       val t = p.nextToken()
       if (t != JsonToken.START_OBJECT) allNull()
-      else convertStruct(p, schema)
+      else convertStruct(p, schema, root = true)
     } catch {
       case scala.util.control.NonFatal(_) => allNull()
     } finally p.close()
@@ -74,7 +83,8 @@ final class ExtJsonParser(schema: StructType) extends Serializable {
   private def allNull(): InternalRow = new GenericInternalRow(width)
 
   /** Cursor is ON START_OBJECT; consumes through its END_OBJECT. */
-  private def convertStruct(p: JsonParser, st: StructType): InternalRow = {
+  private def convertStruct(p: JsonParser, st: StructType,
+      root: Boolean = false): InternalRow = {
     val values = new Array[Any](st.length)
     var t = p.nextToken()
     while (t == JsonToken.FIELD_NAME) {
@@ -82,11 +92,35 @@ final class ExtJsonParser(schema: StructType) extends Serializable {
       p.nextToken()
       val idx = fieldIndex(st, name)
       if (idx < 0) p.skipChildren()
-      else values(idx) = convert(p, st.fields(idx).dataType)
+      else {
+        val dt = st.fields(idx).dataType
+        values(idx) =
+          if (root && headLimits.contains(name) &&
+            p.currentToken() == JsonToken.START_ARRAY)
+            dt match {
+              case ArrayType(et, _) => convertArrayHead(p, et, headLimits(name))
+              case other => convert(p, other)
+            }
+          else convert(p, dt)
+      }
       t = p.nextToken()
     }
     require(t == JsonToken.END_OBJECT, s"unterminated object, got $t")
     new GenericInternalRow(values)
+  }
+
+  /** Cursor ON START_ARRAY: materialize the first `k` elements, token-
+    * skip the rest (skipChildren is a no-op on scalar tokens, which the
+    * loop's nextToken has already consumed).
+    */
+  private def convertArrayHead(p: JsonParser, et: DataType, k: Int): Any = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var n = 0
+    while (p.nextToken() != JsonToken.END_ARRAY) {
+      if (n < k) buf += convert(p, et) else p.skipChildren()
+      n += 1
+    }
+    new GenericArrayData(buf.toArray)
   }
 
   /** Cursor is ON the value's first token; consumes the whole value. */

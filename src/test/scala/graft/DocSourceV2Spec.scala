@@ -699,6 +699,53 @@ class DocSourceV2Spec extends AnyFunSuite {
     }
   }
 
+  test("array-head projection truncates at parse; bare/size uses never truncate") {
+    // long arrays where only the head is referenced — the trades shape
+    val docs = (1 to 10).map { i =>
+      val items = (1 to 20).map(j =>
+        s"""{"line": $j, "qty": ${i * 100 + j}.0}""").mkString(", ")
+      s"""{"id": $i, "items": [$items]}"""
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("line", IntegerType),
+        StructField("qty", DoubleType)))))))
+    val dir = writeLines("long.jsonl", docs)
+    def src = ExtendedJson.read(spark, schema, s"$dir/long.jsonl")
+
+    // head-only uses → the scan materializes ONE element per document
+    val head = src
+      .filter(get(col("items"), lit(0)).getField("qty") > 300.0)
+      .select(col("id"), get(col("items"), lit(0)).getField("qty").as("q"))
+    val expected = (3 to 10).map(i => (i.toLong, i * 100 + 1.0)).toSet
+    assert(head.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      expected)
+    val scan = v2Scan(head)
+    assert(scan.description().contains("ArrayHead: [items<=1]"),
+      scan.description())
+
+    // a SECOND-element reference raises the bound, results exact
+    val second = src.select(col("id"),
+      get(col("items"), lit(1)).getField("qty").as("q2"))
+    assert(v2Scan(second).description().contains("ArrayHead: [items<=2]"),
+      v2Scan(second).description())
+    assert(second.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      (1 to 10).map(i => (i.toLong, i * 100 + 2.0)).toSet)
+
+    // ANY bare use of the column — size(), pass-through, explode — must
+    // keep the full array: truncation would corrupt it
+    val sized = src.select(col("id"), size(col("items")).as("n"))
+    assert(!v2Scan(sized).description().contains("ArrayHead"),
+      v2Scan(sized).description())
+    assert(sized.collect().map(_.getInt(1)).forall(_ == 20))
+    val mixed = src.select(col("id"),
+      get(col("items"), lit(0)).getField("qty").as("q"),
+      size(col("items")).as("n"))
+    assert(!v2Scan(mixed).description().contains("ArrayHead"),
+      v2Scan(mixed).description())
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))

@@ -519,6 +519,12 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.head.readSchema().catalogString ==
       "struct<o_orderkey:bigint,items:array<struct<qty:double,price:double>>>",
       scans.head.readSchema().catalogString)
+    // ...and the ELEMENT COUNT prunes too: every plan-side use of items
+    // is a fixed head access, so the parser materializes one element and
+    // token-skips the rest (ArrayHeadProjection) — rows crossing the
+    // scan carry 1 element, not the order's whole item list
+    assert(scans.head.description().contains("ArrayHead: [items<=1]"),
+      scans.head.description())
   }
 
   test("q147 partition-ordered top-N pushes with path-constant sort keys") {
