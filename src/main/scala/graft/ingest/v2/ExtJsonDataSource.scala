@@ -544,7 +544,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       topSorts, topLimit, groups,
       numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1),
       partCols, completeCount = completeOffered && aggs.nonEmpty,
-      arrayTrunc = arrayTrunc)
+      arrayTrunc = arrayTrunc,
+      zoneMaps = Option(options.get("zoneMaps")).exists(_.toBoolean))
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -557,7 +558,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     maxPushedGroups: Int = 16384,
     val partCols: Array[String] = Array.empty,
     val completeCount: Boolean = false,
-    val arrayTrunc: Map[String, Int] = Map.empty)
+    val arrayTrunc: Map[String, Int] = Map.empty,
+    val zoneMaps: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -698,6 +700,14 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         s", ArrayHead: [${arrayTrunc.toSeq.sorted
           .map { case (f, k) => s"$f<=$k" }.mkString(", ")}]"
       else "") +
+      // reports only once planning has loaded the sidecar — description
+      // must never force a sidecar read just to explain a plan
+      (if (zoneMaps) zoneStatsLoaded match {
+        case Some(m) if m.nonEmpty =>
+          s", ZoneMaps: ${m.size} files indexed, pruned $zonePrunedFiles"
+        case Some(_) => ", ZoneMaps: absent"
+        case None => ""
+      } else "") +
       (if (partCols.nonEmpty)
         s", PartitionColumns: [${partCols.zip(partTypes)
           .map { case (c, t) => s"$c ${t.simpleString}" }.mkString(", ")}]" +
@@ -787,6 +797,64 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   private val prunedFiles = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var listed = false
 
+  /** The loaded zone-map sidecar, keyed by (root-relative path, length)
+    * — empty when the option is off, the path is not a plain directory,
+    * or no sidecar exists (always fail-soft: absent stats cost speed,
+    * never rows). Loaded once per scan like the listing.
+    */
+  @volatile private var zoneStatsLoaded:
+      Option[Map[(String, Long), Map[String, ZoneMaps.ColStats]]] = None
+
+  private def zoneStats: Map[(String, Long), Map[String, ZoneMaps.ColStats]] =
+    zoneStatsLoaded.getOrElse {
+      val m: Map[(String, Long), Map[String, ZoneMaps.ColStats]] =
+        if (!zoneMaps) Map.empty
+        else try {
+          val spark = SparkSession.active
+          val root = new Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.getFileStatus(root).isDirectory) Map.empty
+          else ZoneMaps.load(spark, path, fullSchema)
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      zoneStatsLoaded = Some(m)
+      m
+    }
+
+  /** Root-relative rendering matching [[ZoneMaps.build]]'s keys. */
+  private lazy val zoneRootUri = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.makeQualified(root).toUri
+  }
+
+  @volatile private var zonePrunedFiles = 0
+
+  /** Zone-map file pruning over the reader-side filter set: a file is
+    * dropped only when some pushed conjunct is PROVABLY false for every
+    * row under its stats ([[ZoneMaps.maybeTrue]] is conservative;
+    * stats-less and length-changed files always survive). Runtime
+    * filters participate — a dimension join's observed keys can skip
+    * whole fact files mid-execution.
+    */
+  private def zonePrune(
+      files: Seq[(FileStatus, Array[String])]): Seq[(FileStatus, Array[String])] = {
+    val filters = readerFilters
+    if (zoneStats.isEmpty || filters.isEmpty) files
+    else {
+      val kept = files.filter { case (f, _) =>
+        val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
+        zoneStats.get((rel, f.getLen)) match {
+          case Some(colStats) =>
+            filters.forall(ZoneMaps.maybeTrue(_, colStats, fullSchema))
+          case None => true
+        }
+      }
+      zonePrunedFiles = files.size - kept.size
+      kept
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -801,7 +869,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // outside every `k=v` directory carry null partition values, which a
     // partition equality correctly drops here
     val partFilters = allFilters.filter(partitionOnly)
-    val files =
+    val partKept =
       if (partFilters.isEmpty) listing
       else {
         val kept = listing.filter { case (f, vals) =>
@@ -811,6 +879,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         prunedFiles.set(listing.size - kept.size)
         kept
       }
+    val files = zonePrune(partKept)
     val parts = files.flatMap { case (f, vals) =>
       // a COMPRESSED file is never byte-split: a gzip stream has no
       // mid-file entry points, so a range split would decode garbage —

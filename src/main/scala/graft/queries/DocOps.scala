@@ -411,7 +411,52 @@ object DocOps {
       .limit(15)
       .select(col("o_orderkey"), col("py"), col("status"))
 
+  /** One CLUSTERED + zone-map-indexed materialization per (JVM, sfDir):
+    * the orders drop range-written on `o_totalprice` (each file owns a
+    * disjoint price band — the natural clustering any sorted/appended
+    * drop has on its write key) and indexed once at write time by
+    * [[graft.ingest.v2.ZoneMaps.build]], the way a producer would.
+    */
+  private def ordersClusteredJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#clustered", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_zm_$tag")}/orders"
+      Tables.orders(s, d)
+        .repartitionByRange(8, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice"))
+        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      graft.ingest.v2.ZoneMaps.build(s, dir,
+        decodedOrdersClustered, Seq("o_totalprice"))
+      dir
+    })
+
+  private val decodedOrdersClustered = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  /** Zone-map data skipping (`$match` over a clustered drop): the pushed
+    * price predicate consults the `_graft_zonemaps` sidecar at PLANNING
+    * time and drops every file whose max price provably fails it —
+    * min/max file skipping on a DATA column, the parquet-footer /
+    * Iceberg-manifest capability the JSONL drop otherwise lacks, and the
+    * complement of q141's partition-directory pruning (which needs the
+    * layout to encode the key). PlanSpec pins files actually pruned;
+    * correctness is oracle-graded because pruning only removes files the
+    * pushed filter would empty anyway.
+    */
+  private def q148ZoneMapSkip(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersClusteredJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_docsource_zonemap_skip" -> q148ZoneMapSkip,
     "q147_docsource_partition_topn" -> q147PartitionTopN,
     "q146_docsource_array_head" -> q146ArrayHeadFilter,
     "q141_docsource_partition_prune" -> q141PartitionPrune,
@@ -430,6 +475,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q148_docsource_zonemap_skip" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_totalprice > 450000.0"),
     "q147_docsource_partition_topn" ->
       ("SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS py, " +
         "o_orderstatus AS status FROM orders " +

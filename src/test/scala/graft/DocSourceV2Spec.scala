@@ -746,6 +746,66 @@ class DocSourceV2Spec extends AnyFunSuite {
       v2Scan(mixed).description())
   }
 
+  test("zone maps skip files by min/max; stale or absent stats never mis-prune") {
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2zm").toString
+    // three files with DISJOINT k bands (the clustered-drop shape) plus
+    // an all-null-v file and a nulls-mixed file
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i, "v": "x$i"}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 20).map(i => s"""{"k": $i, "v": null}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "c.jsonl"),
+      (21 to 30).map(i =>
+        s"""{"k": $i${if (i % 2 == 0) ", \"v\": \"y\"" else ""}}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    assert(ZoneMaps.build(spark, root, schema, Seq("k", "v")) == 3L)
+    def src = ExtendedJson.read(spark, schema, root,
+      Map("zoneMaps" -> "true"))
+    def plannedFiles(df: DataFrame): Set[String] = {
+      val scan = v2Scan(df)
+      df.collect() // force planning through the real execution
+      scan.planInputPartitions()
+        .map(_.asInstanceOf[ExtJsonInputPartition].file)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    }
+    // a range predicate keeps only the matching band's file
+    val hi = src.filter(col("k") > 20L)
+    assert(hi.collect().map(_.getLong(0)).toSet == (21L to 30L).toSet)
+    assert(plannedFiles(hi) == Set("c.jsonl"))
+    assert(v2Scan(hi).description().contains("ZoneMaps: 3 files indexed"),
+      v2Scan(hi).description())
+    // equality hits the middle band only
+    assert(plannedFiles(src.filter(col("k") === 15L)) == Set("b.jsonl"))
+    // IsNotNull skips the all-null file; IsNull skips the no-null file
+    assert(plannedFiles(src.filter(col("v").isNotNull)) ==
+      Set("a.jsonl", "c.jsonl"))
+    assert(plannedFiles(src.filter(col("v").isNull)) ==
+      Set("b.jsonl", "c.jsonl"))
+    // disjunction keeps the union of maybe-true bands
+    assert(plannedFiles(src.filter(col("k") < 5L || col("k") > 25L)) ==
+      Set("a.jsonl", "c.jsonl"))
+    // string equality above every file's max prunes everything: zero
+    // partitions, zero rows — and correctness still holds
+    val none = src.filter(col("v") === "zzz")
+    assert(none.collect().isEmpty)
+    assert(plannedFiles(none).isEmpty)
+
+    // STALENESS: a rewritten file (length changed) keeps scanning on its
+    // real content even though its stats row said otherwise
+    Files.write(Paths.get(root, "a.jsonl"),
+      (Seq("""{"k": 99, "v": "x"}""")).mkString("\n").getBytes("UTF-8"))
+    val crc = Paths.get(root, ".a.jsonl.crc")
+    if (Files.exists(crc)) Files.delete(crc)
+    val stale = src.filter(col("k") > 50L)
+    assert(stale.collect().map(_.getLong(0)).toSet == Set(99L),
+      "stale zone-map stats must never prune a changed file")
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))

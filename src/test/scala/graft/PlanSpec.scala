@@ -543,6 +543,30 @@ class PlanSpec extends AnyFunSuite {
     assert(s.description().contains("PushedTopN"), s.description())
   }
 
+  test("q148 zone maps prune clustered files at planning, zero residual") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q148_docsource_zonemap_skip")
+    val p = qe.executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    // the price predicate is fully pushed (zero residual)...
+    assert(s.pushed.map(_.toString).exists(f =>
+      f.contains("o_totalprice") && f.contains("GreaterThan")),
+      s.pushed.mkString(", "))
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    // ...and the sidecar drops most of the range-clustered files BEFORE
+    // they are split or parsed: of 8 price bands, only the top survives
+    // a > 450000 predicate
+    val planned = s.planInputPartitions()
+    assert(planned.length < 8, s"expected zone pruning, planned ${planned.length}")
+    assert(s.description().matches(".*ZoneMaps: \\d+ files indexed, pruned [1-9].*"),
+      s.description())
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
