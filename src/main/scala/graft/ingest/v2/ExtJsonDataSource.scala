@@ -413,14 +413,129 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * metadata count does not exist to be had.)
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
-    completeOffered =
+    val shapeOk =
       limit < 0 && topLimit < 0 && pushed.isEmpty && partCols.isEmpty &&
         aggregation.groupByExpressions().isEmpty &&
-        aggregation.aggregateExpressions().nonEmpty &&
-        aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
-        singleSplitInput
+        aggregation.aggregateExpressions().nonEmpty
+    statsAnswer = if (shapeOk) statsAggAnswer(aggregation) else None
+    completeOffered = shapeOk && (statsAnswer.isDefined ||
+      (aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
+        singleSplitInput))
     completeOffered
   }
+
+  /** The metadata-only answer row, when one exists: value/type pairs in
+    * pushed-aggregate order, rendered in the zone-map canonical string
+    * form (null value string = SQL NULL).
+    */
+  private var statsAnswer: Option[(Array[String], Array[String])] = None
+
+  /** MIN/MAX/COUNT answered ENTIRELY from the zone-map sidecar — the
+    * parquet-footer aggregate pushdown equivalent (Spark's own
+    * `spark.sql.parquet.aggregatePushdown` answers these from row-group
+    * statistics; a JSONL drop's footer is the `_graft_zonemaps` sidecar):
+    * when the query is an unfiltered ungrouped MIN/MAX/COUNT combination,
+    * zone maps are enabled, and EVERY listed file carries a
+    * length+mtime-matched stats row for every referenced column, the
+    * answer is a fold over O(files) sidecar rows — the scan reads ZERO
+    * data bytes at any corpus size. Any gap (one unindexed or rewritten
+    * file, one uncovered column) refuses, falling back to the ordinary
+    * parallel partial path.
+    */
+  private def statsAggAnswer(
+      aggregation: Aggregation): Option[(Array[String], Array[String])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min}
+    if (!Option(options.get("zoneMaps")).exists(_.toBoolean)) return None
+    val parsed: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg("count*", ""))
+        case c: Count if !c.isDistinct =>
+          pathOf(c.column(), needComparable = false).map(PushedAgg("count", _))
+        case m: Min =>
+          pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
+        case m: Max =>
+          pathOf(m.column(), needComparable = true).map(PushedAgg("max", _))
+        case _ => None
+      }
+    if (parsed.exists(_.isEmpty)) return None
+    val wanted = parsed.flatten
+    try {
+      val spark = SparkSession.active
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.getFileStatus(root).isDirectory) return None
+      val stats = ZoneMaps.load(spark, path, fullSchema)
+      if (stats.isEmpty) return None
+      def visible(st: FileStatus): Boolean = {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      def walk(st: FileStatus): Seq[FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(walk)
+        else if (st.isFile && st.getLen > 0) Seq(st)
+        else Seq.empty
+      val rootUri = fs.makeQualified(root).toUri
+      val files = fs.listStatus(root).toSeq.filter(visible).flatMap(walk)
+      // every file must be covered by a fresh stats row — one gap and
+      // the metadata can't speak for the corpus
+      val perFile: Seq[Map[String, ZoneMaps.ColStats]] = files.map { st =>
+        val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri)
+          .getPath
+        stats.get((rel, st.getLen, st.getModificationTime)) match {
+          case Some(m) => m
+          case None => return None
+        }
+      }
+      val values = new Array[String](wanted.length)
+      val types = new Array[String](wanted.length)
+      wanted.zipWithIndex.foreach { case (a, i) =>
+        a.kind match {
+          case "count*" =>
+            // rows is carried on every indexed column's row — any one
+            // column per file suffices
+            val rows = perFile.map { m =>
+              m.values.headOption match {
+                case Some(cs) => cs.rows
+                case None => return None
+              }
+            }
+            values(i) = rows.sum.toString
+            types(i) = org.apache.spark.sql.types.LongType.json
+          case "count" =>
+            val nonNull = perFile.map(m => m.get(a.field) match {
+              case Some(cs) => cs.rows - cs.nulls
+              case None => return None
+            })
+            values(i) = nonNull.sum.toString
+            types(i) = org.apache.spark.sql.types.LongType.json
+          case k =>
+            val dt = leafType(a.field)
+            var best: Any = null
+            perFile.foreach { m =>
+              m.get(a.field) match {
+                case Some(cs) =>
+                  val v = if (k == "min") cs.min.orNull else cs.max.orNull
+                  if (v != null && (best == null || {
+                    val c = FilterEval.compareInternal(dt, v, best)
+                    if (k == "min") c < 0 else c > 0
+                  })) best = v
+                case None => return None
+              }
+            }
+            values(i) = if (best == null) null else ZoneMaps.render(best, dt)
+            types(i) = dt.json
+        }
+      }
+      // the pushed-aggs registration happens in pushAggregation; the
+      // answer row just has to align with its order, which this shares
+      Some((values, types))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Leaf type of a (possibly dotted) path against the declared schema. */
+  private def leafType(field: String): org.apache.spark.sql.types.DataType =
+    FilterEval.resolve(field, fullSchema).get.leaf.dataType
 
   /** Whether the last [[supportCompletePushDown]] probe said yes — Spark
     * then calls `pushAggregation` and, on acceptance, plans WITHOUT the
@@ -545,7 +660,9 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       numericOption("maxPushedGroups", _.toInt).getOrElse(16384).max(1),
       partCols, completeCount = completeOffered && aggs.nonEmpty,
       arrayTrunc = arrayTrunc,
-      zoneMaps = Option(options.get("zoneMaps")).exists(_.toBoolean))
+      zoneMaps = Option(options.get("zoneMaps")).exists(_.toBoolean),
+      statsAnswer = if (completeOffered && aggs.nonEmpty) statsAnswer
+        else None)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -559,7 +676,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val partCols: Array[String] = Array.empty,
     val completeCount: Boolean = false,
     val arrayTrunc: Map[String, Int] = Map.empty,
-    val zoneMaps: Boolean = false)
+    val zoneMaps: Boolean = false,
+    val statsAnswer: Option[(Array[String], Array[String])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -691,7 +809,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       else "") +
       (if (aggPushed)
         s", PushedAggregation: [${pushedAggs.map(_.render).mkString(", ")}]" +
-          (if (completeCount) " (complete)" else "") +
+          (if (statsAnswer.isDefined) " (complete, metadata-only)"
+          else if (completeCount) " (complete)" else "") +
           (if (pushedGroups.nonEmpty)
             s", PushedGroupBy: [${pushedGroups.mkString(", ")}]"
           else "")
@@ -803,11 +922,11 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * never rows). Loaded once per scan like the listing.
     */
   @volatile private var zoneStatsLoaded:
-      Option[Map[(String, Long), Map[String, ZoneMaps.ColStats]]] = None
+      Option[Map[(String, Long, Long), Map[String, ZoneMaps.ColStats]]] = None
 
-  private def zoneStats: Map[(String, Long), Map[String, ZoneMaps.ColStats]] =
+  private def zoneStats: Map[(String, Long, Long), Map[String, ZoneMaps.ColStats]] =
     zoneStatsLoaded.getOrElse {
-      val m: Map[(String, Long), Map[String, ZoneMaps.ColStats]] =
+      val m: Map[(String, Long, Long), Map[String, ZoneMaps.ColStats]] =
         if (!zoneMaps) Map.empty
         else try {
           val spark = SparkSession.active
@@ -844,7 +963,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     else {
       val kept = files.filter { case (f, _) =>
         val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
-        zoneStats.get((rel, f.getLen)) match {
+        zoneStats.get((rel, f.getLen, f.getModificationTime)) match {
           case Some(colStats) =>
             filters.forall(ZoneMaps.maybeTrue(_, colStats, fullSchema))
           case None => true
@@ -856,6 +975,13 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // metadata-only aggregate: the sidecar already answered; the one
+    // "partition" carries the rendered answer row and reads NOTHING
+    statsAnswer match {
+      case Some((values, types)) =>
+        return Array(StatsAnswerPartition(values, types))
+      case None =>
+    }
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
@@ -995,6 +1121,14 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
     wholeFile: Boolean = false, partValues: Array[String] = Array.empty)
     extends InputPartition
 
+/** The metadata-only aggregate answer as a one-row "partition": values
+  * in pushed-aggregate order in the zone-map canonical string rendering
+  * (null = SQL NULL), types as their JSON forms. Reading it costs zero
+  * data bytes.
+  */
+final case class StatsAnswerPartition(values: Array[String],
+    types: Array[String]) extends InputPartition
+
 /** Ships to executors: Hadoop conf via the public [[SerializableWritable]],
   * the parse and required schemas as their JSON forms (self-contained,
   * version-stable).
@@ -1008,6 +1142,10 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     arrayTrunc: Map[String, Int] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case sp: StatsAnswerPartition => return new StatsAnswerReader(sp)
+      case _ =>
+    }
     val p = partition.asInstanceOf[ExtJsonInputPartition]
     // the ROW schema is what filters/getters/projection see; the parser
     // gets it with partition fields removed, and `insert` splices this
@@ -1195,6 +1333,24 @@ private[graft] object ScanMetrics {
   final case class TaskValue(override val name: String,
       override val value: Long)
       extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+}
+
+/** Emits the one metadata-only aggregate answer row: values decoded
+  * from their zone-map canonical renderings — the exact strings
+  * [[ZoneMaps.build]] rendered from internal values, so the round-trip
+  * is bit-exact. Zero bytes of document data are opened.
+  */
+final class StatsAnswerReader(p: StatsAnswerPartition)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = !emitted && { emitted = true; true }
+  override def get(): InternalRow =
+    new GenericInternalRow(p.values.zip(p.types).map { case (v, tj) =>
+      if (v == null) null
+      else ZoneMaps.decode(v,
+        org.apache.spark.sql.types.DataType.fromJson(tj))
+    }.toArray[Any])
+  override def close(): Unit = ()
 }
 
 /** Split stream setup shared by the partition readers. */

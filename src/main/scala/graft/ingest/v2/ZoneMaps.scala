@@ -34,9 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a file survives unless a pushed conjunct is definitely-not-true for
   *    all rows; unknown columns, unsupported shapes, and `Not`/string
   *    matches all answer "maybe";
-  *  - stats rows carry the file's byte LENGTH; a file whose current
-  *    length differs (rewritten since indexing) is treated as stats-less
-  *    and kept — stale stats can cost speed, never rows;
+  *  - stats rows carry the file's byte LENGTH and MODIFICATION TIME; a
+  *    file whose current (length, mtime) differs (rewritten since
+  *    indexing) is treated as stats-less and kept — stale stats can cost
+  *    speed, never rows (the sidecar lives OUTSIDE the files it
+  *    describes, unlike a parquet footer, so drift is detected, not
+  *    assumed away);
   *  - files with no stats row (landed after the build) are kept;
   *  - ordering uses the SAME comparator as the readers
   *    ([[FilterEval.compareInternal]] — binary UTF8String order for
@@ -129,14 +132,14 @@ object ZoneMaps {
       .map { st =>
         val rel = rootUri.relativize(
           fs.makeQualified(st.getPath).toUri).getPath
-        (st.getPath.toString, rel, st.getLen)
+        (st.getPath.toString, rel, st.getLen, st.getModificationTime)
       }
     val schemaJson = SchemaMerge.merge(Array.empty,
       cols.map(_.split("\\.", -1).toSeq), schema).json
     val colsB = cols.toArray
     val statRows = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
-      .flatMap { case (abs, rel, len) =>
+      .flatMap { case (abs, rel, len, mtime) =>
         val parseSchema = DataTypeJson.structFromJson(schemaJson)
         val parser = new ExtJsonParser(parseSchema)
         val getters = colsB.map(FilterEval.compiledGetter(_, parseSchema))
@@ -176,7 +179,7 @@ object ZoneMaps {
           }
         } finally { lines.close(); stream.close() }
         colsB.indices.map { i =>
-          Row(rel, len, rows, colsB(i),
+          Row(rel, len, mtime, rows, colsB(i),
             if (mins(i) == null) null else render(mins(i), types(i)),
             if (maxs(i) == null) null else render(maxs(i), types(i)),
             nulls(i))
@@ -185,6 +188,7 @@ object ZoneMaps {
     val statSchema = StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("len", LongType, nullable = false),
+      StructField("mtime", LongType, nullable = false),
       StructField("rows", LongType, nullable = false),
       StructField("col", StringType, nullable = false),
       StructField("min", StringType),
@@ -196,23 +200,27 @@ object ZoneMaps {
     files.size.toLong
   }
 
-  /** Load the sidecar as (relativePath, len) → per-column stats, decoded
-    * against the DECLARED schema. Empty when absent.
+  /** Load the sidecar as (relativePath, len, mtime) → per-column stats,
+    * decoded against the DECLARED schema. Empty when absent. The
+    * three-part key is the staleness gate: a file rewritten since
+    * indexing changes its length or modification time and falls back to
+    * scanning (the sidecar lives OUTSIDE the files it describes, unlike
+    * a parquet footer, so drift must be detected, not assumed away).
     */
   def load(spark: SparkSession, dropDir: String,
-      schema: StructType): Map[(String, Long), Map[String, ColStats]] = {
+      schema: StructType): Map[(String, Long, Long), Map[String, ColStats]] = {
     val p = new Path(s"$dropDir/$SidecarDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Map.empty
     spark.read.parquet(p.toString).collect().toSeq
       .flatMap { r =>
-        val col = r.getString(3)
+        val col = r.getString(4)
         FilterEval.resolve(col, schema).map { fp =>
           val dt = fp.leaf.dataType
-          ((r.getString(0), r.getLong(1)), col, ColStats(
-            Option(r.getString(4)).map(decode(_, dt)),
+          ((r.getString(0), r.getLong(1), r.getLong(2)), col, ColStats(
             Option(r.getString(5)).map(decode(_, dt)),
-            r.getLong(6), r.getLong(2)))
+            Option(r.getString(6)).map(decode(_, dt)),
+            r.getLong(7), r.getLong(3)))
         }
       }
       .groupBy(_._1)

@@ -455,7 +455,27 @@ object DocOps {
       .filter(col("o_totalprice") > 450000.0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** Metadata-only aggregates over the zone-mapped drop: the unfiltered
+    * MIN/MAX/COUNT combination is answered ENTIRELY from the
+    * `_graft_zonemaps` sidecar — the scan plans ONE answer "partition"
+    * and reads zero document bytes at any corpus size (the
+    * parquet-footer aggregate pushdown, `spark.sql.parquet
+    * .aggregatePushdown`, re-created for the JSONL drop). Every listed
+    * file must carry a length+mtime-fresh stats row for every referenced
+    * column; one gap refuses and the ordinary parallel partial path
+    * runs instead — so the fast path can never return stale numbers for
+    * a drop that changed under it.
+    */
+  private def q149MetadataAgg(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersClusteredJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(col("o_totalprice")).as("n_priced"),
+        count(lit(1)).as("n_orders"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_docsource_metadata_agg" -> q149MetadataAgg,
     "q148_docsource_zonemap_skip" -> q148ZoneMapSkip,
     "q147_docsource_partition_topn" -> q147PartitionTopN,
     "q146_docsource_array_head" -> q146ArrayHeadFilter,
@@ -475,6 +495,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q149_docsource_metadata_agg" ->
+      ("SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
+        "COUNT(o_totalprice) AS n_priced, COUNT(*) AS n_orders FROM orders"),
     "q148_docsource_zonemap_skip" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
         "WHERE o_totalprice > 450000.0"),

@@ -806,6 +806,73 @@ class DocSourceV2Spec extends AnyFunSuite {
       "stale zone-map stats must never prune a changed file")
   }
 
+  test("metadata-only aggregates answer from the sidecar, zero bytes read; gaps refuse") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import graft.ingest.v2.{StatsAnswerPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2ma").toString
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i, "v": ${if (i % 2 == 0) "null"
+        else s""""s$i""""}}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 25).map(i => s"""{"k": $i, "v": "t$i"}""").mkString("\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    ZoneMaps.build(spark, root, schema, Seq("k", "v"))
+    def agg(opts: Map[String, String]) =
+      ExtendedJson.read(spark, schema, root, opts)
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+          count(col("v")).as("nv"), count(lit(1)).as("n"))
+    // AQE holds stage plans as innerChildren — plain collect misses them
+    def scanExecs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanExecs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanExecs(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scanExecs)
+      }
+    val df = agg(Map("zoneMaps" -> "true"))
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    val p = qe.sparkPlan
+    val exec = scanExecs(qe.executedPlan).head
+    val scan = exec.scan.asInstanceOf[ExtJsonScan]
+    // the answer is one metadata partition; no aggregate node anywhere
+    assert(scan.statsAnswer.isDefined, scan.description())
+    assert(scan.description().contains("(complete, metadata-only)"),
+      scan.description())
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 1 && parts.head.isInstanceOf[StatsAnswerPartition])
+    assert(df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
+      Seq((1L, 25L, 20L, 25L)))
+    // ...and truly ZERO document bytes were read
+    assert(exec.metrics(graft.ingest.v2.ScanMetrics.ParsedDocs).value == 0)
+    assert(exec.metrics(graft.ingest.v2.ScanMetrics.SkimmedLines).value == 0)
+
+    // a file rewritten since indexing (fresh mtime/length) breaks the
+    // coverage gate: the fast path refuses and the scan computes the
+    // real answer from the data
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 30).map(i => s"""{"k": $i, "v": "t$i"}""").mkString("\n")
+        .getBytes("UTF-8"))
+    val crc = Paths.get(root, ".b.jsonl.crc")
+    if (Files.exists(crc)) Files.delete(crc)
+    val df2 = agg(Map("zoneMaps" -> "true"))
+    assert(df2.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
+      Seq((1L, 30L, 25L, 30L)),
+      "stale sidecar must never answer for a changed drop")
+    val scan2 = scanExecs(df2
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan).head.scan.asInstanceOf[ExtJsonScan]
+    assert(scan2.statsAnswer.isEmpty)
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))

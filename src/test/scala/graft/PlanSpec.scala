@@ -567,6 +567,28 @@ class PlanSpec extends AnyFunSuite {
       s.description())
   }
 
+  test("q149 unfiltered MIN/MAX/COUNT answers from zone-map metadata alone") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q149_docsource_metadata_agg")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // the sidecar answered: one metadata partition, no aggregate node,
+    // zero document bytes to read at ANY corpus size
+    assert(s.statsAnswer.isDefined, s.description())
+    assert(s.description().contains("(complete, metadata-only)"),
+      s.description())
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+    val parts = s.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
