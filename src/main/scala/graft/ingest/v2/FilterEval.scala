@@ -424,10 +424,15 @@ object FilterEval {
       x.asInstanceOf[Int], y.asInstanceOf[Int])
     case LongType | TimestampType => java.lang.Long.compare(
       x.asInstanceOf[Long], y.asInstanceOf[Long])
+    // `+ 0.0f` normalizes -0.0 to 0.0 (NaN unaffected): Spark SQL treats
+    // the two zeros as EQUAL (NormalizeFloatingNumbers) while
+    // Float.compare orders them — without this a pushed `col = 0.0`
+    // would drop -0.0 rows the unpushed plan keeps. NaN = NaN stays
+    // true and NaN sorts greatest, both matching Spark's NaN semantics.
     case FloatType => java.lang.Float.compare(
-      x.asInstanceOf[Float], y.asInstanceOf[Float])
+      x.asInstanceOf[Float] + 0.0f, y.asInstanceOf[Float] + 0.0f)
     case DoubleType => java.lang.Double.compare(
-      x.asInstanceOf[Double], y.asInstanceOf[Double])
+      x.asInstanceOf[Double] + 0.0d, y.asInstanceOf[Double] + 0.0d)
     case _: DecimalType => x.asInstanceOf[Decimal].compare(y.asInstanceOf[Decimal])
     case other => throw new IllegalStateException(s"uncomparable type $other")
   }

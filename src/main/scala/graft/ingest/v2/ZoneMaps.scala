@@ -89,10 +89,14 @@ object ZoneMaps {
   }
 
   /** One file's stats for one column (values decoded to internal form).
-    * `min`/`max` are None when the column had no non-null values.
+    * `min`/`max` are None when the column had no non-null values;
+    * `bloom` carries the file's membership filter when the column was
+    * bloom-indexed (no false negatives, so "definitely absent" may
+    * prune; fpp only costs skipped skips).
     */
   final case class ColStats(min: Option[Any], max: Option[Any],
-      nulls: Long, rows: Long)
+      nulls: Long, rows: Long,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
   /** Build (or rebuild) the sidecar for every visible file under
     * `dropDir`: one distributed pass, one task per file, each computing
@@ -103,8 +107,12 @@ object ZoneMaps {
     * so the stats describe what the scan would actually see.
     */
   def build(spark: SparkSession, dropDir: String, schema: StructType,
-      cols: Seq[String]): Long = {
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Long = {
     require(cols.nonEmpty, "zone maps need at least one column")
+    require(bloomCols.forall(cols.contains),
+      s"bloomCols ${bloomCols.filterNot(cols.contains).mkString(", ")} " +
+        "must also be min/max-indexed (list them in cols)")
     cols.foreach { c =>
       val p = FilterEval.resolve(c, schema).getOrElse(throw
         new IllegalArgumentException(
@@ -137,6 +145,7 @@ object ZoneMaps {
     val schemaJson = SchemaMerge.merge(Array.empty,
       cols.map(_.split("\\.", -1).toSeq), schema).json
     val colsB = cols.toArray
+    val bloomB = cols.map(bloomCols.contains).toArray
     val statRows = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .flatMap { case (abs, rel, len, mtime) =>
@@ -148,6 +157,14 @@ object ZoneMaps {
         val mins = new Array[Any](colsB.length)
         val maxs = new Array[Any](colsB.length)
         val nulls = new Array[Long](colsB.length)
+        // expected-items heuristic from the byte size (>= ~64 B/doc):
+        // undersizing only raises the false-positive rate — bloom
+        // correctness (no false negatives) never depends on the estimate
+        val blooms: Array[org.apache.spark.util.sketch.BloomFilter] =
+          colsB.indices.map(i =>
+            if (bloomB(i)) org.apache.spark.util.sketch.BloomFilter
+              .create(math.max(1024L, len / 64L), bloomFpp)
+            else null).toArray
         var rows = 0L
         val codec = new org.apache.hadoop.io.compress
           .CompressionCodecFactory(conf.value).getCodec(new Path(abs))
@@ -172,6 +189,8 @@ object ZoneMaps {
                   if (maxs(i) == null ||
                     FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
                     maxs(i) = v
+                  if (blooms(i) != null)
+                    blooms(i).putString(render(v, types(i)))
                 }
                 i += 1
               }
@@ -179,10 +198,17 @@ object ZoneMaps {
           }
         } finally { lines.close(); stream.close() }
         colsB.indices.map { i =>
-          Row(rel, len, mtime, rows, colsB(i),
+          val bloomBytes =
+            if (blooms(i) == null) null
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              blooms(i).writeTo(bos)
+              bos.toByteArray
+            }
+          Row(rel, len, mtime, rows, colsB(i), types(i).json,
             if (mins(i) == null) null else render(mins(i), types(i)),
             if (maxs(i) == null) null else render(maxs(i), types(i)),
-            nulls(i))
+            nulls(i), bloomBytes)
         }
       }
     val statSchema = StructType(Seq(
@@ -191,9 +217,11 @@ object ZoneMaps {
       StructField("mtime", LongType, nullable = false),
       StructField("rows", LongType, nullable = false),
       StructField("col", StringType, nullable = false),
+      StructField("typ", StringType, nullable = false),
       StructField("min", StringType),
       StructField("max", StringType),
-      StructField("nulls", LongType, nullable = false)))
+      StructField("nulls", LongType, nullable = false),
+      StructField("bloom", BinaryType)))
     spark.createDataFrame(statRows, statSchema)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dropDir/$SidecarDir")
@@ -215,13 +243,22 @@ object ZoneMaps {
     spark.read.parquet(p.toString).collect().toSeq
       .flatMap { r =>
         val col = r.getString(4)
-        FilterEval.resolve(col, schema).map { fp =>
-          val dt = fp.leaf.dataType
-          ((r.getString(0), r.getLong(1), r.getLong(2)), col, ColStats(
-            Option(r.getString(5)).map(decode(_, dt)),
-            Option(r.getString(6)).map(decode(_, dt)),
-            r.getLong(7), r.getLong(3)))
-        }
+        // TYPE drift gate: stats rendered under a different declared
+        // type must not prune (a bloom over "123" would false-negative
+        // a probe rendered "123.0" — a wrong prune, the one forbidden
+        // outcome)
+        FilterEval.resolve(col, schema)
+          .filter(_.leaf.dataType.json == r.getString(5)).map { fp =>
+            val dt = fp.leaf.dataType
+            ((r.getString(0), r.getLong(1), r.getLong(2)), col, ColStats(
+              Option(r.getString(6)).map(decode(_, dt)),
+              Option(r.getString(7)).map(decode(_, dt)),
+              r.getLong(8), r.getLong(3),
+              Option(r.get(9)).map(b =>
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(
+                    b.asInstanceOf[Array[Byte]])))))
+          }
       }
       .groupBy(_._1)
       .map { case (k, rows) =>
@@ -255,12 +292,14 @@ object ZoneMaps {
         maybeTrue(l, stats, schema) || maybeTrue(r, stats, schema)
       case EqualTo(a, v) => cmp(a, v)((s, iv, dt) =>
         FilterEval.compareInternal(dt, s.min.get, iv) <= 0 &&
-          FilterEval.compareInternal(dt, s.max.get, iv) >= 0)
+          FilterEval.compareInternal(dt, s.max.get, iv) >= 0 &&
+          s.bloom.forall(_.mightContainString(render(iv, dt))))
       case EqualNullSafe(a, v) =>
         if (v == null) stats.get(a).forall(_.nulls > 0)
         else cmp(a, v)((s, iv, dt) =>
           FilterEval.compareInternal(dt, s.min.get, iv) <= 0 &&
-            FilterEval.compareInternal(dt, s.max.get, iv) >= 0)
+            FilterEval.compareInternal(dt, s.max.get, iv) >= 0 &&
+            s.bloom.forall(_.mightContainString(render(iv, dt))))
       case GreaterThan(a, v) => cmp(a, v)((s, iv, dt) =>
         FilterEval.compareInternal(dt, s.max.get, iv) > 0)
       case GreaterThanOrEqual(a, v) => cmp(a, v)((s, iv, dt) =>

@@ -429,8 +429,8 @@ object DocOps {
         .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"))).as("value"))
         .write.mode("overwrite").text(dir)
-      graft.ingest.v2.ZoneMaps.build(s, dir,
-        decodedOrdersClustered, Seq("o_totalprice"))
+      graft.ingest.v2.ZoneMaps.build(s, dir, decodedOrdersClustered,
+        Seq("o_totalprice", "o_orderkey"), bloomCols = Seq("o_orderkey"))
       dir
     })
 
@@ -474,7 +474,22 @@ object DocOps {
         count(col("o_totalprice")).as("n_priced"),
         count(lit(1)).as("n_orders"))
 
+  /** Bloom-sidecar point lookup: `o_orderkey` is scattered across the
+    * price-clustered files, so min/max can't skip anything — the
+    * per-file BLOOM filter can: each file's membership filter answers
+    * "definitely absent" at planning (no false negatives, so pruning is
+    * sound; false positives only cost a skipped skip), and a 3-key
+    * lookup plans ~3 of 8 files instead of the drop. The parquet
+    * bloom-filter capability, sidecar-form.
+    */
+  private def q150BloomPointLookup(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersClusteredJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .filter(col("o_orderkey").isin(1L, 7L, 38L))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_docsource_bloom_lookup" -> q150BloomPointLookup,
     "q149_docsource_metadata_agg" -> q149MetadataAgg,
     "q148_docsource_zonemap_skip" -> q148ZoneMapSkip,
     "q147_docsource_partition_topn" -> q147PartitionTopN,
@@ -495,6 +510,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q150_docsource_bloom_lookup" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey IN (1, 7, 38)"),
     "q149_docsource_metadata_agg" ->
       ("SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
         "COUNT(o_totalprice) AS n_priced, COUNT(*) AS n_orders FROM orders"),

@@ -795,6 +795,42 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(none.collect().isEmpty)
     assert(plannedFiles(none).isEmpty)
 
+    // BLOOM sidecar: k values are unique per file, so equality on a
+    // SCATTERED column skips by membership where min/max couldn't —
+    // rebuild with k bloom-indexed and probe values/absences
+    assert(ZoneMaps.build(spark, root, schema, Seq("k", "v"),
+      bloomCols = Seq("k")) == 3L)
+    assert(plannedFiles(src.filter(col("k") === 15L)) == Set("b.jsonl"))
+    assert(plannedFiles(src.filter(col("k").isin(3L, 23L))) ==
+      Set("a.jsonl", "c.jsonl"))
+    // a value inside every file's [min,max] but ABSENT everywhere would
+    // survive min/max alone — the blooms prune it (k holds no value 999
+    // and ranges are integers 1..30, so probe an in-range absence)
+    assert(ZoneMaps.build(spark, root,
+      StructType(Seq(StructField("k", LongType))), Seq("k"),
+      bloomCols = Seq("k")) == 3L)
+    // (ranges 1..10 / 11..20 / 21..30: 13 is in b's range but if absent
+    // the bloom must not fire — write a gap file to prove it)
+    Files.write(Paths.get(root, "d.jsonl"),
+      Seq("""{"k": 12}""", """{"k": 14}""").mkString("\n").getBytes("UTF-8"))
+    assert(ZoneMaps.build(spark, root, schema, Seq("k", "v"),
+      bloomCols = Seq("k")) == 4L)
+    assert(plannedFiles(src.filter(col("k") === 13L)) == Set("b.jsonl"),
+      "range says b and d are candidates; d's bloom must rule it out")
+
+    // TYPE drift: the same sidecar read under a different declared type
+    // must not prune (a bloom over long renderings would false-negative
+    // double probes) — results stay correct off the full scan
+    val intSchema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val drifted = ExtendedJson.read(spark, intSchema, root,
+      Map("zoneMaps" -> "true")).filter(col("k") === 15)
+    assert(drifted.collect().map(_.getInt(0)).toSet == Set(15))
+    val dScan = v2Scan(drifted)
+    drifted.collect()
+    assert(dScan.planInputPartitions().length == 4,
+      "type-drifted stats must be ignored, not trusted")
+
     // STALENESS: a rewritten file (length changed) keeps scanning on its
     // real content even though its stats row said otherwise
     Files.write(Paths.get(root, "a.jsonl"),

@@ -567,6 +567,27 @@ class PlanSpec extends AnyFunSuite {
       s.description())
   }
 
+  test("q150 bloom sidecar skips files for a point lookup on a scattered key") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val p = plan("q150_docsource_bloom_lookup").executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    // the In is fully pushed, zero residual...
+    assert(s.pushed.map(_.toString).exists(f =>
+      f.contains("o_orderkey") && f.contains("In")), s.pushed.mkString(", "))
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    // ...and the key is SCATTERED across the price-clustered files, so
+    // only the per-file blooms can skip: a 3-key lookup plans at most
+    // 3 files (+ false positives at 1% fpp), never all 8 bands
+    val planned = s.planInputPartitions()
+    assert(planned.length < 8,
+      s"expected bloom skipping, planned ${planned.length}")
+  }
+
   test("q149 unfiltered MIN/MAX/COUNT answers from zone-map metadata alone") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
