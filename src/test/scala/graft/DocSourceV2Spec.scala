@@ -1078,6 +1078,64 @@ class DocSourceV2Spec extends AnyFunSuite {
       scans.head.runtimeFilters.mkString(", "))
   }
 
+  test("runtime join filters skip whole FILES through the bloom sidecar") {
+    import spark.implicits._
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2dynzm").toString
+    // three fact files keyed on disjoint k bands — a selective dim join
+    // should read only the file(s) holding the surviving keys
+    Files.write(Paths.get(root, "f1.jsonl"),
+      (1 to 400).map(i => s"""{"k": ${i % 30 + 1}, "v": $i}""")
+        .mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "f2.jsonl"),
+      (1 to 400).map(i => s"""{"k": ${i % 30 + 31}, "v": $i}""")
+        .mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "f3.jsonl"),
+      (1 to 400).map(i => s"""{"k": ${i % 30 + 61}, "v": $i}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"), bloomCols = Seq("k"))
+    (1 to 90).map(i => (i.toLong, if (i == 40 || i == 55) "hot" else s"c$i"))
+      .toDF("k", "tag").write.parquet(s"$root/_dim.parquet")
+    val dim = spark.read.parquet(s"$root/_dim.parquet")
+      .filter(col("tag") === "hot")
+    val fact = ExtendedJson.read(spark, schema, root,
+      Map("zoneMaps" -> "true"))
+    val joined = fact.join(dim, Seq("k"))
+    // k=40 and k=55 each occur ~13x in f2's band
+    assert(joined.collect().forall(r =>
+      r.getLong(0) == 40L || r.getLong(0) == 55L))
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ExtJsonScan] =
+      (p match {
+        case b: BatchScanExec => Seq(b.scan.asInstanceOf[ExtJsonScan])
+        case _ => Nil
+      }) ++ p.children.flatMap(findScans) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScans(q.plan)
+        case _ => Nil
+      })
+    val ep = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+    val finalPlan = ep match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = findScans(finalPlan)
+    assert(scans.length == 1, finalPlan.toString.take(500))
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "join keys should arrive as runtime filters")
+    // DYNAMIC data skipping: re-planning under the runtime In consults
+    // the sidecar — both surviving keys live in f2's band, so f1/f3 are
+    // never split, read, or parsed
+    val planned = scans.head.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition].file)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(planned == Set("f2.jsonl"),
+      s"runtime bloom/zone skipping should plan only f2: $planned")
+  }
+
   test("runtime join filters prune on NESTED (dotted) join keys too") {
     import spark.implicits._
     val docs = (1 to 400).map(i => s"""{"p": {"k": ${i % 20}, "s": "x"}, "v": $i}""")
