@@ -364,8 +364,32 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * Refused under a pushed limit/top-N — Spark then falls back to the
     * ordinary scan + agg.
     */
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
+  /** One v2 aggregate expression → the reader's serializable form —
+    * THE single translation, shared by [[pushAggregation]] and the
+    * metadata-only answer ([[statsAggAnswer]]) so the two can never
+    * disagree on accepted shapes or output order.
+    */
+  private def translateAggExpr(
+      e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[PushedAgg] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min, Sum}
+    e match {
+      case _: CountStar => Some(PushedAgg("count*", ""))
+      case c: Count if !c.isDistinct =>
+        pathOf(c.column(), needComparable = false).map(PushedAgg("count", _))
+      case m: Min =>
+        pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
+      case m: Max =>
+        pathOf(m.column(), needComparable = true).map(PushedAgg("max", _))
+      case s: Sum if !s.isDistinct =>
+        pathOf(s.column(), needComparable = false)
+          .filter(dotted => SumTypes.summable(
+            FilterEval.resolve(dotted, fullSchema).get.leaf.dataType))
+          .map(PushedAgg("sum", _))
+      case _ => None
+    }
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (limit >= 0 || topLimit >= 0) return false
     // group keys must be comparable atomics: they ride the partial rows
     // and re-group Spark-side (hash + equality on the internal values)
@@ -373,21 +397,7 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       .map(pathOf(_, needComparable = true))
     if (g.exists(_.isEmpty)) return false
     val parsed: Seq[Option[PushedAgg]] =
-      aggregation.aggregateExpressions().toSeq.map {
-        case _: CountStar => Some(PushedAgg("count*", ""))
-        case c: Count if !c.isDistinct =>
-          pathOf(c.column(), needComparable = false).map(PushedAgg("count", _))
-        case m: Min =>
-          pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
-        case m: Max =>
-          pathOf(m.column(), needComparable = true).map(PushedAgg("max", _))
-        case s: Sum if !s.isDistinct =>
-          pathOf(s.column(), needComparable = false)
-            .filter(dotted => SumTypes.summable(
-              FilterEval.resolve(dotted, fullSchema).get.leaf.dataType))
-            .map(PushedAgg("sum", _))
-        case _ => None
-      }
+      aggregation.aggregateExpressions().toSeq.map(translateAggExpr)
     // a grouped query with no aggregate functions is a pushed DISTINCT —
     // each split ships its observed keys; ungrouped still needs at least
     // one aggregate to mean anything
@@ -444,20 +454,13 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     */
   private def statsAggAnswer(
       aggregation: Aggregation): Option[(Array[String], Array[String])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min}
     if (!Option(options.get("zoneMaps")).exists(_.toBoolean)) return None
+    // the SAME translation pushAggregation registers, so the answer row
+    // aligns with the pushed layout by construction; sums have no
+    // sidecar form and refuse the metadata path
     val parsed: Seq[Option[PushedAgg]] =
-      aggregation.aggregateExpressions().toSeq.map {
-        case _: CountStar => Some(PushedAgg("count*", ""))
-        case c: Count if !c.isDistinct =>
-          pathOf(c.column(), needComparable = false).map(PushedAgg("count", _))
-        case m: Min =>
-          pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
-        case m: Max =>
-          pathOf(m.column(), needComparable = true).map(PushedAgg("max", _))
-        case _ => None
-      }
-    if (parsed.exists(_.isEmpty)) return None
+      aggregation.aggregateExpressions().toSeq.map(translateAggExpr)
+    if (parsed.exists(p => p.isEmpty || p.get.kind == "sum")) return None
     val wanted = parsed.flatten
     try {
       val spark = SparkSession.active
@@ -466,17 +469,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       if (!fs.getFileStatus(root).isDirectory) return None
       val stats = ZoneMaps.load(spark, path, fullSchema)
       if (stats.isEmpty) return None
-      def visible(st: FileStatus): Boolean = {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      def walk(st: FileStatus): Seq[FileStatus] =
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(walk)
-        else if (st.isFile && st.getLen > 0) Seq(st)
-        else Seq.empty
       val rootUri = fs.makeQualified(root).toUri
-      val files = fs.listStatus(root).toSeq.filter(visible).flatMap(walk)
+      val files = DocListing.walkFiles(fs, fs.listStatus(root).toSeq)
       // every file must be covered by a fresh stats row — one gap and
       // the metadata can't speak for the corpus
       val perFile: Seq[Map[String, ZoneMaps.ColStats]] = files.map { st =>
@@ -556,16 +550,13 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    def visible(st: FileStatus): Boolean = {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
     val isGlob = path.exists("*?[{".contains(_))
-    val roots = if (isGlob) matches.filter(visible) else matches
+    val roots = if (isGlob) matches.filter(DocListing.visible) else matches
     var found: FileStatus = null
     def walk(st: FileStatus): Boolean = // false = bail out (second file)
       if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(visible).forall(walk)
+        fs.listStatus(st.getPath).toSeq.filter(DocListing.visible)
+          .forall(walk)
       else if (!st.isFile || st.getLen == 0) true
       else if (found == null) { found = st; true }
       else false
@@ -958,8 +949,16 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     */
   private def zonePrune(
       files: Seq[(FileStatus, Array[String])]): Seq[(FileStatus, Array[String])] = {
-    val filters = readerFilters
-    if (zoneStats.isEmpty || filters.isEmpty) files
+    // a filter touching ANY partition column is out of the zone algebra's
+    // reach: partition values come from the PATH and the file bodies
+    // parse them as null, so body stats would answer "no non-null
+    // values" and wrongly kill a disjunct the spliced values satisfy
+    // (partition-ONLY filters were already removed; this drops the MIXED
+    // ones). Emptiness is checked before zoneStats so an unfiltered scan
+    // never pays the sidecar load.
+    val filters = readerFilters.filterNot(f =>
+      f.references.exists(r => partCols.exists(_.equalsIgnoreCase(r))))
+    if (filters.isEmpty || zoneStats.isEmpty) files
     else {
       val kept = files.filter { case (f, _) =>
         val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
@@ -1041,10 +1040,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val fs = p.getFileSystem(conf)
     val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(matches.nonEmpty, s"extjson path matches no files: $path")
-    def visible(st: FileStatus): Boolean = {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    def visible(st: FileStatus): Boolean = DocListing.visible(st)
     // directory-level pruning: statically pushed filters referencing ONLY
     // partition columns, evaluated as soon as every referenced column is
     // bound on the path — a definitively-false subtree is never even
@@ -1351,6 +1347,34 @@ final class StatsAnswerReader(p: StatsAnswerPartition)
         org.apache.spark.sql.types.DataType.fromJson(tj))
     }.toArray[Any])
   override def close(): Unit = ()
+}
+
+/** Listing rules shared by every walk over a document drop — the scan's
+  * partition-aware listing, the complete-pushdown probes, and the
+  * zone-map builder MUST agree on what counts as a data file (a
+  * divergence would let metadata speak for files the scan never reads,
+  * or vice versa).
+  */
+private[v2] object DocListing {
+
+  /** Hidden-entry rule of the builtin file sources: `_`/`.` prefixes are
+    * never data (checkpoint trees, sidecars, in-flight `_temporary`).
+    */
+  def visible(st: FileStatus): Boolean = {
+    val n = st.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Every nonempty visible file under `roots`, recursively. */
+  def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      roots: Seq[FileStatus]): Seq[FileStatus] = {
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(walk)
+      else if (st.isFile && st.getLen > 0) Seq(st)
+      else Seq.empty
+    roots.filter(visible).flatMap(walk)
+  }
 }
 
 /** Split stream setup shared by the partition readers. */

@@ -88,6 +88,18 @@ object ZoneMaps {
     case other => throw new IllegalStateException(s"unindexable $other")
   }
 
+  /** Bloom insert/probe key: the canonical rendering with signed float
+    * zeros NORMALIZED — the comparator treats -0.0 and 0.0 as EQUAL
+    * (Spark semantics), so the membership filter must too, or a file of
+    * -0.0s would be wrongly pruned for a pushed `col = 0.0` (renderings
+    * "-0.0" vs "0.0" differ). `x + 0.0` maps -0.0 to 0.0, NaN-safe.
+    */
+  private[v2] def bloomKey(v: Any, dt: DataType): String = dt match {
+    case FloatType => render(v.asInstanceOf[Float] + 0.0f, dt)
+    case DoubleType => render(v.asInstanceOf[Double] + 0.0d, dt)
+    case _ => render(v, dt)
+  }
+
   /** One file's stats for one column (values decoded to internal form).
     * `min`/`max` are None when the column had no non-null values;
     * `bloom` carries the file's membership filter when the column was
@@ -190,7 +202,7 @@ object ZoneMaps {
                     FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
                     maxs(i) = v
                   if (blooms(i) != null)
-                    blooms(i).putString(render(v, types(i)))
+                    blooms(i).putString(bloomKey(v, types(i)))
                 }
                 i += 1
               }
@@ -293,7 +305,7 @@ object ZoneMaps {
       case EqualTo(a, v) => cmp(a, v)((s, iv, dt) =>
         FilterEval.compareInternal(dt, s.min.get, iv) <= 0 &&
           FilterEval.compareInternal(dt, s.max.get, iv) >= 0 &&
-          s.bloom.forall(_.mightContainString(render(iv, dt))))
+          s.bloom.forall(_.mightContainString(bloomKey(iv, dt))))
       case EqualNullSafe(a, v) =>
         if (v == null) stats.get(a).forall(_.nulls > 0)
         else cmp(a, v)((s, iv, dt) =>

@@ -587,7 +587,13 @@ object ProductQuantize {
     // covered leftovers are a replay of an already-folded tag (or an
     // interrupted cleanup): their rows are inside the generation already
     covered.foreach { case (_, p) => f.delete(p, true) }
-    if (pending.isEmpty) return last.map(_._1)
+    if (pending.isEmpty) {
+      // finish an interrupted cleanup: a crash between the manifest
+      // write and the deletes leaves superseded generations behind —
+      // readers ignore them, but the disk copy must not live forever
+      gens.dropRight(1).foreach { case (_, p) => f.delete(p, true) }
+      return last.map(_._1)
+    }
     val newGen = last.map(_._1 + 1L).getOrElse(1L)
     val target = new org.apache.hadoop.fs.Path(root, s"gen=$newGen")
     val inputs = last.map(_._2.toString).toSeq ++ pending.map(_._2.toString)

@@ -406,10 +406,16 @@ object StreamingIvfIngest {
   final case class Summary(batches: Long, rebuildFlagged: Boolean,
       worstDrift: Option[graft.ops.Similarity.IvfDrift])
 
+  /** @param rowForm what each landed batch's cell-assigned frame writes
+    *   as — identity for the float inverted file; [[StreamingPqIngest]]
+    *   swaps in the PQ encode projection. ONE copy of the checkpoint /
+    *   drift-gate / replay-idempotent-landing machinery serves both.
+    */
   def run(spark: SparkSession, index: graft.ops.Similarity.IvfIndex,
       batchDir: String, schema: StructType, idCol: String, vecCol: String,
       invertedDir: String, checkpointDir: String,
-      relTolerance: Double = 0.05): Summary = {
+      relTolerance: Double = 0.05,
+      rowForm: DataFrame => DataFrame = identity): Summary = {
     // foreachBatch runs on the streaming execution thread, not the caller's
     // — atomics make the summary safely visible after awaitTermination
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -435,7 +441,7 @@ object StreamingIvfIngest {
             // deterministic per-(run, batch) dir + overwrite =
             // replay-idempotent within a checkpoint, collision-proof
             // across checkpoints
-            assigned.write.mode("overwrite").partitionBy("cell")
+            rowForm(assigned).write.mode("overwrite").partitionBy("cell")
               .parquet(s"$invertedDir/run=$runId/batch=$batchId")
             batches.incrementAndGet()
             // non-empty batches always carry a score; None can never
@@ -645,43 +651,15 @@ object StreamingPqIngest {
       cb: graft.ops.ProductQuantize.PqCodebooks, batchDir: String,
       schema: StructType, idCol: String, vecCol: String, codesDir: String,
       checkpointDir: String, relTolerance: Double = 0.05): Summary = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val worst = new java.util.concurrent.atomic
-      .AtomicReference[Option[graft.ops.Similarity.IvfDrift]](None)
-    val runId = CheckpointRunId.getOrCreate(spark, checkpointDir)
-    val query = spark.readStream
-      .schema(schema)
-      .option("recursiveFileLookup", "true")
-      .parquet(batchDir)
-      .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val assigned = graft.ops.Similarity
-            .assignCells(batch, idCol, vecCol, index).persist()
-          try {
-            val drift = graft.ops.Similarity
-              .driftCheck(index, assigned, vecCol, relTolerance)
-            assigned.select(col(idCol), col("cell"),
-              graft.ops.ProductQuantize.encodeExpr(col(vecCol), cb)
-                .as("code"))
-              .write.mode("overwrite").partitionBy("cell")
-              .parquet(s"$codesDir/run=$runId/batch=$batchId")
-            batches.incrementAndGet()
-            def score(d: graft.ops.Similarity.IvfDrift): Long =
-              d.batchScoreMill.getOrElse(Long.MaxValue)
-            worst.updateAndGet(w =>
-              if (w.forall(d => score(d) > score(drift))) Some(drift)
-              else w)
-            ()
-          } finally { assigned.unpersist(blocking = false); () }
-        }
-      }
-      .start()
-    query.awaitTermination()
-    val w = worst.get()
-    Summary(batches.get(), w.exists(_.needsRebuild), w)
+    // ONE ingest implementation: everything except the written row form
+    // (code column instead of the float vector) IS the float ingest —
+    // checkpointing, drift gating, and the replay-idempotent landing
+    // must never fork
+    val s = StreamingIvfIngest.run(spark, index, batchDir, schema, idCol,
+      vecCol, codesDir, checkpointDir, relTolerance,
+      rowForm = assigned => assigned.select(col(idCol), col("cell"),
+        graft.ops.ProductQuantize.encodeExpr(col(vecCol), cb).as("code")))
+    Summary(s.batches, s.rebuildFlagged, s.worstDrift)
   }
 }
 

@@ -909,6 +909,41 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(scan2.statsAnswer.isEmpty)
   }
 
+  test("zone maps stand down for partition-column predicates and signed zeros") {
+    import graft.ingest.v2.ZoneMaps
+    // partition values live in the PATH; every body row parses them as
+    // null — zone stats must never answer for a predicate touching one,
+    // or a mixed Or loses the rows the spliced values satisfy
+    val root = Files.createTempDirectory("graft_v2zmpart").toString
+    writePart(root, "dt=A/f1.jsonl", (1 to 10).map(i => s"""{"k": $i}"""))
+    writePart(root, "dt=B/f2.jsonl", (11 to 20).map(i => s"""{"k": $i}"""))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("dt", StringType)))
+    ZoneMaps.build(spark, root, schema, Seq("k", "dt"))
+    val src = ExtendedJson.read(spark, schema, root,
+      Map("partitionColumns" -> "dt", "zoneMaps" -> "true"))
+    val mixed = src.filter(col("dt") === "A" || col("k") > 15L)
+    assert(mixed.collect().map(_.getLong(0)).toSet ==
+      ((1 to 10) ++ (16 to 20)).map(_.toLong).toSet,
+      "zone stats answered for a partition column")
+    // pure data-column predicates still prune under the same layout
+    val pruned = src.filter(col("k") > 15L)
+    pruned.collect()
+    assert(v2Scan(pruned).planInputPartitions().length == 1)
+
+    // -0.0 and 0.0 are EQUAL in Spark float semantics: the bloom must
+    // normalize or a file of -0.0s is wrongly pruned for `x = 0.0`
+    val zroot = Files.createTempDirectory("graft_v2zmzero").toString
+    Files.write(Paths.get(zroot, "z.jsonl"),
+      """{"x": -0.0}""".getBytes("UTF-8"))
+    val zschema = StructType(Seq(StructField("x", DoubleType)))
+    ZoneMaps.build(spark, zroot, zschema, Seq("x"), bloomCols = Seq("x"))
+    val zsrc = ExtendedJson.read(spark, zschema, zroot,
+      Map("zoneMaps" -> "true"))
+    assert(zsrc.filter(col("x") === 0.0).count() == 1L,
+      "-0.0 must satisfy x = 0.0 through the bloom sidecar")
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))
