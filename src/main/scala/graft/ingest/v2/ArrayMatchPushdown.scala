@@ -230,10 +230,14 @@ class ArrayHeadProjection extends Rule[LogicalPlan] {
             // a fully-unused column is pruned by Spark anyway
             val pre = preFilterBound(table, attr.name)
             val k = math.max(planBound, pre)
+            // register only when the bound GROWS: withArrayTrunc keeps
+            // max(k, existing), so a later pass computing a SMALLER k
+            // would otherwise rebuild a content-identical table every
+            // iteration and the fixed-point batch would never converge
             if (k >= 0 && (planBound >= 0 || pre > 0 ||
                 table.preFilters.exists(_.references.exists(
                   _.split("\\.", -1).head == attr.name))) &&
-              t.arrayTrunc.getOrElse(attr.name, -1) != k) {
+              k > t.arrayTrunc.getOrElse(attr.name, -1)) {
               t = t.withArrayTrunc(attr.name, k)
               changed = true
             }

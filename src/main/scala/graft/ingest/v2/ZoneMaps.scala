@@ -297,21 +297,24 @@ object ZoneMaps {
           }
         case _ => true
       }
+    def eqMaybe(a: String, v: Any): Boolean =
+      cmp(a, v)((s, iv, dt) =>
+        FilterEval.compareInternal(dt, s.min.get, iv) <= 0 &&
+          FilterEval.compareInternal(dt, s.max.get, iv) >= 0 &&
+          s.bloom.forall(_.mightContainString(bloomKey(iv, dt))))
     f match {
       case And(l, r) =>
         maybeTrue(l, stats, schema) && maybeTrue(r, stats, schema)
       case Or(l, r) =>
         maybeTrue(l, stats, schema) || maybeTrue(r, stats, schema)
-      case EqualTo(a, v) => cmp(a, v)((s, iv, dt) =>
-        FilterEval.compareInternal(dt, s.min.get, iv) <= 0 &&
-          FilterEval.compareInternal(dt, s.max.get, iv) >= 0 &&
-          s.bloom.forall(_.mightContainString(bloomKey(iv, dt))))
+      // ONE shared probe for both equality forms: `=` and a non-null `<=>`
+      // have identical zone semantics, and a separate code path is how the
+      // <=> branch once probed the un-normalized rendering and wrongly
+      // pruned a file of +0.0s for a pushed `col <=> -0.0`
+      case EqualTo(a, v) => eqMaybe(a, v)
       case EqualNullSafe(a, v) =>
         if (v == null) stats.get(a).forall(_.nulls > 0)
-        else cmp(a, v)((s, iv, dt) =>
-          FilterEval.compareInternal(dt, s.min.get, iv) <= 0 &&
-            FilterEval.compareInternal(dt, s.max.get, iv) >= 0 &&
-            s.bloom.forall(_.mightContainString(render(iv, dt))))
+        else eqMaybe(a, v)
       case GreaterThan(a, v) => cmp(a, v)((s, iv, dt) =>
         FilterEval.compareInternal(dt, s.max.get, iv) > 0)
       case GreaterThanOrEqual(a, v) => cmp(a, v)((s, iv, dt) =>

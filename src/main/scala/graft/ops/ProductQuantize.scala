@@ -541,7 +541,10 @@ object ProductQuantize {
       .persist()
     try {
       val drift = Similarity.driftCheck(index, assigned, vecCol, relTolerance)
-      if (!(skipOnDrift && drift.needsRebuild))
+      // an EMPTY batch writes nothing: a row-less `batch=` directory
+      // (only `_SUCCESS`) would break schema inference for every later
+      // loadEncoded/compactEncoded over the artifact root
+      if (!(skipOnDrift && drift.needsRebuild) && !assigned.isEmpty)
         assigned.select(col(idCol), col("cell"),
           encodeExpr(col(vecCol), cb).as("code"))
           .write.mode("overwrite").partitionBy("cell")

@@ -942,6 +942,14 @@ class DocSourceV2Spec extends AnyFunSuite {
       Map("zoneMaps" -> "true"))
     assert(zsrc.filter(col("x") === 0.0).count() == 1L,
       "-0.0 must satisfy x = 0.0 through the bloom sidecar")
+    // ...and BOTH equality forms: <=> is pushed like = for non-null
+    // literals, and its bloom probe must normalize the same way or a
+    // pushed `x <=> -0.0` against inserted "0.0" keys false-negatives
+    // and wrongly prunes the file
+    assert(zsrc.filter(col("x") <=> -0.0).count() == 1L,
+      "x <=> -0.0 must keep a file of 0.0s through the bloom sidecar")
+    assert(zsrc.filter(col("x") <=> 0.0).count() == 1L,
+      "x <=> 0.0 must keep a file of -0.0s through the bloom sidecar")
   }
 
   test("nested directory trees read completely (recursive listing)") {

@@ -428,6 +428,16 @@ class ProjectQuantizeSpec extends AnyFunSuite {
       .contains(1L))
     assert(!new java.io.File(s"$dir/codes/batch=b1").exists())
     assert(rows(ProductQuantize.loadEncoded(spark, s"$dir/codes")) == scratch)
+
+    // an EMPTY batch must leave NO row-less `batch=` directory behind —
+    // one would break schema inference for every later read of the root
+    ProductQuantize.appendEncodedBatch(index, cb, batch.limit(0), "vec_id",
+      "embedding", s"$dir/codes", batchTag = "b_empty")
+    assert(!new java.io.File(s"$dir/codes/batch=b_empty").exists(),
+      "empty append must not write a _SUCCESS-only batch directory")
+    assert(rows(ProductQuantize.loadEncoded(spark, s"$dir/codes")) == scratch)
+    assert(ProductQuantize.compactEncoded(spark, s"$dir/codes")
+      .contains(1L))
   }
 
   test("appendEncodedBatch check-first mode skips the write when the gate trips") {
