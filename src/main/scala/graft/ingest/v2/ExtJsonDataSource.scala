@@ -160,6 +160,16 @@ private[v2] object SumTypes {
     case d: DecimalType => d
     case other => throw new IllegalStateException(s"unsummable type $other")
   }
+  /** Spark's Sum RESULT type — what a COMPLETE pushdown row must carry
+    * (a partial row carries [[partialType]] and is re-summed above).
+    */
+  def resultType(child: DataType): DataType = child match {
+    case IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case d: DecimalType =>
+      DecimalType(math.min(38, d.precision + 10), d.scale)
+    case other => throw new IllegalStateException(s"unsummable type $other")
+  }
 }
 
 /** Hive-style `k=v` partition-directory columns for the document source
@@ -424,13 +434,18 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     val shapeOk =
-      limit < 0 && topLimit < 0 && pushed.isEmpty && partCols.isEmpty &&
+      limit < 0 && topLimit < 0 && partCols.isEmpty &&
         aggregation.groupByExpressions().isEmpty &&
         aggregation.aggregateExpressions().nonEmpty
+    // the metadata path accepts FILTERED shapes too (every pushed
+    // conjunct must then be zone-decidable per file — see statsAggAnswer);
+    // the single-split complete count keeps the unfiltered gate, since a
+    // filter makes the count data-dependent without making it cheaper
     statsAnswer = if (shapeOk) statsAggAnswer(aggregation) else None
-    completeOffered = shapeOk && (statsAnswer.isDefined ||
-      (aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
-        singleSplitInput))
+    completeOffered = (shapeOk && statsAnswer.isDefined) ||
+      (shapeOk && pushed.isEmpty &&
+        aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
+        singleSplitInput)
     completeOffered
   }
 
@@ -440,47 +455,83 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     */
   private var statsAnswer: Option[(Array[String], Array[String])] = None
 
+  /** ONE phase-1 sidecar load shared between the metadata-aggregate
+    * probe here and the scan's file pruning ([[ExtJsonScan]] receives
+    * it pre-loaded through [[build]]) — the sidecar is O(files) rows and
+    * loading it twice per planning round is remote-read latency paid for
+    * nothing.
+    */
+  @volatile private var sidecarLoaded:
+      Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None
+
+  private def sidecarStats(
+      spark: SparkSession): Map[(String, Long, Long), ZoneMaps.FileStats] =
+    sidecarLoaded.getOrElse {
+      val m: Map[(String, Long, Long), ZoneMaps.FileStats] =
+        try ZoneMaps.loadStats(spark, path, fullSchema)
+        catch { case scala.util.control.NonFatal(_) => Map.empty }
+      sidecarLoaded = Some(m)
+      m
+    }
+
   /** MIN/MAX/COUNT answered ENTIRELY from the zone-map sidecar — the
     * parquet-footer aggregate pushdown equivalent (Spark's own
     * `spark.sql.parquet.aggregatePushdown` answers these from row-group
     * statistics; a JSONL drop's footer is the `_graft_zonemaps` sidecar):
-    * when the query is an unfiltered ungrouped MIN/MAX/COUNT combination,
-    * zone maps are enabled, and EVERY listed file carries a
-    * length+mtime-matched stats row for every referenced column, the
-    * answer is a fold over O(files) sidecar rows — the scan reads ZERO
-    * data bytes at any corpus size. Any gap (one unindexed or rewritten
-    * file, one uncovered column) refuses, falling back to the ordinary
+    * when the query is an ungrouped MIN/MAX/COUNT combination, zone maps
+    * are enabled, and EVERY listed file carries a length+mtime-matched
+    * stats row for every referenced column, the answer is a fold over
+    * O(files) sidecar rows — the scan reads ZERO data bytes at any
+    * corpus size. FILTERED shapes are accepted when the pushed conjuncts
+    * are zone-DECIDABLE for every file: files where some conjunct is
+    * provably all-false contribute nothing (exactly what the scan would
+    * prune), and every surviving file must be provably ALL-TRUE
+    * ([[ZoneMaps.definitelyTrue]]) so its stats speak for its filtered
+    * rows — Iceberg's residual elimination applied to aggregation. Any
+    * gap (one unindexed or rewritten file, one uncovered column, one
+    * undecidable survivor) refuses, falling back to the ordinary
     * parallel partial path.
     */
   private def statsAggAnswer(
       aggregation: Aggregation): Option[(Array[String], Array[String])] = {
     if (!Option(options.get("zoneMaps")).exists(_.toBoolean)) return None
     // the SAME translation pushAggregation registers, so the answer row
-    // aligns with the pushed layout by construction; sums have no
-    // sidecar form and refuse the metadata path
+    // aligns with the pushed layout by construction; float/double sums
+    // refuse per-aggregate below (order-dependent — no exact sidecar
+    // form), integer/decimal sums answer from the exact per-file sums
     val parsed: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map(translateAggExpr)
-    if (parsed.exists(p => p.isEmpty || p.get.kind == "sum")) return None
+    if (parsed.exists(_.isEmpty)) return None
     val wanted = parsed.flatten
     try {
       val spark = SparkSession.active
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.getFileStatus(root).isDirectory) return None
-      val stats = ZoneMaps.load(spark, path, fullSchema)
+      val stats = sidecarStats(spark)
       if (stats.isEmpty) return None
       val rootUri = fs.makeQualified(root).toUri
       val files = DocListing.walkFiles(fs, fs.listStatus(root).toSeq)
       // every file must be covered by a fresh stats row — one gap and
       // the metadata can't speak for the corpus
-      val perFile: Seq[Map[String, ZoneMaps.ColStats]] = files.map { st =>
+      val all: Seq[Map[String, ZoneMaps.ColStats]] = files.map { st =>
         val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri)
           .getPath
         stats.get((rel, st.getLen, st.getModificationTime)) match {
-          case Some(m) => m
+          case Some(m) => m.cols
           case None => return None
         }
       }
+      // zone-decide the pushed filter set per file: all-false files drop
+      // (they contribute no rows to the true answer either); anything
+      // kept must be all-TRUE or the stats can't speak for its subset of
+      // rows. Phase-1 stats carry no blooms — maybeTrue is then purely
+      // min/max, which only costs refusals, never wrong answers.
+      val perFile = all.filter(m =>
+        pushed.forall(ZoneMaps.maybeTrue(_, m, fullSchema)))
+      if (!perFile.forall(m =>
+        pushed.forall(ZoneMaps.definitelyTrue(_, m, fullSchema))))
+        return None
       val values = new Array[String](wanted.length)
       val types = new Array[String](wanted.length)
       wanted.zipWithIndex.foreach { case (a, i) =>
@@ -503,6 +554,37 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
             })
             values(i) = nonNull.sum.toString
             types(i) = org.apache.spark.sql.types.LongType.json
+          case "sum" =>
+            // exact (integer/decimal) sums fold from the per-file sidecar
+            // sums; a value that would overflow the SQL result type
+            // refuses — the real computation then reproduces Spark's own
+            // overflow semantics instead of a silently-different answer
+            val dt = leafType(a.field)
+            if (!ZoneMaps.exactSummable(dt)) return None
+            val resT = SumTypes.resultType(dt)
+            var total = java.math.BigDecimal.ZERO
+            var nonNull = 0L
+            perFile.foreach { m =>
+              m.get(a.field) match {
+                case Some(cs) if cs.sum.isDefined =>
+                  total = total.add(cs.sum.get)
+                  nonNull += cs.rows - cs.nulls
+                case _ => return None
+              }
+            }
+            values(i) =
+              if (nonNull == 0L) null // SQL: SUM over no values is NULL
+              else resT match {
+                case org.apache.spark.sql.types.LongType =>
+                  try total.longValueExact().toString
+                  catch { case _: ArithmeticException => return None }
+                case d: org.apache.spark.sql.types.DecimalType =>
+                  val dec = org.apache.spark.sql.types.Decimal(total)
+                  if (!dec.changePrecision(d.precision, d.scale)) return None
+                  dec.toJavaBigDecimal.toPlainString
+                case _ => return None
+              }
+            types(i) = resT.json
           case k =>
             val dt = leafType(a.field)
             var best: Any = null
@@ -653,7 +735,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       arrayTrunc = arrayTrunc,
       zoneMaps = Option(options.get("zoneMaps")).exists(_.toBoolean),
       statsAnswer = if (completeOffered && aggs.nonEmpty) statsAnswer
-        else None)
+        else None,
+      preloadedZoneStats = sidecarLoaded)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -668,7 +751,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val completeCount: Boolean = false,
     val arrayTrunc: Map[String, Int] = Map.empty,
     val zoneMaps: Boolean = false,
-    val statsAnswer: Option[(Array[String], Array[String])] = None)
+    val statsAnswer: Option[(Array[String], Array[String])] = None,
+    preloadedZoneStats: Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -783,7 +867,11 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
               org.apache.spark.sql.types.LongType, nullable = false)
             case "sum" => org.apache.spark.sql.types.StructField(
               a.render.toLowerCase(java.util.Locale.ROOT),
-              SumTypes.partialType(leafType(a.field)), nullable = true)
+              // a metadata answer row IS the final result (no re-sum
+              // above), so it carries Sum's RESULT type; partial rows
+              // carry the child-shaped partial type and re-aggregate
+              if (statsAnswer.isDefined) SumTypes.resultType(leafType(a.field))
+              else SumTypes.partialType(leafType(a.field)), nullable = true)
             case _ => org.apache.spark.sql.types.StructField(
               a.render.toLowerCase(java.util.Locale.ROOT),
               leafType(a.field), nullable = true)
@@ -814,7 +902,11 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       // must never force a sidecar read just to explain a plan
       (if (zoneMaps) zoneStatsLoaded match {
         case Some(m) if m.nonEmpty =>
-          s", ZoneMaps: ${m.size} files indexed, pruned $zonePrunedFiles"
+          s", ZoneMaps: ${m.size} files indexed, pruned $zonePrunedFiles" +
+            (if (zonePrunedBlocks > 0) s" files, $zonePrunedBlocks blocks"
+            else "") +
+            (if (bloomBlobsFetched > 0) s", $bloomBlobsFetched blooms probed"
+            else "")
         case Some(_) => ", ZoneMaps: absent"
         case None => ""
       } else "") +
@@ -907,24 +999,28 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   private val prunedFiles = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var listed = false
 
-  /** The loaded zone-map sidecar, keyed by (root-relative path, length)
-    * — empty when the option is off, the path is not a plain directory,
-    * or no sidecar exists (always fail-soft: absent stats cost speed,
-    * never rows). Loaded once per scan like the listing.
+  /** The loaded zone-map sidecar (PHASE 1: min/max/null rows, file- and
+    * block-level, never bloom blobs), keyed by (root-relative path,
+    * length, mtime) — empty when the option is off, the path is not a
+    * plain directory, or no sidecar exists (always fail-soft: absent
+    * stats cost speed, never rows). Loaded once per scan like the
+    * listing — or not at all, when the builder's metadata-aggregate
+    * probe already paid for it.
     */
   @volatile private var zoneStatsLoaded:
-      Option[Map[(String, Long, Long), Map[String, ZoneMaps.ColStats]]] = None
+      Option[Map[(String, Long, Long), ZoneMaps.FileStats]] =
+    if (zoneMaps) preloadedZoneStats else None
 
-  private def zoneStats: Map[(String, Long, Long), Map[String, ZoneMaps.ColStats]] =
+  private def zoneStats: Map[(String, Long, Long), ZoneMaps.FileStats] =
     zoneStatsLoaded.getOrElse {
-      val m: Map[(String, Long, Long), Map[String, ZoneMaps.ColStats]] =
+      val m: Map[(String, Long, Long), ZoneMaps.FileStats] =
         if (!zoneMaps) Map.empty
         else try {
           val spark = SparkSession.active
           val root = new Path(path)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.getFileStatus(root).isDirectory) Map.empty
-          else ZoneMaps.load(spark, path, fullSchema)
+          else ZoneMaps.loadStats(spark, path, fullSchema)
         } catch { case scala.util.control.NonFatal(_) => Map.empty }
       zoneStatsLoaded = Some(m)
       m
@@ -939,16 +1035,31 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   }
 
   @volatile private var zonePrunedFiles = 0
+  @volatile private var zonePrunedBlocks = 0
 
-  /** Zone-map file pruning over the reader-side filter set: a file is
-    * dropped only when some pushed conjunct is PROVABLY false for every
-    * row under its stats ([[ZoneMaps.maybeTrue]] is conservative;
-    * stats-less and length-changed files always survive). Runtime
+  /** Test/observability hook: bloom blobs actually deserialized by the
+    * LAST planning round — the phase-2 load is lazy, so a range-only
+    * query must leave this at 0.
+    */
+  @volatile private[graft] var bloomBlobsFetched = 0
+
+  private val keepAll = ZoneVerdict(allTrue = false, blocks = None)
+
+  /** Zone-map pruning over the reader-side filter set, TWO-PHASE: files
+    * are dropped when some pushed conjunct is PROVABLY false for every
+    * row under their min/max stats ([[ZoneMaps.maybeTrue]] is
+    * conservative; stats-less and length/mtime-changed files always
+    * survive); bloom blobs are then fetched ONLY for equality/IN-probed
+    * columns and ONLY for the min/max survivors — the lazy second read
+    * parquet gives bloom pages, so a range-only query never pays a blob
+    * byte and a point lookup pays survivors × probed columns. Runtime
     * filters participate — a dimension join's observed keys can skip
-    * whole fact files mid-execution.
+    * whole fact files mid-execution. Survivors carry a [[ZoneVerdict]]:
+    * per-block survival for split-level skipping, and all-TRUE proof for
+    * residual elimination.
     */
   private def zonePrune(
-      files: Seq[(FileStatus, Array[String])]): Seq[(FileStatus, Array[String])] = {
+      files: Seq[(FileStatus, Array[String])]): Seq[(FileStatus, Array[String], ZoneVerdict)] = {
     // a filter touching ANY partition column is out of the zone algebra's
     // reach: partition values come from the PATH and the file bodies
     // parse them as null, so body stats would answer "no non-null
@@ -958,19 +1069,65 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // never pays the sidecar load.
     val filters = readerFilters.filterNot(f =>
       f.references.exists(r => partCols.exists(_.equalsIgnoreCase(r))))
-    if (filters.isEmpty || zoneStats.isEmpty) files
-    else {
-      val kept = files.filter { case (f, _) =>
-        val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
-        zoneStats.get((rel, f.getLen, f.getModificationTime)) match {
-          case Some(colStats) =>
-            filters.forall(ZoneMaps.maybeTrue(_, colStats, fullSchema))
-          case None => true
-        }
-      }
-      zonePrunedFiles = files.size - kept.size
-      kept
+    if (filters.isEmpty || zoneStats.isEmpty)
+      return files.map { case (f, v) => (f, v, keepAll) }
+    // all-TRUE may only be claimed when the zone algebra saw the WHOLE
+    // reader-side filter set (a mixed partition/data filter is excluded
+    // above but still evaluated per row)
+    val sawAll = filters.length == readerFilters.length
+    val candidates = files.map { case (f, vals) =>
+      val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
+      (f, vals, zoneStats.get((rel, f.getLen, f.getModificationTime)), rel)
     }
+    // phase 1: min/max/null (the loaded stats carry no blooms yet)
+    val phase1 = candidates.filter { case (_, _, st, _) =>
+      st.forall(s => filters.forall(ZoneMaps.maybeTrue(_, s.cols, fullSchema)))
+    }
+    // phase 2: bloom membership for the survivors' equality/IN probes
+    val eqCols = filters.flatMap(ZoneMaps.eqProbedCols).toSet
+      .filter(c => FilterEval.resolve(c, fullSchema).isDefined)
+    val probed = phase1.collect { case (_, _, Some(_), rel) => rel }.toSet
+    val blooms: Map[(String, Long, Long), Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      if (eqCols.isEmpty || probed.isEmpty) Map.empty
+      else try ZoneMaps.loadBlooms(SparkSession.active, path, fullSchema,
+        eqCols, probed)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    bloomBlobsFetched = blooms.valuesIterator.map(_.size).sum
+    var blocksDropped = 0
+    val kept = phase1.flatMap { case (f, vals, st, rel) =>
+      st match {
+        case None => Some((f, vals, keepAll))
+        case Some(s) =>
+          val key = (rel, f.getLen, f.getModificationTime)
+          val cols = blooms.get(key) match {
+            case Some(bs) => s.cols.map { case (c, cs) =>
+              c -> bs.get(c).map(b => cs.copy(bloom = Some(b))).getOrElse(cs)
+            }
+            case None => s.cols
+          }
+          if (!filters.forall(ZoneMaps.maybeTrue(_, cols, fullSchema))) None
+          else {
+            val allTrue = sawAll &&
+              filters.forall(ZoneMaps.definitelyTrue(_, s.cols, fullSchema))
+            // block verdicts: min/max only (blooms are file-level); a
+            // block the algebra can't bound survives, like a file
+            val blocks = s.blocks.map { bs =>
+              val surviving = bs.flatMap { b =>
+                if (filters.forall(ZoneMaps.maybeTrue(_, b.cols, fullSchema)))
+                  Some((b.off, b.len, allTrue || (sawAll && filters.forall(
+                    ZoneMaps.definitelyTrue(_, b.cols, fullSchema)))))
+                else None
+              }
+              blocksDropped += bs.size - surviving.size
+              surviving
+            }
+            Some((f, vals, ZoneVerdict(allTrue, blocks)))
+          }
+      }
+    }
+    zonePrunedFiles = files.size - kept.size
+    zonePrunedBlocks = blocksDropped
+    kept
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1005,17 +1162,53 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         kept
       }
     val files = zonePrune(partKept)
-    val parts = files.flatMap { case (f, vals) =>
+    val parts = files.flatMap { case (f, vals, verdict) =>
       // a COMPRESSED file is never byte-split: a gzip stream has no
       // mid-file entry points, so a range split would decode garbage —
       // silent wrong results, the worst kind. One whole-file partition
       // instead; the reader decompresses through the codec.
       if (codecs.getCodec(f.getPath) != null)
         Seq(ExtJsonInputPartition(f.getPath.toString, 0L, f.getLen,
-          wholeFile = true, partValues = vals))
-      else (0L until f.getLen by maxSplit).map { off =>
-        ExtJsonInputPartition(f.getPath.toString, off,
-          math.min(maxSplit, f.getLen - off), partValues = vals)
+          wholeFile = true, partValues = vals, allTrue = verdict.allTrue))
+      else verdict.blocks match {
+        case Some(blocks) =>
+          // SPLIT-LEVEL skipping: plan only the surviving blocks —
+          // adjacent survivors coalesce into runs (each run re-chopped
+          // at maxSplit, preserving the line-ownership contract: any
+          // cut of a byte range at interior boundaries partitions its
+          // lines), non-matching ranges of the file are never read.
+          // Pruned blocks tile the gap, so the row loss is exactly the
+          // rows the pushed filter drops anyway.
+          // (start, end, every-block-all-true) per maximal contiguous run
+          val runs = Seq.newBuilder[(Long, Long, Boolean)]
+          var runStart = -1L
+          var runEnd = -1L
+          var runCovered = true
+          blocks.foreach { case (off, len, covered) =>
+            if (runStart >= 0 && runEnd == off) {
+              runEnd = off + len
+              runCovered &&= covered
+            } else {
+              if (runStart >= 0) runs += ((runStart, runEnd, runCovered))
+              runStart = off; runEnd = off + len; runCovered = covered
+            }
+          }
+          if (runStart >= 0) runs += ((runStart, runEnd, runCovered))
+          runs.result().flatMap { case (s, e, covered) =>
+            // a run's rows are the union of its blocks' rows, so if
+            // every block is all-true, any re-chop of the run is too
+            (s until e by maxSplit).map { off =>
+              ExtJsonInputPartition(f.getPath.toString, off,
+                math.min(maxSplit, e - off), partValues = vals,
+                allTrue = verdict.allTrue || covered)
+            }
+          }
+        case None =>
+          (0L until f.getLen by maxSplit).map { off =>
+            ExtJsonInputPartition(f.getPath.toString, off,
+              math.min(maxSplit, f.getLen - off),
+              partValues = vals, allTrue = verdict.allTrue)
+          }
       }
     }.toArray
     // COMPLETE-pushdown invariant, held loudly: Spark plans no final
@@ -1112,10 +1305,25 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   *   path). Shipped as STRINGS — the deterministic wire form — and
   *   converted to internal values reader-side by the shared
   *   [[PartitionValues]] rules.
+  * @param allTrue zone maps PROVED every reader-side filter true for
+  *   every row of this split ([[ZoneMaps.definitelyTrue]]): its reader
+  *   skips per-row filter evaluation — residual elimination, the dual
+  *   of pruning.
   */
 final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
-    wholeFile: Boolean = false, partValues: Array[String] = Array.empty)
+    wholeFile: Boolean = false, partValues: Array[String] = Array.empty,
+    allTrue: Boolean = false)
     extends InputPartition
+
+/** A kept file's zone verdict, beyond mere survival:
+  * `allTrue` — every reader-side conjunct is provably TRUE for every
+  * row, so its readers may skip per-row filter evaluation entirely;
+  * `blocks` — the SURVIVING blocks as (offset, length, allTrue)
+  * triples in offset order, when the file carries tiled block stats
+  * and some block was decidable (None ⇒ split by bytes as usual).
+  */
+private[v2] final case class ZoneVerdict(allTrue: Boolean,
+    blocks: Option[Seq[(Long, Long, Boolean)]])
 
 /** The metadata-only aggregate answer as a one-row "partition": values
   * in pushed-aggregate order in the zone-map canonical string rendering
@@ -1149,8 +1357,12 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
     val rowSchema = DataTypeJson.structFromJson(parseSchemaJson)
     val (dataSchema, insert) =
       PartitionValues.inserter(rowSchema, partCols, p.partValues, p.file)
+    // residual elimination: the planner PROVED every pushed conjunct
+    // true for every row of this split, so compiling and evaluating the
+    // filters per line would be work spent confirming a theorem
+    val effFilters = if (p.allTrue) Array.empty[Filter] else pushed
     if (aggs.nonEmpty || groups.nonEmpty)
-      new ExtJsonAggReader(p, conf.value, rowSchema, pushed, aggs, groups,
+      new ExtJsonAggReader(p, conf.value, rowSchema, effFilters, aggs, groups,
         maxGroups, dataSchema, insert, arrayTrunc)
     else if (topN >= 0 && sorts.nonEmpty && sorts.forall(s =>
       partCols.exists(_.equalsIgnoreCase(s.field))))
@@ -1161,10 +1373,10 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
       // the first topN kept rows instead of consuming the split
       // (Spark's outer TakeOrdered still picks the global answer)
       new ExtJsonPartitionReader(p, conf.value, rowSchema,
-        DataTypeJson.structFromJson(requiredSchemaJson), pushed, topN,
+        DataTypeJson.structFromJson(requiredSchemaJson), effFilters, topN,
         dataSchema = dataSchema, insert = insert, arrayTrunc = arrayTrunc)
     else new ExtJsonPartitionReader(p, conf.value, rowSchema,
-      DataTypeJson.structFromJson(requiredSchemaJson), pushed, limit,
+      DataTypeJson.structFromJson(requiredSchemaJson), effFilters, limit,
       sorts, topN, dataSchema, insert, arrayTrunc)
   }
 }

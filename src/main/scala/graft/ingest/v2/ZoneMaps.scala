@@ -1,25 +1,28 @@
 package graft.ingest.v2
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.hadoop.io.Text
 import org.apache.hadoop.util.LineReader
 
 import org.apache.spark.SerializableWritable
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** File-level ZONE MAPS for the document source — min/max/null statistics
-  * per (file, column) in a `_graft_zonemaps` parquet sidecar, the data
-  * skipping layer parquet gets from row-group footers and table formats
+/** ZONE MAPS for the document source — min/max/null statistics per
+  * (file, column), and optionally per BLOCK (byte range) within a file,
+  * in a `_graft_zonemaps` parquet sidecar: the data skipping layer
+  * parquet gets from row-group footers and table formats
   * (Iceberg/Delta manifests, Trino zone maps — all public designs) keep
   * per data file. JSONL has no footer to mine, so the stats are built by
-  * ONE distributed pass ([[ZoneMaps.build]]) and consulted at PLANNING
-  * time: a pushed predicate that is provably false for every row of a
-  * file (`o_totalprice > 400000` against a file whose max is 180000)
-  * drops the FILE before it is ever split, read, or parsed.
+  * a distributed pass ([[ZoneMaps.build]] full, [[ZoneMaps.append]]
+  * incremental) and consulted at PLANNING time: a pushed predicate that
+  * is provably false for every row of a file (`o_totalprice > 400000`
+  * against a file whose max is 180000) drops the FILE before it is ever
+  * split, read, or parsed — and with block stats, drops non-matching
+  * byte-range SPLITS of a large clustered file (the row-group analogue).
   *
   * This is the data-column complement of the `partitionColumns`
   * directory pruning: partition pruning needs the layout to encode the
@@ -28,8 +31,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * sort key). RUNTIME filters prune too — a selective dimension join's
   * observed keys can skip whole fact files mid-execution.
   *
-  * Correctness posture — pruning may only REMOVE files whose every row a
-  * residual filter would drop anyway:
+  * Sidecar LAYOUT is generational so an appending drop never decays to
+  * unskippable: [[build]] rewrites `<sidecar>/base`; [[append]] indexes
+  * only files with no fresh stats row and lands them at
+  * `<sidecar>/add_<tag>` (deterministic dir + overwrite — replay of the
+  * same tag converges, the [[graft.ops.ProductQuantize.appendEncodedBatch]]
+  * contract). Loading reads every generation.
+  *
+  * Loading is TWO-PHASE so planning never pays for blob bytes it may not
+  * need: [[loadStats]] reads the O(files·cols) min/max/null rows and
+  * NEVER the serialized bloom column (at ~1–3 MB of bloom per large file
+  * a whole-sidecar collect would be multi-GB of driver heap at 100 TB);
+  * [[loadBlooms]] fetches bloom blobs afterwards, only for
+  * equality/IN-probed columns and only for files that survived the
+  * min/max phase — the way parquet readers touch bloom pages on demand.
+  *
+  * Correctness posture — pruning may only REMOVE files/blocks whose
+  * every row a residual filter would drop anyway:
   *  - the evaluation is conservative three-valued ([[ZoneMaps.maybeTrue]]):
   *    a file survives unless a pushed conjunct is definitely-not-true for
   *    all rows; unknown columns, unsupported shapes, and `Not`/string
@@ -40,12 +58,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    speed, never rows (the sidecar lives OUTSIDE the files it
   *    describes, unlike a parquet footer, so drift is detected, not
   *    assumed away);
-  *  - files with no stats row (landed after the build) are kept;
+  *  - files with no stats row (landed after the last build/append) are
+  *    kept; block stats that do not TILE the file exactly are ignored;
   *  - ordering uses the SAME comparator as the readers
   *    ([[FilterEval.compareInternal]] — binary UTF8String order for
   *    strings), and min/max round-trip through their internal canonical
   *    renderings, so "provably false" here means provably false under
   *    exactly the reader's comparison semantics.
+  *
+  * The dual test [[definitelyTrue]] proves the opposite bound — a
+  * conjunct TRUE for every row under the stats — enabling two
+  * Iceberg-style residual eliminations: a reader whose file/block is
+  * fully covered skips per-row filter evaluation, and a filtered
+  * MIN/MAX/COUNT whose every surviving file is fully covered is
+  * answered from metadata alone.
   */
 object ZoneMaps {
 
@@ -88,6 +114,27 @@ object ZoneMaps {
     case other => throw new IllegalStateException(s"unindexable $other")
   }
 
+  /** Types whose SUM is EXACT and order-free (integers and decimals
+    * accumulate without rounding): only these carry a per-file sum in the
+    * sidecar, so a metadata-only SUM can never disagree with a per-row
+    * recomputation. Float/double sums are order-dependent — a sidecar
+    * value would be one arbitrary ordering's answer — so they are never
+    * stored.
+    */
+  def exactSummable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The column's value as an exact BigDecimal for sum accumulation. */
+  private def toBig(v: Any, dt: DataType): java.math.BigDecimal = dt match {
+    case IntegerType => java.math.BigDecimal.valueOf(v.asInstanceOf[Int].toLong)
+    case LongType => java.math.BigDecimal.valueOf(v.asInstanceOf[Long])
+    case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+    case other => throw new IllegalStateException(s"unsummable $other")
+  }
+
   /** Bloom insert/probe key: the canonical rendering with signed float
     * zeros NORMALIZED — the comparator treats -0.0 and 0.0 as EQUAL
     * (Spark semantics), so the membership filter must too, or a file of
@@ -100,27 +147,56 @@ object ZoneMaps {
     case _ => render(v, dt)
   }
 
-  /** One file's stats for one column (values decoded to internal form).
-    * `min`/`max` are None when the column had no non-null values;
-    * `bloom` carries the file's membership filter when the column was
-    * bloom-indexed (no false negatives, so "definitely absent" may
-    * prune; fpp only costs skipped skips).
+  /** One file's (or block's) stats for one column (values decoded to
+    * internal form). `min`/`max` are None when the column had no
+    * non-null values; `bloom` carries the file's membership filter once
+    * [[loadBlooms]] has fetched it (no false negatives, so "definitely
+    * absent" may prune; fpp only costs skipped skips). Blooms are
+    * FILE-level only — blocks carry min/max/null, bounding sidecar size.
     */
   final case class ColStats(min: Option[Any], max: Option[Any],
       nulls: Long, rows: Long,
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      sum: Option[java.math.BigDecimal] = None)
 
-  /** Build (or rebuild) the sidecar for every visible file under
-    * `dropDir`: one distributed pass, one task per file, each computing
-    * min/max/nullCount for the requested (possibly dotted/nested)
-    * columns over the minimal parse schema. Returns the number of files
-    * indexed. Compressed files decode through the codec; malformed lines
-    * count as all-null rows — exactly the reader's permissive semantics,
-    * so the stats describe what the scan would actually see.
+  /** Stats for one BLOCK — the byte range `[off, off+len)` of its file.
+    * A block owns the lines that START in its range under the readers'
+    * split-ownership rule (line at offset 0 → block 0; line at offset
+    * `o > 0` → the block whose range is `(i·B, (i+1)·B]`, matching a
+    * byte-range split's "discard first partial line, read through the
+    * end-straddling line" contract), so any split cut at block
+    * boundaries reads exactly the union of its blocks' rows.
     */
-  def build(spark: SparkSession, dropDir: String, schema: StructType,
-      cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Long = {
+  final case class BlockStats(off: Long, len: Long,
+      cols: Map[String, ColStats])
+
+  /** One file's sidecar entry: file-level column stats plus, when the
+    * file was indexed with `blockBytes > 0` and the block rows tile the
+    * file exactly, per-block stats in offset order.
+    */
+  final case class FileStats(cols: Map[String, ColStats],
+      blocks: Option[Seq[BlockStats]])
+
+  /** Sidecar row schema (v2: `boff`/`blen` locate block rows; the
+    * file-level row has `boff = -1`).
+    */
+  private val statSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("mtime", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("boff", LongType, nullable = false),
+    StructField("blen", LongType, nullable = false),
+    StructField("col", StringType, nullable = false),
+    StructField("typ", StringType, nullable = false),
+    StructField("min", StringType),
+    StructField("max", StringType),
+    StructField("nulls", LongType, nullable = false),
+    StructField("sum", StringType),
+    StructField("bloom", BinaryType)))
+
+  private def requireIndexable(schema: StructType, cols: Seq[String],
+      bloomCols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone maps need at least one column")
     require(bloomCols.forall(cols.contains),
       s"bloomCols ${bloomCols.filterNot(cols.contains).mkString(", ")} " +
@@ -132,33 +208,43 @@ object ZoneMaps {
       require(indexable(p.leaf.dataType),
         s"zone-map column '$c' has unindexable type ${p.leaf.dataType.simpleString}")
     }
+  }
+
+  /** Every visible nonempty file under `root` as
+    * (absolute, root-relative, length, mtime).
+    */
+  private def listVisible(fs: FileSystem,
+      root: Path): Seq[(String, String, Long, Long)] = {
+    require(fs.getFileStatus(root).isDirectory,
+      s"zone maps index a document DIRECTORY, got $root")
+    val rootUri = fs.makeQualified(root).toUri
+    DocListing.walkFiles(fs, fs.listStatus(root).toSeq).map { st =>
+      val rel = rootUri.relativize(
+        fs.makeQualified(st.getPath).toUri).getPath
+      (st.getPath.toString, rel, st.getLen, st.getModificationTime)
+    }
+  }
+
+  /** The distributed stats pass: one task per file, each computing
+    * min/max/nullCount for the requested (possibly dotted/nested)
+    * columns over the minimal parse schema — file-level always, and
+    * per-`blockBytes` block additionally for uncompressed files.
+    * Compressed files decode through the codec (no block rows: their
+    * byte offsets aren't line-seekable); malformed lines count as
+    * all-null rows — exactly the reader's permissive semantics, so the
+    * stats describe what the scan would actually see.
+    */
+  private def statRows(spark: SparkSession,
+      files: Seq[(String, String, Long, Long)], schema: StructType,
+      cols: Seq[String], bloomCols: Seq[String], bloomFpp: Double,
+      blockBytes: Long): org.apache.spark.rdd.RDD[Row] = {
     val conf = new SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
-    val root = new Path(dropDir)
-    val fs = root.getFileSystem(conf.value)
-    require(fs.getFileStatus(root).isDirectory,
-      s"zone maps index a document DIRECTORY, got $dropDir")
-    def visible(st: FileStatus): Boolean = {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    def walk(st: FileStatus): Seq[FileStatus] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(walk)
-      else if (st.isFile && st.getLen > 0) Seq(st)
-      else Seq.empty
-    val rootUri = fs.makeQualified(root).toUri
-    val files = fs.listStatus(root).toSeq.filter(visible).flatMap(walk)
-      .map { st =>
-        val rel = rootUri.relativize(
-          fs.makeQualified(st.getPath).toUri).getPath
-        (st.getPath.toString, rel, st.getLen, st.getModificationTime)
-      }
     val schemaJson = SchemaMerge.merge(Array.empty,
       cols.map(_.split("\\.", -1).toSeq), schema).json
     val colsB = cols.toArray
     val bloomB = cols.map(bloomCols.contains).toArray
-    val statRows = spark.sparkContext
+    spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .flatMap { case (abs, rel, len, mtime) =>
         val parseSchema = DataTypeJson.structFromJson(schemaJson)
@@ -166,9 +252,15 @@ object ZoneMaps {
         val getters = colsB.map(FilterEval.compiledGetter(_, parseSchema))
         val types = colsB.map(
           FilterEval.resolve(_, parseSchema).get.leaf.dataType)
-        val mins = new Array[Any](colsB.length)
-        val maxs = new Array[Any](colsB.length)
-        val nulls = new Array[Long](colsB.length)
+        val n = colsB.length
+        val mins = new Array[Any](n)
+        val maxs = new Array[Any](n)
+        val nulls = new Array[Long](n)
+        // exact order-free sums (integers/decimals only) ride the
+        // file-level row, extending metadata-only aggregates to SUM
+        val sums: Array[java.math.BigDecimal] =
+          types.map(t => if (exactSummable(t)) java.math.BigDecimal.ZERO
+            else null)
         // expected-items heuristic from the byte size (>= ~64 B/doc):
         // undersizing only raises the false-positive rate — bloom
         // correctness (no false negatives) never depends on the estimate
@@ -180,20 +272,60 @@ object ZoneMaps {
         var rows = 0L
         val codec = new org.apache.hadoop.io.compress
           .CompressionCodecFactory(conf.value).getCodec(new Path(abs))
+        // block accumulators (uncompressed files only: codec streams
+        // have no line-seekable byte offsets to range over)
+        val doBlocks = blockBytes > 0 && codec == null
+        val out = Seq.newBuilder[Row]
+        val bMins = new Array[Any](n)
+        val bMaxs = new Array[Any](n)
+        val bNulls = new Array[Long](n)
+        var bRows = 0L
+        var curBlk = 0L
+        val nBlocks =
+          if (doBlocks) (len + blockBytes - 1) / blockBytes else 0L
+        def flushBlock(i: Long): Unit = {
+          val off = i * blockBytes
+          val blen = math.min(blockBytes, len - off)
+          var c = 0
+          while (c < n) {
+            out += Row(rel, len, mtime, bRows, off, blen, colsB(c),
+              types(c).json,
+              if (bMins(c) == null) null else render(bMins(c), types(c)),
+              if (bMaxs(c) == null) null else render(bMaxs(c), types(c)),
+              bNulls(c), null, null)
+            bMins(c) = null; bMaxs(c) = null; bNulls(c) = 0L
+            c += 1
+          }
+          bRows = 0L
+        }
         val split = ExtJsonInputPartition(abs, 0L, len,
           wholeFile = codec != null)
         val stream = SplitIO.open(split, conf.value)
         val lines = new LineReader(stream)
         val text = new Text()
+        var pos = 0L
         try {
-          while (lines.readLine(text) > 0) {
+          var read = lines.readLine(text)
+          while (read > 0) {
+            val lineOff = pos
+            pos += read
             if (text.getLength > 0) {
+              if (doBlocks) {
+                // split-ownership attribution: offset 0 → block 0;
+                // offset o > 0 → the block whose half-open byte range
+                // precedes it, i.e. (o-1)/B — a line starting exactly ON
+                // a boundary belongs to the block BEFORE it, exactly as
+                // a byte-range split reads one line past its end
+                val blk = if (lineOff == 0) 0L else (lineOff - 1) / blockBytes
+                while (curBlk < blk) { flushBlock(curBlk); curBlk += 1 }
+              }
               rows += 1
+              bRows += 1
               val row = parser.parse(text.getBytes, 0, text.getLength)
               var i = 0
               while (i < getters.length) {
                 val v = getters(i)(row)
-                if (v == null) nulls(i) += 1
+                if (v == null) { nulls(i) += 1; bNulls(i) += 1 }
                 else {
                   if (mins(i) == null ||
                     FilterEval.compareInternal(types(i), v, mins(i)) < 0)
@@ -201,15 +333,31 @@ object ZoneMaps {
                   if (maxs(i) == null ||
                     FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
                     maxs(i) = v
+                  if (sums(i) != null) sums(i) = sums(i).add(toBig(v, types(i)))
+                  if (doBlocks) {
+                    if (bMins(i) == null ||
+                      FilterEval.compareInternal(types(i), v, bMins(i)) < 0)
+                      bMins(i) = v
+                    if (bMaxs(i) == null ||
+                      FilterEval.compareInternal(types(i), v, bMaxs(i)) > 0)
+                      bMaxs(i) = v
+                  }
                   if (blooms(i) != null)
                     blooms(i).putString(bloomKey(v, types(i)))
                 }
                 i += 1
               }
             }
+            read = lines.readLine(text)
           }
         } finally { lines.close(); stream.close() }
-        colsB.indices.map { i =>
+        // flush the tail: every remaining block gets a row (empty blocks
+        // included — a block with NO stats row would break the tiling
+        // gate and disable block skipping for the whole file)
+        if (doBlocks) {
+          while (curBlk < nBlocks) { flushBlock(curBlk); curBlk += 1 }
+        }
+        colsB.indices.foreach { i =>
           val bloomBytes =
             if (blooms(i) == null) null
             else {
@@ -217,69 +365,208 @@ object ZoneMaps {
               blooms(i).writeTo(bos)
               bos.toByteArray
             }
-          Row(rel, len, mtime, rows, colsB(i), types(i).json,
+          out += Row(rel, len, mtime, rows, -1L, len, colsB(i),
+            types(i).json,
             if (mins(i) == null) null else render(mins(i), types(i)),
             if (maxs(i) == null) null else render(maxs(i), types(i)),
-            nulls(i), bloomBytes)
+            nulls(i),
+            if (sums(i) == null) null else sums(i).toPlainString,
+            bloomBytes)
         }
+        out.result()
       }
-    val statSchema = StructType(Seq(
-      StructField("file", StringType, nullable = false),
-      StructField("len", LongType, nullable = false),
-      StructField("mtime", LongType, nullable = false),
-      StructField("rows", LongType, nullable = false),
-      StructField("col", StringType, nullable = false),
-      StructField("typ", StringType, nullable = false),
-      StructField("min", StringType),
-      StructField("max", StringType),
-      StructField("nulls", LongType, nullable = false),
-      StructField("bloom", BinaryType)))
-    spark.createDataFrame(statRows, statSchema)
+  }
+
+  /** Build (REBUILD) the sidecar for every visible file under `dropDir`,
+    * replacing all prior generations. Returns the number of files
+    * indexed. `blockBytes > 0` additionally writes per-block stats rows
+    * so large clustered files prune at split granularity.
+    */
+  def build(spark: SparkSession, dropDir: String, schema: StructType,
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01, blockBytes: Long = 0L): Long = {
+    requireIndexable(schema, cols, bloomCols)
+    val root = new Path(dropDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listVisible(fs, root)
+    val rows = statRows(spark, files, schema, cols, bloomCols, bloomFpp,
+      blockBytes)
+    // full rebuild: clear EVERY generation (base + appends) so no stale
+    // add_ rows linger beside the fresh base
+    fs.delete(new Path(s"$dropDir/$SidecarDir"), true)
+    spark.createDataFrame(rows, statSchema)
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dropDir/$SidecarDir")
+      .parquet(s"$dropDir/$SidecarDir/base")
     files.size.toLong
   }
 
-  /** Load the sidecar as (relativePath, len, mtime) → per-column stats,
-    * decoded against the DECLARED schema. Empty when absent. The
-    * three-part key is the staleness gate: a file rewritten since
-    * indexing changes its length or modification time and falls back to
-    * scanning (the sidecar lives OUTSIDE the files it describes, unlike
-    * a parquet footer, so drift must be detected, not assumed away).
+  /** INCREMENTALLY index the files that landed since the last
+    * build/append: every visible file with no fresh (length+mtime-keyed)
+    * stats row is indexed and written as generation `add_<batchTag>` —
+    * deterministic directory + overwrite, so a replay of the same tag
+    * converges (append-twice ≡ append-once) and an appending 100 TB drop
+    * never decays to unskippable between full rebuilds. Cost is one pass
+    * over the NEW files only. Returns the number of files indexed (0
+    * writes nothing — a row-less generation would break later reads).
+    *
+    * Producers should call this at landing time (see
+    * [[graft.sink.CorpusSink.writeShardedIndexed]]); [[build]] remains
+    * the full-rebuild path that also clears superseded generations.
     */
-  def load(spark: SparkSession, dropDir: String,
-      schema: StructType): Map[(String, Long, Long), Map[String, ColStats]] = {
+  def append(spark: SparkSession, dropDir: String, schema: StructType,
+      cols: Seq[String], batchTag: String, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01, blockBytes: Long = 0L): Long = {
+    requireIndexable(schema, cols, bloomCols)
+    require(batchTag.nonEmpty && batchTag.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"batchTag '$batchTag' must be a plain directory-safe token")
+    val root = new Path(dropDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val known: Set[(String, Long, Long)] = readSidecar(spark, dropDir) match {
+      case None => Set.empty
+      case Some(df) =>
+        df.select("file", "len", "mtime").distinct().collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val fresh = listVisible(fs, root)
+      .filterNot { case (_, rel, len, mtime) => known((rel, len, mtime)) }
+    if (fresh.isEmpty) return 0L
+    val rows = statRows(spark, fresh, schema, cols, bloomCols, bloomFpp,
+      blockBytes)
+    spark.createDataFrame(rows, statSchema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dropDir/$SidecarDir/add_$batchTag")
+    fresh.size.toLong
+  }
+
+  /** The sidecar as a DataFrame across ALL generations (base + appends),
+    * or None when absent/empty. The generation directories are passed
+    * EXPLICITLY (never the underscore-hidden sidecar root, which Spark's
+    * path filter would warn about on every read) — their names are
+    * visible by construction.
+    */
+  private def readSidecar(spark: SparkSession,
+      dropDir: String): Option[DataFrame] = {
     val p = new Path(s"$dropDir/$SidecarDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Map.empty
-    spark.read.parquet(p.toString).collect().toSeq
+    if (!fs.exists(p)) return None
+    val gens = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && DocListing.visible(st))
+      .filter(st => DocListing.walkFiles(fs, Seq(st)).nonEmpty)
+      .map(_.getPath.toString).sorted
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(gens: _*))
+  }
+
+  /** PHASE-1 load: min/max/null/rows per (file, column) — file-level and
+    * block-level — decoded against the DECLARED schema, never touching
+    * the bloom blob column (that's [[loadBlooms]], paid only for files
+    * this phase keeps). Empty when absent. The three-part key is the
+    * staleness gate: a file rewritten since indexing changes its length
+    * or modification time and falls back to scanning. Block stats that
+    * do not tile `[0, len)` exactly are dropped (never trusted halfway).
+    */
+  def loadStats(spark: SparkSession, dropDir: String,
+      schema: StructType): Map[(String, Long, Long), FileStats] = {
+    val df = readSidecar(spark, dropDir) match {
+      case None => return Map.empty
+      case Some(d) => d
+    }
+    val collected = df.select("file", "len", "mtime", "rows", "boff",
+      "blen", "col", "typ", "min", "max", "nulls", "sum").collect().toSeq
+    val parsed = collected.flatMap { r =>
+      val col = r.getString(6)
+      // TYPE drift gate: stats rendered under a different declared
+      // type must not prune (a bloom over "123" would false-negative
+      // a probe rendered "123.0" — a wrong prune, the one forbidden
+      // outcome)
+      FilterEval.resolve(col, schema)
+        .filter(_.leaf.dataType.json == r.getString(7)).map { fp =>
+          val dt = fp.leaf.dataType
+          ((r.getString(0), r.getLong(1), r.getLong(2)),
+            r.getLong(4), r.getLong(5), col, ColStats(
+              Option(r.getString(8)).map(decode(_, dt)),
+              Option(r.getString(9)).map(decode(_, dt)),
+              r.getLong(10), r.getLong(3),
+              sum = Option(r.getString(11))
+                .map(new java.math.BigDecimal(_))))
+        }
+    }
+    parsed.groupBy(_._1).map { case (key @ (_, len, _), rows) =>
+      val fileCols = rows.filter(_._2 < 0L)
+        .map { case (_, _, _, c, s) => c -> s }.toMap
+      val blocks = rows.filter(_._2 >= 0L)
+        .groupBy(t => (t._2, t._3)).toSeq.sortBy(_._1._1)
+        .map { case ((off, blen), rs) =>
+          BlockStats(off, blen,
+            rs.map { case (_, _, _, c, s) => c -> s }.toMap)
+        }
+      // tiling gate: trusted only when the blocks cover [0, len)
+      // exactly and contiguously — a gap could hide rows, and a pruned
+      // "gap" is a wrong prune
+      val tiled = blocks.nonEmpty && blocks.head.off == 0L &&
+        blocks.zip(blocks.tail).forall { case (a, b) =>
+          a.off + a.len == b.off
+        } && blocks.last.off + blocks.last.len == len
+      key -> FileStats(fileCols, if (tiled) Some(blocks) else None)
+    }
+  }
+
+  /** PHASE-2 load: the serialized bloom filters for `cols`, restricted
+    * to `files` (root-relative paths) when that set is small enough to
+    * push as a filter. Returns (file, len, mtime) → column → bloom;
+    * absent entries simply mean "no bloom indexed" (keep). The caller
+    * pays this read only when an equality/IN probe exists and only
+    * after min/max pruning — blooms load lazily, like parquet bloom
+    * pages.
+    */
+  def loadBlooms(spark: SparkSession, dropDir: String, schema: StructType,
+      cols: Set[String], files: Set[String]): Map[(String, Long, Long), Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col => c}
+    val df = readSidecar(spark, dropDir) match {
+      case None => return Map.empty
+      case Some(d) => d
+    }
+    val filtered = df
+      .where(c("boff") < 0L && c("bloom").isNotNull &&
+        c("col").isin(cols.toSeq: _*))
+    val scoped =
+      if (files.size <= 1024) filtered.where(c("file").isin(files.toSeq: _*))
+      else filtered
+    scoped.select("file", "len", "mtime", "col", "typ", "bloom")
+      .collect().toSeq
       .flatMap { r =>
-        val col = r.getString(4)
-        // TYPE drift gate: stats rendered under a different declared
-        // type must not prune (a bloom over "123" would false-negative
-        // a probe rendered "123.0" — a wrong prune, the one forbidden
-        // outcome)
-        FilterEval.resolve(col, schema)
-          .filter(_.leaf.dataType.json == r.getString(5)).map { fp =>
-            val dt = fp.leaf.dataType
-            ((r.getString(0), r.getLong(1), r.getLong(2)), col, ColStats(
-              Option(r.getString(6)).map(decode(_, dt)),
-              Option(r.getString(7)).map(decode(_, dt)),
-              r.getLong(8), r.getLong(3),
-              Option(r.get(9)).map(b =>
-                org.apache.spark.util.sketch.BloomFilter.readFrom(
-                  new java.io.ByteArrayInputStream(
-                    b.asInstanceOf[Array[Byte]])))))
+        val colName = r.getString(3)
+        if (!files(r.getString(0))) None
+        else FilterEval.resolve(colName, schema)
+          .filter(_.leaf.dataType.json == r.getString(4)).map { _ =>
+            ((r.getString(0), r.getLong(1), r.getLong(2)), colName,
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  r.get(5).asInstanceOf[Array[Byte]])))
           }
       }
       .groupBy(_._1)
       .map { case (k, rows) =>
-        k -> rows.map { case (_, c, s) => c -> s }.toMap
+        k -> rows.map { case (_, cn, b) => cn -> b }.toMap
       }
   }
 
+  /** Columns probed by equality/IN somewhere in `f` — the only shapes a
+    * bloom can answer, hence the only columns worth fetching blobs for.
+    */
+  def eqProbedCols(f: Filter): Set[String] = f match {
+    case And(l, r) => eqProbedCols(l) ++ eqProbedCols(r)
+    case Or(l, r) => eqProbedCols(l) ++ eqProbedCols(r)
+    case EqualTo(a, _) => Set(a)
+    case EqualNullSafe(a, v) if v != null => Set(a)
+    case In(a, _) => Set(a)
+    case _ => Set.empty
+  }
+
   /** Conservative three-valued zone test: could `f` be TRUE for at least
-    * one row of a file with these stats? `false` ⇒ the file is provably
+    * one row of a file/block with these stats? `false` ⇒ provably
     * all-drop under this conjunct and may be skipped. Anything the zone
     * algebra can't bound answers `true` (keep).
     */
@@ -307,10 +594,10 @@ object ZoneMaps {
         maybeTrue(l, stats, schema) && maybeTrue(r, stats, schema)
       case Or(l, r) =>
         maybeTrue(l, stats, schema) || maybeTrue(r, stats, schema)
-      // ONE shared probe for both equality forms: `=` and a non-null `<=>`
-      // have identical zone semantics, and a separate code path is how the
-      // <=> branch once probed the un-normalized rendering and wrongly
-      // pruned a file of +0.0s for a pushed `col <=> -0.0`
+      // ONE shared probe for both equality forms: `=` and a non-null
+      // `<=>` have identical zone semantics, and a separate code path is
+      // how the <=> branch once probed the un-normalized rendering and
+      // wrongly pruned a file of +0.0s for a pushed `col <=> -0.0`
       case EqualTo(a, v) => eqMaybe(a, v)
       case EqualNullSafe(a, v) =>
         if (v == null) stats.get(a).forall(_.nulls > 0)
@@ -331,6 +618,65 @@ object ZoneMaps {
       // Not / string matches / anything else: the zone algebra answers
       // "maybe" rather than risk a wrong prune
       case _ => true
+    }
+  }
+
+  /** The DUAL zone test: is `f` provably TRUE for EVERY row of a
+    * file/block with these stats? `true` ⇒ per-row evaluation of this
+    * conjunct is redundant on that file/block (residual elimination,
+    * Iceberg-style), and a metadata-only aggregate may speak for it.
+    * Anything unprovable answers `false` (evaluate per row) — the
+    * conservative direction is the opposite of [[maybeTrue]]'s. A
+    * zero-row file is vacuously covered. Blooms never participate:
+    * membership proves possible presence, never universality.
+    */
+  def definitelyTrue(f: Filter, stats: Map[String, ColStats],
+      schema: StructType): Boolean = {
+    def dtOf(a: String): Option[DataType] =
+      FilterEval.resolve(a, schema).map(_.leaf.dataType)
+    def cmp(a: String, v: Any)(test: (ColStats, Any, DataType) => Boolean): Boolean =
+      (stats.get(a), dtOf(a)) match {
+        case (Some(s), Some(dt)) =>
+          if (s.rows == 0L) true // vacuous: no rows to violate
+          // a null row evaluates the predicate to NULL, not TRUE
+          else if (s.nulls > 0L || s.min.isEmpty || s.max.isEmpty) false
+          else FilterEval.toInternal(v, dt) match {
+            case Some(iv) => test(s, iv, dt)
+            case None => false
+          }
+        case _ => false
+      }
+    def eqAll(a: String, v: Any): Boolean =
+      cmp(a, v)((s, iv, dt) =>
+        FilterEval.compareInternal(dt, s.min.get, iv) == 0 &&
+          FilterEval.compareInternal(dt, s.max.get, iv) == 0)
+    f match {
+      case And(l, r) =>
+        definitelyTrue(l, stats, schema) && definitelyTrue(r, stats, schema)
+      // sufficient, not necessary: one branch covering ALL rows covers
+      // the disjunction (a row-wise split between branches is invisible
+      // to min/max stats)
+      case Or(l, r) =>
+        definitelyTrue(l, stats, schema) || definitelyTrue(r, stats, schema)
+      case EqualTo(a, v) => eqAll(a, v)
+      case EqualNullSafe(a, v) =>
+        if (v == null) stats.get(a).exists(s => s.nulls == s.rows)
+        else eqAll(a, v)
+      case GreaterThan(a, v) => cmp(a, v)((s, iv, dt) =>
+        FilterEval.compareInternal(dt, s.min.get, iv) > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)((s, iv, dt) =>
+        FilterEval.compareInternal(dt, s.min.get, iv) >= 0)
+      case LessThan(a, v) => cmp(a, v)((s, iv, dt) =>
+        FilterEval.compareInternal(dt, s.max.get, iv) < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v)((s, iv, dt) =>
+        FilterEval.compareInternal(dt, s.max.get, iv) <= 0)
+      case In(a, vs) =>
+        // provable only in the constant-column case: min == max == some
+        // listed value (null list entries can't cover anything)
+        vs.exists(v => v != null && eqAll(a, v))
+      case IsNull(a) => stats.get(a).exists(s => s.nulls == s.rows)
+      case IsNotNull(a) => stats.get(a).exists(_.nulls == 0L)
+      case _ => false
     }
   }
 }

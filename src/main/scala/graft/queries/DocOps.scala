@@ -488,7 +488,181 @@ object DocOps {
       .filter(col("o_orderkey").isin(1L, 7L, 38L))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** An APPENDING drop with incremental zone-map maintenance: 6 price
+    * bands land and are indexed ([[graft.ingest.v2.ZoneMaps.build]]),
+    * then 2 more bands land AFTER the build and are indexed by
+    * [[graft.ingest.v2.ZoneMaps.append]] — one stats pass over the NEW
+    * files only, written as a sidecar generation (deterministic
+    * `add_<tag>` dir + overwrite, replay-convergent). The lifecycle
+    * every appending 100 TB drop needs: skipping must not decay to a
+    * full O(corpus) rebuild each landing.
+    */
+  private def ordersAppendedJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#appended", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_zmapp_$tag")}/orders"
+      def land(df: DataFrame, bands: Int, mode: String): Unit =
+        df.repartitionByRange(bands, col("o_totalprice"))
+          .sortWithinPartitions(col("o_totalprice"))
+          .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("value"))
+          .write.mode(mode).text(dir)
+      val orders = Tables.orders(s, d)
+      land(orders.filter(col("o_totalprice") <= 300000.0), 6, "overwrite")
+      graft.ingest.v2.ZoneMaps.build(s, dir, decodedOrdersClustered,
+        Seq("o_totalprice", "o_orderkey"), bloomCols = Seq("o_orderkey"))
+      land(orders.filter(col("o_totalprice") > 300000.0), 2, "append")
+      graft.ingest.v2.ZoneMaps.append(s, dir, decodedOrdersClustered,
+        Seq("o_totalprice", "o_orderkey"), batchTag = "landing1",
+        bloomCols = Seq("o_orderkey"))
+      dir
+    })
+
+  /** Zone-map skipping over the APPENDED drop: the pushed price
+    * predicate exceeds every pre-append band, so the only plannable
+    * files are the two post-append ones — provable only if the
+    * incremental `add_` generation participates in pruning (PlanSpec
+    * pins ≤ 2 of 8 files planned). Same oracle shape as q148; the
+    * lifecycle step is result-neutral by construction.
+    */
+  private def q151ZoneMapAppend(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersAppendedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** ONE price-sorted file indexed at BLOCK granularity (16 KiB stats
+    * rows in the same sidecar) — the shape where file-level stats are
+    * useless (one file owns the whole range) but parquet would still
+    * skip row groups. Built once per (JVM, sfDir).
+    */
+  private def ordersSortedJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#sorted", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_zmblk_$tag")}/orders"
+      Tables.orders(s, d)
+        .repartitionByRange(1, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice"))
+        .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      graft.ingest.v2.ZoneMaps.build(s, dir, decodedOrdersClustered,
+        Seq("o_totalprice", "o_orderkey"), blockBytes = 16L * 1024)
+      dir
+    })
+
+  /** BLOCK-level data skipping (`$match` on the sort key of one large
+    * file): per-block min/max rows let the planner drop non-matching
+    * byte-range SPLITS — adjacent survivors coalesce into runs, the gap
+    * ranges are never read or parsed (PlanSpec pins planned bytes ≪
+    * file bytes, zero residual). The row-group-granularity half of the
+    * parquet-footer story, which file-level zone maps can't give a
+    * single clustered file.
+    */
+  private def q152BlockSkip(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersSortedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .filter(col("o_totalprice") >= 300000.0 &&
+        col("o_totalprice") < 360000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** Status-clustered drop (one file per `o_orderstatus` value): the
+    * layout where an equality on the write key is zone-DECIDABLE per
+    * file — min == max on every file. Built once per (JVM, sfDir).
+    */
+  private def ordersByStatusJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#bystatus", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_zmst_$tag")}/orders"
+      val orders = Tables.orders(s, d)
+      Seq("F", "O", "P").foreach { st =>
+        orders.filter(col("o_orderstatus") === st)
+          .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("value"))
+          .coalesce(1).write.mode("append").text(dir)
+      }
+      graft.ingest.v2.ZoneMaps.build(s, dir, decodedOrdersClustered,
+        Seq("o_orderstatus", "o_totalprice", "o_orderkey"))
+      dir
+    })
+
+  /** FILTERED metadata-only aggregates — residual elimination applied to
+    * aggregation: `$match` on the clustering key + MIN/MAX/COUNT is
+    * answered entirely from the sidecar because every pushed conjunct is
+    * zone-decidable per file (non-matching status files are provably
+    * all-false and contribute nothing; the matching file is provably
+    * all-TRUE, so its stats speak for its filtered rows —
+    * [[graft.ingest.v2.ZoneMaps.definitelyTrue]]). Zero data bytes read
+    * at any corpus size; one undecidable file and the scan refuses,
+    * falling back to the parallel partial path (spec-pinned).
+    */
+  private def q153FilteredMetadataAgg(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersByStatusJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .filter(col("o_orderstatus") === "F")
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(col("o_totalprice")).as("n_priced"),
+        count(lit(1)).as("n_f"))
+
+  /** The status-clustered drop under a DECIMAL money schema (its own
+    * sidecar: type tags must match the read schema), for the exact-sum
+    * metadata path — double sums are order-dependent and never stored.
+    */
+  private val decodedOrdersClusteredDec = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DecimalType(12, 2))))
+
+  private def ordersByStatusDecJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#bystatusdec", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_zmsum_$tag")}/orders"
+      val orders = Tables.orders(s, d)
+      Seq("F", "O", "P").foreach { st =>
+        orders.filter(col("o_orderstatus") === st)
+          .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("value"))
+          .coalesce(1).write.mode("append").text(dir)
+      }
+      graft.ingest.v2.ZoneMaps.build(s, dir, decodedOrdersClusteredDec,
+        Seq("o_orderstatus", "o_totalprice", "o_orderkey"))
+      dir
+    })
+
+  /** Metadata-only SUM — past parquet's MIN/MAX/COUNT: integer/decimal
+    * columns carry an EXACT order-free per-file sum in the sidecar
+    * (float/double sums are order-dependent and are never stored), so a
+    * filtered SUM/COUNT over the status-clustered drop folds O(files)
+    * sidecar rows and reads zero data bytes — composing the q153
+    * residual elimination with the q149 metadata answer. A sum that
+    * would overflow the SQL result type refuses, falling back so
+    * Spark's own overflow semantics apply.
+    */
+  private def q154MetadataSum(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClusteredDec,
+      ordersByStatusDecJsonl(s, d), Map("zoneMaps" -> "true"))
+      .filter(col("o_orderstatus") === "F")
+      .agg(sum(col("o_totalprice")).as("__t"),
+        sum(col("o_orderkey")).as("sum_key"),
+        count(lit(1)).as("n_f"))
+      .select(col("__t").cast("double").as("sum_price"),
+        (col("__t") * 100).cast("long").as("sum_cents"),
+        col("sum_key"), col("n_f"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_docsource_metadata_sum" -> q154MetadataSum,
+    "q153_docsource_filtered_metadata_agg" -> q153FilteredMetadataAgg,
+    "q152_docsource_block_skip" -> q152BlockSkip,
+    "q151_docsource_zonemap_append" -> q151ZoneMapAppend,
     "q150_docsource_bloom_lookup" -> q150BloomPointLookup,
     "q149_docsource_metadata_agg" -> q149MetadataAgg,
     "q148_docsource_zonemap_skip" -> q148ZoneMapSkip,
@@ -510,6 +684,21 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q154_docsource_metadata_sum" ->
+      ("SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key, COUNT(*) AS n_f " +
+        "FROM orders WHERE o_orderstatus = 'F'"),
+    "q153_docsource_filtered_metadata_agg" ->
+      ("SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
+        "COUNT(o_totalprice) AS n_priced, COUNT(*) AS n_f FROM orders " +
+        "WHERE o_orderstatus = 'F'"),
+    "q152_docsource_block_skip" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_totalprice >= 300000.0 AND o_totalprice < 360000.0"),
+    "q151_docsource_zonemap_append" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_totalprice > 450000.0"),
     "q150_docsource_bloom_lookup" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
         "WHERE o_orderkey IN (1, 7, 38)"),

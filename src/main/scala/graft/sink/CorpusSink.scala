@@ -38,6 +38,48 @@ object CorpusSink {
       .format(format).save(dir)
   }
 
+  /** Deterministic sharded JSONL landing with ZONE MAPS maintained at
+    * write time — the producer half of the document scan's data
+    * skipping: shards land under the [[writeSharded]] contract (hash(id)
+    * shard assignment, rows sorted by id within each shard), serialized
+    * as JSON lines of `df`'s columns, and the `_graft_zonemaps` sidecar
+    * is maintained IN THE SAME CALL — built fresh for a new drop, or
+    * incrementally appended (`appendTag`) for a landing batch
+    * ([[graft.ingest.v2.ZoneMaps.append]]: one stats pass over the NEW
+    * files only, replay-convergent by tag). A landed batch is skippable
+    * the moment it is readable; skipping never decays to a full
+    * O(corpus) re-index as the drop grows — the lifecycle Iceberg/Delta
+    * get by writing manifests at commit time. Returns files indexed.
+    */
+  def landJsonlIndexed(df: DataFrame, idCol: String, dir: String,
+      numShards: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
+      blockBytes: Long = 0L, appendTag: Option[String] = None): Long = {
+    require(numShards > 0, "numShards > 0")
+    val spark = df.sparkSession
+    // an appended batch lands in its own DETERMINISTIC subdirectory
+    // (`batch_<tag>`, overwrite) — the replay-idempotence contract shared
+    // with the streaming ingests: a re-offered batch converges to one
+    // copy instead of duplicating, and its sidecar generation (same tag,
+    // same overwrite discipline) converges with it. The scan's recursive
+    // listing reads nested drops natively.
+    val target = appendTag match {
+      case Some(tag) => s"$dir/batch_$tag"
+      case None => dir
+    }
+    df.repartition(numShards, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(target)
+    appendTag match {
+      case Some(tag) =>
+        graft.ingest.v2.ZoneMaps.append(spark, dir, df.schema, zoneCols,
+          batchTag = tag, bloomCols = bloomCols, blockBytes = blockBytes)
+      case None =>
+        graft.ingest.v2.ZoneMaps.build(spark, dir, df.schema, zoneCols,
+          bloomCols = bloomCols, blockBytes = blockBytes)
+    }
+  }
+
   /** One shard file's attestation: row count and an ORDER-FREE content
     * hash (sum of per-row `xxhash64(all columns)` — addition commutes, so
     * the digest is independent of read parallelism and row order, while

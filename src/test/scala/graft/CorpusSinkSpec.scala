@@ -50,6 +50,46 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(c1.values.flatten.toSeq.sorted == (1L to 500L))
   }
 
+  test("landJsonlIndexed: zone maps ride the landing; appends prune without a rebuild") {
+    import org.apache.spark.sql.types._
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val dir = Files.createTempDirectory("graft_land").toString + "/docs"
+    // initial drop: ids 1..300 land sharded + indexed in one call
+    val first = (1 to 300).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    assert(CorpusSink.landJsonlIndexed(first, "doc_id", dir, numShards = 3,
+      zoneCols = Seq("doc_id")) == 3L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def src = graft.ingest.ExtendedJson.read(spark, schema, dir,
+      Map("zoneMaps" -> "true"))
+    assert(src.count() == 300L)
+    // a later batch lands with appendTag: only ITS files are indexed
+    // (one pass over the new shards, not the corpus), and the sidecar
+    // generation participates in pruning immediately
+    val second = (301 to 400).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    assert(CorpusSink.landJsonlIndexed(second, "doc_id", dir, numShards = 2,
+      zoneCols = Seq("doc_id"), appendTag = Some("b1")) == 2L)
+    assert(ZoneMaps.loadStats(spark, dir, schema).size == 5)
+    val hi = src.filter(col("doc_id") > 300L)
+    assert(hi.count() == 100L)
+    val scan = hi.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      .head.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    val planned = scan.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition].file).toSet
+    assert(planned.size == 2,
+      s"id > 300 lives only in the appended shards, planned $planned")
+    // REPLAY of the same landing tag converges: the batch directory is
+    // deterministic + overwrite, so the drop holds ONE copy and the
+    // re-indexed sidecar generation matches the re-landed files
+    assert(CorpusSink.landJsonlIndexed(second, "doc_id", dir, numShards = 2,
+      zoneCols = Seq("doc_id"), appendTag = Some("b1")) == 2L)
+    assert(src.filter(col("doc_id") > 300L).count() == 100L,
+      "a re-offered landing batch must converge, not duplicate")
+    assert(ZoneMaps.loadStats(spark, dir, schema).size == 5)
+  }
+
   test("manifest round-trips, is order-free, and catches tampering") {
     val d = Files.createTempDirectory("graft_manifest").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)

@@ -952,6 +952,269 @@ class DocSourceV2Spec extends AnyFunSuite {
       "x <=> 0.0 must keep a file of -0.0s through the bloom sidecar")
   }
 
+  test("bloom blobs load lazily: range plans fetch none, point lookups fetch survivors only") {
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2lazy").toString
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 20).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "c.jsonl"),
+      (21 to 30).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"), bloomCols = Seq("k"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    def planned(df: DataFrame): (Set[String], Int) = {
+      val scan = v2Scan(df)
+      df.collect()
+      (scan.planInputPartitions()
+        .map(_.asInstanceOf[ExtJsonInputPartition].file)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet,
+        scan.bloomBlobsFetched)
+    }
+    // a RANGE-only predicate must never deserialize a bloom blob —
+    // phase 1 (min/max) decides it alone, at O(files) sidecar rows
+    assert(planned(src.filter(col("k") > 20L)) == (Set("c.jsonl"), 0))
+    // equality fetches blobs ONLY for the min/max survivors: the bands
+    // are disjoint, so one key → one surviving file → one blob
+    assert(planned(src.filter(col("k") === 15L)) == (Set("b.jsonl"), 1))
+    // two scattered keys → two surviving bands → two blobs, never three
+    assert(planned(src.filter(col("k").isin(3L, 23L))) ==
+      (Set("a.jsonl", "c.jsonl"), 2))
+  }
+
+  test("zone-map append indexes only new files; replay converges; appended stats prune") {
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2zmapp").toString
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 20).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    assert(ZoneMaps.build(spark, root, schema, Seq("k")) == 2L)
+    // the drop GROWS: a landed file is unskippable (kept conservatively)
+    // until indexed...
+    Files.write(Paths.get(root, "c.jsonl"),
+      (21 to 30).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    def plannedFiles(df: DataFrame): Set[String] = {
+      val scan = v2Scan(df)
+      df.collect()
+      scan.planInputPartitions()
+        .map(_.asInstanceOf[ExtJsonInputPartition].file)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    }
+    assert(plannedFiles(src.filter(col("k") <= 10L)) ==
+      Set("a.jsonl", "c.jsonl"), "unindexed files must be KEPT, not pruned")
+    // ...an incremental append indexes ONLY the new file (one pass over
+    // one file, not the corpus) and it prunes like the rest
+    assert(ZoneMaps.append(spark, root, schema, Seq("k"),
+      batchTag = "t1") == 1L)
+    assert(ZoneMaps.loadStats(spark, root, schema).size == 3)
+    assert(plannedFiles(src.filter(col("k") <= 10L)) == Set("a.jsonl"))
+    assert(plannedFiles(src.filter(col("k") > 20L)) == Set("c.jsonl"),
+      "appended stats must prune OLD files and keep the new band")
+    // replay of the same tag converges (append-twice ≡ append-once), and
+    // a no-new-files append writes nothing
+    val before = ZoneMaps.loadStats(spark, root, schema)
+    assert(ZoneMaps.append(spark, root, schema, Seq("k"),
+      batchTag = "t1") == 0L)
+    assert(ZoneMaps.append(spark, root, schema, Seq("k"),
+      batchTag = "t2") == 0L)
+    assert(ZoneMaps.loadStats(spark, root, schema) == before)
+    assert(!new java.io.File(s"$root/${ZoneMaps.SidecarDir}/add_t2").exists(),
+      "a no-op append must not leave a row-less generation behind")
+    // a full rebuild clears superseded generations
+    assert(ZoneMaps.build(spark, root, schema, Seq("k")) == 3L)
+    assert(!new java.io.File(s"$root/${ZoneMaps.SidecarDir}/add_t1").exists())
+    assert(plannedFiles(src.filter(col("k") > 20L)) == Set("c.jsonl"))
+  }
+
+  test("block-level zone stats prune SPLITS of a clustered file; stale blocks stand down") {
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2blk").toString
+    // one file, 100 fixed-width lines sorted on k: 12 bytes per line
+    // ({"k": 1000} + \n), so blockBytes = 120 gives exactly 10 lines per
+    // block and clean boundaries to cut at
+    val lines = (0 until 100).map(i => s"""{"k": ${1000 + i}}""")
+    Files.write(Paths.get(root, "sorted.jsonl"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val fileLen = new java.io.File(s"$root/sorted.jsonl").length()
+    assert(fileLen == 1200L)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"), blockBytes = 120L)
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    def parts(df: DataFrame): Seq[ExtJsonInputPartition] = {
+      val scan = v2Scan(df)
+      df.collect()
+      scan.planInputPartitions().map(_.asInstanceOf[ExtJsonInputPartition])
+        .toSeq
+    }
+    // a mid-range predicate: k in [1025, 1044] lives in blocks 2..4
+    // (1025 is row 25 → block 2; 1044 is row 44 → block 4); adjacent
+    // surviving blocks coalesce into ONE split covering [240, 600)
+    val mid = src.filter(col("k") >= 1025L && col("k") <= 1044L)
+    assert(mid.collect().map(_.getLong(0)).toSet ==
+      (1025L to 1044L).toSet)
+    val midParts = parts(mid)
+    assert(midParts.map(p => (p.start, p.length)) == Seq((240L, 360L)),
+      s"expected one coalesced 3-block split, got $midParts")
+    // DISJOINT ranges plan disjoint runs — the gap blocks are never read
+    val twoRanges = src.filter(col("k") <= 1004L || col("k") >= 1095L)
+    assert(twoRanges.collect().map(_.getLong(0)).toSet ==
+      ((1000L to 1004L) ++ (1095L to 1099L)).toSet)
+    assert(parts(twoRanges).map(p => (p.start, p.length)) ==
+      Seq((0L, 120L), (1080L, 120L)))
+    assert(v2Scan(twoRanges).description().contains("blocks"),
+      v2Scan(twoRanges).description())
+    // a REWRITTEN file (fresh length/mtime) falls back to full byte
+    // splits — stale block stats must never cut
+    Files.write(Paths.get(root, "sorted.jsonl"),
+      (lines ++ Seq("""{"k": 1}""")).mkString("\n").getBytes("UTF-8"))
+    val crc = Paths.get(root, ".sorted.jsonl.crc")
+    if (Files.exists(crc)) Files.delete(crc)
+    val stale = src.filter(col("k") <= 1004L)
+    assert(stale.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 1000L, 1001L, 1002L, 1003L, 1004L),
+      "stale block stats must never prune a changed file")
+  }
+
+  test("all-true zone coverage skips per-row filter eval; filtered metadata aggs answer when decidable") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import graft.ingest.v2.{ExtJsonInputPartition, StatsAnswerPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2alltrue").toString
+    // one file per status — the clustered-by-write-key layout where a
+    // status predicate is zone-DECIDABLE per file (min == max)
+    Files.write(Paths.get(root, "f.jsonl"),
+      (1 to 10).map(i => s"""{"s": "F", "k": $i}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "o.jsonl"),
+      (11 to 25).map(i => s"""{"s": "O", "k": $i}""").mkString("\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("s", "k"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    // RESIDUAL ELIMINATION, reader side: `s = 'F'` is provably true for
+    // every row of the one surviving file, so its split is marked
+    // all-true (per-row filter eval skipped); rows are identical either
+    // way
+    val covered = src.filter(col("s") === "F")
+    assert(covered.collect().map(_.getLong(1)).toSet ==
+      (1L to 10L).toSet)
+    val cScan = v2Scan(covered)
+    val cParts = cScan.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition])
+    assert(cParts.length == 1 && cParts.head.allTrue,
+      cParts.mkString(", "))
+    // coverage is decided PER FILE: k > 5 straddles f.jsonl (keeps
+    // per-row eval) but provably covers o.jsonl (min = 11, skips it)
+    val straddle = src.filter(col("k") > 5L)
+    assert(straddle.collect().map(_.getLong(1)).toSet ==
+      (6L to 25L).toSet)
+    val sFlags = v2Scan(straddle).planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition])
+      .map(p => p.file.substring(p.file.lastIndexOf('/') + 1) -> p.allTrue)
+      .toMap
+    assert(sFlags == Map("f.jsonl" -> false, "o.jsonl" -> true), sFlags)
+
+    // RESIDUAL ELIMINATION, metadata side: the FILTERED MIN/MAX/COUNT is
+    // answered from the sidecar alone — pruned files contribute nothing,
+    // the surviving file is all-true, zero data bytes read
+    def scanExecs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanExecs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanExecs(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scanExecs)
+      }
+    val agg = src.filter(col("s") === "F")
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+        count(col("k")).as("nk"), count(lit(1)).as("n"))
+    val qe = agg.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    val exec = scanExecs(qe.executedPlan).head
+    val scan = exec.scan.asInstanceOf[ExtJsonScan]
+    assert(scan.statsAnswer.isDefined, scan.description())
+    assert(qe.sparkPlan.collect { case a: BaseAggregateExec => a }.isEmpty)
+    assert(scan.planInputPartitions().head.isInstanceOf[StatsAnswerPartition])
+    assert(agg.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
+      Seq((1L, 10L, 10L, 10L)))
+    assert(exec.metrics(graft.ingest.v2.ScanMetrics.ParsedDocs).value == 0)
+    // an UNDECIDABLE filter (k > 5 straddles the surviving file) refuses
+    // the metadata path and computes the real answer from the data
+    val mixed = src.filter(col("k") > 5L)
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+        count(lit(1)).as("n"))
+    assert(mixed.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))) == Seq((6L, 25L, 20L)))
+    val mScan = scanExecs(mixed
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan).head.scan.asInstanceOf[ExtJsonScan]
+    assert(mScan.statsAnswer.isEmpty,
+      "a straddling filter must refuse the metadata path")
+  }
+
+  test("metadata-only SUM: exact sidecar sums answer; double sums and overflow refuse") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import graft.ingest.v2.{StatsAnswerPartition, ZoneMaps}
+    def scanExecs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanExecs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanExecs(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scanExecs)
+      }
+    def scanOf(df: DataFrame) = scanExecs(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan).head.scan.asInstanceOf[ExtJsonScan]
+    val root = Files.createTempDirectory("graft_v2msum").toString
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i, "x": $i.5, "nul": null}""")
+        .mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 25).map(i => s"""{"k": $i, "x": $i.5, "nul": null}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("x", DoubleType), StructField("nul", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k", "x", "nul"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    // exact LONG sum answers from the sidecar: one metadata partition,
+    // no aggregate node, zero parsed documents
+    val ksum = src.agg(sum(col("k")).as("sk"), count(lit(1)).as("n"))
+    assert(ksum.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((325L, 25L)))
+    val kScan = scanOf(ksum)
+    assert(kScan.statsAnswer.isDefined, kScan.description())
+    assert(kScan.planInputPartitions().head.isInstanceOf[StatsAnswerPartition])
+    // a DOUBLE sum is order-dependent — no sidecar form, the parallel
+    // partial path answers (and statsAnswer stays empty)
+    val xsum = src.agg(sum(col("x")).as("sx"))
+    assert(scanOf(xsum).statsAnswer.isEmpty)
+    assert(xsum.collect().head.getDouble(0) == (1 to 25).map(_ + 0.5).sum)
+    // SQL: SUM over zero non-null values is NULL — and still metadata
+    val nsum = src.agg(sum(col("nul")).as("sn"))
+    assert(scanOf(nsum).statsAnswer.isDefined)
+    assert(nsum.collect().head.isNullAt(0))
+    // a sum that would overflow LONG refuses the metadata path — the
+    // real computation then carries Spark's own overflow semantics
+    val oroot = Files.createTempDirectory("graft_v2osum").toString
+    Files.write(Paths.get(oroot, "o1.jsonl"),
+      s"""{"k": ${Long.MaxValue}}\n{"k": ${Long.MaxValue}}"""
+        .getBytes("UTF-8"))
+    val oschema = StructType(Seq(StructField("k", LongType)))
+    ZoneMaps.build(spark, oroot, oschema, Seq("k"))
+    val osum = ExtendedJson.read(spark, oschema, oroot,
+      Map("zoneMaps" -> "true")).agg(sum(col("k")).as("sk"))
+    assert(scanOf(osum).statsAnswer.isEmpty,
+      "an overflowing sidecar sum must refuse, not wrap")
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))
@@ -1219,6 +1482,73 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(scans.head.runtimeFilters.map(_.toString)
       .exists(f => f.contains("In(p.k") && f.contains("4") && f.contains("9")),
       scans.head.runtimeFilters.mkString(", "))
+  }
+
+  test("runtime In on a NESTED key takes the bloom path: scattered keys skip files") {
+    import spark.implicits._
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2dynnb").toString
+    // keys INTERLEAVED by residue class: every file's [min,max] covers
+    // the whole key space, so min/max can skip nothing — only the
+    // per-file blooms can answer a membership probe. The keys are
+    // NESTED (p.k): the dynamic filter arrives as a dotted
+    // backtick-quoted In and must still reach the bloom probe.
+    // sized past the runtime-filter benefit heuristic (a byte-tiny fact
+    // side makes Spark skip dynamic pruning as not worth a subquery)
+    def lines(res: Int): Seq[String] =
+      for { j <- 1 to 30; i <- 0 until 10 }
+        yield s"""{"p": {"k": ${3 * j + res - 2}}, "v": $i, "pad": "${"x" * 48}"}"""
+    Files.write(Paths.get(root, "r1.jsonl"),
+      lines(1).mkString("\n").getBytes("UTF-8")) // k ≡ 2 mod 3: 2,5,...,89
+    Files.write(Paths.get(root, "r2.jsonl"),
+      lines(2).mkString("\n").getBytes("UTF-8")) // k ≡ 0 mod 3: 3,6,...,90
+    Files.write(Paths.get(root, "r3.jsonl"),
+      lines(3).mkString("\n").getBytes("UTF-8")) // k ≡ 1 mod 3: 4,7,...,91
+    val schema = StructType(Seq(
+      StructField("p", StructType(Seq(StructField("k", LongType)))),
+      StructField("v", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("p.k"), bloomCols = Seq("p.k"))
+    // both hot keys ≡ 0 mod 3 → both live ONLY in r2.jsonl
+    (1 to 90).map(i => (i.toLong, if (i == 42 || i == 57) "hot" else s"c$i"))
+      .toDF("dk", "tag").write.parquet(s"$root/_dim.parquet")
+    val dim = spark.read.parquet(s"$root/_dim.parquet")
+      .filter(col("tag") === "hot")
+    val fact = ExtendedJson.read(spark, schema, root,
+      Map("zoneMaps" -> "true"))
+    val joined = fact.join(dim, fact.col("p.k") === dim.col("dk"))
+    assert(joined.collect().forall(r =>
+      r.getStruct(0).getLong(0) == 42L || r.getStruct(0).getLong(0) == 57L))
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[ExtJsonScan] =
+      (p match {
+        case b: BatchScanExec => Seq(b.scan.asInstanceOf[ExtJsonScan])
+        case _ => Nil
+      }) ++ p.children.flatMap(findScans) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScans(q.plan)
+        case _ => Nil
+      })
+    val ep = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+    val finalPlan = ep match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = findScans(finalPlan)
+    assert(scans.length == 1, finalPlan.toString.take(500))
+    assert(scans.head.runtimeFilters.map(_.toString)
+      .exists(_.contains("In(`p`.`k`")) ||
+      scans.head.runtimeFilters.map(_.toString).exists(_.contains("In(p.k")),
+      scans.head.runtimeFilters.mkString(", "))
+    // the composition that matters at 100 TB: dynamic pruning × bloom
+    // sidecar on a nested leaf — min/max is blind here, so planning only
+    // r2 PROVES the dotted runtime In probed the blooms
+    val planned = scans.head.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition].file)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(planned == Set("r2.jsonl"),
+      s"dotted runtime In must prune through the blooms: $planned")
+    assert(scans.head.bloomBlobsFetched > 0, "blooms were never probed")
   }
 
   test("complete COUNT(*) pushdown: single-split merges in the scan, multi-split stays partial") {

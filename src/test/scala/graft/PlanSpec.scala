@@ -610,6 +610,103 @@ class PlanSpec extends AnyFunSuite {
       parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
   }
 
+  test("q151 appended files prune through their incremental sidecar generation") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q151_docsource_zonemap_append")
+    val p = qe.executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    // 6 files indexed at build time + 2 landed after and indexed by
+    // ZoneMaps.append: the > 450000 predicate exceeds every pre-append
+    // band, so only appended files are plannable — which proves the
+    // add_ generation participates (an unindexed landing would be KEPT
+    // conservatively and planned)
+    val planned = s.planInputPartitions()
+    assert(planned.length <= 2,
+      s"appended stats must prune, planned ${planned.length}")
+    assert(s.description().contains("ZoneMaps: 8 files indexed"),
+      s.description())
+  }
+
+  test("q152 block stats prune byte-range splits of one clustered file") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q152_docsource_block_skip")
+    val p = qe.executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    assert(p.collect { case f: FilterExec => f }.isEmpty, p.toString.take(800))
+    val planned = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition])
+    assert(planned.nonEmpty)
+    val fileLen = new java.io.File(
+      new java.net.URI(planned.head.file).getPath).length()
+    val plannedBytes = planned.map(_.length).sum
+    // the sort key is clustered WITHIN the one file: only block stats
+    // can skip here, and the planned byte ranges must be a strict
+    // subset of the file
+    assert(plannedBytes < fileLen,
+      s"expected split-level skipping: planned $plannedBytes of $fileLen")
+    assert(s.description().contains("blocks"), s.description())
+  }
+
+  test("q153 filtered MIN/MAX/COUNT answers from metadata when zone-decidable") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q153_docsource_filtered_metadata_agg")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // the status filter is fully pushed AND zone-decidable per file
+    // (min == max on the clustering key): pruned files contribute
+    // nothing, the survivor is all-true, so the sidecar answers — one
+    // metadata partition, no aggregate node, zero data bytes at any
+    // corpus size
+    assert(s.pushed.map(_.toString).exists(_.contains("o_orderstatus")),
+      s.pushed.mkString(", "))
+    assert(s.statsAnswer.isDefined, s.description())
+    assert(s.description().contains("(complete, metadata-only)"),
+      s.description())
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+    val parts = s.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
+  }
+
+  test("q154 filtered exact SUM answers from sidecar sums, zero data bytes") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q154_docsource_metadata_sum")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // decimal + long SUMs fold from the exact per-file sidecar sums of
+    // the one all-true surviving file; no aggregate node anywhere
+    assert(s.statsAnswer.isDefined, s.description())
+    assert(s.description().contains("(complete, metadata-only)"),
+      s.description())
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+    val parts = s.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
