@@ -435,15 +435,16 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     val shapeOk =
       limit < 0 && topLimit < 0 && partCols.isEmpty &&
-        aggregation.groupByExpressions().isEmpty &&
         aggregation.aggregateExpressions().nonEmpty
-    // the metadata path accepts FILTERED shapes too (every pushed
-    // conjunct must then be zone-decidable per file — see statsAggAnswer);
-    // the single-split complete count keeps the unfiltered gate, since a
-    // filter makes the count data-dependent without making it cheaper
+    // the metadata path accepts FILTERED and GROUPED shapes too (every
+    // pushed conjunct zone-decidable per file, every group key constant
+    // per file — see statsAggAnswer); the single-split complete count
+    // keeps the unfiltered ungrouped gate, since a filter or group makes
+    // the count data-dependent without making it cheaper
     statsAnswer = if (shapeOk) statsAggAnswer(aggregation) else None
     completeOffered = (shapeOk && statsAnswer.isDefined) ||
       (shapeOk && pushed.isEmpty &&
+        aggregation.groupByExpressions().isEmpty &&
         aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
         singleSplitInput)
     completeOffered
@@ -453,7 +454,7 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     * pushed-aggregate order, rendered in the zone-map canonical string
     * form (null value string = SQL NULL).
     */
-  private var statsAnswer: Option[(Array[String], Array[String])] = None
+  private var statsAnswer: Option[(Array[Array[String]], Array[String])] = None
 
   /** ONE phase-1 sidecar load shared between the metadata-aggregate
     * probe here and the scan's file pruning ([[ExtJsonScan]] receives
@@ -474,35 +475,44 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       m
     }
 
-  /** MIN/MAX/COUNT answered ENTIRELY from the zone-map sidecar — the
+  /** MIN/MAX/COUNT/SUM answered ENTIRELY from the zone-map sidecar — the
     * parquet-footer aggregate pushdown equivalent (Spark's own
     * `spark.sql.parquet.aggregatePushdown` answers these from row-group
     * statistics; a JSONL drop's footer is the `_graft_zonemaps` sidecar):
-    * when the query is an ungrouped MIN/MAX/COUNT combination, zone maps
-    * are enabled, and EVERY listed file carries a length+mtime-matched
-    * stats row for every referenced column, the answer is a fold over
-    * O(files) sidecar rows — the scan reads ZERO data bytes at any
-    * corpus size. FILTERED shapes are accepted when the pushed conjuncts
-    * are zone-DECIDABLE for every file: files where some conjunct is
-    * provably all-false contribute nothing (exactly what the scan would
-    * prune), and every surviving file must be provably ALL-TRUE
-    * ([[ZoneMaps.definitelyTrue]]) so its stats speak for its filtered
-    * rows — Iceberg's residual elimination applied to aggregation. Any
-    * gap (one unindexed or rewritten file, one uncovered column, one
-    * undecidable survivor) refuses, falling back to the ordinary
-    * parallel partial path.
+    * when zone maps are enabled and EVERY listed file carries a
+    * length+mtime-matched stats row for every referenced column, the
+    * answer is a fold over O(files) sidecar rows — the scan reads ZERO
+    * data bytes at any corpus size. FILTERED shapes are accepted when
+    * the pushed conjuncts are zone-DECIDABLE for every file: files where
+    * some conjunct is provably all-false contribute nothing (exactly
+    * what the scan would prune), and every surviving file must be
+    * provably ALL-TRUE ([[ZoneMaps.definitelyTrue]]) so its stats speak
+    * for its filtered rows — Iceberg's residual elimination applied to
+    * aggregation. GROUPED shapes are accepted when every group-by column
+    * is CONSTANT per file (min == max, no nulls — or all-null: the null
+    * group) — the write-key-clustered layout — folding files per key
+    * tuple, one answer row per group (the JDBC-style complete GROUP BY
+    * pushdown, from metadata). Any gap (one unindexed or rewritten file,
+    * one uncovered column, one undecidable survivor, one non-constant
+    * group key) refuses, falling back to the ordinary parallel partial
+    * path.
     */
   private def statsAggAnswer(
-      aggregation: Aggregation): Option[(Array[String], Array[String])] = {
+      aggregation: Aggregation): Option[(Array[Array[String]], Array[String])] = {
     if (!Option(options.get("zoneMaps")).exists(_.toBoolean)) return None
-    // the SAME translation pushAggregation registers, so the answer row
-    // aligns with the pushed layout by construction; float/double sums
-    // refuse per-aggregate below (order-dependent — no exact sidecar
-    // form), integer/decimal sums answer from the exact per-file sums
+    // the SAME translations pushAggregation registers, so the answer
+    // rows align with the pushed layout (group columns first) by
+    // construction; float/double sums refuse per-aggregate below
+    // (order-dependent — no exact sidecar form), integer/decimal sums
+    // answer from the exact per-file sums
     val parsed: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map(translateAggExpr)
     if (parsed.exists(_.isEmpty)) return None
     val wanted = parsed.flatten
+    val groupParsed: Seq[Option[String]] = aggregation.groupByExpressions()
+      .toSeq.map(pathOf(_, needComparable = true))
+    if (groupParsed.exists(_.isEmpty)) return None
+    val groupCols = groupParsed.flatten
     try {
       val spark = SparkSession.active
       val root = new Path(path)
@@ -532,80 +542,115 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       if (!perFile.forall(m =>
         pushed.forall(ZoneMaps.definitelyTrue(_, m, fullSchema))))
         return None
-      val values = new Array[String](wanted.length)
-      val types = new Array[String](wanted.length)
-      wanted.zipWithIndex.foreach { case (a, i) =>
-        a.kind match {
-          case "count*" =>
-            // rows is carried on every indexed column's row — any one
-            // column per file suffices
-            val rows = perFile.map { m =>
-              m.values.headOption match {
-                case Some(cs) => cs.rows
-                case None => return None
-              }
+      // group key per file: every group column must be provably
+      // single-valued across the file — constant (min == max, no nulls)
+      // or all-null (the SQL null group). Zero-row files join no group.
+      val keyed: Seq[(Seq[String], Map[String, ZoneMaps.ColStats])] =
+        perFile.flatMap { m =>
+          if (m.values.headOption.exists(_.rows == 0L)) None
+          else Some((groupCols.map { g =>
+            val dt = leafType(g)
+            m.get(g) match {
+              case Some(cs) if cs.nulls == cs.rows => null
+              case Some(cs) if cs.nulls == 0L && cs.min.isDefined &&
+                  FilterEval.compareInternal(dt, cs.min.get, cs.max.get) == 0 =>
+                ZoneMaps.render(cs.min.get, dt)
+              case _ => return None
             }
-            values(i) = rows.sum.toString
-            types(i) = org.apache.spark.sql.types.LongType.json
-          case "count" =>
-            val nonNull = perFile.map(m => m.get(a.field) match {
-              case Some(cs) => cs.rows - cs.nulls
-              case None => return None
-            })
-            values(i) = nonNull.sum.toString
-            types(i) = org.apache.spark.sql.types.LongType.json
-          case "sum" =>
-            // exact (integer/decimal) sums fold from the per-file sidecar
-            // sums; a value that would overflow the SQL result type
-            // refuses — the real computation then reproduces Spark's own
-            // overflow semantics instead of a silently-different answer
-            val dt = leafType(a.field)
-            if (!ZoneMaps.exactSummable(dt)) return None
-            val resT = SumTypes.resultType(dt)
-            var total = java.math.BigDecimal.ZERO
-            var nonNull = 0L
-            perFile.foreach { m =>
-              m.get(a.field) match {
-                case Some(cs) if cs.sum.isDefined =>
-                  total = total.add(cs.sum.get)
-                  nonNull += cs.rows - cs.nulls
-                case _ => return None
-              }
-            }
-            values(i) =
-              if (nonNull == 0L) null // SQL: SUM over no values is NULL
-              else resT match {
-                case org.apache.spark.sql.types.LongType =>
-                  try total.longValueExact().toString
-                  catch { case _: ArithmeticException => return None }
-                case d: org.apache.spark.sql.types.DecimalType =>
-                  val dec = org.apache.spark.sql.types.Decimal(total)
-                  if (!dec.changePrecision(d.precision, d.scale)) return None
-                  dec.toJavaBigDecimal.toPlainString
-                case _ => return None
-              }
-            types(i) = resT.json
-          case k =>
-            val dt = leafType(a.field)
-            var best: Any = null
-            perFile.foreach { m =>
-              m.get(a.field) match {
-                case Some(cs) =>
-                  val v = if (k == "min") cs.min.orNull else cs.max.orNull
-                  if (v != null && (best == null || {
-                    val c = FilterEval.compareInternal(dt, v, best)
-                    if (k == "min") c < 0 else c > 0
-                  })) best = v
-                case None => return None
-              }
-            }
-            values(i) = if (best == null) null else ZoneMaps.render(best, dt)
-            types(i) = dt.json
+          }, m))
         }
+      val byKey = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], Vector[Map[String, ZoneMaps.ColStats]]]
+      keyed.foreach { case (k, m) =>
+        byKey(k) = byKey.getOrElse(k, Vector.empty) :+ m
+      }
+      // ungrouped: ONE answer row even over zero files (a global
+      // aggregate of an empty set is a row of 0/NULL, not no rows)
+      if (groupCols.isEmpty && byKey.isEmpty) byKey(Seq.empty) = Vector.empty
+      val types = new Array[String](groupCols.length + wanted.length)
+      groupCols.zipWithIndex.foreach { case (g, i) =>
+        types(i) = leafType(g).json
+      }
+      val rows = byKey.toSeq.map { case (key, group) =>
+        val row = new Array[String](types.length)
+        key.zipWithIndex.foreach { case (v, i) => row(i) = v }
+        wanted.zipWithIndex.foreach { case (a, j) =>
+          val i = groupCols.length + j
+          a.kind match {
+            case "count*" =>
+              // rows is carried on every indexed column's row — any one
+              // column per file suffices
+              val n = group.map { m =>
+                m.values.headOption match {
+                  case Some(cs) => cs.rows
+                  case None => return None
+                }
+              }
+              row(i) = n.sum.toString
+              types(i) = org.apache.spark.sql.types.LongType.json
+            case "count" =>
+              val nonNull = group.map(m => m.get(a.field) match {
+                case Some(cs) => cs.rows - cs.nulls
+                case None => return None
+              })
+              row(i) = nonNull.sum.toString
+              types(i) = org.apache.spark.sql.types.LongType.json
+            case "sum" =>
+              // exact (integer/decimal) sums fold from the per-file
+              // sidecar sums; a value that would overflow the SQL result
+              // type refuses — the real computation then reproduces
+              // Spark's own overflow semantics instead of a
+              // silently-different answer
+              val dt = leafType(a.field)
+              if (!ZoneMaps.exactSummable(dt)) return None
+              val resT = SumTypes.resultType(dt)
+              var total = java.math.BigDecimal.ZERO
+              var nonNull = 0L
+              group.foreach { m =>
+                m.get(a.field) match {
+                  case Some(cs) if cs.sum.isDefined =>
+                    total = total.add(cs.sum.get)
+                    nonNull += cs.rows - cs.nulls
+                  case _ => return None
+                }
+              }
+              row(i) =
+                if (nonNull == 0L) null // SQL: SUM over no values is NULL
+                else resT match {
+                  case org.apache.spark.sql.types.LongType =>
+                    try total.longValueExact().toString
+                    catch { case _: ArithmeticException => return None }
+                  case d: org.apache.spark.sql.types.DecimalType =>
+                    val dec = org.apache.spark.sql.types.Decimal(total)
+                    if (!dec.changePrecision(d.precision, d.scale))
+                      return None
+                    dec.toJavaBigDecimal.toPlainString
+                  case _ => return None
+                }
+              types(i) = resT.json
+            case k =>
+              val dt = leafType(a.field)
+              var best: Any = null
+              group.foreach { m =>
+                m.get(a.field) match {
+                  case Some(cs) =>
+                    val v = if (k == "min") cs.min.orNull else cs.max.orNull
+                    if (v != null && (best == null || {
+                      val c = FilterEval.compareInternal(dt, v, best)
+                      if (k == "min") c < 0 else c > 0
+                    })) best = v
+                  case None => return None
+                }
+              }
+              row(i) = if (best == null) null else ZoneMaps.render(best, dt)
+              types(i) = dt.json
+          }
+        }
+        row
       }
       // the pushed-aggs registration happens in pushAggregation; the
-      // answer row just has to align with its order, which this shares
-      Some((values, types))
+      // answer rows just have to align with its layout, which this shares
+      Some((rows.toArray, types))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -751,7 +796,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val completeCount: Boolean = false,
     val arrayTrunc: Map[String, Int] = Map.empty,
     val zoneMaps: Boolean = false,
-    val statsAnswer: Option[(Array[String], Array[String])] = None,
+    val statsAnswer: Option[(Array[Array[String]], Array[String])] = None,
     preloadedZoneStats: Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -906,6 +951,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
             (if (zonePrunedBlocks > 0) s" files, $zonePrunedBlocks blocks"
             else "") +
             (if (bloomBlobsFetched > 0) s", $bloomBlobsFetched blooms probed"
+            else "") +
+            (if (topNPrunedFiles > 0 || topNPrunedBlocks > 0)
+              s", TopN-pruned $topNPrunedFiles files, $topNPrunedBlocks blocks"
             else "")
         case Some(_) => ", ZoneMaps: absent"
         case None => ""
@@ -1069,7 +1117,14 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // never pays the sidecar load.
     val filters = readerFilters.filterNot(f =>
       f.references.exists(r => partCols.exists(_.equalsIgnoreCase(r))))
-    if (filters.isEmpty || zoneStats.isEmpty)
+    // top-N pruning applies even to UNFILTERED scans (ORDER BY key
+    // LIMIT n over a clustered drop is the archive-probe shape); a
+    // partition-column first key is path-decided and handled elsewhere
+    val wantTopN = pushedTopN >= 0 && pushedSorts.nonEmpty &&
+      !partCols.exists(_.equalsIgnoreCase(pushedSorts.head.field))
+    topNPrunedFiles = 0
+    topNPrunedBlocks = 0
+    if ((filters.isEmpty && !wantTopN) || zoneStats.isEmpty)
       return files.map { case (f, v) => (f, v, keepAll) }
     // all-TRUE may only be claimed when the zone algebra saw the WHOLE
     // reader-side filter set (a mixed partition/data filter is excluded
@@ -1094,48 +1149,174 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       catch { case scala.util.control.NonFatal(_) => Map.empty }
     bloomBlobsFetched = blooms.valuesIterator.map(_.size).sum
     var blocksDropped = 0
-    val kept = phase1.flatMap { case (f, vals, st, rel) =>
-      st match {
-        case None => Some((f, vals, keepAll))
-        case Some(s) =>
-          val key = (rel, f.getLen, f.getModificationTime)
-          val cols = blooms.get(key) match {
-            case Some(bs) => s.cols.map { case (c, cs) =>
-              c -> bs.get(c).map(b => cs.copy(bloom = Some(b))).getOrElse(cs)
-            }
-            case None => s.cols
-          }
-          if (!filters.forall(ZoneMaps.maybeTrue(_, cols, fullSchema))) None
-          else {
-            val allTrue = sawAll &&
-              filters.forall(ZoneMaps.definitelyTrue(_, s.cols, fullSchema))
-            // block verdicts: min/max only (blooms are file-level); a
-            // block the algebra can't bound survives, like a file
-            val blocks = s.blocks.map { bs =>
-              val surviving = bs.flatMap { b =>
-                if (filters.forall(ZoneMaps.maybeTrue(_, b.cols, fullSchema)))
-                  Some((b.off, b.len, allTrue || (sawAll && filters.forall(
-                    ZoneMaps.definitelyTrue(_, b.cols, fullSchema)))))
-                else None
+    val kept: Seq[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)] =
+      phase1.flatMap { case (f, vals, st, rel) =>
+        st match {
+          case None => Some((f, vals, None, keepAll))
+          case Some(s) =>
+            val key = (rel, f.getLen, f.getModificationTime)
+            val cols = blooms.get(key) match {
+              case Some(bs) => s.cols.map { case (c, cs) =>
+                c -> bs.get(c).map(b => cs.copy(bloom = Some(b))).getOrElse(cs)
               }
-              blocksDropped += bs.size - surviving.size
-              surviving
+              case None => s.cols
             }
-            Some((f, vals, ZoneVerdict(allTrue, blocks)))
-          }
+            if (!filters.forall(ZoneMaps.maybeTrue(_, cols, fullSchema))) None
+            else {
+              val allTrue = sawAll && filters.nonEmpty &&
+                filters.forall(ZoneMaps.definitelyTrue(_, s.cols, fullSchema))
+              // block verdicts: min/max only (blooms are file-level); a
+              // block the algebra can't bound survives, like a file
+              val blocks = s.blocks.map { bs =>
+                val surviving = bs.flatMap { b =>
+                  if (filters.forall(ZoneMaps.maybeTrue(_, b.cols, fullSchema)))
+                    Some((b.off, b.len, allTrue || (sawAll && filters.nonEmpty &&
+                      filters.forall(
+                        ZoneMaps.definitelyTrue(_, b.cols, fullSchema)))))
+                  else None
+                }
+                blocksDropped += bs.size - surviving.size
+                surviving
+              }
+              Some((f, vals, st, ZoneVerdict(allTrue, blocks)))
+            }
+        }
+      }
+    val narrowed = if (wantTopN) topNPrune(kept) else kept
+    zonePrunedFiles = files.size - narrowed.size
+    zonePrunedBlocks = blocksDropped
+    narrowed.map { case (f, v, _, verdict) => (f, v, verdict) }
+  }
+
+  @volatile private var topNPrunedFiles = 0
+  @volatile private var topNPrunedBlocks = 0
+
+  /** TOP-N zone pruning — the Snowflake-style capability parquet lacks:
+    * `ORDER BY key [DESC] LIMIT n` drops files (and blocks) that
+    * provably cannot reach the global top-N. Construction: accumulate,
+    * best-first by each file's WORST surviving value on the first sort
+    * key (min for DESC, max for ASC), enough files to GUARANTEE `n`
+    * surviving rows at-or-better-than a threshold T; any file/block
+    * whose BEST value is strictly worse than T can then never displace
+    * them — strictness makes later tiebreak keys irrelevant. Soundness
+    * details:
+    *  - guarantees come only from files whose rows ALL survive the
+    *    pushed filters (no filters, or zone-proved all-true) — a
+    *    partially filtered file's row count can't back the threshold;
+    *    PRUNING needs no such proof (dropping rows below n guaranteed
+    *    rows is safe whatever the filters would have done to them);
+    *  - accumulated guarantee files have bound ≥ T, so their own best
+    *    (max ≥ min ≥ T for DESC) is never strictly worse — the rows
+    *    backing the threshold can never be pruned, file- or block-level;
+    *  - NULLS FIRST makes null rows outrank everything: they join the
+    *    guarantee count, and any file/block holding one is unprunable;
+    *    NULLS LAST ranks them below everything — prunable alongside;
+    *  - stats-less/stale files neither guarantee nor prune (kept).
+    */
+  private def topNPrune(
+      kept: Seq[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)]): Seq[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)] = {
+    val s0 = pushedSorts.head
+    val dt = FilterEval.resolve(s0.field, fullSchema)
+      .map(_.leaf.dataType).getOrElse(return kept)
+    if (!ZoneMaps.indexable(dt)) return kept
+    val desc = s0.descending
+    def cmp(a: Any, b: Any): Int = FilterEval.compareInternal(dt, a, b)
+    val noFilters = readerFilters.isEmpty
+    // guarantee pass: bounds and counts of fully-surviving zones — at
+    // BLOCK granularity when block stats exist (a single sorted file's
+    // file-level bound is its global worst and guarantees nothing; its
+    // tail block's bound is sharp), else the file as one zone
+    var nullsTotal = 0L
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+    def addZone(cs: ZoneMaps.ColStats): Unit = {
+      if (s0.nullsFirst) nullsTotal += cs.nulls
+      val bound = if (desc) cs.min.orNull else cs.max.orNull
+      if (bound != null) bounds += ((bound, cs.rows - cs.nulls))
+    }
+    kept.foreach { case (_, _, st, verdict) =>
+      st.foreach { s =>
+        (s.blocks, verdict.blocks) match {
+          case (Some(orig), Some(surv)) =>
+            // a block counts when EVERY one of its rows survives the
+            // filters: no filters, the whole file proved all-true, or
+            // the block itself proved all-true
+            val allTrueOff = surv.collect {
+              case (off, _, cov) if cov => off
+            }.toSet
+            orig.foreach { b =>
+              if (noFilters || verdict.allTrue || allTrueOff(b.off))
+                b.cols.get(s0.field).foreach(addZone)
+            }
+          case _ =>
+            if (noFilters || verdict.allTrue)
+              s.cols.get(s0.field).foreach(addZone)
+        }
       }
     }
-    zonePrunedFiles = files.size - kept.size
-    zonePrunedBlocks = blocksDropped
-    kept
+    val remaining = pushedTopN.toLong -
+      (if (s0.nullsFirst) nullsTotal else 0L)
+    // threshold: Some(Some(t)) = prune strictly-worse-than-t;
+    // Some(None) = the top-N is all nulls (prune any all-non-null zone);
+    // None = can't guarantee n rows — no pruning
+    val thresh: Option[Option[Any]] =
+      if (remaining <= 0L) Some(None)
+      else {
+        val sorted = bounds.sortWith((a, b) =>
+          if (desc) cmp(a._1, b._1) > 0 else cmp(a._1, b._1) < 0)
+        var acc = 0L
+        var t: Any = null
+        val it = sorted.iterator
+        while (acc < remaining && it.hasNext) {
+          val (b, c) = it.next(); acc += c; t = b
+        }
+        if (acc >= remaining) Some(Some(t)) else None
+      }
+    val tOpt = thresh.getOrElse(return kept)
+    def prunable(cs: ZoneMaps.ColStats): Boolean =
+      if (s0.nullsFirst && cs.nulls > 0) false // its nulls outrank T
+      else {
+        val best = if (desc) cs.max.orNull else cs.min.orNull
+        if (best == null) true // only nulls (or no rows): below the n
+        else tOpt match {
+          case Some(t) => if (desc) cmp(best, t) < 0 else cmp(best, t) > 0
+          case None => true // null wall: any non-null zone is worse
+        }
+      }
+    kept.flatMap { case tup @ (f, vals, st, verdict) =>
+      st match {
+        case Some(s) =>
+          s.cols.get(s0.field) match {
+            case Some(cs) if prunable(cs) =>
+              topNPrunedFiles += 1
+              None
+            case Some(_) =>
+              val nv = (verdict.blocks, st.flatMap(_.blocks)) match {
+                case (Some(bs), Some(orig)) =>
+                  val byOff = orig.map(b => b.off -> b).toMap
+                  val filtered = bs.filter { case (off, _, _) =>
+                    byOff.get(off).flatMap(_.cols.get(s0.field)) match {
+                      case Some(bcs) => !prunable(bcs)
+                      case None => true
+                    }
+                  }
+                  topNPrunedBlocks += bs.size - filtered.size
+                  verdict.copy(blocks = Some(filtered))
+                case _ => verdict
+              }
+              Some((f, vals, st, nv))
+            case None => Some(tup)
+          }
+        case None => Some(tup)
+      }
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // metadata-only aggregate: the sidecar already answered; the one
     // "partition" carries the rendered answer row and reads NOTHING
     statsAnswer match {
-      case Some((values, types)) =>
-        return Array(StatsAnswerPartition(values, types))
+      case Some((rows, types)) =>
+        return Array(StatsAnswerPartition(rows, types))
       case None =>
     }
     val spark = SparkSession.active
@@ -1325,12 +1506,13 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
 private[v2] final case class ZoneVerdict(allTrue: Boolean,
     blocks: Option[Seq[(Long, Long, Boolean)]])
 
-/** The metadata-only aggregate answer as a one-row "partition": values
-  * in pushed-aggregate order in the zone-map canonical string rendering
-  * (null = SQL NULL), types as their JSON forms. Reading it costs zero
-  * data bytes.
+/** The metadata-only aggregate answer as a "partition": one row per
+  * group (one row total when ungrouped), each row's values in scan
+  * output order (group columns first, then aggregates) in the zone-map
+  * canonical string rendering (null = SQL NULL), column types as their
+  * JSON forms. Reading it costs zero data bytes.
   */
-final case class StatsAnswerPartition(values: Array[String],
+final case class StatsAnswerPartition(rows: Array[Array[String]],
     types: Array[String]) extends InputPartition
 
 /** Ships to executors: Hadoop conf via the public [[SerializableWritable]],
@@ -1550,13 +1732,12 @@ private[graft] object ScanMetrics {
   */
 final class StatsAnswerReader(p: StatsAnswerPartition)
     extends PartitionReader[InternalRow] {
-  private var emitted = false
-  override def next(): Boolean = !emitted && { emitted = true; true }
+  private val types = p.types.map(org.apache.spark.sql.types.DataType.fromJson)
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < p.rows.length }
   override def get(): InternalRow =
-    new GenericInternalRow(p.values.zip(p.types).map { case (v, tj) =>
-      if (v == null) null
-      else ZoneMaps.decode(v,
-        org.apache.spark.sql.types.DataType.fromJson(tj))
+    new GenericInternalRow(p.rows(i).zip(types).map { case (v, t) =>
+      if (v == null) null else ZoneMaps.decode(v, t)
     }.toArray[Any])
   override def close(): Unit = ()
 }

@@ -658,7 +658,62 @@ object DocOps {
         (col("__t") * 100).cast("long").as("sum_cents"),
         col("sum_key"), col("n_f"))
 
+  /** GROUPED metadata-only aggregates — GROUP BY the clustering key over
+    * the status-clustered drop: every group column is constant per file
+    * (min == max in the sidecar), so the per-file stats fold by key
+    * tuple into one answer row per group — the JDBC-style complete
+    * GROUP BY pushdown, answered from metadata (parquet's aggregate
+    * pushdown refuses grouped shapes outright). Zero data bytes at any
+    * corpus size; a key that is not provably constant in some file
+    * refuses to the grouped-partial parallel path (spec-pinned).
+    */
+  private def q155GroupedMetadataAgg(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClusteredDec,
+      ordersByStatusDecJsonl(s, d), Map("zoneMaps" -> "true"))
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(col("o_totalprice")).as("__t"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        col("min_price").cast("double").as("min_price_d"),
+        col("max_price").cast("double").as("max_price_d"),
+        (col("__t") * 100).cast("long").as("sum_cents"),
+        col("n_orders"))
+
+  /** TOP-N zone pruning over the price-banded drop: `ORDER BY
+    * o_totalprice DESC LIMIT 10` accumulates enough files, best-first by
+    * their sidecar MINIMA, to guarantee 10 rows at-or-above a threshold,
+    * then drops every file whose MAXIMUM is strictly below it — the top
+    * band alone plans (PlanSpec pin). The archive-probe shape at 100 TB:
+    * "latest/largest n" reads one band, not the corpus — the capability
+    * parquet's row-group stats don't give Spark (no top-N file skipping
+    * exists there), styled after Snowflake's top-k pruning.
+    */
+  private def q156TopNSkip(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersClusteredJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** TOP-N BLOCK pruning inside one sorted file: the same guarantee/
+    * threshold construction at block granularity — `ORDER BY price DESC
+    * LIMIT 5` over the single price-sorted file reads only its TAIL
+    * blocks (PlanSpec pins planned bytes ≪ file bytes), the shape where
+    * file-level stats are powerless.
+    */
+  private def q157TopNBlockSkip(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersSortedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_docsource_topn_block_skip" -> q157TopNBlockSkip,
+    "q156_docsource_topn_skip" -> q156TopNSkip,
+    "q155_docsource_grouped_metadata_agg" -> q155GroupedMetadataAgg,
     "q154_docsource_metadata_sum" -> q154MetadataSum,
     "q153_docsource_filtered_metadata_agg" -> q153FilteredMetadataAgg,
     "q152_docsource_block_skip" -> q152BlockSkip,
@@ -684,6 +739,18 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q157_docsource_topn_block_skip" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5"),
+    "q156_docsource_topn_skip" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+    "q155_docsource_grouped_metadata_agg" ->
+      ("SELECT o_orderstatus, " +
+        "CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price_d, " +
+        "CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price_d, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents, " +
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus"),
     "q154_docsource_metadata_sum" ->
       ("SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_cents, " +

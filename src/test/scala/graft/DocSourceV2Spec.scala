@@ -1215,6 +1215,132 @@ class DocSourceV2Spec extends AnyFunSuite {
       "an overflowing sidecar sum must refuse, not wrap")
   }
 
+  test("grouped metadata aggregates: constant-per-file keys fold; non-constant refuses") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import graft.ingest.v2.{StatsAnswerPartition, ZoneMaps}
+    def scanExecs(plan: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanExecs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanExecs(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scanExecs)
+      }
+    def scanOf(df: DataFrame) = scanExecs(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan).head.scan.asInstanceOf[ExtJsonScan]
+    val root = Files.createTempDirectory("graft_v2gmeta").toString
+    // write-key-clustered layout: each file holds ONE key value — two
+    // files share key "a" (the fold must merge them), one carries a
+    // NULL key (the SQL null group)
+    Files.write(Paths.get(root, "a1.jsonl"),
+      (1 to 5).map(i => s"""{"g": "a", "k": $i}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "a2.jsonl"),
+      (6 to 9).map(i => s"""{"g": "a", "k": $i}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (10 to 12).map(i => s"""{"g": "b", "k": $i}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "n.jsonl"),
+      (13 to 14).map(i => s"""{"g": null, "k": $i}""").mkString("\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("g", "k"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    val grouped = src.groupBy(col("g"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+        sum(col("k")).as("sk"), count(lit(1)).as("n"))
+    val got = grouped.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("a", 1L, 9L, 45L, 9L), ("b", 10L, 12L, 33L, 3L),
+      (null, 13L, 14L, 27L, 2L)))
+    val scan = scanOf(grouped)
+    assert(scan.statsAnswer.isDefined, scan.description())
+    assert(scan.statsAnswer.get._1.length == 3)
+    val qe = grouped.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution
+    assert(qe.sparkPlan.collect { case a: BaseAggregateExec => a }.isEmpty,
+      qe.sparkPlan.toString.take(600))
+    assert(scan.planInputPartitions().head.isInstanceOf[StatsAnswerPartition])
+    // a group key that is NOT constant per file refuses — the parallel
+    // grouped-partial path answers instead (and still correctly)
+    val byK = src.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(scanOf(byK).statsAnswer.isEmpty)
+    assert(byK.collect().length == 14)
+  }
+
+  test("top-N zone pruning: ORDER BY LIMIT reads only the reachable bands/blocks") {
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val root = Files.createTempDirectory("graft_v2topn").toString
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "b.jsonl"),
+      (11 to 20).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "c.jsonl"),
+      (21 to 30).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "n.jsonl"),
+      Seq.fill(3)("""{"k": null}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    def planned(df: DataFrame): Set[String] = {
+      val scan = v2Scan(df)
+      df.collect()
+      scan.planInputPartitions()
+        .map(_.asInstanceOf[ExtJsonInputPartition].file)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    }
+    // DESC (nulls last): the top band alone guarantees 5 rows >= 21;
+    // every other file's max is strictly below — including the all-null
+    // file, which sorts after everything
+    val top5 = src.orderBy(col("k").desc).limit(5)
+    assert(top5.collect().map(_.getLong(0)).toSet == (26L to 30L).toSet)
+    assert(planned(top5) == Set("c.jsonl"))
+    assert(v2Scan(top5).description().contains("TopN-pruned"),
+      v2Scan(top5).description())
+    // a larger limit reaches into the second band, never the third
+    val top15 = src.orderBy(col("k").desc).limit(15)
+    assert(top15.collect().map(_.getLong(0)).toSet == (16L to 30L).toSet)
+    assert(planned(top15) == Set("b.jsonl", "c.jsonl"))
+    // ASC with Spark's default NULLS FIRST: the null file's rows occupy
+    // top slots (unprunable), the remainder comes from the low band
+    val asc5 = src.orderBy(col("k").asc).limit(5)
+    assert(asc5.collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(-1L, -1L, -1L, 1L, 2L))
+    assert(planned(asc5) == Set("a.jsonl", "n.jsonl"))
+    // BLOCK granularity: one sorted file — only the tail blocks of the
+    // file are planned for a DESC probe
+    val broot = Files.createTempDirectory("graft_v2topnb").toString
+    val lines = (0 until 100).map(i => s"""{"k": ${1000 + i}}""")
+    Files.write(Paths.get(broot, "sorted.jsonl"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, broot, schema, Seq("k"), blockBytes = 120L)
+    val bsrc = ExtendedJson.read(spark, schema, broot,
+      Map("zoneMaps" -> "true"))
+    val btop = bsrc.orderBy(col("k").desc).limit(5)
+    assert(btop.collect().map(_.getLong(0)).toSet == (1095L to 1099L).toSet)
+    val bscan = v2Scan(btop)
+    btop.collect()
+    val bparts = bscan.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition])
+    assert(bparts.map(_.length).sum < 1200L,
+      s"expected tail-block top-N planning, got ${bparts.toSeq}")
+    // and ASC (nulls first, none present): only the HEAD block plans
+    val basc = bsrc.orderBy(col("k").asc).limit(5)
+    assert(basc.collect().map(_.getLong(0)).toSet == (1000L to 1004L).toSet)
+    val bascScan = v2Scan(basc)
+    basc.collect()
+    assert(bascScan.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition])
+      .forall(p => p.start == 0L),
+      "an ASC probe should plan only head blocks")
+  }
+
   test("nested directory trees read completely (recursive listing)") {
     val root = Files.createTempDirectory("graft_v2tree").toString
     Files.createDirectories(Paths.get(root, "drop", "date=2024-01-01"))

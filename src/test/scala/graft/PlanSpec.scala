@@ -707,6 +707,69 @@ class PlanSpec extends AnyFunSuite {
       parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
   }
 
+  test("q155 GROUP BY the clustering key answers from metadata, one row per group") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q155_docsource_grouped_metadata_agg")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // every group column is constant per file (write-key clustering), so
+    // the sidecar folds one row per status — no aggregate node, no
+    // shuffle, zero data bytes at any corpus size
+    assert(s.statsAnswer.isDefined, s.description())
+    assert(s.statsAnswer.get._1.length == 3, // F / O / P
+      s.statsAnswer.get._1.map(_.mkString("|")).mkString(", "))
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+    val parts = s.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
+  }
+
+  test("q156 top-N zone pruning plans only the reachable price band") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q156_docsource_topn_skip")
+    val p = qe.executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    assert(s.pushedTopN == 10, s.description())
+    // the guarantee/threshold construction: the top band's 10+ rows all
+    // beat every other band's max, so 7 of 8 files are never planned
+    val planned = s.planInputPartitions()
+    assert(planned.length == 1,
+      s"top-N zone pruning should plan one band, planned ${planned.length}")
+    assert(s.description().contains("TopN-pruned"), s.description())
+  }
+
+  test("q157 top-N block pruning reads only the tail of one sorted file") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q157_docsource_topn_block_skip")
+    val p = qe.executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    assert(s.pushedTopN == 5, s.description())
+    val planned = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition])
+    assert(planned.nonEmpty)
+    val fileLen = new java.io.File(
+      new java.net.URI(planned.head.file).getPath).length()
+    val plannedBytes = planned.map(_.length).sum
+    assert(plannedBytes < fileLen,
+      s"expected tail-block planning: $plannedBytes of $fileLen bytes")
+    // the probe is DESC — nothing from the head of the sorted file plans
+    assert(planned.forall(_.start > 0L), planned.mkString(", "))
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
