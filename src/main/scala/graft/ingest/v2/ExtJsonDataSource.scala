@@ -435,7 +435,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
     val shapeOk =
       limit < 0 && topLimit < 0 && partCols.isEmpty &&
-        aggregation.aggregateExpressions().nonEmpty
+        (aggregation.aggregateExpressions().nonEmpty ||
+          aggregation.groupByExpressions().nonEmpty) // group-only = DISTINCT
     // the metadata path accepts FILTERED and GROUPED shapes too (every
     // pushed conjunct zone-decidable per file, every group key constant
     // per file — see statsAggAnswer); the single-split complete count
@@ -779,8 +780,9 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       partCols, completeCount = completeOffered && aggs.nonEmpty,
       arrayTrunc = arrayTrunc,
       zoneMaps = Option(options.get("zoneMaps")).exists(_.toBoolean),
-      statsAnswer = if (completeOffered && aggs.nonEmpty) statsAnswer
-        else None,
+      statsAnswer = if (completeOffered && (aggs.nonEmpty || groups.nonEmpty))
+        statsAnswer
+      else None,
       preloadedZoneStats = sidecarLoaded)
 }
 

@@ -710,7 +710,20 @@ object DocOps {
       .limit(5)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** DISTINCT from metadata — the group-only complete pushdown: a
+    * pushed DISTINCT on the clustering key over the status-clustered
+    * drop answers as the set of per-file constant keys straight from the
+    * sidecar (every file's min == max IS its key) — zero data bytes, the
+    * `SHOW PARTITIONS`-style catalog probe a JSONL drop otherwise pays a
+    * full scan for.
+    */
+  private def q158MetadataDistinct(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClusteredDec,
+      ordersByStatusDecJsonl(s, d), Map("zoneMaps" -> "true"))
+      .select(col("o_orderstatus")).distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_docsource_metadata_distinct" -> q158MetadataDistinct,
     "q157_docsource_topn_block_skip" -> q157TopNBlockSkip,
     "q156_docsource_topn_skip" -> q156TopNSkip,
     "q155_docsource_grouped_metadata_agg" -> q155GroupedMetadataAgg,
@@ -739,6 +752,8 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q158_docsource_metadata_distinct" ->
+      "SELECT DISTINCT o_orderstatus FROM orders",
     "q157_docsource_topn_block_skip" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5"),

@@ -1271,6 +1271,13 @@ class DocSourceV2Spec extends AnyFunSuite {
     val byK = src.groupBy(col("k")).agg(count(lit(1)).as("n"))
     assert(scanOf(byK).statsAnswer.isEmpty)
     assert(byK.collect().length == 14)
+    // group-only complete pushdown (pushed DISTINCT): the key set reads
+    // straight from the sidecar — the SHOW PARTITIONS catalog probe
+    val dist = src.select(col("g")).distinct()
+    assert(dist.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSet ==
+      Set("a", "b", null))
+    assert(scanOf(dist).statsAnswer.isDefined, scanOf(dist).description())
   }
 
   test("top-N zone pruning: ORDER BY LIMIT reads only the reachable bands/blocks") {
@@ -1313,6 +1320,13 @@ class DocSourceV2Spec extends AnyFunSuite {
       if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
       Seq(-1L, -1L, -1L, 1L, 2L))
     assert(planned(asc5) == Set("a.jsonl", "n.jsonl"))
+    // FILTERS compose: guarantees come only from zone-proved all-true
+    // files (c under k > 3), so b prunes by threshold and a — though it
+    // survives the filter — prunes too; the all-null file falls to the
+    // filter itself
+    val filtered = src.filter(col("k") > 3L).orderBy(col("k").desc).limit(5)
+    assert(filtered.collect().map(_.getLong(0)).toSet == (26L to 30L).toSet)
+    assert(planned(filtered) == Set("c.jsonl"))
     // BLOCK granularity: one sorted file — only the tail blocks of the
     // file are planned for a DESC probe
     val broot = Files.createTempDirectory("graft_v2topnb").toString

@@ -770,6 +770,28 @@ class PlanSpec extends AnyFunSuite {
     assert(planned.forall(_.start > 0L), planned.mkString(", "))
   }
 
+  test("q158 pushed DISTINCT on the clustering key answers from metadata") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q158_docsource_metadata_distinct")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // every file's key is constant (min == max): the distinct key set IS
+    // the sidecar's — no aggregate node, no data bytes
+    assert(s.statsAnswer.isDefined, s.description())
+    assert(s.statsAnswer.get._1.length == 3,
+      s.statsAnswer.get._1.map(_.mkString("|")).mkString(", "))
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+    val parts = s.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
