@@ -956,6 +956,9 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
             else "") +
             (if (topNPrunedFiles > 0 || topNPrunedBlocks > 0)
               s", TopN-pruned $topNPrunedFiles files, $topNPrunedBlocks blocks"
+            else "") +
+            (if (limitPrunedFiles > 0 || limitPrunedBlocks > 0)
+              s", Limit-covered: dropped $limitPrunedFiles files, $limitPrunedBlocks blocks"
             else "")
         case Some(_) => ", ZoneMaps: absent"
         case None => ""
@@ -1124,9 +1127,15 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // partition-column first key is path-decided and handled elsewhere
     val wantTopN = pushedTopN >= 0 && pushedSorts.nonEmpty &&
       !partCols.exists(_.equalsIgnoreCase(pushedSorts.head.field))
+    // a plain LIMIT takes ANY n rows: once the sidecar GUARANTEES n
+    // surviving rows in a prefix of zones, the rest of a 100 TB listing
+    // need not be planned at all
+    val wantLimit = pushedLimit >= 0 && pushedTopN < 0 && !aggPushed
     topNPrunedFiles = 0
     topNPrunedBlocks = 0
-    if ((filters.isEmpty && !wantTopN) || zoneStats.isEmpty)
+    limitPrunedFiles = 0
+    limitPrunedBlocks = 0
+    if ((filters.isEmpty && !wantTopN && !wantLimit) || zoneStats.isEmpty)
       return files.map { case (f, v) => (f, v, keepAll) }
     // all-TRUE may only be claimed when the zone algebra saw the WHOLE
     // reader-side filter set (a mixed partition/data filter is excluded
@@ -1184,11 +1193,72 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
             }
         }
       }
-    val narrowed = if (wantTopN) topNPrune(kept) else kept
+    val narrowedTop = if (wantTopN) topNPrune(kept) else kept
+    val narrowed = if (wantLimit) limitPrune(narrowedTop) else narrowedTop
     zonePrunedFiles = files.size - narrowed.size
     zonePrunedBlocks = blocksDropped
     narrowed.map { case (f, v, _, verdict) => (f, v, verdict) }
   }
+
+  /** LIMIT coverage pruning: `LIMIT n` may return ANY n surviving rows,
+    * so once a PREFIX of zones (files, or blocks when block stats exist)
+    * whose rows are all guaranteed to survive the pushed filters — no
+    * filters, or zone-proved all-true — accumulates ≥ n rows, every
+    * remaining file is dropped and the covering file is truncated to its
+    * covering blocks. A `.limit(100)` probe of a 100 TB drop then plans
+    * one file (one block, when indexed) instead of the listing. No
+    * pruning happens unless coverage is actually reached — partial
+    * guarantees keep everything, and non-guaranteed zones in the prefix
+    * ride along untouched (they can only ADD surviving rows).
+    */
+  private def limitPrune(
+      kept: Seq[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)]): Seq[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)] = {
+    val noFilters = readerFilters.isEmpty
+    var acc = 0L
+    var covered = false
+    val out = Seq.newBuilder[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)]
+    var droppedFiles = 0
+    var droppedBlocks = 0
+    kept.foreach { case tup @ (f, vals, st, verdict) =>
+      if (!covered) {
+        st match {
+          case Some(s) if s.blocks.isDefined && verdict.blocks.isDefined =>
+            // block-granular coverage: keep only the prefix of surviving
+            // blocks needed to finish the guarantee
+            val orig = s.blocks.get.map(b => b.off -> b).toMap
+            val taken = Seq.newBuilder[(Long, Long, Boolean)]
+            verdict.blocks.get.foreach { case b @ (off, _, cov) =>
+              if (!covered) {
+                taken += b
+                if (noFilters || verdict.allTrue || cov)
+                  orig.get(off).flatMap(_.cols.values.headOption)
+                    .foreach { cs =>
+                      acc += cs.rows
+                      if (acc >= pushedLimit) covered = true
+                    }
+              } else droppedBlocks += 1
+            }
+            out += ((f, vals, st, verdict.copy(blocks = Some(taken.result()))))
+          case Some(s) =>
+            out += tup
+            if (noFilters || verdict.allTrue)
+              s.cols.values.headOption.foreach { cs =>
+                acc += cs.rows
+                if (acc >= pushedLimit) covered = true
+              }
+          case None => out += tup // unknown rows: ride along
+        }
+      } else droppedFiles += 1
+    }
+    if (covered) {
+      limitPrunedFiles = droppedFiles
+      limitPrunedBlocks = droppedBlocks
+      out.result()
+    } else kept
+  }
+
+  @volatile private var limitPrunedFiles = 0
+  @volatile private var limitPrunedBlocks = 0
 
   @volatile private var topNPrunedFiles = 0
   @volatile private var topNPrunedBlocks = 0
