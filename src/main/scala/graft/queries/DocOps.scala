@@ -722,7 +722,23 @@ object DocOps {
       ordersByStatusDecJsonl(s, d), Map("zoneMaps" -> "true"))
       .select(col("o_orderstatus")).distinct()
 
+  /** Metadata-only AVG — no engine change needed, the composition pays
+    * off: Spark rewrites AVG to SUM + COUNT before pushdown, the scan's
+    * metadata path answers the exact long SUM and COUNT from the sidecar
+    * (filtered: the status files are zone-decidable), and the single
+    * division happens above — one rounding, bit-identical to the
+    * oracle's `CAST(SUM AS DOUBLE) / CAST(COUNT AS DOUBLE)`. Zero data
+    * bytes read.
+    */
+  private def q159MetadataAvg(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClusteredDec,
+      ordersByStatusDecJsonl(s, d), Map("zoneMaps" -> "true"))
+      .filter(col("o_orderstatus") === "F")
+      .agg(avg(col("o_orderkey")).as("avg_key"),
+        count(lit(1)).as("n_f"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_docsource_metadata_avg" -> q159MetadataAvg,
     "q158_docsource_metadata_distinct" -> q158MetadataDistinct,
     "q157_docsource_topn_block_skip" -> q157TopNBlockSkip,
     "q156_docsource_topn_skip" -> q156TopNSkip,
@@ -752,6 +768,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q159_docsource_metadata_avg" ->
+      ("SELECT CAST(SUM(o_orderkey) AS DOUBLE) / CAST(COUNT(o_orderkey) AS DOUBLE) " +
+        "AS avg_key, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F'"),
     "q158_docsource_metadata_distinct" ->
       "SELECT DISTINCT o_orderstatus FROM orders",
     "q157_docsource_topn_block_skip" ->

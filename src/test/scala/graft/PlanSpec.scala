@@ -792,6 +792,27 @@ class PlanSpec extends AnyFunSuite {
       parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
   }
 
+  test("q159 filtered AVG rides the metadata path as pushed SUM + COUNT") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q159_docsource_metadata_avg")
+    val p = qe.sparkPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1, p.toString.take(500))
+    val s = scans.head
+    // AVG rewrote to SUM + COUNT, both answered from the sidecar; the
+    // one division happens above the metadata row
+    assert(s.pushedAggs.map(_.kind).toSet == Set("sum", "count", "count*"),
+      s.pushedAggs.map(_.render).mkString(", "))
+    assert(s.statsAnswer.isDefined, s.description())
+    assert(s.description().contains("(complete, metadata-only)"),
+      s.description())
+    assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+      p.toString.take(600))
+  }
+
   test("q125 ORDER BY + LIMIT pushes as partial top-N on the document scan") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val p = plan("q125_docsource_topn").executedPlan
