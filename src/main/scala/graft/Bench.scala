@@ -163,18 +163,22 @@ object Bench {
     for (((name, fn), idx) <- selected.zipWithIndex) {
       try {
         runOnce(fn(spark, sfDir)) // warm-up, discarded (JIT + parquet footer cache)
-        val runs = (1 to measuredRuns).map { _ =>
-          // Queries that persist() intermediate state (inverted shingle
-          // indexes, MinHash signatures, IVF corpora) would otherwise reuse
-          // the cache blocks left behind by the warm-up / previous pass —
-          // CacheManager matches canonicalized plans across invocations.
-          // Clearing here makes every measured pass pay for its own index
-          // construction, so the reported time is the true end-to-end cost.
+        // ONE measurement discipline for primary and re-run passes — a
+        // forked copy would let a future change make the rerun samples
+        // silently measure something different. Queries that persist()
+        // intermediate state (inverted shingle indexes, MinHash
+        // signatures, IVF corpora) would otherwise reuse the cache
+        // blocks left behind by the warm-up / previous pass —
+        // CacheManager matches canonicalized plans across invocations.
+        // Clearing here makes every measured pass pay for its own index
+        // construction, so the reported time is the true end-to-end cost.
+        def measure(n: Int): Seq[Double] = (1 to n).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           runOnce(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
+        val runs = measure(measuredRuns)
         // self-diagnosing contention: passes disagreeing >3× get one
         // same-length re-run appended to the record — min stays the
         // estimator, but the spread (and the rerun flag) tells a reader
@@ -183,12 +187,7 @@ object Bench {
           if (runs.nonEmpty &&
             runs.max / math.max(runs.min, 1e-9) > rerunDisagreement) {
             reruns(name) = measuredRuns
-            (1 to measuredRuns).map { _ =>
-              spark.catalog.clearCache()
-              val t0 = System.nanoTime()
-              runOnce(fn(spark, sfDir))
-              (System.nanoTime() - t0) / 1e9
-            }
+            measure(measuredRuns)
           } else Seq.empty[Double]
         val all = runs ++ extra
         timings(name) = all.min

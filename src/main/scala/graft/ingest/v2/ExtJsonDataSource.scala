@@ -457,11 +457,15 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     */
   private var statsAnswer: Option[(Array[Array[String]], Array[String])] = None
 
-  /** ONE phase-1 sidecar load shared between the metadata-aggregate
-    * probe here and the scan's file pruning ([[ExtJsonScan]] receives
-    * it pre-loaded through [[build]]) — the sidecar is O(files) rows and
-    * loading it twice per planning round is remote-read latency paid for
-    * nothing.
+  /** The metadata-aggregate probe's FILE-level sidecar load (block rows
+    * are parquet-filtered out — the probe folds file stats only, and at
+    * block-indexed 100 TB the block rows dwarf the file rows). Shared
+    * with the scan ONLY when the probe actually answered: the scan then
+    * plans the answer partition and never consults zone stats again, so
+    * the file-only map is complete for its use. When the probe refuses
+    * (or fails transiently), nothing is cached or preloaded — the scan
+    * makes its own fresh WITH-blocks load, keeping block-level pruning
+    * and retrying past transient read errors.
     */
   @volatile private var sidecarLoaded:
       Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None
@@ -469,9 +473,7 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   private def sidecarStats(
       spark: SparkSession): Map[(String, Long, Long), ZoneMaps.FileStats] =
     sidecarLoaded.getOrElse {
-      val m: Map[(String, Long, Long), ZoneMaps.FileStats] =
-        try ZoneMaps.loadStats(spark, path, fullSchema)
-        catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val m = ZoneMaps.loadStats(spark, path, fullSchema, withBlocks = false)
       sidecarLoaded = Some(m)
       m
     }
@@ -568,9 +570,24 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       // ungrouped: ONE answer row even over zero files (a global
       // aggregate of an empty set is a row of 0/NULL, not no rows)
       if (groupCols.isEmpty && byKey.isEmpty) byKey(Seq.empty) = Vector.empty
+      // the TYPES depend only on the pushed shape — filled up front so a
+      // grouped query whose every file was zone-pruned answers an EMPTY
+      // row set with a complete type array (a per-row fill would ship
+      // null type slots and crash the reader on a correct zero-group
+      // result)
       val types = new Array[String](groupCols.length + wanted.length)
       groupCols.zipWithIndex.foreach { case (g, i) =>
         types(i) = leafType(g).json
+      }
+      wanted.zipWithIndex.foreach { case (a, j) =>
+        types(groupCols.length + j) = a.kind match {
+          case "count*" | "count" => org.apache.spark.sql.types.LongType.json
+          case "sum" =>
+            val dt = leafType(a.field)
+            if (!ZoneMaps.exactSummable(dt)) return None
+            SumTypes.resultType(dt).json
+          case _ => leafType(a.field).json
+        }
       }
       val rows = byKey.toSeq.map { case (key, group) =>
         val row = new Array[String](types.length)
@@ -588,14 +605,12 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
                 }
               }
               row(i) = n.sum.toString
-              types(i) = org.apache.spark.sql.types.LongType.json
             case "count" =>
               val nonNull = group.map(m => m.get(a.field) match {
                 case Some(cs) => cs.rows - cs.nulls
                 case None => return None
               })
               row(i) = nonNull.sum.toString
-              types(i) = org.apache.spark.sql.types.LongType.json
             case "sum" =>
               // exact (integer/decimal) sums fold from the per-file
               // sidecar sums; a value that would overflow the SQL result
@@ -603,7 +618,6 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
               // Spark's own overflow semantics instead of a
               // silently-different answer
               val dt = leafType(a.field)
-              if (!ZoneMaps.exactSummable(dt)) return None
               val resT = SumTypes.resultType(dt)
               var total = java.math.BigDecimal.ZERO
               var nonNull = 0L
@@ -628,7 +642,6 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
                     dec.toJavaBigDecimal.toPlainString
                   case _ => return None
                 }
-              types(i) = resT.json
             case k =>
               val dt = leafType(a.field)
               var best: Any = null
@@ -644,7 +657,6 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
                 }
               }
               row(i) = if (best == null) null else ZoneMaps.render(best, dt)
-              types(i) = dt.json
           }
         }
         row
@@ -783,7 +795,12 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       statsAnswer = if (completeOffered && (aggs.nonEmpty || groups.nonEmpty))
         statsAnswer
       else None,
-      preloadedZoneStats = sidecarLoaded)
+      // the probe's FILE-only load may stand in for the scan's stats
+      // only when its answer is actually planned (the scan then never
+      // prunes); a refused probe must not suppress the scan's own
+      // with-blocks load
+      preloadedZoneStats =
+        if (statsAnswer.isDefined && completeOffered) sidecarLoaded else None)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -1166,13 +1183,19 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           case None => Some((f, vals, None, keepAll))
           case Some(s) =>
             val key = (rel, f.getLen, f.getModificationTime)
-            val cols = blooms.get(key) match {
+            // only a bloom-augmented stats map can change the phase-1
+            // verdict — re-evaluating the filters against unchanged
+            // stats would double the planning-time zone work of every
+            // bloomless file on a large listing
+            val fetched = blooms.get(key)
+            val cols = fetched match {
               case Some(bs) => s.cols.map { case (c, cs) =>
                 c -> bs.get(c).map(b => cs.copy(bloom = Some(b))).getOrElse(cs)
               }
               case None => s.cols
             }
-            if (!filters.forall(ZoneMaps.maybeTrue(_, cols, fullSchema))) None
+            if (fetched.isDefined &&
+              !filters.forall(ZoneMaps.maybeTrue(_, cols, fullSchema))) None
             else {
               val allTrue = sawAll && filters.nonEmpty &&
                 filters.forall(ZoneMaps.definitelyTrue(_, s.cols, fullSchema))

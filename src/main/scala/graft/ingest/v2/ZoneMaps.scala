@@ -443,7 +443,12 @@ object ZoneMaps {
     * or None when absent/empty. The generation directories are passed
     * EXPLICITLY (never the underscore-hidden sidecar root, which Spark's
     * path filter would warn about on every read) — their names are
-    * visible by construction.
+    * visible by construction. Pre-generational sidecars (v1 flat part
+    * files at the root, before the append lifecycle existed) are
+    * deliberately NOT read: their row schema predates the block/sum
+    * columns, and ignoring them is the conservative direction (pruning
+    * turns off, rows never wrong) until the next [[build]] rewrites the
+    * layout.
     */
   private def readSidecar(spark: SparkSession,
       dropDir: String): Option[DataFrame] = {
@@ -467,12 +472,19 @@ object ZoneMaps {
     * do not tile `[0, len)` exactly are dropped (never trusted halfway).
     */
   def loadStats(spark: SparkSession, dropDir: String,
-      schema: StructType): Map[(String, Long, Long), FileStats] = {
+      schema: StructType, withBlocks: Boolean = true): Map[(String, Long, Long), FileStats] = {
     val df = readSidecar(spark, dropDir) match {
       case None => return Map.empty
       case Some(d) => d
     }
-    val collected = df.select("file", "len", "mtime", "rows", "boff",
+    // a caller that folds FILE-level stats only (the metadata-aggregate
+    // probe) skips the O(blocks·cols) rows entirely — the boff predicate
+    // pushes into the parquet read, so block row groups are never even
+    // decoded
+    val scoped =
+      if (withBlocks) df
+      else df.where(org.apache.spark.sql.functions.col("boff") < 0L)
+    val collected = scoped.select("file", "len", "mtime", "rows", "boff",
       "blen", "col", "typ", "min", "max", "nulls", "sum").collect().toSeq
     val parsed = collected.flatMap { r =>
       val col = r.getString(6)

@@ -55,6 +55,12 @@ object CorpusSink {
       numShards: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
       blockBytes: Long = 0L, appendTag: Option[String] = None): Long = {
     require(numShards > 0, "numShards > 0")
+    // validate the tag BEFORE anything lands: a bad tag failing in the
+    // sidecar step would leave a written-but-unindexed batch behind (a
+    // slash would even nest it under an unexpected path)
+    appendTag.foreach(tag => require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"appendTag '$tag' must be a plain directory-safe token"))
     val spark = df.sparkSession
     // an appended batch lands in its own DETERMINISTIC subdirectory
     // (`batch_<tag>`, overwrite) — the replay-idempotence contract shared

@@ -88,6 +88,15 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(src.filter(col("doc_id") > 300L).count() == 100L,
       "a re-offered landing batch must converge, not duplicate")
     assert(ZoneMaps.loadStats(spark, dir, schema).size == 5)
+    // a malformed tag must fail BEFORE anything lands — a post-write
+    // failure would leave a readable-but-unindexed batch behind
+    val bad = intercept[IllegalArgumentException](
+      CorpusSink.landJsonlIndexed(second, "doc_id", dir, numShards = 1,
+        zoneCols = Seq("doc_id"), appendTag = Some("x/y")))
+    assert(bad.getMessage.contains("directory-safe"))
+    assert(!new java.io.File(s"$dir/batch_x").exists() &&
+      !new java.io.File(s"$dir/batch_x/y").exists())
+    assert(src.count() == 400L, "the failed landing must write nothing")
   }
 
   test("manifest round-trips, is order-free, and catches tampering") {

@@ -1278,6 +1278,14 @@ class DocSourceV2Spec extends AnyFunSuite {
       if (r.isNullAt(0)) null else r.getString(0)).toSet ==
       Set("a", "b", null))
     assert(scanOf(dist).statsAnswer.isDefined, scanOf(dist).description())
+    // a grouped query whose EVERY file is zone-pruned answers an EMPTY
+    // row set through the metadata path (the type array must be complete
+    // even with zero groups — a correct no-group result, not a crash)
+    val none = src.filter(col("g") === "zzz").groupBy(col("g"))
+      .agg(min(col("k")).as("mn"), sum(col("k")).as("sk"),
+        count(lit(1)).as("n"))
+    assert(none.collect().isEmpty)
+    assert(scanOf(none).statsAnswer.isDefined, scanOf(none).description())
   }
 
   test("top-N zone pruning: ORDER BY LIMIT reads only the reachable bands/blocks") {
