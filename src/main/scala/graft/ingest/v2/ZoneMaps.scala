@@ -210,6 +210,14 @@ object ZoneMaps {
     }
   }
 
+  /** Sidecar writer parallelism: one part file per ~4096 indexed data
+    * files — a small drop stays a single tidy file while a 100 TB
+    * listing's stats don't funnel through one write task (readers union
+    * every part of every generation either way).
+    */
+  private def sidecarParts(nFiles: Int): Int =
+    math.max(1, nFiles / 4096)
+
   /** Every visible nonempty file under `root` as
     * (absolute, root-relative, length, mtime).
     */
@@ -395,7 +403,7 @@ object ZoneMaps {
     // add_ rows linger beside the fresh base
     fs.delete(new Path(s"$dropDir/$SidecarDir"), true)
     spark.createDataFrame(rows, statSchema)
-      .coalesce(1).write.mode("overwrite")
+      .coalesce(sidecarParts(files.size)).write.mode("overwrite")
       .parquet(s"$dropDir/$SidecarDir/base")
     files.size.toLong
   }
@@ -434,7 +442,7 @@ object ZoneMaps {
     val rows = statRows(spark, fresh, schema, cols, bloomCols, bloomFpp,
       blockBytes)
     spark.createDataFrame(rows, statSchema)
-      .coalesce(1).write.mode("overwrite")
+      .coalesce(sidecarParts(fresh.size)).write.mode("overwrite")
       .parquet(s"$dropDir/$SidecarDir/add_$batchTag")
     fresh.size.toLong
   }
