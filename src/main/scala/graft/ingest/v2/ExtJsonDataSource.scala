@@ -795,12 +795,12 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       statsAnswer = if (completeOffered && (aggs.nonEmpty || groups.nonEmpty))
         statsAnswer
       else None,
-      // the probe's FILE-only load may stand in for the scan's stats
-      // only when its answer is actually planned (the scan then never
-      // prunes); a refused probe must not suppress the scan's own
-      // with-blocks load
-      preloadedZoneStats =
-        if (statsAnswer.isDefined && completeOffered) sidecarLoaded else None)
+      // the probe's FILE-only load stands in for the scan's phase-1
+      // stats whenever the probe actually loaded them — the scan's own
+      // phase-1 load is file-level-only too (block rows arrive lazily,
+      // scoped to survivors), so sharing is sound whether or not the
+      // metadata answer was planned, and saves a duplicate sidecar read
+      preloadedZoneStats = sidecarLoaded)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -971,6 +971,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
             else "") +
             (if (bloomBlobsFetched > 0) s", $bloomBlobsFetched blooms probed"
             else "") +
+            (if (blockRowsFetched > 0) s", $blockRowsFetched block rows fetched"
+            else "") +
             (if (topNPrunedFiles > 0 || topNPrunedBlocks > 0)
               s", TopN-pruned $topNPrunedFiles files, $topNPrunedBlocks blocks"
             else "") +
@@ -1069,13 +1071,17 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   private val prunedFiles = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var listed = false
 
-  /** The loaded zone-map sidecar (PHASE 1: min/max/null rows, file- and
-    * block-level, never bloom blobs), keyed by (root-relative path,
-    * length, mtime) — empty when the option is off, the path is not a
-    * plain directory, or no sidecar exists (always fail-soft: absent
-    * stats cost speed, never rows). Loaded once per scan like the
+  /** The loaded zone-map sidecar (PHASE 1: FILE-level min/max/null rows
+    * only — block rows load lazily in phase 1.5, scoped to the min/max
+    * survivors, and bloom blobs in phase 2), keyed by (root-relative
+    * path, length, mtime) — empty when the option is off, the path is
+    * not a plain directory, or no sidecar exists (always fail-soft:
+    * absent stats cost speed, never rows). Loaded once per scan like the
     * listing — or not at all, when the builder's metadata-aggregate
-    * probe already paid for it.
+    * probe already paid for it. At a block-indexed 100 TB drop the block
+    * rows are the sidecar's bulk (columns × blocks-per-file × files);
+    * collecting them here would make EVERY zone-mapped query pay
+    * O(corpus-metadata) driver work before one file is pruned.
     */
   @volatile private var zoneStatsLoaded:
       Option[Map[(String, Long, Long), ZoneMaps.FileStats]] =
@@ -1090,7 +1096,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           val root = new Path(path)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.getFileStatus(root).isDirectory) Map.empty
-          else ZoneMaps.loadStats(spark, path, fullSchema)
+          else ZoneMaps.loadStats(spark, path, fullSchema,
+            withBlocks = false)
         } catch { case scala.util.control.NonFatal(_) => Map.empty }
       zoneStatsLoaded = Some(m)
       m
@@ -1112,6 +1119,13 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * query must leave this at 0.
     */
   @volatile private[graft] var bloomBlobsFetched = 0
+
+  /** Test/observability hook: block stats rows actually deserialized by
+    * the LAST planning round — the phase-1.5 load is lazy and scoped to
+    * min/max survivors whose file-level row says blocks exist, so a
+    * file-level-only plan (no block-indexed files) must leave this at 0.
+    */
+  @volatile private[graft] var blockRowsFetched = 0
 
   private val keepAll = ZoneVerdict(allTrue = false, blocks = None)
 
@@ -1162,10 +1176,26 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
       (f, vals, zoneStats.get((rel, f.getLen, f.getModificationTime)), rel)
     }
-    // phase 1: min/max/null (the loaded stats carry no blooms yet)
+    // phase 1: min/max/null (the loaded stats carry no blooms or blocks
+    // yet — both load lazily below, scoped to this phase's survivors)
     val phase1 = candidates.filter { case (_, _, st, _) =>
       st.forall(s => filters.forall(ZoneMaps.maybeTrue(_, s.cols, fullSchema)))
     }
+    // phase 1.5: block rows for the min/max SURVIVORS whose file-level
+    // row says block stats exist (None = pre-v3 sidecar: probe anyway).
+    // The lazy read is what keeps planning O(survivors · blocks), not
+    // O(corpus · blocks): a query whose file pass keeps three files pays
+    // three files' block rows however many the drop holds.
+    val blockProbed = phase1.collect {
+      case (_, _, Some(s), rel) if s.blockRows.forall(_ > 0L) => rel
+    }.toSet
+    val blockMap: Map[(String, Long, Long), Seq[ZoneMaps.BlockStats]] =
+      if (blockProbed.isEmpty) Map.empty
+      else try ZoneMaps.loadBlockStats(SparkSession.active, path,
+        fullSchema, blockProbed)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    blockRowsFetched =
+      blockMap.valuesIterator.map(_.iterator.map(_.cols.size).sum).sum
     // phase 2: bloom membership for the survivors' equality/IN probes
     val eqCols = filters.flatMap(ZoneMaps.eqProbedCols).toSet
       .filter(c => FilterEval.resolve(c, fullSchema).isDefined)
@@ -1176,13 +1206,23 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         eqCols, probed)
       catch { case scala.util.control.NonFatal(_) => Map.empty }
     bloomBlobsFetched = blooms.valuesIterator.map(_.size).sum
+    // order-aware verdicts: with a pushed ASC top-N whose first key the
+    // sidecar PROVES null-free and non-decreasing in file order, readers
+    // may stop parsing at the n-th kept row (any byte-range split of a
+    // sorted file is itself sorted)
+    val sortKeyAsc: Option[String] =
+      if (wantTopN && !pushedSorts.head.descending) Some(pushedSorts.head.field)
+      else None
     var blocksDropped = 0
     val kept: Seq[(FileStatus, Array[String], Option[ZoneMaps.FileStats], ZoneVerdict)] =
       phase1.flatMap { case (f, vals, st, rel) =>
         st match {
           case None => Some((f, vals, None, keepAll))
-          case Some(s) =>
+          case Some(s0) =>
             val key = (rel, f.getLen, f.getModificationTime)
+            val s = s0.copy(blocks = blockMap.get(key))
+            val sortedAsc = sortKeyAsc.exists(k =>
+              s.cols.get(k).exists(_.sorted))
             // only a bloom-augmented stats map can change the phase-1
             // verdict — re-evaluating the filters against unchanged
             // stats would double the planning-time zone work of every
@@ -1212,7 +1252,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
                 blocksDropped += bs.size - surviving.size
                 surviving
               }
-              Some((f, vals, st, ZoneVerdict(allTrue, blocks)))
+              Some((f, vals, Some(s), ZoneVerdict(allTrue, blocks, sortedAsc)))
             }
         }
       }
@@ -1444,8 +1484,12 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       // silent wrong results, the worst kind. One whole-file partition
       // instead; the reader decompresses through the codec.
       if (codecs.getCodec(f.getPath) != null)
+        // sortedAsc holds for a whole-file codec split too: the stats
+        // pass read the decoded lines in stream order, the same order
+        // this reader will
         Seq(ExtJsonInputPartition(f.getPath.toString, 0L, f.getLen,
-          wholeFile = true, partValues = vals, allTrue = verdict.allTrue))
+          wholeFile = true, partValues = vals, allTrue = verdict.allTrue,
+          sortedAsc = verdict.sortedAsc))
       else verdict.blocks match {
         case Some(blocks) =>
           // SPLIT-LEVEL skipping: plan only the surviving blocks —
@@ -1476,14 +1520,16 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
             (s until e by maxSplit).map { off =>
               ExtJsonInputPartition(f.getPath.toString, off,
                 math.min(maxSplit, e - off), partValues = vals,
-                allTrue = verdict.allTrue || covered)
+                allTrue = verdict.allTrue || covered,
+                sortedAsc = verdict.sortedAsc)
             }
           }
         case None =>
           (0L until f.getLen by maxSplit).map { off =>
             ExtJsonInputPartition(f.getPath.toString, off,
               math.min(maxSplit, f.getLen - off),
-              partValues = vals, allTrue = verdict.allTrue)
+              partValues = vals, allTrue = verdict.allTrue,
+              sortedAsc = verdict.sortedAsc)
           }
       }
     }.toArray
@@ -1585,10 +1631,16 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   *   every row of this split ([[ZoneMaps.definitelyTrue]]): its reader
   *   skips per-row filter evaluation — residual elimination, the dual
   *   of pruning.
+  * @param sortedAsc zone maps PROVED the file null-free and
+  *   non-decreasing on the pushed ASC top-N's first sort key (byte order
+  *   = row order, so every byte range of the file inherits the proof):
+  *   its reader stops parsing once `topN` kept rows are in hand and the
+  *   current key strictly exceeds the n-th kept key — `ORDER BY key
+  *   LIMIT n` over a sorted drop parses ~n rows per split, not the split.
   */
 final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
     wholeFile: Boolean = false, partValues: Array[String] = Array.empty,
-    allTrue: Boolean = false)
+    allTrue: Boolean = false, sortedAsc: Boolean = false)
     extends InputPartition
 
 /** A kept file's zone verdict, beyond mere survival:
@@ -1596,10 +1648,14 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
   * row, so its readers may skip per-row filter evaluation entirely;
   * `blocks` — the SURVIVING blocks as (offset, length, allTrue)
   * triples in offset order, when the file carries tiled block stats
-  * and some block was decidable (None ⇒ split by bytes as usual).
+  * and some block was decidable (None ⇒ split by bytes as usual);
+  * `sortedAsc` — the sidecar proves the file null-free and
+  * non-decreasing on the pushed ASC top-N's first sort key, so readers
+  * may stop parsing once the n-th kept row's key is strictly exceeded.
   */
 private[v2] final case class ZoneVerdict(allTrue: Boolean,
-    blocks: Option[Seq[(Long, Long, Boolean)]])
+    blocks: Option[Seq[(Long, Long, Boolean)]],
+    sortedAsc: Boolean = false)
 
 /** The metadata-only aggregate answer as a "partition": one row per
   * group (one row total when ungrouped), each row's values in scan
@@ -1740,15 +1796,35 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
     false
   }
 
-  /** Consume the whole split into the bounded heap of its `topN` best
-    * kept rows under the pushed order. Emission order is arbitrary —
-    * Spark's outer TakeOrdered re-sorts globally (partial pushdown).
+  /** Consume the split into the bounded heap of its `topN` best kept
+    * rows under the pushed order. Emission order is arbitrary — Spark's
+    * outer TakeOrdered re-sorts globally (partial pushdown).
+    *
+    * ORDER-AWARE EARLY EXIT (`split.sortedAsc`): the planner proved the
+    * file's rows null-free and non-decreasing on the first sort key, so
+    * once `topN` kept rows are in hand, the n-th kept key bounds the
+    * answer — any later row's key is ≥ the current one's, and a key
+    * STRICTLY above the bound loses to all n banked rows on the first
+    * key alone, whatever the tiebreaks say. Rows tying the bound keep
+    * flowing into the heap (tiebreaks may displace), so the exit is
+    * exact, not approximate: `ORDER BY key LIMIT n` over a sorted drop
+    * parses ~n rows (+ ties) per split instead of consuming it.
     */
   private def buildTopN(): Iterator[InternalRow] = {
     val ord = RowProject.sortOrdering(requiredSchema, sorts)
     // max-heap of the WORST row under ord: evict it when over capacity
     val heap = new java.util.PriorityQueue[InternalRow](
       math.max(1, topN), ord.reverse)
+    val keyGetter =
+      if (split.sortedAsc && sorts.nonEmpty)
+        FilterEval.compiledGetter(sorts.head.field, parseSchema)
+      else null
+    val keyType =
+      if (keyGetter == null) null
+      else FilterEval.resolve(sorts.head.field, parseSchema)
+        .map(_.leaf.dataType).orNull
+    var kept = 0L
+    var bound: Any = null
     while (pos <= end) {
       val n = lines.readLine(text)
       if (n == 0) return drain(heap)
@@ -1756,10 +1832,22 @@ final class ExtJsonPartitionReader(split: ExtJsonInputPartition,
       if (text.getLength > 0) {
         val row = toRow(parser.parse(text.getBytes, 0, text.getLength))
         parsedDocs += 1
+        val key =
+          if (keyGetter != null && keyType != null) keyGetter(row) else null
+        // the exit tests EVERY parsed row, kept or filtered — keys are
+        // monotone over the whole file, so a filtered row's key bounds
+        // the remainder just as well
+        if (bound != null && key != null &&
+          FilterEval.compareInternal(keyType, key, bound) > 0)
+          return drain(heap)
         if (keepRow(row)) {
           heap.offer(project(row))
           if (heap.size() > topN) heap.poll()
-          ()
+          kept += 1
+          // bind at (or first non-null key after) the n-th kept row; a
+          // later-than-n-th bind is a LARGER key, which only delays the
+          // exit — never wrongly triggers it
+          if (bound == null && kept >= topN && key != null) bound = key
         } else filteredDocs += 1
       }
     }

@@ -153,11 +153,18 @@ object ZoneMaps {
     * [[loadBlooms]] has fetched it (no false negatives, so "definitely
     * absent" may prune; fpp only costs skipped skips). Blooms are
     * FILE-level only — blocks carry min/max/null, bounding sidecar size.
+    * `sorted` is the builder's PROOF that the column is null-free and
+    * non-decreasing in FILE ORDER (byte order = row order for JSONL), so
+    * any byte-range split of the file is itself sorted — the foundation
+    * for order-aware reads (`ORDER BY key LIMIT n` stops parsing at the
+    * n-th kept row instead of heaping the split). False means "unproven",
+    * never "proven unsorted" — pre-v3 sidecars load as false.
     */
   final case class ColStats(min: Option[Any], max: Option[Any],
       nulls: Long, rows: Long,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
-      sum: Option[java.math.BigDecimal] = None)
+      sum: Option[java.math.BigDecimal] = None,
+      sorted: Boolean = false)
 
   /** Stats for one BLOCK — the byte range `[off, off+len)` of its file.
     * A block owns the lines that START in its range under the readers'
@@ -172,13 +179,20 @@ object ZoneMaps {
 
   /** One file's sidecar entry: file-level column stats plus, when the
     * file was indexed with `blockBytes > 0` and the block rows tile the
-    * file exactly, per-block stats in offset order.
+    * file exactly, per-block stats in offset order. `blockRows` is the
+    * file-level row's recorded count of block stats ROWS written for the
+    * file (0 = none, None = pre-v3 sidecar, unknown) — the hint that
+    * lets a planner skip the lazy block-row fetch entirely for drops
+    * indexed without block stats.
     */
   final case class FileStats(cols: Map[String, ColStats],
-      blocks: Option[Seq[BlockStats]])
+      blocks: Option[Seq[BlockStats]],
+      blockRows: Option[Long] = None)
 
   /** Sidecar row schema (v2: `boff`/`blen` locate block rows; the
-    * file-level row has `boff = -1`).
+    * file-level row has `boff = -1`; v3 adds `sorted` — file-order
+    * monotonicity proof — and `nblocks` — the file's block-row count —
+    * both nullable so v2 generations keep reading, as "unknown").
     */
   private val statSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -193,7 +207,9 @@ object ZoneMaps {
     StructField("max", StringType),
     StructField("nulls", LongType, nullable = false),
     StructField("sum", StringType),
-    StructField("bloom", BinaryType)))
+    StructField("bloom", BinaryType),
+    StructField("sorted", BooleanType),
+    StructField("nblocks", LongType)))
 
   private def requireIndexable(schema: StructType, cols: Seq[String],
       bloomCols: Seq[String]): Unit = {
@@ -233,28 +249,73 @@ object ZoneMaps {
     }
   }
 
-  /** The distributed stats pass: one task per file, each computing
-    * min/max/nullCount for the requested (possibly dotted/nested)
-    * columns over the minimal parse schema — file-level always, and
-    * per-`blockBytes` block additionally for uncompressed files.
-    * Compressed files decode through the codec (no block rows: their
-    * byte offsets aren't line-seekable); malformed lines count as
-    * all-null rows — exactly the reader's permissive semantics, so the
-    * stats describe what the scan would actually see.
+  /** Default byte size of one stats-build task. Files larger than this
+    * index with SPLIT parallelism — the reader's own granularity — so a
+    * single 100 GB clustered file (exactly the shape block stats exist
+    * for) no longer builds on one core in one task.
+    */
+  val DefaultStatSplitBytes: Long = 64L * 1024 * 1024
+
+  /** One split task's contribution to its file's stats: everything in
+    * the canonical STRING renderings (engine-portable, serializer-free),
+    * plus the split's finished block rows (block boundaries align to
+    * split boundaries by construction, so no block ever straddles two
+    * tasks and block rows need no merging). `first`/`last` are the
+    * split's first and last non-null values in read order and `mono` its
+    * internal monotonicity — the per-file `sorted` proof folds as
+    * "every split monotone ∧ every boundary last ≤ next first".
+    */
+  private final case class SplitPartial(start: Long, rows: Long,
+      nBlockRows: Long, mins: Array[String], maxs: Array[String],
+      nulls: Array[Long], sums: Array[String], firsts: Array[String],
+      lasts: Array[String], mono: Array[Boolean],
+      blooms: Array[Array[Byte]], blockRows: Seq[Row])
+
+  /** The distributed stats pass: one task per SPLIT (files chop at
+    * `statSplitBytes`, rounded up to a multiple of `blockBytes` so block
+    * boundaries align to task boundaries), each computing
+    * min/max/nullCount/sum/monotonicity for the requested (possibly
+    * dotted/nested) columns over the minimal parse schema — then one
+    * small merge per FILE. Line ownership is the readers' own
+    * split-ownership rule, so per-split stats attribute every line to
+    * exactly one task and the merged numbers equal a single-task pass
+    * bit-for-bit. Compressed files decode through the codec as one
+    * whole-file task (no mid-stream entry points, no block rows);
+    * malformed lines count as all-null rows — exactly the reader's
+    * permissive semantics, so the stats describe what the scan would
+    * actually see.
     */
   private def statRows(spark: SparkSession,
       files: Seq[(String, String, Long, Long)], schema: StructType,
       cols: Seq[String], bloomCols: Seq[String], bloomFpp: Double,
-      blockBytes: Long): org.apache.spark.rdd.RDD[Row] = {
+      blockBytes: Long,
+      statSplitBytes: Long = DefaultStatSplitBytes): org.apache.spark.rdd.RDD[Row] = {
+    require(statSplitBytes > 0, "statSplitBytes > 0")
     val conf = new SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val schemaJson = SchemaMerge.merge(Array.empty,
       cols.map(_.split("\\.", -1).toSeq), schema).json
     val colsB = cols.toArray
     val bloomB = cols.map(bloomCols.contains).toArray
-    spark.sparkContext
-      .parallelize(files, math.max(1, files.size))
-      .flatMap { case (abs, rel, len, mtime) =>
+    // split planning is driver-side and codec-aware: codec detection is
+    // filename-based, so driver and task agree by construction
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration)
+    val effSplit =
+      if (blockBytes > 0)
+        ((statSplitBytes + blockBytes - 1) / blockBytes) * blockBytes
+      else statSplitBytes
+    // (abs, rel, len, mtime, splitStart, splitLen)
+    val splits: Seq[(String, String, Long, Long, Long, Long)] =
+      files.flatMap { case (abs, rel, len, mtime) =>
+        if (codecs.getCodec(new Path(abs)) != null)
+          Seq((abs, rel, len, mtime, 0L, len))
+        else (0L until len by effSplit).map(off =>
+          (abs, rel, len, mtime, off, math.min(effSplit, len - off)))
+      }
+    val partials = spark.sparkContext
+      .parallelize(splits, math.max(1, splits.size))
+      .map { case (abs, rel, len, mtime, start, slen) =>
         val parseSchema = DataTypeJson.structFromJson(schemaJson)
         val parser = new ExtJsonParser(parseSchema)
         val getters = colsB.map(FilterEval.compiledGetter(_, parseSchema))
@@ -264,14 +325,18 @@ object ZoneMaps {
         val mins = new Array[Any](n)
         val maxs = new Array[Any](n)
         val nulls = new Array[Long](n)
+        val firsts = new Array[Any](n)
+        val lasts = new Array[Any](n)
+        val mono = Array.fill(n)(true)
         // exact order-free sums (integers/decimals only) ride the
         // file-level row, extending metadata-only aggregates to SUM
         val sums: Array[java.math.BigDecimal] =
           types.map(t => if (exactSummable(t)) java.math.BigDecimal.ZERO
             else null)
-        // expected-items heuristic from the byte size (>= ~64 B/doc):
-        // undersizing only raises the false-positive rate — bloom
-        // correctness (no false negatives) never depends on the estimate
+        // expected-items heuristic from the FILE byte size (>= ~64
+        // B/doc) — sized identically for every split of a file so the
+        // per-split filters are merge-compatible; undersizing only
+        // raises the false-positive rate, never breaks correctness
         val blooms: Array[org.apache.spark.util.sketch.BloomFilter] =
           colsB.indices.map(i =>
             if (bloomB(i)) org.apache.spark.util.sketch.BloomFilter
@@ -288,9 +353,16 @@ object ZoneMaps {
         val bMaxs = new Array[Any](n)
         val bNulls = new Array[Long](n)
         var bRows = 0L
-        var curBlk = 0L
-        val nBlocks =
-          if (doBlocks) (len + blockBytes - 1) / blockBytes else 0L
+        var blockRowCount = 0L
+        // this split owns blocks [start/B, end/B) — boundaries align by
+        // the effSplit rounding — except the final split, which owns
+        // through the file's last (possibly short) block
+        val firstBlk = if (doBlocks) start / blockBytes else 0L
+        val lastBlkExcl =
+          if (!doBlocks) 0L
+          else if (start + slen >= len) (len + blockBytes - 1) / blockBytes
+          else (start + slen) / blockBytes
+        var curBlk = firstBlk
         def flushBlock(i: Long): Unit = {
           val off = i * blockBytes
           val blen = math.min(blockBytes, len - off)
@@ -300,89 +372,163 @@ object ZoneMaps {
               types(c).json,
               if (bMins(c) == null) null else render(bMins(c), types(c)),
               if (bMaxs(c) == null) null else render(bMaxs(c), types(c)),
-              bNulls(c), null, null)
+              bNulls(c), null, null, null, null)
             bMins(c) = null; bMaxs(c) = null; bNulls(c) = 0L
             c += 1
+            blockRowCount += 1
           }
           bRows = 0L
         }
-        val split = ExtJsonInputPartition(abs, 0L, len,
+        val split = ExtJsonInputPartition(abs, start, slen,
           wholeFile = codec != null)
+        val end = SplitIO.endBound(split)
         val stream = SplitIO.open(split, conf.value)
         val lines = new LineReader(stream)
         val text = new Text()
-        var pos = 0L
+        var pos = start
         try {
-          var read = lines.readLine(text)
-          while (read > 0) {
-            val lineOff = pos
-            pos += read
-            if (text.getLength > 0) {
-              if (doBlocks) {
-                // split-ownership attribution: offset 0 → block 0;
-                // offset o > 0 → the block whose half-open byte range
-                // precedes it, i.e. (o-1)/B — a line starting exactly ON
-                // a boundary belongs to the block BEFORE it, exactly as
-                // a byte-range split reads one line past its end
-                val blk = if (lineOff == 0) 0L else (lineOff - 1) / blockBytes
-                while (curBlk < blk) { flushBlock(curBlk); curBlk += 1 }
-              }
-              rows += 1
-              bRows += 1
-              val row = parser.parse(text.getBytes, 0, text.getLength)
-              var i = 0
-              while (i < getters.length) {
-                val v = getters(i)(row)
-                if (v == null) { nulls(i) += 1; bNulls(i) += 1 }
-                else {
-                  if (mins(i) == null ||
-                    FilterEval.compareInternal(types(i), v, mins(i)) < 0)
-                    mins(i) = v
-                  if (maxs(i) == null ||
-                    FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
-                    maxs(i) = v
-                  if (sums(i) != null) sums(i) = sums(i).add(toBig(v, types(i)))
-                  if (doBlocks) {
-                    if (bMins(i) == null ||
-                      FilterEval.compareInternal(types(i), v, bMins(i)) < 0)
-                      bMins(i) = v
-                    if (bMaxs(i) == null ||
-                      FilterEval.compareInternal(types(i), v, bMaxs(i)) > 0)
-                      bMaxs(i) = v
-                  }
-                  if (blooms(i) != null)
-                    blooms(i).putString(bloomKey(v, types(i)))
+          // the readers' contract: a non-initial split discards its
+          // first (possibly partial) line — owned by the previous task
+          if (start != 0) pos += lines.readLine(text)
+          var done = false
+          while (!done && pos <= end) {
+            val read = lines.readLine(text)
+            if (read == 0) done = true
+            else {
+              val lineOff = pos
+              pos += read
+              if (text.getLength > 0) {
+                if (doBlocks) {
+                  // split-ownership attribution: offset 0 → block 0;
+                  // offset o > 0 → the block whose half-open byte range
+                  // precedes it, i.e. (o-1)/B — a line starting exactly
+                  // ON a boundary belongs to the block BEFORE it,
+                  // exactly as a byte-range split reads one line past
+                  // its end
+                  val blk =
+                    if (lineOff == 0) 0L else (lineOff - 1) / blockBytes
+                  while (curBlk < blk) { flushBlock(curBlk); curBlk += 1 }
                 }
-                i += 1
+                rows += 1
+                bRows += 1
+                val row = parser.parse(text.getBytes, 0, text.getLength)
+                var i = 0
+                while (i < getters.length) {
+                  val v = getters(i)(row)
+                  if (v == null) { nulls(i) += 1; bNulls(i) += 1 }
+                  else {
+                    if (mins(i) == null ||
+                      FilterEval.compareInternal(types(i), v, mins(i)) < 0)
+                      mins(i) = v
+                    if (maxs(i) == null ||
+                      FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
+                      maxs(i) = v
+                    if (firsts(i) == null) firsts(i) = v
+                    else if (mono(i) &&
+                      FilterEval.compareInternal(types(i), v, lasts(i)) < 0)
+                      mono(i) = false
+                    lasts(i) = v
+                    if (sums(i) != null)
+                      sums(i) = sums(i).add(toBig(v, types(i)))
+                    if (doBlocks) {
+                      if (bMins(i) == null ||
+                        FilterEval.compareInternal(types(i), v, bMins(i)) < 0)
+                        bMins(i) = v
+                      if (bMaxs(i) == null ||
+                        FilterEval.compareInternal(types(i), v, bMaxs(i)) > 0)
+                        bMaxs(i) = v
+                    }
+                    if (blooms(i) != null)
+                      blooms(i).putString(bloomKey(v, types(i)))
+                  }
+                  i += 1
+                }
               }
             }
-            read = lines.readLine(text)
           }
         } finally { lines.close(); stream.close() }
-        // flush the tail: every remaining block gets a row (empty blocks
+        // flush the tail: every owned block gets a row (empty blocks
         // included — a block with NO stats row would break the tiling
         // gate and disable block skipping for the whole file)
         if (doBlocks) {
-          while (curBlk < nBlocks) { flushBlock(curBlk); curBlk += 1 }
+          while (curBlk < lastBlkExcl) { flushBlock(curBlk); curBlk += 1 }
         }
-        colsB.indices.foreach { i =>
-          val bloomBytes =
-            if (blooms(i) == null) null
-            else {
-              val bos = new java.io.ByteArrayOutputStream()
-              blooms(i).writeTo(bos)
-              bos.toByteArray
-            }
-          out += Row(rel, len, mtime, rows, -1L, len, colsB(i),
-            types(i).json,
-            if (mins(i) == null) null else render(mins(i), types(i)),
-            if (maxs(i) == null) null else render(maxs(i), types(i)),
-            nulls(i),
-            if (sums(i) == null) null else sums(i).toPlainString,
-            bloomBytes)
+        def rendered(a: Array[Any]): Array[String] =
+          colsB.indices.map(i =>
+            if (a(i) == null) null else render(a(i), types(i))).toArray
+        val bloomBytes: Array[Array[Byte]] = blooms.map { b =>
+          if (b == null) null
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            b.writeTo(bos)
+            bos.toByteArray
+          }
         }
-        out.result()
+        ((rel, len, mtime), SplitPartial(start, rows, blockRowCount,
+          rendered(mins), rendered(maxs), nulls.clone(),
+          sums.map(s => if (s == null) null else s.toPlainString),
+          rendered(firsts), rendered(lasts), mono.clone(), bloomBytes,
+          out.result()))
       }
+    // per-FILE merge: a handful of small partials per file (stats rows
+    // and bloom bytes, never document data), folded in split order so
+    // the boundary monotonicity checks see adjacent splits
+    partials.groupByKey().flatMap { case ((rel, len, mtime), ps) =>
+      val parts = ps.toSeq.sortBy(_.start)
+      val parseSchema = DataTypeJson.structFromJson(schemaJson)
+      val types = colsB.map(
+        FilterEval.resolve(_, parseSchema).get.leaf.dataType)
+      val n = colsB.length
+      val rows = parts.map(_.rows).sum
+      val nBlockRows = parts.map(_.nBlockRows).sum
+      val out = Seq.newBuilder[Row]
+      parts.foreach(p => out ++= p.blockRows)
+      var i = 0
+      while (i < n) {
+        val dt = types(i)
+        def lt(a: String, b: String): Boolean =
+          FilterEval.compareInternal(dt, decode(a, dt), decode(b, dt)) < 0
+        val mins = parts.map(_.mins(i)).filter(_ != null)
+        val maxs = parts.map(_.maxs(i)).filter(_ != null)
+        val minS = if (mins.isEmpty) null else mins.reduce((a, b) =>
+          if (lt(b, a)) b else a)
+        val maxS = if (maxs.isEmpty) null else maxs.reduce((a, b) =>
+          if (lt(a, b)) b else a)
+        val nulls = parts.map(_.nulls(i)).sum
+        val sumS =
+          if (!exactSummable(dt)) null
+          else parts.map(_.sums(i)).filter(_ != null)
+            .foldLeft(java.math.BigDecimal.ZERO)((acc, s) =>
+              acc.add(new java.math.BigDecimal(s))).toPlainString
+        // sorted proof: null-free, every split internally monotone, and
+        // every adjacent nonempty pair joins non-decreasingly
+        val nonEmpty = parts.filter(_.firsts(i) != null)
+        val sorted = nulls == 0L && parts.forall(_.mono(i)) &&
+          nonEmpty.zip(nonEmpty.drop(1)).forall { case (a, b) =>
+            !lt(b.firsts(i), a.lasts(i))
+          }
+        val bloomParts = parts.map(_.blooms(i)).filter(_ != null)
+        val bloomMerged: Array[Byte] =
+          if (bloomParts.isEmpty) null
+          else if (bloomParts.size == 1) bloomParts.head
+          else {
+            val acc = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bloomParts.head))
+            bloomParts.tail.foreach(b =>
+              acc.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(b))))
+            val bos = new java.io.ByteArrayOutputStream()
+            acc.writeTo(bos)
+            bos.toByteArray
+          }
+        out += Row(rel, len, mtime, rows, -1L, len, colsB(i),
+          dt.json, minS, maxS, nulls, sumS, bloomMerged,
+          java.lang.Boolean.valueOf(sorted),
+          java.lang.Long.valueOf(nBlockRows))
+        i += 1
+      }
+      out.result()
+    }
   }
 
   /** Build (REBUILD) the sidecar for every visible file under `dropDir`,
@@ -392,13 +538,14 @@ object ZoneMaps {
     */
   def build(spark: SparkSession, dropDir: String, schema: StructType,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01, blockBytes: Long = 0L): Long = {
+      bloomFpp: Double = 0.01, blockBytes: Long = 0L,
+      statSplitBytes: Long = DefaultStatSplitBytes): Long = {
     requireIndexable(schema, cols, bloomCols)
     val root = new Path(dropDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listVisible(fs, root)
     val rows = statRows(spark, files, schema, cols, bloomCols, bloomFpp,
-      blockBytes)
+      blockBytes, statSplitBytes)
     // full rebuild: clear EVERY generation (base + appends) so no stale
     // add_ rows linger beside the fresh base
     fs.delete(new Path(s"$dropDir/$SidecarDir"), true)
@@ -423,7 +570,8 @@ object ZoneMaps {
     */
   def append(spark: SparkSession, dropDir: String, schema: StructType,
       cols: Seq[String], batchTag: String, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01, blockBytes: Long = 0L): Long = {
+      bloomFpp: Double = 0.01, blockBytes: Long = 0L,
+      statSplitBytes: Long = DefaultStatSplitBytes): Long = {
     requireIndexable(schema, cols, bloomCols)
     require(batchTag.nonEmpty && batchTag.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
@@ -440,7 +588,7 @@ object ZoneMaps {
       .filterNot { case (_, rel, len, mtime) => known((rel, len, mtime)) }
     if (fresh.isEmpty) return 0L
     val rows = statRows(spark, fresh, schema, cols, bloomCols, bloomFpp,
-      blockBytes)
+      blockBytes, statSplitBytes)
     spark.createDataFrame(rows, statSchema)
       .coalesce(sidecarParts(fresh.size)).write.mode("overwrite")
       .parquet(s"$dropDir/$SidecarDir/add_$batchTag")
@@ -463,12 +611,63 @@ object ZoneMaps {
     val p = new Path(s"$dropDir/$SidecarDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val gens = fs.listStatus(p).toSeq
+    val entries = fs.listStatus(p).toSeq
+    // flat v1 part files at the root are IGNORED data-wise (conservative:
+    // pruning off, rows never wrong) but loudly so — a drop indexed
+    // before the generational layout silently reads unskippable until a
+    // rebuild, and "silently" is the part operators can't act on
+    if (entries.exists(st => st.isFile && DocListing.visible(st)))
+      warnLegacyFlatSidecar(p.toString)
+    val gens = entries
       .filter(st => st.isDirectory && DocListing.visible(st))
       .filter(st => DocListing.walkFiles(fs, Seq(st)).nonEmpty)
       .map(_.getPath.toString).sorted
     if (gens.isEmpty) None
-    else Some(spark.read.parquet(gens: _*))
+    else {
+      // generations can span sidecar schema VERSIONS (a v2 base with v3
+      // appends): align each to the current schema, absent columns null
+      // ("unknown" — every consumer treats null as its conservative
+      // direction), then union. Filters still push into each leaf read.
+      import org.apache.spark.sql.functions.{col => c, lit}
+      val aligned = gens.map { g =>
+        val df = spark.read.parquet(g)
+        val have = df.columns.toSet
+        val widened = statSchema.fields.foldLeft(df)((d, f) =>
+          if (have(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType)))
+        widened.select(statSchema.fieldNames.map(c): _*)
+      }
+      Some(aligned.reduce(_.unionByName(_)))
+    }
+  }
+
+  /** Once-per-path warning for pre-generational sidecar layouts (flat
+    * part files at the sidecar root): their rows are deliberately not
+    * read — schema predates the block/sum columns — so skipping is OFF
+    * for the drop until [[build]] rewrites the layout. Detection is
+    * separate from logging so specs can assert it without emitting
+    * stderr lines.
+    */
+  private val legacyWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnLegacyFlatSidecar(sidecarPath: String): Unit =
+    if (legacyWarned.add(sidecarPath))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"pre-generational (v1 flat-layout) zone-map sidecar at " +
+          s"$sidecarPath is ignored — data skipping is OFF for this drop " +
+          "until ZoneMaps.build rewrites it into the generational layout")
+
+  /** Detection hook for the legacy layout (spec-assertable, no logging):
+    * true when visible part FILES sit at the sidecar root instead of
+    * inside generation directories.
+    */
+  private[graft] def hasLegacyFlatSidecar(spark: SparkSession,
+      dropDir: String): Boolean = {
+    val p = new Path(s"$dropDir/$SidecarDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).toSeq.exists(st =>
+      st.isFile && DocListing.visible(st))
   }
 
   /** PHASE-1 load: min/max/null/rows per (file, column) — file-level and
@@ -493,7 +692,8 @@ object ZoneMaps {
       if (withBlocks) df
       else df.where(org.apache.spark.sql.functions.col("boff") < 0L)
     val collected = scoped.select("file", "len", "mtime", "rows", "boff",
-      "blen", "col", "typ", "min", "max", "nulls", "sum").collect().toSeq
+      "blen", "col", "typ", "min", "max", "nulls", "sum", "sorted",
+      "nblocks").collect().toSeq
     val parsed = collected.flatMap { r =>
       val col = r.getString(6)
       // TYPE drift gate: stats rendered under a different declared
@@ -509,26 +709,90 @@ object ZoneMaps {
               Option(r.getString(9)).map(decode(_, dt)),
               r.getLong(10), r.getLong(3),
               sum = Option(r.getString(11))
-                .map(new java.math.BigDecimal(_))))
+                .map(new java.math.BigDecimal(_)),
+              // null (pre-v3 row) reads as false — "unproven", the
+              // conservative direction for an order-aware consumer
+              sorted = !r.isNullAt(12) && r.getBoolean(12)),
+            if (r.isNullAt(13)) None else Some(r.getLong(13)))
         }
     }
     parsed.groupBy(_._1).map { case (key @ (_, len, _), rows) =>
-      val fileCols = rows.filter(_._2 < 0L)
-        .map { case (_, _, _, c, s) => c -> s }.toMap
-      val blocks = rows.filter(_._2 >= 0L)
-        .groupBy(t => (t._2, t._3)).toSeq.sortBy(_._1._1)
-        .map { case ((off, blen), rs) =>
-          BlockStats(off, blen,
-            rs.map { case (_, _, _, c, s) => c -> s }.toMap)
+      val fileRows = rows.filter(_._2 < 0L)
+      val fileCols = fileRows.map { case (_, _, _, c, s, _) => c -> s }.toMap
+      // block-row-count hint: any file-level row carries it (all agree
+      // by construction); None = pre-v3, "unknown, must probe"
+      val nb = fileRows.flatMap(_._6).headOption
+      val blocks = tiledBlocks(rows.filter(_._2 >= 0L)
+        .map { case (_, off, blen, c, s, _) => (off, blen, c, s) }, len)
+      key -> FileStats(fileCols, blocks, nb)
+    }
+  }
+
+  /** Assemble block rows into offset-ordered [[BlockStats]], applying the
+    * tiling gate: trusted only when the blocks cover `[0, len)` exactly
+    * and contiguously — a gap could hide rows, and a pruned "gap" is a
+    * wrong prune.
+    */
+  private def tiledBlocks(rows: Seq[(Long, Long, String, ColStats)],
+      len: Long): Option[Seq[BlockStats]] = {
+    val blocks = rows.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1._1)
+      .map { case ((off, blen), rs) =>
+        BlockStats(off, blen, rs.map { case (_, _, c, s) => c -> s }.toMap)
+      }
+    val tiled = blocks.nonEmpty && blocks.head.off == 0L &&
+      blocks.zip(blocks.tail).forall { case (a, b) =>
+        a.off + a.len == b.off
+      } && blocks.last.off + blocks.last.len == len
+    if (tiled) Some(blocks) else None
+  }
+
+  /** The LAZY block-row load — phase 1.5, the block-stats twin of
+    * [[loadBlooms]]: per-block min/max/null rows restricted to `files`
+    * (root-relative paths), read only AFTER file-level min/max pruning
+    * and only for its survivors. At a block-indexed 100 TB drop the
+    * block rows dwarf the file rows by orders of magnitude; a query
+    * whose file-level pass keeps three files must pay for three files'
+    * blocks, not the corpus's. Small survivor sets push an `IN` filter
+    * into the parquet read (row groups of other files never decode);
+    * larger sets scope through a broadcast join — the unrestricted
+    * collect never happens at any survivor count. Returns only files
+    * whose block rows pass the tiling gate.
+    */
+  def loadBlockStats(spark: SparkSession, dropDir: String,
+      schema: StructType, files: Set[String]): Map[(String, Long, Long), Seq[BlockStats]] = {
+    if (files.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val df = readSidecar(spark, dropDir) match {
+      case None => return Map.empty
+      case Some(d) => d
+    }
+    val blockRows = df.where(c("boff") >= 0L)
+    val scoped =
+      if (files.size <= 1024)
+        blockRows.where(c("file").isin(files.toSeq: _*))
+      else {
+        val names = spark.createDataFrame(
+          spark.sparkContext.parallelize(files.toSeq.map(Row(_)), 1),
+          StructType(Seq(StructField("file", StringType, nullable = false))))
+        blockRows.join(broadcast(names), Seq("file"))
+      }
+    val collected = scoped.select("file", "len", "mtime", "rows", "boff",
+      "blen", "col", "typ", "min", "max", "nulls").collect().toSeq
+    val parsed = collected.flatMap { r =>
+      val col = r.getString(6)
+      if (!files(r.getString(0))) None
+      else FilterEval.resolve(col, schema)
+        .filter(_.leaf.dataType.json == r.getString(7)).map { fp =>
+          val dt = fp.leaf.dataType
+          ((r.getString(0), r.getLong(1), r.getLong(2)),
+            (r.getLong(4), r.getLong(5), col, ColStats(
+              Option(r.getString(8)).map(decode(_, dt)),
+              Option(r.getString(9)).map(decode(_, dt)),
+              r.getLong(10), r.getLong(3))))
         }
-      // tiling gate: trusted only when the blocks cover [0, len)
-      // exactly and contiguously — a gap could hide rows, and a pruned
-      // "gap" is a wrong prune
-      val tiled = blocks.nonEmpty && blocks.head.off == 0L &&
-        blocks.zip(blocks.tail).forall { case (a, b) =>
-          a.off + a.len == b.off
-        } && blocks.last.off + blocks.last.len == len
-      key -> FileStats(fileCols, if (tiled) Some(blocks) else None)
+    }
+    parsed.groupBy(_._1).flatMap { case (key @ (_, len, _), rows) =>
+      tiledBlocks(rows.map(_._2), len).map(key -> _)
     }
   }
 
@@ -551,9 +815,21 @@ object ZoneMaps {
     val filtered = df
       .where(c("boff") < 0L && c("bloom").isNotNull &&
         c("col").isin(cols.toSeq: _*))
+    // the survivor scoping must hold at ANY survivor count: small sets
+    // push an IN filter into the parquet read (row-group pruning on the
+    // file column); larger sets scope through a broadcast join — never
+    // an unrestricted blob collect, which at 100 TB (~1-3 MB of bloom
+    // per large file) would be multi-GB of driver heap for files the
+    // min/max phase already dismissed
     val scoped =
       if (files.size <= 1024) filtered.where(c("file").isin(files.toSeq: _*))
-      else filtered
+      else {
+        val names = spark.createDataFrame(
+          spark.sparkContext.parallelize(files.toSeq.map(Row(_)), 1),
+          StructType(Seq(StructField("file", StringType, nullable = false))))
+        filtered.join(org.apache.spark.sql.functions.broadcast(names),
+          Seq("file"))
+      }
     scoped.select("file", "len", "mtime", "col", "typ", "bloom")
       .collect().toSeq
       .flatMap { r =>
@@ -698,5 +974,114 @@ object ZoneMaps {
       case IsNotNull(a) => stats.get(a).exists(_.nulls == 0L)
       case _ => false
     }
+  }
+
+  /** In-flight fold directory and its completion manifest. The fold is
+    * COMPLETE only once `_folded.json` (the list of covered generation
+    * directory names) exists — written after the parquet `_SUCCESS`, the
+    * [[graft.ops.ProductQuantize]] `_folded`-manifest discipline.
+    */
+  private val FoldingDir = "_folding"
+  private val FoldedManifest = "_folded.json"
+
+  /** FOLD the sidecar's generations (`base` + every `add_<tag>`) into a
+    * fresh single `base`, dropping superseded rows — stats keyed by a
+    * (file, len, mtime) that no longer matches a visible data file
+    * (rewritten or deleted since indexing). Without this a long-lived
+    * appending drop accumulates `add_` directories forever: every
+    * planning round lists and unions every generation, and dead rows for
+    * rewritten files ride along until a full O(corpus) [[build]]. The
+    * fold is O(sidecar) — generation parquet in, generation parquet out,
+    * zero document bytes read — so its cadence can be "every N appends"
+    * at any corpus size.
+    *
+    * Crash-idempotent: the fold lands in a hidden `_folding` staging dir
+    * (invisible to [[readSidecar]]), is complete only once its manifest
+    * lands, inputs are deleted only after that, and the staging dir is
+    * renamed to `base` last. A replay after a crash anywhere in that
+    * sequence converges: an unmanifested staging dir is discarded and
+    * refolded from the (still intact) generations; a manifested one is
+    * finished — remaining covered inputs deleted, rename retried. A
+    * reader racing the window between input deletion and rename sees a
+    * reduced generation set — reduced stats only ever DISABLE pruning
+    * for the affected files, never mis-prune. Single writer assumed,
+    * like every artifact here.
+    *
+    * Returns the number of superseded generation directories folded away
+    * (0 = already compact and fully fresh: nothing was rewritten).
+    */
+  def compact(spark: SparkSession, dropDir: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val root = new Path(dropDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new Path(s"$dropDir/$SidecarDir")
+    if (!fs.exists(sidecar)) return 0L
+    val staging = new Path(sidecar, FoldingDir)
+    val basePath = new Path(sidecar, "base")
+
+    def finishFold(): Long = {
+      val manifest = new Path(staging, FoldedManifest)
+      val covered: Seq[String] = {
+        val in = fs.open(manifest)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(txt)
+          .map(_.group(1)).toSeq
+      }
+      covered.foreach { name =>
+        val p = new Path(sidecar, name)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      // the manifest stays INSIDE the renamed base (hidden to parquet
+      // reads) — deleting it before the rename would open a crash window
+      // where the staging dir looks unmanifested while its inputs are
+      // already gone; recovery only ever probes the _folding path, so a
+      // manifest inside base is inert
+      require(fs.rename(staging, basePath),
+        s"sidecar fold rename failed: $staging -> $basePath")
+      covered.size.toLong
+    }
+
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, FoldedManifest))) return finishFold()
+      // crashed mid-write: the inputs are intact — discard and refold
+      fs.delete(staging, true)
+    }
+    val gens = fs.listStatus(sidecar).toSeq
+      .filter(st => st.isDirectory && DocListing.visible(st))
+      .filter(st => DocListing.walkFiles(fs, Seq(st)).nonEmpty)
+      .map(_.getPath.getName).sorted
+    if (gens.isEmpty) return 0L
+    val df = readSidecar(spark, dropDir).getOrElse(return 0L)
+    // freshness = the same (file, len, mtime) key every load path gates
+    // on: a row that would stand down at planning is dead weight here
+    val current = listVisible(fs, root)
+    val live = current.map { case (_, rel, len, mtime) => (rel, len, mtime) }
+    val indexed = df.select("file", "len", "mtime").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stale = indexed -- live.toSet
+    if (gens == Seq("base") && stale.isEmpty) return 0L
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        live.filter(indexed).map { case (f, l, m) => Row(f, l, m) }, 1),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("len", LongType, nullable = false),
+        StructField("mtime", LongType, nullable = false))))
+    df.join(broadcast(keysDf), Seq("file", "len", "mtime"))
+      .select(statSchema.fieldNames.map(c): _*)
+      .coalesce(sidecarParts(current.size))
+      .write.mode("overwrite").parquet(staging.toString)
+    // completion manifest AFTER the parquet _SUCCESS: its existence is
+    // the one-bit commit record the replay path keys on
+    val json = gens.map(g => "\"" + g.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch => ch.toString
+    } + "\"").mkString("[", ",", "]")
+    val out = fs.create(new Path(staging, FoldedManifest), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishFold()
   }
 }

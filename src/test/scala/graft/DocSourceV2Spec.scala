@@ -1887,4 +1887,275 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("explicit schema") ||
       Option(e.getCause).exists(_.getMessage.contains("explicit schema")))
   }
+
+  test("split-parallel stats build: identical sidecar at any split size; sorted proof folds across boundaries") {
+    import graft.ingest.v2.ZoneMaps
+    // one 1200-byte file of 100 sorted fixed-width lines (12 B each):
+    // blockBytes = 120 → 10 clean blocks; statSplitBytes = 240 → 5 tasks
+    val lines = (0 until 100).map(i => s"""{"k": ${1000 + i}}""")
+    def writeSorted(root: String): Unit =
+      Files.write(Paths.get(root, "sorted.jsonl"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val oneTask = Files.createTempDirectory("graft_v2sp1").toString
+    writeSorted(oneTask)
+    ZoneMaps.build(spark, oneTask, schema, Seq("k"),
+      bloomCols = Seq("k"), blockBytes = 120L)
+    val manyTasks = Files.createTempDirectory("graft_v2spN").toString
+    writeSorted(manyTasks)
+    // count the build's real task parallelism through the listener bus
+    val maxStageTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        maxStageTasks.accumulateAndGet(s.stageInfo.numTasks, math.max(_, _))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ZoneMaps.build(spark, manyTasks, schema, Seq("k"),
+        bloomCols = Seq("k"), blockBytes = 120L, statSplitBytes = 240L)
+      // listener delivery is async: poll briefly for the stage events
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (maxStageTasks.get() < 5 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(maxStageTasks.get() >= 5,
+      s"a 5-split build must run >1 stats task, saw ${maxStageTasks.get()}")
+    // the per-file merge must reproduce the single-task sidecar EXACTLY:
+    // same min/max/null/sum/rows, same tiled blocks, same sorted proof
+    def stats(root: String) = ZoneMaps.loadStats(spark, root, schema)
+      .map { case ((f, _, _), v) => f -> v }
+    assert(stats(manyTasks) == stats(oneTask))
+    val fs = stats(manyTasks)("sorted.jsonl")
+    assert(fs.cols("k").sorted, "a sorted file must carry the proof")
+    assert(fs.blocks.exists(_.size == 10) && fs.blockRows.contains(10L))
+    // merged blooms answer like single-task blooms: a present key probes
+    // true, pruning still drops the file for an absent one
+    val src = ExtendedJson.read(spark, schema, manyTasks,
+      Map("zoneMaps" -> "true"))
+    assert(src.filter(col("k") === 1042L).count() == 1L)
+    val miss = src.filter(col("k") === 1500L)
+    miss.collect()
+    assert(v2Scan(miss).planInputPartitions().isEmpty,
+      "out-of-range key must plan zero partitions")
+
+    // the sorted proof is CONSERVATIVE across split boundaries: row 20
+    // (the last row OWNED by the first 240-byte split task) spikes to
+    // 2000 — both splits stay internally monotone, so only the
+    // boundary check last(split0) ≤ first(split1) can catch it
+    val inverted = Files.createTempDirectory("graft_v2spI").toString
+    val bad = lines.updated(20, """{"k": 2000}""")
+    Files.write(Paths.get(inverted, "sorted.jsonl"),
+      (bad.mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, inverted, schema, Seq("k"), statSplitBytes = 240L)
+    assert(!ZoneMaps.loadStats(spark, inverted, schema)
+      .head._2.cols("k").sorted,
+      "a boundary inversion must break the sorted proof")
+    // ...and a null anywhere breaks it too (NULLS FIRST would outrank)
+    val nulled = Files.createTempDirectory("graft_v2spZ").toString
+    Files.write(Paths.get(nulled, "n.jsonl"),
+      (Seq("""{"k": 1}""", """{"j": 2}""", """{"k": 3}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    ZoneMaps.build(spark, nulled, schema, Seq("k"))
+    assert(!ZoneMaps.loadStats(spark, nulled, schema)
+      .head._2.cols("k").sorted,
+      "a null must break the sorted proof")
+  }
+
+  test("block rows load lazily: file-level plans fetch none, block plans fetch survivors only") {
+    import graft.ingest.v2.ZoneMaps
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // drop WITHOUT block stats: its file-level rows record nblocks = 0,
+    // so a filtered plan must deserialize ZERO block rows (no second
+    // sidecar read at all — the mirror of the lazy-bloom pin)
+    val flat = Files.createTempDirectory("graft_v2lzf").toString
+    Files.write(Paths.get(flat, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(flat, "b.jsonl"),
+      (11 to 20).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, flat, schema, Seq("k"))
+    def fetched(df: DataFrame): Int = {
+      val scan = v2Scan(df)
+      df.collect()
+      scan.planInputPartitions()
+      scan.blockRowsFetched
+    }
+    val fsrc = ExtendedJson.read(spark, schema, flat, Map("zoneMaps" -> "true"))
+    assert(fetched(fsrc.filter(col("k") > 15L)) == 0,
+      "a file-level-only sidecar must never deserialize block rows")
+    // drop WITH block stats on two one-block-band files: a filter that
+    // kills one file at the min/max phase fetches only the SURVIVOR's
+    // block rows — planning cost scales with survivors, not the corpus
+    val blocky = Files.createTempDirectory("graft_v2lzb").toString
+    def fixed(i: Int) = s"""{"k": ${1000 + i}}"""
+    Files.write(Paths.get(blocky, "lo.jsonl"),
+      ((0 until 100).map(fixed).mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(blocky, "hi.jsonl"),
+      ((100 until 200).map(fixed).mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, blocky, schema, Seq("k"), blockBytes = 120L)
+    val bsrc = ExtendedJson.read(spark, schema, blocky,
+      Map("zoneMaps" -> "true"))
+    // k in [1150, 1160): hi.jsonl survives (10 blocks fetched), lo.jsonl
+    // dies at file level (its 10 block rows never leave the parquet)
+    val mid = bsrc.filter(col("k") >= 1150L && col("k") < 1160L)
+    assert(fetched(mid) == 10,
+      s"only the survivor's block rows may load (${v2Scan(mid).description()})")
+    assert(mid.count() == 10L)
+  }
+
+  test("sorted drops stop ORDER BY key LIMIT n at the bound; unsorted and DESC consume the split") {
+    import graft.ingest.v2.ZoneMaps
+    val root = Files.createTempDirectory("graft_v2ord").toString
+    Files.write(Paths.get(root, "s.jsonl"),
+      ((0 until 100).map(i => s"""{"k": ${1000 + i}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    def run(df: DataFrame): (Seq[Long], Long) = {
+      val execs = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(execs.length == 1)
+      val rows = df.collect().map(_.getLong(0)).toSeq
+      (rows, execs.head.metrics(graft.ingest.v2.ScanMetrics.ParsedDocs).value)
+    }
+    val src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    // ASC over the proven-sorted file: the reader banks 5 kept rows,
+    // then the 6th row's strictly-greater key proves the rest of the
+    // split irrelevant — 6 rows parsed, not 100
+    val (ascRows, ascParsed) = run(
+      src.orderBy(col("k").asc).limit(5).select(col("k")))
+    assert(ascRows == (1000L to 1004L).toSeq)
+    assert(ascParsed <= 7L, s"sorted ASC top-N must stop early, parsed $ascParsed")
+    // DESC over the same (ascending) proof: no early exit — the best
+    // rows are at the END, so the split must be consumed
+    val (descRows, descParsed) = run(
+      src.orderBy(col("k").desc).limit(5).select(col("k")))
+    assert(descRows.toSet == (1095L to 1099L).toSet)
+    assert(descParsed == 100L)
+    // ties at the bound keep flowing: 5 copies of the minimum plus a
+    // tiebreak column — the exit must not cut ties of the n-th key, or
+    // the tiebreak-best copies could be lost
+    val troot = Files.createTempDirectory("graft_v2ordt").toString
+    val tlines = (0 until 5).map(j => s"""{"k": 1, "j": ${9 - j}}""") ++
+      (1 to 20).map(i => s"""{"k": ${1 + i}, "j": 0}""")
+    Files.write(Paths.get(troot, "t.jsonl"),
+      (tlines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val tschema = StructType(Seq(
+      StructField("k", LongType), StructField("j", LongType)))
+    ZoneMaps.build(spark, troot, tschema, Seq("k"))
+    val tsrc = ExtendedJson.read(spark, tschema, troot,
+      Map("zoneMaps" -> "true"))
+    val top = tsrc.orderBy(col("k").asc, col("j").asc).limit(3)
+      .select(col("k"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top == Seq((1L, 5L), (1L, 6L), (1L, 7L)),
+      s"tiebreaks among the bound's ties must survive the early exit: $top")
+  }
+
+  test("sidecar compaction folds generations, drops stale rows, and crashed folds converge") {
+    import graft.ingest.v2.ZoneMaps
+    val root = Files.createTempDirectory("graft_v2cmp").toString
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def land(name: String, range: Range): Unit =
+      Files.write(Paths.get(root, name),
+        range.map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    land("a.jsonl", 1 to 10)
+    land("b.jsonl", 11 to 20)
+    assert(ZoneMaps.build(spark, root, schema, Seq("k")) == 2L)
+    land("c.jsonl", 21 to 30)
+    assert(ZoneMaps.append(spark, root, schema, Seq("k"), "t1") == 1L)
+    // REWRITE b with a DIFFERENT row count: its old stats row is now
+    // dead weight in base (the length change makes staleness
+    // deterministic — same-millisecond rewrites can collide on mtime)
+    land("b.jsonl", 31 to 45)
+    val crc = Paths.get(root, ".b.jsonl.crc")
+    if (Files.exists(crc)) Files.delete(crc)
+    assert(ZoneMaps.append(spark, root, schema, Seq("k"), "t2") == 1L)
+    val sidecar = new java.io.File(s"$root/${ZoneMaps.SidecarDir}")
+    def gens(): Set[String] =
+      sidecar.listFiles().filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
+    assert(gens() == Set("base", "add_t1", "add_t2"))
+    val before = ZoneMaps.loadStats(spark, root, schema)
+    assert(before.size == 4, "3 live files + 1 stale key for old b")
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    def plannedFiles(df: DataFrame): Set[String] = {
+      val scan = v2Scan(df)
+      df.collect()
+      scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition].file)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    }
+    assert(plannedFiles(src.filter(col("k") > 30L)) == Set("b.jsonl"))
+    // COMPACT: one generation remains, stale rows gone, reads identical
+    assert(ZoneMaps.compact(spark, root) == 3L)
+    assert(gens() == Set("base"))
+    val after = ZoneMaps.loadStats(spark, root, schema)
+    assert(after.size == 3, "the stale pre-rewrite b key must be dropped")
+    val live = before.filter { case (k, _) => after.contains(k) }
+    assert(after == live, "compaction must preserve live rows exactly")
+    assert(plannedFiles(src.filter(col("k") > 30L)) == Set("b.jsonl"))
+    assert(plannedFiles(src.filter(col("k") <= 10L)) == Set("a.jsonl"))
+    // idempotent no-op when already compact and fully fresh
+    assert(ZoneMaps.compact(spark, root) == 0L)
+    assert(ZoneMaps.loadStats(spark, root, schema) == after)
+
+    // CRASH REPLAY 1 — after the manifest, before deletes/rename (the
+    // manifested staging dir must be FINISHED, never refolded): simulate
+    // by moving base to _folding with a manifest naming it
+    val staging = new java.io.File(sidecar, "_folding")
+    assert(new java.io.File(sidecar, "base").renameTo(staging))
+    // the renamed dir carries the PREVIOUS fold's manifest (+ its Hadoop
+    // checksum sidecar) — replace both so the simulated crash state is
+    // exactly "manifest names base, deletes/rename pending"
+    Files.deleteIfExists(staging.toPath.resolve("_folded.json"))
+    Files.deleteIfExists(staging.toPath.resolve("._folded.json.crc"))
+    Files.write(staging.toPath.resolve("_folded.json"),
+      """["base"]""".getBytes("UTF-8"))
+    assert(ZoneMaps.compact(spark, root) == 1L)
+    assert(gens() == Set("base") && !staging.exists())
+    assert(ZoneMaps.loadStats(spark, root, schema) == after)
+    // CRASH REPLAY 2 — mid-write (no manifest): the junk staging dir is
+    // discarded and the fold reruns from the intact generations
+    assert(staging.mkdir())
+    Files.write(staging.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    land("d.jsonl", 100 to 110)
+    assert(ZoneMaps.append(spark, root, schema, Seq("k"), "t3") == 1L)
+    assert(ZoneMaps.compact(spark, root) == 2L)
+    assert(gens() == Set("base") && !staging.exists())
+    assert(ZoneMaps.loadStats(spark, root, schema).size == 4)
+    assert(plannedFiles(src.filter(col("k") > 50L)) == Set("d.jsonl"))
+  }
+
+  test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {
+    import graft.ingest.v2.ZoneMaps
+    // the detection below fires ZoneMaps' one-line operator warning by
+    // design — silence just that logger so the suite's output stays
+    // clean (the warning itself is the product behavior; the DETECTION
+    // is what this test asserts)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.ingest.v2.ZoneMaps$", org.apache.logging.log4j.Level.ERROR)
+    val root = Files.createTempDirectory("graft_v2v1").toString
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Files.write(Paths.get(root, "a.jsonl"),
+      (1 to 10).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    assert(!ZoneMaps.hasLegacyFlatSidecar(spark, root))
+    // flatten: move the base part files up to the sidecar root — the v1
+    // layout. Detection flips; the stats must NOT load (conservative:
+    // the v1 row schema predates block/sum columns)
+    val sidecar = new java.io.File(s"$root/${ZoneMaps.SidecarDir}")
+    val base = new java.io.File(sidecar, "base")
+    base.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+      !f.getName.startsWith(".")).foreach { f =>
+      assert(f.renameTo(new java.io.File(sidecar, f.getName)))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(base)
+    assert(ZoneMaps.hasLegacyFlatSidecar(spark, root))
+    assert(ZoneMaps.loadStats(spark, root, schema).isEmpty,
+      "flat v1 rows must be ignored, not half-trusted")
+  }
 }
