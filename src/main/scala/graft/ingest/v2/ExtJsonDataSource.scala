@@ -992,18 +992,61 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           else "")
       else "")
 
-  /** Planner statistics from the file listing ([[SupportsReportStatistics]]):
-    * total byte size, honestly unknown row count. Gives the optimizer a
-    * real size for broadcast decisions instead of the
-    * default-to-spark.sql.defaultSizeInBytes guess a statless V2 relation
-    * gets.
+  /** Planner statistics ([[SupportsReportStatistics]]): real byte size
+    * from the listing instead of the default-to-
+    * spark.sql.defaultSizeInBytes guess a statless V2 relation gets —
+    * and, when zone maps are on, POST-PRUNE numbers: files the pushed
+    * static filters provably empty (partition-path or zone-decided)
+    * contribute neither bytes nor rows, and surviving indexed files
+    * contribute their exact sidecar row counts. At 100 TB this is what
+    * lets the optimizer BROADCAST a selectively-filtered document scan
+    * (one matching band of a clustered drop) instead of shuffle-joining
+    * the whole corpus' advertised size. Row counts are reported only
+    * when every surviving file is indexed — a sum with a hole isn't an
+    * estimate, it's a guess — and are an UPPER bound (per-row filtering
+    * inside surviving files may drop more), the safe direction for
+    * broadcast decisions. Runtime filters arrive after optimization and
+    * deliberately don't participate.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = listing.map(_._1.getLen).sum
+    private val (bytes, rows) = {
+      val partFilters = pushed.filter(partitionOnly)
+      val kept =
+        if (partFilters.isEmpty) listing
+        else listing.filter { case (f, vals) =>
+          FilterEval.keep(partFilters, partSchema,
+            partRow(vals, f.getPath.toString))
+        }
+      val zoneFilters = pushed.filterNot(f =>
+        f.references.exists(r => partCols.exists(_.equalsIgnoreCase(r))))
+      if (!zoneMaps || zoneStats.isEmpty)
+        (kept.map(_._1.getLen).sum, None)
+      else {
+        var b = 0L
+        var r = 0L
+        var complete = true
+        kept.foreach { case (f, _) =>
+          val rel = zoneRootUri.relativize(f.getPath.toUri).getPath
+          zoneStats.get((rel, f.getLen, f.getModificationTime)) match {
+            case Some(s)
+              if zoneFilters.forall(ZoneMaps.maybeTrue(_, s.cols, fullSchema)) =>
+              b += f.getLen
+              s.cols.values.headOption match {
+                case Some(cs) => r += cs.rows
+                case None => complete = false
+              }
+            case Some(_) => () // provably all-drop: contributes nothing
+            case None => b += f.getLen; complete = false
+          }
+        }
+        (b, if (complete) Some(r) else None)
+      }
+    }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      rows.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
   }
 
   override def toBatch: Batch = this

@@ -804,9 +804,18 @@ object ZoneMaps {
     * after min/max pruning — blooms load lazily, like parquet bloom
     * pages.
     */
+  /** Survivor count past which the bloom phase is SKIPPED outright:
+    * blooms only ever REMOVE files min/max already kept, so omitting
+    * them is fail-soft — and a probe that still matches 16k+ files
+    * after min/max pruning is not a point lookup; collecting that many
+    * ~1 MB blobs would trade driver heap for skips that barely matter.
+    */
+  val BloomPhaseMaxFiles = 16384
+
   def loadBlooms(spark: SparkSession, dropDir: String, schema: StructType,
       cols: Set[String], files: Set[String]): Map[(String, Long, Long), Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
     if (cols.isEmpty || files.isEmpty) return Map.empty
+    if (files.size > BloomPhaseMaxFiles) return Map.empty
     import org.apache.spark.sql.functions.{col => c}
     val df = readSidecar(spark, dropDir) match {
       case None => return Map.empty

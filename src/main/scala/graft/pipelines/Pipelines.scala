@@ -3,7 +3,7 @@ package graft.pipelines
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, struct, to_json}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.ingest.{DocSource, ExtendedJsonDirSource, ExtendedJsonSource, Staging}
@@ -865,12 +865,37 @@ object StreamingNearDupIngest {
     * @param rejectGates additional per-batch rejection policies
     *   ([[RejectGate]]) — decontamination, quality models, any
     *   caller-supplied rule — composed with the near-dup rejection
+    * @param zoneCols non-empty switches the accepted corpus to INDEXED
+    *   JSONL landings: each accepted micro-batch lands as JSON lines and
+    *   [[graft.ingest.v2.ZoneMaps.append]] indexes it in the same
+    *   foreachBatch under the run/batch tag the layout already uses — so
+    *   a streaming-built corpus is zone-skippable batch-by-batch from the
+    *   moment each batch is readable (read it back through the document
+    *   source with `zoneMaps=true`), never "unskippable until someone
+    *   runs a full build". A replayed batch overwrites both its data dir
+    *   AND its `add_` sidecar generation (same deterministic tags), so
+    *   replays converge. Parquet-landing mode (`zoneCols = Nil`, the
+    *   default) needs none of this: parquet files carry their own
+    *   row-group stats — the sidecar exists because JSONL has no footer.
+    * @param zoneBloomCols equality-probe columns to bloom-index (must be
+    *   listed in `zoneCols`)
+    * @param zoneBlockBytes `> 0` additionally writes block-level stats
+    *   rows for split-granular skipping of large batch files
+    * @param zoneMaxGenerations `> 0` self-compacts the accepted corpus'
+    *   sidecar ([[graft.ingest.v2.ZoneMaps.compact]]) whenever a landing
+    *   leaves more generations than this — a long-lived ingest writes
+    *   one `add_` generation per micro-batch, so without a cadence the
+    *   planning-time generation list grows with batch count forever
     */
   def run(spark: SparkSession, batchDir: String, schema: StructType,
       idCol: String, textCol: String, n: Int, minJaccard: Double,
       indexDir: String, acceptedDir: String, checkpointDir: String,
       writeManifests: Boolean = true,
-      rejectGates: Seq[RejectGate] = Nil): Summary = {
+      rejectGates: Seq[RejectGate] = Nil,
+      zoneCols: Seq[String] = Nil,
+      zoneBloomCols: Seq[String] = Nil,
+      zoneBlockBytes: Long = 0L,
+      zoneMaxGenerations: Int = 0): Summary = {
     import graft.ops.NearDup
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -912,9 +937,39 @@ object StreamingNearDupIngest {
               accepted.addAndGet(nKeep)
               rejected.addAndGet(b.count() - nKeep)
               val batchAccepted = s"$acceptedDir/run=$runId/batch=$batchId"
-              keep.write.mode("overwrite").parquet(batchAccepted)
-              if (writeManifests)
-                graft.sink.CorpusSink.writeManifest(spark, batchAccepted)
+              if (zoneCols.isEmpty) {
+                keep.write.mode("overwrite").parquet(batchAccepted)
+                if (writeManifests)
+                  graft.sink.CorpusSink.writeManifest(spark, batchAccepted)
+              } else {
+                // indexed-JSONL landing: data + zone-map sidecar in the
+                // same foreachBatch, so skipping never lags readability.
+                // The append indexes the NEW files only (one pass over
+                // this batch) under a deterministic per-(run,batch) tag —
+                // the same replay-idempotence contract as the data dir
+                keep.select(to_json(struct(
+                    keep.columns.map(col): _*)).as("value"))
+                  .write.mode("overwrite").text(batchAccepted)
+                graft.ingest.v2.ZoneMaps.append(spark, acceptedDir,
+                  keep.schema, zoneCols, batchTag = s"${runId}_b$batchId",
+                  bloomCols = zoneBloomCols, blockBytes = zoneBlockBytes)
+                if (zoneMaxGenerations > 0) {
+                  val sp = new org.apache.hadoop.fs.Path(
+                    s"$acceptedDir/${graft.ingest.v2.ZoneMaps.SidecarDir}")
+                  val sfs = sp.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration)
+                  val nGens =
+                    if (!sfs.exists(sp)) 0
+                    else sfs.listStatus(sp).count(st => st.isDirectory &&
+                      !st.getPath.getName.startsWith("_") &&
+                      !st.getPath.getName.startsWith("."))
+                  if (nGens > zoneMaxGenerations)
+                    graft.ingest.v2.ZoneMaps.compact(spark, acceptedDir)
+                }
+                if (writeManifests)
+                  graft.sink.CorpusSink.writeManifest(spark, batchAccepted,
+                    format = "text")
+              }
               NearDup.saveShingleIndex(keep, idCol, textCol, n,
                 s"$indexDir/run=$runId/batch=$batchId")
               batches.incrementAndGet()

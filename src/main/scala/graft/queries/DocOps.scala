@@ -737,7 +737,45 @@ object DocOps {
       .agg(avg(col("o_orderkey")).as("avg_key"),
         count(lit(1)).as("n_f"))
 
+  /** One hash-sharded, id-sorted, WRITE-TIME-INDEXED landing per (JVM,
+    * sfDir): the [[graft.sink.CorpusSink.landJsonlIndexed]] producer
+    * path. Each shard file is sorted on `o_orderkey` (the sink's
+    * determinism contract), so the v3 sidecar records the per-file
+    * `sorted` proof as a side effect of the landing — no extra pass.
+    */
+  private def ordersShardedJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#sharded", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_shard_$tag")}/orders"
+      graft.sink.CorpusSink.landJsonlIndexed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        "o_orderkey", dir, numShards = 6,
+        zoneCols = Seq("o_orderkey", "o_totalprice"))
+      dir
+    })
+
+  /** SORTEDNESS-AWARE scan — `ORDER BY key LIMIT n` over a drop whose
+    * shards the sidecar PROVES sorted on the key: every split's reader
+    * banks its first n kept rows and stops at the first key strictly
+    * past the n-th (ties keep flowing), so the probe parses ~n rows per
+    * shard instead of the corpus — the merge-read ORDER BY foundation,
+    * and the ascending complement of q156/q157's top-N zone pruning
+    * (which needs DISJOINT key bands; hash shards all span the full
+    * range, so only the in-file order can help here). The unique sort
+    * key keeps the row set oracle-deterministic (q156 convention).
+    */
+  private def q160SortedScan(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersShardedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_docsource_sorted_scan" -> q160SortedScan,
     "q159_docsource_metadata_avg" -> q159MetadataAvg,
     "q158_docsource_metadata_distinct" -> q158MetadataDistinct,
     "q157_docsource_topn_block_skip" -> q157TopNBlockSkip,
@@ -768,6 +806,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q160_docsource_sorted_scan" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_orderkey ASC LIMIT 20"),
     "q159_docsource_metadata_avg" ->
       ("SELECT CAST(SUM(o_orderkey) AS DOUBLE) / CAST(COUNT(o_orderkey) AS DOUBLE) " +
         "AS avg_key, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F'"),

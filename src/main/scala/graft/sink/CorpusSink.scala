@@ -50,10 +50,18 @@ object CorpusSink {
     * the moment it is readable; skipping never decays to a full
     * O(corpus) re-index as the drop grows — the lifecycle Iceberg/Delta
     * get by writing manifests at commit time. Returns files indexed.
+    *
+    * `maxSidecarGenerations > 0` is the maintenance CADENCE: when an
+    * appending landing leaves more sidecar generations than that, the
+    * landing finishes with an O(sidecar) [[graft.ingest.v2.ZoneMaps.compact]]
+    * fold — so a drop fed by this sink keeps bounded planning cost with
+    * no separate maintenance job to remember (the Delta-style
+    * auto-compaction posture). Zero document bytes are read either way.
     */
   def landJsonlIndexed(df: DataFrame, idCol: String, dir: String,
       numShards: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
-      blockBytes: Long = 0L, appendTag: Option[String] = None): Long = {
+      blockBytes: Long = 0L, appendTag: Option[String] = None,
+      maxSidecarGenerations: Int = 0): Long = {
     require(numShards > 0, "numShards > 0")
     // validate the tag BEFORE anything lands: a bad tag failing in the
     // sidecar step would leave a written-but-unindexed batch behind (a
@@ -76,7 +84,7 @@ object CorpusSink {
       .sortWithinPartitions(col(idCol))
       .select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").text(target)
-    appendTag match {
+    val indexed = appendTag match {
       case Some(tag) =>
         graft.ingest.v2.ZoneMaps.append(spark, dir, df.schema, zoneCols,
           batchTag = tag, bloomCols = bloomCols, blockBytes = blockBytes)
@@ -84,6 +92,19 @@ object CorpusSink {
         graft.ingest.v2.ZoneMaps.build(spark, dir, df.schema, zoneCols,
           bloomCols = bloomCols, blockBytes = blockBytes)
     }
+    if (maxSidecarGenerations > 0 && appendTag.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/${graft.ingest.v2.ZoneMaps.SidecarDir}")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens =
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      if (gens > maxSidecarGenerations)
+        graft.ingest.v2.ZoneMaps.compact(spark, dir)
+    }
+    indexed
   }
 
   /** One shard file's attestation: row count and an ORDER-FREE content

@@ -99,6 +99,46 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(src.count() == 400L, "the failed landing must write nothing")
   }
 
+  test("landJsonlIndexed maxSidecarGenerations: landings self-compact past the cadence") {
+    import org.apache.spark.sql.types._
+    import graft.ingest.v2.ZoneMaps
+    val dir = Files.createTempDirectory("graft_landc").toString + "/docs"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def batch(r: Range) = r.map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    CorpusSink.landJsonlIndexed(batch(1 to 100), "doc_id", dir,
+      numShards = 2, zoneCols = Seq("doc_id"))
+    def gens(): Set[String] = {
+      val f = new java.io.File(s"$dir/${ZoneMaps.SidecarDir}")
+      f.listFiles().filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")).toSet
+    }
+    // cadence 2: the first append leaves 2 generations (no fold), the
+    // second exceeds the cadence and the landing folds itself — no
+    // separate maintenance job, planning cost stays bounded
+    CorpusSink.landJsonlIndexed(batch(101 to 200), "doc_id", dir,
+      numShards = 1, zoneCols = Seq("doc_id"), appendTag = Some("b1"),
+      maxSidecarGenerations = 2)
+    assert(gens() == Set("base", "add_b1"))
+    CorpusSink.landJsonlIndexed(batch(201 to 300), "doc_id", dir,
+      numShards = 1, zoneCols = Seq("doc_id"), appendTag = Some("b2"),
+      maxSidecarGenerations = 2)
+    assert(gens() == Set("base"), s"expected a self-compacted sidecar: ${gens()}")
+    // the folded sidecar still prunes: the last batch's band plans alone
+    def src = graft.ingest.ExtendedJson.read(spark, schema, dir,
+      Map("zoneMaps" -> "true"))
+    assert(src.count() == 300L)
+    assert(ZoneMaps.loadStats(spark, dir, schema).size == 4)
+    val hi = src.filter(col("doc_id") > 200L)
+    assert(hi.count() == 100L)
+    val planned = hi.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      .head.asInstanceOf[graft.ingest.v2.ExtJsonScan].planInputPartitions()
+    assert(planned.length == 1, s"folded stats must keep pruning: ${planned.length}")
+  }
+
   test("manifest round-trips, is order-free, and catches tampering") {
     val d = Files.createTempDirectory("graft_manifest").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)

@@ -2005,6 +2005,45 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(mid.count() == 10L)
   }
 
+  test("planner statistics are zone-aware: pruned bands contribute neither bytes nor rows") {
+    import graft.ingest.v2.ZoneMaps
+    val root = Files.createTempDirectory("graft_v2est").toString
+    def land(name: String, range: Range): Long = {
+      val p = Paths.get(root, name)
+      Files.write(p,
+        range.map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+      p.toFile.length()
+    }
+    land("a.jsonl", 1 to 10)
+    land("b.jsonl", 11 to 20)
+    val cLen = land("c.jsonl", 21 to 30)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    def statsOf(df: DataFrame) = {
+      val st = v2Scan(df).estimateStatistics()
+      (st.sizeInBytes().getAsLong,
+        if (st.numRows().isPresent) Some(st.numRows().getAsLong) else None)
+    }
+    val src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    // unfiltered: full bytes, EXACT corpus row count from the sidecar —
+    // "unknown rows" was the pre-v3 answer, and unknown means the
+    // optimizer guesses at broadcast decisions
+    val (allB, allR) = statsOf(src)
+    assert(allR.contains(30L), s"expected exact rows, got $allR")
+    // a band-killing filter: only the surviving band's bytes/rows remain
+    // — the size a broadcast decision should see
+    val (prunedB, prunedR) = statsOf(src.filter(col("k") > 20L))
+    assert(prunedB == cLen && prunedB < allB, s"$prunedB vs $allB")
+    assert(prunedR.contains(10L), s"expected the surviving band's rows, got $prunedR")
+    // sidecar-less drops keep the honest unknown
+    val bare = Files.createTempDirectory("graft_v2estb").toString
+    Files.write(Paths.get(bare, "x.jsonl"),
+      (1 to 5).map(i => s"""{"k": $i}""").mkString("\n").getBytes("UTF-8"))
+    val (bareB, bareR) = statsOf(
+      ExtendedJson.read(spark, schema, bare, Map("zoneMaps" -> "true")))
+    assert(bareB > 0L && bareR.isEmpty)
+  }
+
   test("sorted drops stop ORDER BY key LIMIT n at the bound; unsorted and DESC consume the split") {
     import graft.ingest.v2.ZoneMaps
     val root = Files.createTempDirectory("graft_v2ord").toString

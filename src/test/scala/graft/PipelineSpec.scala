@@ -736,6 +736,89 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
   }
 
+  test("streaming near-dup ingest with zoneCols: the accepted corpus is zone-skippable batch-by-batch") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    import graft.pipelines.StreamingNearDupIngest
+    val batchDir = s"$work/ndz_batches"
+    val idxDir = s"$work/ndz_index"
+    val accDir = s"$work/ndz_accepted"
+    val ckpt = s"$work/ndz_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def ingest() = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt,
+      zoneCols = Seq("doc_id"))
+    // two id-banded micro-batches of mutually distinct documents
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf"),
+      (2L, "hotel india juliet kilo lima mike november"),
+      (3L, "oscar papa quebec romeo sierra tango uniform"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b1")
+    assert(ingest().accepted == 3L)
+    Seq((100L, "victor whiskey xray yankee zulu zero one"),
+      (101L, "two three four five six seven eight"),
+      (102L, "nine ten eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b2")
+    assert(ingest().accepted == 3L)
+    // the landings wrote the sidecar IN the foreachBatch: one add_
+    // generation per (run, batch), no build ever ran
+    val sidecar = new java.io.File(
+      s"$accDir/${graft.ingest.v2.ZoneMaps.SidecarDir}")
+    val gens = sidecar.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("add_")).toSeq
+    assert(gens.size == 2 && gens.forall(_.matches("add_[0-9a-f]+_b\\d")),
+      gens.mkString(", "))
+    // a zone-pruned read over the accepted JSONL corpus plans ONLY the
+    // matching batch's files — streaming-built means skippable, not
+    // "unskippable until someone remembers a full rebuild"
+    val readSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val acc = graft.ingest.ExtendedJson.read(spark, readSchema, accDir,
+      Map("zoneMaps" -> "true"))
+    assert(acc.count() == 6L)
+    val hi = acc.filter(col("doc_id") >= 100L)
+    assert(hi.select("doc_id").as[Long].collect().toSet ==
+      Set(100L, 101L, 102L))
+    val scans = hi.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    val planned = scans.head.scan
+      .asInstanceOf[graft.ingest.v2.ExtJsonScan].planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition].file)
+    assert(planned.nonEmpty && planned.forall(_.contains("batch=1")),
+      s"only the matching batch's files may plan: ${planned.mkString(", ")}")
+    // the per-batch manifests still land (text format) beside the shards
+    assert(new java.io.File(sidecar.getParentFile.listFiles()
+      .filter(_.getName.startsWith("run=")).head,
+      "batch=0/_graft_manifest.json").getParentFile.listFiles()
+      .exists(_.getName == "_graft_manifest.json"))
+    // a third batch under zoneMaxGenerations=1 SELF-COMPACTS the sidecar
+    // (one add_ per micro-batch would otherwise grow forever) — and the
+    // folded stats keep pruning
+    Seq((200L, "sixteen seventeen eighteen nineteen twenty twentyone twentytwo"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b3")
+    val s3 = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt,
+      zoneCols = Seq("doc_id"), zoneMaxGenerations = 1)
+    assert(s3.accepted == 1L)
+    val gensAfter = sidecar.listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSeq
+    assert(gensAfter == Seq("base"),
+      s"expected a self-compacted sidecar, got $gensAfter")
+    val hi2 = graft.ingest.ExtendedJson.read(spark, readSchema, accDir,
+      Map("zoneMaps" -> "true")).filter(col("doc_id") >= 200L)
+    assert(hi2.select("doc_id").as[Long].collect().toSet == Set(200L))
+    val planned2 = hi2.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition].file)
+    assert(planned2.nonEmpty && planned2.forall(_.contains("batch=2")),
+      s"folded stats must keep pruning: ${planned2.mkString(", ")}")
+  }
+
   test("near-dup index compaction: bounded history dirs, decisions unchanged, manifested corpus") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -770,6 +770,33 @@ class PlanSpec extends AnyFunSuite {
     assert(planned.forall(_.start > 0L), planned.mkString(", "))
   }
 
+  test("q160 sorted-scan top-N parses ~n rows per split, never the corpus") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q160_docsource_sorted_scan")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val execs = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(execs.length == 1)
+    val s = execs.head.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    assert(s.pushedTopN == 20, s.description())
+    // every shard split carries the sidecar's sorted proof — the flag
+    // that arms the reader's early exit
+    val parts = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition])
+    assert(parts.nonEmpty && parts.forall(_.sortedAsc),
+      s"every split of the id-sorted shards must be proven sorted: " +
+        s.description())
+    // 6 shards × (20 banked + the strict-bound row) ≈ 126 parsed rows;
+    // the 1500-row corpus is never consumed (the heap path would parse
+    // all of it)
+    val parsed = execs.head
+      .metrics(graft.ingest.v2.ScanMetrics.ParsedDocs).value
+    assert(parsed <= 6L * 25L,
+      s"sorted splits must stop at the bound, parsed $parsed")
+  }
+
   test("q158 pushed DISTINCT on the clustering key answers from metadata") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
