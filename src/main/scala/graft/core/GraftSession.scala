@@ -41,6 +41,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // storage-partitioned joins/aggregations over co-partitioned
+      // document drops (the doc scan reports KeyGroupedPartitioning when
+      // asked — reportPartitioning option): inert for every other scan
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 

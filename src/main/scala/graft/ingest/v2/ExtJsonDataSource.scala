@@ -406,6 +406,16 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     val g: Seq[Option[String]] = aggregation.groupByExpressions().toSeq
       .map(pathOf(_, needComparable = true))
     if (g.exists(_.isEmpty)) return false
+    // STORAGE-PARTITIONED mode: when the group-by covers every partition
+    // column, the scan's KeyGroupedPartitioning satisfies the aggregate's
+    // clustered distribution — local aggregation over co-located raw
+    // rows runs with ZERO exchange, strictly better than pushed partials
+    // plus a shuffle. Pushing would also rebind the relation output
+    // (fresh attribute ids), which makes Spark drop the partitioning
+    // report entirely. So refuse the pushdown and let the layout win.
+    if (reportPartitioningOn && partCols.nonEmpty &&
+      partCols.forall(pc => g.flatten.exists(_.equalsIgnoreCase(pc))))
+      return false
     val parsed: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map(translateAggExpr)
     // a grouped query with no aggregate functions is a pushed DISTINCT —
@@ -771,6 +781,13 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     }
   }
 
+  /** Storage-partitioned reads requested (`reportPartitioning` option):
+    * consulted by [[pushAggregation]] (layout-covered group-bys keep raw
+    * rows so the zero-exchange aggregation wins) and passed to the scan.
+    */
+  private def reportPartitioningOn: Boolean =
+    Option(options.get("reportPartitioning")).exists(_.toBoolean)
+
   /** Parse a numeric option, naming the option in the error — a bare
     * NumberFormatException at scan build time says nothing about WHICH
     * option carried the malformed value.
@@ -800,7 +817,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       // phase-1 load is file-level-only too (block rows arrive lazily,
       // scoped to survivors), so sharing is sound whether or not the
       // metadata answer was planned, and saves a duplicate sidecar read
-      preloadedZoneStats = sidecarLoaded)
+      preloadedZoneStats = sidecarLoaded,
+      reportPartitioning = reportPartitioningOn)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -816,9 +834,10 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val arrayTrunc: Map[String, Int] = Map.empty,
     val zoneMaps: Boolean = false,
     val statsAnswer: Option[(Array[Array[String]], Array[String])] = None,
-    preloadedZoneStats: Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None)
+    preloadedZoneStats: Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None,
+    val reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** Declared types of the partition columns, in `partCols` order. */
   private val partTypes: Array[org.apache.spark.sql.types.DataType] =
@@ -1050,6 +1069,35 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   }
 
   override def toBatch: Batch = this
+
+  /** STORAGE-PARTITIONED reads ([[SupportsReportPartitioning]], opted in
+    * via `reportPartitioning`): a hive-layout drop's rows are clustered
+    * by their `k=v` path values BY CONSTRUCTION, so the scan reports
+    * identity [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * over the partition columns and every planned split carries its
+    * partition-value tuple as a [[HasPartitionKey]] key. Spark then
+    * satisfies clustered distributions straight from the layout: two
+    * co-partitioned drops JOIN on the partition keys with ZERO exchange
+    * (the Iceberg storage-partitioned join, rebuilt for the JSONL lake),
+    * and a GROUP BY the partition keys aggregates exchange-free — at
+    * 100 TB the difference between a layout lookup and shuffling the
+    * corpus. Identity transforms resolve against the relation output
+    * without any function catalog; when a query prunes the partition
+    * columns away, Spark drops the partitioning report (fail-soft, plans
+    * as before). The metadata-answer path never reports — its one
+    * answer partition has no key.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val keyed = reportPartitioning && partCols.nonEmpty && statsAnswer.isEmpty
+    if (!keyed)
+      return new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
+      partCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      keys, listing.map(_._2.toSeq).distinct.size)
+  }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     ScanMetrics.supported
@@ -1583,7 +1631,19 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // maxPartitionBytes) between planning rounds must fail, not split.
     require(!completeCount || parts.length == 1,
       s"complete COUNT pushdown planned ${parts.length} partitions ($path)")
-    parts.toArray[InputPartition]
+    // storage-partitioned mode: every split carries its partition-value
+    // tuple (internal form) so Spark can group splits by key — the
+    // HasPartitionKey contract KeyGroupedPartitioning requires of ALL
+    // partitions. Files outside the k=v layout carry null values — a
+    // legal key tuple (the null group), never an error.
+    if (reportPartitioning && partCols.nonEmpty && statsAnswer.isEmpty)
+      parts.map { p =>
+        new KeyedExtJsonInputPartition(p,
+          partCols.indices.map(i => PartitionValues.toInternal(
+            if (i < p.partValues.length) p.partValues(i) else null,
+            partTypes(i), p.file)).toArray)
+      }.toArray[InputPartition]
+    else parts.toArray[InputPartition]
   }
 
   /** Expand the glob and RECURSE into matched directories: a nested
@@ -1700,6 +1760,17 @@ private[v2] final case class ZoneVerdict(allTrue: Boolean,
     blocks: Option[Seq[(Long, Long, Boolean)]],
     sortedAsc: Boolean = false)
 
+/** A split plus its partition-value KEY (internal form, `partCols`
+  * order) — the [[HasPartitionKey]] wrapper storage-partitioned reads
+  * require of every planned partition. Kept separate from
+  * [[ExtJsonInputPartition]] so non-reporting scans never present keys
+  * (Spark groups splits by key whenever ALL partitions carry one).
+  */
+final class KeyedExtJsonInputPartition(val delegate: ExtJsonInputPartition,
+    key: Array[Any]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
+}
+
 /** The metadata-only aggregate answer as a "partition": one row per
   * group (one row total when ungrouped), each row's values in scan
   * output order (group columns first, then aggregates) in the zone-map
@@ -1724,6 +1795,7 @@ final case class ExtJsonReaderFactory(conf: SerializableWritable[Configuration],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
       case sp: StatsAnswerPartition => return new StatsAnswerReader(sp)
+      case k: KeyedExtJsonInputPartition => return createReader(k.delegate)
       case _ =>
     }
     val p = partition.asInstanceOf[ExtJsonInputPartition]

@@ -774,7 +774,36 @@ object DocOps {
       .limit(20)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** The hive-layout drop read in STORAGE-PARTITIONED mode: the scan
+    * reports identity KeyGroupedPartitioning over (status, py) and every
+    * split carries its partition-value key.
+    */
+  private def readOrdersPartKeyed(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersPart, ordersPartJsonl(s, d),
+      Map("partitionColumns" -> "status,py", "reportPartitioning" -> "true"))
+
+  /** STORAGE-PARTITIONED join/aggregation — the Iceberg SPJ shape over
+    * the JSONL lake: both branches GROUP BY the layout keys, so the
+    * scan's reported KeyGroupedPartitioning satisfies their clustered
+    * distributions straight from the `status=…/py=…` directories — the
+    * whole plan runs with ZERO shuffle exchange (PlanSpec-pinned). At
+    * 100 TB this is a layout lookup where the unpartitioned plan
+    * shuffles the corpus twice and exchanges the join.
+    */
+  private def q161PartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    val counts = readOrdersPartKeyed(s, d)
+      .groupBy(col("status"), col("py"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sums = readOrdersPartKeyed(s, d)
+      .groupBy(col("status"), col("py"))
+      .agg(sum(col("o_custkey")).as("__s"))
+      .select(col("status"), col("py"), col("__s").cast("long").as("sum_cust"))
+    counts.join(sums, Seq("status", "py"))
+      .select(col("status"), col("py"), col("n_orders"), col("sum_cust"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_docsource_partitioned_join" -> q161PartitionedJoin,
     "q160_docsource_sorted_scan" -> q160SortedScan,
     "q159_docsource_metadata_avg" -> q159MetadataAvg,
     "q158_docsource_metadata_distinct" -> q158MetadataDistinct,
@@ -806,6 +835,12 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q161_docsource_partitioned_join" ->
+      ("WITH g AS (SELECT o_orderstatus AS status, " +
+        "CAST(EXTRACT(year FROM o_orderdate) AS INT) AS py, " +
+        "COUNT(*) AS n_orders, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT status, py, n_orders, sum_cust FROM g"),
     "q160_docsource_sorted_scan" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_orderkey ASC LIMIT 20"),

@@ -2169,6 +2169,69 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(plannedFiles(src.filter(col("k") > 50L)) == Set("d.jsonl"))
   }
 
+  test("storage-partitioned reads: co-partitioned drops join and aggregate with zero exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case s: ShuffleExchangeLike => s +: s.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+      walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan)
+    }
+    def mkDrop(seed: Int): String = {
+      val root = Files.createTempDirectory(s"graft_v2spj$seed").toString
+      Seq(1996, 1997, 1998).foreach { py =>
+        writePart(root, s"py=$py/part.jsonl",
+          (1 to 10).map(i => s"""{"k": ${seed * 1000 + py + i}}"""))
+      }
+      root
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("py", IntegerType)))
+    def read(root: String) = ExtendedJson.read(spark, schema, root,
+      Map("partitionColumns" -> "py", "reportPartitioning" -> "true"))
+    val dropA = mkDrop(1)
+    val dropB = mkDrop(2)
+    // GROUP BY the partition column: the layout already clusters by py,
+    // so the final aggregate runs exchange-free on the key groups
+    val agg = read(dropA).groupBy(col("py"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+    assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1996, 10), (1997, 10), (1998, 10)))
+    assert(shuffles(agg).isEmpty,
+      "a partition-key GROUP BY must not exchange")
+    // co-partitioned JOIN: same layout both sides — zero exchange even
+    // with broadcast off (the storage-partitioned join)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = read(dropA).groupBy(col("py")).agg(count(lit(1)).as("n_a"))
+      val b = read(dropB).groupBy(col("py")).agg(sum(col("k")).as("s_b"))
+      val joined = a.join(b, Seq("py"))
+      assert(joined.collect().length == 3)
+      assert(shuffles(joined).isEmpty,
+        "co-partitioned drops must join with zero exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // pruning the partition column away drops the report gracefully —
+    // the query plans and answers as before
+    val pruned = read(dropA).select(col("k")).filter(col("k") > 1000L)
+    assert(pruned.collect().length == 30)
+    // the non-reporting default presents NO partition keys (plans are
+    // byte-identical to pre-feature)
+    val plain = ExtendedJson.read(spark, schema, dropA,
+      Map("partitionColumns" -> "py"))
+      .groupBy(col("py")).agg(count(lit(1)).as("n"))
+    assert(shuffles(plain).nonEmpty,
+      "without the option the aggregate shuffles as before")
+  }
+
   test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {
     import graft.ingest.v2.ZoneMaps
     // the detection below fires ZoneMaps' one-line operator warning by

@@ -770,6 +770,28 @@ class PlanSpec extends AnyFunSuite {
     assert(planned.forall(_.start > 0L), planned.mkString(", "))
   }
 
+  test("q161 storage-partitioned join runs with zero shuffle exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q161_docsource_partitioned_join")(spark, sf)
+    assert(df.collect().nonEmpty)
+    def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+    // both GROUP BYs cluster on the layout keys the scan reports, and
+    // the join rides the same co-partitioning (or broadcasts): at no
+    // point does a row cross an exchange
+    assert(walk(plan).isEmpty, plan.toString.take(800))
+  }
+
   test("q160 sorted-scan top-N parses ~n rows per split, never the corpus") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     spark.catalog.clearCache()
