@@ -413,6 +413,9 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     // plus a shuffle. Pushing would also rebind the relation output
     // (fresh attribute ids), which makes Spark drop the partitioning
     // report entirely. So refuse the pushdown and let the layout win.
+    // (This can never forfeit a metadata-only answer: statsAggAnswer
+    // structurally requires partCols.isEmpty — partition values live in
+    // paths the body-stats sidecar cannot speak for.)
     if (reportPartitioningOn && partCols.nonEmpty &&
       partCols.forall(pc => g.flatten.exists(_.equalsIgnoreCase(pc))))
       return false
@@ -470,12 +473,11 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   /** The metadata-aggregate probe's FILE-level sidecar load (block rows
     * are parquet-filtered out — the probe folds file stats only, and at
     * block-indexed 100 TB the block rows dwarf the file rows). Shared
-    * with the scan ONLY when the probe actually answered: the scan then
-    * plans the answer partition and never consults zone stats again, so
-    * the file-only map is complete for its use. When the probe refuses
-    * (or fails transiently), nothing is cached or preloaded — the scan
-    * makes its own fresh WITH-blocks load, keeping block-level pruning
-    * and retrying past transient read errors.
+    * with the scan unconditionally: the scan's own phase-1 load is
+    * file-level-only too (block rows arrive lazily in phase 1.5, scoped
+    * to min/max survivors), so the probe's map is exactly what the scan
+    * would load itself. A transient read failure caches nothing — the
+    * scan then retries with its own load.
     */
   @volatile private var sidecarLoaded:
       Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None

@@ -766,16 +766,7 @@ object ZoneMaps {
       case None => return Map.empty
       case Some(d) => d
     }
-    val blockRows = df.where(c("boff") >= 0L)
-    val scoped =
-      if (files.size <= 1024)
-        blockRows.where(c("file").isin(files.toSeq: _*))
-      else {
-        val names = spark.createDataFrame(
-          spark.sparkContext.parallelize(files.toSeq.map(Row(_)), 1),
-          StructType(Seq(StructField("file", StringType, nullable = false))))
-        blockRows.join(broadcast(names), Seq("file"))
-      }
+    val scoped = scopeToFiles(spark, df.where(c("boff") >= 0L), files)
     val collected = scoped.select("file", "len", "mtime", "rows", "boff",
       "blen", "col", "typ", "min", "max", "nulls").collect().toSeq
     val parsed = collected.flatMap { r =>
@@ -821,24 +812,9 @@ object ZoneMaps {
       case None => return Map.empty
       case Some(d) => d
     }
-    val filtered = df
+    val scoped = scopeToFiles(spark, df
       .where(c("boff") < 0L && c("bloom").isNotNull &&
-        c("col").isin(cols.toSeq: _*))
-    // the survivor scoping must hold at ANY survivor count: small sets
-    // push an IN filter into the parquet read (row-group pruning on the
-    // file column); larger sets scope through a broadcast join — never
-    // an unrestricted blob collect, which at 100 TB (~1-3 MB of bloom
-    // per large file) would be multi-GB of driver heap for files the
-    // min/max phase already dismissed
-    val scoped =
-      if (files.size <= 1024) filtered.where(c("file").isin(files.toSeq: _*))
-      else {
-        val names = spark.createDataFrame(
-          spark.sparkContext.parallelize(files.toSeq.map(Row(_)), 1),
-          StructType(Seq(StructField("file", StringType, nullable = false))))
-        filtered.join(org.apache.spark.sql.functions.broadcast(names),
-          Seq("file"))
-      }
+        c("col").isin(cols.toSeq: _*)), files)
     scoped.select("file", "len", "mtime", "col", "typ", "bloom")
       .collect().toSeq
       .flatMap { r =>
@@ -857,6 +833,51 @@ object ZoneMaps {
         k -> rows.map { case (_, cn, b) => cn -> b }.toMap
       }
   }
+
+  /** Restrict sidecar rows to the SURVIVOR file set — the one scoping
+    * discipline both lazy loads (block rows, bloom blobs) share, so a
+    * threshold or join-shape change can never drift between them: small
+    * sets push an `IN` filter into the parquet read (row-group pruning
+    * on the file column); larger sets scope through a broadcast join —
+    * never an unrestricted collect, which at 100 TB would be driver heap
+    * paid for files the min/max phase already dismissed.
+    */
+  private def scopeToFiles(spark: SparkSession, df: DataFrame,
+      files: Set[String]): DataFrame =
+    if (files.size <= 1024)
+      df.where(org.apache.spark.sql.functions.col("file")
+        .isin(files.toSeq: _*))
+    else {
+      val names = spark.createDataFrame(
+        spark.sparkContext.parallelize(files.toSeq.map(Row(_)), 1),
+        StructType(Seq(StructField("file", StringType, nullable = false))))
+      df.join(org.apache.spark.sql.functions.broadcast(names), Seq("file"))
+    }
+
+  /** Complete (visible, nonempty) sidecar generations under `dropDir` —
+    * the same rule [[readSidecar]] loads by, so a cadence decision and
+    * the fold see the identical generation set.
+    */
+  def generationCount(spark: SparkSession, dropDir: String): Int = {
+    val p = new Path(s"$dropDir/$SidecarDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && DocListing.visible(st))
+      .count(st => DocListing.walkFiles(fs, Seq(st)).nonEmpty)
+  }
+
+  /** The maintenance CADENCE producers call after a landing: folds the
+    * sidecar ([[compact]]) when more than `maxGenerations` complete
+    * generations exist. `maxGenerations <= 0` disables. Returns whether
+    * a fold ran.
+    */
+  def compactIfOver(spark: SparkSession, dropDir: String,
+      maxGenerations: Int): Boolean =
+    maxGenerations > 0 &&
+      generationCount(spark, dropDir) > maxGenerations && {
+        compact(spark, dropDir); true
+      }
 
   /** Columns probed by equality/IN somewhere in `f` — the only shapes a
     * bloom can answer, hence the only columns worth fetching blobs for.

@@ -953,19 +953,8 @@ object StreamingNearDupIngest {
                 graft.ingest.v2.ZoneMaps.append(spark, acceptedDir,
                   keep.schema, zoneCols, batchTag = s"${runId}_b$batchId",
                   bloomCols = zoneBloomCols, blockBytes = zoneBlockBytes)
-                if (zoneMaxGenerations > 0) {
-                  val sp = new org.apache.hadoop.fs.Path(
-                    s"$acceptedDir/${graft.ingest.v2.ZoneMaps.SidecarDir}")
-                  val sfs = sp.getFileSystem(
-                    spark.sparkContext.hadoopConfiguration)
-                  val nGens =
-                    if (!sfs.exists(sp)) 0
-                    else sfs.listStatus(sp).count(st => st.isDirectory &&
-                      !st.getPath.getName.startsWith("_") &&
-                      !st.getPath.getName.startsWith("."))
-                  if (nGens > zoneMaxGenerations)
-                    graft.ingest.v2.ZoneMaps.compact(spark, acceptedDir)
-                }
+                graft.ingest.v2.ZoneMaps.compactIfOver(spark, acceptedDir,
+                  zoneMaxGenerations)
                 if (writeManifests)
                   graft.sink.CorpusSink.writeManifest(spark, batchAccepted,
                     format = "text")

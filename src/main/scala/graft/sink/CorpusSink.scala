@@ -92,18 +92,9 @@ object CorpusSink {
         graft.ingest.v2.ZoneMaps.build(spark, dir, df.schema, zoneCols,
           bloomCols = bloomCols, blockBytes = blockBytes)
     }
-    if (maxSidecarGenerations > 0 && appendTag.isDefined) {
-      val p = new org.apache.hadoop.fs.Path(
-        s"$dir/${graft.ingest.v2.ZoneMaps.SidecarDir}")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val gens =
-        if (!fs.exists(p)) 0
-        else fs.listStatus(p).count(st => st.isDirectory &&
-          !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-      if (gens > maxSidecarGenerations)
-        graft.ingest.v2.ZoneMaps.compact(spark, dir)
-    }
+    if (appendTag.isDefined)
+      graft.ingest.v2.ZoneMaps.compactIfOver(spark, dir,
+        maxSidecarGenerations)
     indexed
   }
 
