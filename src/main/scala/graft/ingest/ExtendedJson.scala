@@ -23,9 +23,17 @@ object ExtendedJson {
   def read(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.format("graft-extjson").schema(schema).load(path)
 
-  /** Same, with scan options — e.g. `partitionColumns` for a hive-layout
-    * (`k=v` directories) document drop whose partition values come from
-    * the PATH and prune directories at listing time.
+  /** Same, with scan options:
+    *  - `partitionColumns` — hive-layout (`k=v` directories) drops whose
+    *    partition values come from the PATH and prune directories at
+    *    listing time;
+    *  - `zoneMaps=true` — consult the `_graft_zonemaps` sidecar for
+    *    file/block data skipping, metadata-only aggregates, top-N/LIMIT
+    *    pruning, sorted-scan early exit, and zone-aware planner stats;
+    *  - `reportPartitioning=true` — report the hive layout as
+    *    KeyGroupedPartitioning so co-partitioned drops join/aggregate
+    *    with zero exchange (storage-partitioned reads);
+    *  - `maxSplitBytes`, `maxPushedGroups` — split/pushdown tuning.
     */
   def read(spark: SparkSession, schema: StructType, path: String,
       options: Map[String, String]): DataFrame =

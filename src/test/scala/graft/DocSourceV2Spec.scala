@@ -2230,6 +2230,33 @@ class DocSourceV2Spec extends AnyFunSuite {
       .groupBy(col("py")).agg(count(lit(1)).as("n"))
     assert(shuffles(plain).nonEmpty,
       "without the option the aggregate shuffles as before")
+
+    // COMPOSITION with zone maps: a data-column predicate zone-prunes
+    // whole files — emptying one side's key group entirely — while the
+    // join still runs storage-partitioned (mismatched partition values
+    // are pushed down, not an error) and the rows stay exact
+    import graft.ingest.v2.ZoneMaps
+    ZoneMaps.build(spark, dropA, schema, Seq("k"))
+    ZoneMaps.build(spark, dropB, schema, Seq("k"))
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def readZ(root: String) = ExtendedJson.read(spark, schema, root,
+        Map("partitionColumns" -> "py", "reportPartitioning" -> "true",
+          "zoneMaps" -> "true"))
+      // dropA files hold k = 1000 + py + i (i in 1..10): k > 3007
+      // exceeds py=1996's max (3006) and py=1997's max (3007), so zone
+      // maps prune both files outright; only py=1998's tail row survives
+      val left = readZ(dropA).filter(col("k") > 3007L)
+        .groupBy(col("py")).agg(count(lit(1)).as("n_l"))
+      val right = readZ(dropB)
+        .groupBy(col("py")).agg(count(lit(1)).as("n_r"))
+      val j = left.join(right, Seq("py"))
+      assert(j.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set((1998, 1, 10)))
+      assert(shuffles(j).isEmpty,
+        "zone pruning inside key groups must not reintroduce exchanges")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
 
   test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {
