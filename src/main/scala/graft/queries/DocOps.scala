@@ -802,7 +802,45 @@ object DocOps {
       .select(col("status"), col("py"), col("n_orders"), col("sum_cust"))
   }
 
+  /** One RANGE-BANDED sorted landing per (JVM, sfDir):
+    * [[graft.sink.CorpusSink.landJsonlRangeIndexed]] — disjoint price
+    * bands, each band one key-sorted file, block-level stats, sidecar
+    * built in the landing call. The producer API for the layout q148–
+    * q160 exploit piecewise.
+    */
+  private def ordersRangeLandedJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangeland", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgl_$tag")}/orders"
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        "o_totalprice", dir, numBands = 8,
+        zoneCols = Seq("o_totalprice", "o_orderkey"),
+        // fine-grained blocks so even the sf0.001 band files (~12 KB)
+        // carry several: the PlanSpec pin proves intra-band tail reads
+        blockBytes = 2048L)
+      dir
+    })
+
+  /** Top-N over the RANGE-LANDED drop — the q156/q157 capabilities from
+    * a single producer call: `ORDER BY price DESC LIMIT 10` accumulates
+    * the top band's guarantee and prunes every other band FILE, then
+    * block stats inside the surviving band prune down to its tail
+    * blocks (PlanSpec pins one file, partial bytes). Same oracle shape
+    * as q156 — the layout is result-neutral by construction.
+    */
+  private def q162RangeLandedTopN(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_docsource_range_landed_topn" -> q162RangeLandedTopN,
     "q161_docsource_partitioned_join" -> q161PartitionedJoin,
     "q160_docsource_sorted_scan" -> q160SortedScan,
     "q159_docsource_metadata_avg" -> q159MetadataAvg,
@@ -835,6 +873,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q162_docsource_range_landed_topn" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
     "q161_docsource_partitioned_join" ->
       ("WITH g AS (SELECT o_orderstatus AS status, " +
         "CAST(EXTRACT(year FROM o_orderdate) AS INT) AS py, " +

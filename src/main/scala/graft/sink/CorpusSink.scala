@@ -98,6 +98,79 @@ object CorpusSink {
     indexed
   }
 
+  /** RANGE-BANDED, key-sorted, write-time-indexed JSONL landing — the
+    * producer of the layout every consumer-side skipping feature
+    * exploits at once: each band owns a DISJOINT range of `sortCol`
+    * (zone top-N/min-max pruning plans one band, not the listing), each
+    * band lands as ONE file sorted on the key (the sidecar's `sorted`
+    * proof → `ORDER BY key LIMIT n` early exit; `blockBytes` → tail/head
+    * block reads), and the `_graft_zonemaps` sidecar is maintained in
+    * the same call ([[landJsonlIndexed]] contract: build fresh, or
+    * append under a replay-convergent tag, self-compacting past
+    * `maxSidecarGenerations`).
+    *
+    * Band boundaries come from `percentile_approx` over the data itself
+    * — an aggregation, not `repartitionByRange`'s RangePartitioner
+    * SAMPLE (whose seed derives from the RDD id, so two runs of the
+    * same pipeline can band identical data differently). Given the same
+    * input, the boundaries, band assignment, in-file order, and
+    * file-to-band mapping are all reproducible — the [[writeSharded]]
+    * determinism posture, for a range layout. Rows land under
+    * `band=<i>/part-…` directories (plain nested dirs to the reader —
+    * `band` is layout, not schema); nulls sort into band 0. Returns
+    * files indexed.
+    */
+  def landJsonlRangeIndexed(df: DataFrame, sortCol: String, dir: String,
+      numBands: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
+      blockBytes: Long = 0L, appendTag: Option[String] = None,
+      maxSidecarGenerations: Int = 0): Long = {
+    require(numBands > 0, "numBands > 0")
+    require(zoneCols.contains(sortCol),
+      s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols) — " +
+        "an unindexed sort key would land a layout nothing can exploit")
+    appendTag.foreach(tag => require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"appendTag '$tag' must be a plain directory-safe token"))
+    val spark = df.sparkSession
+    val target = appendTag match {
+      case Some(tag) => s"$dir/batch_$tag"
+      case None => dir
+    }
+    // interior boundaries at i/numBands quantiles; equal boundaries
+    // (skew) just collapse bands — empty bands write no directory
+    val bounds: Seq[Double] =
+      if (numBands == 1) Nil
+      else {
+        val probs = (1 until numBands).map(_.toDouble / numBands)
+        df.agg(percentile_approx(col(sortCol).cast("double"),
+          array(probs.map(lit): _*), lit(10000)).as("b"))
+          .head().getSeq[Double](0).toSeq
+      }
+    // band(v) = number of boundaries strictly below v — monotone, so
+    // bands cover disjoint ranges; a null comparison yields null → the
+    // otherwise(0) leg → nulls land in band 0
+    val bandExpr = bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(col(sortCol).cast("double") > lit(b), 1).otherwise(0))
+    df.withColumn("band", bandExpr)
+      .repartition(numBands, col("band"))
+      .sortWithinPartitions(col("band"), col(sortCol))
+      .select(col("band"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").partitionBy("band").text(target)
+    val indexed = appendTag match {
+      case Some(tag) =>
+        graft.ingest.v2.ZoneMaps.append(spark, dir, df.schema, zoneCols,
+          batchTag = tag, bloomCols = bloomCols, blockBytes = blockBytes)
+      case None =>
+        graft.ingest.v2.ZoneMaps.build(spark, dir, df.schema, zoneCols,
+          bloomCols = bloomCols, blockBytes = blockBytes)
+    }
+    if (appendTag.isDefined)
+      graft.ingest.v2.ZoneMaps.compactIfOver(spark, dir,
+        maxSidecarGenerations)
+    indexed
+  }
+
   /** One shard file's attestation: row count and an ORDER-FREE content
     * hash (sum of per-row `xxhash64(all columns)` — addition commutes, so
     * the digest is independent of read parallelism and row order, while

@@ -99,6 +99,73 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(src.count() == 400L, "the failed landing must write nothing")
   }
 
+  test("landJsonlRangeIndexed: disjoint sorted bands, reproducible layout, one-band probes") {
+    import org.apache.spark.sql.types._
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("score", DoubleType)))
+    // deterministic but shuffled input: ids 1..400, score = a bijection
+    val data = (1 to 400).map(i =>
+      (i.toLong, ((i * 137) % 400) * 10.0)).toDF("doc_id", "score")
+    def land(dir: String): Long = CorpusSink.landJsonlRangeIndexed(
+      data, "score", dir, numBands = 4,
+      zoneCols = Seq("score", "doc_id"))
+    val d1 = Files.createTempDirectory("graft_rgl1").toString + "/docs"
+    val d2 = Files.createTempDirectory("graft_rgl2").toString + "/docs"
+    assert(land(d1) == 4L)
+    assert(land(d2) == 4L)
+    // REPRODUCIBLE: same input → byte-identical band files both runs
+    def bandFiles(dir: String): Map[String, Seq[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("band="))
+        .flatMap(b => b.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        .map(f => s"${f.getParentFile.getName}" ->
+          new String(Files.readAllBytes(f.toPath), "UTF-8"))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq.sorted }
+    }
+    assert(bandFiles(d1) == bandFiles(d2),
+      "range landing must be rerun-reproducible")
+    // DISJOINT sorted bands: per-file [min, max] ranges never overlap,
+    // every file carries the sorted proof, and rows are all there
+    val stats = ZoneMaps.loadStats(spark, d1, schema).values.toSeq
+    assert(stats.size == 4)
+    assert(stats.forall(_.cols("score").sorted),
+      "every band file must be key-sorted")
+    val ranges = stats.map(s => (
+      s.cols("score").min.get.asInstanceOf[Double],
+      s.cols("score").max.get.asInstanceOf[Double])).sortBy(_._1)
+    assert(ranges.zip(ranges.tail).forall { case (a, b) => a._2 < b._1 },
+      s"bands must own disjoint ranges: $ranges")
+    def src = graft.ingest.ExtendedJson.read(spark, schema, d1,
+      Map("zoneMaps" -> "true"))
+    assert(src.count() == 400L)
+    // a top-band range probe plans exactly one file
+    val probe = src.filter(col("score") >= ranges.last._1)
+    probe.collect()
+    val planned = probe.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      .head.asInstanceOf[graft.ingest.v2.ExtJsonScan].planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition].file).distinct
+    assert(planned.length == 1, s"one band must plan: $planned")
+    // append path: a later batch lands banded under its own tag and the
+    // sidecar generation rides along (replay-convergent by tag)
+    val extra = (401 to 450).map(i => (i.toLong, 5000.0 + i))
+      .toDF("doc_id", "score")
+    assert(CorpusSink.landJsonlRangeIndexed(extra, "score", d1,
+      numBands = 2, zoneCols = Seq("score", "doc_id"),
+      appendTag = Some("b1")) == 2L)
+    assert(src.count() == 450L)
+    val hi = src.filter(col("score") > 4999.0)
+    assert(hi.count() == 50L)
+    // the sort key must be zone-indexed — an unindexed key refuses loudly
+    val bad = intercept[IllegalArgumentException](
+      CorpusSink.landJsonlRangeIndexed(extra, "score", d1, 2,
+        zoneCols = Seq("doc_id")))
+    assert(bad.getMessage.contains("zone-indexed"))
+  }
+
   test("landJsonlIndexed maxSidecarGenerations: landings self-compact past the cadence") {
     import org.apache.spark.sql.types._
     import graft.ingest.v2.ZoneMaps

@@ -1964,6 +1964,57 @@ class DocSourceV2Spec extends AnyFunSuite {
       "a null must break the sorted proof")
   }
 
+  test("split-parallel build equivalence sweep: random lines, split sizes, block sizes — byte-identical sidecars") {
+    import graft.ingest.v2.ZoneMaps
+    val schema = StructType(Seq(
+      StructField("k", DoubleType), StructField("s", StringType)))
+    // the full sidecar rows — min/max/null/sum/sorted/nblocks AND the
+    // serialized bloom bytes — as a comparable set (bloom bit positions
+    // depend only on the inserted key set, so single-task and merged
+    // filters must be bit-identical, not merely equivalent)
+    def rows(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/${ZoneMaps.SidecarDir}/base").collect()
+        .map(_.toSeq.map {
+          case a: Array[Byte] => a.toSeq
+          case x => x
+        }).toSet
+    // collision-dense value pool: signed zeros, extremes, duplicates,
+    // nulls, absent fields, empty lines, with/without trailing newline
+    val pool = Seq("-0.0", "0.0", "1.0", "-1.0", "1e300", "-1e300",
+      "123.456", "2.0", "2.0", "3.5")
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val lines = (0 until 30 + rnd.nextInt(50)).map { i =>
+        rnd.nextInt(10) match {
+          case 0 => "" // blank line: skipped by builder and readers alike
+          case 1 => s"""{"s": "only${rnd.nextInt(5)}"}""" // k absent → null
+          case _ =>
+            s"""{"k": ${pool(rnd.nextInt(pool.size))}, "s": "v${rnd.nextInt(7)}"}"""
+        }
+      }
+      val body = lines.mkString("\n") + (if (rnd.nextBoolean()) "\n" else "")
+      val blockBytes = Seq(0L, 24L, 120L)(rnd.nextInt(3))
+      val splitBytes = Seq(23L, 57L, 120L, 1000L)(rnd.nextInt(4))
+      def mk(tag: String, split: Long): String = {
+        val d = Files.createTempDirectory(s"graft_v2eq${seed}$tag").toString
+        Files.write(Paths.get(d, "f.jsonl"), body.getBytes("UTF-8"))
+        ZoneMaps.build(spark, d, schema, Seq("k", "s"),
+          bloomCols = Seq("s"), blockBytes = blockBytes,
+          statSplitBytes = split)
+        d
+      }
+      val one = mk("a", Long.MaxValue / 4) // single task
+      val many = mk("b", splitBytes) // up to dozens of tasks
+      // identical LAYOUT keys aside (len/mtime match: same bytes, but
+      // mtime can differ between writes — strip the mtime column)
+      def noMtime(r: Set[Seq[Any]]): Set[Seq[Any]] =
+        r.map(row => row.patch(2, Nil, 1))
+      assert(noMtime(rows(many)) == noMtime(rows(one)),
+        s"seed $seed (blockBytes=$blockBytes, splitBytes=$splitBytes): " +
+          "split-parallel sidecar diverged from the single-task build")
+    }
+  }
+
   test("block rows load lazily: file-level plans fetch none, block plans fetch survivors only") {
     import graft.ingest.v2.ZoneMaps
     val schema = StructType(Seq(StructField("k", LongType)))

@@ -770,6 +770,30 @@ class PlanSpec extends AnyFunSuite {
     assert(planned.forall(_.start > 0L), planned.mkString(", "))
   }
 
+  test("q162 range-landed drop: top-N plans one band file's tail blocks") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = plan("q162_docsource_range_landed_topn")
+    val p = qe.executedPlan
+    val scans = p.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1)
+    val s = scans.head
+    assert(s.pushedTopN == 10, s.description())
+    val planned = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition])
+    // the 8 disjoint bands reduce to ONE surviving file (top-N zone
+    // pruning), and its block stats cut that file to a tail range
+    val files = planned.map(_.file).distinct
+    assert(files.length == 1,
+      s"expected one surviving band, planned ${files.mkString(", ")}")
+    val fileLen = new java.io.File(
+      new java.net.URI(files.head).getPath).length()
+    val plannedBytes = planned.map(_.length).sum
+    assert(plannedBytes < fileLen,
+      s"expected tail-block planning: $plannedBytes of $fileLen bytes")
+  }
+
   test("q161 storage-partitioned join runs with zero shuffle exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
