@@ -97,6 +97,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // never be silent); see graft.plans.SimilarityJoinStrategy
     ext.injectPlannerStrategy(session =>
       new graft.plans.SimilarityJoinStrategy(session))
+    // exchange-free global ORDER BY over range-landed drops: when the
+    // zone-map sidecar proves strictly-disjoint sorted bands, the sort
+    // IS the layout — no SortExec, no range Exchange. EXACT (unlike the
+    // similarity join), so no opt-in conf; unprovable falls through.
+    ext.injectPlannerStrategy(session =>
+      new graft.plans.OrderedScanStrategy(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

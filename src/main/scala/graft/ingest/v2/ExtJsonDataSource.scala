@@ -1648,6 +1648,54 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     else parts.toArray[InputPartition]
   }
 
+  /** ORDERED-BAND plan for an exchange-free global `ORDER BY col`
+    * ([[graft.plans.OrderedScanStrategy]]): Some(bands) when the sidecar
+    * PROVES the planned files form strictly-disjoint, internally-sorted
+    * bands on `colName` — each band's splits grouped in offset order
+    * (one sequential reader per band preserves file order; pushed
+    * filters and block pruning only REMOVE rows, never reorder), bands
+    * ordered by their minima. Strict disjointness (`max(i) < min(i+1)`)
+    * is what makes the physical RangePartitioning claim honest for
+    * CLUSTERED distributions too: equal keys can never straddle bands
+    * (band assignment is a function of the value). Refuses (None) on
+    * any gap: option off, metadata answer planned, storage-partitioned
+    * mode (key-grouped wrappers), a stats-less/stale/unsorted/nullable
+    * file, a zero-row file, or overlapping ranges.
+    */
+  private[graft] def orderedBandPartitions(
+      colName: String): Option[Seq[Seq[ExtJsonInputPartition]]] = {
+    if (!zoneMaps || statsAnswer.isDefined || reportPartitioning) return None
+    val dt = FilterEval.resolve(colName, fullSchema)
+      .map(_.leaf.dataType).getOrElse(return None)
+    if (!ZoneMaps.indexable(dt)) return None
+    val parts = planInputPartitions().toSeq
+    if (parts.isEmpty) return None
+    val splits = parts.map {
+      case p: ExtJsonInputPartition => p
+      case _ => return None
+    }
+    val statusByPath = listing.map { case (f, _) =>
+      f.getPath.toString -> f
+    }.toMap
+    val maybeBands = splits.groupBy(_.file).toSeq.map { case (file, ps) =>
+      for {
+        st <- statusByPath.get(file)
+        rel = zoneRootUri.relativize(st.getPath.toUri).getPath
+        fs <- zoneStats.get((rel, st.getLen, st.getModificationTime))
+        cs <- fs.cols.get(colName)
+        if cs.sorted && cs.nulls == 0L && cs.rows > 0L &&
+          cs.min.isDefined && cs.max.isDefined
+      } yield (cs.min.get, cs.max.get, ps.sortBy(_.start))
+    }
+    if (maybeBands.exists(_.isEmpty)) return None
+    val bands = maybeBands.flatten.sortWith((a, b) =>
+      FilterEval.compareInternal(dt, a._1, b._1) < 0)
+    val disjoint = bands.zip(bands.drop(1)).forall { case (a, b) =>
+      FilterEval.compareInternal(dt, a._2, b._1) < 0
+    }
+    if (disjoint) Some(bands.map(_._3)) else None
+  }
+
   /** Expand the glob and RECURSE into matched directories: a nested
     * document drop (`orders/date=…/part-….jsonl`) reads completely — the
     * one-level listing this replaces silently dropped subdirectory trees,

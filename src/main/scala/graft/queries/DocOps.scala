@@ -839,7 +839,25 @@ object DocOps {
       .limit(10)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** EXCHANGE-FREE global ORDER BY — the planner rung over the q162
+    * layout: the sidecar proves the range-landed drop's bands strictly
+    * disjoint and internally sorted, so
+    * [[graft.plans.OrderedScanStrategy]] replaces the global sort with
+    * [[graft.plans.OrderedBandScanExec]] — one sequential reader per
+    * band, NO SortExec, NO range Exchange (PlanSpec-pinned; at 100 TB
+    * the sort's shuffle is the materialization's entire cost). The
+    * oracle checks the row SET (the driver's compare is order-free);
+    * the ordering guarantee itself is spec-pinned, the q147 precedent
+    * for plan-level claims.
+    */
+  private def q163OrderedScan(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_docsource_ordered_scan" -> q163OrderedScan,
     "q162_docsource_range_landed_topn" -> q162RangeLandedTopN,
     "q161_docsource_partitioned_join" -> q161PartitionedJoin,
     "q160_docsource_sorted_scan" -> q160SortedScan,
@@ -873,6 +891,8 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q163_docsource_ordered_scan" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
     "q162_docsource_range_landed_topn" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),

@@ -2310,6 +2310,84 @@ class DocSourceV2Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
 
+  test("exchange-free ORDER BY: proven sorted bands plan no SortExec and no Exchange") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.ingest.v2.ZoneMaps
+    import graft.plans.OrderedBandScanExec
+    def nodes(df: DataFrame): Seq[SparkPlan] = {
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan)
+    }
+    // three strictly-disjoint sorted bands (the landJsonlRangeIndexed
+    // shape, hand-laid for exact control)
+    val root = Files.createTempDirectory("graft_v2oband").toString
+    def band(name: String, range: Range): Unit =
+      Files.write(Paths.get(root, name),
+        (range.map(i => s"""{"k": $i, "s": "v$i"}""").mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+    band("b0.jsonl", 1 to 40)
+    band("b1.jsonl", 41 to 80)
+    band("b2.jsonl", 81 to 120)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    // the global ASC sort IS the layout: OrderedBandScan plans, no
+    // SortExec, no exchange of any kind, rows arrive globally ordered
+    val sorted = src.orderBy(col("k"))
+    val got = sorted.collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 120L).toSeq, "rows must arrive globally sorted")
+    val ns = nodes(sorted)
+    assert(ns.exists(_.isInstanceOf[OrderedBandScanExec]), ns.map(_.nodeName))
+    assert(!ns.exists(_.isInstanceOf[SortExec]), "no SortExec may plan")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "no exchange may plan")
+    // a pushed filter composes: removal never reorders
+    val filtered = src.filter(col("k") > 50L).orderBy(col("k"))
+    assert(filtered.collect().map(_.getLong(0)).toSeq == (51L to 120L).toSeq)
+    assert(nodes(filtered).exists(_.isInstanceOf[OrderedBandScanExec]))
+    // (the exec also claims RangePartitioning's clustered property —
+    // honest only because of STRICT band disjointness; a groupBy over
+    // the sorted frame can't observe it, since EliminateSorts removes
+    // the Sort under an Aggregate and the ordinary scan plans instead)
+    // DESC is out of scope: the ordinary sort plans
+    val desc = src.orderBy(col("k").desc)
+    assert(desc.collect().map(_.getLong(0)).toSeq == (120L to 1L by -1L).toSeq)
+    assert(nodes(desc).exists(_.isInstanceOf[SortExec]))
+    // an UNSORTED file breaks the proof: falls through to the real sort
+    val uroot = Files.createTempDirectory("graft_v2obandu").toString
+    Files.write(Paths.get(uroot, "u.jsonl"),
+      """{"k": 5, "s": "a"}
+{"k": 2, "s": "b"}""".getBytes("UTF-8"))
+    ZoneMaps.build(spark, uroot, schema, Seq("k"))
+    val usorted = ExtendedJson.read(spark, schema, uroot,
+      Map("zoneMaps" -> "true")).orderBy(col("k"))
+    assert(usorted.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    assert(nodes(usorted).exists(_.isInstanceOf[SortExec]))
+    // OVERLAPPING sorted files break band disjointness: fall through
+    val oroot = Files.createTempDirectory("graft_v2obando").toString
+    Files.write(Paths.get(oroot, "a.jsonl"),
+      (1 to 20).map(i => s"""{"k": $i, "s": "x"}""").mkString("\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(oroot, "b.jsonl"),
+      (10 to 30).map(i => s"""{"k": $i, "s": "y"}""").mkString("\n")
+        .getBytes("UTF-8"))
+    ZoneMaps.build(spark, oroot, schema, Seq("k"))
+    val osorted = ExtendedJson.read(spark, schema, oroot,
+      Map("zoneMaps" -> "true")).orderBy(col("k"))
+    assert(osorted.collect().map(_.getLong(0)).length == 41)
+    assert(nodes(osorted).exists(_.isInstanceOf[SortExec]),
+      "overlapping bands must fall through to the real sort")
+  }
+
   test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {
     import graft.ingest.v2.ZoneMaps
     // the detection below fires ZoneMaps' one-line operator warning by

@@ -770,6 +770,33 @@ class PlanSpec extends AnyFunSuite {
     assert(planned.forall(_.start > 0L), planned.mkString(", "))
   }
 
+  test("q163 global ORDER BY over sorted bands plans no SortExec and no Exchange") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q163_docsource_ordered_scan")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    // the rows arrive GLOBALLY ordered with no sort operator anywhere —
+    // the layout is the sort
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "rows must arrive globally sorted")
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val ns = walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the global sort must cost neither a SortExec nor an Exchange")
+  }
+
   test("q162 range-landed drop: top-N plans one band file's tail blocks") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val qe = plan("q162_docsource_range_landed_topn")
