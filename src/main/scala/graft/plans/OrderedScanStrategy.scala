@@ -4,11 +4,11 @@ import org.apache.spark.{Partition, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, NullsFirst, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, NullsFirst, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
-import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{LeafExecNode, SortExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -20,40 +20,58 @@ import graft.ingest.v2.{ExtJsonInputPartition, ExtJsonScan}
   * sidecar proves the scan's surviving files form strictly-disjoint,
   * internally-sorted key bands
   * ([[graft.sink.CorpusSink.landJsonlRangeIndexed]] writes exactly this
-  * layout), a global single-key ascending sort IS the layout — the
-  * strategy replaces `Sort(global)` over the scan with
-  * [[OrderedBandScanExec]], one sequential reader per band, claiming
-  * `RangePartitioning` + per-partition ordering. Spark then plans NO
-  * SortExec and NO range Exchange: at 100 TB the difference between a
-  * metadata decision and the single largest shuffle a sorted
-  * materialization pays. The transformation is EXACT (band order ∘ file
-  * order = global order; pushed filters only remove rows), so unlike the
-  * approximate similarity-join strategy it needs no opt-in conf — any
-  * unprovable condition falls through to the ordinary sort.
+  * layout), a global sort whose FIRST key is that band key never pays
+  * the range Exchange — at 100 TB the single largest cost of a sorted
+  * materialization. The strategy replaces `Sort(global)` over the scan
+  * with [[OrderedBandScanExec]] (one sequential reader per band, bands
+  * in key order — reversed for DESC — claiming `RangePartitioning` over
+  * the requested order; strict band disjointness makes the claim honest
+  * for the FULL order: the first key alone decides every cross-band
+  * comparison):
   *
-  * Scope, deliberately narrow and provable:
-  *  - single ASC NULLS FIRST key (the sorted proof is null-free, so
-  *    nulls-first vs -last is vacuous; DESC would need a reversed read);
-  *  - the key resolves to a TOP-LEVEL scan output column with fresh
-  *    sidecar proofs on every planned file (ExtJsonScan
-  *    .orderedBandPartitions holds the full gate list);
-  *  - `Sort + Limit` shapes never reach here — Spark's own
-  *    TakeOrderedAndProject plans them first, composing with the scan's
-  *    pushed top-N and the sorted-scan early exit instead.
+  *  - single ASC NULLS FIRST key: the layout IS the sort — no SortExec
+  *    at all, rows stream out in global order;
+  *  - DESC, or extra tiebreak keys: a per-band LOCAL SortExec reorders
+  *    within bands (memory-bounded by the band, spillable, shuffle-free)
+  *    — the exchange, not the comparator, is what a 100 TB sort pays
+  *    for, and it is gone in every accepted shape.
+  *
+  * The transformation is EXACT (band order ∘ in-band order = global
+  * order; pushed filters only remove rows; the proof's null-freedom
+  * makes null-ordering vacuous), so unlike the approximate
+  * similarity-join strategy it needs no opt-in conf — any unprovable
+  * condition (unindexed/stale/unsorted/nullable files, overlapping
+  * bands, non-column first key) falls through to the ordinary sort.
+  * `Sort + Limit` shapes never reach here — Spark's own
+  * TakeOrderedAndProject plans them first, composing with the scan's
+  * pushed top-N and the sorted-scan early exit instead.
   */
 class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case s: Sort if s.global =>
-      (s.order, s.child) match {
-        case (Seq(so @ SortOrder(attr: AttributeReference, Ascending,
-            NullsFirst, _)), rel: DataSourceV2ScanRelation) =>
+    case s: Sort if s.global && s.order.nonEmpty =>
+      (s.order.head, s.child) match {
+        case (first @ SortOrder(attr: AttributeReference,
+            Ascending | Descending, _, _), rel: DataSourceV2ScanRelation) =>
           rel.scan match {
             case scan: ExtJsonScan
-              if rel.output.exists(_.exprId == attr.exprId) =>
+              if rel.output.exists(_.exprId == attr.exprId) &&
+                s.order.forall(_.references.subsetOf(rel.outputSet)) =>
               scan.orderedBandPartitions(attr.name) match {
                 case Some(bands) if bands.nonEmpty =>
-                  OrderedBandScanExec(rel.output, Seq(so), scan, bands) :: Nil
+                  val desc = first.direction == Descending
+                  val ordered =
+                    OrderedBandScanExec(rel.output, s.order, scan,
+                      if (desc) bands.reverse else bands,
+                      // the read streams rows ASC in-band: only the
+                      // single-ASC-NULLS-FIRST shape may claim the
+                      // requested ordering verbatim (null ordering is
+                      // vacuous — the proof is null-free — but the
+                      // claim must still match the ask exactly)
+                      claimOrdering = !desc && s.order.length == 1 &&
+                        first.nullOrdering == NullsFirst)
+                  if (ordered.claimOrdering) ordered :: Nil
+                  else SortExec(s.order, global = false, ordered) :: Nil
                 case _ => Nil
               }
             case _ => Nil
@@ -64,16 +82,21 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
   }
 }
 
-/** One band = one partition, read sequentially in offset order; bands in
-  * key order. `outputPartitioning` claims what the sidecar proved:
-  * ranges are strictly disjoint (equal keys never straddle bands), so
-  * `RangePartitioning(sortOrder)` is honest for both ordered and
-  * clustered distributions, and `outputOrdering` carries the in-band
-  * proof — consumers requiring a global sort get it for free.
+/** One band = one partition, read sequentially in offset order; bands
+  * ordered by the requested direction. `outputPartitioning` claims what
+  * the sidecar proved: ranges are strictly disjoint (equal first keys
+  * never straddle bands, so the first key decides every cross-band
+  * comparison under the FULL requested order), making
+  * `RangePartitioning(sortOrder)` honest for ordered and clustered
+  * distributions alike. `claimOrdering` additionally exposes the
+  * in-band row order — true only for the single-ASC-NULLS-FIRST shape,
+  * where the stream already IS the requested order; other shapes get a
+  * local SortExec above (the strategy adds it).
   */
 case class OrderedBandScanExec(output: Seq[Attribute],
     sortOrder: Seq[SortOrder], @transient scan: ExtJsonScan,
-    @transient bands: Seq[Seq[ExtJsonInputPartition]]) extends LeafExecNode {
+    @transient bands: Seq[Seq[ExtJsonInputPartition]],
+    claimOrdering: Boolean) extends LeafExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
@@ -83,7 +106,8 @@ case class OrderedBandScanExec(output: Seq[Attribute],
     if (bands.length == 1) SinglePartition
     else RangePartitioning(sortOrder, bands.length)
 
-  override def outputOrdering: Seq[SortOrder] = sortOrder
+  override def outputOrdering: Seq[SortOrder] =
+    if (claimOrdering) sortOrder else Nil
 
   override def simpleStringWithNodeId(): String =
     s"OrderedBandScan(${sortOrder.mkString(", ")}, bands=${bands.length})"

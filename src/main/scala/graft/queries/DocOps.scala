@@ -856,7 +856,20 @@ object DocOps {
       .orderBy(col("o_totalprice"))
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** The DESC form of q163: bands read in REVERSE key order with a
+    * per-band LOCAL sort (memory-bounded by the band, shuffle-free) —
+    * the range Exchange, a 100 TB sort's dominant cost, is gone in
+    * every accepted shape; only the single-ASC-key form drops the
+    * comparator too. PlanSpec pins local-only SortExec + zero Exchange.
+    */
+  private def q164OrderedScanDesc(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice").desc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_docsource_ordered_scan_desc" -> q164OrderedScanDesc,
     "q163_docsource_ordered_scan" -> q163OrderedScan,
     "q162_docsource_range_landed_topn" -> q162RangeLandedTopN,
     "q161_docsource_partitioned_join" -> q161PartitionedJoin,
@@ -891,6 +904,8 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q164_docsource_ordered_scan_desc" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
     "q163_docsource_ordered_scan" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "q162_docsource_range_landed_topn" ->

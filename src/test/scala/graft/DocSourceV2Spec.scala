@@ -2358,10 +2358,24 @@ class DocSourceV2Spec extends AnyFunSuite {
     // honest only because of STRICT band disjointness; a groupBy over
     // the sorted frame can't observe it, since EliminateSorts removes
     // the Sort under an Aggregate and the ordinary scan plans instead)
-    // DESC is out of scope: the ordinary sort plans
+    // DESC: bands read in REVERSE order + a per-band LOCAL sort — the
+    // exchange (the 100 TB cost) is still gone
     val desc = src.orderBy(col("k").desc)
     assert(desc.collect().map(_.getLong(0)).toSeq == (120L to 1L by -1L).toSeq)
-    assert(nodes(desc).exists(_.isInstanceOf[SortExec]))
+    val dns = nodes(desc)
+    assert(dns.exists(_.isInstanceOf[OrderedBandScanExec]), dns.map(_.nodeName))
+    assert(dns.collect { case se: SortExec => se }.forall(!_.global),
+      "DESC needs only a LOCAL per-band sort")
+    assert(dns.exists { case se: SortExec => !se.global; case _ => false })
+    assert(!dns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the DESC sort must not exchange either")
+    // tiebreak keys: local sort reorders WITHIN bands, first-key band
+    // order still decides across bands — no exchange
+    val tie = src.orderBy(col("k").asc, col("s").desc)
+    assert(tie.collect().map(_.getLong(0)).toSeq == (1L to 120L).toSeq)
+    val tns = nodes(tie)
+    assert(tns.exists(_.isInstanceOf[OrderedBandScanExec]) &&
+      !tns.exists(_.isInstanceOf[ShuffleExchangeLike]), tns.map(_.nodeName))
     // an UNSORTED file breaks the proof: falls through to the real sort
     val uroot = Files.createTempDirectory("graft_v2obandu").toString
     Files.write(Paths.get(uroot, "u.jsonl"),

@@ -797,6 +797,33 @@ class PlanSpec extends AnyFunSuite {
       "the global sort must cost neither a SortExec nor an Exchange")
   }
 
+  test("q164 DESC ordered scan: reversed bands + local sort, still no exchange") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q164_docsource_ordered_scan_desc")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)),
+      "rows must arrive globally DESC-sorted")
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val ns = walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    val sorts = ns.collect { case se: SortExec => se }
+    assert(sorts.nonEmpty && sorts.forall(!_.global),
+      "DESC pays only a per-band LOCAL sort")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the exchange must be gone in every accepted shape")
+  }
+
   test("q162 range-landed drop: top-N plans one band file's tail blocks") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val qe = plan("q162_docsource_range_landed_topn")
