@@ -1662,7 +1662,23 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * mode (key-grouped wrappers), a stats-less/stale/unsorted/nullable
     * file, a zero-row file, or overlapping ranges.
     */
+  @volatile private var orderedBandCache:
+      Map[String, Option[Seq[Seq[ExtJsonInputPartition]]]] = Map.empty
+
   private[graft] def orderedBandPartitions(
+      colName: String): Option[Seq[Seq[ExtJsonInputPartition]]] =
+    orderedBandCache.getOrElse(colName, {
+      val computed = computeOrderedBands(colName)
+      orderedBandCache += colName -> computed
+      computed
+    })
+
+  /** The uncached probe — runs the scan's full partition planning, so a
+    * refusal must not be recomputed per strategy invocation / AQE round
+    * (the memo above; the listing and phase-1 stats are cached either
+    * way, but zone pruning is re-evaluated per call).
+    */
+  private def computeOrderedBands(
       colName: String): Option[Seq[Seq[ExtJsonInputPartition]]] = {
     if (!zoneMaps || statsAnswer.isDefined || reportPartitioning) return None
     val dt = FilterEval.resolve(colName, fullSchema)

@@ -144,14 +144,21 @@ private final class OrderedBandRDD(
     val proj = UnsafeProjection.create(schema)
     split.asInstanceOf[BandPartition].splits.iterator.flatMap { p =>
       val reader = factory.createReader(p)
-      context.addTaskCompletionListener[Unit](_ => reader.close())
+      // closed EAGERLY at exhaustion — a wide band chops into many
+      // splits and one open stream per split held to task completion
+      // would exhaust file descriptors; the completion listener stays
+      // as the failure-path (task-killed mid-band) safety net, and
+      // Hadoop stream close is idempotent
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+      context.addTaskCompletionListener[Unit](_ => closeOnce())
       new Iterator[InternalRow] {
         private var ready = false
         private var done = false
         override def hasNext: Boolean = {
           if (!ready && !done) {
             ready = reader.next()
-            done = !ready
+            if (!ready) { done = true; closeOnce() }
           }
           ready
         }

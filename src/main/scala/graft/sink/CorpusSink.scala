@@ -63,27 +63,37 @@ object CorpusSink {
       blockBytes: Long = 0L, appendTag: Option[String] = None,
       maxSidecarGenerations: Int = 0): Long = {
     require(numShards > 0, "numShards > 0")
-    // validate the tag BEFORE anything lands: a bad tag failing in the
-    // sidecar step would leave a written-but-unindexed batch behind (a
-    // slash would even nest it under an unexpected path)
+    landIndexed(df, dir, zoneCols, bloomCols, blockBytes, appendTag,
+      maxSidecarGenerations) { target =>
+      df.repartition(numShards, col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+        .write.mode("overwrite").text(target)
+    }
+  }
+
+  /** The one landing TAIL both indexed-JSONL producers share: tag
+    * validation BEFORE anything lands (a bad tag failing in the sidecar
+    * step would leave a written-but-unindexed batch behind — a slash
+    * would even nest it under an unexpected path), the deterministic
+    * `batch_<tag>` target (overwrite — the replay-idempotence contract
+    * shared with the streaming ingests: a re-offered batch converges,
+    * and its sidecar generation converges with it), the build-or-append
+    * sidecar step, and the compaction cadence. One copy, so the landing
+    * contract can never drift between the hash and range layouts.
+    */
+  private def landIndexed(df: DataFrame, dir: String, zoneCols: Seq[String],
+      bloomCols: Seq[String], blockBytes: Long, appendTag: Option[String],
+      maxSidecarGenerations: Int)(write: String => Unit): Long = {
     appendTag.foreach(tag => require(tag.nonEmpty && tag.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
       s"appendTag '$tag' must be a plain directory-safe token"))
     val spark = df.sparkSession
-    // an appended batch lands in its own DETERMINISTIC subdirectory
-    // (`batch_<tag>`, overwrite) — the replay-idempotence contract shared
-    // with the streaming ingests: a re-offered batch converges to one
-    // copy instead of duplicating, and its sidecar generation (same tag,
-    // same overwrite discipline) converges with it. The scan's recursive
-    // listing reads nested drops natively.
     val target = appendTag match {
       case Some(tag) => s"$dir/batch_$tag"
       case None => dir
     }
-    df.repartition(numShards, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .select(to_json(struct(df.columns.map(col): _*)).as("value"))
-      .write.mode("overwrite").text(target)
+    write(target)
     val indexed = appendTag match {
       case Some(tag) =>
         graft.ingest.v2.ZoneMaps.append(spark, dir, df.schema, zoneCols,
@@ -111,14 +121,24 @@ object CorpusSink {
     *
     * Band boundaries come from `percentile_approx` over the data itself
     * — an aggregation, not `repartitionByRange`'s RangePartitioner
-    * SAMPLE (whose seed derives from the RDD id, so two runs of the
-    * same pipeline can band identical data differently). Given the same
-    * input, the boundaries, band assignment, in-file order, and
-    * file-to-band mapping are all reproducible — the [[writeSharded]]
-    * determinism posture, for a range layout. Rows land under
-    * `band=<i>/part-…` directories (plain nested dirs to the reader —
-    * `band` is layout, not schema); nulls sort into band 0. Returns
-    * files indexed.
+    * SAMPLE (whose seed derives from the RDD id and changes run to run
+    * even over identical input). Honest determinism contract: band
+    * ASSIGNMENT is a pure function of (value, boundaries) and in-file
+    * order carries a full-row tiebreak, so the layout is reproducible
+    * whenever the boundary aggregation is — which holds for a repeated
+    * run of the same plan over the same input layout; a DIFFERENT
+    * upstream partitioning can merge the percentile sketches in another
+    * order and shift rows near a boundary into the adjacent band. Every
+    * consumer-facing invariant (disjoint bands, per-file sorted proof)
+    * holds under ANY boundary set — boundaries only place the cuts.
+    *
+    * `sortCol` must be NUMERIC (int/long/float/double/decimal): banding
+    * compares through a double cast, and a lexicographically-sorted
+    * string key banded numerically would land overlapping bands — the
+    * silent layout defeat this require exists to prevent. Rows land
+    * under `band=<i>/part-…` directories (plain nested dirs to the
+    * reader — `band` is layout, not schema); nulls sort into band 0.
+    * Returns files indexed.
     */
   def landJsonlRangeIndexed(df: DataFrame, sortCol: String, dir: String,
       numBands: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -128,47 +148,57 @@ object CorpusSink {
     require(zoneCols.contains(sortCol),
       s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols) — " +
         "an unindexed sort key would land a layout nothing can exploit")
-    appendTag.foreach(tag => require(tag.nonEmpty && tag.forall(c =>
-      c.isLetterOrDigit || c == '_' || c == '-'),
-      s"appendTag '$tag' must be a plain directory-safe token"))
-    val spark = df.sparkSession
-    val target = appendTag match {
-      case Some(tag) => s"$dir/batch_$tag"
-      case None => dir
-    }
+    require(df.schema.fields.find(_.name == sortCol).exists(f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }),
+      s"sortCol '$sortCol' must be a numeric column: banding compares " +
+        "through a double cast, and a non-numeric key banded numerically " +
+        "but zone-proven lexicographically would land OVERLAPPING bands")
+    require(!df.columns.contains("band"),
+      "the range layout reserves the column name 'band' for its " +
+        "directory key — rename the data column or it would be " +
+        "silently overwritten in the landed JSON")
     // interior boundaries at i/numBands quantiles; equal boundaries
-    // (skew) just collapse bands — empty bands write no directory
+    // (skew) just collapse bands — empty bands write no directory; an
+    // empty or all-null input has no quantiles at all (SQL NULL) and
+    // lands as a single band like numBands = 1
     val bounds: Seq[Double] =
       if (numBands == 1) Nil
       else {
         val probs = (1 until numBands).map(_.toDouble / numBands)
-        df.agg(percentile_approx(col(sortCol).cast("double"),
-          array(probs.map(lit): _*), lit(10000)).as("b"))
-          .head().getSeq[Double](0).toSeq
+        val r = df.agg(percentile_approx(col(sortCol).cast("double"),
+          array(probs.map(lit): _*), lit(10000)).as("b")).head()
+        if (r.isNullAt(0)) Nil else r.getSeq[Double](0).toSeq
       }
     // band(v) = number of boundaries strictly below v — monotone, so
-    // bands cover disjoint ranges; a null comparison yields null → the
-    // otherwise(0) leg → nulls land in band 0
-    val bandExpr = bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(col(sortCol).cast("double") > lit(b), 1).otherwise(0))
-    df.withColumn("band", bandExpr)
-      .repartition(numBands, col("band"))
-      .sortWithinPartitions(col("band"), col(sortCol))
-      .select(col("band"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
-      .write.mode("overwrite").partitionBy("band").text(target)
-    val indexed = appendTag match {
-      case Some(tag) =>
-        graft.ingest.v2.ZoneMaps.append(spark, dir, df.schema, zoneCols,
-          batchTag = tag, bloomCols = bloomCols, blockBytes = blockBytes)
-      case None =>
-        graft.ingest.v2.ZoneMaps.build(spark, dir, df.schema, zoneCols,
-          bloomCols = bloomCols, blockBytes = blockBytes)
+    // bands cover disjoint ranges. A FLAT expression (one array literal
+    // + HOF filter), not a numBands-deep when-chain: thousands of bands
+    // must not blow optimizer cost or the codegen method-size limit. A
+    // null value yields a null comparison → filtered out → band 0.
+    val bandExpr =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(lit(bounds.toArray),
+        b => col(sortCol).cast("double") > b))
+    // full-row tiebreak after the key: equal-key rows order
+    // deterministically (duplicate FULL rows are interchangeable), so
+    // the landed bytes are reproducible — the writeSharded posture
+    val orderCols = col("band") +: col(sortCol) +:
+      df.columns.filterNot(_ == sortCol).map(col).toSeq
+    landIndexed(df, dir, zoneCols, bloomCols, blockBytes, appendTag,
+      maxSidecarGenerations) { target =>
+      df.withColumn("band", bandExpr)
+        .repartition(numBands, col("band"))
+        .sortWithinPartitions(orderCols: _*)
+        .select(col("band"),
+          to_json(struct(df.columns.map(col): _*)).as("value"))
+        .write.mode("overwrite").partitionBy("band").text(target)
     }
-    if (appendTag.isDefined)
-      graft.ingest.v2.ZoneMaps.compactIfOver(spark, dir,
-        maxSidecarGenerations)
-    indexed
   }
 
   /** One shard file's attestation: row count and an ORDER-FREE content

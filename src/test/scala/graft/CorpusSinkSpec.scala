@@ -104,9 +104,11 @@ class CorpusSinkSpec extends AnyFunSuite {
     import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("score", DoubleType)))
-    // deterministic but shuffled input: ids 1..400, score = a bijection
+    // deterministic but shuffled input with DUPLICATE keys (each score
+    // repeats 4x): reproducibility must come from the full-row
+    // tiebreak, not key uniqueness
     val data = (1 to 400).map(i =>
-      (i.toLong, ((i * 137) % 400) * 10.0)).toDF("doc_id", "score")
+      (i.toLong, ((i * 137) % 100) * 10.0)).toDF("doc_id", "score")
     def land(dir: String): Long = CorpusSink.landJsonlRangeIndexed(
       data, "score", dir, numBands = 4,
       zoneCols = Seq("score", "doc_id"))
@@ -164,6 +166,33 @@ class CorpusSinkSpec extends AnyFunSuite {
       CorpusSink.landJsonlRangeIndexed(extra, "score", d1, 2,
         zoneCols = Seq("doc_id")))
     assert(bad.getMessage.contains("zone-indexed"))
+    // ...and NUMERIC: a string key banded numerically but zone-proven
+    // lexicographically would land overlapping bands silently
+    val sdata = Seq((1L, "9"), (2L, "10")).toDF("doc_id", "sk")
+    val nonNum = intercept[IllegalArgumentException](
+      CorpusSink.landJsonlRangeIndexed(sdata, "sk",
+        Files.createTempDirectory("graft_rgls").toString + "/d", 2,
+        zoneCols = Seq("sk")))
+    assert(nonNum.getMessage.contains("numeric"))
+    // a data column named 'band' would be silently overwritten in the
+    // landed JSON — refuse loudly instead
+    val bdata = Seq((1L, 1.0, "x")).toDF("doc_id", "score", "band")
+    val clash = intercept[IllegalArgumentException](
+      CorpusSink.landJsonlRangeIndexed(bdata, "score",
+        Files.createTempDirectory("graft_rglb").toString + "/d", 2,
+        zoneCols = Seq("score")))
+    assert(clash.getMessage.contains("band"))
+    // an EMPTY batch has no quantiles (SQL NULL): lands as one band,
+    // no NPE — the landJsonlIndexed empty-input posture
+    val emptyDir = Files.createTempDirectory("graft_rgle").toString + "/d"
+    CorpusSink.landJsonlRangeIndexed(
+      data.filter(col("doc_id") < 0L), "score", emptyDir, 4,
+      zoneCols = Seq("score"))
+    assert(!new java.io.File(emptyDir).exists() ||
+      new java.io.File(emptyDir).listFiles()
+        .forall(f => f.getName.startsWith("_") ||
+          f.getName.startsWith(".") || f.isDirectory),
+      "an empty landing must write no visible data files")
   }
 
   test("landJsonlIndexed maxSidecarGenerations: landings self-compact past the cadence") {

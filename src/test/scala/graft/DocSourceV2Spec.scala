@@ -2221,20 +2221,11 @@ class DocSourceV2Spec extends AnyFunSuite {
   }
 
   test("storage-partitioned reads: co-partitioned drops join and aggregate with zero exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] = {
       df.collect()
-      def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case s: ShuffleExchangeLike => s +: s.children.flatMap(walk)
-        case other => other.children.flatMap(walk)
-      }
-      walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-        .queryExecution.executedPlan)
+      TestPlans.executedNodes(df)
+        .collect { case s: ShuffleExchangeLike => s }
     }
     def mkDrop(seed: Int): String = {
       val root = Files.createTempDirectory(s"graft_v2spj$seed").toString
@@ -2315,17 +2306,7 @@ class DocSourceV2Spec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import graft.ingest.v2.ZoneMaps
     import graft.plans.OrderedBandScanExec
-    def nodes(df: DataFrame): Seq[SparkPlan] = {
-      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case other => other +: other.children.flatMap(walk)
-      }
-      walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-        .queryExecution.executedPlan)
-    }
+    def nodes(df: DataFrame): Seq[SparkPlan] = TestPlans.executedNodes(df)
     // three strictly-disjoint sorted bands (the landJsonlRangeIndexed
     // shape, hand-laid for exact control)
     val root = Files.createTempDirectory("graft_v2oband").toString

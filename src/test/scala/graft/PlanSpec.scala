@@ -771,7 +771,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q163 global ORDER BY over sorted bands plans no SortExec and no Exchange") {
-    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q163_docsource_ordered_scan")(spark, sf)
@@ -781,15 +781,7 @@ class PlanSpec extends AnyFunSuite {
     // the layout is the sort
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
       "rows must arrive globally sorted")
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    val ns = walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.executedPlan)
+    val ns = TestPlans.executedNodes(df)
     assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
       ns.map(_.nodeName).mkString(", "))
     assert(!ns.exists(_.isInstanceOf[SortExec]) &&
@@ -798,7 +790,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q164 DESC ordered scan: reversed bands + local sort, still no exchange") {
-    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q164_docsource_ordered_scan_desc")(spark, sf)
@@ -806,15 +798,7 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.length == 1500)
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)),
       "rows must arrive globally DESC-sorted")
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    val ns = walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.executedPlan)
+    val ns = TestPlans.executedNodes(df)
     assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
       ns.map(_.nodeName).mkString(", "))
     val sorts = ns.collect { case se: SortExec => se }
@@ -849,25 +833,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q161 storage-partitioned join runs with zero shuffle exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q161_docsource_partitioned_join")(spark, sf)
     assert(df.collect().nonEmpty)
-    def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(q.plan)
-      case s: ShuffleExchangeLike => s +: s.children.flatMap(walk)
-      case other => other.children.flatMap(walk)
-    }
-    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.executedPlan
     // both GROUP BYs cluster on the layout keys the scan reports, and
     // the join rides the same co-partitioning (or broadcasts): at no
     // point does a row cross an exchange
-    assert(walk(plan).isEmpty, plan.toString.take(800))
+    val ns = TestPlans.executedNodes(df)
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
   }
 
   test("q160 sorted-scan top-N parses ~n rows per split, never the corpus") {
