@@ -984,7 +984,16 @@ object StreamingNearDupIngest {
     Summary(batches.get(), accepted.get(), rejected.get())
   }
 
-  /** Everything accepted so far, across all runs. */
+  /** Everything accepted so far, across all runs (parquet-landing mode). */
   def loadAccepted(spark: SparkSession, acceptedDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(acceptedDir)
+
+  /** Everything accepted so far for a `zoneCols` (indexed-JSONL) ingest,
+    * read through the document source with zone-map skipping armed — the
+    * consumer half of the write-time sidecar the ingest maintains.
+    */
+  def loadAcceptedJsonl(spark: SparkSession, schema: StructType,
+      acceptedDir: String): DataFrame =
+    graft.ingest.ExtendedJson.read(spark, schema, acceptedDir,
+      Map("zoneMaps" -> "true"))
 }

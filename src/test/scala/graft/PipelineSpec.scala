@@ -774,8 +774,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "unskippable until someone remembers a full rebuild"
     val readSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val acc = graft.ingest.ExtendedJson.read(spark, readSchema, accDir,
-      Map("zoneMaps" -> "true"))
+    val acc = StreamingNearDupIngest.loadAcceptedJsonl(spark, readSchema,
+      accDir)
     assert(acc.count() == 6L)
     val hi = acc.filter(col("doc_id") >= 100L)
     assert(hi.select("doc_id").as[Long].collect().toSet ==
@@ -806,8 +806,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getName).filterNot(_.startsWith("_")).toSeq
     assert(gensAfter == Seq("base"),
       s"expected a self-compacted sidecar, got $gensAfter")
-    val hi2 = graft.ingest.ExtendedJson.read(spark, readSchema, accDir,
-      Map("zoneMaps" -> "true")).filter(col("doc_id") >= 200L)
+    val hi2 = StreamingNearDupIngest.loadAcceptedJsonl(spark, readSchema,
+      accDir).filter(col("doc_id") >= 200L)
     assert(hi2.select("doc_id").as[Long].collect().toSet == Set(200L))
     val planned2 = hi2.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.executedPlan
