@@ -139,6 +139,15 @@ object CorpusSink {
     * under `band=<i>/part-…` directories (plain nested dirs to the
     * reader — `band` is layout, not schema); nulls sort into band 0.
     * Returns files indexed.
+    *
+    * APPEND lifecycle caveat: each `appendTag` batch computes its own
+    * boundaries, so batches' band ranges overlap earlier ones. Every
+    * per-file behavior survives appends (min/max and top-N pruning,
+    * block reads, sorted-scan early exit — the q151 posture), but the
+    * whole-drop exchange-free ORDER BY refuses once files overlap
+    * (correctness intact, the ordinary sort plans); an N-way merge read
+    * over overlapping sorted files is the natural next rung. A periodic
+    * full re-land restores the single-band-set layout.
     */
   def landJsonlRangeIndexed(df: DataFrame, sortCol: String, dir: String,
       numBands: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
