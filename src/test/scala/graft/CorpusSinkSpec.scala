@@ -235,6 +235,69 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(planned.length == 1, s"folded stats must keep pruning: ${planned.length}")
   }
 
+  test("range-landing lifecycle: blooms and block rows survive the sidecar fold") {
+    import org.apache.spark.sql.types._
+    import graft.ingest.v2.{ExtJsonInputPartition, ZoneMaps}
+    val dir = Files.createTempDirectory("graft_rglc").toString + "/docs"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("score", DoubleType)))
+    val data = (1 to 400).map(i => (i.toLong, i * 10.0))
+      .toDF("doc_id", "score")
+    CorpusSink.landJsonlRangeIndexed(data, "score", dir, numBands = 4,
+      zoneCols = Seq("score", "doc_id"), bloomCols = Seq("doc_id"),
+      blockBytes = 512L)
+    val extra = (1001 to 1100).map(i => (i.toLong, i * 10.0))
+      .toDF("doc_id", "score")
+    CorpusSink.landJsonlRangeIndexed(extra, "score", dir, numBands = 1,
+      zoneCols = Seq("score", "doc_id"), bloomCols = Seq("doc_id"),
+      blockBytes = 512L, appendTag = Some("b1"))
+    val before = ZoneMaps.loadStats(spark, dir, schema)
+    assert(before.size == 5)
+    // FOLD base + add_b1 — the bloom blobs and block rows must ride
+    // through (the fold is a row-preserving parquet rewrite; a column
+    // lost here would silently disarm point lookups and split skipping)
+    assert(ZoneMaps.compact(spark, dir) == 2L)
+    val after = ZoneMaps.loadStats(spark, dir, schema)
+    assert(after == before, "the fold must preserve every live stats row")
+    assert(after.values.forall(_.blocks.isDefined),
+      "block rows must survive the fold")
+    assert(after.values.forall(_.cols("score").sorted),
+      "sorted proofs must survive the fold")
+    def plannedOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Int) = {
+      val scan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+        .head.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+      df.collect()
+      (scan.planInputPartitions()
+        .map(_.asInstanceOf[ExtJsonInputPartition].file).distinct.toSeq,
+        scan.bloomBlobsFetched)
+    }
+    def src = graft.ingest.ExtendedJson.read(spark, schema, dir,
+      Map("zoneMaps" -> "true"))
+    // bloom point lookup through the FOLDED sidecar: one surviving band
+    // file, with its blob actually probed
+    val (lookFiles, blobs) = plannedOf(src.filter(col("doc_id") === 1050L))
+    assert(lookFiles.length == 1 && lookFiles.head.contains("batch_b1"),
+      s"folded blooms must still prune: $lookFiles")
+    assert(blobs >= 1, "the folded blob must be fetched and probed")
+    // block stats through the folded sidecar: a narrow range plans less
+    // than the surviving file's bytes
+    val narrow = src.filter(col("score") >= 1500.0 && col("score") < 1700.0)
+    narrow.collect()
+    val scan2 = narrow.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      .head.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    val parts = scan2.planInputPartitions()
+      .map(_.asInstanceOf[ExtJsonInputPartition])
+    assert(parts.map(_.file).distinct.length == 1)
+    val fLen = new java.io.File(
+      new java.net.URI(parts.head.file).getPath).length()
+    assert(parts.map(_.length).sum < fLen,
+      s"folded block rows must still cut splits: ${parts.map(_.length).sum} of $fLen")
+  }
+
   test("manifest round-trips, is order-free, and catches tampering") {
     val d = Files.createTempDirectory("graft_manifest").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)
