@@ -263,7 +263,12 @@ object ZoneMaps {
     * tasks and block rows need no merging). `first`/`last` are the
     * split's first and last non-null values in read order and `mono` its
     * internal monotonicity — the per-file `sorted` proof folds as
-    * "every split monotone ∧ every boundary last ≤ next first".
+    * "every split monotone ∧ every boundary last ≤ next first". Blooms
+    * ride the partial ONLY for single-task files (one split, or
+    * compressed whole-file); multi-split files ship theirs in a
+    * dedicated bloom-only partial (start = -1, all stats neutral) so no
+    * whole-file-sized blob is ever built per split or shuffled in
+    * multiplicity.
     */
   private final case class SplitPartial(start: Long, rows: Long,
       nBlockRows: Long, mins: Array[String], maxs: Array[String],
@@ -305,17 +310,39 @@ object ZoneMaps {
       if (blockBytes > 0)
         ((statSplitBytes + blockBytes - 1) / blockBytes) * blockBytes
       else statSplitBytes
-    // (abs, rel, len, mtime, splitStart, splitLen)
-    val splits: Seq[(String, String, Long, Long, Long, Long)] =
+    // (abs, rel, len, mtime, splitStart, splitLen, mode). Modes: 0 =
+    // stats + inline blooms (single-task files), 1 = stats only, 2 =
+    // bloom only. Bloom filters must be sized to the FILE's expected
+    // items to merge (mergeInPlace requires identical bit layouts), so a
+    // split-parallel bloom build would create one whole-file-sized blob
+    // PER SPLIT — at 100 GB / 64 MB splits, ~1600 potentially-GB blobs
+    // shuffled to a single reducer. Instead, a multi-split file with
+    // bloom columns builds its blooms in ONE dedicated whole-file task
+    // (2, a second sequential pass over just that file) while its
+    // min/max/block stats stay split-parallel (1): exactly one
+    // full-sized blob per (file, column) ever exists or shuffles.
+    val anyBloom = bloomB.exists(identity)
+    val splits: Seq[(String, String, Long, Long, Long, Long, Int)] =
       files.flatMap { case (abs, rel, len, mtime) =>
         if (codecs.getCodec(new Path(abs)) != null)
-          Seq((abs, rel, len, mtime, 0L, len))
-        else (0L until len by effSplit).map(off =>
-          (abs, rel, len, mtime, off, math.min(effSplit, len - off)))
+          Seq((abs, rel, len, mtime, 0L, len, 0))
+        else {
+          val offs = (0L until len by effSplit)
+          if (offs.lengthCompare(1) <= 0)
+            offs.map(off => (abs, rel, len, mtime, off, len, 0))
+          else {
+            val stats = offs.map(off =>
+              (abs, rel, len, mtime, off, math.min(effSplit, len - off), 1))
+            if (anyBloom) stats :+ ((abs, rel, len, mtime, 0L, len, 2))
+            else stats
+          }
+        }
       }
     val partials = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
-      .map { case (abs, rel, len, mtime, start, slen) =>
+      .map { case (abs, rel, len, mtime, start, slen, mode) =>
+        val doStats = mode != 2
+        val doBloomHere = mode != 1
         val parseSchema = DataTypeJson.structFromJson(schemaJson)
         val parser = new ExtJsonParser(parseSchema)
         val getters = colsB.map(FilterEval.compiledGetter(_, parseSchema))
@@ -331,23 +358,23 @@ object ZoneMaps {
         // exact order-free sums (integers/decimals only) ride the
         // file-level row, extending metadata-only aggregates to SUM
         val sums: Array[java.math.BigDecimal] =
-          types.map(t => if (exactSummable(t)) java.math.BigDecimal.ZERO
-            else null)
+          types.map(t => if (doStats && exactSummable(t))
+            java.math.BigDecimal.ZERO else null)
         // expected-items heuristic from the FILE byte size (>= ~64
-        // B/doc) — sized identically for every split of a file so the
-        // per-split filters are merge-compatible; undersizing only
-        // raises the false-positive rate, never breaks correctness
+        // B/doc); undersizing only raises the false-positive rate,
+        // never breaks correctness
         val blooms: Array[org.apache.spark.util.sketch.BloomFilter] =
           colsB.indices.map(i =>
-            if (bloomB(i)) org.apache.spark.util.sketch.BloomFilter
-              .create(math.max(1024L, len / 64L), bloomFpp)
+            if (bloomB(i) && doBloomHere)
+              org.apache.spark.util.sketch.BloomFilter
+                .create(math.max(1024L, len / 64L), bloomFpp)
             else null).toArray
         var rows = 0L
         val codec = new org.apache.hadoop.io.compress
           .CompressionCodecFactory(conf.value).getCodec(new Path(abs))
         // block accumulators (uncompressed files only: codec streams
         // have no line-seekable byte offsets to range over)
-        val doBlocks = blockBytes > 0 && codec == null
+        val doBlocks = blockBytes > 0 && codec == null && doStats
         val out = Seq.newBuilder[Row]
         val bMins = new Array[Any](n)
         val bMaxs = new Array[Any](n)
@@ -409,34 +436,36 @@ object ZoneMaps {
                     if (lineOff == 0) 0L else (lineOff - 1) / blockBytes
                   while (curBlk < blk) { flushBlock(curBlk); curBlk += 1 }
                 }
-                rows += 1
-                bRows += 1
+                if (doStats) { rows += 1; bRows += 1 }
                 val row = parser.parse(text.getBytes, 0, text.getLength)
                 var i = 0
                 while (i < getters.length) {
                   val v = getters(i)(row)
-                  if (v == null) { nulls(i) += 1; bNulls(i) += 1 }
-                  else {
-                    if (mins(i) == null ||
-                      FilterEval.compareInternal(types(i), v, mins(i)) < 0)
-                      mins(i) = v
-                    if (maxs(i) == null ||
-                      FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
-                      maxs(i) = v
-                    if (firsts(i) == null) firsts(i) = v
-                    else if (mono(i) &&
-                      FilterEval.compareInternal(types(i), v, lasts(i)) < 0)
-                      mono(i) = false
-                    lasts(i) = v
-                    if (sums(i) != null)
-                      sums(i) = sums(i).add(toBig(v, types(i)))
-                    if (doBlocks) {
-                      if (bMins(i) == null ||
-                        FilterEval.compareInternal(types(i), v, bMins(i)) < 0)
-                        bMins(i) = v
-                      if (bMaxs(i) == null ||
-                        FilterEval.compareInternal(types(i), v, bMaxs(i)) > 0)
-                        bMaxs(i) = v
+                  if (v == null) {
+                    if (doStats) { nulls(i) += 1; bNulls(i) += 1 }
+                  } else {
+                    if (doStats) {
+                      if (mins(i) == null ||
+                        FilterEval.compareInternal(types(i), v, mins(i)) < 0)
+                        mins(i) = v
+                      if (maxs(i) == null ||
+                        FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
+                        maxs(i) = v
+                      if (firsts(i) == null) firsts(i) = v
+                      else if (mono(i) &&
+                        FilterEval.compareInternal(types(i), v, lasts(i)) < 0)
+                        mono(i) = false
+                      lasts(i) = v
+                      if (sums(i) != null)
+                        sums(i) = sums(i).add(toBig(v, types(i)))
+                      if (doBlocks) {
+                        if (bMins(i) == null ||
+                          FilterEval.compareInternal(types(i), v, bMins(i)) < 0)
+                          bMins(i) = v
+                        if (bMaxs(i) == null ||
+                          FilterEval.compareInternal(types(i), v, bMaxs(i)) > 0)
+                          bMaxs(i) = v
+                      }
                     }
                     if (blooms(i) != null)
                       blooms(i).putString(bloomKey(v, types(i)))
@@ -464,7 +493,11 @@ object ZoneMaps {
             bos.toByteArray
           }
         }
-        ((rel, len, mtime), SplitPartial(start, rows, blockRowCount,
+        // a bloom-only partial keys start = -1 (deterministic merge
+        // order; its null firsts/lasts and zero counts are neutral in
+        // every stats fold — it carries ONLY the blobs)
+        ((rel, len, mtime), SplitPartial(if (doStats) start else -1L,
+          rows, blockRowCount,
           rendered(mins), rendered(maxs), nulls.clone(),
           sums.map(s => if (s == null) null else s.toPlainString),
           rendered(firsts), rendered(lasts), mono.clone(), bloomBytes,
@@ -578,11 +611,13 @@ object ZoneMaps {
       s"batchTag '$batchTag' must be a plain directory-safe token")
     val root = new Path(dropDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val known: Set[(String, Long, Long)] = readSidecar(spark, dropDir) match {
+    // known keys from the cached file-level rows (one row per column per
+    // file — same distinct key set as the whole sidecar, zero extra jobs
+    // on an unchanged fingerprint)
+    val known: Set[(String, Long, Long)] = snapshot(spark, dropDir) match {
       case None => Set.empty
-      case Some(df) =>
-        df.select("file", "len", "mtime").distinct().collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      case Some(snap) => snapFileRows(snap)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     }
     val fresh = listVisible(fs, root)
       .filterNot { case (_, rel, len, mtime) => known((rel, len, mtime)) }
@@ -595,19 +630,54 @@ object ZoneMaps {
     fresh.size.toLong
   }
 
-  /** The sidecar as a DataFrame across ALL generations (base + appends),
-    * or None when absent/empty. The generation directories are passed
-    * EXPLICITLY (never the underscore-hidden sidecar root, which Spark's
-    * path filter would warn about on every read) — their names are
-    * visible by construction. Pre-generational sidecars (v1 flat part
+  /** One listed-and-loaded sidecar generation set, CACHED per drop: the
+    * fingerprint is the exact (path, length, mtime) set of every
+    * generation part file, so any [[build]]/[[append]]/[[compact]]
+    * invalidates on the next listing; `df` is the aligned
+    * cross-generation union (its construction — one `spark.read.parquet`
+    * schema read per generation — is the planning cost this cache
+    * amortizes); `fileRows` caches the COLLECTED file-level rows (the
+    * phase-1 collect job, paid once per fingerprint instead of once per
+    * planning round — the bloom blob column is never selected);
+    * `blockRows` caches ALL block rows when the drop's block-row total
+    * (known from the file rows' `nblocks` hints) fits
+    * [[ZoneMaps.BlockRowCacheMax]] — above that, phase-1.5 stays a lazy
+    * survivor-scoped read, exactly the 100 TB posture. Before this
+    * cache, ONE planning round re-entered the listing + union + collect
+    * up to four times (known-keys, phase 1, phase 1.5, blooms) — the
+    * measured 2–3× planning regression on block-skipping probes.
+    */
+  private final class SidecarSnapshot(
+      val fingerprint: Seq[(String, Long, Long)],
+      val df: DataFrame) {
+    @volatile var fileRows: Option[IndexedSeq[Row]] = None
+    @volatile var blockRows: Option[IndexedSeq[Row]] = None
+  }
+
+  /** Block-row count past which the all-blocks cache is refused and the
+    * lazy survivor-scoped phase-1.5 read stays in force: at bench/test
+    * scale everything caches (repeat planning rounds pay zero Spark
+    * jobs); at a block-indexed 100 TB drop the block rows are the
+    * sidecar's bulk and must never be collected unscoped.
+    */
+  val BlockRowCacheMax: Long = 1L << 18
+
+  private val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, SidecarSnapshot]()
+
+  /** The cached snapshot for `dropDir`'s sidecar, or None when
+    * absent/empty. Every call re-LISTS the generation files (freshness
+    * is correctness: a landing between planning rounds must be seen) but
+    * reuses the union DataFrame and collected rows whenever the listing
+    * fingerprint is unchanged. Pre-generational sidecars (v1 flat part
     * files at the root, before the append lifecycle existed) are
     * deliberately NOT read: their row schema predates the block/sum
     * columns, and ignoring them is the conservative direction (pruning
     * turns off, rows never wrong) until the next [[build]] rewrites the
     * layout.
     */
-  private def readSidecar(spark: SparkSession,
-      dropDir: String): Option[DataFrame] = {
+  private def snapshot(spark: SparkSession,
+      dropDir: String): Option[SidecarSnapshot] = {
     val p = new Path(s"$dropDir/$SidecarDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -618,28 +688,82 @@ object ZoneMaps {
     // rebuild, and "silently" is the part operators can't act on
     if (entries.exists(st => st.isFile && DocListing.visible(st)))
       warnLegacyFlatSidecar(p.toString)
-    val gens = entries
+    val genFiles = entries
       .filter(st => st.isDirectory && DocListing.visible(st))
-      .filter(st => DocListing.walkFiles(fs, Seq(st)).nonEmpty)
-      .map(_.getPath.toString).sorted
-    if (gens.isEmpty) None
-    else {
-      // generations can span sidecar schema VERSIONS (a v2 base with v3
-      // appends): align each to the current schema, absent columns null
-      // ("unknown" — every consumer treats null as its conservative
-      // direction), then union. Filters still push into each leaf read.
-      import org.apache.spark.sql.functions.{col => c, lit}
-      val aligned = gens.map { g =>
-        val df = spark.read.parquet(g)
-        val have = df.columns.toSet
-        val widened = statSchema.fields.foldLeft(df)((d, f) =>
-          if (have(f.name)) d
-          else d.withColumn(f.name, lit(null).cast(f.dataType)))
-        widened.select(statSchema.fieldNames.map(c): _*)
-      }
-      Some(aligned.reduce(_.unionByName(_)))
+      .map(st => st.getPath.toString -> DocListing.walkFiles(fs, Seq(st)))
+      .filter(_._2.nonEmpty)
+    if (genFiles.isEmpty) return None
+    val fingerprint = genFiles.flatMap(_._2)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .sorted
+    // key by application too: a DataFrame outlives its session unusably
+    val key = s"${spark.sparkContext.applicationId}#${fs.makeQualified(p)}"
+    val cached = snapshots.get(key)
+    if (cached != null && cached.fingerprint == fingerprint)
+      return Some(cached)
+    val gens = genFiles.map(_._1).sorted
+    // generations can span sidecar schema VERSIONS (a v2 base with v3
+    // appends): align each to the current schema, absent columns null
+    // ("unknown" — every consumer treats null as its conservative
+    // direction), then union. Filters still push into each leaf read.
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val aligned = gens.map { g =>
+      val df = spark.read.parquet(g)
+      val have = df.columns.toSet
+      val widened = statSchema.fields.foldLeft(df)((d, f) =>
+        if (have(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+      widened.select(statSchema.fieldNames.map(c): _*)
     }
+    val snap = new SidecarSnapshot(fingerprint, aligned.reduce(_.unionByName(_)))
+    // crude bound: the test suite churns hundreds of throwaway drops and
+    // entries hold collected rows — correctness never depends on a hit
+    if (snapshots.size > 128) snapshots.clear()
+    snapshots.put(key, snap)
+    Some(snap)
   }
+
+  /** The file-level stats rows (every column EXCEPT the bloom blob),
+    * collected once per snapshot — the phase-1 job every later planning
+    * round on the unchanged sidecar gets for free.
+    */
+  private def snapFileRows(snap: SidecarSnapshot): IndexedSeq[Row] =
+    snap.fileRows.getOrElse {
+      import org.apache.spark.sql.functions.{col => c}
+      val rows = snap.df.where(c("boff") < 0L)
+        .select("file", "len", "mtime", "rows", "boff", "blen", "col",
+          "typ", "min", "max", "nulls", "sum", "sorted", "nblocks")
+        .collect().toIndexedSeq
+      snap.fileRows = Some(rows)
+      rows
+    }
+
+  /** ALL block rows when the sidecar's block-row total — summed from the
+    * file rows' `nblocks` hints — fits [[BlockRowCacheMax]]; None when
+    * over budget or unknown (a pre-v3 file row), keeping the lazy scoped
+    * read in force. Cached: the sum re-checks per call (in-memory), the
+    * collect runs once per snapshot.
+    */
+  private def snapAllBlockRows(
+      snap: SidecarSnapshot): Option[IndexedSeq[Row]] =
+    snap.blockRows.orElse {
+      val perFile = scala.collection.mutable.Map
+        .empty[(String, Long, Long), Long]
+      snapFileRows(snap).foreach { r =>
+        if (r.isNullAt(13)) return None
+        perFile((r.getString(0), r.getLong(1), r.getLong(2))) = r.getLong(13)
+      }
+      if (perFile.valuesIterator.sum > BlockRowCacheMax) None
+      else {
+        import org.apache.spark.sql.functions.{col => c}
+        val rows = snap.df.where(c("boff") >= 0L)
+          .select("file", "len", "mtime", "rows", "boff", "blen", "col",
+            "typ", "min", "max", "nulls")
+          .collect().toIndexedSeq
+        snap.blockRows = Some(rows)
+        Some(rows)
+      }
+    }
 
   /** Once-per-path warning for pre-generational sidecar layouts (flat
     * part files at the sidecar root): their rows are deliberately not
@@ -680,22 +804,26 @@ object ZoneMaps {
     */
   def loadStats(spark: SparkSession, dropDir: String,
       schema: StructType, withBlocks: Boolean = true): Map[(String, Long, Long), FileStats] = {
-    val df = readSidecar(spark, dropDir) match {
+    val snap = snapshot(spark, dropDir) match {
       case None => return Map.empty
-      case Some(d) => d
+      case Some(s) => s
     }
     // a caller that folds FILE-level stats only (the metadata-aggregate
-    // probe) skips the O(blocks·cols) rows entirely — the boff predicate
-    // pushes into the parquet read, so block row groups are never even
-    // decoded
-    val scoped =
-      if (withBlocks) df
-      else df.where(org.apache.spark.sql.functions.col("boff") < 0L)
-    val collected = scoped.select("file", "len", "mtime", "rows", "boff",
-      "blen", "col", "typ", "min", "max", "nulls", "sum", "sorted",
-      "nblocks").collect().toSeq
+    // probe and the scan's phase 1) never touches the O(blocks·cols)
+    // rows; withBlocks callers get the cached all-blocks set when it
+    // fits, else pay one uncached collect (the boff predicate pushes
+    // into the parquet read either way)
+    val collected: Seq[Row] =
+      if (!withBlocks) snapFileRows(snap)
+      else snapFileRows(snap) ++ snapAllBlockRows(snap).getOrElse {
+        snap.df.where(org.apache.spark.sql.functions.col("boff") >= 0L)
+          .select("file", "len", "mtime", "rows", "boff", "blen", "col",
+            "typ", "min", "max", "nulls").collect().toSeq
+      }
     val parsed = collected.flatMap { r =>
       val col = r.getString(6)
+      // block rows carry 11 columns (no sum/sorted/nblocks slots)
+      val isFile = r.getLong(4) < 0L && r.length > 11
       // TYPE drift gate: stats rendered under a different declared
       // type must not prune (a bloom over "123" would false-negative
       // a probe rendered "123.0" — a wrong prune, the one forbidden
@@ -708,12 +836,12 @@ object ZoneMaps {
               Option(r.getString(8)).map(decode(_, dt)),
               Option(r.getString(9)).map(decode(_, dt)),
               r.getLong(10), r.getLong(3),
-              sum = Option(r.getString(11))
+              sum = if (!isFile) None else Option(r.getString(11))
                 .map(new java.math.BigDecimal(_)),
               // null (pre-v3 row) reads as false — "unproven", the
               // conservative direction for an order-aware consumer
-              sorted = !r.isNullAt(12) && r.getBoolean(12)),
-            if (r.isNullAt(13)) None else Some(r.getLong(13)))
+              sorted = isFile && !r.isNullAt(12) && r.getBoolean(12)),
+            if (!isFile || r.isNullAt(13)) None else Some(r.getLong(13)))
         }
     }
     parsed.groupBy(_._1).map { case (key @ (_, len, _), rows) =>
@@ -761,14 +889,21 @@ object ZoneMaps {
   def loadBlockStats(spark: SparkSession, dropDir: String,
       schema: StructType, files: Set[String]): Map[(String, Long, Long), Seq[BlockStats]] = {
     if (files.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{broadcast, col => c}
-    val df = readSidecar(spark, dropDir) match {
+    import org.apache.spark.sql.functions.{col => c}
+    val snap = snapshot(spark, dropDir) match {
       case None => return Map.empty
-      case Some(d) => d
+      case Some(s) => s
     }
-    val scoped = scopeToFiles(spark, df.where(c("boff") >= 0L), files)
-    val collected = scoped.select("file", "len", "mtime", "rows", "boff",
-      "blen", "col", "typ", "min", "max", "nulls").collect().toSeq
+    // cached all-blocks set when the drop fits the budget (the survivor
+    // restriction is then an in-memory filter, zero jobs on a repeat
+    // planning round); over budget, the survivor-scoped read as before
+    val collected: Seq[Row] = snapAllBlockRows(snap) match {
+      case Some(all) => all.filter(r => files(r.getString(0)))
+      case None =>
+        scopeToFiles(spark, snap.df.where(c("boff") >= 0L), files)
+          .select("file", "len", "mtime", "rows", "boff", "blen", "col",
+            "typ", "min", "max", "nulls").collect().toSeq
+    }
     val parsed = collected.flatMap { r =>
       val col = r.getString(6)
       if (!files(r.getString(0))) None
@@ -808,9 +943,11 @@ object ZoneMaps {
     if (cols.isEmpty || files.isEmpty) return Map.empty
     if (files.size > BloomPhaseMaxFiles) return Map.empty
     import org.apache.spark.sql.functions.{col => c}
-    val df = readSidecar(spark, dropDir) match {
+    // blobs themselves are never cached (MBs per large file); the shared
+    // snapshot still spares this phase the listing + union + schema read
+    val df = snapshot(spark, dropDir) match {
       case None => return Map.empty
-      case Some(d) => d
+      case Some(s) => s.df
     }
     val scoped = scopeToFiles(spark, df
       .where(c("boff") < 0L && c("bloom").isNotNull &&
@@ -855,7 +992,7 @@ object ZoneMaps {
     }
 
   /** Complete (visible, nonempty) sidecar generations under `dropDir` —
-    * the same rule [[readSidecar]] loads by, so a cadence decision and
+    * the same rule [[snapshot]] loads by, so a cadence decision and
     * the fold see the identical generation set.
     */
   def generationCount(spark: SparkSession, dropDir: String): Int = {
@@ -1026,7 +1163,7 @@ object ZoneMaps {
     * at any corpus size.
     *
     * Crash-idempotent: the fold lands in a hidden `_folding` staging dir
-    * (invisible to [[readSidecar]]), is complete only once its manifest
+    * (invisible to [[snapshot]]), is complete only once its manifest
     * lands, inputs are deleted only after that, and the staging dir is
     * renamed to `base` last. A replay after a crash anywhere in that
     * sequence converges: an unmanifested staging dir is discarded and
@@ -1037,8 +1174,9 @@ object ZoneMaps {
     * for the affected files, never mis-prune. Single writer assumed,
     * like every artifact here.
     *
-    * Returns the number of superseded generation directories folded away
-    * (0 = already compact and fully fresh: nothing was rewritten).
+    * Returns the number of INPUT generation directories folded (base
+    * included when present — a routine fold of base plus two appends
+    * returns 3); 0 = nothing to fold: already a lone, fully fresh base.
     */
   def compact(spark: SparkSession, dropDir: String): Long = {
     import org.apache.spark.sql.functions.{broadcast, col => c}
@@ -1067,6 +1205,13 @@ object ZoneMaps {
       // where the staging dir looks unmanifested while its inputs are
       // already gone; recovery only ever probes the _folding path, so a
       // manifest inside base is inert
+      //
+      // any base still present here is UNTRUSTWORTHY leftover (a complete
+      // nonempty base was in the covered set and deleted above; what
+      // remains is a crashed build's empty/partial dir) — delete it, or
+      // Hadoop rename semantics would move the fold INSIDE base/ and
+      // "succeed", silently losing every stat until a full rebuild
+      if (fs.exists(basePath)) fs.delete(basePath, true)
       require(fs.rename(staging, basePath),
         s"sidecar fold rename failed: $staging -> $basePath")
       covered.size.toLong
@@ -1082,12 +1227,13 @@ object ZoneMaps {
       .filter(st => DocListing.walkFiles(fs, Seq(st)).nonEmpty)
       .map(_.getPath.getName).sorted
     if (gens.isEmpty) return 0L
-    val df = readSidecar(spark, dropDir).getOrElse(return 0L)
+    val snap = snapshot(spark, dropDir).getOrElse(return 0L)
+    val df = snap.df
     // freshness = the same (file, len, mtime) key every load path gates
     // on: a row that would stand down at planning is dead weight here
     val current = listVisible(fs, root)
     val live = current.map { case (_, rel, len, mtime) => (rel, len, mtime) }
-    val indexed = df.select("file", "len", "mtime").distinct().collect()
+    val indexed = snapFileRows(snap)
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val stale = indexed -- live.toSet
     if (gens == Seq("base") && stale.isEmpty) return 0L
