@@ -5,10 +5,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, NullsFirst, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
-import org.apache.spark.sql.execution.{LeafExecNode, SortExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{FilterExec, LeafExecNode, ProjectExec, SortExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -48,15 +48,40 @@ import graft.ingest.v2.{ExtJsonInputPartition, ExtJsonScan}
   */
 class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
 
+  /** The operators a global Sort may be separated from its scan relation
+    * by without defeating the rewrite — both preserve in-partition row
+    * order and the band partitioning claim: an ALIAS-FREE Project (pure
+    * column selection/permutation — the shape V2ScanRelationPushDown
+    * leaves above a pruned scan when the SELECT order differs from the
+    * read-schema order; an aliasing Project would rebind exprIds the
+    * sort order references) and a deterministic residual Filter (removal
+    * never reorders; nondeterministic conditions are row-order-sensitive
+    * and must not be re-staged). SQL text (`SELECT b, a FROM t ORDER BY
+    * a`) routinely plans these intermediates where the DataFrame idiom
+    * `.orderBy(...).select(...)` does not — without the peel, the SQL
+    * twin of the same query silently pays the full range Exchange.
+    */
+  private def peel(p: LogicalPlan,
+      above: List[LogicalPlan]): Option[(DataSourceV2ScanRelation, List[LogicalPlan])] =
+    p match {
+      case rel: DataSourceV2ScanRelation => Some((rel, above))
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(pr.child, pr :: above)
+      case f: Filter if f.condition.deterministic =>
+        peel(f.child, f :: above)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: Sort if s.global && s.order.nonEmpty =>
-      (s.order.head, s.child) match {
+      (s.order.head, peel(s.child, Nil)) match {
         case (first @ SortOrder(attr: AttributeReference,
-            Ascending | Descending, _, _), rel: DataSourceV2ScanRelation) =>
+            Ascending | Descending, _, _), Some((rel, above))) =>
           rel.scan match {
             case scan: ExtJsonScan
               if rel.output.exists(_.exprId == attr.exprId) &&
-                s.order.forall(_.references.subsetOf(rel.outputSet)) =>
+                s.order.forall(_.references.subsetOf(s.child.outputSet)) =>
               scan.orderedBandPartitions(attr.name) match {
                 case Some(bands) if bands.nonEmpty =>
                   val desc = first.direction == Descending
@@ -70,8 +95,20 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
                       // claim must still match the ask exactly)
                       claimOrdering = !desc && s.order.length == 1 &&
                         first.nullOrdering == NullsFirst)
-                  if (ordered.claimOrdering) ordered :: Nil
-                  else SortExec(s.order, global = false, ordered) :: Nil
+                  // re-stage the peeled intermediates innermost-first
+                  // (`above` is outermost-first from the descent), so
+                  // the chain's output equals s.child.output exactly;
+                  // Filter/Project over attributes preserve both the
+                  // ordering claim and the RangePartitioning
+                  val chain = above.foldRight(ordered: SparkPlan) {
+                    case (pr: Project, child) =>
+                      ProjectExec(pr.projectList, child)
+                    case (f: Filter, child) => FilterExec(f.condition, child)
+                    case (other, _) => throw new IllegalStateException(
+                      s"unpeelable node ${other.nodeName}")
+                  }
+                  if (ordered.claimOrdering) chain :: Nil
+                  else SortExec(s.order, global = false, chain) :: Nil
                 case _ => Nil
               }
             case _ => Nil

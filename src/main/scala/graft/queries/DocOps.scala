@@ -833,11 +833,18 @@ object DocOps {
     * as q156 — the layout is result-neutral by construction.
     */
   private def q162RangeLandedTopN(s: SparkSession, d: String): DataFrame =
-    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
-      Map("zoneMaps" -> "true"))
+    ordersRangeLandedSource(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
       .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** The raw range-landed source frame (q162–q164's input) — exposed so
+    * the SQL-text ordered-scan plan pins can register it as a view.
+    */
+  private[graft] def ordersRangeLandedSource(s: SparkSession,
+      d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
+      Map("zoneMaps" -> "true"))
 
   /** EXCHANGE-FREE global ORDER BY — the planner rung over the q162
     * layout: the sidecar proves the range-landed drop's bands strictly
@@ -851,8 +858,7 @@ object DocOps {
     * for plan-level claims.
     */
   private def q163OrderedScan(s: SparkSession, d: String): DataFrame =
-    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
-      Map("zoneMaps" -> "true"))
+    ordersRangeLandedSource(s, d)
       .orderBy(col("o_totalprice"))
       .select(col("o_orderkey"), col("o_totalprice"))
 
@@ -863,8 +869,7 @@ object DocOps {
     * comparator too. PlanSpec pins local-only SortExec + zero Exchange.
     */
   private def q164OrderedScanDesc(s: SparkSession, d: String): DataFrame =
-    ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
-      Map("zoneMaps" -> "true"))
+    ordersRangeLandedSource(s, d)
       .orderBy(col("o_totalprice").desc)
       .select(col("o_orderkey"), col("o_totalprice"))
 

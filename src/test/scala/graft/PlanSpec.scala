@@ -808,6 +808,47 @@ class PlanSpec extends AnyFunSuite {
       "the exchange must be gone in every accepted shape")
   }
 
+  test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    graft.queries.DocOps.ordersRangeLandedSource(spark, sf)
+      .createOrReplaceTempView("ordered_scan_sql_v")
+    // the PERMUTED select order leaves a Project between Sort and the
+    // scan relation after pushdown — the shape the DataFrame twin
+    // (.orderBy(...).select(...)) never produces, and exactly where the
+    // strategy used to fall through to the full range Exchange
+    val df = spark.sql("SELECT o_totalprice, o_orderkey " +
+      "FROM ordered_scan_sql_v ORDER BY o_totalprice")
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    assert(rows.map(_.getDouble(0)).sliding(2).forall(p => p(0) <= p(1)),
+      "rows must arrive globally sorted")
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the SQL twin must match the DataFrame plan: no sort, no exchange")
+    // a RESIDUAL (unpushable) filter between Sort and scan: removal
+    // never reorders, so the band scan still plans — with the filter
+    // re-staged above it
+    val df2 = spark.sql("SELECT o_orderkey, o_totalprice " +
+      "FROM ordered_scan_sql_v WHERE o_orderkey % 2 = 0 " +
+      "ORDER BY o_totalprice")
+    val rows2 = df2.collect()
+    assert(rows2.nonEmpty && rows2.length < 1500)
+    assert(rows2.forall(_.getLong(0) % 2 == 0))
+    assert(rows2.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "filtered rows must still arrive globally sorted")
+    val ns2 = TestPlans.executedNodes(df2)
+    assert(ns2.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns2.map(_.nodeName).mkString(", "))
+    assert(!ns2.exists(_.isInstanceOf[SortExec]) &&
+      !ns2.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "a residual filter must not re-introduce the exchange")
+  }
+
   test("q162 range-landed drop: top-N plans one band file's tail blocks") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val qe = plan("q162_docsource_range_landed_topn")
