@@ -1649,24 +1649,31 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
   }
 
   /** ORDERED-BAND plan for an exchange-free global `ORDER BY col`
-    * ([[graft.plans.OrderedScanStrategy]]): Some(bands) when the sidecar
-    * PROVES the planned files form strictly-disjoint, internally-sorted
-    * bands on `colName` — each band's splits grouped in offset order
-    * (one sequential reader per band preserves file order; pushed
-    * filters and block pruning only REMOVE rows, never reorder), bands
-    * ordered by their minima. Strict disjointness (`max(i) < min(i+1)`)
-    * is what makes the physical RangePartitioning claim honest for
-    * CLUSTERED distributions too: equal keys can never straddle bands
-    * (band assignment is a function of the value). Refuses (None) on
-    * any gap: option off, metadata answer planned, storage-partitioned
-    * mode (key-grouped wrappers), a stats-less/stale/unsorted/nullable
-    * file, a zero-row file, or overlapping ranges.
+    * ([[graft.plans.OrderedScanStrategy]]): Some(groups) when the sidecar
+    * PROVES every planned file internally sorted on `colName` — each
+    * group a strictly-disjoint key range, groups ordered by their
+    * minima. A fresh range landing's bands are pairwise disjoint, so
+    * every group is ONE file (one sequential reader; pushed filters and
+    * block pruning only REMOVE rows, never reorder). Files whose ranges
+    * OVERLAP — the append lifecycle, where each batch computes its own
+    * percentile boundaries — coalesce into one group of per-file sorted
+    * streams, k-way heap-merged at read time: the exchange-free ORDER BY
+    * now survives appends instead of refusing on the first one. Strict
+    * disjointness BETWEEN groups (`max(g) < min(g+1)`) is what makes the
+    * physical RangePartitioning claim honest for CLUSTERED distributions
+    * too: equal keys can never straddle groups. Refuses (None) on any
+    * gap: option off, metadata answer planned, storage-partitioned mode
+    * (key-grouped wrappers), a stats-less/stale/unsorted/nullable file,
+    * a zero-row file, or a group wider than [[ExtJsonScan.MaxMergeWidth]]
+    * (a merge that wide means the layout has decayed to
+    * effectively-unbanded — one task holding hundreds of open streams is
+    * the wrong trade against the ordinary sort; re-land to restore it).
     */
   @volatile private var orderedBandCache:
-      Map[String, Option[Seq[Seq[ExtJsonInputPartition]]]] = Map.empty
+      Map[String, Option[Seq[OrderedBandGroup]]] = Map.empty
 
   private[graft] def orderedBandPartitions(
-      colName: String): Option[Seq[Seq[ExtJsonInputPartition]]] =
+      colName: String): Option[Seq[OrderedBandGroup]] =
     orderedBandCache.getOrElse(colName, {
       val computed = computeOrderedBands(colName)
       orderedBandCache += colName -> computed
@@ -1679,7 +1686,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     * way, but zone pruning is re-evaluated per call).
     */
   private def computeOrderedBands(
-      colName: String): Option[Seq[Seq[ExtJsonInputPartition]]] = {
+      colName: String): Option[Seq[OrderedBandGroup]] = {
     if (!zoneMaps || statsAnswer.isDefined || reportPartitioning) return None
     val dt = FilterEval.resolve(colName, fullSchema)
       .map(_.leaf.dataType).getOrElse(return None)
@@ -1706,10 +1713,28 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     if (maybeBands.exists(_.isEmpty)) return None
     val bands = maybeBands.flatten.sortWith((a, b) =>
       FilterEval.compareInternal(dt, a._1, b._1) < 0)
-    val disjoint = bands.zip(bands.drop(1)).forall { case (a, b) =>
-      FilterEval.compareInternal(dt, a._2, b._1) < 0
+    // overlap components over the min-sorted bands: a band whose min is
+    // strictly past the running max starts a new group (equal keys can
+    // then never straddle a boundary); anything else joins the current
+    // one, extending its max. A non-appended landing degenerates to one
+    // file per group — the zero-copy sequential read, unchanged.
+    val groups = Seq.newBuilder[OrderedBandGroup]
+    var cur = List(bands.head)
+    var curMin = bands.head._1
+    var curMax = bands.head._2
+    bands.drop(1).foreach { b =>
+      if (FilterEval.compareInternal(dt, b._1, curMax) > 0) {
+        groups += OrderedBandGroup(cur.reverse.map(_._3), curMin, curMax)
+        cur = List(b); curMin = b._1; curMax = b._2
+      } else {
+        cur ::= b
+        if (FilterEval.compareInternal(dt, b._2, curMax) > 0) curMax = b._2
+      }
     }
-    if (disjoint) Some(bands.map(_._3)) else None
+    groups += OrderedBandGroup(cur.reverse.map(_._3), curMin, curMax)
+    val gs = groups.result()
+    if (gs.exists(_.files.length > ExtJsonScan.MaxMergeWidth)) None
+    else Some(gs)
   }
 
   /** Expand the glob and RECURSE into matched directories: a nested
@@ -1811,6 +1836,26 @@ final case class ExtJsonInputPartition(file: String, start: Long, length: Long,
     wholeFile: Boolean = false, partValues: Array[String] = Array.empty,
     allTrue: Boolean = false, sortedAsc: Boolean = false)
     extends InputPartition
+
+object ExtJsonScan {
+  /** Widest k-way merge an ordered-band read will plan: one read task
+    * holds one open stream per file in its group, so an
+    * every-batch-overlaps-everything layout (dozens of appends with no
+    * re-land) must refuse to the ordinary sort rather than funnel the
+    * drop through a single task of hundreds of streams.
+    */
+  val MaxMergeWidth: Int = 64
+}
+
+/** One strictly-disjoint key range of an ordered-band plan: `files` in
+  * band-min order, each entry ONE file's splits in offset order (a
+  * file's concatenated splits stream its proven sorted order); `min`/
+  * `max` are the group's key bounds in internal form (the alignment
+  * handle for range-layout joins). One file = sequential read; several
+  * (overlapping appended bands) = k-way merge at read time.
+  */
+final case class OrderedBandGroup(files: Seq[Seq[ExtJsonInputPartition]],
+    min: Any, max: Any)
 
 /** A kept file's zone verdict, beyond mere survival:
   * `allTrue` — every reader-side conjunct is provably TRUE for every

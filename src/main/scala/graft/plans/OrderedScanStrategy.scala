@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{StructField, StructType}
 
-import graft.ingest.v2.{ExtJsonInputPartition, ExtJsonScan}
+import graft.ingest.v2.{ExtJsonInputPartition, ExtJsonScan, OrderedBandGroup}
 
 /** EXCHANGE-FREE global `ORDER BY` over a range-landed document drop —
   * the planner rung the zone-map `sorted` proof exists for: when the
@@ -40,8 +40,13 @@ import graft.ingest.v2.{ExtJsonInputPartition, ExtJsonScan}
   * order; pushed filters only remove rows; the proof's null-freedom
   * makes null-ordering vacuous), so unlike the approximate
   * similarity-join strategy it needs no opt-in conf — any unprovable
-  * condition (unindexed/stale/unsorted/nullable files, overlapping
-  * bands, non-column first key) falls through to the ordinary sort.
+  * condition (unindexed/stale/unsorted/nullable files, non-column first
+  * key, a merge group wider than the FD budget) falls through to the
+  * ordinary sort. OVERLAPPING bands (each `appendTag` batch computes
+  * its own percentile boundaries, so appended ranges overlap earlier
+  * ones) no longer refuse: overlap components k-way merge their proven
+  * sorted file streams inside one partition — the exchange-free ORDER
+  * BY survives the append-mostly lifecycle of a real corpus.
   * `Sort + Limit` shapes never reach here — Spark's own
   * TakeOrderedAndProject plans them first, composing with the scan's
   * pushed top-N and the sorted-scan early exit instead.
@@ -119,20 +124,22 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
   }
 }
 
-/** One band = one partition, read sequentially in offset order; bands
-  * ordered by the requested direction. `outputPartitioning` claims what
-  * the sidecar proved: ranges are strictly disjoint (equal first keys
-  * never straddle bands, so the first key decides every cross-band
-  * comparison under the FULL requested order), making
-  * `RangePartitioning(sortOrder)` honest for ordered and clustered
-  * distributions alike. `claimOrdering` additionally exposes the
-  * in-band row order — true only for the single-ASC-NULLS-FIRST shape,
-  * where the stream already IS the requested order; other shapes get a
-  * local SortExec above (the strategy adds it).
+/** One GROUP = one partition; groups ordered by the requested direction.
+  * `outputPartitioning` claims what the sidecar proved: group ranges are
+  * strictly disjoint (equal first keys never straddle groups, so the
+  * first key decides every cross-group comparison under the FULL
+  * requested order), making `RangePartitioning(sortOrder)` honest for
+  * ordered and clustered distributions alike. A one-file group reads
+  * sequentially in offset order; a group of OVERLAPPING per-file sorted
+  * bands (the append lifecycle) k-way heap-merges its file streams —
+  * but only under `claimOrdering` (single ASC NULLS FIRST key), where
+  * the merged stream IS the requested order; every other shape gets a
+  * local SortExec above (the strategy adds it), which subsumes any
+  * in-group merge — those groups just concatenate.
   */
 case class OrderedBandScanExec(output: Seq[Attribute],
     sortOrder: Seq[SortOrder], @transient scan: ExtJsonScan,
-    @transient bands: Seq[Seq[ExtJsonInputPartition]],
+    @transient groups: Seq[OrderedBandGroup],
     claimOrdering: Boolean) extends LeafExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
@@ -140,52 +147,67 @@ case class OrderedBandScanExec(output: Seq[Attribute],
       "number of output rows"))
 
   override def outputPartitioning: Partitioning =
-    if (bands.length == 1) SinglePartition
-    else RangePartitioning(sortOrder, bands.length)
+    if (groups.length == 1) SinglePartition
+    else RangePartitioning(sortOrder, groups.length)
 
   override def outputOrdering: Seq[SortOrder] =
     if (claimOrdering) sortOrder else Nil
 
   override def simpleStringWithNodeId(): String =
-    s"OrderedBandScan(${sortOrder.mkString(", ")}, bands=${bands.length})"
+    s"OrderedBandScan(${sortOrder.mkString(", ")}, bands=${groups.length}" +
+      s", merged=${groups.count(_.files.lengthCompare(1) > 0)})"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = StructType(output.map(a =>
       StructField(a.name, a.dataType, a.nullable)))
+    // the merge comparator, bound to the scan output — claimOrdering
+    // implies a single ASC key, so the generated ordering IS the full
+    // requested order
+    val ordering =
+      if (claimOrdering)
+        Some(new org.apache.spark.sql.catalyst.expressions.codegen
+          .LazilyGeneratedOrdering(sortOrder, output))
+      else None
     new OrderedBandRDD(session.sparkContext, scan.createReaderFactory(),
-      bands, schema, longMetric("numOutputRows"))
+      groups.map(_.files), schema, ordering, longMetric("numOutputRows"))
   }
 }
 
 private final class BandPartition(override val index: Int,
-    val splits: Seq[ExtJsonInputPartition]) extends Partition
+    val files: Seq[Seq[ExtJsonInputPartition]]) extends Partition
 
-/** Reads each band's splits SEQUENTIALLY in offset order — byte order is
-  * row order for JSONL, so the concatenation preserves the file's proven
-  * sortedness whatever byte granularity the scan planned (block pruning
-  * may have cut mid-file ranges; removal never reorders).
+/** Reads each group's files; a file's splits stream SEQUENTIALLY in
+  * offset order — byte order is row order for JSONL, so the
+  * concatenation preserves the file's proven sortedness whatever byte
+  * granularity the scan planned (block pruning may have cut mid-file
+  * ranges; removal never reorders). Multi-file groups k-way merge when
+  * an ordering is supplied (heads are COPIED UnsafeRows — readers reuse
+  * their row objects, and a buffered head outlives its reader's next
+  * advance), else concatenate.
   */
 private final class OrderedBandRDD(
     sc: org.apache.spark.SparkContext,
     factory: PartitionReaderFactory,
-    @transient bands: Seq[Seq[ExtJsonInputPartition]],
+    @transient groups: Seq[Seq[Seq[ExtJsonInputPartition]]],
     schema: StructType,
+    ordering: Option[Ordering[InternalRow]],
     rowCount: SQLMetric)
     extends RDD[InternalRow](sc, Nil) {
 
   override protected def getPartitions: Array[Partition] =
-    bands.indices.map(i => new BandPartition(i, bands(i))).toArray
+    groups.indices.map(i => new BandPartition(i, groups(i))).toArray
 
-  override def compute(split: Partition,
-      context: TaskContext): Iterator[InternalRow] = {
-    val proj = UnsafeProjection.create(schema)
-    split.asInstanceOf[BandPartition].splits.iterator.flatMap { p =>
+  /** One file's rows in file order: its splits chained, each reader
+    * closed EAGERLY at exhaustion — a wide band chops into many splits
+    * and one open stream per split held to task completion would
+    * exhaust file descriptors; the completion listener stays as the
+    * failure-path (task-killed mid-band) safety net, and Hadoop stream
+    * close is idempotent.
+    */
+  private def fileRows(splits: Seq[ExtJsonInputPartition],
+      context: TaskContext): Iterator[InternalRow] =
+    splits.iterator.flatMap { p =>
       val reader = factory.createReader(p)
-      // closed EAGERLY at exhaustion — a wide band chops into many
-      // splits and one open stream per split held to task completion
-      // would exhaust file descriptors; the completion listener stays
-      // as the failure-path (task-killed mid-band) safety net, and
-      // Hadoop stream close is idempotent
       var closed = false
       def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
       context.addTaskCompletionListener[Unit](_ => closeOnce())
@@ -202,10 +224,44 @@ private final class OrderedBandRDD(
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
           ready = false
-          rowCount += 1
           reader.get()
         }
       }
-    }.map(proj)
+    }
+
+  override def compute(split: Partition,
+      context: TaskContext): Iterator[InternalRow] = {
+    val files = split.asInstanceOf[BandPartition].files
+    val out: Iterator[InternalRow] = ordering match {
+      case Some(ord) if files.lengthCompare(1) > 0 =>
+        // k-way merge of the per-file sorted streams. Each stream gets
+        // its OWN projection (projections reuse their target buffer) and
+        // every buffered head is a copy — one live copy per stream.
+        final class Stream(it: Iterator[InternalRow]) {
+          private val proj = UnsafeProjection.create(schema)
+          var head: InternalRow = _
+          def advance(): Boolean =
+            it.hasNext && { head = proj(it.next()).copy(); true }
+        }
+        val pq = new java.util.PriorityQueue[Stream](files.length,
+          (a: Stream, b: Stream) => ord.compare(a.head, b.head))
+        files.foreach { splits =>
+          val s = new Stream(fileRows(splits, context))
+          if (s.advance()) pq.add(s)
+        }
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = !pq.isEmpty
+          override def next(): InternalRow = {
+            val s = pq.poll()
+            val r = s.head
+            if (s.advance()) pq.add(s)
+            r
+          }
+        }
+      case _ =>
+        val proj = UnsafeProjection.create(schema)
+        files.iterator.flatMap(fileRows(_, context)).map(proj)
+    }
+    out.map { r => rowCount += 1; r }
   }
 }

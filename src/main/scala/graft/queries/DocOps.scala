@@ -846,6 +846,46 @@ object DocOps {
     ExtendedJson.read(s, decodedOrdersClustered, ordersRangeLandedJsonl(s, d),
       Map("zoneMaps" -> "true"))
 
+  /** One range-landed drop WITH a tagged append per (JVM, sfDir): the
+    * base landing holds two thirds of orders, the appended batch the
+    * rest — each landing computes its own percentile boundaries over its
+    * own rows, so the appended bands OVERLAP the base ones (the
+    * append-mostly corpus lifecycle that used to forfeit the
+    * exchange-free ORDER BY).
+    */
+  private def ordersRangeAppendedJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangeappend", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rga_$tag")}/orders"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_totalprice", dir,
+        numBands = 4, zoneCols = Seq("o_totalprice", "o_orderkey"))
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.filter(col("o_orderkey") % 3 === 0), "o_totalprice", dir,
+        numBands = 4, zoneCols = Seq("o_totalprice", "o_orderkey"),
+        appendTag = Some("b2"))
+      dir
+    })
+
+  /** MERGE-READ global ORDER BY over the APPENDED range landing — the
+    * append-lifecycle rung of q163: the appended batch's bands overlap
+    * the base's, so the planner coalesces overlapping files into
+    * strictly-disjoint GROUPS and k-way heap-merges each group's proven
+    * sorted streams at read time ([[graft.plans.OrderedBandScanExec]]) —
+    * still NO SortExec, NO range Exchange (PlanSpec pins a merged group
+    * and the global collect order). At 100 TB an append-mostly corpus
+    * keeps the exchange-free sort without periodic re-lands.
+    */
+  private def q165MergeReadOrderBy(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered,
+      ordersRangeAppendedJsonl(s, d), Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   /** EXCHANGE-FREE global ORDER BY — the planner rung over the q162
     * layout: the sidecar proves the range-landed drop's bands strictly
     * disjoint and internally sorted, so
@@ -874,6 +914,7 @@ object DocOps {
       .select(col("o_orderkey"), col("o_totalprice"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_docsource_merge_read" -> q165MergeReadOrderBy,
     "q164_docsource_ordered_scan_desc" -> q164OrderedScanDesc,
     "q163_docsource_ordered_scan" -> q163OrderedScan,
     "q162_docsource_range_landed_topn" -> q162RangeLandedTopN,
@@ -909,6 +950,8 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q165_docsource_merge_read" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
     "q164_docsource_ordered_scan_desc" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "q163_docsource_ordered_scan" ->

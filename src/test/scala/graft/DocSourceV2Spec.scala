@@ -2367,7 +2367,9 @@ class DocSourceV2Spec extends AnyFunSuite {
       Map("zoneMaps" -> "true")).orderBy(col("k"))
     assert(usorted.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
     assert(nodes(usorted).exists(_.isInstanceOf[SortExec]))
-    // OVERLAPPING sorted files break band disjointness: fall through
+    // OVERLAPPING sorted files coalesce into one MERGE group: the k-way
+    // merge read keeps the exchange-free, SORT-free plan and rows still
+    // arrive globally ordered — duplicate keys across files included
     val oroot = Files.createTempDirectory("graft_v2obando").toString
     Files.write(Paths.get(oroot, "a.jsonl"),
       (1 to 20).map(i => s"""{"k": $i, "s": "x"}""").mkString("\n")
@@ -2378,9 +2380,76 @@ class DocSourceV2Spec extends AnyFunSuite {
     ZoneMaps.build(spark, oroot, schema, Seq("k"))
     val osorted = ExtendedJson.read(spark, schema, oroot,
       Map("zoneMaps" -> "true")).orderBy(col("k"))
-    assert(osorted.collect().map(_.getLong(0)).length == 41)
-    assert(nodes(osorted).exists(_.isInstanceOf[SortExec]),
-      "overlapping bands must fall through to the real sort")
+    val orows = osorted.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(orows.length == 41)
+    assert(orows.map(_._1).toSeq == orows.map(_._1).sortBy(identity).toSeq,
+      "merged rows must arrive globally key-ordered")
+    assert(orows.toSet ==
+      ((1 to 20).map(i => (i.toLong, "x")) ++
+        (10 to 30).map(i => (i.toLong, "y"))).toSet,
+      "no duplicate-key row may be lost or doubled by the merge")
+    val ons = nodes(osorted)
+    assert(ons.exists(_.isInstanceOf[OrderedBandScanExec]), ons.map(_.nodeName))
+    assert(!ons.exists(_.isInstanceOf[SortExec]) &&
+      !ons.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "overlapping bands must merge-read, not re-sort or exchange")
+  }
+
+  test("k-way merge read: partial overlap groups, DESC, and the merge-width refusal") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.ingest.v2.{ExtJsonScan, ZoneMaps}
+    import graft.plans.OrderedBandScanExec
+    def nodes(df: DataFrame): Seq[SparkPlan] = TestPlans.executedNodes(df)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    // A [1..20] and B [10..30] overlap; C [50..60] is strictly past both:
+    // two groups — {A,B} merged, {C} sequential — in min order
+    val root = Files.createTempDirectory("graft_v2merge").toString
+    def land(name: String, range: Range, tag: String): Unit =
+      Files.write(Paths.get(root, name),
+        (range.map(i => s"""{"k": $i, "s": "$tag$i"}""").mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+    land("a.jsonl", 1 to 20, "a")
+    land("b.jsonl", 10 to 30, "b")
+    land("c.jsonl", 50 to 60, "c")
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    def src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    val sorted = src.orderBy(col("k"))
+    val collected = sorted.collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = collected.map(_._1).toSeq
+    assert(got == got.sorted && got.length == 52)
+    val scans = nodes(sorted).collect { case o: OrderedBandScanExec => o }
+    assert(scans.length == 1)
+    assert(scans.head.groups.map(_.files.length) == Seq(2, 1),
+      "A+B must merge in one group, C stays its own sequential band")
+    // ties across the overlap: every payload must survive the merge
+    val ties = collected.toSet
+    assert((10 to 20).forall(i =>
+      ties((i.toLong, s"a$i")) && ties((i.toLong, s"b$i"))))
+    // DESC over an overlapping layout: groups reversed, in-group merge
+    // is subsumed by the LOCAL sort — still no exchange
+    val desc = src.orderBy(col("k").desc)
+    assert(desc.collect().map(_.getLong(0)).toSeq == got.sorted.reverse)
+    val dns = nodes(desc)
+    assert(dns.exists(_.isInstanceOf[OrderedBandScanExec]))
+    assert(dns.collect { case se: SortExec => se }.nonEmpty &&
+      dns.collect { case se: SortExec => se }.forall(!_.global))
+    assert(!dns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // a group wider than MaxMergeWidth refuses: one task holding
+    // hundreds of streams is the wrong trade — the ordinary sort plans
+    val wroot = Files.createTempDirectory("graft_v2mergew").toString
+    (0 to ExtJsonScan.MaxMergeWidth).foreach { i =>
+      Files.write(Paths.get(wroot, f"w$i%03d.jsonl"),
+        s"""{"k": 1, "s": "w$i"}
+{"k": 1000, "s": "z$i"}""".getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, wroot, schema, Seq("k"))
+    val wide = ExtendedJson.read(spark, schema, wroot,
+      Map("zoneMaps" -> "true")).orderBy(col("k"))
+    assert(wide.collect().length == 2 * (ExtJsonScan.MaxMergeWidth + 1))
+    assert(nodes(wide).exists(_.isInstanceOf[SortExec]),
+      "an over-wide merge group must fall through to the real sort")
   }
 
   test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {

@@ -808,6 +808,30 @@ class PlanSpec extends AnyFunSuite {
       "the exchange must be gone in every accepted shape")
   }
 
+  test("q165 appended landing: overlapping bands k-way merge — no sort, no exchange") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q165_docsource_merge_read")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "merged rows must arrive globally sorted")
+    val ns = TestPlans.executedNodes(df)
+    val scans = ns.collect { case o: graft.plans.OrderedBandScanExec => o }
+    assert(scans.length == 1, ns.map(_.nodeName).mkString(", "))
+    // the appended batch's own percentile boundaries overlap the base's:
+    // the plan must hold at least one multi-file group (the k-way merge)
+    // over more files than groups
+    val groups = scans.head.groups
+    assert(groups.exists(_.files.lengthCompare(1) > 0),
+      s"expected a merged group: ${groups.map(_.files.length).mkString(",")}")
+    assert(groups.map(_.files.length).sum > groups.length)
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the appended layout must keep the exchange-free, sort-free plan")
+  }
+
   test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
