@@ -913,7 +913,44 @@ object DocOps {
       .orderBy(col("o_totalprice").desc)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** A STRING-keyed range landing: the synthetic ObjectId hex rendering
+    * of the order key — fixed-width, so lexicographic order equals
+    * numeric order and the oracle can state it portably.
+    */
+  private val decodedOrdersOid = StructType(Seq(
+    StructField("oid", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def ordersOidRangeJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangeoid", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgo_$tag")}/orders"
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.orders(s, d).select(
+          lower(lpad(hex(col("o_orderkey")), 24, "0")).as("oid"),
+          col("o_totalprice")),
+        "oid", dir, numBands = 6, zoneCols = Seq("oid"))
+      dir
+    })
+
+  /** STRING-key exchange-free ORDER BY — the q163 rung on a
+    * lexicographic key (the reference's own id-like sort target):
+    * [[graft.sink.CorpusSink.landJsonlRangeIndexed]] bands through the
+    * column's OWN ordering (binary UTF8 — the same comparator the
+    * sidecar's sorted proofs use), so the planner gets disjoint sorted
+    * string bands and the global sort costs neither a SortExec nor an
+    * Exchange (PlanSpec-pinned).
+    */
+  private def q166StringOrderedScan(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .orderBy(col("oid"))
+      .select(col("oid"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_docsource_string_ordered_scan" -> q166StringOrderedScan,
     "q165_docsource_merge_read" -> q165MergeReadOrderBy,
     "q164_docsource_ordered_scan_desc" -> q164OrderedScanDesc,
     "q163_docsource_ordered_scan" -> q163OrderedScan,
@@ -950,6 +987,9 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q166_docsource_string_ordered_scan" ->
+      ("SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "o_totalprice FROM orders"),
     "q165_docsource_merge_read" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "q164_docsource_ordered_scan_desc" ->

@@ -119,35 +119,41 @@ object CorpusSink {
     * append under a replay-convergent tag, self-compacting past
     * `maxSidecarGenerations`).
     *
-    * Band boundaries come from `percentile_approx` over the data itself
-    * — an aggregation, not `repartitionByRange`'s RangePartitioner
-    * SAMPLE (whose seed derives from the RDD id and changes run to run
-    * even over identical input). Honest determinism contract: band
-    * ASSIGNMENT is a pure function of (value, boundaries) and in-file
-    * order carries a full-row tiebreak, so the layout is reproducible
-    * whenever the boundary aggregation is — which holds for a repeated
-    * run of the same plan over the same input layout; a DIFFERENT
-    * upstream partitioning can merge the percentile sketches in another
-    * order and shift rows near a boundary into the adjacent band. Every
-    * consumer-facing invariant (disjoint bands, per-file sorted proof)
-    * holds under ANY boundary set — boundaries only place the cuts.
+    * Band boundaries come from a DETERMINISTIC bounded sample: the keys
+    * with the lowest `xxhash64(key)` values (a distributed top-N — no
+    * full shuffle), sorted by the COLUMN'S OWN ordering, cut at the
+    * interior quantile positions. Hash order is a pure function of the
+    * data, so the boundary set is identical across reruns AND across
+    * different upstream partitionings — strictly stronger than both
+    * `repartitionByRange`'s RangePartitioner sample (seeded by the RDD
+    * id) and a `percentile_approx` sketch (whose merge follows shuffle
+    * arrival order). Band ASSIGNMENT is a pure function of (value,
+    * boundaries) and in-file order carries a full-row tiebreak, so the
+    * landed bytes are reproducible outright. Every consumer-facing
+    * invariant (disjoint bands, per-file sorted proof) holds under ANY
+    * boundary set — boundaries only place the cuts.
     *
-    * `sortCol` must be NUMERIC (int/long/float/double/decimal): banding
-    * compares through a double cast, and a lexicographically-sorted
-    * string key banded numerically would land overlapping bands — the
-    * silent layout defeat this require exists to prevent. Rows land
-    * under `band=<i>/part-…` directories (plain nested dirs to the
-    * reader — `band` is layout, not schema); nulls sort into band 0.
-    * Returns files indexed.
+    * `sortCol` may be ANY zone-indexable atomic (string/int/long/float/
+    * double/date/timestamp/decimal): banding compares typed boundary
+    * literals through Spark's own column ordering — binary UTF8 order
+    * for strings, the SAME comparator the sidecar's sorted proofs and
+    * min/max prunes use, so a lexicographic key lands lexicographically
+    * disjoint bands (the numeric-cast overlap trap this path once
+    * refused on is structurally gone). Rows land under `band=<i>/part-…`
+    * directories (plain nested dirs to the reader — `band` is layout,
+    * not schema); nulls sort into band 0. Returns files indexed.
     *
-    * APPEND lifecycle caveat: each `appendTag` batch computes its own
+    * APPEND lifecycle: each `appendTag` batch computes its own
     * boundaries, so batches' band ranges overlap earlier ones. Every
     * per-file behavior survives appends (min/max and top-N pruning,
-    * block reads, sorted-scan early exit — the q151 posture), but the
-    * whole-drop exchange-free ORDER BY refuses once files overlap
-    * (correctness intact, the ordinary sort plans); an N-way merge read
-    * over overlapping sorted files is the natural next rung. A periodic
-    * full re-land restores the single-band-set layout.
+    * block reads, sorted-scan early exit — the q151 posture), and the
+    * whole-drop exchange-free ORDER BY now survives them too: the
+    * planner coalesces overlapping files into disjoint groups and k-way
+    * merges each group's sorted streams at read time
+    * ([[graft.plans.OrderedBandScanExec]]). A periodic full re-land
+    * restores the one-file-per-group layout once enough batches pile up
+    * (past [[graft.ingest.v2.ExtJsonScan.MaxMergeWidth]] overlapping
+    * files the merge refuses to the ordinary sort).
     */
   def landJsonlRangeIndexed(df: DataFrame, sortCol: String, dir: String,
       numBands: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -157,43 +163,50 @@ object CorpusSink {
     require(zoneCols.contains(sortCol),
       s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols) — " +
         "an unindexed sort key would land a layout nothing can exploit")
-    require(df.schema.fields.find(_.name == sortCol).exists(f =>
-      f.dataType match {
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.DoubleType => true
-        case _: org.apache.spark.sql.types.DecimalType => true
-        case _ => false
-      }),
-      s"sortCol '$sortCol' must be a numeric column: banding compares " +
-        "through a double cast, and a non-numeric key banded numerically " +
-        "but zone-proven lexicographically would land OVERLAPPING bands")
+    val keyType = df.schema.fields.find(_.name == sortCol)
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"sortCol '$sortCol' is not a column of the input"))
+    require(graft.ingest.v2.ZoneMaps.indexable(keyType),
+      s"sortCol '$sortCol' must be an orderable zone-indexable atomic " +
+        "(string/int/long/float/double/date/timestamp/decimal), got " +
+        keyType.simpleString)
     require(!df.columns.contains("band"),
       "the range layout reserves the column name 'band' for its " +
         "directory key — rename the data column or it would be " +
         "silently overwritten in the landed JSON")
-    // interior boundaries at i/numBands quantiles; equal boundaries
-    // (skew) just collapse bands — empty bands write no directory; an
-    // empty or all-null input has no quantiles at all (SQL NULL) and
-    // lands as a single band like numBands = 1
-    val bounds: Seq[Double] =
+    // interior boundaries at i/numBands positions of the hash-sampled,
+    // key-sorted sample (TYPED values — no numeric cast anywhere); equal
+    // boundaries (skew) collapse via distinct — empty bands write no
+    // directory; an empty or all-null input has no sample at all and
+    // lands as a single band like numBands = 1. The sample is a
+    // distributed top-N by (hash, key) — bounded driver memory, no full
+    // shuffle, and deterministic because hash order derives from the
+    // values alone (ties share the same key value, so the cut is
+    // value-stable).
+    val bounds: Seq[Any] =
       if (numBands == 1) Nil
       else {
-        val probs = (1 until numBands).map(_.toDouble / numBands)
-        val r = df.agg(percentile_approx(col(sortCol).cast("double"),
-          array(probs.map(lit): _*), lit(10000)).as("b")).head()
-        if (r.isNullAt(0)) Nil else r.getSeq[Double](0).toSeq
+        val n = math.max(10000, numBands * 64)
+        val sorted = df.select(col(sortCol).as("__k"))
+          .where(col("__k").isNotNull)
+          .withColumn("__h", xxhash64(col("__k")))
+          .orderBy(col("__h"), col("__k")).limit(n)
+          .select(col("__k")).orderBy(col("__k"))
+          .collect().map(_.get(0)).toIndexedSeq
+        if (sorted.isEmpty) Nil
+        else (1 until numBands)
+          .map(i => sorted(i * sorted.length / numBands)).distinct
       }
-    // band(v) = number of boundaries strictly below v — monotone, so
-    // bands cover disjoint ranges. A FLAT expression (one array literal
-    // + HOF filter), not a numBands-deep when-chain: thousands of bands
-    // must not blow optimizer cost or the codegen method-size limit. A
-    // null value yields a null comparison → filtered out → band 0.
+    // band(v) = number of boundaries strictly below v under the column's
+    // OWN ordering — monotone, so bands cover disjoint ranges. A FLAT
+    // expression (one array literal + HOF filter), not a numBands-deep
+    // when-chain: thousands of bands must not blow optimizer cost or the
+    // codegen method-size limit. A null value yields a null comparison →
+    // filtered out → band 0.
     val bandExpr =
       if (bounds.isEmpty) lit(0)
-      else size(filter(lit(bounds.toArray),
-        b => col(sortCol).cast("double") > b))
+      else size(filter(array(bounds.map(lit): _*),
+        b => col(sortCol) > b))
     // full-row tiebreak after the key: equal-key rows order
     // deterministically (duplicate FULL rows are interchangeable), so
     // the landed bytes are reproducible — the writeSharded posture

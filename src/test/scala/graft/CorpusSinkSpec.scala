@@ -166,14 +166,13 @@ class CorpusSinkSpec extends AnyFunSuite {
       CorpusSink.landJsonlRangeIndexed(extra, "score", d1, 2,
         zoneCols = Seq("doc_id")))
     assert(bad.getMessage.contains("zone-indexed"))
-    // ...and NUMERIC: a string key banded numerically but zone-proven
-    // lexicographically would land overlapping bands silently
-    val sdata = Seq((1L, "9"), (2L, "10")).toDF("doc_id", "sk")
-    val nonNum = intercept[IllegalArgumentException](
-      CorpusSink.landJsonlRangeIndexed(sdata, "sk",
+    // ...and orderable-indexable: a boolean key has no zone ordering
+    val bkdata = Seq((1L, true), (2L, false)).toDF("doc_id", "bk")
+    val nonIdx = intercept[IllegalArgumentException](
+      CorpusSink.landJsonlRangeIndexed(bkdata, "bk",
         Files.createTempDirectory("graft_rgls").toString + "/d", 2,
-        zoneCols = Seq("sk")))
-    assert(nonNum.getMessage.contains("numeric"))
+        zoneCols = Seq("bk")))
+    assert(nonIdx.getMessage.contains("indexable"))
     // a data column named 'band' would be silently overwritten in the
     // landed JSON — refuse loudly instead
     val bdata = Seq((1L, 1.0, "x")).toDF("doc_id", "score", "band")
@@ -193,6 +192,51 @@ class CorpusSinkSpec extends AnyFunSuite {
         .forall(f => f.getName.startsWith("_") ||
           f.getName.startsWith(".") || f.isDirectory),
       "an empty landing must write no visible data files")
+  }
+
+  test("landJsonlRangeIndexed on a STRING key: lexicographically disjoint sorted bands") {
+    import org.apache.spark.sql.types._
+    import graft.ingest.v2.ZoneMaps
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sk", StringType)))
+    // the classic numeric-vs-lexicographic trap lives IN the data: "9"
+    // and "10"-style keys (zero-unpadded decimals) order differently by
+    // value and by bytes — the landing must band and prove by BYTES,
+    // consistently with the sidecar comparator, or bands overlap
+    val data = (1 to 300).map(i => (i.toLong, i.toString))
+      .toDF("doc_id", "sk")
+    val dir = Files.createTempDirectory("graft_rglstr").toString + "/docs"
+    assert(CorpusSink.landJsonlRangeIndexed(data, "sk", dir, numBands = 4,
+      zoneCols = Seq("sk", "doc_id")) == 4L)
+    val stats = ZoneMaps.loadStats(spark, dir, schema).values.toSeq
+    assert(stats.size == 4)
+    assert(stats.forall(_.cols("sk").sorted),
+      "every band file must carry the string sorted proof")
+    // disjoint under BINARY string order (UTF8String), the comparator
+    // every consumer (zone prune, ordered scan) shares
+    val ranges = stats.map(s => (
+      s.cols("sk").min.get.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      s.cols("sk").max.get.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+      .sortBy(_._1)
+    assert(ranges.zip(ranges.tail).forall { case (a, b) =>
+      a._2.compareTo(b._1) < 0
+    }, s"string bands must own disjoint byte ranges: $ranges")
+    // the exchange-free ordered scan composes on the string layout
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val src = graft.ingest.ExtendedJson.read(spark, schema, dir,
+      Map("zoneMaps" -> "true"))
+    val sorted = src.orderBy(col("sk")).select(col("sk"), col("doc_id"))
+    val got = sorted.collect().map(_.getString(0)).toSeq
+    assert(got.length == 300)
+    assert(got == (1 to 300).map(_.toString).sorted,
+      "rows must arrive in global lexicographic order")
+    val ns = TestPlans.executedNodes(sorted)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "a string-key layout must get the same exchange-free, sort-free plan")
   }
 
   test("landJsonlIndexed maxSidecarGenerations: landings self-compact past the cadence") {

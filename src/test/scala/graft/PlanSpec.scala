@@ -832,6 +832,24 @@ class PlanSpec extends AnyFunSuite {
       "the appended layout must keep the exchange-free, sort-free plan")
   }
 
+  test("q166 string-key ordered scan: band plan, global lexicographic order") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q166_docsource_string_ordered_scan")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val keys = rows.map(_.getString(0)).toSeq
+    // fixed-width hex: java lexicographic == UTF8 binary order here
+    assert(keys == keys.sorted, "rows must arrive in lexicographic order")
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the string-key layout must keep the exchange-free, sort-free plan")
+  }
+
   test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
