@@ -103,6 +103,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // similarity join), so no opt-in conf; unprovable falls through.
     ext.injectPlannerStrategy(session =>
       new graft.plans.OrderedScanStrategy(session))
+    // zero-exchange, zero-sort equi-join of two range-landed drops over
+    // band-aligned partitions (the range analogue of the storage-
+    // partitioned join). EXACT; a user join hint refuses.
+    ext.injectPlannerStrategy(session =>
+      new graft.plans.RangeMergeJoinStrategy(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

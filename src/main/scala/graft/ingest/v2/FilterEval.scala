@@ -416,7 +416,7 @@ object FilterEval {
     case _ => false
   }
 
-  private[v2] def compareInternal(dt: DataType, x: Any, y: Any): Int = dt match {
+  private[graft] def compareInternal(dt: DataType, x: Any, y: Any): Int = dt match {
     case StringType => x.asInstanceOf[UTF8String].compareTo(y.asInstanceOf[UTF8String])
     case BooleanType => java.lang.Boolean.compare(
       x.asInstanceOf[Boolean], y.asInstanceOf[Boolean])

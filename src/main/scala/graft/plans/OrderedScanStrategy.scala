@@ -176,26 +176,10 @@ case class OrderedBandScanExec(output: Seq[Attribute],
 private final class BandPartition(override val index: Int,
     val files: Seq[Seq[ExtJsonInputPartition]]) extends Partition
 
-/** Reads each group's files; a file's splits stream SEQUENTIALLY in
-  * offset order — byte order is row order for JSONL, so the
-  * concatenation preserves the file's proven sortedness whatever byte
-  * granularity the scan planned (block pruning may have cut mid-file
-  * ranges; removal never reorders). Multi-file groups k-way merge when
-  * an ordering is supplied (heads are COPIED UnsafeRows — readers reuse
-  * their row objects, and a buffered head outlives its reader's next
-  * advance), else concatenate.
+/** The two stream shapes every band consumer shares — the ordered scan's
+  * RDD and the range merge join's sides.
   */
-private final class OrderedBandRDD(
-    sc: org.apache.spark.SparkContext,
-    factory: PartitionReaderFactory,
-    @transient groups: Seq[Seq[Seq[ExtJsonInputPartition]]],
-    schema: StructType,
-    ordering: Option[Ordering[InternalRow]],
-    rowCount: SQLMetric)
-    extends RDD[InternalRow](sc, Nil) {
-
-  override protected def getPartitions: Array[Partition] =
-    groups.indices.map(i => new BandPartition(i, groups(i))).toArray
+private[plans] object BandStreams {
 
   /** One file's rows in file order: its splits chained, each reader
     * closed EAGERLY at exhaustion — a wide band chops into many splits
@@ -204,7 +188,8 @@ private final class OrderedBandRDD(
     * failure-path (task-killed mid-band) safety net, and Hadoop stream
     * close is idempotent.
     */
-  private def fileRows(splits: Seq[ExtJsonInputPartition],
+  def fileRows(factory: PartitionReaderFactory,
+      splits: Seq[ExtJsonInputPartition],
       context: TaskContext): Iterator[InternalRow] =
     splits.iterator.flatMap { p =>
       val reader = factory.createReader(p)
@@ -229,38 +214,83 @@ private final class OrderedBandRDD(
       }
     }
 
+  /** K-way merge of per-file sorted streams under `ord`. Each stream
+    * gets its OWN projection (projections reuse their target buffer)
+    * and every buffered head is a copy — one live copy per stream;
+    * rows come out as UnsafeRows in `schema` order.
+    */
+  def merged(factory: PartitionReaderFactory,
+      files: Seq[Seq[ExtJsonInputPartition]], schema: StructType,
+      ord: Ordering[InternalRow],
+      context: TaskContext): Iterator[InternalRow] = {
+    final class Stream(it: Iterator[InternalRow]) {
+      private val proj = UnsafeProjection.create(schema)
+      var head: InternalRow = _
+      def advance(): Boolean =
+        it.hasNext && { head = proj(it.next()).copy(); true }
+    }
+    val pq = new java.util.PriorityQueue[Stream](files.length,
+      (a: Stream, b: Stream) => ord.compare(a.head, b.head))
+    files.foreach { splits =>
+      val s = new Stream(fileRows(factory, splits, context))
+      if (s.advance()) pq.add(s)
+    }
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = !pq.isEmpty
+      override def next(): InternalRow = {
+        val s = pq.poll()
+        val r = s.head
+        if (s.advance()) pq.add(s)
+        r
+      }
+    }
+  }
+
+  /** One SIDE's globally key-sorted stream: its disjoint groups in min
+    * order, each group sequential (one file) or k-way merged (several).
+    */
+  def sideRows(factory: PartitionReaderFactory,
+      groups: Seq[OrderedBandGroup], schema: StructType,
+      ord: Ordering[InternalRow],
+      context: TaskContext): Iterator[InternalRow] =
+    groups.iterator.flatMap { g =>
+      if (g.files.lengthCompare(1) <= 0)
+        g.files.iterator.flatMap(fileRows(factory, _, context))
+      else merged(factory, g.files, schema, ord, context)
+    }
+}
+
+/** Reads each group's files; a file's splits stream SEQUENTIALLY in
+  * offset order — byte order is row order for JSONL, so the
+  * concatenation preserves the file's proven sortedness whatever byte
+  * granularity the scan planned (block pruning may have cut mid-file
+  * ranges; removal never reorders). Multi-file groups k-way merge when
+  * an ordering is supplied (heads are COPIED UnsafeRows — readers reuse
+  * their row objects, and a buffered head outlives its reader's next
+  * advance), else concatenate.
+  */
+private final class OrderedBandRDD(
+    sc: org.apache.spark.SparkContext,
+    factory: PartitionReaderFactory,
+    @transient groups: Seq[Seq[Seq[ExtJsonInputPartition]]],
+    schema: StructType,
+    ordering: Option[Ordering[InternalRow]],
+    rowCount: SQLMetric)
+    extends RDD[InternalRow](sc, Nil) {
+
+  override protected def getPartitions: Array[Partition] =
+    groups.indices.map(i => new BandPartition(i, groups(i))).toArray
+
   override def compute(split: Partition,
       context: TaskContext): Iterator[InternalRow] = {
     val files = split.asInstanceOf[BandPartition].files
     val out: Iterator[InternalRow] = ordering match {
       case Some(ord) if files.lengthCompare(1) > 0 =>
-        // k-way merge of the per-file sorted streams. Each stream gets
-        // its OWN projection (projections reuse their target buffer) and
-        // every buffered head is a copy — one live copy per stream.
-        final class Stream(it: Iterator[InternalRow]) {
-          private val proj = UnsafeProjection.create(schema)
-          var head: InternalRow = _
-          def advance(): Boolean =
-            it.hasNext && { head = proj(it.next()).copy(); true }
-        }
-        val pq = new java.util.PriorityQueue[Stream](files.length,
-          (a: Stream, b: Stream) => ord.compare(a.head, b.head))
-        files.foreach { splits =>
-          val s = new Stream(fileRows(splits, context))
-          if (s.advance()) pq.add(s)
-        }
-        new Iterator[InternalRow] {
-          override def hasNext: Boolean = !pq.isEmpty
-          override def next(): InternalRow = {
-            val s = pq.poll()
-            val r = s.head
-            if (s.advance()) pq.add(s)
-            r
-          }
-        }
+        BandStreams.merged(factory, files, schema, ord, context)
       case _ =>
         val proj = UnsafeProjection.create(schema)
-        files.iterator.flatMap(fileRows(_, context)).map(proj)
+        files.iterator.flatMap(BandStreams.fileRows(factory, _, context))
+          .map(proj)
     }
     out.map { r => rowCount += 1; r }
   }

@@ -949,7 +949,64 @@ object DocOps {
       .orderBy(col("oid"))
       .select(col("oid"), col("o_totalprice"))
 
+  /** CO-RANGE-LANDED fact/detail pair: orders and lineitem landed by
+    * their shared order key with the SAME explicit boundaries (even cuts
+    * of the dense key domain — fully deterministic), so the two drops'
+    * bands align pairwise. The producer side of the range merge join.
+    */
+  private val decodedOrdersRj = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_totalprice", DoubleType)))
+
+  private val decodedLineitemRj = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", LongType),
+    StructField("l_quantity", DoubleType)))
+
+  private def rangeJoinBase(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangejoin", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val base = graft.core.Scratch.ephemeralDir(s"graft_extjson_rgj_$tag")
+      val orders = Tables.orders(s, d)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val bounds = Some((1 to 4).map(i => maxKey * i / 5): Seq[Any])
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", s"$base/orders", numBands = 5,
+        zoneCols = Seq("o_orderkey"), bounds = bounds)
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity")),
+        "l_orderkey", s"$base/lineitem", numBands = 5,
+        zoneCols = Seq("l_orderkey"), bounds = bounds)
+      base
+    })
+
+  /** RANGE MERGE JOIN — the zero-exchange, zero-sort equi-join over the
+    * co-range-landed pair ([[graft.plans.RangeMergeJoinStrategy]]): both
+    * sidecars prove sorted disjoint bands on the join key, the bands
+    * align by construction (shared `bounds`), and each of the 5 join
+    * partitions streams a merge join over exactly its key range's files.
+    * At 100 TB the ordinary plan shuffles AND sorts both corpora; this
+    * plan reads each side once, in place, already ordered — q161's
+    * storage-partitioned join, rebuilt for the range layout
+    * (PlanSpec pins the exec, band parallelism, zero Exchange/Sort).
+    */
+  private def q167RangeMergeJoin(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val li = ExtendedJson.read(s, decodedLineitemRj, s"$base/lineitem",
+      Map("zoneMaps" -> "true"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_docsource_range_merge_join" -> q167RangeMergeJoin,
     "q166_docsource_string_ordered_scan" -> q166StringOrderedScan,
     "q165_docsource_merge_read" -> q165MergeReadOrderBy,
     "q164_docsource_ordered_scan_desc" -> q164OrderedScanDesc,
@@ -987,6 +1044,10 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q167_docsource_range_merge_join" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, " +
+        "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"),
     "q166_docsource_string_ordered_scan" ->
       ("SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
         "o_totalprice FROM orders"),

@@ -155,10 +155,19 @@ object CorpusSink {
     * (past [[graft.ingest.v2.ExtJsonScan.MaxMergeWidth]] overlapping
     * files the merge refuses to the ordinary sort).
     */
+  /** @param bounds EXPLICIT interior band boundaries (typed values of
+    *   `sortCol`'s external type, ascending), overriding the sampled
+    *   quantiles — the CO-BANDING handle: two drops landed with the same
+    *   boundaries on a shared key own pairwise-ALIGNED band ranges, so
+    *   their equi-join plans as the zero-exchange, zero-sort range merge
+    *   join ([[graft.plans.RangeMergeJoinStrategy]]) at full band
+    *   parallelism (independently-sampled boundaries still join
+    *   exchange-free, but overlap chains coarsen the partitioning).
+    */
   def landJsonlRangeIndexed(df: DataFrame, sortCol: String, dir: String,
       numBands: Int, zoneCols: Seq[String], bloomCols: Seq[String] = Nil,
       blockBytes: Long = 0L, appendTag: Option[String] = None,
-      maxSidecarGenerations: Int = 0): Long = {
+      maxSidecarGenerations: Int = 0, bounds: Option[Seq[Any]] = None): Long = {
     require(numBands > 0, "numBands > 0")
     require(zoneCols.contains(sortCol),
       s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols) — " +
@@ -183,7 +192,7 @@ object CorpusSink {
     // shuffle, and deterministic because hash order derives from the
     // values alone (ties share the same key value, so the cut is
     // value-stable).
-    val bounds: Seq[Any] =
+    val cuts: Seq[Any] = bounds.getOrElse {
       if (numBands == 1) Nil
       else {
         val n = math.max(10000, numBands * 64)
@@ -197,6 +206,7 @@ object CorpusSink {
         else (1 until numBands)
           .map(i => sorted(i * sorted.length / numBands)).distinct
       }
+    }
     // band(v) = number of boundaries strictly below v under the column's
     // OWN ordering — monotone, so bands cover disjoint ranges. A FLAT
     // expression (one array literal + HOF filter), not a numBands-deep
@@ -204,8 +214,8 @@ object CorpusSink {
     // codegen method-size limit. A null value yields a null comparison →
     // filtered out → band 0.
     val bandExpr =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit): _*),
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit): _*),
         b => col(sortCol) > b))
     // full-row tiebreak after the key: equal-key rows order
     // deterministically (duplicate FULL rows are interchangeable), so

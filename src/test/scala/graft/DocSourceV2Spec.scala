@@ -2395,6 +2395,78 @@ class DocSourceV2Spec extends AnyFunSuite {
       "overlapping bands must merge-read, not re-sort or exchange")
   }
 
+  test("range merge join: duplicate-key cross products, one-sided pruning, hint and unsorted refusals") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.broadcast
+    import graft.ingest.v2.ZoneMaps
+    import graft.plans.RangeMergeJoinExec
+    def nodes(df: DataFrame): Seq[SparkPlan] = TestPlans.executedNodes(df)
+    val lSchema = StructType(Seq(
+      StructField("k", LongType), StructField("lv", StringType)))
+    val rSchema = StructType(Seq(
+      StructField("k", LongType), StructField("rv", StringType)))
+    def write(root: String, name: String, rows: Seq[(Long, String)],
+        v: String): Unit =
+      Files.write(Paths.get(root, name),
+        (rows.map { case (k, s) => s"""{"k": $k, "$v": "$s"}""" }
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+    // left: L1 [1..10] with key 8 TWICE; L2 [20..30] has no right match.
+    // right: R1 [5..12] with key 7 twice; R2 [40..50] has no left match.
+    val lRoot = Files.createTempDirectory("graft_v2rmjl").toString
+    val rRoot = Files.createTempDirectory("graft_v2rmjr").toString
+    write(lRoot, "l1.jsonl",
+      (1L to 10L).flatMap(k => if (k == 8) Seq(k -> "a8x", k -> "a8y")
+        else Seq(k -> s"a$k")), "lv")
+    write(lRoot, "l2.jsonl", (20L to 30L).map(k => k -> s"b$k"), "lv")
+    write(rRoot, "r1.jsonl",
+      (5L to 12L).flatMap(k => if (k == 7) Seq(k -> "c7x", k -> "c7y")
+        else Seq(k -> s"c$k")), "rv")
+    write(rRoot, "r2.jsonl", (40L to 50L).map(k => k -> s"d$k"), "rv")
+    ZoneMaps.build(spark, lRoot, lSchema, Seq("k"))
+    ZoneMaps.build(spark, rRoot, rSchema, Seq("k"))
+    val l = ExtendedJson.read(spark, lSchema, lRoot, Map("zoneMaps" -> "true"))
+    val r = ExtendedJson.read(spark, rSchema, rRoot, Map("zoneMaps" -> "true"))
+    val joined = l.join(r, l("k") === r("k"))
+      .select(l("k").as("k"), col("lv"), col("rv"))
+    val rows = joined.collect().map(x =>
+      (x.getLong(0), x.getString(1), x.getString(2)))
+    // keys 5,6,9,10 join 1:1; key 7 joins 1x2; key 8 joins 2x1
+    val expected =
+      Seq(5L, 6L, 9L, 10L).map(k => (k, s"a$k", s"c$k")).toSet ++
+        Set((7L, "a7", "c7x"), (7L, "a7", "c7y"),
+          (8L, "a8x", "c8"), (8L, "a8y", "c8"))
+    assert(rows.toSet == expected, rows.sortBy(_._1).mkString("\n"))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(identity).toSeq,
+      "join output must stream key-ordered")
+    val ns = nodes(joined)
+    val execs = ns.collect { case j: RangeMergeJoinExec => j }
+    assert(execs.length == 1, ns.map(_.nodeName).mkString(", "))
+    // one-sided key ranges never read: L2 and R2 are in NO partition
+    val plannedFiles = execs.head.parts.flatMap { case (lg, rg) =>
+      (lg ++ rg).flatMap(_.files.flatten.map(_.file))
+    }
+    assert(!plannedFiles.exists(f => f.contains("l2") || f.contains("r2")),
+      s"one-sided bands must be pruned at plan time: $plannedFiles")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // a user hint must keep meaning what it says: broadcast wins
+    val hinted = l.join(broadcast(r), l("k") === r("k"))
+    assert(hinted.collect().length == rows.length)
+    assert(!nodes(hinted).exists(_.isInstanceOf[RangeMergeJoinExec]))
+    // an UNSORTED right file breaks the proof: ordinary join, same rows
+    Files.write(Paths.get(rRoot, "r3.jsonl"),
+      """{"k": 9, "rv": "z9"}
+{"k": 5, "rv": "z5"}""".getBytes("UTF-8"))
+    ZoneMaps.append(spark, rRoot, rSchema, Seq("k"), "t1")
+    val fallback = l.join(r, l("k") === r("k"))
+      .select(l("k").as("k"), col("lv"), col("rv"))
+    val frows = fallback.collect().map(x =>
+      (x.getLong(0), x.getString(1), x.getString(2)))
+    assert(frows.toSet == expected ++ Set((9L, "a9", "z9"), (5L, "a5", "z5")))
+    assert(!nodes(fallback).exists(_.isInstanceOf[RangeMergeJoinExec]),
+      "an unsorted file must refuse to the ordinary join")
+  }
+
   test("k-way merge read: partial overlap groups, DESC, and the merge-width refusal") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -850,6 +850,32 @@ class PlanSpec extends AnyFunSuite {
       "the string-key layout must keep the exchange-free, sort-free plan")
   }
 
+  test("q167 range merge join: band-aligned partitions, zero exchange, zero sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q167_docsource_range_merge_join")(spark, sf)
+    val rows = df.collect()
+    // referential integrity in the testdata: every lineitem row joins
+    assert(rows.length ==
+      graft.core.Tables.lineitem(spark, sf).count().toInt)
+    // the merge order is claimed: rows arrive left-key ascending
+    val keys = rows.map(_.getLong(0))
+    assert(keys.sliding(2).forall(p => p(0) <= p(1)),
+      "join output must stream in left-key order")
+    val ns = TestPlans.executedNodes(df)
+    val joins = ns.collect { case j: graft.plans.RangeMergeJoinExec => j }
+    assert(joins.length == 1, ns.map(_.nodeName).mkString(", "))
+    assert(joins.head.parts.length > 1,
+      "co-banded drops must join at band parallelism")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the range merge join must pay neither shuffle nor sort nor hash")
+  }
+
   test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
