@@ -886,6 +886,17 @@ object StreamingNearDupIngest {
     *   leaves more generations than this — a long-lived ingest writes
     *   one `add_` generation per micro-batch, so without a cadence the
     *   planning-time generation list grows with batch count forever
+    * @param zoneSortCol non-null upgrades the indexed landing to
+    *   RANGE-BANDED SORTED batches
+    *   ([[graft.sink.CorpusSink.landJsonlRangeIndexed]] under the same
+    *   replay-convergent run/batch tag): each accepted micro-batch lands
+    *   as `zoneRangeBands` disjoint key bands, one sorted file each, so
+    *   the streaming-built corpus composes with every sorted-layout
+    *   consumer — top-N/min-max band pruning, sorted-scan early exit,
+    *   and the k-way merge read that keeps the whole-corpus `ORDER BY`
+    *   exchange-free across batches (per-batch boundaries overlap; the
+    *   planner merges overlapping files per group). Must be listed in
+    *   `zoneCols`; requires `zoneCols` mode.
     */
   def run(spark: SparkSession, batchDir: String, schema: StructType,
       idCol: String, textCol: String, n: Int, minJaccard: Double,
@@ -895,7 +906,12 @@ object StreamingNearDupIngest {
       zoneCols: Seq[String] = Nil,
       zoneBloomCols: Seq[String] = Nil,
       zoneBlockBytes: Long = 0L,
-      zoneMaxGenerations: Int = 0): Summary = {
+      zoneMaxGenerations: Int = 0,
+      zoneSortCol: String = null,
+      zoneRangeBands: Int = 8): Summary = {
+    require(zoneSortCol == null || zoneCols.contains(zoneSortCol),
+      s"zoneSortCol '$zoneSortCol' requires indexed-JSONL mode and must " +
+        "be listed in zoneCols")
     import graft.ops.NearDup
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val accepted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -941,6 +957,22 @@ object StreamingNearDupIngest {
                 keep.write.mode("overwrite").parquet(batchAccepted)
                 if (writeManifests)
                   graft.sink.CorpusSink.writeManifest(spark, batchAccepted)
+              } else if (zoneSortCol != null) {
+                // RANGE-BANDED sorted landing: the sink writes the
+                // batch's disjoint sorted bands AND appends the sidecar
+                // under the same deterministic tag (replay-convergent);
+                // per-batch boundaries overlap earlier batches', which
+                // the merge read absorbs at plan time
+                graft.sink.CorpusSink.landJsonlRangeIndexed(keep,
+                  zoneSortCol, acceptedDir, numBands = zoneRangeBands,
+                  zoneCols = zoneCols, bloomCols = zoneBloomCols,
+                  blockBytes = zoneBlockBytes,
+                  appendTag = Some(s"${runId}_b$batchId"),
+                  maxSidecarGenerations = zoneMaxGenerations)
+                if (writeManifests)
+                  graft.sink.CorpusSink.writeManifest(spark,
+                    s"$acceptedDir/batch_${runId}_b$batchId",
+                    format = "text")
               } else {
                 // indexed-JSONL landing: data + zone-map sidecar in the
                 // same foreachBatch, so skipping never lags readability.

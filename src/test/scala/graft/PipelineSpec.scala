@@ -819,6 +819,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"folded stats must keep pruning: ${planned2.mkString(", ")}")
   }
 
+  test("streaming near-dup ingest with zoneSortCol: range-banded batches merge-read exchange-free") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    import graft.pipelines.StreamingNearDupIngest
+    import graft.plans.OrderedBandScanExec
+    val batchDir = s"$work/ndr_batches"
+    val idxDir = s"$work/ndr_index"
+    val accDir = s"$work/ndr_accepted"
+    val ckpt = s"$work/ndr_ckpt"
+    Files.createDirectories(Paths.get(batchDir))
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def ingest() = StreamingNearDupIngest.run(spark, batchDir, schema,
+      "doc_id", "text", n = 3, minJaccard = 0.8, idxDir, accDir, ckpt,
+      zoneCols = Seq("doc_id"), zoneSortCol = "doc_id",
+      zoneRangeBands = 2)
+    // two batches whose id ranges INTERLEAVE: each batch's own band
+    // boundaries overlap the other's, the append-lifecycle shape
+    Seq((1L, "alpha bravo charlie delta echo foxtrot golf"),
+      (5L, "hotel india juliet kilo lima mike november"),
+      (9L, "oscar papa quebec romeo sierra tango uniform"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b1")
+    assert(ingest().accepted == 3L)
+    Seq((2L, "victor whiskey xray yankee zulu zero one"),
+      (6L, "two three four five six seven eight"),
+      (10L, "nine ten eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$batchDir/b2")
+    assert(ingest().accepted == 3L)
+    val readSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val acc = StreamingNearDupIngest.loadAcceptedJsonl(spark, readSchema,
+      accDir)
+    assert(acc.count() == 6L)
+    // every landed band file carries the sorted proof as a side effect
+    val stats = graft.ingest.v2.ZoneMaps.loadStats(spark, accDir,
+      readSchema)
+    assert(stats.nonEmpty && stats.values.forall(_.cols("doc_id").sorted),
+      "every streamed band file must land key-sorted and proven")
+    // the whole-corpus ORDER BY: overlapping per-batch bands k-way
+    // merge — no SortExec, no Exchange, rows globally ordered
+    val sorted = acc.orderBy(col("doc_id")).select(col("doc_id"))
+    assert(sorted.as[Long].collect().toSeq ==
+      Seq(1L, 2L, 5L, 6L, 9L, 10L))
+    val ns = TestPlans.executedNodes(sorted)
+    val bandScans = ns.collect { case o: OrderedBandScanExec => o }
+    assert(bandScans.length == 1, ns.map(_.nodeName).mkString(", "))
+    assert(bandScans.head.groups.exists(_.files.lengthCompare(1) > 0),
+      "interleaved batch bands must merge: " +
+        bandScans.head.groups.map(_.files.length).mkString(","))
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "a streamed corpus must keep the exchange-free ordered read")
+    // manifests land beside the range batches (batch_<runId>_b<id> dirs)
+    val batchDirs = new java.io.File(accDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    assert(batchDirs.length == 2 && batchDirs.forall(d =>
+      new java.io.File(d, "_graft_manifest.json").exists()),
+      batchDirs.map(_.getName).mkString(", "))
+  }
+
   test("near-dup index compaction: bounded history dirs, decisions unchanged, manifested corpus") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
