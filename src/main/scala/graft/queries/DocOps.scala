@@ -1005,7 +1005,77 @@ object DocOps {
         col("l_linenumber"), col("l_quantity"))
   }
 
+  /** A "contamination" drop co-banded with the orders side of
+    * [[rangeJoinBase]]: every 7th order key, landed by the SAME
+    * deterministic boundaries — the benchmark-key drop a decontamination
+    * pass anti-joins against.
+    */
+  private val decodedContamRj = StructType(Seq(
+    StructField("ck", LongType)))
+
+  private def contamJoinDir(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangecontam", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgc_$tag")}/contam"
+      val orders = Tables.orders(s, d)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val bounds = Some((1 to 4).map(i => maxKey * i / 5): Seq[Any])
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("ck")),
+        "ck", dir, numBands = 5, zoneCols = Seq("ck"), bounds = bounds)
+      dir
+    })
+
+  private def rangeJoinSides(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val o = ExtendedJson.read(s, decodedOrdersRj,
+      s"${rangeJoinBase(s, d)}/orders", Map("zoneMaps" -> "true"))
+    val c = ExtendedJson.read(s, decodedContamRj, contamJoinDir(s, d),
+      Map("zoneMaps" -> "true"))
+    (o, c)
+  }
+
+  /** RANGE MERGE ANTI-JOIN — decontamination as a layout lookup: "drop
+    * every order whose key appears in the contamination drop" plans as
+    * the zero-exchange streamed merge with NO run buffering at all (the
+    * existence probe never copies a row). Left-only key ranges are kept
+    * as right-empty partitions — their rows are exactly the clean
+    * output. At 100 TB this is THE decontamination shape, paid today as
+    * a full shuffle of the corpus.
+    */
+  private def q168RangeMergeAnti(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = rangeJoinSides(s, d)
+    o.join(c, o("o_orderkey") === c("ck"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** The SEMI twin of q168: "keep only benchmark-listed keys" — same
+    * zero-copy existence merge, opposite verdict.
+    */
+  private def q169RangeMergeSemi(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = rangeJoinSides(s, d)
+    o.join(c, o("o_orderkey") === c("ck"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** LEFT OUTER over the co-banded pair: match-less left rows emit with
+    * a null right side (left-only components ride as right-empty
+    * partitions), matched rows emit the inner rows — still zero
+    * exchange, zero sort.
+    */
+  private def q170RangeMergeOuter(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = rangeJoinSides(s, d)
+    o.join(c, o("o_orderkey") === c("ck"), "left_outer")
+      .select(col("o_orderkey"), col("o_totalprice"), col("ck"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_docsource_range_merge_outer" -> q170RangeMergeOuter,
+    "q169_docsource_range_merge_semi" -> q169RangeMergeSemi,
+    "q168_docsource_range_merge_anti" -> q168RangeMergeAnti,
     "q167_docsource_range_merge_join" -> q167RangeMergeJoin,
     "q166_docsource_string_ordered_scan" -> q166StringOrderedScan,
     "q165_docsource_merge_read" -> q165MergeReadOrderBy,
@@ -1044,6 +1114,16 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q170_docsource_range_merge_outer" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, c.ck FROM orders o " +
+        "LEFT JOIN (SELECT o_orderkey AS ck FROM orders " +
+        "WHERE o_orderkey % 7 = 0) c ON c.ck = o.o_orderkey"),
+    "q169_docsource_range_merge_semi" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 7 = 0"),
+    "q168_docsource_range_merge_anti" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 7 <> 0"),
     "q167_docsource_range_merge_join" ->
       ("SELECT o.o_orderkey, o.o_totalprice, " +
         "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +

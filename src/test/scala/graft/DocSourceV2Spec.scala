@@ -2449,6 +2449,41 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(!plannedFiles.exists(f => f.contains("l2") || f.contains("r2")),
       s"one-sided bands must be pruned at plan time: $plannedFiles")
     assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // LEFT SEMI: every matching left row once (both a8 copies), zero
+    // run buffering; L2 (left-only) is pruned like inner
+    val semi = l.join(r, l("k") === r("k"), "left_semi")
+    val semiRows = semi.collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(semiRows.toSet == Set((5L, "a5"), (6L, "a6"), (7L, "a7"),
+      (8L, "a8x"), (8L, "a8y"), (9L, "a9"), (10L, "a10")))
+    val semiExec = nodes(semi).collect { case j: RangeMergeJoinExec => j }
+    assert(semiExec.length == 1 &&
+      !semiExec.head.parts.flatMap(_._1).flatMap(_.files.flatten)
+        .exists(_.file.contains("l2")))
+    // LEFT ANTI: the match-less left rows — INCLUDING all of the
+    // left-only L2 component, which anti must KEEP, not prune
+    val anti = l.join(r, l("k") === r("k"), "left_anti")
+    val antiRows = anti.collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(antiRows.toSet ==
+      ((1L to 4L).map(k => (k, s"a$k")) ++
+        (20L to 30L).map(k => (k, s"b$k"))).toSet)
+    val antiExec = nodes(anti).collect { case j: RangeMergeJoinExec => j }
+    assert(antiExec.length == 1 &&
+      antiExec.head.parts.flatMap(_._1).flatMap(_.files.flatten)
+        .exists(_.file.contains("l2")),
+      "anti must keep the left-only component")
+    assert(!nodes(anti).exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // LEFT OUTER: inner rows plus null-right rows for every match-less
+    // left row (L2's right stream is simply empty)
+    val outerJ = l.join(r, l("k") === r("k"), "left_outer")
+      .select(l("k").as("k"), col("lv"), col("rv"))
+    val outerRows = outerJ.collect().map(x =>
+      (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) null else x.getString(2)))
+    assert(outerRows.toSet ==
+      expected.map { case (k, a, c) => (k, a, c: String) } ++
+        ((1L to 4L).map(k => (k, s"a$k", null: String)) ++
+          (20L to 30L).map(k => (k, s"b$k", null: String))).toSet)
+    assert(nodes(outerJ).exists(_.isInstanceOf[RangeMergeJoinExec]))
     // a user hint must keep meaning what it says: broadcast wins
     val hinted = l.join(broadcast(r), l("k") === r("k"))
     assert(hinted.collect().length == rows.length)

@@ -876,6 +876,26 @@ class PlanSpec extends AnyFunSuite {
       "the range merge join must pay neither shuffle nor sort nor hash")
   }
 
+  test("q168 range merge anti-join: decontamination with zero exchange") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q168_docsource_range_merge_anti")(spark, sf)
+    val rows = df.collect()
+    val contaminated = graft.core.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 7 === 0)
+      .count()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count() - contaminated)
+    assert(rows.forall(_.getLong(0) % 7 != 0))
+    val ns = TestPlans.executedNodes(df)
+    val joins = ns.collect { case j: graft.plans.RangeMergeJoinExec => j }
+    assert(joins.length == 1, ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.isInstanceOf[SortExec]),
+      "the anti-join must pay neither shuffle nor sort")
+  }
+
   test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
