@@ -1029,7 +1029,7 @@ object DocOps {
       dir
     })
 
-  private def rangeJoinSides(s: SparkSession,
+  private[graft] def rangeJoinSides(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val o = ExtendedJson.read(s, decodedOrdersRj,
       s"${rangeJoinBase(s, d)}/orders", Map("zoneMaps" -> "true"))

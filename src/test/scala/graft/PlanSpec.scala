@@ -896,6 +896,46 @@ class PlanSpec extends AnyFunSuite {
       "the anti-join must pay neither shuffle nor sort")
   }
 
+  test("SQL-text joins over co-banded views plan the range merge join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val (o, c) = graft.queries.DocOps.rangeJoinSides(spark, sf)
+    o.createOrReplaceTempView("rmj_o_v")
+    c.createOrReplaceTempView("rmj_c_v")
+    def nodes(q: String) = {
+      val df = spark.sql(q)
+      df.collect()
+      (df, TestPlans.executedNodes(df))
+    }
+    // plain SQL inner join
+    val (inner, ins) = nodes("SELECT rmj_o_v.o_orderkey, o_totalprice, ck " +
+      "FROM rmj_o_v JOIN rmj_c_v ON ck = o_orderkey")
+    assert(inner.count() ==
+      graft.core.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") % 7 === 0)
+        .count())
+    assert(ins.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]),
+      ins.map(_.nodeName).mkString(", "))
+    assert(!ins.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // NOT EXISTS — the SQL decontamination idiom — rewrites to a plain
+    // LeftAnti with a bare key equality: the merge join plans
+    val (ne, nens) = nodes("SELECT o_orderkey, o_totalprice FROM rmj_o_v " +
+      "WHERE NOT EXISTS (SELECT 1 FROM rmj_c_v WHERE ck = o_orderkey)")
+    assert(ne.count() > 0 &&
+      ne.collect().forall(_.getLong(0) % 7 != 0))
+    assert(nens.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]),
+      nens.map(_.nodeName).mkString(", "))
+    assert(!nens.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // NOT IN must REFUSE: its null-semantics condition is not a bare
+    // key equality (a null key would change the answer) — correctness
+    // over cleverness, Spark's own anti-join plans
+    val (ni, nins) = nodes("SELECT o_orderkey FROM rmj_o_v " +
+      "WHERE o_orderkey NOT IN (SELECT ck FROM rmj_c_v)")
+    assert(ni.count() == ne.count())
+    assert(!nins.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]),
+      "NOT IN carries null semantics the bare-equality merge must refuse")
+  }
+
   test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
