@@ -108,6 +108,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partitioned join). EXACT; a user join hint refuses.
     ext.injectPlannerStrategy(session =>
       new graft.plans.RangeMergeJoinStrategy(session))
+    // one-stage GROUP BY over a range-landed drop (rangeAggregation
+    // read option): the band layout satisfies the final aggregate's
+    // clustered distribution, so partial+final run with zero exchange.
+    ext.injectPlannerStrategy(session =>
+      new graft.plans.RangeAggStrategy(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -419,6 +419,16 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     if (reportPartitioningOn && partCols.nonEmpty &&
       partCols.forall(pc => g.flatten.exists(_.equalsIgnoreCase(pc))))
       return false
+    // RANGE-LAYOUT mode: the caller declared the drop range-landed on a
+    // grouping key (rangeAggregation=true) — refuse pushed partials so
+    // the Aggregate survives to graft.plans.RangeAggStrategy, which
+    // plans partial+final in ONE stage over the disjoint band groups
+    // (zero exchange) — the q161 precedent: layout beats pushdown when
+    // the layout covers the grouping. The metadata-only answer
+    // (supportCompletePushDown) is consulted first and still wins when
+    // available; if the layout fails to prove out at planning time, the
+    // strategy falls through and the only cost is unpushed partials.
+    if (rangeAggregationOn && g.nonEmpty) return false
     val parsed: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map(translateAggExpr)
     // a grouped query with no aggregate functions is a pushed DISTINCT —
@@ -790,6 +800,15 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
   private def reportPartitioningOn: Boolean =
     Option(options.get("reportPartitioning")).exists(_.toBoolean)
 
+  /** Range-layout aggregation requested (`rangeAggregation` option):
+    * consulted by [[pushAggregation]] (grouped shapes keep raw rows so
+    * [[graft.plans.RangeAggStrategy]] can plan the zero-exchange
+    * band-local aggregation) and passed to the scan as the strategy's
+    * opt-in marker.
+    */
+  private def rangeAggregationOn: Boolean =
+    Option(options.get("rangeAggregation")).exists(_.toBoolean)
+
   /** Parse a numeric option, naming the option in the error — a bare
     * NumberFormatException at scan build time says nothing about WHICH
     * option carried the malformed value.
@@ -820,7 +839,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       // scoped to survivors), so sharing is sound whether or not the
       // metadata answer was planned, and saves a duplicate sidecar read
       preloadedZoneStats = sidecarLoaded,
-      reportPartitioning = reportPartitioningOn)
+      reportPartitioning = reportPartitioningOn,
+      rangeAggregation = rangeAggregationOn)
 }
 
 final class ExtJsonScan(path: String, fullSchema: StructType,
@@ -837,7 +857,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     val zoneMaps: Boolean = false,
     val statsAnswer: Option[(Array[Array[String]], Array[String])] = None,
     preloadedZoneStats: Option[Map[(String, Long, Long), ZoneMaps.FileStats]] = None,
-    val reportPartitioning: Boolean = false)
+    val reportPartitioning: Boolean = false,
+    val rangeAggregation: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
 import org.apache.spark.sql.execution.{FilterExec, LeafExecNode, ProjectExec, SortExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.aggregate.AggUtils
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -51,10 +52,10 @@ import graft.ingest.v2.{ExtJsonInputPartition, ExtJsonScan, OrderedBandGroup}
   * TakeOrderedAndProject plans them first, composing with the scan's
   * pushed top-N and the sorted-scan early exit instead.
   */
-class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
+object OrderedScanStrategy {
 
-  /** The operators a global Sort may be separated from its scan relation
-    * by without defeating the rewrite — both preserve in-partition row
+  /** The operators a band-layout rewrite may be separated from its scan
+    * relation by without being defeated — both preserve in-partition row
     * order and the band partitioning claim: an ALIAS-FREE Project (pure
     * column selection/permutation — the shape V2ScanRelationPushDown
     * leaves above a pruned scan when the SELECT order differs from the
@@ -66,7 +67,7 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
     * `.orderBy(...).select(...)` does not — without the peel, the SQL
     * twin of the same query silently pays the full range Exchange.
     */
-  private def peel(p: LogicalPlan,
+  private[plans] def peel(p: LogicalPlan,
       above: List[LogicalPlan]): Option[(DataSourceV2ScanRelation, List[LogicalPlan])] =
     p match {
       case rel: DataSourceV2ScanRelation => Some((rel, above))
@@ -77,6 +78,24 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
         peel(f.child, f :: above)
       case _ => None
     }
+
+  /** Re-stage the peeled intermediates innermost-first (`above` is
+    * outermost-first from the descent), so the chain's output equals the
+    * peeled subtree's output exactly; Filter/Project over attributes
+    * preserve both ordering claims and the RangePartitioning.
+    */
+  private[plans] def restage(above: List[LogicalPlan],
+      base: SparkPlan): SparkPlan =
+    above.foldRight(base) {
+      case (pr: Project, child) => ProjectExec(pr.projectList, child)
+      case (f: Filter, child) => FilterExec(f.condition, child)
+      case (other, _) => throw new IllegalStateException(
+        s"unpeelable node ${other.nodeName}")
+    }
+}
+
+class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
+  import OrderedScanStrategy.{peel, restage}
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: Sort if s.global && s.order.nonEmpty =>
@@ -100,18 +119,7 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
                       // claim must still match the ask exactly)
                       claimOrdering = !desc && s.order.length == 1 &&
                         first.nullOrdering == NullsFirst)
-                  // re-stage the peeled intermediates innermost-first
-                  // (`above` is outermost-first from the descent), so
-                  // the chain's output equals s.child.output exactly;
-                  // Filter/Project over attributes preserve both the
-                  // ordering claim and the RangePartitioning
-                  val chain = above.foldRight(ordered: SparkPlan) {
-                    case (pr: Project, child) =>
-                      ProjectExec(pr.projectList, child)
-                    case (f: Filter, child) => FilterExec(f.condition, child)
-                    case (other, _) => throw new IllegalStateException(
-                      s"unpeelable node ${other.nodeName}")
-                  }
+                  val chain = restage(above, ordered)
                   if (ordered.claimOrdering) chain :: Nil
                   else SortExec(s.order, global = false, chain) :: Nil
                 case _ => Nil
@@ -119,6 +127,76 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
             case _ => Nil
           }
         case _ => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** EXCHANGE-FREE grouped aggregation over a range-landed drop — the
+  * time-series-rollup rung: a drop landed by
+  * [[graft.sink.CorpusSink.landJsonlRangeIndexed]] on a key (a day
+  * number, an id) and read with `rangeAggregation=true` aggregates
+  * `GROUP BY key, …` in ONE stage: the band layout already clusters
+  * equal keys into one partition (strict group disjointness — equal
+  * keys never straddle bands), so partial and final aggregation run
+  * back-to-back over [[OrderedBandScanExec]] with NO shuffle between
+  * them. At 100 TB the ordinary plan's aggregation exchange — the whole
+  * cost of a rollup after the scan — is gone. The physical pair comes
+  * from Spark's own `AggUtils.planAggregateWithoutDistinct`, exactly
+  * what the builtin strategy would plan, just over a child whose
+  * partitioning claim satisfies the final aggregate's clustered
+  * distribution.
+  *
+  * Opt-in PER READ (the `rangeAggregation` option) because it is a
+  * mode CHOICE, not an approximation: the scan refuses pushed
+  * aggregation partials so the Aggregate survives to this strategy
+  * (the q161 storage-partitioned precedent — layout beats pushdown
+  * when the layout covers the grouping), and with few wide bands the
+  * band-parallel local aggregation trades parallelism for the
+  * exchange. Sound only when the grouping set CONTAINS the band key as
+  * a bare attribute (equal grouping tuples then share the key, hence
+  * the band); distinct aggregates, unproven layouts, and non-key
+  * groupings fall through to Spark's ordinary aggregation.
+  */
+class RangeAggStrategy(session: SparkSession) extends SparkStrategy {
+  import OrderedScanStrategy.{peel, restage}
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import org.apache.spark.sql.catalyst.planning.PhysicalAggregation
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PhysicalAggregation(groupingExprs, aggExprs, resultExprs, child)
+        if groupingExprs.nonEmpty && aggExprs.forall {
+          case ae: AggregateExpression => !ae.isDistinct
+          case _ => false
+        } =>
+      peel(child, Nil) match {
+        case Some((rel, above)) =>
+          rel.scan match {
+            case scan: ExtJsonScan if scan.rangeAggregation =>
+              // the band key: a grouping attribute whose layout the
+              // sidecar proves into strictly-disjoint sorted groups
+              val keyed = groupingExprs.collectFirst {
+                case a: AttributeReference
+                    if rel.output.exists(_.exprId == a.exprId) &&
+                      scan.orderedBandPartitions(a.name)
+                        .exists(_.nonEmpty) =>
+                  (a, scan.orderedBandPartitions(a.name).get)
+              }
+              keyed match {
+                case Some((k, groups)) =>
+                  val bands = OrderedBandScanExec(rel.output,
+                    Seq(SortOrder(k, Ascending)), scan, groups,
+                    claimOrdering = false)
+                  AggUtils.planAggregateWithoutDistinct(
+                    groupingExprs,
+                    aggExprs.map(_.asInstanceOf[AggregateExpression]),
+                    resultExprs, restage(above, bands))
+                case None => Nil
+              }
+            case _ => Nil
+          }
+        case None => Nil
       }
     case _ => Nil
   }

@@ -1072,7 +1072,48 @@ object DocOps {
       .select(col("o_orderkey"), col("o_totalprice"), col("ck"))
   }
 
+  /** A DAY-keyed range landing — the time-series layout: orders keyed by
+    * days-since-epoch, landed as disjoint sorted date bands.
+    */
+  private val decodedOrdersDay = StructType(Seq(
+    StructField("o_day", IntegerType),
+    StructField("o_custkey", LongType)))
+
+  private def ordersDayRangeJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangeday", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgd_$tag")}/orders"
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.orders(s, d).select(
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .as("o_day"),
+          col("o_custkey")),
+        "o_day", dir, numBands = 8, zoneCols = Seq("o_day"))
+      dir
+    })
+
+  /** EXCHANGE-FREE daily rollup — [[graft.plans.RangeAggStrategy]] over
+    * the day-banded landing: `GROUP BY o_day` runs partial+final
+    * aggregation in ONE stage over the band partitions (equal days never
+    * straddle bands), with NO shuffle anywhere in the plan
+    * (PlanSpec-pinned). At 100 TB the rollup's aggregation exchange —
+    * its entire post-scan cost — is a layout property, like q161's
+    * storage-partitioned aggregation but for a CONTINUOUS key the hive
+    * layout can't encode.
+    */
+  private def q171RangeAggRollup(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true", "rangeAggregation" -> "true"))
+      .groupBy(col("o_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("__s"))
+      .select(col("o_day"), col("n_orders"),
+        col("__s").cast("long").as("sum_cust"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_docsource_range_agg_rollup" -> q171RangeAggRollup,
     "q170_docsource_range_merge_outer" -> q170RangeMergeOuter,
     "q169_docsource_range_merge_semi" -> q169RangeMergeSemi,
     "q168_docsource_range_merge_anti" -> q168RangeMergeAnti,
@@ -1114,6 +1155,11 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q171_docsource_range_agg_rollup" ->
+      ("SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, " +
+        "COUNT(*) AS n_orders, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust " +
+        "FROM orders GROUP BY 1"),
     "q170_docsource_range_merge_outer" ->
       ("SELECT o.o_orderkey, o.o_totalprice, c.ck FROM orders o " +
         "LEFT JOIN (SELECT o_orderkey AS ck FROM orders " +

@@ -2502,6 +2502,68 @@ class DocSourceV2Spec extends AnyFunSuite {
       "an unsorted file must refuse to the ordinary join")
   }
 
+  test("range-layout aggregation: key groupings one-stage; non-key, distinct, and option-off fall back") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.ingest.v2.ZoneMaps
+    import graft.plans.OrderedBandScanExec
+    def nodes(df: DataFrame): Seq[SparkPlan] = TestPlans.executedNodes(df)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("g", LongType), StructField("v", LongType)))
+    // three disjoint sorted band files: k = i/10 repeats within files
+    // (12 distinct keys, 10 rows each) and never straddles files
+    val root = Files.createTempDirectory("graft_v2ragg").toString
+    Seq(0 until 40, 40 until 80, 80 until 120).zipWithIndex.foreach {
+      case (r, b) =>
+        Files.write(Paths.get(root, s"b$b.jsonl"),
+          (r.map(i => s"""{"k": ${i / 10}, "g": ${i % 2}, "v": $i}""")
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    def src(ra: Boolean) = ExtendedJson.read(spark, schema, root,
+      Map("zoneMaps" -> "true", "rangeAggregation" -> ra.toString))
+    val expected = (0 until 120).groupBy(_ / 10)
+      .map { case (k, is) => (k.toLong, is.size.toLong, is.map(_.toLong).sum) }
+      .toSet
+    // GROUP BY the band key: one stage, zero exchange
+    val rollup = src(ra = true).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(rollup.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected)
+    val ns = nodes(rollup)
+    assert(ns.exists(_.isInstanceOf[OrderedBandScanExec]) &&
+      ns.count(_.isInstanceOf[HashAggregateExec]) == 2 &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // grouping by (key, more) still contains the key: still exchange-free
+    val multi = src(ra = true).groupBy(col("k"), col("g"))
+      .agg(sum(col("v")).as("s"))
+    assert(multi.collect().length == 24)
+    val mns = nodes(multi)
+    assert(mns.exists(_.isInstanceOf[OrderedBandScanExec]) &&
+      !mns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      mns.map(_.nodeName).mkString(", "))
+    // NON-KEY grouping: equal g values straddle bands — the strategy
+    // must fall back to the ordinary (exchanging) aggregation
+    val byG = src(ra = true).groupBy(col("g")).agg(sum(col("v")).as("s"))
+    assert(byG.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0 until 120).groupBy(_ % 2)
+        .map { case (g, is) => (g.toLong, is.map(_.toLong).sum) }.toSet)
+    assert(!nodes(byG).exists(_.isInstanceOf[OrderedBandScanExec]))
+    // DISTINCT aggregates: fall back, stay correct
+    val dist = src(ra = true).groupBy(col("k"))
+      .agg(countDistinct(col("g")).as("nd"))
+    assert(dist.collect().forall(_.getLong(1) == 2L))
+    assert(!nodes(dist).exists(_.isInstanceOf[OrderedBandScanExec]))
+    // option OFF: identical rows through the ordinary pushed-partial path
+    val off = src(ra = false).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(off.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected)
+    assert(!nodes(off).exists(_.isInstanceOf[OrderedBandScanExec]))
+  }
+
   test("k-way merge read: partial overlap groups, DESC, and the merge-width refusal") {
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

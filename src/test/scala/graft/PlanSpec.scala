@@ -896,6 +896,24 @@ class PlanSpec extends AnyFunSuite {
       "the anti-join must pay neither shuffle nor sort")
   }
 
+  test("q171 range-layout rollup: one-stage GROUP BY, zero exchange") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q171_docsource_range_agg_rollup")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 100, s"expected many day groups, got ${rows.length}")
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    // partial AND final aggregate present, with NO exchange between or
+    // anywhere else — the layout satisfies the clustered distribution
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) == 2,
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the rollup's aggregation exchange must be gone")
+  }
+
   test("SQL-text joins over co-banded views plan the range merge join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
