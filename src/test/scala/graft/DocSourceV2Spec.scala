@@ -2562,6 +2562,30 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(off.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected)
     assert(!nodes(off).exists(_.isInstanceOf[OrderedBandScanExec]))
+    // a pushed FILTER composes: zone pruning drops whole bands BEFORE
+    // the aggregation, which stays exchange-free over the survivors
+    val filtered = src(ra = true).filter(col("k") >= 8L)
+      .groupBy(col("k")).agg(sum(col("v")).as("s"))
+    assert(filtered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      expected.collect { case (k, _, s) if k >= 8 => (k, s) })
+    val fns = nodes(filtered)
+    val fScan = fns.collectFirst { case o: OrderedBandScanExec => o }
+    assert(fScan.exists(_.groups.length == 1),
+      "the filter must zone-prune to the one surviving band: " +
+        fScan.map(_.groups.length))
+    assert(!fns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // ORDER BY the grouped key composes for FREE: the aggregate's
+    // RangePartitioning claim satisfies the sort's OrderedDistribution,
+    // so the sorted rollup pays a local sort and ZERO exchange
+    import org.apache.spark.sql.execution.SortExec
+    val sortedRollup = src(ra = true).groupBy(col("k"))
+      .agg(sum(col("v")).as("s")).orderBy(col("k"))
+    val sr = sortedRollup.collect().map(_.getLong(0)).toSeq
+    assert(sr == sr.sorted && sr.length == 12)
+    val sns = nodes(sortedRollup)
+    assert(sns.exists(_.isInstanceOf[OrderedBandScanExec]) &&
+      !sns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      sns.map(_.nodeName).mkString(", "))
   }
 
   test("k-way merge read: partial overlap groups, DESC, and the merge-width refusal") {
