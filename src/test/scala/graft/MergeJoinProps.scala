@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.ExtendedJson
+import graft.ingest.v2.ZoneMaps
+import graft.plans.{OrderedBandScanExec, RangeMergeJoinExec}
+
+/** Randomized adversarial sweep for the band-layout read/join machinery:
+  * random per-file sorted key runs (duplicate-heavy pools, arbitrary
+  * overlaps across files AND across join sides, single-row files, fully
+  * disjoint sides) are landed, sidecar-indexed, and then every
+  * merge-planned result is checked against the answer computed directly
+  * from the generated rows — multiset-exact, with the ordering claims
+  * verified on the collected output. Each case also asserts the plan
+  * SHAPE (band scan / merge join planned, zero shuffle exchange), so a
+  * soundness regression and a silent fall-through both fail.
+  *
+  * Deterministic seeds: a failure names its case and reproduces.
+  */
+class MergeJoinProps extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val lSchema = StructType(Seq(
+    StructField("k", LongType), StructField("lv", StringType)))
+  private val rSchema = StructType(Seq(
+    StructField("k", LongType), StructField("rv", StringType)))
+
+  /** One side: files of SORTED key runs drawn from a duplicate-dense
+    * pool; returns (dir, rows as (key, payload)).
+    */
+  private def genSide(rnd: scala.util.Random, tag: String, keyPool: Int,
+      maxFiles: Int, vcol: String): (String, Seq[(Long, String)]) = {
+    val root = Files.createTempDirectory(s"graft_mjp$tag").toString
+    val all = Seq.newBuilder[(Long, String)]
+    val nFiles = 1 + rnd.nextInt(maxFiles)
+    var uid = 0
+    (0 until nFiles).foreach { f =>
+      val nRows = 1 + rnd.nextInt(12)
+      val keys = Seq.fill(nRows)(rnd.nextInt(keyPool).toLong).sorted
+      val rows = keys.map { k => uid += 1; (k, s"$tag$f-$uid") }
+      all ++= rows
+      Files.write(Paths.get(root, f"f$f%02d.jsonl"),
+        (rows.map { case (k, v) => s"""{"k": $k, "$vcol": "$v"}""" }
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    (root, all.result())
+  }
+
+  private def nodes(df: DataFrame) = TestPlans.executedNodes(df)
+
+  private def sortedByKey[T](rows: Seq[(Long, T)]): Boolean =
+    rows.map(_._1) == rows.map(_._1).sorted
+
+  test("randomized band layouts: merge read and all four join types match the direct answer") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // small pools force heavy duplication; occasionally disjoint pools
+      // force empty overlaps (plan-time pruning to zero partitions)
+      val pool = 4 + rnd.nextInt(20)
+      val (lDir, lRows) = genSide(rnd, s"l$seed", pool, 4, "lv")
+      val (rDir, rRows) = genSide(rnd, s"r$seed", pool, 3, "rv")
+      ZoneMaps.build(spark, lDir, lSchema, Seq("k"))
+      ZoneMaps.build(spark, rDir, rSchema, Seq("k"))
+      val l = ExtendedJson.read(spark, lSchema, lDir, Map("zoneMaps" -> "true"))
+      val r = ExtendedJson.read(spark, rSchema, rDir, Map("zoneMaps" -> "true"))
+      val ctx = s"seed=$seed pool=$pool l=${lRows.size} r=${rRows.size}"
+
+      // merge read: ORDER BY over arbitrarily overlapping sorted files
+      val ordered = l.orderBy(col("k"))
+      val got = ordered.collect().map(x => (x.getLong(0), x.getString(1)))
+      assert(sortedByKey(got.toSeq), s"$ctx: merge read must be key-ordered")
+      assert(got.toSeq.sorted == lRows.sorted, s"$ctx: merge read multiset")
+      val ons = nodes(ordered)
+      assert(ons.exists(_.isInstanceOf[OrderedBandScanExec]) &&
+        !ons.exists(_.isInstanceOf[ShuffleExchangeLike]), s"$ctx: plan")
+
+      // direct answers from the generated rows
+      val rByKey = rRows.groupBy(_._1)
+      val inner = for ((lk, lv) <- lRows; (_, rv) <- rByKey.getOrElse(lk, Nil))
+        yield (lk, lv, rv)
+      val semi = lRows.filter { case (k, _) => rByKey.contains(k) }
+      val anti = lRows.filterNot { case (k, _) => rByKey.contains(k) }
+      val outer = inner ++ anti.map { case (k, v) => (k, v, null: String) }
+
+      def joined(tpe: String) = l.join(r, l("k") === r("k"), tpe)
+      def checkPlan(df: DataFrame, what: String): Unit = {
+        val ns = nodes(df)
+        assert(ns.exists(_.isInstanceOf[RangeMergeJoinExec]),
+          s"$ctx $what: merge join must plan: " +
+            ns.map(_.nodeName).mkString(", "))
+        assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          s"$ctx $what: zero exchange")
+      }
+
+      val in = joined("inner").select(l("k"), col("lv"), col("rv"))
+      val inGot = in.collect().map(x =>
+        (x.getLong(0), x.getString(1), x.getString(2)))
+      assert(inGot.toSeq.sorted == inner.sorted, s"$ctx inner multiset")
+      assert(inGot.map(_._1).toSeq == inGot.map(_._1).sorted.toSeq,
+        s"$ctx inner must stream key-ordered")
+      checkPlan(in, "inner")
+
+      val se = joined("left_semi")
+      assert(se.collect().map(x => (x.getLong(0), x.getString(1)))
+        .toSeq.sorted == semi.sorted, s"$ctx semi multiset")
+      checkPlan(se, "semi")
+
+      val an = joined("left_anti")
+      assert(an.collect().map(x => (x.getLong(0), x.getString(1)))
+        .toSeq.sorted == anti.sorted, s"$ctx anti multiset")
+      checkPlan(an, "anti")
+
+      val ou = joined("left_outer").select(l("k"), col("lv"), col("rv"))
+      val ouGot = ou.collect().map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) null else x.getString(2)))
+      assert(ouGot.toSeq.sortBy(t => (t._1, t._2, String.valueOf(t._3))) ==
+        outer.sortBy(t => (t._1, t._2, String.valueOf(t._3))),
+        s"$ctx outer multiset")
+      checkPlan(ou, "outer")
+    }
+  }
+
+  test("fully disjoint sides: inner/semi answer empty from ZERO partitions, anti/outer keep every left row") {
+    val rnd = new scala.util.Random(99)
+    val (lDir, lRows) = genSide(rnd, "dl", 10, 3, "lv")
+    val rDir = Files.createTempDirectory("graft_mjpdr").toString
+    Files.write(Paths.get(rDir, "r.jsonl"),
+      (0 until 10).map(i => s"""{"k": ${1000 + i}, "rv": "z$i"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, lDir, lSchema, Seq("k"))
+    ZoneMaps.build(spark, rDir, rSchema, Seq("k"))
+    val l = ExtendedJson.read(spark, lSchema, lDir, Map("zoneMaps" -> "true"))
+    val r = ExtendedJson.read(spark, rSchema, rDir, Map("zoneMaps" -> "true"))
+    val in = l.join(r, l("k") === r("k"), "inner")
+    assert(in.collect().isEmpty)
+    val inExec = nodes(in).collect { case j: RangeMergeJoinExec => j }
+    assert(inExec.length == 1 && inExec.head.parts.isEmpty,
+      "disjoint ranges must prune to ZERO partitions at plan time")
+    assert(l.join(r, l("k") === r("k"), "left_semi").collect().isEmpty)
+    val anti = l.join(r, l("k") === r("k"), "left_anti")
+    assert(anti.collect().map(x => (x.getLong(0), x.getString(1)))
+      .toSeq.sorted == lRows.sorted)
+    val outer = l.join(r, l("k") === r("k"), "left_outer")
+    val oGot = outer.collect()
+    assert(oGot.length == lRows.size && oGot.forall(_.isNullAt(2)))
+  }
+}
