@@ -113,6 +113,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // clustered distribution, so partial+final run with zero exchange.
     ext.injectPlannerStrategy(session =>
       new graft.plans.RangeAggStrategy(session))
+    // exchange-free global running windows (SUM/COUNT/MIN/MAX OVER
+    // (ORDER BY key), row_number, rank) over range-landed drops: the
+    // no-PARTITION-BY window's single-partition collapse becomes per-band
+    // local running aggregation + a per-band prefix (sidecar metadata
+    // when provable, else one narrow totals pass). EXACT; unprovable
+    // shapes fall through to Spark's WindowExec.
+    ext.injectPlannerStrategy(session =>
+      new graft.plans.RangeWindowStrategy(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

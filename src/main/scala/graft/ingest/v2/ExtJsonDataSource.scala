@@ -1701,6 +1701,34 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       computed
     })
 
+  /** EXACT per-group, per-file sidecar stats aligned with
+    * [[orderedBandPartitions]]'s groups (outer Seq = groups in band-min
+    * order, inner Seq = that group's files in the group's file order) —
+    * the metadata half of the exchange-free running window: per-band
+    * totals (row counts, exact sums, min/max) come straight from the
+    * sidecar with NO extra pass over the data. Some only when the scan
+    * provably delivers EVERY row of every planned file: any pushed or
+    * runtime filter, limit, top-N, or aggregate mode could drop rows the
+    * stats counted, so those modes refuse and the consumer falls back to
+    * computing its totals with one narrow pass.
+    */
+  private[graft] def orderedBandFileStats(
+      colName: String): Option[Seq[Seq[ZoneMaps.FileStats]]] = {
+    if (pushed.nonEmpty || runtime.nonEmpty || pushedLimit >= 0 ||
+      pushedTopN >= 0 || pushedAggs.nonEmpty || pushedGroups.nonEmpty)
+      return None
+    orderedBandPartitions(colName).map { groups =>
+      val statusByPath = listing.map { case (f, _) =>
+        f.getPath.toString -> f
+      }.toMap
+      groups.map(_.files.map { splits =>
+        val st = statusByPath(splits.head.file)
+        val rel = zoneRootUri.relativize(st.getPath.toUri).getPath
+        zoneStats((rel, st.getLen, st.getModificationTime))
+      })
+    }
+  }
+
   /** The uncached probe — runs the scan's full partition planning, so a
     * refusal must not be recomputed per strategy invocation / AQE round
     * (the memo above; the listing and phase-1 stats are cached either

@@ -1,0 +1,564 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, BindReferences, CurrentRow, Descending, Expression, GenericInternalRow, JoinedRow, Literal, NamedExpression, NullsFirst, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{ExternalAppendOnlyUnsafeRowArray, SortExec, SparkPlan, SparkStrategy, UnaryExecNode, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
+
+/** EXCHANGE-FREE global running window over a range-landed drop — the
+  * single-partition-collapse rung: `SUM(x) OVER (ORDER BY key)`,
+  * `row_number() / rank() OVER (ORDER BY key)` with NO `PARTITION BY` is
+  * the canonical "does not scale" shape — Spark's WindowExec requires
+  * `AllTuples`, so the ordinary plan funnels the ENTIRE input through one
+  * partition (worse than a shuffle: a 100 TB corpus simply cannot run
+  * it). Over the [[graft.sink.CorpusSink.landJsonlRangeIndexed]] layout
+  * it decomposes exactly: bands are strictly disjoint and internally
+  * sorted on the key, so a running aggregate is a per-band LOCAL running
+  * aggregate plus a constant per-band PREFIX (the totals of all earlier
+  * bands). [[BandRunningWindowExec]] runs the local half over
+  * [[OrderedBandScanExec]]'s partitions — full band parallelism, zero
+  * exchange — and gets the prefixes either
+  *
+  *  - from the SIDECAR (`prefix=metadata` in the plan string): when the
+  *    scan provably delivers every indexed row (no pushed/runtime
+  *    filters, no limit/top-N/agg modes) and every needed total is
+  *    derivable (row counts always; exact sums for integer/decimal
+  *    columns; min/max for any indexed column), the prefix costs ZERO
+  *    reads — the window is planned entirely from metadata; or
+  *  - from ONE narrow partials pass (`prefix=computed`): per-partition
+  *    totals collected to the driver (a few values per band — the
+  *    zipWithIndex shape), then the data streams once more for output.
+  *    Two sequential scans beat any exchange at 100 TB, and the pass
+  *    runs BELOW the per-band sort when one exists (totals are
+  *    order-free).
+  *
+  * Supported functions — the running family whose value at a row depends
+  * only on the rows at-or-before it: `row_number()`, `rank()` (ties never
+  * straddle bands: the first key strictly differs across groups, so
+  * local rank + prefix row count is the GLOBAL rank), and non-distinct
+  * `count` / `sum` / `min` / `max` over the default cumulative frame
+  * (`RANGE UNBOUNDED PRECEDING..CURRENT ROW` — tie groups share the
+  * value) or the explicit `ROWS` form. `dense_rank`, distinct or
+  * filtered aggregates, bounded/sliding frames, and offset functions
+  * (`lag`/`lead`) fall through to Spark's ordinary window. EXACT — no
+  * opt-in conf; any unprovable layout falls through like the ordered
+  * scan does. A `PARTITION BY` window never matches (Spark's own
+  * hash-partitioned WindowExec already scales that shape).
+  */
+class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
+  import OrderedScanStrategy.restage
+  import RunningWindow._
+
+  /** The window strategy's peel admits ALIASING Projects too (the
+    * analyzer extracts complex window inputs — `sum(cast(v)) OVER …` —
+    * into an aliased child Project): a deterministic row-local Project
+    * preserves row order, row count, and the band partitioning claim
+    * alike. The sort-order key itself still has to reach the SCAN
+    * unaliased (the band-key exprId check against `rel.output`), so an
+    * ORDER BY over a computed expression refuses as before.
+    */
+  private def peelW(p: LogicalPlan, above: List[LogicalPlan])
+      : Option[(org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation, List[LogicalPlan])] =
+    p match {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        Some((rel, above))
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.forall(_.deterministic) =>
+        peelW(pr.child, pr :: above)
+      case f: Filter if f.condition.deterministic =>
+        peelW(f.child, f :: above)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case w @ Window(windowExprs, Seq(), orderSpec, child, _)
+        if orderSpec.nonEmpty && windowExprs.nonEmpty =>
+      (orderSpec.head, peelW(child, Nil)) match {
+        case (first @ SortOrder(attr: AttributeReference,
+            Ascending | Descending, _, _), Some((rel, above))) =>
+          rel.scan match {
+            case scan: ExtJsonScan
+                if rel.output.exists(_.exprId == attr.exprId) &&
+                  orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
+              val funcs = windowExprs.map(parse(_, child.outputSet))
+              if (funcs.exists(_.isEmpty)) return Nil
+              scan.orderedBandPartitions(attr.name) match {
+                case Some(bands) if bands.nonEmpty =>
+                  val desc = first.direction == Descending
+                  val ordered = OrderedBandScanExec(rel.output, orderSpec,
+                    scan, if (desc) bands.reverse else bands,
+                    claimOrdering = !desc && orderSpec.length == 1 &&
+                      first.nullOrdering == NullsFirst)
+                  val chain = restage(above, ordered)
+                  val sortedChild =
+                    if (ordered.claimOrdering) chain
+                    else SortExec(orderSpec, global = false, chain)
+                  // the metadata prefix is sound only when nothing
+                  // between the scan and the window drops rows: the scan
+                  // itself proves its side (orderedBandFileStats refuses
+                  // under any pushed filter/limit/agg mode), and a
+                  // peeled residual Filter above it must refuse too
+                  val metadata =
+                    if (above.exists(_.isInstanceOf[Filter])) None
+                    else metadataTotals(scan, attr.name, funcs.map(_.get),
+                      desc)
+                  BandRunningWindowExec(windowExprs, funcs.map(_.get),
+                    orderSpec, metadata, sortedChild) :: Nil
+                case _ => Nil
+              }
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  /** One window expression → its running-function spec, or None (the
+    * whole strategy then refuses — partial acceleration would still plan
+    * Spark's single-partition WindowExec for the rest, gaining nothing).
+    */
+  private def parse(ne: NamedExpression,
+      childOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Option[RunningFunc] = ne match {
+    case Alias(we @ WindowExpression(fn, spec), _)
+        if spec.partitionSpec.isEmpty &&
+          fn.references.subsetOf(childOut) && fn.deterministic =>
+      val frame = spec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+          Some(true)
+        case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) =>
+          Some(false)
+        case _ => None
+      }
+      (fn, frame) match {
+        case (_: RowNumber, Some(true)) => Some(RunRowNumber())
+        case (_: Rank, Some(true)) => Some(RunRank())
+        case (ae: AggregateExpression, Some(rows))
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count if c.children.lengthCompare(1) == 0 =>
+              Some(RunCount(c.children.head, rows))
+            case s: Sum => s.dataType match {
+              case LongType => Some(RunSumLong(s.child, rows))
+              case DoubleType => Some(RunSumDouble(s.child, rows))
+              case d: DecimalType => Some(RunSumDecimal(s.child, d, rows))
+              case _ => None
+            }
+            case m: Min if orderable(m.dataType) =>
+              Some(RunMinMax(m.child, m.dataType, isMin = true, rows))
+            case m: Max if orderable(m.dataType) =>
+              Some(RunMinMax(m.child, m.dataType, isMin = false, rows))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Atomic orderable types whose values the accumulator can RETAIN
+    * safely (UTF8String is cloned; the rest are immutable) — arrays,
+    * maps, and structs would alias the transient row buffer.
+    */
+  private def orderable(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | StringType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Per-partition (= per final group, post-reverse for DESC) TOTALS for
+    * every function, straight from the sidecar — None if any single
+    * total is underivable (the exec then computes them all in one pass;
+    * mixing sources would read the data anyway).
+    */
+  private def metadataTotals(scan: ExtJsonScan, keyCol: String,
+      funcs: Seq[RunningFunc], desc: Boolean): Option[Seq[Array[Any]]] = {
+    scan.orderedBandFileStats(keyCol).flatMap { groups0 =>
+      val groups = if (desc) groups0.reverse else groups0
+      val out = groups.map { files =>
+        val rows = files.map(_.cols(keyCol).rows).sum
+        val totals = funcs.map {
+          case _: RunRowNumber | _: RunRank =>
+            Some(java.lang.Long.valueOf(rows))
+          case RunCount(input, _) => input match {
+            case l: Literal =>
+              Some(java.lang.Long.valueOf(if (l.value == null) 0L else rows))
+            case a: AttributeReference =>
+              colTotals(files, a.name).map(cs =>
+                java.lang.Long.valueOf(cs.map(c => c.rows - c.nulls).sum))
+            case _ => None
+          }
+          case RunSumLong(input, _) => input match {
+            case a: AttributeReference =>
+              colTotals(files, a.name).flatMap { cs =>
+                if (cs.exists(_.sum.isEmpty)) None
+                else if (cs.forall(c => c.rows == c.nulls)) Some(null)
+                else try {
+                  Some(java.lang.Long.valueOf(
+                    cs.flatMap(_.sum)
+                      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+                      .longValueExact()))
+                } catch { case _: ArithmeticException => None }
+              }
+            case _ => None
+          }
+          case RunSumDecimal(input, _, _) => input match {
+            case a: AttributeReference =>
+              colTotals(files, a.name).flatMap { cs =>
+                if (cs.exists(_.sum.isEmpty)) None
+                else if (cs.forall(c => c.rows == c.nulls)) Some(null)
+                else Some(cs.flatMap(_.sum)
+                  .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)))
+              }
+            case _ => None
+          }
+          case _: RunSumDouble => None // doubles carry no exact sidecar sum
+          case RunMinMax(input, dt, isMin, _) => input match {
+            case a: AttributeReference =>
+              colTotals(files, a.name).flatMap { cs =>
+                val vals = cs.flatMap(c => if (isMin) c.min else c.max)
+                // a stats row exists for every file; empty min/max means
+                // an all-null column in that file — neutral, skip it
+                if (vals.isEmpty) Some(null)
+                else Some(vals.reduce((x, y) =>
+                  if ((FilterEval.compareInternal(dt, x, y) < 0) == isMin) x
+                  else y))
+              }
+            case _ => None
+          }
+        }
+        if (totals.exists(_.isEmpty)) None
+        else Some(totals.map(_.get.asInstanceOf[Any]).toArray)
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
+    }
+  }
+
+  private def colTotals(files: Seq[ZoneMaps.FileStats],
+      col: String): Option[Seq[ZoneMaps.ColStats]] = {
+    val cs = files.map(_.cols.get(col))
+    if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+  }
+}
+
+/** The running-function specs and their per-partition accumulators.
+  * Each accumulator is a small monoid: `update(row)` folds one row in,
+  * `total()` snapshots the partition's contribution in a driver-portable
+  * form, `mergeTotal(t)` folds a snapshot in (the driver's prefix scan
+  * AND the executor's prefix load are the same operation), `value()`
+  * renders the current state in the function's result type.
+  */
+private[plans] object RunningWindow {
+
+  sealed trait RunAcc {
+    def update(row: InternalRow): Unit
+    def total(): Any
+    def mergeTotal(t: Any): Unit
+    def value(): Any
+  }
+
+  /** `rowsFrame = true`: the value changes per ROW (updated at emission,
+    * read after the update — `ROWS` frames and `row_number`). False: the
+    * value is constant over an order-ties group (`RANGE` frames, read at
+    * group end; `rank` reads the count at group START instead, see
+    * [[RunRank]]).
+    */
+  sealed trait RunningFunc extends Serializable {
+    def rowsFrame: Boolean
+    def groupStart: Boolean = false
+    def bound(input: Seq[Attribute]): RunningFunc
+    def newAcc(): RunAcc
+  }
+
+  private final class CountingAcc(render: Long => Any) extends RunAcc {
+    var n = 0L
+    override def update(row: InternalRow): Unit = n += 1
+    override def total(): Any = java.lang.Long.valueOf(n)
+    override def mergeTotal(t: Any): Unit =
+      if (t != null) n += t.asInstanceOf[java.lang.Long].longValue()
+    override def value(): Any = render(n)
+  }
+
+  final case class RunRowNumber() extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def bound(input: Seq[Attribute]): RunningFunc = this
+    // value read AFTER the row's update: n IS the 1-based row number
+    override def newAcc(): RunAcc = new CountingAcc(n => n.toInt)
+  }
+
+  /** Ties never straddle band groups (strict key disjointness), so the
+    * group-START row count + 1 is the global rank of every row in the
+    * tie group — `rank()`'s exact semantics.
+    */
+  final case class RunRank() extends RunningFunc {
+    override def rowsFrame: Boolean = false
+    override def groupStart: Boolean = true
+    override def bound(input: Seq[Attribute]): RunningFunc = this
+    override def newAcc(): RunAcc = new CountingAcc(n => (n + 1).toInt)
+  }
+
+  final case class RunCount(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      var n = 0L
+      override def update(row: InternalRow): Unit =
+        if (input.eval(row) != null) n += 1
+      override def total(): Any = java.lang.Long.valueOf(n)
+      override def mergeTotal(t: Any): Unit =
+        if (t != null) n += t.asInstanceOf[java.lang.Long].longValue()
+      override def value(): Any = n
+    }
+  }
+
+  final case class RunSumLong(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      var s = 0L
+      var any = false
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) {
+          // addExact: the ANSI posture Sum itself has on overflow
+          s = Math.addExact(s, v.asInstanceOf[Number].longValue())
+          any = true
+        }
+      }
+      override def total(): Any =
+        if (any) java.lang.Long.valueOf(s) else null
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        s = Math.addExact(s, t.asInstanceOf[java.lang.Long].longValue())
+        any = true
+      }
+      override def value(): Any = if (any) s else null
+    }
+  }
+
+  final case class RunSumDouble(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      var s = 0.0
+      var any = false
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) { s += v.asInstanceOf[Number].doubleValue(); any = true }
+      }
+      override def total(): Any =
+        if (any) java.lang.Double.valueOf(s) else null
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        s += t.asInstanceOf[java.lang.Double].doubleValue(); any = true
+      }
+      override def value(): Any = if (any) s else null
+    }
+  }
+
+  final case class RunSumDecimal(input: Expression, resultType: DecimalType,
+      rowsFrame: Boolean) extends RunningFunc {
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      var s: java.math.BigDecimal = null
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) {
+          val d = v.asInstanceOf[Decimal].toJavaBigDecimal
+          s = if (s == null) d else s.add(d)
+        }
+      }
+      override def total(): Any = s
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val d = t.asInstanceOf[java.math.BigDecimal]
+        s = if (s == null) d else s.add(d)
+      }
+      override def value(): Any =
+        if (s == null) null
+        else {
+          val d = Decimal(s)
+          if (!d.changePrecision(resultType.precision, resultType.scale))
+            throw new ArithmeticException(
+              s"running sum overflows ${resultType.simpleString}")
+          d
+        }
+    }
+  }
+
+  final case class RunMinMax(input: Expression, dt: DataType,
+      isMin: Boolean, rowsFrame: Boolean) extends RunningFunc {
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      private val ord = TypeUtils.getInterpretedOrdering(dt)
+      var cur: Any = null
+      private def retain(v: Any): Any = v match {
+        // values extracted from a transient row must not alias its
+        // buffer past the next advance
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      private def fold(v: Any): Unit =
+        if (cur == null || (ord.compare(v, cur) < 0) == isMin)
+          cur = retain(v)
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) fold(v)
+      }
+      override def total(): Any = cur
+      override def mergeTotal(t: Any): Unit = if (t != null) fold(t)
+      override def value(): Any = cur
+    }
+  }
+}
+
+/** Per-partition running-window evaluation over an order-claiming child
+  * (the strategy guarantees the child streams each partition in
+  * `orderSpec` order, partitions globally ordered). `partitionTotals`:
+  * per-partition per-function totals from the SIDECAR, or None — then
+  * one narrow pass computes them (below the per-band sort when one
+  * exists: totals are order-free). Tie groups buffer in a spillable
+  * UnsafeRow array (all-equal-keys is memory-bounded the same way
+  * Spark's own WindowExec partitions are).
+  */
+case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
+    funcs: Seq[RunningWindow.RunningFunc], orderSpec: Seq[SortOrder],
+    partitionTotals: Option[Seq[Array[Any]]], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    child.output ++ windowExprs.map(_.toAttribute)
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def stringArgs: Iterator[Any] = Iterator(
+    windowExprs.map(_.name).mkString("[", ", ", "]"),
+    orderSpec.mkString("[", ", ", "]"),
+    if (partitionTotals.isDefined) "prefix=metadata" else "prefix=computed")
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+
+  /** The totals pass never needs the per-band sort (totals are
+    * order-free) — run it below a local SortExec when that is the
+    * direct child shape.
+    */
+  private def unsortedChild(p: SparkPlan): SparkPlan = p match {
+    case s: SortExec if !s.global => s.child
+    case w: WholeStageCodegenExec => unsortedChild(w.child)
+    case _ => p
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOut = child.output
+    val bound = funcs.map(_.bound(childOut))
+    val totals: Seq[Array[Any]] = partitionTotals.getOrElse {
+      sparkContext.runJob(unsortedChild(child).execute(),
+        (it: Iterator[InternalRow]) => {
+          val accs = bound.map(_.newAcc())
+          it.foreach(r => accs.foreach(_.update(r)))
+          accs.map(_.total()).toArray
+        }).toSeq
+    }
+    // driver-side exclusive prefix scan: offsets(i) = fold of totals < i
+    val scanAccs = bound.map(_.newAcc())
+    val offsets: Array[Array[Any]] = totals.indices.map { i =>
+      val off = scanAccs.map(_.total()).toArray
+      scanAccs.zip(totals(i)).foreach { case (a, t) => a.mergeTotal(t) }
+      off
+    }.toArray
+    val ordering = new LazilyGeneratedOrdering(orderSpec, childOut)
+    val schema = output
+    val inMemT = conf.windowExecBufferInMemoryThreshold
+    val spillT = conf.windowExecBufferSpillThreshold
+    val spillSize = conf.windowExecBufferSpillSizeThreshold
+    val rows = longMetric("numOutputRows")
+    val rdd = child.execute()
+    require(partitionTotals.isEmpty ||
+      rdd.getNumPartitions == totals.length,
+      s"band window prefix count ${totals.length} != " +
+        s"${rdd.getNumPartitions} partitions")
+    rdd.mapPartitionsWithIndex { (i, iter) =>
+      val accs = bound.map(_.newAcc())
+      accs.zip(offsets(i)).foreach { case (a, o) => a.mergeTotal(o) }
+      val perRow = bound.zipWithIndex.filter(_._1.rowsFrame).map(_._2)
+      val atStart = bound.zipWithIndex
+        .filter(f => !f._1.rowsFrame && f._1.groupStart).map(_._2)
+      val atEnd = bound.zipWithIndex
+        .filter(f => !f._1.rowsFrame && !f._1.groupStart).map(_._2)
+      val groupScoped = atStart ++ atEnd
+      val buf = new ExternalAppendOnlyUnsafeRowArray(inMemT, spillSize,
+        spillT, spillSize)
+      val winRow = new GenericInternalRow(bound.length)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(schema, schema)
+      new Iterator[InternalRow] {
+        private val groupVals = new Array[Any](bound.length)
+        private var pending: UnsafeRow = _
+        private var emit: Iterator[InternalRow] = Iterator.empty
+
+        private def loadGroup(): Unit = {
+          buf.clear()
+          val first =
+            if (pending != null) pending
+            else iter.next().asInstanceOf[UnsafeRow].copy()
+          pending = null
+          atStart.foreach(j => groupVals(j) = accs(j).value())
+          buf.add(first)
+          groupScoped.foreach(j => accs(j).update(first))
+          var open = true
+          while (open && iter.hasNext) {
+            val r = iter.next().asInstanceOf[UnsafeRow]
+            if (ordering.compare(first, r) == 0) {
+              buf.add(r)
+              groupScoped.foreach(j => accs(j).update(r))
+            } else { pending = r.copy(); open = false }
+          }
+          atEnd.foreach(j => groupVals(j) = accs(j).value())
+          emit = buf.generateIterator().map { row =>
+            var k = 0
+            while (k < bound.length) { winRow(k) = groupVals(k); k += 1 }
+            perRow.foreach { j =>
+              accs(j).update(row)
+              winRow(j) = accs(j).value()
+            }
+            rows += 1
+            proj(joined(row, winRow))
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (!emit.hasNext && (pending != null || iter.hasNext))
+            loadGroup()
+          emit.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          emit.next()
+        }
+      }
+    }
+  }
+}

@@ -1112,7 +1112,46 @@ object DocOps {
       .select(col("o_day"), col("n_orders"),
         col("__s").cast("long").as("sum_cust"))
 
+  /** EXCHANGE-FREE global running window — the single-partition-collapse
+    * rung ([[graft.plans.RangeWindowStrategy]]): `rank()`, running
+    * `COUNT(*)` and running `SUM` over `ORDER BY o_totalprice` with no
+    * `PARTITION BY` — the shape Spark's WindowExec funnels through ONE
+    * partition (at 100 TB: cannot run) — decompose over the range-landed
+    * bands into per-band local running aggregation plus a per-band
+    * prefix. Here every prefix total (row counts, the exact long sum of
+    * the indexed o_orderkey) comes straight from the SIDECAR
+    * (`prefix=metadata`, PlanSpec-pinned): the window plans with zero
+    * exchange and ZERO extra passes. Ties share rank/count/sum values
+    * (RANGE frame), so the result is deterministic and oracle-checkable.
+    */
+  private def q172RangeRunningWindow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_totalprice"))
+    ordersRangeLandedSource(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rk"),
+        count(lit(1)).over(w).as("run_n"),
+        sum(col("o_orderkey")).over(w).as("run_key"))
+  }
+
+  /** The COMPUTED-prefix twin of q172 over the string-keyed landing:
+    * `row_number()` and a running `MAX` of the UNINDEXED o_totalprice —
+    * the sidecar cannot supply that prefix, so the exec runs ONE narrow
+    * totals pass (per-band counts and maxes to the driver — the
+    * zipWithIndex shape) and still never exchanges. The unique oid key
+    * makes row_number deterministic.
+    */
+  private def q173RangeRowNumber(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        max(col("o_totalprice")).over(w).as("run_max"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_docsource_range_running_window" -> q172RangeRunningWindow,
+    "q173_docsource_range_row_number" -> q173RangeRowNumber,
     "q171_docsource_range_agg_rollup" -> q171RangeAggRollup,
     "q170_docsource_range_merge_outer" -> q170RangeMergeOuter,
     "q169_docsource_range_merge_semi" -> q169RangeMergeSemi,
@@ -1155,6 +1194,18 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q172_docsource_range_running_window" ->
+      ("SELECT o_orderkey, o_totalprice, " +
+        "CAST(rank() OVER (ORDER BY o_totalprice) AS INT) AS rk, " +
+        "count(*) OVER (ORDER BY o_totalprice) AS run_n, " +
+        "CAST(sum(o_orderkey) OVER (ORDER BY o_totalprice) AS BIGINT) " +
+        "AS run_key FROM orders"),
+    "q173_docsource_range_row_number" ->
+      ("SELECT oid, o_totalprice, " +
+        "CAST(row_number() OVER (ORDER BY oid) AS INT) AS rn, " +
+        "max(o_totalprice) OVER (ORDER BY oid) AS run_max FROM " +
+        "(SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "o_totalprice FROM orders)"),
     "q171_docsource_range_agg_rollup" ->
       ("SELECT CAST(datediff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS INT) AS o_day, " +

@@ -2645,6 +2645,158 @@ class DocSourceV2Spec extends AnyFunSuite {
       "an over-wide merge group must fall through to the real sort")
   }
 
+  test("band running window: metadata vs computed prefixes, frames, DESC, nulls, fallbacks") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    import graft.ingest.v2.ZoneMaps
+    import graft.plans.BandRunningWindowExec
+    def nodes(df: DataFrame): Seq[SparkPlan] = TestPlans.executedNodes(df)
+    def planStr(df: DataFrame): String =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+    def bandWindowed(df: DataFrame): Boolean = {
+      val ns = nodes(df)
+      ns.exists(_.isInstanceOf[BandRunningWindowExec]) &&
+        !ns.exists(_.isInstanceOf[WindowExec]) &&
+        !ns.exists(_.isInstanceOf[ShuffleExchangeLike])
+    }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("g", LongType), StructField("v", LongType),
+      StructField("nv", LongType)))
+    // three disjoint sorted band files; k = i/10 repeats WITHIN files and
+    // never straddles them; v = i is unique and also sorted+disjoint; nv
+    // is entirely null in the FIRST band (the all-null-file metadata edge)
+    val root = Files.createTempDirectory("graft_v2rwin").toString
+    Seq(0 until 40, 40 until 80, 80 until 120).zipWithIndex.foreach {
+      case (r, b) =>
+        Files.write(Paths.get(root, s"b$b.jsonl"),
+          (r.map(i => s"""{"k": ${i / 10}, "g": ${i % 2}, "v": $i""" +
+            (if (i < 40) "}" else s""", "nv": $i}"""))
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, root, schema, Seq("k", "v", "nv"))
+    val src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    val w = Window.orderBy(col("k"))
+    // 1. METADATA prefixes: every total (rows, exact long sums incl. an
+    // all-null band, min/max) derives from the sidecar — zero extra pass
+    val meta = src.select(col("k"), col("v"),
+      rank().over(w).as("rk"), count(lit(1)).over(w).as("rn"),
+      sum(col("v")).over(w).as("sv"), max(col("v")).over(w).as("mv"),
+      count(col("nv")).over(w).as("cnv"), sum(col("nv")).over(w).as("snv"))
+    val rows = meta.collect()
+    assert(rows.length == 120)
+    assert(bandWindowed(meta) && planStr(meta).contains("prefix=metadata"))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val below = k * 10 // rows with smaller key
+      val through = below + 10 // RANGE frame: the whole tie group
+      assert(r.getInt(2) == below + 1, s"rank at $r")
+      assert(r.getLong(3) == through, s"run count at $r")
+      assert(r.getLong(4) == (0L until through).sum, s"run sum at $r")
+      assert(r.getLong(5) == through - 1, s"run max at $r")
+      val nnv = math.max(0L, through - 40L) // nv null for v < 40
+      assert(r.getLong(6) == nnv, s"run non-null count at $r")
+      if (nnv == 0L) assert(r.isNullAt(7), s"all-null running sum at $r")
+      else assert(r.getLong(7) == (40L until through).sum, s"nv sum at $r")
+    }
+    // 2. a pushed keep-everything FILTER forfeits the metadata proof but
+    // not the shape: one narrow totals pass, still zero exchange,
+    // identical values
+    val comp = src.filter(col("g") >= 0L).select(col("k"), col("v"),
+      rank().over(w).as("rk"), sum(col("v")).over(w).as("sv"))
+    val compRows = comp.collect()
+    assert(compRows.length == 120)
+    assert(bandWindowed(comp) && planStr(comp).contains("prefix=computed"))
+    compRows.foreach { r =>
+      assert(r.getInt(2) == r.getLong(0) * 10 + 1)
+      assert(r.getLong(3) == (0L until (r.getLong(0) * 10 + 10)).sum)
+    }
+    // 3. explicit ROWS frame over the UNIQUE sorted key v: per-row
+    // running values (v is also a proven band key, so the same layout
+    // serves a different ORDER BY column)
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowsFrame = src.select(col("v"),
+      sum(col("v")).over(wv).as("sv"), count(lit(1)).over(wv).as("rn"))
+    val rfRows = rowsFrame.collect()
+    assert(bandWindowed(rowsFrame))
+    rfRows.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(1) == (0L to v).sum, s"ROWS running sum at $r")
+      assert(r.getLong(2) == v + 1, s"ROWS running count at $r")
+    }
+    // 4. DECIMAL running sum (cast input => expression, computed prefix)
+    val dec = src.select(col("v"),
+      sum(col("v").cast("decimal(20,2)")).over(w).as("ds"))
+    assert(bandWindowed(dec) && planStr(dec).contains("prefix=computed"))
+    dec.collect().foreach { r =>
+      val v = r.getLong(0)
+      val through = (v / 10) * 10 + 10
+      assert(r.getDecimal(1) ==
+        new java.math.BigDecimal((0L until through).sum).setScale(2),
+        s"decimal running sum at $r")
+    }
+    // 5. DESC order: reversed bands + per-band local sort, zero exchange
+    val wd = Window.orderBy(col("k").desc)
+    val desc = src.select(col("k"), rank().over(wd).as("rk"),
+      count(lit(1)).over(wd).as("rn"))
+    val dRows = desc.collect()
+    assert(bandWindowed(desc) && planStr(desc).contains("prefix=metadata"))
+    dRows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getInt(1) == (11 - k) * 10 + 1, s"DESC rank at $r")
+      assert(r.getLong(2) == (12 - k) * 10, s"DESC run count at $r")
+    }
+    // 6. FALLBACKS: shapes the running decomposition cannot express plan
+    // Spark's ordinary window (and stay correct) — PARTITION BY,
+    // dense_rank, sliding frames, offset functions
+    val fallbacks = Seq(
+      src.select(col("k"), row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("k"))).as("x")),
+      src.select(col("k"), dense_rank().over(w).as("x")),
+      src.select(col("k"), sum(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(-1, 0)).as("x")),
+      src.select(col("k"), lag(col("v"), 1).over(w).as("x")))
+    fallbacks.foreach { df =>
+      val ns = nodes(df)
+      assert(!ns.exists(_.isInstanceOf[BandRunningWindowExec]),
+        "unsupported window shapes must fall through untouched: " +
+          ns.map(_.nodeName).mkString(", "))
+      assert(df.collect().length == 120)
+    }
+    // dense_rank through the ordinary path still answers correctly
+    val dr = src.select(col("k"), dense_rank().over(w).as("x")).collect()
+    dr.foreach(r => assert(r.getInt(1) == r.getLong(0) + 1))
+    // 7. OVERLAPPING bands (the append lifecycle) window through the
+    // k-way merge read: one merged group, prefixes still exact
+    val root2 = Files.createTempDirectory("graft_v2rwin2").toString
+    Files.write(Paths.get(root2, "a.jsonl"), (0 until 20)
+      .map(i => s"""{"k": $i, "g": 0, "v": $i, "nv": $i}""")
+      .mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root2, "b.jsonl"), (10 until 30)
+      .map(i => s"""{"k": $i, "g": 0, "v": $i, "nv": $i}""")
+      .mkString("\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, root2, schema, Seq("k"))
+    val merged = ExtendedJson.read(spark, schema, root2,
+      Map("zoneMaps" -> "true"))
+      .select(col("k"), rank().over(w).as("rk"),
+        count(lit(1)).over(w).as("rn"))
+    val mRows = merged.collect()
+    assert(mRows.length == 40)
+    assert(bandWindowed(merged) && planStr(merged).contains("prefix=metadata"))
+    // duplicate keys 10..19 appear twice; rank counts rows strictly below
+    def rowsBelow(k: Long): Long =
+      (0L until k).map(i => if (i >= 10 && i < 20) 2L else 1L).sum
+    def tieSize(k: Long): Long = if (k >= 10 && k < 20) 2L else 1L
+    mRows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getInt(1) == rowsBelow(k) + 1, s"merged rank at $r")
+      assert(r.getLong(2) == rowsBelow(k) + tieSize(k), s"merged count at $r")
+    }
+  }
+
   test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {
     import graft.ingest.v2.ZoneMaps
     // the detection below fires ZoneMaps' one-line operator warning by

@@ -995,6 +995,69 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q172 running window over bands: metadata prefix, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q172_docsource_range_running_window")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]),
+      ns.map(_.nodeName).mkString(", "))
+    // the single-partition collapse is GONE: no WindowExec, no exchange
+    assert(!ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // every prefix total came from the sidecar — zero extra passes
+    assert(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString.contains("prefix=metadata"))
+    // semantic recompute: per price tie group, rank = rows before + 1,
+    // running count/sum include the whole group (RANGE frame)
+    val sorted = rows.sortBy(_.getDouble(1))
+    var before = 0L
+    var sumBefore = 0L
+    sorted.groupBy(_.getDouble(1)).toSeq.sortBy(_._1).foreach {
+      case (_, g) =>
+        val gSum = g.map(_.getLong(0)).sum
+        g.foreach { r =>
+          assert(r.getInt(2) == before + 1, s"rank at $r")
+          assert(r.getLong(3) == before + g.length, s"run_n at $r")
+          assert(r.getLong(4) == sumBefore + gSum, s"run_key at $r")
+        }
+        before += g.length
+        sumBefore += gSum
+    }
+  }
+
+  test("q173 running window: computed prefix (one totals pass), still zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q173_docsource_range_row_number")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // o_totalprice is NOT sidecar-indexed in the oid landing: the max
+    // prefix is underivable from metadata, so the exec computed totals
+    assert(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString.contains("prefix=computed"))
+    // unique key: row numbers are exactly 1..n in oid order; running max
+    // is the prefix max
+    val sorted = rows.sortBy(_.getString(0))
+    var runMax = Double.NegativeInfinity
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(2) == i + 1, s"row_number at $r")
+      runMax = math.max(runMax, r.getDouble(1))
+      assert(r.getDouble(3) == runMax, s"run_max at $r")
+    }
+  }
+
   test("q162 range-landed drop: top-N plans one band file's tail blocks") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val qe = plan("q162_docsource_range_landed_topn")
