@@ -155,8 +155,13 @@ class OrderedScanStrategy(session: SparkSession) extends SparkStrategy {
   * band-parallel local aggregation trades parallelism for the
   * exchange. Sound only when the grouping set CONTAINS the band key as
   * a bare attribute (equal grouping tuples then share the key, hence
-  * the band); distinct aggregates, unproven layouts, and non-key
-  * groupings fall through to Spark's ordinary aggregation.
+  * the band); unproven layouts and non-key groupings fall through to
+  * Spark's ordinary aggregation. DISTINCT aggregates over ONE distinct
+  * column set plan too (`AggUtils.planAggregateWithOneDistinct`): every
+  * stage of the four-exec distinct pipeline clusters on a SUPERSET of
+  * the grouping, which the band claim satisfies — `COUNT(DISTINCT x)
+  * GROUP BY key` pays neither of its two ordinary exchanges, because
+  * equal keys (hence equal (key, x) pairs) never straddle bands.
   */
 class RangeAggStrategy(session: SparkSession) extends SparkStrategy {
   import OrderedScanStrategy.{peel, restage}
@@ -166,10 +171,8 @@ class RangeAggStrategy(session: SparkSession) extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PhysicalAggregation(groupingExprs, aggExprs, resultExprs, child)
-        if groupingExprs.nonEmpty && aggExprs.forall {
-          case ae: AggregateExpression => !ae.isDistinct
-          case _ => false
-        } =>
+        if groupingExprs.nonEmpty &&
+          aggExprs.forall(_.isInstanceOf[AggregateExpression]) =>
       peel(child, Nil) match {
         case Some((rel, above)) =>
           rel.scan match {
@@ -188,10 +191,38 @@ class RangeAggStrategy(session: SparkSession) extends SparkStrategy {
                   val bands = OrderedBandScanExec(rel.output,
                     Seq(SortOrder(k, Ascending)), scan, groups,
                     claimOrdering = false)
-                  AggUtils.planAggregateWithoutDistinct(
-                    groupingExprs,
-                    aggExprs.map(_.asInstanceOf[AggregateExpression]),
-                    resultExprs, restage(above, bands))
+                  val aggs = aggExprs.map(_.asInstanceOf[AggregateExpression])
+                  val (distinct, plain) = aggs.partition(_.isDistinct)
+                  if (distinct.isEmpty)
+                    AggUtils.planAggregateWithoutDistinct(
+                      groupingExprs, aggs, resultExprs,
+                      restage(above, bands))
+                  else {
+                    // ONE distinct column set (several functions may
+                    // share it — the shape the optimizer's Expand
+                    // rewrite leaves single): the whole four-exec
+                    // distinct pipeline clusters on supersets of the
+                    // grouping, which the band claim satisfies — the
+                    // distinct rollup's BOTH exchanges are gone. More
+                    // than one distinct set never reaches a strategy.
+                    val sets = distinct.map(
+                      _.aggregateFunction.children.filterNot(_.foldable)
+                        .map(_.canonicalized)).distinct
+                    if (sets.length != 1 || sets.head.isEmpty) Nil
+                    else {
+                      val distinctExprs = distinct.head.aggregateFunction
+                        .children.filterNot(_.foldable)
+                      val named = distinctExprs.map {
+                        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne
+                        case other =>
+                          org.apache.spark.sql.catalyst.expressions
+                            .Alias(other, other.toString)()
+                      }
+                      AggUtils.planAggregateWithOneDistinct(
+                        groupingExprs, distinct, plain, distinctExprs,
+                        named, resultExprs, restage(above, bands))
+                    }
+                  }
                 case None => Nil
               }
             case _ => Nil

@@ -1149,9 +1149,29 @@ object DocOps {
         max(col("o_totalprice")).over(w).as("run_max"))
   }
 
+  /** EXCHANGE-FREE distinct rollup — `COUNT(DISTINCT custkey) GROUP BY
+    * day` over the day-banded landing: Spark's four-exec distinct
+    * pipeline ordinarily pays TWO exchanges (cluster on (day, custkey),
+    * then on day); the band layout satisfies both clustered
+    * distributions at once — equal days, hence equal (day, custkey)
+    * pairs, never straddle bands — so
+    * [[graft.plans.RangeAggStrategy]] plans the whole pipeline over the
+    * band partitions with zero shuffle (PlanSpec-pinned), mixed with a
+    * plain COUNT in the same aggregation. The daily-unique-users rollup
+    * at 100 TB as a pure layout property.
+    */
+  private def q174RangeDistinctRollup(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true", "rangeAggregation" -> "true"))
+      .groupBy(col("o_day"))
+      .agg(countDistinct(col("o_custkey")).as("nd_cust"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_day"), col("nd_cust"), col("n_orders"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_docsource_range_running_window" -> q172RangeRunningWindow,
     "q173_docsource_range_row_number" -> q173RangeRowNumber,
+    "q174_docsource_range_distinct_rollup" -> q174RangeDistinctRollup,
     "q171_docsource_range_agg_rollup" -> q171RangeAggRollup,
     "q170_docsource_range_merge_outer" -> q170RangeMergeOuter,
     "q169_docsource_range_merge_semi" -> q169RangeMergeSemi,
@@ -1194,6 +1214,11 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q174_docsource_range_distinct_rollup" ->
+      ("SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, " +
+        "COUNT(DISTINCT o_custkey) AS nd_cust, COUNT(*) AS n_orders " +
+        "FROM orders GROUP BY 1"),
     "q172_docsource_range_running_window" ->
       ("SELECT o_orderkey, o_totalprice, " +
         "CAST(rank() OVER (ORDER BY o_totalprice) AS INT) AS rk, " +

@@ -2551,11 +2551,28 @@ class DocSourceV2Spec extends AnyFunSuite {
       (0 until 120).groupBy(_ % 2)
         .map { case (g, is) => (g.toLong, is.map(_.toLong).sum) }.toSet)
     assert(!nodes(byG).exists(_.isInstanceOf[OrderedBandScanExec]))
-    // DISTINCT aggregates: fall back, stay correct
+    // DISTINCT aggregates over ONE distinct set plan the one-stage
+    // pipeline too: equal (key, g) pairs never straddle bands, so the
+    // four-exec distinct plan's BOTH exchanges are gone — mixed with a
+    // plain aggregate in the same GROUP BY
     val dist = src(ra = true).groupBy(col("k"))
-      .agg(countDistinct(col("g")).as("nd"))
-    assert(dist.collect().forall(_.getLong(1) == 2L))
-    assert(!nodes(dist).exists(_.isInstanceOf[OrderedBandScanExec]))
+      .agg(countDistinct(col("g")).as("nd"), sum(col("v")).as("s"))
+    val dRows = dist.collect()
+    assert(dRows.length == 12 && dRows.forall(_.getLong(1) == 2L))
+    assert(dRows.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      expected.map { case (k, _, s) => (k, s) })
+    val dns = nodes(dist)
+    assert(dns.exists(_.isInstanceOf[OrderedBandScanExec]) &&
+      !dns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      dns.map(_.nodeName).mkString(", "))
+    // TWO distinct sets rewrite to Expand in the optimizer and group by
+    // (key, gid) — a non-key-only grouping extension the strategy still
+    // accepts (key is IN the grouping); values must stay exact
+    val dist2 = src(ra = true).groupBy(col("k"))
+      .agg(countDistinct(col("g")).as("ndg"),
+        countDistinct(col("v")).as("ndv"))
+    assert(dist2.collect().forall(r =>
+      r.getLong(1) == 2L && r.getLong(2) == 10L))
     // option OFF: identical rows through the ordinary pushed-partial path
     val off = src(ra = false).groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))

@@ -995,6 +995,24 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q174 distinct rollup over bands: four-exec distinct pipeline, zero exchange") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q174_docsource_range_distinct_rollup")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 100, s"expected many day groups, got ${rows.length}")
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns.map(_.nodeName).mkString(", "))
+    // the distinct pipeline: partial, partial-merge, partial-distinct,
+    // final — all four over the band scan, with NO exchange anywhere
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) == 4,
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "both distinct-pipeline exchanges must be gone")
+  }
+
   test("q172 running window over bands: metadata prefix, zero exchange, no WindowExec") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
