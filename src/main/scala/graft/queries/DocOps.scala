@@ -1168,7 +1168,41 @@ object DocOps {
         count(lit(1)).as("n_orders"))
       .select(col("o_day"), col("nd_cust"), col("n_orders"))
 
+  /** The APPENDED landing compacted once per (JVM, sfDir):
+    * [[graft.sink.CorpusSink.compactRangeIndexed]] folds the overlapping
+    * per-batch bands back to one-file-per-group disjoint layout through
+    * the exchange-free merge read — no range shuffle, no sort, no
+    * boundary-sample job, just one read + one write + the sidecar build.
+    */
+  private def ordersRangeCompactedJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangecompact", _ => {
+      val srcDir = ordersRangeAppendedJsonl(s, d)
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgk_$tag")}/orders"
+      graft.sink.CorpusSink.compactRangeIndexed(s, decodedOrdersClustered,
+        srcDir, dir, "o_totalprice",
+        zoneCols = Seq("o_totalprice", "o_orderkey"))
+      dir
+    })
+
+  /** ORDER BY over the COMPACTED drop — the maintenance rung closing the
+    * append lifecycle: q165's overlapping landing, folded back to plain
+    * disjoint bands by the zero-shuffle compaction, plans the
+    * sequential-read exchange-free ordered scan again (PlanSpec pins
+    * one-file groups, zero merge, zero Exchange/Sort). land → append →
+    * merge-read → compact → plain bands: the full 100 TB corpus
+    * lifecycle, every step shuffle-free.
+    */
+  private def q175RangeCompactedScan(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered,
+      ordersRangeCompactedJsonl(s, d), Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_docsource_range_compacted_scan" -> q175RangeCompactedScan,
     "q172_docsource_range_running_window" -> q172RangeRunningWindow,
     "q173_docsource_range_row_number" -> q173RangeRowNumber,
     "q174_docsource_range_distinct_rollup" -> q174RangeDistinctRollup,
@@ -1214,6 +1248,8 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q175_docsource_range_compacted_scan" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
     "q174_docsource_range_distinct_rollup" ->
       ("SELECT CAST(datediff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS INT) AS o_day, " +

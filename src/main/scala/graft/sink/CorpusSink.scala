@@ -233,6 +233,51 @@ object CorpusSink {
     }
   }
 
+  /** ZERO-SHUFFLE, ZERO-SORT compaction of a range-landed drop — the
+    * maintenance half of the append lifecycle: every `appendTag` batch
+    * lands bands that OVERLAP earlier ones, the planner k-way merges
+    * overlap groups at read time, and past
+    * [[graft.ingest.v2.ExtJsonScan.MaxMergeWidth]] overlapping files the
+    * merge refuses — the layout has decayed. This call restores it
+    * WITHOUT paying what the original landing paid: the read plans the
+    * exchange-free ordered scan ([[graft.plans.OrderedBandScanExec]] —
+    * overlap groups heap-merge their proven sorted streams), so the
+    * rewrite has NO range exchange, NO SortExec, and NO boundary-sample
+    * job anywhere — each output file is one merged group, written in
+    * stream order and re-proven sorted by the fresh sidecar build (the
+    * only full re-read, unavoidable for stats). At 100 TB: compaction at
+    * the cost of one read + one write, where a re-land pays a full
+    * range shuffle on top.
+    *
+    * Output granularity is the GROUP structure (disjoint by
+    * construction), not the original band count — a drop whose appends
+    * overlapped everything compacts to fewer, wider files; re-land with
+    * [[landJsonlRangeIndexed]] when re-banding (a different cut count)
+    * is the goal. If the source layout cannot prove the ordered scan
+    * (nulls in the key, stale stats), the same call still compacts
+    * correctly — it just pays the ordinary sort, which is what any
+    * rewrite would pay. `dstDir` must differ from `srcDir`: the scan
+    * reads lazily while the write lands, and overwriting the input
+    * mid-read is unrecoverable.
+    */
+  def compactRangeIndexed(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, srcDir: String,
+      dstDir: String, sortCol: String, zoneCols: Seq[String],
+      bloomCols: Seq[String] = Nil, blockBytes: Long = 0L): Long = {
+    require(zoneCols.contains(sortCol),
+      s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols)")
+    require(new java.net.URI(srcDir).getPath != new java.net.URI(dstDir).getPath,
+      "compaction must write a NEW directory (the source is read lazily " +
+        "while the destination lands)")
+    graft.ingest.ExtendedJson.read(spark, schema, srcDir,
+      Map("zoneMaps" -> "true"))
+      .orderBy(col(sortCol))
+      .select(to_json(struct(schema.fieldNames.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(dstDir)
+    graft.ingest.v2.ZoneMaps.build(spark, dstDir, schema, zoneCols,
+      bloomCols = bloomCols, blockBytes = blockBytes)
+  }
+
   /** One shard file's attestation: row count and an ORDER-FREE content
     * hash (sum of per-row `xxhash64(all columns)` — addition commutes, so
     * the digest is independent of read parallelism and row order, while

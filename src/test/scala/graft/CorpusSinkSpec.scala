@@ -342,6 +342,78 @@ class CorpusSinkSpec extends AnyFunSuite {
       s"folded block rows must still cut splits: ${parts.map(_.length).sum} of $fLen")
   }
 
+  test("compactRangeIndexed: appended overlap folds to disjoint files with no shuffle, no sort") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.ingest.v2.ZoneMaps
+    import graft.plans.OrderedBandScanExec
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("score", DoubleType)))
+    val src = Files.createTempDirectory("graft_cmp_src").toString + "/docs"
+    val dst = Files.createTempDirectory("graft_cmp_dst").toString + "/docs"
+    def batch(r: Range) =
+      r.map(i => (i.toLong, ((i * 137) % 100) * 10.0)).toDF("doc_id", "score")
+    // base landing + two tagged appends, each cutting its OWN boundaries
+    // over its own rows: the appended bands overlap the base ones
+    CorpusSink.landJsonlRangeIndexed(batch(1 to 200), "score", src,
+      numBands = 3, zoneCols = Seq("score", "doc_id"))
+    CorpusSink.landJsonlRangeIndexed(batch(201 to 300), "score", src,
+      numBands = 2, zoneCols = Seq("score", "doc_id"),
+      appendTag = Some("b1"))
+    CorpusSink.landJsonlRangeIndexed(batch(301 to 400), "score", src,
+      numBands = 2, zoneCols = Seq("score", "doc_id"),
+      appendTag = Some("b2"))
+    def orderedRead(dir: String) =
+      graft.ingest.ExtendedJson.read(spark, schema, dir,
+        Map("zoneMaps" -> "true")).orderBy(col("score"))
+    // the decayed layout merge-reads: some group holds >1 file
+    val before = orderedRead(src)
+    val beforeRows = before.collect()
+    assert(beforeRows.length == 400)
+    val bScan = TestPlans.executedNodes(before)
+      .collectFirst { case o: OrderedBandScanExec => o }
+    assert(bScan.exists(_.groups.exists(_.files.lengthCompare(1) > 0)),
+      "appended landings must overlap (the compaction premise)")
+    // the compaction read is the SAME plan — pin that the rewrite pays
+    // neither exchange nor sort nor any boundary-sample job
+    val ns = TestPlans.executedNodes(before)
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.isInstanceOf[SortExec]),
+      "compaction input must plan exchange-free and sort-free")
+    val nFiles = CorpusSink.compactRangeIndexed(spark, schema, src, dst,
+      "score", zoneCols = Seq("score", "doc_id"))
+    assert(nFiles == bScan.get.groups.length.toLong,
+      "one output file per disjoint overlap group")
+    // the compacted drop: every file sorted-proven, ranges disjoint,
+    // all rows present, and the ordered scan plans PLAIN bands again
+    val stats = ZoneMaps.loadStats(spark, dst, schema).values.toSeq
+    assert(stats.size == nFiles.toInt)
+    assert(stats.forall(_.cols("score").sorted))
+    val ranges = stats.map(s => (
+      s.cols("score").min.get.asInstanceOf[Double],
+      s.cols("score").max.get.asInstanceOf[Double])).sortBy(_._1)
+    assert(ranges.zip(ranges.tail).forall { case (a, b) => a._2 < b._1 },
+      s"compacted files must own disjoint ranges: $ranges")
+    val after = orderedRead(dst)
+    val afterRows = after.collect()
+    assert(afterRows.length == 400)
+    assert(afterRows.map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+      beforeRows.map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq,
+      "compaction must preserve the row multiset")
+    assert(afterRows.map(_.getDouble(1)).sliding(2)
+      .forall(p => p(0) <= p(1)), "compacted read must stream sorted")
+    val aScan = TestPlans.executedNodes(after)
+      .collectFirst { case o: OrderedBandScanExec => o }
+    assert(aScan.exists(_.groups.forall(_.files.lengthCompare(1) == 0)),
+      "compaction must restore one-file-per-group bands")
+    // same-directory compaction refuses loudly
+    intercept[IllegalArgumentException] {
+      CorpusSink.compactRangeIndexed(spark, schema, src, src, "score",
+        zoneCols = Seq("score", "doc_id"))
+    }
+  }
+
   test("manifest round-trips, is order-free, and catches tampering") {
     val d = Files.createTempDirectory("graft_manifest").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)

@@ -995,6 +995,28 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q175 compacted drop: plain single-file bands, no merge, no sort, no exchange") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q175_docsource_range_compacted_scan")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "rows must arrive globally sorted")
+    val ns = TestPlans.executedNodes(df)
+    val scan = ns.collectFirst { case o: graft.plans.OrderedBandScanExec => o }
+    assert(scan.isDefined, ns.map(_.nodeName).mkString(", "))
+    // compaction folded the appended overlap away: every group is one
+    // sequential file again — no k-way merge left anywhere
+    assert(scan.get.groups.forall(_.files.lengthCompare(1) == 0),
+      "compacted layout must read sequentially, not merge")
+    assert(scan.get.groups.length > 1, "compaction must keep band parallelism")
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the compacted ordered scan costs neither sort nor exchange")
+  }
+
   test("q174 distinct rollup over bands: four-exec distinct pipeline, zero exchange") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
