@@ -51,6 +51,69 @@ object Quantiles {
     * dyadic percentiles this module recommends and collide 0.125/0.13 into
     * one duplicate column name).
     */
+  /** EXACT global order statistics by POSITION over a range-landed
+    * document drop — quantiles as a LAYOUT LOOKUP: the sidecar's
+    * per-band row counts locate the band holding the k-th global row
+    * (`k = floor(q·(n−1))`, the lower discrete quantile — the value at a
+    * global position is deterministic even under duplicate keys), so
+    * each requested quantile reads ONE band: a zone-pruned range filter
+    * plans exactly that band's files, `ORDER BY key LIMIT local+1`
+    * pushes as top-N — the band's `sorted` proof early-exits the reader
+    * after ~local+1 parsed rows — and the outer DESC `LIMIT 1` keeps the
+    * selected row. No global sort, no shuffle, no sketch approximation —
+    * at 100 TB with 1000 bands a quantile costs a fraction of one band's
+    * scan, where `approx_percentile` pays a full corpus pass for an
+    * approximate answer and an exact sort pays the range exchange. Task
+    * memory is O(position within the band) — bounded by a band, the same
+    * unit every other band read is sized by.
+    *
+    * Requires the drop's band layout to be PROVEN for `keyCol` (the
+    * [[graft.sink.CorpusSink.landJsonlRangeIndexed]] posture) and the
+    * scan to deliver every row (no pushed filters) — refuses loudly
+    * otherwise: [[exactQuantiles]]/[[approxQuantiles]] are the
+    * layout-free alternatives. Output: one row per requested quantile,
+    * columns `(q, value)`.
+    */
+  def layoutQuantiles(df: DataFrame, keyCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantile positions must lie in [0, 1]")
+    val scan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collect { case s: graft.ingest.v2.ExtJsonScan => s }
+    val banded = scan.flatMap { s =>
+      for {
+        stats <- s.orderedBandFileStats(keyCol)
+        groups <- s.orderedBandPartitions(keyCol)
+      } yield (stats, groups)
+    }
+    val (stats, groups) = banded.getOrElse(throw new IllegalArgumentException(
+      s"layoutQuantiles needs a proven band layout on '$keyCol' and an " +
+        "unfiltered scan — land with CorpusSink.landJsonlRangeIndexed, or " +
+        "use exactQuantiles/approxQuantiles for layout-free inputs"))
+    val counts = stats.map(_.map(_.cols(keyCol).rows).sum)
+    val n = counts.sum
+    val prefixes = counts.scanLeft(0L)(_ + _)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(df.schema(keyCol).dataType)
+    qs.map { q =>
+      val k = math.floor(q * (n - 1)).toLong
+      val g = prefixes.indexWhere(_ > k) - 1
+      val local = k - prefixes(g)
+      require(local + 1 <= Int.MaxValue, s"band $g holds > 2^31 rows")
+      df.filter(col(keyCol) >= lit(conv(groups(g).min)) &&
+          col(keyCol) <= lit(conv(groups(g).max)))
+        .select(col(keyCol).as("value"))
+        .orderBy(col("value").asc)
+        .limit(local.toInt + 1)
+        .orderBy(col("value").desc)
+        .limit(1)
+        .select(lit(q).as("q"), col("value"))
+    }.reduce(_.union(_))
+  }
+
   private def pName(p: Double): String =
     // BigDecimal(p) uses the double's shortest decimal representation, so
     // multiplying by 100 afterward is exact ("p29"); p * 100 in DOUBLE

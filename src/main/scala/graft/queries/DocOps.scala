@@ -1201,7 +1201,21 @@ object DocOps {
       .orderBy(col("o_totalprice"))
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** EXACT global quantiles as a LAYOUT LOOKUP
+    * ([[graft.ops.Quantiles.layoutQuantiles]]): the sidecar's per-band
+    * row counts locate the band holding each requested global position,
+    * a zone-pruned filter plans exactly that band's ONE file, and the
+    * exchange-free running window picks the row — four quantiles read
+    * four bands of eight, with NO global sort, NO shuffle, NO sketch
+    * (PlanSpec pins one file per branch). The exact-quantile answer
+    * `approx_percentile` only approximates, at a fraction of one scan.
+    */
+  private def q176RangeQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.ops.Quantiles.layoutQuantiles(ordersRangeLandedSource(s, d),
+      "o_totalprice", Seq(0.25, 0.5, 0.75, 0.99))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_docsource_range_quantiles" -> q176RangeQuantiles,
     "q175_docsource_range_compacted_scan" -> q175RangeCompactedScan,
     "q172_docsource_range_running_window" -> q172RangeRunningWindow,
     "q173_docsource_range_row_number" -> q173RangeRowNumber,
@@ -1248,6 +1262,13 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q176_docsource_range_quantiles" ->
+      ("WITH s AS (SELECT o_totalprice AS v, " +
+        "row_number() OVER (ORDER BY o_totalprice) AS rn, " +
+        "count(*) OVER () AS n FROM orders) " +
+        "SELECT CAST(t.q AS DOUBLE) AS q, s.v AS value " +
+        "FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q) JOIN s " +
+        "ON s.rn = CAST(floor(CAST(t.q AS DOUBLE) * (s.n - 1)) AS BIGINT) + 1"),
     "q175_docsource_range_compacted_scan" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "q174_docsource_range_distinct_rollup" ->

@@ -2814,6 +2814,46 @@ class DocSourceV2Spec extends AnyFunSuite {
     }
   }
 
+  test("layout quantiles: endpoints, duplicate keys, and the unprovable refusals") {
+    import graft.ingest.v2.ZoneMaps
+    import graft.ops.Quantiles
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    // duplicate-dense keys (each repeats 10x) across three disjoint bands
+    val root = Files.createTempDirectory("graft_v2lq").toString
+    Seq(0 until 40, 40 until 80, 80 until 120).zipWithIndex.foreach {
+      case (r, b) =>
+        Files.write(Paths.get(root, s"b$b.jsonl"),
+          (r.map(i => s"""{"k": ${i / 10}, "v": $i}""")
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    val src = ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+    // 120 rows of keys 0,0,…,11; position k = floor(q*119)
+    val got = Quantiles.layoutQuantiles(src, "k",
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val sortedKeys = (0 until 120).map(_ / 10).sorted
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { q =>
+      val k = math.floor(q * 119).toInt
+      assert(got(q) == sortedKeys(k).toLong, s"q=$q")
+    }
+    // a FILTERED frame could have dropped rows the counts include:
+    // refuse rather than mislocate
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(src.filter(col("v") > 3L), "k", Seq(0.5))
+    }
+    // a non-document frame has no layout to prove: refuse
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(
+        spark.range(10).selectExpr("id AS k"), "k", Seq(0.5))
+    }
+    // out-of-range positions refuse up front
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(src, "k", Seq(1.5))
+    }
+  }
+
   test("pre-generational flat sidecars are detected; their rows are ignored, never trusted") {
     import graft.ingest.v2.ZoneMaps
     // the detection below fires ZoneMaps' one-line operator warning by

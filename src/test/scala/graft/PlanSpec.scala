@@ -995,6 +995,36 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q176 layout quantiles: one band file per quantile, pushed top-N, zero exchange") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q176_docsource_range_quantiles")(spark, sf)
+    val rows = df.collect().sortBy(_.getDouble(0))
+    assert(rows.length == 4)
+    // quantile values are nondecreasing in q
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
+    val ns = TestPlans.executedNodes(df)
+    assert(!ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // position -> band: each branch's scan plans exactly ONE band file,
+    // with the in-band position pushed as top-N (the sorted early exit
+    // parses ~position rows instead of the band)
+    val scans = ns.collect { case b: BatchScanExec =>
+      b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan] }
+    assert(scans.length == 4)
+    scans.foreach { s =>
+      assert(s.pushedTopN > 0, s.description())
+      val files = s.planInputPartitions()
+        .map(_.asInstanceOf[graft.ingest.v2.ExtJsonInputPartition].file)
+        .distinct
+      assert(files.length == 1,
+        s"a quantile probe must read one band, planned: $files")
+    }
+  }
+
   test("q175 compacted drop: plain single-file bands, no merge, no sort, no exchange") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
