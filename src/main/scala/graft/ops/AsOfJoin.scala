@@ -60,6 +60,95 @@ import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, Time
   */
 object AsOfJoin {
 
+  /** The combined row shape of an as-of LAYOUT landing: the shared time
+    * key first, then the side tag (0 = reference/right, 1 = event/left —
+    * the position RIGHT AFTER the sort key makes the landing's full-row
+    * tiebreak order reference rows before event rows at equal times, the
+    * inclusive "at or before" boundary), then each side's columns,
+    * nullable (a row carries only its own side's values).
+    */
+  def layoutSchema(leftSchema: org.apache.spark.sql.types.StructType,
+      rightSchema: org.apache.spark.sql.types.StructType,
+      timeType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val names = leftSchema.fieldNames ++ rightSchema.fieldNames
+    require(names.distinct.length == names.length,
+      "left and right payload column names must be disjoint")
+    require(!names.exists(n => n == "asof_t" || n == "asof_side"),
+      "asof_t and asof_side are reserved by the as-of layout")
+    StructType(
+      StructField("asof_t", timeType, nullable = true) +:
+        StructField("asof_side", IntegerType, nullable = true) +:
+        (leftSchema.fields ++ rightSchema.fields)
+          .map(f => f.copy(nullable = true)))
+  }
+
+  /** TIME-BANDED as-of layout — the producer half of the EXCHANGE-FREE
+    * as-of join: event (left) and reference (right) rows INTERLEAVE into
+    * one range landing banded on the shared time key, reference rows
+    * sorting before event rows at equal times. One landing instead of
+    * two: the as-of match is a pure carry over the combined time order,
+    * so co-locating the sides AT WRITE TIME is what lets the read side
+    * answer with a running window instead of a join ([[layoutAsOf]]).
+    * `leftTime`/`rightTime` name each side's time column (same type,
+    * zone-indexable); payload column sets must be disjoint.
+    */
+  def landAsOfLayout(left: DataFrame, leftTime: String, right: DataFrame,
+      rightTime: String, dir: String, numBands: Int,
+      blockBytes: Long = 0L, appendTag: Option[String] = None,
+      maxSidecarGenerations: Int = 0): Long = {
+    import org.apache.spark.sql.types._
+    val lPay = StructType(left.schema.fields.filterNot(_.name == leftTime))
+    val rPay = StructType(right.schema.fields.filterNot(_.name == rightTime))
+    val tType = left.schema(leftTime).dataType
+    require(right.schema(rightTime).dataType == tType,
+      s"time columns must share a type: $leftTime is $tType, " +
+        s"$rightTime is ${right.schema(rightTime).dataType}")
+    val combined = layoutSchema(lPay, rPay, tType)
+    def shape(df: DataFrame, time: String, side: Int): DataFrame =
+      df.select(col(time).as("asof_t") +: lit(side).as("asof_side") +:
+        combined.fields.drop(2).map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+    graft.sink.CorpusSink.landJsonlRangeIndexed(
+      shape(left, leftTime, 1).unionByName(shape(right, rightTime, 0)),
+      "asof_t", dir, numBands, zoneCols = Seq("asof_t"),
+      blockBytes = blockBytes, appendTag = appendTag,
+      maxSidecarGenerations = maxSidecarGenerations)
+  }
+
+  /** EXCHANGE-FREE as-of join over a [[landAsOfLayout]] drop — the
+    * time-series enrichment every feature pipeline pays a shuffle+sort
+    * for, answered as a LAYOUT PROPERTY: one running
+    * `last(payload, ignoreNulls)` carry per reference column over
+    * `ORDER BY (asof_t, asof_side)` — which
+    * [[graft.plans.RangeWindowStrategy]] plans over the proven time
+    * bands with ZERO exchange (per-band local carry + per-band prefix
+    * from one narrow sorted pass) — then keep the event rows. LEFT
+    * as-of: events before the first reference row carry nulls; filter
+    * them for the inner form. Ties: a reference row at exactly the
+    * event's time IS visible to it ("at or before"); equal reference
+    * times resolve by the landing's deterministic tiebreak — land
+    * unique reference times when that matters. At 100 TB the windowed
+    * union alternative ([[asOf]]) pays a full hash shuffle of both
+    * sides; this reads the combined drop once, in place.
+    */
+  def layoutAsOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      leftSchema: org.apache.spark.sql.types.StructType,
+      rightSchema: org.apache.spark.sql.types.StructType,
+      timeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val combined = layoutSchema(leftSchema, rightSchema, timeType)
+    val df = graft.ingest.ExtendedJson.read(spark, combined, dir,
+      Map("zoneMaps" -> "true"))
+    val w = Window.orderBy(col("asof_t"), col("asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("asof_t") +: col("asof_side") +:
+        (leftSchema.fieldNames.map(col) ++ rightSchema.fieldNames.map(c =>
+          last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("asof_side") === 1)
+      .drop("asof_side")
+  }
+
   /** Numeric bucket id `floor(time / bucketSec)` for timestamp, date, or
     * numeric time columns. Timestamps quantize on epoch seconds (the
     * engine session is pinned UTC, where the NTZ→TZ cast is the identity

@@ -158,6 +158,9 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               Some(RunMinMax(m.child, m.dataType, isMin = true, rows))
             case m: Max if orderable(m.dataType) =>
               Some(RunMinMax(m.child, m.dataType, isMin = false, rows))
+            case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
+                if l.ignoreNulls && orderable(l.dataType) =>
+              Some(RunLastNonNull(l.child, rows))
             case _ => None
           }
         case _ => None
@@ -227,6 +230,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case _ => None
           }
           case _: RunSumDouble => None // doubles carry no exact sidecar sum
+          case _: RunLastNonNull => None // order-dependent: no sidecar form
           case RunMinMax(input, dt, isMin, _) => input match {
             case a: AttributeReference =>
               colTotals(files, a.name).flatMap { cs =>
@@ -275,11 +279,14 @@ private[plans] object RunningWindow {
     * read after the update — `ROWS` frames and `row_number`). False: the
     * value is constant over an order-ties group (`RANGE` frames, read at
     * group end; `rank` reads the count at group START instead, see
-    * [[RunRank]]).
+    * [[RunRank]]). `orderSensitive = true`: the per-partition TOTAL
+    * depends on row order (the carry functions), so the computed-prefix
+    * pass must run over the SORTED child, not below its sort.
     */
   sealed trait RunningFunc extends Serializable {
     def rowsFrame: Boolean
     def groupStart: Boolean = false
+    def orderSensitive: Boolean = false
     def bound(input: Seq[Attribute]): RunningFunc
     def newAcc(): RunAcc
   }
@@ -401,6 +408,34 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** Running `last(x, ignoreNulls = true)` — the forward-fill / as-of
+    * CARRY: at each row, the most recent non-null value at-or-before it
+    * in the window order. Order-sensitive: a band's total is its LAST
+    * non-null in sorted order, and the prefix merge lets a later band's
+    * non-null total REPLACE an earlier one (nulls pass the carry
+    * through) — merged strictly in band order on the driver.
+    */
+  final case class RunLastNonNull(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      var cur: Any = null
+      private def retain(v: Any): Any = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) cur = retain(v)
+      }
+      override def total(): Any = cur
+      override def mergeTotal(t: Any): Unit = if (t != null) cur = t
+      override def value(): Any = cur
+    }
+  }
+
   final case class RunMinMax(input: Expression, dt: DataType,
       isMin: Boolean, rowsFrame: Boolean) extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
@@ -475,7 +510,12 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     val childOut = child.output
     val bound = funcs.map(_.bound(childOut))
     val totals: Seq[Array[Any]] = partitionTotals.getOrElse {
-      sparkContext.runJob(unsortedChild(child).execute(),
+      // carry functions' totals depend on row order: their pass must see
+      // the sorted stream; order-free totals run below the local sort
+      val totalsRdd =
+        if (bound.exists(_.orderSensitive)) child.execute()
+        else unsortedChild(child).execute()
+      sparkContext.runJob(totalsRdd,
         (it: Iterator[InternalRow]) => {
           val accs = bound.map(_.newAcc())
           it.foreach(r => accs.foreach(_.update(r)))

@@ -1214,7 +1214,54 @@ object DocOps {
     graft.ops.Quantiles.layoutQuantiles(ordersRangeLandedSource(s, d),
       "o_totalprice", Seq(0.25, 0.5, 0.75, 0.99))
 
+  private val asofLeftSchema = StructType(Seq(
+    StructField("o_orderkey", LongType)))
+  private val asofRightSchema = StructType(Seq(
+    StructField("rate", DoubleType)))
+
+  /** The as-of LAYOUT landing: order events and a SPARSE reference
+    * series (a "rate" snapshot on every 7th day) interleaved into one
+    * day-banded drop ([[graft.ops.AsOfJoin.landAsOfLayout]]) — reference
+    * rows sort before events at equal days, so the carry boundary is
+    * inclusive.
+    */
+  private def ordersAsOfLayoutJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#asoflayout", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rga2_$tag")}/orders"
+      val days = Tables.orders(s, d).select(
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .as("o_day"),
+        col("o_orderkey"))
+      val snaps = days.select(col("o_day")).filter(col("o_day") % 7 === 0)
+        .distinct()
+        .select(col("o_day"), (col("o_day") * 2.0).as("rate"))
+      graft.ops.AsOfJoin.landAsOfLayout(
+        days.select(col("o_day"), col("o_orderkey")), "o_day",
+        snaps, "o_day", dir, numBands = 8)
+      dir
+    })
+
+  /** EXCHANGE-FREE as-of join — the time-series enrichment rung
+    * ([[graft.ops.AsOfJoin.layoutAsOf]]): every order carries the most
+    * recent reference rate at-or-before its day, answered as ONE running
+    * `last(rate, ignoreNulls)` carry over the time-banded layout — the
+    * band window strategy plans it with zero exchange (per-band local
+    * carry + one narrow sorted prefix pass), where the windowed-union
+    * form (q45) pays a full hash shuffle and the naive join form an
+    * O(pairs) blowup. Orders before the first snapshot carry null (the
+    * LEFT as-of form — the oracle's correlated max reproduces it
+    * exactly).
+    */
+  private def q177RangeAsOf(s: SparkSession, d: String): DataFrame =
+    graft.ops.AsOfJoin.layoutAsOf(s, ordersAsOfLayoutJsonl(s, d),
+      asofLeftSchema, asofRightSchema, IntegerType)
+      .select(col("o_orderkey"), col("asof_t").as("o_day"), col("rate"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_docsource_range_asof" -> q177RangeAsOf,
     "q176_docsource_range_quantiles" -> q176RangeQuantiles,
     "q175_docsource_range_compacted_scan" -> q175RangeCompactedScan,
     "q172_docsource_range_running_window" -> q172RangeRunningWindow,
@@ -1262,6 +1309,14 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q177_docsource_range_asof" ->
+      ("WITH o AS (SELECT o_orderkey, CAST(datediff('day', " +
+        "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS o_day " +
+        "FROM orders), " +
+        "snaps AS (SELECT DISTINCT o_day AS d FROM o WHERE o_day % 7 = 0) " +
+        "SELECT o.o_orderkey, o.o_day, " +
+        "(SELECT CAST(max(s.d) * 2 AS DOUBLE) FROM snaps s " +
+        "WHERE s.d <= o.o_day) AS rate FROM o"),
     "q176_docsource_range_quantiles" ->
       ("WITH s AS (SELECT o_totalprice AS v, " +
         "row_number() OVER (ORDER BY o_totalprice) AS rn, " +

@@ -2674,6 +2674,9 @@ class DocSourceV2Spec extends AnyFunSuite {
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.executedPlan.toString
     def bandWindowed(df: DataFrame): Boolean = {
+      // cached subtrees from other suites substitute InMemoryRelations
+      // (with THEIR exchanges) into matching plans — measure ours
+      spark.catalog.clearCache()
       val ns = nodes(df)
       ns.exists(_.isInstanceOf[BandRunningWindowExec]) &&
         !ns.exists(_.isInstanceOf[WindowExec]) &&
@@ -2811,6 +2814,58 @@ class DocSourceV2Spec extends AnyFunSuite {
       val k = r.getLong(0)
       assert(r.getInt(1) == rowsBelow(k) + 1, s"merged rank at $r")
       assert(r.getLong(2) == rowsBelow(k) + tieSize(k), s"merged count at $r")
+    }
+  }
+
+  test("as-of layout: cross-band carry, pre-snapshot nulls, string payloads, shape refusals") {
+    import org.apache.spark.sql.types._
+    import graft.ops.AsOfJoin
+    import graft.plans.BandRunningWindowExec
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2asof").toString + "/x"
+    // events at every t in [0, 60); references ONLY at t = 0 and t = 40
+    // with STRING payloads — band 0 carries across bands 1+ until the
+    // second reference overrides mid-stream
+    val events = (0 until 60).map(i => (i.toLong, i.toLong))
+      .toDF("t", "eid")
+    val refs = Seq((0L, "alpha"), (40L, "beta")).toDF("rt", "tag")
+    AsOfJoin.landAsOfLayout(events, "t", refs, "rt", dir, numBands = 4)
+    val out = AsOfJoin.layoutAsOf(spark, dir,
+      StructType(Seq(StructField("eid", LongType))),
+      StructType(Seq(StructField("tag", StringType))), LongType)
+    val rows = out.collect()
+    assert(rows.length == 60)
+    assert(TestPlans.executedNodes(out)
+      .exists(_.isInstanceOf[BandRunningWindowExec]))
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val expect = if (t >= 40) "beta" else "alpha"
+      assert(r.getString(2) == expect, s"carry at $r")
+    }
+    // events BEFORE the first reference carry null (left as-of)
+    val dir2 = Files.createTempDirectory("graft_v2asof2").toString + "/x"
+    AsOfJoin.landAsOfLayout(events, "t",
+      Seq((30L, "late")).toDF("rt", "tag"), "rt", dir2, numBands = 3)
+    val out2 = AsOfJoin.layoutAsOf(spark, dir2,
+      StructType(Seq(StructField("eid", LongType))),
+      StructType(Seq(StructField("tag", StringType))), LongType).collect()
+    out2.foreach { r =>
+      if (r.getLong(0) < 30) assert(r.isNullAt(2), s"pre-ref at $r")
+      else assert(r.getString(2) == "late", s"post-ref at $r")
+    }
+    // shape refusals: colliding payload names, reserved names, time-type
+    // mismatch
+    intercept[IllegalArgumentException] {
+      AsOfJoin.landAsOfLayout(events, "t",
+        Seq((1L, 2L)).toDF("rt", "eid"), "rt", dir2, 2)
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.landAsOfLayout(events.withColumnRenamed("eid", "asof_side"),
+        "t", refs, "rt", dir2, 2)
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.landAsOfLayout(events, "t",
+        Seq((1.5, "x")).toDF("rt", "tag"), "rt", dir2, 2)
     }
   }
 

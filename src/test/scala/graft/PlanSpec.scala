@@ -995,6 +995,34 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q177 as-of layout join: one running carry, zero exchange, no WindowExec, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q177_docsource_range_asof")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]),
+      ns.map(_.nodeName).mkString(", "))
+    // the as-of is a carry, not a join: no join operator, no window
+    // exchange, no shuffle anywhere
+    assert(!ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(n => n.nodeName.toLowerCase.contains("join")),
+      ns.map(_.nodeName).mkString(", "))
+    // semantic recompute: rate = 2 * (latest snapshot day <= o_day)
+    val snapDays = rows.map(_.getInt(1)).filter(_ % 7 == 0).distinct.sorted
+    rows.foreach { r =>
+      val day = r.getInt(1)
+      val expect = snapDays.takeWhile(_ <= day).lastOption
+      expect match {
+        case Some(d) => assert(r.getDouble(2) == d * 2.0, s"carry at $r")
+        case None => assert(r.isNullAt(2), s"pre-snapshot carry at $r")
+      }
+    }
+  }
+
   test("q176 layout quantiles: one band file per quantile, pushed top-N, zero exchange") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
