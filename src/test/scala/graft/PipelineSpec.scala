@@ -879,6 +879,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchDirs.length == 2 && batchDirs.forall(d =>
       new java.io.File(d, "_graft_manifest.json").exists()),
       batchDirs.map(_.getName).mkString(", "))
+    // the running window composes over the streamed corpus too: the
+    // exchange-free rank through the k-way merge read
+    val win = acc.select(col("doc_id"),
+      org.apache.spark.sql.functions.rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))
+        .as("rk"))
+    assert(win.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 1), (2L, 2), (5L, 3), (6L, 4), (9L, 5), (10L, 6)))
+    assert(TestPlans.executedNodes(win)
+      .exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]),
+      "the streamed corpus must take the band window path")
+    // ...and zero-shuffle compaction folds the streamed overlap away:
+    // the maintenance close of the streaming lifecycle
+    val cDir = s"$work/ndr_compacted"
+    graft.sink.CorpusSink.compactRangeIndexed(spark, readSchema, accDir,
+      cDir, "doc_id", zoneCols = Seq("doc_id"))
+    val compacted = graft.ingest.ExtendedJson.read(spark, readSchema, cDir,
+      Map("zoneMaps" -> "true")).orderBy(col("doc_id"))
+    assert(compacted.select(col("doc_id")).as[Long].collect().toSeq ==
+      Seq(1L, 2L, 5L, 6L, 9L, 10L))
+    val cScans = TestPlans.executedNodes(compacted)
+      .collect { case o: OrderedBandScanExec => o }
+    assert(cScans.length == 1 &&
+      cScans.head.groups.forall(_.files.lengthCompare(1) == 0),
+      "compaction must restore sequential one-file groups")
   }
 
   test("near-dup index compaction: bounded history dirs, decisions unchanged, manifested corpus") {

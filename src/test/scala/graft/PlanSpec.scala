@@ -1023,6 +1023,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-text windows plan the band running window too") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    graft.queries.DocOps.ordersRangeLandedSource(spark, sf)
+      .createOrReplaceTempView("running_window_sql_v")
+    // the SQL shape routinely leaves different intermediates than the
+    // DataFrame idiom (the q163 lesson) — pin that text plans the exec
+    val df = spark.sql("SELECT o_orderkey, o_totalprice, " +
+      "rank() OVER (ORDER BY o_totalprice) AS rk, " +
+      "sum(o_orderkey) OVER (ORDER BY o_totalprice) AS run_key " +
+      "FROM running_window_sql_v")
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // and a WHERE between the window's input and the scan re-stages as a
+    // residual filter with a computed prefix — never a wrong metadata one
+    val filtered = spark.sql("SELECT o_orderkey, " +
+      "count(*) OVER (ORDER BY o_totalprice) AS rn " +
+      "FROM running_window_sql_v WHERE o_orderkey % 2 = 0")
+    val fRows = filtered.collect()
+    assert(fRows.nonEmpty && fRows.length < 1500)
+    assert(fRows.map(_.getLong(1)).max == fRows.length.toLong,
+      "running count over the filtered rows must end at their count")
+    val fs = TestPlans.executedNodes(filtered)
+    assert(fs.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]),
+      fs.map(_.nodeName).mkString(", "))
+    assert(filtered.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString.contains("prefix=computed"),
+      "a filter must forfeit the metadata prefix")
+  }
+
   test("q176 layout quantiles: one band file per quantile, pushed top-N, zero exchange") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.ExtendedJson
+import graft.ingest.v2.ZoneMaps
+import graft.plans.BandRunningWindowExec
+
+/** Randomized DIFFERENTIAL sweep for the band running window: random
+  * per-file sorted key runs (duplicate-dense pools, arbitrary overlap
+  * across files, null-heavy values, single-row files) are landed and
+  * indexed, then every window query runs TWICE over the same bytes —
+  * once through the band strategy (`zoneMaps=true`, plan-asserted to use
+  * [[BandRunningWindowExec]] with no exchange) and once through Spark's
+  * own single-partition WindowExec (`zoneMaps` off, plan-asserted to use
+  * it) — and the row MULTISETS must match exactly. Spark itself is the
+  * ground truth, so a semantics drift in any accumulator, prefix merge,
+  * tie-group boundary, or frame timing fails the sweep.
+  *
+  * Duplicate-key cases compare only tie-deterministic functions (rank,
+  * RANGE-frame count/sum/min/max); the unique-key case adds row_number,
+  * the ROWS-frame sum, and the order-sensitive carry. Deterministic
+  * seeds: a failure names its case and reproduces.
+  */
+class WindowProps extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType)))
+
+  /** Files of sorted key runs from a duplicate-dense pool; ~quarter of
+    * the values null (field omitted). `uniqueKeys` draws every key once
+    * — the regime where order-dependent functions are deterministic.
+    */
+  private def gen(rnd: scala.util.Random, keyPool: Int, maxFiles: Int,
+      uniqueKeys: Boolean): String = {
+    val root = Files.createTempDirectory("graft_wprops").toString
+    val nFiles = 1 + rnd.nextInt(maxFiles)
+    val pool =
+      if (uniqueKeys) rnd.shuffle((0 until keyPool).toList).map(_.toLong)
+      else List.fill(keyPool)(rnd.nextInt(keyPool).toLong)
+    var rest = pool
+    (0 until nFiles).foreach { f =>
+      val take = if (f == nFiles - 1) rest.length
+        else 1 + rnd.nextInt(math.max(1, rest.length - (nFiles - f - 1)))
+      val keys = rest.take(take).sorted
+      rest = rest.drop(take)
+      if (keys.nonEmpty)
+        Files.write(Paths.get(root, f"f$f%02d.jsonl"),
+          (keys.map { k =>
+            if (rnd.nextInt(4) == 0) s"""{"k": $k}"""
+            else s"""{"k": $k, "v": ${rnd.nextInt(100) - 50}}"""
+          }.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    root
+  }
+
+  private def sets(q: DataFrame => DataFrame, root: String): Unit = {
+    val banded = q(ExtendedJson.read(spark, schema, root,
+      Map("zoneMaps" -> "true")))
+    val plain = q(ExtendedJson.read(spark, schema, root, Map.empty))
+    spark.catalog.clearCache()
+    val b = banded.collect().map(_.toSeq.toList).toSeq
+    val p = plain.collect().map(_.toSeq.toList).toSeq
+    val bn = TestPlans.executedNodes(banded)
+    assert(bn.exists(_.isInstanceOf[BandRunningWindowExec]) &&
+      !bn.exists(_.isInstanceOf[WindowExec]) &&
+      !bn.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "banded side must plan the band window: " +
+        bn.map(_.nodeName).mkString(", "))
+    assert(TestPlans.executedNodes(plain).exists(_.isInstanceOf[WindowExec]),
+      "control side must plan Spark's own window")
+    assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
+      p.groupBy(identity).view.mapValues(_.size).toMap,
+      s"multiset mismatch: banded ${b.length} rows vs plain ${p.length}")
+  }
+
+  test("duplicate-key sweep: rank + RANGE count/sum/min/max match WindowExec") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = gen(rnd, keyPool = 30 + rnd.nextInt(40),
+        maxFiles = 5, uniqueKeys = false)
+      val w = Window.orderBy(col("k"))
+      sets(_.select(col("k"), col("v"),
+        rank().over(w).as("rk"),
+        count(lit(1)).over(w).as("rn"),
+        sum(col("v")).over(w).as("sv"),
+        min(col("v")).over(w).as("mn"),
+        max(col("v")).over(w).as("mx")), root)
+      // DESC twin
+      val wd = Window.orderBy(col("k").desc)
+      sets(_.select(col("k"), col("v"),
+        rank().over(wd).as("rk"),
+        sum(col("v")).over(wd).as("sv")), root)
+    }
+  }
+
+  test("unique-key sweep: row_number, ROWS sum, and the carry match WindowExec") {
+    (5 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = gen(rnd, keyPool = 40 + rnd.nextInt(40),
+        maxFiles = 4, uniqueKeys = true)
+      val w = Window.orderBy(col("k"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sets(_.select(col("k"), col("v"),
+        row_number().over(w).as("rn"),
+        sum(col("v")).over(wr).as("sv"),
+        last(col("v"), ignoreNulls = true).over(wr).as("carry")), root)
+    }
+  }
+}
