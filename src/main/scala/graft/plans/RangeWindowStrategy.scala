@@ -143,6 +143,20 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       (fn, frame) match {
         case (_: RowNumber, Some(true)) => Some(RunRowNumber())
         case (_: Rank, Some(true)) => Some(RunRank())
+        // lag(x, 1) with the default null default: the previous row in
+        // window order — its frame is the offset row, not a cumulative
+        // one, so it bypasses the frame gate
+        case (lg: org.apache.spark.sql.catalyst.expressions.Lag, _)
+            if !lg.ignoreNulls && orderable(lg.input.dataType) &&
+              (lg.inputOffset match {
+                case Literal(1, _) => true
+                case _ => false
+              }) &&
+              (lg.default match {
+                case Literal(null, _) => true
+                case _ => false
+              }) =>
+          Some(RunLag(lg.input))
         case (ae: AggregateExpression, Some(rows))
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
@@ -231,6 +245,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           }
           case _: RunSumDouble => None // doubles carry no exact sidecar sum
           case _: RunLastNonNull => None // order-dependent: no sidecar form
+          case _: RunLag => None // order-dependent: no sidecar form
           case RunMinMax(input, dt, isMin, _) => input match {
             case a: AttributeReference =>
               colTotals(files, a.name).flatMap { cs =>
@@ -405,6 +420,47 @@ private[plans] object RunningWindow {
               s"running sum overflows ${resultType.simpleString}")
           d
         }
+    }
+  }
+
+  /** `lag(x, 1)` — the previous row's value in window order (null at the
+    * very first row): the global delta / time-series step shape.
+    * Order-sensitive; the prefix is the PRECEDING band's last row value,
+    * carried as a (value, sawRows) pair so an earlier band's legitimate
+    * null value is distinguishable from an empty prefix and still
+    * overrides. Like Spark's own lag, the value among equal order keys
+    * follows stream order — deterministic only when the order key is
+    * unique (the landing's tiebreak makes the STREAM deterministic, but
+    * the assignment within ties is layout-defined, exactly as WindowExec's
+    * is partition-defined).
+    */
+  final case class RunLag(input: Expression) extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(): RunAcc = new RunAcc {
+      var prev: Any = null
+      var sawRows = false
+      var emitVal: Any = null
+      private def retain(v: Any): Any = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      override def update(row: InternalRow): Unit = {
+        emitVal = if (sawRows) prev else null
+        prev = retain(input.eval(row))
+        sawRows = true
+      }
+      override def total(): Any =
+        Array[Any](prev, java.lang.Boolean.valueOf(sawRows))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        if (a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
+          prev = a(0); sawRows = true
+        }
+      }
+      override def value(): Any = emitVal
     }
   }
 

@@ -1260,7 +1260,22 @@ object DocOps {
       asofLeftSchema, asofRightSchema, IntegerType)
       .select(col("o_orderkey"), col("asof_t").as("o_day"), col("rate"))
 
+  /** GLOBAL delta — `lag(x, 1) OVER (ORDER BY key)` with no PARTITION BY,
+    * the time-series step shape: the previous row's value crosses band
+    * boundaries via the preceding band's last-row prefix
+    * ([[graft.plans.RunningWindow.RunLag]]), zero exchange. The unique
+    * oid key makes the pairing deterministic and oracle-checkable.
+    */
+  private def q178RangeLag(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_docsource_range_lag" -> q178RangeLag,
     "q177_docsource_range_asof" -> q177RangeAsOf,
     "q176_docsource_range_quantiles" -> q176RangeQuantiles,
     "q175_docsource_range_compacted_scan" -> q175RangeCompactedScan,
@@ -1309,6 +1324,11 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q178_docsource_range_lag" ->
+      ("SELECT oid, o_totalprice, " +
+        "lag(o_totalprice, 1) OVER (ORDER BY oid) AS prev_price FROM " +
+        "(SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "o_totalprice FROM orders)"),
     "q177_docsource_range_asof" ->
       ("WITH o AS (SELECT o_orderkey, CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS o_day " +

@@ -2769,16 +2769,30 @@ class DocSourceV2Spec extends AnyFunSuite {
       assert(r.getInt(1) == (11 - k) * 10 + 1, s"DESC rank at $r")
       assert(r.getLong(2) == (12 - k) * 10, s"DESC run count at $r")
     }
+    // 5b. lag(x, 1) — the global delta: previous-row value in window
+    // order, null at the very first row, crossing band boundaries via
+    // the previous band's last-row prefix. Ordered by the UNIQUE v so
+    // tie assignment can't blur the expectation.
+    val lagged = src.select(col("v"),
+      lag(col("v"), 1).over(Window.orderBy(col("v"))).as("pv"))
+    assert(bandWindowed(lagged) && planStr(lagged).contains("prefix=computed"))
+    lagged.collect().foreach { r =>
+      val v = r.getLong(0)
+      if (v == 0L) assert(r.isNullAt(1), s"first-row lag at $r")
+      else assert(r.getLong(1) == v - 1, s"lag at $r")
+    }
     // 6. FALLBACKS: shapes the running decomposition cannot express plan
     // Spark's ordinary window (and stay correct) — PARTITION BY,
-    // dense_rank, sliding frames, offset functions
+    // dense_rank, sliding frames, deeper/defaulted offsets
     val fallbacks = Seq(
       src.select(col("k"), row_number().over(
         Window.partitionBy(col("g")).orderBy(col("k"))).as("x")),
       src.select(col("k"), dense_rank().over(w).as("x")),
       src.select(col("k"), sum(col("v")).over(
         Window.orderBy(col("k")).rowsBetween(-1, 0)).as("x")),
-      src.select(col("k"), lag(col("v"), 1).over(w).as("x")))
+      src.select(col("k"), lag(col("v"), 2).over(w).as("x")),
+      src.select(col("k"), lag(col("v"), 1, 0L).over(w).as("x")),
+      src.select(col("k"), lead(col("v"), 1).over(w).as("x")))
     fallbacks.foreach { df =>
       val ns = nodes(df)
       assert(!ns.exists(_.isInstanceOf[BandRunningWindowExec]),

@@ -114,7 +114,8 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("v"),
         row_number().over(w).as("rn"),
         sum(col("v")).over(wr).as("sv"),
-        last(col("v"), ignoreNulls = true).over(wr).as("carry")), root)
+        last(col("v"), ignoreNulls = true).over(wr).as("carry"),
+        lag(col("v"), 1).over(w).as("pv")), root)
     }
   }
 }
