@@ -1174,9 +1174,12 @@ object DocOps {
     * the exchange-free merge read — no range shuffle, no sort, no
     * boundary-sample job, just one read + one write + the sidecar build.
     */
-  private def ordersRangeCompactedJsonl(s: SparkSession, d: String): String =
+  private def ordersRangeCompactedJsonl(s: SparkSession, d: String): String = {
+    // resolve the source landing BEFORE entering computeIfAbsent: a
+    // builder nested inside another builder's mapping function is a
+    // recursive update on the shared cache map (ConcurrentHashMap throws)
+    val srcDir = ordersRangeAppendedJsonl(s, d)
     built.computeIfAbsent(s"$d#rangecompact", _ => {
-      val srcDir = ordersRangeAppendedJsonl(s, d)
       val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
         .replaceAll("[^A-Za-z0-9_]", "_")
       val dir =
@@ -1186,6 +1189,7 @@ object DocOps {
         zoneCols = Seq("o_totalprice", "o_orderkey"))
       dir
     })
+  }
 
   /** ORDER BY over the COMPACTED drop — the maintenance rung closing the
     * append lifecycle: q165's overlapping landing, folded back to plain
