@@ -49,11 +49,14 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   * local rank + prefix row count is the GLOBAL rank), and non-distinct
   * `count` / `sum` / `min` / `max` over the default cumulative frame
   * (`RANGE UNBOUNDED PRECEDING..CURRENT ROW` — tie groups share the
-  * value) or the explicit `ROWS` form. `dense_rank`, distinct or
-  * filtered aggregates, bounded/sliding frames, and offset functions
-  * (`lag`/`lead`) fall through to Spark's ordinary window. EXACT — no
-  * opt-in conf; any unprovable layout falls through like the ordered
-  * scan does. A `PARTITION BY` window never matches (Spark's own
+  * value) or the explicit `ROWS` form, plus the ORDER-SENSITIVE pair
+  * `last(x, ignoreNulls)` (the forward-fill / as-of carry) and
+  * `lag(x, 1)` (the global delta) — whose computed-totals pass runs
+  * over the SORTED stream. `dense_rank`, distinct or filtered
+  * aggregates, bounded/sliding frames, deeper or defaulted offsets, and
+  * `lead` fall through to Spark's ordinary window. EXACT — no opt-in
+  * conf; any unprovable layout falls through like the ordered scan
+  * does. A `PARTITION BY` window never matches (Spark's own
   * hash-partitioned WindowExec already scales that shape).
   */
 class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
@@ -111,8 +114,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                   // peeled residual Filter above it must refuse too
                   val metadata =
                     if (above.exists(_.isInstanceOf[Filter])) None
-                    else metadataTotals(scan, attr.name, funcs.map(_.get),
-                      desc)
+                    else metadataTotals(scan, rel.output, attr.name,
+                      funcs.map(_.get), desc)
                   BandRunningWindowExec(windowExprs, funcs.map(_.get),
                     orderSpec, metadata, sortedChild) :: Nil
                 case _ => Nil
@@ -200,10 +203,21 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
   /** Per-partition (= per final group, post-reverse for DESC) TOTALS for
     * every function, straight from the sidecar — None if any single
     * total is underivable (the exec then computes them all in one pass;
-    * mixing sources would read the data anyway).
+    * mixing sources would read the data anyway). A function input maps
+    * to a sidecar column only when it is the SCAN'S OWN output attribute
+    * (exprId check): a peeled Project alias that SHADOWS an indexed
+    * column's name (`(k+1).as("v")`) must never borrow the real column's
+    * stats — that would be a silently wrong prefix, the one forbidden
+    * outcome.
     */
-  private def metadataTotals(scan: ExtJsonScan, keyCol: String,
-      funcs: Seq[RunningFunc], desc: Boolean): Option[Seq[Array[Any]]] = {
+  private def metadataTotals(scan: ExtJsonScan, relOutput: Seq[Attribute],
+      keyCol: String, funcs: Seq[RunningFunc],
+      desc: Boolean): Option[Seq[Array[Any]]] = {
+    def scanCol(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if relOutput.exists(o => o.exprId == a.exprId) => Some(a.name)
+      case _ => None
+    }
     scan.orderedBandFileStats(keyCol).flatMap { groups0 =>
       val groups = if (desc) groups0.reverse else groups0
       val out = groups.map { files =>
@@ -214,14 +228,13 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case RunCount(input, _) => input match {
             case l: Literal =>
               Some(java.lang.Long.valueOf(if (l.value == null) 0L else rows))
-            case a: AttributeReference =>
-              colTotals(files, a.name).map(cs =>
-                java.lang.Long.valueOf(cs.map(c => c.rows - c.nulls).sum))
-            case _ => None
+            case _ => scanCol(input).flatMap(n =>
+              colTotals(files, n).map(cs =>
+                java.lang.Long.valueOf(cs.map(c => c.rows - c.nulls).sum)))
           }
-          case RunSumLong(input, _) => input match {
-            case a: AttributeReference =>
-              colTotals(files, a.name).flatMap { cs =>
+          case RunSumLong(input, _) => scanCol(input) match {
+            case Some(n) =>
+              colTotals(files, n).flatMap { cs =>
                 if (cs.exists(_.sum.isEmpty)) None
                 else if (cs.forall(c => c.rows == c.nulls)) Some(null)
                 else try {
@@ -233,9 +246,9 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               }
             case _ => None
           }
-          case RunSumDecimal(input, _, _) => input match {
-            case a: AttributeReference =>
-              colTotals(files, a.name).flatMap { cs =>
+          case RunSumDecimal(input, _, _) => scanCol(input) match {
+            case Some(n) =>
+              colTotals(files, n).flatMap { cs =>
                 if (cs.exists(_.sum.isEmpty)) None
                 else if (cs.forall(c => c.rows == c.nulls)) Some(null)
                 else Some(cs.flatMap(_.sum)
@@ -246,9 +259,9 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunSumDouble => None // doubles carry no exact sidecar sum
           case _: RunLastNonNull => None // order-dependent: no sidecar form
           case _: RunLag => None // order-dependent: no sidecar form
-          case RunMinMax(input, dt, isMin, _) => input match {
-            case a: AttributeReference =>
-              colTotals(files, a.name).flatMap { cs =>
+          case RunMinMax(input, dt, isMin, _) => scanCol(input) match {
+            case Some(n) =>
+              colTotals(files, n).flatMap { cs =>
                 val vals = cs.flatMap(c => if (isMin) c.min else c.max)
                 // a stats row exists for every file; empty min/max means
                 // an all-null column in that file — neutral, skip it

@@ -2758,6 +2758,18 @@ class DocSourceV2Spec extends AnyFunSuite {
         new java.math.BigDecimal((0L until through).sum).setScale(2),
         s"decimal running sum at $r")
     }
+    // 4b. an alias SHADOWING an indexed column's name must never borrow
+    // the real column's sidecar stats: the prefix refuses to metadata
+    // (the shadow is not the scan's attribute) and the values follow the
+    // SHADOW expression, not the column
+    val shadow = src.select(col("k"), (col("k") * 0L + lit(3L)).as("v"))
+      .select(col("k"), sum(col("v")).over(w).as("sv"))
+    assert(bandWindowed(shadow) && planStr(shadow).contains("prefix=computed"),
+      "a shadowed name must forfeit the metadata prefix")
+    shadow.collect().foreach { r =>
+      val through = (r.getLong(0) + 1) * 10
+      assert(r.getLong(1) == 3L * through, s"shadowed running sum at $r")
+    }
     // 5. DESC order: reversed bands + per-band local sort, zero exchange
     val wd = Window.orderBy(col("k").desc)
     val desc = src.select(col("k"), rank().over(wd).as("rk"),
