@@ -124,6 +124,41 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           }
         case _ => Nil
       }
+    // PARTITION BY containing the band key: Spark's OWN WindowExec runs
+    // over the band scan with zero exchange — the layout's
+    // RangePartitioning claim satisfies its ClusteredDistribution (equal
+    // keys never straddle bands), and EnsureRequirements adds only the
+    // LOCAL per-band sort its ordering requirement asks for. FULL window
+    // generality (any function, any frame, lead, ntile, sliding windows)
+    // because the evaluation is Spark's, not ours — the decomposition
+    // trick is only needed when there is no partitioning to cluster by.
+    case Window(windowExprs, partSpec, orderSpec, child, _)
+        if partSpec.nonEmpty =>
+      peelW(child, Nil) match {
+        case Some((rel, above)) =>
+          rel.scan match {
+            case scan: ExtJsonScan =>
+              val keyed = partSpec.collectFirst {
+                case a: AttributeReference
+                    if rel.output.exists(_.exprId == a.exprId) &&
+                      scan.orderedBandPartitions(a.name)
+                        .exists(_.nonEmpty) =>
+                  (a, scan.orderedBandPartitions(a.name).get)
+              }
+              keyed match {
+                case Some((k, groups)) =>
+                  val bands = OrderedBandScanExec(rel.output,
+                    Seq(SortOrder(k, Ascending)), scan, groups,
+                    claimOrdering = false)
+                  org.apache.spark.sql.execution.window.WindowExec(
+                    windowExprs, partSpec, orderSpec,
+                    restage(above, bands)) :: Nil
+                case None => Nil
+              }
+            case _ => Nil
+          }
+        case None => Nil
+      }
     case _ => Nil
   }
 

@@ -1278,7 +1278,28 @@ object DocOps {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"))
   }
 
+  /** PARTITIONED window over the band key — Spark's OWN WindowExec at
+    * FULL generality (any function, any frame) with zero exchange: the
+    * band layout's partitioning claim satisfies the window's clustered
+    * distribution (equal days never straddle bands), so only the local
+    * per-band sort remains. The per-key time-series analytics shape —
+    * per-day ranks, totals, running counts — as a layout property
+    * (PlanSpec pins WindowExec over the band scan, zero Exchange).
+    */
+  private def q179RangePartWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("o_day"))
+    val wo = wp.orderBy(col("o_custkey"))
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_day"), col("o_custkey"),
+        rank().over(wo).as("rk"),
+        count(lit(1)).over(wo).as("run_n"),
+        sum(col("o_custkey")).over(wp).cast("long").as("day_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_docsource_range_part_window" -> q179RangePartWindow,
     "q178_docsource_range_lag" -> q178RangeLag,
     "q177_docsource_range_asof" -> q177RangeAsOf,
     "q176_docsource_range_quantiles" -> q176RangeQuantiles,
@@ -1328,6 +1349,16 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q179_docsource_range_part_window" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders) " +
+        "SELECT o_day, o_custkey, " +
+        "CAST(rank() OVER (PARTITION BY o_day ORDER BY o_custkey) AS INT) " +
+        "AS rk, " +
+        "count(*) OVER (PARTITION BY o_day ORDER BY o_custkey) AS run_n, " +
+        "CAST(sum(o_custkey) OVER (PARTITION BY o_day) AS BIGINT) " +
+        "AS day_sum FROM o"),
     "q178_docsource_range_lag" ->
       ("SELECT oid, o_totalprice, " +
         "lag(o_totalprice, 1) OVER (ORDER BY oid) AS prev_price FROM " +

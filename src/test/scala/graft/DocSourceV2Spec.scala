@@ -2793,6 +2793,27 @@ class DocSourceV2Spec extends AnyFunSuite {
       if (v == 0L) assert(r.isNullAt(1), s"first-row lag at $r")
       else assert(r.getLong(1) == v - 1, s"lag at $r")
     }
+    // 5c. PARTITION BY the band key: Spark's OWN WindowExec runs over
+    // the band scan — FULL frame generality (here a sliding ROWS avg the
+    // running family refuses) with zero exchange
+    val pw = src.select(col("k"), col("v"),
+      sum(col("v")).over(Window.partitionBy(col("k"))).as("ks"),
+      avg(col("v")).over(Window.partitionBy(col("k")).orderBy(col("v"))
+        .rowsBetween(-1, 1)).as("sl"))
+    spark.catalog.clearCache()
+    val pns = nodes(pw)
+    assert(pns.exists(_.isInstanceOf[WindowExec]) &&
+      pns.exists(n => n.nodeName.contains("OrderedBandScan")) &&
+      !pns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      pns.map(_.nodeName).mkString(", "))
+    pw.collect().foreach { r =>
+      val k = r.getLong(0); val v = r.getLong(1)
+      val group = (k * 10 until k * 10 + 10)
+      assert(r.getLong(2) == group.sum, s"per-key sum at $r")
+      val win = group.filter(x => math.abs(x - v) <= 1)
+      assert(math.abs(r.getDouble(3) - win.sum.toDouble / win.size) < 1e-9,
+        s"sliding avg at $r")
+    }
     // 6. FALLBACKS: shapes the running decomposition cannot express plan
     // Spark's ordinary window (and stay correct) — PARTITION BY,
     // dense_rank, sliding frames, deeper/defaulted offsets

@@ -995,6 +995,38 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q179 partitioned window over the band key: Spark's WindowExec, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q179_docsource_range_part_window")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    // the FULL-generality WindowExec itself runs — over the band scan,
+    // with only its local sort and NO exchange anywhere
+    assert(ns.exists(_.isInstanceOf[WindowExec]) &&
+      ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // per-day recompute: rank/run_n within the day by custkey; day_sum
+    val byDay = rows.groupBy(_.getInt(0))
+    byDay.foreach { case (_, g) =>
+      val daySum = g.map(_.getLong(1)).sum
+      assert(g.forall(_.getLong(4) == daySum))
+      val sorted = g.sortBy(_.getLong(1))
+      var before = 0
+      sorted.groupBy(_.getLong(1)).toSeq.sortBy(_._1).foreach {
+        case (_, ties) =>
+          ties.foreach { r =>
+            assert(r.getInt(2) == before + 1, s"rank at $r")
+            assert(r.getLong(3) == before + ties.length, s"run_n at $r")
+          }
+          before += ties.length
+      }
+    }
+  }
+
   test("q177 as-of layout join: one running carry, zero exchange, no WindowExec, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
