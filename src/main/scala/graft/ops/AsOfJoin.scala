@@ -117,6 +117,96 @@ object AsOfJoin {
       maxSidecarGenerations = maxSidecarGenerations)
   }
 
+  /** The KEYED as-of layout: like [[landAsOfLayout]] but banded on the
+    * JOIN KEY (both sides must carry `keyCol` under the same name and
+    * type), with the time and side columns right after the key in the
+    * landing's tiebreak order — so each band holds complete key
+    * histories, rows within a key already in (time, side) order, and
+    * the per-key carry window runs exchange-free
+    * ([[layoutKeyedAsOf]]).
+    */
+  def landKeyedAsOfLayout(left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String, keyCol: String, dir: String,
+      numBands: Int, blockBytes: Long = 0L, appendTag: Option[String] = None,
+      maxSidecarGenerations: Int = 0): Long = {
+    import org.apache.spark.sql.types._
+    val kType = left.schema(keyCol).dataType
+    require(right.schema(keyCol).dataType == kType,
+      s"key column '$keyCol' must share a type across sides")
+    val tType = left.schema(leftTime).dataType
+    require(right.schema(rightTime).dataType == tType,
+      s"time columns must share a type: $leftTime is $tType, " +
+        s"$rightTime is ${right.schema(rightTime).dataType}")
+    val lPay = StructType(left.schema.fields
+      .filterNot(f => f.name == leftTime || f.name == keyCol))
+    val rPay = StructType(right.schema.fields
+      .filterNot(f => f.name == rightTime || f.name == keyCol))
+    val combined = keyedLayoutSchema(keyCol, kType, lPay, rPay, tType)
+    def shape(df: DataFrame, time: String, side: Int): DataFrame =
+      df.select(col(keyCol) +: col(time).as("asof_t") +:
+        lit(side).as("asof_side") +:
+        combined.fields.drop(3).map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+    graft.sink.CorpusSink.landJsonlRangeIndexed(
+      shape(left, leftTime, 1).unionByName(shape(right, rightTime, 0)),
+      keyCol, dir, numBands, zoneCols = Seq(keyCol),
+      blockBytes = blockBytes, appendTag = appendTag,
+      maxSidecarGenerations = maxSidecarGenerations)
+  }
+
+  /** Combined row shape of the keyed as-of layout: join key first (the
+    * band key), then time and side (the within-key tiebreak order), then
+    * each side's payload columns, nullable.
+    */
+  def keyedLayoutSchema(keyCol: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      leftPayload: org.apache.spark.sql.types.StructType,
+      rightPayload: org.apache.spark.sql.types.StructType,
+      timeType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val names = keyCol +: (leftPayload.fieldNames ++ rightPayload.fieldNames)
+    require(names.distinct.length == names.length,
+      "key and payload column names must be disjoint across sides")
+    require(!names.exists(n => n == "asof_t" || n == "asof_side"),
+      "asof_t and asof_side are reserved by the as-of layout")
+    StructType(
+      StructField(keyCol, keyType, nullable = true) +:
+        StructField("asof_t", timeType, nullable = true) +:
+        StructField("asof_side", IntegerType, nullable = true) +:
+        (leftPayload.fields ++ rightPayload.fields)
+          .map(f => f.copy(nullable = true)))
+  }
+
+  /** KEYED as-of join over a [[landKeyedAsOfLayout]] drop — the
+    * reference shape (latest per-key reference row at or before each
+    * event), answered with zero exchange: one running
+    * `last(payload, ignoreNulls)` carry per reference column over
+    * `PARTITION BY key ORDER BY (time, side)`, which plans Spark's own
+    * WindowExec straight over the band scan (the key-banded layout
+    * satisfies the window's clustered distribution — only the local
+    * per-band sort remains). The per-key enrichment that
+    * [[asOf]]'s windowed union pays a full hash shuffle for.
+    */
+  def layoutKeyedAsOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String, keyType: org.apache.spark.sql.types.DataType,
+      leftSchema: org.apache.spark.sql.types.StructType,
+      rightSchema: org.apache.spark.sql.types.StructType,
+      timeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val combined = keyedLayoutSchema(keyCol, keyType, leftSchema,
+      rightSchema, timeType)
+    val df = graft.ingest.ExtendedJson.read(spark, combined, dir,
+      Map("zoneMaps" -> "true"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("asof_t"), col("asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol) +: col("asof_t") +: col("asof_side") +:
+        (leftSchema.fieldNames.map(col) ++ rightSchema.fieldNames.map(c =>
+          last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("asof_side") === 1)
+      .drop("asof_side")
+  }
+
   /** EXCHANGE-FREE as-of join over a [[landAsOfLayout]] drop — the
     * time-series enrichment every feature pipeline pays a shuffle+sort
     * for, answered as a LAYOUT PROPERTY: one running

@@ -1298,7 +1298,51 @@ object DocOps {
         sum(col("o_custkey")).over(wp).cast("long").as("day_sum"))
   }
 
+  private val keyedAsofLeftSchema = StructType(Seq(
+    StructField("o_orderkey", LongType)))
+  private val keyedAsofRightSchema = StructType(Seq(
+    StructField("rate", DoubleType)))
+
+  /** The KEYED as-of layout: per-customer order events and per-customer
+    * sparse snapshots (each customer's order days divisible by 7),
+    * interleaved into ONE custkey-banded landing.
+    */
+  private def ordersKeyedAsOfJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#keyedasof", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rga3_$tag")}/orders"
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .as("o_day"),
+        col("o_orderkey"))
+      val snaps = o.filter(col("o_day") % 7 === 0)
+        .select(col("o_custkey"), col("o_day").as("snap_day")).distinct()
+        .select(col("o_custkey"), col("snap_day"),
+          (col("snap_day") * 2.0).as("rate"))
+      graft.ops.AsOfJoin.landKeyedAsOfLayout(o, "o_day", snaps,
+        "snap_day", "o_custkey", dir, numBands = 8)
+      dir
+    })
+
+  /** KEYED as-of join — the reference q45 shape with ZERO exchange
+    * ([[graft.ops.AsOfJoin.layoutKeyedAsOf]]): each order carries its
+    * customer's most recent snapshot rate at-or-before its day, as one
+    * per-key carry window over the custkey-banded layout (Spark's own
+    * WindowExec over the band scan — PlanSpec pins zero Exchange and no
+    * join operator). The windowed-union form pays a full hash shuffle;
+    * the naive join form an O(pairs) blowup per key.
+    */
+  private def q180RangeKeyedAsOf(s: SparkSession, d: String): DataFrame =
+    graft.ops.AsOfJoin.layoutKeyedAsOf(s, ordersKeyedAsOfJsonl(s, d),
+      "o_custkey", LongType, keyedAsofLeftSchema, keyedAsofRightSchema,
+      IntegerType)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("asof_t").as("o_day"), col("rate"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_docsource_range_keyed_asof" -> q180RangeKeyedAsOf,
     "q179_docsource_range_part_window" -> q179RangePartWindow,
     "q178_docsource_range_lag" -> q178RangeLag,
     "q177_docsource_range_asof" -> q177RangeAsOf,
@@ -1349,6 +1393,15 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q180_docsource_range_keyed_asof" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day FROM orders), " +
+        "snaps AS (SELECT DISTINCT o_custkey AS ck, o_day AS d FROM o " +
+        "WHERE o_day % 7 = 0) " +
+        "SELECT o.o_orderkey, o.o_custkey, o.o_day, " +
+        "(SELECT CAST(max(s.d) * 2 AS DOUBLE) FROM snaps s " +
+        "WHERE s.ck = o.o_custkey AND s.d <= o.o_day) AS rate FROM o"),
     "q179_docsource_range_part_window" ->
       ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +

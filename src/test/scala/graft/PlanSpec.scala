@@ -995,6 +995,32 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q180 keyed as-of: per-key carry over the key-banded layout, zero exchange, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q180_docsource_range_keyed_asof")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(n => n.nodeName.toLowerCase.contains("join")),
+      ns.map(_.nodeName).mkString(", "))
+    // per-customer recompute: the latest %7 snapshot day at or before
+    // each order's day, among that customer's own order days
+    val snapsByCust = rows.groupBy(_.getLong(1)).map { case (ck, g) =>
+      ck -> g.map(_.getInt(2)).filter(_ % 7 == 0).distinct.sorted
+    }
+    rows.foreach { r =>
+      val expect = snapsByCust(r.getLong(1)).takeWhile(_ <= r.getInt(2))
+        .lastOption
+      expect match {
+        case Some(d) => assert(r.getDouble(3) == d * 2.0, s"keyed carry at $r")
+        case None => assert(r.isNullAt(3), s"pre-snapshot at $r")
+      }
+    }
+  }
+
   test("q179 partitioned window over the band key: Spark's WindowExec, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
