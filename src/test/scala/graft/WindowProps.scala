@@ -104,6 +104,41 @@ class WindowProps extends AnyFunSuite {
     }
   }
 
+  test("partitioned-window sweep: band-key PARTITION BY matches the shuffled WindowExec") {
+    (9 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = gen(rnd, keyPool = 30 + rnd.nextInt(30),
+        maxFiles = 4, uniqueKeys = false)
+      val wp = Window.partitionBy(col("k"))
+      val wo = wp.orderBy(col("v"))
+      def q(src: DataFrame): DataFrame = src.select(col("k"), col("v"),
+        sum(col("v")).over(wp).as("ks"),
+        count(lit(1)).over(wp).as("kn"),
+        // v may repeat within a key; RANGE default keeps ties shared
+        sum(col("v")).over(wo).as("rs"),
+        min(col("v")).over(wo.rowsBetween(-1, 1)).as("sl"))
+      val banded = q(ExtendedJson.read(spark, schema, root,
+        Map("zoneMaps" -> "true")))
+      val plain = q(ExtendedJson.read(spark, schema, root, Map.empty))
+      spark.catalog.clearCache()
+      val b = banded.collect().map(_.toSeq.toList).toSeq
+      val p = plain.collect().map(_.toSeq.toList).toSeq
+      val bn = TestPlans.executedNodes(banded)
+      assert(bn.exists(_.isInstanceOf[WindowExec]) &&
+        bn.exists(n => n.nodeName.contains("OrderedBandScan")) &&
+        !bn.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"seed $seed: " + bn.map(_.nodeName).mkString(", "))
+      assert(TestPlans.executedNodes(plain)
+        .exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "control side must pay the ordinary window exchange")
+      // every window input is v itself, so permuting equal-v ties never
+      // changes any attached value: full row multisets must match
+      assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
+        p.groupBy(identity).view.mapValues(_.size).toMap,
+        s"seed $seed: multiset mismatch banded ${b.length} vs ${p.length}")
+    }
+  }
+
   test("unique-key sweep: row_number, ROWS sum, and the carry match WindowExec") {
     (5 to 8).foreach { seed =>
       val rnd = new scala.util.Random(seed)
