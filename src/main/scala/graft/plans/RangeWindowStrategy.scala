@@ -181,6 +181,19 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       (fn, frame) match {
         case (_: RowNumber, Some(true)) => Some(RunRowNumber())
         case (_: Rank, Some(true)) => Some(RunRank())
+        // the size-based rank family divides by the GLOBAL row count,
+        // which the exec folds from the per-band totals (free from the
+        // sidecar on the metadata path); their frames are the
+        // analyzer's rank-like/size-based shapes, not cumulative ones
+        case (_: org.apache.spark.sql.catalyst.expressions.PercentRank, _) =>
+          Some(RunPercentRank())
+        case (_: org.apache.spark.sql.catalyst.expressions.CumeDist, _) =>
+          Some(RunCumeDist())
+        case (nt: org.apache.spark.sql.catalyst.expressions.NTile, _) =>
+          nt.buckets match {
+            case Literal(b: Int, _) if b > 0 => Some(RunNTile(b))
+            case _ => None
+          }
         // lag(x, 1) with the default null default: the previous row in
         // window order — its frame is the offset row, not a cumulative
         // one, so it bypasses the frame gate
@@ -258,7 +271,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       val out = groups.map { files =>
         val rows = files.map(_.cols(keyCol).rows).sum
         val totals = funcs.map {
-          case _: RunRowNumber | _: RunRank =>
+          case _: RunRowNumber | _: RunRank | _: RunPercentRank |
+              _: RunCumeDist | _: RunNTile =>
             Some(java.lang.Long.valueOf(rows))
           case RunCount(input, _) => input match {
             case l: Literal =>
@@ -351,7 +365,12 @@ private[plans] object RunningWindow {
     def groupStart: Boolean = false
     def orderSensitive: Boolean = false
     def bound(input: Seq[Attribute]): RunningFunc
-    def newAcc(): RunAcc
+    /** `grand`: the fold of EVERY partition's total — the global row
+      * count the size-based rank family (percent_rank, cume_dist, ntile)
+      * divides by; null on the driver's prefix scan, where only
+      * total()/mergeTotal() run.
+      */
+    def newAcc(grand: Any = null): RunAcc
   }
 
   private final class CountingAcc(render: Long => Any) extends RunAcc {
@@ -367,7 +386,7 @@ private[plans] object RunningWindow {
     override def rowsFrame: Boolean = true
     override def bound(input: Seq[Attribute]): RunningFunc = this
     // value read AFTER the row's update: n IS the 1-based row number
-    override def newAcc(): RunAcc = new CountingAcc(n => n.toInt)
+    override def newAcc(grand: Any): RunAcc = new CountingAcc(n => n.toInt)
   }
 
   /** Ties never straddle band groups (strict key disjointness), so the
@@ -378,14 +397,14 @@ private[plans] object RunningWindow {
     override def rowsFrame: Boolean = false
     override def groupStart: Boolean = true
     override def bound(input: Seq[Attribute]): RunningFunc = this
-    override def newAcc(): RunAcc = new CountingAcc(n => (n + 1).toInt)
+    override def newAcc(grand: Any): RunAcc = new CountingAcc(n => (n + 1).toInt)
   }
 
   final case class RunCount(input: Expression, rowsFrame: Boolean)
       extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       var n = 0L
       override def update(row: InternalRow): Unit =
         if (input.eval(row) != null) n += 1
@@ -400,7 +419,7 @@ private[plans] object RunningWindow {
       extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       var s = 0L
       var any = false
       override def update(row: InternalRow): Unit = {
@@ -425,7 +444,7 @@ private[plans] object RunningWindow {
       extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       var s = 0.0
       var any = false
       override def update(row: InternalRow): Unit = {
@@ -445,7 +464,7 @@ private[plans] object RunningWindow {
       rowsFrame: Boolean) extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       var s: java.math.BigDecimal = null
       override def update(row: InternalRow): Unit = {
         val v = input.eval(row)
@@ -471,6 +490,72 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** `percent_rank()` — `(rank − 1) / (N − 1)` (0 when N = 1): the
+    * size-based twin of rank; the global N is the fold of every band's
+    * total, which the metadata path reads off the sidecar for free.
+    */
+  final case class RunPercentRank() extends RunningFunc {
+    override def rowsFrame: Boolean = false
+    override def groupStart: Boolean = true
+    override def bound(input: Seq[Attribute]): RunningFunc = this
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val n =
+        if (grand == null) 0L
+        else grand.asInstanceOf[java.lang.Long].longValue()
+      var rows = 0L
+      override def update(row: InternalRow): Unit = rows += 1
+      override def total(): Any = java.lang.Long.valueOf(rows)
+      override def mergeTotal(t: Any): Unit =
+        if (t != null) rows += t.asInstanceOf[java.lang.Long].longValue()
+      override def value(): Any =
+        if (n <= 1L) 0.0 else rows.toDouble / (n - 1).toDouble
+    }
+  }
+
+  /** `cume_dist()` — rows at-or-before the tie group, over N. */
+  final case class RunCumeDist() extends RunningFunc {
+    override def rowsFrame: Boolean = false
+    override def bound(input: Seq[Attribute]): RunningFunc = this
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val n =
+        if (grand == null) 0L
+        else grand.asInstanceOf[java.lang.Long].longValue()
+      var rows = 0L
+      override def update(row: InternalRow): Unit = rows += 1
+      override def total(): Any = java.lang.Long.valueOf(rows)
+      override def mergeTotal(t: Any): Unit =
+        if (t != null) rows += t.asInstanceOf[java.lang.Long].longValue()
+      override def value(): Any = rows.toDouble / n.toDouble
+    }
+  }
+
+  /** `ntile(b)` — Spark's bucketing: the first `N mod b` buckets hold
+    * `N/b + 1` rows, the rest `N/b`; the bucket is a pure function of
+    * (row number, N, b), so the per-band prefix is just the row count.
+    */
+  final case class RunNTile(buckets: Int) extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def bound(input: Seq[Attribute]): RunningFunc = this
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val n =
+        if (grand == null) 0L
+        else grand.asInstanceOf[java.lang.Long].longValue()
+      private val base = if (n > 0) n / buckets else 0L
+      private val rem = if (n > 0) (n % buckets).toInt else 0
+      private val cut = rem.toLong * (base + 1)
+      var rows = 0L
+      override def update(row: InternalRow): Unit = rows += 1
+      override def total(): Any = java.lang.Long.valueOf(rows)
+      override def mergeTotal(t: Any): Unit =
+        if (t != null) rows += t.asInstanceOf[java.lang.Long].longValue()
+      override def value(): Any = {
+        val rn = rows // 1-based after the update
+        if (rn <= cut) ((rn - 1) / (base + 1)).toInt + 1
+        else rem + ((rn - 1 - cut) / math.max(1L, base)).toInt + 1
+      }
+    }
+  }
+
   /** `lag(x, 1)` — the previous row's value in window order (null at the
     * very first row): the global delta / time-series step shape.
     * Order-sensitive; the prefix is the PRECEDING band's last row value,
@@ -487,7 +572,7 @@ private[plans] object RunningWindow {
     override def orderSensitive: Boolean = true
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       var prev: Any = null
       var sawRows = false
       var emitVal: Any = null
@@ -524,7 +609,7 @@ private[plans] object RunningWindow {
     override def orderSensitive: Boolean = true
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       var cur: Any = null
       private def retain(v: Any): Any = v match {
         case u: UTF8String => u.clone()
@@ -544,7 +629,7 @@ private[plans] object RunningWindow {
       isMin: Boolean, rowsFrame: Boolean) extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(): RunAcc = new RunAcc {
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
       private val ord = TypeUtils.getInterpretedOrdering(dt)
       var cur: Any = null
       private def retain(v: Any): Any = v match {
@@ -633,6 +718,9 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
       scanAccs.zip(totals(i)).foreach { case (a, t) => a.mergeTotal(t) }
       off
     }.toArray
+    // ...and the GRAND fold (every partition merged) — the global N the
+    // size-based rank family divides by
+    val grands: Array[Any] = scanAccs.map(_.total()).toArray
     val ordering = new LazilyGeneratedOrdering(orderSpec, childOut)
     val schema = output
     val inMemT = conf.windowExecBufferInMemoryThreshold
@@ -645,7 +733,7 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
       s"band window prefix count ${totals.length} != " +
         s"${rdd.getNumPartitions} partitions")
     rdd.mapPartitionsWithIndex { (i, iter) =>
-      val accs = bound.map(_.newAcc())
+      val accs = bound.zip(grands).map { case (f, g) => f.newAcc(g) }
       accs.zip(offsets(i)).foreach { case (a, o) => a.mergeTotal(o) }
       val perRow = bound.zipWithIndex.filter(_._1.rowsFrame).map(_._2)
       val atStart = bound.zipWithIndex

@@ -1341,7 +1341,26 @@ object DocOps {
       .select(col("o_orderkey"), col("o_custkey"),
         col("asof_t").as("o_day"), col("rate"))
 
+  /** The GLOBAL size-based rank family — `percent_rank`, `cume_dist`,
+    * `ntile` with no PARTITION BY: all divide by the global row count N,
+    * which the sidecar supplies for free, so the whole family plans as
+    * the exchange-free band window with a metadata prefix (zero extra
+    * passes — PlanSpec pins `prefix=metadata`). Quantile bucketing of an
+    * entire corpus by a sort key — the quality-percentile labeling shape
+    * — at metadata cost.
+    */
+  private def q181RangeRankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(7).over(w).as("nt"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_docsource_range_rank_family" -> q181RangeRankFamily,
     "q180_docsource_range_keyed_asof" -> q180RangeKeyedAsOf,
     "q179_docsource_range_part_window" -> q179RangePartWindow,
     "q178_docsource_range_lag" -> q178RangeLag,
@@ -1393,6 +1412,12 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q181_docsource_range_rank_family" ->
+      ("SELECT oid, percent_rank() OVER (ORDER BY oid) AS pr, " +
+        "cume_dist() OVER (ORDER BY oid) AS cd, " +
+        "CAST(ntile(7) OVER (ORDER BY oid) AS INT) AS nt FROM " +
+        "(SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid " +
+        "FROM orders)"),
     "q180_docsource_range_keyed_asof" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey, " +
         "CAST(datediff('day', DATE '1970-01-01', " +

@@ -995,6 +995,35 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q181 size-based rank family: metadata N, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q181_docsource_range_rank_family")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString.contains("prefix=metadata"))
+    // unique key: exact closed forms
+    val n = rows.length
+    val sorted = rows.sortBy(_.getString(0))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(1) - i.toDouble / (n - 1)) < 1e-12,
+        s"percent_rank at $r")
+      assert(math.abs(r.getDouble(2) - (i + 1).toDouble / n) < 1e-12,
+        s"cume_dist at $r")
+      // ntile(7) over 1500: 1500/7 = 214 rem 2 — first 2 buckets get 215
+      val cut = 2 * 215
+      val expect = if (i < cut) i / 215 + 1 else 2 + (i - cut) / 214 + 1
+      assert(r.getInt(3) == expect, s"ntile at $r (i=$i)")
+    }
+  }
+
   test("q180 keyed as-of: per-key carry over the key-banded layout, zero exchange, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()

@@ -95,7 +95,9 @@ class WindowProps extends AnyFunSuite {
         count(lit(1)).over(w).as("rn"),
         sum(col("v")).over(w).as("sv"),
         min(col("v")).over(w).as("mn"),
-        max(col("v")).over(w).as("mx")), root)
+        max(col("v")).over(w).as("mx"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd")), root)
       // DESC twin
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
@@ -150,7 +152,8 @@ class WindowProps extends AnyFunSuite {
         row_number().over(w).as("rn"),
         sum(col("v")).over(wr).as("sv"),
         last(col("v"), ignoreNulls = true).over(wr).as("carry"),
-        lag(col("v"), 1).over(w).as("pv")), root)
+        lag(col("v"), 1).over(w).as("pv"),
+        ntile(5).over(w).as("nt")), root)
     }
   }
 }
