@@ -52,7 +52,10 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   * value) or the explicit `ROWS` form, plus the ORDER-SENSITIVE pair
   * `last(x, ignoreNulls)` (the forward-fill / as-of carry) and
   * `lag(x, 1)` (the global delta) — whose computed-totals pass runs
-  * over the SORTED stream. `dense_rank`, distinct or filtered
+  * over the SORTED stream, `dense_rank` (per-band distinct-key counts —
+  * disjointness makes them additive), and the size-based family
+  * `percent_rank` / `cume_dist` / `ntile` (dividing by the global N the
+  * exec folds from the per-band totals). Distinct or filtered
   * aggregates, bounded/sliding frames, deeper or defaulted offsets, and
   * `lead` fall through to Spark's ordinary window. EXACT — no opt-in
   * conf; any unprovable layout falls through like the ordered scan
@@ -94,7 +97,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case scan: ExtJsonScan
                 if rel.output.exists(_.exprId == attr.exprId) &&
                   orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
-              val funcs = windowExprs.map(parse(_, child.outputSet))
+              val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
               if (funcs.exists(_.isEmpty)) return Nil
               scan.orderedBandPartitions(attr.name) match {
                 case Some(bands) if bands.nonEmpty =>
@@ -167,7 +170,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     * Spark's single-partition WindowExec for the rest, gaining nothing).
     */
   private def parse(ne: NamedExpression,
-      childOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Option[RunningFunc] = ne match {
+      childOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      orderSpec: Seq[SortOrder]): Option[RunningFunc] = ne match {
     case Alias(we @ WindowExpression(fn, spec), _)
         if spec.partitionSpec.isEmpty &&
           fn.references.subsetOf(childOut) && fn.deterministic =>
@@ -185,6 +189,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         // which the exec folds from the per-band totals (free from the
         // sidecar on the metadata path); their frames are the
         // analyzer's rank-like/size-based shapes, not cumulative ones
+        case (_: org.apache.spark.sql.catalyst.expressions.DenseRank, _) =>
+          Some(RunDenseRank(orderSpec))
         case (_: org.apache.spark.sql.catalyst.expressions.PercentRank, _) =>
           Some(RunPercentRank())
         case (_: org.apache.spark.sql.catalyst.expressions.CumeDist, _) =>
@@ -308,6 +314,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunSumDouble => None // doubles carry no exact sidecar sum
           case _: RunLastNonNull => None // order-dependent: no sidecar form
           case _: RunLag => None // order-dependent: no sidecar form
+          case _: RunDenseRank => None // no distinct counts in the sidecar
           case RunMinMax(input, dt, isMin, _) => scanCol(input) match {
             case Some(n) =>
               colTotals(files, n).flatMap { cs =>
@@ -487,6 +494,37 @@ private[plans] object RunningWindow {
               s"running sum overflows ${resultType.simpleString}")
           d
         }
+    }
+  }
+
+  /** `dense_rank()` — distinct order-key tuples at-or-before the row:
+    * the per-band total is the band's DISTINCT-KEY COUNT (counted by
+    * watching tie boundaries in the sorted stream — order-sensitive, so
+    * the totals pass runs over the sort), and strict band disjointness
+    * means no key straddles a boundary: prefix counts simply ADD. The
+    * only rank-family member with no metadata form (the sidecar has no
+    * distinct counts).
+    */
+  final case class RunDenseRank(order: Seq[SortOrder]) extends RunningFunc {
+    override def rowsFrame: Boolean = false
+    override def groupStart: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(order = order.map(o =>
+        o.copy(child = BindReferences.bindReference(o.child, in))))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ord = new LazilyGeneratedOrdering(order)
+      private var prev: InternalRow = _
+      var nd = 0L
+      override def update(row: InternalRow): Unit =
+        if (prev == null || ord.compare(prev, row) != 0) {
+          nd += 1
+          prev = row.asInstanceOf[UnsafeRow].copy()
+        }
+      override def total(): Any = java.lang.Long.valueOf(nd)
+      override def mergeTotal(t: Any): Unit =
+        if (t != null) nd += t.asInstanceOf[java.lang.Long].longValue()
+      override def value(): Any = (nd + 1).toInt
     }
   }
 

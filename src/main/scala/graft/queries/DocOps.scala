@@ -1359,7 +1359,22 @@ object DocOps {
         ntile(7).over(w).as("nt"))
   }
 
+  /** GLOBAL `dense_rank` — the one rank-family member whose prefix is a
+    * DISTINCT count: each band's distinct-key count rides the
+    * computed-totals pass (strict disjointness makes the counts
+    * additive — no key straddles a band boundary), and the day column's
+    * heavy duplication makes dense ranks genuinely diverge from ranks.
+    */
+  private def q182RangeDenseRank(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_day"))
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_day"), col("o_custkey"),
+        dense_rank().over(w).as("dr"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_docsource_range_dense_rank" -> q182RangeDenseRank,
     "q181_docsource_range_rank_family" -> q181RangeRankFamily,
     "q180_docsource_range_keyed_asof" -> q180RangeKeyedAsOf,
     "q179_docsource_range_part_window" -> q179RangePartWindow,
@@ -1412,6 +1427,12 @@ object DocOps {
     "q125_docsource_topn" -> q125TopN)
 
   def oracle: Map[String, String] = Map(
+    "q182_docsource_range_dense_rank" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders) " +
+        "SELECT o_day, o_custkey, " +
+        "CAST(dense_rank() OVER (ORDER BY o_day) AS INT) AS dr FROM o"),
     "q181_docsource_range_rank_family" ->
       ("SELECT oid, percent_rank() OVER (ORDER BY oid) AS pr, " +
         "cume_dist() OVER (ORDER BY oid) AS cd, " +

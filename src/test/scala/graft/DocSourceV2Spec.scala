@@ -2820,7 +2820,6 @@ class DocSourceV2Spec extends AnyFunSuite {
     val fallbacks = Seq(
       src.select(col("k"), row_number().over(
         Window.partitionBy(col("g")).orderBy(col("k"))).as("x")),
-      src.select(col("k"), dense_rank().over(w).as("x")),
       src.select(col("k"), sum(col("v")).over(
         Window.orderBy(col("k")).rowsBetween(-1, 0)).as("x")),
       src.select(col("k"), lag(col("v"), 2).over(w).as("x")),
@@ -2833,9 +2832,12 @@ class DocSourceV2Spec extends AnyFunSuite {
           ns.map(_.nodeName).mkString(", "))
       assert(df.collect().length == 120)
     }
-    // dense_rank through the ordinary path still answers correctly
-    val dr = src.select(col("k"), dense_rank().over(w).as("x")).collect()
-    dr.foreach(r => assert(r.getInt(1) == r.getLong(0) + 1))
+    // dense_rank: the distinct-key prefix counts add across disjoint
+    // bands — computed path (no distinct counts in the sidecar)
+    val drDf = src.select(col("k"), dense_rank().over(w).as("x"))
+    assert(bandWindowed(drDf) && planStr(drDf).contains("prefix=computed"))
+    drDf.collect().foreach(r => assert(r.getInt(1) == r.getLong(0) + 1,
+      s"dense_rank at $r"))
     // 7. OVERLAPPING bands (the append lifecycle) window through the
     // k-way merge read: one merged group, prefixes still exact
     val root2 = Files.createTempDirectory("graft_v2rwin2").toString

@@ -97,7 +97,8 @@ class WindowProps extends AnyFunSuite {
         min(col("v")).over(w).as("mn"),
         max(col("v")).over(w).as("mx"),
         percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd")), root)
+        cume_dist().over(w).as("cd"),
+        dense_rank().over(w).as("dr")), root)
       // DESC twin
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
