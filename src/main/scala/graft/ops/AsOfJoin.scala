@@ -200,11 +200,10 @@ object AsOfJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("asof_t"), col("asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(keyCol) +: col("asof_t") +: col("asof_side") +:
-        (leftSchema.fieldNames.map(col) ++ rightSchema.fieldNames.map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-      .filter(col("asof_side") === 1)
-      .drop("asof_side")
+    carryRight(df, rightSchema, w)
+      .select(col(keyCol) +: col("asof_t") +:
+        leftSchema.fieldNames.map(col) ++:
+        rightSchema.fieldNames.map(refField): _*)
   }
 
   /** EXCHANGE-FREE as-of join over a [[landAsOfLayout]] drop — the
@@ -232,12 +231,37 @@ object AsOfJoin {
       Map("zoneMaps" -> "true"))
     val w = Window.orderBy(col("asof_t"), col("asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col("asof_t") +: col("asof_side") +:
-        (leftSchema.fieldNames.map(col) ++ rightSchema.fieldNames.map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-      .filter(col("asof_side") === 1)
-      .drop("asof_side")
+    carryRight(df, rightSchema, w)
+      .select(col("asof_t") +: leftSchema.fieldNames.map(col) ++:
+        rightSchema.fieldNames.map(refField): _*)
   }
+
+  /** The carry itself, shared by both as-of forms: ONE running
+    * last-non-null of the reference row as an ATOMIC JSON rendering —
+    * per-column carries would TEAR tuples (a later reference row with a
+    * null field would let the OLDER row's value for that field leak
+    * through, yielding a combination no reference row ever held). The
+    * JSON hop costs a render+parse per row but keeps the carried value
+    * atomic AND a single retainable string for the band window's
+    * accumulator; doubles/longs/strings roundtrip exactly (the corpus
+    * already lives as the same canonical JSON).
+    */
+  private def carryRight(df: DataFrame,
+      rightSchema: org.apache.spark.sql.types.StructType,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val payload = to_json(struct(rightSchema.fieldNames.map(col): _*))
+    val nullableRight = org.apache.spark.sql.types.StructType(
+      rightSchema.fields.map(_.copy(nullable = true)))
+    df.withColumn("__asof_carry",
+        last(when(col("asof_side") === 0, payload),
+          ignoreNulls = true).over(w))
+      .filter(col("asof_side") === 1)
+      .withColumn("__asof_ref",
+        from_json(col("__asof_carry"), nullableRight))
+  }
+
+  private def refField(c: String): org.apache.spark.sql.Column =
+    col("__asof_ref").getField(c).as(c)
 
   /** Numeric bucket id `floor(time / bucketSec)` for timestamp, date, or
     * numeric time columns. Timestamps quantize on epoch seconds (the

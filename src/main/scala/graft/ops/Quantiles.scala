@@ -78,11 +78,23 @@ object Quantiles {
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantile positions must lie in [0, 1]")
-    val scan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.sparkPlan.collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan
-      }.collect { case s: graft.ingest.v2.ExtJsonScan => s }
+    // the frame must be the SCAN itself (row-preserving Projects aside):
+    // a residual Filter, Limit, or Sample above the scan drops rows the
+    // sidecar counted, which would silently MISLOCATE every position —
+    // orderedBandFileStats only vouches for predicates pushed INTO the
+    // scan, so the plan shape between root and relation is checked here
+    def scanOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation] =
+      p match {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          Some(r)
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          scanOnly(pr.child) // projection never drops rows
+        case _ => None
+      }
+    val scan = scanOnly(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan)
+      .map(_.scan).collect { case s: graft.ingest.v2.ExtJsonScan => s }
     val banded = scan.flatMap { s =>
       for {
         stats <- s.orderedBandFileStats(keyCol)
@@ -90,11 +102,14 @@ object Quantiles {
       } yield (stats, groups)
     }
     val (stats, groups) = banded.getOrElse(throw new IllegalArgumentException(
-      s"layoutQuantiles needs a proven band layout on '$keyCol' and an " +
-        "unfiltered scan — land with CorpusSink.landJsonlRangeIndexed, or " +
-        "use exactQuantiles/approxQuantiles for layout-free inputs"))
+      s"layoutQuantiles needs a proven band layout on '$keyCol' and a " +
+        "bare unfiltered scan (no filter/limit/sample between it and the " +
+        "frame — dropped rows would mislocate every position) — land with " +
+        "CorpusSink.landJsonlRangeIndexed, or use " +
+        "exactQuantiles/approxQuantiles for layout-free inputs"))
     val counts = stats.map(_.map(_.cols(keyCol).rows).sum)
     val n = counts.sum
+    require(n > 0, "layoutQuantiles over an empty drop has no positions")
     val prefixes = counts.scanLeft(0L)(_ + _)
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToScalaConverter(df.schema(keyCol).dataType)

@@ -4,7 +4,7 @@ import org.apache.spark.{Partition, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, NullsFirst, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, Literal, NullsFirst, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
@@ -208,16 +208,52 @@ class RangeAggStrategy(session: SparkSession) extends SparkStrategy {
                     val sets = distinct.map(
                       _.aggregateFunction.children.filterNot(_.foldable)
                         .map(_.canonicalized)).distinct
-                    if (sets.length != 1 || sets.head.isEmpty) Nil
+                    // normalize floats exactly where Spark's own
+                    // Aggregation strategy does: the partial group-by
+                    // keys on the distinct expressions, and without the
+                    // normalization 0.0/-0.0 (and NaN bit patterns)
+                    // would dedup as DISTINCT values — a silent
+                    // divergence from the engine's own answer. Nested
+                    // float-bearing distinct types refuse (Spark
+                    // normalizes them structurally; rare enough that
+    // falling back beats replicating that machinery).
+                    def floaty(dt: org.apache.spark.sql.types.DataType): Boolean = {
+                      import org.apache.spark.sql.types._
+                      dt match {
+                        case DoubleType | FloatType => true
+                        case st: StructType =>
+                          st.fields.exists(f => floaty(f.dataType))
+                        case at: ArrayType => floaty(at.elementType)
+                        case mt: MapType =>
+                          floaty(mt.keyType) || floaty(mt.valueType)
+                        case _ => false
+                      }
+                    }
+                    val distinctExprs = distinct.head.aggregateFunction
+                      .children.filterNot(_.foldable)
+                    if (sets.length != 1 || sets.head.isEmpty ||
+                      distinctExprs.exists(e => floaty(e.dataType) &&
+                        e.dataType != org.apache.spark.sql.types.DoubleType &&
+                        e.dataType != org.apache.spark.sql.types.FloatType))
+                      Nil
                     else {
-                      val distinctExprs = distinct.head.aggregateFunction
-                        .children.filterNot(_.foldable)
-                      val named = distinctExprs.map {
+                      import org.apache.spark.sql.catalyst.expressions.{EqualTo, If, IsNaN}
+                      def norm(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+                        e.dataType match {
+                          case org.apache.spark.sql.types.DoubleType =>
+                            If(IsNaN(e), Literal(Double.NaN),
+                              If(EqualTo(e, Literal(0.0d)), Literal(0.0d), e))
+                          case org.apache.spark.sql.types.FloatType =>
+                            If(IsNaN(e), Literal(Float.NaN),
+                              If(EqualTo(e, Literal(0.0f)), Literal(0.0f), e))
+                          case _ => e
+                        }
+                      val named = distinctExprs.map(e => norm(e) match {
                         case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne
                         case other =>
                           org.apache.spark.sql.catalyst.expressions
-                            .Alias(other, other.toString)()
-                      }
+                            .Alias(other, e.toString)()
+                      })
                       AggUtils.planAggregateWithOneDistinct(
                         groupingExprs, distinct, plain, distinctExprs,
                         named, resultExprs, restage(above, bands))

@@ -135,8 +135,13 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     // generality (any function, any frame, lead, ntile, sliding windows)
     // because the evaluation is Spark's, not ours — the decomposition
     // trick is only needed when there is no partitioning to cluster by.
-    case Window(windowExprs, partSpec, orderSpec, child, _)
+    case org.apache.spark.sql.catalyst.planning.PhysicalWindow(
+        org.apache.spark.sql.catalyst.expressions.WindowFunctionType.SQL,
+        windowExprs, partSpec, orderSpec, child)
         if partSpec.nonEmpty =>
+      // the SQL gate mirrors Spark's own Window strategy: a Python /
+      // pandas window function must route to WindowInPandasExec, which
+      // only the builtin strategy plans — fall through for those
       peelW(child, Nil) match {
         case Some((rel, above)) =>
           rel.scan match {
@@ -447,6 +452,12 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** Running double sums reassociate: (band₀ subtotal) + x is not
+    * bit-identical to WindowExec's strict left fold — the SAME last-ulp
+    * caveat every distributed double aggregation (Spark's own partial
+    * GROUP BY sums included) carries. Exact for the house oracle rule
+    * (never hash-check SUM(double); q-queries sum integers/decimals).
+    */
   final case class RunSumDouble(input: Expression, rowsFrame: Boolean)
       extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =

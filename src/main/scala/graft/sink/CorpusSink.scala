@@ -266,7 +266,11 @@ object CorpusSink {
       bloomCols: Seq[String] = Nil, blockBytes: Long = 0L): Long = {
     require(zoneCols.contains(sortCol),
       s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols)")
-    require(new java.net.URI(srcDir).getPath != new java.net.URI(dstDir).getPath,
+    // Hadoop Path normalizes trailing slashes and dot segments, so
+    // path-equivalent spellings of the same directory cannot slip past
+    // (the overwrite write would destroy the lazily-read source)
+    require(new org.apache.hadoop.fs.Path(srcDir).toUri.normalize() !=
+      new org.apache.hadoop.fs.Path(dstDir).toUri.normalize(),
       "compaction must write a NEW directory (the source is read lazily " +
         "while the destination lands)")
     graft.ingest.ExtendedJson.read(spark, schema, srcDir,

@@ -407,10 +407,16 @@ class CorpusSinkSpec extends AnyFunSuite {
       .collectFirst { case o: OrderedBandScanExec => o }
     assert(aScan.exists(_.groups.forall(_.files.lengthCompare(1) == 0)),
       "compaction must restore one-file-per-group bands")
-    // same-directory compaction refuses loudly
+    // same-directory compaction refuses loudly — including path-
+    // equivalent spellings (a trailing slash must not bypass the guard
+    // into overwriting the lazily-read source)
     intercept[IllegalArgumentException] {
       CorpusSink.compactRangeIndexed(spark, schema, src, src, "score",
         zoneCols = Seq("score", "doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusSink.compactRangeIndexed(spark, schema, src, src + "/",
+        "score", zoneCols = Seq("score", "doc_id"))
     }
   }
 

@@ -2573,6 +2573,28 @@ class DocSourceV2Spec extends AnyFunSuite {
         countDistinct(col("v")).as("ndv"))
     assert(dist2.collect().forall(r =>
       r.getLong(1) == 2L && r.getLong(2) == 10L))
+    // FLOAT distinct values normalize like Spark's own plan: 0.0 and
+    // -0.0 dedup as ONE value, not two raw bit patterns
+    val fRoot = Files.createTempDirectory("graft_v2raggf").toString
+    Files.write(Paths.get(fRoot, "f0.jsonl"),
+      """{"k": 1, "dv": 0.0}
+        |{"k": 1, "dv": -0.0}
+        |{"k": 1, "dv": 2.5}
+        |{"k": 2, "dv": 1.0}
+        |{"k": 2, "dv": 1.0}
+        |{"k": 2, "dv": 3.0}
+        |""".stripMargin.getBytes("UTF-8"))
+    val fSchema = StructType(Seq(StructField("k", LongType),
+      StructField("dv", DoubleType)))
+    ZoneMaps.build(spark, fRoot, fSchema, Seq("k"))
+    val fDist = ExtendedJson.read(spark, fSchema, fRoot,
+      Map("zoneMaps" -> "true", "rangeAggregation" -> "true"))
+      .groupBy(col("k")).agg(countDistinct(col("dv")).as("nd"))
+    val fRows = fDist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fRows == Map(1L -> 2L, 2L -> 2L),
+      s"float distinct must normalize signed zero and NaN: $fRows")
+    assert(nodes(fDist).exists(_.isInstanceOf[OrderedBandScanExec]),
+      "the normalized distinct must still take the one-stage band plan")
     // option OFF: identical rows through the ordinary pushed-partial path
     val off = src(ra = false).groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
@@ -2902,6 +2924,30 @@ class DocSourceV2Spec extends AnyFunSuite {
       if (r.getLong(0) < 30) assert(r.isNullAt(2), s"pre-ref at $r")
       else assert(r.getString(2) == "late", s"post-ref at $r")
     }
+    // the carry is ATOMIC: a later reference row with a NULL field must
+    // not let the older row's value for that field leak through (per-
+    // column carries would tear tuples into combinations no reference
+    // row ever held)
+    val dir3 = Files.createTempDirectory("graft_v2asof3").toString + "/x"
+    val refs2 = Seq((0L, Some("alpha"), Some("one")),
+      (40L, Some("gamma"), None))
+      .toDF("rt", "tag", "sub")
+    AsOfJoin.landAsOfLayout(events, "t", refs2, "rt", dir3, numBands = 4)
+    val out3 = AsOfJoin.layoutAsOf(spark, dir3,
+      StructType(Seq(StructField("eid", LongType))),
+      StructType(Seq(StructField("tag", StringType),
+        StructField("sub", StringType))), LongType).collect()
+    out3.foreach { r =>
+      val t = r.getLong(0)
+      if (t >= 40) {
+        assert(r.getString(2) == "gamma", s"atomic carry tag at $r")
+        assert(r.isNullAt(3),
+          s"the LATEST reference's null must not tear to the older value: $r")
+      } else {
+        assert(r.getString(2) == "alpha" && r.getString(3) == "one",
+          s"pre-update carry at $r")
+      }
+    }
     // shape refusals: colliding payload names, reserved names, time-type
     // mismatch
     intercept[IllegalArgumentException] {
@@ -2943,9 +2989,18 @@ class DocSourceV2Spec extends AnyFunSuite {
       assert(got(q) == sortedKeys(k).toLong, s"q=$q")
     }
     // a FILTERED frame could have dropped rows the counts include:
-    // refuse rather than mislocate
+    // refuse rather than mislocate — BOTH the pushed form (the scan
+    // refuses stats) and the RESIDUAL form (the plan-shape check
+    // catches the Filter the scan never saw), and limits likewise
     intercept[IllegalArgumentException] {
       Quantiles.layoutQuantiles(src.filter(col("v") > 3L), "k", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(src.filter(col("v") % 7 === 3L), "k",
+        Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(src.limit(5), "k", Seq(0.5))
     }
     // a non-document frame has no layout to prove: refuse
     intercept[IllegalArgumentException] {
