@@ -141,7 +141,13 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         if partSpec.nonEmpty =>
       // the SQL gate mirrors Spark's own Window strategy: a Python /
       // pandas window function must route to WindowInPandasExec, which
-      // only the builtin strategy plans — fall through for those
+      // only the builtin strategy plans — fall through for those.
+      // FLOAT/DOUBLE partition keys arrive wrapped in
+      // KnownFloatingPointNormalized(NormalizeNaNAndZero(...)) and fall
+      // through too, CORRECTLY: the normalization clusters -0.0 with
+      // 0.0, but the raw band layout may place them in different bands
+      // (the sidecar's total order distinguishes them), so the layout
+      // cannot honestly satisfy the normalized clustering.
       peelW(child, Nil) match {
         case Some((rel, above)) =>
           rel.scan match {

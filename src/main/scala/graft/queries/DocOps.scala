@@ -1079,6 +1079,16 @@ object DocOps {
     StructField("o_day", IntegerType),
     StructField("o_custkey", LongType)))
 
+  /** The day-banded source frame (q171/q174/q179/q182's input) — exposed
+    * so SQL-text plan pins can register it as a view (an INT band key:
+    * float keys arrive normalization-wrapped in window partition specs
+    * and correctly fall through).
+    */
+  private[graft] def ordersDayRangeSource(s: SparkSession,
+      d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+
   private def ordersDayRangeJsonl(s: SparkSession, d: String): String =
     built.computeIfAbsent(s"$d#rangeday", _ => {
       val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"

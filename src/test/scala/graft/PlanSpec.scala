@@ -1110,6 +1110,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-text partitioned windows and the rank family plan the band paths") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    graft.queries.DocOps.ordersDayRangeSource(spark, sf)
+      .createOrReplaceTempView("part_window_sql_v")
+    // PARTITION BY the (integer) band key from SQL text: Spark's
+    // WindowExec over the band scan, zero exchange. A DOUBLE key would
+    // arrive wrapped in the float normalization and fall through — the
+    // correct call (±0.0 normalize together but may band apart).
+    val pw = spark.sql("SELECT o_day, o_custkey, " +
+      "rank() OVER (PARTITION BY o_day ORDER BY o_custkey) AS rk " +
+      "FROM part_window_sql_v")
+    assert(pw.collect().length == 1500)
+    val pns = TestPlans.executedNodes(pw)
+    assert(pns.exists(_.isInstanceOf[WindowExec]) &&
+      pns.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]) &&
+      !pns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      pns.map(_.nodeName).mkString(", "))
+    // the size-based family from SQL text: the metadata band window
+    val rf = spark.sql("SELECT o_custkey, " +
+      "percent_rank() OVER (ORDER BY o_day) AS pr, " +
+      "cume_dist() OVER (ORDER BY o_day) AS cd " +
+      "FROM part_window_sql_v")
+    val rfRows = rf.collect()
+    assert(rfRows.length == 1500 &&
+      rfRows.forall(r => r.getDouble(1) >= 0 && r.getDouble(2) <= 1.0))
+    val rns = TestPlans.executedNodes(rf)
+    assert(rns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !rns.exists(_.isInstanceOf[WindowExec]) &&
+      !rns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      rns.map(_.nodeName).mkString(", "))
+  }
+
   test("SQL-text windows plan the band running window too") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
