@@ -82,19 +82,35 @@ object Quantiles {
     // a residual Filter, Limit, or Sample above the scan drops rows the
     // sidecar counted, which would silently MISLOCATE every position —
     // orderedBandFileStats only vouches for predicates pushed INTO the
-    // scan, so the plan shape between root and relation is checked here
+    // scan, so the plan shape between root and relation is checked here.
+    // The peel admits ALIAS-FREE Projects only (pure column selection/
+    // permutation): an aliasing Project could redefine or shadow keyCol
+    // (`select((k*2).as("k"))`), and the filter/sort below would then run
+    // on the aliased expression while band boundaries come from the raw
+    // column's stats — silently mislocating every quantile.
     def scanOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Option[org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation] =
       p match {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
           Some(r)
-        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          scanOnly(pr.child) // projection never drops rows
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+            if pr.projectList.forall(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+          scanOnly(pr.child) // attribute-only projection never drops rows
         case _ => None
       }
-    val scan = scanOnly(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.optimizedPlan)
-      .map(_.scan).collect { case s: graft.ingest.v2.ExtJsonScan => s }
+    val optimized = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    val rel = scanOnly(optimized)
+      // belt over the alias-free braces: the frame's keyCol attribute
+      // must be the SCAN'S OWN output attribute (exprId, not name — a
+      // shadowing alias must never borrow the real column's stats)
+      .filter { r =>
+        optimized.output.find(_.name == keyCol)
+          .exists(a => r.output.exists(_.exprId == a.exprId))
+      }
+    val scan = rel.map(_.scan)
+      .collect { case s: graft.ingest.v2.ExtJsonScan => s }
     val banded = scan.flatMap { s =>
       for {
         stats <- s.orderedBandFileStats(keyCol)

@@ -266,13 +266,33 @@ object CorpusSink {
       bloomCols: Seq[String] = Nil, blockBytes: Long = 0L): Long = {
     require(zoneCols.contains(sortCol),
       s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols)")
-    // Hadoop Path normalizes trailing slashes and dot segments, so
-    // path-equivalent spellings of the same directory cannot slip past
-    // (the overwrite write would destroy the lazily-read source)
-    require(new org.apache.hadoop.fs.Path(srcDir).toUri.normalize() !=
-      new org.apache.hadoop.fs.Path(dstDir).toUri.normalize(),
-      "compaction must write a NEW directory (the source is read lazily " +
-        "while the destination lands)")
+    // FULLY-QUALIFIED path comparison (FileSystem.makeQualified resolves
+    // scheme, authority, working directory, dots, trailing slashes), so
+    // no spelling of the same directory — relative vs absolute, with vs
+    // without file: scheme — slips past; and ANCESTOR/DESCENDANT
+    // relations refuse too: mode("overwrite") deletes the whole
+    // destination tree, so a dstDir above srcDir would destroy the
+    // lazily-read source mid-job (and a dstDir inside it would be
+    // swept up by a later source overwrite)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).makeQualified(path)
+    }
+    val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
+    def isAncestor(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = b.getParent
+      while (cur != null) {
+        if (cur == a) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    require(srcQ != dstQ && !isAncestor(srcQ, dstQ) && !isAncestor(dstQ, srcQ),
+      s"compaction must write a NEW directory outside the source tree " +
+        s"(src=$srcQ, dst=$dstQ): the source is read lazily while the " +
+        "destination lands, and overwrite deletes the destination tree")
     graft.ingest.ExtendedJson.read(spark, schema, srcDir,
       Map("zoneMaps" -> "true"))
       .orderBy(col(sortCol))

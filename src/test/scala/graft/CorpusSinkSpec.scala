@@ -418,6 +418,25 @@ class CorpusSinkSpec extends AnyFunSuite {
       CorpusSink.compactRangeIndexed(spark, schema, src, src + "/",
         "score", zoneCols = Seq("score", "doc_id"))
     }
+    // scheme-variant spelling of the same directory: qualification
+    // resolves file: vs bare paths to one identity
+    intercept[IllegalArgumentException] {
+      CorpusSink.compactRangeIndexed(spark, schema, src, "file:" + src,
+        "score", zoneCols = Seq("score", "doc_id"))
+    }
+    // dst INSIDE src: a later source overwrite would sweep it up, and
+    // the read lists it — refuse descendants
+    intercept[IllegalArgumentException] {
+      CorpusSink.compactRangeIndexed(spark, schema, src, src + "/sub",
+        "score", zoneCols = Seq("score", "doc_id"))
+    }
+    // dst an ANCESTOR of src: mode("overwrite") deletes the whole
+    // destination tree, source included — the unrecoverable case
+    intercept[IllegalArgumentException] {
+      CorpusSink.compactRangeIndexed(spark, schema, src,
+        new java.io.File(src).getParent, "score",
+        zoneCols = Seq("score", "doc_id"))
+    }
   }
 
   test("manifest round-trips, is order-free, and catches tampering") {
