@@ -6,10 +6,10 @@ import org.apache.spark.{Partition, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BoundReference, EqualTo, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GenericInternalRow, JoinedRow, Predicate, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -19,9 +19,9 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.ingest.v2.{ExtJsonScan, FilterEval, OrderedBandGroup}
 
-/** ZERO-exchange, ZERO-sort equi-join of two RANGE-LANDED document drops
+/** ZERO-exchange, ZERO-sort equi-join of RANGE-LANDED document drops
   * — the range-layout analogue of the storage-partitioned join: when the
-  * zone-map sidecars prove BOTH sides' files internally sorted and
+  * zone-map sidecars prove every side's files internally sorted and
   * groupable into strictly-disjoint key bands on their join keys
   * ([[graft.sink.CorpusSink.landJsonlRangeIndexed]] writes exactly this
   * layout; co-band with its `bounds` parameter for aligned parallelism),
@@ -29,130 +29,324 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, OrderedBandGroup}
   * decontamination shape: "drop every document whose key appears in the
   * benchmark drop", otherwise a full-shuffle anti-join) — plans as a
   * streamed MERGE JOIN over band-aligned partitions: each partition
-  * reads the left and right files whose key ranges overlap ITS range
-  * and nothing else. At 100 TB the ordinary plan shuffles both corpora
-  * and sorts both sides; this plan reads each side once, in place,
-  * already ordered — and whole one-sided key ranges prune at plan time:
-  * right-only ranges always (no left row to emit), left-only ranges for
-  * INNER/SEMI (no match possible), while OUTER/ANTI keep them as
-  * right-empty partitions (their left rows are exactly the match-less
-  * output).
+  * reads the files whose key ranges overlap ITS range and nothing else.
+  * At 100 TB the ordinary plan shuffles every corpus and sorts every
+  * side; this plan reads each side once, in place, already ordered —
+  * and whole one-sided key ranges prune at plan time: right-only ranges
+  * always (no left row to emit), left-only ranges for INNER/SEMI (no
+  * match possible), while OUTER/ANTI keep them as right-empty
+  * partitions (their left rows are exactly the match-less output).
   *
-  * Partition construction is the cross-side overlap sweep: both sides'
-  * disjoint band groups, min-sorted together, coalesce into components
-  * separated by strict key gaps ACROSS BOTH SIDES — so a key present
-  * anywhere in component i can never find a join partner outside it
-  * (the alignment is sound for ANY two band layouts; matching `bounds`
-  * just makes components fine-grained).
+  * The match admits the shapes real SQL leaves between a join and its
+  * scans — none of which defeats the layout proof:
+  *
+  *  - an ALIAS-FREE Project (pure column selection/permutation — the
+  *    residue V2ScanRelationPushDown leaves above a pruned scan) and a
+  *    deterministic residual Filter on EITHER side: a pushed-only
+  *    Filter preserves sortedness and band disjointness alike (the join
+  *    needs no completeness, unlike the window's metadata path), so
+  *    both re-stage INSIDE the merge partitions, before the merge;
+  *  - a CONJUNCTIVE condition `l.k = r.k AND <residual>`: the merge
+  *    runs on the provable band-key equality and evaluates the
+  *    remaining conjuncts per candidate pair — TRUE joins, FALSE/NULL
+  *    does not, uniformly across all four join types (Spark's own ON
+  *    semantics; `NOT IN`'s null-tolerant `Or(=, isnull(=))` shape is
+  *    not a conjunct of an EqualTo and correctly refuses);
+  *  - a JOIN CHAIN `(A ⋈ B) ⋈ C` whose every equality binds the SAME
+  *    base left key (by exprId): the chained merge streams the inner
+  *    join's key-ordered output straight into the next merge — N
+  *    co-landed drops join end-to-end with ZERO exchanges, where the
+  *    ordinary plan pays a shuffle per hop. Alias-free Projects /
+  *    deterministic Filters between the joins re-stage between steps.
+  *
+  * Partition construction is the cross-side overlap sweep over ALL
+  * sides at once: every side's disjoint band groups, min-sorted
+  * together, coalesce into components separated by strict key gaps
+  * ACROSS ALL SIDES — so a key present anywhere in component i can
+  * never find a join partner outside it (sound for ANY band layouts;
+  * matching `bounds` just makes components fine-grained).
   *
   * The transformation is EXACT (key equality under null-free proven
   * keys — which also makes the null-key semantics of every left-typed
   * join vacuous), so like [[OrderedScanStrategy]] it needs no opt-in
   * conf; any unprovable condition falls through to Spark's own join
   * planning. A USER HINT on either side also refuses — a broadcast hint
-  * must keep meaning broadcast.
+  * must keep meaning broadcast. Float/double keys arrive wrapped in
+  * normalization (`KnownFloatingPointNormalized`) by Spark's own rule
+  * and fall through correctly: the raw layout's total order
+  * distinguishes -0.0 from 0.0, which the normalized equality must not.
   */
-class RangeMergeJoinStrategy(session: SparkSession) extends SparkStrategy {
+class RangeMergeJoinStrategy(session: SparkSession) extends SparkStrategy
+    with PredicateHelper {
+  import RangeMergeJoinStrategy._
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ Join(lRel: DataSourceV2ScanRelation,
-        rRel: DataSourceV2ScanRelation,
-        jt @ (Inner | LeftOuter | LeftSemi | LeftAnti),
-        Some(EqualTo(a: AttributeReference, b: AttributeReference)), hint)
-        if hint == JoinHint.NONE =>
-      (lRel.scan, rRel.scan) match {
-        case (ls: ExtJsonScan, rs: ExtJsonScan) =>
-          // orient the equality to (left key, right key) — the
-          // RELATIONS never swap (left-typed joins are asymmetric)
-          val oriented =
-            if (lRel.outputSet.contains(a) && rRel.outputSet.contains(b))
-              Some((a, b))
-            else if (lRel.outputSet.contains(b) && rRel.outputSet.contains(a))
-              Some((b, a))
-            else None
-          oriented match {
-            case Some((lk, rk)) if lk.dataType == rk.dataType =>
-              (ls.orderedBandPartitions(lk.name),
-                rs.orderedBandPartitions(rk.name)) match {
-                case (Some(lg), Some(rg)) if lg.nonEmpty && rg.nonEmpty =>
-                  // LeftOuter/LeftAnti emit rows for match-less left
-                  // ranges, so left-only components must be KEPT for
-                  // them; right-only components never emit in any
-                  // left-typed join
-                  val parts = RangeMergeJoinExec.align(
-                    lk.dataType, lg, rg,
-                    keepLeftOnly = jt == LeftOuter || jt == LeftAnti)
-                  RangeMergeJoinExec(jt, lRel.output, rRel.output,
-                    lk.dataType,
-                    lRel.output.indexWhere(_.exprId == lk.exprId),
-                    rRel.output.indexWhere(_.exprId == rk.exprId),
-                    SortOrder(lk, Ascending),
-                    ls, rs, parts) :: Nil
-                case _ => Nil
-              }
-            case _ => Nil
-          }
-        case _ => Nil
-      }
+    case j: Join => matchChain(j) match {
+      case Some(chain) => buildExec(chain) :: Nil
+      case None => Nil
+    }
     case _ => Nil
+  }
+
+  /** Peel the operators a merge side may be separated from its scan by:
+    * alias-free Projects and deterministic Filters (outermost-first in
+    * the returned list). DYNAMIC-PRUNING conjuncts (the runtime filters
+    * Spark injects expecting its own shuffle join) are DROPPED, not
+    * re-staged: they are pruning hints, semantically redundant by
+    * construction — Spark itself replaces an unusable one with `true`
+    * (PlanDynamicPruningFilters), and the band alignment already prunes
+    * one-sided ranges at plan time. Any OTHER plan-bearing expression
+    * (a subquery) refuses the peel — it cannot evaluate row-local.
+    */
+  private def peelOps(p: LogicalPlan,
+      acc: List[LogicalPlan]): (LogicalPlan, List[LogicalPlan]) = p match {
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      peelOps(pr.child, pr :: acc)
+    case f: Filter if f.condition.deterministic =>
+      val (dpp, rest) = splitConjunctivePredicates(f.condition)
+        .partition(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruning])
+      if (rest.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+        (p, acc) // a true subquery: stop — the side will refuse
+      else if (rest.isEmpty) peelOps(f.child, acc)
+      else if (dpp.isEmpty) peelOps(f.child, f :: acc)
+      else peelOps(f.child, Filter(rest.reduce(And), f.child) :: acc)
+    case other => (other, acc)
+  }
+
+  private def peelSide(p: LogicalPlan): Option[Side] = {
+    val (core, ops) = peelOps(p, Nil)
+    core match {
+      case rel: DataSourceV2ScanRelation => rel.scan match {
+        case s: ExtJsonScan =>
+          Some(Side(rel, s,
+            ops.collect { case f: Filter => f.condition }, p.output))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Match a join (possibly a left-deep chain of joins) over peelable
+    * range-landed scans. Every join's condition must contain one
+    * provable band-key equality conjunct; for chained joins the
+    * left-side key must be the SAME base attribute (exprId) — the
+    * stream each step emits is ordered and range-partitioned on it.
+    */
+  private def matchChain(j: Join): Option[Chain] = j match {
+    case Join(l, r, jt @ (Inner | LeftOuter | LeftSemi | LeftAnti),
+        Some(cond), hint) if hint == JoinHint.NONE =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (!conjuncts.forall(c => c.deterministic && !c.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+        return None
+      peelSide(r).flatMap { rSide =>
+        val (lCore, lOps) = peelOps(l, Nil)
+        val lOut = l.outputSet
+
+        def orient(e: Expression): Option[(AttributeReference, AttributeReference)] =
+          e match {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              if (lOut.contains(a) && rSide.output.exists(_.exprId == b.exprId))
+                Some((a, b))
+              else if (lOut.contains(b) &&
+                rSide.output.exists(_.exprId == a.exprId)) Some((b, a))
+              else None
+            case _ => None
+          }
+
+        def residualOf(chosen: Expression): Option[Expression] = {
+          val rest = conjuncts.filterNot(_ eq chosen)
+          if (rest.isEmpty) None else Some(rest.reduce(And))
+        }
+
+        def rightGroups(rk: AttributeReference): Option[Seq[OrderedBandGroup]] =
+          if (rSide.rel.output.exists(_.exprId == rk.exprId))
+            rSide.scan.orderedBandPartitions(rk.name).filter(_.nonEmpty)
+          else None
+
+        lCore match {
+          case lj: Join =>
+            matchChain(lj).flatMap { inner =>
+              conjuncts.iterator.flatMap { c =>
+                orient(c).flatMap { case (lk, rk) =>
+                  if (lk.exprId == inner.keyAttr.exprId &&
+                    lk.dataType == rk.dataType)
+                    rightGroups(rk).map(g =>
+                      inner.copy(
+                        steps = inner.steps :+ ChainStep(jt, rSide, g, rk,
+                          residualOf(c), lOps),
+                        output = j.output))
+                  else None
+                }
+              }.nextOption()
+            }
+          case _ =>
+            peelSide(l).flatMap { lSide =>
+              conjuncts.iterator.flatMap { c =>
+                orient(c).flatMap { case (lk, rk) =>
+                  if (lk.dataType == rk.dataType &&
+                    lSide.rel.output.exists(_.exprId == lk.exprId))
+                    lSide.scan.orderedBandPartitions(lk.name)
+                      .filter(_.nonEmpty).flatMap { lg =>
+                        rightGroups(rk).map { rg =>
+                          Chain(lk.dataType, lk, lSide, lg,
+                            List(ChainStep(jt, rSide, rg, rk,
+                              residualOf(c), Nil)),
+                            j.output)
+                        }
+                      }
+                  else None
+                }
+              }.nextOption()
+            }
+        }
+      }
+    case _ => None
   }
 }
 
+private[plans] object RangeMergeJoinStrategy {
+
+  /** One relation side after peeling: the scan, the peeled residual
+    * filter conjuncts (over the scan's raw output), and the side's
+    * logical output (post alias-free projection).
+    */
+  final case class Side(rel: DataSourceV2ScanRelation,
+      scan: ExtJsonScan, filters: Seq[Expression], output: Seq[Attribute])
+
+  /** One chained join step: its type, right side + proven groups, the
+    * right key, the residual condition (over prev-output ++ right
+    * output), and the interstitial ops peeled between this join and the
+    * previous one (outermost-first, as peeled).
+    */
+  final case class ChainStep(joinType: JoinType, side: Side,
+      groups: Seq[OrderedBandGroup], rightKey: AttributeReference,
+      residual: Option[Expression], pre: List[LogicalPlan])
+
+  final case class Chain(keyType: DataType, keyAttr: AttributeReference,
+      base: Side, baseGroups: Seq[OrderedBandGroup],
+      steps: List[ChainStep], output: Seq[Attribute])
+
+  private[plans] def buildExec(c: Chain): RangeMergeJoinExec = {
+    val sides = MergeSideExec(c.base, c.keyAttr) +:
+      c.steps.map(s => MergeSideExec(s.side, s.rightKey))
+    val steps = c.steps.map { s =>
+      MergeStepExec(s.joinType, s.residual,
+        // application order = innermost-first (peel returns outermost-first)
+        s.pre.reverse.map {
+          case pr: Project => StreamProject(
+            pr.projectList.map(_.asInstanceOf[AttributeReference]))
+          case f: Filter => StreamFilter(f.condition)
+          case other => throw new IllegalStateException(
+            s"unpeelable interstitial ${other.nodeName}")
+        })
+    }
+    val keepWhenEmpty = false +: c.steps.map(s =>
+      s.joinType == LeftOuter || s.joinType == LeftAnti)
+    val parts = RangeMergeJoinExec.alignN(c.keyType,
+      c.baseGroups +: c.steps.map(_.groups), keepWhenEmpty)
+    val keyInOutput = c.output.find(_.exprId == c.keyAttr.exprId)
+      .getOrElse(c.keyAttr)
+    RangeMergeJoinExec(c.keyType, c.output, sides, steps,
+      SortOrder(keyInOutput, Ascending), parts)
+  }
+}
+
+/** One merge side, serializable up to the transient scan: the scan's
+  * raw output, the peeled filters over it, the side's logical output,
+  * and the key's ordinal in both.
+  */
+final case class MergeSideExec(relOutput: Seq[Attribute],
+    output: Seq[Attribute], filters: Seq[Expression],
+    relKeyOrdinal: Int, outKeyOrdinal: Int,
+    @transient scan: ExtJsonScan)
+
+private[plans] object MergeSideExec {
+  def apply(s: RangeMergeJoinStrategy.Side,
+      key: AttributeReference): MergeSideExec =
+    MergeSideExec(s.rel.output, s.output, s.filters,
+      s.rel.output.indexWhere(_.exprId == key.exprId),
+      s.output.indexWhere(_.exprId == key.exprId), s.scan)
+}
+
+/** Interstitial stream ops re-staged between chained merge steps —
+  * exactly the peelable set: a deterministic filter and an alias-free
+  * projection (both row-order- and claim-preserving).
+  */
+sealed trait StreamOp extends Serializable
+final case class StreamFilter(cond: Expression) extends StreamOp
+final case class StreamProject(out: Seq[Attribute]) extends StreamOp
+
+final case class MergeStepExec(joinType: JoinType,
+    residual: Option[Expression], preOps: Seq[StreamOp])
+
 object RangeMergeJoinExec {
 
-  /** The cross-side overlap sweep: both sides' strictly-disjoint,
-    * min-sorted groups coalesce into components separated by strict key
-    * gaps across BOTH sides; one-sided components drop (no inner rows —
-    * the plan-time prune). Returns (left groups, right groups) per
-    * component, each side's groups in key order.
+  /** The cross-side overlap sweep over N sides: every side's
+    * strictly-disjoint, min-sorted groups coalesce into components
+    * separated by strict key gaps across ALL sides. A component is
+    * DROPPED at plan time when it cannot emit: base side empty (no left
+    * rows), or a later side empty whose step is INNER/SEMI (its join
+    * annuls the stream); OUTER/ANTI steps keep their side-empty
+    * components — their left rows are exactly the match-less output.
+    * Returns per-component, per-side group lists (side order = input).
     */
-  private[plans] def align(dt: DataType, left: Seq[OrderedBandGroup],
-      right: Seq[OrderedBandGroup],
-      keepLeftOnly: Boolean = false): Seq[(Seq[OrderedBandGroup], Seq[OrderedBandGroup])] = {
-    val tagged: Seq[(Boolean, OrderedBandGroup)] =
-      (left.map(true -> _) ++ right.map(false -> _))
+  private[plans] def alignN(dt: DataType,
+      sides: Seq[Seq[OrderedBandGroup]],
+      keepWhenEmpty: Seq[Boolean]): Seq[Seq[Seq[OrderedBandGroup]]] = {
+    val n = sides.length
+    val tagged: Seq[(Int, OrderedBandGroup)] =
+      sides.zipWithIndex.flatMap { case (gs, i) => gs.map(i -> _) }
         .sortWith((x, y) =>
           FilterEval.compareInternal(dt, x._2.min, y._2.min) < 0)
-    val out = Seq.newBuilder[(Seq[OrderedBandGroup], Seq[OrderedBandGroup])]
-    var curL = List.empty[OrderedBandGroup]
-    var curR = List.empty[OrderedBandGroup]
+    val out = Seq.newBuilder[Seq[Seq[OrderedBandGroup]]]
+    val cur = Array.fill(n)(List.empty[OrderedBandGroup])
     var curMax: Any = null
     def flush(): Unit =
-      if (curL.nonEmpty && (curR.nonEmpty || keepLeftOnly))
-        out += ((curL.reverse, curR.reverse))
-    tagged.foreach { case (isLeft, g) =>
+      if (cur(0).nonEmpty &&
+        (1 until n).forall(i => keepWhenEmpty(i) || cur(i).nonEmpty))
+        out += cur.toIndexedSeq.map(_.reverse)
+    tagged.foreach { case (side, g) =>
       if (curMax != null && FilterEval.compareInternal(dt, g.min, curMax) > 0) {
         flush()
-        curL = Nil; curR = Nil; curMax = null
+        (0 until n).foreach(cur(_) = Nil)
+        curMax = null
       }
-      if (isLeft) curL ::= g else curR ::= g
+      cur(side) ::= g
       if (curMax == null ||
         FilterEval.compareInternal(dt, g.max, curMax) > 0) curMax = g.max
     }
     flush()
     out.result()
   }
+
+  /** Back-compat 2-way alignment (property tests exercise it directly):
+    * (left groups, right groups) per component.
+    */
+  private[plans] def align(dt: DataType, left: Seq[OrderedBandGroup],
+      right: Seq[OrderedBandGroup], keepLeftOnly: Boolean = false)
+      : Seq[(Seq[OrderedBandGroup], Seq[OrderedBandGroup])] =
+    alignN(dt, Seq(left, right), Seq(false, keepLeftOnly))
+      .map(p => (p(0), p(1)))
 }
 
-/** One aligned component = one partition; output rows stream in left-key
-  * ASC order (the merge order), claimed via `outputOrdering`; partitions
-  * own strictly-disjoint key ranges, claimed via `RangePartitioning` on
-  * the left key — both honest for the same reason the ordered scan's
-  * claims are (equal keys never straddle components).
+/** One aligned component = one partition; output rows stream in
+  * base-key ASC order (the merge order), claimed via `outputOrdering`;
+  * partitions own strictly-disjoint key ranges, claimed via
+  * `RangePartitioning` on that key — both honest for the same reason
+  * the ordered scan's claims are (equal keys never straddle
+  * components). A chained plan folds its steps inside the SAME
+  * partition: the inner merge's key-ordered stream feeds the next
+  * step's left input directly — no materialization between steps.
   */
-case class RangeMergeJoinExec(joinType: JoinType,
-    leftOutput: Seq[Attribute],
-    rightOutput: Seq[Attribute], keyType: DataType,
-    leftKeyOrdinal: Int, rightKeyOrdinal: Int, leftKeyOrder: SortOrder,
-    @transient leftScan: ExtJsonScan, @transient rightScan: ExtJsonScan,
-    @transient parts: Seq[(Seq[OrderedBandGroup], Seq[OrderedBandGroup])])
+case class RangeMergeJoinExec(keyType: DataType,
+    output: Seq[Attribute], sides: Seq[MergeSideExec],
+    steps: Seq[MergeStepExec], leftKeyOrder: SortOrder,
+    @transient parts: Seq[Seq[Seq[OrderedBandGroup]]])
     extends LeafExecNode {
-
-  override def output: Seq[Attribute] = joinType match {
-    case LeftSemi | LeftAnti => leftOutput
-    case LeftOuter => leftOutput ++ rightOutput.map(_.withNullability(true))
-    case _ => leftOutput ++ rightOutput
-  }
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
@@ -166,107 +360,183 @@ case class RangeMergeJoinExec(joinType: JoinType,
   override def outputOrdering: Seq[SortOrder] = Seq(leftKeyOrder)
 
   override def simpleStringWithNodeId(): String =
-    s"RangeMergeJoin($joinType, ${leftKeyOrder.child}, " +
-      s"partitions=${parts.length})"
+    s"RangeMergeJoin(${steps.map(_.joinType).mkString("+")}, " +
+      s"${leftKeyOrder.child}, partitions=${parts.length}" +
+      (if (steps.exists(_.residual.isDefined)) ", residual" else "") +
+      (if (sides.exists(_.filters.nonEmpty) ||
+        steps.exists(_.preOps.nonEmpty)) ", restaged" else "") + ")"
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lSchema = StructType(leftOutput.map(a =>
-      StructField(a.name, a.dataType, a.nullable)))
-    val rSchema = StructType(rightOutput.map(a =>
-      StructField(a.name, a.dataType, a.nullable)))
-    val outSchema = StructType(output.map(a =>
-      StructField(a.name, a.dataType, a.nullable)))
-    // per-side in-group merge comparators, bound by ordinal (no attrs —
-    // serializes cleanly to the executors)
-    def keyOrd(ordinal: Int): Ordering[InternalRow] =
-      new LazilyGeneratedOrdering(Seq(SortOrder(
-        BoundReference(ordinal, keyType, nullable = false), Ascending)))
-    new RangeMergeJoinRDD(session.sparkContext, joinType,
-      leftScan.createReaderFactory(), rightScan.createReaderFactory(),
-      parts, lSchema, rSchema, outSchema, keyType,
-      leftKeyOrdinal, rightKeyOrdinal,
-      keyOrd(leftKeyOrdinal), keyOrd(rightKeyOrdinal),
-      longMetric("numOutputRows"))
+    val factories = sides.map(_.scan.createReaderFactory())
+    new RangeMergeChainRDD(sparkContext, keyType,
+      sides.toArray, factories.toArray, steps.toArray,
+      parts, longMetric("numOutputRows"))
   }
 }
 
-private final class RangeJoinPartition(override val index: Int,
-    val left: Seq[OrderedBandGroup], val right: Seq[OrderedBandGroup])
-    extends Partition
+private final class ChainPartition(override val index: Int,
+    val groups: Seq[Seq[OrderedBandGroup]]) extends Partition
 
-/** The streamed inner merge join over one aligned component: each side's
-  * groups concatenate (disjoint, min-ordered) with in-group k-way merges
-  * where a side's own bands overlap — so both inputs arrive key-sorted
-  * and null-free (the sidecar proof), and the classic run-buffered merge
-  * applies. Only the CURRENT right-key run is materialized (copies —
-  * readers reuse their row objects); the left side streams row by row,
-  * never copied: the active left row is held only until its own reader
-  * advances.
+/** The streamed merge chain over one aligned component: each side's
+  * groups concatenate (disjoint, min-ordered) with in-group k-way
+  * merges where a side's own bands overlap — so every input arrives
+  * key-sorted and null-free (the sidecar proof) and the classic
+  * run-buffered merge applies, then the steps fold left-to-right
+  * inside the partition.
+  *
+  * ROW-BUFFER CONTRACT: every iterator in the chain (side streams,
+  * projections, and the join iterators' own output) promises only the
+  * standard Spark row-iterator contract — a returned row stays valid
+  * until the NEXT call on THAT iterator. The join iterators are safe
+  * under that contract on both inputs: the single held left row is
+  * always projected BEFORE its stream advances, right rows are copied
+  * into the run buffer before the right stream advances, and each
+  * iterator's output lives in its own projection buffer. No step
+  * requires fresh-allocating readers.
   */
-private final class RangeMergeJoinRDD(
-    sc: org.apache.spark.SparkContext, joinType: JoinType,
-    lFactory: PartitionReaderFactory, rFactory: PartitionReaderFactory,
-    @transient parts: Seq[(Seq[OrderedBandGroup], Seq[OrderedBandGroup])],
-    lSchema: StructType, rSchema: StructType, outSchema: StructType,
-    keyType: DataType, lKey: Int, rKey: Int,
-    lOrd: Ordering[InternalRow], rOrd: Ordering[InternalRow],
+private final class RangeMergeChainRDD(
+    sc: org.apache.spark.SparkContext, keyType: DataType,
+    sides: Array[MergeSideExec], factories: Array[PartitionReaderFactory],
+    steps: Array[MergeStepExec],
+    @transient parts: Seq[Seq[Seq[OrderedBandGroup]]],
     rowCount: SQLMetric)
     extends RDD[InternalRow](sc, Nil) {
 
   override protected def getPartitions: Array[Partition] =
-    parts.indices.map(i =>
-      new RangeJoinPartition(i, parts(i)._1, parts(i)._2)).toArray
+    parts.indices.map(i => new ChainPartition(i, parts(i))).toArray
 
-  override def compute(split: Partition,
-      context: TaskContext): Iterator[InternalRow] = {
-    val p = split.asInstanceOf[RangeJoinPartition]
-    val l = BandStreams.sideRows(lFactory, p.left, lSchema, lOrd, context)
-    val r = BandStreams.sideRows(rFactory, p.right, rSchema, rOrd, context)
-    val proj = UnsafeProjection.create(outSchema)
-    val base: Iterator[InternalRow] = joinType match {
-      case LeftSemi => new ExistenceIter(l, r, anti = false, proj)
-      case LeftAnti => new ExistenceIter(l, r, anti = true, proj)
-      case LeftOuter => new MatchIter(l, r, outer = true, proj)
-      case _ => new MatchIter(l, r, outer = false, proj)
-    }
-    base.map { row => rowCount += 1; row }
-  }
+  private def toStruct(attrs: Seq[Attribute]): StructType =
+    StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
 
   private def cmpKeys(a: Any, b: Any): Int =
     FilterEval.compareInternal(keyType, a, b)
 
-  /** INNER / LEFT OUTER: the run-buffered streamed merge. Only the
-    * CURRENT right-key run is materialized (copies — readers reuse
-    * their row objects); the left side streams row by row, never
-    * copied: the active left row is held only until its own reader
-    * advances. Outer additionally emits (left, all-null right) for
-    * match-less left rows — including every row of left-only aligned
-    * components, whose right stream is simply empty.
+  override def compute(split: Partition,
+      context: TaskContext): Iterator[InternalRow] = {
+    val p = split.asInstanceOf[ChainPartition]
+
+    def sideStream(i: Int): Iterator[InternalRow] = {
+      val s = sides(i)
+      val relSchema = toStruct(s.relOutput)
+      val ord: Ordering[InternalRow] = new LazilyGeneratedOrdering(Seq(
+        SortOrder(BoundReference(s.relKeyOrdinal, keyType,
+          nullable = false), Ascending)))
+      var it = BandStreams.sideRows(factories(i), p.groups(i), relSchema,
+        ord, context)
+      if (s.filters.nonEmpty) {
+        val pred = Predicate.create(s.filters.reduce(And), s.relOutput)
+        pred.initialize(split.index)
+        it = it.filter(pred.eval)
+      }
+      if (s.output.map(_.exprId) != s.relOutput.map(_.exprId)) {
+        val proj = UnsafeProjection.create(s.output.map { a =>
+          val ix = s.relOutput.indexWhere(_.exprId == a.exprId)
+          BoundReference(ix, a.dataType,
+            a.nullable || s.relOutput(ix).nullable): Expression
+        })
+        it = it.map(proj)
+      }
+      it
+    }
+
+    var cur = sideStream(0)
+    var attrs = sides(0).output
+    var keyOrd = sides(0).outKeyOrdinal
+    val keyExprId = attrs(keyOrd).exprId
+    steps.zipWithIndex.foreach { case (st, k) =>
+      st.preOps.foreach {
+        case StreamFilter(c) =>
+          val pred = Predicate.create(c, attrs)
+          pred.initialize(split.index)
+          cur = cur.filter(pred.eval)
+        case StreamProject(out) =>
+          val in = attrs
+          val proj = UnsafeProjection.create(out.map { a =>
+            val ix = in.indexWhere(_.exprId == a.exprId)
+            BoundReference(ix, a.dataType,
+              a.nullable || in(ix).nullable): Expression
+          })
+          cur = cur.map(proj)
+          attrs = out
+          keyOrd = attrs.indexWhere(_.exprId == keyExprId)
+      }
+      val right = sides(k + 1)
+      val rs = sideStream(k + 1)
+      val residual = st.residual.map { e =>
+        val pr = Predicate.create(e, attrs ++ right.output)
+        pr.initialize(split.index)
+        pr
+      }
+      st.joinType match {
+        case LeftSemi | LeftAnti =>
+          cur = new ExistenceIter(cur, rs, anti = st.joinType == LeftAnti,
+            keyOrd, right.outKeyOrdinal, residual,
+            UnsafeProjection.create(toStruct(attrs)))
+        case LeftOuter | Inner =>
+          val outer = st.joinType == LeftOuter
+          val outAttrs = attrs ++
+            (if (outer) right.output.map(_.withNullability(true))
+            else right.output)
+          cur = new MatchIter(cur, rs, outer, keyOrd, right.outKeyOrdinal,
+            right.output.length, residual,
+            UnsafeProjection.create(toStruct(outAttrs)))
+          attrs = outAttrs
+        case other => throw new IllegalStateException(
+          s"unplannable merge join type $other")
+      }
+    }
+    cur.map { row => rowCount += 1; row }
+  }
+
+  /** INNER / LEFT OUTER: the run-buffered streamed merge with optional
+    * per-pair residual. Only the CURRENT right-key run is materialized
+    * (copies — buffers must outlive their reader's advance); the left
+    * side streams row by row, never copied: the active left row is
+    * always consumed (projected) before its own stream advances.
+    * Residual semantics are the ON clause's: TRUE emits the pair,
+    * FALSE/NULL does not; OUTER emits (left, all-null right) for a
+    * left row none of whose key-equal pairs passed — including every
+    * row of left-only aligned components, whose right stream is empty.
     */
   private final class MatchIter(l: Iterator[InternalRow],
-      r: Iterator[InternalRow], outer: Boolean,
+      r: Iterator[InternalRow], outer: Boolean, lKey: Int, rKey: Int,
+      rWidth: Int, residual: Option[BasePredicate],
       proj: UnsafeProjection) extends Iterator[InternalRow] {
     private val joined = new JoinedRow
-    private val nullRight = new GenericInternalRow(rSchema.length)
+    private val nullRight = new GenericInternalRow(rWidth)
     private var lRow: InternalRow = if (l.hasNext) l.next() else null
     private var rRow: InternalRow = if (r.hasNext) r.next() else null
     private val run = new ArrayBuffer[InternalRow]
     private var runKey: Any = null
     private var runIdx = 0
     private var lActive = false
+    private var anyMatch = false
     private var emitNull = false
+    private var emitNullActive = false
+
+    private def pairOk(rr: InternalRow): Boolean =
+      residual.forall(_.eval(joined(lRow, rr)))
+
+    /** Advance the left row while a run is loaded: equal keys stay on
+      * the run (rescanning it), anything else releases it.
+      */
+    private def advanceWithinRun(): Unit = {
+      lRow = if (l.hasNext) l.next() else null
+      if (lRow != null && cmpKeys(lRow.get(lKey, keyType), runKey) == 0) {
+        runIdx = 0; anyMatch = false
+      } else { lActive = false; run.clear(); runKey = null }
+    }
 
     private def findNext(): Boolean = {
       while (true) {
-        if (emitNull) return true
+        if (emitNull || emitNullActive) return true
         if (lActive) {
+          while (runIdx < run.length && !pairOk(run(runIdx))) runIdx += 1
           if (runIdx < run.length) return true
-          // this left row exhausted the run: advance it, and stay on
-          // the run while equal keys keep coming
-          lRow = if (l.hasNext) l.next() else null
-          if (lRow != null && cmpKeys(lRow.get(lKey, keyType), runKey) == 0)
-            runIdx = 0
-          else { lActive = false; run.clear(); runKey = null }
+          // this left row exhausted the run; a residual may have failed
+          // every pair — outer still owes the null-extended row
+          if (outer && !anyMatch) { emitNullActive = true; return true }
+          advanceWithinRun()
         } else if (lRow == null) return false
         else if (rRow == null) {
           // right exhausted: every remaining left row is match-less
@@ -294,6 +564,7 @@ private final class RangeMergeJoinRDD(
             }
             runIdx = 0
             lActive = true
+            anyMatch = false
           }
         }
       }
@@ -305,37 +576,75 @@ private final class RangeMergeJoinRDD(
     override def next(): InternalRow = {
       if (!hasNext) throw new NoSuchElementException
       if (emitNull) {
-        joined(lRow, nullRight)
+        // project BEFORE advancing: the left stream may reuse its
+        // row buffer, and l.next() would overwrite the row `joined`
+        // still references
+        val out = proj(joined(lRow, nullRight))
         emitNull = false
         lRow = if (l.hasNext) l.next() else null
+        out
+      } else if (emitNullActive) {
+        val out = proj(joined(lRow, nullRight))
+        emitNullActive = false
+        advanceWithinRun()
+        out
       } else {
-        joined(lRow, run(runIdx))
+        anyMatch = true
+        val out = proj(joined(lRow, run(runIdx)))
         runIdx += 1
+        out
       }
-      proj(joined)
     }
   }
 
-  /** LEFT SEMI / LEFT ANTI: no run buffer at all — the right stream
-    * only ever advances to the first row at-or-past the current left
-    * key (duplicate left keys re-test the same right row), and the left
-    * row is emitted alone on existence (semi) or absence (anti) of a
-    * key match. Zero copies either side.
+  /** LEFT SEMI / LEFT ANTI. Residual-free: no buffering at all — the
+    * right stream only ever advances to the first row at-or-past the
+    * current left key (duplicate left keys re-test the same right row),
+    * and the left row is emitted alone on existence (semi) or absence
+    * (anti) of a key match. With a residual: the key-equal right run
+    * buffers (copies) and the verdict is "any pair passes" — duplicate
+    * left keys re-test the same buffered run.
     */
   private final class ExistenceIter(l: Iterator[InternalRow],
-      r: Iterator[InternalRow], anti: Boolean,
+      r: Iterator[InternalRow], anti: Boolean, lKey: Int, rKey: Int,
+      residual: Option[BasePredicate],
       proj: UnsafeProjection) extends Iterator[InternalRow] {
+    private val joined = new JoinedRow
     private var lRow: InternalRow = if (l.hasNext) l.next() else null
     private var rRow: InternalRow = if (r.hasNext) r.next() else null
+    private val run = new ArrayBuffer[InternalRow]
+    private var runKey: Any = null
     private var ready = false
+
+    private def matchedFor(lk: Any): Boolean = residual match {
+      case None =>
+        while (rRow != null && cmpKeys(rRow.get(rKey, keyType), lk) < 0)
+          rRow = if (r.hasNext) r.next() else null
+        rRow != null && cmpKeys(rRow.get(rKey, keyType), lk) == 0
+      case Some(pred) =>
+        if (runKey == null || cmpKeys(runKey, lk) < 0) {
+          run.clear(); runKey = null
+          while (rRow != null && cmpKeys(rRow.get(rKey, keyType), lk) < 0)
+            rRow = if (r.hasNext) r.next() else null
+          if (rRow != null && cmpKeys(rRow.get(rKey, keyType), lk) == 0) {
+            val first = rRow.copy()
+            run += first
+            runKey = first.get(rKey, keyType)
+            rRow = if (r.hasNext) r.next() else null
+            while (rRow != null &&
+              cmpKeys(rRow.get(rKey, keyType), runKey) == 0) {
+              run += rRow.copy()
+              rRow = if (r.hasNext) r.next() else null
+            }
+          }
+        }
+        runKey != null && cmpKeys(runKey, lk) == 0 &&
+          run.exists(rr => pred.eval(joined(lRow, rr)))
+    }
 
     private def findNext(): Boolean = {
       while (!ready && lRow != null) {
-        val lk = lRow.get(lKey, keyType)
-        while (rRow != null && cmpKeys(rRow.get(rKey, keyType), lk) < 0)
-          rRow = if (r.hasNext) r.next() else null
-        val matched = rRow != null &&
-          cmpKeys(rRow.get(rKey, keyType), lk) == 0
+        val matched = matchedFor(lRow.get(lKey, keyType))
         if (matched != anti) ready = true
         else lRow = if (l.hasNext) l.next() else null
       }

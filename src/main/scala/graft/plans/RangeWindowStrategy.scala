@@ -186,16 +186,23 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     case Alias(we @ WindowExpression(fn, spec), _)
         if spec.partitionSpec.isEmpty &&
           fn.references.subsetOf(childOut) && fn.deterministic =>
-      val frame = spec.frameSpecification match {
-        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
-          Some(true)
-        case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) =>
-          Some(false)
-        case _ => None
-      }
+      // Right(rows?) = cumulative (UNBOUNDED PRECEDING..CURRENT ROW;
+      // true = ROWS, false = RANGE); Left(n) = the bounded sliding
+      // frame ROWS BETWEEN n PRECEDING AND CURRENT ROW (the optimizer
+      // folds `n PRECEDING` to a negative literal by planning time)
+      val frame: Option[Either[Int, Boolean]] =
+        spec.frameSpecification match {
+          case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+            Some(Right(true))
+          case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) =>
+            Some(Right(false))
+          case SpecifiedWindowFrame(RowFrame, Literal(lo: Int, _), CurrentRow)
+              if lo < 0 => Some(Left(-lo))
+          case _ => None
+        }
       (fn, frame) match {
-        case (_: RowNumber, Some(true)) => Some(RunRowNumber())
-        case (_: Rank, Some(true)) => Some(RunRank())
+        case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
+        case (_: Rank, Some(Right(true))) => Some(RunRank())
         // the size-based rank family divides by the GLOBAL row count,
         // which the exec folds from the per-band totals (free from the
         // sidecar on the metadata path); their frames are the
@@ -225,17 +232,40 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                 case _ => false
               }) =>
           Some(RunLag(lg.input))
-        case (ae: AggregateExpression, Some(rows))
+        // lead(x, 1): the NEXT row's value — the one function whose
+        // cross-band carry flows BACKWARD (the last row of band i reads
+        // band i+1's first row), so its per-band total is the band's
+        // FIRST input value and the exec wires it as a SUFFIX
+        case (ld: org.apache.spark.sql.catalyst.expressions.Lead, _)
+            if !ld.ignoreNulls && orderable(ld.input.dataType) &&
+              (ld.offset match {
+                case Literal(1, _) => true
+                case _ => false
+              }) &&
+              (ld.default match {
+                case Literal(null, _) => true
+                case _ => false
+              }) =>
+          Some(RunLead(ld.input))
+        case (ae: AggregateExpression, Some(Right(rows)))
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case c: Count if c.children.lengthCompare(1) == 0 =>
               Some(RunCount(c.children.head, rows))
             case s: Sum => s.dataType match {
-              case LongType => Some(RunSumLong(s.child, rows))
+              // overflow posture follows the SESSION's ANSI setting, so an
+              // accepted plan behaves exactly as WindowExec's Sum would:
+              // ANSI throws, default mode wraps longs / nulls decimals
+              case LongType => Some(RunSumLong(s.child, rows,
+                session.sessionState.conf.ansiEnabled))
               case DoubleType => Some(RunSumDouble(s.child, rows))
-              case d: DecimalType => Some(RunSumDecimal(s.child, d, rows))
+              case d: DecimalType => Some(RunSumDecimal(s.child, d, rows,
+                session.sessionState.conf.ansiEnabled))
               case _ => None
             }
+            case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+                if a.dataType == DoubleType =>
+              Some(RunAvgDouble(a.child, rows))
             case m: Min if orderable(m.dataType) =>
               Some(RunMinMax(m.child, m.dataType, isMin = true, rows))
             case m: Max if orderable(m.dataType) =>
@@ -243,6 +273,39 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
                 if l.ignoreNulls && orderable(l.dataType) =>
               Some(RunLastNonNull(l.child, rows))
+            case _ => None
+          }
+        // the bounded sliding frame: the per-band prefix is the LAST n
+        // input values of the earlier bands (bounded, order-sensitive —
+        // the lag(1) carry generalized), and each row's value folds its
+        // ≤ n+1 buffered frame values in stream order — the same
+        // re-evaluation Spark's own SlidingWindowFunctionFrame does,
+        // so double folds are bit-identical
+        case (ae: AggregateExpression, Some(Left(n)))
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          import RunningWindow.SlideOp
+          ae.aggregateFunction match {
+            case c: Count if c.children.lengthCompare(1) == 0 =>
+              Some(RunSliding(c.children.head, n, SlideOp.Count))
+            case s: Sum => s.dataType match {
+              case LongType => Some(RunSliding(s.child, n,
+                SlideOp.SumLong(session.sessionState.conf.ansiEnabled)))
+              case DoubleType =>
+                Some(RunSliding(s.child, n, SlideOp.SumDouble))
+              case d: DecimalType => Some(RunSliding(s.child, n,
+                SlideOp.SumDecimal(d,
+                  session.sessionState.conf.ansiEnabled)))
+              case _ => None
+            }
+            case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+                if a.dataType == DoubleType =>
+              Some(RunSliding(a.child, n, SlideOp.AvgDouble))
+            case m: Min if orderable(m.dataType) =>
+              Some(RunSliding(m.child, n, SlideOp.MinMax(m.dataType,
+                isMin = true)))
+            case m: Max if orderable(m.dataType) =>
+              Some(RunSliding(m.child, n, SlideOp.MinMax(m.dataType,
+                isMin = false)))
             case _ => None
           }
         case _ => None
@@ -298,21 +361,31 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               colTotals(files, n).map(cs =>
                 java.lang.Long.valueOf(cs.map(c => c.rows - c.nulls).sum)))
           }
-          case RunSumLong(input, _) => scanCol(input) match {
+          case RunSumLong(input, _, ansi) => scanCol(input) match {
             case Some(n) =>
               colTotals(files, n).flatMap { cs =>
                 if (cs.exists(_.sum.isEmpty)) None
                 else if (cs.forall(c => c.rows == c.nulls)) Some(null)
-                else try {
-                  Some(java.lang.Long.valueOf(
-                    cs.flatMap(_.sum)
-                      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
-                      .longValueExact()))
-                } catch { case _: ArithmeticException => None }
+                else {
+                  val exact = cs.flatMap(_.sum)
+                    .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+                  if (ansi) {
+                    // ANSI: an overflowing band total would have thrown
+                    // in the data pass — refuse the metadata shortcut
+                    // rather than silently differ (computed pass throws)
+                    try Some(java.lang.Long.valueOf(exact.longValueExact()))
+                    catch { case _: ArithmeticException => None }
+                  } else
+                    // default mode WRAPS: low 64 bits of the exact sum —
+                    // identical to folding the band's values with
+                    // wrap-around addition (associative mod 2^64)
+                    Some(java.lang.Long.valueOf(
+                      exact.toBigInteger.longValue()))
+                }
               }
             case _ => None
           }
-          case RunSumDecimal(input, _, _) => scanCol(input) match {
+          case RunSumDecimal(input, _, _, _) => scanCol(input) match {
             case Some(n) =>
               colTotals(files, n).flatMap { cs =>
                 if (cs.exists(_.sum.isEmpty)) None
@@ -323,8 +396,11 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case _ => None
           }
           case _: RunSumDouble => None // doubles carry no exact sidecar sum
+          case _: RunAvgDouble => None // its double sum prefix likewise
           case _: RunLastNonNull => None // order-dependent: no sidecar form
           case _: RunLag => None // order-dependent: no sidecar form
+          case _: RunLead => None // order-dependent: no sidecar form
+          case _: RunSliding => None // order-dependent: no sidecar form
           case _: RunDenseRank => None // no distinct counts in the sidecar
           case RunMinMax(input, dt, isMin, _) => scanCol(input) match {
             case Some(n) =>
@@ -433,25 +509,32 @@ private[plans] object RunningWindow {
     }
   }
 
-  final case class RunSumLong(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
+  /** `ansi = true`: overflow throws (Math.addExact — ANSI Sum's
+    * posture). `ansi = false`: overflow WRAPS silently, matching
+    * WindowExec's default-mode running Sum — and wrap-around addition is
+    * associative mod 2^64, so the per-band prefix decomposition stays
+    * exact in either mode.
+    */
+  final case class RunSumLong(input: Expression, rowsFrame: Boolean,
+      ansi: Boolean) extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       var s = 0L
       var any = false
+      private def add(v: Long): Unit =
+        s = if (ansi) Math.addExact(s, v) else s + v
       override def update(row: InternalRow): Unit = {
         val v = input.eval(row)
         if (v != null) {
-          // addExact: the ANSI posture Sum itself has on overflow
-          s = Math.addExact(s, v.asInstanceOf[Number].longValue())
+          add(v.asInstanceOf[Number].longValue())
           any = true
         }
       }
       override def total(): Any =
         if (any) java.lang.Long.valueOf(s) else null
       override def mergeTotal(t: Any): Unit = if (t != null) {
-        s = Math.addExact(s, t.asInstanceOf[java.lang.Long].longValue())
+        add(t.asInstanceOf[java.lang.Long].longValue())
         any = true
       }
       override def value(): Any = if (any) s else null
@@ -484,8 +567,14 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** The intermediate fold is an unbounded BigDecimal — exact regardless
+    * of mode; only the RENDER checks the result precision, which is
+    * exactly CheckOverflow's placement in Spark's own Sum: `ansi = true`
+    * throws on overflow, `ansi = false` returns null for the overflowing
+    * rows (and values back in range render normally again).
+    */
   final case class RunSumDecimal(input: Expression, resultType: DecimalType,
-      rowsFrame: Boolean) extends RunningFunc {
+      rowsFrame: Boolean, ansi: Boolean) extends RunningFunc {
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(input = BindReferences.bindReference(input, in))
     override def newAcc(grand: Any): RunAcc = new RunAcc {
@@ -506,10 +595,10 @@ private[plans] object RunningWindow {
         if (s == null) null
         else {
           val d = Decimal(s)
-          if (!d.changePrecision(resultType.precision, resultType.scale))
-            throw new ArithmeticException(
-              s"running sum overflows ${resultType.simpleString}")
-          d
+          if (d.changePrecision(resultType.precision, resultType.scale)) d
+          else if (ansi) throw new ArithmeticException(
+            s"running sum overflows ${resultType.simpleString}")
+          else null
         }
     }
   }
@@ -608,6 +697,215 @@ private[plans] object RunningWindow {
         if (rn <= cut) ((rn - 1) / (base + 1)).toInt + 1
         else rem + ((rn - 1 - cut) / math.max(1L, base)).toInt + 1
       }
+    }
+  }
+
+  /** Running `avg(x)` — sum/count over the cumulative frame, rendered
+    * as their IEEE quotient exactly like Spark's Average (whose sum
+    * buffer is a DOUBLE for every non-decimal input, so the same
+    * reassociation caveat as [[RunSumDouble]] applies to the sum; the
+    * count is exact). No metadata form — the sidecar's exact integer
+    * sums cannot reproduce the double fold.
+    */
+  final case class RunAvgDouble(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      var s = 0.0
+      var n = 0L
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) { s += v.asInstanceOf[Number].doubleValue(); n += 1 }
+      }
+      override def total(): Any =
+        Array[Any](java.lang.Double.valueOf(s), java.lang.Long.valueOf(n))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        s += a(0).asInstanceOf[java.lang.Double].doubleValue()
+        n += a(1).asInstanceOf[java.lang.Long].longValue()
+      }
+      override def value(): Any = if (n == 0L) null else s / n
+    }
+  }
+
+  /** `lead(x, 1)` — the NEXT row's value in window order (null at the
+    * very last row): lag's mirror. Its accumulator serves only the
+    * totals pass (the band's FIRST input value, order-sensitive); the
+    * exec evaluates the function itself with a one-row lookahead over
+    * the buffered stream and wires each band's last row to the next
+    * band's first value as a SUFFIX — the only backward-flowing carry
+    * in the family. Deterministic under the same unique-order-key
+    * caveat as lag.
+    */
+  final case class RunLead(input: Expression) extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      var first: Any = null
+      var sawRows = false
+      private def retain(v: Any): Any = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      override def update(row: InternalRow): Unit =
+        if (!sawRows) { first = retain(input.eval(row)); sawRows = true }
+      override def total(): Any =
+        Array[Any](first, java.lang.Boolean.valueOf(sawRows))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        // driver prefix folds run in band order: the FIRST band's first
+        // value wins (later bands only fill an empty state)
+        val a = t.asInstanceOf[Array[Any]]
+        if (!sawRows && a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
+          first = a(0); sawRows = true
+        }
+      }
+      override def value(): Any = first
+    }
+  }
+
+  /** The bounded sliding aggregate ops — each folds the ≤ n+1 buffered
+    * frame values IN STREAM ORDER, the same per-frame re-evaluation
+    * Spark's SlidingWindowFunctionFrame performs, so double sums are
+    * bit-identical to WindowExec's.
+    */
+  sealed trait SlideOp extends Serializable {
+    def fold(values: Iterator[Any]): Any
+  }
+  object SlideOp {
+    case object Count extends SlideOp {
+      override def fold(values: Iterator[Any]): Any =
+        values.count(_ != null).toLong
+    }
+    final case class SumLong(ansi: Boolean) extends SlideOp {
+      override def fold(values: Iterator[Any]): Any = {
+        var s = 0L; var any = false
+        values.foreach { v =>
+          if (v != null) {
+            val x = v.asInstanceOf[Number].longValue()
+            s = if (ansi) Math.addExact(s, x) else s + x
+            any = true
+          }
+        }
+        if (any) s else null
+      }
+    }
+    case object SumDouble extends SlideOp {
+      override def fold(values: Iterator[Any]): Any = {
+        var s = 0.0; var any = false
+        values.foreach { v =>
+          if (v != null) { s += v.asInstanceOf[Number].doubleValue(); any = true }
+        }
+        if (any) s else null
+      }
+    }
+    final case class SumDecimal(resultType: DecimalType, ansi: Boolean)
+        extends SlideOp {
+      override def fold(values: Iterator[Any]): Any = {
+        var s: java.math.BigDecimal = null
+        values.foreach { v =>
+          if (v != null) {
+            val d = v.asInstanceOf[Decimal].toJavaBigDecimal
+            s = if (s == null) d else s.add(d)
+          }
+        }
+        if (s == null) null
+        else {
+          val d = Decimal(s)
+          if (d.changePrecision(resultType.precision, resultType.scale)) d
+          else if (ansi) throw new ArithmeticException(
+            s"sliding sum overflows ${resultType.simpleString}")
+          else null
+        }
+      }
+    }
+    case object AvgDouble extends SlideOp {
+      override def fold(values: Iterator[Any]): Any = {
+        var s = 0.0; var n = 0L
+        values.foreach { v =>
+          if (v != null) { s += v.asInstanceOf[Number].doubleValue(); n += 1 }
+        }
+        if (n == 0L) null else s / n
+      }
+    }
+    final case class MinMax(dt: DataType, isMin: Boolean) extends SlideOp {
+      @transient private lazy val ord = TypeUtils.getInterpretedOrdering(dt)
+      override def fold(values: Iterator[Any]): Any = {
+        var cur: Any = null
+        values.foreach { v =>
+          if (v != null &&
+            (cur == null || (ord.compare(v, cur) < 0) == isMin)) cur = v
+        }
+        cur
+      }
+    }
+  }
+
+  /** `agg(x) OVER (ORDER BY k ROWS BETWEEN n PRECEDING AND CURRENT
+    * ROW)` — the bounded sliding frame: the accumulator keeps a ring of
+    * the last ≤ n+1 evaluated input values (retained — UTF8Strings
+    * cloned), each row's value folds the ring in stream order, and the
+    * per-band TOTAL is the band's last ≤ n values — the bounded,
+    * order-sensitive carry the lag(1) prefix generalizes to. Prefix
+    * merge is `(earlier ++ later).takeRight(n)`, associative by
+    * construction. O(n) per row — exactly the re-evaluation Spark's own
+    * sliding frame pays, minus its single-partition collapse.
+    */
+  final case class RunSliding(input: Expression, n: Int, op: SlideOp)
+      extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ring = new java.util.ArrayDeque[AnyRef](n + 1)
+      private val NullToken: AnyRef = RunSliding.NullToken
+      private def retain(v: Any): Any = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      private def push(v: Any, cap: Int): Unit = {
+        ring.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
+        while (ring.size > cap) ring.removeFirst()
+      }
+      override def update(row: InternalRow): Unit =
+        push(retain(input.eval(row)), n + 1)
+      override def total(): Any = {
+        val vals = ring.toArray
+        val keep = vals.drop(math.max(0, vals.length - n))
+        val out = new Array[Any](keep.length)
+        var i = 0
+        while (i < keep.length) {
+          out(i) = if (keep(i) eq NullToken) null else keep(i)
+          i += 1
+        }
+        out
+      }
+      override def mergeTotal(t: Any): Unit = if (t != null)
+        // band-order fold: later values append after earlier ones, the
+        // ring trims to the last n (a prefix can never exceed n values)
+        t.asInstanceOf[Array[Any]].foreach(push(_, n))
+      override def value(): Any = {
+        val it = ring.iterator()
+        op.fold(new Iterator[Any] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): Any = {
+            val v = it.next()
+            if (v eq NullToken) null else v
+          }
+        })
+      }
+    }
+  }
+
+  object RunSliding {
+    /** ArrayDeque rejects nulls; legitimate null inputs ride as this
+      * sentinel and unwrap at fold/snapshot time.
+      */
+    private val NullToken: AnyRef = new java.io.Serializable {
+      override def toString: String = "<null>"
     }
   }
 
@@ -776,6 +1074,24 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     // ...and the GRAND fold (every partition merged) — the global N the
     // size-based rank family divides by
     val grands: Array[Any] = scanAccs.map(_.total()).toArray
+    // lead's carry flows BACKWARD: partition i's last row reads the
+    // FIRST input value of the next non-empty partition — wired as a
+    // per-partition suffix (lead blocks the metadata path, so `totals`
+    // here are always the computed ones holding each band's first value)
+    val leadIdxs: Array[Int] = bound.zipWithIndex
+      .collect { case (_: RunningWindow.RunLead, j) => j }.toArray
+    val leadSuffixes: Array[Array[Any]] =
+      if (leadIdxs.isEmpty) null
+      else Array.tabulate(totals.length) { i =>
+        leadIdxs.map { j =>
+          totals.drop(i + 1).iterator
+            .map(_(j).asInstanceOf[Array[Any]])
+            .collectFirst {
+              case a if a(1).asInstanceOf[java.lang.Boolean].booleanValue() =>
+                a(0)
+            }.orNull
+        }
+      }
     val ordering = new LazilyGeneratedOrdering(orderSpec, childOut)
     val schema = output
     val inMemT = conf.windowExecBufferInMemoryThreshold
@@ -790,7 +1106,14 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     rdd.mapPartitionsWithIndex { (i, iter) =>
       val accs = bound.zip(grands).map { case (f, g) => f.newAcc(g) }
       accs.zip(offsets(i)).foreach { case (a, o) => a.mergeTotal(o) }
-      val perRow = bound.zipWithIndex.filter(_._1.rowsFrame).map(_._2)
+      // lead is rows-framed but evaluated by LOOKAHEAD, not through its
+      // accumulator — exclude it from the per-row update set
+      val perRow = bound.zipWithIndex.filter(f => f._1.rowsFrame &&
+        !f._1.isInstanceOf[RunningWindow.RunLead]).map(_._2)
+      val leadInputs: Array[Expression] = leadIdxs.map(j =>
+        bound(j).asInstanceOf[RunningWindow.RunLead].input)
+      val leadSuffix: Array[Any] =
+        if (leadIdxs.isEmpty) null else leadSuffixes(i)
       val atStart = bound.zipWithIndex
         .filter(f => !f._1.rowsFrame && f._1.groupStart).map(_._2)
       val atEnd = bound.zipWithIndex
@@ -824,12 +1147,29 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
             } else { pending = r.copy(); open = false }
           }
           atEnd.foreach(j => groupVals(j) = accs(j).value())
+          // lead's one-row lookahead: a second iterator over the same
+          // buffer, one position ahead; the group's last row reads
+          // `pending` (the next group's first row, already copied) or,
+          // at partition end, the next band's first value (the suffix)
+          val ahead =
+            if (leadIdxs.isEmpty) null else buf.generateIterator(1)
           emit = buf.generateIterator().map { row =>
             var k = 0
             while (k < bound.length) { winRow(k) = groupVals(k); k += 1 }
             perRow.foreach { j =>
               accs(j).update(row)
               winRow(j) = accs(j).value()
+            }
+            if (ahead != null) {
+              val nxt: InternalRow =
+                if (ahead.hasNext) ahead.next() else pending
+              var p = 0
+              while (p < leadIdxs.length) {
+                winRow(leadIdxs(p)) =
+                  if (nxt != null) leadInputs(p).eval(nxt)
+                  else leadSuffix(p)
+                p += 1
+              }
             }
             rows += 1
             proj(joined(row, winRow))

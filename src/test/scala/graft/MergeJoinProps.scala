@@ -127,6 +127,100 @@ class MergeJoinProps extends AnyFunSuite {
     }
   }
 
+  test("residual conjuncts, filtered sides, and chains match Spark's own join plans") {
+    val xSchemas = Map(
+      "ln" -> StructType(Seq(StructField("k", LongType),
+        StructField("ln", LongType))),
+      "rn" -> StructType(Seq(StructField("k", LongType),
+        StructField("rn", LongType))),
+      "cn" -> StructType(Seq(StructField("k", LongType),
+        StructField("cn", LongType))))
+    def genNum(rnd: scala.util.Random, tag: String, keyPool: Int,
+        maxFiles: Int, ncol: String): String = {
+      val root = Files.createTempDirectory(s"graft_mjx$tag").toString
+      val nFiles = 1 + rnd.nextInt(maxFiles)
+      (0 until nFiles).foreach { f =>
+        val nRows = 1 + rnd.nextInt(12)
+        val keys = Seq.fill(nRows)(rnd.nextInt(keyPool).toLong).sorted
+        Files.write(Paths.get(root, f"f$f%02d.jsonl"),
+          (keys.map(k => s"""{"k": $k, "$ncol": ${rnd.nextInt(20)}}""")
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+      ZoneMaps.build(spark, root, xSchemas(ncol), Seq("k"))
+      root
+    }
+    for (seed <- 21 to 26) {
+      val rnd = new scala.util.Random(seed)
+      val pool = 4 + rnd.nextInt(16)
+      val lDir = genNum(rnd, s"l$seed", pool, 4, "ln")
+      val rDir = genNum(rnd, s"r$seed", pool, 3, "rn")
+      val cDir = genNum(rnd, s"c$seed", pool, 2, "cn")
+      def read(ncol: String, dir: String, zone: Boolean): DataFrame =
+        ExtendedJson.read(spark, xSchemas(ncol), dir,
+          if (zone) Map("zoneMaps" -> "true") else Map.empty)
+      def diff(what: String, merged: Boolean,
+          q: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
+        val banded = q(read("ln", lDir, true), read("rn", rDir, true),
+          read("cn", cDir, true))
+        val plain = q(read("ln", lDir, false), read("rn", rDir, false),
+          read("cn", cDir, false))
+        spark.catalog.clearCache()
+        val b = banded.collect().map(_.toSeq.toList).toSeq
+        val p = plain.collect().map(_.toSeq.toList).toSeq
+        assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
+          p.groupBy(identity).view.mapValues(_.size).toMap,
+          s"seed=$seed $what: multiset banded ${b.length} vs ${p.length}")
+        val bn = nodes(banded)
+        assert(bn.exists(_.isInstanceOf[RangeMergeJoinExec]) == merged,
+          s"seed=$seed $what: " + bn.map(_.nodeName).mkString(", "))
+        if (merged)
+          assert(!bn.exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"seed=$seed $what: zero exchange")
+        assert(!nodes(plain).exists(_.isInstanceOf[RangeMergeJoinExec]),
+          s"seed=$seed $what: control must use Spark's own join")
+      }
+      // cross-side residual over every join type (the residual column
+      // is random per row, so TRUE/FALSE/"no pair passes" all occur)
+      Seq("inner", "left_outer", "left_semi", "left_anti").foreach { jt =>
+        diff(s"$jt+residual", merged = true, (l, r, _) =>
+          l.join(r, l("k") === r("k") && l("ln") < r("rn"), jt))
+      }
+      // residual filter on the right side (arithmetic — not pushable)
+      diff("filtered-right outer", merged = true, (l, r, _) =>
+        l.join(r.filter(col("rn") % 3 === 0), l("k") === r("k"),
+          "left_outer"))
+      // left-deep chains on the shared key: enrich + decontaminate,
+      // and a 3-way inner with a residual at the second hop
+      diff("chain inner+anti", merged = true, (l, r, c) =>
+        l.join(r, l("k") === r("k"))
+          .join(c, l("k") === c("k"), "left_anti"))
+      diff("chain inner+inner residual", merged = true, (l, r, c) =>
+        l.join(r, l("k") === r("k"))
+          .join(c, l("k") === c("k") && r("rn") =!= c("cn")))
+      // a second hop keyed on an UNPROVABLE attribute must not chain:
+      // the inner join still merges (partial acceleration), the outer
+      // hop pays Spark's ordinary join — answers still match
+      locally {
+        val q = (l: DataFrame, r: DataFrame, c: DataFrame) =>
+          l.join(r, l("k") === r("k")).join(c, r("rn") === c("cn"))
+        val banded = q(read("ln", lDir, true), read("rn", rDir, true),
+          read("cn", cDir, true))
+        val plain = q(read("ln", lDir, false), read("rn", rDir, false),
+          read("cn", cDir, false))
+        spark.catalog.clearCache()
+        val b = banded.collect().map(_.toSeq.toList).toSeq
+        val p = plain.collect().map(_.toSeq.toList).toSeq
+        assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
+          p.groupBy(identity).view.mapValues(_.size).toMap,
+          s"seed=$seed wrong-key chain: multiset")
+        val execs = nodes(banded)
+          .collect { case j: RangeMergeJoinExec => j }
+        assert(execs.nonEmpty && execs.forall(_.steps.length == 1),
+          s"seed=$seed: the unprovable hop must NOT fold into the chain")
+      }
+    }
+  }
+
   test("fully disjoint sides: inner/semi answer empty from ZERO partitions, anti/outer keep every left row") {
     val rnd = new scala.util.Random(99)
     val (lDir, lRows) = genSide(rnd, "dl", 10, 3, "lv")

@@ -142,6 +142,70 @@ class WindowProps extends AnyFunSuite {
     }
   }
 
+  test("running-sum overflow follows the session's ANSI setting, matching WindowExec") {
+    val w = Window.orderBy(col("k"))
+    val big = Long.MaxValue / 2 + 100
+    def land(zc: Seq[String]): String = {
+      val root = Files.createTempDirectory("graft_wprops_ovf").toString
+      Files.write(Paths.get(root, "f0.jsonl"),
+        s"""{"k": 1, "v": $big}\n{"k": 2, "v": $big}\n""".getBytes("UTF-8"))
+      Files.write(Paths.get(root, "f1.jsonl"),
+        s"""{"k": 3, "v": $big}\n{"k": 4, "v": 7}\n""".getBytes("UTF-8"))
+      ZoneMaps.build(spark, root, schema, zc)
+      root
+    }
+    val root = land(Seq("k"))
+    val root2 = land(Seq("k", "v"))
+    // ANSI mode (Spark 4's default): overflow THROWS, exactly as
+    // WindowExec's Sum would — never a silently wrapped value
+    intercept[Exception] {
+      ExtendedJson.read(spark, schema, root, Map("zoneMaps" -> "true"))
+        .select(col("k"), sum(col("v")).over(w).as("sv")).collect()
+    }
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // non-ANSI: long overflow WRAPS — computed-prefix path (v not
+      // indexed: the accumulators fold the wrap themselves)…
+      sets(_.select(col("k"), sum(col("v")).over(w).as("sv")), root)
+      // …and the METADATA-prefix path (v indexed: band totals come from
+      // the sidecar's exact sums, wrapped to the long the wrapping fold
+      // would have produced)
+      val banded = ExtendedJson.read(spark, schema, root2,
+        Map("zoneMaps" -> "true"))
+        .select(col("k"), sum(col("v")).over(w).as("sv"))
+      assert(banded.queryExecution.executedPlan.toString
+        .contains("prefix=metadata"),
+        "indexed v must plan the metadata prefix")
+      sets(_.select(col("k"), sum(col("v")).over(w).as("sv")), root2)
+      // decimal overflow returns NULL in non-ANSI (CheckOverflow's
+      // render), and values back in range render normally
+      val dSchema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("d", org.apache.spark.sql.types.DecimalType(38, 0))))
+      val root3 = Files.createTempDirectory("graft_wprops_ovf3").toString
+      val bigDec = "9" + "0" * 37 // 9e37; two of them overflow decimal(38,0)
+      Files.write(Paths.get(root3, "f0.jsonl"),
+        s"""{"k": 1, "d": $bigDec}\n{"k": 2, "d": $bigDec}\n"""
+          .getBytes("UTF-8"))
+      Files.write(Paths.get(root3, "f1.jsonl"),
+        s"""{"k": 3, "d": -$bigDec}\n{"k": 4, "d": 5}\n""".getBytes("UTF-8"))
+      ZoneMaps.build(spark, root3, dSchema, Seq("k"))
+      def q(src: DataFrame): DataFrame =
+        src.select(col("k"), sum(col("d")).over(w).as("sd"))
+      val b3 = q(ExtendedJson.read(spark, dSchema, root3,
+        Map("zoneMaps" -> "true")))
+      val p3 = q(ExtendedJson.read(spark, dSchema, root3, Map.empty))
+      assert(TestPlans.executedNodes(b3)
+        .exists(_.isInstanceOf[BandRunningWindowExec]))
+      val got = b3.collect().map(r => (r.getLong(0), r.get(1))).toMap
+      val want = p3.collect().map(r => (r.getLong(0), r.get(1))).toMap
+      assert(got == want, s"decimal overflow drift: $got vs $want")
+      assert(got(2L) == null, "overflowing running decimal must be null")
+      assert(got(4L) != null, "back-in-range running decimal must render")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("unique-key sweep: row_number, ROWS sum, and the carry match WindowExec") {
     (5 to 8).foreach { seed =>
       val rnd = new scala.util.Random(seed)
@@ -156,5 +220,58 @@ class WindowProps extends AnyFunSuite {
         lag(col("v"), 1).over(w).as("pv"),
         ntile(5).over(w).as("nt")), root)
     }
+  }
+
+  test("sliding frames, running avg, and lead match WindowExec") {
+    (13 to 16).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = gen(rnd, keyPool = 40 + rnd.nextInt(40),
+        maxFiles = 4, uniqueKeys = true)
+      val w = Window.orderBy(col("k"))
+      // sliding widths beyond, at, and below typical band sizes — the
+      // prefix must stitch bands for ANY n, including n larger than a
+      // whole band (the carry then spans several bands)
+      Seq(1, 3, 17).foreach { n =>
+        val ws = w.rowsBetween(-n, Window.currentRow)
+        sets(_.select(col("k"), col("v"),
+          sum(col("v")).over(ws).as("ssum"),
+          count(col("v")).over(ws).as("scnt"),
+          min(col("v")).over(ws).as("smin"),
+          max(col("v")).over(ws).as("smax"),
+          avg(col("v")).over(ws).as("savg")), root)
+      }
+      // running avg (cumulative) + lead across band boundaries; null-v
+      // rows exercise lead's null-vs-missing distinction
+      sets(_.select(col("k"), col("v"),
+        avg(col("v")).over(w).as("ravg"),
+        lead(col("v"), 1).over(w).as("nv"),
+        lag(col("v"), 1).over(w).as("pv")), root)
+      // DESC: lead's suffix flows along the reversed partition order
+      val wd = Window.orderBy(col("k").desc)
+      sets(_.select(col("k"), col("v"),
+        lead(col("v"), 1).over(wd).as("nv"),
+        sum(col("v")).over(wd.rowsBetween(-2, Window.currentRow))
+          .as("ssum")), root)
+    }
+    // refusal pins: shapes the strategy must NOT claim fall through to
+    // Spark's own window (plan shows WindowExec, not the band exec)
+    val rnd = new scala.util.Random(17)
+    val root = gen(rnd, keyPool = 50, maxFiles = 3, uniqueKeys = true)
+    val w = Window.orderBy(col("k"))
+    def fallsThrough(c: org.apache.spark.sql.Column): Unit = {
+      val df = ExtendedJson.read(spark, schema, root,
+        Map("zoneMaps" -> "true")).select(col("k"), c.as("x"))
+      val ns = TestPlans.executedNodes(df)
+      assert(ns.exists(_.isInstanceOf[WindowExec]) &&
+        !ns.exists(_.isInstanceOf[BandRunningWindowExec]),
+        "unsupported frame must fall through: " +
+          ns.map(_.nodeName).mkString(", "))
+    }
+    fallsThrough(lead(col("v"), 2).over(w)) // deeper offsets
+    fallsThrough(lag(col("v"), 1, 0L).over(w)) // non-null default
+    fallsThrough(sum(col("v"))
+      .over(w.rowsBetween(-3, 3))) // frames past the current row
+    fallsThrough(sum(col("v"))
+      .over(w.rangeBetween(-3, Window.currentRow))) // bounded RANGE
   }
 }
