@@ -127,6 +127,7 @@ final case class PushedSort(field: String, descending: Boolean,
 final case class PushedAgg(kind: String, field: String) {
   def render: String = kind match {
     case "count*" => "COUNT(*)"
+    case "countd" => s"COUNT(DISTINCT $field)"
     case k => s"${k.toUpperCase(java.util.Locale.ROOT)}($field)"
   }
 }
@@ -386,6 +387,12 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       case _: CountStar => Some(PushedAgg("count*", ""))
       case c: Count if !c.isDistinct =>
         pathOf(c.column(), needComparable = false).map(PushedAgg("count", _))
+      // COUNT(DISTINCT x): metadata-only — Spark only pushes distinct
+      // aggregates under COMPLETE pushdown (partial distincts cannot
+      // merge), and pushAggregation refuses the kind without a
+      // metadata answer, so it can never reach a scanning reader
+      case c: Count if c.isDistinct =>
+        pathOf(c.column(), needComparable = true).map(PushedAgg("countd", _))
       case m: Min =>
         pathOf(m.column(), needComparable = true).map(PushedAgg("min", _))
       case m: Max =>
@@ -435,6 +442,10 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
     // each split ships its observed keys; ungrouped still needs at least
     // one aggregate to mean anything
     if ((parsed.isEmpty && g.isEmpty) || parsed.exists(_.isEmpty)) false
+    // COUNT(DISTINCT) has no partial form — only the metadata answer
+    // (supportCompletePushDown ran just before and set statsAnswer)
+    else if (parsed.flatten.exists(_.kind == "countd") &&
+      statsAnswer.isEmpty) false
     else {
       groups = g.flatten.toArray
       aggs = parsed.flatten.toArray
@@ -603,7 +614,8 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
       }
       wanted.zipWithIndex.foreach { case (a, j) =>
         types(groupCols.length + j) = a.kind match {
-          case "count*" | "count" => org.apache.spark.sql.types.LongType.json
+          case "count*" | "count" | "countd" =>
+            org.apache.spark.sql.types.LongType.json
           case "sum" =>
             val dt = leafType(a.field)
             if (!ZoneMaps.exactSummable(dt)) return None
@@ -633,6 +645,39 @@ final class ExtJsonScanBuilder(path: String, fullSchema: StructType,
                 case None => return None
               })
               row(i) = nonNull.sum.toString
+            case "countd" =>
+              // per-file EXACT distinct counts (the v4 sidecar records
+              // them whenever the column's non-null sequence is proven
+              // file-order monotone) fold across files ONLY when the
+              // files' value ranges form a chain overlapping in at most
+              // single boundary values: counts add, minus one per
+              // adjacent pair sharing its boundary value (min/max are
+              // that boundary for a monotone file). Any genuine overlap
+              // refuses — the distincts would double-count unknowably.
+              val dt = leafType(a.field)
+              val fl = group.flatMap { m =>
+                m.get(a.field) match {
+                  case Some(cs) =>
+                    if (cs.rows - cs.nulls == 0L) None // contributes 0
+                    else if (cs.distinct.isEmpty || cs.min.isEmpty)
+                      return None
+                    else Some((cs.min.get, cs.max.get, cs.distinct.get))
+                  case None => return None
+                }
+              }
+              val chain = fl.sortWith { (x, y) =>
+                val c = FilterEval.compareInternal(dt, x._1, y._1)
+                c < 0 || (c == 0 &&
+                  FilterEval.compareInternal(dt, x._2, y._2) < 0)
+              }
+              var total = 0L
+              chain.foreach(f => total += f._3)
+              chain.zip(chain.drop(1)).foreach { case (p, q) =>
+                val c = FilterEval.compareInternal(dt, p._2, q._1)
+                if (c > 0) return None
+                if (c == 0) total -= 1L
+              }
+              row(i) = total.toString
             case "sum" =>
               // exact (integer/decimal) sums fold from the per-file
               // sidecar sums; a value that would overflow the SQL result
@@ -968,9 +1013,10 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         g, leafType(g), nullable = true)) ++
         pushedAggs.map { a =>
           a.kind match {
-            case "count*" | "count" => org.apache.spark.sql.types.StructField(
-              a.render.toLowerCase(java.util.Locale.ROOT),
-              org.apache.spark.sql.types.LongType, nullable = false)
+            case "count*" | "count" | "countd" =>
+              org.apache.spark.sql.types.StructField(
+                a.render.toLowerCase(java.util.Locale.ROOT),
+                org.apache.spark.sql.types.LongType, nullable = false)
             case "sum" => org.apache.spark.sql.types.StructField(
               a.render.toLowerCase(java.util.Locale.ROOT),
               // a metadata answer row IS the final result (no re-sum
@@ -2534,6 +2580,9 @@ final class ExtJsonAggReader(split: ExtJsonInputPartition,
           case FloatType | DoubleType => KindSumDouble
           case _: DecimalType => KindSumDecimal
         }
+      case "countd" => throw new IllegalStateException(
+        "COUNT(DISTINCT) is metadata-only — pushAggregation refuses it " +
+          "without a stats answer, so it must never reach a scan reader")
     }
   }
   // sums whose partials must stay in-range: decimals can't exceed the

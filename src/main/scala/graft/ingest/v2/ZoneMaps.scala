@@ -164,7 +164,8 @@ object ZoneMaps {
       nulls: Long, rows: Long,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
       sum: Option[java.math.BigDecimal] = None,
-      sorted: Boolean = false)
+      sorted: Boolean = false,
+      distinct: Option[Long] = None)
 
   /** Stats for one BLOCK — the byte range `[off, off+len)` of its file.
     * A block owns the lines that START in its range under the readers'
@@ -209,7 +210,13 @@ object ZoneMaps {
     StructField("sum", StringType),
     StructField("bloom", BinaryType),
     StructField("sorted", BooleanType),
-    StructField("nblocks", LongType)))
+    StructField("nblocks", LongType),
+    // v4: exact DISTINCT non-null value count, recorded when the
+    // column's non-null sequence is proven file-order monotone — one
+    // comparison per row the mono check already pays. Null = unknown
+    // (pre-v4 rows, unsorted files); nullable so older generations
+    // keep reading.
+    StructField("distinct", LongType)))
 
   private def requireIndexable(schema: StructType, cols: Seq[String],
       bloomCols: Seq[String]): Unit = {
@@ -273,7 +280,7 @@ object ZoneMaps {
   private final case class SplitPartial(start: Long, rows: Long,
       nBlockRows: Long, mins: Array[String], maxs: Array[String],
       nulls: Array[Long], sums: Array[String], firsts: Array[String],
-      lasts: Array[String], mono: Array[Boolean],
+      lasts: Array[String], mono: Array[Boolean], dists: Array[Long],
       blooms: Array[Array[Byte]], blockRows: Seq[Row])
 
   /** The distributed stats pass: one task per SPLIT (files chop at
@@ -355,6 +362,7 @@ object ZoneMaps {
         val firsts = new Array[Any](n)
         val lasts = new Array[Any](n)
         val mono = Array.fill(n)(true)
+        val dists = new Array[Long](n)
         // exact order-free sums (integers/decimals only) ride the
         // file-level row, extending metadata-only aggregates to SUM
         val sums: Array[java.math.BigDecimal] =
@@ -399,7 +407,7 @@ object ZoneMaps {
               types(c).json,
               if (bMins(c) == null) null else render(bMins(c), types(c)),
               if (bMaxs(c) == null) null else render(bMaxs(c), types(c)),
-              bNulls(c), null, null, null, null)
+              bNulls(c), null, null, null, null, null)
             bMins(c) = null; bMaxs(c) = null; bNulls(c) = 0L
             c += 1
             blockRowCount += 1
@@ -451,10 +459,17 @@ object ZoneMaps {
                       if (maxs(i) == null ||
                         FilterEval.compareInternal(types(i), v, maxs(i)) > 0)
                         maxs(i) = v
-                      if (firsts(i) == null) firsts(i) = v
-                      else if (mono(i) &&
-                        FilterEval.compareInternal(types(i), v, lasts(i)) < 0)
-                        mono(i) = false
+                      if (firsts(i) == null) { firsts(i) = v; dists(i) = 1L }
+                      else if (mono(i)) {
+                        // ONE comparison serves both proofs: order
+                        // violation kills mono; a strict increase is a
+                        // new distinct value (exact while mono holds —
+                        // and only consumed when it does)
+                        val c = FilterEval.compareInternal(types(i), v,
+                          lasts(i))
+                        if (c < 0) mono(i) = false
+                        else if (c > 0) dists(i) += 1L
+                      }
                       lasts(i) = v
                       if (sums(i) != null)
                         sums(i) = sums(i).add(toBig(v, types(i)))
@@ -500,8 +515,8 @@ object ZoneMaps {
           rows, blockRowCount,
           rendered(mins), rendered(maxs), nulls.clone(),
           sums.map(s => if (s == null) null else s.toPlainString),
-          rendered(firsts), rendered(lasts), mono.clone(), bloomBytes,
-          out.result()))
+          rendered(firsts), rendered(lasts), mono.clone(), dists.clone(),
+          bloomBytes, out.result()))
       }
     // per-FILE merge: a handful of small partials per file (stats rows
     // and bloom bytes, never document data), folded in split order so
@@ -536,9 +551,25 @@ object ZoneMaps {
         // sorted proof: null-free, every split internally monotone, and
         // every adjacent nonempty pair joins non-decreasingly
         val nonEmpty = parts.filter(_.firsts(i) != null)
-        val sorted = nulls == 0L && parts.forall(_.mono(i)) &&
+        val orderedNonNull = parts.forall(_.mono(i)) &&
           nonEmpty.zip(nonEmpty.drop(1)).forall { case (a, b) =>
             !lt(b.firsts(i), a.lasts(i))
+          }
+        val sorted = nulls == 0L && orderedNonNull
+        // exact DISTINCT non-null count, valid whenever the NON-NULL
+        // sequence is file-order monotone (COUNT DISTINCT ignores nulls,
+        // so null interleaving doesn't matter): split counts add, minus
+        // one per split boundary whose adjacent values are EQUAL (the
+        // shared value was counted on both sides)
+        val distS: java.lang.Long =
+          if (!orderedNonNull) null
+          else {
+            var d = nonEmpty.map(_.dists(i)).sum
+            nonEmpty.zip(nonEmpty.drop(1)).foreach { case (a, b) =>
+              if (!lt(a.lasts(i), b.firsts(i)) &&
+                !lt(b.firsts(i), a.lasts(i))) d -= 1L
+            }
+            java.lang.Long.valueOf(d)
           }
         val bloomParts = parts.map(_.blooms(i)).filter(_ != null)
         val bloomMerged: Array[Byte] =
@@ -557,7 +588,7 @@ object ZoneMaps {
         out += Row(rel, len, mtime, rows, -1L, len, colsB(i),
           dt.json, minS, maxS, nulls, sumS, bloomMerged,
           java.lang.Boolean.valueOf(sorted),
-          java.lang.Long.valueOf(nBlockRows))
+          java.lang.Long.valueOf(nBlockRows), distS)
         i += 1
       }
       out.result()
@@ -732,7 +763,8 @@ object ZoneMaps {
       import org.apache.spark.sql.functions.{col => c}
       val rows = snap.df.where(c("boff") < 0L)
         .select("file", "len", "mtime", "rows", "boff", "blen", "col",
-          "typ", "min", "max", "nulls", "sum", "sorted", "nblocks")
+          "typ", "min", "max", "nulls", "sum", "sorted", "nblocks",
+          "distinct")
         .collect().toIndexedSeq
       snap.fileRows = Some(rows)
       rows
@@ -840,7 +872,10 @@ object ZoneMaps {
                 .map(new java.math.BigDecimal(_)),
               // null (pre-v3 row) reads as false — "unproven", the
               // conservative direction for an order-aware consumer
-              sorted = isFile && !r.isNullAt(12) && r.getBoolean(12)),
+              sorted = isFile && !r.isNullAt(12) && r.getBoolean(12),
+              // null (pre-v4 row / unordered column) reads as unknown
+              distinct = if (!isFile || r.length < 15 || r.isNullAt(14))
+                None else Some(r.getLong(14))),
             if (!isFile || r.isNullAt(13)) None else Some(r.getLong(13)))
         }
     }

@@ -401,7 +401,24 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunLag => None // order-dependent: no sidecar form
           case _: RunLead => None // order-dependent: no sidecar form
           case _: RunSliding => None // order-dependent: no sidecar form
-          case _: RunDenseRank => None // no distinct counts in the sidecar
+          // dense_rank's prefix is the earlier bands' DISTINCT-KEY
+          // count — the v4 sidecar records exact per-file distincts for
+          // monotone columns, and strict band disjointness makes them
+          // additive ACROSS groups; valid only when the window orders
+          // by exactly the band key (a tiebreak column would split tie
+          // groups the key-only count can't see) and each group is ONE
+          // file (overlapping merged files share keys unknowably)
+          case RunDenseRank(order) =>
+            val keyOnly = order.lengthCompare(1) == 0 &&
+              (order.head.child match {
+                case a: AttributeReference => a.name == keyCol &&
+                  relOutput.exists(_.exprId == a.exprId)
+                case _ => false
+              })
+            if (keyOnly && files.lengthCompare(1) == 0)
+              files.head.cols.get(keyCol).flatMap(_.distinct)
+                .map(java.lang.Long.valueOf)
+            else None
           case RunMinMax(input, dt, isMin, _) => scanCol(input) match {
             case Some(n) =>
               colTotals(files, n).flatMap { cs =>

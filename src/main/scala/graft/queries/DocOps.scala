@@ -1383,6 +1383,22 @@ object DocOps {
         dense_rank().over(w).as("dr"))
   }
 
+  /** METADATA-ONLY COUNT(DISTINCT key) — the v4 sidecar's exact
+    * per-file distinct counts (one comparison per row the sorted proof
+    * already pays, recorded at landing time) fold across the range
+    * layout's strictly-disjoint bands: counts add, minus one per
+    * adjacent pair sharing a boundary value. The cardinality probe
+    * every corpus profile runs — `COUNT(DISTINCT day)`, `COUNT(*)` —
+    * answers from O(files) sidecar rows with ZERO data bytes read at
+    * any corpus size, where the ordinary plan pays a full scan plus a
+    * distinct shuffle.
+    */
+  private def q187MetadataDistinctCount(s: SparkSession,
+      d: String): DataFrame =
+    ordersDayRangeSource(s, d)
+      .agg(countDistinct(col("o_day")).as("nd_day"),
+        count(lit(1)).as("n_rows"))
+
   /** SLIDING frames, running AVG, and LEAD — the realistic time-series
     * shapes over the range layout ([[graft.plans.RangeWindowStrategy]]):
     * the 7-row sliding mean/min/sum (`ROWS BETWEEN 6 PRECEDING AND
@@ -1472,6 +1488,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_docsource_metadata_distinct_count" -> q187MetadataDistinctCount,
     "q186_docsource_range_sliding_lead" -> q186RangeSlidingLead,
     "q185_docsource_range_merge_chain" -> q185RangeMergeChain,
     "q184_docsource_range_merge_filtered" -> q184RangeMergeFiltered,
@@ -1614,6 +1631,10 @@ object DocOps {
     "q168_docsource_range_merge_anti" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 7 <> 0"),
+    "q187_docsource_metadata_distinct_count" ->
+      ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
+        "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
+        "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
     "q186_docsource_range_sliding_lead" ->
       // avg rides as CAST(sum)/count, NOT DuckDB's windowed avg(): the
       // integer sums make that division exact and engine-identical,

@@ -1930,7 +1930,33 @@ class DocSourceV2Spec extends AnyFunSuite {
     assert(stats(manyTasks) == stats(oneTask))
     val fs = stats(manyTasks)("sorted.jsonl")
     assert(fs.cols("k").sorted, "a sorted file must carry the proof")
+    assert(fs.cols("k").distinct.contains(100L),
+      "unique sorted keys: distinct = rows")
     assert(fs.blocks.exists(_.size == 10) && fs.blockRows.contains(10L))
+    // v4 distinct counts survive split boundaries INSIDE duplicate
+    // runs: 300 fixed-width rows of key i/3 (100 distinct, runs of 3)
+    // built at a split size that cuts mid-run — split counts add minus
+    // one per boundary whose adjacent values are equal; and nulls
+    // interleaved in an otherwise-monotone column leave distinct valid
+    // (COUNT DISTINCT ignores nulls) while killing the sorted proof
+    val dupRoot = Files.createTempDirectory("graft_v2spD").toString
+    Files.write(Paths.get(dupRoot, "dup.jsonl"),
+      ((0 until 300).map(i => f"""{"k": ${1000 + i / 3}%04d}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, dupRoot, schema, Seq("k"), statSplitBytes = 160L)
+    val dupCs = ZoneMaps.loadStats(spark, dupRoot, schema)
+      .head._2.cols("k")
+    assert(dupCs.sorted && dupCs.distinct.contains(100L),
+      s"mid-run split boundaries must not double-count: $dupCs")
+    val nullRoot = Files.createTempDirectory("graft_v2spDN").toString
+    Files.write(Paths.get(nullRoot, "n.jsonl"),
+      (Seq("""{"k": 1}""", """{"j": 2}""", """{"k": 1}""",
+        """{"k": 3}""").mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, nullRoot, schema, Seq("k"))
+    val nullCs = ZoneMaps.loadStats(spark, nullRoot, schema)
+      .head._2.cols("k")
+    assert(!nullCs.sorted && nullCs.distinct.contains(2L),
+      s"null-interleaved monotone: distinct valid, sorted not: $nullCs")
     // merged blooms answer like single-task blooms: a present key probes
     // true, pruning still drops the file for an absent one
     val src = ExtendedJson.read(spark, schema, manyTasks,
@@ -2836,16 +2862,17 @@ class DocSourceV2Spec extends AnyFunSuite {
         s"sliding avg at $r")
     }
     // 6. FALLBACKS: shapes the running decomposition cannot express plan
-    // Spark's ordinary window (and stay correct) — PARTITION BY,
-    // dense_rank, sliding frames, deeper/defaulted offsets
+    // Spark's ordinary window (and stay correct) — non-band PARTITION
+    // BY, deeper/defaulted offsets, bounded RANGE frames (sliding ROWS
+    // frames and lead(x,1) are now SUPPORTED — WindowProps sweeps them)
     val fallbacks = Seq(
       src.select(col("k"), row_number().over(
         Window.partitionBy(col("g")).orderBy(col("k"))).as("x")),
       src.select(col("k"), sum(col("v")).over(
-        Window.orderBy(col("k")).rowsBetween(-1, 0)).as("x")),
+        Window.orderBy(col("k")).rangeBetween(-1, 0)).as("x")),
       src.select(col("k"), lag(col("v"), 2).over(w).as("x")),
       src.select(col("k"), lag(col("v"), 1, 0L).over(w).as("x")),
-      src.select(col("k"), lead(col("v"), 1).over(w).as("x")))
+      src.select(col("k"), lead(col("v"), 2).over(w).as("x")))
     fallbacks.foreach { df =>
       val ns = nodes(df)
       assert(!ns.exists(_.isInstanceOf[BandRunningWindowExec]),
@@ -2853,10 +2880,22 @@ class DocSourceV2Spec extends AnyFunSuite {
           ns.map(_.nodeName).mkString(", "))
       assert(df.collect().length == 120)
     }
-    // dense_rank: the distinct-key prefix counts add across disjoint
-    // bands — computed path (no distinct counts in the sidecar)
+    // dense_rank: the distinct-key prefix now comes from the v4
+    // sidecar's exact per-file distinct counts — METADATA, zero passes
+    // (single-file disjoint bands ordered by exactly the band key)
     val drDf = src.select(col("k"), dense_rank().over(w).as("x"))
-    assert(bandWindowed(drDf) && planStr(drDf).contains("prefix=computed"))
+    assert(bandWindowed(drDf) && planStr(drDf).contains("prefix=metadata"))
+    // …but a TIEBREAK column in the order spec splits tie groups the
+    // key-only count can't see: computed path, still band-windowed
+    val drTie = src.select(col("k"), dense_rank().over(
+      Window.orderBy(col("k"), col("g"))).as("x"))
+    assert(bandWindowed(drTie) && planStr(drTie).contains("prefix=computed"))
+    // each key holds g ∈ {0, 1}: distinct (k, g) tuples = 2 per key
+    drTie.collect().groupBy(_.getLong(0)).foreach { case (k, rs) =>
+      assert(rs.map(_.getInt(1)).distinct.sorted.toSeq ==
+        Seq(2 * k.toInt + 1, 2 * k.toInt + 2),
+        s"dense_rank tiebreak at k=$k")
+    }
     drDf.collect().foreach(r => assert(r.getInt(1) == r.getLong(0) + 1,
       s"dense_rank at $r"))
     // 7. OVERLAPPING bands (the append lifecycle) window through the

@@ -1088,6 +1088,49 @@ class PlanSpec extends AnyFunSuite {
       "a residual filter must not re-introduce the exchange")
   }
 
+  test("q187 COUNT(DISTINCT key) answers from the sidecar's distinct counts") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q187_docsource_metadata_distinct_count")(
+      spark, sf)
+    val r = df.collect()
+    assert(r.length == 1)
+    // truth from the raw table
+    val o = graft.core.Tables.orders(spark, sf)
+    val days = o.select(org.apache.spark.sql.functions.datediff(
+      org.apache.spark.sql.functions.col("o_orderdate"),
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("1970-01-01"))))
+      .distinct().count()
+    assert(r.head.getLong(0) == days && r.head.getLong(1) == o.count())
+    // metadata-only: the one planned partition is the answer row —
+    // zero data bytes at any corpus size
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.ingest.v2.ExtJsonScan]
+    }
+    assert(scans.length == 1 && scans.head.statsAnswer.isDefined,
+      df.queryExecution.executedPlan.toString.take(500))
+    val parts = scans.head.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.ingest.v2.StatsAnswerPartition])
+  }
+
+  test("q182 dense_rank now rides the metadata prefix (sidecar distinct counts)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q182_docsource_range_dense_rank")(spark, sf)
+    df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString.contains("prefix=metadata"),
+      "dense_rank's distinct-count prefix must come from the sidecar")
+  }
+
   test("q181 size-based rank family: metadata N, zero exchange, no WindowExec") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
