@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 182-query bench sweep generates thousands of whole-stage-codegen
+  // classes; the JDK default 240 MB code cache can saturate mid-sweep,
+  // silently disabling C2 for the rest of the session — late-sweep
+  // expression-heavy queries then run interpreted 2-4x slower, session-
+  // stickily (the q35 bimodality). Bench records code-cache occupancy
+  // per pool so a recurrence is diagnosable from the record alone.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -287,8 +287,25 @@ object Bench {
     val la = loadStart.mkString("[", ",", "]")
     val lb = loadEnd.mkString("[", ",", "]")
     val rrs = reruns.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // JIT code-cache occupancy at sweep end, per CodeHeap pool: a sweep
+    // this size generates thousands of codegen classes, and a SATURATED
+    // pool silently disables C2 for the rest of the session — late-sweep
+    // queries then run interpreted, 2-4x slower, session-stickily (the
+    // r16 q35 bimodality). ReservedCodeCacheSize is raised in build.sbt;
+    // this field makes any recurrence diagnosable from the record alone
+    // (used ≈ max on a slow record = the smoking gun).
+    val codeCache = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map { p =>
+          val u = p.getUsage
+          s"${jstr(p.getName)}:{\"used_mb\":${u.getUsed / 1048576}," +
+            s""""max_mb":${u.getMax / 1048576}}"""
+        }.mkString("{", ",", "}")
+    }
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"reruns":$rrs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"loadavg_start":$la,"loadavg_end":$lb,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"reruns":$rrs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"loadavg_start":$la,"loadavg_end":$lb,"code_cache":$codeCache,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}"""
     println(record)
     // the driver's BENCH_r*.json keeps only a 2,000-char stdout tail, which
     // truncates the per-query numbers for most of the registry — persist

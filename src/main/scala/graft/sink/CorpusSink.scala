@@ -302,6 +302,188 @@ object CorpusSink {
       bloomCols = bloomCols, blockBytes = blockBytes)
   }
 
+  /** IN-PLACE zero-shuffle compaction — [[compactRangeIndexed]] without
+    * the path migration: the compacted bands land inside the SAME drop
+    * and the covered (overlapping) band files are superseded, so every
+    * consumer keeps its path. The crash discipline is the sidecar
+    * fold's ([[graft.ingest.v2.ZoneMaps.compact]]'s `_folding`
+    * manifest), applied to data files:
+    *
+    *  1. the merged stream (the exchange-free ordered scan — overlap
+    *     groups heap-merge their proven sorted files; no range
+    *     exchange, no sort, no boundary-sample job) writes to the
+    *     HIDDEN staging dir `_compact/data` — readers never see it;
+    *  2. a manifest naming the COVERED input files commits the fold
+    *     (written only after the staged write's `_SUCCESS`);
+    *  3. finish: staged files rename into the drop root
+    *     (`compact-<tag>-part-…`), covered files delete, the fresh
+    *     files index via a replay-convergent sidecar append, and the
+    *     staging dir deletes last.
+    *
+    * A crash ANYWHERE replays convergently on the next call: no
+    * manifest → the inputs are intact, discard staging and refold;
+    * manifest present → every finish step is idempotent (renames skip
+    * moved files, deletes skip missing ones, the append indexes only
+    * unindexed files under a manifest-derived tag). NOT safe for
+    * concurrent readers mid-call (between the rename and the deletes a
+    * reader would see duplicate rows) — run it as the maintenance op it
+    * is, like any overwrite. Stale sidecar rows for the deleted files
+    * are inert (planning keys stats by (file, len, mtime) against the
+    * LIVE listing) and fold away via the sidecar's own compaction.
+    * Returns the number of compacted files landed.
+    */
+  def compactRangeIndexedInPlace(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      sortCol: String, zoneCols: Seq[String],
+      bloomCols: Seq[String] = Nil, blockBytes: Long = 0L): Long = {
+    require(zoneCols.contains(sortCol),
+      s"sortCol '$sortCol' must be zone-indexed (list it in zoneCols)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root0 = new org.apache.hadoop.fs.Path(dir)
+    val fs = root0.getFileSystem(conf)
+    val root = fs.makeQualified(root0)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compact")
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, CompactManifest)))
+        return finishCompactInPlace(spark, schema, root, zoneCols,
+          bloomCols, blockBytes)
+      // crashed mid-write: the inputs are intact — discard and refold
+      fs.delete(staging, true)
+    }
+    stageCompaction(spark, schema, root, sortCol)
+    finishCompactInPlace(spark, schema, root, zoneCols, bloomCols,
+      blockBytes)
+  }
+
+  private val CompactManifest = "_covered.json"
+
+  /** Visible data files under the drop, as root-relative paths —
+    * exactly the set the ordered read plans (hidden `_`/`.` entries,
+    * including the sidecar and the staging dir, are skipped at every
+    * level).
+    */
+  private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap {
+        st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+      }
+    val rootUri = root.toUri
+    walk(root).map(p => rootUri.relativize(fs.makeQualified(p).toUri).getPath)
+  }
+
+  /** Stage the fold: write the merged stream to `_compact/data`, then
+    * commit with the covered-files manifest. Exposed for the
+    * crash-replay tests; production callers use
+    * [[compactRangeIndexedInPlace]].
+    */
+  private[graft] def stageCompaction(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: org.apache.hadoop.fs.Path, sortCol: String): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the covered set is the live listing the ordered read below plans
+    // from (single writer — the contract every overwrite shares)
+    val covered = visibleDataFiles(fs, root)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compact")
+    graft.ingest.ExtendedJson.read(spark, schema, root.toString,
+      Map("zoneMaps" -> "true"))
+      .orderBy(col(sortCol))
+      .select(to_json(struct(schema.fieldNames.map(col): _*)).as("value"))
+      .write.mode("overwrite")
+      .text(new org.apache.hadoop.fs.Path(staging, "data").toString)
+    // tag: a pure function of the covered set — unique across
+    // successive compactions (the covered names change every time),
+    // stable across crash replays of THIS fold
+    val tag = java.lang.Long.toHexString(
+      covered.sorted.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .foldLeft(17L)((h, s) => h * 31 +
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+              s.numBytes, 42L)))
+    val json = "{\"tag\":\"" + tag + "\",\"covered\":[" +
+      covered.map(f => "\"" + f.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case ch => ch.toString
+      } + "\"").mkString(",") + "]}"
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, CompactManifest), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Replay-convergent finish: rename staged files in, delete covered
+    * files, index the fresh files, drop staging. Every step idempotent.
+    */
+  private[graft] def finishCompactInPlace(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: org.apache.hadoop.fs.Path, zoneCols: Seq[String],
+      bloomCols: Seq[String], blockBytes: Long): Long = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compact")
+    val manifestPath = new org.apache.hadoop.fs.Path(staging, CompactManifest)
+    val manifest = {
+      val in = fs.open(manifestPath)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // the manifest is this module's own two-field rendering — parse it
+    // with the same minimal escaping in reverse
+    val tag = manifest.split("\"tag\":\"")(1).takeWhile(_ != '"')
+    val covered = {
+      val body = manifest.split("\"covered\":\\[")(1)
+        .reverse.dropWhile(_ != ']').drop(1).reverse
+      if (body.isEmpty) Seq.empty[String]
+      else body.split("\",\"").toSeq.map(_.stripPrefix("\"")
+        .stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
+    val staged =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    var landed = 0L
+    staged.foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(root,
+        s"compact-$tag-${st.getPath.getName}")
+      if (!fs.exists(target))
+        require(fs.rename(st.getPath, target),
+          s"compaction rename failed: ${st.getPath} -> $target")
+      else if (fs.exists(st.getPath))
+        // target complete (rename is atomic per file): drop the replay's
+        // leftover source
+        fs.delete(st.getPath, false)
+      landed += 1
+    }
+    covered.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      if (fs.exists(p)) fs.delete(p, false)
+      // prune a band directory the delete emptied (one level — the
+      // partitioned landing's `band=N/part-…` shape)
+      val parent = p.getParent
+      if (parent != null && parent != root && fs.exists(parent) &&
+        fs.listStatus(parent).isEmpty) fs.delete(parent, false)
+    }
+    // index the fresh files BEFORE dropping staging: a crash between
+    // leaves the manifest in place and the append replays convergently
+    // (it indexes only files the sidecar does not already cover)
+    graft.ingest.v2.ZoneMaps.append(spark, root.toString, schema, zoneCols,
+      batchTag = s"compact_$tag", bloomCols = bloomCols,
+      blockBytes = blockBytes)
+    fs.delete(staging, true)
+    landed
+  }
+
   /** One shard file's attestation: row count and an ORDER-FREE content
     * hash (sum of per-row `xxhash64(all columns)` — addition commutes, so
     * the digest is independent of read parallelism and row order, while

@@ -439,6 +439,118 @@ class CorpusSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("compactRangeIndexedInPlace: same-path fold, plain bands restored, crash replays converge") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.ingest.v2.ZoneMaps
+    import graft.plans.OrderedBandScanExec
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("score", DoubleType)))
+    def batch(r: Range) =
+      r.map(i => (i.toLong, ((i * 137) % 100) * 10.0)).toDF("doc_id", "score")
+    def land(dir: String): Unit = {
+      CorpusSink.landJsonlRangeIndexed(batch(1 to 200), "score", dir,
+        numBands = 3, zoneCols = Seq("score", "doc_id"))
+      CorpusSink.landJsonlRangeIndexed(batch(201 to 300), "score", dir,
+        numBands = 2, zoneCols = Seq("score", "doc_id"),
+        appendTag = Some("b1"))
+      CorpusSink.landJsonlRangeIndexed(batch(301 to 400), "score", dir,
+        numBands = 2, zoneCols = Seq("score", "doc_id"),
+        appendTag = Some("b2"))
+    }
+    def orderedRead(dir: String) =
+      graft.ingest.ExtendedJson.read(spark, schema, dir,
+        Map("zoneMaps" -> "true")).orderBy(col("score"))
+    val dir = Files.createTempDirectory("graft_cmpip").toString + "/docs"
+    land(dir)
+    val before = orderedRead(dir)
+    val beforeRows = before.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(TestPlans.executedNodes(before)
+      .collectFirst { case o: OrderedBandScanExec => o }
+      .exists(_.groups.exists(_.files.lengthCompare(1) > 0)),
+      "appended landings must overlap (the compaction premise)")
+    val landed = CorpusSink.compactRangeIndexedInPlace(spark, schema, dir,
+      "score", zoneCols = Seq("score", "doc_id"))
+    assert(landed > 0L)
+    // SAME path: plain single-file bands, disjoint, zero merge/sort/
+    // exchange, full multiset — and no staging residue
+    val after = orderedRead(dir)
+    val afterRows = after.collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(afterRows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(afterRows.sorted.toSeq == beforeRows,
+      "in-place compaction must preserve the row multiset")
+    val ns = TestPlans.executedNodes(after)
+    val aScan = ns.collectFirst { case o: OrderedBandScanExec => o }
+    assert(aScan.exists(_.groups.forall(_.files.lengthCompare(1) == 0)),
+      "in-place compaction must restore one-file-per-group bands")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.isInstanceOf[SortExec]))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact")),
+      "a completed fold must leave no staging residue")
+
+    // CRASH REPLAY 1: staged + manifested, then "crash" before finish —
+    // the next public call detects the manifest and completes the fold
+    val dir2 = Files.createTempDirectory("graft_cmpip2").toString + "/docs"
+    land(dir2)
+    val want2 = orderedRead(dir2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val root2 = fs.makeQualified(new org.apache.hadoop.fs.Path(dir2))
+    CorpusSink.stageCompaction(spark, schema, root2, "score")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root2,
+      "_compact/_covered.json")))
+    CorpusSink.compactRangeIndexedInPlace(spark, schema, dir2, "score",
+      zoneCols = Seq("score", "doc_id"))
+    assert(orderedRead(dir2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq == want2)
+    assert(TestPlans.executedNodes(orderedRead(dir2))
+      .collectFirst { case o: OrderedBandScanExec => o }
+      .exists(_.groups.forall(_.files.lengthCompare(1) == 0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root2, "_compact")))
+
+    // CRASH REPLAY 2: crash MID-finish — some staged files already
+    // renamed in, some covered files already deleted — replay converges
+    // to the same multiset with no duplicates
+    val dir3 = Files.createTempDirectory("graft_cmpip3").toString + "/docs"
+    land(dir3)
+    val want3 = orderedRead(dir3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val root3 = fs.makeQualified(new org.apache.hadoop.fs.Path(dir3))
+    CorpusSink.stageCompaction(spark, schema, root3, "score")
+    // simulate the partial finish by hand: move ONE staged file to its
+    // target name and delete ONE covered file
+    val manifest3 = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root3,
+        "_compact/_covered.json"))
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val tag3 = manifest3.split("\"tag\":\"")(1).takeWhile(_ != '"')
+    val dataDir3 = new org.apache.hadoop.fs.Path(root3, "_compact/data")
+    val staged3 = fs.listStatus(dataDir3).filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(staged3.nonEmpty)
+    val first3 = staged3.head.getPath
+    assert(fs.rename(first3, new org.apache.hadoop.fs.Path(root3,
+      s"compact-$tag3-${first3.getName}")))
+    val covered3 = manifest3.split("\"covered\":\\[")(1)
+      .takeWhile(_ != ']').split("\",\"").head
+      .stripPrefix("\"").stripSuffix("\"")
+    fs.delete(new org.apache.hadoop.fs.Path(root3, covered3), false)
+    // the replay completes: same rows, plain bands, no residue
+    CorpusSink.compactRangeIndexedInPlace(spark, schema, dir3, "score",
+      zoneCols = Seq("score", "doc_id"))
+    assert(orderedRead(dir3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq == want3,
+      "a mid-finish crash must replay to the exact multiset")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root3, "_compact")))
+  }
+
   test("manifest round-trips, is order-free, and catches tampering") {
     val d = Files.createTempDirectory("graft_manifest").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)
