@@ -33,5 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // expression-heavy queries then run interpreted 2-4x slower, session-
   // stickily (the q35 bimodality). Bench records code-cache occupancy
   // per pool so a recurrence is diagnosable from the record alone.
-  "-XX:ReservedCodeCacheSize=512m",
+  // env-overridable so a degraded-cache experiment can reproduce the
+  // failure mode deliberately (SPARK_CODE_CACHE=100m)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

@@ -296,16 +296,24 @@ object Bench {
     // (used ≈ max on a slow record = the smoking gun).
     val codeCache = {
       import scala.jdk.CollectionConverters._
+      // "CodeHeap '…'" pools under the segmented cache (≥240 MB);
+      // ONE "Code Cache" pool when a smaller reserve disables
+      // segmentation — match both
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-        .filter(_.getName.startsWith("CodeHeap"))
+        .filter(_.getName.startsWith("Code"))
         .map { p =>
           val u = p.getUsage
           s"${jstr(p.getName)}:{\"used_mb\":${u.getUsed / 1048576}," +
             s""""max_mb":${u.getMax / 1048576}}"""
         }.mkString("{", ",", "}")
     }
+    // free-form adjudication context (SPARK_GRAFT_BENCH_NOTES): lets a
+    // banked record name WHY it was run — "post-codecache-fix q35
+    // adjudication run 3/5" — so a later reader needs no side channel
+    val notes = sys.env.get("SPARK_GRAFT_BENCH_NOTES")
+      .map(n => s""","notes":${jstr(n)}""").getOrElse("")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"reruns":$rrs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"loadavg_start":$la,"loadavg_end":$lb,"code_cache":$codeCache,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"queries":$qs,"medians":$ms,"runs":$rs,"reruns":$rrs,"errors":$es,"control":$cs,"control_runs":$crs,"control_timeline":$tl,"loadavg_start":$la,"loadavg_end":$lb,"code_cache":$codeCache$notes,"tier":${jstr(tier)},"sf":${jstr(sfDir)}}"""
     println(record)
     // the driver's BENCH_r*.json keeps only a 2,000-char stdout tail, which
     // truncates the per-query numbers for most of the registry — persist

@@ -79,17 +79,24 @@ object OrderedScanStrategy {
       case _ => None
     }
 
-  /** Re-stage the peeled intermediates innermost-first (`above` is
-    * outermost-first from the descent), so the chain's output equals the
-    * peeled subtree's output exactly; Filter/Project over attributes
-    * preserve both ordering claims and the RangePartitioning.
+  /** Re-stage the peeled intermediates in their ORIGINAL nesting:
+    * `above` accumulates by prepending during the descent, so its HEAD
+    * is the innermost node — foldLeft wraps the base innermost-first,
+    * reproducing the logical chain exactly. (The former foldRight
+    * INVERTED the nesting: row content survived — attribute-only
+    * Projects and exprId binding keep the column sets honest — but a
+    * Filter hoisted above a Project that dropped one of its referenced
+    * columns failed to bind at execution: `SELECT b … WHERE <residual
+    * on a> ORDER BY b` with `a` pruned away.) Filter/Project over
+    * attributes preserve both ordering claims and the RangePartitioning
+    * in either nesting; the original one also always binds.
     */
   private[plans] def restage(above: List[LogicalPlan],
       base: SparkPlan): SparkPlan =
-    above.foldRight(base) {
-      case (pr: Project, child) => ProjectExec(pr.projectList, child)
-      case (f: Filter, child) => FilterExec(f.condition, child)
-      case (other, _) => throw new IllegalStateException(
+    above.foldLeft(base) {
+      case (child, pr: Project) => ProjectExec(pr.projectList, child)
+      case (child, f: Filter) => FilterExec(f.condition, child)
+      case (_, other) => throw new IllegalStateException(
         s"unpeelable node ${other.nodeName}")
     }
 }

@@ -235,8 +235,11 @@ private[plans] object RangeMergeJoinStrategy {
       c.steps.map(s => MergeSideExec(s.side, s.rightKey))
     val steps = c.steps.map { s =>
       MergeStepExec(s.joinType, s.residual,
-        // application order = innermost-first (peel returns outermost-first)
-        s.pre.reverse.map {
+        // peelOps accumulates by PREPENDING during the descent, so the
+        // list is already innermost-first — exactly the application
+        // order (a Filter below a Project must run before it, or its
+        // referenced-but-projected-away columns would fail to bind)
+        s.pre.map {
           case pr: Project => StreamProject(
             pr.projectList.map(_.asInstanceOf[AttributeReference]))
           case f: Filter => StreamFilter(f.condition)

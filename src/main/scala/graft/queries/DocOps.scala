@@ -1383,6 +1383,48 @@ object DocOps {
         dense_rank().over(w).as("dr"))
   }
 
+  /** Its OWN appended landing (q165's shared dir must keep its decayed
+    * layout for the merge-read queries), folded IN PLACE once per
+    * (JVM, sfDir) — same path before and after.
+    */
+  private def ordersRangeInPlaceJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangeinplace", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgq_$tag")}/orders"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_totalprice", dir,
+        numBands = 4, zoneCols = Seq("o_totalprice", "o_orderkey"))
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.filter(col("o_orderkey") % 3 === 0), "o_totalprice", dir,
+        numBands = 4, zoneCols = Seq("o_totalprice", "o_orderkey"),
+        appendTag = Some("b2"))
+      graft.sink.CorpusSink.compactRangeIndexedInPlace(s,
+        decodedOrdersClustered, dir, "o_totalprice",
+        zoneCols = Seq("o_totalprice", "o_orderkey"))
+      dir
+    })
+
+  /** ORDER BY over the IN-PLACE compacted drop — q175's maintenance rung
+    * without the path migration
+    * ([[graft.sink.CorpusSink.compactRangeIndexedInPlace]]): the
+    * appended overlapping bands fold back to plain disjoint files
+    * INSIDE the same directory under a crash-idempotent covered-files
+    * manifest, and the ordered read at the unchanged path plans the
+    * sequential exchange-free band scan again (PlanSpec pins one-file
+    * groups, zero Exchange/Sort). At 100 TB: maintenance that no
+    * consumer has to know happened.
+    */
+  private def q188RangeInPlaceCompactedScan(s: SparkSession,
+      d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersClustered,
+      ordersRangeInPlaceJsonl(s, d), Map("zoneMaps" -> "true"))
+      .orderBy(col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   /** METADATA-ONLY COUNT(DISTINCT key) — the v4 sidecar's exact
     * per-file distinct counts (one comparison per row the sorted proof
     * already pays, recorded at landing time) fold across the range
@@ -1488,6 +1530,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_docsource_range_inplace_compacted" -> q188RangeInPlaceCompactedScan,
     "q187_docsource_metadata_distinct_count" -> q187MetadataDistinctCount,
     "q186_docsource_range_sliding_lead" -> q186RangeSlidingLead,
     "q185_docsource_range_merge_chain" -> q185RangeMergeChain,
@@ -1631,6 +1674,8 @@ object DocOps {
     "q168_docsource_range_merge_anti" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 7 <> 0"),
+    "q188_docsource_range_inplace_compacted" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
     "q187_docsource_metadata_distinct_count" ->
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +

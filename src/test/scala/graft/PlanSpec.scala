@@ -1045,6 +1045,16 @@ class PlanSpec extends AnyFunSuite {
     assert(rj.length == 1 && rj.head.steps.exists(_.residual.isDefined),
       rns.map(_.nodeName).mkString(", "))
     assert(!rns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // side filter on a column the SELECT drops: the side's peeled chain
+    // is Project above Filter, and the merge partitions must evaluate
+    // the filter against the scan's raw rows BEFORE projecting
+    val (d, dns) = nodes("SELECT rmjf_o_v.o_orderkey, ck " +
+      "FROM rmjf_o_v JOIN rmjf_c_v ON ck = o_orderkey " +
+      "WHERE o_totalprice * 2.0 > 1000.0")
+    assert(d.count() > 0)
+    assert(dns.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]) &&
+      !dns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      dns.map(_.nodeName).mkString(", "))
   }
 
   test("SQL-text ORDER BY plans the band scan through Project and residual Filter") {
@@ -1086,6 +1096,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!ns2.exists(_.isInstanceOf[SortExec]) &&
       !ns2.exists(_.isInstanceOf[ShuffleExchangeLike]),
       "a residual filter must not re-introduce the exchange")
+    // the residual filter's column is DROPPED by the select: the peeled
+    // chain is Project[o_orderkey] ABOVE Filter[o_totalprice…], and the
+    // restage must reproduce that nesting — the inverted order hoisted
+    // the Filter above the Project and failed to bind the pruned column
+    val df3 = spark.sql("SELECT o_totalprice FROM ordered_scan_sql_v " +
+      "WHERE o_orderkey % 2 = 0 ORDER BY o_totalprice")
+    val rows3 = df3.collect()
+    assert(rows3.nonEmpty && rows3.length < 1500)
+    assert(rows3.map(_.getDouble(0)).sliding(2).forall(p => p(0) <= p(1)))
+    val ns3 = TestPlans.executedNodes(df3)
+    assert(ns3.exists(_.isInstanceOf[graft.plans.OrderedBandScanExec]),
+      ns3.map(_.nodeName).mkString(", "))
+    assert(!ns3.exists(_.isInstanceOf[SortExec]) &&
+      !ns3.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // …and the same shape through the band WINDOW strategy's restage
+    val df4 = spark.sql("SELECT o_totalprice, " +
+      "rank() OVER (ORDER BY o_totalprice) AS rk " +
+      "FROM ordered_scan_sql_v WHERE o_orderkey % 2 = 0")
+    val rows4 = df4.collect()
+    assert(rows4.length == rows3.length)
+    val ns4 = TestPlans.executedNodes(df4)
+    assert(ns4.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns4.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns4.map(_.nodeName).mkString(", "))
   }
 
   test("q187 COUNT(DISTINCT key) answers from the sidecar's distinct counts") {
@@ -1345,6 +1379,34 @@ class PlanSpec extends AnyFunSuite {
       assert(files.length == 1,
         s"a quantile probe must read one band, planned: $files")
     }
+  }
+
+  test("q188 in-place compacted drop: same path, plain bands, no merge/sort/exchange, no staging residue") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q188_docsource_range_inplace_compacted")(
+      spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1500)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "rows must arrive globally sorted")
+    val ns = TestPlans.executedNodes(df)
+    val scan = ns.collectFirst { case o: graft.plans.OrderedBandScanExec => o }
+    assert(scan.isDefined, ns.map(_.nodeName).mkString(", "))
+    assert(scan.get.groups.forall(_.files.lengthCompare(1) == 0),
+      "the in-place fold must restore sequential one-file groups")
+    assert(!ns.exists(_.isInstanceOf[SortExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+    // every planned file lives under the ORIGINAL drop dir, and the
+    // staging dir is gone — consumers never re-point
+    val files = scan.get.groups.flatMap(_.files.flatten.map(_.file))
+    assert(files.nonEmpty && files.forall(_.contains("graft_extjson_rgq_")),
+      files.take(3).mkString(", "))
+    val anyFile = new org.apache.hadoop.fs.Path(files.head)
+    val fs = anyFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      anyFile.getParent, "_compact")), "no staging residue")
   }
 
   test("q175 compacted drop: plain single-file bands, no merge, no sort, no exchange") {
