@@ -1029,6 +1029,14 @@ object DocOps {
       dir
     })
 
+  /** The lineitem side of the co-banded join family — exposed so
+    * SQL-text plan pins can register it as a view.
+    */
+  private[graft] def rangeJoinLineitemSide(s: SparkSession,
+      d: String): DataFrame =
+    ExtendedJson.read(s, decodedLineitemRj,
+      s"${rangeJoinBase(s, d)}/lineitem", Map("zoneMaps" -> "true"))
+
   private[graft] def rangeJoinSides(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val o = ExtendedJson.read(s, decodedOrdersRj,

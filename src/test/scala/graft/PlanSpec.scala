@@ -1016,6 +1016,51 @@ class PlanSpec extends AnyFunSuite {
       "lead spot check")
   }
 
+  test("SQL-text 3-way chain: two JOINs on one key fold into a single chained merge") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val base = graft.queries.DocOps.rangeJoinSides(spark, sf)
+    base._1.createOrReplaceTempView("rmj3_o_v")
+    base._2.createOrReplaceTempView("rmj3_c_v")
+    // the lineitem side of the co-banded family
+    graft.queries.DocOps.rangeJoinLineitemSide(spark, sf)
+      .createOrReplaceTempView("rmj3_l_v")
+    val df = spark.sql(
+      "SELECT rmj3_o_v.o_orderkey, o_totalprice, l_quantity " +
+        "FROM rmj3_o_v " +
+        "JOIN rmj3_l_v ON l_orderkey = rmj3_o_v.o_orderkey " +
+        "LEFT ANTI JOIN rmj3_c_v ON ck = rmj3_o_v.o_orderkey")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) % 7 != 0))
+    val ns = TestPlans.executedNodes(df)
+    val joins = ns.collect { case j: graft.plans.RangeMergeJoinExec => j }
+    assert(joins.length == 1 && joins.head.steps.length == 2,
+      ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
+  }
+
+  test("merge-join claims compose: GROUP BY the join key above the merge pays no exchange") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    // the exec claims RangePartitioning on the left key, so Spark's OWN
+    // satisfies-check clusters the downstream aggregation for free —
+    // join + rollup, zero exchanges end-to-end (and the same through a
+    // CHAIN: the chained exec's claim is the base key's)
+    val (o, c) = graft.queries.DocOps.rangeJoinSides(spark, sf)
+    val agg = o.join(c, o("o_orderkey") === c("ck"))
+      .groupBy(o("o_orderkey"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val rows = agg.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == 1L))
+    val ns = TestPlans.executedNodes(agg)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]) &&
+      ns.exists(_.isInstanceOf[BaseAggregateExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+  }
+
   test("SQL-text merge joins: WHERE on one side and AND-ed residuals still plan the merge") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
