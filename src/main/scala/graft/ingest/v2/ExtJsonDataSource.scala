@@ -2252,7 +2252,7 @@ final class StatsAnswerReader(p: StatsAnswerPartition)
   * divergence would let metadata speak for files the scan never reads,
   * or vice versa).
   */
-private[v2] object DocListing {
+private[graft] object DocListing {
 
   /** Hidden-entry rule of the builtin file sources: `_`/`.` prefixes are
     * never data (checkpoint trees, sidecars, in-flight `_temporary`).

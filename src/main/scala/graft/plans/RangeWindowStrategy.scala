@@ -148,7 +148,20 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       // 0.0, but the raw band layout may place them in different bands
       // (the sidecar's total order distinguishes them), so the layout
       // cannot honestly satisfy the normalized clustering.
-      peelW(child, Nil) match {
+      //
+      // GROUP-TOP-N composes: `rank() OVER (PARTITION BY key …) <= k`
+      // makes InferWindowGroupLimit insert a WindowGroupLimit directly
+      // under the Window — strip it here and re-stage it as the
+      // FINAL-mode exec over the band scan (its clustered distribution
+      // is the same one the band claim satisfies; exact over clustered
+      // input, and the rank Filter above re-checks regardless). The
+      // best-k-documents-per-group curation shape, zero exchange.
+      val (wgl, inner) = child match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+          (Some(w), w.child)
+        case other => (None, other)
+      }
+      peelW(inner, Nil) match {
         case Some((rel, above)) =>
           rel.scan match {
             case scan: ExtJsonScan =>
@@ -164,9 +177,18 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                   val bands = OrderedBandScanExec(rel.output,
                     Seq(SortOrder(k, Ascending)), scan, groups,
                     claimOrdering = false)
+                  val restaged = restage(above, bands)
+                  val limited = wgl match {
+                    case Some(w) =>
+                      org.apache.spark.sql.execution.window
+                        .WindowGroupLimitExec(w.partitionSpec,
+                          w.orderSpec, w.rankLikeFunction, w.limit,
+                          org.apache.spark.sql.execution.window.Final,
+                          restaged)
+                    case None => restaged
+                  }
                   org.apache.spark.sql.execution.window.WindowExec(
-                    windowExprs, partSpec, orderSpec,
-                    restage(above, bands)) :: Nil
+                    windowExprs, partSpec, orderSpec, limited) :: Nil
                 case None => Nil
               }
             case _ => Nil
@@ -197,7 +219,12 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) =>
             Some(Right(false))
           case SpecifiedWindowFrame(RowFrame, Literal(lo: Int, _), CurrentRow)
-              if lo < 0 => Some(Left(-lo))
+              // bounded: the accumulator pre-sizes a ring of n+1 slots
+              // per partition and folds O(n) per row — a huge frame
+              // must fall through to Spark's own window (which buffers
+              // actual rows) rather than pre-allocate per-band arrays
+              // or overflow n+1
+              if lo < 0 && lo >= -65536 => Some(Left(-lo))
           case _ => None
         }
       (fn, frame) match {

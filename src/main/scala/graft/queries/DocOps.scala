@@ -1391,6 +1391,25 @@ object DocOps {
         dense_rank().over(w).as("dr"))
   }
 
+  /** GROUP-TOP-N over the band key — the best-k-rows-per-group curation
+    * shape (`rank() OVER (PARTITION BY day ORDER BY x) <= 2`):
+    * InferWindowGroupLimit inserts a WindowGroupLimit under the window,
+    * and the band strategy re-stages it as the FINAL-mode exec over the
+    * band scan — per-group limiting, rank evaluation, and the filter
+    * all run exchange-free on the layout's clustering (PlanSpec pins
+    * WindowGroupLimitExec + zero Exchange). At 100 TB: top-k documents
+    * per domain/day without the hash shuffle that is otherwise the
+    * entire cost.
+    */
+  private def q189RangeGroupTopN(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_day")).orderBy(col("o_custkey"))
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_day"), col("o_custkey"), rank().over(w).as("rk"))
+      .filter(col("rk") <= 2)
+  }
+
   /** Its OWN appended landing (q165's shared dir must keep its decayed
     * layout for the merge-read queries), folded IN PLACE once per
     * (JVM, sfDir) — same path before and after.
@@ -1538,6 +1557,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_docsource_range_group_topn" -> q189RangeGroupTopN,
     "q188_docsource_range_inplace_compacted" -> q188RangeInPlaceCompactedScan,
     "q187_docsource_metadata_distinct_count" -> q187MetadataDistinctCount,
     "q186_docsource_range_sliding_lead" -> q186RangeSlidingLead,
@@ -1682,6 +1702,13 @@ object DocOps {
     "q168_docsource_range_merge_anti" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey % 7 <> 0"),
+    "q189_docsource_range_group_topn" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders) " +
+        "SELECT o_day, o_custkey, rk FROM (SELECT o_day, o_custkey, " +
+        "CAST(rank() OVER (PARTITION BY o_day ORDER BY o_custkey) " +
+        "AS INT) AS rk FROM o) WHERE rk <= 2"),
     "q188_docsource_range_inplace_compacted" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "q187_docsource_metadata_distinct_count" ->

@@ -357,23 +357,19 @@ object CorpusSink {
 
   private val CompactManifest = "_covered.json"
 
-  /** Visible data files under the drop, as root-relative paths —
-    * exactly the set the ordered read plans (hidden `_`/`.` entries,
-    * including the sidecar and the staging dir, are skipped at every
-    * level).
+  /** Visible nonempty data files under the drop, as root-relative
+    * paths — exactly the set the ordered read plans (the SAME walk the
+    * scan's listing uses: hidden `_`/`.` entries, including the sidecar
+    * and the staging dir, skipped at every level; zero-length files
+    * skipped like the read skips them).
     */
   private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[String] = {
-    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
-      val n = p.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap {
-        st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
-      }
     val rootUri = root.toUri
-    walk(root).map(p => rootUri.relativize(fs.makeQualified(p).toUri).getPath)
+    graft.ingest.v2.DocListing
+      .walkFiles(fs, fs.listStatus(root).toSeq)
+      .map(st =>
+        rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath)
   }
 
   /** Stage the fold: write the merged stream to `_compact/data`, then
@@ -411,10 +407,17 @@ object CorpusSink {
         case '\\' => "\\\\"
         case ch => ch.toString
       } + "\"").mkString(",") + "]}"
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(staging, CompactManifest), true)
+    // ATOMIC commit: write to a hidden temp name, then rename — a crash
+    // mid-write must never leave a partial file AT the manifest path
+    // (the manifest's existence is the one-bit commit record, so a
+    // truncated one would replay a half-described fold)
+    val tmp = new org.apache.hadoop.fs.Path(staging, s".$CompactManifest.tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val target = new org.apache.hadoop.fs.Path(staging, CompactManifest)
+    require(fs.rename(tmp, target),
+      s"compaction manifest commit failed: $tmp -> $target")
   }
 
   /** Replay-convergent finish: rename staged files in, delete covered
@@ -435,15 +438,23 @@ object CorpusSink {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    // the manifest is this module's own two-field rendering — parse it
-    // with the same minimal escaping in reverse
-    val tag = manifest.split("\"tag\":\"")(1).takeWhile(_ != '"')
-    val covered = {
-      val body = manifest.split("\"covered\":\\[")(1)
-        .reverse.dropWhile(_ != ']').drop(1).reverse
-      if (body.isEmpty) Seq.empty[String]
-      else body.split("\",\"").toSeq.map(_.stripPrefix("\"")
-        .stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    // the manifest is this module's own two-field rendering; the commit
+    // rename guarantees it is complete, and the parse VALIDATES that
+    // anyway (the failure mode to never have: a damaged manifest read
+    // as an empty covered list, which would leave every superseded file
+    // in place beside its compacted copy — permanent duplicate rows).
+    // Tokens are extracted with the escape-aware string regex the
+    // sidecar fold's manifest parse uses.
+    require(manifest.endsWith("]}"),
+      s"damaged compaction manifest (not the committed rendering): " +
+        manifest.take(200))
+    val strings = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(manifest).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")).toList
+    val (tag, covered) = strings match {
+      case "tag" :: t :: "covered" :: files => (t, files)
+      case other => throw new IllegalStateException(
+        s"damaged compaction manifest: fields ${other.take(3)}")
     }
     val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
     val staged =
@@ -452,7 +463,6 @@ object CorpusSink {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-    var landed = 0L
     staged.foreach { st =>
       val target = new org.apache.hadoop.fs.Path(root,
         s"compact-$tag-${st.getPath.getName}")
@@ -463,8 +473,13 @@ object CorpusSink {
         // target complete (rename is atomic per file): drop the replay's
         // leftover source
         fs.delete(st.getPath, false)
-      landed += 1
     }
+    // the landed count comes from the DROP, not from what remained in
+    // staging: a crash-replay that finds some files already renamed in
+    // still reports the full fold
+    val landed = fs.listStatus(root).count { st =>
+      st.isFile && st.getPath.getName.startsWith(s"compact-$tag-")
+    }.toLong
     covered.foreach { rel =>
       val p = new org.apache.hadoop.fs.Path(root, rel)
       if (fs.exists(p)) fs.delete(p, false)

@@ -542,13 +542,61 @@ class CorpusSinkSpec extends AnyFunSuite {
       .takeWhile(_ != ']').split("\",\"").head
       .stripPrefix("\"").stripSuffix("\"")
     fs.delete(new org.apache.hadoop.fs.Path(root3, covered3), false)
-    // the replay completes: same rows, plain bands, no residue
-    CorpusSink.compactRangeIndexedInPlace(spark, schema, dir3, "score",
-      zoneCols = Seq("score", "doc_id"))
+    // the replay completes: same rows, plain bands, no residue — and
+    // reports the FULL fold size, not just the files it moved itself
+    val landed3 = CorpusSink.compactRangeIndexedInPlace(spark, schema,
+      dir3, "score", zoneCols = Seq("score", "doc_id"))
+    val compactFiles3 = fs.listStatus(root3).count(st =>
+      st.isFile && st.getPath.getName.startsWith(s"compact-$tag3-"))
+    // the manually-moved file is OUTSIDE what the replay itself renames,
+    // yet the count must still cover it (the drop's compact-* files,
+    // not the staging leftovers)
+    assert(landed3 == compactFiles3 && landed3 >= 1,
+      s"replay must report the whole fold: $landed3 vs $compactFiles3")
     assert(orderedRead(dir3).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq == want3,
       "a mid-finish crash must replay to the exact multiset")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root3, "_compact")))
+
+    // a DAMAGED manifest refuses loudly — it must never parse as an
+    // empty covered list (which would leave every superseded file in
+    // place beside its compacted copy: permanent duplicate rows)
+    val dir4 = Files.createTempDirectory("graft_cmpip4").toString + "/docs"
+    land(dir4)
+    val root4 = fs.makeQualified(new org.apache.hadoop.fs.Path(dir4))
+    CorpusSink.stageCompaction(spark, schema, root4, "score")
+    val mPath4 = new org.apache.hadoop.fs.Path(root4,
+      "_compact/_covered.json")
+    val full4 = {
+      val in = fs.open(mPath4)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val out4 = fs.create(mPath4, true)
+    try out4.write(full4.dropRight(12).getBytes("UTF-8")) // truncate
+    finally out4.close()
+    intercept[Exception] {
+      CorpusSink.compactRangeIndexedInPlace(spark, schema, dir4, "score",
+        zoneCols = Seq("score", "doc_id"))
+    }
+    // the inputs are untouched by the refusal
+    assert(orderedRead(dir4).collect().length == 400)
+
+    // a crash BEFORE the manifest commit (temp file only) discards the
+    // stage and refolds cleanly
+    val dir5 = Files.createTempDirectory("graft_cmpip5").toString + "/docs"
+    land(dir5)
+    val root5 = fs.makeQualified(new org.apache.hadoop.fs.Path(dir5))
+    CorpusSink.stageCompaction(spark, schema, root5, "score")
+    val m5 = new org.apache.hadoop.fs.Path(root5, "_compact/_covered.json")
+    assert(fs.rename(m5, new org.apache.hadoop.fs.Path(root5,
+      "_compact/._covered.json.tmp"))) // "crashed mid-write"
+    val landed5 = CorpusSink.compactRangeIndexedInPlace(spark, schema,
+      dir5, "score", zoneCols = Seq("score", "doc_id"))
+    assert(landed5 > 0L)
+    assert(orderedRead(dir5).collect().length == 400)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root5, "_compact")))
   }
 
   test("manifest round-trips, is order-free, and catches tampering") {

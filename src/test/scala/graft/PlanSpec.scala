@@ -1210,6 +1210,31 @@ class PlanSpec extends AnyFunSuite {
       "dense_rank's distinct-count prefix must come from the sidecar")
   }
 
+  test("q189 group-top-N: WindowGroupLimit re-stages over the band scan, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q189_docsource_range_group_topn")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every day keeps rank ≤ 2 rows, and every day from the table shows
+    val byDay = rows.groupBy(_.getInt(0))
+    assert(byDay.values.forall(_.forall(_.getInt(2) <= 2)))
+    val allDays = graft.core.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.datediff(
+        org.apache.spark.sql.functions.col("o_orderdate"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.lit("1970-01-01"))))
+      .distinct().count()
+    assert(byDay.size.toLong == allDays, s"${byDay.size} vs $allDays")
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[WindowGroupLimitExec]) &&
+      ns.exists(_.isInstanceOf[WindowExec]) &&
+      ns.exists(n => n.nodeName.contains("OrderedBandScan")) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+  }
+
   test("q181 size-based rank family: metadata N, zero exchange, no WindowExec") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -139,6 +139,25 @@ class WindowProps extends AnyFunSuite {
       assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
         p.groupBy(identity).view.mapValues(_.size).toMap,
         s"seed $seed: multiset mismatch banded ${b.length} vs ${p.length}")
+      // GROUP-TOP-N: the rank filter's WindowGroupLimit re-stages as
+      // the Final-mode exec over the band scan — same rows, no exchange
+      def qt(src: DataFrame): DataFrame = src
+        .select(col("k"), col("v"), rank().over(wo).as("rk"))
+        .filter(col("rk") <= 2)
+      val bt = qt(ExtendedJson.read(spark, schema, root,
+        Map("zoneMaps" -> "true")))
+      val pt = qt(ExtendedJson.read(spark, schema, root, Map.empty))
+      spark.catalog.clearCache()
+      val btr = bt.collect().map(_.toSeq.toList).toSeq
+      val ptr = pt.collect().map(_.toSeq.toList).toSeq
+      assert(btr.groupBy(identity).view.mapValues(_.size).toMap ==
+        ptr.groupBy(identity).view.mapValues(_.size).toMap,
+        s"seed $seed: group-top-n multiset")
+      val btn = TestPlans.executedNodes(bt)
+      assert(btn.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.window.WindowGroupLimitExec]) &&
+        !btn.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"seed $seed: " + btn.map(_.nodeName).mkString(", "))
     }
   }
 
@@ -273,5 +292,11 @@ class WindowProps extends AnyFunSuite {
       .over(w.rowsBetween(-3, 3))) // frames past the current row
     fallsThrough(sum(col("v"))
       .over(w.rangeBetween(-3, Window.currentRow))) // bounded RANGE
+    // HUGE sliding bounds fall through instead of pre-allocating
+    // n-sized rings (or overflowing n+1) — Spark buffers actual rows
+    fallsThrough(sum(col("v"))
+      .over(w.rowsBetween(-2147483647, Window.currentRow)))
+    fallsThrough(sum(col("v"))
+      .over(w.rowsBetween(-1000000, Window.currentRow)))
   }
 }
