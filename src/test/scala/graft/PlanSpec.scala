@@ -1419,6 +1419,20 @@ class PlanSpec extends AnyFunSuite {
     assert(filtered.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.executedPlan.toString.contains("prefix=computed"),
       "a filter must forfeit the metadata prefix")
+    // the round-17 family in SQL text: bounded sliding ROWS frames,
+    // running AVG, and lead(x,1) plan the band window from plain SQL
+    val slide = spark.sql("SELECT o_orderkey, " +
+      "sum(o_orderkey) OVER (ORDER BY o_totalprice ROWS BETWEEN 6 " +
+      "PRECEDING AND CURRENT ROW) AS sl, " +
+      "avg(o_orderkey) OVER (ORDER BY o_totalprice) AS ra, " +
+      "lead(o_orderkey, 1) OVER (ORDER BY o_totalprice) AS nx " +
+      "FROM running_window_sql_v")
+    assert(slide.collect().length == 1500)
+    val sns = TestPlans.executedNodes(slide)
+    assert(sns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !sns.exists(_.isInstanceOf[WindowExec]) &&
+      !sns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      sns.map(_.nodeName).mkString(", "))
   }
 
   test("q176 layout quantiles: one band file per quantile, pushed top-N, zero exchange") {
