@@ -245,20 +245,24 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case Literal(b: Int, _) if b > 0 => Some(RunNTile(b))
             case _ => None
           }
-        // lag(x, 1) with the default null default: the previous row in
-        // window order — its frame is the offset row, not a cumulative
-        // one, so it bypasses the frame gate
+        // lag(x, n) with the default null default: the n-rows-back value
+        // in window order — its frame is the offset row, not a
+        // cumulative one, so it bypasses the frame gate. n = 1 keeps
+        // the single-value carry; bounded deeper offsets ride the
+        // sliding ring (prefix = the earlier bands' last n values);
+        // huge offsets fall through like huge sliding frames do
         case (lg: org.apache.spark.sql.catalyst.expressions.Lag, _)
             if !lg.ignoreNulls && orderable(lg.input.dataType) &&
-              (lg.inputOffset match {
-                case Literal(1, _) => true
-                case _ => false
-              }) &&
               (lg.default match {
                 case Literal(null, _) => true
                 case _ => false
               }) =>
-          Some(RunLag(lg.input))
+          lg.inputOffset match {
+            case Literal(1, _) => Some(RunLag(lg.input))
+            case Literal(k: Int, _) if k > 1 && k <= 65536 =>
+              Some(RunSliding(lg.input, k, RunningWindow.SlideOp.LagN(k)))
+            case _ => None
+          }
         // lead(x, 1): the NEXT row's value — the one function whose
         // cross-band carry flows BACKWARD (the last row of band i reads
         // band i+1's first row), so its per-band total is the band's
@@ -874,6 +878,20 @@ private[plans] object RunningWindow {
         if (n == 0L) null else s / n
       }
     }
+    /** `lag(x, n)` over the ring: the OLDEST buffered value when the
+      * ring holds exactly n+1 (the current row plus its n predecessors
+      * — positions count ROWS, so null values ride along), null while
+      * the global position is still under n.
+      */
+    final case class LagN(n: Int) extends SlideOp {
+      override def fold(values: Iterator[Any]): Any = {
+        var first: Any = null
+        var cnt = 0
+        values.foreach { v => if (cnt == 0) first = v; cnt += 1 }
+        if (cnt == n + 1) first else null
+      }
+    }
+
     final case class MinMax(dt: DataType, isMin: Boolean) extends SlideOp {
       @transient private lazy val ord = TypeUtils.getInterpretedOrdering(dt)
       override def fold(values: Iterator[Any]): Any = {

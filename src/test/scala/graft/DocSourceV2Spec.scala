@@ -2870,7 +2870,7 @@ class DocSourceV2Spec extends AnyFunSuite {
         Window.partitionBy(col("g")).orderBy(col("k"))).as("x")),
       src.select(col("k"), sum(col("v")).over(
         Window.orderBy(col("k")).rangeBetween(-1, 0)).as("x")),
-      src.select(col("k"), lag(col("v"), 2).over(w).as("x")),
+      src.select(col("k"), lag(col("v"), 100000).over(w).as("x")),
       src.select(col("k"), lag(col("v"), 1, 0L).over(w).as("x")),
       src.select(col("k"), lead(col("v"), 2).over(w).as("x")))
     fallbacks.foreach { df =>

@@ -260,11 +260,14 @@ class WindowProps extends AnyFunSuite {
           avg(col("v")).over(ws).as("savg")), root)
       }
       // running avg (cumulative) + lead across band boundaries; null-v
-      // rows exercise lead's null-vs-missing distinction
+      // rows exercise lead's null-vs-missing distinction; deeper lag
+      // offsets ride the ring (prefix = earlier bands' last n values)
       sets(_.select(col("k"), col("v"),
         avg(col("v")).over(w).as("ravg"),
         lead(col("v"), 1).over(w).as("nv"),
-        lag(col("v"), 1).over(w).as("pv")), root)
+        lag(col("v"), 1).over(w).as("pv"),
+        lag(col("v"), 3).over(w).as("pv3"),
+        lag(col("v"), 19).over(w).as("pv19")), root)
       // DESC: lead's suffix flows along the reversed partition order
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
