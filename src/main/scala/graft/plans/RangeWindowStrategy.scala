@@ -949,15 +949,24 @@ private[plans] object RunningWindow {
         // band-order fold: later values append after earlier ones, the
         // ring trims to the last n (a prefix can never exceed n values)
         t.asInstanceOf[Array[Any]].foreach(push(_, n))
-      override def value(): Any = {
-        val it = ring.iterator()
-        op.fold(new Iterator[Any] {
-          override def hasNext: Boolean = it.hasNext
-          override def next(): Any = {
-            val v = it.next()
+      override def value(): Any = op match {
+        // lag is O(1) on the ring: size and oldest element are direct
+        // deque queries — no per-row scan of up-to-n values (Spark's own
+        // OffsetWindowFunctionFrame is O(1) per row too)
+        case SlideOp.LagN(k) =>
+          if (ring.size == k + 1) {
+            val v = ring.peekFirst()
             if (v eq NullToken) null else v
-          }
-        })
+          } else null
+        case _ =>
+          val it = ring.iterator()
+          op.fold(new Iterator[Any] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): Any = {
+              val v = it.next()
+              if (v eq NullToken) null else v
+            }
+          })
       }
     }
   }

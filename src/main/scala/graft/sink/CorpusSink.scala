@@ -401,12 +401,7 @@ object CorpusSink {
           org.apache.spark.sql.catalyst.expressions.XXH64
             .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
               s.numBytes, 42L)))
-    val json = "{\"tag\":\"" + tag + "\",\"covered\":[" +
-      covered.map(f => "\"" + f.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case ch => ch.toString
-      } + "\"").mkString(",") + "]}"
+    val json = renderCompactManifest(tag, covered)
     // ATOMIC commit: write to a hidden temp name, then rename — a crash
     // mid-write must never leave a partial file AT the manifest path
     // (the manifest's existence is the one-bit commit record, so a
@@ -419,6 +414,16 @@ object CorpusSink {
     require(fs.rename(tmp, target),
       s"compaction manifest commit failed: $tmp -> $target")
   }
+
+  /** The in-place fold's manifest rendering — [[jesc]]/[[junesc]] are
+    * the one escape grammar this module uses, and the PARSE validates
+    * by re-rendering and comparing byte-for-byte (the one check no
+    * truncation or damage can slip past).
+    */
+  private def renderCompactManifest(tag: String,
+      covered: Seq[String]): String =
+    "{\"tag\":\"" + jesc(tag) + "\",\"covered\":[" +
+      covered.map(f => "\"" + jesc(f) + "\"").mkString(",") + "]}"
 
   /** Replay-convergent finish: rename staged files in, delete covered
     * files, index the fresh files, drop staging. Every step idempotent.
@@ -439,29 +444,36 @@ object CorpusSink {
       finally in.close()
     }
     // the manifest is this module's own two-field rendering; the commit
-    // rename guarantees it is complete, and the parse VALIDATES that
-    // anyway (the failure mode to never have: a damaged manifest read
-    // as an empty covered list, which would leave every superseded file
-    // in place beside its compacted copy — permanent duplicate rows).
-    // Tokens are extracted with the escape-aware string regex the
-    // sidecar fold's manifest parse uses.
-    require(manifest.endsWith("]}"),
-      s"damaged compaction manifest (not the committed rendering): " +
-        manifest.take(200))
+    // rename guarantees it is complete, and the parse VALIDATES that by
+    // ROUND-TRIP: re-render the parsed fields and require byte equality
+    // with what was read (the failure mode to never have: a damaged
+    // manifest read as an empty/partial covered list, which would leave
+    // superseded files in place beside their compacted copies —
+    // permanent duplicate rows). Tokens are extracted with the
+    // escape-aware string regex and [[junesc]] — the same grammar the
+    // shard manifest uses.
     val strings = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(manifest).map(_.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")).toList
+      .findAllMatchIn(manifest).map(m => junesc(m.group(1))).toList
     val (tag, covered) = strings match {
       case "tag" :: t :: "covered" :: files => (t, files)
       case other => throw new IllegalStateException(
         s"damaged compaction manifest: fields ${other.take(3)}")
     }
+    require(renderCompactManifest(tag, covered) == manifest,
+      s"damaged compaction manifest (round-trip mismatch): " +
+        manifest.take(200))
     val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
+    // zero-length staged part files (empty write partitions) are
+    // dropped, not renamed in — reads skip empty files, so landing them
+    // would only inflate the count; symmetric with the covered listing,
+    // which skips empty files the same way the scan's walk does (an
+    // empty pre-existing file is inert residue either way)
     val staged =
       if (!fs.exists(dataDir)) Seq.empty
       else fs.listStatus(dataDir).toSeq.filter { st =>
         val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        st.isFile && st.getLen > 0 &&
+          !n.startsWith("_") && !n.startsWith(".")
       }
     staged.foreach { st =>
       val target = new org.apache.hadoop.fs.Path(root,

@@ -268,10 +268,12 @@ class WindowProps extends AnyFunSuite {
         lag(col("v"), 1).over(w).as("pv"),
         lag(col("v"), 3).over(w).as("pv3"),
         lag(col("v"), 19).over(w).as("pv19")), root)
-      // DESC: lead's suffix flows along the reversed partition order
+      // DESC: lead's suffix flows along the reversed partition order,
+      // and deep-lag prefixes assemble over the reversed bands too
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
         lead(col("v"), 1).over(wd).as("nv"),
+        lag(col("v"), 19).over(wd).as("pv19"),
         sum(col("v")).over(wd.rowsBetween(-2, Window.currentRow))
           .as("ssum")), root)
     }
