@@ -1039,6 +1039,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
   }
 
+  test("range-agg claims compose: GROUP BY key ORDER BY key is zero-exchange end-to-end") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    // the one-stage band aggregation claims the scan's RangePartitioning
+    // through HashAggregate, so the ORDER BY on the same key satisfies
+    // its OrderedDistribution too — the sorted daily rollup (the
+    // time-series report shape) pays no exchange anywhere
+    val df = SparkEntry.queries("q171_docsource_range_agg_rollup")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("o_day"))
+    val rows = df.collect()
+    assert(rows.length > 100)
+    assert(rows.map(_.getInt(0)).sliding(2).forall(p => p(0) <= p(1)),
+      "rows must arrive globally day-ordered")
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) == 2 &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+  }
+
   test("merge-join claims compose: GROUP BY the join key above the merge pays no exchange") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
