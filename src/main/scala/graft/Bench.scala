@@ -303,8 +303,12 @@ object Bench {
         .filter(_.getName.startsWith("Code"))
         .map { p =>
           val u = p.getUsage
+          // getMax is -1 when the pool reports no limit: emit -1 verbatim
+          // (integer-dividing it renders 0, which would misfire the
+          // "used ≈ max" saturation heuristic on such pools)
+          val maxMb = if (u.getMax < 0) -1L else u.getMax / 1048576
           s"${jstr(p.getName)}:{\"used_mb\":${u.getUsed / 1048576}," +
-            s""""max_mb":${u.getMax / 1048576}}"""
+            s""""max_mb":$maxMb}"""
         }.mkString("{", ",", "}")
     }
     // free-form adjudication context (SPARK_GRAFT_BENCH_NOTES): lets a

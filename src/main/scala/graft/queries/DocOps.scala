@@ -1727,8 +1727,11 @@ object DocOps {
         "BETWEEN 6 PRECEDING AND CURRENT ROW) AS sl_avg, " +
         "min(v) OVER (ORDER BY oid ROWS BETWEEN 6 PRECEDING AND " +
         "CURRENT ROW) AS sl_min, " +
-        "sum(v) OVER (ORDER BY oid ROWS BETWEEN 6 PRECEDING AND " +
-        "CURRENT ROW) AS sl_sum, " +
+        // CAST to BIGINT: DuckDB's sum(BIGINT) is HUGEINT, which pandas
+        // renders float64 and the driver's dtype-sensitive hash rejects
+        // against Spark's int64 (the q171 pattern)
+        "CAST(sum(v) OVER (ORDER BY oid ROWS BETWEEN 6 PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) AS sl_sum, " +
         "CAST(sum(v) OVER (ORDER BY oid) AS DOUBLE) / " +
         "count(v) OVER (ORDER BY oid) AS run_avg, " +
         "lead(v, 1) OVER (ORDER BY oid) AS next_v FROM o"),

@@ -68,6 +68,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1
             continue
+        # The driver's value hash serializes dtype-sensitively (int64 123
+        # vs float64 123.0 hash differently), so a dtype mismatch after
+        # normalize is a FAIL even when values compare equal.
+        dt_bad = [c for c in a.columns if a[c].dtype != b[c].dtype]
+        if dt_bad:
+            det = ", ".join(f"{c}: {a[c].dtype} vs {b[c].dtype}" for c in dt_bad)
+            print(f"FAIL {name}: dtype mismatch (driver hash would differ): {det}")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(a)} rows)")
