@@ -1896,7 +1896,70 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
         new Array[Boolean](partCols.length)))
       .filter { case (f, _) => f.isFile && f.getLen > 0 }
     listed = true
-    out
+    // generation pinning under an in-flight in-place compaction: while
+    // the fold's commit manifest exists, a raw listing could see BOTH a
+    // covered (superseded) file and its compacted replacement —
+    // duplicate rows. Pin to ONE generation (non-glob directory reads
+    // only — the landing contract's shape)
+    if (isGlob || matches.lengthCompare(1) != 0 ||
+      !matches.head.isDirectory) out
+    else pinGeneration(fs, fs.makeQualified(matches.head.getPath), out)
+  }
+
+  /** Resolve a listing taken while an IN-PLACE compaction
+    * ([[graft.sink.CorpusSink.compactRangeIndexedInPlace]]) is between
+    * its rename and delete steps: the covered-files manifest is the
+    * fold's commit record, and while it exists the listing reads EITHER
+    * generation, never a mix —
+    *
+    *  - the OLD one (drop `compact-<tag>-*` files) while EVERY covered
+    *    file still exists: renames may be mid-flight, so the compact
+    *    set may be partial, but the covered set is whole;
+    *  - the NEW one (drop covered files) once any covered file is gone:
+    *    deletes only begin after every rename landed, so the compact
+    *    set is complete and the remaining covered files are duplicates.
+    *
+    * One `exists` probe per listing in the common case (no manifest);
+    * O(covered) probes only during the maintenance window itself. The
+    * manifest vanishing mid-check (the fold just finished) simply
+    * un-pins — the finished layout is single-generation again.
+    */
+  private def pinGeneration(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      files: Seq[(FileStatus, Array[String])])
+      : Seq[(FileStatus, Array[String])] = {
+    val manifestPath =
+      new Path(root, graft.sink.CorpusSink.CompactManifestRelPath)
+    val parsed =
+      try {
+        if (!fs.exists(manifestPath)) return files
+        val in = fs.open(manifestPath)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        graft.sink.CorpusSink.parseCompactManifest(txt)
+      } catch {
+        case _: java.io.FileNotFoundException => return files
+        // a DAMAGED manifest means the fold never acted: the finish
+        // path validates by round-trip BEFORE any rename or delete (and
+        // refuses loudly there), so the raw listing IS the intact
+        // pre-fold generation — read it unpinned. Genuine IO errors
+        // still propagate: silently unpinning on a transient read
+        // failure mid-fold could mix generations.
+        case _: IllegalStateException | _: IllegalArgumentException =>
+          return files
+      }
+    val (tag, covered) = parsed
+    val rootUri = root.toUri
+    def rel(st: FileStatus): String =
+      rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
+    val oldGeneration =
+      covered.forall(c => fs.exists(new Path(root, c)))
+    if (oldGeneration) {
+      val prefix = s"compact-$tag-"
+      files.filterNot { case (st, _) => rel(st).startsWith(prefix) }
+    } else {
+      val coveredSet = covered.toSet
+      files.filterNot { case (st, _) => coveredSet.contains(rel(st)) }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

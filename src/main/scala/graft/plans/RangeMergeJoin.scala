@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GenericInternalRow, JoinedRow, Predicate, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
@@ -25,17 +25,23 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, OrderedBandGroup}
   * groupable into strictly-disjoint key bands on their join keys
   * ([[graft.sink.CorpusSink.landJsonlRangeIndexed]] writes exactly this
   * layout; co-band with its `bounds` parameter for aligned parallelism),
-  * the equi-join — INNER, LEFT OUTER, LEFT SEMI, or LEFT ANTI (the
+  * the equi-join — INNER, LEFT OUTER, LEFT SEMI, LEFT ANTI (the
   * decontamination shape: "drop every document whose key appears in the
-  * benchmark drop", otherwise a full-shuffle anti-join) — plans as a
+  * benchmark drop", otherwise a full-shuffle anti-join), or FULL OUTER
+  * (the snapshot-diff shape: matched, left-only, and right-only rows in
+  * one pass, otherwise a shuffle-and-sort of BOTH corpora) — plans as a
   * streamed MERGE JOIN over band-aligned partitions: each partition
   * reads the files whose key ranges overlap ITS range and nothing else.
   * At 100 TB the ordinary plan shuffles every corpus and sorts every
   * side; this plan reads each side once, in place, already ordered —
   * and whole one-sided key ranges prune at plan time: right-only ranges
-  * always (no left row to emit), left-only ranges for INNER/SEMI (no
-  * match possible), while OUTER/ANTI keep them as right-empty
-  * partitions (their left rows are exactly the match-less output).
+  * for every left-typed join (no left row to emit), left-only ranges
+  * for INNER/SEMI (no match possible), while OUTER/ANTI keep them as
+  * right-empty partitions (their left rows are exactly the match-less
+  * output) and FULL OUTER keeps every populated component (right-only
+  * ranges are its null-extended output). A FULL OUTER step drops the
+  * output's key-ordering and range-partitioning claims (right-only
+  * rows carry a null left key) and nothing chains on top of it.
   *
   * The match admits the shapes real SQL leaves between a join and its
   * scans — none of which defeats the layout proof:
@@ -88,6 +94,15 @@ class RangeMergeJoinStrategy(session: SparkSession) extends SparkStrategy
     case _ => Nil
   }
 
+  /** The chain matcher exposed for COMPOSING strategies: the band
+    * window strategy accepts a provable merge-join chain as its ordered,
+    * range-partitioned child (a running window over q185's
+    * enrich+decontaminate chain would otherwise re-collapse the chain's
+    * zero-exchange stream into one partition).
+    */
+  private[plans] def planChain(j: Join): Option[RangeMergeJoinExec] =
+    matchChain(j).map(buildExec)
+
   /** Peel the operators a merge side may be separated from its scan by:
     * alias-free Projects and deterministic Filters (outermost-first in
     * the returned list). DYNAMIC-PRUNING conjuncts (the runtime filters
@@ -136,8 +151,8 @@ class RangeMergeJoinStrategy(session: SparkSession) extends SparkStrategy
     * stream each step emits is ordered and range-partitioned on it.
     */
   private def matchChain(j: Join): Option[Chain] = j match {
-    case Join(l, r, jt @ (Inner | LeftOuter | LeftSemi | LeftAnti),
-        Some(cond), hint) if hint == JoinHint.NONE =>
+    case Join(l, r, jt @ (Inner | LeftOuter | LeftSemi | LeftAnti |
+        FullOuter), Some(cond), hint) if hint == JoinHint.NONE =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (!conjuncts.forall(c => c.deterministic && !c.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
@@ -169,7 +184,12 @@ class RangeMergeJoinStrategy(session: SparkSession) extends SparkStrategy
 
         lCore match {
           case lj: Join =>
-            matchChain(lj).flatMap { inner =>
+            // nothing chains ON TOP of a FULL OUTER step: its right-only
+            // rows carry a NULL left key, so the stream is no longer
+            // key-ordered/null-free — the contract every later merge
+            // step relies on
+            matchChain(lj).filterNot(
+              _.steps.exists(_.joinType == FullOuter)).flatMap { inner =>
               conjuncts.iterator.flatMap { c =>
                 orient(c).flatMap { case (lk, rk) =>
                   if (lk.exprId == inner.keyAttr.exprId &&
@@ -247,8 +267,14 @@ private[plans] object RangeMergeJoinStrategy {
             s"unpeelable interstitial ${other.nodeName}")
         })
     }
-    val keepWhenEmpty = false +: c.steps.map(s =>
-      s.joinType == LeftOuter || s.joinType == LeftAnti)
+    val keepWhenEmpty =
+      // FULL OUTER emits right-only rows too: every component with any
+      // content anywhere must survive plan-time pruning (an empty base
+      // side still yields the right side null-extended)
+      if (c.steps.exists(_.joinType == FullOuter))
+        Seq.fill(c.steps.length + 1)(true)
+      else false +: c.steps.map(s =>
+        s.joinType == LeftOuter || s.joinType == LeftAnti)
     val parts = RangeMergeJoinExec.alignN(c.keyType,
       c.baseGroups +: c.steps.map(_.groups), keepWhenEmpty)
     val keyInOutput = c.output.find(_.exprId == c.keyAttr.exprId)
@@ -309,8 +335,8 @@ object RangeMergeJoinExec {
     val cur = Array.fill(n)(List.empty[OrderedBandGroup])
     var curMax: Any = null
     def flush(): Unit =
-      if (cur(0).nonEmpty &&
-        (1 until n).forall(i => keepWhenEmpty(i) || cur(i).nonEmpty))
+      if ((0 until n).forall(i => keepWhenEmpty(i) || cur(i).nonEmpty) &&
+        (0 until n).exists(cur(_).nonEmpty))
         out += cur.toIndexedSeq.map(_.reverse)
     tagged.foreach { case (side, g) =>
       if (curMax != null && FilterEval.compareInternal(dt, g.min, curMax) > 0) {
@@ -358,9 +384,14 @@ case class RangeMergeJoinExec(keyType: DataType,
   override def outputPartitioning: Partitioning =
     if (parts.isEmpty) UnknownPartitioning(0)
     else if (parts.length == 1) SinglePartition
+    else if (steps.exists(_.joinType == FullOuter))
+      // right-only rows carry a NULL left key — neither the range claim
+      // nor the key ordering is honest for the full-outer stream
+      UnknownPartitioning(parts.length)
     else RangePartitioning(Seq(leftKeyOrder), parts.length)
 
-  override def outputOrdering: Seq[SortOrder] = Seq(leftKeyOrder)
+  override def outputOrdering: Seq[SortOrder] =
+    if (steps.exists(_.joinType == FullOuter)) Nil else Seq(leftKeyOrder)
 
   override def simpleStringWithNodeId(): String =
     s"RangeMergeJoin(${steps.map(_.joinType).mkString("+")}, " +
@@ -484,6 +515,13 @@ private final class RangeMergeChainRDD(
             right.output.length, residual,
             UnsafeProjection.create(toStruct(outAttrs)))
           attrs = outAttrs
+        case FullOuter =>
+          val outAttrs = attrs.map(_.withNullability(true)) ++
+            right.output.map(_.withNullability(true))
+          cur = new FullOuterIter(cur, rs, keyOrd, right.outKeyOrdinal,
+            attrs.length, right.output.length, residual,
+            UnsafeProjection.create(toStruct(outAttrs)))
+          attrs = outAttrs
         case other => throw new IllegalStateException(
           s"unplannable merge join type $other")
       }
@@ -596,6 +634,133 @@ private final class RangeMergeChainRDD(
         val out = proj(joined(lRow, run(runIdx)))
         runIdx += 1
         out
+      }
+    }
+  }
+
+  /** FULL OUTER — the snapshot-diff shape: matched pairs stream like
+    * INNER, match-less LEFT rows emit (l, null-right) in key position,
+    * match-less RIGHT rows emit (null-left, r) in key position — both
+    * sides read once, in place, already ordered (the ordinary plan
+    * shuffles AND sorts both). With a residual, a pair failing it
+    * leaves BOTH sides unmatched-so-far (SQL FULL OUTER ON semantics):
+    * a left row none of whose key-equal pairs passed emits
+    * null-extended, and each buffered right-run row no pair of which
+    * passed emits null-extended when its run closes. Only the current
+    * right-key run is materialized (copies + matched flags); the
+    * output's left-key ordering claim is DROPPED by the exec —
+    * right-only rows carry a null left key.
+    */
+  private final class FullOuterIter(l: Iterator[InternalRow],
+      r: Iterator[InternalRow], lKey: Int, rKey: Int,
+      lWidth: Int, rWidth: Int, residual: Option[BasePredicate],
+      proj: UnsafeProjection) extends Iterator[InternalRow] {
+    private val joined = new JoinedRow
+    private val nullLeft = new GenericInternalRow(lWidth)
+    private val nullRight = new GenericInternalRow(rWidth)
+    private var lRow: InternalRow = if (l.hasNext) l.next() else null
+    private var rRow: InternalRow = if (r.hasNext) r.next() else null
+    private val run = new ArrayBuffer[InternalRow]
+    private var matched: Array[Boolean] = _
+    private var runKey: Any = null
+    private var runIdx = 0
+    private var lActive = false
+    private var anyMatch = false
+    private var flushingRun = false
+    private var flushIdx = 0
+    // what the pending emission is: 0 none, 1 matched pair, 2 left-null
+    // for the ACTIVE left row (failed residuals, then advance within
+    // run), 3 left-null for the streaming left row, 4 right-null for
+    // the streaming right row, 5 right-null for run(flushIdx)
+    private var kind = 0
+
+    private def pairOk(rr: InternalRow): Boolean =
+      residual.forall(_.eval(joined(lRow, rr)))
+
+    private def advanceWithinRun(): Unit = {
+      lRow = if (l.hasNext) l.next() else null
+      if (lRow != null && cmpKeys(lRow.get(lKey, keyType), runKey) == 0) {
+        runIdx = 0; anyMatch = false
+      } else {
+        // leaving the run: its unmatched rows owe null-extended output
+        lActive = false
+        flushingRun = true
+        flushIdx = 0
+      }
+    }
+
+    private def findNext(): Boolean = {
+      while (kind == 0) {
+        if (flushingRun) {
+          while (flushIdx < run.length && matched(flushIdx)) flushIdx += 1
+          if (flushIdx < run.length) { kind = 5; return true }
+          flushingRun = false; run.clear(); runKey = null
+        } else if (lActive) {
+          while (runIdx < run.length && !pairOk(run(runIdx))) runIdx += 1
+          if (runIdx < run.length) kind = 1
+          else if (!anyMatch) kind = 2
+          else advanceWithinRun()
+        } else if (lRow == null) {
+          if (rRow == null) return false
+          kind = 4
+        } else if (rRow == null) {
+          kind = 3
+        } else {
+          val c = cmpKeys(lRow.get(lKey, keyType), rRow.get(rKey, keyType))
+          if (c < 0) kind = 3
+          else if (c > 0) kind = 4
+          else {
+            run.clear()
+            val first = rRow.copy()
+            run += first
+            runKey = first.get(rKey, keyType)
+            rRow = if (r.hasNext) r.next() else null
+            while (rRow != null &&
+              cmpKeys(rRow.get(rKey, keyType), runKey) == 0) {
+              run += rRow.copy()
+              rRow = if (r.hasNext) r.next() else null
+            }
+            matched = new Array[Boolean](run.length)
+            runIdx = 0
+            lActive = true
+            anyMatch = false
+          }
+        }
+      }
+      true
+    }
+
+    override def hasNext: Boolean = findNext()
+
+    override def next(): InternalRow = {
+      if (!hasNext) throw new NoSuchElementException
+      val k = kind
+      kind = 0
+      k match {
+        case 1 =>
+          anyMatch = true
+          matched(runIdx) = true
+          val out = proj(joined(lRow, run(runIdx)))
+          runIdx += 1
+          out
+        case 2 =>
+          // project BEFORE advancing — the left stream may reuse its
+          // row buffer (the MatchIter contract)
+          val out = proj(joined(lRow, nullRight))
+          advanceWithinRun()
+          out
+        case 3 =>
+          val out = proj(joined(lRow, nullRight))
+          lRow = if (l.hasNext) l.next() else null
+          out
+        case 4 =>
+          val out = proj(joined(nullLeft, rRow))
+          rRow = if (r.hasNext) r.next() else null
+          out
+        case _ =>
+          val out = proj(joined(nullLeft, run(flushIdx)))
+          flushIdx += 1
+          out
       }
     }
   }

@@ -43,28 +43,49 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    runs BELOW the per-band sort when one exists (totals are
   *    order-free).
   *
-  * Supported functions — the running family whose value at a row depends
-  * only on the rows at-or-before it: `row_number()`, `rank()` (ties never
-  * straddle bands: the first key strictly differs across groups, so
-  * local rank + prefix row count is the GLOBAL rank), and non-distinct
-  * `count` / `sum` / `min` / `max` over the default cumulative frame
-  * (`RANGE UNBOUNDED PRECEDING..CURRENT ROW` — tie groups share the
-  * value) or the explicit `ROWS` form, plus the ORDER-SENSITIVE pair
-  * `last(x, ignoreNulls)` (the forward-fill / as-of carry) and
-  * `lag(x, 1)` (the global delta) — whose computed-totals pass runs
-  * over the SORTED stream, `dense_rank` (per-band distinct-key counts —
-  * disjointness makes them additive), and the size-based family
-  * `percent_rank` / `cume_dist` / `ntile` (dividing by the global N the
-  * exec folds from the per-band totals). Distinct or filtered
-  * aggregates, bounded/sliding frames, deeper or defaulted offsets, and
-  * `lead` fall through to Spark's ordinary window. EXACT — no opt-in
-  * conf; any unprovable layout falls through like the ordered scan
-  * does. A `PARTITION BY` window never matches (Spark's own
-  * hash-partitioned WindowExec already scales that shape).
+  * Supported functions — the family whose value at a row depends only
+  * on a bounded neighborhood of it in window order:
+  *
+  *  - `row_number()`, `rank()` (ties never straddle bands: the first
+  *    key strictly differs across groups, so local rank + prefix row
+  *    count is the GLOBAL rank), `dense_rank` (per-band distinct-key
+  *    counts — disjointness makes them additive), and the size-based
+  *    family `percent_rank` / `cume_dist` / `ntile` (dividing by the
+  *    global N the exec folds from the per-band totals);
+  *  - non-distinct `count` / `sum` / `min` / `max` / `avg` over the
+  *    default cumulative frame (`RANGE UNBOUNDED PRECEDING..CURRENT
+  *    ROW` — tie groups share the value), the explicit cumulative
+  *    `ROWS` form, the bounded sliding `ROWS BETWEEN n PRECEDING AND
+  *    CURRENT ROW` (n ≤ 65,536 — the prefix is the earlier bands' last
+  *    n values), and the VALUE-based `RANGE BETWEEN d PRECEDING AND
+  *    CURRENT ROW` over an integral key (the 7-day-mean shape; the
+  *    buffer holds the frame's live (key, value) pairs, evicted by key
+  *    distance);
+  *  - the ORDER-SENSITIVE carries, whose computed-totals pass runs over
+  *    the SORTED stream: `last(x, ignoreNulls)` (forward-fill / as-of),
+  *    `lag(x, n[, default])` (n ≤ 65,536 — n = 1 as a single-value
+  *    carry, deeper on the ring), and `lead(x, n[, default])` (n = 1 by
+  *    one-row lookahead with a cross-band SUFFIX, deeper by delaying
+  *    emission behind an n-slot ring) — constant defaults only.
+  *
+  * Distinct or filtered aggregates, frames past the current row,
+  * expression (non-literal) offsets or defaults, and huge bounds fall
+  * through to Spark's ordinary window. EXACT — no opt-in conf; any
+  * unprovable layout falls through like the ordered scan does. A
+  * `PARTITION BY` window never matches the decomposition (Spark's own
+  * hash-partitioned WindowExec already scales that shape — the second
+  * rule below re-stages it over the band scan instead).
   */
 class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
   import OrderedScanStrategy.restage
   import RunningWindow._
+
+  /** The merge-join matcher, for composing a running window over a
+    * provable join chain (its exec claims RangePartitioning + ordering
+    * on the band key — exactly the child contract the band window
+    * needs).
+    */
+  private lazy val mergeJoin = new RangeMergeJoinStrategy(session)
 
   /** The window strategy's peel admits ALIASING Projects too (the
     * analyzer extracts complex window inputs — `sum(cast(v)) OVER …` —
@@ -87,43 +108,96 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       case _ => None
     }
 
+  /** The same peel with a JOIN leaf — the window-over-merge-chain
+    * composition (`SUM(...) OVER (ORDER BY key)` above q185's
+    * enrich+decontaminate chain): deterministic row-local Projects and
+    * Filters preserve the chain exec's ordering and partitioning claims
+    * exactly as they preserve the scan's.
+    */
+  private def peelJ(p: LogicalPlan, above: List[LogicalPlan])
+      : Option[(org.apache.spark.sql.catalyst.plans.logical.Join, List[LogicalPlan])] =
+    p match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Some((j, above))
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.forall(_.deterministic) =>
+        peelJ(pr.child, pr :: above)
+      case f: Filter if f.condition.deterministic =>
+        peelJ(f.child, f :: above)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w @ Window(windowExprs, Seq(), orderSpec, child, _)
         if orderSpec.nonEmpty && windowExprs.nonEmpty =>
-      (orderSpec.head, peelW(child, Nil)) match {
-        case (first @ SortOrder(attr: AttributeReference,
-            Ascending | Descending, _, _), Some((rel, above))) =>
-          rel.scan match {
-            case scan: ExtJsonScan
-                if rel.output.exists(_.exprId == attr.exprId) &&
-                  orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
-              val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
-              if (funcs.exists(_.isEmpty)) return Nil
-              scan.orderedBandPartitions(attr.name) match {
-                case Some(bands) if bands.nonEmpty =>
-                  val desc = first.direction == Descending
-                  val ordered = OrderedBandScanExec(rel.output, orderSpec,
-                    scan, if (desc) bands.reverse else bands,
-                    claimOrdering = !desc && orderSpec.length == 1 &&
-                      first.nullOrdering == NullsFirst)
-                  val chain = restage(above, ordered)
-                  val sortedChild =
-                    if (ordered.claimOrdering) chain
-                    else SortExec(orderSpec, global = false, chain)
-                  // the metadata prefix is sound only when nothing
-                  // between the scan and the window drops rows: the scan
-                  // itself proves its side (orderedBandFileStats refuses
-                  // under any pushed filter/limit/agg mode), and a
-                  // peeled residual Filter above it must refuse too
-                  val metadata =
-                    if (above.exists(_.isInstanceOf[Filter])) None
-                    else metadataTotals(scan, rel.output, attr.name,
-                      funcs.map(_.get), desc)
-                  BandRunningWindowExec(windowExprs, funcs.map(_.get),
-                    orderSpec, metadata, sortedChild) :: Nil
-                case _ => Nil
-              }
-            case _ => Nil
+      orderSpec.head match {
+        case first @ SortOrder(attr: AttributeReference,
+            Ascending | Descending, _, _) =>
+          peelW(child, Nil) match {
+            case Some((rel, above)) => rel.scan match {
+              case scan: ExtJsonScan
+                  if rel.output.exists(_.exprId == attr.exprId) &&
+                    orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
+                val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
+                if (funcs.exists(_.isEmpty)) return Nil
+                scan.orderedBandPartitions(attr.name) match {
+                  case Some(bands) if bands.nonEmpty =>
+                    val desc = first.direction == Descending
+                    val ordered = OrderedBandScanExec(rel.output, orderSpec,
+                      scan, if (desc) bands.reverse else bands,
+                      claimOrdering = !desc && orderSpec.length == 1 &&
+                        first.nullOrdering == NullsFirst)
+                    val chain = restage(above, ordered)
+                    val sortedChild =
+                      if (ordered.claimOrdering) chain
+                      else SortExec(orderSpec, global = false, chain)
+                    // the metadata prefix is sound only when nothing
+                    // between the scan and the window drops rows: the scan
+                    // itself proves its side (orderedBandFileStats refuses
+                    // under any pushed filter/limit/agg mode), and a
+                    // peeled residual Filter above it must refuse too
+                    val metadata =
+                      if (above.exists(_.isInstanceOf[Filter])) None
+                      else metadataTotals(scan, rel.output, attr.name,
+                        funcs.map(_.get), desc)
+                    BandRunningWindowExec(windowExprs, funcs.map(_.get),
+                      orderSpec, metadata, sortedChild) :: Nil
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+            // no scan leaf: a running window OVER A MERGE-JOIN CHAIN —
+            // the chain exec already claims RangePartitioning + ordering
+            // on the band key, so the window decomposes over ITS
+            // partitions exactly as over the scan's bands (prefixes
+            // always computed: join output sizes have no sidecar form —
+            // the totals pass streams the chain once more, still zero
+            // exchange). ASC NULLS FIRST on the chain's own key only:
+            // the chain streams ASC and its partitions come in ASC band
+            // order, which a DESC window cannot reuse.
+            case None => peelJ(child, Nil) match {
+              case Some((join, above))
+                  if first.direction == Ascending &&
+                    first.nullOrdering == NullsFirst &&
+                    orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
+                val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
+                if (funcs.exists(_.isEmpty)) return Nil
+                mergeJoin.planChain(join) match {
+                  case Some(exec)
+                      if exec.outputOrdering.headOption.exists(_.child match {
+                        case a: AttributeReference => a.exprId == attr.exprId
+                        case _ => false
+                      }) =>
+                    val chain = restage(above, exec)
+                    val sortedChild =
+                      if (orderSpec.length == 1) chain
+                      else SortExec(orderSpec, global = false, chain)
+                    BandRunningWindowExec(windowExprs, funcs.map(_.get),
+                      orderSpec, None, sortedChild) :: Nil
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
           }
         case _ => Nil
       }
@@ -227,6 +301,19 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               if lo < 0 && lo >= -65536 => Some(Left(-lo))
           case _ => None
         }
+      // `RANGE BETWEEN x PRECEDING AND CURRENT ROW` — the VALUE-based
+      // sliding frame (a 7-DAY mean over a day key, not 7 rows): frame
+      // membership is a key-distance test, so the buffer holds only the
+      // rows whose key is within x of the current one. Integral order
+      // keys only (the distance arithmetic is the key's own); the
+      // boundary literal is the analyzer's, in any integral width
+      val rangeSlide: Option[Long] = spec.frameSpecification match {
+        case SpecifiedWindowFrame(RangeFrame, l: Literal, CurrentRow)
+            if l.value != null && integralVal(l.dataType) &&
+              asLong(l.value) < 0 =>
+          Some(-asLong(l.value))
+        case _ => None
+      }
       (fn, frame) match {
         case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
         case (_: Rank, Some(Right(true))) => Some(RunRank())
@@ -245,39 +332,43 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case Literal(b: Int, _) if b > 0 => Some(RunNTile(b))
             case _ => None
           }
-        // lag(x, n) with the default null default: the n-rows-back value
-        // in window order — its frame is the offset row, not a
-        // cumulative one, so it bypasses the frame gate. n = 1 keeps
-        // the single-value carry; bounded deeper offsets ride the
-        // sliding ring (prefix = the earlier bands' last n values);
-        // huge offsets fall through like huge sliding frames do
+        // lag(x, n[, default]): the n-rows-back value in window order —
+        // its frame is the offset row, not a cumulative one, so it
+        // bypasses the frame gate. n = 1 keeps the single-value carry;
+        // bounded deeper offsets ride the sliding ring (prefix = the
+        // earlier bands' last n values); huge offsets fall through like
+        // huge sliding frames do. A CONSTANT default (the analyzer
+        // coerces it to the input type) only replaces the
+        // fell-off-the-start null — Literal values are immutable
+        // internal representations, safe to retain and ship
         case (lg: org.apache.spark.sql.catalyst.expressions.Lag, _)
-            if !lg.ignoreNulls && orderable(lg.input.dataType) &&
-              (lg.default match {
-                case Literal(null, _) => true
-                case _ => false
-              }) =>
-          lg.inputOffset match {
-            case Literal(1, _) => Some(RunLag(lg.input))
-            case Literal(k: Int, _) if k > 1 && k <= 65536 =>
-              Some(RunSliding(lg.input, k, RunningWindow.SlideOp.LagN(k)))
-            case _ => None
+            if !lg.ignoreNulls && orderable(lg.input.dataType) =>
+          constDefault(lg.default, lg.input.dataType).flatMap { d =>
+            lg.inputOffset match {
+              case Literal(1, _) => Some(RunLag(lg.input, d))
+              case Literal(k: Int, _) if k > 1 && k <= 65536 =>
+                Some(RunSliding(lg.input, k,
+                  RunningWindow.SlideOp.LagN(k, d)))
+              case _ => None
+            }
           }
-        // lead(x, 1): the NEXT row's value — the one function whose
-        // cross-band carry flows BACKWARD (the last row of band i reads
-        // band i+1's first row), so its per-band total is the band's
-        // FIRST input value and the exec wires it as a SUFFIX
+        // lead(x, n[, default]): the value n rows AHEAD — the function
+        // family whose cross-band carry flows BACKWARD (the last rows of
+        // band i read band i+1's first rows), so a band's total is its
+        // FIRST n input values and the exec wires them as a SUFFIX.
+        // n = 1 keeps the one-row lookahead; deeper offsets delay
+        // emission behind an n-slot ring (the lag ring mirrored); the
+        // constant default replaces only the fell-off-the-END nulls
         case (ld: org.apache.spark.sql.catalyst.expressions.Lead, _)
-            if !ld.ignoreNulls && orderable(ld.input.dataType) &&
-              (ld.offset match {
-                case Literal(1, _) => true
-                case _ => false
-              }) &&
-              (ld.default match {
-                case Literal(null, _) => true
-                case _ => false
-              }) =>
-          Some(RunLead(ld.input))
+            if !ld.ignoreNulls && orderable(ld.input.dataType) =>
+          constDefault(ld.default, ld.input.dataType).flatMap { d =>
+            ld.offset match {
+              case Literal(1, _) => Some(RunLead(ld.input, d))
+              case Literal(k: Int, _) if k > 1 && k <= 65536 =>
+                Some(RunLeadN(ld.input, k, d))
+              case _ => None
+            }
+          }
         case (ae: AggregateExpression, Some(Right(rows)))
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
@@ -314,35 +405,84 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         // so double folds are bit-identical
         case (ae: AggregateExpression, Some(Left(n)))
             if !ae.isDistinct && ae.filter.isEmpty =>
-          import RunningWindow.SlideOp
-          ae.aggregateFunction match {
-            case c: Count if c.children.lengthCompare(1) == 0 =>
-              Some(RunSliding(c.children.head, n, SlideOp.Count))
-            case s: Sum => s.dataType match {
-              case LongType => Some(RunSliding(s.child, n,
-                SlideOp.SumLong(session.sessionState.conf.ansiEnabled)))
-              case DoubleType =>
-                Some(RunSliding(s.child, n, SlideOp.SumDouble))
-              case d: DecimalType => Some(RunSliding(s.child, n,
-                SlideOp.SumDecimal(d,
-                  session.sessionState.conf.ansiEnabled)))
-              case _ => None
-            }
-            case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
-                if a.dataType == DoubleType =>
-              Some(RunSliding(a.child, n, SlideOp.AvgDouble))
-            case m: Min if orderable(m.dataType) =>
-              Some(RunSliding(m.child, n, SlideOp.MinMax(m.dataType,
-                isMin = true)))
-            case m: Max if orderable(m.dataType) =>
-              Some(RunSliding(m.child, n, SlideOp.MinMax(m.dataType,
-                isMin = false)))
-            case _ => None
+          slideOpFor(ae).map { case (in, op) => RunSliding(in, n, op) }
+        // the VALUE-based sliding frame: same fold ops, but the buffer
+        // retains (key, value) pairs and evicts by key distance — frame
+        // size is data-dependent (dense keys hold more rows), bounded by
+        // the frame's actual row population, the same rows Spark's own
+        // WindowExec would buffer WHOLE. RANGE CURRENT ROW includes the
+        // entire tie group, so the value is group-scoped (read at group
+        // end) — tie groups share the frame, exactly SQL's semantics.
+        // Requires the single integral order key the strategy already
+        // proved is the band key (nulls impossible: the layout proof is
+        // null-free)
+        case (ae: AggregateExpression, None)
+            if rangeSlide.isDefined && !ae.isDistinct &&
+              ae.filter.isEmpty && orderSpec.lengthCompare(1) == 0 &&
+              integralVal(orderSpec.head.child.dataType) =>
+          slideOpFor(ae).map { case (in, op) =>
+            RunRangeSliding(orderSpec.head.child, in, rangeSlide.get,
+              orderSpec.head.direction == Descending, op)
           }
         case _ => None
       }
     case _ => None
   }
+
+  /** The sliding-frame aggregate set shared by the ROWS and RANGE
+    * bounded forms: (input expression, fold op), or None for anything
+    * outside the count/sum/avg/min/max family.
+    */
+  private def slideOpFor(ae: AggregateExpression)
+      : Option[(Expression, RunningWindow.SlideOp)] = {
+    import RunningWindow.SlideOp
+    ae.aggregateFunction match {
+      case c: Count if c.children.lengthCompare(1) == 0 =>
+        Some((c.children.head, SlideOp.Count))
+      case s: Sum => s.dataType match {
+        case LongType => Some((s.child,
+          SlideOp.SumLong(session.sessionState.conf.ansiEnabled)))
+        case DoubleType => Some((s.child, SlideOp.SumDouble))
+        case d: DecimalType => Some((s.child,
+          SlideOp.SumDecimal(d, session.sessionState.conf.ansiEnabled)))
+        case _ => None
+      }
+      case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+          if a.dataType == DoubleType =>
+        Some((a.child, SlideOp.AvgDouble))
+      case m: Min if orderable(m.dataType) =>
+        Some((m.child, SlideOp.MinMax(m.dataType, isMin = true)))
+      case m: Max if orderable(m.dataType) =>
+        Some((m.child, SlideOp.MinMax(m.dataType, isMin = false)))
+      case _ => None
+    }
+  }
+
+  /** Types whose internal value the RANGE frame's key-distance
+    * arithmetic can read as a long (dates excluded: their SQL frame
+    * boundaries are intervals, not bare integers).
+    */
+  private def integralVal(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+
+  /** lag/lead default as a plan-time constant, or None (an expression
+    * default — rare, but legal SQL — refuses the whole strategy). The
+    * analyzer coerces a constant default to the input type, so a typed
+    * literal either matches or the shape is one we must not guess at.
+    */
+  private def constDefault(e: Expression, dt: DataType): Option[Any] =
+    e match {
+      case Literal(null, _) => Some(null)
+      case Literal(v, ldt) if ldt == dt => Some(v)
+      case _ => None
+    }
 
   /** Atomic orderable types whose values the accumulator can RETAIN
     * safely (UTF8String is cloned; the rest are immutable) — arrays,
@@ -431,14 +571,18 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunLastNonNull => None // order-dependent: no sidecar form
           case _: RunLag => None // order-dependent: no sidecar form
           case _: RunLead => None // order-dependent: no sidecar form
+          case _: RunLeadN => None // order-dependent: no sidecar form
           case _: RunSliding => None // order-dependent: no sidecar form
+          case _: RunRangeSliding => None // order-dependent: no sidecar form
           // dense_rank's prefix is the earlier bands' DISTINCT-KEY
           // count — the v4 sidecar records exact per-file distincts for
           // monotone columns, and strict band disjointness makes them
           // additive ACROSS groups; valid only when the window orders
           // by exactly the band key (a tiebreak column would split tie
-          // groups the key-only count can't see) and each group is ONE
-          // file (overlapping merged files share keys unknowably)
+          // groups the key-only count can't see). Within a multi-file
+          // group the per-file counts CHAIN-fold when the files touch
+          // in at most single boundary values (the post-append,
+          // pre-compact layout); genuine overlap refuses
           case RunDenseRank(order) =>
             val keyOnly = order.lengthCompare(1) == 0 &&
               (order.head.child match {
@@ -446,9 +590,9 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                   relOutput.exists(_.exprId == a.exprId)
                 case _ => false
               })
-            if (keyOnly && files.lengthCompare(1) == 0)
-              files.head.cols.get(keyCol).flatMap(_.distinct)
-                .map(java.lang.Long.valueOf)
+            if (keyOnly)
+              relOutput.find(_.name == keyCol)
+                .flatMap(a => chainDistinct(files, keyCol, a.dataType))
             else None
           case RunMinMax(input, dt, isMin, _) => scanCol(input) match {
             case Some(n) =>
@@ -476,6 +620,41 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     val cs = files.map(_.cols.get(col))
     if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
   }
+
+  /** Exact distinct-key count of one band GROUP from the v4 sidecar's
+    * per-file distincts. One file answers directly; a multi-file group
+    * (files merged because their ranges touch or overlap) folds when
+    * the files form a CHAIN overlapping in at most single boundary
+    * values: counts ADD, minus one per adjacent pair sharing its
+    * boundary (min/max ARE that boundary for a monotone null-free
+    * file) — the same rule the metadata COUNT(DISTINCT) pushdown
+    * applies across files. Genuine overlap returns None (the distincts
+    * would double-count unknowably), falling back to the computed pass.
+    */
+  private def chainDistinct(files: Seq[ZoneMaps.FileStats], keyCol: String,
+      dt: DataType): Option[java.lang.Long] = {
+    val stats = files.flatMap { f =>
+      f.cols.get(keyCol) match {
+        case Some(cs) =>
+          if (cs.rows - cs.nulls == 0L) None // contributes no keys
+          else if (cs.distinct.isEmpty || cs.min.isEmpty) return None
+          else Some((cs.min.get, cs.max.get, cs.distinct.get))
+        case None => return None
+      }
+    }
+    if (stats.isEmpty) return Some(java.lang.Long.valueOf(0L))
+    val sorted = stats.sortWith((a, b) =>
+      FilterEval.compareInternal(dt, a._1, b._1) < 0)
+    var total = sorted.head._3
+    var prevMax = sorted.head._2
+    sorted.drop(1).foreach { case (mn, mx, d) =>
+      val c = FilterEval.compareInternal(dt, mn, prevMax)
+      if (c < 0) return None // genuine overlap
+      total += d - (if (c == 0) 1L else 0L)
+      if (FilterEval.compareInternal(dt, mx, prevMax) > 0) prevMax = mx
+    }
+    Some(java.lang.Long.valueOf(total))
+  }
 }
 
 /** The running-function specs and their per-partition accumulators.
@@ -486,6 +665,13 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
   * renders the current state in the function's result type.
   */
 private[plans] object RunningWindow {
+
+  /** One delayed output row of the deep-lead ring: the copied input row
+    * and its window values (the lead slots fill in as their source rows
+    * arrive, up to n positions later).
+    */
+  private[plans] final class PendingRow(val row: UnsafeRow,
+      val vals: GenericInternalRow)
 
   sealed trait RunAcc {
     def update(row: InternalRow): Unit
@@ -777,16 +963,17 @@ private[plans] object RunningWindow {
     }
   }
 
-  /** `lead(x, 1)` — the NEXT row's value in window order (null at the
-    * very last row): lag's mirror. Its accumulator serves only the
-    * totals pass (the band's FIRST input value, order-sensitive); the
-    * exec evaluates the function itself with a one-row lookahead over
-    * the buffered stream and wires each band's last row to the next
-    * band's first value as a SUFFIX — the only backward-flowing carry
-    * in the family. Deterministic under the same unique-order-key
-    * caveat as lag.
+  /** `lead(x, 1[, default])` — the NEXT row's value in window order
+    * (the constant default at the very last row): lag's mirror. Its
+    * accumulator serves only the totals pass (the band's FIRST input
+    * value, order-sensitive); the exec evaluates the function itself
+    * with a one-row lookahead over the buffered stream and wires each
+    * band's last row to the next band's first value as a SUFFIX — the
+    * backward-flowing carry of the family. Deterministic under the same
+    * unique-order-key caveat as lag.
     */
-  final case class RunLead(input: Expression) extends RunningFunc {
+  final case class RunLead(input: Expression, default: Any = null)
+      extends RunningFunc {
     override def rowsFrame: Boolean = true
     override def orderSensitive: Boolean = true
     override def bound(in: Seq[Attribute]): RunningFunc =
@@ -811,6 +998,42 @@ private[plans] object RunningWindow {
         }
       }
       override def value(): Any = first
+    }
+  }
+
+  /** `lead(x, n[, default])` for n ≥ 2 — the lag ring MIRRORED: the
+    * exec delays each row's emission behind an n-slot ring (the value
+    * arrives with the row n positions ahead), and the per-band total is
+    * the band's FIRST n input values — the bounded backward carry the
+    * lead(1) suffix generalizes to. The accumulator serves only the
+    * totals pass; `value()` is never read (the exec fills lead slots at
+    * ring push / flush time). O(n) memory per partition, same 65,536
+    * guard as the sliding frames.
+    */
+  final case class RunLeadN(input: Expression, n: Int, default: Any)
+      extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val firsts =
+        new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
+      private def retain(v: Any): Any = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      override def update(row: InternalRow): Unit =
+        if (firsts.length < n) firsts += retain(input.eval(row))
+      override def total(): Any = firsts.toArray[Any]
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        // band-order fold: an earlier band's firsts take precedence;
+        // later bands only top the window up to n values
+        val a = t.asInstanceOf[Array[Any]]
+        var i = 0
+        while (firsts.length < n && i < a.length) { firsts += a(i); i += 1 }
+      }
+      override def value(): Any = null
     }
   }
 
@@ -878,17 +1101,17 @@ private[plans] object RunningWindow {
         if (n == 0L) null else s / n
       }
     }
-    /** `lag(x, n)` over the ring: the OLDEST buffered value when the
-      * ring holds exactly n+1 (the current row plus its n predecessors
-      * — positions count ROWS, so null values ride along), null while
-      * the global position is still under n.
+    /** `lag(x, n[, default])` over the ring: the OLDEST buffered value
+      * when the ring holds exactly n+1 (the current row plus its n
+      * predecessors — positions count ROWS, so null values ride along),
+      * the constant default while the global position is still under n.
       */
-    final case class LagN(n: Int) extends SlideOp {
+    final case class LagN(n: Int, default: Any = null) extends SlideOp {
       override def fold(values: Iterator[Any]): Any = {
         var first: Any = null
         var cnt = 0
         values.foreach { v => if (cnt == 0) first = v; cnt += 1 }
-        if (cnt == n + 1) first else null
+        if (cnt == n + 1) first else default
       }
     }
 
@@ -953,11 +1176,11 @@ private[plans] object RunningWindow {
         // lag is O(1) on the ring: size and oldest element are direct
         // deque queries — no per-row scan of up-to-n values (Spark's own
         // OffsetWindowFunctionFrame is O(1) per row too)
-        case SlideOp.LagN(k) =>
+        case SlideOp.LagN(k, d) =>
           if (ring.size == k + 1) {
             val v = ring.peekFirst()
             if (v eq NullToken) null else v
-          } else null
+          } else d
         case _ =>
           val it = ring.iterator()
           op.fold(new Iterator[Any] {
@@ -975,13 +1198,103 @@ private[plans] object RunningWindow {
     /** ArrayDeque rejects nulls; legitimate null inputs ride as this
       * sentinel and unwrap at fold/snapshot time.
       */
-    private val NullToken: AnyRef = new java.io.Serializable {
+    private[RunningWindow] val NullToken: AnyRef = new java.io.Serializable {
       override def toString: String = "<null>"
     }
   }
 
-  /** `lag(x, 1)` — the previous row's value in window order (null at the
-    * very first row): the global delta / time-series step shape.
+  /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d PRECEDING AND CURRENT
+    * ROW)` — the VALUE-based sliding frame (the 7-day mean): the
+    * accumulator retains (key, value) pairs and EVICTS by key distance
+    * (> d from the current key — or the mirrored direction under DESC),
+    * so the buffer holds exactly the frame's live rows; each group-end
+    * value folds the buffered values in stream order (RANGE CURRENT ROW
+    * spans the whole tie group, so the value is group-scoped — tie
+    * groups share the frame, SQL's peer semantics). The per-band TOTAL
+    * is the band's own trailing frame (entries within d of its last
+    * key — every future row is farther out, so nothing else can matter),
+    * merged band-to-band with the same eviction. Memory is O(live frame
+    * rows) of (long, value) pairs — the SAME row population Spark's own
+    * WindowExec buffers as whole spillable rows for this frame, held
+    * smaller. The layout proof is null-free, so the key never needs a
+    * null peer group.
+    */
+  final case class RunRangeSliding(key: Expression, input: Expression,
+      d: Long, desc: Boolean, op: SlideOp) extends RunningFunc {
+    override def rowsFrame: Boolean = false
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(key = BindReferences.bindReference(key, in),
+        input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val NullToken: AnyRef = RunSliding.NullToken
+      private val keys = new java.util.ArrayDeque[java.lang.Long]()
+      private val vals = new java.util.ArrayDeque[AnyRef]()
+      private def retain(v: Any): Any = v match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      // keep entry k for current key c: ASC → c - k ≤ d (k can never
+      // exceed c in a sorted stream); DESC → k - c ≤ d
+      private def evict(cur: Long): Unit = {
+        var go = true
+        while (go && !keys.isEmpty) {
+          val k = keys.peekFirst().longValue()
+          if ((if (desc) k - cur else cur - k) > d) {
+            keys.removeFirst(); vals.removeFirst()
+          } else go = false
+        }
+      }
+      override def update(row: InternalRow): Unit = {
+        val c = key.eval(row).asInstanceOf[Number].longValue()
+        evict(c)
+        keys.addLast(java.lang.Long.valueOf(c))
+        val v = retain(input.eval(row))
+        vals.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
+      }
+      override def total(): Any = {
+        val ks = new Array[Any](keys.size)
+        val vs = new Array[Any](vals.size)
+        var i = 0
+        val ki = keys.iterator(); val vi = vals.iterator()
+        while (ki.hasNext) {
+          ks(i) = ki.next().longValue()
+          val v = vi.next()
+          vs(i) = if (v eq NullToken) null else v
+          i += 1
+        }
+        Array[Any](ks, vs)
+      }
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        val ks = a(0).asInstanceOf[Array[Any]]
+        val vs = a(1).asInstanceOf[Array[Any]]
+        var i = 0
+        while (i < ks.length) {
+          keys.addLast(java.lang.Long.valueOf(ks(i).asInstanceOf[Long]))
+          vals.addLast(if (vs(i) == null) NullToken
+            else vs(i).asInstanceOf[AnyRef])
+          i += 1
+        }
+        // the merged band's own last key is the tightest future bound
+        if (!keys.isEmpty) evict(keys.peekLast().longValue())
+      }
+      override def value(): Any = {
+        val it = vals.iterator()
+        op.fold(new Iterator[Any] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): Any = {
+            val v = it.next()
+            if (v eq NullToken) null else v
+          }
+        })
+      }
+    }
+  }
+
+  /** `lag(x, 1[, default])` — the previous row's value in window order
+    * (the constant default at the very first row): the global delta /
+    * time-series step shape.
     * Order-sensitive; the prefix is the PRECEDING band's last row value,
     * carried as a (value, sawRows) pair so an earlier band's legitimate
     * null value is distinguishable from an empty prefix and still
@@ -991,7 +1304,8 @@ private[plans] object RunningWindow {
     * the assignment within ties is layout-defined, exactly as WindowExec's
     * is partition-defined).
     */
-  final case class RunLag(input: Expression) extends RunningFunc {
+  final case class RunLag(input: Expression, default: Any = null)
+      extends RunningFunc {
     override def rowsFrame: Boolean = true
     override def orderSensitive: Boolean = true
     override def bound(in: Seq[Attribute]): RunningFunc =
@@ -1005,7 +1319,7 @@ private[plans] object RunningWindow {
         case other => other
       }
       override def update(row: InternalRow): Unit = {
-        emitVal = if (sawRows) prev else null
+        emitVal = if (sawRows) prev else default
         prev = retain(input.eval(row))
         sawRows = true
       }
@@ -1160,7 +1474,35 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
             .collectFirst {
               case a if a(1).asInstanceOf[java.lang.Boolean].booleanValue() =>
                 a(0)
-            }.orNull
+            }.getOrElse( // no later band has rows: the global last row —
+              // the constant default is what fell off the end
+              bound(j).asInstanceOf[RunningWindow.RunLead].default)
+        }
+      }
+    // deep leads (n ≥ 2): emission delays behind an n-slot ring; each
+    // partition's SUFFIX is the concatenation of the LATER partitions'
+    // first-n values (each RunLeadN total is its band's first ≤ n input
+    // values), padded to exactly n with the constant default — the
+    // values the partition's last n rows read from beyond its end
+    val deepIdxs: Array[Int] = bound.zipWithIndex
+      .collect { case (_: RunningWindow.RunLeadN, j) => j }.toArray
+    val deepSuffixes: Array[Array[Array[Any]]] =
+      if (deepIdxs.isEmpty) null
+      else Array.tabulate(totals.length) { i =>
+        deepIdxs.map { j =>
+          val f = bound(j).asInstanceOf[RunningWindow.RunLeadN]
+          val out = new Array[Any](f.n)
+          var z = 0
+          while (z < f.n) { out(z) = f.default; z += 1 }
+          var k = 0
+          totals.drop(i + 1).iterator
+            .map(_(j).asInstanceOf[Array[Any]])
+            .takeWhile(_ => k < f.n)
+            .foreach { a =>
+              var q = 0
+              while (k < f.n && q < a.length) { out(k) = a(q); k += 1; q += 1 }
+            }
+          out
         }
       }
     val ordering = new LazilyGeneratedOrdering(orderSpec, childOut)
@@ -1177,14 +1519,21 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     rdd.mapPartitionsWithIndex { (i, iter) =>
       val accs = bound.zip(grands).map { case (f, g) => f.newAcc(g) }
       accs.zip(offsets(i)).foreach { case (a, o) => a.mergeTotal(o) }
-      // lead is rows-framed but evaluated by LOOKAHEAD, not through its
-      // accumulator — exclude it from the per-row update set
+      // lead is rows-framed but evaluated by LOOKAHEAD (n = 1) or the
+      // delay ring (n ≥ 2), not through its accumulator — exclude both
+      // from the per-row update set
       val perRow = bound.zipWithIndex.filter(f => f._1.rowsFrame &&
-        !f._1.isInstanceOf[RunningWindow.RunLead]).map(_._2)
+        !f._1.isInstanceOf[RunningWindow.RunLead] &&
+        !f._1.isInstanceOf[RunningWindow.RunLeadN]).map(_._2)
       val leadInputs: Array[Expression] = leadIdxs.map(j =>
         bound(j).asInstanceOf[RunningWindow.RunLead].input)
       val leadSuffix: Array[Any] =
         if (leadIdxs.isEmpty) null else leadSuffixes(i)
+      val deepFuncs: Array[RunningWindow.RunLeadN] = deepIdxs.map(j =>
+        bound(j).asInstanceOf[RunningWindow.RunLeadN])
+      val deepSuffix: Array[Array[Any]] =
+        if (deepIdxs.isEmpty) null else deepSuffixes(i)
+      val deep = deepIdxs.nonEmpty
       val atStart = bound.zipWithIndex
         .filter(f => !f._1.rowsFrame && f._1.groupStart).map(_._2)
       val atEnd = bound.zipWithIndex
@@ -1195,10 +1544,13 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
       val winRow = new GenericInternalRow(bound.length)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(schema, schema)
-      new Iterator[InternalRow] {
+      // the deep-lead path emits DELAYED carriers (copied row + its
+      // window values) instead of projected rows — type-erased so the
+      // common path stays allocation-free per row
+      val inner: Iterator[AnyRef] = new Iterator[AnyRef] {
         private val groupVals = new Array[Any](bound.length)
         private var pending: UnsafeRow = _
-        private var emit: Iterator[InternalRow] = Iterator.empty
+        private var emit: Iterator[AnyRef] = Iterator.empty
 
         private def loadGroup(): Unit = {
           buf.clear()
@@ -1225,25 +1577,32 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
           val ahead =
             if (leadIdxs.isEmpty) null else buf.generateIterator(1)
           emit = buf.generateIterator().map { row =>
+            val wr =
+              if (deep) new GenericInternalRow(bound.length) else winRow
             var k = 0
-            while (k < bound.length) { winRow(k) = groupVals(k); k += 1 }
+            while (k < bound.length) { wr(k) = groupVals(k); k += 1 }
             perRow.foreach { j =>
               accs(j).update(row)
-              winRow(j) = accs(j).value()
+              wr(j) = accs(j).value()
             }
             if (ahead != null) {
               val nxt: InternalRow =
                 if (ahead.hasNext) ahead.next() else pending
               var p = 0
               while (p < leadIdxs.length) {
-                winRow(leadIdxs(p)) =
+                wr(leadIdxs(p)) =
                   if (nxt != null) leadInputs(p).eval(nxt)
                   else leadSuffix(p)
                 p += 1
               }
             }
-            rows += 1
-            proj(joined(row, winRow))
+            if (deep)
+              new RunningWindow.PendingRow(
+                row.asInstanceOf[UnsafeRow].copy(), wr)
+            else {
+              rows += 1
+              proj(joined(row, wr)): AnyRef
+            }
           }
         }
 
@@ -1252,9 +1611,73 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
             loadGroup()
           emit.hasNext
         }
-        override def next(): InternalRow = {
+        override def next(): AnyRef = {
           if (!hasNext) throw new NoSuchElementException
           emit.next()
+        }
+      }
+      if (!deep) inner.asInstanceOf[Iterator[InternalRow]]
+      else new Iterator[InternalRow] {
+        // the deep-lead DELAY RING: a row emits when the row nMax
+        // positions ahead arrives (func j's slot was filled when row
+        // +n_j arrived — n_j ≤ nMax, so a popped row is complete), or at
+        // partition end from the suffix. A slot's source row is still in
+        // the ring (or a driver-held suffix constant) at projection
+        // time, so its buffer-backed values are valid until the
+        // projection copies them.
+        private val nMax = deepFuncs.map(_.n).max
+        private val cap = nMax + 1
+        private val ring = new Array[RunningWindow.PendingRow](cap)
+        private var start = 0
+        private var count = 0
+        private var flushPos = -1
+
+        private def emitRow(pr: RunningWindow.PendingRow): InternalRow = {
+          rows += 1
+          proj(joined(pr.row, pr.vals))
+        }
+
+        override def hasNext: Boolean = count > 0 || inner.hasNext
+
+        override def next(): InternalRow = {
+          while (flushPos < 0 && inner.hasNext) {
+            val pr = inner.next().asInstanceOf[RunningWindow.PendingRow]
+            ring((start + count) % cap) = pr
+            count += 1
+            // the new arrival is func j's source for the row n_j back
+            var p = 0
+            while (p < deepIdxs.length) {
+              val off = count - 1 - deepFuncs(p).n
+              if (off >= 0)
+                ring((start + off) % cap).vals(deepIdxs(p)) =
+                  deepFuncs(p).input.eval(pr.row)
+              p += 1
+            }
+            if (count == cap) {
+              val out = ring(start)
+              ring(start) = null
+              start = (start + 1) % cap
+              count -= 1
+              return emitRow(out)
+            }
+          }
+          // partition exhausted: flush the ≤ nMax delayed rows; slots
+          // whose source never arrived (n_j rows past the end) read the
+          // suffix — later bands' first values, default-padded
+          if (count == 0) throw new NoSuchElementException
+          if (flushPos < 0) flushPos = 0
+          val pr = ring((start + flushPos) % cap)
+          val d = count - 1 - flushPos // rows after this one
+          var p = 0
+          while (p < deepIdxs.length) {
+            val n = deepFuncs(p).n
+            if (n > d) pr.vals(deepIdxs(p)) = deepSuffix(p)(n - d - 1)
+            p += 1
+          }
+          flushPos += 1
+          val out = emitRow(pr)
+          if (flushPos >= count) count = 0
+          out
         }
       }
     }

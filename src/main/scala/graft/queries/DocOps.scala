@@ -1029,6 +1029,50 @@ object DocOps {
       dir
     })
 
+  private val decodedDiffRj = StructType(Seq(
+    StructField("dk", LongType)))
+
+  /** The SNAPSHOT-DIFF side: every third order key plus 50 keys BEYOND
+    * the orders drop's range — so a full outer join has matched,
+    * left-only, and right-only rows, including a whole right-only band
+    * component past the left side's last band. Co-banded with the
+    * orders drop (same bounds).
+    */
+  private def diffJoinDir(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangediff", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgd_$tag")}/diff"
+      val orders = Tables.orders(s, d)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val bounds = Some((1 to 4).map(i => maxKey * i / 5): Seq[Any])
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("dk"))
+          .union(s.range(1, 51).select((lit(maxKey) + col("id")).as("dk"))),
+        "dk", dir, numBands = 5, zoneCols = Seq("dk"), bounds = bounds)
+      dir
+    })
+
+  /** FULL OUTER range merge — the SNAPSHOT DIFF at scale: matched,
+    * left-only (dropped), and right-only (added) keys in ONE streamed
+    * pass over two co-banded drops, zero exchange, zero sort
+    * ([[graft.plans.RangeMergeJoinStrategy]] — the ordinary plan
+    * shuffles AND sorts both corpora). Right-only rows carry a null
+    * left key, so the exec honestly drops its ordering/partitioning
+    * claims; the diff itself needs neither.
+    */
+  private def q193RangeMergeFullOuter(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val dd = ExtendedJson.read(s, decodedDiffRj, diffJoinDir(s, d),
+      Map("zoneMaps" -> "true"))
+    o.join(dd, o("o_orderkey") === dd("dk"), "full_outer")
+      .select(col("o_orderkey"), col("o_totalprice"), col("dk"))
+  }
+
   /** The lineitem side of the co-banded join family — exposed so
     * SQL-text plan pins can register it as a view.
     */
@@ -1493,6 +1537,85 @@ object DocOps {
         lead(col("v"), 1).over(w).as("next_v"))
   }
 
+  /** WINDOW OVER THE MERGE CHAIN — q185's enrich+decontaminate chain
+    * with a running total `OVER (ORDER BY o_orderkey)` on top, zero
+    * exchange END-TO-END: the chained merge exec claims
+    * RangePartitioning + ordering on the band key, and the band window
+    * strategy now accepts it as its child — per-partition local running
+    * aggregation plus computed prefixes (ONE extra streamed pass of the
+    * chain for the totals; no exchange anywhere). Previously the
+    * windowed form re-collapsed the chain's zero-exchange stream into a
+    * single partition. Duplicate order keys (one order × its lineitems)
+    * are tie groups sharing the running value — deterministic, so
+    * hash-checkable.
+    */
+  private def q192RangeChainWindow(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val li = ExtendedJson.read(s, decodedLineitemRj, s"$base/lineitem",
+      Map("zoneMaps" -> "true"))
+    val c = ExtendedJson.read(s, decodedContamRj, contamJoinDir(s, d),
+      Map("zoneMaps" -> "true"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(c, o("o_orderkey") === c("ck"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"),
+        sum(col("l_linenumber")).over(w).as("run_ln"),
+        count(lit(1)).over(w).as("run_n"))
+  }
+
+  /** VALUE-based sliding frame — the 7-DAY mean over the day-banded
+    * landing: `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on the int
+    * day key is what time-series users actually write (7 days, not 7
+    * rows), and it previously collapsed to the single-partition
+    * WindowExec. The band strategy buffers only the frame's live
+    * (key, value) pairs, evicting by key distance, with the trailing
+    * frame carried across bands
+    * ([[graft.plans.RunningWindow.RunRangeSliding]]) — zero exchange.
+    * Duplicate days are peer groups sharing the frame (tie-deterministic,
+    * so hash-checkable); the avg rides as sum/count, not a windowed
+    * avg, per the house oracle rule.
+    */
+  private def q191RangeValueSliding(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.orderBy(col("o_day"))
+      .rangeBetween(-6, Window.currentRow)
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_day"), col("o_custkey"),
+        sum(col("o_custkey")).over(wv).as("w7_sum"),
+        count(lit(1)).over(wv).as("w7_n"),
+        min(col("o_custkey")).over(wv).as("w7_min"),
+        max(col("o_custkey")).over(wv).as("w7_max"))
+      .withColumn("w7_avg", col("w7_sum").cast("double") / col("w7_n"))
+  }
+
+  /** DEEP OFFSETS with DEFAULTS — `lead(v, 3)`, `lag(v, 2, -1)` and
+    * `lead(v, 1, -5)` over the range layout, zero exchange: deep lead
+    * delays each row's emission behind a 3-slot ring whose cross-band
+    * SUFFIX is the next bands' first values
+    * ([[graft.plans.RunningWindow.RunLeadN]]); lag(2, -1) rides the
+    * O(1) ring with the constant default replacing the
+    * fell-off-the-start nulls; lead(1, -5) keeps the one-row lookahead
+    * with a defaulted global last row. The unique oid key makes every
+    * pairing deterministic and oracle-checkable.
+    */
+  private def q190RangeDeepOffsets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(col("oid"), col("v"),
+        lead(col("v"), 3).over(w).as("next3"),
+        lag(col("v"), 2, -1L).over(w).as("prev2"),
+        lead(col("v"), 1, -5L).over(w).as("next1d"))
+  }
+
   /** CONJUNCTIVE merge join — `l.k = r.k AND <cross-side residual>`:
     * the merge runs on the provable band-key equality while the extra
     * conjunct (referencing BOTH sides, so no pushdown can strip it)
@@ -1557,6 +1680,10 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_docsource_range_merge_full_outer" -> q193RangeMergeFullOuter,
+    "q192_docsource_range_chain_window" -> q192RangeChainWindow,
+    "q191_docsource_range_value_sliding" -> q191RangeValueSliding,
+    "q190_docsource_range_deep_offsets" -> q190RangeDeepOffsets,
     "q189_docsource_range_group_topn" -> q189RangeGroupTopN,
     "q188_docsource_range_inplace_compacted" -> q188RangeInPlaceCompactedScan,
     "q187_docsource_metadata_distinct_count" -> q187MetadataDistinctCount,
@@ -1715,6 +1842,41 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q193_docsource_range_merge_full_outer" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, d.dk FROM orders o " +
+        "FULL JOIN (SELECT o_orderkey AS dk FROM orders " +
+        "WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT (SELECT max(o_orderkey) FROM orders) + r " +
+        "AS dk FROM range(1, 51) t(r)) d ON d.dk = o.o_orderkey"),
+    "q192_docsource_range_chain_window" ->
+      ("WITH j AS (SELECT o.o_orderkey, o.o_totalprice, " +
+        "CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderkey % 7 <> 0) " +
+        "SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity, " +
+        "CAST(sum(l_linenumber) OVER (ORDER BY o_orderkey) AS BIGINT) " +
+        "AS run_ln, " +
+        "count(*) OVER (ORDER BY o_orderkey) AS run_n FROM j"),
+    "q191_docsource_range_value_sliding" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders) " +
+        "SELECT o_day, o_custkey, " +
+        "CAST(sum(o_custkey) OVER w AS BIGINT) AS w7_sum, " +
+        "count(*) OVER w AS w7_n, " +
+        "min(o_custkey) OVER w AS w7_min, " +
+        "max(o_custkey) OVER w AS w7_max, " +
+        "CAST(CAST(sum(o_custkey) OVER w AS BIGINT) AS DOUBLE) / " +
+        "count(*) OVER w AS w7_avg FROM o " +
+        "WINDOW w AS (ORDER BY o_day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"),
+    "q190_docsource_range_deep_offsets" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "lead(v, 3) OVER (ORDER BY oid) AS next3, " +
+        "lag(v, 2, -1) OVER (ORDER BY oid) AS prev2, " +
+        "lead(v, 1, -5) OVER (ORDER BY oid) AS next1d FROM o"),
     "q186_docsource_range_sliding_lead" ->
       // avg rides as CAST(sum)/count, NOT DuckDB's windowed avg(): the
       // integer sums make that division exact and engine-identical,

@@ -324,13 +324,18 @@ object CorpusSink {
     * manifest → the inputs are intact, discard staging and refold;
     * manifest present → every finish step is idempotent (renames skip
     * moved files, deletes skip missing ones, the append indexes only
-    * unindexed files under a manifest-derived tag). NOT safe for
-    * concurrent readers mid-call (between the rename and the deletes a
-    * reader would see duplicate rows) — run it as the maintenance op it
-    * is, like any overwrite. Stale sidecar rows for the deleted files
-    * are inert (planning keys stats by (file, len, mtime) against the
-    * LIVE listing) and fold away via the sidecar's own compaction.
-    * Returns the number of compacted files landed.
+    * unindexed files under a manifest-derived tag). CONCURRENT READERS
+    * are generation-pinned: while the manifest exists, the scan's
+    * listing reads either the covered set or the compact set, never a
+    * mix (the rename→delete window that once showed duplicate rows —
+    * see the listing's `pinGeneration`), so long-running readers
+    * coexist with the maintenance op; mid-fold reads of the NEW
+    * generation simply lose the band proofs until the sidecar append
+    * lands (stats-gated plans fall back, correctness holds). Stale
+    * sidecar rows for the deleted files are inert (planning keys stats
+    * by (file, len, mtime) against the LIVE listing) and fold away via
+    * the sidecar's own compaction. Returns the number of compacted
+    * files landed.
     */
   def compactRangeIndexedInPlace(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType, dir: String,
@@ -357,19 +362,50 @@ object CorpusSink {
 
   private val CompactManifest = "_covered.json"
 
-  /** Visible nonempty data files under the drop, as root-relative
-    * paths — exactly the set the ordered read plans (the SAME walk the
-    * scan's listing uses: hidden `_`/`.` entries, including the sidecar
-    * and the staging dir, skipped at every level; zero-length files
-    * skipped like the read skips them).
+  /** Root-relative path of the in-place fold's commit manifest — shared
+    * with the READER's generation pinning
+    * ([[graft.ingest.v2.DocListing]]): while this file exists, a listing
+    * must read one generation, never a mix.
+    */
+  private[graft] val CompactManifestRelPath: String =
+    s"_compact/$CompactManifest"
+
+  /** Parse + validate the compact manifest — the one grammar both the
+    * fold's finish and the reader's generation pinning share. Validation
+    * is by RE-RENDER byte equality (no truncation or damage can slip
+    * past); throws on a damaged manifest — with the atomic temp+rename
+    * commit that cannot happen, and silently guessing would risk
+    * permanent duplicate rows.
+    */
+  private[graft] def parseCompactManifest(manifest: String)
+      : (String, Seq[String]) = {
+    val strings = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(manifest).map(m => junesc(m.group(1))).toList
+    val (tag, covered) = strings match {
+      case "tag" :: t :: "covered" :: files => (t, files)
+      case other => throw new IllegalStateException(
+        s"damaged compaction manifest: fields ${other.take(3)}")
+    }
+    require(renderCompactManifest(tag, covered) == manifest,
+      s"damaged compaction manifest (round-trip mismatch): " +
+        manifest.take(200))
+    (tag, covered)
+  }
+
+  /** Visible nonempty data files under the drop, as (root-relative
+    * path, length, mtime) — exactly the set the ordered read plans (the
+    * SAME walk the scan's listing uses: hidden `_`/`.` entries,
+    * including the sidecar and the staging dir, skipped at every level;
+    * zero-length files skipped like the read skips them).
     */
   private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[String] = {
+      root: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
     val rootUri = root.toUri
     graft.ingest.v2.DocListing
       .walkFiles(fs, fs.listStatus(root).toSeq)
       .map(st =>
-        rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath)
+        (rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath,
+          st.getLen, st.getModificationTime))
   }
 
   /** Stage the fold: write the merged stream to `_compact/data`, then
@@ -384,7 +420,8 @@ object CorpusSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the covered set is the live listing the ordered read below plans
     // from (single writer — the contract every overwrite shares)
-    val covered = visibleDataFiles(fs, root)
+    val coveredStats = visibleDataFiles(fs, root)
+    val covered = coveredStats.map(_._1)
     val staging = new org.apache.hadoop.fs.Path(root, "_compact")
     graft.ingest.ExtendedJson.read(spark, schema, root.toString,
       Map("zoneMaps" -> "true"))
@@ -392,15 +429,20 @@ object CorpusSink {
       .select(to_json(struct(schema.fieldNames.map(col): _*)).as("value"))
       .write.mode("overwrite")
       .text(new org.apache.hadoop.fs.Path(staging, "data").toString)
-    // tag: a pure function of the covered set — unique across
-    // successive compactions (the covered names change every time),
-    // stable across crash replays of THIS fold
+    // tag: a pure function of the covered (name, len, mtime) set —
+    // unique across successive compactions even if a deterministic
+    // re-landing reproduces identical relative NAMES (a name-only tag
+    // colliding with stale compact-<tag>-* residue would make the
+    // finish treat freshly staged parts as already renamed and delete
+    // them — row loss), stable across crash replays of THIS fold (the
+    // covered files are untouched until finish)
     val tag = java.lang.Long.toHexString(
-      covered.sorted.map(org.apache.spark.unsafe.types.UTF8String.fromString)
-        .foldLeft(17L)((h, s) => h * 31 +
-          org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-              s.numBytes, 42L)))
+      coveredStats.sorted.map { case (n, len, mt) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$n|$len|$mt")
+      }.foldLeft(17L)((h, s) => h * 31 +
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)))
     val json = renderCompactManifest(tag, covered)
     // ATOMIC commit: write to a hidden temp name, then rename — a crash
     // mid-write must never leave a partial file AT the manifest path
@@ -443,25 +485,11 @@ object CorpusSink {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    // the manifest is this module's own two-field rendering; the commit
-    // rename guarantees it is complete, and the parse VALIDATES that by
-    // ROUND-TRIP: re-render the parsed fields and require byte equality
-    // with what was read (the failure mode to never have: a damaged
-    // manifest read as an empty/partial covered list, which would leave
-    // superseded files in place beside their compacted copies —
-    // permanent duplicate rows). Tokens are extracted with the
-    // escape-aware string regex and [[junesc]] — the same grammar the
-    // shard manifest uses.
-    val strings = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(manifest).map(m => junesc(m.group(1))).toList
-    val (tag, covered) = strings match {
-      case "tag" :: t :: "covered" :: files => (t, files)
-      case other => throw new IllegalStateException(
-        s"damaged compaction manifest: fields ${other.take(3)}")
-    }
-    require(renderCompactManifest(tag, covered) == manifest,
-      s"damaged compaction manifest (round-trip mismatch): " +
-        manifest.take(200))
+    // the shared parse validates by round-trip re-render (see
+    // [[parseCompactManifest]]) — the failure mode to never have: a
+    // damaged manifest read as an empty/partial covered list, which
+    // would leave superseded files beside their compacted copies
+    val (tag, covered) = parseCompactManifest(manifest)
     val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
     // zero-length staged part files (empty write partitions) are
     // dropped, not renamed in — reads skip empty files, so landing them

@@ -599,6 +599,66 @@ class CorpusSinkSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root5, "_compact")))
   }
 
+  test("generation-pinned reads: a mid-finish listing sees exactly ONE generation, both orders") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("score", DoubleType)))
+    def batch(r: Range) =
+      r.map(i => (i.toLong, ((i * 137) % 100) * 10.0)).toDF("doc_id", "score")
+    val dir = Files.createTempDirectory("graft_genpin").toString + "/docs"
+    CorpusSink.landJsonlRangeIndexed(batch(1 to 200), "score", dir,
+      numBands = 3, zoneCols = Seq("score", "doc_id"))
+    CorpusSink.landJsonlRangeIndexed(batch(201 to 300), "score", dir,
+      numBands = 2, zoneCols = Seq("score", "doc_id"),
+      appendTag = Some("b1"))
+    def readAll() = graft.ingest.ExtendedJson.read(spark, schema, dir,
+      Map("zoneMaps" -> "true")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val want = readAll()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    CorpusSink.stageCompaction(spark, schema, root, "score")
+    val manifest = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root,
+        CorpusSink.CompactManifestRelPath))
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val (tag, covered) = CorpusSink.parseCompactManifest(manifest)
+    val staged = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_compact/data")).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && st.getLen > 0 &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+    assert(staged.nonEmpty && covered.nonEmpty)
+    // ORDER 1 — mid-RENAME (manifest present, covered intact, compact
+    // set PARTIAL): the listing must pin to the OLD generation — the
+    // exact pre-fold multiset, no duplicate rows, no partial new files
+    fs.rename(staged.head.getPath, new org.apache.hadoop.fs.Path(root,
+      s"compact-$tag-${staged.head.getPath.getName}"))
+    assert(readAll() == want,
+      "mid-rename read must see exactly the OLD generation")
+    // ORDER 2 — post-rename, mid-DELETE (compact set complete, one
+    // covered file gone): the listing must pin to the NEW generation —
+    // same multiset again, remaining covered files excluded
+    staged.drop(1).foreach { st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root,
+        s"compact-$tag-${st.getPath.getName}"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, covered.head), false)
+    assert(readAll() == want,
+      "mid-delete read must see exactly the NEW generation")
+    // the replay still converges to a clean single-generation layout
+    CorpusSink.compactRangeIndexedInPlace(spark, schema, dir, "score",
+      zoneCols = Seq("score", "doc_id"))
+    assert(readAll() == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact")))
+  }
+
   test("manifest round-trips, is order-free, and catches tampering") {
     val d = Files.createTempDirectory("graft_manifest").toString
     CorpusSink.writeSharded(corpus(0), "doc_id", d, numShards = 4)

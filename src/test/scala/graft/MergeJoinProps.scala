@@ -124,6 +124,31 @@ class MergeJoinProps extends AnyFunSuite {
         outer.sortBy(t => (t._1, t._2, String.valueOf(t._3))),
         s"$ctx outer multiset")
       checkPlan(ou, "outer")
+
+      // FULL OUTER: matched + left-only + right-only, one streamed pass
+      val rOnly = rRows.filterNot { case (k, _) => lRows.exists(_._1 == k) }
+      val fullExp: Seq[(java.lang.Long, String, java.lang.Long, String)] =
+        inner.map { case (k, lv, rv) =>
+          (java.lang.Long.valueOf(k), lv, java.lang.Long.valueOf(k), rv) } ++
+          anti.map { case (k, v) =>
+            (java.lang.Long.valueOf(k), v, null: java.lang.Long,
+              null: String) } ++
+          rOnly.map { case (k, rv) =>
+            (null: java.lang.Long, null: String,
+              java.lang.Long.valueOf(k), rv) }
+      val fo = joined("full_outer")
+        .select(l("k").as("lk"), col("lv"), r("k").as("rk"), col("rv"))
+      val foGot = fo.collect().map(x => (
+        if (x.isNullAt(0)) null else java.lang.Long.valueOf(x.getLong(0)),
+        if (x.isNullAt(1)) null else x.getString(1),
+        if (x.isNullAt(2)) null else java.lang.Long.valueOf(x.getLong(2)),
+        if (x.isNullAt(3)) null else x.getString(3)))
+      def skey(t: (java.lang.Long, String, java.lang.Long, String)) =
+        (String.valueOf(t._1), String.valueOf(t._2),
+          String.valueOf(t._3), String.valueOf(t._4))
+      assert(foGot.toSeq.sortBy(skey) == fullExp.sortBy(skey),
+        s"$ctx full outer multiset")
+      checkPlan(fo, "full_outer")
     }
   }
 
@@ -180,8 +205,10 @@ class MergeJoinProps extends AnyFunSuite {
           s"seed=$seed $what: control must use Spark's own join")
       }
       // cross-side residual over every join type (the residual column
-      // is random per row, so TRUE/FALSE/"no pair passes" all occur)
-      Seq("inner", "left_outer", "left_semi", "left_anti").foreach { jt =>
+      // is random per row, so TRUE/FALSE/"no pair passes" all occur —
+      // for full outer that exercises both unmatched directions at once)
+      Seq("inner", "left_outer", "left_semi", "left_anti",
+        "full_outer").foreach { jt =>
         diff(s"$jt+residual", merged = true, (l, r, _) =>
           l.join(r, l("k") === r("k") && l("ln") < r("rn"), jt))
       }
@@ -197,6 +224,36 @@ class MergeJoinProps extends AnyFunSuite {
       diff("chain inner+inner residual", merged = true, (l, r, c) =>
         l.join(r, l("k") === r("k"))
           .join(c, l("k") === c("k") && r("rn") =!= c("cn")))
+      // full outer may END a chain (the enriched-diff shape)…
+      diff("chain inner+full_outer", merged = true, (l, r, c) =>
+        l.join(r, l("k") === r("k"))
+          .join(c, l("k") === c("k"), "full_outer"))
+      // …but nothing chains ON TOP of one: its output can carry null
+      // keys, so the outer hop pays Spark's ordinary join — the inner
+      // full outer still merges, answers still match. (The top join
+      // must be LEFT OUTER: an INNER equality above a full outer
+      // null-filters the key, and Spark's own EliminateOuterJoin then
+      // correctly degrades the full outer to LEFT OUTER — which DOES
+      // chain, and should.)
+      locally {
+        val q = (l: DataFrame, r: DataFrame, c: DataFrame) =>
+          l.join(c, l("k") === c("k"), "full_outer")
+            .join(r, l("k") === r("k"), "left_outer")
+        val banded = q(read("ln", lDir, true), read("rn", rDir, true),
+          read("cn", cDir, true))
+        val plain = q(read("ln", lDir, false), read("rn", rDir, false),
+          read("cn", cDir, false))
+        spark.catalog.clearCache()
+        val b = banded.collect().map(_.toSeq.toList).toSeq
+        val p = plain.collect().map(_.toSeq.toList).toSeq
+        assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
+          p.groupBy(identity).view.mapValues(_.size).toMap,
+          s"seed=$seed full-outer-below chain: multiset")
+        val execs = nodes(banded)
+          .collect { case j: RangeMergeJoinExec => j }
+        assert(execs.nonEmpty && execs.forall(_.steps.length == 1),
+          s"seed=$seed: nothing may chain on top of a full outer")
+      }
       // a second hop keyed on an UNPROVABLE attribute must not chain:
       // the inner join still merges (partial acceleration), the outer
       // hop pays Spark's ordinary join — answers still match
@@ -244,5 +301,15 @@ class MergeJoinProps extends AnyFunSuite {
     val outer = l.join(r, l("k") === r("k"), "left_outer")
     val oGot = outer.collect()
     assert(oGot.length == lRows.size && oGot.forall(_.isNullAt(2)))
+    // full outer keeps BOTH disjoint sides, each null-extended — the
+    // right-only range survives plan-time pruning as its own component
+    val fo = l.join(r, l("k") === r("k"), "full_outer")
+      .select(l("k").as("lk"), col("lv"), r("k").as("rk"), col("rv"))
+    val foGot = fo.collect()
+    assert(foGot.length == lRows.size + 10)
+    assert(foGot.count(_.isNullAt(0)) == 10 &&
+      foGot.count(_.isNullAt(2)) == lRows.size)
+    val foExec = nodes(fo).collect { case j: RangeMergeJoinExec => j }
+    assert(foExec.length == 1 && foExec.head.parts.nonEmpty)
   }
 }

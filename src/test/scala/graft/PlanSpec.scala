@@ -1016,6 +1016,61 @@ class PlanSpec extends AnyFunSuite {
       "lead spot check")
   }
 
+  test("q190 deep offsets with defaults: band window, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q190_docsource_range_deep_offsets")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the ring really delays: next3 at i is v at i+3; defaults appear
+    // exactly where the offset row falls off either end
+    val byOid = rows.sortBy(_.getString(0))
+    val i = byOid.length / 2
+    assert(byOid(i).getLong(2) == byOid(i + 3).getLong(1),
+      "lead(3) spot check")
+    assert(byOid(i).getLong(3) == byOid(i - 2).getLong(1),
+      "lag(2) spot check")
+    assert(byOid.takeRight(3).forall(_.isNullAt(2)),
+      "lead(3) null tail")
+    assert(byOid.take(2).forall(_.getLong(3) == -1L) &&
+      byOid(2).getLong(3) == byOid(0).getLong(1),
+      "lag(2, -1) defaulted head")
+    assert(byOid.last.getLong(4) == -5L,
+      "lead(1, -5) defaulted last row")
+  }
+
+  test("q191 value-based RANGE frame: band window, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q191_docsource_range_value_sliding")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame is VALUE-based: every row's w7_sum equals the hand sum
+    // over rows whose day is within 6 of its own — checked at a spot
+    // day in the middle of the calendar, peers included
+    val byDay = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val days = byDay.map(_._1).distinct.sorted
+    val d0 = days(days.length / 2)
+    val expect = byDay.filter(t => t._1 >= d0 - 6 && t._1 <= d0)
+      .map(_._2).sum
+    assert(byDay.filter(_._1 == d0).forall(_._3 == expect),
+      "7-day value frame spot check (peers share the frame)")
+  }
+
   test("SQL-text 3-way chain: two JOINs on one key fold into a single chained merge") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
@@ -1228,6 +1283,118 @@ class PlanSpec extends AnyFunSuite {
     assert(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.executedPlan.toString.contains("prefix=metadata"),
       "dense_rank's distinct-count prefix must come from the sidecar")
+  }
+
+  test("partitioned window over the merge join rides the chain's clustering claim") {
+    // NO custom code on this path: WindowExec's
+    // ClusteredDistribution(o_orderkey) is satisfied by the merge
+    // exec's RangePartitioning claim, so EnsureRequirements adds only
+    // the local per-partition sort — the per-key analytics shape over a
+    // joined stream, zero exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, rank}
+    spark.catalog.clearCache()
+    val (o, _) = graft.queries.DocOps.rangeJoinSides(spark, sf)
+    val li = graft.queries.DocOps.rangeJoinLineitemSide(spark, sf)
+    val df = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        rank().over(Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("l_linenumber"))).as("rk"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]) &&
+      ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+  }
+
+  test("q193 full outer range merge: both sides streamed, zero exchange, right-only rows kept") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q193_docsource_range_merge_full_outer")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins
+        .SortMergeJoinExec]),
+      ns.map(_.nodeName).mkString(", "))
+    val nOrders = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.length == nOrders + 50,
+      "matched + left-only + the 50 beyond-range right-only rows")
+    assert(rows.count(_.isNullAt(0)) == 50, "right-only rows carry null keys")
+    assert(rows.count(_.isNullAt(2)) ==
+      graft.core.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 =!= 0)
+        .count().toInt,
+      "left-only rows are the non-multiple-of-3 keys")
+  }
+
+  test("q192 running window over the merge chain: one chained merge + band window, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q192_docsource_range_chain_window")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ns = TestPlans.executedNodes(df)
+    val chain = ns.collect { case m: graft.plans.RangeMergeJoinExec => m }
+    assert(chain.length == 1 && chain.head.steps.length == 2,
+      "both joins must fold into ONE chained merge under the window: " +
+        ns.map(_.nodeName).mkString(", "))
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the running count really accumulates ACROSS the chain's
+    // partitions: the final tie group's run_n is the full row count
+    assert(rows.map(_.getLong(5)).max == rows.length.toLong,
+      "running count must span the whole chained stream")
+  }
+
+  test("multi-file touching band: dense_rank chain-folds per-file sidecar distincts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft_mfdr").toString
+    val mfSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    // two files TOUCHING at k = 10 (the post-append, pre-compact layout:
+    // one merged group of two sequential files sharing a single boundary
+    // value) plus a disjoint third file (its own band)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "f0.jsonl"),
+      ((0L to 10L).map(k => s"""{"k": $k, "v": ${k * 2}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "f1.jsonl"),
+      ((10L to 20L).map(k => s"""{"k": $k, "v": ${k * 3}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "f2.jsonl"),
+      ((30L to 40L).map(k => s"""{"k": $k, "v": $k}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    graft.ingest.v2.ZoneMaps.build(spark, root, mfSchema, Seq("k"))
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.{col, dense_rank}
+    def q(opts: Map[String, String]) = graft.ingest.ExtendedJson
+      .read(spark, mfSchema, root, opts)
+      .select(col("k"), dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))).as("dr"))
+    val banded = q(Map("zoneMaps" -> "true"))
+    val b = banded.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val p = q(Map.empty).collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sorted.toSeq
+    assert(b == p, "chain-folded dense_rank must match Spark's own")
+    val ns = TestPlans.executedNodes(banded)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    assert(banded.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString.contains("prefix=metadata"),
+      "touching files must chain-fold their sidecar distinct counts")
   }
 
   test("q189 group-top-N: WindowGroupLimit re-stages over the band scan, zero exchange") {

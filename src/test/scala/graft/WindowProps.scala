@@ -99,11 +99,26 @@ class WindowProps extends AnyFunSuite {
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"),
         dense_rank().over(w).as("dr")), root)
-      // DESC twin
+      // bounded VALUE-based frames (tie-deterministic — duplicate keys
+      // are exactly the peer-group semantics to pin): widths below, at,
+      // and beyond typical band key spans, so eviction and the
+      // cross-band trailing-frame carry both exercise
+      Seq(0x3L, 11L, 1000L).foreach { d =>
+        val wv = w.rangeBetween(-d, Window.currentRow)
+        sets(_.select(col("k"), col("v"),
+          sum(col("v")).over(wv).as("vsum"),
+          count(col("v")).over(wv).as("vcnt"),
+          min(col("v")).over(wv).as("vmin"),
+          max(col("v")).over(wv).as("vmax"),
+          avg(col("v")).over(wv).as("vavg")), root)
+      }
+      // DESC twin (value-frame direction mirrors too)
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
         rank().over(wd).as("rk"),
-        sum(col("v")).over(wd).as("sv")), root)
+        sum(col("v")).over(wd).as("sv"),
+        sum(col("v")).over(wd.rangeBetween(-7L, Window.currentRow))
+          .as("vsum")), root)
     }
   }
 
@@ -268,11 +283,24 @@ class WindowProps extends AnyFunSuite {
         lag(col("v"), 1).over(w).as("pv"),
         lag(col("v"), 3).over(w).as("pv3"),
         lag(col("v"), 19).over(w).as("pv19")), root)
+      // deep leads (delay-ring emission, cross-band suffixes) and
+      // constant non-null defaults for both offset directions — offsets
+      // beyond a whole band make the suffix span several bands; mixed
+      // depths in ONE window exercise per-func fill timing in the ring
+      sets(_.select(col("k"), col("v"),
+        lead(col("v"), 3).over(w).as("nv3"),
+        lead(col("v"), 19).over(w).as("nv19"),
+        lead(col("v"), 2, -7L).over(w).as("nv2d"),
+        lead(col("v"), 1, -5L).over(w).as("nv1d"),
+        lag(col("v"), 2, -1L).over(w).as("pv2d"),
+        lag(col("v"), 1, 0L).over(w).as("pv1d"),
+        row_number().over(w).as("rn")), root)
       // DESC: lead's suffix flows along the reversed partition order,
-      // and deep-lag prefixes assemble over the reversed bands too
+      // and deep-lag/lead carries assemble over the reversed bands too
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
         lead(col("v"), 1).over(wd).as("nv"),
+        lead(col("v"), 6, -3L).over(wd).as("nv6d"),
         lag(col("v"), 19).over(wd).as("pv19"),
         sum(col("v")).over(wd.rowsBetween(-2, Window.currentRow))
           .as("ssum")), root)
@@ -291,12 +319,14 @@ class WindowProps extends AnyFunSuite {
         "unsupported frame must fall through: " +
           ns.map(_.nodeName).mkString(", "))
     }
-    fallsThrough(lead(col("v"), 2).over(w)) // deeper offsets
-    fallsThrough(lag(col("v"), 1, 0L).over(w)) // non-null default
+    // an EXPRESSION default (legal SQL) cannot evaluate at plan time —
+    // refuse; and HUGE lead offsets fall through like huge frames do
+    fallsThrough(expr("lead(v, 1, k) OVER (ORDER BY k)"))
+    fallsThrough(lead(col("v"), 1000000).over(w))
     fallsThrough(sum(col("v"))
       .over(w.rowsBetween(-3, 3))) // frames past the current row
     fallsThrough(sum(col("v"))
-      .over(w.rangeBetween(-3, Window.currentRow))) // bounded RANGE
+      .over(w.rangeBetween(-3, 3))) // RANGE frames past the current row
     // HUGE sliding bounds fall through instead of pre-allocating
     // n-sized rings (or overflowing n+1) — Spark buffers actual rows
     fallsThrough(sum(col("v"))
