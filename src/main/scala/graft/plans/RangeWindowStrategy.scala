@@ -63,6 +63,9 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    distance);
   *  - the ORDER-SENSITIVE carries, whose computed-totals pass runs over
   *    the SORTED stream: `last(x, ignoreNulls)` (forward-fill / as-of),
+  *    `first_value(x[, ignoreNulls])` and `nth_value(x, n[,
+  *    ignoreNulls])` (earliest-band-wins firsts), `max_by` / `min_by`
+  *    (the argmax carry, stream-first-wins on ordering ties),
   *    `lag(x, n[, default])` (n ≤ 65,536 — n = 1 as a single-value
   *    carry, deeper on the ring), and `lead(x, n[, default])` (n = 1 by
   *    one-row lookahead with a cross-band SUFFIX, deeper by delaying
@@ -395,6 +398,36 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
                 if l.ignoreNulls && orderable(l.dataType) =>
               Some(RunLastNonNull(l.child, rows))
+            // first_value(x[, ignoreNulls]): the stream's first
+            // (non-null) value — a backward carry: once set it never
+            // changes, and the earliest band's value wins the merge
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.First
+                if orderable(f.dataType) =>
+              Some(RunFirstValue(f.child, f.ignoreNulls, rows))
+            // max_by/min_by(v, o): the argmax carry — per-band best
+            // (ordering, value) pair, stream-first-wins on ties exactly
+            // like Spark's own strict-inequality update
+            case mb: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+                if orderable(mb.valueExpr.dataType) &&
+                  orderable(mb.orderingExpr.dataType) =>
+              Some(RunMinMaxBy(mb.valueExpr, mb.orderingExpr,
+                mb.orderingExpr.dataType, isMax = true, rows))
+            case mb: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
+                if orderable(mb.valueExpr.dataType) &&
+                  orderable(mb.orderingExpr.dataType) =>
+              Some(RunMinMaxBy(mb.valueExpr, mb.orderingExpr,
+                mb.orderingExpr.dataType, isMax = false, rows))
+            case _ => None
+          }
+        // nth_value(x, n[, ignoreNulls]) over the cumulative frame: the
+        // n-th (non-null) value from the stream's start — the
+        // first_value carry generalized to a bounded FIRSTS window
+        // (null until n qualifying rows have arrived, constant after)
+        case (nv: org.apache.spark.sql.catalyst.expressions.NthValue,
+            Some(Right(rows))) if orderable(nv.input.dataType) =>
+          nv.offset match {
+            case Literal(k: Int, _) if k >= 1 && k <= 65536 =>
+              Some(RunNth(nv.input, k, nv.ignoreNulls, rows))
             case _ => None
           }
         // the bounded sliding frame: the per-band prefix is the LAST n
@@ -569,6 +602,9 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunSumDouble => None // doubles carry no exact sidecar sum
           case _: RunAvgDouble => None // its double sum prefix likewise
           case _: RunLastNonNull => None // order-dependent: no sidecar form
+          case _: RunFirstValue => None // order-dependent: no sidecar form
+          case _: RunNth => None // order-dependent: no sidecar form
+          case _: RunMinMaxBy => None // tie-order-dependent: no sidecar form
           case _: RunLag => None // order-dependent: no sidecar form
           case _: RunLead => None // order-dependent: no sidecar form
           case _: RunLeadN => None // order-dependent: no sidecar form
@@ -1360,6 +1396,120 @@ private[plans] object RunningWindow {
       override def total(): Any = cur
       override def mergeTotal(t: Any): Unit = if (t != null) cur = t
       override def value(): Any = cur
+    }
+  }
+
+  /** `first_value(x[, ignoreNulls])` — the stream's first (non-null)
+    * value: a backward carry that never changes once set. The prefix
+    * merge lets the EARLIEST band's set value win (the exec merges the
+    * offset before any row updates, so an earlier band's value blocks
+    * later ones — exactly stream order).
+    */
+  final case class RunFirstValue(input: Expression, ignoreNulls: Boolean,
+      rowsFrame: Boolean) extends RunningFunc {
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      var v: Any = null
+      var set = false
+      private def retain(x: Any): Any = x match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      override def update(row: InternalRow): Unit = if (!set) {
+        val x = input.eval(row)
+        if (x != null || !ignoreNulls) { v = retain(x); set = true }
+      }
+      override def total(): Any =
+        Array[Any](v, java.lang.Boolean.valueOf(set))
+      override def mergeTotal(t: Any): Unit = if (t != null && !set) {
+        val a = t.asInstanceOf[Array[Any]]
+        if (a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
+          v = a(0); set = true
+        }
+      }
+      override def value(): Any = v
+    }
+  }
+
+  /** `nth_value(x, n[, ignoreNulls])` over the cumulative frame — the
+    * n-th (non-null) value from the stream's start: null until n
+    * qualifying rows arrive, constant after. The prefix is the earlier
+    * bands' first ≤ n qualifying values, merged earliest-first.
+    */
+  final case class RunNth(input: Expression, n: Int, ignoreNulls: Boolean,
+      rowsFrame: Boolean) extends RunningFunc {
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val firsts =
+        new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
+      private def retain(x: Any): Any = x match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      override def update(row: InternalRow): Unit =
+        if (firsts.length < n) {
+          val x = input.eval(row)
+          if (x != null || !ignoreNulls) firsts += retain(x)
+        }
+      override def total(): Any = firsts.toArray[Any]
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        var i = 0
+        while (firsts.length < n && i < a.length) { firsts += a(i); i += 1 }
+      }
+      override def value(): Any =
+        if (firsts.length >= n) firsts(n - 1) else null
+    }
+  }
+
+  /** `max_by` / `min_by(value, ordering)` — the running ARGMAX carry:
+    * the value at the best non-null ordering seen so far. Strict
+    * comparison keeps the FIRST pair among ordering ties in stream
+    * order — Spark's own MaxBy/MinBy update posture — which also makes
+    * the band-order prefix merge exact (earlier bands merge first, and
+    * a later equal ordering never replaces). A null VALUE at the best
+    * ordering is a legitimate answer; only null orderings are skipped.
+    */
+  final case class RunMinMaxBy(valueExpr: Expression, ordExpr: Expression,
+      ordType: DataType, isMax: Boolean, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(valueExpr = BindReferences.bindReference(valueExpr, in),
+        ordExpr = BindReferences.bindReference(ordExpr, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ord = TypeUtils.getInterpretedOrdering(ordType)
+      var bestOrd: Any = null
+      var bestVal: Any = null
+      private def retain(x: Any): Any = x match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      // STRICT inequality: an equal ordering never replaces — the first
+      // pair in stream order wins ties, like Spark's own update
+      private def better(o: Any): Boolean = bestOrd == null || {
+        val c = ord.compare(o, bestOrd)
+        if (isMax) c > 0 else c < 0
+      }
+      override def update(row: InternalRow): Unit = {
+        val o = ordExpr.eval(row)
+        if (o != null && better(o)) {
+          bestOrd = retain(o)
+          bestVal = retain(valueExpr.eval(row))
+        }
+      }
+      override def total(): Any = Array[Any](bestOrd, bestVal)
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        if (a(0) != null && better(a(0))) {
+          bestOrd = a(0); bestVal = a(1)
+        }
+      }
+      override def value(): Any = bestVal
     }
   }
 

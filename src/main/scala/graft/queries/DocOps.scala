@@ -1537,6 +1537,27 @@ object DocOps {
         lead(col("v"), 1).over(w).as("next_v"))
   }
 
+  /** FIRST/NTH/ARGMAX running carries — `first_value(v)`,
+    * `nth_value(v, 5)`, `min_by(v, oid)` (the value at the smallest key
+    * seen — a cross-band backward carry) and `max_by(v, oid)` over the
+    * range layout, zero exchange: each decomposes into a per-band local
+    * carry plus an earliest-band-wins (first/nth) or best-pair
+    * (min_by/max_by) prefix. The unique oid ordering makes every
+    * answer tie-free and oracle-checkable.
+    */
+  private def q194RangeArgCarry(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(col("oid"), col("v"),
+        first(col("v")).over(w).as("fv"),
+        nth_value(col("v"), 5).over(w).as("n5"),
+        min_by(col("v"), col("oid")).over(w).as("mbv"),
+        max_by(col("v"), col("oid")).over(w).as("xbv"))
+  }
+
   /** WINDOW OVER THE MERGE CHAIN — q185's enrich+decontaminate chain
     * with a running total `OVER (ORDER BY o_orderkey)` on top, zero
     * exchange END-TO-END: the chained merge exec claims
@@ -1680,6 +1701,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_docsource_range_arg_carry" -> q194RangeArgCarry,
     "q193_docsource_range_merge_full_outer" -> q193RangeMergeFullOuter,
     "q192_docsource_range_chain_window" -> q192RangeChainWindow,
     "q191_docsource_range_value_sliding" -> q191RangeValueSliding,
@@ -1842,6 +1864,14 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q194_docsource_range_arg_carry" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "first_value(v) OVER (ORDER BY oid) AS fv, " +
+        "nth_value(v, 5) OVER (ORDER BY oid) AS n5, " +
+        "min_by(v, oid) OVER (ORDER BY oid) AS mbv, " +
+        "max_by(v, oid) OVER (ORDER BY oid) AS xbv FROM o"),
     "q193_docsource_range_merge_full_outer" ->
       ("SELECT o.o_orderkey, o.o_totalprice, d.dk FROM orders o " +
         "FULL JOIN (SELECT o_orderkey AS dk FROM orders " +

@@ -1285,6 +1285,31 @@ class PlanSpec extends AnyFunSuite {
       "dense_rank's distinct-count prefix must come from the sidecar")
   }
 
+  test("q194 first/nth/argmax carries: band window, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q194_docsource_range_arg_carry")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the carries really carry: every row's fv/mbv is the FIRST row's v
+    // (min_by on the unique ascending oid = the smallest key's value),
+    // xbv is the row's own v, n5 is null before position 5 then the 5th v
+    val byOid = rows.sortBy(_.getString(0))
+    val v0 = byOid.head.getLong(1)
+    assert(byOid.forall(r => r.getLong(2) == v0 && r.getLong(4) == v0),
+      "first_value and min_by must carry the global first value")
+    assert(byOid.forall(r => r.getLong(5) == r.getLong(1)),
+      "max_by on the ascending key is the current value")
+    assert(byOid.take(4).forall(_.isNullAt(3)) &&
+      byOid.drop(4).forall(_.getLong(3) == byOid(4).getLong(1)),
+      "nth_value(5) is null before position 5, constant after")
+  }
+
   test("partitioned window over the merge join rides the chain's clustering claim") {
     // NO custom code on this path: WindowExec's
     // ClusteredDistribution(o_orderkey) is satisfied by the merge

@@ -295,6 +295,17 @@ class WindowProps extends AnyFunSuite {
         lag(col("v"), 2, -1L).over(w).as("pv2d"),
         lag(col("v"), 1, 0L).over(w).as("pv1d"),
         row_number().over(w).as("rn")), root)
+      // first/nth/argmax carries: both first_value null postures,
+      // nth_value at depths below and beyond a band, and max_by/min_by
+      // keyed on the UNIQUE ordering -k (ties impossible, so the banded
+      // and control streams must agree exactly)
+      sets(_.select(col("k"), col("v"),
+        first(col("v")).over(w).as("fv"),
+        first(col("v"), ignoreNulls = true).over(w).as("fnn"),
+        nth_value(col("v"), 3).over(w).as("n3"),
+        nth_value(col("v"), 23, ignoreNulls = true).over(w).as("n23nn"),
+        max_by(col("v"), -col("k")).over(w).as("atmin"),
+        min_by(col("v"), -col("k")).over(w).as("atmax")), root)
       // DESC: lead's suffix flows along the reversed partition order,
       // and deep-lag/lead carries assemble over the reversed bands too
       val wd = Window.orderBy(col("k").desc)
@@ -302,6 +313,7 @@ class WindowProps extends AnyFunSuite {
         lead(col("v"), 1).over(wd).as("nv"),
         lead(col("v"), 6, -3L).over(wd).as("nv6d"),
         lag(col("v"), 19).over(wd).as("pv19"),
+        first(col("v"), ignoreNulls = true).over(wd).as("fnn"),
         sum(col("v")).over(wd.rowsBetween(-2, Window.currentRow))
           .as("ssum")), root)
     }
