@@ -58,9 +58,11 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    `ROWS` form, the bounded sliding `ROWS BETWEEN n PRECEDING AND
   *    CURRENT ROW` (n ≤ 65,536 — the prefix is the earlier bands' last
   *    n values), and the VALUE-based `RANGE BETWEEN d PRECEDING AND
-  *    CURRENT ROW` over an integral key (the 7-day-mean shape; the
+  *    CURRENT ROW` over an integral key — or a DATE key with a
+  *    whole-day `INTERVAL 'd' DAY` boundary (the 7-day-mean shape; the
   *    buffer holds the frame's live (key, value) pairs, evicted by key
-  *    distance);
+  *    distance; month intervals are calendar arithmetic and fall
+  *    through);
   *  - the ORDER-SENSITIVE carries, whose computed-totals pass runs over
   *    the SORTED stream: `last(x, ignoreNulls)` (forward-fill / as-of),
   *    `first_value(x[, ignoreNulls])` and `nth_value(x, n[,
@@ -307,14 +309,28 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       // `RANGE BETWEEN x PRECEDING AND CURRENT ROW` — the VALUE-based
       // sliding frame (a 7-DAY mean over a day key, not 7 rows): frame
       // membership is a key-distance test, so the buffer holds only the
-      // rows whose key is within x of the current one. Integral order
-      // keys only (the distance arithmetic is the key's own); the
-      // boundary literal is the analyzer's, in any integral width
+      // rows whose key is within x of the current one — in the KEY's
+      // own units. Integral keys take an integral boundary; DATE keys
+      // take a whole-day `INTERVAL 'x' DAY` boundary (dates are day
+      // numbers internally, so the distance arithmetic is identical;
+      // sub-day intervals have no exact day-key meaning and refuse)
       val rangeSlide: Option[Long] = spec.frameSpecification match {
         case SpecifiedWindowFrame(RangeFrame, l: Literal, CurrentRow)
-            if l.value != null && integralVal(l.dataType) &&
-              asLong(l.value) < 0 =>
-          Some(-asLong(l.value))
+            if l.value != null && orderSpec.lengthCompare(1) == 0 =>
+          import org.apache.spark.sql.types.{DateType, DayTimeIntervalType}
+          (orderSpec.head.child.dataType, l.dataType) match {
+            case (kdt, bdt)
+                if integralVal(kdt) && integralVal(bdt) &&
+                  asLong(l.value) < 0 =>
+              Some(-asLong(l.value))
+            case (DateType, _: DayTimeIntervalType) =>
+              val micros = l.value.asInstanceOf[java.lang.Long].longValue()
+              val MicrosPerDay = 86400L * 1000000L
+              if (micros < 0 && micros % MicrosPerDay == 0L)
+                Some(-(micros / MicrosPerDay))
+              else None
+            case _ => None
+          }
         case _ => None
       }
       (fn, frame) match {
@@ -451,8 +467,10 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         // null-free)
         case (ae: AggregateExpression, None)
             if rangeSlide.isDefined && !ae.isDistinct &&
-              ae.filter.isEmpty && orderSpec.lengthCompare(1) == 0 &&
-              integralVal(orderSpec.head.child.dataType) =>
+              ae.filter.isEmpty =>
+          // the key-type/boundary-type pairing (integral↔integral,
+          // date↔whole-day interval) was already settled by the
+          // rangeSlide extraction, in key units
           slideOpFor(ae).map { case (in, op) =>
             RunRangeSliding(orderSpec.head.child, in, rangeSlide.get,
               orderSpec.head.direction == Descending, op)

@@ -1537,6 +1537,51 @@ object DocOps {
         lead(col("v"), 1).over(w).as("next_v"))
   }
 
+  private val decodedOrdersDate = StructType(Seq(
+    StructField("o_orderdate", DateType),
+    StructField("o_custkey", LongType)))
+
+  /** The DATE-banded landing: the same orders stream banded on the raw
+    * `o_orderdate` DATE column (not a derived day int) — the layout a
+    * time-series user lands without thinking about internal day
+    * numbers.
+    */
+  private def ordersDateRangeJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangedate", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgdt_$tag")}/orders"
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.orders(s, d).select(
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_custkey")),
+        "o_orderdate", dir, numBands = 8, zoneCols = Seq("o_orderdate"))
+      dir
+    })
+
+  /** CALENDAR RANGE frame over a raw DATE key — `RANGE BETWEEN INTERVAL
+    * '6' DAY PRECEDING AND CURRENT ROW` is the exact SQL a time-series
+    * user writes over a date column: the whole-day interval boundary
+    * converts to the date key's own day units and the frame evicts by
+    * day distance, zero exchange
+    * ([[graft.plans.RunningWindow.RunRangeSliding]]). Output projects
+    * the day int (never a raw DATE in an oracle-checked result — the
+    * house tz rule).
+    */
+  private def q195RangeDateInterval(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDate, ordersDateRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_orderdate"), col("o_custkey"),
+        expr("CAST(sum(o_custkey) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT)").as("w7_sum"),
+        expr("count(*) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)")
+          .as("w7_n"))
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .as("o_day"), col("o_custkey"), col("w7_sum"), col("w7_n"))
+
   /** FIRST/NTH/ARGMAX running carries — `first_value(v)`,
     * `nth_value(v, 5)`, `min_by(v, oid)` (the value at the smallest key
     * seen — a cross-band backward carry) and `max_by(v, oid)` over the
@@ -1701,6 +1746,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_docsource_range_date_interval" -> q195RangeDateInterval,
     "q194_docsource_range_arg_carry" -> q194RangeArgCarry,
     "q193_docsource_range_merge_full_outer" -> q193RangeMergeFullOuter,
     "q192_docsource_range_chain_window" -> q192RangeChainWindow,
@@ -1864,6 +1910,15 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q195_docsource_range_date_interval" ->
+      ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od, o_custkey " +
+        "FROM orders) " +
+        "SELECT CAST(datediff('day', DATE '1970-01-01', od) AS INT) " +
+        "AS o_day, o_custkey, " +
+        "CAST(sum(o_custkey) OVER w AS BIGINT) AS w7_sum, " +
+        "count(*) OVER w AS w7_n FROM o " +
+        "WINDOW w AS (ORDER BY od " +
+        "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"),
     "q194_docsource_range_arg_carry" ->
       ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +

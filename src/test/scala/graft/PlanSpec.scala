@@ -1285,6 +1285,30 @@ class PlanSpec extends AnyFunSuite {
       "dense_rank's distinct-count prefix must come from the sidecar")
   }
 
+  test("q195 calendar RANGE frame over a DATE key: band window, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q195_docsource_range_date_interval")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame really spans 7 calendar days: spot-check a mid-calendar
+    // day against the hand sum over days within 6 of it
+    val byDay = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val days = byDay.map(_._1).distinct.sorted
+    val d0 = days(days.length / 2)
+    val expect = byDay.filter(t => t._1 >= d0 - 6 && t._1 <= d0)
+      .map(_._2).sum
+    assert(byDay.filter(_._1 == d0).forall(_._3 == expect),
+      "7-calendar-day frame spot check")
+  }
+
   test("q194 first/nth/argmax carries: band window, zero exchange, no WindowExec") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -64,10 +64,11 @@ class WindowProps extends AnyFunSuite {
     root
   }
 
-  private def sets(q: DataFrame => DataFrame, root: String): Unit = {
-    val banded = q(ExtendedJson.read(spark, schema, root,
+  private def sets(q: DataFrame => DataFrame, root: String,
+      sch: StructType = schema): Unit = {
+    val banded = q(ExtendedJson.read(spark, sch, root,
       Map("zoneMaps" -> "true")))
-    val plain = q(ExtendedJson.read(spark, schema, root, Map.empty))
+    val plain = q(ExtendedJson.read(spark, sch, root, Map.empty))
     spark.catalog.clearCache()
     val b = banded.collect().map(_.toSeq.toList).toSeq
     val p = plain.collect().map(_.toSeq.toList).toSeq
@@ -345,5 +346,56 @@ class WindowProps extends AnyFunSuite {
       .over(w.rowsBetween(-2147483647, Window.currentRow)))
     fallsThrough(sum(col("v"))
       .over(w.rowsBetween(-1000000, Window.currentRow)))
+  }
+
+  test("date-key INTERVAL RANGE frames match WindowExec") {
+    import org.apache.spark.sql.types.DateType
+    val dSchema = StructType(Seq(
+      StructField("k", DateType), StructField("v", LongType)))
+    (31 to 33).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory("graft_wpropsd").toString
+      val nFiles = 1 + rnd.nextInt(4)
+      (0 until nFiles).foreach { f =>
+        val n = 5 + rnd.nextInt(20)
+        val days = Seq.fill(n)(rnd.nextInt(60)).sorted
+        Files.write(Paths.get(root, f"f$f%02d.jsonl"),
+          (days.map { dd =>
+            val date = java.time.LocalDate.of(2024, 1, 1).plusDays(dd)
+            if (rnd.nextInt(4) == 0) s"""{"k": "$date"}"""
+            else s"""{"k": "$date", "v": ${rnd.nextInt(100) - 50}}"""
+          }.mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+      ZoneMaps.build(spark, root, dSchema, Seq("k"))
+      // duplicate dates are peer groups sharing the frame — the
+      // tie-deterministic RANGE semantics; widths below, near, and
+      // beyond the whole calendar span
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' DAY " +
+          "PRECEDING AND CURRENT ROW)").as("s3"),
+        expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' DAY " +
+          "PRECEDING AND CURRENT ROW)").as("c3"),
+        expr("min(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '14' DAY " +
+          "PRECEDING AND CURRENT ROW)").as("m14"),
+        expr("avg(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '100' DAY " +
+          "PRECEDING AND CURRENT ROW)").as("a100")), root, dSchema)
+      // DESC mirrors the day-distance direction
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '7' " +
+          "DAY PRECEDING AND CURRENT ROW)").as("s7d")), root, dSchema)
+      // a MONTH interval is calendar arithmetic, not a fixed day
+      // distance — it must fall through to Spark's own window (sub-day
+      // intervals never reach the strategy: the analyzer itself rejects
+      // INTERVAL HOUR against a DATE order key)
+      val mon = ExtendedJson.read(spark, dSchema, root,
+        Map("zoneMaps" -> "true"))
+        .select(col("k"), expr("sum(v) OVER (ORDER BY k RANGE BETWEEN " +
+          "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("x"))
+      val ns = TestPlans.executedNodes(mon)
+      assert(ns.exists(_.isInstanceOf[WindowExec]) &&
+        !ns.exists(_.isInstanceOf[BandRunningWindowExec]),
+        "month intervals must fall through: " +
+          ns.map(_.nodeName).mkString(", "))
+    }
   }
 }
