@@ -1891,10 +1891,11 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     require(roots.nonEmpty,
       s"extjson glob matches only hidden (_/. prefixed) entries: $path — " +
         "name the hidden directory explicitly (no wildcards) to read it")
-    val out = roots
+    def doList(): Seq[(FileStatus, Array[String])] = roots
       .flatMap(expand(_, new Array[String](partCols.length),
         new Array[Boolean](partCols.length)))
       .filter { case (f, _) => f.isFile && f.getLen > 0 }
+    val out = doList()
     listed = true
     // generation pinning under an in-flight in-place compaction: while
     // the fold's commit manifest exists, a raw listing could see BOTH a
@@ -1903,7 +1904,8 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     // only — the landing contract's shape)
     if (isGlob || matches.lengthCompare(1) != 0 ||
       !matches.head.isDirectory) out
-    else pinGeneration(fs, fs.makeQualified(matches.head.getPath), out)
+    else pinGeneration(fs, fs.makeQualified(matches.head.getPath), out,
+      () => doList())
   }
 
   /** Resolve a listing taken while an IN-PLACE compaction
@@ -1914,18 +1916,27 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     *
     *  - the OLD one (drop `compact-<tag>-*` files) while EVERY covered
     *    file still exists: renames may be mid-flight, so the compact
-    *    set may be partial, but the covered set is whole;
+    *    set may be partial, but the covered set is whole (the probes
+    *    run AFTER the walk, so covered-all-present at probe time means
+    *    no delete had started when the walk ran either — the walked
+    *    covered set is complete);
     *  - the NEW one (drop covered files) once any covered file is gone:
     *    deletes only begin after every rename landed, so the compact
-    *    set is complete and the remaining covered files are duplicates.
+    *    set is complete ON THE FILESYSTEM — but not necessarily in the
+    *    walk's earlier snapshot (a rename could land between the walk
+    *    and the probe), so this branch RE-LISTS once and filters the
+    *    fresh snapshot: taken after the missing-covered observation,
+    *    it is guaranteed to hold every compact file.
     *
     * One `exists` probe per listing in the common case (no manifest);
-    * O(covered) probes only during the maintenance window itself. The
-    * manifest vanishing mid-check (the fold just finished) simply
-    * un-pins — the finished layout is single-generation again.
+    * O(covered) probes plus at most one re-list only during the
+    * maintenance window itself. The manifest vanishing mid-check (the
+    * fold just finished) simply un-pins — the finished layout is
+    * single-generation again.
     */
   private def pinGeneration(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      files: Seq[(FileStatus, Array[String])])
+      files: Seq[(FileStatus, Array[String])],
+      relist: () => Seq[(FileStatus, Array[String])])
       : Seq[(FileStatus, Array[String])] = {
     val manifestPath =
       new Path(root, graft.sink.CorpusSink.CompactManifestRelPath)
@@ -1957,8 +1968,10 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       val prefix = s"compact-$tag-"
       files.filterNot { case (st, _) => rel(st).startsWith(prefix) }
     } else {
+      // the walk predates the missing-covered observation: re-list so
+      // the filtered snapshot provably contains every compact file
       val coveredSet = covered.toSet
-      files.filterNot { case (st, _) => coveredSet.contains(rel(st)) }
+      relist().filterNot { case (st, _) => coveredSet.contains(rel(st)) }
     }
   }
 

@@ -321,7 +321,10 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           (orderSpec.head.child.dataType, l.dataType) match {
             case (kdt, bdt)
                 if integralVal(kdt) && integralVal(bdt) &&
-                  asLong(l.value) < 0 =>
+                  asLong(l.value) < 0 &&
+                  // Long.MinValue negates to itself: a frame that wide
+                  // has no representable distance — refuse
+                  asLong(l.value) != Long.MinValue =>
               Some(-asLong(l.value))
             case (DateType, _: DayTimeIntervalType) =>
               val micros = l.value.asInstanceOf[java.lang.Long].longValue()
@@ -727,6 +730,16 @@ private[plans] object RunningWindow {
   private[plans] final class PendingRow(val row: UnsafeRow,
       val vals: GenericInternalRow)
 
+  /** Retain a value extracted from a TRANSIENT row (a reader's or
+    * buffer's reused holder): UTF8Strings are cloned — they alias the
+    * row's bytes past the next advance — and every other type the
+    * accumulators accept here is an immutable boxed value.
+    */
+  private[plans] def retain(v: Any): Any = v match {
+    case u: UTF8String => u.clone()
+    case other => other
+  }
+
   sealed trait RunAcc {
     def update(row: InternalRow): Unit
     def total(): Any
@@ -1035,10 +1048,6 @@ private[plans] object RunningWindow {
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       var first: Any = null
       var sawRows = false
-      private def retain(v: Any): Any = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       override def update(row: InternalRow): Unit =
         if (!sawRows) { first = retain(input.eval(row)); sawRows = true }
       override def total(): Any =
@@ -1073,10 +1082,6 @@ private[plans] object RunningWindow {
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       private val firsts =
         new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
-      private def retain(v: Any): Any = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       override def update(row: InternalRow): Unit =
         if (firsts.length < n) firsts += retain(input.eval(row))
       override def total(): Any = firsts.toArray[Any]
@@ -1201,10 +1206,6 @@ private[plans] object RunningWindow {
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       private val ring = new java.util.ArrayDeque[AnyRef](n + 1)
       private val NullToken: AnyRef = RunSliding.NullToken
-      private def retain(v: Any): Any = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       private def push(v: Any, cap: Int): Unit = {
         ring.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
         while (ring.size > cap) ring.removeFirst()
@@ -1270,8 +1271,11 @@ private[plans] object RunningWindow {
     * merged band-to-band with the same eviction. Memory is O(live frame
     * rows) of (long, value) pairs — the SAME row population Spark's own
     * WindowExec buffers as whole spillable rows for this frame, held
-    * smaller. The layout proof is null-free, so the key never needs a
-    * null peer group.
+    * smaller; each FUNCTION keeps its own buffer (n functions over one
+    * frame hold the live values n times — still value-sized, a shared
+    * per-frame buffer is a known follow-up, not a scale hazard). The
+    * layout proof is null-free, so the key never needs a null peer
+    * group.
     */
   final case class RunRangeSliding(key: Expression, input: Expression,
       d: Long, desc: Boolean, op: SlideOp) extends RunningFunc {
@@ -1284,17 +1288,21 @@ private[plans] object RunningWindow {
       private val NullToken: AnyRef = RunSliding.NullToken
       private val keys = new java.util.ArrayDeque[java.lang.Long]()
       private val vals = new java.util.ArrayDeque[AnyRef]()
-      private def retain(v: Any): Any = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       // keep entry k for current key c: ASC → c - k ≤ d (k can never
-      // exceed c in a sorted stream); DESC → k - c ≤ d
+      // exceed c in a sorted stream); DESC → k - c ≤ d. The subtraction
+      // is always of (later − earlier) in stream order, hence
+      // mathematically ≥ 0 — a WRAPPED (negative) result means the true
+      // distance exceeds the Long range entirely, which is certainly
+      // > d (64-bit hash-id keys can legitimately span that far)
+      private def dist(later: Long, earlier: Long): Long = {
+        val r = later - earlier
+        if (r < 0) Long.MaxValue else r
+      }
       private def evict(cur: Long): Unit = {
         var go = true
         while (go && !keys.isEmpty) {
           val k = keys.peekFirst().longValue()
-          if ((if (desc) k - cur else cur - k) > d) {
+          if ((if (desc) dist(k, cur) else dist(cur, k)) > d) {
             keys.removeFirst(); vals.removeFirst()
           } else go = false
         }
@@ -1368,10 +1376,6 @@ private[plans] object RunningWindow {
       var prev: Any = null
       var sawRows = false
       var emitVal: Any = null
-      private def retain(v: Any): Any = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       override def update(row: InternalRow): Unit = {
         emitVal = if (sawRows) prev else default
         prev = retain(input.eval(row))
@@ -1403,10 +1407,6 @@ private[plans] object RunningWindow {
       copy(input = BindReferences.bindReference(input, in))
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       var cur: Any = null
-      private def retain(v: Any): Any = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       override def update(row: InternalRow): Unit = {
         val v = input.eval(row)
         if (v != null) cur = retain(v)
@@ -1431,10 +1431,6 @@ private[plans] object RunningWindow {
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       var v: Any = null
       var set = false
-      private def retain(x: Any): Any = x match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       override def update(row: InternalRow): Unit = if (!set) {
         val x = input.eval(row)
         if (x != null || !ignoreNulls) { v = retain(x); set = true }
@@ -1464,10 +1460,6 @@ private[plans] object RunningWindow {
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       private val firsts =
         new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
-      private def retain(x: Any): Any = x match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       override def update(row: InternalRow): Unit =
         if (firsts.length < n) {
           val x = input.eval(row)
@@ -1503,10 +1495,6 @@ private[plans] object RunningWindow {
       private val ord = TypeUtils.getInterpretedOrdering(ordType)
       var bestOrd: Any = null
       var bestVal: Any = null
-      private def retain(x: Any): Any = x match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       // STRICT inequality: an equal ordering never replaces — the first
       // pair in stream order wins ties, like Spark's own update
       private def better(o: Any): Boolean = bestOrd == null || {
@@ -1538,12 +1526,6 @@ private[plans] object RunningWindow {
     override def newAcc(grand: Any): RunAcc = new RunAcc {
       private val ord = TypeUtils.getInterpretedOrdering(dt)
       var cur: Any = null
-      private def retain(v: Any): Any = v match {
-        // values extracted from a transient row must not alias its
-        // buffer past the next advance
-        case u: UTF8String => u.clone()
-        case other => other
-      }
       private def fold(v: Any): Unit =
         if (cur == null || (ord.compare(v, cur) < 0) == isMin)
           cur = retain(v)
@@ -1758,9 +1740,14 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
                 if (ahead.hasNext) ahead.next() else pending
               var p = 0
               while (p < leadIdxs.length) {
-                wr(leadIdxs(p)) =
+                val x =
                   if (nxt != null) leadInputs(p).eval(nxt)
                   else leadSuffix(p)
+                // the deep path DELAYS projection behind the ring: a
+                // value eval'd from the lookahead row (a reused spill
+                // buffer past the next advance) must be retained; the
+                // common path projects immediately and stays copy-free
+                wr(leadIdxs(p)) = if (deep) RunningWindow.retain(x) else x
                 p += 1
               }
             }

@@ -348,6 +348,89 @@ class WindowProps extends AnyFunSuite {
       .over(w.rowsBetween(-1000000, Window.currentRow)))
   }
 
+  test("deep lead mixed with lead(1): string lookahead survives spilled tie groups") {
+    import org.apache.spark.sql.types.StringType
+    val sSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val root = Files.createTempDirectory("graft_wpropss").toString
+    // duplicate-heavy sorted keys with PER-ROW-unique string payloads:
+    // multi-row tie groups route the lookahead through the
+    // sorter-backed (spilled) group buffer while the deep ring DELAYS
+    // projection — the regime where lead(1)'s eval'd value must be
+    // RETAINED (the row-iterator contract only guarantees a row until
+    // the next call on that iterator; the deferred read would otherwise
+    // be illegal, even where the current spill reader happens not to
+    // recycle the bytes). Checked by INTERNAL consistency on the banded
+    // stream (its collect order IS the stream order): n1 at position i
+    // must be s at i+1, n7 the s at i+7 — tie-order-free.
+    val rnd = new scala.util.Random(41)
+    var uid = 0
+    (0 until 2).foreach { f =>
+      val keys = Seq.fill(40)(rnd.nextInt(6).toLong + f * 6).sorted
+      Files.write(Paths.get(root, s"f$f.jsonl"),
+        (keys.map { k =>
+          uid += 1
+          s"""{"k": $k, "s": "value_${k}_${uid}_${"pad" * 5}"}"""
+        }.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, root, sSchema, Seq("k"))
+    val w = Window.orderBy(col("k"))
+    val prevSpill = spark.conf.get(
+      "spark.sql.windowExecBufferSpillThreshold", "4096")
+    val prevMem = spark.conf.get(
+      "spark.sql.windowExecBufferInMemoryThreshold", "4096")
+    try {
+      spark.conf.set("spark.sql.windowExecBufferSpillThreshold", "2")
+      spark.conf.set("spark.sql.windowExecBufferInMemoryThreshold", "2")
+      val df = ExtendedJson.read(spark, sSchema, root,
+        Map("zoneMaps" -> "true"))
+        .select(col("k"), col("s"),
+          lead(col("s"), 1).over(w).as("n1"),
+          lead(col("s"), 7).over(w).as("n7"))
+      val out = df.collect()
+      val ns = TestPlans.executedNodes(df)
+      assert(ns.exists(_.isInstanceOf[BandRunningWindowExec]) &&
+        !ns.exists(_.isInstanceOf[WindowExec]) &&
+        !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        ns.map(_.nodeName).mkString(", "))
+      out.indices.foreach { i =>
+        val n1 = if (out(i).isNullAt(2)) null else out(i).getString(2)
+        val want1 =
+          if (i + 1 < out.length) out(i + 1).getString(1) else null
+        assert(n1 == want1, s"lead(1) at $i: $n1 vs $want1")
+        val n7 = if (out(i).isNullAt(3)) null else out(i).getString(3)
+        val want7 =
+          if (i + 7 < out.length) out(i + 7).getString(1) else null
+        assert(n7 == want7, s"lead(7) at $i: $n7 vs $want7")
+      }
+    } finally {
+      spark.conf.set("spark.sql.windowExecBufferSpillThreshold", prevSpill)
+      spark.conf.set("spark.sql.windowExecBufferInMemoryThreshold", prevMem)
+    }
+  }
+
+  test("value-frame eviction is overflow-safe across 2^63 key spans") {
+    // two bands at opposite ends of the Long range: the eviction
+    // distance cur - k wraps negative for cross-band pairs, which must
+    // read as "farther than any d", never as "in frame"
+    val root = Files.createTempDirectory("graft_wpropso").toString
+    Files.write(Paths.get(root, "f0.jsonl"),
+      ((0 until 8).map(i =>
+        s"""{"k": ${Long.MinValue + 10 + i}, "v": $i}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "f1.jsonl"),
+      ((0 until 8).map(i =>
+        s"""{"k": ${Long.MaxValue - 20 + i}, "v": ${100 + i}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, root, schema, Seq("k"))
+    val w = Window.orderBy(col("k"))
+    sets(_.select(col("k"), col("v"),
+      sum(col("v")).over(w.rangeBetween(-5L, Window.currentRow))
+        .as("s5"),
+      count(col("v")).over(w.rangeBetween(-5L, Window.currentRow))
+        .as("c5")), root)
+  }
+
   test("date-key INTERVAL RANGE frames match WindowExec") {
     import org.apache.spark.sql.types.DateType
     val dSchema = StructType(Seq(
