@@ -58,11 +58,12 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    `ROWS` form, the bounded sliding `ROWS BETWEEN n PRECEDING AND
   *    CURRENT ROW` (n ≤ 65,536 — the prefix is the earlier bands' last
   *    n values), and the VALUE-based `RANGE BETWEEN d PRECEDING AND
-  *    CURRENT ROW` over an integral key — or a DATE key with a
-  *    whole-day `INTERVAL 'd' DAY` boundary (the 7-day-mean shape; the
-  *    buffer holds the frame's live (key, value) pairs, evicted by key
-  *    distance; month intervals are calendar arithmetic and fall
-  *    through);
+  *    CURRENT ROW` over an integral key, a DATE key with a whole-day
+  *    `INTERVAL 'd' DAY` boundary, or a TIMESTAMP key with any
+  *    day-time interval (the 7-day-mean and 15-minute-event-window
+  *    shapes; the buffer holds the frame's live (key, value) pairs,
+  *    evicted by key distance; month intervals are calendar arithmetic
+  *    and fall through);
   *  - the ORDER-SENSITIVE carries, whose computed-totals pass runs over
   *    the SORTED stream: `last(x, ignoreNulls)` (forward-fill / as-of),
   *    `first_value(x[, ignoreNulls])` and `nth_value(x, n[,
@@ -331,6 +332,15 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               val MicrosPerDay = 86400L * 1000000L
               if (micros < 0 && micros % MicrosPerDay == 0L)
                 Some(-(micros / MicrosPerDay))
+              else None
+            // TIMESTAMP keys are microsecond counts — ANY day-time
+            // interval is already in the key's unit (the sliding
+            // 15-minute event-time window, exact to the microsecond)
+            case (org.apache.spark.sql.types.TimestampType |
+                org.apache.spark.sql.types.TimestampNTZType,
+                _: DayTimeIntervalType) =>
+              val micros = l.value.asInstanceOf[java.lang.Long].longValue()
+              if (micros < 0 && micros != Long.MinValue) Some(-micros)
               else None
             case _ => None
           }

@@ -1582,6 +1582,49 @@ object DocOps {
       .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
         .as("o_day"), col("o_custkey"), col("w7_sum"), col("w7_n"))
 
+  private val decodedEventsTs = StructType(Seq(
+    StructField("ts", org.apache.spark.sql.types.TimestampType),
+    StructField("user_id", LongType)))
+
+  /** The EVENT-TIME-banded landing: events banded on their raw
+    * timestamp, millisecond-truncated at the source — the JSONL wire
+    * format renders milliseconds, so truncating keeps the landed bytes
+    * an exact round-trip (the oracle applies the same truncation).
+    */
+  private def eventsTsRangeJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangets", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgts_$tag")}/events"
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.events(s, d).select(
+          date_trunc("millisecond", col("ts")).as("ts"),
+          col("user_id")),
+        "ts", dir, numBands = 8, zoneCols = Seq("ts"))
+      dir
+    })
+
+  /** EVENT-TIME sliding window — `RANGE BETWEEN INTERVAL '15' MINUTE
+    * PRECEDING AND CURRENT ROW` over a raw TIMESTAMP key: timestamps
+    * are microsecond counts, so any day-time interval is already in the
+    * key's own unit and the value-frame eviction applies exactly — the
+    * per-event trailing-window analytics shape (rate counters, rolling
+    * engagement) with zero exchange. Output projects epoch micros (no
+    * raw timestamps in oracle-checked results — the house tz rule).
+    */
+  private def q196RangeEventTimeWindow(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedEventsTs, eventsTsRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("ts"), col("user_id"),
+        expr("CAST(sum(user_id) OVER (ORDER BY ts RANGE BETWEEN " +
+          "INTERVAL '15' MINUTE PRECEDING AND CURRENT ROW) AS BIGINT)")
+          .as("w15_sum"),
+        expr("count(*) OVER (ORDER BY ts RANGE BETWEEN " +
+          "INTERVAL '15' MINUTE PRECEDING AND CURRENT ROW)").as("w15_n"))
+      .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
+        col("w15_sum"), col("w15_n"))
+
   /** FIRST/NTH/ARGMAX running carries — `first_value(v)`,
     * `nth_value(v, 5)`, `min_by(v, oid)` (the value at the smallest key
     * seen — a cross-band backward carry) and `max_by(v, oid)` over the
@@ -1746,6 +1789,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_docsource_range_event_time" -> q196RangeEventTimeWindow,
     "q195_docsource_range_date_interval" -> q195RangeDateInterval,
     "q194_docsource_range_arg_carry" -> q194RangeArgCarry,
     "q193_docsource_range_merge_full_outer" -> q193RangeMergeFullOuter,
@@ -1910,6 +1954,14 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q196_docsource_range_event_time" ->
+      ("WITH e AS (SELECT date_trunc('ms', ts) AS ts, user_id " +
+        "FROM events) " +
+        "SELECT epoch_us(ts) AS t_us, user_id, " +
+        "CAST(sum(user_id) OVER w AS BIGINT) AS w15_sum, " +
+        "count(*) OVER w AS w15_n FROM e " +
+        "WINDOW w AS (ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 15 MINUTE PRECEDING AND CURRENT ROW)"),
     "q195_docsource_range_date_interval" ->
       ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od, o_custkey " +
         "FROM orders) " +

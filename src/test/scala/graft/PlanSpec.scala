@@ -1285,6 +1285,29 @@ class PlanSpec extends AnyFunSuite {
       "dense_rank's distinct-count prefix must come from the sidecar")
   }
 
+  test("q196 event-time RANGE frame over a TIMESTAMP key: band window, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q196_docsource_range_event_time")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame really spans 15 MINUTES of event time: spot-check a
+    // mid-stream event against the hand count over [t-15min, t]
+    val byT = rows.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    val i = byT.length / 2
+    val t0 = byT(i)._1
+    val expect = byT.count(e => e._1 >= t0 - 15L * 60 * 1000000 &&
+      e._1 <= t0)
+    assert(byT.filter(_._1 == t0).forall(_._2 == expect),
+      "15-minute event-time frame spot check")
+  }
+
   test("q195 calendar RANGE frame over a DATE key: band window, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

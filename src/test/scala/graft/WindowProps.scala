@@ -466,6 +466,32 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("v"),
         expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '7' " +
           "DAY PRECEDING AND CURRENT ROW)").as("s7d")), root, dSchema)
+      // TIMESTAMP keys: any day-time interval is already in micros —
+      // sub-minute frames over millisecond-grained event times
+      val tSchema = StructType(Seq(
+        StructField("k", org.apache.spark.sql.types.TimestampType),
+        StructField("v", LongType)))
+      val troot = Files.createTempDirectory("graft_wpropst").toString
+      (0 until 2).foreach { f =>
+        val n = 8 + rnd.nextInt(15)
+        val ms = Seq.fill(n)(rnd.nextInt(600000).toLong).sorted
+        Files.write(Paths.get(troot, s"t$f.jsonl"),
+          (ms.map { m =>
+            val t = java.time.Instant.parse("2024-03-01T00:00:00Z")
+              .plusMillis(m + f * 600000L)
+            if (rnd.nextInt(4) == 0) s"""{"k": "$t"}"""
+            else s"""{"k": "$t", "v": ${rnd.nextInt(100) - 50}}"""
+          }.mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+      ZoneMaps.build(spark, troot, tSchema, Seq("k"))
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '90' " +
+          "SECOND PRECEDING AND CURRENT ROW)").as("s90"),
+        expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL " +
+          "'0 00:03:30' DAY TO SECOND PRECEDING AND CURRENT ROW)")
+          .as("c210"),
+        expr("max(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '2' " +
+          "HOUR PRECEDING AND CURRENT ROW)").as("m2h")), troot, tSchema)
       // a MONTH interval is calendar arithmetic, not a fixed day
       // distance — it must fall through to Spark's own window (sub-day
       // intervals never reach the strategy: the analyzer itself rejects
