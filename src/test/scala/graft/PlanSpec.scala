@@ -1384,6 +1384,35 @@ class PlanSpec extends AnyFunSuite {
       ns.map(_.nodeName).mkString(", "))
   }
 
+  test("group-top-N over the merge join rides the chain's clustering claim") {
+    // best-k-lineitems-per-order over the joined stream: Spark's own
+    // WindowGroupLimit machinery (Partial below, Final above) plans
+    // around the exchange its window would need — which the chain's
+    // RangePartitioning claim elides, so the whole rank-filter pipeline
+    // runs exchange-free over the merge output
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, rank}
+    spark.catalog.clearCache()
+    val (o, _) = graft.queries.DocOps.rangeJoinSides(spark, sf)
+    val li = graft.queries.DocOps.rangeJoinLineitemSide(spark, sf)
+    val df = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        rank().over(Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("l_linenumber"))).as("rk"))
+      .filter(col("rk") <= 2)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 2))
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]) &&
+      ns.exists(_.isInstanceOf[WindowGroupLimitExec]) &&
+      ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+  }
+
   test("q193 full outer range merge: both sides streamed, zero exchange, right-only rows kept") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
