@@ -1905,7 +1905,12 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     if (isGlob || matches.lengthCompare(1) != 0 ||
       !matches.head.isDirectory) out
     else pinGeneration(fs, fs.makeQualified(matches.head.getPath), out,
-      () => doList())
+      () => {
+        // the re-listed walk replaces the first: reset the pruning
+        // observability counter so the description reflects ONE walk
+        prunedDirs.set(0)
+        doList()
+      })
   }
 
   /** Resolve a listing taken while an IN-PLACE compaction

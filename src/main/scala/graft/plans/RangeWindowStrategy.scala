@@ -323,9 +323,11 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case (kdt, bdt)
                 if integralVal(kdt) && integralVal(bdt) &&
                   asLong(l.value) < 0 &&
-                  // Long.MinValue negates to itself: a frame that wide
-                  // has no representable distance — refuse
-                  asLong(l.value) != Long.MinValue =>
+                  // Long.MinValue negates to itself, and a d of exactly
+                  // Long.MaxValue would tie the eviction's wrapped-
+                  // distance clamp (dist caps at MaxValue, which must
+                  // stay > d): frames that wide refuse to Spark
+                  asLong(l.value) > -Long.MaxValue =>
               Some(-asLong(l.value))
             case (DateType, _: DayTimeIntervalType) =>
               val micros = l.value.asInstanceOf[java.lang.Long].longValue()
@@ -340,7 +342,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                 org.apache.spark.sql.types.TimestampNTZType,
                 _: DayTimeIntervalType) =>
               val micros = l.value.asInstanceOf[java.lang.Long].longValue()
-              if (micros < 0 && micros != Long.MinValue) Some(-micros)
+              // same MinValue/MaxValue guard as the integral arm
+              if (micros < 0 && micros > -Long.MaxValue) Some(-micros)
               else None
             case _ => None
           }

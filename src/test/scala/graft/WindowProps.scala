@@ -429,6 +429,17 @@ class WindowProps extends AnyFunSuite {
         .as("s5"),
       count(col("v")).over(w.rangeBetween(-5L, Window.currentRow))
         .as("c5")), root)
+    // a d of exactly Long.MaxValue would tie the eviction's wrapped-
+    // distance clamp — it must refuse to Spark's own window
+    val huge = ExtendedJson.read(spark, schema, root,
+      Map("zoneMaps" -> "true"))
+      .select(col("k"), sum(col("v"))
+        .over(w.rangeBetween(-Long.MaxValue, Window.currentRow)).as("x"))
+    val hns = TestPlans.executedNodes(huge)
+    assert(hns.exists(_.isInstanceOf[WindowExec]) &&
+      !hns.exists(_.isInstanceOf[BandRunningWindowExec]),
+      "a Long.MaxValue-wide frame must fall through: " +
+        hns.map(_.nodeName).mkString(", "))
   }
 
   test("date-key INTERVAL RANGE frames match WindowExec") {
