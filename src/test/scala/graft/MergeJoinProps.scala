@@ -228,6 +228,41 @@ class MergeJoinProps extends AnyFunSuite {
       diff("chain inner+full_outer", merged = true, (l, r, c) =>
         l.join(r, l("k") === r("k"))
           .join(c, l("k") === c("k"), "full_outer"))
+      // …and a RUNNING WINDOW over the chain decomposes over the chain
+      // exec's partitions (the q192 composition) instead of
+      // re-collapsing its zero-exchange stream — tie groups share the
+      // RANGE-default running values, so duplicates stay deterministic
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{count, lit, rank, sum}
+        val wk = Window.orderBy(col("k"))
+        diff("window over chain", merged = true, (l, r, c) =>
+          l.join(r, l("k") === r("k"))
+            .join(c, l("k") === c("k"), "left_anti")
+            .select(l("k"), col("ln"), col("rn"))
+            .select(col("k"), col("ln"),
+              sum(col("ln")).over(wk).as("run"),
+              count(lit(1)).over(wk).as("rn2"),
+              rank().over(wk).as("rk")))
+        // the banded side must ALSO plan the band window (not a silent
+        // single-partition WindowExec over the merge)
+        val banded = {
+          val l2 = read("ln", lDir, true); val r2 = read("rn", rDir, true)
+          l2.join(r2, l2("k") === r2("k"))
+            .select(l2("k"), col("ln"))
+            .select(col("k"), col("ln"),
+              sum(col("ln")).over(wk).as("run"))
+        }
+        banded.collect()
+        val ns = nodes(banded)
+        assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+          ns.exists(_.isInstanceOf[RangeMergeJoinExec]) &&
+          !ns.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.window.WindowExec]) &&
+          !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          s"seed=$seed window-over-chain plan: " +
+            ns.map(_.nodeName).mkString(", "))
+      }
       // …but nothing chains ON TOP of one: its output can carry null
       // keys, so the outer hop pays Spark's ordinary join — the inner
       // full outer still merges, answers still match. (The top join
