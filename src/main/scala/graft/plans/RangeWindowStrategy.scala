@@ -70,9 +70,11 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    ignoreNulls])` (earliest-band-wins firsts), `max_by` / `min_by`
   *    (the argmax carry, stream-first-wins on ordering ties),
   *    `lag(x, n[, default])` (n ≤ 65,536 — n = 1 as a single-value
-  *    carry, deeper on the ring), and `lead(x, n[, default])` (n = 1 by
-  *    one-row lookahead with a cross-band SUFFIX, deeper by delaying
-  *    emission behind an n-slot ring) — constant defaults only.
+  *    carry, deeper on the ring), `lag(x, n[, default]) IGNORE NULLS`
+  *    (the previous-known-value deque), and `lead(x, n[, default])`
+  *    (n = 1 by one-row lookahead with a cross-band SUFFIX, deeper by
+  *    delaying emission behind an n-slot ring; lead IGNORE NULLS has
+  *    no bounded form and falls through) — constant defaults only.
   *
   * Distinct or filtered aggregates, frames past the current row,
   * expression (non-literal) offsets or defaults, and huge bounds fall
@@ -387,6 +389,22 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               case _ => None
             }
           }
+        // lag(x, n) IGNORE NULLS: the n-th most recent NON-NULL value
+        // among strictly preceding rows (the previous-known-value /
+        // forward-fill-excluding-self shape) — a bounded deque of the
+        // last n non-null values; the cross-band prefix is the earlier
+        // bands' last n non-nulls. lead IGNORE NULLS has NO bounded
+        // form (a null run defers the lookahead unboundedly) and falls
+        // through with everything else
+        case (lg: org.apache.spark.sql.catalyst.expressions.Lag, _)
+            if lg.ignoreNulls && orderable(lg.input.dataType) =>
+          constDefault(lg.default, lg.input.dataType).flatMap { d =>
+            lg.inputOffset match {
+              case Literal(k: Int, _) if k >= 1 && k <= 65536 =>
+                Some(RunLagNulls(lg.input, k, d))
+              case _ => None
+            }
+          }
         // lead(x, n[, default]): the value n rows AHEAD — the function
         // family whose cross-band carry flows BACKWARD (the last rows of
         // band i read band i+1's first rows), so a band's total is its
@@ -640,6 +658,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunNth => None // order-dependent: no sidecar form
           case _: RunMinMaxBy => None // tie-order-dependent: no sidecar form
           case _: RunLag => None // order-dependent: no sidecar form
+          case _: RunLagNulls => None // order-dependent: no sidecar form
           case _: RunLead => None // order-dependent: no sidecar form
           case _: RunLeadN => None // order-dependent: no sidecar form
           case _: RunSliding => None // order-dependent: no sidecar form
@@ -1402,6 +1421,44 @@ private[plans] object RunningWindow {
           prev = a(0); sawRows = true
         }
       }
+      override def value(): Any = emitVal
+    }
+  }
+
+  /** `lag(x, n[, default]) IGNORE NULLS` — the n-th most recent
+    * NON-NULL value among strictly preceding rows: a deque of the last
+    * ≤ n non-null values (nulls never enter), with the emitted value
+    * snapshotted BEFORE the current row folds in. The per-band total is
+    * the band's last ≤ n non-nulls; prefix merges append in band order
+    * and trim from the front — the lag ring's null-skipping twin.
+    */
+  final case class RunLagNulls(input: Expression, n: Int, default: Any)
+      extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val buf = new java.util.ArrayDeque[AnyRef](n)
+      private var emitVal: Any = default
+      private def push(v: Any): Unit = {
+        buf.addLast(v.asInstanceOf[AnyRef])
+        if (buf.size > n) buf.removeFirst()
+      }
+      override def update(row: InternalRow): Unit = {
+        emitVal = if (buf.size == n) buf.peekFirst() else default
+        val v = input.eval(row)
+        if (v != null) push(retain(v))
+      }
+      override def total(): Any = {
+        val out = new Array[Any](buf.size)
+        val it = buf.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      }
+      override def mergeTotal(t: Any): Unit = if (t != null)
+        t.asInstanceOf[Array[Any]].foreach(push)
       override def value(): Any = emitVal
     }
   }

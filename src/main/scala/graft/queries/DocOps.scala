@@ -1646,6 +1646,26 @@ object DocOps {
         max_by(col("v"), col("oid")).over(w).as("xbv"))
   }
 
+  /** LAG IGNORE NULLS — the previous-KNOWN-value shape (`lag(v, n)
+    * IGNORE NULLS`): the n-th most recent non-null among strictly
+    * preceding rows, over a column that is null on every 7th cent
+    * value. Bounded: a deque of the last n non-nulls per band, with
+    * the earlier bands' trailing non-nulls as the prefix — zero
+    * exchange ([[graft.plans.RunningWindow.RunLagNulls]]); lead IGNORE
+    * NULLS has no bounded streaming form and falls through.
+    */
+  private def q197RangeLagIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        when(cents % 7 === 0, lit(null)).otherwise(cents).as("v"))
+      .select(col("oid"), col("v"),
+        lag(col("v"), 1, null, true).over(w).as("pk1"),
+        lag(col("v"), 4, -1L, true).over(w).as("pk4"))
+  }
+
   /** WINDOW OVER THE MERGE CHAIN — q185's enrich+decontaminate chain
     * with a running total `OVER (ORDER BY o_orderkey)` on top, zero
     * exchange END-TO-END: the chained merge exec claims
@@ -1789,6 +1809,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_docsource_range_lag_ignore_nulls" -> q197RangeLagIgnoreNulls,
     "q196_docsource_range_event_time" -> q196RangeEventTimeWindow,
     "q195_docsource_range_date_interval" -> q195RangeDateInterval,
     "q194_docsource_range_arg_carry" -> q194RangeArgCarry,
@@ -1954,6 +1975,14 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q197_docsource_range_lag_ignore_nulls" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 7 = 0 " +
+        "THEN NULL ELSE CAST(round(o_totalprice * 100) AS BIGINT) END " +
+        "AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "lag(v, 1 IGNORE NULLS) OVER (ORDER BY oid) AS pk1, " +
+        "lag(v, 4, -1 IGNORE NULLS) OVER (ORDER BY oid) AS pk4 FROM o"),
     "q196_docsource_range_event_time" ->
       ("WITH e AS (SELECT date_trunc('ms', ts) AS ts, user_id " +
         "FROM events) " +

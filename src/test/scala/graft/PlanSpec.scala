@@ -1285,6 +1285,28 @@ class PlanSpec extends AnyFunSuite {
       "dense_rank's distinct-count prefix must come from the sidecar")
   }
 
+  test("q197 lag IGNORE NULLS: band window, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q197_docsource_range_lag_ignore_nulls")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // pk1 really skips nulls: at every row it equals the most recent
+    // non-null v strictly before it in oid order
+    val byOid = rows.sortBy(_.getString(0))
+    var lastNonNull: Option[Long] = None
+    byOid.foreach { r =>
+      val pk1 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(pk1 == lastNonNull, s"pk1 at ${r.getString(0)}")
+      if (!r.isNullAt(1)) lastNonNull = Some(r.getLong(1))
+    }
+  }
+
   test("q196 event-time RANGE frame over a TIMESTAMP key: band window, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

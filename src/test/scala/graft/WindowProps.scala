@@ -307,6 +307,17 @@ class WindowProps extends AnyFunSuite {
         nth_value(col("v"), 23, ignoreNulls = true).over(w).as("n23nn"),
         max_by(col("v"), -col("k")).over(w).as("atmin"),
         min_by(col("v"), -col("k")).over(w).as("atmax")), root)
+      // lag IGNORE NULLS (the ~quarter-null v column is exactly its
+      // regime): depths within and beyond a band, defaulted and not,
+      // plus the DESC twin
+      sets(_.select(col("k"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("pn1"),
+        lag(col("v"), 5, -9L, ignoreNulls = true).over(w).as("pn5"),
+        lag(col("v"), 21, null, ignoreNulls = true).over(w).as("pn21")),
+        root)
+      sets(_.select(col("k"), col("v"),
+        lag(col("v"), 3, null, ignoreNulls = true)
+          .over(Window.orderBy(col("k").desc)).as("pn3d")), root)
       // DESC: lead's suffix flows along the reversed partition order,
       // and deep-lag/lead carries assemble over the reversed bands too
       val wd = Window.orderBy(col("k").desc)
@@ -336,6 +347,9 @@ class WindowProps extends AnyFunSuite {
     // refuse; and HUGE lead offsets fall through like huge frames do
     fallsThrough(expr("lead(v, 1, k) OVER (ORDER BY k)"))
     fallsThrough(lead(col("v"), 1000000).over(w))
+    // lead IGNORE NULLS: a null run defers the lookahead unboundedly —
+    // no bounded streaming form, must fall through
+    fallsThrough(lead(col("v"), 1, null, ignoreNulls = true).over(w))
     fallsThrough(sum(col("v"))
       .over(w.rowsBetween(-3, 3))) // frames past the current row
     fallsThrough(sum(col("v"))
