@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GenericInternalRow, JoinedRow, Predicate, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, SinglePartition, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.PartitionReaderFactory
@@ -27,7 +27,11 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, OrderedBandGroup}
   * layout; co-band with its `bounds` parameter for aligned parallelism),
   * the equi-join — INNER, LEFT OUTER, LEFT SEMI, LEFT ANTI (the
   * decontamination shape: "drop every document whose key appears in the
-  * benchmark drop", otherwise a full-shuffle anti-join), or FULL OUTER
+  * benchmark drop", otherwise a full-shuffle anti-join), RIGHT OUTER
+  * (planned as the mirrored LEFT OUTER with a final row-local
+  * projection back to the declared attribute order — the preserved
+  * side streams as the merge base, so ordering/partitioning claims
+  * hold on the RIGHT key), or FULL OUTER
   * (the snapshot-diff shape: matched, left-only, and right-only rows in
   * one pass, otherwise a shuffle-and-sort of BOTH corpora) — plans as a
   * streamed MERGE JOIN over band-aligned partitions: each partition
@@ -151,6 +155,17 @@ class RangeMergeJoinStrategy(session: SparkSession) extends SparkStrategy
     * stream each step emits is ordered and range-partitioned on it.
     */
   private def matchChain(j: Join): Option[Chain] = j match {
+    // RIGHT OUTER is the LEFT OUTER with sides swapped: re-match the
+    // mirrored join (the merge then streams the PRESERVED side as its
+    // base — ordered and range-partitioned on the right key) and keep
+    // the original output attribute order; the exec's final projection
+    // remaps the swapped stream layout to it. Right-semi/anti have no
+    // SQL surface (Spark canonicalizes both to left), so this one arm
+    // closes the outer-join family.
+    case Join(l, r, RightOuter, Some(cond), hint) =>
+      matchChain(Join(r, l, LeftOuter, Some(cond),
+        JoinHint(hint.rightHint, hint.leftHint)))
+        .map(_.copy(output = j.output))
     case Join(l, r, jt @ (Inner | LeftOuter | LeftSemi | LeftAnti |
         FullOuter), Some(cond), hint) if hint == JoinHint.NONE =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -403,7 +418,7 @@ case class RangeMergeJoinExec(keyType: DataType,
   override protected def doExecute(): RDD[InternalRow] = {
     val factories = sides.map(_.scan.createReaderFactory())
     new RangeMergeChainRDD(sparkContext, keyType,
-      sides.toArray, factories.toArray, steps.toArray,
+      sides.toArray, factories.toArray, steps.toArray, output,
       parts, longMetric("numOutputRows"))
   }
 }
@@ -431,7 +446,7 @@ private final class ChainPartition(override val index: Int,
 private final class RangeMergeChainRDD(
     sc: org.apache.spark.SparkContext, keyType: DataType,
     sides: Array[MergeSideExec], factories: Array[PartitionReaderFactory],
-    steps: Array[MergeStepExec],
+    steps: Array[MergeStepExec], outAttrs: Seq[Attribute],
     @transient parts: Seq[Seq[Seq[OrderedBandGroup]]],
     rowCount: SQLMetric)
     extends RDD[InternalRow](sc, Nil) {
@@ -525,6 +540,18 @@ private final class RangeMergeChainRDD(
         case other => throw new IllegalStateException(
           s"unplannable merge join type $other")
       }
+    }
+    // a SWAPPED step (right outer planned as the mirrored left outer)
+    // leaves the stream in swapped layout — remap to the exec's declared
+    // output attribute order (row-local: every claim survives)
+    if (attrs.map(_.exprId) != outAttrs.map(_.exprId)) {
+      val in = attrs
+      val proj = UnsafeProjection.create(outAttrs.map { a =>
+        val ix = in.indexWhere(_.exprId == a.exprId)
+        BoundReference(ix, a.dataType,
+          a.nullable || in(ix).nullable): Expression
+      })
+      cur = cur.map(proj)
     }
     cur.map { row => rowCount += 1; row }
   }

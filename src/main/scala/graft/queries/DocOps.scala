@@ -1073,6 +1073,25 @@ object DocOps {
       .select(col("o_orderkey"), col("o_totalprice"), col("dk"))
   }
 
+  /** RIGHT OUTER range merge — `a RIGHT JOIN b` on two co-banded drops:
+    * planned as the MIRRORED left outer (the preserved diff side streams
+    * as the merge base, ordered and range-partitioned on ITS key) with a
+    * final row-local projection back to the declared attribute order —
+    * still zero exchange, zero sort
+    * ([[graft.plans.RangeMergeJoinStrategy]]). The diff drop's 50
+    * beyond-range keys exercise the null-extended (match-less right)
+    * rows, including a whole right-only band component.
+    */
+  private def q198RangeMergeRightOuter(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val dd = ExtendedJson.read(s, decodedDiffRj, diffJoinDir(s, d),
+      Map("zoneMaps" -> "true"))
+    o.join(dd, o("o_orderkey") === dd("dk"), "right_outer")
+      .select(col("o_orderkey"), col("o_totalprice"), col("dk"))
+  }
+
   /** The lineitem side of the co-banded join family — exposed so
     * SQL-text plan pins can register it as a view.
     */
@@ -1809,6 +1828,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_docsource_range_merge_right_outer" -> q198RangeMergeRightOuter,
     "q197_docsource_range_lag_ignore_nulls" -> q197RangeLagIgnoreNulls,
     "q196_docsource_range_event_time" -> q196RangeEventTimeWindow,
     "q195_docsource_range_date_interval" -> q195RangeDateInterval,
@@ -1975,6 +1995,12 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q198_docsource_range_merge_right_outer" ->
+      ("SELECT o.o_orderkey, o.o_totalprice, d.dk FROM orders o " +
+        "RIGHT JOIN (SELECT o_orderkey AS dk FROM orders " +
+        "WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT (SELECT max(o_orderkey) FROM orders) + r " +
+        "AS dk FROM range(1, 51) t(r)) d ON d.dk = o.o_orderkey"),
     "q197_docsource_range_lag_ignore_nulls" ->
       ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
         "CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 7 = 0 " +

@@ -149,6 +149,32 @@ class MergeJoinProps extends AnyFunSuite {
       assert(foGot.toSeq.sortBy(skey) == fullExp.sortBy(skey),
         s"$ctx full outer multiset")
       checkPlan(fo, "full_outer")
+
+      // RIGHT OUTER (planned as the mirrored left outer + final
+      // projection): every right row kept, left null-extended when
+      // match-less; output attribute order is the ORIGINAL (l ++ r)
+      val roExp: Seq[(java.lang.Long, String, java.lang.Long, String)] =
+        inner.map { case (k, lv, rv) =>
+          (java.lang.Long.valueOf(k), lv, java.lang.Long.valueOf(k), rv) } ++
+          rOnly.map { case (k, rv) =>
+            (null: java.lang.Long, null: String,
+              java.lang.Long.valueOf(k), rv) }
+      val ro = joined("right_outer")
+        .select(l("k").as("lk"), col("lv"), r("k").as("rk"), col("rv"))
+      val roGot = ro.collect().map(x => (
+        if (x.isNullAt(0)) null else java.lang.Long.valueOf(x.getLong(0)),
+        if (x.isNullAt(1)) null else x.getString(1),
+        if (x.isNullAt(2)) null else java.lang.Long.valueOf(x.getLong(2)),
+        if (x.isNullAt(3)) null else x.getString(3)))
+      assert(roGot.toSeq.sortBy(skey) == roExp.sortBy(skey),
+        s"$ctx right outer multiset")
+      // the preserved side streams as the merge base: output must be
+      // RIGHT-key ordered (every row's right key is non-null)
+      assert(roGot.forall(_._3 != null) &&
+        roGot.map(_._3.longValue()).toSeq ==
+          roGot.map(_._3.longValue()).sorted.toSeq,
+        s"$ctx right outer must stream right-key-ordered")
+      checkPlan(ro, "right_outer")
     }
   }
 
@@ -208,10 +234,16 @@ class MergeJoinProps extends AnyFunSuite {
       // is random per row, so TRUE/FALSE/"no pair passes" all occur —
       // for full outer that exercises both unmatched directions at once)
       Seq("inner", "left_outer", "left_semi", "left_anti",
-        "full_outer").foreach { jt =>
+        "full_outer", "right_outer").foreach { jt =>
         diff(s"$jt+residual", merged = true, (l, r, _) =>
           l.join(r, l("k") === r("k") && l("ln") < r("rn"), jt))
       }
+      // chaining ON TOP of a swapped right outer: the preserved (right)
+      // key stays ordered/non-null, so a second hop keyed on it folds
+      // into the chain exactly like a left-outer step would
+      diff("chain right_outer+anti", merged = true, (l, r, c) =>
+        l.join(r, l("k") === r("k"), "right_outer")
+          .join(c, r("k") === c("k"), "left_anti"))
       // residual filter on the right side (arithmetic — not pushable)
       diff("filtered-right outer", merged = true, (l, r, _) =>
         l.join(r.filter(col("rn") % 3 === 0), l("k") === r("k"),
@@ -346,5 +378,14 @@ class MergeJoinProps extends AnyFunSuite {
       foGot.count(_.isNullAt(2)) == lRows.size)
     val foExec = nodes(fo).collect { case j: RangeMergeJoinExec => j }
     assert(foExec.length == 1 && foExec.head.parts.nonEmpty)
+    // right outer with fully disjoint sides: every RIGHT row kept,
+    // left side all-null; the left-only component prunes at plan time
+    val ro = l.join(r, l("k") === r("k"), "right_outer")
+      .select(l("k").as("lk"), col("lv"), r("k").as("rk"), col("rv"))
+    val roGot = ro.collect()
+    assert(roGot.length == 10 && roGot.forall(_.isNullAt(0)))
+    val roExec = nodes(ro).collect { case j: RangeMergeJoinExec => j }
+    assert(roExec.length == 1 && roExec.head.parts.length == 1,
+      "the left-only range must prune; the right-only range must survive")
   }
 }

@@ -1457,6 +1457,30 @@ class PlanSpec extends AnyFunSuite {
       "left-only rows are the non-multiple-of-3 keys")
   }
 
+  test("q198 right outer range merge: mirrored left outer, zero exchange, right-key ordered") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q198_docsource_range_merge_right_outer")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeMergeJoinExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins
+        .SortMergeJoinExec]),
+      ns.map(_.nodeName).mkString(", "))
+    val nDiff = graft.core.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === 0)
+      .count()
+    assert(rows.length == nDiff + 50,
+      "every right (diff) row exactly once: matched + 50 beyond-range")
+    assert(rows.count(_.isNullAt(0)) == 50,
+      "the 50 beyond-range diff keys null-extend the left side")
+    // the preserved side is the merge base: output streams in RIGHT-key
+    // (dk) order — the swap keeps the claim honest on the right key
+    val dks = rows.map(_.getLong(2))
+    assert(dks.toSeq == dks.sorted.toSeq, "right-key ordered stream")
+  }
+
   test("q192 running window over the merge chain: one chained merge + band window, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
