@@ -58,12 +58,18 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    `ROWS` form, the bounded sliding `ROWS BETWEEN n PRECEDING AND
   *    CURRENT ROW` (n ≤ 65,536 — the prefix is the earlier bands' last
   *    n values), and the VALUE-based `RANGE BETWEEN d PRECEDING AND
-  *    CURRENT ROW` over an integral key, a DATE key with a whole-day
-  *    `INTERVAL 'd' DAY` boundary, or a TIMESTAMP key with any
-  *    day-time interval (the 7-day-mean and 15-minute-event-window
-  *    shapes; the buffer holds the frame's live (key, value) pairs,
-  *    evicted by key distance; month intervals are calendar arithmetic
-  *    and fall through);
+  *    [CURRENT ROW | d2 PRECEDING]` over an integral key, a DATE key
+  *    with whole-day `INTERVAL 'd' DAY` or calendar `INTERVAL 'm'
+  *    MONTH`/YEAR boundaries (month distance is monotone in the key —
+  *    the bound is `add_months(current, -m)` with Spark's month-end
+  *    clamping), or a TIMESTAMP key with any day-time interval (the
+  *    7-day-mean, 3-month-rolling-mean, 15-minute-event-window, and
+  *    lagged dual-bound shapes; the buffer holds the frame's live
+  *    (key, value) pairs, evicted by key distance, population-bounded
+  *    at plan time from the sidecar and capped at runtime —
+  *    `spark.graft.window.maxRangeFrameRows` — where no plan bound
+  *    applies; frames denser than the cap refuse to Spark's spillable
+  *    window);
   *  - the ORDER-SENSITIVE carries, whose computed-totals pass runs over
   *    the SORTED stream: `last(x, ignoreNulls)` (forward-fill / as-of),
   *    `first_value(x[, ignoreNulls])` and `nth_value(x, n[,
@@ -148,6 +154,11 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                     orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
                 val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
                 if (funcs.exists(_.isEmpty)) return Nil
+                // value-frame population bound: a RANGE frame denser
+                // than the configured cap must run on Spark's spillable
+                // WindowExec, not an in-memory deque
+                if (!rangeFramesBounded(scan, attr.name, funcs.map(_.get)))
+                  return Nil
                 scan.orderedBandPartitions(attr.name) match {
                   case Some(bands) if bands.nonEmpty =>
                     val desc = first.direction == Descending
@@ -309,47 +320,80 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               if lo < 0 && lo >= -65536 => Some(Left(-lo))
           case _ => None
         }
-      // `RANGE BETWEEN x PRECEDING AND CURRENT ROW` — the VALUE-based
-      // sliding frame (a 7-DAY mean over a day key, not 7 rows): frame
-      // membership is a key-distance test, so the buffer holds only the
-      // rows whose key is within x of the current one — in the KEY's
-      // own units. Integral keys take an integral boundary; DATE keys
-      // take a whole-day `INTERVAL 'x' DAY` boundary (dates are day
-      // numbers internally, so the distance arithmetic is identical;
-      // sub-day intervals have no exact day-key meaning and refuse)
-      val rangeSlide: Option[Long] = spec.frameSpecification match {
-        case SpecifiedWindowFrame(RangeFrame, l: Literal, CurrentRow)
-            if l.value != null && orderSpec.lengthCompare(1) == 0 =>
-          import org.apache.spark.sql.types.{DateType, DayTimeIntervalType}
-          (orderSpec.head.child.dataType, l.dataType) match {
-            case (kdt, bdt)
-                if integralVal(kdt) && integralVal(bdt) &&
-                  asLong(l.value) < 0 &&
-                  // Long.MinValue negates to itself, and a d of exactly
-                  // Long.MaxValue would tie the eviction's wrapped-
-                  // distance clamp (dist caps at MaxValue, which must
-                  // stay > d): frames that wide refuse to Spark
-                  asLong(l.value) > -Long.MaxValue =>
-              Some(-asLong(l.value))
-            case (DateType, _: DayTimeIntervalType) =>
-              val micros = l.value.asInstanceOf[java.lang.Long].longValue()
-              val MicrosPerDay = 86400L * 1000000L
-              if (micros < 0 && micros % MicrosPerDay == 0L)
-                Some(-(micros / MicrosPerDay))
-              else None
-            // TIMESTAMP keys are microsecond counts — ANY day-time
-            // interval is already in the key's unit (the sliding
-            // 15-minute event-time window, exact to the microsecond)
-            case (org.apache.spark.sql.types.TimestampType |
-                org.apache.spark.sql.types.TimestampNTZType,
-                _: DayTimeIntervalType) =>
-              val micros = l.value.asInstanceOf[java.lang.Long].longValue()
-              // same MinValue/MaxValue guard as the integral arm
-              if (micros < 0 && micros > -Long.MaxValue) Some(-micros)
-              else None
-            case _ => None
-          }
-        case _ => None
+      // `RANGE BETWEEN x PRECEDING AND [CURRENT ROW | y PRECEDING]` —
+      // the VALUE-based sliding frame (a 7-DAY mean over a day key, not
+      // 7 rows; `13 PRECEDING AND 7 PRECEDING` is the LAGGED-window
+      // twin): frame membership is a key-distance test, so the buffer
+      // holds only the rows whose key is within x of the current one —
+      // in the KEY's own units. Integral keys take integral boundaries;
+      // DATE keys take whole-day `INTERVAL 'x' DAY` boundaries (dates
+      // are day numbers internally, so the distance arithmetic is
+      // identical; sub-day intervals never reach us — the analyzer
+      // rejects them) or CALENDAR `INTERVAL 'm' MONTH` boundaries
+      // (month distance is monotone in the key: the bound is
+      // `add_months(current, -m)` with Spark's own month-end clamping,
+      // so the same front-eviction applies — the 3-month rolling mean);
+      // both bounds of a dual-bound frame must be the same kind (a
+      // month lower against a day upper has no shared unit and refuses)
+      val rangeSlide: Option[RunningWindow.RangeDist] = {
+        import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, YearMonthIntervalType}
+        val keyDt = orderSpec.head.child.dataType
+        // one boundary expression → (isMonthKind, distance ≥ 0), with
+        // the wrap guards: Long.MinValue negates to itself, and a
+        // distance of exactly Long.MaxValue would tie the eviction's
+        // wrapped-distance clamp (dist caps at MaxValue, which must
+        // stay > d) — frames that wide refuse to Spark
+        def bound(e: Expression, allowZero: Boolean)
+            : Option[(Boolean, Long)] = e match {
+          case CurrentRow if allowZero => Some((false, 0L))
+          case l: Literal if l.value != null =>
+            (keyDt, l.dataType) match {
+              case (kdt, bdt) if integralVal(kdt) && integralVal(bdt) &&
+                  asLong(l.value) < 0 && asLong(l.value) > -Long.MaxValue =>
+                Some((false, -asLong(l.value)))
+              case (DateType, _: DayTimeIntervalType) =>
+                val micros = l.value.asInstanceOf[java.lang.Long].longValue()
+                val MicrosPerDay = 86400L * 1000000L
+                if (micros < 0 && micros % MicrosPerDay == 0L)
+                  Some((false, -(micros / MicrosPerDay)))
+                else None
+              case (DateType, _: YearMonthIntervalType) =>
+                // year-month intervals are month counts internally
+                // (years arrive ×12) — calendar arithmetic, valid over
+                // DATE keys only (timestamp month-adds are
+                // timezone-local and refuse)
+                val months = l.value.asInstanceOf[java.lang.Integer].intValue()
+                if (months < 0 && months > Int.MinValue)
+                  Some((true, -months.toLong))
+                else None
+              // TIMESTAMP keys are microsecond counts — ANY day-time
+              // interval is already in the key's unit (the sliding
+              // 15-minute event-time window, exact to the microsecond)
+              case (org.apache.spark.sql.types.TimestampType |
+                  org.apache.spark.sql.types.TimestampNTZType,
+                  _: DayTimeIntervalType) =>
+                val micros = l.value.asInstanceOf[java.lang.Long].longValue()
+                if (micros < 0 && micros > -Long.MaxValue) Some((false, -micros))
+                else None
+              case _ => None
+            }
+          case _ => None
+        }
+        spec.frameSpecification match {
+          case SpecifiedWindowFrame(RangeFrame, loE, hiE)
+              if orderSpec.lengthCompare(1) == 0 =>
+            (bound(loE, allowZero = false), bound(hiE, allowZero = true))
+              match {
+              case (Some((loM, lo)), Some((hiM, hi)))
+                  // the CurrentRow upper (hi = 0) pairs with either
+                  // kind; an explicit upper must match the lower's
+                  if lo >= hi && (hi == 0L || loM == hiM) =>
+                if (loM) Some(RunningWindow.MonthDist(lo.toInt, hi.toInt))
+                else Some(RunningWindow.FixedDist(lo, hi))
+              case _ => None
+            }
+          case _ => None
+        }
       }
       (fn, frame) match {
         case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
@@ -503,11 +547,15 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             if rangeSlide.isDefined && !ae.isDistinct &&
               ae.filter.isEmpty =>
           // the key-type/boundary-type pairing (integral↔integral,
-          // date↔whole-day interval) was already settled by the
-          // rangeSlide extraction, in key units
+          // date↔whole-day/month interval) was already settled by the
+          // rangeSlide extraction, in key units. The runtime cap bounds
+          // the live buffer where no plan-time sidecar bound applied
+          // (chain windows, filtered scans): past it the frame is one
+          // Spark's spillable WindowExec should run instead
           slideOpFor(ae).map { case (in, op) =>
             RunRangeSliding(orderSpec.head.child, in, rangeSlide.get,
-              orderSpec.head.direction == Descending, op)
+              orderSpec.head.direction == Descending, op,
+              RangeWindowStrategy.maxRangeFrameRows(session))
           }
         case _ => None
       }
@@ -743,6 +791,93 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       if (FilterEval.compareInternal(dt, mx, prevMax) > 0) prevMax = mx
     }
     Some(java.lang.Long.valueOf(total))
+  }
+
+  /** Plan-time population bound for value-based RANGE frames: an upper
+    * bound on the densest frame's row count, from the sidecar's per-file
+    * (key min, key max, rows). A frame ending at key c holds only rows
+    * of files whose [min, max] intersects [c − lo, c], so the max over c
+    * of that file-row sum bounds every frame; the sweep evaluates it at
+    * arrival points (the sum only grows there). Over-estimates freely
+    * (whole files count even when one row overlaps) — it only gates
+    * whether the in-memory buffer is SAFE; the runtime cap still guards
+    * paths with no stats (filtered scans, chain windows). Returns true
+    * when every frame provably fits, false to refuse to Spark's
+    * spillable WindowExec, true-with-runtime-guard when stats are
+    * underivable.
+    */
+  private def rangeFramesBounded(scan: ExtJsonScan, keyCol: String,
+      funcs: Seq[RunningFunc]): Boolean = {
+    import RunningWindow.{FixedDist, MonthDist, RunRangeSliding}
+    val frames = funcs.collect { case r: RunRangeSliding => r }
+    if (frames.isEmpty) return true
+    val cap = RangeWindowStrategy.maxRangeFrameRows(session)
+    scan.orderedBandFileStats(keyCol) match {
+      case Some(groups) =>
+        val files = groups.flatten
+        val stats = files.flatMap { f =>
+          f.cols.get(keyCol).flatMap { cs =>
+            (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                Some((asLong(mn), asLong(mx), cs.rows))
+              case _ => None
+            }
+          }
+        }
+        // any underivable file → no plan-time bound; the runtime cap
+        // still fails fast before an OOM
+        if (stats.length != files.length) return true
+        frames.forall { fr =>
+          val lo = fr.dist match {
+            case FixedDist(l, _) => l
+            // months → conservative day width (31 days each + slack)
+            case MonthDist(l, _) => 31L * l + 3L
+          }
+          RangeWindowStrategy.maxWindowRows(stats, lo, cap) <= cap
+        }
+      case None => true
+    }
+  }
+}
+
+object RangeWindowStrategy {
+  /** Runtime/plan-time cap on a value-based RANGE frame's live buffered
+    * rows per function — past it the frame belongs to Spark's spillable
+    * WindowExec, not an in-memory deque.
+    */
+  val MaxRangeFrameRowsKey = "spark.graft.window.maxRangeFrameRows"
+
+  private[plans] def maxRangeFrameRows(session: SparkSession): Long =
+    session.sessionState.conf
+      .getConfString(MaxRangeFrameRowsKey, "4194304").toLong
+
+  /** Max file-row sum over any width-`lo` key window (see
+    * [[RangeWindowStrategy.rangeFramesBounded]]); early-exits once past
+    * `cap`. Direction-free: the max over sliding windows of one width
+    * is the same swept either way.
+    */
+  private[plans] def maxWindowRows(stats: Seq[(Long, Long, Long)],
+      lo: Long, cap: Long): Long = {
+    val arr = stats.sortBy(_._1)
+    // a file [mn, mx] is live for frame-end c while mn ≤ c ≤ mx + lo
+    // (saturating: huge hash-range keys must not wrap the departure)
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Long, Long)](Ordering.by((e: (Long, Long)) => -e._1))
+    var sum = 0L
+    var best = 0L
+    arr.foreach { case (mn, mx, rows) =>
+      val c = mn
+      while (pq.nonEmpty && pq.head._1 < c) {
+        sum -= pq.head._2
+        pq.dequeue()
+      }
+      sum += rows
+      val dep = if (mx > Long.MaxValue - lo) Long.MaxValue else mx + lo
+      pq.enqueue((dep, rows))
+      if (sum > best) best = sum
+      if (best > cap) return best
+    }
+    best
   }
 }
 
@@ -1290,27 +1425,49 @@ private[plans] object RunningWindow {
     }
   }
 
-  /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d PRECEDING AND CURRENT
-    * ROW)` — the VALUE-based sliding frame (the 7-day mean): the
-    * accumulator retains (key, value) pairs and EVICTS by key distance
-    * (> d from the current key — or the mirrored direction under DESC),
-    * so the buffer holds exactly the frame's live rows; each group-end
-    * value folds the buffered values in stream order (RANGE CURRENT ROW
-    * spans the whole tie group, so the value is group-scoped — tie
-    * groups share the frame, SQL's peer semantics). The per-band TOTAL
-    * is the band's own trailing frame (entries within d of its last
-    * key — every future row is farther out, so nothing else can matter),
-    * merged band-to-band with the same eviction. Memory is O(live frame
-    * rows) of (long, value) pairs — the SAME row population Spark's own
-    * WindowExec buffers as whole spillable rows for this frame, held
-    * smaller; each FUNCTION keeps its own buffer (n functions over one
-    * frame hold the live values n times — still value-sized, a shared
-    * per-frame buffer is a known follow-up, not a scale hazard). The
-    * layout proof is null-free, so the key never needs a null peer
-    * group.
+  /** The value-frame boundary pair, as distances ≥ 0 from the current
+    * key in the KEY's own units — `lo` is the far (eviction) bound,
+    * `hi` the near (admission) bound (0 = CURRENT ROW; `hi > 0` is the
+    * dual-bound lagged frame `lo PRECEDING AND hi PRECEDING`).
+    * [[FixedDist]] is linear key arithmetic (integral keys,
+    * day-intervals over DATE keys, day-time intervals over TIMESTAMP
+    * keys); [[MonthDist]] is calendar arithmetic over DATE keys — the
+    * bound is `add_months(current, -m)` with LocalDate's month-end
+    * clamping, bit-identical to Spark's own DateAddYMInterval boundary,
+    * and monotone in the key (so front-eviction stays valid).
+    */
+  sealed trait RangeDist extends Serializable
+  final case class FixedDist(lo: Long, hi: Long) extends RangeDist
+  final case class MonthDist(lo: Int, hi: Int) extends RangeDist
+
+  /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d PRECEDING AND [CURRENT
+    * ROW | d2 PRECEDING])` — the VALUE-based sliding frame (the 7-day
+    * mean; the lagged "week ending 3 days ago"; the 3-MONTH rolling
+    * mean over a date key): the accumulator retains (key, value) pairs
+    * and EVICTS by key distance (past the lo bound from the current
+    * key — or the mirrored direction under DESC), so the buffer holds
+    * exactly the frame's live rows; each group-end value folds the
+    * buffered values that clear the hi (admission) bound, in stream
+    * order (RANGE CURRENT ROW spans the whole tie group, so the value
+    * is group-scoped — tie groups share the frame, SQL's peer
+    * semantics). The per-band TOTAL is the band's own trailing frame
+    * (entries within lo of its last key — every future row is farther
+    * out, so nothing else can matter), merged band-to-band with the
+    * same eviction. Memory is O(live frame rows) of (long, value)
+    * pairs — the SAME row population Spark's own WindowExec buffers as
+    * whole spillable rows for this frame, held smaller; each FUNCTION
+    * keeps its own buffer (n functions over one frame hold the live
+    * values n times — still value-sized). `cap` bounds the live buffer
+    * at runtime: where the strategy could not prove a plan-time bound
+    * from the sidecar (chain windows, filtered scans), a frame denser
+    * than the cap fails fast with the conf to raise instead of
+    * accreting toward an executor OOM — Spark's own WindowExec (which
+    * spills) is the right plan for those. The layout proof is
+    * null-free, so the key never needs a null peer group.
     */
   final case class RunRangeSliding(key: Expression, input: Expression,
-      d: Long, desc: Boolean, op: SlideOp) extends RunningFunc {
+      dist: RangeDist, desc: Boolean, op: SlideOp,
+      cap: Long = Long.MaxValue) extends RunningFunc {
     override def rowsFrame: Boolean = false
     override def orderSensitive: Boolean = true
     override def bound(in: Seq[Attribute]): RunningFunc =
@@ -1320,31 +1477,70 @@ private[plans] object RunningWindow {
       private val NullToken: AnyRef = RunSliding.NullToken
       private val keys = new java.util.ArrayDeque[java.lang.Long]()
       private val vals = new java.util.ArrayDeque[AnyRef]()
-      // keep entry k for current key c: ASC → c - k ≤ d (k can never
-      // exceed c in a sorted stream); DESC → k - c ≤ d. The subtraction
-      // is always of (later − earlier) in stream order, hence
-      // mathematically ≥ 0 — a WRAPPED (negative) result means the true
-      // distance exceeds the Long range entirely, which is certainly
-      // > d (64-bit hash-id keys can legitimately span that far)
-      private def dist(later: Long, earlier: Long): Long = {
+      // keep entry k for current key c: ASC → c - k ≤ lo (k can never
+      // exceed c in a sorted stream); DESC → k - c ≤ lo. The
+      // subtraction is always of (later − earlier) in stream order,
+      // hence mathematically ≥ 0 — a WRAPPED (negative) result means
+      // the true distance exceeds the Long range entirely, which is
+      // certainly > lo (64-bit hash-id keys can legitimately span that
+      // far). Admission mirrors it: distance ≥ hi.
+      private def wdist(later: Long, earlier: Long): Long = {
         val r = later - earlier
         if (r < 0) Long.MaxValue else r
       }
+      // month bounds cache per current key: the two LocalDate adds run
+      // once per row, not once per buffered entry
+      private var mFor = Long.MinValue
+      private var mHave = false
+      private var mEvict = 0L
+      private var mAdmit = 0L
+      private def monthBounds(cur: Long, lo: Int, hi: Int): Unit =
+        if (!mHave || cur != mFor) {
+          val ld = java.time.LocalDate.ofEpochDay(cur)
+          if (desc) {
+            mEvict = ld.plusMonths(lo.toLong).toEpochDay
+            mAdmit = ld.plusMonths(hi.toLong).toEpochDay
+          } else {
+            mEvict = ld.minusMonths(lo.toLong).toEpochDay
+            mAdmit = ld.minusMonths(hi.toLong).toEpochDay
+          }
+          mFor = cur; mHave = true
+        }
+      private def keep(cur: Long, k: Long): Boolean = dist match {
+        case FixedDist(lo, _) =>
+          (if (desc) wdist(k, cur) else wdist(cur, k)) <= lo
+        case MonthDist(lo, hi) =>
+          monthBounds(cur, lo, hi)
+          if (desc) k <= mEvict else k >= mEvict
+      }
+      private def admit(cur: Long, k: Long): Boolean = dist match {
+        case FixedDist(_, hi) =>
+          hi == 0L || (if (desc) wdist(k, cur) else wdist(cur, k)) >= hi
+        case MonthDist(lo, hi) =>
+          monthBounds(cur, lo, hi)
+          if (desc) k >= mAdmit else k <= mAdmit
+      }
+      private var curKey = 0L
       private def evict(cur: Long): Unit = {
         var go = true
         while (go && !keys.isEmpty) {
           val k = keys.peekFirst().longValue()
-          if ((if (desc) dist(k, cur) else dist(cur, k)) > d) {
+          if (!keep(cur, k)) {
             keys.removeFirst(); vals.removeFirst()
           } else go = false
         }
       }
       override def update(row: InternalRow): Unit = {
         val c = key.eval(row).asInstanceOf[Number].longValue()
+        curKey = c
         evict(c)
         keys.addLast(java.lang.Long.valueOf(c))
         val v = retain(input.eval(row))
         vals.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
+        if (keys.size > cap) throw new org.apache.spark.SparkException(
+          s"graft range-window frame exceeds $cap live rows per " +
+            "function; raise spark.graft.window.maxRangeFrameRows or " +
+            "let Spark's spillable window plan this frame")
       }
       override def total(): Any = {
         val ks = new Array[Any](keys.size)
@@ -1374,12 +1570,25 @@ private[plans] object RunningWindow {
         if (!keys.isEmpty) evict(keys.peekLast().longValue())
       }
       override def value(): Any = {
-        val it = vals.iterator()
+        val ki = keys.iterator(); val vi = vals.iterator()
         op.fold(new Iterator[Any] {
-          override def hasNext: Boolean = it.hasNext
+          private var nextV: Any = _
+          private var haveNext = false
+          private def advance(): Unit =
+            while (!haveNext && ki.hasNext) {
+              val k = ki.next().longValue()
+              val v = vi.next()
+              if (admit(curKey, k)) {
+                nextV = if (v eq NullToken) null else v
+                haveNext = true
+              }
+            }
+          override def hasNext: Boolean = { advance(); haveNext }
           override def next(): Any = {
-            val v = it.next()
-            if (v eq NullToken) null else v
+            advance()
+            if (!haveNext) throw new NoSuchElementException
+            haveNext = false
+            nextV
           }
         })
       }

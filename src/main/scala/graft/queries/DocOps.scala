@@ -1601,6 +1601,48 @@ object DocOps {
       .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
         .as("o_day"), col("o_custkey"), col("w7_sum"), col("w7_n"))
 
+  /** CALENDAR MONTH RANGE frame — `RANGE BETWEEN INTERVAL '3' MONTH
+    * PRECEDING AND CURRENT ROW` over the raw-DATE-banded landing: the
+    * single most common business-calendar window (the 3-month rolling
+    * mean). Month distance is monotone in the key — the frame bound is
+    * `add_months(current, -3)` with Spark's month-end clamping, so the
+    * live-pair buffer evicts by the per-row calendar bound, zero
+    * exchange ([[graft.plans.RunningWindow.RunRangeSliding]] with
+    * [[graft.plans.RunningWindow.MonthDist]]). The avg rides as
+    * sum/count per the house oracle rule.
+    */
+  private def q199RangeMonthInterval(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDate, ordersDateRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_orderdate"), col("o_custkey"),
+        expr("CAST(sum(o_custkey) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL '3' MONTH PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT)").as("m3_sum"),
+        expr("count(*) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL '3' MONTH PRECEDING AND CURRENT ROW)")
+          .as("m3_n"))
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .as("o_day"), col("o_custkey"), col("m3_sum"), col("m3_n"))
+      .withColumn("m3_avg", col("m3_sum").cast("double") / col("m3_n"))
+
+  /** DUAL-BOUND value frame — `RANGE BETWEEN 13 PRECEDING AND 7
+    * PRECEDING` over the day-banded landing: the LAGGED window ("the
+    * week ending 7 days ago" — the baseline a week-over-week comparison
+    * divides by). One eviction bound (13) plus one admission bound (7)
+    * on the same live buffer, zero exchange; empty frames (no orders in
+    * the lagged week) emit NULL sums and zero counts, SQL's semantics.
+    */
+  private def q200RangeLaggedWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.orderBy(col("o_day")).rangeBetween(-13, -7)
+    ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_day"), col("o_custkey"),
+        sum(col("o_custkey")).over(wl).as("lag7_sum"),
+        count(lit(1)).over(wl).as("lag7_n"),
+        min(col("o_custkey")).over(wl).as("lag7_min"))
+  }
+
   private val decodedEventsTs = StructType(Seq(
     StructField("ts", org.apache.spark.sql.types.TimestampType),
     StructField("user_id", LongType)))
@@ -1828,6 +1870,8 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_docsource_range_lagged_window" -> q200RangeLaggedWindow,
+    "q199_docsource_range_month_interval" -> q199RangeMonthInterval,
     "q198_docsource_range_merge_right_outer" -> q198RangeMergeRightOuter,
     "q197_docsource_range_lag_ignore_nulls" -> q197RangeLagIgnoreNulls,
     "q196_docsource_range_event_time" -> q196RangeEventTimeWindow,
@@ -1995,6 +2039,27 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q200_docsource_range_lagged_window" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders) " +
+        "SELECT o_day, o_custkey, " +
+        "CAST(sum(o_custkey) OVER w AS BIGINT) AS lag7_sum, " +
+        "count(*) OVER w AS lag7_n, " +
+        "min(o_custkey) OVER w AS lag7_min FROM o " +
+        "WINDOW w AS (ORDER BY o_day " +
+        "RANGE BETWEEN 13 PRECEDING AND 7 PRECEDING)"),
+    "q199_docsource_range_month_interval" ->
+      ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od, o_custkey " +
+        "FROM orders) " +
+        "SELECT CAST(datediff('day', DATE '1970-01-01', od) AS INT) " +
+        "AS o_day, o_custkey, " +
+        "CAST(sum(o_custkey) OVER w AS BIGINT) AS m3_sum, " +
+        "count(*) OVER w AS m3_n, " +
+        "CAST(CAST(sum(o_custkey) OVER w AS BIGINT) AS DOUBLE) / " +
+        "count(*) OVER w AS m3_avg FROM o " +
+        "WINDOW w AS (ORDER BY od " +
+        "RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW)"),
     "q198_docsource_range_merge_right_outer" ->
       ("SELECT o.o_orderkey, o.o_totalprice, d.dk FROM orders o " +
         "RIGHT JOIN (SELECT o_orderkey AS dk FROM orders " +

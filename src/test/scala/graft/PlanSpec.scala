@@ -1354,6 +1354,61 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q199 MONTH-interval RANGE frame: band window, zero exchange, clamped calendar bound") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q199_docsource_range_month_interval")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame really spans 3 CALENDAR months (add_months clamping,
+    // not 90 fixed days): spot-check a mid-calendar day against the
+    // hand sum over days >= that date minus 3 months
+    val byDay = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val days = byDay.map(_._1).distinct.sorted
+    val d0 = days(days.length / 2)
+    val lo = java.time.LocalDate.ofEpochDay(d0.toLong)
+      .minusMonths(3L).toEpochDay
+    val expect = byDay.filter(t => t._1 >= lo && t._1 <= d0)
+      .map(_._2).sum
+    assert(byDay.filter(_._1 == d0).forall(_._3 == expect),
+      "3-calendar-month frame spot check")
+  }
+
+  test("q200 dual-bound lagged RANGE frame: band window, zero exchange, empty frames null") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q200_docsource_range_lagged_window")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the admission bound really excludes the near week: spot-check a
+    // mid-calendar day's lagged sum and count against the hand fold
+    val byDay = rows.map(r => (r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+      r.getLong(3)))
+    val days = byDay.map(_._1).distinct.sorted
+    val d0 = days(days.length / 2)
+    val in = byDay.filter(t => t._1 >= d0 - 13 && t._1 <= d0 - 7)
+    val expectN = in.length.toLong
+    assert(byDay.filter(_._1 == d0).forall(_._4 == expectN),
+      "lagged-frame count spot check")
+    // the stream's FIRST day has an empty lagged frame: null sum, 0 n
+    val first = byDay.filter(_._1 == days.head)
+    assert(first.forall(t => t._3 == null && t._4 == 0L),
+      "empty lagged frame must emit null sum and zero count")
+  }
+
   test("q194 first/nth/argmax carries: band window, zero exchange, no WindowExec") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -113,6 +113,20 @@ class WindowProps extends AnyFunSuite {
           max(col("v")).over(wv).as("vmax"),
           avg(col("v")).over(wv).as("vavg")), root)
       }
+      // DUAL-BOUND (lagged) value frames — `d1 PRECEDING AND d2
+      // PRECEDING`: eviction on d1, admission on d2; empty frames and
+      // the degenerate d1 = d2 pin both included
+      Seq((11L, 4L), (7L, 7L), (1000L, 30L)).foreach { case (d1, d2) =>
+        val wl = w.rangeBetween(-d1, -d2)
+        sets(_.select(col("k"), col("v"),
+          sum(col("v")).over(wl).as("lsum"),
+          count(col("v")).over(wl).as("lcnt"),
+          max(col("v")).over(wl).as("lmax")), root)
+      }
+      // DESC dual-bound twin
+      sets(_.select(col("k"), col("v"),
+        sum(col("v")).over(Window.orderBy(col("k").desc)
+          .rangeBetween(-9L, -3L)).as("dlag")), root)
       // DESC twin (value-frame direction mirrors too)
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
@@ -517,19 +531,122 @@ class WindowProps extends AnyFunSuite {
           .as("c210"),
         expr("max(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '2' " +
           "HOUR PRECEDING AND CURRENT ROW)").as("m2h")), troot, tSchema)
-      // a MONTH interval is calendar arithmetic, not a fixed day
-      // distance — it must fall through to Spark's own window (sub-day
-      // intervals never reach the strategy: the analyzer itself rejects
-      // INTERVAL HOUR against a DATE order key)
-      val mon = ExtendedJson.read(spark, dSchema, root,
-        Map("zoneMaps" -> "true"))
-        .select(col("k"), expr("sum(v) OVER (ORDER BY k RANGE BETWEEN " +
-          "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("x"))
-      val ns = TestPlans.executedNodes(mon)
-      assert(ns.exists(_.isInstanceOf[WindowExec]) &&
-        !ns.exists(_.isInstanceOf[BandRunningWindowExec]),
-        "month intervals must fall through: " +
-          ns.map(_.nodeName).mkString(", "))
+      // MONTH intervals are calendar arithmetic with Spark's month-end
+      // clamping — the bound is add_months(current, -m), monotone in
+      // the key, so the same live-pair buffer applies; Spark is ground
+      // truth for the clamping (sub-day intervals never reach the
+      // strategy: the analyzer itself rejects INTERVAL HOUR against a
+      // DATE order key)
+      // NOTE: expressions with DIFFERENT frames analyze into STACKED
+      // Window nodes (one per frame spec) — the outer node's child is a
+      // Window, not the scan, so only same-frame groups plan the band
+      // window end-to-end; each frame sweeps in its own query here
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
+          "PRECEDING AND CURRENT ROW)").as("ms1"),
+        expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' " +
+          "MONTH PRECEDING AND CURRENT ROW)").as("mc1")), root, dSchema)
+      sets(_.select(col("k"), col("v"),
+        expr("min(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '0-2' YEAR " +
+          "TO MONTH PRECEDING AND CURRENT ROW)").as("mm2")), root, dSchema)
+      // dual-bound months: the window ending one month back
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '2' MONTH " +
+          "PRECEDING AND INTERVAL '1' MONTH PRECEDING)").as("mlag"))
+        , root, dSchema)
+      // DESC month twin (the bound mirrors to add_months(current, +m))
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '1' " +
+          "MONTH PRECEDING AND CURRENT ROW)").as("msd")), root, dSchema)
+      // dual-bound fixed (lagged) frames over the date key, empty
+      // frames included (a 2-day window ending 5 days back often holds
+      // nothing)
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '7' DAY " +
+          "PRECEDING AND INTERVAL '5' DAY PRECEDING)").as("dlag"))
+        , root, dSchema)
+      sets(_.select(col("k"), col("v"),
+        expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '7' DAY " +
+          "PRECEDING AND INTERVAL '7' DAY PRECEDING)").as("dpin"))
+        , root, dSchema)
     }
+    // month-end clamping fixture: every boundary Spark clamps
+    // (Mar 31 − 1 MONTH = Feb 29 in 2024, Apr 30/May 31 chains) with
+    // duplicate month-end dates as peer groups — differential, so any
+    // clamping drift from Spark's own DateAddYMInterval fails
+    val clampRoot = Files.createTempDirectory("graft_wpropsm").toString
+    val dSchema2 = StructType(Seq(
+      StructField("k", org.apache.spark.sql.types.DateType),
+      StructField("v", LongType)))
+    val clampDates = Seq("2024-01-30", "2024-01-31", "2024-02-29",
+      "2024-02-29", "2024-03-30", "2024-03-31", "2024-04-29", "2024-04-30",
+      "2024-05-31", "2024-06-30", "2024-07-31", "2024-08-31")
+    Files.write(Paths.get(clampRoot, "f0.jsonl"),
+      (clampDates.zipWithIndex.map { case (dd, i) =>
+        s"""{"k": "$dd", "v": ${i * 7 % 13}}"""
+      }.mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, clampRoot, dSchema2, Seq("k"))
+    sets(_.select(col("k"), col("v"),
+      expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
+        "PRECEDING AND CURRENT ROW)").as("m1")), clampRoot, dSchema2)
+    sets(_.select(col("k"), col("v"),
+      expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' MONTH " +
+        "PRECEDING AND INTERVAL '1' MONTH PRECEDING)").as("m31")),
+      clampRoot, dSchema2)
+    sets(_.select(col("k"), col("v"),
+      expr("max(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '2' " +
+        "MONTH PRECEDING AND CURRENT ROW)").as("m2d")), clampRoot, dSchema2)
+  }
+
+  test("value-frame refusal pins: timestamp months, and the population cap") {
+    val rnd = new scala.util.Random(51)
+    // a MONTH interval over a TIMESTAMP key is timezone-local calendar
+    // arithmetic — must fall through to Spark's own window
+    val tSchema = StructType(Seq(
+      StructField("k", org.apache.spark.sql.types.TimestampType),
+      StructField("v", LongType)))
+    val troot = Files.createTempDirectory("graft_wpropstm").toString
+    Files.write(Paths.get(troot, "t0.jsonl"),
+      ((0 until 10).map { i =>
+        s"""{"k": "2024-0${1 + i % 6}-11T0$i:00:00Z", "v": $i}"""
+      }.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, troot, tSchema, Seq("k"))
+    val tmon = ExtendedJson.read(spark, tSchema, troot,
+      Map("zoneMaps" -> "true"))
+      .select(col("k"), expr("sum(v) OVER (ORDER BY k RANGE BETWEEN " +
+        "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("x"))
+    val tns = TestPlans.executedNodes(tmon)
+    assert(tns.exists(_.isInstanceOf[WindowExec]) &&
+      !tns.exists(_.isInstanceOf[BandRunningWindowExec]),
+      "timestamp-key month intervals must fall through: " +
+        tns.map(_.nodeName).mkString(", "))
+    // the PLAN-TIME population bound: with the cap dialed down, a frame
+    // wide enough to hold a whole band's rows must refuse to Spark's
+    // spillable window (the sidecar proves the density); back at the
+    // default it plans — and answers stay differential-identical
+    val root = gen(rnd, keyPool = 60, maxFiles = 3, uniqueKeys = true)
+    val w = Window.orderBy(col("k"))
+    val wide = w.rangeBetween(-1000L, Window.currentRow)
+    def q(src: DataFrame): DataFrame =
+      src.select(col("k"), sum(col("v")).over(wide).as("x"))
+    val prior = spark.conf.getOption(
+      graft.plans.RangeWindowStrategy.MaxRangeFrameRowsKey)
+    try {
+      spark.conf.set(
+        graft.plans.RangeWindowStrategy.MaxRangeFrameRowsKey, "4")
+      val capped = q(ExtendedJson.read(spark, schema, root,
+        Map("zoneMaps" -> "true")))
+      val cns = TestPlans.executedNodes(capped)
+      assert(cns.exists(_.isInstanceOf[WindowExec]) &&
+        !cns.exists(_.isInstanceOf[BandRunningWindowExec]),
+        "a frame denser than the cap must fall through: " +
+          cns.map(_.nodeName).mkString(", "))
+    } finally prior match {
+      case Some(v) => spark.conf.set(
+        graft.plans.RangeWindowStrategy.MaxRangeFrameRowsKey, v)
+      case None => spark.conf.unset(
+        graft.plans.RangeWindowStrategy.MaxRangeFrameRowsKey)
+    }
+    sets(q, root)
   }
 }
