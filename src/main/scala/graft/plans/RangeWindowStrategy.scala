@@ -56,7 +56,11 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    default cumulative frame (`RANGE UNBOUNDED PRECEDING..CURRENT
   *    ROW` — tie groups share the value), the explicit cumulative
   *    `ROWS` form, the bounded sliding `ROWS BETWEEN n PRECEDING AND
-  *    CURRENT ROW` (n ≤ 65,536 — the prefix is the earlier bands' last
+  *    CURRENT ROW`, the bounded FOLLOWING `ROWS BETWEEN n
+  *    PRECEDING|CURRENT ROW AND m FOLLOWING` (the centered moving
+  *    average — emission delays behind an m-slot ring; the cross-band
+  *    suffix is the next bands' first m values, the global end just
+  *    clips) (n, m ≤ 65,536 — the prefix is the earlier bands' last
   *    n values), and the VALUE-based `RANGE BETWEEN d PRECEDING AND
   *    [CURRENT ROW | d2 PRECEDING]` over an integral key, a DATE key
   *    with whole-day `INTERVAL 'd' DAY` or calendar `INTERVAL 'm'
@@ -82,9 +86,9 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    delaying emission behind an n-slot ring; lead IGNORE NULLS has
   *    no bounded form and falls through) — constant defaults only.
   *
-  * Distinct or filtered aggregates, frames past the current row,
-  * expression (non-literal) offsets or defaults, and huge bounds fall
-  * through to Spark's ordinary window. EXACT — no opt-in conf; any
+  * Distinct or filtered aggregates, UNBOUNDED FOLLOWING frames, RANGE
+  * frames past the current row, expression (non-literal) offsets or
+  * defaults, and huge bounds fall through to Spark's ordinary window. EXACT — no opt-in conf; any
   * unprovable layout falls through like the ordered scan does. A
   * `PARTITION BY` window never matches the decomposition (Spark's own
   * hash-partitioned WindowExec already scales that shape — the second
@@ -395,6 +399,24 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _ => None
         }
       }
+      // `ROWS BETWEEN n PRECEDING|CURRENT ROW AND m FOLLOWING` — the
+      // bounded FOLLOWING frame (the centered moving average): emission
+      // delays behind an m-slot ring (the row's frame completes when
+      // row +m arrives), the per-band total carries the band's last n
+      // values (next bands' preceding context) AND first m values
+      // (earlier bands' forward suffix); same 65,536 guard as the other
+      // bounded frames
+      val rowsFwd: Option[(Int, Int)] = spec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, lo, Literal(m: Int, _))
+            if m > 0 && m <= 65536 =>
+          lo match {
+            case CurrentRow => Some((0, m))
+            case Literal(l: Int, _) if l < 0 && l >= -65536 =>
+              Some((-l, m))
+            case _ => None
+          }
+        case _ => None
+      }
       (fn, frame) match {
         case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
         case (_: Rank, Some(Right(true))) => Some(RunRank())
@@ -543,6 +565,13 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         // Requires the single integral order key the strategy already
         // proved is the band key (nulls impossible: the layout proof is
         // null-free)
+        // the bounded FOLLOWING frame: same fold ops, evaluated through
+        // the delay ring (see RunSlidingFwd)
+        case (ae: AggregateExpression, None)
+            if rowsFwd.isDefined && !ae.isDistinct && ae.filter.isEmpty =>
+          slideOpFor(ae).map { case (in, op) =>
+            RunSlidingFwd(in, rowsFwd.get._1, rowsFwd.get._2, op)
+          }
         case (ae: AggregateExpression, None)
             if rangeSlide.isDefined && !ae.isDistinct &&
               ae.filter.isEmpty =>
@@ -710,6 +739,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunLead => None // order-dependent: no sidecar form
           case _: RunLeadN => None // order-dependent: no sidecar form
           case _: RunSliding => None // order-dependent: no sidecar form
+          case _: RunSlidingFwd => None // order-dependent: no sidecar form
           case _: RunRangeSliding => None // order-dependent: no sidecar form
           // dense_rank's prefix is the earlier bands' DISTINCT-KEY
           // count — the v4 sidecar records exact per-file distincts for
@@ -1425,6 +1455,107 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** `agg(x) OVER (ORDER BY k ROWS BETWEEN n PRECEDING|CURRENT ROW AND
+    * m FOLLOWING)` — the bounded FOLLOWING frame (the centered moving
+    * average): row i's frame is values [i−n .. i+m], complete only when
+    * row i+m arrives, so the exec DELAYS emission behind the m-slot
+    * ring it already runs for deep leads and fills each row's slot from
+    * [[FwdAcc.foldFill]] when its +m row lands (the deque then holds
+    * exactly the frame: last ≤ n+m+1 values ending at i+m, clipped at
+    * the global start by construction). At partition end the ≤ m
+    * still-delayed rows read [[FwdAcc.foldFlush]] — the deque's last
+    * n+1+d in-partition values plus the next bands' first m−d values
+    * (the forward SUFFIX, default-free: past the global end the frame
+    * just clips). The per-band total carries (last ≤ n values, first
+    * ≤ m values) — the preceding context the NEXT band's early rows
+    * seed from, and the forward suffix the PREVIOUS band's late rows
+    * read. O(n+m) memory per function per partition; fold order is
+    * stream order, so double sums are bit-identical to Spark's
+    * SlidingWindowFunctionFrame.
+    */
+  final case class RunSlidingFwd(input: Expression, n: Int, m: Int,
+      op: SlideOp) extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new FwdAcc(input, n, m, op)
+  }
+
+  private[plans] final class FwdAcc(input: Expression, n: Int, m: Int,
+      op: SlideOp) extends RunAcc {
+    private val NullToken: AnyRef = RunSliding.NullToken
+    private val cap = n + m + 1
+    private val ring = new java.util.ArrayDeque[AnyRef](math.min(cap, 4096))
+    private val firsts =
+      new scala.collection.mutable.ArrayBuffer[Any](math.min(m, 64))
+    private def push(v: Any, c: Int): Unit = {
+      ring.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
+      while (ring.size > c) ring.removeFirst()
+    }
+    override def update(row: InternalRow): Unit = {
+      val v = retain(input.eval(row))
+      if (firsts.length < m) firsts += v
+      push(v, cap)
+    }
+    /** (band's last ≤ n values, band's first ≤ m values). */
+    override def total(): Any = {
+      val vals = ring.toArray
+      val keep = vals.drop(math.max(0, vals.length - n))
+      val lastN = new Array[Any](keep.length)
+      var i = 0
+      while (i < keep.length) {
+        lastN(i) = if (keep(i) eq NullToken) null else keep(i)
+        i += 1
+      }
+      Array[Any](lastN, firsts.toArray[Any])
+    }
+    /** Band-order fold of the PRECEDING context: later values append
+      * after earlier ones, trimmed to the last n (the only part a later
+      * band's early frames can reach).
+      */
+    override def mergeTotal(t: Any): Unit = if (t != null)
+      t.asInstanceOf[Array[Any]](0).asInstanceOf[Array[Any]]
+        .foreach(push(_, math.max(n, 0)))
+    /** Never the emitted value — the exec fills slots at ring time. */
+    override def value(): Any = null
+    private def unwrapped(a: Array[AnyRef], from: Int): Iterator[Any] =
+      new Iterator[Any] {
+        private var i = from
+        override def hasNext: Boolean = i < a.length
+        override def next(): Any = {
+          val v = a(i); i += 1
+          if (v eq NullToken) null else v
+        }
+      }
+    /** Frame fold at FILL time (row i's +m row just updated): the whole
+      * deque IS the frame — last min(seen, n+m+1) values ending at i+m.
+      */
+    private[plans] def foldFill(): Any = {
+      val it = ring.iterator()
+      op.fold(new Iterator[Any] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): Any = {
+          val v = it.next()
+          if (v eq NullToken) null else v
+        }
+      })
+    }
+    /** Frame fold at FLUSH time (partition ended; this row has d < m
+      * rows after it in the partition): the deque's last n+1+d values
+      * (the in-partition frame part ending at the partition's last row)
+      * then the suffix's first m−d values (the next bands' firsts; the
+      * global end just clips).
+      */
+    private[plans] def foldFlush(d: Int, suffix: Array[Any]): Any = {
+      val vals = ring.toArray
+      val take = math.min(vals.length, n + 1 + d)
+      val inPart = unwrapped(vals, vals.length - take)
+      val sTake = math.min(suffix.length, m - d)
+      op.fold(inPart ++ suffix.iterator.take(sTake))
+    }
+  }
+
   /** The value-frame boundary pair, as distances ≥ 0 from the current
     * key in the KEY's own units — `lo` is the far (eviction) bound,
     * `hi` the near (admission) bound (0 = CURRENT ROW; `hi > 0` is the
@@ -1934,6 +2065,31 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
           out
         }
       }
+    // bounded-FOLLOWING frames also ride the delay ring: a partition's
+    // forward SUFFIX per function is the LATER partitions' first-m
+    // values concatenated (each RunSlidingFwd total = (last n, first m))
+    // — default-free, the global end just clips the frame
+    val fwdIdxs: Array[Int] = bound.zipWithIndex
+      .collect { case (_: RunningWindow.RunSlidingFwd, j) => j }.toArray
+    val fwdSuffixes: Array[Array[Array[Any]]] =
+      if (fwdIdxs.isEmpty) null
+      else Array.tabulate(totals.length) { i =>
+        fwdIdxs.map { j =>
+          val f = bound(j).asInstanceOf[RunningWindow.RunSlidingFwd]
+          val buf = new scala.collection.mutable.ArrayBuffer[Any](
+            math.min(f.m, 64))
+          totals.drop(i + 1).iterator
+            .map(_(j).asInstanceOf[Array[Any]](1).asInstanceOf[Array[Any]])
+            .takeWhile(_ => buf.length < f.m)
+            .foreach { a =>
+              var q = 0
+              while (buf.length < f.m && q < a.length) {
+                buf += a(q); q += 1
+              }
+            }
+          buf.toArray[Any]
+        }
+      }
     val ordering = new LazilyGeneratedOrdering(orderSpec, childOut)
     val schema = output
     val inMemT = conf.windowExecBufferInMemoryThreshold
@@ -1962,7 +2118,13 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         bound(j).asInstanceOf[RunningWindow.RunLeadN])
       val deepSuffix: Array[Array[Any]] =
         if (deepIdxs.isEmpty) null else deepSuffixes(i)
-      val deep = deepIdxs.nonEmpty
+      val fwdFuncs: Array[RunningWindow.RunSlidingFwd] = fwdIdxs.map(j =>
+        bound(j).asInstanceOf[RunningWindow.RunSlidingFwd])
+      val fwdAccs: Array[RunningWindow.FwdAcc] = fwdIdxs.map(j =>
+        accs(j).asInstanceOf[RunningWindow.FwdAcc])
+      val fwdSuffix: Array[Array[Any]] =
+        if (fwdIdxs.isEmpty) null else fwdSuffixes(i)
+      val deep = deepIdxs.nonEmpty || fwdIdxs.nonEmpty
       val atStart = bound.zipWithIndex
         .filter(f => !f._1.rowsFrame && f._1.groupStart).map(_._2)
       val atEnd = bound.zipWithIndex
@@ -2059,7 +2221,7 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         // the ring (or a driver-held suffix constant) at projection
         // time, so its buffer-backed values are valid until the
         // projection copies them.
-        private val nMax = deepFuncs.map(_.n).max
+        private val nMax = (deepFuncs.map(_.n) ++ fwdFuncs.map(_.m)).max
         private val cap = nMax + 1
         private val ring = new Array[RunningWindow.PendingRow](cap)
         private var start = 0
@@ -2087,6 +2249,17 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
                   deepFuncs(p).input.eval(pr.row)
               p += 1
             }
+            // …and COMPLETES the frame of the row m_j back for every
+            // FOLLOWING-frame func: the acc's deque (updated by this
+            // arrival already) is exactly that row's frame
+            p = 0
+            while (p < fwdIdxs.length) {
+              val off = count - 1 - fwdFuncs(p).m
+              if (off >= 0)
+                ring((start + off) % cap).vals(fwdIdxs(p)) =
+                  fwdAccs(p).foldFill()
+              p += 1
+            }
             if (count == cap) {
               val out = ring(start)
               ring(start) = null
@@ -2106,6 +2279,14 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
           while (p < deepIdxs.length) {
             val n = deepFuncs(p).n
             if (n > d) pr.vals(deepIdxs(p)) = deepSuffix(p)(n - d - 1)
+            p += 1
+          }
+          // FOLLOWING-frame rows whose +m row never arrived fold their
+          // in-partition tail plus the forward suffix
+          p = 0
+          while (p < fwdIdxs.length) {
+            if (fwdFuncs(p).m > d)
+              pr.vals(fwdIdxs(p)) = fwdAccs(p).foldFlush(d, fwdSuffix(p))
             p += 1
           }
           flushPos += 1

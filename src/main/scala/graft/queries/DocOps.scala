@@ -1643,6 +1643,34 @@ object DocOps {
         min(col("o_custkey")).over(wl).as("lag7_min"))
   }
 
+  /** BOUNDED FOLLOWING frames — the centered moving average (`ROWS
+    * BETWEEN 3 PRECEDING AND 3 FOLLOWING`, the standard smoothing
+    * shape) and its pure-forward twin (`CURRENT ROW AND 2 FOLLOWING`),
+    * zero exchange: emission delays behind the m-slot ring, each row's
+    * frame completes when its +m row arrives, and the cross-band
+    * forward SUFFIX is the next bands' first m values
+    * ([[graft.plans.RunningWindow.RunSlidingFwd]]). Both frames share
+    * one Window node (the analyzer groups by ordering, not frame) and
+    * one band exec. Unique oid keys make every ROWS frame
+    * deterministic.
+    */
+  private def q201RangeCenteredWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("oid"))
+    val wc = w.rowsBetween(-3, 3)
+    val wf = w.rowsBetween(Window.currentRow, 2)
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(col("oid"), col("v"),
+        sum(col("v")).over(wc).as("c7_sum"),
+        count(col("v")).over(wc).as("c7_n"),
+        min(col("v")).over(wf).as("f3_min"),
+        count(col("v")).over(wf).as("f3_n"))
+      .withColumn("c7_avg", col("c7_sum").cast("double") / col("c7_n"))
+  }
+
   private val decodedEventsTs = StructType(Seq(
     StructField("ts", org.apache.spark.sql.types.TimestampType),
     StructField("user_id", LongType)))
@@ -1870,6 +1898,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_docsource_range_centered_window" -> q201RangeCenteredWindow,
     "q200_docsource_range_lagged_window" -> q200RangeLaggedWindow,
     "q199_docsource_range_month_interval" -> q199RangeMonthInterval,
     "q198_docsource_range_merge_right_outer" -> q198RangeMergeRightOuter,
@@ -2039,6 +2068,19 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q201_docsource_range_centered_window" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "CAST(sum(v) OVER wc AS BIGINT) AS c7_sum, " +
+        "count(v) OVER wc AS c7_n, " +
+        "min(v) OVER wf AS f3_min, " +
+        "count(v) OVER wf AS f3_n, " +
+        "CAST(CAST(sum(v) OVER wc AS BIGINT) AS DOUBLE) / " +
+        "count(v) OVER wc AS c7_avg FROM o " +
+        "WINDOW wc AS (ORDER BY oid " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), " +
+        "wf AS (ORDER BY oid ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)"),
     "q200_docsource_range_lagged_window" ->
       ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +

@@ -1354,6 +1354,33 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q201 bounded FOLLOWING frames: band window, zero exchange, delay-ring emission") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q201_docsource_range_centered_window")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the centered frame really spans [i-3, i+3] in oid order, clipped
+    // at both global ends; the forward twin spans [i, i+2]
+    val byOid = rows.sortBy(_.getString(0))
+    val vs = byOid.map(_.getLong(1))
+    byOid.indices.foreach { i =>
+      val lo = math.max(0, i - 3)
+      val hi = math.min(vs.length - 1, i + 3)
+      assert(byOid(i).getLong(2) == vs.slice(lo, hi + 1).sum &&
+        byOid(i).getLong(3) == (hi - lo + 1).toLong,
+        s"centered frame at $i")
+      val fhi = math.min(vs.length - 1, i + 2)
+      assert(byOid(i).getLong(4) == vs.slice(i, fhi + 1).min,
+        s"forward frame at $i")
+    }
+  }
+
   test("q199 MONTH-interval RANGE frame: band window, zero exchange, clamped calendar bound") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

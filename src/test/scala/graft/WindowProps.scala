@@ -289,6 +289,30 @@ class WindowProps extends AnyFunSuite {
           max(col("v")).over(ws).as("smax"),
           avg(col("v")).over(ws).as("savg")), root)
       }
+      // bounded FOLLOWING frames (the delay-ring family): centered,
+      // pure-forward, asymmetric, and wider-than-a-band shapes — the
+      // forward suffix then spans several bands; m = 1 pins the
+      // smallest ring
+      Seq((2, 2), (0, 3), (5, 1), (3, 19), (0, 23)).foreach { case (n, m) =>
+        val wf = w.rowsBetween(-n, m)
+        sets(_.select(col("k"), col("v"),
+          sum(col("v")).over(wf).as("fsum"),
+          count(col("v")).over(wf).as("fcnt"),
+          min(col("v")).over(wf).as("fmin"),
+          max(col("v")).over(wf).as("fmax"),
+          avg(col("v")).over(wf).as("favg")), root)
+      }
+      // FOLLOWING frames mixed with deep leads in ONE window (same
+      // frame per Window node is not required for offset funcs — lead
+      // bypasses the frame gate), sharing the delay ring at different
+      // depths; and the DESC twin
+      sets(_.select(col("k"), col("v"),
+        sum(col("v")).over(w.rowsBetween(-1, 2)).as("c3"),
+        lead(col("v"), 4).over(w).as("nv4"),
+        row_number().over(w).as("rn")), root)
+      sets(_.select(col("k"), col("v"),
+        sum(col("v")).over(Window.orderBy(col("k").desc)
+          .rowsBetween(-2, 2)).as("dc5")), root)
       // running avg (cumulative) + lead across band boundaries; null-v
       // rows exercise lead's null-vs-missing distinction; deeper lag
       // offsets ride the ring (prefix = earlier bands' last n values)
@@ -365,9 +389,11 @@ class WindowProps extends AnyFunSuite {
     // no bounded streaming form, must fall through
     fallsThrough(lead(col("v"), 1, null, ignoreNulls = true).over(w))
     fallsThrough(sum(col("v"))
-      .over(w.rowsBetween(-3, 3))) // frames past the current row
-    fallsThrough(sum(col("v"))
       .over(w.rangeBetween(-3, 3))) // RANGE frames past the current row
+    fallsThrough(sum(col("v"))      // unbounded forward: no bounded ring
+      .over(w.rowsBetween(-3, Window.unboundedFollowing)))
+    fallsThrough(sum(col("v"))      // huge FOLLOWING bound
+      .over(w.rowsBetween(-3, 1000000)))
     // HUGE sliding bounds fall through instead of pre-allocating
     // n-sized rings (or overflowing n+1) — Spark buffers actual rows
     fallsThrough(sum(col("v"))
@@ -537,38 +563,31 @@ class WindowProps extends AnyFunSuite {
       // truth for the clamping (sub-day intervals never reach the
       // strategy: the analyzer itself rejects INTERVAL HOUR against a
       // DATE order key)
-      // NOTE: expressions with DIFFERENT frames analyze into STACKED
-      // Window nodes (one per frame spec) — the outer node's child is a
-      // Window, not the scan, so only same-frame groups plan the band
-      // window end-to-end; each frame sweeps in its own query here
+      // MIXED frames share ONE Window node (the analyzer groups by
+      // partition/order spec, not frame — a DIFFERENT ordering would
+      // stack nodes): month widths, YEAR TO MONTH, dual-bound month,
+      // and dual-bound day frames all evaluate in one band exec here
       sets(_.select(col("k"), col("v"),
         expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
           "PRECEDING AND CURRENT ROW)").as("ms1"),
         expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' " +
-          "MONTH PRECEDING AND CURRENT ROW)").as("mc1")), root, dSchema)
-      sets(_.select(col("k"), col("v"),
+          "MONTH PRECEDING AND CURRENT ROW)").as("mc1"),
         expr("min(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '0-2' YEAR " +
-          "TO MONTH PRECEDING AND CURRENT ROW)").as("mm2")), root, dSchema)
-      // dual-bound months: the window ending one month back
-      sets(_.select(col("k"), col("v"),
+          "TO MONTH PRECEDING AND CURRENT ROW)").as("mm2"),
+        // dual-bound months: the window ending one month back
         expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '2' MONTH " +
-          "PRECEDING AND INTERVAL '1' MONTH PRECEDING)").as("mlag"))
-        , root, dSchema)
-      // DESC month twin (the bound mirrors to add_months(current, +m))
-      sets(_.select(col("k"), col("v"),
-        expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '1' " +
-          "MONTH PRECEDING AND CURRENT ROW)").as("msd")), root, dSchema)
-      // dual-bound fixed (lagged) frames over the date key, empty
-      // frames included (a 2-day window ending 5 days back often holds
-      // nothing)
-      sets(_.select(col("k"), col("v"),
+          "PRECEDING AND INTERVAL '1' MONTH PRECEDING)").as("mlag"),
+        // dual-bound fixed (lagged) day frames, empty frames included
         expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '7' DAY " +
-          "PRECEDING AND INTERVAL '5' DAY PRECEDING)").as("dlag"))
-        , root, dSchema)
-      sets(_.select(col("k"), col("v"),
+          "PRECEDING AND INTERVAL '5' DAY PRECEDING)").as("dlag"),
         expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '7' DAY " +
           "PRECEDING AND INTERVAL '7' DAY PRECEDING)").as("dpin"))
         , root, dSchema)
+      // DESC month twin (the bound mirrors to add_months(current, +m);
+      // its OWN query: a different ordering would stack Window nodes)
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '1' " +
+          "MONTH PRECEDING AND CURRENT ROW)").as("msd")), root, dSchema)
     }
     // month-end clamping fixture: every boundary Spark clamps
     // (Mar 31 − 1 MONTH = Feb 29 in 2024, Apr 30/May 31 chains) with
@@ -588,8 +607,7 @@ class WindowProps extends AnyFunSuite {
     ZoneMaps.build(spark, clampRoot, dSchema2, Seq("k"))
     sets(_.select(col("k"), col("v"),
       expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
-        "PRECEDING AND CURRENT ROW)").as("m1")), clampRoot, dSchema2)
-    sets(_.select(col("k"), col("v"),
+        "PRECEDING AND CURRENT ROW)").as("m1"),
       expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' MONTH " +
         "PRECEDING AND INTERVAL '1' MONTH PRECEDING)").as("m31")),
       clampRoot, dSchema2)
