@@ -81,10 +81,14 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    (the argmax carry, stream-first-wins on ordering ties),
   *    `lag(x, n[, default])` (n ≤ 65,536 — n = 1 as a single-value
   *    carry, deeper on the ring), `lag(x, n[, default]) IGNORE NULLS`
-  *    (the previous-known-value deque), and `lead(x, n[, default])`
+  *    (the previous-known-value deque), `lead(x, n[, default])`
   *    (n = 1 by one-row lookahead with a cross-band SUFFIX, deeper by
-  *    delaying emission behind an n-slot ring; lead IGNORE NULLS has
-  *    no bounded form and falls through) — constant defaults only.
+  *    delaying emission behind an n-slot ring), and `lead(x, n[,
+  *    default]) IGNORE NULLS` (no bounded ring form exists — a null
+  *    run defers the lookahead unboundedly — so the exec buffers the
+  *    partition, rows spillable + values cap-guarded, and answers by
+  *    index into the non-null list; the same population Spark's own
+  *    UnboundedFollowing frame buffers) — constant defaults only.
   *
   * Distinct or filtered aggregates, UNBOUNDED FOLLOWING frames, RANGE
   * frames past the current row, expression (non-literal) offsets or
@@ -459,15 +463,30 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         // among strictly preceding rows (the previous-known-value /
         // forward-fill-excluding-self shape) — a bounded deque of the
         // last n non-null values; the cross-band prefix is the earlier
-        // bands' last n non-nulls. lead IGNORE NULLS has NO bounded
-        // form (a null run defers the lookahead unboundedly) and falls
-        // through with everything else
+        // bands' last n non-nulls (lead IGNORE NULLS takes the
+        // partition-buffered path above instead — no bounded ring form)
         case (lg: org.apache.spark.sql.catalyst.expressions.Lag, _)
             if lg.ignoreNulls && orderable(lg.input.dataType) =>
           constDefault(lg.default, lg.input.dataType).flatMap { d =>
             lg.inputOffset match {
               case Literal(k: Int, _) if k >= 1 && k <= 65536 =>
                 Some(RunLagNulls(lg.input, k, d))
+              case _ => None
+            }
+          }
+        // lead(x, n) IGNORE NULLS: the n-th NON-NULL value strictly
+        // after the row — no bounded ring form (a null run defers the
+        // lookahead unboundedly), so the exec buffers the partition and
+        // indexes its non-null value list (see RunLeadNulls); the
+        // runtime cap bounds the heap-held values where no plan-time
+        // sidecar bound applied
+        case (ld: org.apache.spark.sql.catalyst.expressions.Lead, _)
+            if ld.ignoreNulls && orderable(ld.input.dataType) =>
+          constDefault(ld.default, ld.input.dataType).flatMap { d =>
+            ld.offset match {
+              case Literal(k: Int, _) if k >= 1 && k <= 65536 =>
+                Some(RunLeadNulls(ld.input, k, d,
+                  RangeWindowStrategy.maxRangeFrameRows(session)))
               case _ => None
             }
           }
@@ -738,6 +757,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunLagNulls => None // order-dependent: no sidecar form
           case _: RunLead => None // order-dependent: no sidecar form
           case _: RunLeadN => None // order-dependent: no sidecar form
+          case _: RunLeadNulls => None // order-dependent: no sidecar form
           case _: RunSliding => None // order-dependent: no sidecar form
           case _: RunSlidingFwd => None // order-dependent: no sidecar form
           case _: RunRangeSliding => None // order-dependent: no sidecar form
@@ -838,12 +858,21 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     */
   private def rangeFramesBounded(scan: ExtJsonScan, keyCol: String,
       funcs: Seq[RunningFunc]): Boolean = {
-    import RunningWindow.{FixedDist, MonthDist, RunRangeSliding}
+    import RunningWindow.{FixedDist, MonthDist, RunLeadNulls, RunRangeSliding}
     val frames = funcs.collect { case r: RunRangeSliding => r }
-    if (frames.isEmpty) return true
+    val wholeBand = funcs.exists(_.isInstanceOf[RunLeadNulls])
+    if (frames.isEmpty && !wholeBand) return true
     val cap = RangeWindowStrategy.maxRangeFrameRows(session)
     scan.orderedBandFileStats(keyCol) match {
       case Some(groups) =>
+        // lead IGNORE NULLS buffers the whole partition's values: the
+        // densest band group must fit the cap
+        if (wholeBand && groups.nonEmpty) {
+          val maxBand = groups.map(_.flatMap(_.cols.get(keyCol))
+            .map(_.rows).sum).max
+          if (maxBand > cap) return false
+        }
+        if (frames.isEmpty) return true
         val files = groups.flatten
         val stats = files.flatMap { f =>
           f.cols.get(keyCol).flatMap { cs =>
@@ -1803,6 +1832,47 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** `lead(x, n[, default]) IGNORE NULLS` — the n-th NON-NULL value
+    * strictly after the row: a null run defers the lookahead
+    * unboundedly, so no bounded ring evaluates it; instead the exec
+    * buffers the PARTITION (rows in the spillable window buffer — the
+    * same population Spark's own UnboundedFollowing frame buffers —
+    * plus this function's non-null values on the heap, `cap`-guarded)
+    * and answers each row by INDEX into the partition's non-null value
+    * list: the n-th non-null after row i is global non-null index
+    * c_i + n − 1, where c_i counts non-nulls at-or-before i — a
+    * two-pointer second pass, O(rows) total. The cross-band SUFFIX is
+    * the later bands' first ≤ n non-nulls (this accumulator's total;
+    * the totals pass runs over the sorted stream); past the global end
+    * the constant default applies. The accumulator never evaluates the
+    * function — `value()` is never read.
+    */
+  final case class RunLeadNulls(input: Expression, n: Int, default: Any,
+      cap: Long = Long.MaxValue) extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val firsts =
+        new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
+      override def update(row: InternalRow): Unit =
+        if (firsts.length < n) {
+          val v = input.eval(row)
+          if (v != null) firsts += retain(v)
+        }
+      override def total(): Any = firsts.toArray[Any]
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        // driver prefix-scan fold only — evaluation never reads these
+        // offsets; band order tops the window up like the deep-lead one
+        val a = t.asInstanceOf[Array[Any]]
+        var i = 0
+        while (firsts.length < n && i < a.length) { firsts += a(i); i += 1 }
+      }
+      override def value(): Any = null
+    }
+  }
+
   /** Running `last(x, ignoreNulls = true)` — the forward-fill / as-of
     * CARRY: at each row, the most recent non-null value at-or-before it
     * in the window order. Order-sensitive: a band's total is its LAST
@@ -2069,6 +2139,31 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     // forward SUFFIX per function is the LATER partitions' first-m
     // values concatenated (each RunSlidingFwd total = (last n, first m))
     // — default-free, the global end just clips the frame
+    // lead IGNORE NULLS: per-partition SUFFIX = the later partitions'
+    // first ≤ n non-null values concatenated (each total is its band's
+    // firsts) — default-free; past the global end the constant default
+    // applies at read time
+    val lnIdxs: Array[Int] = bound.zipWithIndex
+      .collect { case (_: RunningWindow.RunLeadNulls, j) => j }.toArray
+    val lnSuffixes: Array[Array[Array[Any]]] =
+      if (lnIdxs.isEmpty) null
+      else Array.tabulate(totals.length) { i =>
+        lnIdxs.map { j =>
+          val f = bound(j).asInstanceOf[RunningWindow.RunLeadNulls]
+          val buf = new scala.collection.mutable.ArrayBuffer[Any](
+            math.min(f.n, 64))
+          totals.drop(i + 1).iterator
+            .map(_(j).asInstanceOf[Array[Any]])
+            .takeWhile(_ => buf.length < f.n)
+            .foreach { a =>
+              var q = 0
+              while (buf.length < f.n && q < a.length) {
+                buf += a(q); q += 1
+              }
+            }
+          buf.toArray[Any]
+        }
+      }
     val fwdIdxs: Array[Int] = bound.zipWithIndex
       .collect { case (_: RunningWindow.RunSlidingFwd, j) => j }.toArray
     val fwdSuffixes: Array[Array[Array[Any]]] =
@@ -2101,15 +2196,55 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
       rdd.getNumPartitions == totals.length,
       s"band window prefix count ${totals.length} != " +
         s"${rdd.getNumPartitions} partitions")
-    rdd.mapPartitionsWithIndex { (i, iter) =>
+    rdd.mapPartitionsWithIndex { (i, iter0) =>
       val accs = bound.zip(grands).map { case (f, g) => f.newAcc(g) }
       accs.zip(offsets(i)).foreach { case (a, o) => a.mergeTotal(o) }
+      // lead IGNORE NULLS: buffer the partition FIRST (rows in the
+      // spillable window buffer, each function's non-null values on the
+      // heap, cap-guarded) — every row then answers by INDEX into the
+      // non-null list (see RunLeadNulls); the stream the rest of the
+      // pipeline sees is the buffered replay, same rows same order
+      val lnFuncs: Array[RunningWindow.RunLeadNulls] = lnIdxs.map(j =>
+        bound(j).asInstanceOf[RunningWindow.RunLeadNulls])
+      val lnSuffix: Array[Array[Any]] =
+        if (lnIdxs.isEmpty) null else lnSuffixes(i)
+      val lnCnt = new Array[Long](lnIdxs.length)
+      val lnPass: (Iterator[InternalRow], Array[Array[Any]]) =
+        if (lnIdxs.isEmpty) (iter0, null)
+        else {
+          val pbuf = new ExternalAppendOnlyUnsafeRowArray(inMemT,
+            spillSize, spillT, spillSize)
+          val collected = lnFuncs.map(_ =>
+            new scala.collection.mutable.ArrayBuffer[Any])
+          while (iter0.hasNext) {
+            val r = iter0.next().asInstanceOf[UnsafeRow]
+            var p = 0
+            while (p < lnIdxs.length) {
+              val v = lnFuncs(p).input.eval(r)
+              if (v != null) {
+                collected(p) += RunningWindow.retain(v)
+                if (collected(p).length > lnFuncs(p).cap)
+                  throw new org.apache.spark.SparkException(
+                    s"graft lead-ignore-nulls buffer exceeds " +
+                      s"${lnFuncs(p).cap} values; raise " +
+                      "spark.graft.window.maxRangeFrameRows or let " +
+                      "Spark's spillable window plan this function")
+              }
+              p += 1
+            }
+            pbuf.add(r)
+          }
+          (pbuf.generateIterator(), collected.map(_.toArray[Any]))
+        }
+      val iter = lnPass._1
+      val lnVals = lnPass._2
       // lead is rows-framed but evaluated by LOOKAHEAD (n = 1) or the
       // delay ring (n ≥ 2), not through its accumulator — exclude both
       // from the per-row update set
       val perRow = bound.zipWithIndex.filter(f => f._1.rowsFrame &&
         !f._1.isInstanceOf[RunningWindow.RunLead] &&
-        !f._1.isInstanceOf[RunningWindow.RunLeadN]).map(_._2)
+        !f._1.isInstanceOf[RunningWindow.RunLeadN] &&
+        !f._1.isInstanceOf[RunningWindow.RunLeadNulls]).map(_._2)
       val leadInputs: Array[Expression] = leadIdxs.map(j =>
         bound(j).asInstanceOf[RunningWindow.RunLead].input)
       val leadSuffix: Array[Any] =
@@ -2189,6 +2324,28 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
                 // buffer past the next advance) must be retained; the
                 // common path projects immediately and stays copy-free
                 wr(leadIdxs(p)) = if (deep) RunningWindow.retain(x) else x
+                p += 1
+              }
+            }
+            // lead IGNORE NULLS reads the partition's non-null list by
+            // index: the n-th non-null strictly after this row is
+            // global non-null index c+n−1 (c counts non-nulls
+            // at-or-before it); past the list, the suffix; past the
+            // global end, the constant default. All values are already
+            // retained/stable — safe to hold across the deep delay.
+            if (lnIdxs.length > 0) {
+              var p = 0
+              while (p < lnIdxs.length) {
+                if (lnFuncs(p).input.eval(row) != null) lnCnt(p) += 1
+                val target = lnCnt(p) + lnFuncs(p).n - 1
+                val vals = lnVals(p)
+                wr(lnIdxs(p)) =
+                  if (target < vals.length) vals(target.toInt)
+                  else {
+                    val s = target - vals.length
+                    if (s < lnSuffix(p).length) lnSuffix(p)(s.toInt)
+                    else lnFuncs(p).default
+                  }
                 p += 1
               }
             }

@@ -1741,7 +1741,7 @@ object DocOps {
     * value. Bounded: a deque of the last n non-nulls per band, with
     * the earlier bands' trailing non-nulls as the prefix — zero
     * exchange ([[graft.plans.RunningWindow.RunLagNulls]]); lead IGNORE
-    * NULLS has no bounded streaming form and falls through.
+    * NULLS takes the partition-buffered index path instead (q202).
     */
   private def q197RangeLagIgnoreNulls(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
@@ -1753,6 +1753,28 @@ object DocOps {
       .select(col("oid"), col("v"),
         lag(col("v"), 1, null, true).over(w).as("pk1"),
         lag(col("v"), 4, -1L, true).over(w).as("pk4"))
+  }
+
+  /** LEAD IGNORE NULLS — the next-KNOWN-value shape (`lead(v, n)
+    * IGNORE NULLS`): the n-th non-null strictly AFTER each row, over
+    * the every-7th-cent-null column. No bounded ring form exists (a
+    * null run defers the lookahead unboundedly), so the exec buffers
+    * the partition — rows in the spillable window buffer, the non-null
+    * values on the heap — and answers by INDEX into the non-null list,
+    * with the later bands' first n non-nulls as the cross-band suffix:
+    * still zero exchange, full band parallelism
+    * ([[graft.plans.RunningWindow.RunLeadNulls]]).
+    */
+  private def q202RangeLeadIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        when(cents % 7 === 0, lit(null)).otherwise(cents).as("v"))
+      .select(col("oid"), col("v"),
+        lead(col("v"), 1, null, true).over(w).as("nk1"),
+        lead(col("v"), 4, -1L, true).over(w).as("nk4"))
   }
 
   /** WINDOW OVER THE MERGE CHAIN — q185's enrich+decontaminate chain
@@ -1898,6 +1920,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_docsource_range_lead_ignore_nulls" -> q202RangeLeadIgnoreNulls,
     "q201_docsource_range_centered_window" -> q201RangeCenteredWindow,
     "q200_docsource_range_lagged_window" -> q200RangeLaggedWindow,
     "q199_docsource_range_month_interval" -> q199RangeMonthInterval,
@@ -2068,6 +2091,14 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q202_docsource_range_lead_ignore_nulls" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 7 = 0 " +
+        "THEN NULL ELSE CAST(round(o_totalprice * 100) AS BIGINT) END " +
+        "AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "lead(v, 1 IGNORE NULLS) OVER (ORDER BY oid) AS nk1, " +
+        "lead(v, 4, -1 IGNORE NULLS) OVER (ORDER BY oid) AS nk4 FROM o"),
     "q201_docsource_range_centered_window" ->
       ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +

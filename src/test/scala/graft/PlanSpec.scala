@@ -1354,6 +1354,35 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q202 lead IGNORE NULLS: band window, zero exchange, partition-buffered index path") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q202_docsource_range_lead_ignore_nulls")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // nk1 really is the NEXT non-null strictly after each row, across
+    // band boundaries: recompute from the collected stream in oid order
+    val byOid = rows.sortBy(_.getString(0))
+    val vs = byOid.map(r =>
+      if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
+    val nn = vs.zipWithIndex.filter(_._1 != null)
+    byOid.indices.foreach { i =>
+      val want1 = nn.collectFirst { case (v, j) if j > i => v }.orNull
+      val got1 = if (byOid(i).isNullAt(2)) null else
+        java.lang.Long.valueOf(byOid(i).getLong(2))
+      assert(got1 == want1, s"nk1 at $i")
+      val after = nn.filter(_._2 > i)
+      val want4: java.lang.Long =
+        if (after.length >= 4) after(3)._1 else java.lang.Long.valueOf(-1L)
+      assert(byOid(i).getLong(3) == want4.longValue(), s"nk4 at $i")
+    }
+  }
+
   test("q201 bounded FOLLOWING frames: band window, zero exchange, delay-ring emission") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -356,6 +356,20 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("v"),
         lag(col("v"), 3, null, ignoreNulls = true)
           .over(Window.orderBy(col("k").desc)).as("pn3d")), root)
+      // lead IGNORE NULLS (the partition-buffered index path): depths
+      // within and beyond a band — the suffix then spans several
+      // bands — defaulted and not, mixed with ring-evaluated funcs in
+      // one node, plus the DESC twin
+      sets(_.select(col("k"), col("v"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("fn1"),
+        lead(col("v"), 5, -9L, ignoreNulls = true).over(w).as("fn5"),
+        lead(col("v"), 21, null, ignoreNulls = true).over(w).as("fn21"),
+        lead(col("v"), 2).over(w).as("nv2"),
+        lag(col("v"), 2, null, ignoreNulls = true).over(w).as("bn2"),
+        row_number().over(w).as("rn")), root)
+      sets(_.select(col("k"), col("v"),
+        lead(col("v"), 3, -4L, ignoreNulls = true)
+          .over(Window.orderBy(col("k").desc)).as("fn3d")), root)
       // DESC: lead's suffix flows along the reversed partition order,
       // and deep-lag/lead carries assemble over the reversed bands too
       val wd = Window.orderBy(col("k").desc)
@@ -385,9 +399,9 @@ class WindowProps extends AnyFunSuite {
     // refuse; and HUGE lead offsets fall through like huge frames do
     fallsThrough(expr("lead(v, 1, k) OVER (ORDER BY k)"))
     fallsThrough(lead(col("v"), 1000000).over(w))
-    // lead IGNORE NULLS: a null run defers the lookahead unboundedly —
-    // no bounded streaming form, must fall through
-    fallsThrough(lead(col("v"), 1, null, ignoreNulls = true).over(w))
+    // lead IGNORE NULLS with a huge offset falls through like every
+    // huge bound (n ≤ 65,536 plans via the partition-buffered path)
+    fallsThrough(lead(col("v"), 1000000, null, ignoreNulls = true).over(w))
     fallsThrough(sum(col("v"))
       .over(w.rangeBetween(-3, 3))) // RANGE frames past the current row
     fallsThrough(sum(col("v"))      // unbounded forward: no bounded ring
