@@ -1941,25 +1941,32 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     */
   private def pinGeneration(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       files: Seq[(FileStatus, Array[String])],
-      relist: () => Seq[(FileStatus, Array[String])])
-      : Seq[(FileStatus, Array[String])] = {
+      relist: () => Seq[(FileStatus, Array[String])],
+      depth: Int = 0): Seq[(FileStatus, Array[String])] = {
     val manifestPath =
       new Path(root, graft.sink.CorpusSink.CompactManifestRelPath)
-    val parsed =
+    // raw manifest TEXT (None = absent — unpinned), kept for the
+    // changed-since check below; damaged text also un-pins (the finish
+    // path validates by round-trip BEFORE any rename or delete, so a
+    // damaged manifest means the fold never acted and the raw listing
+    // IS the intact pre-fold generation). Genuine IO errors still
+    // propagate: silently unpinning on a transient read failure
+    // mid-fold could mix generations.
+    def readManifestText(): Option[String] =
       try {
-        if (!fs.exists(manifestPath)) return files
-        val in = fs.open(manifestPath)
-        val txt = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        graft.sink.CorpusSink.parseCompactManifest(txt)
+        if (!fs.exists(manifestPath)) None
+        else {
+          val in = fs.open(manifestPath)
+          Some(try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close())
+        }
       } catch {
-        case _: java.io.FileNotFoundException => return files
-        // a DAMAGED manifest means the fold never acted: the finish
-        // path validates by round-trip BEFORE any rename or delete (and
-        // refuses loudly there), so the raw listing IS the intact
-        // pre-fold generation — read it unpinned. Genuine IO errors
-        // still propagate: silently unpinning on a transient read
-        // failure mid-fold could mix generations.
+        case _: java.io.FileNotFoundException => None
+      }
+    val txt = readManifestText().getOrElse(return files)
+    val parsed =
+      try graft.sink.CorpusSink.parseCompactManifest(txt)
+      catch {
         case _: IllegalStateException | _: IllegalArgumentException =>
           return files
       }
@@ -1974,9 +1981,29 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       files.filterNot { case (st, _) => rel(st).startsWith(prefix) }
     } else {
       // the walk predates the missing-covered observation: re-list so
-      // the filtered snapshot provably contains every compact file
+      // the filtered snapshot provably contains every compact file —
+      // then RE-READ the manifest: a second back-to-back fold could
+      // have committed between the parse and the re-list, and the
+      // stale covered set would admit a mix of that fold's partial
+      // compact files and its covered files. Unchanged text → the
+      // filter is sound; changed/gone → resolve the fresh snapshot
+      // against the CURRENT state instead. Bounded: each retry
+      // witnesses a distinct committed fold, so an unbounded chain
+      // means maintenance is racing faster than reads — fail loudly
+      // rather than risk a mixed-generation listing.
+      val fresh = relist()
       val coveredSet = covered.toSet
-      relist().filterNot { case (st, _) => coveredSet.contains(rel(st)) }
+      readManifestText() match {
+        case Some(now) if now == txt =>
+          fresh.filterNot { case (st, _) => coveredSet.contains(rel(st)) }
+        case _ if depth < 8 =>
+          pinGeneration(fs, root, fresh, relist, depth + 1)
+        case _ => throw new IllegalStateException(
+          s"extjson generation pinning at $root could not settle after " +
+            s"$depth manifest changes — back-to-back in-place " +
+            "compactions are outrunning this listing; pause maintenance " +
+            "or retry the read")
+      }
     }
   }
 

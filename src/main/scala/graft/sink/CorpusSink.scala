@@ -325,11 +325,17 @@ object CorpusSink {
     * manifest present → every finish step is idempotent (renames skip
     * moved files, deletes skip missing ones, the append indexes only
     * unindexed files under a manifest-derived tag). CONCURRENT READERS
-    * are generation-pinned: while the manifest exists, the scan's
-    * listing reads either the covered set or the compact set, never a
-    * mix (the rename→delete window that once showed duplicate rows —
-    * see the listing's `pinGeneration`), so long-running readers
-    * coexist with the maintenance op; mid-fold reads of the NEW
+    * are generation-pinned FOR NON-GLOB SINGLE-DIRECTORY READS — the
+    * landing contract's shape: while the manifest exists, such a
+    * scan's listing reads either the covered set or the compact set,
+    * never a mix (the rename→delete window that once showed duplicate
+    * rows — see the listing's `pinGeneration`, which also re-verifies
+    * the manifest after its re-list so back-to-back folds cannot slip
+    * a stale covered filter through), so long-running readers coexist
+    * with the maintenance op. A GLOB or multi-root read over the drop
+    * is NOT pinned and can still observe the rename→delete window —
+    * do not run wildcard reads against a drop while compacting it
+    * in place. Mid-fold reads of the NEW
     * generation simply lose the band proofs until the sidecar append
     * lands (stats-gated plans fall back, correctness holds). Stale
     * sidecar rows for the deleted files are inert (planning keys stats
