@@ -2014,6 +2014,27 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
       pushedLimit, pushedAggs, pushedSorts, pushedTopN, pushedGroups,
       maxPushedGroups, partCols, arrayTrunc)
   }
+
+  /** A clone reading only `cols` (exact top-level names, in `required`
+    * order) — the band window's totals-pass column pruning hook:
+    * everything else (path, pushed filters, zone state, split planning)
+    * is identical, so the clone's readers visit the same files and
+    * byte ranges while CONVERTING fewer fields per row. Callers own the
+    * alignment contract (their row consumers must expect exactly the
+    * kept columns) and must not prune under pushed aggregates or
+    * partition columns (readSchema stops mirroring `required` there).
+    */
+  private[graft] def pruneTo(cols: Seq[String]): ExtJsonScan = {
+    require(pushedAggs.isEmpty && partCols.isEmpty,
+      "pruneTo applies to plain column scans only")
+    val keep = cols.toSet
+    new ExtJsonScan(path, fullSchema,
+      StructType(required.fields.filter(f => keep(f.name))), pushed,
+      maxSplitOverride, pushedLimit, pushedAggs, pushedSorts, pushedTopN,
+      pushedGroups, maxPushedGroups, partCols, completeCount, arrayTrunc,
+      zoneMaps, statsAnswer, preloadedZoneStats, reportPartitioning,
+      rangeAggregation)
+  }
 }
 
 /** @param wholeFile the file is compressed (no mid-file entry points):

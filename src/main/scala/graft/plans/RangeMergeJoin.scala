@@ -421,6 +421,52 @@ case class RangeMergeJoinExec(keyType: DataType,
       sides.toArray, factories.toArray, steps.toArray, output,
       parts, longMetric("numOutputRows"))
   }
+
+  /** A column-pruned clone for the band window's TOTALS pass: the chain
+    * streams the same partitions and merges on the same keys, but every
+    * side reads only the columns the pass folds — `needed` plus the
+    * structural set (side keys, side filters, residuals, interstitial
+    * stream filters). None when a side carries partition columns (the
+    * reader's schema then stops mirroring the side output) — the caller
+    * falls back to the full chain, never wrong.
+    */
+  private[plans] def narrowForTotals(
+      needed: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[RangeMergeJoinExec] = {
+    if (sides.exists(s => s.scan == null || s.scan.partCols.nonEmpty))
+      return None
+    val keep = scala.collection.mutable.Set.empty[
+      org.apache.spark.sql.catalyst.expressions.ExprId]
+    needed.foreach(a => keep += a.exprId)
+    sides.foreach { s =>
+      keep += s.relOutput(s.relKeyOrdinal).exprId
+      s.filters.foreach(_.references.foreach(keep += _.exprId))
+    }
+    steps.foreach { st =>
+      st.residual.foreach(_.references.foreach(keep += _.exprId))
+      st.preOps.foreach {
+        case StreamFilter(c) => c.references.foreach(keep += _.exprId)
+        case _ => ()
+      }
+    }
+    val nSides = sides.map { s =>
+      val keyId = s.relOutput(s.relKeyOrdinal).exprId
+      val relOut = s.relOutput.filter(a => keep(a.exprId))
+      val out = s.output.filter(a => keep(a.exprId))
+      MergeSideExec(relOut, out, s.filters,
+        relOut.indexWhere(_.exprId == keyId),
+        out.indexWhere(_.exprId == keyId),
+        s.scan.pruneTo(relOut.map(_.name)))
+    }
+    val nSteps = steps.map { st =>
+      st.copy(preOps = st.preOps.map {
+        case StreamProject(o) => StreamProject(o.filter(a => keep(a.exprId)))
+        case f => f
+      })
+    }
+    Some(copy(output = output.filter(a => keep(a.exprId)),
+      sides = nSides, steps = nSteps))
+  }
 }
 
 private final class ChainPartition(override val index: Int,

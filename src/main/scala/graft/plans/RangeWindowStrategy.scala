@@ -2043,7 +2043,11 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
-      "number of output rows"))
+      "number of output rows"),
+    // columns the computed-totals pass actually decoded (0 = metadata
+    // prefix, no pass at all) — the narrowing observability hook
+    "totalsPassColumns" -> SQLMetrics.createMetric(sparkContext,
+      "totals pass columns"))
 
   override def stringArgs: Iterator[Any] = Iterator(
     windowExprs.map(_.name).mkString("[", ", ", "]"),
@@ -2063,18 +2067,73 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     case _ => p
   }
 
+  /** A column-pruned clone of the totals pass's plan: the second stream
+    * over the data (or over the whole merge-join chain — q192's 2×-IO
+    * shape) re-reads the same files and partitions but CONVERTS only
+    * the columns the accumulators fold, instead of the query's full
+    * output. Structure-preserving: same partitioning, same merge keys,
+    * same filters; None for any shape it can't prove (the caller runs
+    * the full plan — never wrong, just unpruned).
+    */
+  private def narrowTotalsPlan(p: SparkPlan,
+      needed: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[SparkPlan] = p match {
+    case w: WholeStageCodegenExec => narrowTotalsPlan(w.child, needed)
+    case a: org.apache.spark.sql.execution.InputAdapter =>
+      narrowTotalsPlan(a.child, needed)
+    case s: SortExec if !s.global =>
+      narrowTotalsPlan(s.child, needed ++
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          s.sortOrder.flatMap(_.references)))
+        .map(SortExec(s.sortOrder, global = false, _))
+    case pr: org.apache.spark.sql.execution.ProjectExec =>
+      val kept = pr.projectList.filter(ne => needed.contains(ne.toAttribute))
+      if (kept.isEmpty) None
+      else narrowTotalsPlan(pr.child,
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          kept.flatMap(_.references)))
+        .map(org.apache.spark.sql.execution.ProjectExec(kept, _))
+    case f: org.apache.spark.sql.execution.FilterExec =>
+      narrowTotalsPlan(f.child, needed ++ f.condition.references)
+        .map(org.apache.spark.sql.execution.FilterExec(f.condition, _))
+    case o: OrderedBandScanExec
+        if o.scan != null && o.scan.partCols.isEmpty &&
+          o.scan.pushedAggs.isEmpty =>
+      val keep = needed ++
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          o.sortOrder.flatMap(_.references))
+      val kept = o.output.filter(keep.contains)
+      if (kept.isEmpty || kept.length == o.output.length) None
+      else Some(o.copy(output = kept,
+        scan = o.scan.pruneTo(kept.map(_.name))))
+    case m: RangeMergeJoinExec => m.narrowForTotals(needed)
+    case _ => None
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOut = child.output
     val bound = funcs.map(_.bound(childOut))
     val totals: Seq[Array[Any]] = partitionTotals.getOrElse {
       // carry functions' totals depend on row order: their pass must see
       // the sorted stream; order-free totals run below the local sort
-      val totalsRdd =
-        if (bound.exists(_.orderSensitive)) child.execute()
-        else unsortedChild(child).execute()
-      sparkContext.runJob(totalsRdd,
+      val base =
+        if (bound.exists(_.orderSensitive)) child else unsortedChild(child)
+      // …and CONVERTS only the columns the accumulators read: the
+      // narrowed clone streams the same partitions with the rest of the
+      // query's columns left undecoded (totals snapshots are plain
+      // values, so binding against the narrow output changes nothing
+      // downstream)
+      val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        windowExprs.flatMap(_.references))
+      val (tPlan, tBound) = narrowTotalsPlan(base, needed) match {
+        case Some(np) if needed.subsetOf(np.outputSet) =>
+          (np, funcs.map(_.bound(np.output)))
+        case _ => (base, bound)
+      }
+      longMetric("totalsPassColumns") += tPlan.output.length
+      sparkContext.runJob(tPlan.execute(),
         (it: Iterator[InternalRow]) => {
-          val accs = bound.map(_.newAcc())
+          val accs = tBound.map(_.newAcc())
           it.foreach(r => accs.foreach(_.update(r)))
           accs.map(_.total()).toArray
         }).toSeq

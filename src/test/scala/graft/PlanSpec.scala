@@ -1612,6 +1612,13 @@ class PlanSpec extends AnyFunSuite {
     // partitions: the final tie group's run_n is the full row count
     assert(rows.map(_.getLong(5)).max == rows.length.toLong,
       "running count must span the whole chained stream")
+    // the totals pass is COLUMN-PRUNED: it decodes only the order key
+    // and the window input (2 columns), not the query's 4 output
+    // columns — the chain's second stream skips o_totalprice/l_quantity
+    val bw = ns.collect { case b: graft.plans.BandRunningWindowExec => b }
+    assert(bw.length == 1 &&
+      bw.head.metrics("totalsPassColumns").value == 2L,
+      s"narrowed totals pass: ${bw.map(_.metrics("totalsPassColumns").value)}")
   }
 
   test("multi-file touching band: dense_rank chain-folds per-file sidecar distincts") {
