@@ -130,6 +130,27 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       case _ => None
     }
 
+  /** The peel with an inner WINDOW leaf — STACKED windows: a window
+    * whose inputs are another window's OUTPUTS analyzes as two Window
+    * nodes with a Project between (the sessionization idiom: flag the
+    * gaps with lag, then session-id = running SUM of the flags). A
+    * [[BandRunningWindowExec]] preserves its child's ordering and
+    * range-partitioning claims, so an outer window ordered the same
+    * way decomposes over the INNER band window's partitions exactly as
+    * over the scan's bands.
+    */
+  private def peelInnerW(p: LogicalPlan, above: List[LogicalPlan])
+      : Option[(Window, List[LogicalPlan])] =
+    p match {
+      case w: Window => Some((w, above))
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.forall(_.deterministic) =>
+        peelInnerW(pr.child, pr :: above)
+      case f: Filter if f.condition.deterministic =>
+        peelInnerW(f.child, f :: above)
+      case _ => None
+    }
+
   /** The same peel with a JOIN leaf — the window-over-merge-chain
     * composition (`SUM(...) OVER (ORDER BY key)` above q185's
     * enrich+decontaminate chain): deterministic row-local Projects and
@@ -223,7 +244,42 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                       orderSpec, None, sortedChild) :: Nil
                   case _ => Nil
                 }
-              case _ => Nil
+              // no join either: STACKED windows — a window over another
+              // window's OUTPUTS (the sessionization idiom: lag-flag the
+              // gaps, then session-id = running SUM of the flags; the
+              // analyzer stacks the nodes because the outer's inputs
+              // are the inner's outputs). Plan the inner window with
+              // THIS strategy recursively; a band-window result claims
+              // its child's ordering and range partitioning, so the
+              // outer decomposes over ITS partitions (prefixes always
+              // computed — the inner window re-executes for the totals
+              // pass; sequential zero-exchange streams, never a
+              // collapse). ASC NULLS FIRST on the same band key only.
+              case _ => peelInnerW(child, Nil) match {
+                case Some((w2, above))
+                    if first.direction == Ascending &&
+                      first.nullOrdering == NullsFirst &&
+                      orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
+                  val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
+                  if (funcs.exists(_.isEmpty)) return Nil
+                  apply(w2) match {
+                    case Seq(inner: BandRunningWindowExec)
+                        if inner.outputOrdering.headOption.exists(o =>
+                          o.direction == Ascending && (o.child match {
+                            case a: AttributeReference =>
+                              a.exprId == attr.exprId
+                            case _ => false
+                          })) =>
+                      val chain = restage(above, inner)
+                      val sortedChild =
+                        if (orderSpec.length == 1) chain
+                        else SortExec(orderSpec, global = false, chain)
+                      BandRunningWindowExec(windowExprs, funcs.map(_.get),
+                        orderSpec, None, sortedChild) :: Nil
+                    case _ => Nil
+                  }
+                case _ => Nil
+              }
             }
           }
         case _ => Nil

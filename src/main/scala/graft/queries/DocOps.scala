@@ -1714,6 +1714,34 @@ object DocOps {
       .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
         col("w15_sum"), col("w15_n"))
 
+  /** SESSIONIZATION over the event-time landing — STACKED band windows:
+    * flag a session boundary where the gap to the previous event
+    * exceeds 60 seconds (`lag(ts) OVER (ORDER BY ts)` — window 1), then
+    * session-id = running SUM of the flags (window 2, whose INPUT is
+    * window 1's output, so the analyzer stacks two Window nodes). Both
+    * decompose over the TIMESTAMP bands with zero exchange: the band
+    * window exec preserves its child's ordering/partitioning claims, so
+    * the outer accepts the inner as its ordered child
+    * ([[graft.plans.RangeWindowStrategy]]'s stacked-window arm). The
+    * per-row boundary flag is tie-order-dependent (duplicate
+    * timestamps) and not output; the tie group's session_id — the
+    * running sum at group end — is deterministic: exactly one row of a
+    * tie group carries each boundary regardless of permutation.
+    */
+  private def q203RangeSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    ExtendedJson.read(s, decodedEventsTs, eventsTsRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("ts"), col("user_id"),
+        lag(col("ts"), 1).over(w).as("pts"))
+      .select(col("ts"), col("user_id"),
+        when(col("pts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("pts")) > 60000000L, 1L)
+          .otherwise(0L).as("boundary"))
+      .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
+        sum(col("boundary")).over(w).as("session_id"))
+  }
+
   /** FIRST/NTH/ARGMAX running carries — `first_value(v)`,
     * `nth_value(v, 5)`, `min_by(v, oid)` (the value at the smallest key
     * seen — a cross-band backward carry) and `max_by(v, oid)` over the
@@ -1933,6 +1961,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_docsource_range_sessionize" -> q203RangeSessionize,
     "q202_docsource_range_lead_ignore_nulls" -> q202RangeLeadIgnoreNulls,
     "q201_docsource_range_centered_window" -> q201RangeCenteredWindow,
     "q200_docsource_range_lagged_window" -> q200RangeLaggedWindow,
@@ -2104,6 +2133,17 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q203_docsource_range_sessionize" ->
+      ("WITH e AS (SELECT date_trunc('ms', ts) AS ts, user_id " +
+        "FROM events), " +
+        "f AS (SELECT ts, user_id, lag(ts, 1) OVER (ORDER BY ts) AS pts " +
+        "FROM e), " +
+        "g AS (SELECT ts, user_id, CASE WHEN pts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(pts) > 60000000 THEN 1 ELSE 0 END " +
+        "AS boundary FROM f) " +
+        "SELECT epoch_us(ts) AS t_us, user_id, " +
+        "CAST(sum(boundary) OVER (ORDER BY ts) AS BIGINT) AS session_id " +
+        "FROM g"),
     "q202_docsource_range_lead_ignore_nulls" ->
       ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
         "CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 7 = 0 " +

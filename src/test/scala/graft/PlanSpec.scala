@@ -1354,6 +1354,35 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q203 sessionization: two STACKED band windows, zero exchange, no WindowExec") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q203_docsource_range_sessionize")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.count(_.isInstanceOf[graft.plans.BandRunningWindowExec]) == 2 &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // session ids are 1-based, non-decreasing in event time, and step
+    // by at most 1 per tie group; the boundary rule re-derives them
+    val byT = rows.sortBy(_.getLong(0))
+    assert(byT.head.getLong(2) == 1L, "first event opens session 1")
+    val sids = byT.map(_.getLong(2))
+    assert(sids.zip(sids.tail).forall { case (a, b) => b == a || b == a + 1 },
+      "session ids step monotonically")
+    // re-derive: a session break exactly where the time gap > 60s
+    val ts = byT.map(_.getLong(0))
+    byT.indices.drop(1).foreach { i =>
+      if (ts(i) != ts(i - 1)) {
+        val break = ts(i) - ts(i - 1) > 60000000L
+        assert((sids(i) == sids(i - 1) + 1) == break,
+          s"boundary rule at $i: gap ${ts(i) - ts(i - 1)}")
+      }
+    }
+  }
+
   test("q202 lead IGNORE NULLS: band window, zero exchange, partition-buffered index path") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -630,6 +630,66 @@ class WindowProps extends AnyFunSuite {
         "MONTH PRECEDING AND CURRENT ROW)").as("m2d")), clampRoot, dSchema2)
   }
 
+  test("stacked windows: a window over another window's outputs decomposes end-to-end") {
+    // the SESSIONIZATION idiom — flag the gaps with lag, then
+    // session-id = running SUM of the flags: the outer window's inputs
+    // are the inner's OUTPUTS, so the analyzer stacks two Window nodes
+    // with a Project between; both must plan as band windows (no
+    // WindowExec, no exchange anywhere), and the multiset must match
+    // Spark's own stacked evaluation
+    (61 to 63).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = gen(rnd, keyPool = 50 + rnd.nextInt(30),
+        maxFiles = 4, uniqueKeys = true)
+      val w = Window.orderBy(col("k"))
+      def q(src: DataFrame): DataFrame = src
+        .select(col("k"), col("v"),
+          lag(col("k"), 1).over(w).as("pk"))
+        .select(col("k"), col("v"),
+          when(col("pk").isNull || col("k") - col("pk") > 5, 1L)
+            .otherwise(0L).as("gap"))
+        .select(col("k"), col("v"), col("gap"),
+          sum(col("gap")).over(w).as("session_id"))
+      val banded = q(ExtendedJson.read(spark, schema, root,
+        Map("zoneMaps" -> "true")))
+      val plain = q(ExtendedJson.read(spark, schema, root, Map.empty))
+      spark.catalog.clearCache()
+      val b = banded.collect().map(_.toSeq.toList).toSeq
+      val p = plain.collect().map(_.toSeq.toList).toSeq
+      val bn = TestPlans.executedNodes(banded)
+      assert(bn.count(_.isInstanceOf[BandRunningWindowExec]) == 2 &&
+        !bn.exists(_.isInstanceOf[WindowExec]) &&
+        !bn.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"seed $seed stacked plan: " + bn.map(_.nodeName).mkString(", "))
+      assert(b.groupBy(identity).view.mapValues(_.size).toMap ==
+        p.groupBy(identity).view.mapValues(_.size).toMap,
+        s"seed $seed stacked multiset: ${b.length} vs ${p.length}")
+      // THREE levels (flag → session id → per-session rank would need
+      // PARTITION BY; instead stack a third ORDER-BY window reading
+      // session_id — running max of session ids, trivially = session_id
+      // but exercises the depth) and a FILTER between levels
+      def q3(src: DataFrame): DataFrame = q(src)
+        .filter(col("v").isNotNull)
+        .select(col("k"), col("session_id"),
+          max(col("session_id")).over(w).as("sx"),
+          row_number().over(w).as("rn"))
+      val b3 = q3(ExtendedJson.read(spark, schema, root,
+        Map("zoneMaps" -> "true")))
+      val p3 = q3(ExtendedJson.read(spark, schema, root, Map.empty))
+      spark.catalog.clearCache()
+      val b3r = b3.collect().map(_.toSeq.toList).toSeq
+      val p3r = p3.collect().map(_.toSeq.toList).toSeq
+      val b3n = TestPlans.executedNodes(b3)
+      assert(b3n.count(_.isInstanceOf[BandRunningWindowExec]) == 3 &&
+        !b3n.exists(_.isInstanceOf[WindowExec]) &&
+        !b3n.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"seed $seed 3-level plan: " + b3n.map(_.nodeName).mkString(", "))
+      assert(b3r.groupBy(identity).view.mapValues(_.size).toMap ==
+        p3r.groupBy(identity).view.mapValues(_.size).toMap,
+        s"seed $seed 3-level multiset")
+    }
+  }
+
   test("value-frame refusal pins: timestamp months, and the population cap") {
     val rnd = new scala.util.Random(51)
     // a MONTH interval over a TIMESTAMP key is timezone-local calendar
