@@ -73,7 +73,13 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    at plan time from the sidecar and capped at runtime —
   *    `spark.graft.window.maxRangeFrameRows` — where no plan bound
   *    applies; frames denser than the cap refuse to Spark's spillable
-  *    window);
+  *    window), and the ±FOLLOWING value frame `RANGE BETWEEN d1
+  *    PRECEDING|CURRENT ROW AND f FOLLOWING` (fixed kinds only —
+  *    month-forward has no monotone release test; rows release from a
+  *    key-ordered pending queue once an arrival passes their +f bound,
+  *    with the next bands' leading entries as the forward suffix; a
+  *    node mixing this key-released queue with the row-count delay
+  *    ring refuses whole);
   *  - the ORDER-SENSITIVE carries, whose computed-totals pass runs over
   *    the SORTED stream: `last(x, ignoreNulls)` (forward-fill / as-of),
   *    `first_value(x[, ignoreNulls])` and `nth_value(x, n[,
@@ -183,6 +189,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                     orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
                 val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
                 if (funcs.exists(_.isEmpty)) return Nil
+                if (!RunningWindow.delayCompatible(funcs.map(_.get)))
+                  return Nil
                 // value-frame population bound: a RANGE frame denser
                 // than the configured cap must run on Spark's spillable
                 // WindowExec, not an in-memory deque
@@ -230,6 +238,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                     orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
                 val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
                 if (funcs.exists(_.isEmpty)) return Nil
+                if (!RunningWindow.delayCompatible(funcs.map(_.get)))
+                  return Nil
                 mergeJoin.planChain(join) match {
                   case Some(exec)
                       if exec.outputOrdering.headOption.exists(_.child match {
@@ -262,6 +272,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                       orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
                   val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
                   if (funcs.exists(_.isEmpty)) return Nil
+                if (!RunningWindow.delayCompatible(funcs.map(_.get)))
+                  return Nil
                   apply(w2) match {
                     case Seq(inner: BandRunningWindowExec)
                         if inner.outputOrdering.headOption.exists(o =>
@@ -459,6 +471,55 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _ => None
         }
       }
+      // `RANGE BETWEEN d1 PRECEDING|CURRENT ROW AND f FOLLOWING` — the
+      // VALUE-based FOLLOWING frame (the ±window around each event):
+      // rows release from a pending queue once a key strictly beyond
+      // key+f arrives. Fixed kinds only (integral / whole-day / any
+      // day-time over timestamps); month-forward distance has no
+      // monotone per-arrival release test and refuses
+      val rangeFwd: Option[(Long, Long)] = spec.frameSpecification match {
+        case SpecifiedWindowFrame(RangeFrame, loE, hiE)
+            if orderSpec.lengthCompare(1) == 0 =>
+          import org.apache.spark.sql.types.{DateType, DayTimeIntervalType}
+          val keyDt = orderSpec.head.child.dataType
+          val MicrosPerDay = 86400L * 1000000L
+          def fixed(e: Expression, sign: Int, allowZero: Boolean)
+              : Option[Long] = e match {
+            case CurrentRow if allowZero => Some(0L)
+            case l: Literal if l.value != null =>
+              (keyDt, l.dataType) match {
+                case (kdt, bdt) if integralVal(kdt) && integralVal(bdt) &&
+                    asLong(l.value) * sign > 0 &&
+                    asLong(l.value) != Long.MinValue &&
+                    math.abs(asLong(l.value)) < Long.MaxValue =>
+                  Some(math.abs(asLong(l.value)))
+                case (DateType, _: DayTimeIntervalType) =>
+                  val micros = l.value.asInstanceOf[java.lang.Long].longValue()
+                  if (micros * sign > 0 && micros % MicrosPerDay == 0L)
+                    Some(math.abs(micros / MicrosPerDay))
+                  else None
+                case (org.apache.spark.sql.types.TimestampType |
+                    org.apache.spark.sql.types.TimestampNTZType,
+                    _: DayTimeIntervalType) =>
+                  val micros = l.value.asInstanceOf[java.lang.Long].longValue()
+                  if (micros * sign > 0 && micros != Long.MinValue &&
+                    math.abs(micros) < Long.MaxValue)
+                    Some(math.abs(micros))
+                  else None
+                case _ => None
+              }
+            case _ => None
+          }
+          (fixed(loE, -1, allowZero = true), fixed(hiE, 1, allowZero = false))
+            match {
+            case (Some(d1), Some(f))
+                // the combined width must not saturate the release and
+                // eviction arithmetic
+                if d1 < Long.MaxValue - f => Some((d1, f))
+            case _ => None
+          }
+        case _ => None
+      }
       // `ROWS BETWEEN n PRECEDING|CURRENT ROW AND m FOLLOWING` — the
       // bounded FOLLOWING frame (the centered moving average): emission
       // delays behind an m-slot ring (the row's frame completes when
@@ -647,6 +708,17 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           slideOpFor(ae).map { case (in, op) =>
             RunSlidingFwd(in, rowsFwd.get._1, rowsFwd.get._2, op)
           }
+        // the VALUE-based FOLLOWING frame: pending rows release by key
+        // distance (see RunRangeFwd)
+        case (ae: AggregateExpression, None)
+            if rangeFwd.isDefined && rangeSlide.isEmpty &&
+              !ae.isDistinct && ae.filter.isEmpty =>
+          slideOpFor(ae).map { case (in, op) =>
+            RunRangeFwd(orderSpec.head.child, in,
+              rangeFwd.get._1, rangeFwd.get._2,
+              orderSpec.head.direction == Descending, op,
+              RangeWindowStrategy.maxRangeFrameRows(session))
+          }
         case (ae: AggregateExpression, None)
             if rangeSlide.isDefined && !ae.isDistinct &&
               ae.filter.isEmpty =>
@@ -817,6 +889,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           case _: RunSliding => None // order-dependent: no sidecar form
           case _: RunSlidingFwd => None // order-dependent: no sidecar form
           case _: RunRangeSliding => None // order-dependent: no sidecar form
+          case _: RunRangeFwd => None // order-dependent: no sidecar form
           // dense_rank's prefix is the earlier bands' DISTINCT-KEY
           // count — the v4 sidecar records exact per-file distincts for
           // monotone columns, and strict band disjointness makes them
@@ -914,10 +987,22 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     */
   private def rangeFramesBounded(scan: ExtJsonScan, keyCol: String,
       funcs: Seq[RunningFunc]): Boolean = {
-    import RunningWindow.{FixedDist, MonthDist, RunLeadNulls, RunRangeSliding}
-    val frames = funcs.collect { case r: RunRangeSliding => r }
+    import RunningWindow.{FixedDist, MonthDist, RunLeadNulls, RunRangeFwd, RunRangeSliding}
+    // frame widths whose window population the sweep must bound: the
+    // PRECEDING width for trailing frames, d1+f for ±FOLLOWING frames
+    // (the buffer plus the pending queue both live inside that window)
+    val widths = funcs.collect {
+      case r: RunRangeSliding => r.dist match {
+        case FixedDist(l, _) => l
+        // months → conservative day width (31 days each + slack)
+        case MonthDist(l, _) => 31L * l + 3L
+      }
+      case r: RunRangeFwd =>
+        if (r.d1 > Long.MaxValue - r.f - 1) Long.MaxValue - 1
+        else r.d1 + r.f + 1
+    }
     val wholeBand = funcs.exists(_.isInstanceOf[RunLeadNulls])
-    if (frames.isEmpty && !wholeBand) return true
+    if (widths.isEmpty && !wholeBand) return true
     val cap = RangeWindowStrategy.maxRangeFrameRows(session)
     scan.orderedBandFileStats(keyCol) match {
       case Some(groups) =>
@@ -928,7 +1013,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             .map(_.rows).sum).max
           if (maxBand > cap) return false
         }
-        if (frames.isEmpty) return true
+        if (widths.isEmpty) return true
         val files = groups.flatten
         val stats = files.flatMap { f =>
           f.cols.get(keyCol).flatMap { cs =>
@@ -942,14 +1027,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         // any underivable file → no plan-time bound; the runtime cap
         // still fails fast before an OOM
         if (stats.length != files.length) return true
-        frames.forall { fr =>
-          val lo = fr.dist match {
-            case FixedDist(l, _) => l
-            // months → conservative day width (31 days each + slack)
-            case MonthDist(l, _) => 31L * l + 3L
-          }
-          RangeWindowStrategy.maxWindowRows(stats, lo, cap) <= cap
-        }
+        widths.forall(lo =>
+          RangeWindowStrategy.maxWindowRows(stats, lo, cap) <= cap)
       case None => true
     }
   }
@@ -1021,6 +1100,18 @@ private[plans] object RunningWindow {
     case u: UTF8String => u.clone()
     case other => other
   }
+
+  /** Emission-delay regimes cannot mix in one Window node: the
+    * row-count ring (deep leads, ROWS FOLLOWING) and the key-released
+    * pending queue (RANGE FOLLOWING) each own the partition's emission
+    * order — a node holding both refuses whole (partial acceleration
+    * would still leave Spark's single-partition WindowExec for the
+    * rest, gaining nothing).
+    */
+  private[plans] def delayCompatible(fs: Seq[RunningFunc]): Boolean =
+    !(fs.exists(_.isInstanceOf[RunRangeFwd]) &&
+      fs.exists(f => f.isInstanceOf[RunLeadN] ||
+        f.isInstanceOf[RunSlidingFwd]))
 
   sealed trait RunAcc {
     def update(row: InternalRow): Unit
@@ -1811,6 +1902,180 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d1 PRECEDING|CURRENT ROW
+    * AND f FOLLOWING)` — the value-based FOLLOWING frame (the ±window
+    * around each event): row r's frame is every key in
+    * [r.key − d1, r.key + f] (stream-mirrored under DESC), complete
+    * only once a key strictly beyond r.key + f arrives — so the exec
+    * holds pending rows in a key-released queue and this accumulator
+    * is the live (key, value) buffer they fold from. Eviction keeps
+    * entries within d1 of the OLDEST pending key (not the current
+    * one — later pendings still need them); both the buffer and the
+    * queue are population-bounded by the d1+f-wide window, plan-bounded
+    * by the sidecar sweep and `cap`-guarded at runtime. Per-band totals
+    * carry the band's TRAILING entries (within d1 of its last key — the
+    * next band's preceding prefix, merged exactly like the trailing
+    * frame), its LEADING entries (within f of its first key — the
+    * previous band's forward suffix), and its first/last keys (the
+    * driver's suffix-assembly stop bound). Fixed (integral / day /
+    * day-time) bounds only — month-forward distance is calendar
+    * arithmetic with no per-arrival monotone release test and refuses.
+    */
+  final case class RunRangeFwd(key: Expression, input: Expression,
+      d1: Long, f: Long, desc: Boolean, op: SlideOp,
+      cap: Long = Long.MaxValue) extends RunningFunc {
+    override def rowsFrame: Boolean = false
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(key = BindReferences.bindReference(key, in),
+        input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new FwdRangeAcc(this)
+  }
+
+  /** The live buffer + totals accumulator of [[RunRangeFwd]]. Stream
+    * distance: `sd(later, earlier)` is the non-negative key distance in
+    * STREAM direction (ASC: later − earlier; DESC mirrored); a wrapped
+    * (negative) subtraction reads as "farther than any bound".
+    */
+  private[plans] final class FwdRangeAcc(spec: RunRangeFwd) extends RunAcc {
+    import spec.{cap, d1, desc, f, op}
+    private val NullToken: AnyRef = RunSliding.NullToken
+    private val keys = new java.util.ArrayDeque[java.lang.Long]()
+    private val vals = new java.util.ArrayDeque[AnyRef]()
+    // the band's first ≤f-window entries, for the totals' leading part
+    private val leadK = new scala.collection.mutable.ArrayBuffer[Long]()
+    private val leadV = new scala.collection.mutable.ArrayBuffer[Any]()
+    private var firstKey = 0L
+    private var lastKey = 0L
+    private var any = false
+
+    private def sd(later: Long, earlier: Long): Long = {
+      val r = if (desc) earlier - later else later - earlier
+      if (r < 0) Long.MaxValue else r
+    }
+    /** Evict entries farther than d1 BEFORE `low` (the oldest key any
+      * still-pending row's frame can reach back from). A wrapped
+      * (negative) distance of a stream-before entry means the true span
+      * exceeds the Long range — certainly > d1, evicted.
+      */
+    private[plans] def evictBefore(low: Long): Unit = {
+      var go = true
+      while (go && !keys.isEmpty) {
+        val k = keys.peekFirst().longValue()
+        val before = if (desc) k >= low else k <= low
+        val dist = if (desc) k - low else low - k
+        if (before && (dist < 0 || dist > d1)) {
+          keys.removeFirst(); vals.removeFirst()
+        } else go = false
+      }
+    }
+    /** One arriving row's (key, value); `low` = oldest pending key.
+      * Values are retained here (the consumer evals them from pending
+      * rows whose buffers the buffer entries outlive).
+      */
+    private[plans] def arrive(k: Long, v: Any, low: Long): Unit = {
+      evictBefore(low)
+      val rv = retain(v)
+      keys.addLast(java.lang.Long.valueOf(k))
+      vals.addLast(if (rv == null) NullToken else rv.asInstanceOf[AnyRef])
+      if (!any) { firstKey = k; any = true }
+      lastKey = k
+      if (sd(k, firstKey) <= f) { leadK += k; leadV += rv }
+      if (keys.size > cap) throw new org.apache.spark.SparkException(
+        s"graft range-following frame exceeds $cap live rows per " +
+          "function; raise spark.graft.window.maxRangeFrameRows or let " +
+          "Spark's spillable window plan this frame")
+    }
+    /** Frame fold for the pending row at `rk`: buffered entries within
+      * the frame, then suffix entries (all strictly after the band)
+      * within f.
+      */
+    private[plans] def foldFor(rk: Long, sufK: Array[Long],
+        sufV: Array[Any]): Any = {
+      val ki = keys.iterator(); val vi = vals.iterator()
+      op.fold(new Iterator[Any] {
+        private var si = 0
+        private var nextV: Any = _
+        private var haveNext = false
+        private def inFrame(k: Long): Boolean = {
+          // entry before-or-at rk ⇒ within d1; after ⇒ within f
+          val back = sd(rk, k)
+          if (back != Long.MaxValue) back <= d1 || sd(k, rk) <= f
+          else sd(k, rk) <= f
+        }
+        private def advance(): Unit = {
+          while (!haveNext && ki.hasNext) {
+            val k = ki.next().longValue()
+            val v = vi.next()
+            if (inFrame(k)) {
+              nextV = if (v eq NullToken) null else v
+              haveNext = true
+            }
+          }
+          while (!haveNext && si < sufK.length) {
+            val k = sufK(si); val v = sufV(si); si += 1
+            if (sd(k, rk) <= f) { nextV = v; haveNext = true }
+          }
+        }
+        override def hasNext: Boolean = { advance(); haveNext }
+        override def next(): Any = {
+          advance()
+          if (!haveNext) throw new NoSuchElementException
+          haveNext = false
+          nextV
+        }
+      })
+    }
+    override def update(row: InternalRow): Unit = {
+      // totals-pass form: no pending queue exists — the oldest key a
+      // future row can reach back from is the current key itself
+      val k = spec.key.eval(row).asInstanceOf[Number].longValue()
+      arrive(k, spec.input.eval(row), k)
+    }
+    /** (trailing keys, trailing vals, leading keys, leading vals,
+      * lastKey | null, firstKey | null).
+      */
+    override def total(): Any = {
+      val tk = new scala.collection.mutable.ArrayBuffer[Any]()
+      val tv = new scala.collection.mutable.ArrayBuffer[Any]()
+      val ki = keys.iterator(); val vi = vals.iterator()
+      while (ki.hasNext) {
+        val k = ki.next().longValue(); val v = vi.next()
+        if (any && sd(lastKey, k) <= d1) {
+          tk += k
+          tv += (if (v eq NullToken) null else v)
+        }
+      }
+      Array[Any](tk.toArray[Any], tv.toArray[Any],
+        leadK.toArray[Any], leadV.toArray[Any],
+        if (any) java.lang.Long.valueOf(lastKey) else null,
+        if (any) java.lang.Long.valueOf(firstKey) else null)
+    }
+    /** Prefix fold: the earlier bands' trailing entries seed the buffer
+      * (band order); leading parts are consumed by the driver's suffix
+      * assembly, not here.
+      */
+    override def mergeTotal(t: Any): Unit = if (t != null) {
+      val a = t.asInstanceOf[Array[Any]]
+      val tk = a(0).asInstanceOf[Array[Any]]
+      val tv = a(1).asInstanceOf[Array[Any]]
+      var i = 0
+      while (i < tk.length) {
+        keys.addLast(java.lang.Long.valueOf(tk(i).asInstanceOf[Long]))
+        vals.addLast(if (tv(i) == null) NullToken
+          else tv(i).asInstanceOf[AnyRef])
+        i += 1
+      }
+      if (a(4) != null) {
+        val lk = a(4).asInstanceOf[java.lang.Long].longValue()
+        if (!any) { firstKey = lk; any = true } // prefix only seeds keys
+        lastKey = lk
+        evictBefore(lk)
+      }
+    }
+    override def value(): Any = null
+  }
+
   /** `lag(x, 1[, default])` — the previous row's value in window order
     * (the constant default at the very first row): the global delta /
     * time-series step shape.
@@ -2279,6 +2544,42 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
           buf.toArray[Any]
         }
       }
+    // value-based FOLLOWING frames: per-partition forward SUFFIX per
+    // function = the later partitions' LEADING (key, value) entries up
+    // to this partition's lastKey + f, assembled from the totals
+    // (leading arrays ascend across bands, so the walk stops at the
+    // first beyond-bound entry; a wrapped distance reads as beyond)
+    val vfIdxs: Array[Int] = bound.zipWithIndex
+      .collect { case (_: RunningWindow.RunRangeFwd, j) => j }.toArray
+    val vfSuffixes: Array[Array[(Array[Long], Array[Any])]] =
+      if (vfIdxs.isEmpty) null
+      else Array.tabulate(totals.length) { i =>
+        vfIdxs.map { j =>
+          val fn = bound(j).asInstanceOf[RunningWindow.RunRangeFwd]
+          val ks = new scala.collection.mutable.ArrayBuffer[Long]()
+          val vs = new scala.collection.mutable.ArrayBuffer[Any]()
+          val myLast = totals(i)(j).asInstanceOf[Array[Any]](4)
+          if (myLast != null) {
+            val lastK = myLast.asInstanceOf[java.lang.Long].longValue()
+            var stop = false
+            val it = totals.iterator.drop(i + 1)
+            while (!stop && it.hasNext) {
+              val a = it.next()(j).asInstanceOf[Array[Any]]
+              val lk = a(2).asInstanceOf[Array[Any]]
+              val lv = a(3).asInstanceOf[Array[Any]]
+              var q = 0
+              while (!stop && q < lk.length) {
+                val k = lk(q).asInstanceOf[Long]
+                val dist = if (fn.desc) lastK - k else k - lastK
+                if (dist >= 0 && dist <= fn.f) {
+                  ks += k; vs += lv(q); q += 1
+                } else stop = true
+              }
+            }
+          }
+          (ks.toArray, vs.toArray)
+        }
+      }
     val fwdIdxs: Array[Int] = bound.zipWithIndex
       .collect { case (_: RunningWindow.RunSlidingFwd, j) => j }.toArray
     val fwdSuffixes: Array[Array[Array[Any]]] =
@@ -2374,11 +2675,20 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         accs(j).asInstanceOf[RunningWindow.FwdAcc])
       val fwdSuffix: Array[Array[Any]] =
         if (fwdIdxs.isEmpty) null else fwdSuffixes(i)
-      val deep = deepIdxs.nonEmpty || fwdIdxs.nonEmpty
+      val vfFuncs: Array[RunningWindow.RunRangeFwd] = vfIdxs.map(j =>
+        bound(j).asInstanceOf[RunningWindow.RunRangeFwd])
+      val vfAccs: Array[RunningWindow.FwdRangeAcc] = vfIdxs.map(j =>
+        accs(j).asInstanceOf[RunningWindow.FwdRangeAcc])
+      val vfSuffix: Array[(Array[Long], Array[Any])] =
+        if (vfIdxs.isEmpty) null else vfSuffixes(i)
+      val deep = deepIdxs.nonEmpty || fwdIdxs.nonEmpty || vfIdxs.nonEmpty
       val atStart = bound.zipWithIndex
         .filter(f => !f._1.rowsFrame && f._1.groupStart).map(_._2)
+      // RANGE-FOLLOWING funcs are group-scoped semantically but
+      // evaluated by the pending-queue consumer, not at group end
       val atEnd = bound.zipWithIndex
-        .filter(f => !f._1.rowsFrame && !f._1.groupStart).map(_._2)
+        .filter(f => !f._1.rowsFrame && !f._1.groupStart &&
+          !f._1.isInstanceOf[RunningWindow.RunRangeFwd]).map(_._2)
       val groupScoped = atStart ++ atEnd
       val buf = new ExternalAppendOnlyUnsafeRowArray(inMemT, spillSize,
         spillT, spillSize)
@@ -2485,6 +2795,75 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         }
       }
       if (!deep) inner.asInstanceOf[Iterator[InternalRow]]
+      else if (vfIdxs.nonEmpty) new Iterator[InternalRow] {
+        // the VALUE-RELEASED PENDING QUEUE (RANGE FOLLOWING frames;
+        // delayCompatible guarantees no ring funcs coexist): a pending
+        // row releases once an arrival's key is strictly beyond its
+        // key + fMax — all of every frame has then arrived (keys only
+        // ascend in stream order) — or at partition end, where the
+        // forward suffix supplies the next bands' leading entries.
+        // Mid-band releases never need the suffix (suffix keys exceed
+        // the band's last key, hence every mid-band frame's bound).
+        private val pending =
+          new java.util.ArrayDeque[RunningWindow.PendingRow]()
+        private val pendKeys = new java.util.ArrayDeque[java.lang.Long]()
+        private val keyExpr = vfFuncs(0).key
+        private val vfDesc = vfFuncs(0).desc
+        private val vfMaxF = vfFuncs.map(_.f).max
+        private val vfCap = vfFuncs(0).cap
+        private val emptyK = new Array[Long](0)
+        private val emptyV = new Array[Any](0)
+        private var curKey = 0L
+        private var haveCur = false
+        private def sd(later: Long, earlier: Long): Long = {
+          val r = if (vfDesc) earlier - later else later - earlier
+          if (r < 0) Long.MaxValue else r
+        }
+        private def release(atEndOfPartition: Boolean): InternalRow = {
+          val pr = pending.removeFirst()
+          val rk = pendKeys.removeFirst().longValue()
+          var p = 0
+          while (p < vfIdxs.length) {
+            pr.vals(vfIdxs(p)) =
+              if (atEndOfPartition)
+                vfAccs(p).foldFor(rk, vfSuffix(p)._1, vfSuffix(p)._2)
+              else vfAccs(p).foldFor(rk, emptyK, emptyV)
+            p += 1
+          }
+          rows += 1
+          proj(joined(pr.row, pr.vals))
+        }
+        override def hasNext: Boolean = !pending.isEmpty || inner.hasNext
+        override def next(): InternalRow = {
+          while (true) {
+            if (!pending.isEmpty && haveCur &&
+              sd(curKey, pendKeys.peekFirst().longValue()) > vfMaxF)
+              return release(atEndOfPartition = false)
+            if (!inner.hasNext) {
+              if (pending.isEmpty) throw new NoSuchElementException
+              return release(atEndOfPartition = true)
+            }
+            val pr = inner.next().asInstanceOf[RunningWindow.PendingRow]
+            val k = keyExpr.eval(pr.row).asInstanceOf[Number].longValue()
+            pending.addLast(pr)
+            pendKeys.addLast(java.lang.Long.valueOf(k))
+            if (pending.size > vfCap)
+              throw new org.apache.spark.SparkException(
+                s"graft range-following pending queue exceeds $vfCap " +
+                  "rows; raise spark.graft.window.maxRangeFrameRows or " +
+                  "let Spark's spillable window plan this frame")
+            val low = pendKeys.peekFirst().longValue()
+            var p = 0
+            while (p < vfIdxs.length) {
+              vfAccs(p).arrive(k, vfFuncs(p).input.eval(pr.row), low)
+              p += 1
+            }
+            curKey = k
+            haveCur = true
+          }
+          throw new IllegalStateException("unreachable")
+        }
+      }
       else new Iterator[InternalRow] {
         // the deep-lead DELAY RING: a row emits when the row nMax
         // positions ahead arrives (func j's slot was filled when row

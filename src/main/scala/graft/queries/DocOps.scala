@@ -1714,6 +1714,29 @@ object DocOps {
       .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
         col("w15_sum"), col("w15_n"))
 
+  /** ±WINDOW EVENT CONTEXT — `RANGE BETWEEN INTERVAL '15' MINUTE
+    * PRECEDING AND INTERVAL '15' MINUTE FOLLOWING` over the
+    * TIMESTAMP-banded events: the symmetric smoothing / local-density
+    * shape over an irregular time series. Each row releases from a
+    * key-ordered pending queue once an event strictly beyond its +15min
+    * bound arrives (keys only ascend, so the frame is then provably
+    * complete); the cross-band forward suffix is the next bands'
+    * leading entries ([[graft.plans.RunningWindow.RunRangeFwd]]) — zero
+    * exchange, buffers bounded by the 30-minute window population.
+    */
+  private def q204RangeEventContext(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedEventsTs, eventsTsRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("ts"), col("user_id"),
+        expr("CAST(sum(user_id) OVER (ORDER BY ts RANGE BETWEEN " +
+          "INTERVAL '15' MINUTE PRECEDING AND INTERVAL '15' MINUTE " +
+          "FOLLOWING) AS BIGINT)").as("ctx_sum"),
+        expr("count(*) OVER (ORDER BY ts RANGE BETWEEN " +
+          "INTERVAL '15' MINUTE PRECEDING AND INTERVAL '15' MINUTE " +
+          "FOLLOWING)").as("ctx_n"))
+      .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
+        col("ctx_sum"), col("ctx_n"))
+
   /** SESSIONIZATION over the event-time landing — STACKED band windows:
     * flag a session boundary where the gap to the previous event
     * exceeds 60 seconds (`lag(ts) OVER (ORDER BY ts)` — window 1), then
@@ -1961,6 +1984,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_docsource_range_event_context" -> q204RangeEventContext,
     "q203_docsource_range_sessionize" -> q203RangeSessionize,
     "q202_docsource_range_lead_ignore_nulls" -> q202RangeLeadIgnoreNulls,
     "q201_docsource_range_centered_window" -> q201RangeCenteredWindow,
@@ -2133,6 +2157,14 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q204_docsource_range_event_context" ->
+      ("WITH e AS (SELECT date_trunc('ms', ts) AS ts, user_id " +
+        "FROM events) " +
+        "SELECT epoch_us(ts) AS t_us, user_id, " +
+        "CAST(sum(user_id) OVER w AS BIGINT) AS ctx_sum, " +
+        "count(*) OVER w AS ctx_n FROM e " +
+        "WINDOW w AS (ORDER BY ts RANGE BETWEEN " +
+        "INTERVAL 15 MINUTE PRECEDING AND INTERVAL 15 MINUTE FOLLOWING)"),
     "q203_docsource_range_sessionize" ->
       ("WITH e AS (SELECT date_trunc('ms', ts) AS ts, user_id " +
         "FROM events), " +

@@ -1354,6 +1354,28 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q204 ±window event context: band window, zero exchange, key-released pending queue") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q204_docsource_range_event_context")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame really spans ±15 minutes of event time: spot-check a
+    // mid-stream event's count against the hand fold
+    val byT = rows.sortBy(_.getLong(0))
+    val ts = byT.map(_.getLong(0))
+    val mid = ts(ts.length / 2)
+    val m15 = 15L * 60 * 1000000
+    val expectN = ts.count(t => t >= mid - m15 && t <= mid + m15).toLong
+    assert(byT.filter(_.getLong(0) == mid).forall(_.getLong(3) == expectN),
+      "±15-minute frame spot check")
+  }
+
   test("q203 sessionization: two STACKED band windows, zero exchange, no WindowExec") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

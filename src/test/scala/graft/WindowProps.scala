@@ -127,6 +127,29 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("v"),
         sum(col("v")).over(Window.orderBy(col("k").desc)
           .rangeBetween(-9L, -3L)).as("dlag")), root)
+      // VALUE-based FOLLOWING frames (the ±window around each event):
+      // symmetric, pure-forward, asymmetric, and wider-than-a-band
+      // bounds — the forward suffix then spans several bands; mixed f
+      // widths in ONE node share the pending queue at different release
+      // depths; all tie-shared hence deterministic under duplicates
+      Seq((3L, 3L), (0L, 5L), (11L, 2L), (4L, 1000L)).foreach {
+        case (d1, f) =>
+          val wf = w.rangeBetween(-d1, f)
+          sets(_.select(col("k"), col("v"),
+            sum(col("v")).over(wf).as("vfsum"),
+            count(col("v")).over(wf).as("vfcnt"),
+            min(col("v")).over(wf).as("vfmin"),
+            max(col("v")).over(wf).as("vfmax")), root)
+      }
+      sets(_.select(col("k"), col("v"),
+        sum(col("v")).over(w.rangeBetween(-2L, 7L)).as("a"),
+        count(col("v")).over(w.rangeBetween(0L, 2L)).as("b"),
+        sum(col("v")).over(w.rangeBetween(-1000L, Window.currentRow))
+          .as("c")), root)
+      // DESC ±window twin
+      sets(_.select(col("k"), col("v"),
+        sum(col("v")).over(Window.orderBy(col("k").desc)
+          .rangeBetween(-4L, 6L)).as("dvf")), root)
       // DESC twin (value-frame direction mirrors too)
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
@@ -402,10 +425,10 @@ class WindowProps extends AnyFunSuite {
     // lead IGNORE NULLS with a huge offset falls through like every
     // huge bound (n ≤ 65,536 plans via the partition-buffered path)
     fallsThrough(lead(col("v"), 1000000, null, ignoreNulls = true).over(w))
-    fallsThrough(sum(col("v"))
-      .over(w.rangeBetween(-3, 3))) // RANGE frames past the current row
     fallsThrough(sum(col("v"))      // unbounded forward: no bounded ring
       .over(w.rowsBetween(-3, Window.unboundedFollowing)))
+    fallsThrough(sum(col("v"))      // unbounded value-forward likewise
+      .over(w.rangeBetween(-3, Window.unboundedFollowing)))
     fallsThrough(sum(col("v"))      // huge FOLLOWING bound
       .over(w.rowsBetween(-3, 1000000)))
     // HUGE sliding bounds fall through instead of pre-allocating
@@ -497,6 +520,11 @@ class WindowProps extends AnyFunSuite {
         .as("s5"),
       count(col("v")).over(w.rangeBetween(-5L, Window.currentRow))
         .as("c5")), root)
+    // the ±FOLLOWING twin across the same 2^63 span: pending-queue
+    // release and suffix distances must read the wrap as "beyond"
+    sets(_.select(col("k"), col("v"),
+      sum(col("v")).over(w.rangeBetween(-5L, 5L)).as("pm5"),
+      count(col("v")).over(w.rangeBetween(-5L, 5L)).as("pc5")), root)
     // a d of exactly Long.MaxValue would tie the eviction's wrapped-
     // distance clamp — it must refuse to Spark's own window
     val huge = ExtendedJson.read(spark, schema, root,
@@ -602,6 +630,13 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("v"),
         expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '1' " +
           "MONTH PRECEDING AND CURRENT ROW)").as("msd")), root, dSchema)
+      // ±FOLLOWING calendar frames over the DATE key (whole-day
+      // intervals both sides) and the pure-forward twin
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' DAY " +
+          "PRECEDING AND INTERVAL '3' DAY FOLLOWING)").as("pm3"),
+        expr("count(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW " +
+          "AND INTERVAL '7' DAY FOLLOWING)").as("f7")), root, dSchema)
     }
     // month-end clamping fixture: every boundary Spark clamps
     // (Mar 31 − 1 MONTH = Feb 29 in 2024, Apr 30/May 31 chains) with
@@ -712,6 +747,52 @@ class WindowProps extends AnyFunSuite {
       !tns.exists(_.isInstanceOf[BandRunningWindowExec]),
       "timestamp-key month intervals must fall through: " +
         tns.map(_.nodeName).mkString(", "))
+    // …and a MONTH FOLLOWING bound likewise (no monotone per-arrival
+    // release test — calendar arithmetic forward refuses), as does a
+    // node MIXING the key-released pending queue with the row-count
+    // delay ring (each owns the partition's emission order)
+    val root0 = gen(new scala.util.Random(52), keyPool = 40,
+      maxFiles = 2, uniqueKeys = true)
+    def refuses(c: org.apache.spark.sql.Column, root: String,
+        sch: StructType, what: String): Unit = {
+      val df = ExtendedJson.read(spark, sch, root,
+        Map("zoneMaps" -> "true")).select(col("k"), c.as("x"))
+      val ns = TestPlans.executedNodes(df)
+      assert(ns.exists(_.isInstanceOf[WindowExec]) &&
+        !ns.exists(_.isInstanceOf[BandRunningWindowExec]),
+        s"$what must fall through: " + ns.map(_.nodeName).mkString(", "))
+    }
+    val w0 = Window.orderBy(col("k"))
+    refuses(expr("sum(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW " +
+      "AND INTERVAL '1' MONTH FOLLOWING)"),
+      {
+        val droot = java.nio.file.Files
+          .createTempDirectory("graft_wpropsmf").toString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(droot, "f0.jsonl"),
+          ((1 to 9).map(i => s"""{"k": "2024-0$i-15", "v": $i}""")
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = StructType(Seq(
+          StructField("k", org.apache.spark.sql.types.DateType),
+          StructField("v", LongType)))
+        ZoneMaps.build(spark, droot, ds, Seq("k"))
+        droot
+      },
+      StructType(Seq(
+        StructField("k", org.apache.spark.sql.types.DateType),
+        StructField("v", LongType))), "month FOLLOWING")
+    // mixed delay regimes: RANGE ±f + ROWS FOLLOWING in one node
+    locally {
+      val df = ExtendedJson.read(spark, schema, root0,
+        Map("zoneMaps" -> "true")).select(col("k"), col("v"),
+        sum(col("v")).over(w0.rangeBetween(-3L, 3L)).as("a"),
+        sum(col("v")).over(w0.rowsBetween(-1, 2)).as("b"))
+      val ns = TestPlans.executedNodes(df)
+      assert(ns.exists(_.isInstanceOf[WindowExec]) &&
+        !ns.exists(_.isInstanceOf[BandRunningWindowExec]),
+        "mixed delay regimes must refuse whole: " +
+          ns.map(_.nodeName).mkString(", "))
+    }
     // the PLAN-TIME population bound: with the cap dialed down, a frame
     // wide enough to hold a whole band's rows must refuse to Spark's
     // spillable window (the sidecar proves the density); back at the
