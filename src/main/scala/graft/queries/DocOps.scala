@@ -1872,6 +1872,31 @@ object DocOps {
         count(lit(1)).over(w).as("run_n"))
   }
 
+  /** AGGREGATE OVER THE MERGE CHAIN — q185's enrich+decontaminate chain
+    * with a `GROUP BY o_orderkey` rollup on top: the chain exec's
+    * RangePartitioning claim satisfies the aggregate's clustered
+    * distribution, so Spark plans partial+final HashAggregate DIRECTLY
+    * over the chained merge — zero exchange end-to-end, the per-entity
+    * rollup a curation pipeline runs after enriching and
+    * decontaminating (per-order line counts and quantity totals here).
+    * No new operator: the claim composes for free; this query pins it.
+    */
+  private def q205RangeChainAgg(s: SparkSession, d: String): DataFrame = {
+    val base = rangeJoinBase(s, d)
+    val o = ExtendedJson.read(s, decodedOrdersRj, s"$base/orders",
+      Map("zoneMaps" -> "true"))
+    val li = ExtendedJson.read(s, decodedLineitemRj, s"$base/lineitem",
+      Map("zoneMaps" -> "true"))
+    val c = ExtendedJson.read(s, decodedContamRj, contamJoinDir(s, d),
+      Map("zoneMaps" -> "true"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(c, o("o_orderkey") === c("ck"), "left_anti")
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        QueryHelpers.dsum(col("l_quantity")).as("sum_qty"),
+        max(col("l_linenumber")).cast("int").as("max_ln"))
+  }
+
   /** VALUE-based sliding frame — the 7-DAY mean over the day-banded
     * landing: `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on the int
     * day key is what time-series users actually write (7 days, not 7
@@ -1984,6 +2009,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_docsource_range_chain_agg" -> q205RangeChainAgg,
     "q204_docsource_range_event_context" -> q204RangeEventContext,
     "q203_docsource_range_sessionize" -> q203RangeSessionize,
     "q202_docsource_range_lead_ignore_nulls" -> q202RangeLeadIgnoreNulls,
@@ -2157,6 +2183,13 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q205_docsource_range_chain_agg" ->
+      ("SELECT o.o_orderkey, count(*) AS n_lines, " +
+        "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_qty, " +
+        "CAST(max(l.l_linenumber) AS INT) AS max_ln " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderkey % 7 <> 0 GROUP BY o.o_orderkey"),
     "q204_docsource_range_event_context" ->
       ("WITH e AS (SELECT date_trunc('ms', ts) AS ts, user_id " +
         "FROM events) " +

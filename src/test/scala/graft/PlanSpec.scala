@@ -1354,6 +1354,24 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q205 aggregate over the merge chain: partial+final HashAggregate, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q205_docsource_range_chain_agg")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ns = TestPlans.executedNodes(df)
+    val chain = ns.collect { case m: graft.plans.RangeMergeJoinExec => m }
+    assert(chain.length == 1 && chain.head.steps.length == 2,
+      "both joins must fold into ONE chained merge under the aggregate: " +
+        ns.map(_.nodeName).mkString(", "))
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the chain's range claim must satisfy the aggregate's clustering: " +
+        ns.map(_.nodeName).mkString(", "))
+    assert(ns.count(_.nodeName.contains("HashAggregate")) == 2,
+      "partial+final aggregation in one stage")
+  }
+
   test("q204 ±window event context: band window, zero exchange, key-released pending queue") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
