@@ -2863,14 +2863,16 @@ class DocSourceV2Spec extends AnyFunSuite {
     }
     // 6. FALLBACKS: shapes the running decomposition cannot express plan
     // Spark's ordinary window (and stay correct) — non-band PARTITION
-    // BY, huge offsets, frames past the current row (sliding ROWS and
-    // bounded RANGE frames, deep lead/lag, and constant defaults are
-    // now SUPPORTED — WindowProps sweeps them differentially)
+    // BY, huge offsets, unbounded-forward frames (sliding ROWS, bounded
+    // RANGE frames BOTH directions, deep lead/lag, and constant
+    // defaults are now SUPPORTED — WindowProps sweeps them
+    // differentially)
     val fallbacks = Seq(
       src.select(col("k"), row_number().over(
         Window.partitionBy(col("g")).orderBy(col("k"))).as("x")),
       src.select(col("k"), sum(col("v")).over(
-        Window.orderBy(col("k")).rangeBetween(-1, 1)).as("x")),
+        Window.orderBy(col("k"))
+          .rangeBetween(-1, Window.unboundedFollowing)).as("x")),
       src.select(col("k"), lag(col("v"), 100000).over(w).as("x")),
       src.select(col("k"), lead(col("v"), 100000).over(w).as("x")))
     fallbacks.foreach { df =>

@@ -266,7 +266,7 @@ class MergeJoinProps extends AnyFunSuite {
       // RANGE-default running values, so duplicates stay deterministic
       locally {
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{count, lit, rank, sum}
+        import org.apache.spark.sql.functions.{count, lit, min, rank, sum}
         val wk = Window.orderBy(col("k"))
         diff("window over chain", merged = true, (l, r, c) =>
           l.join(r, l("k") === r("k"))
@@ -276,6 +276,23 @@ class MergeJoinProps extends AnyFunSuite {
               sum(col("ln")).over(wk).as("run"),
               count(lit(1)).over(wk).as("rn2"),
               rank().over(wk).as("rk")))
+        // value frames over the chain (no sidecar bound there — the
+        // runtime cap governs): trailing, dual-bound, and ±FOLLOWING
+        diff("value frames over chain", merged = true, (l, r, _) =>
+          l.join(r, l("k") === r("k"))
+            .select(l("k"), col("ln"))
+            .select(col("k"), col("ln"),
+              sum(col("ln")).over(wk.rangeBetween(-3L, Window.currentRow))
+                .as("t3"),
+              count(col("ln")).over(wk.rangeBetween(-5L, -2L)).as("lg"),
+              min(col("ln")).over(wk.rangeBetween(-2L, 2L)).as("pm")))
+        // GROUP BY the chain key rides the chain's range claim with no
+        // exchange (the q205 composition) — multiset vs Spark's plan
+        diff("agg over chain", merged = true, (l, r, c) =>
+          l.join(r, l("k") === r("k"))
+            .join(c, l("k") === c("k"), "left_anti")
+            .groupBy(l("k"))
+            .agg(sum(col("ln")).as("s"), count(lit(1)).as("n")))
         // the banded side must ALSO plan the band window (not a silent
         // single-partition WindowExec over the merge)
         val banded = {
