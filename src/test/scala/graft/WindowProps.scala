@@ -708,6 +708,12 @@ class WindowProps extends AnyFunSuite {
         .select(col("k"), col("session_id"),
           max(col("session_id")).over(w).as("sx"),
           row_number().over(w).as("rn"))
+        .select(col("k"), col("session_id"), col("sx"), col("rn"),
+          // a ±FOLLOWING value frame READING a stacked window's output:
+          // same ordering ⇒ it JOINS the third node (mixed with the
+          // cumulative max and row_number — queue + group machinery in
+          // one node) over the band-window child chain
+          sum(col("session_id")).over(w.rangeBetween(-2L, 2L)).as("vf"))
       val b3 = q3(ExtendedJson.read(spark, schema, root,
         Map("zoneMaps" -> "true")))
       val p3 = q3(ExtendedJson.read(spark, schema, root, Map.empty))
