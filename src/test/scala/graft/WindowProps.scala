@@ -500,6 +500,60 @@ class WindowProps extends AnyFunSuite {
     }
   }
 
+  test("string values survive spilled buffers in vf frames and lead IGNORE NULLS") {
+    import org.apache.spark.sql.types.StringType
+    val sSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val root = Files.createTempDirectory("graft_wpropsvs").toString
+    // duplicate-heavy keys, per-row-unique string payloads, ~quarter
+    // null: the ±FOLLOWING buffer and the lead-IGNORE-NULLS value list
+    // both RETAIN evaluated strings past their source row's buffer —
+    // with the sorter-backed (row-reusing) store forced on, an
+    // unretained UTF8String would alias recycled bytes
+    val rnd = new scala.util.Random(43)
+    var uid = 0
+    (0 until 3).foreach { f =>
+      val keys = Seq.fill(30)(rnd.nextInt(8).toLong + f * 8).sorted
+      Files.write(Paths.get(root, s"f$f.jsonl"),
+        (keys.map { k =>
+          uid += 1
+          if (uid % 4 == 0) s"""{"k": $k}"""
+          else s"""{"k": $k, "s": "val_${k}_${uid}_${"pad" * 6}"}"""
+        }.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    ZoneMaps.build(spark, root, sSchema, Seq("k"))
+    val w = Window.orderBy(col("k"))
+    val prevSpill = spark.conf.get(
+      "spark.sql.windowExecBufferSpillThreshold", "4096")
+    val prevMem = spark.conf.get(
+      "spark.sql.windowExecBufferInMemoryThreshold", "4096")
+    try {
+      spark.conf.set("spark.sql.windowExecBufferSpillThreshold", "2")
+      spark.conf.set("spark.sql.windowExecBufferInMemoryThreshold", "2")
+      // differential on separate queries (vf + leadNulls mix fine, but
+      // keep each shape attributable)
+      sets(_.select(col("k"), col("s"),
+        min(col("s")).over(w.rangeBetween(-2L, 3L)).as("vmin"),
+        max(col("s")).over(w.rangeBetween(-4L, -1L)).as("vmax")),
+        root, sSchema)
+      sets(_.select(col("k"), col("s"),
+        lead(col("s"), 2, null, ignoreNulls = true).over(w).as("fn2"),
+        lag(col("s"), 2, null, ignoreNulls = true).over(w).as("bn2"),
+        min(col("s")).over(w.rowsBetween(-1, 2)).as("rmin")),
+        root, sSchema)
+      // lead IGNORE NULLS (partition pre-buffer) + a ±FOLLOWING value
+      // frame (pending queue) in ONE node: the buffered replay feeds
+      // the queue
+      sets(_.select(col("k"), col("s"),
+        lead(col("s"), 1, null, ignoreNulls = true).over(w).as("fn1"),
+        max(col("s")).over(w.rangeBetween(-1L, 2L)).as("vmax2")),
+        root, sSchema)
+    } finally {
+      spark.conf.set("spark.sql.windowExecBufferSpillThreshold", prevSpill)
+      spark.conf.set("spark.sql.windowExecBufferInMemoryThreshold", prevMem)
+    }
+  }
+
   test("value-frame eviction is overflow-safe across 2^63 key spans") {
     // two bands at opposite ends of the Long range: the eviction
     // distance cur - k wraps negative for cross-band pairs, which must
