@@ -55,7 +55,11 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *  - non-distinct `count` / `sum` / `min` / `max` / `avg` over the
   *    default cumulative frame (`RANGE UNBOUNDED PRECEDING..CURRENT
   *    ROW` — tie groups share the value), the explicit cumulative
-  *    `ROWS` form, the bounded sliding `ROWS BETWEEN n PRECEDING AND
+  *    `ROWS` form, the SUFFIX frame `CURRENT ROW AND UNBOUNDED
+  *    FOLLOWING` for count and exact-invertible sums (grand − prefix;
+  *    ANSI long and double sums refuse — subtraction can't reproduce a
+  *    refold's overflow/ulp behavior; metadata answers the totals with
+  *    zero passes), the bounded sliding `ROWS BETWEEN n PRECEDING AND
   *    CURRENT ROW`, the bounded FOLLOWING `ROWS BETWEEN n
   *    PRECEDING|CURRENT ROW AND m FOLLOWING` (the centered moving
   *    average — emission delays behind an m-slot ring; the cross-band
@@ -538,7 +542,36 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           }
         case _ => None
       }
+      // `CURRENT ROW AND UNBOUNDED FOLLOWING` — the SUFFIX frame (the
+      // "remaining total from here" shape): invertible aggregates
+      // derive it as grand − prefix (see RunSuffixCount and kin)
+      val suffixFrame: Option[Boolean] = spec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, CurrentRow,
+            org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) =>
+          Some(true)
+        case SpecifiedWindowFrame(RangeFrame, CurrentRow,
+            org.apache.spark.sql.catalyst.expressions.UnboundedFollowing) =>
+          Some(false)
+        case _ => None
+      }
       (fn, frame) match {
+        case (ae: AggregateExpression, None)
+            if suffixFrame.isDefined && !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count if c.children.lengthCompare(1) == 0 =>
+              Some(RunSuffixCount(c.children.head, suffixFrame.get))
+            case s: Sum => s.dataType match {
+              // ANSI long sums refuse: a per-row suffix refold can
+              // overflow where grand − prefix does not; doubles refuse:
+              // subtraction is not the refold's IEEE value
+              case LongType if !session.sessionState.conf.ansiEnabled =>
+                Some(RunSuffixSumLong(s.child, suffixFrame.get))
+              case d: DecimalType => Some(RunSuffixSumDecimal(s.child, d,
+                suffixFrame.get, session.sessionState.conf.ansiEnabled))
+              case _ => None
+            }
+            case _ => None
+          }
         case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
         case (_: Rank, Some(Right(true))) => Some(RunRank())
         // the size-based rank family divides by the GLOBAL row count,
@@ -840,6 +873,44 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             case _ => scanCol(input).flatMap(n =>
               colTotals(files, n).map(cs =>
                 java.lang.Long.valueOf(cs.map(c => c.rows - c.nulls).sum)))
+          }
+          // the suffix family's totals are the same sidecar counts and
+          // exact sums, shaped as the accs carry them
+          case RunSuffixCount(input, _) => input match {
+            case l: Literal =>
+              Some(java.lang.Long.valueOf(if (l.value == null) 0L else rows))
+            case _ => scanCol(input).flatMap(n =>
+              colTotals(files, n).map(cs =>
+                java.lang.Long.valueOf(cs.map(c => c.rows - c.nulls).sum)))
+          }
+          case RunSuffixSumLong(input, _) => scanCol(input) match {
+            case Some(n) =>
+              colTotals(files, n).flatMap { cs =>
+                if (cs.exists(_.sum.isEmpty)) None
+                else {
+                  // wrap mode only (ANSI refused at parse): low 64 bits
+                  // of the exact sum, plus the non-null count
+                  val exact = cs.flatMap(_.sum)
+                    .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+                  Some(Array[Any](
+                    java.lang.Long.valueOf(exact.toBigInteger.longValue()),
+                    java.lang.Long.valueOf(
+                      cs.map(c => c.rows - c.nulls).sum)))
+                }
+              }
+            case _ => None
+          }
+          case RunSuffixSumDecimal(input, _, _, _) => scanCol(input) match {
+            case Some(n) =>
+              colTotals(files, n).flatMap { cs =>
+                if (cs.exists(_.sum.isEmpty)) None
+                else Some(Array[Any](
+                  cs.flatMap(_.sum)
+                    .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)),
+                  java.lang.Long.valueOf(
+                    cs.map(c => c.rows - c.nulls).sum)))
+              }
+            case _ => None
           }
           case RunSumLong(input, _, ansi) => scanCol(input) match {
             case Some(n) =>
@@ -1274,6 +1345,137 @@ private[plans] object RunningWindow {
             s"running sum overflows ${resultType.simpleString}")
           else null
         }
+    }
+  }
+
+  /** SUFFIX aggregates — `count(x)` / `sum(x)` `OVER (ORDER BY k
+    * ROWS|RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)`: the
+    * "remaining total from here" shape (corpus packing's
+    * budget-remaining). The suffix fold inverts from the GRAND fold
+    * minus the prefix — exact for counts, for wrap-mode long sums
+    * (mod-2^64 arithmetic is associative and invertible), and for
+    * decimal sums (unbounded BigDecimal, render-checked like Sum
+    * itself); ANSI long sums REFUSE (a per-row suffix refold can
+    * overflow where grand − prefix does not — subtraction would
+    * silently differ from WindowExec's throw), and double sums/avgs
+    * REFUSE (subtraction is not the refold's IEEE value). RANGE form
+    * reads at group START (the whole tie group belongs to the suffix);
+    * ROWS form snapshots the prefix before the current row. Totals are
+    * order-free — the metadata path answers both from the sidecar with
+    * zero passes.
+    */
+  final case class RunSuffixCount(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def groupStart: Boolean = !rowsFrame
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val g =
+        if (grand == null) 0L
+        else grand.asInstanceOf[java.lang.Long].longValue()
+      var n = 0L
+      var before = 0L
+      override def update(row: InternalRow): Unit = {
+        before = n
+        if (input.eval(row) != null) n += 1
+      }
+      override def total(): Any = java.lang.Long.valueOf(n)
+      override def mergeTotal(t: Any): Unit =
+        if (t != null) n += t.asInstanceOf[java.lang.Long].longValue()
+      override def value(): Any = if (rowsFrame) g - before else g - n
+    }
+  }
+
+  /** Suffix long sum — wrap (non-ANSI) mode only; see the family doc
+    * above. State carries (wrapped sum, non-null count): a zero
+    * remaining count renders SQL's empty-frame NULL.
+    */
+  final case class RunSuffixSumLong(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def groupStart: Boolean = !rowsFrame
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ga = grand.asInstanceOf[Array[Any]]
+      private val gs =
+        if (ga == null) 0L
+        else ga(0).asInstanceOf[java.lang.Long].longValue()
+      private val gn =
+        if (ga == null) 0L
+        else ga(1).asInstanceOf[java.lang.Long].longValue()
+      var s = 0L
+      var n = 0L
+      var sBefore = 0L
+      var nBefore = 0L
+      override def update(row: InternalRow): Unit = {
+        sBefore = s; nBefore = n
+        val v = input.eval(row)
+        if (v != null) { s += v.asInstanceOf[Number].longValue(); n += 1 }
+      }
+      override def total(): Any =
+        Array[Any](java.lang.Long.valueOf(s), java.lang.Long.valueOf(n))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        s += a(0).asInstanceOf[java.lang.Long].longValue()
+        n += a(1).asInstanceOf[java.lang.Long].longValue()
+      }
+      override def value(): Any = {
+        val rn = gn - (if (rowsFrame) nBefore else n)
+        if (rn == 0L) null
+        else java.lang.Long.valueOf(gs - (if (rowsFrame) sBefore else s))
+      }
+    }
+  }
+
+  /** Suffix decimal sum — exact unbounded BigDecimal inversion with
+    * Sum's own render posture (ANSI throws on result overflow, default
+    * nulls it); see the family doc above.
+    */
+  final case class RunSuffixSumDecimal(input: Expression,
+      resultType: DecimalType, rowsFrame: Boolean, ansi: Boolean)
+      extends RunningFunc {
+    override def groupStart: Boolean = !rowsFrame
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ga = grand.asInstanceOf[Array[Any]]
+      private val gs =
+        if (ga == null || ga(0) == null) java.math.BigDecimal.ZERO
+        else ga(0).asInstanceOf[java.math.BigDecimal]
+      private val gn =
+        if (ga == null) 0L
+        else ga(1).asInstanceOf[java.lang.Long].longValue()
+      var s: java.math.BigDecimal = java.math.BigDecimal.ZERO
+      var n = 0L
+      var sBefore: java.math.BigDecimal = java.math.BigDecimal.ZERO
+      var nBefore = 0L
+      override def update(row: InternalRow): Unit = {
+        sBefore = s; nBefore = n
+        val v = input.eval(row)
+        if (v != null) {
+          s = s.add(v.asInstanceOf[Decimal].toJavaBigDecimal)
+          n += 1
+        }
+      }
+      override def total(): Any =
+        Array[Any](s, java.lang.Long.valueOf(n))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        if (a(0) != null) s = s.add(a(0).asInstanceOf[java.math.BigDecimal])
+        n += a(1).asInstanceOf[java.lang.Long].longValue()
+      }
+      override def value(): Any = {
+        val rn = gn - (if (rowsFrame) nBefore else n)
+        if (rn == 0L) null
+        else {
+          val rs = gs.subtract(if (rowsFrame) sBefore else s)
+          val d = Decimal(rs)
+          if (d.changePrecision(resultType.precision, resultType.scale)) d
+          else if (ansi) throw new ArithmeticException(
+            s"suffix sum overflows ${resultType.simpleString}")
+          else null
+        }
+      }
     }
   }
 

@@ -1714,6 +1714,29 @@ object DocOps {
       .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
         col("w15_sum"), col("w15_n"))
 
+  /** SUFFIX aggregates — the REMAINING-BUDGET shape: `count(v)` /
+    * `sum(v)` `OVER (ORDER BY oid ROWS BETWEEN CURRENT ROW AND
+    * UNBOUNDED FOLLOWING)` ("tokens left from this document onward" —
+    * what corpus packing reads). The suffix inverts from the GRAND fold
+    * minus the running prefix ([[graft.plans.RunningWindow
+    * .RunSuffixCount]] and kin) — zero exchange, zero extra state; the
+    * decimal sum keeps ANSI-exact inversion (ANSI LONG suffix sums
+    * refuse: subtraction can't reproduce a per-row refold's overflow).
+    */
+  private def q206RangeRemainingBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("oid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(col("oid"), col("v"),
+        count(col("v")).over(w).as("rem_n"),
+        sum(col("v").cast("decimal(18,0)")).over(w).cast("long")
+          .as("rem_sum"))
+  }
+
   /** ±WINDOW EVENT CONTEXT — `RANGE BETWEEN INTERVAL '15' MINUTE
     * PRECEDING AND INTERVAL '15' MINUTE FOLLOWING` over the
     * TIMESTAMP-banded events: the symmetric smoothing / local-density
@@ -2009,6 +2032,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_docsource_range_remaining_budget" -> q206RangeRemainingBudget,
     "q205_docsource_range_chain_agg" -> q205RangeChainAgg,
     "q204_docsource_range_event_context" -> q204RangeEventContext,
     "q203_docsource_range_sessionize" -> q203RangeSessionize,
@@ -2183,6 +2207,15 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q206_docsource_range_remaining_budget" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "count(v) OVER w AS rem_n, " +
+        "CAST(sum(CAST(v AS DECIMAL(18,0))) OVER w AS BIGINT) " +
+        "AS rem_sum FROM o " +
+        "WINDOW w AS (ORDER BY oid " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"),
     "q205_docsource_range_chain_agg" ->
       ("SELECT o.o_orderkey, count(*) AS n_lines, " +
         "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +

@@ -1354,6 +1354,28 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q206 suffix aggregates: band window, zero exchange, grand-minus-prefix inversion") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q206_docsource_range_remaining_budget")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the suffix really counts down: first row sees everything, last
+    // row sees itself; every row's rem_sum is the tail sum
+    val byOid = rows.sortBy(_.getString(0))
+    val vs = byOid.map(_.getLong(1))
+    assert(byOid.head.getLong(2) == vs.length.toLong &&
+      byOid.last.getLong(2) == 1L, "remaining counts")
+    val mid = vs.length / 2
+    assert(byOid(mid).getLong(3) == vs.drop(mid).sum,
+      "mid-stream remaining sum")
+  }
+
   test("q205 aggregate over the merge chain: partial+final HashAggregate, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()

@@ -150,6 +150,20 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("v"),
         sum(col("v")).over(Window.orderBy(col("k").desc)
           .rangeBetween(-4L, 6L)).as("dvf")), root)
+      // SUFFIX frames (grand − prefix): the RANGE form is tie-shared —
+      // decimal sums carry ANSI-exact inversion; long sums sweep in the
+      // non-ANSI block of the overflow test
+      sets(_.select(col("k"), col("v"),
+        count(col("v")).over(w.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("remn"),
+        sum(col("v").cast("decimal(18,0)"))
+          .over(w.rangeBetween(Window.currentRow,
+            Window.unboundedFollowing)).as("rems"),
+        sum(col("v")).over(w).as("run")), root)
+      sets(_.select(col("k"), col("v"),
+        count(col("v")).over(Window.orderBy(col("k").desc)
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("dremn")), root)
       // DESC twin (value-frame direction mirrors too)
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
@@ -250,6 +264,20 @@ class WindowProps extends AnyFunSuite {
         .contains("prefix=metadata"),
         "indexed v must plan the metadata prefix")
       sets(_.select(col("k"), sum(col("v")).over(w).as("sv")), root2)
+      // suffix LONG sums plan in wrap mode only (grand − prefix is
+      // exact mod 2^64), and the indexed column answers from METADATA —
+      // zero extra passes for the remaining-total shape
+      val wsuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val sufDf = ExtendedJson.read(spark, schema, root2,
+        Map("zoneMaps" -> "true"))
+        .select(col("k"), sum(col("v")).over(wsuf).as("rs"),
+          count(col("v")).over(wsuf).as("rn"))
+      assert(sufDf.queryExecution.executedPlan.toString
+        .contains("prefix=metadata"),
+        "indexed suffix sums must plan the metadata prefix")
+      sets(_.select(col("k"), sum(col("v")).over(wsuf).as("rs"),
+        count(col("v")).over(wsuf).as("rn")), root2)
+      sets(_.select(col("k"), sum(col("v")).over(wsuf).as("rs")), root)
       // decimal overflow returns NULL in non-ANSI (CheckOverflow's
       // render), and values back in range render normally
       val dSchema = StructType(Seq(
@@ -291,6 +319,15 @@ class WindowProps extends AnyFunSuite {
         last(col("v"), ignoreNulls = true).over(wr).as("carry"),
         lag(col("v"), 1).over(w).as("pv"),
         ntile(5).over(w).as("nt")), root)
+      // ROWS-form suffix frames (per-row: the prefix snapshots before
+      // the current row) — unique keys make them deterministic
+      sets(_.select(col("k"), col("v"),
+        count(col("v")).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("remn"),
+        sum(col("v").cast("decimal(18,0)"))
+          .over(w.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing)).as("rems"),
+        row_number().over(w).as("rn")), root)
     }
   }
 
@@ -427,6 +464,13 @@ class WindowProps extends AnyFunSuite {
     fallsThrough(lead(col("v"), 1000000, null, ignoreNulls = true).over(w))
     fallsThrough(sum(col("v"))      // unbounded forward: no bounded ring
       .over(w.rowsBetween(-3, Window.unboundedFollowing)))
+    // ANSI long sums over the SUFFIX frame refuse (a per-row suffix
+    // refold can overflow where grand − prefix does not — the session
+    // default is ANSI here); decimal/count suffix forms plan instead
+    fallsThrough(sum(col("v"))
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    fallsThrough(avg(col("v"))      // double subtraction ≠ the refold
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
     fallsThrough(sum(col("v"))      // unbounded value-forward likewise
       .over(w.rangeBetween(-3, Window.unboundedFollowing)))
     fallsThrough(sum(col("v"))      // huge FOLLOWING bound
