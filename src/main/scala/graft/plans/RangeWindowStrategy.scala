@@ -570,6 +570,16 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                 suffixFrame.get, session.sessionState.conf.ansiEnabled))
               case _ => None
             }
+            // min/max aren't invertible: the partition-buffered
+            // backward fold (see RunSuffixMinMax)
+            case m: Min if orderable(m.dataType) =>
+              Some(RunSuffixMinMax(m.child, m.dataType, isMin = true,
+                suffixFrame.get,
+                RangeWindowStrategy.maxRangeFrameRows(session)))
+            case m: Max if orderable(m.dataType) =>
+              Some(RunSuffixMinMax(m.child, m.dataType, isMin = false,
+                suffixFrame.get,
+                RangeWindowStrategy.maxRangeFrameRows(session)))
             case _ => None
           }
         case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
@@ -994,6 +1004,20 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               }
             case _ => None
           }
+          // the suffix min/max's band total is the same sidecar fold
+          case RunSuffixMinMax(input, dt, isMin, _, _) =>
+            scanCol(input) match {
+              case Some(n) =>
+                colTotals(files, n).flatMap { cs =>
+                  val vals = cs.flatMap(c => if (isMin) c.min else c.max)
+                  if (vals.isEmpty) Some(null)
+                  else Some(vals.reduce((x, y) =>
+                    if ((FilterEval.compareInternal(dt, x, y) < 0) == isMin)
+                      x
+                    else y))
+                }
+              case _ => None
+            }
         }
         if (totals.exists(_.isEmpty)) None
         else Some(totals.map(_.get.asInstanceOf[Any]).toArray)
@@ -1058,7 +1082,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     */
   private def rangeFramesBounded(scan: ExtJsonScan, keyCol: String,
       funcs: Seq[RunningFunc]): Boolean = {
-    import RunningWindow.{FixedDist, MonthDist, RunLeadNulls, RunRangeFwd, RunRangeSliding}
+    import RunningWindow.{FixedDist, MonthDist, RunLeadNulls, RunRangeFwd, RunRangeSliding, RunSuffixMinMax}
     // frame widths whose window population the sweep must bound: the
     // PRECEDING width for trailing frames, d1+f for ±FOLLOWING frames
     // (the buffer plus the pending queue both live inside that window)
@@ -1072,7 +1096,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
         if (r.d1 > Long.MaxValue - r.f - 1) Long.MaxValue - 1
         else r.d1 + r.f + 1
     }
-    val wholeBand = funcs.exists(_.isInstanceOf[RunLeadNulls])
+    val wholeBand = funcs.exists(f => f.isInstanceOf[RunLeadNulls] ||
+      f.isInstanceOf[RunSuffixMinMax])
     if (widths.isEmpty && !wholeBand) return true
     val cap = RangeWindowStrategy.maxRangeFrameRows(session)
     scan.orderedBandFileStats(keyCol) match {
@@ -1476,6 +1501,39 @@ private[plans] object RunningWindow {
           else null
         }
       }
+    }
+  }
+
+  /** Suffix `min(x)` / `max(x)` — not invertible from the grand fold,
+    * so the exec buffers the PARTITION (rows in the spillable window
+    * buffer, this function's values on the heap, cap-guarded — the
+    * RunLeadNulls posture) and precomputes the right-to-left fold
+    * array seeded with the LATER bands' fold (a scalar per partition,
+    * assembled driver-side from the per-band min/max totals — which
+    * the sidecar answers with zero passes). ROWS form reads the fold
+    * at the row's own index; RANGE form at its tie group's first index
+    * (the whole group belongs to the suffix). `value()` is never read —
+    * the accumulator only carries the band total.
+    */
+  final case class RunSuffixMinMax(input: Expression, dt: DataType,
+      isMin: Boolean, rowsForm: Boolean, cap: Long = Long.MaxValue)
+      extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ord = TypeUtils.getInterpretedOrdering(dt)
+      var cur: Any = null
+      private def fold(v: Any): Unit =
+        if (cur == null || (ord.compare(v, cur) < 0) == isMin)
+          cur = retain(v)
+      override def update(row: InternalRow): Unit = {
+        val v = input.eval(row)
+        if (v != null) fold(v)
+      }
+      override def total(): Any = cur
+      override def mergeTotal(t: Any): Unit = if (t != null) fold(t)
+      override def value(): Any = null
     }
   }
 
@@ -2727,6 +2785,27 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
     // applies at read time
     val lnIdxs: Array[Int] = bound.zipWithIndex
       .collect { case (_: RunningWindow.RunLeadNulls, j) => j }.toArray
+    // suffix min/max: the LATER bands' fold per partition — a scalar
+    // assembled from the per-band totals (sidecar-free on the metadata
+    // path), seeding each partition's backward fold array
+    val smIdxs: Array[Int] = bound.zipWithIndex
+      .collect { case (_: RunningWindow.RunSuffixMinMax, j) => j }.toArray
+    val smLaters: Array[Array[Any]] =
+      if (smIdxs.isEmpty) null
+      else Array.tabulate(totals.length) { i =>
+        smIdxs.map { j =>
+          val f = bound(j).asInstanceOf[RunningWindow.RunSuffixMinMax]
+          val ord = TypeUtils.getInterpretedOrdering(f.dt)
+          var acc: Any = null
+          totals.drop(i + 1).foreach { t =>
+            val v = t(j)
+            if (v != null &&
+              (acc == null || (ord.compare(v, acc) < 0) == f.isMin))
+              acc = v
+          }
+          acc
+        }
+      }
     val lnSuffixes: Array[Array[Array[Any]]] =
       if (lnIdxs.isEmpty) null
       else Array.tabulate(totals.length) { i =>
@@ -2827,12 +2906,19 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
       val lnSuffix: Array[Array[Any]] =
         if (lnIdxs.isEmpty) null else lnSuffixes(i)
       val lnCnt = new Array[Long](lnIdxs.length)
+      val smFuncs: Array[RunningWindow.RunSuffixMinMax] = smIdxs.map(j =>
+        bound(j).asInstanceOf[RunningWindow.RunSuffixMinMax])
+      val smLater: Array[Any] = if (smIdxs.isEmpty) null else smLaters(i)
+      // suffix-fold arrays, built backward after the buffering pass
+      var smSuffix: Array[Array[Any]] = null
       val lnPass: (Iterator[InternalRow], Array[Array[Any]]) =
-        if (lnIdxs.isEmpty) (iter0, null)
+        if (lnIdxs.isEmpty && smIdxs.isEmpty) (iter0, null)
         else {
           val pbuf = new ExternalAppendOnlyUnsafeRowArray(inMemT,
             spillSize, spillT, spillSize)
           val collected = lnFuncs.map(_ =>
+            new scala.collection.mutable.ArrayBuffer[Any])
+          val smCollected = smFuncs.map(_ =>
             new scala.collection.mutable.ArrayBuffer[Any])
           while (iter0.hasNext) {
             val r = iter0.next().asInstanceOf[UnsafeRow]
@@ -2850,19 +2936,53 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
               }
               p += 1
             }
+            p = 0
+            while (p < smIdxs.length) {
+              smCollected(p) += RunningWindow.retain(
+                smFuncs(p).input.eval(r))
+              if (smCollected(p).length > smFuncs(p).cap)
+                throw new org.apache.spark.SparkException(
+                  s"graft suffix-min/max buffer exceeds " +
+                    s"${smFuncs(p).cap} values; raise " +
+                    "spark.graft.window.maxRangeFrameRows or let " +
+                    "Spark's spillable window plan this function")
+              p += 1
+            }
             pbuf.add(r)
+          }
+          smSuffix = smFuncs.zipWithIndex.map { case (f, p) =>
+            val ord = TypeUtils.getInterpretedOrdering(f.dt)
+            val vals = smCollected(p)
+            val out = new Array[Any](vals.length)
+            var acc: Any = smLater(p)
+            var q = vals.length - 1
+            while (q >= 0) {
+              val v = vals(q)
+              if (v != null &&
+                (acc == null || (ord.compare(v, acc) < 0) == f.isMin))
+                acc = v
+              out(q) = acc
+              q -= 1
+            }
+            out
           }
           (pbuf.generateIterator(), collected.map(_.toArray[Any]))
         }
       val iter = lnPass._1
       val lnVals = lnPass._2
+      // per-partition row index + tie-group start index for the
+      // suffix-fold reads (ROWS form reads its own row; RANGE form the
+      // group's first)
+      var pbRowIdx = 0
+      var groupStartIdx = 0
       // lead is rows-framed but evaluated by LOOKAHEAD (n = 1) or the
       // delay ring (n ≥ 2), not through its accumulator — exclude both
       // from the per-row update set
       val perRow = bound.zipWithIndex.filter(f => f._1.rowsFrame &&
         !f._1.isInstanceOf[RunningWindow.RunLead] &&
         !f._1.isInstanceOf[RunningWindow.RunLeadN] &&
-        !f._1.isInstanceOf[RunningWindow.RunLeadNulls]).map(_._2)
+        !f._1.isInstanceOf[RunningWindow.RunLeadNulls] &&
+        !f._1.isInstanceOf[RunningWindow.RunSuffixMinMax]).map(_._2)
       val leadInputs: Array[Expression] = leadIdxs.map(j =>
         bound(j).asInstanceOf[RunningWindow.RunLead].input)
       val leadSuffix: Array[Any] =
@@ -2911,6 +3031,7 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
             if (pending != null) pending
             else iter.next().asInstanceOf[UnsafeRow].copy()
           pending = null
+          groupStartIdx = pbRowIdx // the group's rows emit from here
           atStart.foreach(j => groupVals(j) = accs(j).value())
           buf.add(first)
           groupScoped.foreach(j => accs(j).update(first))
@@ -2976,6 +3097,18 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
                 p += 1
               }
             }
+            // suffix min/max read the precomputed backward fold: ROWS
+            // at this row's index, RANGE at its tie group's first
+            if (smIdxs.length > 0) {
+              var p = 0
+              while (p < smIdxs.length) {
+                val at = if (smFuncs(p).rowsForm) pbRowIdx
+                  else groupStartIdx
+                wr(smIdxs(p)) = smSuffix(p)(at)
+                p += 1
+              }
+            }
+            if (lnIdxs.length > 0 || smIdxs.length > 0) pbRowIdx += 1
             if (deep)
               new RunningWindow.PendingRow(
                 row.asInstanceOf[UnsafeRow].copy(), wr)

@@ -1721,7 +1721,9 @@ object DocOps {
     * minus the running prefix ([[graft.plans.RunningWindow
     * .RunSuffixCount]] and kin) — zero exchange, zero extra state; the
     * decimal sum keeps ANSI-exact inversion (ANSI LONG suffix sums
-    * refuse: subtraction can't reproduce a per-row refold's overflow).
+    * refuse: subtraction can't reproduce a per-row refold's overflow);
+    * the max rides the partition-buffered backward fold
+    * ([[graft.plans.RunningWindow.RunSuffixMinMax]]).
     */
   private def q206RangeRemainingBudget(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1734,7 +1736,8 @@ object DocOps {
       .select(col("oid"), col("v"),
         count(col("v")).over(w).as("rem_n"),
         sum(col("v").cast("decimal(18,0)")).over(w).cast("long")
-          .as("rem_sum"))
+          .as("rem_sum"),
+        max(col("v")).over(w).as("rem_max"))
   }
 
   /** ±WINDOW EVENT CONTEXT — `RANGE BETWEEN INTERVAL '15' MINUTE
@@ -2213,7 +2216,8 @@ object DocOps {
         "SELECT oid, v, " +
         "count(v) OVER w AS rem_n, " +
         "CAST(sum(CAST(v AS DECIMAL(18,0))) OVER w AS BIGINT) " +
-        "AS rem_sum FROM o " +
+        "AS rem_sum, " +
+        "max(v) OVER w AS rem_max FROM o " +
         "WINDOW w AS (ORDER BY oid " +
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"),
     "q205_docsource_range_chain_agg" ->

@@ -159,11 +159,21 @@ class WindowProps extends AnyFunSuite {
         sum(col("v").cast("decimal(18,0)"))
           .over(w.rangeBetween(Window.currentRow,
             Window.unboundedFollowing)).as("rems"),
+        // min/max ride the partition-buffered backward fold — RANGE
+        // form reads at the tie group's first index, so duplicates
+        // share the value
+        min(col("v")).over(w.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("remmin"),
+        max(col("v")).over(w.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("remmax"),
         sum(col("v")).over(w).as("run")), root)
       sets(_.select(col("k"), col("v"),
         count(col("v")).over(Window.orderBy(col("k").desc)
           .rangeBetween(Window.currentRow, Window.unboundedFollowing))
-          .as("dremn")), root)
+          .as("dremn"),
+        max(col("v")).over(Window.orderBy(col("k").desc)
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("dremx")), root)
       // DESC twin (value-frame direction mirrors too)
       val wd = Window.orderBy(col("k").desc)
       sets(_.select(col("k"), col("v"),
@@ -327,6 +337,8 @@ class WindowProps extends AnyFunSuite {
         sum(col("v").cast("decimal(18,0)"))
           .over(w.rowsBetween(Window.currentRow,
             Window.unboundedFollowing)).as("rems"),
+        min(col("v")).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("remmin"),
         row_number().over(w).as("rn")), root)
     }
   }
@@ -591,6 +603,16 @@ class WindowProps extends AnyFunSuite {
       sets(_.select(col("k"), col("s"),
         lead(col("s"), 1, null, ignoreNulls = true).over(w).as("fn1"),
         max(col("s")).over(w.rangeBetween(-1L, 2L)).as("vmax2")),
+        root, sSchema)
+      // suffix min/max over STRINGS (the backward fold retains values
+      // past recycled buffers), mixed with the lead-ignore-nulls
+      // pre-buffer in one node
+      sets(_.select(col("k"), col("s"),
+        min(col("s")).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("smin"),
+        max(col("s")).over(w.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("smax"),
+        lag(col("s"), 1, null, ignoreNulls = true).over(w).as("bn1")),
         root, sSchema)
     } finally {
       spark.conf.set("spark.sql.windowExecBufferSpillThreshold", prevSpill)
