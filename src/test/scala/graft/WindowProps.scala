@@ -561,15 +561,17 @@ class WindowProps extends AnyFunSuite {
     val sSchema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))
     val root = Files.createTempDirectory("graft_wpropsvs").toString
-    // duplicate-heavy keys, per-row-unique string payloads, ~quarter
-    // null: the ±FOLLOWING buffer and the lead-IGNORE-NULLS value list
-    // both RETAIN evaluated strings past their source row's buffer —
-    // with the sorter-backed (row-reusing) store forced on, an
-    // unretained UTF8String would alias recycled bytes
-    val rnd = new scala.util.Random(43)
+    // UNIQUE keys (ROWS frames and per-row index paths are positional —
+    // under duplicate keys both engines are permutation-nondeterministic
+    // and a differential compare is unsound), per-row-unique string
+    // payloads, ~quarter null: the ±FOLLOWING buffer and the
+    // lead-IGNORE-NULLS value list both RETAIN evaluated strings past
+    // their source row's buffer — with the sorter-backed (row-reusing)
+    // store forced on, an unretained UTF8String would alias recycled
+    // bytes
     var uid = 0
     (0 until 3).foreach { f =>
-      val keys = Seq.fill(30)(rnd.nextInt(8).toLong + f * 8).sorted
+      val keys = (0 until 30).map(i => (f * 30 + i).toLong)
       Files.write(Paths.get(root, s"f$f.jsonl"),
         (keys.map { k =>
           uid += 1
