@@ -2000,7 +2000,7 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
           pinGeneration(fs, root, fresh, relist, depth + 1)
         case _ => throw new IllegalStateException(
           s"extjson generation pinning at $root could not settle after " +
-            s"$depth manifest changes — back-to-back in-place " +
+            "8 manifest changes (the retry limit) — back-to-back in-place " +
             "compactions are outrunning this listing; pause maintenance " +
             "or retry the read")
       }

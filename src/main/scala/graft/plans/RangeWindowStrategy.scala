@@ -70,7 +70,13 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    with whole-day `INTERVAL 'd' DAY` or calendar `INTERVAL 'm'
   *    MONTH`/YEAR boundaries (month distance is monotone in the key —
   *    the bound is `add_months(current, -m)` with Spark's month-end
-  *    clamping), or a TIMESTAMP key with any day-time interval (the
+  *    clamping), a TIMESTAMP key with calendar MONTH/YEAR boundaries
+  *    (session-timezone wall-clock month adds —
+  *    `timestampAddMonths(current, -m, tz)`, Spark's own
+  *    TimestampAddYMInterval arithmetic with its forward-only
+  *    frame-head semantics on clamp-plateau inversions; single-bound
+  *    frames only, NTZ keys pin UTC — see MonthTsDist), or a
+  *    TIMESTAMP key with any day-time interval (the
   *    7-day-mean, 3-month-rolling-mean, 15-minute-event-window, and
   *    lagged dual-bound shapes; the buffer holds the frame's live
   *    (key, value) pairs, evicted by key distance, population-bounded
@@ -276,8 +282,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                       orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
                   val funcs = windowExprs.map(parse(_, child.outputSet, orderSpec))
                   if (funcs.exists(_.isEmpty)) return Nil
-                if (!RunningWindow.delayCompatible(funcs.map(_.get)))
-                  return Nil
+                  if (!RunningWindow.delayCompatible(funcs.map(_.get)))
+                    return Nil
                   apply(w2) match {
                     case Seq(inner: BandRunningWindowExec)
                         if inner.outputOrdering.headOption.exists(o =>
@@ -418,33 +424,54 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       val rangeSlide: Option[RunningWindow.RangeDist] = {
         import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, YearMonthIntervalType}
         val keyDt = orderSpec.head.child.dataType
-        // one boundary expression → (isMonthKind, distance ≥ 0), with
-        // the wrap guards: Long.MinValue negates to itself, and a
-        // distance of exactly Long.MaxValue would tie the eviction's
-        // wrapped-distance clamp (dist caps at MaxValue, which must
-        // stay > d) — frames that wide refuse to Spark
+        // one boundary expression → (kind, distance ≥ 0): kind 0 =
+        // fixed (linear key units), 1 = calendar months over a DATE
+        // key, 2 = calendar months over a TIMESTAMP key (session-tz
+        // wall-clock arithmetic), 3 = months over TIMESTAMP_NTZ
+        // (zone-less local arithmetic). Wrap guards: Long.MinValue
+        // negates to itself, and a distance of exactly Long.MaxValue
+        // would tie the eviction's wrapped-distance clamp (dist caps at
+        // MaxValue, which must stay > d) — frames that wide refuse
         def bound(e: Expression, allowZero: Boolean)
-            : Option[(Boolean, Long)] = e match {
-          case CurrentRow if allowZero => Some((false, 0L))
+            : Option[(Int, Long)] = e match {
+          case CurrentRow if allowZero => Some((0, 0L))
           case l: Literal if l.value != null =>
             (keyDt, l.dataType) match {
               case (kdt, bdt) if integralVal(kdt) && integralVal(bdt) &&
                   asLong(l.value) < 0 && asLong(l.value) > -Long.MaxValue =>
-                Some((false, -asLong(l.value)))
+                Some((0, -asLong(l.value)))
               case (DateType, _: DayTimeIntervalType) =>
                 val micros = l.value.asInstanceOf[java.lang.Long].longValue()
                 val MicrosPerDay = 86400L * 1000000L
                 if (micros < 0 && micros % MicrosPerDay == 0L)
-                  Some((false, -(micros / MicrosPerDay)))
+                  Some((0, -(micros / MicrosPerDay)))
                 else None
               case (DateType, _: YearMonthIntervalType) =>
                 // year-month intervals are month counts internally
-                // (years arrive ×12) — calendar arithmetic, valid over
-                // DATE keys only (timestamp month-adds are
-                // timezone-local and refuse)
+                // (years arrive ×12) — LocalDate calendar arithmetic
+                // with Spark's month-end clamping
                 val months = l.value.asInstanceOf[java.lang.Integer].intValue()
                 if (months < 0 && months > Int.MinValue)
-                  Some((true, -months.toLong))
+                  Some((1, -months.toLong))
+                else None
+              // month intervals over a TIMESTAMP key: the bound is
+              // Spark's own TimestampAddYMInterval arithmetic —
+              // session-timezone wall-clock month adds with month-end
+              // clamping (DateTimeUtils.timestampAddMonths), still
+              // monotone in the key, so the same front-eviction applies
+              case (org.apache.spark.sql.types.TimestampType,
+                  _: YearMonthIntervalType) =>
+                val months = l.value.asInstanceOf[java.lang.Integer].intValue()
+                if (months < 0 && months > Int.MinValue)
+                  Some((2, -months.toLong))
+                else None
+              // TIMESTAMP_NTZ month adds are zone-less local-calendar
+              // arithmetic — the same adds pinned at UTC
+              case (org.apache.spark.sql.types.TimestampNTZType,
+                  _: YearMonthIntervalType) =>
+                val months = l.value.asInstanceOf[java.lang.Integer].intValue()
+                if (months < 0 && months > Int.MinValue)
+                  Some((3, -months.toLong))
                 else None
               // TIMESTAMP keys are microsecond counts — ANY day-time
               // interval is already in the key's unit (the sliding
@@ -453,7 +480,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                   org.apache.spark.sql.types.TimestampNTZType,
                   _: DayTimeIntervalType) =>
                 val micros = l.value.asInstanceOf[java.lang.Long].longValue()
-                if (micros < 0 && micros > -Long.MaxValue) Some((false, -micros))
+                if (micros < 0 && micros > -Long.MaxValue) Some((0, -micros))
                 else None
               case _ => None
             }
@@ -465,11 +492,26 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             (bound(loE, allowZero = false), bound(hiE, allowZero = true))
               match {
               case (Some((loM, lo)), Some((hiM, hi)))
-                  // the CurrentRow upper (hi = 0) pairs with either
-                  // kind; an explicit upper must match the lower's
+                  // the CurrentRow upper (hi = 0) pairs with any kind;
+                  // an explicit upper must match the lower's
                   if lo >= hi && (hi == 0L || loM == hiM) =>
-                if (loM) Some(RunningWindow.MonthDist(lo.toInt, hi.toInt))
-                else Some(RunningWindow.FixedDist(lo, hi))
+                loM match {
+                  case 0 => Some(RunningWindow.FixedDist(lo, hi))
+                  case 1 => Some(RunningWindow.MonthDist(lo.toInt, hi.toInt))
+                  // ts-months: SINGLE-bound frames only (upper =
+                  // CURRENT ROW). A dual-bound upper inverts on the
+                  // clamp plateau like the lower does, and matching
+                  // Spark's forward-only upper pointer would need its
+                  // running-max state carried across bands — refuse
+                  // the lagged ts-month shape to Spark instead
+                  case 2 if hi == 0L =>
+                    Some(RunningWindow.MonthTsDist(lo.toInt, hi.toInt,
+                      session.sessionState.conf.sessionLocalTimeZone))
+                  case 3 if hi == 0L =>
+                    Some(RunningWindow.MonthTsDist(lo.toInt, hi.toInt,
+                      "UTC"))
+                  case _ => None
+                }
               case _ => None
             }
           case _ => None
@@ -1082,15 +1124,22 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     */
   private def rangeFramesBounded(scan: ExtJsonScan, keyCol: String,
       funcs: Seq[RunningFunc]): Boolean = {
-    import RunningWindow.{FixedDist, MonthDist, RunLeadNulls, RunRangeFwd, RunRangeSliding, RunSuffixMinMax}
+    import RunningWindow.{FixedDist, MonthDist, MonthTsDist, RunLeadNulls, RunRangeFwd, RunRangeSliding, RunSuffixMinMax}
     // frame widths whose window population the sweep must bound: the
     // PRECEDING width for trailing frames, d1+f for ±FOLLOWING frames
     // (the buffer plus the pending queue both live inside that window)
+    val MicrosPerDay = 86400L * 1000000L
     val widths = funcs.collect {
       case r: RunRangeSliding => r.dist match {
         case FixedDist(l, _) => l
         // months → conservative day width (31 days each + slack)
         case MonthDist(l, _) => 31L * l + 3L
+        // …and the same conservative width in micros over ts keys
+        // (saturating: a frame of ~3.4M+ months overflows the multiply)
+        case MonthTsDist(l, _, _) =>
+          val days = 31L * l + 3L
+          if (days > Long.MaxValue / MicrosPerDay) Long.MaxValue - 1
+          else days * MicrosPerDay
       }
       case r: RunRangeFwd =>
         if (r.d1 > Long.MaxValue - r.f - 1) Long.MaxValue - 1
@@ -2007,6 +2056,34 @@ private[plans] object RunningWindow {
   final case class FixedDist(lo: Long, hi: Long) extends RangeDist
   final case class MonthDist(lo: Int, hi: Int) extends RangeDist
 
+  /** Calendar months over a TIMESTAMP band key — single-bound frames
+    * (`m MONTH PRECEDING AND CURRENT ROW`) only: the bound is Spark's
+    * own `timestampAddMonths(current, −m, zone)` — wall-clock month
+    * arithmetic in the SESSION timezone with month-end clamping,
+    * bit-identical to the TimestampAddYMInterval boundary Spark's own
+    * WindowExec evaluates for this frame. UNLIKE the DATE form, the
+    * timestamp bound is NOT monotone in the key: clamping collapses a
+    * run of month-end days onto one target day, so within that plateau
+    * the bound follows TIME-OF-DAY against the key's date order
+    * (Mar 28 23:50 − 1 MONTH = Feb 28 23:50, but Mar 29 00:10 − 1
+    * MONTH = Feb 28 00:10 — the bound steps BACKWARD as the key
+    * advances). Spark's WindowExec resolves the inversion with its
+    * FORWARD-ONLY frame-head pointer: the effective frame start is the
+    * RUNNING MAX of the per-row bounds, never retreating — and
+    * eviction-by-current-bound reproduces exactly that (the retained
+    * set is "entries ≥ every bound seen so far", per band and across
+    * the prefix merge alike). An engine evaluating the exact per-row
+    * bound instead (DuckDB does) differs on precisely those plateau
+    * rows — an oracle must encode the running-max bound explicitly
+    * (q207 does). Dual-bound ts-month frames REFUSE: the upper bound
+    * inverts the same way, and matching Spark's forward-only upper
+    * pointer would need its running-max state carried across bands.
+    * TIMESTAMP_NTZ keys pin `zone` to UTC (zone-less local-calendar
+    * arithmetic).
+    */
+  final case class MonthTsDist(lo: Int, hi: Int, zone: String)
+      extends RangeDist
+
   /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d PRECEDING AND [CURRENT
     * ROW | d2 PRECEDING])` — the VALUE-based sliding frame (the 7-day
     * mean; the lagged "week ending 3 days ago"; the 3-MONTH rolling
@@ -2055,21 +2132,45 @@ private[plans] object RunningWindow {
         val r = later - earlier
         if (r < 0) Long.MaxValue else r
       }
-      // month bounds cache per current key: the two LocalDate adds run
-      // once per row, not once per buffered entry
+      // month bounds cache per current key: the calendar adds run once
+      // per row, not once per buffered entry. Eviction by the current
+      // row's bound implements Spark's own forward-only frame-head
+      // pointer EXACTLY: the retained set is "entries ≥ the running
+      // max of every bound so far", which is what WindowExec's
+      // non-retreating head produces on the timestamp clamp plateau's
+      // bound inversions (see MonthTsDist — dates are plateau-equal,
+      // so exact and running-max coincide there)
       private var mFor = Long.MinValue
       private var mHave = false
       private var mEvict = 0L
       private var mAdmit = 0L
+      private lazy val tsZone: java.time.ZoneId = dist match {
+        case MonthTsDist(_, _, z) =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .getZoneId(z)
+        case _ => java.time.ZoneOffset.UTC
+      }
       private def monthBounds(cur: Long, lo: Int, hi: Int): Unit =
         if (!mHave || cur != mFor) {
-          val ld = java.time.LocalDate.ofEpochDay(cur)
-          if (desc) {
-            mEvict = ld.plusMonths(lo.toLong).toEpochDay
-            mAdmit = ld.plusMonths(hi.toLong).toEpochDay
-          } else {
-            mEvict = ld.minusMonths(lo.toLong).toEpochDay
-            mAdmit = ld.minusMonths(hi.toLong).toEpochDay
+          dist match {
+            case _: MonthTsDist =>
+              import org.apache.spark.sql.catalyst.util.DateTimeUtils
+              if (desc) {
+                mEvict = DateTimeUtils.timestampAddMonths(cur, lo, tsZone)
+                mAdmit = DateTimeUtils.timestampAddMonths(cur, hi, tsZone)
+              } else {
+                mEvict = DateTimeUtils.timestampAddMonths(cur, -lo, tsZone)
+                mAdmit = DateTimeUtils.timestampAddMonths(cur, -hi, tsZone)
+              }
+            case _ =>
+              val ld = java.time.LocalDate.ofEpochDay(cur)
+              if (desc) {
+                mEvict = ld.plusMonths(lo.toLong).toEpochDay
+                mAdmit = ld.plusMonths(hi.toLong).toEpochDay
+              } else {
+                mEvict = ld.minusMonths(lo.toLong).toEpochDay
+                mAdmit = ld.minusMonths(hi.toLong).toEpochDay
+              }
           }
           mFor = cur; mHave = true
         }
@@ -2079,6 +2180,9 @@ private[plans] object RunningWindow {
         case MonthDist(lo, hi) =>
           monthBounds(cur, lo, hi)
           if (desc) k <= mEvict else k >= mEvict
+        case MonthTsDist(lo, hi, _) =>
+          monthBounds(cur, lo, hi)
+          if (desc) k <= mEvict else k >= mEvict
       }
       private def admit(cur: Long, k: Long): Boolean = dist match {
         case FixedDist(_, hi) =>
@@ -2086,6 +2190,12 @@ private[plans] object RunningWindow {
         case MonthDist(lo, hi) =>
           monthBounds(cur, lo, hi)
           if (desc) k >= mAdmit else k <= mAdmit
+        case MonthTsDist(_, _, _) =>
+          // ts-months plan single-bound only (upper = CURRENT ROW, so
+          // every retained entry is in frame): a dual-bound upper
+          // would need Spark's running-max pointer state carried
+          // across bands, and the strategy refuses that shape instead
+          true
       }
       private var curKey = 0L
       private def evict(cur: Long): Unit = {
@@ -2208,6 +2318,12 @@ private[plans] object RunningWindow {
     private var firstKey = 0L
     private var lastKey = 0L
     private var any = false
+    // set once mergeTotal seeds this acc (the EVAL pass): the leading
+    // buffers are only ever read from the totals pass's snapshots, so
+    // an eval-pass acc skips their accumulation entirely (mergeTotal
+    // seeds firstKey with the previous band's lastKey, which would
+    // otherwise anchor a dead, f-window-bounded append per partition)
+    private var prefixSeeded = false
 
     private def sd(later: Long, earlier: Long): Long = {
       val r = if (desc) earlier - later else later - earlier
@@ -2240,7 +2356,7 @@ private[plans] object RunningWindow {
       vals.addLast(if (rv == null) NullToken else rv.asInstanceOf[AnyRef])
       if (!any) { firstKey = k; any = true }
       lastKey = k
-      if (sd(k, firstKey) <= f) { leadK += k; leadV += rv }
+      if (!prefixSeeded && sd(k, firstKey) <= f) { leadK += k; leadV += rv }
       if (keys.size > cap) throw new org.apache.spark.SparkException(
         s"graft range-following frame exceeds $cap live rows per " +
           "function; raise spark.graft.window.maxRangeFrameRows or let " +
@@ -2316,6 +2432,7 @@ private[plans] object RunningWindow {
       * assembly, not here.
       */
     override def mergeTotal(t: Any): Unit = if (t != null) {
+      prefixSeeded = true
       val a = t.asInstanceOf[Array[Any]]
       val tk = a(0).asInstanceOf[Array[Any]]
       val tv = a(1).asInstanceOf[Array[Any]]
@@ -2679,7 +2796,11 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         .map(org.apache.spark.sql.execution.FilterExec(f.condition, _))
     case o: OrderedBandScanExec
         if o.scan != null && o.scan.partCols.isEmpty &&
-          o.scan.pushedAggs.isEmpty =>
+          o.scan.pushedAggs.isEmpty &&
+          // a pushed sort/top-N could reference a column the pruning
+          // drops — the narrowed reader would then fail to bind its
+          // sort ordering; those modes run the unpruned plan instead
+          o.scan.pushedSorts.isEmpty && o.scan.pushedTopN < 0 =>
       val keep = needed ++
         org.apache.spark.sql.catalyst.expressions.AttributeSet(
           o.sortOrder.flatMap(_.references))

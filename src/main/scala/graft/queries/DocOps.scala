@@ -1714,6 +1714,60 @@ object DocOps {
       .select(unix_micros(col("ts")).as("t_us"), col("user_id"),
         col("w15_sum"), col("w15_n"))
 
+  /** The multi-year TIMESTAMP-banded landing: orders with a derived
+    * event instant (midnight of the order date plus a deterministic
+    * per-row second offset — intra-day variation without a random
+    * source), banded on the raw timestamp across the full 1992–1998
+    * span. The month-window landing: events.parquet spans only 30
+    * days, too narrow for a calendar month frame to discriminate.
+    */
+  private def ordersTsRangeJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangetsm", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgtm_$tag")}/orders"
+      graft.sink.CorpusSink.landJsonlRangeIndexed(
+        Tables.orders(s, d).select(
+          expr("timestampadd(SECOND, CAST(o_custkey % 86400 AS INT), " +
+            "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))").as("o_ts"),
+          col("o_custkey")),
+        "o_ts", dir, numBands = 8, zoneCols = Seq("o_ts"))
+      dir
+    })
+
+  private val decodedOrdersTs = StructType(Seq(
+    StructField("o_ts", org.apache.spark.sql.types.TimestampType),
+    StructField("o_custkey", LongType)))
+
+  /** CALENDAR MONTH RANGE frame over a raw TIMESTAMP key — the monthly
+    * rolling window over event timestamps (`RANGE BETWEEN INTERVAL '1'
+    * MONTH PRECEDING AND CURRENT ROW`), the natural next query after
+    * q196 (day-time intervals over ts) and q199 (months over DATE).
+    * The frame bound is session-timezone wall-clock month arithmetic
+    * with month-end clamping — `timestampAddMonths(current, -1, tz)`,
+    * Spark's own TimestampAddYMInterval boundary — still monotone in
+    * the key, so the live-pair buffer evicts by the per-row calendar
+    * bound with zero exchange
+    * ([[graft.plans.RunningWindow.MonthTsDist]]). The session tz is
+    * UTC house-wide (GraftSession), where DuckDB's zone-less
+    * `ts - INTERVAL 1 MONTH` agrees instant-for-instant, so the frame
+    * is oracle-checkable; output projects epoch micros per the house
+    * tz rule. The avg rides as sum/count.
+    */
+  private def q207RangeTsMonthWindow(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersTs, ordersTsRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_ts"), col("o_custkey"),
+        expr("CAST(sum(o_custkey) OVER (ORDER BY o_ts RANGE BETWEEN " +
+          "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS BIGINT)")
+          .as("m1_sum"),
+        expr("count(*) OVER (ORDER BY o_ts RANGE BETWEEN " +
+          "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("m1_n"))
+      .select(unix_micros(col("o_ts")).as("t_us"), col("o_custkey"),
+        col("m1_sum"), col("m1_n"))
+      .withColumn("m1_avg", col("m1_sum").cast("double") / col("m1_n"))
+
   /** SUFFIX aggregates — the REMAINING-BUDGET shape: `count(v)` /
     * `sum(v)` `OVER (ORDER BY oid ROWS BETWEEN CURRENT ROW AND
     * UNBOUNDED FOLLOWING)` ("tokens left from this document onward" —
@@ -2035,6 +2089,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_docsource_range_ts_month_window" -> q207RangeTsMonthWindow,
     "q206_docsource_range_remaining_budget" -> q206RangeRemainingBudget,
     "q205_docsource_range_chain_agg" -> q205RangeChainAgg,
     "q204_docsource_range_event_context" -> q204RangeEventContext,
@@ -2210,6 +2265,30 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    // Spark's RANGE month frame over timestamps uses a FORWARD-ONLY
+    // frame head: on month-end clamp plateaus the per-row bound
+    // inverts (Mar 29 00:10 − 1 MONTH = Feb 28 00:10 < Mar 28 23:50's
+    // bound) and the head never retreats, so the EFFECTIVE lower bound
+    // is the running MAX of the per-row bounds. DuckDB's window frame
+    // evaluates the exact per-row bound instead — the oracle encodes
+    // Spark's semantics explicitly (runmax bound + inequality join).
+    "q207_docsource_range_ts_month_window" ->
+      ("WITH o AS (SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) " +
+        "+ CAST(o_custkey % 86400 AS INT) * INTERVAL 1 SECOND AS o_ts, " +
+        "o_custkey FROM orders), " +
+        "b AS (SELECT o_ts, o_custkey, " +
+        "max(o_ts - INTERVAL 1 MONTH) OVER (ORDER BY o_ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo " +
+        "FROM o), " +
+        "w AS (SELECT b.o_ts, b.o_custkey, " +
+        "CAST((SELECT sum(o2.o_custkey) FROM b o2 " +
+        "WHERE o2.o_ts >= b.lo AND o2.o_ts <= b.o_ts) AS BIGINT) " +
+        "AS m1_sum, " +
+        "CAST((SELECT count(*) FROM b o2 " +
+        "WHERE o2.o_ts >= b.lo AND o2.o_ts <= b.o_ts) AS BIGINT) " +
+        "AS m1_n FROM b) " +
+        "SELECT epoch_us(o_ts) AS t_us, o_custkey, m1_sum, m1_n, " +
+        "CAST(m1_sum AS DOUBLE) / m1_n AS m1_avg FROM w"),
     "q206_docsource_range_remaining_budget" ->
       ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +

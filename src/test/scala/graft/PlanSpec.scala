@@ -1528,6 +1528,41 @@ class PlanSpec extends AnyFunSuite {
       "3-calendar-month frame spot check")
   }
 
+  test("q207 ts-MONTH RANGE frame: band window, zero exchange, wall-clock clamped bound") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q207_docsource_range_ts_month_window")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame spans 1 CALENDAR month of wall-clock instants (UTC
+    // session): spot-check a mid-MONTH instant (day ≤ 27 — outside the
+    // clamp plateau, where Spark's forward-only head equals the exact
+    // per-row bound) against the hand sum over micros >= that instant
+    // minus one LocalDateTime month
+    val byTs = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ts = byTs.map(_._1).distinct.sorted
+    val t0 = ts.drop(ts.length / 2).find { t =>
+      java.time.LocalDateTime.ofEpochSecond(t / 1000000L, 0,
+        java.time.ZoneOffset.UTC).getDayOfMonth <= 27
+    }.get
+    val lo = java.time.LocalDateTime
+      .ofEpochSecond(t0 / 1000000L, ((t0 % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      .minusMonths(1L).toInstant(java.time.ZoneOffset.UTC)
+    val loUs = lo.getEpochSecond * 1000000L + lo.getNano / 1000L
+    val expect = byTs.filter(t => t._1 >= loUs && t._1 <= t0)
+      .map(_._2).sum
+    assert(byTs.filter(_._1 == t0).forall(_._3 == expect),
+      "1-calendar-month ts frame spot check")
+  }
+
   test("q200 dual-bound lagged RANGE frame: band window, zero exchange, empty frames null") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -721,6 +721,34 @@ class WindowProps extends AnyFunSuite {
           .as("c210"),
         expr("max(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '2' " +
           "HOUR PRECEDING AND CURRENT ROW)").as("m2h")), troot, tSchema)
+      // MONTH intervals over TIMESTAMP keys: session-tz (UTC here)
+      // wall-clock month arithmetic — differential against Spark's own
+      // TimestampAddYMInterval boundary on a multi-month ts spread
+      val tmroot = Files.createTempDirectory("graft_wpropstm2").toString
+      (0 until 2).foreach { f =>
+        val n = 6 + rnd.nextInt(10)
+        val hours = Seq.fill(n)(rnd.nextInt(24 * 200).toLong).sorted
+        Files.write(Paths.get(tmroot, s"m$f.jsonl"),
+          (hours.map { h =>
+            val t = java.time.Instant.parse("2024-01-05T00:00:00Z")
+              .plusSeconds(h * 3600L + f * 17280000L)
+            if (rnd.nextInt(4) == 0) s"""{"k": "$t"}"""
+            else s"""{"k": "$t", "v": ${rnd.nextInt(100) - 50}}"""
+          }.mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+      ZoneMaps.build(spark, tmroot, tSchema, Seq("k"))
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
+          "PRECEDING AND CURRENT ROW)").as("tm1"),
+        expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '0-2' " +
+          "YEAR TO MONTH PRECEDING AND CURRENT ROW)").as("tm2"),
+        expr("min(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' MONTH " +
+          "PRECEDING AND CURRENT ROW)").as("tm3")),
+        tmroot, tSchema)
+      // DESC ts-month twin (its own query: a different ordering stacks)
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '1' " +
+          "MONTH PRECEDING AND CURRENT ROW)").as("tmd")), tmroot, tSchema)
       // MONTH intervals are calendar arithmetic with Spark's month-end
       // clamping — the bound is add_months(current, -m), monotone in
       // the key, so the same live-pair buffer applies; Spark is ground
@@ -785,6 +813,76 @@ class WindowProps extends AnyFunSuite {
     sets(_.select(col("k"), col("v"),
       expr("max(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '2' " +
         "MONTH PRECEDING AND CURRENT ROW)").as("m2d")), clampRoot, dSchema2)
+    // …and the TIMESTAMP twin of the clamping fixture: month-end
+    // instants WITH time-of-day (the bound preserves the wall-clock
+    // time while clamping the date — 2024-03-31T18:00 − 1 MONTH =
+    // 2024-02-29T18:00), duplicate instants as peer groups
+    val tcRoot = Files.createTempDirectory("graft_wpropsmt").toString
+    val tcSchema = StructType(Seq(
+      StructField("k", org.apache.spark.sql.types.TimestampType),
+      StructField("v", LongType)))
+    val clampTs = Seq("2024-01-30T06:30:00Z", "2024-01-31T18:00:00Z",
+      "2024-02-29T18:00:00Z", "2024-02-29T18:00:00Z",
+      "2024-03-30T00:00:00Z", "2024-03-31T18:00:00Z",
+      "2024-04-29T12:00:00Z", "2024-04-30T23:59:59Z",
+      "2024-05-31T18:00:00Z", "2024-06-30T06:00:00Z",
+      "2024-07-31T18:00:00Z", "2024-08-31T17:59:59Z")
+    Files.write(Paths.get(tcRoot, "f0.jsonl"),
+      (clampTs.zipWithIndex.map { case (tt, i) =>
+        s"""{"k": "$tt", "v": ${i * 7 % 13}}"""
+      }.mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, tcRoot, tcSchema, Seq("k"))
+    sets(_.select(col("k"), col("v"),
+      expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
+        "PRECEDING AND CURRENT ROW)").as("tc1"),
+      expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '3' MONTH " +
+        "PRECEDING AND CURRENT ROW)").as("tc3")),
+      tcRoot, tcSchema)
+    sets(_.select(col("k"), col("v"),
+      expr("max(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '2' " +
+        "MONTH PRECEDING AND CURRENT ROW)").as("tc2d")), tcRoot, tcSchema)
+    // PLATEAU-INVERSION fixture: month-end clamping collapses Mar
+    // 28–31 onto Feb 28, so the bound follows TIME-OF-DAY against the
+    // key's date order — Mar 28 23:50 bounds at Feb 28 23:50 while the
+    // LATER Mar 29 00:10 bounds at the EARLIER Feb 28 00:10. Spark's
+    // WindowExec resolves the inversion with its forward-only
+    // frame-head pointer (the effective bound is the running MAX —
+    // Mar 29's frame does NOT retreat to re-admit Feb 28 00:30/12:00),
+    // and the band eviction must reproduce exactly that; an
+    // exact-per-row-bound evaluation differs on these rows and fails
+    // this differential
+    val piRoot = Files.createTempDirectory("graft_wpropspi").toString
+    val invTs = Seq("2023-02-28T00:05:00Z", "2023-02-28T00:30:00Z",
+      "2023-02-28T12:00:00Z", "2023-02-28T23:55:00Z",
+      "2023-03-05T10:00:00Z", "2023-03-28T23:50:00Z",
+      "2023-03-29T00:10:00Z", "2023-03-30T11:00:00Z",
+      "2023-03-31T00:01:00Z")
+    Files.write(Paths.get(piRoot, "f0.jsonl"),
+      (invTs.zipWithIndex.map { case (tt, i) =>
+        s"""{"k": "$tt", "v": ${i + 1}}"""
+      }.mkString("\n") + "\n").getBytes("UTF-8"))
+    ZoneMaps.build(spark, piRoot, tcSchema, Seq("k"))
+    sets(_.select(col("k"), col("v"),
+      expr("sum(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
+        "PRECEDING AND CURRENT ROW)").as("pi1"),
+      expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '1' MONTH " +
+        "PRECEDING AND CURRENT ROW)").as("pin")), piRoot, tcSchema)
+    sets(_.select(col("k"), col("v"),
+      expr("sum(v) OVER (ORDER BY k DESC RANGE BETWEEN INTERVAL '1' " +
+        "MONTH PRECEDING AND CURRENT ROW)").as("pid")), piRoot, tcSchema)
+    // DUAL-BOUND ts-month frames refuse (the upper bound inverts on
+    // the clamp plateau too, and Spark's forward-only upper pointer
+    // state has no cross-band carry here) — must fall through whole
+    val dual = ExtendedJson.read(spark, tcSchema, piRoot,
+      Map("zoneMaps" -> "true"))
+      .select(col("k"), expr("sum(v) OVER (ORDER BY k RANGE BETWEEN " +
+        "INTERVAL '3' MONTH PRECEDING AND INTERVAL '1' MONTH " +
+        "PRECEDING)").as("x"))
+    val dns = TestPlans.executedNodes(dual)
+    assert(dns.exists(_.isInstanceOf[WindowExec]) &&
+      !dns.exists(_.isInstanceOf[BandRunningWindowExec]),
+      "dual-bound ts-month frames must fall through: " +
+        dns.map(_.nodeName).mkString(", "))
   }
 
   test("stacked windows: a window over another window's outputs decomposes end-to-end") {
@@ -853,10 +951,13 @@ class WindowProps extends AnyFunSuite {
     }
   }
 
-  test("value-frame refusal pins: timestamp months, and the population cap") {
+  test("value-frame refusal pins: non-UTC ts months stay differential, and the population cap") {
     val rnd = new scala.util.Random(51)
     // a MONTH interval over a TIMESTAMP key is timezone-local calendar
-    // arithmetic — must fall through to Spark's own window
+    // arithmetic — the strategy captures the SESSION timezone at plan
+    // time and the bound is timestampAddMonths in it, matching Spark's
+    // own TimestampAddYMInterval boundary in ANY session tz: pin the
+    // differential under a DST-bearing zone, not just UTC
     val tSchema = StructType(Seq(
       StructField("k", org.apache.spark.sql.types.TimestampType),
       StructField("v", LongType)))
@@ -866,15 +967,14 @@ class WindowProps extends AnyFunSuite {
         s"""{"k": "2024-0${1 + i % 6}-11T0$i:00:00Z", "v": $i}"""
       }.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     ZoneMaps.build(spark, troot, tSchema, Seq("k"))
-    val tmon = ExtendedJson.read(spark, tSchema, troot,
-      Map("zoneMaps" -> "true"))
-      .select(col("k"), expr("sum(v) OVER (ORDER BY k RANGE BETWEEN " +
-        "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("x"))
-    val tns = TestPlans.executedNodes(tmon)
-    assert(tns.exists(_.isInstanceOf[WindowExec]) &&
-      !tns.exists(_.isInstanceOf[BandRunningWindowExec]),
-      "timestamp-key month intervals must fall through: " +
-        tns.map(_.nodeName).mkString(", "))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      sets(_.select(col("k"), col("v"),
+        expr("sum(v) OVER (ORDER BY k RANGE BETWEEN " +
+          "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("x")),
+        troot, tSchema)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     // …and a MONTH FOLLOWING bound likewise (no monotone per-arrival
     // release test — calendar arithmetic forward refuses), as does a
     // node MIXING the key-released pending queue with the row-count
