@@ -56,10 +56,13 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    default cumulative frame (`RANGE UNBOUNDED PRECEDING..CURRENT
   *    ROW` — tie groups share the value), the explicit cumulative
   *    `ROWS` form, the SUFFIX frame `CURRENT ROW AND UNBOUNDED
-  *    FOLLOWING` for count and exact-invertible sums (grand − prefix;
+  *    FOLLOWING` for count, exact-invertible sums (grand − prefix;
   *    ANSI long and double sums refuse — subtraction can't reproduce a
   *    refold's overflow/ulp behavior; metadata answers the totals with
-  *    zero passes), the bounded sliding `ROWS BETWEEN n PRECEDING AND
+  *    zero passes), avg over integral children (exact-sum inversion ÷
+  *    count), min/max (partition-buffered backward fold), and
+  *    `last_value` (the global last — a constant through the grand
+  *    fold; IGNORE NULLS refuses), the bounded sliding `ROWS BETWEEN n PRECEDING AND
   *    CURRENT ROW`, the bounded FOLLOWING `ROWS BETWEEN n
   *    PRECEDING|CURRENT ROW AND m FOLLOWING` (the centered moving
   *    average — emission delays behind an m-slot ring; the cross-band
@@ -84,9 +87,13 @@ import graft.ingest.v2.{ExtJsonScan, FilterEval, ZoneMaps}
   *    `spark.graft.window.maxRangeFrameRows` — where no plan bound
   *    applies; frames denser than the cap refuse to Spark's spillable
   *    window), and the ±FOLLOWING value frame `RANGE BETWEEN d1
-  *    PRECEDING|CURRENT ROW AND f FOLLOWING` (fixed kinds only —
-  *    month-forward has no monotone release test; rows release from a
-  *    key-ordered pending queue once an arrival passes their +f bound,
+  *    PRECEDING|CURRENT ROW AND f FOLLOWING` (fixed kinds, or MONTH
+  *    bounds over DATE keys — `add_months(rk, +m)` is non-strictly
+  *    monotone over dates, so each pending row's precomputed release
+  *    bound is a valid per-arrival release test; month-forward over
+  *    TIMESTAMP keys refuses — the ts clamp plateau inverts with
+  *    time-of-day, see MonthTsDist. Rows release from a key-ordered
+  *    pending queue once an arrival passes their frame-end bound,
   *    with the next bands' leading entries as the forward suffix; a
   *    node mixing this key-released queue with the row-count delay
   *    ring refuses whole);
@@ -520,29 +527,43 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
       // `RANGE BETWEEN d1 PRECEDING|CURRENT ROW AND f FOLLOWING` — the
       // VALUE-based FOLLOWING frame (the ±window around each event):
       // rows release from a pending queue once a key strictly beyond
-      // key+f arrives. Fixed kinds only (integral / whole-day / any
-      // day-time over timestamps); month-forward distance has no
-      // monotone per-arrival release test and refuses
-      val rangeFwd: Option[(Long, Long)] = spec.frameSpecification match {
+      // the frame end arrives. Kinds: FIXED (integral / whole-day /
+      // any day-time over timestamps), or MONTHLY over a DATE key
+      // (add_months bounds — non-strictly monotone over dates, so the
+      // per-row release bound add_months(rk, +m) is a valid release
+      // test; ASC only, and both explicit bounds must be months).
+      // Month-forward over TIMESTAMP keys refuses (the ts clamp
+      // plateau inverts with time-of-day — see MonthTsDist)
+      val rangeFwd: Option[(Long, Long, Boolean)] =
+        spec.frameSpecification match {
         case SpecifiedWindowFrame(RangeFrame, loE, hiE)
             if orderSpec.lengthCompare(1) == 0 =>
-          import org.apache.spark.sql.types.{DateType, DayTimeIntervalType}
+          import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, YearMonthIntervalType}
           val keyDt = orderSpec.head.child.dataType
           val MicrosPerDay = 86400L * 1000000L
+          // kind: 0 = fixed, 1 = months over a DATE key, -1 = the
+          // CURRENT ROW bound (zero in either kind's units)
           def fixed(e: Expression, sign: Int, allowZero: Boolean)
-              : Option[Long] = e match {
-            case CurrentRow if allowZero => Some(0L)
+              : Option[(Int, Long)] = e match {
+            case CurrentRow if allowZero => Some((-1, 0L))
             case l: Literal if l.value != null =>
               (keyDt, l.dataType) match {
                 case (kdt, bdt) if integralVal(kdt) && integralVal(bdt) &&
                     asLong(l.value) * sign > 0 &&
                     asLong(l.value) != Long.MinValue &&
                     math.abs(asLong(l.value)) < Long.MaxValue =>
-                  Some(math.abs(asLong(l.value)))
+                  Some((0, math.abs(asLong(l.value))))
                 case (DateType, _: DayTimeIntervalType) =>
                   val micros = l.value.asInstanceOf[java.lang.Long].longValue()
                   if (micros * sign > 0 && micros % MicrosPerDay == 0L)
-                    Some(math.abs(micros / MicrosPerDay))
+                    Some((0, math.abs(micros / MicrosPerDay)))
+                  else None
+                case (DateType, _: YearMonthIntervalType)
+                    if orderSpec.head.direction == Ascending =>
+                  val months = l.value.asInstanceOf[java.lang.Integer]
+                    .intValue()
+                  if (months * sign > 0 && months > Int.MinValue)
+                    Some((1, math.abs(months.toLong)))
                   else None
                 case (org.apache.spark.sql.types.TimestampType |
                     org.apache.spark.sql.types.TimestampNTZType,
@@ -550,7 +571,7 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                   val micros = l.value.asInstanceOf[java.lang.Long].longValue()
                   if (micros * sign > 0 && micros != Long.MinValue &&
                     math.abs(micros) < Long.MaxValue)
-                    Some(math.abs(micros))
+                    Some((0, math.abs(micros)))
                   else None
                 case _ => None
               }
@@ -558,10 +579,13 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           }
           (fixed(loE, -1, allowZero = true), fixed(hiE, 1, allowZero = false))
             match {
-            case (Some(d1), Some(f))
-                // the combined width must not saturate the release and
-                // eviction arithmetic
-                if d1 < Long.MaxValue - f => Some((d1, f))
+            case (Some((k1, d1)), Some((k2, f)))
+                // CURRENT ROW (-1) pairs with either kind; explicit
+                // bounds must agree. The combined fixed width must not
+                // saturate the release and eviction arithmetic
+                if (k1 == -1 || k1 == k2) && k2 != -1 &&
+                  (k2 == 1 || d1 < Long.MaxValue - f) =>
+              Some((d1, f, k2 == 1))
             case _ => None
           }
         case _ => None
@@ -622,6 +646,18 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               Some(RunSuffixMinMax(m.child, m.dataType, isMin = false,
                 suffixFrame.get,
                 RangeWindowStrategy.maxRangeFrameRows(session)))
+            // avg over an integral child: sum/count inversion composed
+            // (exact integer sum ÷ count); double children refuse per
+            // the family doc's IEEE posture
+            case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+                if a.dataType == DoubleType && integralVal(a.child.dataType) =>
+              Some(RunSuffixAvgLong(a.child, suffixFrame.get))
+            // last_value over the suffix frame = the GLOBAL last value —
+            // a constant through the grand fold; the IGNORE NULLS form
+            // is not constant (all-null tails) and refuses
+            case l: org.apache.spark.sql.catalyst.expressions.aggregate.Last
+                if !l.ignoreNulls && orderable(l.dataType) =>
+              Some(RunSuffixLast(l.child))
             case _ => None
           }
         case (_: RowNumber, Some(Right(true))) => Some(RunRowNumber())
@@ -802,7 +838,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
             RunRangeFwd(orderSpec.head.child, in,
               rangeFwd.get._1, rangeFwd.get._2,
               orderSpec.head.direction == Descending, op,
-              RangeWindowStrategy.maxRangeFrameRows(session))
+              RangeWindowStrategy.maxRangeFrameRows(session),
+              monthly = rangeFwd.get._3)
           }
         case (ae: AggregateExpression, None)
             if rangeSlide.isDefined && !ae.isDistinct &&
@@ -964,6 +1001,20 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
               }
             case _ => None
           }
+          // suffix avg's totals are the same (exact sum, count) pair
+          case RunSuffixAvgLong(input, _) => scanCol(input) match {
+            case Some(n) =>
+              colTotals(files, n).flatMap { cs =>
+                if (cs.exists(_.sum.isEmpty)) None
+                else Some(Array[Any](
+                  cs.flatMap(_.sum)
+                    .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)),
+                  java.lang.Long.valueOf(
+                    cs.map(c => c.rows - c.nulls).sum)))
+              }
+            case _ => None
+          }
+          case _: RunSuffixLast => None // order-dependent: no sidecar form
           case RunSumLong(input, _, ansi) => scanCol(input) match {
             case Some(n) =>
               colTotals(files, n).flatMap { cs =>
@@ -1142,7 +1193,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
           else days * MicrosPerDay
       }
       case r: RunRangeFwd =>
-        if (r.d1 > Long.MaxValue - r.f - 1) Long.MaxValue - 1
+        if (r.monthly) 31L * (r.d1 + r.f) + 6L // months → day width
+        else if (r.d1 > Long.MaxValue - r.f - 1) Long.MaxValue - 1
         else r.d1 + r.f + 1
     }
     val wholeBand = funcs.exists(f => f.isInstanceOf[RunLeadNulls] ||
@@ -1548,6 +1600,101 @@ private[plans] object RunningWindow {
           else if (ansi) throw new ArithmeticException(
             s"suffix sum overflows ${resultType.simpleString}")
           else null
+        }
+      }
+    }
+  }
+
+  /** Suffix `last(x)` (ignoreNulls = false) — `last_value(x) OVER (…
+    * CURRENT ROW AND UNBOUNDED FOLLOWING)`: every row's frame ends at
+    * the partition's last row, so the answer is ONE constant — the
+    * global last value in window order — delivered through the grand
+    * fold (each band's total is its last value; the driver's band-order
+    * merge lets the latest band win). Order-sensitive: the totals pass
+    * must see the sorted stream. The IGNORE NULLS form is NOT constant
+    * (rows after the last non-null see an all-null suffix) and refuses.
+    */
+  final case class RunSuffixLast(input: Expression) extends RunningFunc {
+    override def rowsFrame: Boolean = true
+    override def orderSensitive: Boolean = true
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val g: Any = grand match {
+        case a: Array[Any]
+            if a(1).asInstanceOf[java.lang.Boolean].booleanValue() => a(0)
+        case _ => null
+      }
+      var cur: Any = null
+      var sawRows = false
+      override def update(row: InternalRow): Unit = {
+        cur = retain(input.eval(row)); sawRows = true
+      }
+      override def total(): Any =
+        Array[Any](cur, java.lang.Boolean.valueOf(sawRows))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        if (a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
+          cur = a(0); sawRows = true
+        }
+      }
+      override def value(): Any = g
+    }
+  }
+
+  /** Suffix `avg(x)` over an INTEGRAL child — sum/count inversion
+    * composed: the suffix's EXACT integer sum (unbounded BigDecimal,
+    * like the decimal suffix sum) and non-null count both invert from
+    * grand − prefix, and the render is one IEEE division
+    * `exactSum.toDouble / count`. Agrees bit-for-bit with WindowExec's
+    * per-row refold whenever every suffix partial sum stays within
+    * double's 2^53 integer-exact range (the refold's left-fold is then
+    * exact too); beyond it this value is the mathematically exact one
+    * where the refold has accumulated rounding. Double/float children
+    * refuse (subtraction is not the refold's IEEE value — the suffix
+    * family doc's posture); an all-null suffix renders SQL NULL.
+    * Totals are order-free — the metadata path answers them from the
+    * sidecar's exact sums with zero passes.
+    */
+  final case class RunSuffixAvgLong(input: Expression, rowsFrame: Boolean)
+      extends RunningFunc {
+    override def groupStart: Boolean = !rowsFrame
+    override def bound(in: Seq[Attribute]): RunningFunc =
+      copy(input = BindReferences.bindReference(input, in))
+    override def newAcc(grand: Any): RunAcc = new RunAcc {
+      private val ga = grand.asInstanceOf[Array[Any]]
+      private val gs =
+        if (ga == null || ga(0) == null) java.math.BigDecimal.ZERO
+        else ga(0).asInstanceOf[java.math.BigDecimal]
+      private val gn =
+        if (ga == null) 0L
+        else ga(1).asInstanceOf[java.lang.Long].longValue()
+      var s: java.math.BigDecimal = java.math.BigDecimal.ZERO
+      var n = 0L
+      var sBefore: java.math.BigDecimal = java.math.BigDecimal.ZERO
+      var nBefore = 0L
+      override def update(row: InternalRow): Unit = {
+        sBefore = s; nBefore = n
+        val v = input.eval(row)
+        if (v != null) {
+          s = s.add(java.math.BigDecimal.valueOf(
+            v.asInstanceOf[Number].longValue()))
+          n += 1
+        }
+      }
+      override def total(): Any =
+        Array[Any](s, java.lang.Long.valueOf(n))
+      override def mergeTotal(t: Any): Unit = if (t != null) {
+        val a = t.asInstanceOf[Array[Any]]
+        if (a(0) != null) s = s.add(a(0).asInstanceOf[java.math.BigDecimal])
+        n += a(1).asInstanceOf[java.lang.Long].longValue()
+      }
+      override def value(): Any = {
+        val rn = gn - (if (rowsFrame) nBefore else n)
+        if (rn == 0L) null
+        else {
+          val rs = gs.subtract(if (rowsFrame) sBefore else s)
+          java.lang.Double.valueOf(rs.doubleValue() / rn.toDouble)
         }
       }
     }
@@ -2287,20 +2434,53 @@ private[plans] object RunningWindow {
     * next band's preceding prefix, merged exactly like the trailing
     * frame), its LEADING entries (within f of its first key — the
     * previous band's forward suffix), and its first/last keys (the
-    * driver's suffix-assembly stop bound). Fixed (integral / day /
-    * day-time) bounds only — month-forward distance is calendar
-    * arithmetic with no per-arrival monotone release test and refuses.
+    * driver's suffix-assembly stop bound). Bound kinds: FIXED
+    * (integral / day / day-time — linear key distances), or MONTHLY
+    * over a DATE key (`monthly = true`: d1/f are MONTH counts and the
+    * bounds are `add_months(rk, ∓m)` with LocalDate's clamping —
+    * non-strictly monotone over dates since the clamp plateau carries
+    * no time-of-day, so each pending row's release bound
+    * `add_months(rk, +f)` IS a valid per-arrival release test; ASC
+    * only, enforced at parse). Month-forward over TIMESTAMP keys
+    * refuses: the ts clamp plateau inverts with time-of-day (see
+    * MonthTsDist) and the release/eviction tests would need Spark's
+    * forward-only pointer state.
     */
   final case class RunRangeFwd(key: Expression, input: Expression,
       d1: Long, f: Long, desc: Boolean, op: SlideOp,
-      cap: Long = Long.MaxValue) extends RunningFunc {
+      cap: Long = Long.MaxValue, monthly: Boolean = false)
+      extends RunningFunc {
     override def rowsFrame: Boolean = false
     override def orderSensitive: Boolean = true
     override def bound(in: Seq[Attribute]): RunningFunc =
       copy(key = BindReferences.bindReference(key, in),
         input = BindReferences.bindReference(input, in))
     override def newAcc(grand: Any): RunAcc = new FwdRangeAcc(this)
+    /** `cur` is strictly beyond the frame end of a row keyed `rk` —
+      * the pending queue's release test.
+      */
+    private[plans] def beyond(cur: Long, rk: Long): Boolean =
+      if (monthly) cur > addMonthsDay(rk, f)
+      else {
+        val r = if (desc) rk - cur else cur - rk
+        (if (r < 0) Long.MaxValue else r) > f
+      }
+    /** `k` is at-or-after `anchor` in stream order and within the
+      * forward reach — the suffix-assembly walk's stop test.
+      */
+    private[plans] def withinFwdOf(anchor: Long, k: Long): Boolean =
+      if (monthly) k >= anchor && k <= addMonthsDay(anchor, f)
+      else {
+        val r = if (desc) anchor - k else k - anchor
+        r >= 0 && r <= f
+      }
   }
+
+  /** `add_months` over an epoch-day key — LocalDate's month-end
+    * clamping, the same arithmetic Spark's DateAddYMInterval applies.
+    */
+  private[plans] def addMonthsDay(day: Long, m: Long): Long =
+    java.time.LocalDate.ofEpochDay(day).plusMonths(m).toEpochDay
 
   /** The live buffer + totals accumulator of [[RunRangeFwd]]. Stream
     * distance: `sd(later, earlier)` is the non-negative key distance in
@@ -2308,7 +2488,7 @@ private[plans] object RunningWindow {
     * (negative) subtraction reads as "farther than any bound".
     */
   private[plans] final class FwdRangeAcc(spec: RunRangeFwd) extends RunAcc {
-    import spec.{cap, d1, desc, f, op}
+    import spec.{cap, d1, desc, f, monthly, op}
     private val NullToken: AnyRef = RunSliding.NullToken
     private val keys = new java.util.ArrayDeque[java.lang.Long]()
     private val vals = new java.util.ArrayDeque[AnyRef]()
@@ -2335,12 +2515,18 @@ private[plans] object RunningWindow {
       * exceeds the Long range — certainly > d1, evicted.
       */
     private[plans] def evictBefore(low: Long): Unit = {
+      val mLow = if (monthly) addMonthsDay(low, -d1) else 0L
       var go = true
       while (go && !keys.isEmpty) {
         val k = keys.peekFirst().longValue()
-        val before = if (desc) k >= low else k <= low
-        val dist = if (desc) k - low else low - k
-        if (before && (dist < 0 || dist > d1)) {
+        val drop =
+          if (monthly) k < mLow
+          else {
+            val before = if (desc) k >= low else k <= low
+            val dist = if (desc) k - low else low - k
+            before && (dist < 0 || dist > d1)
+          }
+        if (drop) {
           keys.removeFirst(); vals.removeFirst()
         } else go = false
       }
@@ -2356,7 +2542,9 @@ private[plans] object RunningWindow {
       vals.addLast(if (rv == null) NullToken else rv.asInstanceOf[AnyRef])
       if (!any) { firstKey = k; any = true }
       lastKey = k
-      if (!prefixSeeded && sd(k, firstKey) <= f) { leadK += k; leadV += rv }
+      if (!prefixSeeded && spec.withinFwdOf(firstKey, k)) {
+        leadK += k; leadV += rv
+      }
       if (keys.size > cap) throw new org.apache.spark.SparkException(
         s"graft range-following frame exceeds $cap live rows per " +
           "function; raise spark.graft.window.maxRangeFrameRows or let " +
@@ -2368,17 +2556,22 @@ private[plans] object RunningWindow {
       */
     private[plans] def foldFor(rk: Long, sufK: Array[Long],
         sufV: Array[Any]): Any = {
+      // monthly frame bounds, computed once per pending row
+      val mLo = if (monthly) addMonthsDay(rk, -d1) else 0L
+      val mHi = if (monthly) addMonthsDay(rk, f) else 0L
       val ki = keys.iterator(); val vi = vals.iterator()
       op.fold(new Iterator[Any] {
         private var si = 0
         private var nextV: Any = _
         private var haveNext = false
-        private def inFrame(k: Long): Boolean = {
-          // entry before-or-at rk ⇒ within d1; after ⇒ within f
-          val back = sd(rk, k)
-          if (back != Long.MaxValue) back <= d1 || sd(k, rk) <= f
-          else sd(k, rk) <= f
-        }
+        private def inFrame(k: Long): Boolean =
+          if (monthly) k >= mLo && k <= mHi
+          else {
+            // entry before-or-at rk ⇒ within d1; after ⇒ within f
+            val back = sd(rk, k)
+            if (back != Long.MaxValue) back <= d1 || sd(k, rk) <= f
+            else sd(k, rk) <= f
+          }
         private def advance(): Unit = {
           while (!haveNext && ki.hasNext) {
             val k = ki.next().longValue()
@@ -2390,7 +2583,8 @@ private[plans] object RunningWindow {
           }
           while (!haveNext && si < sufK.length) {
             val k = sufK(si); val v = sufV(si); si += 1
-            if (sd(k, rk) <= f) { nextV = v; haveNext = true }
+            val in = if (monthly) k <= mHi else sd(k, rk) <= f
+            if (in) { nextV = v; haveNext = true }
           }
         }
         override def hasNext: Boolean = { advance(); haveNext }
@@ -2414,10 +2608,14 @@ private[plans] object RunningWindow {
     override def total(): Any = {
       val tk = new scala.collection.mutable.ArrayBuffer[Any]()
       val tv = new scala.collection.mutable.ArrayBuffer[Any]()
+      val mTrail = if (monthly && any) addMonthsDay(lastKey, -d1) else 0L
       val ki = keys.iterator(); val vi = vals.iterator()
       while (ki.hasNext) {
         val k = ki.next().longValue(); val v = vi.next()
-        if (any && sd(lastKey, k) <= d1) {
+        val trail =
+          if (monthly) any && k >= mTrail
+          else any && sd(lastKey, k) <= d1
+        if (trail) {
           tk += k
           tv += (if (v eq NullToken) null else v)
         }
@@ -2972,8 +3170,7 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
               var q = 0
               while (!stop && q < lk.length) {
                 val k = lk(q).asInstanceOf[Long]
-                val dist = if (fn.desc) lastK - k else k - lastK
-                if (dist >= 0 && dist <= fn.f) {
+                if (fn.withinFwdOf(lastK, k)) {
                   ks += k; vs += lv(q); q += 1
                 } else stop = true
               }
@@ -3264,16 +3461,21 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
           new java.util.ArrayDeque[RunningWindow.PendingRow]()
         private val pendKeys = new java.util.ArrayDeque[java.lang.Long]()
         private val keyExpr = vfFuncs(0).key
-        private val vfDesc = vfFuncs(0).desc
-        private val vfMaxF = vfFuncs.map(_.f).max
         private val vfCap = vfFuncs(0).cap
         private val emptyK = new Array[Long](0)
         private val emptyV = new Array[Any](0)
         private var curKey = 0L
         private var haveCur = false
-        private def sd(later: Long, earlier: Long): Long = {
-          val r = if (vfDesc) earlier - later else later - earlier
-          if (r < 0) Long.MaxValue else r
+        // a pending row releases once the arrival is strictly beyond
+        // EVERY function's frame end for it (fixed: rk + f; monthly:
+        // add_months(rk, +f) — monotone over date keys)
+        private def releasable(cur: Long, rk: Long): Boolean = {
+          var p = 0
+          while (p < vfFuncs.length) {
+            if (!vfFuncs(p).beyond(cur, rk)) return false
+            p += 1
+          }
+          true
         }
         private def release(atEndOfPartition: Boolean): InternalRow = {
           val pr = pending.removeFirst()
@@ -3293,7 +3495,7 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         override def next(): InternalRow = {
           while (true) {
             if (!pending.isEmpty && haveCur &&
-              sd(curKey, pendKeys.peekFirst().longValue()) > vfMaxF)
+              releasable(curKey, pendKeys.peekFirst().longValue()))
               return release(atEndOfPartition = false)
             if (!inner.hasNext) {
               if (pending.isEmpty) throw new NoSuchElementException

@@ -921,6 +921,12 @@ object DocOps {
     StructField("oid", StringType),
     StructField("o_totalprice", DoubleType)))
 
+  /** Test hook: the oid landing's directory (PlanSpec pins the
+    * metadata-prefix path over the landed column itself).
+    */
+  private[graft] def oidLandingDir(s: SparkSession, d: String): String =
+    ordersOidRangeJsonl(s, d)
+
   private def ordersOidRangeJsonl(s: SparkSession, d: String): String =
     built.computeIfAbsent(s"$d#rangeoid", _ => {
       val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
@@ -1422,6 +1428,35 @@ object DocOps {
       .select(col("o_orderkey"), col("o_custkey"),
         col("asof_t").as("o_day"), col("rate"))
 
+  /** VALUE-FRAME window over the KEYED AS-OF layout — q180's carried
+    * snapshot rate with a per-customer 7-DAY rolling mean on top
+    * (`PARTITION BY custkey ORDER BY day RANGE 6 PRECEDING`): the
+    * as-of carry plans as Spark's own WindowExec over the
+    * custkey-banded scan (the layout claim satisfies its clustering),
+    * and the second window's clustering is satisfied by the FIRST
+    * WindowExec's preserved partitioning — two windows, zero exchange
+    * end-to-end (PlanSpec pins it). The enrich-then-smooth shape every
+    * feature pipeline runs after an as-of join, as a pure layout
+    * property. The rate is integer-valued (snap_day × 2) and rides as
+    * a long; the avg divides sum/count per the house rule.
+    */
+  private def q210RangeAsofValueWindow(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.ops.AsOfJoin.layoutKeyedAsOf(s,
+      ordersKeyedAsOfJsonl(s, d), "o_custkey", LongType,
+      keyedAsofLeftSchema, keyedAsofRightSchema, IntegerType)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("asof_t").as("o_day"), col("rate").cast("long").as("rate_l"))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("o_day"))
+      .rangeBetween(-6, Window.currentRow)
+    base.select(col("o_orderkey"), col("o_custkey"), col("o_day"),
+      col("rate_l"),
+      sum(col("rate_l")).over(wv).as("r7_sum"),
+      count(col("rate_l")).over(wv).as("r7_n"))
+      .withColumn("r7_avg", col("r7_sum").cast("double") / col("r7_n"))
+  }
+
   /** The GLOBAL size-based rank family — `percent_rank`, `cume_dist`,
     * `ntile` with no PARTITION BY: all divide by the global row count N,
     * which the sidecar supplies for free, so the whole family plans as
@@ -1768,6 +1803,59 @@ object DocOps {
         col("m1_sum"), col("m1_n"))
       .withColumn("m1_avg", col("m1_sum").cast("double") / col("m1_n"))
 
+  /** MONTH-FOLLOWING value frame over the raw-DATE-banded landing —
+    * `RANGE BETWEEN CURRENT ROW AND INTERVAL '1' MONTH FOLLOWING`
+    * ("orders landing in the month ahead", the forward-looking
+    * calendar twin of q199): each pending row's release bound is its
+    * own `add_months(key, +1)` — non-strictly monotone over DATE keys
+    * (the clamp plateau carries no time-of-day), so the key-released
+    * pending queue applies with zero exchange
+    * ([[graft.plans.RunningWindow.RunRangeFwd]] with `monthly`);
+    * month-forward over TIMESTAMP keys refuses (plateau inversion —
+    * [[graft.plans.RunningWindow.MonthTsDist]]'s adjudication).
+    * DuckDB agrees exactly over dates, so the frame is directly
+    * oracle-checkable; output projects the day int per the house rule.
+    */
+  private def q208RangeMonthAhead(s: SparkSession, d: String): DataFrame =
+    ExtendedJson.read(s, decodedOrdersDate, ordersDateRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("o_orderdate"), col("o_custkey"),
+        expr("CAST(sum(o_custkey) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN CURRENT ROW AND INTERVAL '1' MONTH FOLLOWING) " +
+          "AS BIGINT)").as("ma_sum"),
+        expr("count(*) OVER (ORDER BY o_orderdate " +
+          "RANGE BETWEEN CURRENT ROW AND INTERVAL '1' MONTH FOLLOWING)")
+          .as("ma_n"))
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .as("o_day"), col("o_custkey"), col("ma_sum"), col("ma_n"))
+
+  /** SUFFIX family closure — the q206 remaining-budget shape extended
+    * with `avg(v)` (exact-integer-sum inversion ÷ count,
+    * [[graft.plans.RunningWindow.RunSuffixAvgLong]] — the render is
+    * one IEEE division of exact operands, so the oracle's
+    * `CAST(sum AS DOUBLE)/count` matches bit-for-bit) and
+    * `last_value(v)` (the GLOBAL last in window order — a constant
+    * through the grand fold,
+    * [[graft.plans.RunningWindow.RunSuffixLast]]); zero exchange.
+    * This query's prefix pass COMPUTES (v is a derived alias — no
+    * sidecar borrow — and the last-value carry is order-dependent);
+    * PlanSpec pins the zero-pass metadata prefix for a suffix count
+    * over the landed column itself.
+    */
+  private def q209RangeSuffixClose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("oid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ExtendedJson.read(s, decodedOrdersOid, ordersOidRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+      .select(col("oid"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .select(col("oid"), col("v"),
+        avg(col("v")).over(w).as("rem_avg"),
+        last(col("v")).over(w).as("rem_last"),
+        count(col("v")).over(w).as("rem_n"))
+  }
+
   /** SUFFIX aggregates — the REMAINING-BUDGET shape: `count(v)` /
     * `sum(v)` `OVER (ORDER BY oid ROWS BETWEEN CURRENT ROW AND
     * UNBOUNDED FOLLOWING)` ("tokens left from this document onward" —
@@ -2089,6 +2177,9 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_docsource_range_asof_value_window" -> q210RangeAsofValueWindow,
+    "q209_docsource_range_suffix_close" -> q209RangeSuffixClose,
+    "q208_docsource_range_month_ahead" -> q208RangeMonthAhead,
     "q207_docsource_range_ts_month_window" -> q207RangeTsMonthWindow,
     "q206_docsource_range_remaining_budget" -> q206RangeRemainingBudget,
     "q205_docsource_range_chain_agg" -> q205RangeChainAgg,
@@ -2265,6 +2356,41 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q210_docsource_range_asof_value_window" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day FROM orders), " +
+        "snaps AS (SELECT DISTINCT o_custkey AS ck, o_day AS d FROM o " +
+        "WHERE o_day % 7 = 0), " +
+        "a AS (SELECT o.o_orderkey, o.o_custkey, o.o_day, " +
+        "CAST((SELECT CAST(max(s.d) * 2 AS DOUBLE) FROM snaps s " +
+        "WHERE s.ck = o.o_custkey AND s.d <= o.o_day) AS BIGINT) " +
+        "AS rate_l FROM o) " +
+        "SELECT o_orderkey, o_custkey, o_day, rate_l, " +
+        "CAST(sum(rate_l) OVER w AS BIGINT) AS r7_sum, " +
+        "count(rate_l) OVER w AS r7_n, " +
+        "CAST(CAST(sum(rate_l) OVER w AS BIGINT) AS DOUBLE) / " +
+        "count(rate_l) OVER w AS r7_avg FROM a " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"),
+    "q209_docsource_range_suffix_close" ->
+      ("WITH o AS (SELECT lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders) " +
+        "SELECT oid, v, " +
+        "CAST(sum(v) OVER w AS DOUBLE) / count(v) OVER w AS rem_avg, " +
+        "last_value(v) OVER w AS rem_last, " +
+        "count(v) OVER w AS rem_n FROM o " +
+        "WINDOW w AS (ORDER BY oid " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"),
+    "q208_docsource_range_month_ahead" ->
+      ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od, o_custkey " +
+        "FROM orders) " +
+        "SELECT CAST(datediff('day', DATE '1970-01-01', od) AS INT) " +
+        "AS o_day, o_custkey, " +
+        "CAST(sum(o_custkey) OVER w AS BIGINT) AS ma_sum, " +
+        "count(*) OVER w AS ma_n FROM o " +
+        "WINDOW w AS (ORDER BY od " +
+        "RANGE BETWEEN CURRENT ROW AND INTERVAL 1 MONTH FOLLOWING)"),
     // Spark's RANGE month frame over timestamps uses a FORWARD-ONLY
     // frame head: on month-end clamp plateaus the per-row bound
     // inverts (Mar 29 00:10 − 1 MONTH = Feb 28 00:10 < Mar 28 23:50's

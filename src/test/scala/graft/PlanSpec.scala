@@ -1354,6 +1354,98 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q210 as-of + value window: two WindowExecs over the band claim, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q210_docsource_range_asof_value_window")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    // the as-of carry AND the 7-day rolling mean both run as Spark's
+    // own partitioned WindowExec over the custkey-band claim — no
+    // exchange, no join operator anywhere
+    assert(ns.count(_.isInstanceOf[WindowExec]) == 2 &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(n => n.nodeName.toLowerCase.contains("join")),
+      ns.map(_.nodeName).mkString(", "))
+  }
+
+  test("q209 suffix avg + last_value: band window, zero exchange, metadata where provable") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q209_docsource_range_suffix_close")(spark, sf)
+    val rows = df.collect()
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the last-value carry is order-dependent, so q209 itself computes
+    // its prefix (all-or-nothing totals)…
+    assert(df.queryExecution.executedPlan.toString
+      .contains("prefix=computed"), "q209 prefix source")
+    // …while a suffix COUNT over the LANDED column itself is fully
+    // sidecar-answerable: ZERO data passes for the prefix (q209's own
+    // v is a derived alias, which correctly blocks the sidecar borrow)
+    import org.apache.spark.sql.functions.{col, count}
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("oid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    spark.catalog.clearCache()
+    val metaOnly = graft.ingest.ExtendedJson.read(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("oid",
+          org.apache.spark.sql.types.StringType))),
+      graft.queries.DocOps.oidLandingDir(spark, sf),
+      Map("zoneMaps" -> "true"))
+    val metaDf = metaOnly.select(col("oid"),
+      count(col("oid")).over(w).as("rn"))
+    val mRows = metaDf.collect()
+    assert(mRows.length == rows.length)
+    assert(metaDf.queryExecution.executedPlan.toString
+      .contains("prefix=metadata"), "suffix count metadata prefix: " +
+      metaDf.queryExecution.executedPlan.toString.take(400))
+    // the avg really is the remaining mean: last row's avg = its own v
+    val byOid = rows.sortBy(_.getString(0))
+    val vs = byOid.map(_.getLong(1))
+    assert(byOid.last.getDouble(2) == vs.last.toDouble, "tail avg")
+    assert(byOid.head.getLong(3) == vs.last, "global last carried to head")
+    val mid = vs.length / 2
+    val tail = vs.drop(mid)
+    assert(byOid(mid).getDouble(2) ==
+      tail.map(BigDecimal(_)).sum.toDouble / tail.length,
+      "mid-stream remaining mean")
+  }
+
+  test("q208 month-ahead FOLLOWING frame: band window, zero exchange, calendar release") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q208_docsource_range_month_ahead")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      ns.map(_.nodeName).mkString(", "))
+    // the frame really reaches one CALENDAR month ahead (clamped):
+    // spot-check a mid-span day against the hand sum
+    val byDay = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val days = byDay.map(_._1).distinct.sorted
+    val d0 = days(days.length / 2)
+    val hi = java.time.LocalDate.ofEpochDay(d0.toLong)
+      .plusMonths(1L).toEpochDay
+    val expect = byDay.filter(t => t._1 >= d0 && t._1 <= hi)
+      .map(_._2).sum
+    assert(byDay.filter(_._1 == d0).forall(_._3 == expect),
+      "1-calendar-month-ahead frame spot check")
+  }
+
   test("q206 suffix aggregates: band window, zero exchange, grand-minus-prefix inversion") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -340,6 +340,22 @@ class WindowProps extends AnyFunSuite {
         min(col("v")).over(w.rowsBetween(Window.currentRow,
           Window.unboundedFollowing)).as("remmin"),
         row_number().over(w).as("rn")), root)
+      // suffix AVG (exact-integer-sum inversion ÷ count — values are
+      // small ints, so WindowExec's per-row double refold is exact
+      // too) and suffix LAST_VALUE (the global last; null-v rows make
+      // it a legitimate null sometimes), both ROWS and RANGE forms
+      sets(_.select(col("k"), col("v"),
+        avg(col("v")).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rava"),
+        last(col("v")).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rlast"),
+        count(col("v")).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rn2")), root)
+      sets(_.select(col("k"), col("v"),
+        avg(col("v")).over(w.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("gava"),
+        last(col("v")).over(w.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("glast")), root)
     }
   }
 
@@ -975,10 +991,12 @@ class WindowProps extends AnyFunSuite {
           "INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)").as("x")),
         troot, tSchema)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
-    // …and a MONTH FOLLOWING bound likewise (no monotone per-arrival
-    // release test — calendar arithmetic forward refuses), as does a
+    // MONTH FOLLOWING bounds: over DATE keys the per-row release bound
+    // add_months(rk, +m) is non-strictly monotone, so the pending
+    // queue plans — differential; over TIMESTAMP keys the clamp
+    // plateau inverts with time-of-day and the shape refuses. Also: a
     // node MIXING the key-released pending queue with the row-count
-    // delay ring (each owns the partition's emission order)
+    // delay ring refuses (each owns the partition's emission order)
     val root0 = gen(new scala.util.Random(52), keyPool = 40,
       maxFiles = 2, uniqueKeys = true)
     def refuses(c: org.apache.spark.sql.Column, root: String,
@@ -991,24 +1009,58 @@ class WindowProps extends AnyFunSuite {
         s"$what must fall through: " + ns.map(_.nodeName).mkString(", "))
     }
     val w0 = Window.orderBy(col("k"))
+    val dSchemaF = StructType(Seq(
+      StructField("k", org.apache.spark.sql.types.DateType),
+      StructField("v", LongType)))
+    val dRootF = {
+      val droot = java.nio.file.Files
+        .createTempDirectory("graft_wpropsmf").toString
+      // two files; month-end dates included so the release bound's
+      // clamping (Jan 31 + 1 MONTH = Feb 29 in 2024) exercises
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(droot, "f0.jsonl"),
+        (((1 to 6).map(i => s"""{"k": "2024-0$i-15", "v": $i}""") ++
+          Seq("""{"k": "2024-01-31", "v": 10}""",
+            """{"k": "2024-03-31", "v": 11}"""))
+          .sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(droot, "f1.jsonl"),
+        (((7 to 9).map(i => s"""{"k": "2024-0$i-15", "v": $i}""") ++
+          Seq("""{"k": "2024-08-31", "v": 12}""",
+            """{"k": "2024-10-30", "v": 13}"""))
+          .sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      ZoneMaps.build(spark, droot, dSchemaF, Seq("k"))
+      droot
+    }
+    sets(_.select(col("k"), col("v"),
+      expr("sum(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW " +
+        "AND INTERVAL '1' MONTH FOLLOWING)").as("mf1"),
+      expr("count(v) OVER (ORDER BY k RANGE BETWEEN INTERVAL '2' " +
+        "MONTH PRECEDING AND INTERVAL '1' MONTH FOLLOWING)").as("mpf"),
+      expr("min(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW " +
+        "AND INTERVAL '0-3' YEAR TO MONTH FOLLOWING)").as("mf3")),
+      dRootF, dSchemaF)
+    // ts-month FOLLOWING refuses (plateau inversion — see MonthTsDist)
     refuses(expr("sum(v) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW " +
       "AND INTERVAL '1' MONTH FOLLOWING)"),
       {
-        val droot = java.nio.file.Files
-          .createTempDirectory("graft_wpropsmf").toString
+        val troot2 = java.nio.file.Files
+          .createTempDirectory("graft_wpropsmft").toString
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(droot, "f0.jsonl"),
-          ((1 to 9).map(i => s"""{"k": "2024-0$i-15", "v": $i}""")
+          java.nio.file.Paths.get(troot2, "f0.jsonl"),
+          ((1 to 9).map(i => s"""{"k": "2024-0$i-15T0$i:00:00Z", "v": $i}""")
             .mkString("\n") + "\n").getBytes("UTF-8"))
-        val ds = StructType(Seq(
-          StructField("k", org.apache.spark.sql.types.DateType),
+        val ts = StructType(Seq(
+          StructField("k", org.apache.spark.sql.types.TimestampType),
           StructField("v", LongType)))
-        ZoneMaps.build(spark, droot, ds, Seq("k"))
-        droot
+        ZoneMaps.build(spark, troot2, ts, Seq("k"))
+        troot2
       },
       StructType(Seq(
-        StructField("k", org.apache.spark.sql.types.DateType),
-        StructField("v", LongType))), "month FOLLOWING")
+        StructField("k", org.apache.spark.sql.types.TimestampType),
+        StructField("v", LongType))), "ts-month FOLLOWING")
+    // (a MIXED day/month ±FOLLOWING frame never reaches the strategy:
+    // the analyzer itself rejects SPECIFIED_WINDOW_FRAME_DIFF_TYPES)
     // mixed delay regimes: RANGE ±f + ROWS FOLLOWING in one node
     locally {
       val df = ExtendedJson.read(spark, schema, root0,
