@@ -108,6 +108,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partitioned join). EXACT; a user join hint refuses.
     ext.injectPlannerStrategy(session =>
       new graft.plans.RangeMergeJoinStrategy(session))
+    // interval-overlap join (iv.s <= p.k AND p.k <= iv.e) of two
+    // range-landed drops as a bounded one-pass sweep — the shape Spark
+    // can only nested-loop. EXACT; refuses without sidecar width
+    // bounds or past the active-set cap.
+    ext.injectPlannerStrategy(session =>
+      new graft.plans.RangeIntervalJoinStrategy(session))
     // one-stage GROUP BY over a range-landed drop (rangeAggregation
     // read option): the band layout satisfies the final aggregate's
     // clustered distribution, so partial+final run with zero exchange.

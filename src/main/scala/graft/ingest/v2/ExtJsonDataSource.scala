@@ -1763,6 +1763,21 @@ final class ExtJsonScan(path: String, fullSchema: StructType,
     if (pushed.nonEmpty || runtime.nonEmpty || pushedLimit >= 0 ||
       pushedTopN >= 0 || pushedAggs.nonEmpty || pushedGroups.nonEmpty)
       return None
+    orderedBandFileStatsBound(colName)
+  }
+
+  /** The UPPER-BOUND form of [[orderedBandFileStats]]: pushed/runtime
+    * filters and limits only REMOVE rows, so each planned file's
+    * sidecar (min, max, rows) stays a conservative BOUND on what its
+    * readers can emit — valid for width/population bounding (the
+    * interval join's active-set cap), NEVER for exact totals (the
+    * window's metadata prefix must keep using the completeness-gated
+    * form above). Aggregate pushdown still refuses: the scan's output
+    * rows are no longer the file's rows at all.
+    */
+  private[graft] def orderedBandFileStatsBound(
+      colName: String): Option[Seq[Seq[ZoneMaps.FileStats]]] = {
+    if (pushedAggs.nonEmpty || pushedGroups.nonEmpty) return None
     orderedBandPartitions(colName).map { groups =>
       val statusByPath = listing.map { case (f, _) =>
         f.getPath.toString -> f

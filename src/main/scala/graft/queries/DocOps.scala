@@ -1457,6 +1457,56 @@ object DocOps {
       .withColumn("r7_avg", col("r7_sum").cast("double") / col("r7_n"))
   }
 
+  private val decodedPromos = StructType(Seq(
+    StructField("ps", IntegerType), StructField("pe", IntegerType),
+    StructField("promo_id", LongType)))
+
+  /** The PROMO-WINDOW landing: 5-day promotional windows anchored at
+    * every 11th day of the order calendar, banded on their start day
+    * with the end day zone-indexed alongside — the interval side of
+    * the overlap join (the sidecar's per-file (start, end) spans are
+    * what prove the bounded sweep).
+    */
+  private def promoRangeJsonl(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#rangepromo", _ => {
+      val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val dir =
+        s"${graft.core.Scratch.ephemeralDir(s"graft_extjson_rgpr_$tag")}/promos"
+      val promos = Tables.orders(s, d)
+        .select(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).as("o_day"))
+        .filter(col("o_day") % 11 === 0).distinct()
+        .select(col("o_day").as("ps"),
+          (col("o_day") + lit(4)).as("pe"),
+          expr("CAST(o_day DIV 11 AS BIGINT)").as("promo_id"))
+      graft.sink.CorpusSink.landJsonlRangeIndexed(promos, "ps", dir,
+        numBands = 6, zoneCols = Seq("ps", "pe"))
+      dir
+    })
+
+  /** INTERVAL-OVERLAP join — `promo.ps <= o_day AND o_day <= promo.pe`
+    * (which orders landed inside which promotional window): the
+    * non-equi containment join Spark can only nested-loop, planned as
+    * the bounded one-pass SWEEP over the two range landings
+    * ([[graft.plans.RangeIntervalJoinStrategy]]): each points band
+    * streams once in day order, intervals admit as their start passes
+    * the current day and retire as their end falls behind it — the
+    * active set is plan-bounded from the sidecar's per-file
+    * (start, end) spans and cap-guarded at runtime. Zero exchange,
+    * zero sort; output keeps the day ordering and range-partitioning
+    * claims, so windows and aggregates compose on top.
+    */
+  private def q211RangeIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val p = ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+    val iv = ExtendedJson.read(s, decodedPromos, promoRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+    p.join(iv, iv("ps") <= p("o_day") && p("o_day") <= iv("pe"))
+      .select(col("o_day"), col("o_custkey"), col("ps"), col("pe"),
+        col("promo_id"))
+  }
+
   /** The GLOBAL size-based rank family — `percent_rank`, `cume_dist`,
     * `ntile` with no PARTITION BY: all divide by the global row count N,
     * which the sidecar supplies for free, so the whole family plans as
@@ -2177,6 +2227,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_docsource_range_interval_join" -> q211RangeIntervalJoin,
     "q210_docsource_range_asof_value_window" -> q210RangeAsofValueWindow,
     "q209_docsource_range_suffix_close" -> q209RangeSuffixClose,
     "q208_docsource_range_month_ahead" -> q208RangeMonthAhead,
@@ -2356,6 +2407,15 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q211_docsource_range_interval_join" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders), " +
+        "pr AS (SELECT DISTINCT o_day AS ps, o_day + 4 AS pe, " +
+        "CAST(o_day // 11 AS BIGINT) AS promo_id FROM o " +
+        "WHERE o_day % 11 = 0) " +
+        "SELECT o.o_day, o.o_custkey, pr.ps, pr.pe, pr.promo_id " +
+        "FROM o JOIN pr ON pr.ps <= o.o_day AND o.o_day <= pr.pe"),
     "q210_docsource_range_asof_value_window" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey, " +
         "CAST(datediff('day', DATE '1970-01-01', " +

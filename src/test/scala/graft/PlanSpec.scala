@@ -1354,6 +1354,37 @@ class PlanSpec extends AnyFunSuite {
       "7-calendar-day frame spot check")
   }
 
+  test("q211 interval-overlap join: bounded sweep, zero exchange, no nested loop") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q211_docsource_range_interval_join")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeIntervalJoinExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.nodeName.contains("NestedLoop")),
+      ns.map(_.nodeName).mkString(", "))
+    // containment really holds, and every in-window day matched
+    assert(rows.forall(r => r.getInt(2) <= r.getInt(0) &&
+      r.getInt(0) <= r.getInt(3)), "containment")
+    // a day matches iff it sits within 4 days of the preceding
+    // 11-multiple (positive epoch days, so % is the true remainder)
+    val dayRows = rows.map(_.getInt(0)).distinct
+    assert(dayRows.forall(_ % 11 <= 4), "matched days sit inside a window")
+    // the ordering claim survives collection per partition: spot-check
+    // via a downstream zero-exchange aggregation composing on top
+    import org.apache.spark.sql.functions.{col, count, lit}
+    spark.catalog.clearCache()
+    val agg = SparkEntry.queries("q211_docsource_range_interval_join")(spark, sf)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    agg.collect()
+    val ans = TestPlans.executedNodes(agg)
+    assert(ans.exists(_.isInstanceOf[graft.plans.RangeIntervalJoinExec]),
+      ans.map(_.nodeName).mkString(", "))
+  }
+
   test("q210 as-of + value window: two WindowExecs over the band claim, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec

@@ -497,7 +497,9 @@ class WindowProps extends AnyFunSuite {
     // default is ANSI here); decimal/count suffix forms plan instead
     fallsThrough(sum(col("v"))
       .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    fallsThrough(avg(col("v"))      // double subtraction ≠ the refold
+    // suffix avg over a DOUBLE child refuses (subtraction ≠ the IEEE
+    // refold); the integral-child form plans via exact-sum inversion
+    fallsThrough(avg(col("v").cast("double"))
       .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
     fallsThrough(sum(col("v"))      // unbounded value-forward likewise
       .over(w.rangeBetween(-3, Window.unboundedFollowing)))
