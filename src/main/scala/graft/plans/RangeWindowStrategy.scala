@@ -1272,2338 +1272,3 @@ object RangeWindowStrategy {
   }
 }
 
-/** The running-function specs and their per-partition accumulators.
-  * Each accumulator is a small monoid: `update(row)` folds one row in,
-  * `total()` snapshots the partition's contribution in a driver-portable
-  * form, `mergeTotal(t)` folds a snapshot in (the driver's prefix scan
-  * AND the executor's prefix load are the same operation), `value()`
-  * renders the current state in the function's result type.
-  */
-private[plans] object RunningWindow {
-
-  /** One delayed output row of the deep-lead ring: the copied input row
-    * and its window values (the lead slots fill in as their source rows
-    * arrive, up to n positions later).
-    */
-  private[plans] final class PendingRow(val row: UnsafeRow,
-      val vals: GenericInternalRow)
-
-  /** Retain a value extracted from a TRANSIENT row (a reader's or
-    * buffer's reused holder): UTF8Strings are cloned — they alias the
-    * row's bytes past the next advance — and every other type the
-    * accumulators accept here is an immutable boxed value.
-    */
-  private[plans] def retain(v: Any): Any = v match {
-    case u: UTF8String => u.clone()
-    case other => other
-  }
-
-  /** Emission-delay regimes cannot mix in one Window node: the
-    * row-count ring (deep leads, ROWS FOLLOWING) and the key-released
-    * pending queue (RANGE FOLLOWING) each own the partition's emission
-    * order — a node holding both refuses whole (partial acceleration
-    * would still leave Spark's single-partition WindowExec for the
-    * rest, gaining nothing).
-    */
-  private[plans] def delayCompatible(fs: Seq[RunningFunc]): Boolean =
-    !(fs.exists(_.isInstanceOf[RunRangeFwd]) &&
-      fs.exists(f => f.isInstanceOf[RunLeadN] ||
-        f.isInstanceOf[RunSlidingFwd]))
-
-  sealed trait RunAcc {
-    def update(row: InternalRow): Unit
-    def total(): Any
-    def mergeTotal(t: Any): Unit
-    def value(): Any
-  }
-
-  /** `rowsFrame = true`: the value changes per ROW (updated at emission,
-    * read after the update — `ROWS` frames and `row_number`). False: the
-    * value is constant over an order-ties group (`RANGE` frames, read at
-    * group end; `rank` reads the count at group START instead, see
-    * [[RunRank]]). `orderSensitive = true`: the per-partition TOTAL
-    * depends on row order (the carry functions), so the computed-prefix
-    * pass must run over the SORTED child, not below its sort.
-    */
-  sealed trait RunningFunc extends Serializable {
-    def rowsFrame: Boolean
-    def groupStart: Boolean = false
-    def orderSensitive: Boolean = false
-    def bound(input: Seq[Attribute]): RunningFunc
-    /** `grand`: the fold of EVERY partition's total — the global row
-      * count the size-based rank family (percent_rank, cume_dist, ntile)
-      * divides by; null on the driver's prefix scan, where only
-      * total()/mergeTotal() run.
-      */
-    def newAcc(grand: Any = null): RunAcc
-  }
-
-  private final class CountingAcc(render: Long => Any) extends RunAcc {
-    var n = 0L
-    override def update(row: InternalRow): Unit = n += 1
-    override def total(): Any = java.lang.Long.valueOf(n)
-    override def mergeTotal(t: Any): Unit =
-      if (t != null) n += t.asInstanceOf[java.lang.Long].longValue()
-    override def value(): Any = render(n)
-  }
-
-  final case class RunRowNumber() extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def bound(input: Seq[Attribute]): RunningFunc = this
-    // value read AFTER the row's update: n IS the 1-based row number
-    override def newAcc(grand: Any): RunAcc = new CountingAcc(n => n.toInt)
-  }
-
-  /** Ties never straddle band groups (strict key disjointness), so the
-    * group-START row count + 1 is the global rank of every row in the
-    * tie group — `rank()`'s exact semantics.
-    */
-  final case class RunRank() extends RunningFunc {
-    override def rowsFrame: Boolean = false
-    override def groupStart: Boolean = true
-    override def bound(input: Seq[Attribute]): RunningFunc = this
-    override def newAcc(grand: Any): RunAcc = new CountingAcc(n => (n + 1).toInt)
-  }
-
-  final case class RunCount(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var n = 0L
-      override def update(row: InternalRow): Unit =
-        if (input.eval(row) != null) n += 1
-      override def total(): Any = java.lang.Long.valueOf(n)
-      override def mergeTotal(t: Any): Unit =
-        if (t != null) n += t.asInstanceOf[java.lang.Long].longValue()
-      override def value(): Any = n
-    }
-  }
-
-  /** `ansi = true`: overflow throws (Math.addExact — ANSI Sum's
-    * posture). `ansi = false`: overflow WRAPS silently, matching
-    * WindowExec's default-mode running Sum — and wrap-around addition is
-    * associative mod 2^64, so the per-band prefix decomposition stays
-    * exact in either mode.
-    */
-  final case class RunSumLong(input: Expression, rowsFrame: Boolean,
-      ansi: Boolean) extends RunningFunc {
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var s = 0L
-      var any = false
-      private def add(v: Long): Unit =
-        s = if (ansi) Math.addExact(s, v) else s + v
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) {
-          add(v.asInstanceOf[Number].longValue())
-          any = true
-        }
-      }
-      override def total(): Any =
-        if (any) java.lang.Long.valueOf(s) else null
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        add(t.asInstanceOf[java.lang.Long].longValue())
-        any = true
-      }
-      override def value(): Any = if (any) s else null
-    }
-  }
-
-  /** Running double sums reassociate: (band₀ subtotal) + x is not
-    * bit-identical to WindowExec's strict left fold — the SAME last-ulp
-    * caveat every distributed double aggregation (Spark's own partial
-    * GROUP BY sums included) carries. Exact for the house oracle rule
-    * (never hash-check SUM(double); q-queries sum integers/decimals).
-    */
-  final case class RunSumDouble(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var s = 0.0
-      var any = false
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) { s += v.asInstanceOf[Number].doubleValue(); any = true }
-      }
-      override def total(): Any =
-        if (any) java.lang.Double.valueOf(s) else null
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        s += t.asInstanceOf[java.lang.Double].doubleValue(); any = true
-      }
-      override def value(): Any = if (any) s else null
-    }
-  }
-
-  /** The intermediate fold is an unbounded BigDecimal — exact regardless
-    * of mode; only the RENDER checks the result precision, which is
-    * exactly CheckOverflow's placement in Spark's own Sum: `ansi = true`
-    * throws on overflow, `ansi = false` returns null for the overflowing
-    * rows (and values back in range render normally again).
-    */
-  final case class RunSumDecimal(input: Expression, resultType: DecimalType,
-      rowsFrame: Boolean, ansi: Boolean) extends RunningFunc {
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var s: java.math.BigDecimal = null
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) {
-          val d = v.asInstanceOf[Decimal].toJavaBigDecimal
-          s = if (s == null) d else s.add(d)
-        }
-      }
-      override def total(): Any = s
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val d = t.asInstanceOf[java.math.BigDecimal]
-        s = if (s == null) d else s.add(d)
-      }
-      override def value(): Any =
-        if (s == null) null
-        else {
-          val d = Decimal(s)
-          if (d.changePrecision(resultType.precision, resultType.scale)) d
-          else if (ansi) throw new ArithmeticException(
-            s"running sum overflows ${resultType.simpleString}")
-          else null
-        }
-    }
-  }
-
-  /** SUFFIX aggregates — `count(x)` / `sum(x)` `OVER (ORDER BY k
-    * ROWS|RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)`: the
-    * "remaining total from here" shape (corpus packing's
-    * budget-remaining). The suffix fold inverts from the GRAND fold
-    * minus the prefix — exact for counts, for wrap-mode long sums
-    * (mod-2^64 arithmetic is associative and invertible), and for
-    * decimal sums (unbounded BigDecimal, render-checked like Sum
-    * itself); ANSI long sums REFUSE (a per-row suffix refold can
-    * overflow where grand − prefix does not — subtraction would
-    * silently differ from WindowExec's throw), and double sums/avgs
-    * REFUSE (subtraction is not the refold's IEEE value). RANGE form
-    * reads at group START (the whole tie group belongs to the suffix);
-    * ROWS form snapshots the prefix before the current row. Totals are
-    * order-free — the metadata path answers both from the sidecar with
-    * zero passes.
-    */
-  final case class RunSuffixCount(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def groupStart: Boolean = !rowsFrame
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val g =
-        if (grand == null) 0L
-        else grand.asInstanceOf[java.lang.Long].longValue()
-      var n = 0L
-      var before = 0L
-      override def update(row: InternalRow): Unit = {
-        before = n
-        if (input.eval(row) != null) n += 1
-      }
-      override def total(): Any = java.lang.Long.valueOf(n)
-      override def mergeTotal(t: Any): Unit =
-        if (t != null) n += t.asInstanceOf[java.lang.Long].longValue()
-      override def value(): Any = if (rowsFrame) g - before else g - n
-    }
-  }
-
-  /** Suffix long sum — wrap (non-ANSI) mode only; see the family doc
-    * above. State carries (wrapped sum, non-null count): a zero
-    * remaining count renders SQL's empty-frame NULL.
-    */
-  final case class RunSuffixSumLong(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def groupStart: Boolean = !rowsFrame
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ga = grand.asInstanceOf[Array[Any]]
-      private val gs =
-        if (ga == null) 0L
-        else ga(0).asInstanceOf[java.lang.Long].longValue()
-      private val gn =
-        if (ga == null) 0L
-        else ga(1).asInstanceOf[java.lang.Long].longValue()
-      var s = 0L
-      var n = 0L
-      var sBefore = 0L
-      var nBefore = 0L
-      override def update(row: InternalRow): Unit = {
-        sBefore = s; nBefore = n
-        val v = input.eval(row)
-        if (v != null) { s += v.asInstanceOf[Number].longValue(); n += 1 }
-      }
-      override def total(): Any =
-        Array[Any](java.lang.Long.valueOf(s), java.lang.Long.valueOf(n))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        s += a(0).asInstanceOf[java.lang.Long].longValue()
-        n += a(1).asInstanceOf[java.lang.Long].longValue()
-      }
-      override def value(): Any = {
-        val rn = gn - (if (rowsFrame) nBefore else n)
-        if (rn == 0L) null
-        else java.lang.Long.valueOf(gs - (if (rowsFrame) sBefore else s))
-      }
-    }
-  }
-
-  /** Suffix decimal sum — exact unbounded BigDecimal inversion with
-    * Sum's own render posture (ANSI throws on result overflow, default
-    * nulls it); see the family doc above.
-    */
-  final case class RunSuffixSumDecimal(input: Expression,
-      resultType: DecimalType, rowsFrame: Boolean, ansi: Boolean)
-      extends RunningFunc {
-    override def groupStart: Boolean = !rowsFrame
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ga = grand.asInstanceOf[Array[Any]]
-      private val gs =
-        if (ga == null || ga(0) == null) java.math.BigDecimal.ZERO
-        else ga(0).asInstanceOf[java.math.BigDecimal]
-      private val gn =
-        if (ga == null) 0L
-        else ga(1).asInstanceOf[java.lang.Long].longValue()
-      var s: java.math.BigDecimal = java.math.BigDecimal.ZERO
-      var n = 0L
-      var sBefore: java.math.BigDecimal = java.math.BigDecimal.ZERO
-      var nBefore = 0L
-      override def update(row: InternalRow): Unit = {
-        sBefore = s; nBefore = n
-        val v = input.eval(row)
-        if (v != null) {
-          s = s.add(v.asInstanceOf[Decimal].toJavaBigDecimal)
-          n += 1
-        }
-      }
-      override def total(): Any =
-        Array[Any](s, java.lang.Long.valueOf(n))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        if (a(0) != null) s = s.add(a(0).asInstanceOf[java.math.BigDecimal])
-        n += a(1).asInstanceOf[java.lang.Long].longValue()
-      }
-      override def value(): Any = {
-        val rn = gn - (if (rowsFrame) nBefore else n)
-        if (rn == 0L) null
-        else {
-          val rs = gs.subtract(if (rowsFrame) sBefore else s)
-          val d = Decimal(rs)
-          if (d.changePrecision(resultType.precision, resultType.scale)) d
-          else if (ansi) throw new ArithmeticException(
-            s"suffix sum overflows ${resultType.simpleString}")
-          else null
-        }
-      }
-    }
-  }
-
-  /** Suffix `last(x)` (ignoreNulls = false) — `last_value(x) OVER (…
-    * CURRENT ROW AND UNBOUNDED FOLLOWING)`: every row's frame ends at
-    * the partition's last row, so the answer is ONE constant — the
-    * global last value in window order — delivered through the grand
-    * fold (each band's total is its last value; the driver's band-order
-    * merge lets the latest band win). Order-sensitive: the totals pass
-    * must see the sorted stream. The IGNORE NULLS form is NOT constant
-    * (rows after the last non-null see an all-null suffix) and refuses.
-    */
-  final case class RunSuffixLast(input: Expression) extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val g: Any = grand match {
-        case a: Array[Any]
-            if a(1).asInstanceOf[java.lang.Boolean].booleanValue() => a(0)
-        case _ => null
-      }
-      var cur: Any = null
-      var sawRows = false
-      override def update(row: InternalRow): Unit = {
-        cur = retain(input.eval(row)); sawRows = true
-      }
-      override def total(): Any =
-        Array[Any](cur, java.lang.Boolean.valueOf(sawRows))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        if (a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
-          cur = a(0); sawRows = true
-        }
-      }
-      override def value(): Any = g
-    }
-  }
-
-  /** Suffix `avg(x)` over an INTEGRAL child — sum/count inversion
-    * composed: the suffix's EXACT integer sum (unbounded BigDecimal,
-    * like the decimal suffix sum) and non-null count both invert from
-    * grand − prefix, and the render is one IEEE division
-    * `exactSum.toDouble / count`. Agrees bit-for-bit with WindowExec's
-    * per-row refold whenever every suffix partial sum stays within
-    * double's 2^53 integer-exact range (the refold's left-fold is then
-    * exact too); beyond it this value is the mathematically exact one
-    * where the refold has accumulated rounding. Double/float children
-    * refuse (subtraction is not the refold's IEEE value — the suffix
-    * family doc's posture); an all-null suffix renders SQL NULL.
-    * Totals are order-free — the metadata path answers them from the
-    * sidecar's exact sums with zero passes.
-    */
-  final case class RunSuffixAvgLong(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def groupStart: Boolean = !rowsFrame
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ga = grand.asInstanceOf[Array[Any]]
-      private val gs =
-        if (ga == null || ga(0) == null) java.math.BigDecimal.ZERO
-        else ga(0).asInstanceOf[java.math.BigDecimal]
-      private val gn =
-        if (ga == null) 0L
-        else ga(1).asInstanceOf[java.lang.Long].longValue()
-      var s: java.math.BigDecimal = java.math.BigDecimal.ZERO
-      var n = 0L
-      var sBefore: java.math.BigDecimal = java.math.BigDecimal.ZERO
-      var nBefore = 0L
-      override def update(row: InternalRow): Unit = {
-        sBefore = s; nBefore = n
-        val v = input.eval(row)
-        if (v != null) {
-          s = s.add(java.math.BigDecimal.valueOf(
-            v.asInstanceOf[Number].longValue()))
-          n += 1
-        }
-      }
-      override def total(): Any =
-        Array[Any](s, java.lang.Long.valueOf(n))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        if (a(0) != null) s = s.add(a(0).asInstanceOf[java.math.BigDecimal])
-        n += a(1).asInstanceOf[java.lang.Long].longValue()
-      }
-      override def value(): Any = {
-        val rn = gn - (if (rowsFrame) nBefore else n)
-        if (rn == 0L) null
-        else {
-          val rs = gs.subtract(if (rowsFrame) sBefore else s)
-          java.lang.Double.valueOf(rs.doubleValue() / rn.toDouble)
-        }
-      }
-    }
-  }
-
-  /** Suffix `min(x)` / `max(x)` — not invertible from the grand fold,
-    * so the exec buffers the PARTITION (rows in the spillable window
-    * buffer, this function's values on the heap, cap-guarded — the
-    * RunLeadNulls posture) and precomputes the right-to-left fold
-    * array seeded with the LATER bands' fold (a scalar per partition,
-    * assembled driver-side from the per-band min/max totals — which
-    * the sidecar answers with zero passes). ROWS form reads the fold
-    * at the row's own index; RANGE form at its tie group's first index
-    * (the whole group belongs to the suffix). `value()` is never read —
-    * the accumulator only carries the band total.
-    */
-  final case class RunSuffixMinMax(input: Expression, dt: DataType,
-      isMin: Boolean, rowsForm: Boolean, cap: Long = Long.MaxValue)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ord = TypeUtils.getInterpretedOrdering(dt)
-      var cur: Any = null
-      private def fold(v: Any): Unit =
-        if (cur == null || (ord.compare(v, cur) < 0) == isMin)
-          cur = retain(v)
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) fold(v)
-      }
-      override def total(): Any = cur
-      override def mergeTotal(t: Any): Unit = if (t != null) fold(t)
-      override def value(): Any = null
-    }
-  }
-
-  /** `dense_rank()` — distinct order-key tuples at-or-before the row:
-    * the per-band total is the band's DISTINCT-KEY COUNT (counted by
-    * watching tie boundaries in the sorted stream — order-sensitive, so
-    * the totals pass runs over the sort), and strict band disjointness
-    * means no key straddles a boundary: prefix counts simply ADD. The
-    * only rank-family member with no metadata form (the sidecar has no
-    * distinct counts).
-    */
-  final case class RunDenseRank(order: Seq[SortOrder]) extends RunningFunc {
-    override def rowsFrame: Boolean = false
-    override def groupStart: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(order = order.map(o =>
-        o.copy(child = BindReferences.bindReference(o.child, in))))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ord = new LazilyGeneratedOrdering(order)
-      private var prev: InternalRow = _
-      var nd = 0L
-      override def update(row: InternalRow): Unit =
-        if (prev == null || ord.compare(prev, row) != 0) {
-          nd += 1
-          prev = row.asInstanceOf[UnsafeRow].copy()
-        }
-      override def total(): Any = java.lang.Long.valueOf(nd)
-      override def mergeTotal(t: Any): Unit =
-        if (t != null) nd += t.asInstanceOf[java.lang.Long].longValue()
-      override def value(): Any = (nd + 1).toInt
-    }
-  }
-
-  /** `percent_rank()` — `(rank − 1) / (N − 1)` (0 when N = 1): the
-    * size-based twin of rank; the global N is the fold of every band's
-    * total, which the metadata path reads off the sidecar for free.
-    */
-  final case class RunPercentRank() extends RunningFunc {
-    override def rowsFrame: Boolean = false
-    override def groupStart: Boolean = true
-    override def bound(input: Seq[Attribute]): RunningFunc = this
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val n =
-        if (grand == null) 0L
-        else grand.asInstanceOf[java.lang.Long].longValue()
-      var rows = 0L
-      override def update(row: InternalRow): Unit = rows += 1
-      override def total(): Any = java.lang.Long.valueOf(rows)
-      override def mergeTotal(t: Any): Unit =
-        if (t != null) rows += t.asInstanceOf[java.lang.Long].longValue()
-      override def value(): Any =
-        if (n <= 1L) 0.0 else rows.toDouble / (n - 1).toDouble
-    }
-  }
-
-  /** `cume_dist()` — rows at-or-before the tie group, over N. */
-  final case class RunCumeDist() extends RunningFunc {
-    override def rowsFrame: Boolean = false
-    override def bound(input: Seq[Attribute]): RunningFunc = this
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val n =
-        if (grand == null) 0L
-        else grand.asInstanceOf[java.lang.Long].longValue()
-      var rows = 0L
-      override def update(row: InternalRow): Unit = rows += 1
-      override def total(): Any = java.lang.Long.valueOf(rows)
-      override def mergeTotal(t: Any): Unit =
-        if (t != null) rows += t.asInstanceOf[java.lang.Long].longValue()
-      override def value(): Any = rows.toDouble / n.toDouble
-    }
-  }
-
-  /** `ntile(b)` — Spark's bucketing: the first `N mod b` buckets hold
-    * `N/b + 1` rows, the rest `N/b`; the bucket is a pure function of
-    * (row number, N, b), so the per-band prefix is just the row count.
-    */
-  final case class RunNTile(buckets: Int) extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def bound(input: Seq[Attribute]): RunningFunc = this
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val n =
-        if (grand == null) 0L
-        else grand.asInstanceOf[java.lang.Long].longValue()
-      private val base = if (n > 0) n / buckets else 0L
-      private val rem = if (n > 0) (n % buckets).toInt else 0
-      private val cut = rem.toLong * (base + 1)
-      var rows = 0L
-      override def update(row: InternalRow): Unit = rows += 1
-      override def total(): Any = java.lang.Long.valueOf(rows)
-      override def mergeTotal(t: Any): Unit =
-        if (t != null) rows += t.asInstanceOf[java.lang.Long].longValue()
-      override def value(): Any = {
-        val rn = rows // 1-based after the update
-        if (rn <= cut) ((rn - 1) / (base + 1)).toInt + 1
-        else rem + ((rn - 1 - cut) / math.max(1L, base)).toInt + 1
-      }
-    }
-  }
-
-  /** Running `avg(x)` — sum/count over the cumulative frame, rendered
-    * as their IEEE quotient exactly like Spark's Average (whose sum
-    * buffer is a DOUBLE for every non-decimal input, so the same
-    * reassociation caveat as [[RunSumDouble]] applies to the sum; the
-    * count is exact). No metadata form — the sidecar's exact integer
-    * sums cannot reproduce the double fold.
-    */
-  final case class RunAvgDouble(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var s = 0.0
-      var n = 0L
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) { s += v.asInstanceOf[Number].doubleValue(); n += 1 }
-      }
-      override def total(): Any =
-        Array[Any](java.lang.Double.valueOf(s), java.lang.Long.valueOf(n))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        s += a(0).asInstanceOf[java.lang.Double].doubleValue()
-        n += a(1).asInstanceOf[java.lang.Long].longValue()
-      }
-      override def value(): Any = if (n == 0L) null else s / n
-    }
-  }
-
-  /** `lead(x, 1[, default])` — the NEXT row's value in window order
-    * (the constant default at the very last row): lag's mirror. Its
-    * accumulator serves only the totals pass (the band's FIRST input
-    * value, order-sensitive); the exec evaluates the function itself
-    * with a one-row lookahead over the buffered stream and wires each
-    * band's last row to the next band's first value as a SUFFIX — the
-    * backward-flowing carry of the family. Deterministic under the same
-    * unique-order-key caveat as lag.
-    */
-  final case class RunLead(input: Expression, default: Any = null)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var first: Any = null
-      var sawRows = false
-      override def update(row: InternalRow): Unit =
-        if (!sawRows) { first = retain(input.eval(row)); sawRows = true }
-      override def total(): Any =
-        Array[Any](first, java.lang.Boolean.valueOf(sawRows))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        // driver prefix folds run in band order: the FIRST band's first
-        // value wins (later bands only fill an empty state)
-        val a = t.asInstanceOf[Array[Any]]
-        if (!sawRows && a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
-          first = a(0); sawRows = true
-        }
-      }
-      override def value(): Any = first
-    }
-  }
-
-  /** `lead(x, n[, default])` for n ≥ 2 — the lag ring MIRRORED: the
-    * exec delays each row's emission behind an n-slot ring (the value
-    * arrives with the row n positions ahead), and the per-band total is
-    * the band's FIRST n input values — the bounded backward carry the
-    * lead(1) suffix generalizes to. The accumulator serves only the
-    * totals pass; `value()` is never read (the exec fills lead slots at
-    * ring push / flush time). O(n) memory per partition, same 65,536
-    * guard as the sliding frames.
-    */
-  final case class RunLeadN(input: Expression, n: Int, default: Any)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val firsts =
-        new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
-      override def update(row: InternalRow): Unit =
-        if (firsts.length < n) firsts += retain(input.eval(row))
-      override def total(): Any = firsts.toArray[Any]
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        // band-order fold: an earlier band's firsts take precedence;
-        // later bands only top the window up to n values
-        val a = t.asInstanceOf[Array[Any]]
-        var i = 0
-        while (firsts.length < n && i < a.length) { firsts += a(i); i += 1 }
-      }
-      override def value(): Any = null
-    }
-  }
-
-  /** The bounded sliding aggregate ops — each folds the ≤ n+1 buffered
-    * frame values IN STREAM ORDER, the same per-frame re-evaluation
-    * Spark's SlidingWindowFunctionFrame performs, so double sums are
-    * bit-identical to WindowExec's.
-    */
-  sealed trait SlideOp extends Serializable {
-    def fold(values: Iterator[Any]): Any
-  }
-  object SlideOp {
-    case object Count extends SlideOp {
-      override def fold(values: Iterator[Any]): Any =
-        values.count(_ != null).toLong
-    }
-    final case class SumLong(ansi: Boolean) extends SlideOp {
-      override def fold(values: Iterator[Any]): Any = {
-        var s = 0L; var any = false
-        values.foreach { v =>
-          if (v != null) {
-            val x = v.asInstanceOf[Number].longValue()
-            s = if (ansi) Math.addExact(s, x) else s + x
-            any = true
-          }
-        }
-        if (any) s else null
-      }
-    }
-    case object SumDouble extends SlideOp {
-      override def fold(values: Iterator[Any]): Any = {
-        var s = 0.0; var any = false
-        values.foreach { v =>
-          if (v != null) { s += v.asInstanceOf[Number].doubleValue(); any = true }
-        }
-        if (any) s else null
-      }
-    }
-    final case class SumDecimal(resultType: DecimalType, ansi: Boolean)
-        extends SlideOp {
-      override def fold(values: Iterator[Any]): Any = {
-        var s: java.math.BigDecimal = null
-        values.foreach { v =>
-          if (v != null) {
-            val d = v.asInstanceOf[Decimal].toJavaBigDecimal
-            s = if (s == null) d else s.add(d)
-          }
-        }
-        if (s == null) null
-        else {
-          val d = Decimal(s)
-          if (d.changePrecision(resultType.precision, resultType.scale)) d
-          else if (ansi) throw new ArithmeticException(
-            s"sliding sum overflows ${resultType.simpleString}")
-          else null
-        }
-      }
-    }
-    case object AvgDouble extends SlideOp {
-      override def fold(values: Iterator[Any]): Any = {
-        var s = 0.0; var n = 0L
-        values.foreach { v =>
-          if (v != null) { s += v.asInstanceOf[Number].doubleValue(); n += 1 }
-        }
-        if (n == 0L) null else s / n
-      }
-    }
-    /** `lag(x, n[, default])` over the ring: the OLDEST buffered value
-      * when the ring holds exactly n+1 (the current row plus its n
-      * predecessors — positions count ROWS, so null values ride along),
-      * the constant default while the global position is still under n.
-      */
-    final case class LagN(n: Int, default: Any = null) extends SlideOp {
-      override def fold(values: Iterator[Any]): Any = {
-        var first: Any = null
-        var cnt = 0
-        values.foreach { v => if (cnt == 0) first = v; cnt += 1 }
-        if (cnt == n + 1) first else default
-      }
-    }
-
-    final case class MinMax(dt: DataType, isMin: Boolean) extends SlideOp {
-      @transient private lazy val ord = TypeUtils.getInterpretedOrdering(dt)
-      override def fold(values: Iterator[Any]): Any = {
-        var cur: Any = null
-        values.foreach { v =>
-          if (v != null &&
-            (cur == null || (ord.compare(v, cur) < 0) == isMin)) cur = v
-        }
-        cur
-      }
-    }
-  }
-
-  /** `agg(x) OVER (ORDER BY k ROWS BETWEEN n PRECEDING AND CURRENT
-    * ROW)` — the bounded sliding frame: the accumulator keeps a ring of
-    * the last ≤ n+1 evaluated input values (retained — UTF8Strings
-    * cloned), each row's value folds the ring in stream order, and the
-    * per-band TOTAL is the band's last ≤ n values — the bounded,
-    * order-sensitive carry the lag(1) prefix generalizes to. Prefix
-    * merge is `(earlier ++ later).takeRight(n)`, associative by
-    * construction. O(n) per row — exactly the re-evaluation Spark's own
-    * sliding frame pays, minus its single-partition collapse.
-    */
-  final case class RunSliding(input: Expression, n: Int, op: SlideOp)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ring = new java.util.ArrayDeque[AnyRef](n + 1)
-      private val NullToken: AnyRef = RunSliding.NullToken
-      private def push(v: Any, cap: Int): Unit = {
-        ring.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
-        while (ring.size > cap) ring.removeFirst()
-      }
-      override def update(row: InternalRow): Unit =
-        push(retain(input.eval(row)), n + 1)
-      override def total(): Any = {
-        val vals = ring.toArray
-        val keep = vals.drop(math.max(0, vals.length - n))
-        val out = new Array[Any](keep.length)
-        var i = 0
-        while (i < keep.length) {
-          out(i) = if (keep(i) eq NullToken) null else keep(i)
-          i += 1
-        }
-        out
-      }
-      override def mergeTotal(t: Any): Unit = if (t != null)
-        // band-order fold: later values append after earlier ones, the
-        // ring trims to the last n (a prefix can never exceed n values)
-        t.asInstanceOf[Array[Any]].foreach(push(_, n))
-      override def value(): Any = op match {
-        // lag is O(1) on the ring: size and oldest element are direct
-        // deque queries — no per-row scan of up-to-n values (Spark's own
-        // OffsetWindowFunctionFrame is O(1) per row too)
-        case SlideOp.LagN(k, d) =>
-          if (ring.size == k + 1) {
-            val v = ring.peekFirst()
-            if (v eq NullToken) null else v
-          } else d
-        case _ =>
-          val it = ring.iterator()
-          op.fold(new Iterator[Any] {
-            override def hasNext: Boolean = it.hasNext
-            override def next(): Any = {
-              val v = it.next()
-              if (v eq NullToken) null else v
-            }
-          })
-      }
-    }
-  }
-
-  object RunSliding {
-    /** ArrayDeque rejects nulls; legitimate null inputs ride as this
-      * sentinel and unwrap at fold/snapshot time.
-      */
-    private[RunningWindow] val NullToken: AnyRef = new java.io.Serializable {
-      override def toString: String = "<null>"
-    }
-  }
-
-  /** `agg(x) OVER (ORDER BY k ROWS BETWEEN n PRECEDING|CURRENT ROW AND
-    * m FOLLOWING)` — the bounded FOLLOWING frame (the centered moving
-    * average): row i's frame is values [i−n .. i+m], complete only when
-    * row i+m arrives, so the exec DELAYS emission behind the m-slot
-    * ring it already runs for deep leads and fills each row's slot from
-    * [[FwdAcc.foldFill]] when its +m row lands (the deque then holds
-    * exactly the frame: last ≤ n+m+1 values ending at i+m, clipped at
-    * the global start by construction). At partition end the ≤ m
-    * still-delayed rows read [[FwdAcc.foldFlush]] — the deque's last
-    * n+1+d in-partition values plus the next bands' first m−d values
-    * (the forward SUFFIX, default-free: past the global end the frame
-    * just clips). The per-band total carries (last ≤ n values, first
-    * ≤ m values) — the preceding context the NEXT band's early rows
-    * seed from, and the forward suffix the PREVIOUS band's late rows
-    * read. O(n+m) memory per function per partition; fold order is
-    * stream order, so double sums are bit-identical to Spark's
-    * SlidingWindowFunctionFrame.
-    */
-  final case class RunSlidingFwd(input: Expression, n: Int, m: Int,
-      op: SlideOp) extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new FwdAcc(input, n, m, op)
-  }
-
-  private[plans] final class FwdAcc(input: Expression, n: Int, m: Int,
-      op: SlideOp) extends RunAcc {
-    private val NullToken: AnyRef = RunSliding.NullToken
-    private val cap = n + m + 1
-    private val ring = new java.util.ArrayDeque[AnyRef](math.min(cap, 4096))
-    private val firsts =
-      new scala.collection.mutable.ArrayBuffer[Any](math.min(m, 64))
-    private def push(v: Any, c: Int): Unit = {
-      ring.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
-      while (ring.size > c) ring.removeFirst()
-    }
-    override def update(row: InternalRow): Unit = {
-      val v = retain(input.eval(row))
-      if (firsts.length < m) firsts += v
-      push(v, cap)
-    }
-    /** (band's last ≤ n values, band's first ≤ m values). */
-    override def total(): Any = {
-      val vals = ring.toArray
-      val keep = vals.drop(math.max(0, vals.length - n))
-      val lastN = new Array[Any](keep.length)
-      var i = 0
-      while (i < keep.length) {
-        lastN(i) = if (keep(i) eq NullToken) null else keep(i)
-        i += 1
-      }
-      Array[Any](lastN, firsts.toArray[Any])
-    }
-    /** Band-order fold of the PRECEDING context: later values append
-      * after earlier ones, trimmed to the last n (the only part a later
-      * band's early frames can reach).
-      */
-    override def mergeTotal(t: Any): Unit = if (t != null)
-      t.asInstanceOf[Array[Any]](0).asInstanceOf[Array[Any]]
-        .foreach(push(_, math.max(n, 0)))
-    /** Never the emitted value — the exec fills slots at ring time. */
-    override def value(): Any = null
-    private def unwrapped(a: Array[AnyRef], from: Int): Iterator[Any] =
-      new Iterator[Any] {
-        private var i = from
-        override def hasNext: Boolean = i < a.length
-        override def next(): Any = {
-          val v = a(i); i += 1
-          if (v eq NullToken) null else v
-        }
-      }
-    /** Frame fold at FILL time (row i's +m row just updated): the whole
-      * deque IS the frame — last min(seen, n+m+1) values ending at i+m.
-      */
-    private[plans] def foldFill(): Any = {
-      val it = ring.iterator()
-      op.fold(new Iterator[Any] {
-        override def hasNext: Boolean = it.hasNext
-        override def next(): Any = {
-          val v = it.next()
-          if (v eq NullToken) null else v
-        }
-      })
-    }
-    /** Frame fold at FLUSH time (partition ended; this row has d < m
-      * rows after it in the partition): the deque's last n+1+d values
-      * (the in-partition frame part ending at the partition's last row)
-      * then the suffix's first m−d values (the next bands' firsts; the
-      * global end just clips).
-      */
-    private[plans] def foldFlush(d: Int, suffix: Array[Any]): Any = {
-      val vals = ring.toArray
-      val take = math.min(vals.length, n + 1 + d)
-      val inPart = unwrapped(vals, vals.length - take)
-      val sTake = math.min(suffix.length, m - d)
-      op.fold(inPart ++ suffix.iterator.take(sTake))
-    }
-  }
-
-  /** The value-frame boundary pair, as distances ≥ 0 from the current
-    * key in the KEY's own units — `lo` is the far (eviction) bound,
-    * `hi` the near (admission) bound (0 = CURRENT ROW; `hi > 0` is the
-    * dual-bound lagged frame `lo PRECEDING AND hi PRECEDING`).
-    * [[FixedDist]] is linear key arithmetic (integral keys,
-    * day-intervals over DATE keys, day-time intervals over TIMESTAMP
-    * keys); [[MonthDist]] is calendar arithmetic over DATE keys — the
-    * bound is `add_months(current, -m)` with LocalDate's month-end
-    * clamping, bit-identical to Spark's own DateAddYMInterval boundary,
-    * and monotone in the key (so front-eviction stays valid).
-    */
-  sealed trait RangeDist extends Serializable
-  final case class FixedDist(lo: Long, hi: Long) extends RangeDist
-  final case class MonthDist(lo: Int, hi: Int) extends RangeDist
-
-  /** Calendar months over a TIMESTAMP band key — single-bound frames
-    * (`m MONTH PRECEDING AND CURRENT ROW`) only: the bound is Spark's
-    * own `timestampAddMonths(current, −m, zone)` — wall-clock month
-    * arithmetic in the SESSION timezone with month-end clamping,
-    * bit-identical to the TimestampAddYMInterval boundary Spark's own
-    * WindowExec evaluates for this frame. UNLIKE the DATE form, the
-    * timestamp bound is NOT monotone in the key: clamping collapses a
-    * run of month-end days onto one target day, so within that plateau
-    * the bound follows TIME-OF-DAY against the key's date order
-    * (Mar 28 23:50 − 1 MONTH = Feb 28 23:50, but Mar 29 00:10 − 1
-    * MONTH = Feb 28 00:10 — the bound steps BACKWARD as the key
-    * advances). Spark's WindowExec resolves the inversion with its
-    * FORWARD-ONLY frame-head pointer: the effective frame start is the
-    * RUNNING MAX of the per-row bounds, never retreating — and
-    * eviction-by-current-bound reproduces exactly that (the retained
-    * set is "entries ≥ every bound seen so far", per band and across
-    * the prefix merge alike). An engine evaluating the exact per-row
-    * bound instead (DuckDB does) differs on precisely those plateau
-    * rows — an oracle must encode the running-max bound explicitly
-    * (q207 does). Dual-bound ts-month frames REFUSE: the upper bound
-    * inverts the same way, and matching Spark's forward-only upper
-    * pointer would need its running-max state carried across bands.
-    * TIMESTAMP_NTZ keys pin `zone` to UTC (zone-less local-calendar
-    * arithmetic).
-    */
-  final case class MonthTsDist(lo: Int, hi: Int, zone: String)
-      extends RangeDist
-
-  /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d PRECEDING AND [CURRENT
-    * ROW | d2 PRECEDING])` — the VALUE-based sliding frame (the 7-day
-    * mean; the lagged "week ending 3 days ago"; the 3-MONTH rolling
-    * mean over a date key): the accumulator retains (key, value) pairs
-    * and EVICTS by key distance (past the lo bound from the current
-    * key — or the mirrored direction under DESC), so the buffer holds
-    * exactly the frame's live rows; each group-end value folds the
-    * buffered values that clear the hi (admission) bound, in stream
-    * order (RANGE CURRENT ROW spans the whole tie group, so the value
-    * is group-scoped — tie groups share the frame, SQL's peer
-    * semantics). The per-band TOTAL is the band's own trailing frame
-    * (entries within lo of its last key — every future row is farther
-    * out, so nothing else can matter), merged band-to-band with the
-    * same eviction. Memory is O(live frame rows) of (long, value)
-    * pairs — the SAME row population Spark's own WindowExec buffers as
-    * whole spillable rows for this frame, held smaller; each FUNCTION
-    * keeps its own buffer (n functions over one frame hold the live
-    * values n times — still value-sized). `cap` bounds the live buffer
-    * at runtime: where the strategy could not prove a plan-time bound
-    * from the sidecar (chain windows, filtered scans), a frame denser
-    * than the cap fails fast with the conf to raise instead of
-    * accreting toward an executor OOM — Spark's own WindowExec (which
-    * spills) is the right plan for those. The layout proof is
-    * null-free, so the key never needs a null peer group.
-    */
-  final case class RunRangeSliding(key: Expression, input: Expression,
-      dist: RangeDist, desc: Boolean, op: SlideOp,
-      cap: Long = Long.MaxValue) extends RunningFunc {
-    override def rowsFrame: Boolean = false
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(key = BindReferences.bindReference(key, in),
-        input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val NullToken: AnyRef = RunSliding.NullToken
-      private val keys = new java.util.ArrayDeque[java.lang.Long]()
-      private val vals = new java.util.ArrayDeque[AnyRef]()
-      // keep entry k for current key c: ASC → c - k ≤ lo (k can never
-      // exceed c in a sorted stream); DESC → k - c ≤ lo. The
-      // subtraction is always of (later − earlier) in stream order,
-      // hence mathematically ≥ 0 — a WRAPPED (negative) result means
-      // the true distance exceeds the Long range entirely, which is
-      // certainly > lo (64-bit hash-id keys can legitimately span that
-      // far). Admission mirrors it: distance ≥ hi.
-      private def wdist(later: Long, earlier: Long): Long = {
-        val r = later - earlier
-        if (r < 0) Long.MaxValue else r
-      }
-      // month bounds cache per current key: the calendar adds run once
-      // per row, not once per buffered entry. Eviction by the current
-      // row's bound implements Spark's own forward-only frame-head
-      // pointer EXACTLY: the retained set is "entries ≥ the running
-      // max of every bound so far", which is what WindowExec's
-      // non-retreating head produces on the timestamp clamp plateau's
-      // bound inversions (see MonthTsDist — dates are plateau-equal,
-      // so exact and running-max coincide there)
-      private var mFor = Long.MinValue
-      private var mHave = false
-      private var mEvict = 0L
-      private var mAdmit = 0L
-      private lazy val tsZone: java.time.ZoneId = dist match {
-        case MonthTsDist(_, _, z) =>
-          org.apache.spark.sql.catalyst.util.DateTimeUtils
-            .getZoneId(z)
-        case _ => java.time.ZoneOffset.UTC
-      }
-      private def monthBounds(cur: Long, lo: Int, hi: Int): Unit =
-        if (!mHave || cur != mFor) {
-          dist match {
-            case _: MonthTsDist =>
-              import org.apache.spark.sql.catalyst.util.DateTimeUtils
-              if (desc) {
-                mEvict = DateTimeUtils.timestampAddMonths(cur, lo, tsZone)
-                mAdmit = DateTimeUtils.timestampAddMonths(cur, hi, tsZone)
-              } else {
-                mEvict = DateTimeUtils.timestampAddMonths(cur, -lo, tsZone)
-                mAdmit = DateTimeUtils.timestampAddMonths(cur, -hi, tsZone)
-              }
-            case _ =>
-              val ld = java.time.LocalDate.ofEpochDay(cur)
-              if (desc) {
-                mEvict = ld.plusMonths(lo.toLong).toEpochDay
-                mAdmit = ld.plusMonths(hi.toLong).toEpochDay
-              } else {
-                mEvict = ld.minusMonths(lo.toLong).toEpochDay
-                mAdmit = ld.minusMonths(hi.toLong).toEpochDay
-              }
-          }
-          mFor = cur; mHave = true
-        }
-      private def keep(cur: Long, k: Long): Boolean = dist match {
-        case FixedDist(lo, _) =>
-          (if (desc) wdist(k, cur) else wdist(cur, k)) <= lo
-        case MonthDist(lo, hi) =>
-          monthBounds(cur, lo, hi)
-          if (desc) k <= mEvict else k >= mEvict
-        case MonthTsDist(lo, hi, _) =>
-          monthBounds(cur, lo, hi)
-          if (desc) k <= mEvict else k >= mEvict
-      }
-      private def admit(cur: Long, k: Long): Boolean = dist match {
-        case FixedDist(_, hi) =>
-          hi == 0L || (if (desc) wdist(k, cur) else wdist(cur, k)) >= hi
-        case MonthDist(lo, hi) =>
-          monthBounds(cur, lo, hi)
-          if (desc) k >= mAdmit else k <= mAdmit
-        case MonthTsDist(_, _, _) =>
-          // ts-months plan single-bound only (upper = CURRENT ROW, so
-          // every retained entry is in frame): a dual-bound upper
-          // would need Spark's running-max pointer state carried
-          // across bands, and the strategy refuses that shape instead
-          true
-      }
-      private var curKey = 0L
-      private def evict(cur: Long): Unit = {
-        var go = true
-        while (go && !keys.isEmpty) {
-          val k = keys.peekFirst().longValue()
-          if (!keep(cur, k)) {
-            keys.removeFirst(); vals.removeFirst()
-          } else go = false
-        }
-      }
-      override def update(row: InternalRow): Unit = {
-        val c = key.eval(row).asInstanceOf[Number].longValue()
-        curKey = c
-        evict(c)
-        keys.addLast(java.lang.Long.valueOf(c))
-        val v = retain(input.eval(row))
-        vals.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
-        if (keys.size > cap) throw new org.apache.spark.SparkException(
-          s"graft range-window frame exceeds $cap live rows per " +
-            "function; raise spark.graft.window.maxRangeFrameRows or " +
-            "let Spark's spillable window plan this frame")
-      }
-      override def total(): Any = {
-        val ks = new Array[Any](keys.size)
-        val vs = new Array[Any](vals.size)
-        var i = 0
-        val ki = keys.iterator(); val vi = vals.iterator()
-        while (ki.hasNext) {
-          ks(i) = ki.next().longValue()
-          val v = vi.next()
-          vs(i) = if (v eq NullToken) null else v
-          i += 1
-        }
-        Array[Any](ks, vs)
-      }
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        val ks = a(0).asInstanceOf[Array[Any]]
-        val vs = a(1).asInstanceOf[Array[Any]]
-        var i = 0
-        while (i < ks.length) {
-          keys.addLast(java.lang.Long.valueOf(ks(i).asInstanceOf[Long]))
-          vals.addLast(if (vs(i) == null) NullToken
-            else vs(i).asInstanceOf[AnyRef])
-          i += 1
-        }
-        // the merged band's own last key is the tightest future bound
-        if (!keys.isEmpty) evict(keys.peekLast().longValue())
-      }
-      override def value(): Any = {
-        val ki = keys.iterator(); val vi = vals.iterator()
-        op.fold(new Iterator[Any] {
-          private var nextV: Any = _
-          private var haveNext = false
-          private def advance(): Unit =
-            while (!haveNext && ki.hasNext) {
-              val k = ki.next().longValue()
-              val v = vi.next()
-              if (admit(curKey, k)) {
-                nextV = if (v eq NullToken) null else v
-                haveNext = true
-              }
-            }
-          override def hasNext: Boolean = { advance(); haveNext }
-          override def next(): Any = {
-            advance()
-            if (!haveNext) throw new NoSuchElementException
-            haveNext = false
-            nextV
-          }
-        })
-      }
-    }
-  }
-
-  /** `agg(x) OVER (ORDER BY k RANGE BETWEEN d1 PRECEDING|CURRENT ROW
-    * AND f FOLLOWING)` — the value-based FOLLOWING frame (the ±window
-    * around each event): row r's frame is every key in
-    * [r.key − d1, r.key + f] (stream-mirrored under DESC), complete
-    * only once a key strictly beyond r.key + f arrives — so the exec
-    * holds pending rows in a key-released queue and this accumulator
-    * is the live (key, value) buffer they fold from. Eviction keeps
-    * entries within d1 of the OLDEST pending key (not the current
-    * one — later pendings still need them); both the buffer and the
-    * queue are population-bounded by the d1+f-wide window, plan-bounded
-    * by the sidecar sweep and `cap`-guarded at runtime. Per-band totals
-    * carry the band's TRAILING entries (within d1 of its last key — the
-    * next band's preceding prefix, merged exactly like the trailing
-    * frame), its LEADING entries (within f of its first key — the
-    * previous band's forward suffix), and its first/last keys (the
-    * driver's suffix-assembly stop bound). Bound kinds: FIXED
-    * (integral / day / day-time — linear key distances), or MONTHLY
-    * over a DATE key (`monthly = true`: d1/f are MONTH counts and the
-    * bounds are `add_months(rk, ∓m)` with LocalDate's clamping —
-    * non-strictly monotone over dates since the clamp plateau carries
-    * no time-of-day, so each pending row's release bound
-    * `add_months(rk, +f)` IS a valid per-arrival release test; ASC
-    * only, enforced at parse). Month-forward over TIMESTAMP keys
-    * refuses: the ts clamp plateau inverts with time-of-day (see
-    * MonthTsDist) and the release/eviction tests would need Spark's
-    * forward-only pointer state.
-    */
-  final case class RunRangeFwd(key: Expression, input: Expression,
-      d1: Long, f: Long, desc: Boolean, op: SlideOp,
-      cap: Long = Long.MaxValue, monthly: Boolean = false)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = false
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(key = BindReferences.bindReference(key, in),
-        input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new FwdRangeAcc(this)
-    /** `cur` is strictly beyond the frame end of a row keyed `rk` —
-      * the pending queue's release test.
-      */
-    private[plans] def beyond(cur: Long, rk: Long): Boolean =
-      if (monthly) cur > addMonthsDay(rk, f)
-      else {
-        val r = if (desc) rk - cur else cur - rk
-        (if (r < 0) Long.MaxValue else r) > f
-      }
-    /** `k` is at-or-after `anchor` in stream order and within the
-      * forward reach — the suffix-assembly walk's stop test.
-      */
-    private[plans] def withinFwdOf(anchor: Long, k: Long): Boolean =
-      if (monthly) k >= anchor && k <= addMonthsDay(anchor, f)
-      else {
-        val r = if (desc) anchor - k else k - anchor
-        r >= 0 && r <= f
-      }
-  }
-
-  /** `add_months` over an epoch-day key — LocalDate's month-end
-    * clamping, the same arithmetic Spark's DateAddYMInterval applies.
-    */
-  private[plans] def addMonthsDay(day: Long, m: Long): Long =
-    java.time.LocalDate.ofEpochDay(day).plusMonths(m).toEpochDay
-
-  /** The live buffer + totals accumulator of [[RunRangeFwd]]. Stream
-    * distance: `sd(later, earlier)` is the non-negative key distance in
-    * STREAM direction (ASC: later − earlier; DESC mirrored); a wrapped
-    * (negative) subtraction reads as "farther than any bound".
-    */
-  private[plans] final class FwdRangeAcc(spec: RunRangeFwd) extends RunAcc {
-    import spec.{cap, d1, desc, f, monthly, op}
-    private val NullToken: AnyRef = RunSliding.NullToken
-    private val keys = new java.util.ArrayDeque[java.lang.Long]()
-    private val vals = new java.util.ArrayDeque[AnyRef]()
-    // the band's first ≤f-window entries, for the totals' leading part
-    private val leadK = new scala.collection.mutable.ArrayBuffer[Long]()
-    private val leadV = new scala.collection.mutable.ArrayBuffer[Any]()
-    private var firstKey = 0L
-    private var lastKey = 0L
-    private var any = false
-    // set once mergeTotal seeds this acc (the EVAL pass): the leading
-    // buffers are only ever read from the totals pass's snapshots, so
-    // an eval-pass acc skips their accumulation entirely (mergeTotal
-    // seeds firstKey with the previous band's lastKey, which would
-    // otherwise anchor a dead, f-window-bounded append per partition)
-    private var prefixSeeded = false
-
-    private def sd(later: Long, earlier: Long): Long = {
-      val r = if (desc) earlier - later else later - earlier
-      if (r < 0) Long.MaxValue else r
-    }
-    /** Evict entries farther than d1 BEFORE `low` (the oldest key any
-      * still-pending row's frame can reach back from). A wrapped
-      * (negative) distance of a stream-before entry means the true span
-      * exceeds the Long range — certainly > d1, evicted.
-      */
-    private[plans] def evictBefore(low: Long): Unit = {
-      val mLow = if (monthly) addMonthsDay(low, -d1) else 0L
-      var go = true
-      while (go && !keys.isEmpty) {
-        val k = keys.peekFirst().longValue()
-        val drop =
-          if (monthly) k < mLow
-          else {
-            val before = if (desc) k >= low else k <= low
-            val dist = if (desc) k - low else low - k
-            before && (dist < 0 || dist > d1)
-          }
-        if (drop) {
-          keys.removeFirst(); vals.removeFirst()
-        } else go = false
-      }
-    }
-    /** One arriving row's (key, value); `low` = oldest pending key.
-      * Values are retained here (the consumer evals them from pending
-      * rows whose buffers the buffer entries outlive).
-      */
-    private[plans] def arrive(k: Long, v: Any, low: Long): Unit = {
-      evictBefore(low)
-      val rv = retain(v)
-      keys.addLast(java.lang.Long.valueOf(k))
-      vals.addLast(if (rv == null) NullToken else rv.asInstanceOf[AnyRef])
-      if (!any) { firstKey = k; any = true }
-      lastKey = k
-      if (!prefixSeeded && spec.withinFwdOf(firstKey, k)) {
-        leadK += k; leadV += rv
-      }
-      if (keys.size > cap) throw new org.apache.spark.SparkException(
-        s"graft range-following frame exceeds $cap live rows per " +
-          "function; raise spark.graft.window.maxRangeFrameRows or let " +
-          "Spark's spillable window plan this frame")
-    }
-    /** Frame fold for the pending row at `rk`: buffered entries within
-      * the frame, then suffix entries (all strictly after the band)
-      * within f.
-      */
-    private[plans] def foldFor(rk: Long, sufK: Array[Long],
-        sufV: Array[Any]): Any = {
-      // monthly frame bounds, computed once per pending row
-      val mLo = if (monthly) addMonthsDay(rk, -d1) else 0L
-      val mHi = if (monthly) addMonthsDay(rk, f) else 0L
-      val ki = keys.iterator(); val vi = vals.iterator()
-      op.fold(new Iterator[Any] {
-        private var si = 0
-        private var nextV: Any = _
-        private var haveNext = false
-        private def inFrame(k: Long): Boolean =
-          if (monthly) k >= mLo && k <= mHi
-          else {
-            // entry before-or-at rk ⇒ within d1; after ⇒ within f
-            val back = sd(rk, k)
-            if (back != Long.MaxValue) back <= d1 || sd(k, rk) <= f
-            else sd(k, rk) <= f
-          }
-        private def advance(): Unit = {
-          while (!haveNext && ki.hasNext) {
-            val k = ki.next().longValue()
-            val v = vi.next()
-            if (inFrame(k)) {
-              nextV = if (v eq NullToken) null else v
-              haveNext = true
-            }
-          }
-          while (!haveNext && si < sufK.length) {
-            val k = sufK(si); val v = sufV(si); si += 1
-            val in = if (monthly) k <= mHi else sd(k, rk) <= f
-            if (in) { nextV = v; haveNext = true }
-          }
-        }
-        override def hasNext: Boolean = { advance(); haveNext }
-        override def next(): Any = {
-          advance()
-          if (!haveNext) throw new NoSuchElementException
-          haveNext = false
-          nextV
-        }
-      })
-    }
-    override def update(row: InternalRow): Unit = {
-      // totals-pass form: no pending queue exists — the oldest key a
-      // future row can reach back from is the current key itself
-      val k = spec.key.eval(row).asInstanceOf[Number].longValue()
-      arrive(k, spec.input.eval(row), k)
-    }
-    /** (trailing keys, trailing vals, leading keys, leading vals,
-      * lastKey | null, firstKey | null).
-      */
-    override def total(): Any = {
-      val tk = new scala.collection.mutable.ArrayBuffer[Any]()
-      val tv = new scala.collection.mutable.ArrayBuffer[Any]()
-      val mTrail = if (monthly && any) addMonthsDay(lastKey, -d1) else 0L
-      val ki = keys.iterator(); val vi = vals.iterator()
-      while (ki.hasNext) {
-        val k = ki.next().longValue(); val v = vi.next()
-        val trail =
-          if (monthly) any && k >= mTrail
-          else any && sd(lastKey, k) <= d1
-        if (trail) {
-          tk += k
-          tv += (if (v eq NullToken) null else v)
-        }
-      }
-      Array[Any](tk.toArray[Any], tv.toArray[Any],
-        leadK.toArray[Any], leadV.toArray[Any],
-        if (any) java.lang.Long.valueOf(lastKey) else null,
-        if (any) java.lang.Long.valueOf(firstKey) else null)
-    }
-    /** Prefix fold: the earlier bands' trailing entries seed the buffer
-      * (band order); leading parts are consumed by the driver's suffix
-      * assembly, not here.
-      */
-    override def mergeTotal(t: Any): Unit = if (t != null) {
-      prefixSeeded = true
-      val a = t.asInstanceOf[Array[Any]]
-      val tk = a(0).asInstanceOf[Array[Any]]
-      val tv = a(1).asInstanceOf[Array[Any]]
-      var i = 0
-      while (i < tk.length) {
-        keys.addLast(java.lang.Long.valueOf(tk(i).asInstanceOf[Long]))
-        vals.addLast(if (tv(i) == null) NullToken
-          else tv(i).asInstanceOf[AnyRef])
-        i += 1
-      }
-      if (a(4) != null) {
-        val lk = a(4).asInstanceOf[java.lang.Long].longValue()
-        if (!any) { firstKey = lk; any = true } // prefix only seeds keys
-        lastKey = lk
-        evictBefore(lk)
-      }
-    }
-    override def value(): Any = null
-  }
-
-  /** `lag(x, 1[, default])` — the previous row's value in window order
-    * (the constant default at the very first row): the global delta /
-    * time-series step shape.
-    * Order-sensitive; the prefix is the PRECEDING band's last row value,
-    * carried as a (value, sawRows) pair so an earlier band's legitimate
-    * null value is distinguishable from an empty prefix and still
-    * overrides. Like Spark's own lag, the value among equal order keys
-    * follows stream order — deterministic only when the order key is
-    * unique (the landing's tiebreak makes the STREAM deterministic, but
-    * the assignment within ties is layout-defined, exactly as WindowExec's
-    * is partition-defined).
-    */
-  final case class RunLag(input: Expression, default: Any = null)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var prev: Any = null
-      var sawRows = false
-      var emitVal: Any = null
-      override def update(row: InternalRow): Unit = {
-        emitVal = if (sawRows) prev else default
-        prev = retain(input.eval(row))
-        sawRows = true
-      }
-      override def total(): Any =
-        Array[Any](prev, java.lang.Boolean.valueOf(sawRows))
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        if (a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
-          prev = a(0); sawRows = true
-        }
-      }
-      override def value(): Any = emitVal
-    }
-  }
-
-  /** `lag(x, n[, default]) IGNORE NULLS` — the n-th most recent
-    * NON-NULL value among strictly preceding rows: a deque of the last
-    * ≤ n non-null values (nulls never enter), with the emitted value
-    * snapshotted BEFORE the current row folds in. The per-band total is
-    * the band's last ≤ n non-nulls; prefix merges append in band order
-    * and trim from the front — the lag ring's null-skipping twin.
-    */
-  final case class RunLagNulls(input: Expression, n: Int, default: Any)
-      extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val buf = new java.util.ArrayDeque[AnyRef](n)
-      private var emitVal: Any = default
-      private def push(v: Any): Unit = {
-        buf.addLast(v.asInstanceOf[AnyRef])
-        if (buf.size > n) buf.removeFirst()
-      }
-      override def update(row: InternalRow): Unit = {
-        emitVal = if (buf.size == n) buf.peekFirst() else default
-        val v = input.eval(row)
-        if (v != null) push(retain(v))
-      }
-      override def total(): Any = {
-        val out = new Array[Any](buf.size)
-        val it = buf.iterator()
-        var i = 0
-        while (it.hasNext) { out(i) = it.next(); i += 1 }
-        out
-      }
-      override def mergeTotal(t: Any): Unit = if (t != null)
-        t.asInstanceOf[Array[Any]].foreach(push)
-      override def value(): Any = emitVal
-    }
-  }
-
-  /** `lead(x, n[, default]) IGNORE NULLS` — the n-th NON-NULL value
-    * strictly after the row: a null run defers the lookahead
-    * unboundedly, so no bounded ring evaluates it; instead the exec
-    * buffers the PARTITION (rows in the spillable window buffer — the
-    * same population Spark's own UnboundedFollowing frame buffers —
-    * plus this function's non-null values on the heap, `cap`-guarded)
-    * and answers each row by INDEX into the partition's non-null value
-    * list: the n-th non-null after row i is global non-null index
-    * c_i + n − 1, where c_i counts non-nulls at-or-before i — a
-    * two-pointer second pass, O(rows) total. The cross-band SUFFIX is
-    * the later bands' first ≤ n non-nulls (this accumulator's total;
-    * the totals pass runs over the sorted stream); past the global end
-    * the constant default applies. The accumulator never evaluates the
-    * function — `value()` is never read.
-    */
-  final case class RunLeadNulls(input: Expression, n: Int, default: Any,
-      cap: Long = Long.MaxValue) extends RunningFunc {
-    override def rowsFrame: Boolean = true
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val firsts =
-        new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
-      override def update(row: InternalRow): Unit =
-        if (firsts.length < n) {
-          val v = input.eval(row)
-          if (v != null) firsts += retain(v)
-        }
-      override def total(): Any = firsts.toArray[Any]
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        // driver prefix-scan fold only — evaluation never reads these
-        // offsets; band order tops the window up like the deep-lead one
-        val a = t.asInstanceOf[Array[Any]]
-        var i = 0
-        while (firsts.length < n && i < a.length) { firsts += a(i); i += 1 }
-      }
-      override def value(): Any = null
-    }
-  }
-
-  /** Running `last(x, ignoreNulls = true)` — the forward-fill / as-of
-    * CARRY: at each row, the most recent non-null value at-or-before it
-    * in the window order. Order-sensitive: a band's total is its LAST
-    * non-null in sorted order, and the prefix merge lets a later band's
-    * non-null total REPLACE an earlier one (nulls pass the carry
-    * through) — merged strictly in band order on the driver.
-    */
-  final case class RunLastNonNull(input: Expression, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var cur: Any = null
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) cur = retain(v)
-      }
-      override def total(): Any = cur
-      override def mergeTotal(t: Any): Unit = if (t != null) cur = t
-      override def value(): Any = cur
-    }
-  }
-
-  /** `first_value(x[, ignoreNulls])` — the stream's first (non-null)
-    * value: a backward carry that never changes once set. The prefix
-    * merge lets the EARLIEST band's set value win (the exec merges the
-    * offset before any row updates, so an earlier band's value blocks
-    * later ones — exactly stream order).
-    */
-  final case class RunFirstValue(input: Expression, ignoreNulls: Boolean,
-      rowsFrame: Boolean) extends RunningFunc {
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      var v: Any = null
-      var set = false
-      override def update(row: InternalRow): Unit = if (!set) {
-        val x = input.eval(row)
-        if (x != null || !ignoreNulls) { v = retain(x); set = true }
-      }
-      override def total(): Any =
-        Array[Any](v, java.lang.Boolean.valueOf(set))
-      override def mergeTotal(t: Any): Unit = if (t != null && !set) {
-        val a = t.asInstanceOf[Array[Any]]
-        if (a(1).asInstanceOf[java.lang.Boolean].booleanValue()) {
-          v = a(0); set = true
-        }
-      }
-      override def value(): Any = v
-    }
-  }
-
-  /** `nth_value(x, n[, ignoreNulls])` over the cumulative frame — the
-    * n-th (non-null) value from the stream's start: null until n
-    * qualifying rows arrive, constant after. The prefix is the earlier
-    * bands' first ≤ n qualifying values, merged earliest-first.
-    */
-  final case class RunNth(input: Expression, n: Int, ignoreNulls: Boolean,
-      rowsFrame: Boolean) extends RunningFunc {
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val firsts =
-        new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 64))
-      override def update(row: InternalRow): Unit =
-        if (firsts.length < n) {
-          val x = input.eval(row)
-          if (x != null || !ignoreNulls) firsts += retain(x)
-        }
-      override def total(): Any = firsts.toArray[Any]
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        var i = 0
-        while (firsts.length < n && i < a.length) { firsts += a(i); i += 1 }
-      }
-      override def value(): Any =
-        if (firsts.length >= n) firsts(n - 1) else null
-    }
-  }
-
-  /** `max_by` / `min_by(value, ordering)` — the running ARGMAX carry:
-    * the value at the best non-null ordering seen so far. Strict
-    * comparison keeps the FIRST pair among ordering ties in stream
-    * order — Spark's own MaxBy/MinBy update posture — which also makes
-    * the band-order prefix merge exact (earlier bands merge first, and
-    * a later equal ordering never replaces). A null VALUE at the best
-    * ordering is a legitimate answer; only null orderings are skipped.
-    */
-  final case class RunMinMaxBy(valueExpr: Expression, ordExpr: Expression,
-      ordType: DataType, isMax: Boolean, rowsFrame: Boolean)
-      extends RunningFunc {
-    override def orderSensitive: Boolean = true
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(valueExpr = BindReferences.bindReference(valueExpr, in),
-        ordExpr = BindReferences.bindReference(ordExpr, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ord = TypeUtils.getInterpretedOrdering(ordType)
-      var bestOrd: Any = null
-      var bestVal: Any = null
-      // STRICT inequality: an equal ordering never replaces — the first
-      // pair in stream order wins ties, like Spark's own update
-      private def better(o: Any): Boolean = bestOrd == null || {
-        val c = ord.compare(o, bestOrd)
-        if (isMax) c > 0 else c < 0
-      }
-      override def update(row: InternalRow): Unit = {
-        val o = ordExpr.eval(row)
-        if (o != null && better(o)) {
-          bestOrd = retain(o)
-          bestVal = retain(valueExpr.eval(row))
-        }
-      }
-      override def total(): Any = Array[Any](bestOrd, bestVal)
-      override def mergeTotal(t: Any): Unit = if (t != null) {
-        val a = t.asInstanceOf[Array[Any]]
-        if (a(0) != null && better(a(0))) {
-          bestOrd = a(0); bestVal = a(1)
-        }
-      }
-      override def value(): Any = bestVal
-    }
-  }
-
-  final case class RunMinMax(input: Expression, dt: DataType,
-      isMin: Boolean, rowsFrame: Boolean) extends RunningFunc {
-    override def bound(in: Seq[Attribute]): RunningFunc =
-      copy(input = BindReferences.bindReference(input, in))
-    override def newAcc(grand: Any): RunAcc = new RunAcc {
-      private val ord = TypeUtils.getInterpretedOrdering(dt)
-      var cur: Any = null
-      private def fold(v: Any): Unit =
-        if (cur == null || (ord.compare(v, cur) < 0) == isMin)
-          cur = retain(v)
-      override def update(row: InternalRow): Unit = {
-        val v = input.eval(row)
-        if (v != null) fold(v)
-      }
-      override def total(): Any = cur
-      override def mergeTotal(t: Any): Unit = if (t != null) fold(t)
-      override def value(): Any = cur
-    }
-  }
-}
-
-/** Per-partition running-window evaluation over an order-claiming child
-  * (the strategy guarantees the child streams each partition in
-  * `orderSpec` order, partitions globally ordered). `partitionTotals`:
-  * per-partition per-function totals from the SIDECAR, or None — then
-  * one narrow pass computes them (below the per-band sort when one
-  * exists: totals are order-free). Tie groups buffer in a spillable
-  * UnsafeRow array (all-equal-keys is memory-bounded the same way
-  * Spark's own WindowExec partitions are).
-  */
-case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
-    funcs: Seq[RunningWindow.RunningFunc], orderSpec: Seq[SortOrder],
-    partitionTotals: Option[Seq[Array[Any]]], child: SparkPlan)
-    extends UnaryExecNode {
-
-  override def output: Seq[Attribute] =
-    child.output ++ windowExprs.map(_.toAttribute)
-
-  override def outputPartitioning: Partitioning = child.outputPartitioning
-
-  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
-
-  override lazy val metrics: Map[String, SQLMetric] = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
-      "number of output rows"),
-    // columns the computed-totals pass actually decoded (0 = metadata
-    // prefix, no pass at all) — the narrowing observability hook
-    "totalsPassColumns" -> SQLMetrics.createMetric(sparkContext,
-      "totals pass columns"))
-
-  override def stringArgs: Iterator[Any] = Iterator(
-    windowExprs.map(_.name).mkString("[", ", ", "]"),
-    orderSpec.mkString("[", ", ", "]"),
-    if (partitionTotals.isDefined) "prefix=metadata" else "prefix=computed")
-
-  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
-    copy(child = newChild)
-
-  /** The totals pass never needs the per-band sort (totals are
-    * order-free) — run it below a local SortExec when that is the
-    * direct child shape.
-    */
-  private def unsortedChild(p: SparkPlan): SparkPlan = p match {
-    case s: SortExec if !s.global => s.child
-    case w: WholeStageCodegenExec => unsortedChild(w.child)
-    case _ => p
-  }
-
-  /** A column-pruned clone of the totals pass's plan: the second stream
-    * over the data (or over the whole merge-join chain — q192's 2×-IO
-    * shape) re-reads the same files and partitions but CONVERTS only
-    * the columns the accumulators fold, instead of the query's full
-    * output. Structure-preserving: same partitioning, same merge keys,
-    * same filters; None for any shape it can't prove (the caller runs
-    * the full plan — never wrong, just unpruned).
-    */
-  private def narrowTotalsPlan(p: SparkPlan,
-      needed: org.apache.spark.sql.catalyst.expressions.AttributeSet)
-      : Option[SparkPlan] = p match {
-    case w: WholeStageCodegenExec => narrowTotalsPlan(w.child, needed)
-    case a: org.apache.spark.sql.execution.InputAdapter =>
-      narrowTotalsPlan(a.child, needed)
-    case s: SortExec if !s.global =>
-      narrowTotalsPlan(s.child, needed ++
-        org.apache.spark.sql.catalyst.expressions.AttributeSet(
-          s.sortOrder.flatMap(_.references)))
-        .map(SortExec(s.sortOrder, global = false, _))
-    case pr: org.apache.spark.sql.execution.ProjectExec =>
-      val kept = pr.projectList.filter(ne => needed.contains(ne.toAttribute))
-      if (kept.isEmpty) None
-      else narrowTotalsPlan(pr.child,
-        org.apache.spark.sql.catalyst.expressions.AttributeSet(
-          kept.flatMap(_.references)))
-        .map(org.apache.spark.sql.execution.ProjectExec(kept, _))
-    case f: org.apache.spark.sql.execution.FilterExec =>
-      narrowTotalsPlan(f.child, needed ++ f.condition.references)
-        .map(org.apache.spark.sql.execution.FilterExec(f.condition, _))
-    case o: OrderedBandScanExec
-        if o.scan != null && o.scan.partCols.isEmpty &&
-          o.scan.pushedAggs.isEmpty &&
-          // a pushed sort/top-N could reference a column the pruning
-          // drops — the narrowed reader would then fail to bind its
-          // sort ordering; those modes run the unpruned plan instead
-          o.scan.pushedSorts.isEmpty && o.scan.pushedTopN < 0 =>
-      val keep = needed ++
-        org.apache.spark.sql.catalyst.expressions.AttributeSet(
-          o.sortOrder.flatMap(_.references))
-      val kept = o.output.filter(keep.contains)
-      if (kept.isEmpty || kept.length == o.output.length) None
-      else Some(o.copy(output = kept,
-        scan = o.scan.pruneTo(kept.map(_.name))))
-    case m: RangeMergeJoinExec => m.narrowForTotals(needed)
-    case _ => None
-  }
-
-  override protected def doExecute(): RDD[InternalRow] = {
-    val childOut = child.output
-    val bound = funcs.map(_.bound(childOut))
-    val totals: Seq[Array[Any]] = partitionTotals.getOrElse {
-      // carry functions' totals depend on row order: their pass must see
-      // the sorted stream; order-free totals run below the local sort
-      val base =
-        if (bound.exists(_.orderSensitive)) child else unsortedChild(child)
-      // …and CONVERTS only the columns the accumulators read: the
-      // narrowed clone streams the same partitions with the rest of the
-      // query's columns left undecoded (totals snapshots are plain
-      // values, so binding against the narrow output changes nothing
-      // downstream)
-      val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
-        windowExprs.flatMap(_.references))
-      val (tPlan, tBound) = narrowTotalsPlan(base, needed) match {
-        case Some(np) if needed.subsetOf(np.outputSet) =>
-          (np, funcs.map(_.bound(np.output)))
-        case _ => (base, bound)
-      }
-      longMetric("totalsPassColumns") += tPlan.output.length
-      sparkContext.runJob(tPlan.execute(),
-        (it: Iterator[InternalRow]) => {
-          val accs = tBound.map(_.newAcc())
-          it.foreach(r => accs.foreach(_.update(r)))
-          accs.map(_.total()).toArray
-        }).toSeq
-    }
-    // driver-side exclusive prefix scan: offsets(i) = fold of totals < i
-    val scanAccs = bound.map(_.newAcc())
-    val offsets: Array[Array[Any]] = totals.indices.map { i =>
-      val off = scanAccs.map(_.total()).toArray
-      scanAccs.zip(totals(i)).foreach { case (a, t) => a.mergeTotal(t) }
-      off
-    }.toArray
-    // ...and the GRAND fold (every partition merged) — the global N the
-    // size-based rank family divides by
-    val grands: Array[Any] = scanAccs.map(_.total()).toArray
-    // lead's carry flows BACKWARD: partition i's last row reads the
-    // FIRST input value of the next non-empty partition — wired as a
-    // per-partition suffix (lead blocks the metadata path, so `totals`
-    // here are always the computed ones holding each band's first value)
-    val leadIdxs: Array[Int] = bound.zipWithIndex
-      .collect { case (_: RunningWindow.RunLead, j) => j }.toArray
-    val leadSuffixes: Array[Array[Any]] =
-      if (leadIdxs.isEmpty) null
-      else Array.tabulate(totals.length) { i =>
-        leadIdxs.map { j =>
-          totals.drop(i + 1).iterator
-            .map(_(j).asInstanceOf[Array[Any]])
-            .collectFirst {
-              case a if a(1).asInstanceOf[java.lang.Boolean].booleanValue() =>
-                a(0)
-            }.getOrElse( // no later band has rows: the global last row —
-              // the constant default is what fell off the end
-              bound(j).asInstanceOf[RunningWindow.RunLead].default)
-        }
-      }
-    // deep leads (n ≥ 2): emission delays behind an n-slot ring; each
-    // partition's SUFFIX is the concatenation of the LATER partitions'
-    // first-n values (each RunLeadN total is its band's first ≤ n input
-    // values), padded to exactly n with the constant default — the
-    // values the partition's last n rows read from beyond its end
-    val deepIdxs: Array[Int] = bound.zipWithIndex
-      .collect { case (_: RunningWindow.RunLeadN, j) => j }.toArray
-    val deepSuffixes: Array[Array[Array[Any]]] =
-      if (deepIdxs.isEmpty) null
-      else Array.tabulate(totals.length) { i =>
-        deepIdxs.map { j =>
-          val f = bound(j).asInstanceOf[RunningWindow.RunLeadN]
-          val out = new Array[Any](f.n)
-          var z = 0
-          while (z < f.n) { out(z) = f.default; z += 1 }
-          var k = 0
-          totals.drop(i + 1).iterator
-            .map(_(j).asInstanceOf[Array[Any]])
-            .takeWhile(_ => k < f.n)
-            .foreach { a =>
-              var q = 0
-              while (k < f.n && q < a.length) { out(k) = a(q); k += 1; q += 1 }
-            }
-          out
-        }
-      }
-    // bounded-FOLLOWING frames also ride the delay ring: a partition's
-    // forward SUFFIX per function is the LATER partitions' first-m
-    // values concatenated (each RunSlidingFwd total = (last n, first m))
-    // — default-free, the global end just clips the frame
-    // lead IGNORE NULLS: per-partition SUFFIX = the later partitions'
-    // first ≤ n non-null values concatenated (each total is its band's
-    // firsts) — default-free; past the global end the constant default
-    // applies at read time
-    val lnIdxs: Array[Int] = bound.zipWithIndex
-      .collect { case (_: RunningWindow.RunLeadNulls, j) => j }.toArray
-    // suffix min/max: the LATER bands' fold per partition — a scalar
-    // assembled from the per-band totals (sidecar-free on the metadata
-    // path), seeding each partition's backward fold array
-    val smIdxs: Array[Int] = bound.zipWithIndex
-      .collect { case (_: RunningWindow.RunSuffixMinMax, j) => j }.toArray
-    val smLaters: Array[Array[Any]] =
-      if (smIdxs.isEmpty) null
-      else Array.tabulate(totals.length) { i =>
-        smIdxs.map { j =>
-          val f = bound(j).asInstanceOf[RunningWindow.RunSuffixMinMax]
-          val ord = TypeUtils.getInterpretedOrdering(f.dt)
-          var acc: Any = null
-          totals.drop(i + 1).foreach { t =>
-            val v = t(j)
-            if (v != null &&
-              (acc == null || (ord.compare(v, acc) < 0) == f.isMin))
-              acc = v
-          }
-          acc
-        }
-      }
-    val lnSuffixes: Array[Array[Array[Any]]] =
-      if (lnIdxs.isEmpty) null
-      else Array.tabulate(totals.length) { i =>
-        lnIdxs.map { j =>
-          val f = bound(j).asInstanceOf[RunningWindow.RunLeadNulls]
-          val buf = new scala.collection.mutable.ArrayBuffer[Any](
-            math.min(f.n, 64))
-          totals.drop(i + 1).iterator
-            .map(_(j).asInstanceOf[Array[Any]])
-            .takeWhile(_ => buf.length < f.n)
-            .foreach { a =>
-              var q = 0
-              while (buf.length < f.n && q < a.length) {
-                buf += a(q); q += 1
-              }
-            }
-          buf.toArray[Any]
-        }
-      }
-    // value-based FOLLOWING frames: per-partition forward SUFFIX per
-    // function = the later partitions' LEADING (key, value) entries up
-    // to this partition's lastKey + f, assembled from the totals
-    // (leading arrays ascend across bands, so the walk stops at the
-    // first beyond-bound entry; a wrapped distance reads as beyond)
-    val vfIdxs: Array[Int] = bound.zipWithIndex
-      .collect { case (_: RunningWindow.RunRangeFwd, j) => j }.toArray
-    val vfSuffixes: Array[Array[(Array[Long], Array[Any])]] =
-      if (vfIdxs.isEmpty) null
-      else Array.tabulate(totals.length) { i =>
-        vfIdxs.map { j =>
-          val fn = bound(j).asInstanceOf[RunningWindow.RunRangeFwd]
-          val ks = new scala.collection.mutable.ArrayBuffer[Long]()
-          val vs = new scala.collection.mutable.ArrayBuffer[Any]()
-          val myLast = totals(i)(j).asInstanceOf[Array[Any]](4)
-          if (myLast != null) {
-            val lastK = myLast.asInstanceOf[java.lang.Long].longValue()
-            var stop = false
-            val it = totals.iterator.drop(i + 1)
-            while (!stop && it.hasNext) {
-              val a = it.next()(j).asInstanceOf[Array[Any]]
-              val lk = a(2).asInstanceOf[Array[Any]]
-              val lv = a(3).asInstanceOf[Array[Any]]
-              var q = 0
-              while (!stop && q < lk.length) {
-                val k = lk(q).asInstanceOf[Long]
-                if (fn.withinFwdOf(lastK, k)) {
-                  ks += k; vs += lv(q); q += 1
-                } else stop = true
-              }
-            }
-          }
-          (ks.toArray, vs.toArray)
-        }
-      }
-    val fwdIdxs: Array[Int] = bound.zipWithIndex
-      .collect { case (_: RunningWindow.RunSlidingFwd, j) => j }.toArray
-    val fwdSuffixes: Array[Array[Array[Any]]] =
-      if (fwdIdxs.isEmpty) null
-      else Array.tabulate(totals.length) { i =>
-        fwdIdxs.map { j =>
-          val f = bound(j).asInstanceOf[RunningWindow.RunSlidingFwd]
-          val buf = new scala.collection.mutable.ArrayBuffer[Any](
-            math.min(f.m, 64))
-          totals.drop(i + 1).iterator
-            .map(_(j).asInstanceOf[Array[Any]](1).asInstanceOf[Array[Any]])
-            .takeWhile(_ => buf.length < f.m)
-            .foreach { a =>
-              var q = 0
-              while (buf.length < f.m && q < a.length) {
-                buf += a(q); q += 1
-              }
-            }
-          buf.toArray[Any]
-        }
-      }
-    val ordering = new LazilyGeneratedOrdering(orderSpec, childOut)
-    val schema = output
-    val inMemT = conf.windowExecBufferInMemoryThreshold
-    val spillT = conf.windowExecBufferSpillThreshold
-    val spillSize = conf.windowExecBufferSpillSizeThreshold
-    val rows = longMetric("numOutputRows")
-    val rdd = child.execute()
-    require(partitionTotals.isEmpty ||
-      rdd.getNumPartitions == totals.length,
-      s"band window prefix count ${totals.length} != " +
-        s"${rdd.getNumPartitions} partitions")
-    rdd.mapPartitionsWithIndex { (i, iter0) =>
-      val accs = bound.zip(grands).map { case (f, g) => f.newAcc(g) }
-      accs.zip(offsets(i)).foreach { case (a, o) => a.mergeTotal(o) }
-      // lead IGNORE NULLS: buffer the partition FIRST (rows in the
-      // spillable window buffer, each function's non-null values on the
-      // heap, cap-guarded) — every row then answers by INDEX into the
-      // non-null list (see RunLeadNulls); the stream the rest of the
-      // pipeline sees is the buffered replay, same rows same order
-      val lnFuncs: Array[RunningWindow.RunLeadNulls] = lnIdxs.map(j =>
-        bound(j).asInstanceOf[RunningWindow.RunLeadNulls])
-      val lnSuffix: Array[Array[Any]] =
-        if (lnIdxs.isEmpty) null else lnSuffixes(i)
-      val lnCnt = new Array[Long](lnIdxs.length)
-      val smFuncs: Array[RunningWindow.RunSuffixMinMax] = smIdxs.map(j =>
-        bound(j).asInstanceOf[RunningWindow.RunSuffixMinMax])
-      val smLater: Array[Any] = if (smIdxs.isEmpty) null else smLaters(i)
-      // suffix-fold arrays, built backward after the buffering pass
-      var smSuffix: Array[Array[Any]] = null
-      val lnPass: (Iterator[InternalRow], Array[Array[Any]]) =
-        if (lnIdxs.isEmpty && smIdxs.isEmpty) (iter0, null)
-        else {
-          val pbuf = new ExternalAppendOnlyUnsafeRowArray(inMemT,
-            spillSize, spillT, spillSize)
-          val collected = lnFuncs.map(_ =>
-            new scala.collection.mutable.ArrayBuffer[Any])
-          val smCollected = smFuncs.map(_ =>
-            new scala.collection.mutable.ArrayBuffer[Any])
-          while (iter0.hasNext) {
-            val r = iter0.next().asInstanceOf[UnsafeRow]
-            var p = 0
-            while (p < lnIdxs.length) {
-              val v = lnFuncs(p).input.eval(r)
-              if (v != null) {
-                collected(p) += RunningWindow.retain(v)
-                if (collected(p).length > lnFuncs(p).cap)
-                  throw new org.apache.spark.SparkException(
-                    s"graft lead-ignore-nulls buffer exceeds " +
-                      s"${lnFuncs(p).cap} values; raise " +
-                      "spark.graft.window.maxRangeFrameRows or let " +
-                      "Spark's spillable window plan this function")
-              }
-              p += 1
-            }
-            p = 0
-            while (p < smIdxs.length) {
-              smCollected(p) += RunningWindow.retain(
-                smFuncs(p).input.eval(r))
-              if (smCollected(p).length > smFuncs(p).cap)
-                throw new org.apache.spark.SparkException(
-                  s"graft suffix-min/max buffer exceeds " +
-                    s"${smFuncs(p).cap} values; raise " +
-                    "spark.graft.window.maxRangeFrameRows or let " +
-                    "Spark's spillable window plan this function")
-              p += 1
-            }
-            pbuf.add(r)
-          }
-          smSuffix = smFuncs.zipWithIndex.map { case (f, p) =>
-            val ord = TypeUtils.getInterpretedOrdering(f.dt)
-            val vals = smCollected(p)
-            val out = new Array[Any](vals.length)
-            var acc: Any = smLater(p)
-            var q = vals.length - 1
-            while (q >= 0) {
-              val v = vals(q)
-              if (v != null &&
-                (acc == null || (ord.compare(v, acc) < 0) == f.isMin))
-                acc = v
-              out(q) = acc
-              q -= 1
-            }
-            out
-          }
-          (pbuf.generateIterator(), collected.map(_.toArray[Any]))
-        }
-      val iter = lnPass._1
-      val lnVals = lnPass._2
-      // per-partition row index + tie-group start index for the
-      // suffix-fold reads (ROWS form reads its own row; RANGE form the
-      // group's first)
-      var pbRowIdx = 0
-      var groupStartIdx = 0
-      // lead is rows-framed but evaluated by LOOKAHEAD (n = 1) or the
-      // delay ring (n ≥ 2), not through its accumulator — exclude both
-      // from the per-row update set
-      val perRow = bound.zipWithIndex.filter(f => f._1.rowsFrame &&
-        !f._1.isInstanceOf[RunningWindow.RunLead] &&
-        !f._1.isInstanceOf[RunningWindow.RunLeadN] &&
-        !f._1.isInstanceOf[RunningWindow.RunLeadNulls] &&
-        !f._1.isInstanceOf[RunningWindow.RunSuffixMinMax]).map(_._2)
-      val leadInputs: Array[Expression] = leadIdxs.map(j =>
-        bound(j).asInstanceOf[RunningWindow.RunLead].input)
-      val leadSuffix: Array[Any] =
-        if (leadIdxs.isEmpty) null else leadSuffixes(i)
-      val deepFuncs: Array[RunningWindow.RunLeadN] = deepIdxs.map(j =>
-        bound(j).asInstanceOf[RunningWindow.RunLeadN])
-      val deepSuffix: Array[Array[Any]] =
-        if (deepIdxs.isEmpty) null else deepSuffixes(i)
-      val fwdFuncs: Array[RunningWindow.RunSlidingFwd] = fwdIdxs.map(j =>
-        bound(j).asInstanceOf[RunningWindow.RunSlidingFwd])
-      val fwdAccs: Array[RunningWindow.FwdAcc] = fwdIdxs.map(j =>
-        accs(j).asInstanceOf[RunningWindow.FwdAcc])
-      val fwdSuffix: Array[Array[Any]] =
-        if (fwdIdxs.isEmpty) null else fwdSuffixes(i)
-      val vfFuncs: Array[RunningWindow.RunRangeFwd] = vfIdxs.map(j =>
-        bound(j).asInstanceOf[RunningWindow.RunRangeFwd])
-      val vfAccs: Array[RunningWindow.FwdRangeAcc] = vfIdxs.map(j =>
-        accs(j).asInstanceOf[RunningWindow.FwdRangeAcc])
-      val vfSuffix: Array[(Array[Long], Array[Any])] =
-        if (vfIdxs.isEmpty) null else vfSuffixes(i)
-      val deep = deepIdxs.nonEmpty || fwdIdxs.nonEmpty || vfIdxs.nonEmpty
-      val atStart = bound.zipWithIndex
-        .filter(f => !f._1.rowsFrame && f._1.groupStart).map(_._2)
-      // RANGE-FOLLOWING funcs are group-scoped semantically but
-      // evaluated by the pending-queue consumer, not at group end
-      val atEnd = bound.zipWithIndex
-        .filter(f => !f._1.rowsFrame && !f._1.groupStart &&
-          !f._1.isInstanceOf[RunningWindow.RunRangeFwd]).map(_._2)
-      val groupScoped = atStart ++ atEnd
-      val buf = new ExternalAppendOnlyUnsafeRowArray(inMemT, spillSize,
-        spillT, spillSize)
-      val winRow = new GenericInternalRow(bound.length)
-      val joined = new JoinedRow
-      val proj = UnsafeProjection.create(schema, schema)
-      // the deep-lead path emits DELAYED carriers (copied row + its
-      // window values) instead of projected rows — type-erased so the
-      // common path stays allocation-free per row
-      val inner: Iterator[AnyRef] = new Iterator[AnyRef] {
-        private val groupVals = new Array[Any](bound.length)
-        private var pending: UnsafeRow = _
-        private var emit: Iterator[AnyRef] = Iterator.empty
-
-        private def loadGroup(): Unit = {
-          buf.clear()
-          val first =
-            if (pending != null) pending
-            else iter.next().asInstanceOf[UnsafeRow].copy()
-          pending = null
-          groupStartIdx = pbRowIdx // the group's rows emit from here
-          atStart.foreach(j => groupVals(j) = accs(j).value())
-          buf.add(first)
-          groupScoped.foreach(j => accs(j).update(first))
-          var open = true
-          while (open && iter.hasNext) {
-            val r = iter.next().asInstanceOf[UnsafeRow]
-            if (ordering.compare(first, r) == 0) {
-              buf.add(r)
-              groupScoped.foreach(j => accs(j).update(r))
-            } else { pending = r.copy(); open = false }
-          }
-          atEnd.foreach(j => groupVals(j) = accs(j).value())
-          // lead's one-row lookahead: a second iterator over the same
-          // buffer, one position ahead; the group's last row reads
-          // `pending` (the next group's first row, already copied) or,
-          // at partition end, the next band's first value (the suffix)
-          val ahead =
-            if (leadIdxs.isEmpty) null else buf.generateIterator(1)
-          emit = buf.generateIterator().map { row =>
-            val wr =
-              if (deep) new GenericInternalRow(bound.length) else winRow
-            var k = 0
-            while (k < bound.length) { wr(k) = groupVals(k); k += 1 }
-            perRow.foreach { j =>
-              accs(j).update(row)
-              wr(j) = accs(j).value()
-            }
-            if (ahead != null) {
-              val nxt: InternalRow =
-                if (ahead.hasNext) ahead.next() else pending
-              var p = 0
-              while (p < leadIdxs.length) {
-                val x =
-                  if (nxt != null) leadInputs(p).eval(nxt)
-                  else leadSuffix(p)
-                // the deep path DELAYS projection behind the ring: a
-                // value eval'd from the lookahead row (a reused spill
-                // buffer past the next advance) must be retained; the
-                // common path projects immediately and stays copy-free
-                wr(leadIdxs(p)) = if (deep) RunningWindow.retain(x) else x
-                p += 1
-              }
-            }
-            // lead IGNORE NULLS reads the partition's non-null list by
-            // index: the n-th non-null strictly after this row is
-            // global non-null index c+n−1 (c counts non-nulls
-            // at-or-before it); past the list, the suffix; past the
-            // global end, the constant default. All values are already
-            // retained/stable — safe to hold across the deep delay.
-            if (lnIdxs.length > 0) {
-              var p = 0
-              while (p < lnIdxs.length) {
-                if (lnFuncs(p).input.eval(row) != null) lnCnt(p) += 1
-                val target = lnCnt(p) + lnFuncs(p).n - 1
-                val vals = lnVals(p)
-                wr(lnIdxs(p)) =
-                  if (target < vals.length) vals(target.toInt)
-                  else {
-                    val s = target - vals.length
-                    if (s < lnSuffix(p).length) lnSuffix(p)(s.toInt)
-                    else lnFuncs(p).default
-                  }
-                p += 1
-              }
-            }
-            // suffix min/max read the precomputed backward fold: ROWS
-            // at this row's index, RANGE at its tie group's first
-            if (smIdxs.length > 0) {
-              var p = 0
-              while (p < smIdxs.length) {
-                val at = if (smFuncs(p).rowsForm) pbRowIdx
-                  else groupStartIdx
-                wr(smIdxs(p)) = smSuffix(p)(at)
-                p += 1
-              }
-            }
-            if (lnIdxs.length > 0 || smIdxs.length > 0) pbRowIdx += 1
-            if (deep)
-              new RunningWindow.PendingRow(
-                row.asInstanceOf[UnsafeRow].copy(), wr)
-            else {
-              rows += 1
-              proj(joined(row, wr)): AnyRef
-            }
-          }
-        }
-
-        override def hasNext: Boolean = {
-          while (!emit.hasNext && (pending != null || iter.hasNext))
-            loadGroup()
-          emit.hasNext
-        }
-        override def next(): AnyRef = {
-          if (!hasNext) throw new NoSuchElementException
-          emit.next()
-        }
-      }
-      if (!deep) inner.asInstanceOf[Iterator[InternalRow]]
-      else if (vfIdxs.nonEmpty) new Iterator[InternalRow] {
-        // the VALUE-RELEASED PENDING QUEUE (RANGE FOLLOWING frames;
-        // delayCompatible guarantees no ring funcs coexist): a pending
-        // row releases once an arrival's key is strictly beyond its
-        // key + fMax — all of every frame has then arrived (keys only
-        // ascend in stream order) — or at partition end, where the
-        // forward suffix supplies the next bands' leading entries.
-        // Mid-band releases never need the suffix (suffix keys exceed
-        // the band's last key, hence every mid-band frame's bound).
-        private val pending =
-          new java.util.ArrayDeque[RunningWindow.PendingRow]()
-        private val pendKeys = new java.util.ArrayDeque[java.lang.Long]()
-        private val keyExpr = vfFuncs(0).key
-        private val vfCap = vfFuncs(0).cap
-        private val emptyK = new Array[Long](0)
-        private val emptyV = new Array[Any](0)
-        private var curKey = 0L
-        private var haveCur = false
-        // a pending row releases once the arrival is strictly beyond
-        // EVERY function's frame end for it (fixed: rk + f; monthly:
-        // add_months(rk, +f) — monotone over date keys)
-        private def releasable(cur: Long, rk: Long): Boolean = {
-          var p = 0
-          while (p < vfFuncs.length) {
-            if (!vfFuncs(p).beyond(cur, rk)) return false
-            p += 1
-          }
-          true
-        }
-        private def release(atEndOfPartition: Boolean): InternalRow = {
-          val pr = pending.removeFirst()
-          val rk = pendKeys.removeFirst().longValue()
-          var p = 0
-          while (p < vfIdxs.length) {
-            pr.vals(vfIdxs(p)) =
-              if (atEndOfPartition)
-                vfAccs(p).foldFor(rk, vfSuffix(p)._1, vfSuffix(p)._2)
-              else vfAccs(p).foldFor(rk, emptyK, emptyV)
-            p += 1
-          }
-          rows += 1
-          proj(joined(pr.row, pr.vals))
-        }
-        override def hasNext: Boolean = !pending.isEmpty || inner.hasNext
-        override def next(): InternalRow = {
-          while (true) {
-            if (!pending.isEmpty && haveCur &&
-              releasable(curKey, pendKeys.peekFirst().longValue()))
-              return release(atEndOfPartition = false)
-            if (!inner.hasNext) {
-              if (pending.isEmpty) throw new NoSuchElementException
-              return release(atEndOfPartition = true)
-            }
-            val pr = inner.next().asInstanceOf[RunningWindow.PendingRow]
-            val k = keyExpr.eval(pr.row).asInstanceOf[Number].longValue()
-            pending.addLast(pr)
-            pendKeys.addLast(java.lang.Long.valueOf(k))
-            if (pending.size > vfCap)
-              throw new org.apache.spark.SparkException(
-                s"graft range-following pending queue exceeds $vfCap " +
-                  "rows; raise spark.graft.window.maxRangeFrameRows or " +
-                  "let Spark's spillable window plan this frame")
-            val low = pendKeys.peekFirst().longValue()
-            var p = 0
-            while (p < vfIdxs.length) {
-              vfAccs(p).arrive(k, vfFuncs(p).input.eval(pr.row), low)
-              p += 1
-            }
-            curKey = k
-            haveCur = true
-          }
-          throw new IllegalStateException("unreachable")
-        }
-      }
-      else new Iterator[InternalRow] {
-        // the deep-lead DELAY RING: a row emits when the row nMax
-        // positions ahead arrives (func j's slot was filled when row
-        // +n_j arrived — n_j ≤ nMax, so a popped row is complete), or at
-        // partition end from the suffix. A slot's source row is still in
-        // the ring (or a driver-held suffix constant) at projection
-        // time, so its buffer-backed values are valid until the
-        // projection copies them.
-        private val nMax = (deepFuncs.map(_.n) ++ fwdFuncs.map(_.m)).max
-        private val cap = nMax + 1
-        private val ring = new Array[RunningWindow.PendingRow](cap)
-        private var start = 0
-        private var count = 0
-        private var flushPos = -1
-
-        private def emitRow(pr: RunningWindow.PendingRow): InternalRow = {
-          rows += 1
-          proj(joined(pr.row, pr.vals))
-        }
-
-        override def hasNext: Boolean = count > 0 || inner.hasNext
-
-        override def next(): InternalRow = {
-          while (flushPos < 0 && inner.hasNext) {
-            val pr = inner.next().asInstanceOf[RunningWindow.PendingRow]
-            ring((start + count) % cap) = pr
-            count += 1
-            // the new arrival is func j's source for the row n_j back
-            var p = 0
-            while (p < deepIdxs.length) {
-              val off = count - 1 - deepFuncs(p).n
-              if (off >= 0)
-                ring((start + off) % cap).vals(deepIdxs(p)) =
-                  deepFuncs(p).input.eval(pr.row)
-              p += 1
-            }
-            // …and COMPLETES the frame of the row m_j back for every
-            // FOLLOWING-frame func: the acc's deque (updated by this
-            // arrival already) is exactly that row's frame
-            p = 0
-            while (p < fwdIdxs.length) {
-              val off = count - 1 - fwdFuncs(p).m
-              if (off >= 0)
-                ring((start + off) % cap).vals(fwdIdxs(p)) =
-                  fwdAccs(p).foldFill()
-              p += 1
-            }
-            if (count == cap) {
-              val out = ring(start)
-              ring(start) = null
-              start = (start + 1) % cap
-              count -= 1
-              return emitRow(out)
-            }
-          }
-          // partition exhausted: flush the ≤ nMax delayed rows; slots
-          // whose source never arrived (n_j rows past the end) read the
-          // suffix — later bands' first values, default-padded
-          if (count == 0) throw new NoSuchElementException
-          if (flushPos < 0) flushPos = 0
-          val pr = ring((start + flushPos) % cap)
-          val d = count - 1 - flushPos // rows after this one
-          var p = 0
-          while (p < deepIdxs.length) {
-            val n = deepFuncs(p).n
-            if (n > d) pr.vals(deepIdxs(p)) = deepSuffix(p)(n - d - 1)
-            p += 1
-          }
-          // FOLLOWING-frame rows whose +m row never arrived fold their
-          // in-partition tail plus the forward suffix
-          p = 0
-          while (p < fwdIdxs.length) {
-            if (fwdFuncs(p).m > d)
-              pr.vals(fwdIdxs(p)) = fwdAccs(p).foldFlush(d, fwdSuffix(p))
-            p += 1
-          }
-          flushPos += 1
-          val out = emitRow(pr)
-          if (flushPos >= count) count = 0
-          out
-        }
-      }
-    }
-  }
-}

@@ -1507,6 +1507,24 @@ object DocOps {
         col("promo_id"))
   }
 
+  /** LEFT-OUTER interval-overlap join — label EVERY order with its
+    * containing promo window or NULL (the enrichment twin of q211):
+    * the points side is preserved, match-less days emit null-extended
+    * from the same bounded sweep, and the output keeps the day
+    * ordering/partitioning claims. The every-row-labeled shape a
+    * curation pipeline writes back.
+    */
+  private def q212RangeIntervalLabel(s: SparkSession, d: String)
+      : DataFrame = {
+    val p = ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+    val iv = ExtendedJson.read(s, decodedPromos, promoRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+    p.join(iv, iv("ps") <= p("o_day") && p("o_day") <= iv("pe"),
+      "left_outer")
+      .select(col("o_day"), col("o_custkey"), col("promo_id"))
+  }
+
   /** The GLOBAL size-based rank family — `percent_rank`, `cume_dist`,
     * `ntile` with no PARTITION BY: all divide by the global row count N,
     * which the sidecar supplies for free, so the whole family plans as
@@ -2227,6 +2245,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_docsource_range_interval_label" -> q212RangeIntervalLabel,
     "q211_docsource_range_interval_join" -> q211RangeIntervalJoin,
     "q210_docsource_range_asof_value_window" -> q210RangeAsofValueWindow,
     "q209_docsource_range_suffix_close" -> q209RangeSuffixClose,
@@ -2407,6 +2426,15 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q212_docsource_range_interval_label" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders), " +
+        "pr AS (SELECT DISTINCT o_day AS ps, o_day + 4 AS pe, " +
+        "CAST(o_day // 11 AS BIGINT) AS promo_id FROM o " +
+        "WHERE o_day % 11 = 0) " +
+        "SELECT o.o_day, o.o_custkey, pr.promo_id " +
+        "FROM o LEFT JOIN pr ON pr.ps <= o.o_day AND o.o_day <= pr.pe"),
     "q211_docsource_range_interval_join" ->
       ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +

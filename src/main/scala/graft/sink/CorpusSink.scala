@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * would range-shuffle the full corpus for no trainer-visible benefit;
   * hash sharding also spreads hot id ranges evenly).
   */
-object CorpusSink {
+object CorpusSink extends org.apache.spark.internal.Logging {
 
   /** Write `df` as `numShards` deterministic shards under `dir`.
     *
@@ -154,6 +154,34 @@ object CorpusSink {
     * restores the one-file-per-group layout once enough batches pile up
     * (past [[graft.ingest.v2.ExtJsonScan.MaxMergeWidth]] overlapping
     * files the merge refuses to the ordinary sort).
+    *
+    * HOT-BAND STRAGGLER ADJUDICATION (the layout's one open scale
+    * shape): a single key holding a large share of the rows lands as
+    * ONE band — equal keys must never straddle a band, because strict
+    * inter-band disjointness is precisely what makes the ordered
+    * scan's RangePartitioning/ordering claims and every clustered
+    * consumer (merge joins, band windows, zero-exchange GROUP BY)
+    * honest. Nothing can split that band for the claim-bearing rungs:
+    * a sub-band split would put equal keys in two partitions, and a
+    * consumer trusting the clustering claim would then be WRONG, not
+    * slow. So a 30%-of-rows key is an irreducible single task in every
+    * exchange-free rung — measured (bench_records/skew_ab_20260817
+    * .json, 3M rows, 8 bands, hot key = 30% of rows → hot band = 39%
+    * of rows vs 13% balanced): ordered scan 2.3×, global band window
+    * 2.0×, range merge join 1.6× wall-clock vs the balanced landing,
+    * converging toward the 3.0× max-band-rows ratio as per-task work
+    * grows — at 1000-executor scale, wall-clock IS the hot band.
+    * Mitigations, in order: (1) this method now WARNS at land time
+    * when one key exceeds ~15% of the boundary sample (the diagnostic
+    * costs one linear pass over the already-sorted sample); (2) run
+    * the key-skew profile (the q95 shape) before landing and pick a
+    * higher-cardinality or composite band key; (3) consumers that
+    * don't need the clustering claims (plain filters/scans/aggregates
+    * Spark would shuffle anyway) are unaffected — only the
+    * exchange-free rungs inherit the band's shape; (4) at the extreme
+    * (one key ≫ executor memory for a buffering consumer), land on a
+    * different key — the layout cannot express that skew, and
+    * refusing to pretend otherwise is the design.
     */
   /** @param bounds EXPLICIT interior band boundaries (typed values of
     *   `sortCol`'s external type, ascending), overriding the sampled
@@ -203,8 +231,33 @@ object CorpusSink {
           .select(col("__k")).orderBy(col("__k"))
           .collect().map(_.get(0)).toIndexedSeq
         if (sorted.isEmpty) Nil
-        else (1 until numBands)
-          .map(i => sorted(i * sorted.length / numBands)).distinct
+        else {
+          // LAND-TIME SKEW DIAGNOSTIC: a single key holding a large
+          // share of the sample will hold roughly that share of the
+          // data, and equal keys can never straddle a band — the hot
+          // key becomes ONE band = ONE task in every claim-bearing
+          // rung (see the hot-band adjudication in this method's doc).
+          // Warn before the layout is paid for, pointing at the
+          // pre-land checks; the sample is already key-sorted, so the
+          // longest equal run is one linear pass.
+          var runLen = 1; var maxRun = 1
+          var i = 1
+          while (i < sorted.length) {
+            if (sorted(i) == sorted(i - 1)) {
+              runLen += 1; if (runLen > maxRun) maxRun = runLen
+            } else runLen = 1
+            i += 1
+          }
+          val share = maxRun.toDouble / sorted.length
+          if (share >= 0.15) logWarning(
+            f"range landing '$sortCol' is heavily skewed: one key holds " +
+              f"~${share * 100}%.0f%% of the boundary sample and will land " +
+              "as one irreducible band (one task in every exchange-free " +
+              "rung). Consider a higher-cardinality band key, or run the " +
+              "key-skew profile (q95 shape) before landing.")
+          (1 until numBands)
+            .map(i => sorted(i * sorted.length / numBands)).distinct
+        }
       }
     }
     // band(v) = number of boundaries strictly below v under the column's

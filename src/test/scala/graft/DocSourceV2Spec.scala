@@ -2471,7 +2471,10 @@ class DocSourceV2Spec extends AnyFunSuite {
     // one-sided key ranges never read: L2 and R2 are in NO partition
     val plannedFiles = execs.head.parts.flatMap(
       _.flatten.flatMap(_.files.flatten.map(_.file)))
-    assert(!plannedFiles.exists(f => f.contains("l2") || f.contains("r2")),
+    // basename match only: the random temp-dir suffix can contain
+    // "l2"/"r2" as a substring (it did — a latent name flake)
+    assert(!plannedFiles.exists(f => f.endsWith("l2.jsonl") ||
+      f.endsWith("r2.jsonl")),
       s"one-sided bands must be pruned at plan time: $plannedFiles")
     assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]))
     // LEFT SEMI: every matching left row once (both a8 copies), zero
@@ -2483,7 +2486,7 @@ class DocSourceV2Spec extends AnyFunSuite {
     val semiExec = nodes(semi).collect { case j: RangeMergeJoinExec => j }
     assert(semiExec.length == 1 &&
       !semiExec.head.parts.flatMap(_.head).flatMap(_.files.flatten)
-        .exists(_.file.contains("l2")))
+        .exists(_.file.endsWith("l2.jsonl")))
     // LEFT ANTI: the match-less left rows — INCLUDING all of the
     // left-only L2 component, which anti must KEEP, not prune
     val anti = l.join(r, l("k") === r("k"), "left_anti")
@@ -2494,7 +2497,7 @@ class DocSourceV2Spec extends AnyFunSuite {
     val antiExec = nodes(anti).collect { case j: RangeMergeJoinExec => j }
     assert(antiExec.length == 1 &&
       antiExec.head.parts.flatMap(_.head).flatMap(_.files.flatten)
-        .exists(_.file.contains("l2")),
+        .exists(_.file.endsWith("l2.jsonl")),
       "anti must keep the left-only component")
     assert(!nodes(anti).exists(_.isInstanceOf[ShuffleExchangeLike]))
     // LEFT OUTER: inner rows plus null-right rows for every match-less

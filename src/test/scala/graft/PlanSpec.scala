@@ -1385,6 +1385,29 @@ class PlanSpec extends AnyFunSuite {
       ans.map(_.nodeName).mkString(", "))
   }
 
+  test("q212 left-outer interval labeling: sweep join, every point preserved") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q212_docsource_range_interval_label")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.RangeIntervalJoinExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.nodeName.contains("NestedLoop")),
+      ns.map(_.nodeName).mkString(", "))
+    // labeled iff inside a window whose ANCHOR day (the preceding
+    // 11-multiple) actually occurs among order days — the promo set is
+    // built from the data; NULL exactly otherwise
+    val anchors = rows.map(_.getInt(0)).filter(_ % 11 == 0).toSet
+    assert(rows.forall { r =>
+      val d = r.getInt(0)
+      val in = d % 11 <= 4 && anchors.contains(d - d % 11)
+      if (in) !r.isNullAt(2) else r.isNullAt(2)
+    }, "label/null split")
+  }
+
   test("q210 as-of + value window: two WindowExecs over the band claim, zero exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
