@@ -107,6 +107,7 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
       else Some(o.copy(output = kept,
         scan = o.scan.pruneTo(kept.map(_.name))))
     case m: RangeMergeJoinExec => m.narrowForTotals(needed)
+    case iv: RangeIntervalJoinExec => iv.narrowForTotals(needed)
     case _ => None
   }
 

@@ -60,12 +60,26 @@ class RangeIntervalJoinStrategy(session: SparkSession) extends SparkStrategy
   import RangeIntervalJoinStrategy._
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: Join => planJoin(j) match {
+      case Some(exec) => exec :: Nil
+      case None => Nil
+    }
+    case _ => Nil
+  }
+
+  /** The join matcher exposed for COMPOSING strategies: the band window
+    * strategy accepts a provable interval-sweep join as its ordered,
+    * range-partitioned child (a running window over the q212 labeled
+    * stream would otherwise re-collapse it into one partition).
+    */
+  private[plans] def planJoin(plan: Join): Option[RangeIntervalJoinExec] =
+    plan match {
     case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), hint)
         if hint == JoinHint.NONE =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (!conjuncts.forall(c => c.deterministic && !c.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
-        return Nil
+        return None
       (peelSide(l), peelSide(r)) match {
         case (Some(pSide), Some(iSide)) =>
           // normalize every inequality conjunct to lhs <(=) rhs
@@ -108,15 +122,12 @@ class RangeIntervalJoinStrategy(session: SparkSession) extends SparkStrategy
                 if (rest.isEmpty) None else Some(rest.reduce(And))
               }
               plan0(j.output, jt == LeftOuter, pSide, iSide, k, s, e,
-                strictS, strictE, residual) match {
-                case Some(exec) => exec :: Nil
-                case None => Nil
-              }
-            case _ => Nil
+                strictS, strictE, residual)
+            case _ => None
           }
-        case _ => Nil
+        case _ => None
       }
-    case _ => Nil
+    case _ => None
   }
 
   /** Layout + bound proofs → the exec, or None (fall through). */
@@ -270,6 +281,47 @@ case class RangeIntervalJoinExec(keyType: DataType,
       pFactory, iFactory, eOrdinal, strictS, strictE, outer, residual,
       output, cap, parts, longMetric("numOutputRows"),
       longMetric("peakActiveIntervals"))
+  }
+
+  /** A column-pruned clone for the band window's TOTALS pass (the
+    * RangeMergeJoinExec posture): same partitions, same sweep keys and
+    * bounds, but each side converts only `needed` plus the structural
+    * set (point key, interval start/end, side filters, the residual).
+    * None for shapes the pruned reader can't mirror (partition
+    * columns, pushed aggregates/sorts/top-N) — the caller runs the
+    * unpruned plan, never wrong.
+    */
+  private[plans] def narrowForTotals(
+      needed: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[RangeIntervalJoinExec] = {
+    def prunable(s: MergeSideExec): Boolean =
+      s.scan != null && s.scan.partCols.isEmpty &&
+        s.scan.pushedAggs.isEmpty && s.scan.pushedSorts.isEmpty &&
+        s.scan.pushedTopN < 0
+    if (!prunable(points) || !prunable(intervals)) return None
+    val keep = scala.collection.mutable.Set.empty[
+      org.apache.spark.sql.catalyst.expressions.ExprId]
+    needed.foreach(a => keep += a.exprId)
+    keep += points.relOutput(points.relKeyOrdinal).exprId
+    keep += intervals.relOutput(intervals.relKeyOrdinal).exprId
+    val eId = intervals.output(eOrdinal).exprId
+    keep += eId
+    (points.filters ++ intervals.filters)
+      .foreach(_.references.foreach(keep += _.exprId))
+    residual.foreach(_.references.foreach(keep += _.exprId))
+    def prune(s: MergeSideExec): MergeSideExec = {
+      val keyId = s.relOutput(s.relKeyOrdinal).exprId
+      val relOut = s.relOutput.filter(a => keep(a.exprId))
+      val out = s.output.filter(a => keep(a.exprId))
+      MergeSideExec(relOut, out, s.filters,
+        relOut.indexWhere(_.exprId == keyId),
+        out.indexWhere(_.exprId == keyId),
+        s.scan.pruneTo(relOut.map(_.name)))
+    }
+    val nIv = prune(intervals)
+    Some(copy(output = output.filter(a => keep(a.exprId)),
+      points = prune(points), intervals = nIv,
+      eOrdinal = nIv.output.indexWhere(_.exprId == eId)))
   }
 }
 

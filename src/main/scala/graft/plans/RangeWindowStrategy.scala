@@ -132,6 +132,12 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
     */
   private lazy val mergeJoin = new RangeMergeJoinStrategy(session)
 
+  /** The interval-sweep matcher, same composition: its exec claims
+    * ordering + RangePartitioning on the POINT key, so a running
+    * window over the labeled stream decomposes over its partitions.
+    */
+  private lazy val intervalJoin = new RangeIntervalJoinStrategy(session)
+
   /** The window strategy's peel admits ALIASING Projects too (the
     * analyzer extracts complex window inputs — `sum(cast(v)) OVER …` —
     * into an aliased child Project): a deterministic row-local Project
@@ -257,7 +263,8 @@ class RangeWindowStrategy(session: SparkSession) extends SparkStrategy {
                 if (funcs.exists(_.isEmpty)) return Nil
                 if (!RunningWindow.delayCompatible(funcs.map(_.get)))
                   return Nil
-                mergeJoin.planChain(join) match {
+                mergeJoin.planChain(join)
+                  .orElse(intervalJoin.planJoin(join)) match {
                   case Some(exec)
                       if exec.outputOrdering.headOption.exists(_.child match {
                         case a: AttributeReference => a.exprId == attr.exprId

@@ -1525,6 +1525,31 @@ object DocOps {
       .select(col("o_day"), col("o_custkey"), col("promo_id"))
   }
 
+  /** RUNNING WINDOW over the INTERVAL-SWEEP join — q212's labeled
+    * stream with a running promo-exposure counter on top
+    * (`count(promo_id) OVER (ORDER BY o_day)` — "how many
+    * promo-covered orders so far"): the sweep exec claims ordering +
+    * RangePartitioning on the point key, and the band window strategy
+    * accepts it as its ordered child exactly as it accepts the merge
+    * chain — per-partition local running aggregation plus computed
+    * prefixes, zero exchange end-to-end (previously this shape
+    * re-collapsed the sweep's stream into one partition).
+    */
+  private def q213RangeIntervalWindow(s: SparkSession, d: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_day"))
+    val p = ExtendedJson.read(s, decodedOrdersDay, ordersDayRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+    val iv = ExtendedJson.read(s, decodedPromos, promoRangeJsonl(s, d),
+      Map("zoneMaps" -> "true"))
+    p.join(iv, iv("ps") <= p("o_day") && p("o_day") <= iv("pe"),
+      "left_outer")
+      .select(col("o_day"), col("o_custkey"), col("promo_id"))
+      .select(col("o_day"), col("o_custkey"), col("promo_id"),
+        count(col("promo_id")).over(w).as("promo_seen"),
+        count(lit(1)).over(w).as("seen"))
+  }
+
   /** The GLOBAL size-based rank family — `percent_rank`, `cume_dist`,
     * `ntile` with no PARTITION BY: all divide by the global row count N,
     * which the sidecar supplies for free, so the whole family plans as
@@ -2245,6 +2270,7 @@ object DocOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_docsource_range_interval_window" -> q213RangeIntervalWindow,
     "q212_docsource_range_interval_label" -> q212RangeIntervalLabel,
     "q211_docsource_range_interval_join" -> q211RangeIntervalJoin,
     "q210_docsource_range_asof_value_window" -> q210RangeAsofValueWindow,
@@ -2426,6 +2452,19 @@ object DocOps {
       ("SELECT CAST(count(DISTINCT CAST(datediff('day', " +
         "DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)) " +
         "AS BIGINT) AS nd_day, count(*) AS n_rows FROM orders"),
+    "q213_docsource_range_interval_window" ->
+      ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +
+        "FROM orders), " +
+        "pr AS (SELECT DISTINCT o_day AS ps, o_day + 4 AS pe, " +
+        "CAST(o_day // 11 AS BIGINT) AS promo_id FROM o " +
+        "WHERE o_day % 11 = 0), " +
+        "lab AS (SELECT o.o_day, o.o_custkey, pr.promo_id " +
+        "FROM o LEFT JOIN pr ON pr.ps <= o.o_day AND o.o_day <= pr.pe) " +
+        "SELECT o_day, o_custkey, promo_id, " +
+        "count(promo_id) OVER w AS promo_seen, " +
+        "count(*) OVER w AS seen FROM lab " +
+        "WINDOW w AS (ORDER BY o_day)"),
     "q212_docsource_range_interval_label" ->
       ("WITH o AS (SELECT CAST(datediff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS INT) AS o_day, o_custkey " +

@@ -1385,6 +1385,48 @@ class PlanSpec extends AnyFunSuite {
       ans.map(_.nodeName).mkString(", "))
   }
 
+  test("q213 window over the interval sweep: band window over the sweep exec, zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q213_docsource_range_interval_window")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.core.Tables.orders(spark, sf).count().toInt)
+    val ns = TestPlans.executedNodes(df)
+    assert(ns.exists(_.isInstanceOf[graft.plans.BandRunningWindowExec]) &&
+      ns.exists(_.isInstanceOf[graft.plans.RangeIntervalJoinExec]) &&
+      !ns.exists(_.isInstanceOf[WindowExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      !ns.exists(_.nodeName.contains("NestedLoop")),
+      ns.map(_.nodeName).mkString(", "))
+    // the totals pass is COLUMN-PRUNED through the sweep exec: only
+    // the window inputs + the sweep's structural columns convert
+    val bw = ns.collect { case b: graft.plans.BandRunningWindowExec => b }
+    assert(bw.nonEmpty &&
+      bw.head.metrics("totalsPassColumns").value == 2L,
+      s"narrowed totals pass: ${bw.map(_.metrics("totalsPassColumns").value)}")
+    // the counter really runs: the global last row's seen == row count,
+    // and promo_seen counts exactly the non-null labels
+    val last = rows.maxBy(r => (r.getInt(0), r.getLong(4)))
+    assert(last.getLong(4) == rows.length.toLong, "global seen")
+    assert(rows.map(r => if (r.isNullAt(2)) 0L else 1L).sum ==
+      last.getLong(3), "global promo_seen")
+    // a zero-exchange GROUP BY over the sweep rides the same claim
+    // (the q205 posture — no new operator, the clustering is free)
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
+    spark.catalog.clearCache()
+    val agg = SparkEntry.queries("q212_docsource_range_interval_label")(spark, sf)
+      .groupBy(col("o_day")).agg(fcount(lit(1)).as("n"))
+    agg.collect()
+    val ans = TestPlans.executedNodes(agg)
+    assert(ans.exists(_.isInstanceOf[graft.plans.RangeIntervalJoinExec]) &&
+      !ans.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+      ans.count(_.nodeName.contains("HashAggregate")) == 2,
+      "grouped sweep must stay exchange-free: " +
+        ans.map(_.nodeName).mkString(", "))
+  }
+
   test("q212 left-outer interval labeling: sweep join, every point preserved") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     spark.catalog.clearCache()
