@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension point, registered via `spark.sql.extensions` (the
@@ -323,6 +323,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PqAdc(children(0), children(1),
           litInt(children(2), "graft_pq_adc", "m"),
           litInt(children(3), "graft_pq_adc", "k"))
+      }))
+    // IVF routing kernels (r20): the coarse centroid table (array<float>
+    // literal) folds into ONE constant IvfRef at plan time — the struct-
+    // literal composition it replaces (array_max/array_sort over
+    // cells × dim literal trees) measured 2-3 s of driver-side planning
+    // per ANN query and 2.2 MiB task binaries per stage at sf0.1
+    def ivfRefOf(fn: String, children: Seq[Expression]): IvfRef = {
+      val flat = children(1) match {
+        case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(FloatType, _)) => v.toFloatArray()
+        case other => throw new IllegalArgumentException(
+          s"$fn: cents must be an array<float> literal, got $other")
+      }
+      new IvfRef(litInt(children(2), fn, "dim"), flat)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_cell"),
+      new ExpressionInfo(classOf[IvfCell].getName, "graft_ivf_cell"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_ivf_cell takes exactly 3 arguments")
+        IvfCell(children.head, ivfRefOf("graft_ivf_cell", children))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_score"),
+      new ExpressionInfo(classOf[IvfBestScore].getName, "graft_ivf_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_ivf_score takes exactly 3 arguments")
+        IvfBestScore(children.head, ivfRefOf("graft_ivf_score", children))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_probes"),
+      new ExpressionInfo(classOf[IvfProbes].getName, "graft_ivf_probes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "graft_ivf_probes takes exactly 4 arguments")
+        IvfProbes(children.head,
+          litInt(children(3), "graft_ivf_probes", "nProbe"),
+          ivfRefOf("graft_ivf_probes", children))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_residual"),
+      new ExpressionInfo(classOf[PqResidualVec].getName, "graft_pq_residual"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_pq_residual takes exactly 4 arguments")
+        val coarse = children(2) match {
+          case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(DoubleType, _)) => v.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_residual: coarse must be an array<double> literal, got $other")
+        }
+        PqResidualVec(children(0), children(1),
+          new CoarseRef(litInt(children(3), "graft_pq_residual", "dim"), coarse))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sq8"),
+      new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_sq8 takes exactly 3 arguments")
+        def arr(e: Expression, what: String): Array[Double] = e match {
+          case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(DoubleType, _)) => v.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_sq8: $what must be an array<double> literal, got $other")
+        }
+        Sq8Codes(children.head,
+          new SqRef(arr(children(1), "mn"), arr(children(2), "mx")))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_opq_rotate"),

@@ -51,8 +51,21 @@ object Quantize {
     * (float-typed so the native codegen'd [[Similarity.dot]] kernel scores
     * code pairs — every value ≤ 255 is exact in float, every pair dot
     * ≤ dim·255² is an exact integer in double).
+    *
+    * Native `graft_sq8` kernel (r20, guide §4): the stats fold into one
+    * plan-constant [[graft.functions.SqRef]] instead of two dim-element
+    * literal arrays re-indexed per element by an INTERPRETED `transform`
+    * lambda; bit-identical element-for-element (IvfKernelsSpec pins it
+    * against [[codesReference]] differentially).
     */
-  def codes(vec: Column, mn: Seq[Double], mx: Seq[Double]): Column = {
+  def codes(vec: Column, mn: Seq[Double], mx: Seq[Double]): Column =
+    call_function("graft_sq8", vec, lit(mn.toArray), lit(mx.toArray))
+
+  /** The reference HOF composition [[codes]] replaced (r20) — kept for
+    * the differential pin in IvfKernelsSpec only.
+    */
+  private[graft] def codesReference(vec: Column, mn: Seq[Double],
+      mx: Seq[Double]): Column = {
     val mnA = array(mn.map(lit): _*)
     val mxA = array(mx.map(lit): _*)
     transform(vec, (x, i) => {

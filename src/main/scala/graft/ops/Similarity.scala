@@ -228,7 +228,7 @@ object Similarity {
       .toSeq
     for (_ <- 1 to iters) {
       val assigned = train.select(col(vecCol),
-        array_max(cellScoresFor(col(vecCol), cents)).getField("cell").as("cell"))
+        bestCellFor(col(vecCol), cents).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -248,13 +248,47 @@ object Similarity {
     * these pick cells by score with larger-index tie-break. Score is
     * dot/|centroid| — same ranking as cosine for a fixed input vector, with
     * centroid norms folded to literals.
+    *
+    * RETAINED AS THE REFERENCE SEMANTICS ONLY (r20): the production paths
+    * below use the native [[graft.functions.IvfRef]] kernels
+    * (`graft_ivf_cell`/`graft_ivf_probes`/`graft_ivf_score`), which are
+    * differentially pinned bit-equal to this composition in
+    * IvfKernelsSpec. The struct-literal tree costs ~1k Literal nodes per
+    * call site — measured 2-3 s of driver-side planning per ANN query and
+    * 2.2 MiB task binaries at sf0.1 (guide §1/§4), which is why it no
+    * longer appears in any query plan.
     */
-  private def cellScoresFor(vec: Column, cents: Seq[Seq[Float]]): Column =
+  private[graft] def cellScoresFor(vec: Column, cents: Seq[Seq[Float]]): Column =
     array(cents.zipWithIndex.map { case (cv, ci) =>
       val cvCol = array(cv.map(lit): _*)
       val cn = math.sqrt(cv.map(x => x.toDouble * x).sum)
       struct((dot(vec, cvCol) / lit(cn)).as("score"), lit(ci).as("cell"))
     }: _*)
+
+  /** The flattened centroid-table literal the IVF kernels fold into their
+    * plan-constant [[graft.functions.IvfRef]].
+    */
+  private def centsFlat(cents: Seq[Seq[Float]]): (Column, Int) = {
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim), "ragged centroid table")
+    (lit(cents.flatten.toArray), dim)
+  }
+
+  /** Native argmax cell — bit-equal to
+    * `array_max(cellScoresFor(vec, cents)).getField("cell")`.
+    */
+  private[graft] def bestCellFor(vec: Column, cents: Seq[Seq[Float]]): Column = {
+    val (flat, dim) = centsFlat(cents)
+    call_function("graft_ivf_cell", vec, flat, lit(dim))
+  }
+
+  /** Native best score — bit-equal to
+    * `array_max(cellScoresFor(vec, cents)).getField("score")`.
+    */
+  private[graft] def bestScoreFor(vec: Column, cents: Seq[Seq[Float]]): Column = {
+    val (flat, dim) = centsFlat(cents)
+    call_function("graft_ivf_score", vec, flat, lit(dim))
+  }
 
   /** A trained IVF quantizer: the centroid table, plus the build-time
     * assignment-quality statistic the incremental-add drift gate compares
@@ -322,7 +356,7 @@ object Similarity {
   private def meanAssignScoreMill(df: DataFrame, vecCol: String,
       cents: Seq[Seq[Float]]): Option[Long] = {
     val r = df
-      .select((array_max(cellScoresFor(col(vecCol), cents)).getField("score")
+      .select((bestScoreFor(col(vecCol), cents)
         / l2Norm(col(vecCol))).cast(DecimalType(28, 10)).as("s"))
       .where(col("s").isNotNull)
       .agg((sum(col("s")) * lit(1000000L) / count(lit(1)))
@@ -397,17 +431,25 @@ object Similarity {
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
       index: IvfIndex): DataFrame =
     df.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"),
-      array_max(cellScoresFor(col(vecCol), index.centroids))
-        .getField("cell").as("cell"))
+      bestCellFor(col(vecCol), index.centroids).as("cell"))
 
   /** The query-side probe list: the `nProbe` best cells for a vector, best
     * first — shared by the float inverted file ([[ivfTopKWithAssigned]])
     * and the quantized one ([[Quantize.ivfSq8TopK]]).
     */
   private[graft] def probeCells(vec: Column, index: IvfIndex,
+      nProbe: Int): Column = {
+    val (flat, dim) = centsFlat(index.centroids)
+    call_function("graft_ivf_probes", vec, flat, lit(dim), lit(nProbe))
+  }
+
+  /** The reference composition [[probeCells]] replaced (r20) — kept for
+    * the differential pin in IvfKernelsSpec only.
+    */
+  private[graft] def probeCellsReference(vec: Column, cents: Seq[Seq[Float]],
       nProbe: Int): Column =
     transform(
-      slice(reverse(array_sort(cellScoresFor(vec, index.centroids))), 1, nProbe),
+      slice(reverse(array_sort(cellScoresFor(vec, cents))), 1, nProbe),
       s => s.getField("cell"))
 
   /** Query-time IVF search over a PRE-ASSIGNED inverted file
