@@ -25,7 +25,20 @@ object Bucketing {
     */
   def saveBucketed(df: DataFrame, tableName: String, path: String,
       buckets: Int, key: String): DataFrame = {
-    df.write.mode("overwrite")
+    // Cluster by the bucket key BEFORE the bucketed write (r20, guide §6
+    // partitioning-on-write / §2.5 unsplittable-input): rows of one
+    // bucket land in one task, so (a) the sort+write parallelizes across
+    // `buckets` tasks instead of riding the scan's split count (the
+    // sf0.1 inputs are single-row-group files → ONE task sorted and
+    // wrote the whole fact table: 1.4 s of q44's 2.2 s), and (b) each
+    // task emits exactly one file per bucket instead of every scan task
+    // emitting one file for every bucket it happens to hold — at scale
+    // that is tasks×buckets small files per layout. Same rows in the
+    // same buckets in the same within-file order (bucket id and
+    // repartition target share the key hash; sortBy orders within each
+    // file), so every reader sees an identical layout.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)

@@ -158,18 +158,27 @@ object Lm {
         split(col("tg"), " ").getItem(2).as("w3"), col("c")))
     val ctx = tri.groupBy("w1", "w2")
       .agg(sum(col("c")).as("c12"), count(lit(1)).as("n3"))
-    val mTbl = tri.groupBy("w2", "w3").agg(count(lit(1)).as("m"))
-    val mid = tri.groupBy("w2").agg(count(lit(1)).as("mm"))
-    // trigram-derived bigram TYPES (w2,w3) — the lower-order event space
-    val pairTypes = persistOnce(tri.select("w2", "w3").distinct())
-    val nbTbl = pairTypes.groupBy("w2").agg(count(lit(1)).as("nb"))
-    val pTbl = pairTypes.groupBy("w3").agg(count(lit(1)).as("p"))
-    val types = pairTypes.agg(count(lit(1)).as("t"))
+    // (w2,w3) is a KEY of mTbl, so mTbl's rows ARE the trigram-derived
+    // bigram TYPES (w2,w3) — every lower-order statistic derives from it
+    // instead of re-aggregating the (much larger) trigram table (r20,
+    // guide §2.3 "aggregate before you shuffle" / §2.4 "share one
+    // exchange"): mm = Σ_{w3} m (count of trigram types per w2 = sum of
+    // per-(w2,w3) type counts, an exact integer identity), nb = row count
+    // per w2, p = row count per w3, t = total row count. This replaces
+    // two full re-aggregations of `tri` (mid, pairTypes-distinct) and the
+    // pairTypes persist with aggregations over the bigram-type table, and
+    // fuses mm+nb into ONE aggregation + ONE broadcast (both are keyed by
+    // w2). Bit-identical output: every derived statistic is the same
+    // exact integer.
+    val mTbl = persistOnce(tri.groupBy("w2", "w3").agg(count(lit(1)).as("m")))
+    val midNb = mTbl.groupBy("w2")
+      .agg(sum(col("m")).as("mm"), count(lit(1)).as("nb"))
+    val pTbl = mTbl.groupBy("w3").agg(count(lit(1)).as("p"))
+    val types = mTbl.agg(count(lit(1)).as("t"))
     tri
       .join(broadcast(ctx), Seq("w1", "w2"))
       .join(broadcast(mTbl), Seq("w2", "w3"))
-      .join(broadcast(mid), Seq("w2"))
-      .join(broadcast(nbTbl), Seq("w2"))
+      .join(broadcast(midNb), Seq("w2"))
       .join(broadcast(pTbl), Seq("w3"))
       .crossJoin(broadcast(types))
       .where(col("c") >= minCount)

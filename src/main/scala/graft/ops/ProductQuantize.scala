@@ -562,7 +562,19 @@ object ProductQuantize {
     * probe of `nProbe` cells reads `nProbe` directories, not the corpus.
     */
   def saveEncoded(encoded: DataFrame, path: String): Unit = {
-    encoded.write.mode("overwrite").partitionBy("cell")
+    // Cluster by cell before the partitioned write when the artifact is
+    // big enough for the small-files problem to exist (r20, guide §6
+    // small files, §2 scale-adaptive partitioning): without clustering
+    // every encode task opens one file in every cell directory it
+    // touches — tasks×cells small files (thousands×cells at deployment
+    // scale). The clustering shuffle is row-identical but not free
+    // (measured +0.3-0.4 s per save at sf0.1, where the whole artifact
+    // is smaller than one scan split and tasks are few anyway), so it
+    // engages by ESTIMATED SIZE — below one scan split the task count is
+    // already bounded and the write stays map-side; compaction
+    // ([[compactEncoded]]) re-clusters later regardless.
+    graft.core.Layout.clusterIfLarge(encoded, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/gen=0")
     val (f, root) = artifactFs(encoded.sparkSession, path)
     writeManifest(f, new org.apache.hadoop.fs.Path(root, "gen=0"), Set.empty)

@@ -483,7 +483,11 @@ object Similarity {
     * touches `nProbe` cells reads `nProbe` directories, not the corpus.
     */
   def saveAssignedCorpus(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // size-gated cell clustering before the partitioned write (r20,
+    // guide §6 small files — the [[ProductQuantize.saveEncoded]]
+    // rationale and gate, see [[graft.core.Layout.clusterIfLarge]])
+    graft.core.Layout.clusterIfLarge(assigned, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   def loadAssignedCorpus(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
