@@ -56,8 +56,14 @@ object RangeJoin {
     val wUs = widthSec * 1000000L
 
     val s = micros(col(startCol))
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(floorDiv(s, bUs), floorDiv(s + lit(wUs - 1), bUs))))
+    // single-split interval inputs (guide §2.5 unsplittable input, r20):
+    // the 2× bin explode, the join probe, and any partial aggregation
+    // above the join otherwise all ride the scan's ONE task — measured
+    // 0.9 s of q47's 2.1 s at sf0.1. Size-gated: no-op whenever the scan
+    // has real splits (any deployment-scale input).
+    val iv = graft.core.Layout.parallelizeIfSingleSplit(intervals)
+      .withColumn("__bin",
+        explode(sequence(floorDiv(s, bUs), floorDiv(s + lit(wUs - 1), bUs))))
 
     val p = micros(col(pointCol))
     val pt = points.withColumn("__bin", floorDiv(p, bUs))

@@ -107,8 +107,17 @@ object JoinOps {
       .agg(count(lit(1)).as("n_ship"),
         sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .as("qty_part"))
+    // broadcast the PRE-AGGREGATED day side (r20, guide §3.1): its row
+    // count is bounded by the calendar span (~2.5k days at every SF),
+    // but its post-aggregation size ESTIMATE is unknown at plan time, so
+    // the planner was broadcasting the 2×-exploded ORDERS side instead —
+    // building a 300k-row hash relation on the driver and funneling the
+    // probe + the first aggregation through the day side's one
+    // AQE-coalesced partition. The hint pins the bounded side; the
+    // orders side stays distributed at every scale.
     RangeJoin.pointInInterval(
-      Tables.orders(s, d).select("o_orderkey", "o_orderdate"), shipDays,
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+      broadcast(shipDays),
       startCol = "o_orderdate", widthSec = 7L * 86400L, pointCol = "l_shipdate")
       .groupBy("o_orderkey")
       .agg(sum(col("n_ship")).as("n_shipped"),
