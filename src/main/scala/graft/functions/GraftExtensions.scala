@@ -333,8 +333,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val flat = children(1) match {
         case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
             ArrayType(FloatType, _)) => v.toFloatArray()
+        // a SQL caller's foldable constructor (array(...f), a cast) is a
+        // plan-time constant too — eval it at build time instead of
+        // throwing an opaque builder error during analysis
+        case e if e.foldable && (e.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) && e.eval() != null =>
+          e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toFloatArray()
         case other => throw new IllegalArgumentException(
-          s"$fn: cents must be an array<float> literal, got $other")
+          s"$fn: cents (argument 2) must be an array<float> plan-time " +
+            s"constant, got $other")
       }
       new IvfRef(litInt(children(2), fn, "dim"), flat)
     }

@@ -153,9 +153,21 @@ final class IvfRef(val dim: Int, val flat: Array[Float]) extends Serializable {
     * `array_max(structs).getField("score")`).
     */
   def bestScore(vec: ArrayData, isFloat: Boolean): Any = {
-    val best = bestCell(vec, isFloat)
-    if (!vecOk(vec) || norms(best) == 0.0) null
-    else java.lang.Double.valueOf(scoresOf(vec, isFloat)(best))
+    // one validity scan + one scoring pass shared with the argmax (the
+    // via-bestCell form re-ran both): a null/malformed vector scores
+    // null regardless of the argmax cell, and when the vector is ok the
+    // argmax over the shared scores is bestCell's own comparison
+    val ok = vecOk(vec)
+    if (!ok) return null
+    val s = scoresOf(vec, isFloat)
+    var best = 0
+    var ci = 1
+    while (ci < cells) {
+      if (cmpCells(ci, best, s, norms(ci) != 0.0, norms(best) != 0.0) > 0)
+        best = ci
+      ci += 1
+    }
+    if (norms(best) == 0.0) null else java.lang.Double.valueOf(s(best))
   }
 
   /** The `nProbe` best cells, best first — descending (score, cell), the
@@ -355,6 +367,15 @@ final class CoarseRef(val dim: Int, val coarse: Array[Double])
   * interpreted `transform`/`element_at` chain that dominated q128's
   * training-sample materialization (guide §4: no interpreted HOFs on the
   * hot path).
+  *
+  * Pinned edge-case divergence (unreachable from every call site): a
+  * NULL `cell` null-propagates through BinaryExpression to a NULL ARRAY,
+  * whereas the replaced `transform(vec, x -> x - coarse[cell·dim + i])`
+  * composition yields an array of NULL ELEMENTS (the lambda's
+  * `element_at(lit, null)` nulls per element). Unreachable because the
+  * only producer of `cell` is `graft_ivf_cell` ([[IvfCell]]), which is
+  * non-nullable by contract — kept as the cheaper propagation rather
+  * than manufacturing an all-null-element array nothing can observe.
   */
 case class PqResidualVec(left: Expression, right: Expression, ref: CoarseRef)
     extends BinaryExpression {

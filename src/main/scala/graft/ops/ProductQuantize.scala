@@ -675,12 +675,16 @@ object ProductQuantize {
       cb: PqCodebooks, rot: Array[Double], dim: Int, path: String): Unit = {
     require(rot.length == dim * dim,
       s"rotation length ${rot.length} != dim²=${dim * dim}")
-    saveCodebooks(spark, cb, path)
     import spark.implicits._
-    (0 until dim).map(i =>
-        (i, rot.slice(i * dim, (i + 1) * dim).toSeq))
-      .toDF("i", "row").coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/rotation")
+    // sibling single-file artifacts — write them concurrently
+    // (guide §2.6: two independent one-task jobs, one latency)
+    graft.core.Par.par2(
+      saveCodebooks(spark, cb, path),
+      (0 until dim).map(i =>
+          (i, rot.slice(i * dim, (i + 1) * dim).toSeq))
+        .toDF("i", "row").coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/rotation"))
+    ()
   }
 
   private def rotationPath(path: String) =
@@ -723,13 +727,16 @@ object ProductQuantize {
     require(f.exists(rotationPath(path)),
       s"$path holds no rotation — a plain PQ artifact loads with " +
         "loadCodebooks")
-    val rows = spark.read.parquet(s"$path/rotation").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
+    // sibling single-file artifacts — read them concurrently (guide §2.6)
+    val (rows, books) = graft.core.Par.par2(
+      spark.read.parquet(s"$path/rotation").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1),
+      readBooks(spark, path))
     val dim = rows.length
     require(rows.map(_._1).sameElements(0 until dim) &&
       rows.forall(_._2.length == dim),
       s"malformed rotation at $path: need rows 0..${dim - 1} of width $dim")
-    (readBooks(spark, path), rows.flatMap(_._2), dim)
+    (books, rows.flatMap(_._2), dim)
   }
 }

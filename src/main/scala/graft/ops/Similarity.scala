@@ -390,20 +390,37 @@ object Similarity {
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfIndex = {
-    val rows = spark.read.parquet(path)
-      .select("cell", "dim", "value")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+    // the centroid table and the drift baseline are independent reads of
+    // sibling artifacts — run them concurrently (guide §2.6; the
+    // lifecycle queries' cost is sequential small-job latency)
+    val (rows, score) = graft.core.Par.par2(
+      spark.read.parquet(path)
+        .select("cell", "dim", "value")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2))),
+      // the baseline is OPTIONAL: a missing, empty, or partially-written
+      // `_drift` dir (e.g. save interrupted between the two writes) must
+      // degrade to None, never fail the index load. Its PART FILES are
+      // read by explicit visible path — an underscore-prefixed ROOT
+      // makes DataSource log `WARN All paths were ignored` on stderr
+      // (sbt renders it `[error]`) even though the read succeeds
+      try {
+        val dp = new org.apache.hadoop.fs.Path(s"$path/_drift")
+        val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dp)) None
+        else {
+          val parts = fs.listStatus(dp).collect {
+            case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+              st.getPath.toString
+          }
+          if (parts.isEmpty) None
+          else spark.read.parquet(parts.toIndexedSeq: _*)
+            .select("build_score_mill").collect().headOption.map(_.getLong(0))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None })
     val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cvs) =>
       cvs.sortBy(_._2).map(_._3).toSeq
     }
-    // the baseline is OPTIONAL: a missing, empty, or partially-written
-    // `_drift` dir (e.g. save interrupted between the two writes) must
-    // degrade to None, never fail the index load
-    val score =
-      try spark.read.parquet(s"$path/_drift")
-        .select("build_score_mill").collect().headOption.map(_.getLong(0))
-      catch { case scala.util.control.NonFatal(_) => None }
     IvfIndex(cents, score)
   }
 

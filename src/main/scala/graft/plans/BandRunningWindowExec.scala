@@ -420,6 +420,10 @@ case class BandRunningWindowExec(windowExprs: Seq[NamedExpression],
         bound(j).asInstanceOf[RunningWindow.RunRangeFwd])
       val vfAccs: Array[RunningWindow.FwdRangeAcc] = vfIdxs.map(j =>
         accs(j).asInstanceOf[RunningWindow.FwdRangeAcc])
+      // eval-pass accs fold per released row: opt in to the two-pointer
+      // running aggregate (totals-pass accs never fold — tracking the
+      // not-yet-admitted tail there would buffer the whole band)
+      vfAccs.foreach(_.enableIncremental())
       val vfSuffix: Array[(Array[Long], Array[Any])] =
         if (vfIdxs.isEmpty) null else vfSuffixes(i)
       val deep = deepIdxs.nonEmpty || fwdIdxs.nonEmpty || vfIdxs.nonEmpty

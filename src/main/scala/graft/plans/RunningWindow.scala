@@ -760,6 +760,96 @@ private[plans] object RunningWindow {
     }
   }
 
+  /** O(1)-per-row running form of an INVERTIBLE [[SlideOp]] for frames
+    * that admit every retained entry (single-bound: `d PRECEDING AND
+    * CURRENT ROW`): add on admission, subtract on eviction. `value()`
+    * returns the frame aggregate, or the [[IncSlide.Refold]] sentinel
+    * when the incremental form cannot PROVE it matches a stream-order
+    * re-fold — the caller then re-folds the buffer, so every emitted
+    * value (and every ANSI overflow throw) is bit-identical to
+    * [[SlideOp.fold]] by construction:
+    *  - Count: non-null tally — always exact.
+    *  - SumLong non-ANSI: wrapping adds are associative/commutative mod
+    *    2⁶⁴, so add/subtract ≡ the buffer re-fold, always.
+    *  - SumLong ANSI: the re-fold throws iff some stream-order PREFIX of
+    *    the live buffer overflows. When `liveCount · maxAbsEver < 2⁶³`
+    *    no prefix can leave the Long range, so no throw is possible and
+    *    the running value is the fold value; past that bound (or on a
+    *    Long.MinValue input, whose |·| wraps) it refuses and the caller
+    *    re-folds — the conservative maxAbsEver never shrinks, trading
+    *    extra re-folds near the overflow regime for exactness.
+    *  - SumDecimal: java BigDecimal add/subtract is exact (arbitrary
+    *    precision), so the running sum equals the re-folded sum as a
+    *    number; intermediate SCALE may differ, but the final
+    *    `changePrecision(resultType)` renders both to the identical
+    *    Decimal (and the identical ANSI overflow throw, which tests the
+    *    RESULT only).
+    * Doubles (order-sensitive rounding), min/max and lag (not
+    * invertible) keep the re-fold.
+    */
+  private[plans] sealed trait IncSlide {
+    def add(v: Any): Unit
+    def remove(v: Any): Unit
+    /** Frame aggregate, or [[IncSlide.Refold]] to demand a re-fold. */
+    def value(): Any
+  }
+  private[plans] object IncSlide {
+    /** Sentinel distinct from every legal aggregate value (incl. null). */
+    val Refold: AnyRef = new Object
+    /** The running form, or null when `op` must re-fold per row. */
+    def forOp(op: SlideOp): IncSlide = op match {
+      case SlideOp.Count => new IncCount
+      case SlideOp.SumLong(ansi) => new IncSumLong(ansi)
+      case SlideOp.SumDecimal(rt, ansi) => new IncSumDecimal(rt, ansi)
+      case _ => null
+    }
+  }
+  private final class IncCount extends IncSlide {
+    private var n = 0L
+    override def add(v: Any): Unit = if (v != null) n += 1
+    override def remove(v: Any): Unit = if (v != null) n -= 1
+    override def value(): Any = java.lang.Long.valueOf(n)
+  }
+  private final class IncSumLong(ansi: Boolean) extends IncSlide {
+    private var s = 0L
+    private var n = 0L
+    private var maxAbs = 0L
+    override def add(v: Any): Unit = if (v != null) {
+      val x = v.asInstanceOf[Number].longValue()
+      s += x; n += 1
+      val a = if (x == Long.MinValue) Long.MaxValue else math.abs(x)
+      if (a > maxAbs) maxAbs = a
+    }
+    override def remove(v: Any): Unit = if (v != null) {
+      s -= v.asInstanceOf[Number].longValue(); n -= 1
+    }
+    override def value(): Any =
+      if (n == 0L) null
+      else if (!ansi || maxAbs == 0L || n <= Long.MaxValue / maxAbs)
+        java.lang.Long.valueOf(s)
+      else IncSlide.Refold
+  }
+  private final class IncSumDecimal(resultType: DecimalType, ansi: Boolean)
+      extends IncSlide {
+    private var s = java.math.BigDecimal.ZERO
+    private var n = 0L
+    override def add(v: Any): Unit = if (v != null) {
+      s = s.add(v.asInstanceOf[Decimal].toJavaBigDecimal); n += 1
+    }
+    override def remove(v: Any): Unit = if (v != null) {
+      s = s.subtract(v.asInstanceOf[Decimal].toJavaBigDecimal); n -= 1
+    }
+    override def value(): Any =
+      if (n == 0L) null
+      else {
+        val d = Decimal(s)
+        if (d.changePrecision(resultType.precision, resultType.scale)) d
+        else if (ansi) throw new ArithmeticException(
+          s"sliding sum overflows ${resultType.simpleString}")
+        else null
+      }
+  }
+
   /** `agg(x) OVER (ORDER BY k ROWS BETWEEN n PRECEDING AND CURRENT
     * ROW)` — the bounded sliding frame: the accumulator keeps a ring of
     * the last ≤ n+1 evaluated input values (retained — UTF8Strings
@@ -1012,6 +1102,20 @@ private[plans] object RunningWindow {
       private val NullToken: AnyRef = RunSliding.NullToken
       private val keys = new java.util.ArrayDeque[java.lang.Long]()
       private val vals = new java.util.ArrayDeque[AnyRef]()
+      // Single-bound frames (upper = CURRENT ROW) admit EVERY retained
+      // entry — the per-row fold over the live buffer is then
+      // O(frame rows) of pure re-summation (q207's 1-month ts frame
+      // re-folded ~1.8k entries per row: 270M iterations over 150k
+      // rows). Invertible ops keep a running aggregate instead —
+      // add on admission, subtract on eviction — made PROVABLY
+      // bit-identical to the stream-order re-fold by IncSlide's
+      // fallback contract (None ⇒ the caller re-folds; see IncSlide).
+      private val inc: IncSlide =
+        if (dist match {
+          case FixedDist(_, h) => h == 0L
+          case MonthDist(_, h) => h == 0L
+          case _: MonthTsDist => true
+        }) IncSlide.forOp(op) else null
       // keep entry k for current key c: ASC → c - k ≤ lo (k can never
       // exceed c in a sorted stream); DESC → k - c ≤ lo. The
       // subtraction is always of (later − earlier) in stream order,
@@ -1094,7 +1198,9 @@ private[plans] object RunningWindow {
         while (go && !keys.isEmpty) {
           val k = keys.peekFirst().longValue()
           if (!keep(cur, k)) {
-            keys.removeFirst(); vals.removeFirst()
+            keys.removeFirst()
+            val v = vals.removeFirst()
+            if (inc != null) inc.remove(if (v eq NullToken) null else v)
           } else go = false
         }
       }
@@ -1105,6 +1211,7 @@ private[plans] object RunningWindow {
         keys.addLast(java.lang.Long.valueOf(c))
         val v = retain(input.eval(row))
         vals.addLast(if (v == null) NullToken else v.asInstanceOf[AnyRef])
+        if (inc != null) inc.add(v)
         if (keys.size > cap) throw new org.apache.spark.SparkException(
           s"graft range-window frame exceeds $cap live rows per " +
             "function; raise spark.graft.window.maxRangeFrameRows or " +
@@ -1132,12 +1239,17 @@ private[plans] object RunningWindow {
           keys.addLast(java.lang.Long.valueOf(ks(i).asInstanceOf[Long]))
           vals.addLast(if (vs(i) == null) NullToken
             else vs(i).asInstanceOf[AnyRef])
+          if (inc != null) inc.add(vs(i))
           i += 1
         }
         // the merged band's own last key is the tightest future bound
         if (!keys.isEmpty) evict(keys.peekLast().longValue())
       }
       override def value(): Any = {
+        if (inc != null) {
+          val fast = inc.value()
+          if (fast.asInstanceOf[AnyRef] ne IncSlide.Refold) return fast
+        }
         val ki = keys.iterator(); val vi = vals.iterator()
         op.fold(new Iterator[Any] {
           private var nextV: Any = _
@@ -1249,6 +1361,35 @@ private[plans] object RunningWindow {
     // otherwise anchor a dead, f-window-bounded append per partition)
     private var prefixSeeded = false
 
+    // O(1)-per-release sliding aggregate for invertible ops (see
+    // [[IncSlide]]): the pending queue is FIFO over the sorted stream,
+    // so released keys are MONOTONE, and both frame bounds are monotone
+    // in the released key — the admitted window over the key-sorted
+    // buffer advances like a classic two-pointer sliding window, each
+    // entry entering and leaving the running aggregate exactly once.
+    // `winK/winV` hold the entries currently aggregated, `aheadK/aheadV`
+    // the arrived-but-not-yet-admitted tail (both alias the retained
+    // value objects — no extra retention). Folds that involve the
+    // cross-band SUFFIX (partition end) or that the incremental form
+    // refuses (ANSI overflow risk) fall back to the exact stream-order
+    // re-fold — bit-identical by IncSlide's contract. DISABLED unless
+    // the exec opts in ([[enableIncremental]], eval pass only): a
+    // totals-pass acc never folds, and tracking `ahead` there would hold
+    // the whole band instead of the window.
+    private var inc: IncSlide = null
+    private val winK = new java.util.ArrayDeque[java.lang.Long]()
+    private val winV = new java.util.ArrayDeque[AnyRef]()
+    private val aheadK = new java.util.ArrayDeque[java.lang.Long]()
+    private val aheadV = new java.util.ArrayDeque[AnyRef]()
+    private[plans] def enableIncremental(): Unit = {
+      inc = IncSlide.forOp(op)
+      if (inc != null) {
+        // backfill arrivals already seeded (the mergeTotal prefix)
+        val ki = keys.iterator(); val vi = vals.iterator()
+        while (ki.hasNext) { aheadK.addLast(ki.next()); aheadV.addLast(vi.next()) }
+      }
+    }
+
     private def sd(later: Long, earlier: Long): Long = {
       val r = if (desc) earlier - later else later - earlier
       if (r < 0) Long.MaxValue else r
@@ -1284,6 +1425,10 @@ private[plans] object RunningWindow {
       val rv = retain(v)
       keys.addLast(java.lang.Long.valueOf(k))
       vals.addLast(if (rv == null) NullToken else rv.asInstanceOf[AnyRef])
+      if (inc != null) {
+        aheadK.addLast(java.lang.Long.valueOf(k))
+        aheadV.addLast(if (rv == null) NullToken else rv.asInstanceOf[AnyRef])
+      }
       if (!any) { firstKey = k; any = true }
       lastKey = k
       if (!prefixSeeded && spec.withinFwdOf(firstKey, k)) {
@@ -1303,6 +1448,41 @@ private[plans] object RunningWindow {
       // monthly frame bounds, computed once per pending row
       val mLo = if (monthly) addMonthsDay(rk, -d1) else 0L
       val mHi = if (monthly) addMonthsDay(rk, f) else 0L
+      if (inc != null && sufK.length == 0) {
+        // two-pointer advance. Head: admit arrivals in or before the
+        // frame (an entry at-or-before rk in stream order is admitted —
+        // the tail test below settles whether it stays; admitting then
+        // dropping within one call nets to zero in an invertible op).
+        // Tail: drop entries strictly stream-before rk and beyond d1 —
+        // the same wrapped-distance reading as inFrame/evictBefore.
+        var go = true
+        while (go && !aheadK.isEmpty) {
+          val k = aheadK.peekFirst().longValue()
+          val admit =
+            if (monthly) k <= mHi
+            else (if (desc) k >= rk else k <= rk) || sd(k, rk) <= f
+          if (admit) {
+            winK.addLast(aheadK.removeFirst())
+            val v = aheadV.removeFirst()
+            winV.addLast(v)
+            inc.add(if (v eq NullToken) null else v)
+          } else go = false
+        }
+        go = true
+        while (go && !winK.isEmpty) {
+          val k = winK.peekFirst().longValue()
+          val drop =
+            if (monthly) k < mLo
+            else (if (desc) k > rk else k < rk) && sd(rk, k) > d1
+          if (drop) {
+            winK.removeFirst()
+            val v = winV.removeFirst()
+            inc.remove(if (v eq NullToken) null else v)
+          } else go = false
+        }
+        val fast = inc.value()
+        if (fast.asInstanceOf[AnyRef] ne IncSlide.Refold) return fast
+      }
       val ki = keys.iterator(); val vi = vals.iterator()
       op.fold(new Iterator[Any] {
         private var si = 0
@@ -1383,6 +1563,13 @@ private[plans] object RunningWindow {
         keys.addLast(java.lang.Long.valueOf(tk(i).asInstanceOf[Long]))
         vals.addLast(if (tv(i) == null) NullToken
           else tv(i).asInstanceOf[AnyRef])
+        if (inc != null) {
+          // a merge after enableIncremental must reach the two-pointer
+          // queues too (the current exec enables only after seeding, in
+          // which case enableIncremental's backfill covered these rows)
+          aheadK.addLast(keys.peekLast())
+          aheadV.addLast(vals.peekLast())
+        }
         i += 1
       }
       if (a(4) != null) {

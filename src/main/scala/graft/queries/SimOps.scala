@@ -453,8 +453,12 @@ object SimOps {
     // pass all scan the planted union (the q117 sharing pattern)
     val corpus = exactPlantedCorpus(emb).persist()
     val queries = emb.filter(col("vec_id") < 20)
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64)
+    // the coarse build and the PQ training are independent ladders of
+    // small jobs over the SAME persisted corpus — run them concurrently
+    // (guide §2.6 overlap independent jobs; identical outputs)
+    val (index, cb) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"),
+      ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64))
     val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
       index, cb)
     ProductQuantize.ivfPqTopK(index, cb, queries, encoded,
@@ -473,12 +477,15 @@ object SimOps {
     val emb = Tables.embeddings(s, d)
     val corpus = exactPlantedCorpus(emb).persist()
     val queries = emb.filter(col("vec_id") < 20)
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
     // one Lloyd iteration: the refine stage is the subject here, and the
     // planted-copy contract is codebook-independent (identical vectors
-    // share codes under ANY codebook) — don't re-pay q126's full train
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
-      iters = 1)
+    // share codes under ANY codebook) — don't re-pay q126's full train.
+    // Coarse build ∥ PQ train: independent job ladders over the same
+    // persisted corpus (guide §2.6)
+    val (index, cb) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"),
+      ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
+        iters = 1))
     val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
       index, cb)
     ProductQuantize.ivfPqRefineTopK(index, cb, queries, encoded, corpus,
@@ -501,15 +508,24 @@ object SimOps {
     val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
       .replaceAll("[^A-Za-z0-9_]", "_")
     val root = graft.core.Scratch.ephemeralDir(s"graft_pq_life_$tag")
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    Similarity.saveIvfIndex(index, s, s"$root/ivf")
     // one Lloyd iteration: the artifact ROUND-TRIP is the subject, and
-    // the planted-copy contract is codebook-independent
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
-      iters = 1)
-    ProductQuantize.saveCodebooks(s, cb, s"$root/books")
-    val loadedIndex = Similarity.loadIvfIndex(s, s"$root/ivf")
-    val loadedCb = ProductQuantize.loadCodebooks(s, s"$root/books")
+    // the planted-copy contract is codebook-independent. The coarse
+    // build→save→load chain and the PQ train→save→load chain touch
+    // disjoint artifacts and share only the READ-ONLY persisted corpus —
+    // run them concurrently (guide §2.6: the query's cost is sequential
+    // small-job latency, not compute)
+    val (loadedIndex, loadedCb) = graft.core.Par.par2(
+      {
+        val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+        Similarity.saveIvfIndex(index, s, s"$root/ivf")
+        Similarity.loadIvfIndex(s, s"$root/ivf")
+      },
+      {
+        val cb = ProductQuantize.train(corpus, "vec_id", "embedding",
+          dim = 64, iters = 1)
+        ProductQuantize.saveCodebooks(s, cb, s"$root/books")
+        ProductQuantize.loadCodebooks(s, s"$root/books")
+      })
     ProductQuantize.saveEncoded(ProductQuantize.encode(
       corpus, "vec_id", "embedding", loadedIndex, loadedCb), s"$root/codes")
     ProductQuantize.ivfPqTopK(loadedIndex, loadedCb, queries,
@@ -538,9 +554,12 @@ object SimOps {
       ProductQuantize.rotateExpr(col("embedding"), rot, 64).as("embedding"))
       .persist()
     val queries = corpus.filter(col("vec_id") < 20)
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
-      iters = 1)
+    // coarse build ∥ PQ train over the same persisted rotated corpus
+    // (guide §2.6)
+    val (index, cb) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"),
+      ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
+        iters = 1))
     val encoded = ProductQuantize.encode(corpus, "vec_id", "embedding",
       index, cb)
     ProductQuantize.ivfPqTopK(index, cb, queries, encoded,
@@ -570,9 +589,11 @@ object SimOps {
     val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
       .replaceAll("[^A-Za-z0-9_]", "_")
     val root = graft.core.Scratch.ephemeralDir(s"graft_pq_append_$tag")
-    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding")
-    val cb = ProductQuantize.train(base, "vec_id", "embedding", dim = 64,
-      iters = 1)
+    // coarse build ∥ PQ train over the same persisted base (guide §2.6)
+    val (index, cb) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(base, "vec_id", "embedding"),
+      ProductQuantize.train(base, "vec_id", "embedding", dim = 64,
+        iters = 1))
     ProductQuantize.saveEncoded(ProductQuantize.encode(
       base, "vec_id", "embedding", index, cb), s"$root/codes")
     ProductQuantize.appendEncodedBatch(index, cb, batch, "vec_id",
@@ -606,16 +627,23 @@ object SimOps {
     val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
       .replaceAll("[^A-Za-z0-9_]", "_")
     val root = graft.core.Scratch.ephemeralDir(s"graft_opq_life_$tag")
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    Similarity.saveIvfIndex(index, s, s"$root/ivf")
     // one Lloyd iteration: the artifact round-trip is the subject, and
-    // the planted-copy contract is codebook-independent
-    val cb = ProductQuantize.train(corpus, "vec_id", "embedding", dim = 64,
-      iters = 1)
-    ProductQuantize.saveOpqCodebooks(s, cb, rot, 64, s"$root/pq")
-    val loadedIndex = Similarity.loadIvfIndex(s, s"$root/ivf")
-    val (loadedCb, loadedRot, loadedDim) =
-      ProductQuantize.loadOpqCodebooks(s, s"$root/pq")
+    // the planted-copy contract is codebook-independent. Coarse
+    // build→save→load ∥ PQ train→save→load: disjoint artifacts, shared
+    // read-only persisted corpus (guide §2.6 — the q137 rationale)
+    val ((loadedIndex), (loadedCb, loadedRot, loadedDim)) =
+      graft.core.Par.par2(
+        {
+          val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+          Similarity.saveIvfIndex(index, s, s"$root/ivf")
+          Similarity.loadIvfIndex(s, s"$root/ivf")
+        },
+        {
+          val cb = ProductQuantize.train(corpus, "vec_id", "embedding",
+            dim = 64, iters = 1)
+          ProductQuantize.saveOpqCodebooks(s, cb, rot, 64, s"$root/pq")
+          ProductQuantize.loadOpqCodebooks(s, s"$root/pq")
+        })
     ProductQuantize.saveEncoded(ProductQuantize.encode(
       corpus, "vec_id", "embedding", loadedIndex, loadedCb), s"$root/codes")
     // queries enter RAW and pass through the LOADED rotation — the
@@ -652,9 +680,11 @@ object SimOps {
     val tag = s"${d.hashCode.toLong & 0x7fffffffL}_${s.sparkContext.applicationId}"
       .replaceAll("[^A-Za-z0-9_]", "_")
     val root = graft.core.Scratch.ephemeralDir(s"graft_pq_stream_$tag")
-    val index = Similarity.buildIvfIndex(base, "vec_id", "embedding")
-    val cb = ProductQuantize.train(base, "vec_id", "embedding", dim = 64,
-      iters = 1)
+    // coarse build ∥ PQ train over the same persisted base (guide §2.6)
+    val (index, cb) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(base, "vec_id", "embedding"),
+      ProductQuantize.train(base, "vec_id", "embedding", dim = 64,
+        iters = 1))
     ProductQuantize.saveEncoded(ProductQuantize.encode(
       base, "vec_id", "embedding", index, cb), s"$root/codes")
     // land the micro-batch drop ONCE per (JVM, sfDir): a second write
@@ -692,8 +722,11 @@ object SimOps {
     val emb = Tables.embeddings(s, d)
     val corpus = exactPlantedCorpus(emb).persist()
     val queries = emb.filter(col("vec_id") < 20)
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    val (mn, mx) = Quantize.dimStats(corpus, "embedding")
+    // coarse build ∥ dim-stats: independent passes over the same
+    // persisted corpus (guide §2.6)
+    val (index, (mn, mx)) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"),
+      Quantize.dimStats(corpus, "embedding"))
     val assigned = Quantize.assignCellsSq8(
       corpus, "vec_id", "embedding", index, mn, mx)
     Quantize.ivfSq8TopKAgg(index, queries, assigned, "vec_id", "embedding",
@@ -729,8 +762,11 @@ object SimOps {
     // buildIvfIndex's pinIfUnpinned so the build doesn't drop this pin)
     val corpus = exactPlantedCorpus(emb).persist()
     val queries = emb.filter(col("vec_id") < 20)
-    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
-    val (mn, mx) = Quantize.dimStats(corpus, "embedding")
+    // coarse build ∥ dim-stats: independent passes over the same
+    // persisted corpus (guide §2.6)
+    val (index, (mn, mx)) = graft.core.Par.par2(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"),
+      Quantize.dimStats(corpus, "embedding"))
     val assigned = Quantize.assignCellsSq8(
       corpus, "vec_id", "embedding", index, mn, mx)
     Quantize.ivfSq8TopK(index, queries, assigned, "vec_id", "embedding",

@@ -26,6 +26,11 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = mutable.LinkedHashMap.empty[Int, JobRow]
+    // stageId -> jobId from each job's announced stages, so a stage of a
+    // concurrent or late-finishing job is credited to ITS job rather
+    // than the most recently started one (the concurrent-driver-action
+    // lifecycle queries overlap jobs deliberately)
+    val stageJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val desc = Option(e.properties)
@@ -34,16 +39,15 @@ object ProfileQuery {
           .orElse(e.stageInfos.lastOption.map(_.name))
           .getOrElse("")
         jobs(e.jobId) = JobRow(e.jobId, desc, e.time)
+        e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          val sid = e.stageInfo.stageId
-          jobs.values.lastOption.foreach { j =>
+          stageJob.get(e.stageInfo.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1; j.tasks += e.stageInfo.numTasks
-            val _ = sid
           }
         }
     }
@@ -57,6 +61,7 @@ object ProfileQuery {
       spark.catalog.clearCache()
 
       jobs.clear()
+      stageJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
