@@ -52,9 +52,15 @@ object Components {
     // The edge list feeds EVERY round's join: persist it or each round
     // re-executes the whole upstream pipeline that produced the pairs
     // (for near-dup input that is the full inverted-index + verify pass,
-    // multiplied by the round count).
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // multiplied by the round count). Symmetrization is ONE explode over
+    // one scan, not a self-union (r21, guide §2.4): a union's two
+    // branches EACH evaluate the upstream pair pipeline — for near-dup
+    // input that ran the candidate self-join + verify twice per
+    // materialization. Same (a, b) multiset either way.
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("a"), col(dstCol).as("b")),
+        struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
     try {
       // eager localCheckpoint: materializes the round AND truncates the

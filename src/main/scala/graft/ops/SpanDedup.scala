@@ -139,28 +139,43 @@ object SpanDedup {
     val intervals = islands.groupBy("doc_id", "isl")
       .agg(min("pos").as("s"), max("e").as("e"))
 
-    // covered positions (merged intervals are disjoint — no distinct
-    // needed); bounded by total flagged-window mass, not corpus size
-    val dropPos = intervals.select(col("doc_id"),
-      explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    // Per-doc interval LISTS — bounded by duplicated-span MASS, tiny next
+    // to the corpus. The rebuild attaches them to the persisted base and
+    // cuts each flagged document's token array IN PLACE (r21, guide §2.3
+    // "shuffle keys and metadata instead of payloads"): the previous form
+    // exploded EVERY token of EVERY document, anti-joined the covered
+    // positions, and re-collected/sorted all tokens through a
+    // corpus-sized shuffle — moving the heavy token payload twice to
+    // delete a few spans. Now the corpus is never shuffled: AQE
+    // broadcasts the interval table, clean documents short-circuit on the
+    // NULL interval list (split-on-space/join-by-space with every token
+    // kept is the string identity, so emitting the original text is
+    // exact), and only flagged documents pay the positional filter.
+    // Row-identical to the explode/re-collect form: same kept tokens in
+    // the same (positional) order, same counts — SpanDedupSpec pins the
+    // edges (fully-cut doc, merged intervals, consecutive-space tokens).
+    val ivs = intervals.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("__ivs"))
 
-    val toks = base.select(col("doc_id"),
-      posexplode(col("t")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    // the kept-token array is PROJECTED ONCE (house HOF rule: an inline
+    // higher-order filter referenced by both the text and the count
+    // would re-evaluate per reference)
+    val cut = base.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__txt"), col("t"), col("__ivs"),
+        when(col("__ivs").isNotNull,
+          filter(col("t"), (_, i) =>
+            !exists(col("__ivs"), iv =>
+              (i + 1 >= iv.getField("s")) && (i + 1 < iv.getField("e")))))
+          .as("__kept"))
 
-    val kept = toks.join(dropPos, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok"))).as("text"),
-        count(lit(1)).as("n_kept"))
-
-    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol),
-        coalesce(col("text"), lit("")).as(textCol),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    val nKept = when(col("t").isNull, lit(0L))
+      .when(col("__ivs").isNull, size(col("t")).cast("long"))
+      .otherwise(size(col("__kept")).cast("long"))
+    cut.select(col("doc_id").as(idCol),
+      when(col("t").isNull, lit(""))
+        .when(col("__ivs").isNull, col("__txt"))
+        .otherwise(concat_ws(" ", col("__kept"))).as(textCol),
+      nKept.as("n_kept"),
+      (size(col("t")).cast("long") - nKept).as("n_dropped"))
   }
 }

@@ -53,6 +53,19 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(1L)._3 == 0L)
   }
 
+  test("map-side rebuild: consecutive-space (empty) tokens survive exactly") {
+    // r21 rebuild internals: the clean-doc path must be the string
+    // identity (split-on-space/join-by-space preserves empty tokens), and
+    // a flagged doc's positional cut must count empty tokens like any
+    // other token — the explode/re-collect form it replaced did
+    val shared = "c1 c2 c3 c4 c5 c6"
+    val clean = "a1  a2 a3" // double space: tokens [a1, "", a2, a3]
+    val flaggedDoc = s"x1  $shared x2" // empty token at pos 2, cut at 3..8
+    val out = run(Seq(1L -> clean, 2L -> s"h1 $shared h2", 3L -> flaggedDoc))
+    assert(out(1L) == ((clean, 4L, 0L)))
+    assert(out(3L) == (("x1  x2", 3L, 6L)))
+  }
+
   test("adjacent duplicated runs coalesce into one interval") {
     // doc 2 copies two different spans of doc 1 back to back: the merged
     // cut is contiguous, and surviving text keeps original order
